@@ -1,0 +1,200 @@
+"""DB (Differentiable Binarization) detection postprocess — numpy port.
+
+Parity targets (reference = GreatV/oar-ocr at /root/reference):
+- Config + defaults (thresh .3, box_thresh .6, max_candidates 1000,
+  unclip 1.5, min_size 3.0): oar-ocr-core/src/processors/db_postprocess.rs:46-88.
+- Pipeline per image (binarize → contours → mini box → min_size filter
+  → box_score_fast → box_thresh filter → unclip → sside < min_size+2
+  filter → scale/round/clamp to source dims):
+  db_postprocess.rs:100-221 + db_bitmap.rs:84-149.
+- box_score_fast (floor/ceil inclusive AABB region mean of pred):
+  db_score.rs:33-53.
+- unclip offset delta = area * unclip_ratio / perimeter (Vatti/Clipper
+  round-join inflate): db_bitmap.rs:279-345. For the axis-aligned
+  components this engine detects, the inflated polygon's min-area rect
+  is exactly the AABB expanded by `delta` per side, so the closed-form
+  expansion below is bit-equivalent.
+
+Connected components replace imageproc::find_contours: a run-based
+union-find over foreground rows, emitting components in first-pixel
+scan order (the same discovery order contours are yielded in, which is
+what `.take(max_candidates)` depends on).
+
+Everything here is pure numpy and runs inside the detection pandas UDF
+— per-image work is independent, so Spark task parallelism replaces
+the reference's rayon loops (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = ["DBPostProcess", "connected_components_boxes"]
+
+
+def connected_components_boxes(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
+    """8-connected components of a boolean mask → inclusive pixel AABBs.
+
+    Returns [(x_min, y_min, x_max, y_max)] ordered by first foreground
+    pixel in row-major scan order (matches contour discovery order in
+    db_bitmap.rs:100). Run-based union-find: one pass over rows, merging
+    runs that overlap (with 8-connectivity slack) a run on the previous
+    row.
+    """
+    m = np.asarray(mask, dtype=bool)
+    h, w = m.shape
+    parent: list[int] = []
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # keep the smaller (earlier-created) label as root
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    # runs[label] aggregated extents; prev row runs: list of (x0, x1, label)
+    extents: list[list[int]] = []  # [x0, y0, x1, y1] per label
+    order: list[int] = []  # labels in first-pixel order (creation order)
+    prev_runs: list[tuple[int, int, int]] = []
+    for y in range(h):
+        row = m[y]
+        if not row.any():
+            prev_runs = []
+            continue
+        d = np.diff(row.astype(np.int8))
+        starts = list(np.flatnonzero(d == 1) + 1)
+        ends = list(np.flatnonzero(d == -1) + 1)
+        if row[0]:
+            starts.insert(0, 0)
+        if row[-1]:
+            ends.append(w)
+        cur_runs: list[tuple[int, int, int]] = []
+        for x0, x1 in zip(starts, ends):  # run = [x0, x1)
+            label = -1
+            for px0, px1, plab in prev_runs:
+                # 8-connectivity: diagonal touch counts
+                if px0 < x1 + 1 and x0 < px1 + 1:
+                    if label == -1:
+                        label = find(plab)
+                    else:
+                        union(label, plab)
+                        label = find(label)
+            if label == -1:
+                label = len(parent)
+                parent.append(label)
+                extents.append([x0, y, x1 - 1, y])
+                order.append(label)
+            else:
+                e = extents[label]
+                e[0] = min(e[0], x0)
+                e[2] = max(e[2], x1 - 1)
+                e[3] = max(e[3], y)
+            cur_runs.append((x0, x1, label))
+        prev_runs = cur_runs
+
+    # merge extents into roots, keep earliest-created root order
+    merged: dict[int, list[int]] = {}
+    root_order: list[int] = []
+    for lab in order:
+        r = find(lab)
+        if r not in merged:
+            merged[r] = list(extents[lab])
+            root_order.append(r)
+        else:
+            e = merged[r]
+            f = extents[lab]
+            e[0] = min(e[0], f[0])
+            e[1] = min(e[1], f[1])
+            e[2] = max(e[2], f[2])
+            e[3] = max(e[3], f[3])
+    return [tuple(merged[r]) for r in root_order]  # type: ignore[misc]
+
+
+@dataclass
+class DBPostProcess:
+    """DB heatmap → boxes. Defaults match db_postprocess.rs:67-88."""
+
+    thresh: float = 0.3
+    box_thresh: float = 0.6
+    max_candidates: int = 1000
+    unclip_ratio: float = 1.5
+    min_size: float = 3.0
+
+    def box_score_fast(self, pred: np.ndarray, box: np.ndarray) -> float:
+        """Mean of pred over the box's floor/ceil-clamped inclusive AABB
+        (db_score.rs:33-53; polygon fill == AABB for axis-aligned boxes)."""
+        h, w = pred.shape
+        x1, y1, x2, y2 = (float(v) for v in np.asarray(box).reshape(4))
+        min_x = int(np.clip(np.floor(x1), 0, w - 1))
+        max_x = int(np.clip(np.ceil(x2), 0, w - 1))
+        min_y = int(np.clip(np.floor(y1), 0, h - 1))
+        max_y = int(np.clip(np.ceil(y2), 0, h - 1))
+        region = pred[min_y : max_y + 1, min_x : max_x + 1]
+        return float(region.mean()) if region.size else 0.0
+
+    def unclip_aabb(self, box: np.ndarray, unclip_ratio: float) -> np.ndarray | None:
+        """Closed-form AABB unclip: delta = area * ratio / perimeter
+        (db_bitmap.rs:279-345); each side expands by delta."""
+        x1, y1, x2, y2 = (float(v) for v in np.asarray(box).reshape(4))
+        bw, bh = x2 - x1, y2 - y1
+        area = abs(bw * bh)
+        perimeter = 2.0 * (bw + bh)
+        if area <= np.finfo(np.float64).eps or perimeter <= np.finfo(np.float64).eps:
+            return None
+        delta = area * float(unclip_ratio) / perimeter
+        if abs(delta) <= np.finfo(np.float64).eps:
+            return None
+        return np.asarray([x1 - delta, y1 - delta, x2 + delta, y2 + delta], dtype=np.float32)
+
+    def __call__(
+        self, pred: np.ndarray, src_w: int, src_h: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """One heatmap → (boxes (N,4) in source coords, scores (N,)).
+
+        pred: (H, W) float probability map (model-output dims, possibly
+        a resized multiple-of-32 grid); src_w/src_h: original image dims
+        for the scale-back (db_bitmap.rs:95-97,140-141).
+        """
+        pred = np.asarray(pred, dtype=np.float32)
+        h, w = pred.shape
+        mask = pred > self.thresh  # db_postprocess.rs:196-208
+        comps = connected_components_boxes(mask)[: self.max_candidates]
+        width_scale = np.float32(src_w) / np.float32(w)
+        height_scale = np.float32(src_h) / np.float32(h)
+        boxes: list[np.ndarray] = []
+        scores: list[float] = []
+        for (cx1, cy1, cx2, cy2) in comps:
+            # inclusive pixel extents → box spanning the pixel footprint;
+            # min-area rect of an axis-aligned component == its AABB
+            mini = np.asarray([cx1, cy1, cx2 + 1, cy2 + 1], dtype=np.float32)
+            min_side = float(min(mini[2] - mini[0], mini[3] - mini[1]))
+            if min_side < self.min_size:  # db_bitmap.rs:110
+                continue
+            score = self.box_score_fast(pred, mini)
+            if score < self.box_thresh:  # db_bitmap.rs:120
+                continue
+            unclipped = self.unclip_aabb(mini, self.unclip_ratio)
+            if unclipped is None:
+                continue
+            sside = float(min(unclipped[2] - unclipped[0], unclipped[3] - unclipped[1]))
+            if sside < self.min_size + 2.0:  # db_bitmap.rs:133
+                continue
+            x1 = np.clip(np.round(unclipped[0] * width_scale), 0, src_w)
+            y1 = np.clip(np.round(unclipped[1] * height_scale), 0, src_h)
+            x2 = np.clip(np.round(unclipped[2] * width_scale), 0, src_w)
+            y2 = np.clip(np.round(unclipped[3] * height_scale), 0, src_h)
+            boxes.append(np.asarray([x1, y1, x2, y2], dtype=np.float32))
+            scores.append(score)
+        if not boxes:
+            return np.empty((0, 4), dtype=np.float32), np.empty(0, dtype=np.float32)
+        return np.stack(boxes), np.asarray(scores, dtype=np.float32)
