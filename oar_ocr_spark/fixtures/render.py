@@ -1,0 +1,129 @@
+"""Deterministic page renderer.
+
+``render_page(media_ref)`` procedurally renders a synthetic grayscale
+page from the SHA-256 of the media_ref — the engine's stand-in for
+"fetch + decode media bytes" (reference: utils/image.rs:65-88
+load_image/load_image_from_memory). A real deployment would replace
+this with a pandas UDF decoding a binary column; the Spark-side
+plumbing (schema, batching, partitioning) is identical.
+
+Page anatomy (upright, before orientation rotation):
+- an 8×8 ANCHOR block at (4,4) (orientation cue; masked pre-detection)
+- 1..MAX_LINES text lines; each line holds 1–2 regions (single-column,
+  two-column and same-line templates — FIXTURES.md §2) of 2..12 chars
+- region layout: [MARKER 3px][char strip 8px][SEP 3px]...[char strip],
+  region height 20px; a region may be rendered 180°-flipped
+  (line_flipped) to exercise the text-line orientation stage
+- geometry chosen so regions are separate 8-connected components and
+  unclipped detection boxes (δ ≤ ~10px) never reach a neighbor's
+  glyphs on the crop's center row
+- finally the page is rotated by the ground-truth orientation class.
+
+``page_truth`` returns the same rng draw as structured ground truth
+(used only by tests/golden tooling, never by the engine).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..models.synthetic import ANCHOR, ANCHOR_SIZE, BG, CHAR_BASE, CHAR_TO_INDEX, MARKER, SEP
+
+CHAR_W = 8
+SEP_W = 3
+MARKER_W = 3
+REGION_H = 20
+LINE_GAP = 26
+MARGIN_X = 16
+MARGIN_TOP = 30
+SAME_LINE_GAP = 32
+MAX_LINES = 6
+MAX_CHARS = 12
+# alphabet for region text: digits + lowercase (vocab indices 1..36)
+ALPHABET = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+@dataclass
+class RegionTruth:
+    x1: int
+    y1: int
+    x2: int  # exclusive
+    y2: int  # exclusive
+    text: str
+    line_flipped: bool
+
+
+@dataclass
+class PageTruth:
+    width: int
+    height: int
+    orientation_class: int
+    regions: list[RegionTruth]  # upright coordinates
+
+
+def _rng_for(media_ref: str) -> np.random.Generator:
+    digest = hashlib.sha256(media_ref.encode("utf-8")).digest()
+    return np.random.default_rng(int.from_bytes(digest[:8], "little"))
+
+
+def region_width(n_chars: int) -> int:
+    return MARKER_W + n_chars * CHAR_W + (n_chars - 1) * SEP_W
+
+
+def _render_region_block(text: str) -> np.ndarray:
+    """(REGION_H, region_width) block for one upright text line."""
+    w = region_width(len(text))
+    block = np.full((REGION_H, w), SEP, dtype=np.uint8)
+    block[:, :MARKER_W] = MARKER
+    x = MARKER_W
+    for ch in text:
+        block[:, x : x + CHAR_W] = CHAR_BASE + CHAR_TO_INDEX[ch]
+        x += CHAR_W + SEP_W
+    return block
+
+
+def page_truth(media_ref: str) -> PageTruth:
+    """Deterministic layout + content for a media_ref (upright coords)."""
+    rng = _rng_for(media_ref)
+    n_lines = int(rng.integers(1, MAX_LINES + 1))
+    orientation_class = int(rng.integers(0, 4))
+    regions: list[RegionTruth] = []
+    y = MARGIN_TOP
+    max_right = 0
+    for _ in range(n_lines):
+        two_on_line = bool(rng.random() < 0.3)
+        x = MARGIN_X
+        for _col in range(2 if two_on_line else 1):
+            n_chars = int(rng.integers(2, MAX_CHARS + 1))
+            text = "".join(ALPHABET[int(i)] for i in rng.integers(0, len(ALPHABET), n_chars))
+            flipped = bool(rng.random() < 0.25)
+            w = region_width(n_chars)
+            regions.append(RegionTruth(x, y, x + w, y + REGION_H, text, flipped))
+            x += w + SAME_LINE_GAP
+            max_right = max(max_right, x - SAME_LINE_GAP)
+        y += REGION_H + LINE_GAP
+    width = max_right + MARGIN_X
+    height = y - LINE_GAP + MARGIN_TOP
+    return PageTruth(width, height, orientation_class, regions)
+
+
+def render_page(media_ref: str) -> np.ndarray:
+    """media_ref → (H, W) uint8 grayscale page (rotated per its
+    ground-truth orientation class)."""
+    truth = page_truth(media_ref)
+    img = np.full((truth.height, truth.width), BG, dtype=np.uint8)
+    img[4 : 4 + ANCHOR_SIZE, 4 : 4 + ANCHOR_SIZE] = ANCHOR
+    for r in truth.regions:
+        block = _render_region_block(r.text)
+        if r.line_flipped:
+            block = block[::-1, ::-1]  # 180°
+        img[r.y1 : r.y2, r.x1 : r.x2] = block
+    # rotate the upright page so the engine must *detect* class k and
+    # correct with np.rot90(img, k): render applies the inverse (CW k·90°)
+    k = truth.orientation_class % 4
+    if k:
+        img = np.rot90(img, k=-k)
+    return np.ascontiguousarray(img)

@@ -1,0 +1,166 @@
+"""Single-process reference extraction pipeline (golden generator).
+
+Pure-Python/numpy re-statement of OAROCR::predict
+(/root/reference/src/oarocr/ocr.rs:518-659): preprocess (orientation
+classify + correct + anchor mask) → detection resize → DB heatmap →
+DB postprocess → sort_quad_boxes reading order → crop → line
+orientation → recognition resize (bucketed wh_ratio) → CTC decode →
+score-threshold blanking → emit in detection order.
+
+This module exists to compute golden span sequences for the Spark
+pipeline's exact-equality tests (FIXTURES.md §3): its operators are the
+same functions the Spark UDFs call, each pinned by unit tests ported
+from the reference; what the golden check then proves is that the
+*distributed* plumbing (explode/shuffle/group-back/ordering) is
+faithful and partition-invariant.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .fixtures.render import render_page
+from .models.synthetic import (
+    VOCAB,
+    classify_line_orientation,
+    classify_orientation,
+    correct_orientation,
+    detect_heatmap,
+    mask_anchor,
+    recognize_logits,
+)
+from .operators.ctc import ctc_decode_batch
+from .operators.db_postprocess import DBPostProcess
+from .operators.resize import resize_for_detection, resize_for_recognition
+from .operators.sorting import sort_quad_boxes
+
+__all__ = ["ExtractConfig", "extract_page", "extract_document_spans", "bucket_ratio"]
+
+MAX_BUCKET = 32  # wh_ratio bucket cap (crops here are ≤ ~7)
+
+
+@dataclass
+class ExtractConfig:
+    """Engine defaults mirroring the reference general-text config
+    (src/oarocr/ocr.rs:314-366; db_postprocess.rs:67-88)."""
+
+    det_thresh: float = 0.3
+    det_box_thresh: float = 0.6
+    det_unclip_ratio: float = 2.0
+    det_limit_side_len: int = 960
+    det_limit_type: str = "max"
+    det_max_side_limit: int = 4000
+    max_candidates: int = 1000
+    rec_target_h: int = 48
+    rec_score_threshold: float = 0.0
+    use_orientation: bool = True
+    use_line_orientation: bool = True
+    postprocess: DBPostProcess = field(init=False)
+
+    def __post_init__(self) -> None:
+        self.postprocess = DBPostProcess(
+            thresh=self.det_thresh,
+            box_thresh=self.det_box_thresh,
+            max_candidates=self.max_candidates,
+            unclip_ratio=self.det_unclip_ratio,
+        )
+
+
+def bucket_ratio(wh_ratio: float) -> int:
+    """Deterministic per-crop aspect bucket (ceil, clamped ≥1).
+
+    The reference's recognition width is a property of the *batch*
+    (max_wh_ratio, ocr.rs:802-831) which would make results depend on
+    Arrow batch composition; bucketing each crop independently (as
+    processors/aspect_ratio_bucketing.rs does) keeps the decode
+    partition-invariant — required for span equality across
+    parallelism levels (SURVEY.md §7 hard parts).
+    """
+    return int(min(max(np.ceil(wh_ratio), 1), MAX_BUCKET))
+
+
+def preprocess_page(img: np.ndarray, cfg: ExtractConfig) -> tuple[np.ndarray, int]:
+    """Orientation classify + correct + anchor mask. Returns
+    (upright_img, class_id). Mirrors DocumentPreprocessor.preprocess
+    (src/oarocr/preprocess.rs:60-99) + anchor masking (the engine's
+    analog of formula-region masking, structure.rs:2189-2203)."""
+    class_id = classify_orientation(img) if cfg.use_orientation else 0
+    upright = correct_orientation(img, class_id)
+    return mask_anchor(upright), class_id
+
+
+def detect_page(img: np.ndarray, cfg: ExtractConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Upright page → (boxes (N,4) source coords, scores). DB forward +
+    postprocess (models/detection/db.rs:122-233 + db_bitmap.rs:84-149)."""
+    h, w = img.shape
+    resized, _, _ = resize_for_detection(
+        img, cfg.det_limit_side_len, cfg.det_limit_type, cfg.det_max_side_limit
+    )
+    heat = detect_heatmap(resized)
+    return cfg.postprocess(heat, src_w=w, src_h=h)
+
+
+def recognize_crop(crop: np.ndarray, cfg: ExtractConfig) -> tuple[str, float]:
+    """One crop → (text, confidence). Line-orient → bucketed resize →
+    logits → CTC decode (ocr.rs:755-897 + decode.rs:452-552)."""
+    if cfg.use_line_orientation and classify_line_orientation(crop) == 1:
+        crop = np.ascontiguousarray(crop[::-1, ::-1])
+    h, w = crop.shape
+    ratio = w / max(h, 1)
+    resized = resize_for_recognition(crop, cfg.rec_target_h, float(bucket_ratio(ratio)))
+    logits = recognize_logits(resized)
+    [(text, conf, _cols, _T)] = ctc_decode_batch(logits[None, :, :], VOCAB)
+    # score-threshold blanking preserves index parity
+    # (text_recognition_adapter.rs:61-102)
+    if conf < cfg.rec_score_threshold:
+        return "", conf
+    return text, conf
+
+
+def extract_page(img: np.ndarray, cfg: ExtractConfig | None = None) -> list[tuple[str, float]]:
+    """Full single-page OCR → [(text, conf)] in reading order, empty
+    texts dropped (structure.rs:2431-2433 empty-text drop)."""
+    cfg = cfg or ExtractConfig()
+    upright, _cls = preprocess_page(img, cfg)
+    boxes, _scores = detect_page(upright, cfg)
+    if len(boxes) == 0:
+        return []
+    order = sort_quad_boxes(boxes)
+    out: list[tuple[str, float]] = []
+    for i in order:
+        x1, y1, x2, y2 = (int(v) for v in boxes[i])
+        h, w = upright.shape
+        crop = upright[max(y1, 0) : min(y2, h), max(x1, 0) : min(x2, w)]
+        if crop.size == 0:
+            continue
+        text, conf = recognize_crop(crop, cfg)
+        if text:
+            out.append((text, conf))
+    return out
+
+
+def extract_document_spans(
+    spans: list[dict], cfg: ExtractConfig | None = None
+) -> list[dict]:
+    """Golden output for one document.
+
+    Input spans: [{kind, text, media_ref, offset}] (any order).
+    Output: [{kind, text, media_ref, order}] — pass-through text spans
+    interleaved by offset with recognized spans per media span in
+    detection reading order; order = final 0-based position
+    (FIXTURES.md §3).
+    """
+    cfg = cfg or ExtractConfig()
+    out: list[dict] = []
+    for span in sorted(spans, key=lambda s: s["offset"]):
+        if span["kind"] == "text":
+            out.append({"kind": "text", "text": span["text"], "media_ref": None})
+        else:
+            img = render_page(span["media_ref"])
+            for text, _conf in extract_page(img, cfg):
+                out.append({"kind": "media", "text": text, "media_ref": span["media_ref"]})
+    for i, s in enumerate(out):
+        s["order"] = i
+    return out
