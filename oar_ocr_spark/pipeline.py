@@ -1,0 +1,284 @@
+"""The Spark extraction DAG (SURVEY.md §7 target DAG).
+
+    documents(doc_id, spans)
+      │ repartition(P, doc_id)                      -- explicit N→4N scaling
+      ├─ text spans: explode(filter(kind='text'))   -- pure HOFs, no UDF
+      └─ media spans: explode(filter(kind='media'))
+           → [detect stage: mapInPandas]            -- render→orient→mask→
+             (doc_id, offset, media_ref,               resize→DB→sort→crop,
+              det_idx, crop, wh_ratio, bucket)         one Python boundary
+           → repartition(P, doc_id, offset, det_idx)-- spreads heavy docs
+           → sortWithinPartitions(bucket, wh_ratio) -- width-tight batches
+           → [recognize stage: mapInPandas]         -- stack per bucket →
+             (doc_id, offset, det_idx, text, conf)     logits → CTC decode
+      → union → groupBy(doc_id).agg(sort_array(collect_list(...)))
+      → transform with index → results(doc_id, spans)
+
+Design notes (scale rationale):
+- The reference's per-stage graph (preprocess → detect → crop) is fused
+  into ONE mapInPandas: pages never cross the JVM↔Python boundary more
+  than once, and only small crops enter the shuffle (the reference's
+  zero-copy Arc<RgbImage> sharing, ocr.rs:565, has the same goal).
+- The crop repartition is the distributed analog of the reference's
+  *global crop pooling* (ocr.rs:594-634): a heavy many-region document
+  fans its crops across all partitions (hash on (doc_id, offset,
+  det_idx) = built-in key salting), so recognition load is balanced
+  regardless of document skew; AQE handles residual imbalance.
+- sortWithinPartitions(bucket, wh_ratio) reproduces the reference's
+  wh_ratio-sorted recognition batches (ocr.rs:802-831) without any
+  global sort barrier.
+- Recognition width uses the *per-crop* bucket, not the Arrow batch
+  max (aspect_ratio_bucketing.rs approach), so decoded text is
+  independent of batch composition → span output is identical at any
+  parallelism (north_rule partition invariance).
+- `pooled=False` skips the crop shuffle and recognizes inside the
+  detect task — fewer shuffles, but no cross-page batching and no skew
+  spreading; bench.py compares both.
+- Final assembly is pure Catalyst (sort_array + transform): no window
+  state, one shuffle for the groupBy.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .local_ref import ExtractConfig, bucket_ratio, detect_page, preprocess_page
+from .models.synthetic import CHAR_BASE, VOCAB, classify_line_orientation
+from .operators.ctc import ctc_decode_batch
+from .operators.resize import resize_for_recognition
+from .schemas import CROPS_SCHEMA, REC_SCHEMA, RESULTS_SCHEMA
+
+__all__ = ["extract_spans", "detect_crops_df", "recognize_df", "assemble_results"]
+
+
+# --------------------------------------------------------------------------
+# stage bodies (plain python over numpy, called from mapInPandas iterators)
+# --------------------------------------------------------------------------
+
+def _detect_one_page(doc_id: str, offset: int, media_ref: str, cfg: ExtractConfig) -> list[tuple]:
+    """Render + preprocess + detect + reading-order sort + crop for one
+    media span. Returns CROPS_SCHEMA tuples with det_idx = reading rank."""
+    from .fixtures.render import render_page
+    from .operators.sorting import sort_quad_boxes
+
+    img = render_page(media_ref)
+    upright, _cls = preprocess_page(img, cfg)
+    boxes, _scores = detect_page(upright, cfg)
+    rows: list[tuple] = []
+    if len(boxes) == 0:
+        return rows
+    order = sort_quad_boxes(boxes)
+    h, w = upright.shape
+    for rank, i in enumerate(order):
+        x1, y1, x2, y2 = (int(v) for v in boxes[i])
+        crop = upright[max(y1, 0) : min(y2, h), max(x1, 0) : min(x2, w)]
+        if crop.size == 0:
+            continue
+        ch, cw = crop.shape
+        ratio = float(cw / max(ch, 1))
+        rows.append(
+            (
+                doc_id,
+                int(offset),
+                media_ref,
+                rank,
+                np.ascontiguousarray(crop).tobytes(),
+                ch,
+                cw,
+                np.float32(ratio),
+                bucket_ratio(ratio),
+            )
+        )
+    return rows
+
+
+def _recognize_logits_batch(stack: np.ndarray) -> np.ndarray:
+    """(B, H, W) stacked crops → (B, T=W, V) CTC probabilities.
+
+    Batched form of models.synthetic.recognize_logits — one vectorized
+    call per width-homogeneous group, mirroring the reference's single
+    ONNX forward per recognition batch (crnn.rs:136-278)."""
+    B, H, W = stack.shape
+    rows = stack[:, H // 2, :].astype(np.int32)  # (B, W)
+    idx = rows - CHAR_BASE
+    valid = (idx >= 1) & (idx < len(VOCAB))
+    idx = np.where(valid, idx, 0)
+    logits = np.zeros((B, W, len(VOCAB)), dtype=np.float32)
+    logits[:, :, 0] = np.float32(0.05)
+    b_ix = np.repeat(np.arange(B), W)
+    t_ix = np.tile(np.arange(W), B)
+    logits[b_ix, t_ix, idx.ravel()] = np.float32(0.95)
+    return logits
+
+
+def _recognize_chunk(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
+    """Recognize one Arrow batch of crops: line-orient, group by bucket,
+    stack, forward, CTC decode, score-threshold blanking."""
+    n = len(pdf)
+    texts: list[str] = [""] * n
+    confs = np.zeros(n, dtype=np.float32)
+    # decode crops once
+    crops: list[np.ndarray] = []
+    for _, r in pdf.iterrows():
+        crop = np.frombuffer(r["crop"], dtype=np.uint8).reshape(r["crop_h"], r["crop_w"])
+        if cfg.use_line_orientation and classify_line_orientation(crop) == 1:
+            crop = np.ascontiguousarray(crop[::-1, ::-1])
+        crops.append(crop)
+    buckets = pdf["bucket"].to_numpy()
+    for b in np.unique(buckets):
+        pos = np.flatnonzero(buckets == b)
+        resized = [
+            resize_for_recognition(crops[p], cfg.rec_target_h, float(b)) for p in pos
+        ]
+        stack = np.stack(resized)  # width-homogeneous by construction
+        logits = _recognize_logits_batch(stack)
+        for p, (text, conf, _cols, _T) in zip(pos, ctc_decode_batch(logits, VOCAB)):
+            # index-parity blanking (text_recognition_adapter.rs:61-102)
+            if conf < cfg.rec_score_threshold:
+                text = ""
+            texts[int(p)] = text
+            confs[int(p)] = conf
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"].to_numpy(),
+            "offset": pdf["offset"].to_numpy(),
+            "media_ref": pdf["media_ref"].to_numpy(),
+            "det_idx": pdf["det_idx"].to_numpy(),
+            "text": texts,
+            "confidence": confs,
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# DataFrame stages
+# --------------------------------------------------------------------------
+
+def detect_crops_df(docs: DataFrame, cfg: ExtractConfig) -> DataFrame:
+    """media spans → crops DataFrame (detect stage)."""
+    media = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                "spans",
+                # a media span without a ref cannot be resolved; dropping it
+                # here (instead of crashing the UDF) keeps one malformed row
+                # from failing a whole partition at corpus scale
+                lambda s: (s["kind"] == F.lit("media")) & s["media_ref"].isNotNull(),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.offset").alias("offset"), F.col("s.media_ref").alias("media_ref"))
+
+    def detect_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in CROPS_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for doc_id, offset, media_ref in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"]
+            ):
+                rows.extend(_detect_one_page(doc_id, offset, media_ref, cfg))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(detect_iter, schema=CROPS_SCHEMA)
+
+
+def recognize_df(crops: DataFrame, cfg: ExtractConfig) -> DataFrame:
+    """crops → recognized text per crop (recognize stage)."""
+
+    def rec_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield _recognize_chunk(pdf, cfg)
+
+    return crops.mapInPandas(rec_iter, schema=REC_SCHEMA)
+
+
+def assemble_results(
+    docs: DataFrame, text_spans: DataFrame, media_results: DataFrame
+) -> DataFrame:
+    """Union pass-through + recognized spans → final ordered spans array.
+
+    Pure Catalyst: sort_array over (offset, sub) then transform-with-
+    index assigns the final 0-based `order` (SURVEY.md §2.5
+    assign_order_indices analog)."""
+    unioned = text_spans.unionByName(media_results)
+    assembled = unioned.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("offset", "sub", "kind", "text", "media_ref"))
+            ),
+            lambda s, i: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                i.cast("int").alias("order"),
+            ),
+        ).alias("spans")
+    )
+    # docs whose spans produced nothing still appear, with an empty array
+    all_ids = docs.select("doc_id").distinct()
+    out = (
+        all_ids.join(assembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "spans", F.array().cast(RESULTS_SCHEMA["spans"].dataType)
+            ).alias("spans"),
+        )
+    )
+    return out
+
+
+def extract_spans(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: ExtractConfig | None = None,
+    num_partitions: int | None = None,
+    pooled: bool = True,
+) -> DataFrame:
+    """documents(doc_id, spans) → results(doc_id, spans) (RESULTS_SCHEMA).
+
+    pooled=True routes crops through a rebalancing shuffle +
+    width-sorted recognition (the scale path); pooled=False fuses
+    recognition into the detect task (no crop shuffle)."""
+    cfg = cfg or ExtractConfig()
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    docs = docs.repartition(P, "doc_id")
+
+    text_spans = docs.select(
+        "doc_id",
+        F.explode(F.filter("spans", lambda s: s["kind"] == F.lit("text"))).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.lit(-1).alias("sub"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+    crops = detect_crops_df(docs, cfg)
+    if pooled:
+        crops = crops.repartition(P, "doc_id", "offset", "det_idx").sortWithinPartitions(
+            "bucket", "wh_ratio"
+        )
+    rec = recognize_df(crops, cfg)
+
+    media_results = (
+        rec.filter(F.length("text") > 0)  # empty-text drop (structure.rs:2431-2433)
+        .select(
+            "doc_id",
+            "offset",
+            F.col("det_idx").alias("sub"),
+            F.lit("media").alias("kind"),
+            "text",
+            "media_ref",
+        )
+    )
+    return assemble_results(docs, text_spans, media_results)

@@ -1,0 +1,86 @@
+"""End-to-end golden tests: the Spark pipeline's span output must equal
+the single-process reference's span sequence EXACTLY on
+(kind, text, media_ref, order) per document, and must be identical
+across parallelism levels / pooling modes (BASELINE.json invariant)."""
+
+import pytest
+
+from oar_ocr_spark.fixtures.corpus import generate_documents
+from oar_ocr_spark.local_ref import ExtractConfig, extract_document_spans
+from oar_ocr_spark.pipeline import extract_spans
+from oar_ocr_spark.schemas import DOCUMENTS_SCHEMA
+
+
+def docs_df(spark, docs):
+    rows = [(d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in docs]
+    return spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+
+
+def collect_spans(df):
+    out = {}
+    for row in df.collect():
+        out[row["doc_id"]] = [
+            (s["kind"], s["text"], s["media_ref"], s["order"]) for s in row["spans"]
+        ]
+    return out
+
+
+def golden(docs):
+    cfg = ExtractConfig()
+    out = {}
+    for d in docs:
+        out[d["doc_id"]] = [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in extract_document_spans(d["spans"], cfg)
+        ]
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    # seed=11 chosen so the corpus includes at least one heavy doc
+    docs = generate_documents(120, seed=11)
+    assert max(len(d["spans"]) for d in docs) == 200, "want a heavy doc in the corpus"
+    return docs
+
+
+def test_spark_matches_golden_exactly(spark, corpus):
+    df = docs_df(spark, corpus)
+    result = collect_spans(extract_spans(spark, df, num_partitions=4))
+    expected = golden(corpus)
+    assert set(result) == set(expected)
+    mismatches = [d for d in expected if result[d] != expected[d]]
+    assert mismatches == [], f"span mismatch for {mismatches[:3]}: " + str(
+        [(result[d][:4], expected[d][:4]) for d in mismatches[:1]]
+    )
+
+
+def test_partition_invariance(spark, corpus):
+    docs = corpus[:40]
+    df = docs_df(spark, docs)
+    a = collect_spans(extract_spans(spark, df, num_partitions=2))
+    b = collect_spans(extract_spans(spark, df, num_partitions=13))
+    assert a == b
+
+
+def test_pooled_and_fused_paths_agree(spark, corpus):
+    docs = corpus[:30]
+    df = docs_df(spark, docs)
+    a = collect_spans(extract_spans(spark, df, pooled=True))
+    b = collect_spans(extract_spans(spark, df, pooled=False))
+    assert a == b
+
+
+def test_doc_with_no_output_spans_kept(spark):
+    docs = [{"doc_id": "empty1", "spans": []}]
+    df = docs_df(spark, docs)
+    result = collect_spans(extract_spans(spark, df))
+    assert result == {"empty1": []}
+
+
+def test_output_schema(spark, corpus):
+    df = docs_df(spark, corpus[:5])
+    out = extract_spans(spark, df)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "spans"]
+    span_fields = out.schema["spans"].dataType.elementType.fieldNames()
+    assert span_fields == ["kind", "text", "media_ref", "order"]
