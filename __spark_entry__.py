@@ -1,38 +1,605 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: full extraction DAG over interleaved docs
+                 derived from sf0.001 documents.
+queries()      — one entry per implemented operator (SURVEY.md §2 +
+                 the training-data ops); each takes (spark, sf_dir).
+oracle_sql()   — DuckDB-equivalent SQL per query (omitted only for ops
+                 DuckDB cannot express: the OCR pipeline itself,
+                 simhash bit-packing, LSH bucketing, media decode).
+
+The interleaved documents table (BASELINE.json input_hint shape) is
+derived deterministically from the driver's plain `documents` table by
+a transform expressible in BOTH dialects (chunk text into 8-word spans,
+insert a media span after every 3rd chunk), so relational slices of the
+pipeline are oracle-checkable end-to-end.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# interleaved-span derivation (Spark dialect; DuckDB twin in oracle_sql)
+# ---------------------------------------------------------------------------
+
+SPAN_DERIVATION_SPARK = """
+with words as (
+  select cast(doc_id as string) as doc_id, split(text, ' ') as w from documents
+),
+chunks as (
+  select doc_id, i, array_join(slice(w, i*8+1, 8), ' ') as chunk
+  from words lateral view explode(sequence(0, int(ceil(size(w)/8.0))-1)) t as i
+),
+text_spans as (
+  select doc_id, cast(i + int(floor(i/3)) as int) as span_offset, 'text' as kind,
+         chunk as span_text, cast(null as string) as media_ref
+  from chunks
+),
+media_spans as (
+  select doc_id, cast(i + int(floor(i/3)) + 1 as int) as span_offset, 'media' as kind,
+         cast(null as string) as span_text,
+         concat(doc_id, '_m', cast(i as string)) as media_ref
+  from chunks where (i+1) % 3 = 0
+)
+select * from text_spans union all select * from media_spans
+"""
+
+SPAN_DERIVATION_DUCKDB = """
+with words as (
+  select cast(doc_id as varchar) as doc_id, string_split(text, ' ') as w from documents
+),
+chunks as (
+  select doc_id, i, array_to_string(w[i*8+1 : i*8+8], ' ') as chunk
+  from words, unnest(range(cast(ceil(len(w)/8.0) as bigint))) as t(i)
+),
+text_spans as (
+  select doc_id, cast(i + i//3 as int) as span_offset, 'text' as kind,
+         chunk as span_text, cast(null as varchar) as media_ref
+  from chunks
+),
+media_spans as (
+  select doc_id, cast(i + i//3 + 1 as int) as span_offset, 'media' as kind,
+         cast(null as varchar) as span_text,
+         doc_id || '_m' || i as media_ref
+  from chunks where (i+1) % 3 = 0
+)
+select * from text_spans union all select * from media_spans
+"""
+
+
+def derived_spans_df(spark: SparkSession) -> DataFrame:
+    """Exploded derived spans (requires registered views)."""
+    return spark.sql(SPAN_DERIVATION_SPARK)
+
+
+def interleaved_docs_df(spark: SparkSession, text_only: bool = False) -> DataFrame:
+    """Assemble the input_hint-shaped documents table from derived spans."""
+    spans = derived_spans_df(spark)
+    if text_only:
+        spans = spans.where(F.col("kind") == "text").withColumn(
+            "span_offset",
+            (
+                F.row_number().over(Window.partitionBy("doc_id").orderBy("span_offset")) - 1
+            ).cast("int"),
+        )
+    return spans.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("span_offset", "kind", "span_text", "media_ref"))
+            ),
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                s["span_text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["span_offset"].alias("offset"),
+            ),
+        ).alias("spans")
+    )
+
+
+def _exploded_results(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.order").alias("span_order"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("span_text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver entry points
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction DAG (explode → detect UDF → crop pool →
+    recognize UDF → reassemble) on interleaved docs derived from
+    sf0.001 documents; returns exploded spans."""
+    from oar_ocr_spark.pipeline import extract_spans
+
+    _register_views(spark, DEFAULT_SF_DIR)
+    docs = interleaved_docs_df(spark).where(
+        (F.col("doc_id").cast("bigint") % 5) == 0
+    )
+    return _exploded_results(extract_spans(spark, docs))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from oar_ocr_spark.functions import dedup as D
+    from oar_ocr_spark.functions import similarity as S
+    from oar_ocr_spark.functions import text as X
+    from oar_ocr_spark.functions.multimodal import image_features_df
+    from oar_ocr_spark.pipeline import extract_spans
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def with_views(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _register_views(spark, sf_dir)
+            return fn(spark)
+
+        return wrapped
+
+    def docs_tbl(spark):
+        return spark.table("documents")
+
+    def q_span_derivation(spark):
+        return derived_spans_df(spark)
+
+    def q_span_kind_stats(spark):
+        return (
+            derived_spans_df(spark)
+            .groupBy("doc_id")
+            .agg(
+                F.sum(F.when(F.col("kind") == "text", 1).otherwise(0))
+                .cast("long")
+                .alias("n_text"),
+                F.sum(F.when(F.col("kind") == "media", 1).otherwise(0))
+                .cast("long")
+                .alias("n_media"),
+                F.max("span_offset").cast("int").alias("max_offset"),
+            )
+        )
+
+    def q_reading_order(spark):
+        # reading-order key sort as a SQL slice (SURVEY.md §2.5):
+        # y-bucket (same-line tolerance 10px) then x then unique id
+        return spark.sql(
+            """
+            with boxes as (
+              select l_orderkey*10 + l_linenumber as box_id,
+                     cast(l_partkey % 1000 as double) as x,
+                     cast(l_suppkey % 500 as double) as y
+              from lineitem
+            )
+            select box_id, x, y,
+                   cast(row_number() over (
+                     order by cast(floor(y/10) as int), x, box_id
+                   ) as int) as reading_rank
+            from boxes
+            """
+        )
+
+    def q_overlap_join(spark):
+        # spatial theta-join on IoU/IoA (SURVEY.md §2.4) in pure arithmetic
+        return spark.sql(
+            """
+            with a as (
+              select p_partkey as a_id,
+                     cast(p_partkey % 100 as double) as x1,
+                     cast((p_size * 3) % 100 as double) as y1,
+                     cast(p_partkey % 100 + 10 + p_size % 20 as double) as x2,
+                     cast((p_size * 3) % 100 + 12 as double) as y2
+              from part
+            ),
+            b as (
+              select s_suppkey as b_id,
+                     cast(s_suppkey % 100 as double) as x1,
+                     cast((s_suppkey * 7) % 100 as double) as y1,
+                     cast(s_suppkey % 100 + 25 as double) as x2,
+                     cast((s_suppkey * 7) % 100 + 15 as double) as y2
+              from supplier
+            ),
+            j as (
+              select a_id, b_id,
+                     greatest(0.0, least(a.x2,b.x2) - greatest(a.x1,b.x1)) *
+                     greatest(0.0, least(a.y2,b.y2) - greatest(a.y1,b.y1)) as inter,
+                     (a.x2-a.x1)*(a.y2-a.y1) as area_a,
+                     (b.x2-b.x1)*(b.y2-b.y1) as area_b
+              from a join b
+                on a.x1 < b.x2 and b.x1 < a.x2 and a.y1 < b.y2 and b.y1 < a.y2
+            )
+            select a_id, b_id,
+                   round(inter / (area_a + area_b - inter), 4) as iou,
+                   round(inter / area_a, 4) as ioa
+            from j where inter / area_a >= 0.3
+            """
+        )
+
+    def q_tpch_q1(spark):
+        return spark.sql(
+            """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+                   round(avg(l_quantity), 4) as avg_qty,
+                   count(*) as count_order
+            from lineitem
+            where l_shipdate <= timestamp '1998-09-02 00:00:00'
+            group by l_returnflag, l_linestatus
+            """
+        )
+
+    def q_tpch_q3(spark):
+        return spark.sql(
+            """
+            select o.o_orderkey as orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as revenue,
+                   o.o_orderdate as orderdate
+            from customer c
+            join orders o on c.c_custkey = o.o_custkey
+            join lineitem l on l.l_orderkey = o.o_orderkey
+            where c.c_mktsegment = 'BUILDING'
+            group by o.o_orderkey, o.o_orderdate
+            order by revenue desc, orderkey
+            limit 10
+            """
+        )
+
+    def q_events_hourly(spark):
+        return spark.sql(
+            """
+            select event_type, date_trunc('hour', ts) as hour_ts,
+                   count(*) as n_events, round(sum(value), 2) as sum_value
+            from events
+            group by event_type, date_trunc('hour', ts)
+            """
+        )
+
+    def q_dedup_exact(spark):
+        return D.exact_dedup(docs_tbl(spark))
+
+    def q_token_stats(spark):
+        return X.token_stats(docs_tbl(spark)).withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+
+    def q_quality(spark):
+        return X.quality_score(docs_tbl(spark)).withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+
+    def q_lang_id(spark):
+        return X.lang_id(docs_tbl(spark)).withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+
+    def q_fingerprint(spark):
+        return X.fingerprint(docs_tbl(spark)).withColumn(
+            "doc_id", F.col("doc_id").cast("string")
+        )
+
+    def q_minhash_bands(spark):
+        return D.minhash_band_hashes(docs_tbl(spark), n_hashes=8, n_bands=2, k=3)
+
+    def q_ngram_jaccard(spark):
+        return D.ngram_jaccard_pairs(docs_tbl(spark), k=3, threshold=0.2)
+
+    def q_knn(spark):
+        emb = spark.table("embeddings")
+        q = emb.where(F.col("vec_id") % 50 == 0)
+        return S.knn_bruteforce(emb, q, k=5)
+
+    def q_simhash(spark):
+        return D.simhash_df(docs_tbl(spark))
+
+    def q_lsh_ann(spark):
+        emb = spark.table("embeddings")
+        q = emb.where(F.col("vec_id") % 50 == 0)
+        return S.lsh_ann(emb, q, dim=64, k=5, n_bits=6)
+
+    def q_media_decode(spark):
+        refs = (
+            derived_spans_df(spark)
+            .where(F.col("kind") == "media")
+            .select("media_ref")
+            .limit(50)
+        )
+        return image_features_df(refs)
+
+    def q_extraction_text_only(spark):
+        docs = interleaved_docs_df(spark, text_only=True)
+        return _exploded_results(extract_spans(spark, docs))
+
+    def q_extraction_e2e(spark):
+        docs = interleaved_docs_df(spark).where(
+            (F.col("doc_id").cast("bigint") % 5) == 0
+        )
+        return _exploded_results(extract_spans(spark, docs))
+
+    def q_lineage_stats(spark):
+        return (
+            derived_spans_df(spark)
+            .withColumn("bucket", (F.col("doc_id").cast("bigint") % 8).cast("int"))
+            .groupBy("bucket", "kind")
+            .agg(
+                F.count("*").alias("n_spans"),
+                F.countDistinct("doc_id").alias("n_docs"),
+            )
+        )
+
+    return {
+        "span_derivation": with_views(q_span_derivation),
+        "span_kind_stats": with_views(q_span_kind_stats),
+        "reading_order_keys": with_views(q_reading_order),
+        "overlap_join": with_views(q_overlap_join),
+        "tpch_q1_pricing": with_views(q_tpch_q1),
+        "tpch_q3_revenue_topk": with_views(q_tpch_q3),
+        "events_hourly": with_views(q_events_hourly),
+        "dedup_exact": with_views(q_dedup_exact),
+        "token_stats": with_views(q_token_stats),
+        "quality_score": with_views(q_quality),
+        "lang_id": with_views(q_lang_id),
+        "doc_fingerprint": with_views(q_fingerprint),
+        "minhash_bands": with_views(q_minhash_bands),
+        "ngram_jaccard": with_views(q_ngram_jaccard),
+        "knn_bruteforce": with_views(q_knn),
+        "simhash": with_views(q_simhash),
+        "lsh_ann": with_views(q_lsh_ann),
+        "media_decode_stats": with_views(q_media_decode),
+        "extraction_text_only": with_views(q_extraction_text_only),
+        "extraction_e2e": with_views(q_extraction_e2e),
+        "lineage_stats": with_views(q_lineage_stats),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    span_cte = SPAN_DERIVATION_DUCKDB.strip().rstrip()
+    shingles_cte = """
+with words as (
+  select cast(doc_id as varchar) as doc_id, string_split(text, ' ') as w from documents
+),
+shingles as (
+  select distinct doc_id, array_to_string(w[i+1 : i+3], ' ') as sh
+  from words, unnest(range(cast(greatest(len(w)-2, 1) as bigint))) as t(i)
+)"""
+    return {
+        "span_derivation": span_cte,
+        "span_kind_stats": f"""
+with spans as ({span_cte})
+select doc_id,
+       sum(case when kind='text' then 1 else 0 end)::bigint as n_text,
+       sum(case when kind='media' then 1 else 0 end)::bigint as n_media,
+       cast(max(span_offset) as int) as max_offset
+from spans group by doc_id
+""",
+        "reading_order_keys": """
+with boxes as (
+  select l_orderkey*10 + l_linenumber as box_id,
+         cast(l_partkey % 1000 as double) as x,
+         cast(l_suppkey % 500 as double) as y
+  from lineitem
+)
+select box_id, x, y,
+       cast(row_number() over (
+         order by cast(floor(y/10) as int), x, box_id
+       ) as int) as reading_rank
+from boxes
+""",
+        "overlap_join": """
+with a as (
+  select p_partkey as a_id,
+         cast(p_partkey % 100 as double) as x1,
+         cast((p_size * 3) % 100 as double) as y1,
+         cast(p_partkey % 100 + 10 + p_size % 20 as double) as x2,
+         cast((p_size * 3) % 100 + 12 as double) as y2
+  from part
+),
+b as (
+  select s_suppkey as b_id,
+         cast(s_suppkey % 100 as double) as x1,
+         cast((s_suppkey * 7) % 100 as double) as y1,
+         cast(s_suppkey % 100 + 25 as double) as x2,
+         cast((s_suppkey * 7) % 100 + 15 as double) as y2
+  from supplier
+),
+j as (
+  select a_id, b_id,
+         greatest(0.0, least(a.x2,b.x2) - greatest(a.x1,b.x1)) *
+         greatest(0.0, least(a.y2,b.y2) - greatest(a.y1,b.y1)) as inter,
+         (a.x2-a.x1)*(a.y2-a.y1) as area_a,
+         (b.x2-b.x1)*(b.y2-b.y1) as area_b
+  from a join b
+    on a.x1 < b.x2 and b.x1 < a.x2 and a.y1 < b.y2 and b.y1 < a.y2
+)
+select a_id, b_id,
+       round(inter / (area_a + area_b - inter), 4) as iou,
+       round(inter / area_a, 4) as ioa
+from j where inter / area_a >= 0.3
+""",
+        "tpch_q1_pricing": """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) as sum_qty,
+       round(sum(l_extendedprice), 2) as sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+       round(avg(l_quantity), 4) as avg_qty,
+       count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-02 00:00:00'
+group by l_returnflag, l_linestatus
+""",
+        "tpch_q3_revenue_topk": """
+select o.o_orderkey as orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) as revenue,
+       o.o_orderdate as orderdate
+from customer c
+join orders o on c.c_custkey = o.o_custkey
+join lineitem l on l.l_orderkey = o.o_orderkey
+where c.c_mktsegment = 'BUILDING'
+group by o.o_orderkey, o.o_orderdate
+order by revenue desc, orderkey
+limit 10
+""",
+        "events_hourly": """
+select event_type, date_trunc('hour', ts) as hour_ts,
+       count(*) as n_events, round(sum(value), 2) as sum_value
+from events
+group by event_type, date_trunc('hour', ts)
+""",
+        "dedup_exact": """
+select md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as fp,
+       min(cast(doc_id as varchar)) as keep_doc_id,
+       count(*) as n_dups
+from documents group by 1
+""",
+        "token_stats": """
+select cast(doc_id as varchar) as doc_id,
+       cast(len(string_split(text, ' ')) as int) as n_tokens,
+       cast(length(text) as int) as n_chars,
+       round((length(text) - len(string_split(text,' ')) + 1) /
+             cast(len(string_split(text,' ')) as double), 4) as avg_token_len
+from documents
+""",
+        "quality_score": """
+with t as (
+  select cast(doc_id as varchar) as doc_id,
+         string_split(text, ' ') as toks,
+         text
+  from documents
+),
+m as (
+  select doc_id,
+         cast(len(toks) as int) as n_tokens,
+         len(list_filter(toks, x -> x in ('the','a','of','and','in','to','is'))) as n_stop,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) as digit_chars,
+         length(text) as n_chars
+  from t
+)
+select doc_id, n_tokens,
+       round(n_stop / cast(n_tokens as double), 4) as stop_ratio,
+       round(digit_chars / cast(greatest(n_chars, 1) as double), 4) as digit_ratio,
+       round(0.4 * least(n_stop / cast(n_tokens as double) / 0.1, 1.0)
+           + 0.3 * least(n_tokens / 100.0, 1.0)
+           + 0.3 * (1 - digit_chars / cast(greatest(n_chars, 1) as double)), 4) as quality
+from m
+""",
+        "lang_id": """
+with t as (
+  select cast(doc_id as varchar) as doc_id, string_split(text, ' ') as toks
+  from documents
+),
+h as (
+  select doc_id,
+         cast(len(list_filter(toks, x -> x in ('der','die','das','und','daten','abfrage'))) as int) as hits_de,
+         cast(len(list_filter(toks, x -> x in ('the','a','of','and','query','fast'))) as int) as hits_en,
+         cast(len(list_filter(toks, x -> x in ('el','la','de','y','datos','consulta'))) as int) as hits_es,
+         cast(len(list_filter(toks, x -> x in ('le','la','de','et','données','requête'))) as int) as hits_fr,
+         cast(len(list_filter(toks, x -> x in ('的','是','在','和','数据','查询'))) as int) as hits_zh
+  from t
+)
+select doc_id,
+       case when hits_de = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) then 'de'
+            when hits_en = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) then 'en'
+            when hits_es = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) then 'es'
+            when hits_fr = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) then 'fr'
+            else 'zh' end as lang_guess,
+       greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) as cue_hits
+from h
+""",
+        "doc_fingerprint": """
+select cast(doc_id as varchar) as doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as fingerprint
+from documents
+""",
+        "minhash_bands": f"""
+{shingles_cte},
+sig as (
+  select doc_id, h.seed, min(md5(cast(h.seed as varchar) || '#' || sh)) as mh
+  from shingles, unnest(range(8)) as h(seed)
+  group by doc_id, h.seed
+)
+select doc_id, cast(seed//4 as int) as band_id,
+       md5(string_agg(mh, '|' order by seed)) as band_hash
+from sig group by doc_id, seed//4
+""",
+        "ngram_jaccard": f"""
+{shingles_cte},
+sizes as (select doc_id, count(*) as n_sh from shingles group by doc_id),
+inter as (
+  select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
+  from shingles a join shingles b on a.sh = b.sh and a.doc_id < b.doc_id
+  group by a.doc_id, b.doc_id
+)
+select doc_a, doc_b,
+       round(n_inter / cast(sa.n_sh + sb.n_sh - n_inter as double), 4) as jaccard
+from inter
+join sizes sa on sa.doc_id = doc_a
+join sizes sb on sb.doc_id = doc_b
+where n_inter / cast(sa.n_sh + sb.n_sh - n_inter as double) >= 0.2
+""",
+        "knn_bruteforce": """
+with q as (select vec_id, embedding from embeddings where vec_id % 50 = 0),
+pairs as (
+  select q.vec_id as query_id, e.vec_id as neighbor_id,
+         list_sum(list_transform(list_zip(q.embedding, e.embedding),
+                  x -> cast(x[1] as double) * cast(x[2] as double))) /
+         (sqrt(list_sum(list_transform(q.embedding, v -> cast(v as double)*cast(v as double)))) *
+          sqrt(list_sum(list_transform(e.embedding, v -> cast(v as double)*cast(v as double))))) as cos
+  from q, embeddings e where e.vec_id != q.vec_id
+),
+ranked as (
+  select query_id, neighbor_id, round(cos, 4) as cosine,
+         row_number() over (partition by query_id order by round(cos, 6) desc, neighbor_id) as rank
+  from pairs
+)
+select query_id, neighbor_id, cosine, cast(rank as int) as rank
+from ranked where rank <= 5
+""",
+        "extraction_text_only": f"""
+with spans as ({span_cte})
+select doc_id,
+       cast(row_number() over (partition by doc_id order by span_offset) - 1 as int) as span_order,
+       kind, span_text, media_ref
+from spans where kind = 'text'
+""",
+        "lineage_stats": f"""
+with spans as ({span_cte})
+select cast(cast(doc_id as bigint) % 8 as int) as bucket, kind,
+       count(*) as n_spans, count(distinct doc_id) as n_docs
+from spans group by 1, 2
+""",
+        # no oracle (rows-only driver check): simhash (bit packing),
+        # lsh_ann (hyperplane model), media_decode_stats (codec),
+        # extraction_e2e (the OCR pipeline itself — covered by the
+        # golden pytest gate instead)
+    }
