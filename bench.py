@@ -48,6 +48,18 @@ def make_spark(cores: int):
     )
 
 
+def _warm_workers(spark, cores: int) -> None:
+    """Fork one python worker per slot and pre-import the engine so the
+    measured runs see steady-state workers."""
+
+    def warm_iter(batches):
+        import oar_ocr_spark.pipeline  # noqa: F401  (pulls numpy/pandas/operators)
+
+        yield from batches
+
+    spark.range(0, cores * 100, 1, cores).mapInPandas(warm_iter, "id long").count()
+
+
 def run_extraction(spark, sf_dir: str) -> tuple[float, int, int]:
     """Full extraction over the derived interleaved corpus.
     Returns (seconds, n_docs, n_spans_out)."""
@@ -73,12 +85,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm-up (excluded, mirrors reference benchmarking guidance
-    # docs/FAQ.md:30): spins up python workers + JIT
-    E._register_views(spark, SF_DIR)
-    warm = E.interleaved_docs_df(spark).limit(24)
+    # docs/FAQ.md:30): fork + import-warm EVERY python worker slot —
+    # a limit() warm-up coalesces to one partition and leaves the other
+    # slots to pay their cold start inside the measured run
     from oar_ocr_spark.pipeline import extract_spans
 
-    extract_spans(spark, warm).count()
+    _warm_workers(spark, CPUS)
+    E._register_views(spark, SF_DIR)
+    extract_spans(spark, E.interleaved_docs_df(spark).limit(24)).count()
 
     queries: dict[str, float] = {}
 
@@ -123,6 +137,7 @@ def main() -> None:
         small = max(CPUS // 4, 1)
         spark2 = make_spark(small)
         spark2.sparkContext.setLogLevel("ERROR")
+        _warm_workers(spark2, small)
         E._register_views(spark2, SF_DIR)
         extract_spans(spark2, E.interleaved_docs_df(spark2).limit(24)).count()  # warm-up
         t_small, n_docs2, _ = run_extraction(spark2, SF_DIR)

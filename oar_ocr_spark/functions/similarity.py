@@ -83,27 +83,43 @@ def lsh_bucket_df(
     dim: int,
     n_bits: int = 8,
     seed: int = 13,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign each vector a sign-bit LSH bucket (int). Vectorized pandas
-    UDF: one matmul per Arrow batch against the broadcast hyperplanes."""
-    planes = _hyperplanes(dim, n_bits, seed)
+    """Assign each vector its sign-bit LSH bucket in each of `n_tables`
+    hash tables (multi-table LSH: candidate recall grows with L while
+    each join stays selective). Vectorized pandas UDF: one matmul per
+    Arrow batch against the broadcast hyperplanes.
+    Output: (vec_id, table_id, bucket) — one row per table."""
+    planes = np.stack(
+        [_hyperplanes(dim, n_bits, seed + 1000 * t) for t in range(n_tables)]
+    )  # (L, n_bits, dim)
     schema = T.StructType(
         [
             T.StructField("vec_id", T.LongType()),
+            T.StructField("table_id", T.IntegerType()),
             T.StructField("bucket", T.IntegerType()),
         ]
     )
+    weights = 1 << np.arange(n_bits)
 
     def it(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (B, dim)
-            bits = (M @ planes.T) > 0  # (B, n_bits)
-            bucket = (bits * (1 << np.arange(n_bits))).sum(axis=1).astype(np.int32)
-            yield pd.DataFrame({"vec_id": pdf[id_col].to_numpy(), "bucket": bucket})
+            ids = pdf[id_col].to_numpy()
+            frames = []
+            for t in range(n_tables):
+                bits = (M @ planes[t].T) > 0  # (B, n_bits)
+                bucket = (bits * weights).sum(axis=1).astype(np.int32)
+                frames.append(
+                    pd.DataFrame(
+                        {"vec_id": ids, "table_id": np.int32(t), "bucket": bucket}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
 
     return df.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(it, schema=schema)
 
@@ -115,27 +131,31 @@ def lsh_ann(
     k: int = 5,
     n_bits: int = 6,
     seed: int = 13,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates = same LSH bucket, ranked by exact
-    cosine. Output schema matches knn_bruteforce (recall measured in
-    tests against it)."""
+    """Approximate top-k: candidates = same bucket in ANY of n_tables
+    LSH tables (union via distinct on the (table_id, bucket) equi-join),
+    ranked by exact cosine. Output schema matches knn_bruteforce
+    (recall measured in tests against it)."""
     from pyspark.sql import Window
 
-    eb = lsh_bucket_df(embeddings, dim, n_bits, seed, id_col, vec_col).withColumnRenamed(
-        "vec_id", "neighbor_id"
+    eb = lsh_bucket_df(
+        embeddings, dim, n_bits, seed, n_tables, id_col, vec_col
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    qb = lsh_bucket_df(
+        queries, dim, n_bits, seed, n_tables, id_col, vec_col
+    ).withColumnRenamed("vec_id", "query_id")
+    cand = (
+        eb.join(F.broadcast(qb), ["table_id", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    qb = lsh_bucket_df(queries, dim, n_bits, seed, id_col, vec_col).withColumnRenamed(
-        "vec_id", "query_id"
-    )
-    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev")).join(
-        eb, "neighbor_id"
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).join(
-        qb, "query_id"
-    )
-    pairs = e.join(F.broadcast(q), "bucket").where(F.col("neighbor_id") != F.col("query_id"))
+    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    pairs = cand.join(e, "neighbor_id").join(F.broadcast(q), "query_id")
     sim = pairs.select(
         "query_id", "neighbor_id", cosine(F.col("qv"), F.col("ev")).alias("cos")
     )

@@ -161,18 +161,19 @@ def _recognize_chunk(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
 # --------------------------------------------------------------------------
 
 def detect_crops_df(docs: DataFrame, cfg: ExtractConfig) -> DataFrame:
-    """media spans → crops DataFrame (detect stage)."""
-    media = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                "spans",
-                # a media span without a ref cannot be resolved; dropping it
-                # here (instead of crashing the UDF) keeps one malformed row
-                # from failing a whole partition at corpus scale
-                lambda s: (s["kind"] == F.lit("media")) & s["media_ref"].isNotNull(),
-            )
-        ).alias("s"),
+    """media spans → crops DataFrame (detect stage), from nested docs."""
+    flat = docs.select("doc_id", F.explode_outer("spans").alias("s"))
+    return detect_crops_from_flat(flat, cfg)
+
+
+def detect_crops_from_flat(spans_flat: DataFrame, cfg: ExtractConfig) -> DataFrame:
+    """(doc_id, s:struct) exploded spans → crops DataFrame.
+
+    A media span without a ref cannot be resolved; dropping it here
+    (instead of crashing the UDF) keeps one malformed row from failing
+    a whole partition at corpus scale."""
+    media = spans_flat.where(
+        (F.col("s.kind") == "media") & F.col("s.media_ref").isNotNull()
     ).select("doc_id", F.col("s.offset").alias("offset"), F.col("s.media_ref").alias("media_ref"))
 
     def detect_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -200,13 +201,15 @@ def recognize_df(crops: DataFrame, cfg: ExtractConfig) -> DataFrame:
 
 
 def assemble_results(
-    docs: DataFrame, text_spans: DataFrame, media_results: DataFrame
+    all_ids: DataFrame, text_spans: DataFrame, media_results: DataFrame
 ) -> DataFrame:
     """Union pass-through + recognized spans → final ordered spans array.
 
     Pure Catalyst: sort_array over (offset, sub) then transform-with-
     index assigns the final 0-based `order` (SURVEY.md §2.5
-    assign_order_indices analog)."""
+    assign_order_indices analog). `all_ids` is a (doc_id) frame naming
+    every input document — docs whose spans produced nothing still
+    appear, with an empty array."""
     unioned = text_spans.unionByName(media_results)
     assembled = unioned.groupBy("doc_id").agg(
         F.transform(
@@ -221,8 +224,7 @@ def assemble_results(
             ),
         ).alias("spans")
     )
-    # docs whose spans produced nothing still appear, with an empty array
-    all_ids = docs.select("doc_id").distinct()
+    all_ids = all_ids.select("doc_id").distinct()
     out = (
         all_ids.join(assembled, "doc_id", "left")
         .select(
@@ -241,20 +243,34 @@ def extract_spans(
     cfg: ExtractConfig | None = None,
     num_partitions: int | None = None,
     pooled: bool = True,
+    persist_input: bool = True,
 ) -> DataFrame:
     """documents(doc_id, spans) → results(doc_id, spans) (RESULTS_SCHEMA).
 
     pooled=True routes crops through a rebalancing shuffle +
     width-sorted recognition (the scale path); pooled=False fuses
-    recognition into the detect task (no crop shuffle)."""
+    recognition into the detect task (no crop shuffle).
+
+    The DAG fans the input into three branches (pass-through text,
+    media detection, doc-id preservation). To scan the source exactly
+    once, spans are exploded up front (explode_outer keeps empty docs)
+    and the flat form is persisted (MEMORY_AND_DISK, serialized) —
+    without this, a derived/expensive input lineage re-executes once
+    per branch. Callers that pre-materialize the exploded table (e.g.
+    an Iceberg staging table at corpus scale) can pass
+    persist_input=False."""
+    from pyspark import StorageLevel
+
     cfg = cfg or ExtractConfig()
     P = num_partitions or spark.sparkContext.defaultParallelism
-    docs = docs.repartition(P, "doc_id")
 
-    text_spans = docs.select(
-        "doc_id",
-        F.explode(F.filter("spans", lambda s: s["kind"] == F.lit("text"))).alias("s"),
-    ).select(
+    spans_flat = docs.repartition(P, "doc_id").select(
+        "doc_id", F.explode_outer("spans").alias("s")
+    )
+    if persist_input:
+        spans_flat = spans_flat.persist(StorageLevel.MEMORY_AND_DISK)
+
+    text_spans = spans_flat.where(F.col("s.kind") == "text").select(
         "doc_id",
         F.col("s.offset").alias("offset"),
         F.lit(-1).alias("sub"),
@@ -263,7 +279,7 @@ def extract_spans(
         F.col("s.media_ref").alias("media_ref"),
     )
 
-    crops = detect_crops_df(docs, cfg)
+    crops = detect_crops_from_flat(spans_flat, cfg)
     if pooled:
         crops = crops.repartition(P, "doc_id", "offset", "det_idx").sortWithinPartitions(
             "bucket", "wh_ratio"
@@ -281,4 +297,4 @@ def extract_spans(
             "media_ref",
         )
     )
-    return assemble_results(docs, text_spans, media_results)
+    return assemble_results(spans_flat, text_spans, media_results)
