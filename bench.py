@@ -60,15 +60,36 @@ def _warm_workers(spark, cores: int) -> None:
     spark.range(0, cores * 100, 1, cores).mapInPandas(warm_iter, "id long").count()
 
 
-def run_extraction(spark, sf_dir: str) -> tuple[float, int, int]:
-    """Full extraction over the derived interleaved corpus.
-    Returns (seconds, n_docs, n_spans_out)."""
+def _bench_docs(spark, sf_dir: str, replicate: int = 1):
+    """The derived interleaved corpus, optionally replicated with
+    distinct doc_ids (scaling runs need a compute-dominated input —
+    at sf0.1 the raw corpus is ~50 core-seconds of UDF work, which a
+    32-core session finishes inside its fixed scheduling overhead)."""
     import __spark_entry__ as E
     from pyspark.sql import functions as F
-    from oar_ocr_spark.pipeline import extract_spans
 
     E._register_views(spark, sf_dir)
     docs = E.interleaved_docs_df(spark)
+    if replicate > 1:
+        docs = docs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(replicate - 1)),
+                    lambda i: F.concat(F.col("doc_id"), F.lit("_r"), i.cast("string")),
+                )
+            ).alias("doc_id"),
+            "spans",
+        )
+    return docs
+
+
+def run_extraction(spark, sf_dir: str, replicate: int = 1) -> tuple[float, int, int]:
+    """Full extraction over the derived interleaved corpus.
+    Returns (seconds, n_docs, n_spans_out)."""
+    from pyspark.sql import functions as F
+    from oar_ocr_spark.pipeline import extract_spans
+
+    docs = _bench_docs(spark, sf_dir, replicate)
     n_docs = docs.count()
     t0 = time.time()
     out = extract_spans(spark, docs)
@@ -132,27 +153,44 @@ def main() -> None:
         "cpus": CPUS,
     }
 
+    spark.stop()
+
     if scaling:
-        spark.stop()
+        import statistics
+
+        repl = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "8"))
+        trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
         small = max(CPUS // 4, 1)
-        spark2 = make_spark(small)
-        spark2.sparkContext.setLogLevel("ERROR")
-        _warm_workers(spark2, small)
-        E._register_views(spark2, SF_DIR)
-        extract_spans(spark2, E.interleaved_docs_df(spark2).limit(24)).count()  # warm-up
-        t_small, n_docs2, _ = run_extraction(spark2, SF_DIR)
-        spark2.stop()
-        thr_small = n_docs2 / t_small
-        thr_big = n_docs / t_ex
+        stats: dict[int, dict] = {}
+        for cores in (CPUS, small):
+            s = make_spark(cores)
+            s.sparkContext.setLogLevel("ERROR")
+            _warm_workers(s, cores)
+            E._register_views(s, SF_DIR)
+            extract_spans(s, _bench_docs(s, SF_DIR).limit(24)).count()  # warm-up
+            times = []
+            nd = 0
+            for _ in range(trials):
+                t, nd, _ns = run_extraction(s, SF_DIR, replicate=repl)
+                times.append(t)
+            s.stop()
+            med = statistics.median(times)
+            stats[cores] = {
+                "secs_median": round(med, 2),
+                "secs_all": [round(t, 2) for t in times],
+                "docs_per_sec": round(nd / med, 2),
+                "n_docs": nd,
+            }
+        thr_big = stats[CPUS]["docs_per_sec"]
+        thr_small = stats[small]["docs_per_sec"]
         result["scaling"] = {
             "cores_small": small,
             "cores_big": CPUS,
-            "docs_per_sec_small": round(thr_small, 2),
-            "docs_per_sec_big": round(thr_big, 2),
+            "replicate": repl,
+            "small": stats[small],
+            "big": stats[CPUS],
             "efficiency": round((thr_big / thr_small) / (CPUS / small), 3),
         }
-    else:
-        spark.stop()
 
     print(json.dumps(result))
 
