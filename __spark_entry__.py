@@ -347,6 +347,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _exploded_results(extract_spans(spark, docs))
 
+    def q_structure_extract(spark):
+        # PP-StructureV3 track: layout detect → postprocess → OCR match
+        # → text join → xycut_enhanced order → markdown, per media page
+        from oar_ocr_spark.pipeline_structure import extract_structure
+
+        docs = interleaved_docs_df(spark).where(
+            (F.col("doc_id").cast("bigint") % 25) == 0
+        )
+        out = extract_structure(spark, docs)
+        return out.select(
+            "doc_id",
+            "media_ref",
+            F.explode("elements").alias("e"),
+        ).select(
+            "doc_id",
+            "media_ref",
+            F.col("e.element_type").alias("element_type"),
+            F.col("e.text").alias("element_text"),
+            F.col("e.order_index").alias("order_index"),
+        )
+
+    def q_layout_label_map(spark):
+        # broadcast label-normalization maps as a checkable relation
+        from oar_ocr_spark.operators.layout_types import (
+            LABEL_TO_TYPE,
+            SEMANTIC_CATEGORY,
+            SHOULD_OCR,
+        )
+
+        rows = [
+            (lbl, canon, SEMANTIC_CATEGORY[canon], canon in SHOULD_OCR)
+            for lbl, canon in sorted(LABEL_TO_TYPE.items())
+        ]
+        return spark.createDataFrame(
+            rows, "label string, canonical string, category string, should_ocr boolean"
+        )
+
     def q_lineage_stats(spark):
         return (
             derived_spans_df(spark)
@@ -379,11 +416,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_stats": with_views(q_media_decode),
         "extraction_text_only": with_views(q_extraction_text_only),
         "extraction_e2e": with_views(q_extraction_e2e),
+        "structure_extract": with_views(q_structure_extract),
+        "layout_label_map": with_views(q_layout_label_map),
         "lineage_stats": with_views(q_lineage_stats),
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from oar_ocr_spark.operators.layout_types import (
+        LABEL_TO_TYPE,
+        SEMANTIC_CATEGORY,
+        SHOULD_OCR,
+    )
+
+    label_values = ",\n".join(
+        f"('{lbl}', '{canon}', '{SEMANTIC_CATEGORY[canon]}', {str(canon in SHOULD_OCR).lower()})"
+        for lbl, canon in sorted(LABEL_TO_TYPE.items())
+    )
     span_cte = SPAN_DERIVATION_DUCKDB.strip().rstrip()
     shingles_cte = """
 with words as (
@@ -598,8 +647,13 @@ select cast(cast(doc_id as bigint) % 8 as int) as bucket, kind,
        count(*) as n_spans, count(distinct doc_id) as n_docs
 from spans group by 1, 2
 """,
+        "layout_label_map": f"""
+select * from (values
+{label_values}
+) as t(label, canonical, category, should_ocr)
+""",
         # no oracle (rows-only driver check): simhash (bit packing),
         # lsh_ann (hyperplane model), media_decode_stats (codec),
-        # extraction_e2e (the OCR pipeline itself — covered by the
-        # golden pytest gate instead)
+        # extraction_e2e and structure_extract (the OCR/layout pipelines
+        # themselves — covered by the golden pytest gate instead)
     }

@@ -32,7 +32,17 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 def make_spark(cores: int):
     from pyspark.sql import SparkSession
 
-    return (
+    # Pin BLAS pools to one thread per python worker: with W workers ×
+    # nproc OpenBLAS threads each, spin-wait barriers burn ~40× the CPU
+    # of the actual numpy work (measured: 280 core-s for a 7 core-s
+    # recognition pass at 32 workers). Parallelism belongs to Spark
+    # tasks, not intra-op BLAS (the reference makes the same split:
+    # rayon data-parallelism, ORT intra-op pool pinned —
+    # core/inference/thread_pool.rs).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
+    builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"oar_ocr_spark_bench_{cores}")
         .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
@@ -44,8 +54,11 @@ def make_spark(cores: int):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.python.worker.reuse", "true")
-        .getOrCreate()
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
+    return builder.getOrCreate()
 
 
 def _warm_workers(spark, cores: int) -> None:

@@ -1,0 +1,172 @@
+"""Deterministic structure-page renderer (PP-StructureV3 track).
+
+Extends the plain OCR page with *layout elements*. Each element is
+marked by a 2-pixel border whose intensity encodes its class:
+
+    border intensity = LAYOUT_BORDER_BASE + class_id   (200, 201, …)
+
+All layout intensities are ≥ 200, i.e. ABOVE the DB text-detection
+threshold cutoff ((255-v)/255 > 0.3 ⇔ v < 178.5), so layout borders и
+image fills are invisible to the text detector, while the synthetic
+layout model reads them exactly. Text lines inside text-bearing
+elements use the standard glyph-strip encoding from render.py.
+
+Page anatomy (upright):
+- optional header line (top) and footer line (bottom)
+- a doc_title element, then per "block": paragraph_title / text
+  (1-3 glyph lines) / image (flat fill at IMAGE_FILL) with an optional
+  figure_title caption under it
+- single- or two-column body templates
+- the whole page rotated by its orientation class, as in render.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..models.synthetic import ANCHOR, ANCHOR_SIZE, BG
+from .render import _render_region_block, _rng_for, region_width, REGION_H
+
+LAYOUT_BORDER_BASE = 200
+IMAGE_FILL = 235  # flat fill for image elements (invisible to text det)
+
+# class ids for the synthetic layout model (subset of the 28-type system)
+LAYOUT_CLASSES = [
+    "doc_title",       # 0
+    "paragraph_title", # 1
+    "text",            # 2
+    "image",           # 3
+    "figure_title",    # 4
+    "header",          # 5
+    "footer",          # 6
+    "table",           # 7
+]
+CLASS_ID = {c: i for i, c in enumerate(LAYOUT_CLASSES)}
+
+
+@dataclass
+class ElementTruth:
+    x1: int
+    y1: int
+    x2: int  # exclusive
+    y2: int  # exclusive
+    element_type: str
+    lines: list[str]  # glyph-line texts (empty for image)
+    num_lines: int
+
+
+@dataclass
+class StructurePageTruth:
+    width: int
+    height: int
+    orientation_class: int
+    elements: list[ElementTruth]
+
+
+def _text_for(rng: np.random.Generator, n: int) -> str:
+    from .render import ALPHABET
+
+    return "".join(ALPHABET[int(i)] for i in rng.integers(0, len(ALPHABET), n))
+
+
+def structure_page_truth(media_ref: str) -> StructurePageTruth:
+    rng = _rng_for("structure:" + media_ref)
+    orientation_class = int(rng.integers(0, 4))
+    elements: list[ElementTruth] = []
+    margin, pad = 18, 6
+    y = 26
+
+    def add_element(x1: int, y1: int, etype: str, lines: list[str], width_px: int) -> ElementTruth:
+        n = max(len(lines), 1)
+        h = n * REGION_H + (n - 1) * 8 + 2 * pad
+        el = ElementTruth(x1, y1, x1 + width_px, y1 + h, etype, lines, n)
+        elements.append(el)
+        return el
+
+    page_w = 460
+    body_w = page_w - 2 * margin
+
+    if rng.random() < 0.5:  # header
+        el = add_element(margin, y, "header", [_text_for(rng, 6)], body_w)
+        y = el.y2 + 14
+    # doc title
+    el = add_element(margin, y, "doc_title", [_text_for(rng, 8)], body_w)
+    y = el.y2 + 14
+
+    two_col = bool(rng.random() < 0.4)
+    n_blocks = int(rng.integers(2, 5))
+    if two_col:
+        col_w = (body_w - 24) // 2
+        col_y = [y, y]
+        for b in range(n_blocks * 2):
+            col = b % 2
+            x1 = margin + col * (col_w + 24)
+            kind = rng.random()
+            if kind < 0.2:
+                el = add_element(x1, col_y[col], "image", [], col_w)
+                col_y[col] = el.y2 + 10
+                if rng.random() < 0.7:
+                    cap = add_element(x1, col_y[col], "figure_title", [_text_for(rng, 5)], col_w)
+                    col_y[col] = cap.y2 + 12
+            elif kind < 0.45:
+                el = add_element(x1, col_y[col], "paragraph_title", [_text_for(rng, 5)], col_w)
+                col_y[col] = el.y2 + 10
+            else:
+                n_lines = int(rng.integers(1, 4))
+                el = add_element(
+                    x1, col_y[col], "text", [_text_for(rng, int(rng.integers(4, 10))) for _ in range(n_lines)], col_w
+                )
+                col_y[col] = el.y2 + 12
+        y = max(col_y)
+    else:
+        for _b in range(n_blocks):
+            kind = rng.random()
+            if kind < 0.2:
+                el = add_element(margin, y, "image", [], body_w)
+                y = el.y2 + 10
+                if rng.random() < 0.7:
+                    cap = add_element(margin, y, "figure_title", [_text_for(rng, 5)], body_w)
+                    y = cap.y2 + 12
+            elif kind < 0.45:
+                el = add_element(margin, y, "paragraph_title", [_text_for(rng, 5)], body_w)
+                y = el.y2 + 10
+            else:
+                n_lines = int(rng.integers(1, 4))
+                el = add_element(
+                    margin, y, "text", [_text_for(rng, int(rng.integers(4, 10))) for _ in range(n_lines)], body_w
+                )
+                y = el.y2 + 12
+
+    if rng.random() < 0.5:  # footer
+        el = add_element(margin, y + 8, "footer", [_text_for(rng, 5)], body_w)
+        y = el.y2
+
+    return StructurePageTruth(page_w, y + 26, orientation_class, elements)
+
+
+def render_structure_page(media_ref: str) -> np.ndarray:
+    truth = structure_page_truth(media_ref)
+    img = np.full((truth.height, truth.width), BG, dtype=np.uint8)
+    img[4 : 4 + ANCHOR_SIZE, 4 : 4 + ANCHOR_SIZE] = ANCHOR
+    pad = 6
+    for el in truth.elements:
+        border = LAYOUT_BORDER_BASE + CLASS_ID[el.element_type]
+        img[el.y1 : el.y2, el.x1 : el.x1 + 2] = border
+        img[el.y1 : el.y2, el.x2 - 2 : el.x2] = border
+        img[el.y1 : el.y1 + 2, el.x1 : el.x2] = border
+        img[el.y2 - 2 : el.y2, el.x1 : el.x2] = border
+        if el.element_type == "image":
+            img[el.y1 + 2 : el.y2 - 2, el.x1 + 2 : el.x2 - 2] = IMAGE_FILL
+            continue
+        ty = el.y1 + pad
+        for line in el.lines:
+            block = _render_region_block(line)
+            w = min(region_width(len(line)), el.x2 - el.x1 - 2 * pad)
+            img[ty : ty + REGION_H, el.x1 + pad : el.x1 + pad + w] = block[:, :w]
+            ty += REGION_H + 8
+    k = truth.orientation_class % 4
+    if k:
+        img = np.rot90(img, k=-k)
+    return np.ascontiguousarray(img)

@@ -1,0 +1,109 @@
+"""Spark structure-analysis DAG (the PP-StructureV3 track).
+
+    documents → explode media spans → [structure mapInPandas]
+      → (doc_id, offset, media_ref, elements:array<struct>, markdown)
+
+Unlike the OCR track, structure analysis is page-local end-to-end
+(the reference's complete_page, structure.rs:2568-2805, also runs per
+page after batched model phases), so the whole per-page graph — layout
+detect → postprocess → overall OCR → matching → text join → enhanced
+reading order → markdown — runs fused in one Python boundary; only
+small result rows cross back. Heavy-document skew is handled upstream
+by the repartition on (doc_id, offset) row granularity: one task never
+owns more than its hash share of *pages* regardless of per-doc fan-out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .local_ref import ExtractConfig
+
+__all__ = ["STRUCTURE_SCHEMA", "extract_structure"]
+
+ELEMENT_STRUCT = T.StructType(
+    [
+        T.StructField("element_type", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("score", T.FloatType()),
+        T.StructField("order_index", T.IntegerType()),
+        T.StructField("num_lines", T.IntegerType()),
+        T.StructField("x1", T.FloatType()),
+        T.StructField("y1", T.FloatType()),
+        T.StructField("x2", T.FloatType()),
+        T.StructField("y2", T.FloatType()),
+    ]
+)
+
+STRUCTURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("offset", T.IntegerType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("elements", T.ArrayType(ELEMENT_STRUCT)),
+        T.StructField("markdown", T.StringType()),
+    ]
+)
+
+
+def extract_structure(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: ExtractConfig | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """documents(doc_id, spans) → one structure row per media span."""
+    cfg = cfg or ExtractConfig()
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    media = (
+        docs.select("doc_id", F.explode_outer("spans").alias("s"))
+        .where((F.col("s.kind") == "media") & F.col("s.media_ref").isNotNull())
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+        .repartition(P, "doc_id", "offset")
+    )
+
+    def structure_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .fixtures.render_structure import render_structure_page
+        from .structure import elements_to_markdown, extract_structure_page
+
+        cols = [f.name for f in STRUCTURE_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for doc_id, offset, media_ref in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"]
+            ):
+                els = extract_structure_page(render_structure_page(media_ref), cfg)
+                rows.append(
+                    (
+                        doc_id,
+                        int(offset),
+                        media_ref,
+                        [
+                            (
+                                e.element_type,
+                                e.text,
+                                float(e.score),
+                                int(e.order_index),
+                                int(e.num_lines),
+                                float(e.bbox[0]),
+                                float(e.bbox[1]),
+                                float(e.bbox[2]),
+                                float(e.bbox[3]),
+                            )
+                            for e in els
+                        ],
+                        elements_to_markdown(els),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(structure_iter, schema=STRUCTURE_SCHEMA)

@@ -1,0 +1,199 @@
+"""PP-StructureV3-style structure extraction.
+
+Single-process core shared by the Spark structure pipeline and the
+golden generator (mirrors OARStructure::predict_images,
+/root/reference/src/oarocr/structure.rs:3249-3490 with the classic
+stage graph: layout detect → postprocess → overall OCR → OCR↔element
+matching → per-element text join → enhanced reading order → markdown).
+
+The synthetic layout model reads the class-coded element borders of
+``fixtures.render_structure`` pages (stand-in for PicoDet/RT-DETR —
+models/detection/picodet.rs, rtdetr.rs; adapter
+domain/adapters/layout_detection_adapter.rs).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .fixtures.render_structure import CLASS_ID, LAYOUT_BORDER_BASE, LAYOUT_CLASSES
+from .local_ref import ExtractConfig, detect_page, preprocess_page, recognize_crop
+from .operators.db_postprocess import connected_components_boxes
+from .operators.layout_postprocess import (
+    filter_by_class_thresholds,
+    nms_keep_indices,
+    overlap_removal_indices,
+)
+from .operators.layout_sorting import sort_layout_enhanced
+from .operators.layout_types import SHOULD_OCR
+from .operators.stitching import StitchConfig, sort_and_join_texts
+
+__all__ = ["StructureElement", "detect_layout", "extract_structure_page", "elements_to_markdown"]
+
+# stitching.rs:40-41 — regions with specialized content skip OCR matching
+EXCLUDED_FROM_OCR_LABELS = ("table", "seal")
+OCR_MATCH_MIN_PIXELS = 3.0  # structure.rs:1440-1459 intersection w,h > 3px
+
+
+@dataclass
+class StructureElement:
+    bbox: np.ndarray
+    element_type: str
+    score: float
+    text: str = ""
+    num_lines: int = 1
+    order_index: int = 0
+    ocr_boxes: list = field(default_factory=list)
+    ocr_texts: list = field(default_factory=list)
+
+
+def detect_layout(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Synthetic layout forward: class-coded borders → (boxes (N,4),
+    class_ids (N,), scores (N,)). Scores are a deterministic function of
+    geometry so threshold filtering is exercised end-to-end."""
+    boxes, classes, scores = [], [], []
+    for cid in range(len(LAYOUT_CLASSES)):
+        mask = img == (LAYOUT_BORDER_BASE + cid)
+        for (x1, y1, x2, y2) in connected_components_boxes(mask):
+            boxes.append([x1, y1, x2 + 1, y2 + 1])
+            classes.append(cid)
+            scores.append(0.35 + ((x1 * 7 + y1 * 13 + cid * 29) % 60) / 100.0)
+    if not boxes:
+        return (
+            np.empty((0, 4), dtype=np.float32),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.float32),
+        )
+    return (
+        np.asarray(boxes, dtype=np.float32),
+        np.asarray(classes, dtype=np.int64),
+        np.asarray(scores, dtype=np.float32),
+    )
+
+
+def extract_structure_page(
+    img: np.ndarray, cfg: ExtractConfig | None = None
+) -> list[StructureElement]:
+    """Full single-page structure analysis → ordered elements.
+
+    Mirrors complete_page (structure.rs:2568-2805): preprocess → layout
+    (thresholds → NMS → overlap dedupe) → overall OCR → cross matching
+    (intersection w,h > 3px) → orphan text elements → per-element text
+    join → sort_layout_enhanced → 1-based order indices
+    (stitching.rs:365-380)."""
+    cfg = cfg or ExtractConfig()
+    upright, _cls = preprocess_page(img, cfg)
+    h, w = upright.shape
+
+    boxes, classes, scores = detect_layout(upright)
+    labels = [LAYOUT_CLASSES[int(c)] for c in classes]
+    keep = filter_by_class_thresholds(labels, scores)
+    boxes, classes, scores = boxes[keep], classes[keep], scores[keep]
+    labels = [LAYOUT_CLASSES[int(c)] for c in classes]
+    if len(boxes):
+        kept = nms_keep_indices(boxes, classes, scores)
+        boxes, classes, scores = boxes[kept], classes[kept], scores[kept]
+        labels = [LAYOUT_CLASSES[int(c)] for c in classes]
+    dropped = overlap_removal_indices(boxes, labels) if len(boxes) else set()
+    elements = [
+        StructureElement(boxes[i], labels[i], float(scores[i]))
+        for i in range(len(boxes))
+        if i not in dropped
+    ]
+
+    # overall OCR over the full (masked) page
+    ocr_boxes, _s = detect_page(upright, cfg)
+    matched = [False] * len(ocr_boxes)
+    for k, ob in enumerate(ocr_boxes):
+        for el in elements:
+            if el.element_type in EXCLUDED_FROM_OCR_LABELS or not (
+                el.element_type in SHOULD_OCR
+            ):
+                continue
+            iw = min(ob[2], el.bbox[2]) - max(ob[0], el.bbox[0])
+            ih = min(ob[3], el.bbox[3]) - max(ob[1], el.bbox[1])
+            if iw > OCR_MATCH_MIN_PIXELS and ih > OCR_MATCH_MIN_PIXELS:
+                crop = upright[
+                    max(int(ob[1]), 0) : min(int(ob[3]), h),
+                    max(int(ob[0]), 0) : min(int(ob[2]), w),
+                ]
+                if crop.size == 0:
+                    continue
+                text, _conf = recognize_crop(crop, cfg)
+                if text:
+                    el.ocr_boxes.append(np.asarray(ob, dtype=np.float32))
+                    el.ocr_texts.append(text)
+                matched[k] = True
+
+    # orphan OCR regions → new text elements (stitching.rs:165-293),
+    # unless covered by an image element (ioa > 0.5)
+    for k, ob in enumerate(ocr_boxes):
+        if matched[k]:
+            continue
+        area = max((ob[2] - ob[0]) * (ob[3] - ob[1]), 1.0)
+        covered = False
+        for el in elements:
+            if el.element_type != "image":
+                continue
+            iw = max(min(ob[2], el.bbox[2]) - max(ob[0], el.bbox[0]), 0.0)
+            ih = max(min(ob[3], el.bbox[3]) - max(ob[1], el.bbox[1]), 0.0)
+            if iw * ih / area > 0.5:
+                covered = True
+                break
+        if covered:
+            continue
+        crop = upright[
+            max(int(ob[1]), 0) : min(int(ob[3]), h),
+            max(int(ob[0]), 0) : min(int(ob[2]), w),
+        ]
+        if crop.size == 0:
+            continue
+        text, _conf = recognize_crop(crop, cfg)
+        if text:
+            el = StructureElement(np.asarray(ob, dtype=np.float32), "text", 1.0)
+            el.ocr_boxes.append(np.asarray(ob, dtype=np.float32))
+            el.ocr_texts.append(text)
+            elements.append(el)
+
+    # per-element text join (stitching.rs:1814-2000)
+    scfg = StitchConfig()
+    for el in elements:
+        el.num_lines = max(len(el.ocr_texts), 1)
+        if el.ocr_texts:
+            el.text = sort_and_join_texts(
+                np.stack(el.ocr_boxes), el.ocr_texts, container_bbox=el.bbox, cfg=scfg
+            )
+
+    # enhanced reading order + 1-based order indices
+    order = sort_layout_enhanced(
+        [(el.bbox, el.element_type, el.num_lines) for el in elements], float(w), float(h)
+    )
+    ordered = [elements[i] for i in order]
+    for rank, el in enumerate(ordered):
+        el.order_index = rank + 1
+    return ordered
+
+
+def elements_to_markdown(elements: list[StructureElement]) -> str:
+    """Reading-order markdown fold — simplified to_markdown
+    (domain/structure.rs:471-850): doc_title → '# ', paragraph_title →
+    '## ', figure_title → italic caption, image → figure placeholder,
+    header/footer excluded."""
+    parts: list[str] = []
+    for el in elements:
+        t = el.element_type
+        if t in ("header", "footer", "header_image", "footer_image"):
+            continue
+        if t == "doc_title":
+            parts.append(f"# {el.text}")
+        elif t == "paragraph_title":
+            parts.append(f"## {el.text}")
+        elif t == "image":
+            parts.append("![figure]")
+        elif t == "figure_title":
+            parts.append(f"*{el.text}*")
+        elif el.text:
+            parts.append(el.text)
+    return "\n\n".join(parts)

@@ -1,8 +1,13 @@
+import os
+
 import pytest
 
 
 @pytest.fixture(scope="session")
 def spark():
+    # one BLAS thread per python worker (see bench.make_spark)
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     from pyspark.sql import SparkSession
 
     spark = (
