@@ -55,6 +55,10 @@ class ElementTruth:
     element_type: str
     lines: list[str]  # glyph-line texts (empty for image)
     num_lines: int
+    # tables only: cell texts row-major + grid shape
+    cell_texts: list[str] | None = None
+    n_rows: int = 0
+    n_cols: int = 0
 
 
 @dataclass
@@ -123,13 +127,26 @@ def structure_page_truth(media_ref: str) -> StructurePageTruth:
     else:
         for _b in range(n_blocks):
             kind = rng.random()
-            if kind < 0.2:
+            if kind < 0.18:
                 el = add_element(margin, y, "image", [], body_w)
                 y = el.y2 + 10
                 if rng.random() < 0.7:
                     cap = add_element(margin, y, "figure_title", [_text_for(rng, 5)], body_w)
                     y = cap.y2 + 12
-            elif kind < 0.45:
+            elif kind < 0.36:
+                # table block: grid of cells, each with a short text
+                n_rows = int(rng.integers(2, 4))
+                n_cols = int(rng.integers(2, 4))
+                cell_texts = [_text_for(rng, int(rng.integers(3, 6))) for _ in range(n_rows * n_cols)]
+                cell_h = REGION_H + 14
+                grid_h = n_rows * cell_h + 2
+                el = ElementTruth(
+                    margin, y, margin + body_w, y + grid_h + 2 * pad + 4,
+                    "table", [], n_rows, cell_texts, n_rows, n_cols,
+                )
+                elements.append(el)
+                y = el.y2 + 12
+            elif kind < 0.5:
                 el = add_element(margin, y, "paragraph_title", [_text_for(rng, 5)], body_w)
                 y = el.y2 + 10
             else:
@@ -146,6 +163,32 @@ def structure_page_truth(media_ref: str) -> StructurePageTruth:
     return StructurePageTruth(page_w, y + 26, orientation_class, elements)
 
 
+TABLE_GRID = 190  # grid-line intensity (invisible to text detection)
+
+
+def _render_table(img: np.ndarray, el, pad: int) -> None:
+    """Grid lines at TABLE_GRID + glyph text per cell."""
+    gx1, gy1 = el.x1 + pad, el.y1 + pad
+    gx2, gy2 = el.x2 - pad, el.y1 + pad + el.n_rows * (REGION_H + 14) + 2
+    col_w = (gx2 - gx1) // el.n_cols
+    gx2 = gx1 + col_w * el.n_cols  # snap to integer cell widths
+    row_h = REGION_H + 14
+    for r in range(el.n_rows + 1):
+        yy = gy1 + r * row_h
+        img[yy : yy + 2, gx1:gx2] = TABLE_GRID
+    for c in range(el.n_cols + 1):
+        xx = gx1 + c * col_w
+        img[gy1 : gy1 + el.n_rows * row_h + 2, xx : xx + 2] = TABLE_GRID
+    for r in range(el.n_rows):
+        for c in range(el.n_cols):
+            text = el.cell_texts[r * el.n_cols + c]
+            block = _render_region_block(text)
+            w = min(region_width(len(text)), col_w - 8)
+            ty = gy1 + r * row_h + 7
+            tx = gx1 + c * col_w + 5
+            img[ty : ty + REGION_H, tx : tx + w] = block[:, :w]
+
+
 def render_structure_page(media_ref: str) -> np.ndarray:
     truth = structure_page_truth(media_ref)
     img = np.full((truth.height, truth.width), BG, dtype=np.uint8)
@@ -159,6 +202,9 @@ def render_structure_page(media_ref: str) -> np.ndarray:
         img[el.y2 - 2 : el.y2, el.x1 : el.x2] = border
         if el.element_type == "image":
             img[el.y1 + 2 : el.y2 - 2, el.x1 + 2 : el.x2 - 2] = IMAGE_FILL
+            continue
+        if el.element_type == "table":
+            _render_table(img, el, pad)
             continue
         ty = el.y1 + pad
         for line in el.lines:

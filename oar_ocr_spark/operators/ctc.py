@@ -24,6 +24,7 @@ import re
 import numpy as np
 
 __all__ = [
+    "ctc_collapse_batch",
     "ctc_decode_batch",
     "ctc_word_boxes",
     "char_positions_to_word_boxes",
@@ -36,19 +37,45 @@ BLANK_INDEX = 0  # decode.rs:363
 _ALPHANUMERIC_RE = re.compile(r"[a-zA-Z0-9 :*./%+-]")  # decode.rs:22-24
 
 
+def ctc_collapse_batch(
+    idx_all: np.ndarray, prob_all: np.ndarray, characters: list[str]
+) -> list[tuple[str, float, list[int], int]]:
+    """CTC collapse over per-timestep (index, prob) matrices (B, T).
+
+    Per sequence (decode.rs:452-552): keep timestep i iff
+    idx != blank AND idx != raw idx[i-1] (prev updated on every step,
+    blanks included) AND idx is in vocab; text = joined glyphs;
+    conf = mean(kept probs) or 0.0 if empty; also returns kept
+    timesteps (col indices) and seq_len for word-box math.
+
+    Shared by the logits path (ctc_decode_batch) and the pipeline's
+    direct-index fast path, so decode results are bit-identical.
+    """
+    idx_all = np.asarray(idx_all)
+    prob_all = np.asarray(prob_all, dtype=np.float32)
+    B, T = idx_all.shape
+    nvocab = len(characters)
+    prev = np.empty_like(idx_all)
+    prev[:, 0] = BLANK_INDEX
+    prev[:, 1:] = idx_all[:, :-1]
+    keep_all = (idx_all != BLANK_INDEX) & (idx_all != prev) & (idx_all < nvocab)
+    out: list[tuple[str, float, list[int], int]] = []
+    for b in range(B):
+        keep = keep_all[b]
+        kept_idx = idx_all[b][keep]
+        kept_prob = prob_all[b][keep]
+        kept_ts = np.flatnonzero(keep)
+        text = "".join(characters[i] for i in kept_idx)
+        conf = float(kept_prob.mean()) if kept_prob.size else 0.0
+        out.append((text, conf, [int(t) for t in kept_ts], T))
+    return out
+
+
 def ctc_decode_batch(
     logits: np.ndarray, characters: list[str]
 ) -> list[tuple[str, float, list[int], int]]:
-    """Decode a (B, T, V) logit/probability tensor.
-
-    Per sequence (decode.rs:452-552):
-      1. per-timestep argmax index + prob;
-      2. keep timestep i iff idx != blank AND idx != raw idx[i-1]
-         (prev updated on every step, blanks included) AND idx is in
-         vocab;
-      3. text = joined glyphs; conf = mean(kept probs) or 0.0 if empty;
-      4. also return kept timesteps (col indices) and seq_len for
-         word-box math.
+    """Decode a (B, T, V) logit/probability tensor: per-timestep argmax
+    then ctc_collapse_batch.
 
     Ties in argmax resolve to the *last* maximal index in the reference
     (Iterator::max_by, decode.rs:26-42); synthetic logits here are
@@ -58,23 +85,9 @@ def ctc_decode_batch(
     p = np.asarray(logits, dtype=np.float32)
     if p.ndim != 3:
         raise ValueError("logits must be (B, T, V)")
-    out: list[tuple[str, float, list[int], int]] = []
     idx_all = p.argmax(axis=2)  # (B, T)
     prob_all = np.take_along_axis(p, idx_all[:, :, None], axis=2)[:, :, 0]
-    B, T = idx_all.shape
-    nvocab = len(characters)
-    for b in range(B):
-        idx = idx_all[b]
-        prob = prob_all[b]
-        prev = np.concatenate([[BLANK_INDEX], idx[:-1]])
-        keep = (idx != BLANK_INDEX) & (idx != prev) & (idx < nvocab)
-        kept_idx = idx[keep]
-        kept_prob = prob[keep]
-        kept_ts = np.flatnonzero(keep)
-        text = "".join(characters[i] for i in kept_idx)
-        conf = float(kept_prob.mean()) if kept_prob.size else 0.0
-        out.append((text, conf, [int(t) for t in kept_ts], T))
-    return out
+    return ctc_collapse_batch(idx_all, prob_all, characters)
 
 
 def ctc_word_boxes(

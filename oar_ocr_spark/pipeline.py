@@ -49,9 +49,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .local_ref import ExtractConfig, bucket_ratio, detect_page, preprocess_page
-from .models.synthetic import CHAR_BASE, VOCAB, classify_line_orientation
-from .operators.ctc import ctc_decode_batch
-from .operators.resize import resize_for_recognition
+from .models.synthetic import BG, CHAR_BASE, VOCAB, classify_line_orientation
+from .operators.ctc import ctc_collapse_batch
 from .schemas import CROPS_SCHEMA, REC_SCHEMA, RESULTS_SCHEMA
 
 __all__ = ["extract_spans", "detect_crops_df", "recognize_df", "assemble_results"]
@@ -98,47 +97,61 @@ def _detect_one_page(doc_id: str, offset: int, media_ref: str, cfg: ExtractConfi
     return rows
 
 
-def _recognize_logits_batch(stack: np.ndarray) -> np.ndarray:
-    """(B, H, W) stacked crops → (B, T=W, V) CTC probabilities.
+def _nn_index(dst_i: int, src: int, dst: int) -> int:
+    """Nearest-neighbor source index (operators.resize.nn_resize grid)."""
+    return min(int((dst_i + 0.5) * src / dst), src - 1)
 
-    Batched form of models.synthetic.recognize_logits — one vectorized
-    call per width-homogeneous group, mirroring the reference's single
-    ONNX forward per recognition batch (crnn.rs:136-278)."""
-    B, H, W = stack.shape
-    rows = stack[:, H // 2, :].astype(np.int32)  # (B, W)
-    idx = rows - CHAR_BASE
-    valid = (idx >= 1) & (idx < len(VOCAB))
-    idx = np.where(valid, idx, 0)
-    logits = np.zeros((B, W, len(VOCAB)), dtype=np.float32)
-    logits[:, :, 0] = np.float32(0.05)
-    b_ix = np.repeat(np.arange(B), W)
-    t_ix = np.tile(np.arange(W), B)
-    logits[b_ix, t_ix, idx.ravel()] = np.float32(0.95)
-    return logits
+
+def _decode_row_for_crop(
+    crop: np.ndarray, target_h: int, bucket: int, max_img_w: int = 3200
+) -> np.ndarray:
+    """The single resized-crop row the synthetic recognizer reads,
+    without materializing the resized crop.
+
+    Equivalent to resize_for_recognition(crop, target_h, bucket)[target_h//2]:
+    the nn source row of the (possibly 180°-flipped) crop, nn-sampled to
+    the crop's own resize width and right-padded with background to the
+    bucket width. Keeping this closed-form (instead of the dense logits
+    tensor) removes ~200 MB/batch of memory traffic that saturated RAM
+    bandwidth with 16+ concurrent workers."""
+    h, w = crop.shape
+    wh_ratio = w / max(h, 1)
+    batch_w = min(int(np.ceil(target_h * bucket)), max_img_w)
+    resize_w = max(min(int(np.ceil(target_h * wh_ratio)), batch_w), 1)
+    r = _nn_index(target_h // 2, h, target_h)
+    row = crop[r]
+    xs = np.minimum(((np.arange(resize_w) + 0.5) * w / resize_w).astype(np.int64), w - 1)
+    out = np.full(batch_w, BG, dtype=np.uint8)
+    out[:resize_w] = row[xs]
+    return out
 
 
 def _recognize_chunk(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     """Recognize one Arrow batch of crops: line-orient, group by bucket,
-    stack, forward, CTC decode, score-threshold blanking."""
+    direct per-row CTC-index decode (bit-identical to the logits path —
+    both funnel through ctc_collapse_batch), score-threshold blanking."""
     n = len(pdf)
     texts: list[str] = [""] * n
     confs = np.zeros(n, dtype=np.float32)
-    # decode crops once
-    crops: list[np.ndarray] = []
-    for _, r in pdf.iterrows():
-        crop = np.frombuffer(r["crop"], dtype=np.uint8).reshape(r["crop_h"], r["crop_w"])
-        if cfg.use_line_orientation and classify_line_orientation(crop) == 1:
-            crop = np.ascontiguousarray(crop[::-1, ::-1])
-        crops.append(crop)
+    crop_bytes = pdf["crop"].to_numpy()
+    crop_h = pdf["crop_h"].to_numpy()
+    crop_w = pdf["crop_w"].to_numpy()
     buckets = pdf["bucket"].to_numpy()
+    crops: list[np.ndarray] = []
+    for k in range(n):
+        crop = np.frombuffer(crop_bytes[k], dtype=np.uint8).reshape(crop_h[k], crop_w[k])
+        if cfg.use_line_orientation and classify_line_orientation(crop) == 1:
+            crop = crop[::-1, ::-1]
+        crops.append(crop)
     for b in np.unique(buckets):
         pos = np.flatnonzero(buckets == b)
-        resized = [
-            resize_for_recognition(crops[p], cfg.rec_target_h, float(b)) for p in pos
-        ]
-        stack = np.stack(resized)  # width-homogeneous by construction
-        logits = _recognize_logits_batch(stack)
-        for p, (text, conf, _cols, _T) in zip(pos, ctc_decode_batch(logits, VOCAB)):
+        rows = np.stack(
+            [_decode_row_for_crop(crops[p], cfg.rec_target_h, int(b)) for p in pos]
+        ).astype(np.int32)
+        idx = rows - CHAR_BASE
+        idx = np.where((idx >= 1) & (idx < len(VOCAB)), idx, 0)
+        prob = np.where(idx > 0, np.float32(0.95), np.float32(0.05))
+        for p, (text, conf, _cols, _T) in zip(pos, ctc_collapse_batch(idx, prob, VOCAB)):
             # index-parity blanking (text_recognition_adapter.rs:61-102)
             if conf < cfg.rec_score_threshold:
                 text = ""

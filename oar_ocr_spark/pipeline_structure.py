@@ -30,6 +30,7 @@ ELEMENT_STRUCT = T.StructType(
     [
         T.StructField("element_type", T.StringType()),
         T.StructField("text", T.StringType()),
+        T.StructField("html", T.StringType()),
         T.StructField("score", T.FloatType()),
         T.StructField("order_index", T.IntegerType()),
         T.StructField("num_lines", T.IntegerType()),
@@ -91,6 +92,7 @@ def extract_structure(
                             (
                                 e.element_type,
                                 e.text,
+                                e.html,
                                 float(e.score),
                                 int(e.order_index),
                                 int(e.num_lines),

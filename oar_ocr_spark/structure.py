@@ -29,6 +29,11 @@ from .operators.layout_postprocess import (
 from .operators.layout_sorting import sort_layout_enhanced
 from .operators.layout_types import SHOULD_OCR
 from .operators.stitching import StitchConfig, sort_and_join_texts
+from .operators.table import (
+    match_cells_and_ocr,
+    table_structure_from_crop,
+    wrap_table_html_with_content,
+)
 
 __all__ = ["StructureElement", "detect_layout", "extract_structure_page", "elements_to_markdown"]
 
@@ -45,6 +50,7 @@ class StructureElement:
     text: str = ""
     num_lines: int = 1
     order_index: int = 0
+    html: str = ""  # tables: assembled HTML (structure.rs TableResult)
     ocr_boxes: list = field(default_factory=list)
     ocr_texts: list = field(default_factory=list)
 
@@ -128,18 +134,21 @@ def extract_structure_page(
                 matched[k] = True
 
     # orphan OCR regions → new text elements (stitching.rs:165-293),
-    # unless covered by an image element (ioa > 0.5)
+    # unless covered by an image element (ioa > 0.5) or a table
+    # (ioa > 0.3 — text-in-table suppression, stitching.rs:229-247;
+    # cell text is recognized by the table analyzer instead)
     for k, ob in enumerate(ocr_boxes):
         if matched[k]:
             continue
         area = max((ob[2] - ob[0]) * (ob[3] - ob[1]), 1.0)
         covered = False
         for el in elements:
-            if el.element_type != "image":
+            if el.element_type not in ("image", "table"):
                 continue
             iw = max(min(ob[2], el.bbox[2]) - max(ob[0], el.bbox[0]), 0.0)
             ih = max(min(ob[3], el.bbox[3]) - max(ob[1], el.bbox[1]), 0.0)
-            if iw * ih / area > 0.5:
+            cutoff = 0.5 if el.element_type == "image" else 0.3
+            if iw * ih / area > cutoff:
                 covered = True
                 break
         if covered:
@@ -156,6 +165,12 @@ def extract_structure_page(
             el.ocr_boxes.append(np.asarray(ob, dtype=np.float32))
             el.ocr_texts.append(text)
             elements.append(el)
+
+    # table analysis (table_analyzer.rs:285-470): crop → grid structure
+    # → in-crop OCR → cell matching → HTML
+    for el in elements:
+        if el.element_type == "table":
+            el.html = _analyze_table(upright, el, cfg)
 
     # per-element text join (stitching.rs:1814-2000)
     scfg = StitchConfig()
@@ -176,6 +191,55 @@ def extract_structure_page(
     return ordered
 
 
+def _analyze_table(upright: np.ndarray, el: StructureElement, cfg: ExtractConfig) -> str:
+    """Table subtree (src/oarocr/table_analyzer.rs:285-470 classic
+    path): crop the table element → synthetic SLANet grid parse →
+    text detection inside the crop → cell↔OCR matching
+    (stitching.rs:640-830) → per-cell x-sorted text join → HTML
+    (table_structure_decode.rs:37-166)."""
+    h, w = upright.shape
+    x1 = max(int(el.bbox[0]), 0)
+    y1 = max(int(el.bbox[1]), 0)
+    x2 = min(int(el.bbox[2]), w)
+    y2 = min(int(el.bbox[3]), h)
+    crop = upright[y1:y2, x1:x2]
+    if crop.size == 0:
+        return ""
+    tokens, cells = table_structure_from_crop(crop)
+    if not tokens:
+        return ""
+    boxes, _scores = detect_page(crop, cfg)
+    ocr_boxes: list[np.ndarray] = []
+    ocr_texts: list[str] = []
+    ch, cw = crop.shape
+    for ob in boxes:
+        bx1, by1, bx2, by2 = (int(v) for v in ob)
+        sub = crop[max(by1, 0) : min(by2, ch), max(bx1, 0) : min(bx2, cw)]
+        if sub.size == 0:
+            continue
+        text, _conf = recognize_crop(sub, cfg)
+        if text:
+            ocr_boxes.append(np.asarray(ob, dtype=np.float32))
+            ocr_texts.append(text)
+    assign = match_cells_and_ocr(cells, ocr_boxes)
+    scfg = StitchConfig()
+    cell_texts: list[str | None] = []
+    for ci, cell in enumerate(cells):  # already row-major
+        ks = assign.get(ci, [])
+        if ks:
+            cell_texts.append(
+                sort_and_join_texts(
+                    np.stack([ocr_boxes[k] for k in ks]),
+                    [ocr_texts[k] for k in ks],
+                    container_bbox=cell.bbox,
+                    cfg=scfg,
+                )
+            )
+        else:
+            cell_texts.append(None)
+    return wrap_table_html_with_content(tokens, cell_texts)
+
+
 def elements_to_markdown(elements: list[StructureElement]) -> str:
     """Reading-order markdown fold — simplified to_markdown
     (domain/structure.rs:471-850): doc_title → '# ', paragraph_title →
@@ -190,6 +254,9 @@ def elements_to_markdown(elements: list[StructureElement]) -> str:
             parts.append(f"# {el.text}")
         elif t == "paragraph_title":
             parts.append(f"## {el.text}")
+        elif t == "table":
+            if el.html:
+                parts.append(el.html)
         elif t == "image":
             parts.append("![figure]")
         elif t == "figure_title":
