@@ -42,6 +42,7 @@ LAYOUT_CLASSES = [
     "header",          # 5
     "footer",          # 6
     "table",           # 7
+    "formula",         # 8
 ]
 CLASS_ID = {c: i for i, c in enumerate(LAYOUT_CLASSES)}
 
@@ -146,7 +147,10 @@ def structure_page_truth(media_ref: str) -> StructurePageTruth:
                 )
                 elements.append(el)
                 y = el.y2 + 12
-            elif kind < 0.5:
+            elif kind < 0.45:
+                el = add_element(margin, y, "formula", [_text_for(rng, int(rng.integers(3, 7)))], body_w)
+                y = el.y2 + 10
+            elif kind < 0.56:
                 el = add_element(margin, y, "paragraph_title", [_text_for(rng, 5)], body_w)
                 y = el.y2 + 10
             else:

@@ -57,6 +57,7 @@ class ExtractConfig:
     rec_score_threshold: float = 0.0
     use_orientation: bool = True
     use_line_orientation: bool = True
+    use_rectification: bool = False
     postprocess: DBPostProcess = field(init=False)
 
     def __post_init__(self) -> None:
@@ -86,9 +87,41 @@ def preprocess_page(img: np.ndarray, cfg: ExtractConfig) -> tuple[np.ndarray, in
     (upright_img, class_id). Mirrors DocumentPreprocessor.preprocess
     (src/oarocr/preprocess.rs:60-99) + anchor masking (the engine's
     analog of formula-region masking, structure.rs:2189-2203)."""
+    upright, class_id, _rotation = preprocess_page_full(img, cfg)
+    return upright, class_id
+
+
+def preprocess_page_full(
+    img: np.ndarray, cfg: ExtractConfig
+) -> tuple[np.ndarray, int, tuple[int, int, int] | None]:
+    """Preprocess with back-mapping metadata.
+
+    Returns (upright_img, class_id, rotation) where rotation =
+    (angle, rotated_width, rotated_height) feeds
+    operators.geometry.rotate_back_to_original.
+
+    Invariant (preprocess.rs:9-12, 87-91): when rectification is
+    applied, `rotation` is None — coordinate back-mapping is not
+    supported for warped images; results stay in rectified space. The
+    synthetic rectifier is the identity warp (UVDoc stand-in —
+    models/rectification/uvdoc.rs; real unwarping slots in here), but
+    the metadata contract is enforced and tested either way.
+    """
     class_id = classify_orientation(img) if cfg.use_orientation else 0
     upright = correct_orientation(img, class_id)
-    return mask_anchor(upright), class_id
+    rotation: tuple[int, int, int] | None = None
+    if cfg.use_orientation:
+        rotation = (class_id * 90, upright.shape[1], upright.shape[0])
+    if cfg.use_rectification:
+        upright = _rectify(upright)
+        rotation = None  # rectified ⇒ no back-mapping (preprocess.rs:87-91)
+    return mask_anchor(upright), class_id, rotation
+
+
+def _rectify(img: np.ndarray) -> np.ndarray:
+    """Synthetic UVDoc rectifier: identity unwarp (the synthetic corpus
+    renders flat pages; a learned unwarp would replace this body)."""
+    return img
 
 
 def detect_page(img: np.ndarray, cfg: ExtractConfig) -> tuple[np.ndarray, np.ndarray]:

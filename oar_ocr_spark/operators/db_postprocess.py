@@ -34,17 +34,41 @@ import numpy as np
 __all__ = ["DBPostProcess", "connected_components_boxes"]
 
 
+def _extract_runs(m: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All foreground runs of a bool mask in one vectorized pass.
+
+    Pads a False column so runs never span row boundaries, diffs the
+    flattened mask, and decodes (row, x0, x1_exclusive) per run —
+    naturally in row-major order."""
+    h, w = m.shape
+    padded = np.zeros((h, w + 1), dtype=bool)
+    padded[:, :w] = m
+    flat = padded.ravel()
+    d = np.diff(flat.astype(np.int8))
+    starts = np.flatnonzero(d == 1) + 1
+    ends = np.flatnonzero(d == -1) + 1
+    if flat[0]:
+        starts = np.concatenate([[0], starts])
+    rows = starts // (w + 1)
+    x0 = starts % (w + 1)
+    x1 = ends - rows * (w + 1)
+    return rows, x0, x1
+
+
 def connected_components_boxes(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
     """8-connected components of a boolean mask → inclusive pixel AABBs.
 
     Returns [(x_min, y_min, x_max, y_max)] ordered by first foreground
     pixel in row-major scan order (matches contour discovery order in
-    db_bitmap.rs:100). Run-based union-find: one pass over rows, merging
-    runs that overlap (with 8-connectivity slack) a run on the previous
-    row.
+    db_bitmap.rs:100). Runs are extracted in one vectorized pass; the
+    union-find then iterates runs (≈ number of text-line rows), not
+    pixel rows — the detect stage's hot spot at corpus scale.
     """
     m = np.asarray(mask, dtype=bool)
-    h, w = m.shape
+    if m.size == 0 or not m.any():
+        return []
+    rows, xs0, xs1 = _extract_runs(m)
+    n_runs = len(rows)
     parent: list[int] = []
 
     def find(i: int) -> int:
@@ -62,45 +86,45 @@ def connected_components_boxes(mask: np.ndarray) -> list[tuple[int, int, int, in
             else:
                 parent[ra] = rb
 
-    # runs[label] aggregated extents; prev row runs: list of (x0, x1, label)
     extents: list[list[int]] = []  # [x0, y0, x1, y1] per label
-    order: list[int] = []  # labels in first-pixel order (creation order)
-    prev_runs: list[tuple[int, int, int]] = []
-    for y in range(h):
-        row = m[y]
-        if not row.any():
-            prev_runs = []
-            continue
-        d = np.diff(row.astype(np.int8))
-        starts = list(np.flatnonzero(d == 1) + 1)
-        ends = list(np.flatnonzero(d == -1) + 1)
-        if row[0]:
-            starts.insert(0, 0)
-        if row[-1]:
-            ends.append(w)
-        cur_runs: list[tuple[int, int, int]] = []
-        for x0, x1 in zip(starts, ends):  # run = [x0, x1)
-            label = -1
-            for px0, px1, plab in prev_runs:
-                # 8-connectivity: diagonal touch counts
-                if px0 < x1 + 1 and x0 < px1 + 1:
-                    if label == -1:
-                        label = find(plab)
-                    else:
-                        union(label, plab)
-                        label = find(label)
-            if label == -1:
-                label = len(parent)
-                parent.append(label)
-                extents.append([x0, y, x1 - 1, y])
-                order.append(label)
+    order: list[int] = []  # labels in creation (first-pixel) order
+    labels = np.empty(n_runs, dtype=np.int64)
+    prev_lo = 0  # run-index window of the previous row
+    prev_hi = 0
+    cur_row = -2
+    cur_start = 0
+    for k in range(n_runs):
+        y = int(rows[k])
+        if y != cur_row:
+            if y == cur_row + 1:
+                prev_lo, prev_hi = cur_start, k
             else:
-                e = extents[label]
-                e[0] = min(e[0], x0)
-                e[2] = max(e[2], x1 - 1)
-                e[3] = max(e[3], y)
-            cur_runs.append((x0, x1, label))
-        prev_runs = cur_runs
+                prev_lo = prev_hi = k  # gap row: no previous-row runs
+            cur_row = y
+            cur_start = k
+        x0 = int(xs0[k])
+        x1 = int(xs1[k])
+        label = -1
+        for p in range(prev_lo, prev_hi):
+            # 8-connectivity: diagonal touch counts
+            if int(xs0[p]) < x1 + 1 and x0 < int(xs1[p]) + 1:
+                plab = int(labels[p])
+                if label == -1:
+                    label = find(plab)
+                else:
+                    union(label, plab)
+                    label = find(label)
+        if label == -1:
+            label = len(parent)
+            parent.append(label)
+            extents.append([x0, y, x1 - 1, y])
+            order.append(label)
+        else:
+            e = extents[label]
+            e[0] = min(e[0], x0)
+            e[2] = max(e[2], x1 - 1)
+            e[3] = max(e[3], y)
+        labels[k] = label
 
     # merge extents into roots, keep earliest-created root order
     merged: dict[int, list[int]] = {}

@@ -257,12 +257,22 @@ def extract_spans(
     num_partitions: int | None = None,
     pooled: bool = True,
     persist_input: bool = True,
+    width_sorted: bool = False,
 ) -> DataFrame:
     """documents(doc_id, spans) → results(doc_id, spans) (RESULTS_SCHEMA).
 
-    pooled=True routes crops through a rebalancing shuffle +
-    width-sorted recognition (the scale path); pooled=False fuses
-    recognition into the detect task (no crop shuffle).
+    pooled=True routes crops through a rebalancing shuffle (the scale
+    path); pooled=False fuses recognition into the detect task (no crop
+    shuffle).
+
+    width_sorted=True additionally sorts each crop partition by
+    (bucket, wh_ratio) before recognition — the reference's
+    wh-ratio-sorted batching (ocr.rs:802-831). With a real accelerator
+    model this pays for itself in padding savings; with the synthetic
+    per-crop decoder it only adds a blocking per-partition sort
+    (measured 3× recognize-stage wall at 32 cores), and results are
+    identical either way (per-crop bucketed widths), so it defaults
+    off.
 
     The DAG fans the input into three branches (pass-through text,
     media detection, doc-id preservation). To scan the source exactly
@@ -294,9 +304,9 @@ def extract_spans(
 
     crops = detect_crops_from_flat(spans_flat, cfg)
     if pooled:
-        crops = crops.repartition(P, "doc_id", "offset", "det_idx").sortWithinPartitions(
-            "bucket", "wh_ratio"
-        )
+        crops = crops.repartition(P, "doc_id", "offset", "det_idx")
+        if width_sorted:
+            crops = crops.sortWithinPartitions("bucket", "wh_ratio")
     rec = recognize_df(crops, cfg)
 
     media_results = (

@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 
 from .local_ref import ExtractConfig
 
-__all__ = ["STRUCTURE_SCHEMA", "extract_structure"]
+__all__ = ["STRUCTURE_SCHEMA", "extract_structure", "document_markdown"]
 
 ELEMENT_STRUCT = T.StructType(
     [
@@ -50,6 +50,23 @@ STRUCTURE_SCHEMA = T.StructType(
         T.StructField("markdown", T.StringType()),
     ]
 )
+
+
+def document_markdown(structure_df: DataFrame) -> DataFrame:
+    """Per-document markdown: page markdowns concatenated in offset
+    order (the multi-page concat of concatenate_markdown_pages,
+    domain/structure.rs:1223; PageContinuationFlags reduce to a plain
+    page join for the synthetic corpus, whose pages never split a
+    paragraph). Pure Catalyst — no window state."""
+    return structure_df.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("offset", "markdown"))),
+                lambda s: s["markdown"],
+            ),
+            "\n\n",
+        ).alias("markdown")
+    )
 
 
 def extract_structure(

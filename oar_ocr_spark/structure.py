@@ -109,8 +109,44 @@ def extract_structure_page(
         if i not in dropped
     ]
 
+    # formula recognition (structure.rs:1914-2007; synthetic
+    # PP-FormulaNet stand-in: decode the glyph content, emit latex)
+    for el in elements:
+        if el.element_type == "formula":
+            fx1, fy1 = max(int(el.bbox[0]), 0), max(int(el.bbox[1]), 0)
+            fx2, fy2 = min(int(el.bbox[2]), w), min(int(el.bbox[3]), h)
+            fcrop = upright[fy1:fy2, fx1:fx2]
+            if fcrop.size:
+                fb, _fs = detect_page(fcrop, cfg)
+                parts = []
+                for ob in fb:
+                    sub = fcrop[
+                        max(int(ob[1]), 0) : min(int(ob[3]), fcrop.shape[0]),
+                        max(int(ob[0]), 0) : min(int(ob[2]), fcrop.shape[1]),
+                    ]
+                    if sub.size:
+                        t, _c = recognize_crop(sub, cfg)
+                        if t:
+                            parts.append(t)
+                if parts:
+                    el.text = "\\mathrm{" + " ".join(parts) + "}"
+                    el.score = 1.0  # injected with conf 1.0 (structure.rs:2765-2775)
+
+    # formula-region masking before text detection
+    # (structure.rs:2189-2203): white-out formula boxes so the overall
+    # OCR doesn't double-recognize their content
+    ocr_input = upright
+    formula_els = [el for el in elements if el.element_type == "formula"]
+    if formula_els:
+        ocr_input = upright.copy()
+        for el in formula_els:
+            ocr_input[
+                max(int(el.bbox[1]), 0) : min(int(el.bbox[3]), h),
+                max(int(el.bbox[0]), 0) : min(int(el.bbox[2]), w),
+            ] = 255
+
     # overall OCR over the full (masked) page
-    ocr_boxes, _s = detect_page(upright, cfg)
+    ocr_boxes, _s = detect_page(ocr_input, cfg)
     matched = [False] * len(ocr_boxes)
     for k, ob in enumerate(ocr_boxes):
         for el in elements:
@@ -257,6 +293,9 @@ def elements_to_markdown(elements: list[StructureElement]) -> str:
         elif t == "table":
             if el.html:
                 parts.append(el.html)
+        elif t == "formula":
+            if el.text:
+                parts.append(f"$${el.text}$$")
         elif t == "image":
             parts.append("![figure]")
         elif t == "figure_title":

@@ -1,0 +1,70 @@
+"""Preprocess metadata invariants (preprocess.rs:9-12, 87-91):
+orientation correction carries back-mapping metadata; rectification
+disables it (rotation=None)."""
+
+import numpy as np
+
+from oar_ocr_spark.fixtures.render import page_truth, render_page
+from oar_ocr_spark.local_ref import ExtractConfig, extract_page, preprocess_page_full
+from oar_ocr_spark.operators.geometry import rotate_back_to_original
+
+
+def test_rotation_metadata_present_without_rectification():
+    cfg = ExtractConfig()
+    for i in range(8):
+        ref = f"inv_{i}"
+        truth = page_truth(ref)
+        img = render_page(ref)
+        upright, cls, rotation = preprocess_page_full(img, cfg)
+        assert cls == truth.orientation_class
+        assert rotation == (cls * 90, truth.width, truth.height)
+
+
+def test_rectification_disables_back_mapping():
+    cfg = ExtractConfig(use_rectification=True)
+    img = render_page("inv_rect")
+    upright, _cls, rotation = preprocess_page_full(img, cfg)
+    assert rotation is None  # rectified ⇒ results stay in rectified space
+
+
+def test_rectified_extraction_identical_for_flat_pages():
+    # synthetic pages are flat, so the identity rectifier must not
+    # change the extraction result — but the metadata contract differs
+    ref = "inv_same"
+    a = extract_page(render_page(ref), ExtractConfig())
+    b = extract_page(render_page(ref), ExtractConfig(use_rectification=True))
+    assert a == b
+
+
+def test_rotate_back_maps_upright_boxes_to_source():
+    # end-to-end: detected upright boxes + rotation metadata map back
+    # into source-image coordinates (ocr.rs:899-926 semantics)
+    from oar_ocr_spark.local_ref import detect_page
+
+    cfg = ExtractConfig()
+    for i in range(6):
+        ref = f"invmap_{i}"
+        truth = page_truth(ref)
+        if truth.orientation_class == 0:
+            continue
+        img = render_page(ref)
+        upright, cls, rotation = preprocess_page_full(img, cfg)
+        boxes, _ = detect_page(upright, cfg)
+        assert rotation is not None
+        angle, rw, rh = rotation
+        back = rotate_back_to_original(boxes, angle, rw, rh)
+        H, W = img.shape
+        assert (back[:, 0] >= 0).all() and (back[:, 2] <= W + 0.5).all()
+        assert (back[:, 1] >= 0).all() and (back[:, 3] <= H + 0.5).all()
+        # round-trip: mapping the source-space boxes forward again must
+        # land on the upright boxes (inverse relationship)
+        k = cls % 4
+        rot_img_boxes = back
+        x1, y1, x2, y2 = (rot_img_boxes[:, j] for j in range(4))
+        if k == 1:  # correction was 90° CCW: source (x,y) -> (y, W-x)
+            fwd = np.stack([y1, W - x2, y2, W - x1], axis=1)
+        elif k == 2:
+            fwd = np.stack([W - x2, H - y2, W - x1, H - y1], axis=1)
+        else:  # k == 3: correction was 90° CW: (x,y) -> (H-y, x)
+            fwd = np.stack([H - y2, x1, H - y1, x2], axis=1)
+        np.testing.assert_allclose(fwd, boxes, atol=1e-3)
