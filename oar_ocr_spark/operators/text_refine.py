@@ -1,0 +1,280 @@
+"""Text refinement operators: cross-layout box splitting, tiny-symbol
+and checkbox normalization, paragraph-title level inference.
+
+Parity targets (reference = GreatV/oar-ocr at /root/reference):
+- split_cross_layout_boxes: src/oarocr/structure.rs:2230-2322 —
+  a detection box intersecting ≥2 container boxes (each intersection
+  with w,h > 2px and IoA ≥ 0.3 of the box) is replaced by its
+  intersections (then re-recognized); TEXT_BOX_SPLIT_IOA_THRESHOLD=0.3
+  (structure.rs:48). Containers = region blocks or text-bearing layout
+  element types (the SHOULD_OCR-like list at structure.rs:2238-2266).
+- normalize_tiny_symbol: src/oarocr/stitching.rs:831-859 — low-conf
+  single-char '='/'0' misreads remapped by box size.
+- normalize_checkbox_symbols: stitching.rs:861-905 — per-table safe и
+  ambiguous checkbox glyph normalization.
+- semantic_title_level / infer_levels_by_kmeans_feature /
+  infer_paragraph_title_levels: oar-ocr-core/src/domain/structure.rs:18-297
+  — numbering-regex level + 1-D k-means over line height (descending)
+  and indent (ascending), 2/1/1-weighted vote.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+__all__ = [
+    "split_cross_layout_boxes",
+    "normalize_tiny_symbol",
+    "normalize_checkbox_symbols",
+    "semantic_title_level",
+    "infer_levels_by_kmeans_feature",
+    "infer_paragraph_title_levels",
+    "CROSS_SPLIT_CONTAINER_TYPES",
+]
+
+TEXT_BOX_SPLIT_IOA_THRESHOLD = 0.3  # structure.rs:48
+
+# structure.rs:2238-2266 — layout element types usable as split containers
+CROSS_SPLIT_CONTAINER_TYPES = frozenset(
+    [
+        "doc_title", "paragraph_title", "text", "content", "abstract",
+        "header", "footer", "footnote", "number", "reference",
+        "reference_content", "algorithm", "aside_text", "list",
+        "figure_title", "table_title", "chart_title",
+        "figure_table_chart_title",
+    ]
+)
+
+
+def split_cross_layout_boxes(
+    det_boxes: np.ndarray,
+    container_boxes: np.ndarray,
+    ioa_threshold: float = TEXT_BOX_SPLIT_IOA_THRESHOLD,
+) -> np.ndarray:
+    """Replace detection boxes spanning ≥2 containers by their
+    per-container intersections (structure.rs:2268-2316). Preserves
+    input order; a box with <2 qualifying intersections passes through.
+    """
+    db = np.asarray(det_boxes, dtype=np.float32).reshape(-1, 4)
+    cb = np.asarray(container_boxes, dtype=np.float32).reshape(-1, 4)
+    if len(db) == 0 or len(cb) == 0:
+        return db.copy()
+    out: list[np.ndarray] = []
+    for box in db:
+        self_area = float((box[2] - box[0]) * (box[3] - box[1]))
+        if self_area <= 0.0:
+            out.append(box)
+            continue
+        inters: list[np.ndarray] = []
+        for c in cb:
+            ix1, iy1 = max(box[0], c[0]), max(box[1], c[1])
+            ix2, iy2 = min(box[2], c[2]), min(box[3], c[3])
+            if ix2 - ix1 <= 2.0 or iy2 - iy1 <= 2.0:
+                continue
+            inter_area = float((ix2 - ix1) * (iy2 - iy1))
+            if inter_area <= 0.0:
+                continue
+            if inter_area / self_area >= ioa_threshold:
+                inters.append(np.asarray([ix1, iy1, ix2, iy2], dtype=np.float32))
+        if len(inters) >= 2:
+            out.extend(inters)
+        else:
+            out.append(box)
+    return np.stack(out) if out else np.empty((0, 4), dtype=np.float32)
+
+
+def normalize_tiny_symbol(
+    text: str | None, score: float | None, width: float, height: float
+) -> str | None:
+    """Remap low-confidence single-char misreads (stitching.rs:831-859).
+    Returns the replacement text or None (no change)."""
+    if text is None or score is None or len(text) != 1:
+        return None
+    width = max(width, 0.0)
+    height = max(height, 0.0)
+    if text == "=" and score < 0.45 and width <= 9.5 and height <= 7.5:
+        return ","
+    if text == "=" and score < 0.45 and width <= 12.5 and 7.5 < height <= 10.5:
+        return "-"
+    if text == "0" and score < 0.20 and width <= 14.5 and height <= 14.5:
+        return ";"
+    return None
+
+
+_POSITIVE = {"✓", "ü", "Ü", "L", "√", "☑"}
+_NEGATIVE = {"✗", "X", "x", "✕", "✖", "☒"}
+
+
+def normalize_checkbox_symbols(cell_texts: list[str | None]) -> list[str | None]:
+    """Per-table checkbox glyph normalization (stitching.rs:861-905).
+    Safe glyphs always normalize; ambiguous L/X/x only when the table
+    contains both positive and negative candidates."""
+    has_pos = has_neg = False
+    for t in cell_texts:
+        if t is None:
+            continue
+        s = t.strip()
+        if len(s) != 1:
+            continue
+        if s in _POSITIVE:
+            has_pos = True
+        if s in _NEGATIVE:
+            has_neg = True
+    out: list[str | None] = []
+    for t in cell_texts:
+        if t is None:
+            out.append(None)
+            continue
+        s = t.strip()
+        if len(s) != 1:
+            out.append(t)
+            continue
+        if s in {"ü", "Ü", "√", "☑"}:
+            out.append("✓")
+        elif s == "L" and has_pos and has_neg:
+            out.append("✓")
+        elif s in {"✕", "✖", "☒"}:
+            out.append("✗")
+        elif s in {"X", "x"} and has_pos and has_neg:
+            out.append("✗")
+        else:
+            out.append(t)
+    return out
+
+
+_TITLE_NUMBERING_RE = re.compile(
+    r"""^\s*
+    (
+        [1-9][0-9]*(?:\.[1-9][0-9]*)*[\.、]?
+        |
+        [(（][1-9][0-9]*(?:\.[1-9][0-9]*)*[)）]
+        |
+        [一二三四五六七八九十百千万亿零壹贰叁肆伍陆柒捌玖拾][、.]?
+        |
+        [(（][一二三四五六七八九十百千万亿零壹贰叁肆伍陆柒捌玖拾]+[)）]
+        |
+        (?:I|II|III|IV|V|VI|VII|VIII|IX|X)(?:\.|\b)
+    )
+    (\s+)
+    (.*)
+    $""",
+    re.VERBOSE,
+)
+
+
+def semantic_title_level(text: str) -> int | None:
+    """Numbering-based heading level (structure.rs:62-99): top-level
+    keywords → 2; numbered titles → dot-count + 2, clamped [2, 6]."""
+    cleaned = text.replace("-\n", "").replace("\n", " ").strip()
+    keyword = cleaned.rstrip(":").upper()
+    if keyword in ("ABSTRACT", "INTRODUCTION", "REFERENCES", "REFERENCE"):
+        return 2
+    m = _TITLE_NUMBERING_RE.match(cleaned)
+    if m:
+        numbering = (m.group(1) or "").strip()
+        dot_count = numbering.count(".")
+        return min(max(dot_count + 2, 2), 6)
+    return None
+
+
+def infer_levels_by_kmeans_feature(
+    samples: list[tuple[int, float]], descending: bool
+) -> dict[int, int]:
+    """1-D k-means heading-level clustering (structure.rs:212-297):
+    k = min(#distinct-by-1e-3, 4); quantile init; 16 Lloyd iterations;
+    cluster rank (+2, clamped [2,6]) is the level."""
+    clean = [(i, v) for i, v in samples if np.isfinite(v)]
+    if len(clean) < 2:
+        return {}
+    values = sorted(v for _, v in clean)
+    unique_count = 1 + sum(
+        1 for a, b in zip(values, values[1:]) if abs(b - a) > 1e-3
+    )
+    k = min(max(unique_count, 1), 4, len(clean))
+    if k <= 1:
+        return {}
+    centroids = [
+        values[min(int(np.floor((i + 0.5) / k * len(values))), len(values) - 1)]
+        for i in range(k)
+    ]
+    for _ in range(16):
+        sums = [0.0] * k
+        counts = [0] * k
+        for _, v in clean:
+            best = min(range(k), key=lambda c: abs(v - centroids[c]))
+            sums[best] += v
+            counts[best] += 1
+        for c in range(k):
+            if counts[c] > 0:
+                centroids[c] = sums[c] / counts[c]
+    order = sorted(range(k), key=lambda c: -centroids[c] if descending else centroids[c])
+    rank_of = {c: r for r, c in enumerate(order)}
+    out: dict[int, int] = {}
+    for i, v in clean:
+        best = min(range(k), key=lambda c: abs(v - centroids[c]))
+        out[i] = min(max(rank_of[best] + 2, 2), 6)
+    return out
+
+
+def infer_paragraph_title_levels(
+    titles: list[tuple[int, np.ndarray, int, str]]
+) -> dict[int, int]:
+    """Voted heading levels for paragraph titles (structure.rs:118-205).
+
+    titles: [(element_idx, bbox, num_lines, text)].
+    Vote: semantic (weight 2), line-height k-means (1, descending),
+    indent k-means (1, ascending); ties prefer the semantic level, then
+    the smaller level; fallback order semantic → font → indent → 2.
+    """
+    if not titles:
+        return {}
+    height_samples = []
+    indent_samples = []
+    semantic: dict[int, int] = {}
+    for idx, bbox, num_lines, text in titles:
+        h = max(float(bbox[3] - bbox[1]), 1.0)
+        line_h = max(h / max(int(num_lines or 1), 1), 1.0)
+        if np.isfinite(line_h):
+            height_samples.append((idx, line_h))
+        x = float(bbox[0])
+        if np.isfinite(x):
+            indent_samples.append((idx, x))
+        lvl = semantic_title_level(text)
+        if lvl is not None:
+            semantic[idx] = lvl
+    font_levels = infer_levels_by_kmeans_feature(height_samples, True)
+    relative_levels = infer_levels_by_kmeans_feature(indent_samples, False)
+    voted: dict[int, int] = {}
+    for idx, _bbox, _nl, _t in titles:
+        sem = semantic.get(idx)
+        font = font_levels.get(idx)
+        rel = relative_levels.get(idx)
+        score = [0] * 7
+        if sem is not None:
+            score[min(max(sem, 1), 6)] += 2
+        if font is not None:
+            score[min(max(font, 1), 6)] += 1
+        if rel is not None:
+            score[min(max(rel, 1), 6)] += 1
+        best_level = sem if sem is not None else 2
+        best_score = 0
+        for level in range(1, 7):
+            s = score[level]
+            if s > best_score:
+                best_score = s
+                best_level = level
+            elif s == best_score and s > 0:
+                is_sem = sem == level
+                best_is_sem = sem == best_level
+                if (is_sem and not best_is_sem) or (
+                    is_sem == best_is_sem and level < best_level
+                ):
+                    best_level = level
+        if best_score == 0:
+            best_level = next(
+                (v for v in (sem, font, rel) if v is not None), 2
+            )
+        voted[idx] = min(max(best_level, 1), 6)
+    return voted

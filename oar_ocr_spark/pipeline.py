@@ -66,6 +66,8 @@ def _detect_one_page(doc_id: str, offset: int, media_ref: str, cfg: ExtractConfi
     from .fixtures.render import render_page
     from .operators.sorting import sort_quad_boxes
 
+    import zlib
+
     img = render_page(media_ref)
     upright, _cls = preprocess_page(img, cfg)
     boxes, _scores = detect_page(upright, cfg)
@@ -87,11 +89,18 @@ def _detect_one_page(doc_id: str, offset: int, media_ref: str, cfg: ExtractConfi
                 int(offset),
                 media_ref,
                 rank,
-                np.ascontiguousarray(crop).tobytes(),
+                # crops stay compressed across the shuffle + Arrow
+                # boundary (the JPEG-crop principle): raw pixel payloads
+                # made the JVM→python Arrow feed the pipeline bottleneck
+                zlib.compress(np.ascontiguousarray(crop).tobytes(), 1),
                 ch,
                 cw,
                 np.float32(ratio),
                 bucket_ratio(ratio),
+                np.float32(boxes[i][0]),
+                np.float32(boxes[i][1]),
+                np.float32(boxes[i][2]),
+                np.float32(boxes[i][3]),
             )
         )
     return rows
@@ -130,6 +139,8 @@ def _recognize_chunk(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     """Recognize one Arrow batch of crops: line-orient, group by bucket,
     direct per-row CTC-index decode (bit-identical to the logits path —
     both funnel through ctc_collapse_batch), score-threshold blanking."""
+    import zlib
+
     n = len(pdf)
     texts: list[str] = [""] * n
     confs = np.zeros(n, dtype=np.float32)
@@ -139,7 +150,9 @@ def _recognize_chunk(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
     buckets = pdf["bucket"].to_numpy()
     crops: list[np.ndarray] = []
     for k in range(n):
-        crop = np.frombuffer(crop_bytes[k], dtype=np.uint8).reshape(crop_h[k], crop_w[k])
+        crop = np.frombuffer(zlib.decompress(crop_bytes[k]), dtype=np.uint8).reshape(
+            crop_h[k], crop_w[k]
+        )
         if cfg.use_line_orientation and classify_line_orientation(crop) == 1:
             crop = crop[::-1, ::-1]
         crops.append(crop)
@@ -172,6 +185,54 @@ def _recognize_chunk(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
 # --------------------------------------------------------------------------
 # DataFrame stages
 # --------------------------------------------------------------------------
+
+def recognize_with_word_boxes(crops: DataFrame, cfg: ExtractConfig) -> DataFrame:
+    """Recognition with per-character word boxes (return_word_box mode,
+    src/oarocr/ocr.rs:928-1020): decode as usual, then map CTC column
+    indices back to x-extents inside the detection box. max_wh_ratio is
+    the crop's deterministic bucket (partition-invariant), so
+    effective_col_num = T · wh_ratio / bucket exactly reproduces the
+    reference's padding-undo math."""
+    from .operators.ctc import ctc_word_boxes
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            base = _recognize_chunk(pdf, cfg)
+            word_boxes: list[list[list[float]]] = []
+            for k in range(len(pdf)):
+                crop = np.frombuffer(
+                    zlib.decompress(pdf["crop"].iloc[k]), dtype=np.uint8
+                ).reshape(pdf["crop_h"].iloc[k], pdf["crop_w"].iloc[k])
+                if cfg.use_line_orientation and classify_line_orientation(crop) == 1:
+                    crop = crop[::-1, ::-1]
+                b = int(pdf["bucket"].iloc[k])
+                row = _decode_row_for_crop(crop, cfg.rec_target_h, b).astype(np.int32)
+                idx = row - CHAR_BASE
+                idx = np.where((idx >= 1) & (idx < len(VOCAB)), idx, 0)
+                prob = np.where(idx > 0, np.float32(0.95), np.float32(0.05))
+                [(text, _conf, cols, T)] = ctc_collapse_batch(
+                    idx[None, :], prob[None, :], VOCAB
+                )
+                line_bbox = np.asarray(
+                    [pdf["x1"].iloc[k], pdf["y1"].iloc[k], pdf["x2"].iloc[k], pdf["y2"].iloc[k]],
+                    dtype=np.float32,
+                )
+                wb = ctc_word_boxes(
+                    line_bbox, text, cols, T, float(pdf["wh_ratio"].iloc[k]), float(b)
+                )
+                word_boxes.append([[float(v) for v in box] for box in wb])
+            base = base.copy()
+            base["word_boxes"] = word_boxes
+            yield base
+
+    from .schemas import REC_WORDBOX_SCHEMA
+
+    return crops.mapInPandas(it, schema=REC_WORDBOX_SCHEMA)
+
 
 def detect_crops_df(docs: DataFrame, cfg: ExtractConfig) -> DataFrame:
     """media spans → crops DataFrame (detect stage), from nested docs."""

@@ -44,11 +44,34 @@ CROPS_SCHEMA = T.StructType(
         T.StructField("offset", T.IntegerType(), False),
         T.StructField("media_ref", T.StringType(), False),
         T.StructField("det_idx", T.IntegerType(), False),
+        # zlib-compressed raw grayscale pixels (crops stay compressed
+        # across the shuffle + Arrow boundary — the JPEG-crop principle)
         T.StructField("crop", T.BinaryType(), False),
         T.StructField("crop_h", T.IntegerType(), False),
         T.StructField("crop_w", T.IntegerType(), False),
         T.StructField("wh_ratio", T.FloatType(), False),
         T.StructField("bucket", T.IntegerType(), False),
+        # detection box in upright-page coordinates (word-box geometry)
+        T.StructField("x1", T.FloatType(), False),
+        T.StructField("y1", T.FloatType(), False),
+        T.StructField("x2", T.FloatType(), False),
+        T.StructField("y2", T.FloatType(), False),
+    ]
+)
+
+# recognition output incl. per-character word boxes (return_word_box
+# mode — src/oarocr/ocr.rs:928-1020)
+REC_WORDBOX_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("offset", T.IntegerType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("det_idx", T.IntegerType(), False),
+        T.StructField("text", T.StringType()),
+        T.StructField("confidence", T.FloatType()),
+        T.StructField(
+            "word_boxes", T.ArrayType(T.ArrayType(T.FloatType()))
+        ),
     ]
 )
 

@@ -277,19 +277,30 @@ def _analyze_table(upright: np.ndarray, el: StructureElement, cfg: ExtractConfig
 
 
 def elements_to_markdown(elements: list[StructureElement]) -> str:
-    """Reading-order markdown fold — simplified to_markdown
+    """Reading-order markdown fold — to_markdown
     (domain/structure.rs:471-850): doc_title → '# ', paragraph_title →
-    '## ', figure_title → italic caption, image → figure placeholder,
+    voted heading level (semantic numbering + line-height/indent
+    k-means, structure.rs:118-297), figure_title → italic caption,
+    image → figure placeholder, tables → HTML, formulas → $$…$$,
     header/footer excluded."""
+    from .operators.text_refine import infer_paragraph_title_levels
+
+    title_inputs = [
+        (i, el.bbox, el.num_lines, el.text)
+        for i, el in enumerate(elements)
+        if el.element_type == "paragraph_title"
+    ]
+    title_levels = infer_paragraph_title_levels(title_inputs)
     parts: list[str] = []
-    for el in elements:
+    for i, el in enumerate(elements):
         t = el.element_type
         if t in ("header", "footer", "header_image", "footer_image"):
             continue
         if t == "doc_title":
             parts.append(f"# {el.text}")
         elif t == "paragraph_title":
-            parts.append(f"## {el.text}")
+            level = title_levels.get(i, 2)
+            parts.append(f"{'#' * level} {el.text}")
         elif t == "table":
             if el.html:
                 parts.append(el.html)
