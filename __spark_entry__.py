@@ -569,11 +569,11 @@ with t as (
 ),
 h as (
   select doc_id,
-         cast(len(list_filter(toks, x -> x in ('der','die','das','und','daten','abfrage'))) as int) as hits_de,
-         cast(len(list_filter(toks, x -> x in ('the','a','of','and','query','fast'))) as int) as hits_en,
-         cast(len(list_filter(toks, x -> x in ('el','la','de','y','datos','consulta'))) as int) as hits_es,
-         cast(len(list_filter(toks, x -> x in ('le','la','de','et','données','requête'))) as int) as hits_fr,
-         cast(len(list_filter(toks, x -> x in ('的','是','在','和','数据','查询'))) as int) as hits_zh
+         cast(len(list_intersect(toks, ['der','die','das','und','daten','abfrage'])) as int) as hits_de,
+         cast(len(list_intersect(toks, ['the','a','of','and','query','fast'])) as int) as hits_en,
+         cast(len(list_intersect(toks, ['el','la','de','y','datos','consulta'])) as int) as hits_es,
+         cast(len(list_intersect(toks, ['le','la','de','et','données','requête'])) as int) as hits_fr,
+         cast(len(list_intersect(toks, ['的','是','在','和','数据','查询'])) as int) as hits_zh
   from t
 )
 select doc_id,

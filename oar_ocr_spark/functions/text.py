@@ -73,14 +73,16 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic language guess: per-language cue-token hit counts →
-    argmax (deterministic tiebreak by language code)."""
+    """Heuristic language guess: per-language *distinct* cue-token hit
+    counts → argmax (deterministic tiebreak by language code).
+
+    array_intersect instead of a filter-lambda: HOF lambdas evaluate
+    interpreted (~µs per element — 25s for 5k docs × 5 languages at
+    sf0.1), while array_intersect is a plain codegen'd expression."""
     toks = F.split(F.col(text_col), " ")
 
     def hits(cues: list[str]):
-        # NB: the predicate must be a 1-arg lambda — pyspark passes the
-        # array index as a second argument to 2-arg HOF lambdas
-        return F.size(F.filter(toks, lambda t: t.isin(cues)))
+        return F.size(F.array_intersect(toks, F.array(*[F.lit(c) for c in cues])))
 
     hit_cols = [hits(cues).alias(f"hits_{lang}") for lang, cues in sorted(LANG_CUES.items())]
     scored = df.select("doc_id", *hit_cols)

@@ -131,8 +131,10 @@ def detect_page(img: np.ndarray, cfg: ExtractConfig) -> tuple[np.ndarray, np.nda
     resized, _, _ = resize_for_detection(
         img, cfg.det_limit_side_len, cfg.det_limit_type, cfg.det_max_side_limit
     )
-    heat = detect_heatmap(resized)
-    return cfg.postprocess(heat, src_w=w, src_h=h)
+    # the synthetic DB map is (255−v)/255, so threshold + score run on
+    # the uint8 image directly (no float heatmap — it was the detect
+    # stage's dominant memory traffic; see DBPostProcess.apply_uint8_inverted)
+    return cfg.postprocess.apply_uint8_inverted(resized, src_w=w, src_h=h)
 
 
 def recognize_crop(crop: np.ndarray, cfg: ExtractConfig) -> tuple[str, float]:

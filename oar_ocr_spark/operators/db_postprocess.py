@@ -180,6 +180,38 @@ class DBPostProcess:
             return None
         return np.asarray([x1 - delta, y1 - delta, x2 + delta, y2 + delta], dtype=np.float32)
 
+    def apply_uint8_inverted(
+        self, img: np.ndarray, src_w: int, src_h: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Fast path for the synthetic detector whose probability map is
+        (255 - pixel)/255: thresholds and region means are computed on
+        the uint8 image directly (mask: pixel < 255·(1−thresh); score:
+        (255 − mean(region))/255), skipping the 4-bytes-per-pixel float
+        heatmap — the detect stage's main memory-bandwidth cost at
+        corpus scale. Bit-equivalent decision path: comparisons happen
+        on exact integer pixels, and the score transform is an affine
+        map of the region mean computed in float64 either way."""
+        img = np.asarray(img)
+        # 256-entry LUT reproduces the float32 comparison
+        # (255−v)/255 > thresh exactly, with no float image copy
+        lut = (np.float32(255) - np.arange(256, dtype=np.float32)) / np.float32(255)
+        mask = (lut > np.float32(self.thresh))[img]
+        inv = img  # score regions read the uint8 directly
+
+        def score_fn(box: np.ndarray) -> float:
+            h, w = inv.shape
+            x1, y1, x2, y2 = (float(v) for v in np.asarray(box).reshape(4))
+            min_x = int(np.clip(np.floor(x1), 0, w - 1))
+            max_x = int(np.clip(np.ceil(x2), 0, w - 1))
+            min_y = int(np.clip(np.floor(y1), 0, h - 1))
+            max_y = int(np.clip(np.ceil(y2), 0, h - 1))
+            region = inv[min_y : max_y + 1, min_x : max_x + 1]
+            if not region.size:
+                return 0.0
+            return float((255.0 - float(region.mean())) / 255.0)
+
+        return self._boxes_from_mask(mask, score_fn, src_w, src_h)
+
     def __call__(
         self, pred: np.ndarray, src_w: int, src_h: int
     ) -> tuple[np.ndarray, np.ndarray]:
@@ -190,8 +222,15 @@ class DBPostProcess:
         for the scale-back (db_bitmap.rs:95-97,140-141).
         """
         pred = np.asarray(pred, dtype=np.float32)
-        h, w = pred.shape
         mask = pred > self.thresh  # db_postprocess.rs:196-208
+        return self._boxes_from_mask(
+            mask, lambda box: self.box_score_fast(pred, box), src_w, src_h
+        )
+
+    def _boxes_from_mask(
+        self, mask: np.ndarray, score_fn, src_w: int, src_h: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        h, w = mask.shape
         comps = connected_components_boxes(mask)[: self.max_candidates]
         width_scale = np.float32(src_w) / np.float32(w)
         height_scale = np.float32(src_h) / np.float32(h)
@@ -204,7 +243,7 @@ class DBPostProcess:
             min_side = float(min(mini[2] - mini[0], mini[3] - mini[1]))
             if min_side < self.min_size:  # db_bitmap.rs:110
                 continue
-            score = self.box_score_fast(pred, mini)
+            score = score_fn(mini)
             if score < self.box_thresh:  # db_bitmap.rs:120
                 continue
             unclipped = self.unclip_aabb(mini, self.unclip_ratio)
