@@ -43,6 +43,7 @@ LAYOUT_CLASSES = [
     "footer",          # 6
     "table",           # 7
     "formula",         # 8
+    "seal",            # 9
 ]
 CLASS_ID = {c: i for i, c in enumerate(LAYOUT_CLASSES)}
 
@@ -159,6 +160,13 @@ def structure_page_truth(media_ref: str) -> StructurePageTruth:
                     margin, y, "text", [_text_for(rng, int(rng.integers(4, 10))) for _ in range(n_lines)], body_w
                 )
                 y = el.y2 + 12
+
+    if rng.random() < 0.25:  # seal: stacked short lines, poly-sorted
+        n_lines = int(rng.integers(2, 4))
+        el = add_element(
+            margin, y + 6, "seal", [_text_for(rng, 4) for _ in range(n_lines)], 160
+        )
+        y = el.y2 + 8
 
     if rng.random() < 0.5:  # footer
         el = add_element(margin, y + 8, "footer", [_text_for(rng, 5)], body_w)

@@ -179,7 +179,10 @@ def extract_structure_page(
         area = max((ob[2] - ob[0]) * (ob[3] - ob[1]), 1.0)
         covered = False
         for el in elements:
-            if el.element_type not in ("image", "table"):
+            # tables/seals recognize their own content (text-in-table
+            # suppression stitching.rs:229-247; seal-overlap marking
+            # stitching.rs:155-163); image-covered text is dropped
+            if el.element_type not in ("image", "table", "seal"):
                 continue
             iw = max(min(ob[2], el.bbox[2]) - max(ob[0], el.bbox[0]), 0.0)
             ih = max(min(ob[3], el.bbox[3]) - max(ob[1], el.bbox[1]), 0.0)
@@ -208,11 +211,20 @@ def extract_structure_page(
         if el.element_type == "table":
             el.html = _analyze_table(upright, el, cfg)
 
-    # per-element text join (stitching.rs:1814-2000)
+    # seal analysis (structure.rs:2009-2075): crop the seal region, run
+    # poly-mode detection (sort_poly_boxes — y_min only,
+    # sorting.rs:100-118), recognize, translate boxes back by the crop
+    # offset, join texts
+    for el in elements:
+        if el.element_type == "seal":
+            el.text = _analyze_seal(upright, el, cfg)
+
+    # per-element text join (stitching.rs:1814-2000); seals keep their
+    # poly-ordered join from _analyze_seal (EXCLUDED_FROM_OCR semantics)
     scfg = StitchConfig()
     for el in elements:
         el.num_lines = max(len(el.ocr_texts), 1)
-        if el.ocr_texts:
+        if el.ocr_texts and el.element_type not in EXCLUDED_FROM_OCR_LABELS:
             el.text = sort_and_join_texts(
                 np.stack(el.ocr_boxes), el.ocr_texts, container_bbox=el.bbox, cfg=scfg
             )
@@ -274,6 +286,40 @@ def _analyze_table(upright: np.ndarray, el: StructureElement, cfg: ExtractConfig
         else:
             cell_texts.append(None)
     return wrap_table_html_with_content(tokens, cell_texts)
+
+
+def _analyze_seal(upright: np.ndarray, el: StructureElement, cfg: ExtractConfig) -> str:
+    """Seal subtree (structure.rs:2009-2075): crop → seal text detection
+    → sort_poly_boxes order → recognize → boxes translated back by the
+    crop offset (geometry.rs:109) → space-joined text."""
+    from .operators.geometry import translate_boxes
+    from .operators.sorting import sort_poly_boxes
+
+    h, w = upright.shape
+    x1 = max(int(el.bbox[0]), 0)
+    y1 = max(int(el.bbox[1]), 0)
+    x2 = min(int(el.bbox[2]), w)
+    y2 = min(int(el.bbox[3]), h)
+    crop = upright[y1:y2, x1:x2]
+    if crop.size == 0:
+        return ""
+    boxes, _s = detect_page(crop, cfg)
+    if len(boxes) == 0:
+        return ""
+    order = sort_poly_boxes(boxes)
+    texts: list[str] = []
+    page_boxes = translate_boxes(boxes, x1, y1)  # back to page coords
+    for i in order:
+        bx1, by1, bx2, by2 = (int(v) for v in boxes[i])
+        sub = crop[max(by1, 0) : min(by2, crop.shape[0]), max(bx1, 0) : min(bx2, crop.shape[1])]
+        if sub.size == 0:
+            continue
+        t, _c = recognize_crop(sub, cfg)
+        if t:
+            texts.append(t)
+    el.ocr_boxes = [page_boxes[i] for i in order]
+    el.ocr_texts = list(texts)
+    return " ".join(texts)
 
 
 def elements_to_markdown(elements: list[StructureElement]) -> str:
