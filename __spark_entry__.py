@@ -328,6 +328,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q = emb.where(F.col("vec_id") % 50 == 0)
         return S.lsh_ann(emb, q, dim=64, k=5, n_bits=6)
 
+    def q_embedding_near_dup(spark):
+        # embedding-cosine near-dup pairs: top-5 neighborhood filtered
+        # by similarity, emitted once per unordered pair
+        emb = spark.table("embeddings")
+        knn = S.knn_bruteforce(emb, emb, k=5)
+        return knn.where(
+            (F.col("cosine") >= 0.3) & (F.col("query_id") < F.col("neighbor_id"))
+        ).select(
+            F.col("query_id").alias("vec_a"),
+            F.col("neighbor_id").alias("vec_b"),
+            "cosine",
+        )
+
     def q_media_decode(spark):
         refs = (
             derived_spans_df(spark)
@@ -411,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": with_views(q_minhash_bands),
         "ngram_jaccard": with_views(q_ngram_jaccard),
         "knn_bruteforce": with_views(q_knn),
+        "embedding_near_dup": with_views(q_embedding_near_dup),
         "simhash": with_views(q_simhash),
         "lsh_ann": with_views(q_lsh_ann),
         "media_decode_stats": with_views(q_media_decode),
@@ -633,6 +647,23 @@ ranked as (
 )
 select query_id, neighbor_id, cosine, cast(rank as int) as rank
 from ranked where rank <= 5
+""",
+        "embedding_near_dup": """
+with pairs as (
+  select q.vec_id as query_id, e.vec_id as neighbor_id,
+         list_sum(list_transform(list_zip(q.embedding, e.embedding),
+                  x -> cast(x[1] as double) * cast(x[2] as double))) /
+         (sqrt(list_sum(list_transform(q.embedding, v -> cast(v as double)*cast(v as double)))) *
+          sqrt(list_sum(list_transform(e.embedding, v -> cast(v as double)*cast(v as double))))) as cos
+  from embeddings q, embeddings e where e.vec_id != q.vec_id
+),
+ranked as (
+  select query_id, neighbor_id, round(cos, 4) as cosine,
+         row_number() over (partition by query_id order by round(cos, 6) desc, neighbor_id) as rank
+  from pairs
+)
+select query_id as vec_a, neighbor_id as vec_b, cosine
+from ranked where rank <= 5 and cosine >= 0.3 and query_id < neighbor_id
 """,
         "extraction_text_only": f"""
 with spans as ({span_cte})

@@ -145,8 +145,21 @@ def extract_structure_page(
                 max(int(el.bbox[0]), 0) : min(int(el.bbox[2]), w),
             ] = 255
 
-    # overall OCR over the full (masked) page
+    # overall OCR over the full (masked) page, with cross-layout box
+    # splitting: detection boxes spanning ≥2 text-bearing containers
+    # are split at container boundaries before recognition
+    # (structure.rs:2230-2322 / 3008-3052)
+    from .operators.text_refine import (
+        CROSS_SPLIT_CONTAINER_TYPES,
+        split_cross_layout_boxes,
+    )
+
     ocr_boxes, _s = detect_page(ocr_input, cfg)
+    containers = [
+        el.bbox for el in elements if el.element_type in CROSS_SPLIT_CONTAINER_TYPES
+    ]
+    if len(ocr_boxes) and containers:
+        ocr_boxes = split_cross_layout_boxes(ocr_boxes, np.stack(containers))
     matched = [False] * len(ocr_boxes)
     for k, ob in enumerate(ocr_boxes):
         for el in elements:
