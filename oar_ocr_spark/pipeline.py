@@ -381,4 +381,7 @@ def extract_spans(
             "media_ref",
         )
     )
-    return assemble_results(spans_flat, text_spans, media_results)
+    # doc-id preservation reads the input directly — a doc_id-only
+    # pruned scan instead of re-running the explode (plan audit:
+    # ReadSchema shrinks to one column on parquet inputs)
+    return assemble_results(docs.select("doc_id"), text_spans, media_results)
