@@ -312,6 +312,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_minhash_bands(spark):
         return D.minhash_band_hashes(docs_tbl(spark), n_hashes=8, n_bands=2, k=3)
 
+    def q_minhash_candidates(spark):
+        bands = D.minhash_band_hashes(docs_tbl(spark), n_hashes=8, n_bands=2, k=3)
+        return D.minhash_candidates(bands)
+
     def q_ngram_jaccard(spark):
         return D.ngram_jaccard_pairs(docs_tbl(spark), k=3, threshold=0.2)
 
@@ -422,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": with_views(q_lang_id),
         "doc_fingerprint": with_views(q_fingerprint),
         "minhash_bands": with_views(q_minhash_bands),
+        "minhash_candidates": with_views(q_minhash_candidates),
         "ngram_jaccard": with_views(q_ngram_jaccard),
         "knn_bruteforce": with_views(q_knn),
         "embedding_near_dup": with_views(q_embedding_near_dup),
@@ -614,6 +619,23 @@ sig as (
 select doc_id, cast(seed//4 as int) as band_id,
        md5(string_agg(mh, '|' order by seed)) as band_hash
 from sig group by doc_id, seed//4
+""",
+        "minhash_candidates": f"""
+{shingles_cte},
+sig as (
+  select doc_id, h.seed, min(md5(cast(h.seed as varchar) || '#' || sh)) as mh
+  from shingles, unnest(range(8)) as h(seed)
+  group by doc_id, h.seed
+),
+bands as (
+  select doc_id, cast(seed//4 as int) as band_id,
+         md5(string_agg(mh, '|' order by seed)) as band_hash
+  from sig group by doc_id, seed//4
+)
+select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_shared_bands
+from bands a join bands b
+  on a.band_id = b.band_id and a.band_hash = b.band_hash and a.doc_id < b.doc_id
+group by a.doc_id, b.doc_id
 """,
         "ngram_jaccard": f"""
 {shingles_cte},
