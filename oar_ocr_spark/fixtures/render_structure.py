@@ -44,6 +44,7 @@ LAYOUT_CLASSES = [
     "table",           # 7
     "formula",         # 8
     "seal",            # 9
+    "region",          # 10 (PP-DocBlockLayout grouping blocks)
 ]
 CLASS_ID = {c: i for i, c in enumerate(LAYOUT_CLASSES)}
 
@@ -106,6 +107,7 @@ def structure_page_truth(media_ref: str) -> StructurePageTruth:
     if two_col:
         col_w = (body_w - 24) // 2
         col_y = [y, y]
+        col_top = y
         for b in range(n_blocks * 2):
             col = b % 2
             x1 = margin + col * (col_w + 24)
@@ -126,6 +128,17 @@ def structure_page_truth(media_ref: str) -> StructurePageTruth:
                 )
                 col_y[col] = el.y2 + 12
         y = max(col_y)
+        # PP-DocBlockLayout-style region blocks: one grouping box per
+        # column, enclosing its members with 4px clearance
+        for col in range(2):
+            if col_y[col] > col_top:
+                x1 = margin + col * (col_w + 24)
+                elements.append(
+                    ElementTruth(
+                        x1 - 4, col_top - 4, x1 + col_w + 4, col_y[col] - 12 + 4,
+                        "region", [], 1,
+                    )
+                )
     else:
         for _b in range(n_blocks):
             kind = rng.random()

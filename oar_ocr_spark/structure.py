@@ -50,6 +50,7 @@ class StructureElement:
     text: str = ""
     num_lines: int = 1
     order_index: int = 0
+    region_index: int = -1  # PP-DocBlockLayout membership (-1 = none)
     html: str = ""  # tables: assembled HTML (structure.rs TableResult)
     ocr_boxes: list = field(default_factory=list)
     ocr_texts: list = field(default_factory=list)
@@ -95,6 +96,16 @@ def extract_structure_page(
 
     boxes, classes, scores = detect_layout(upright)
     labels = [LAYOUT_CLASSES[int(c)] for c in classes]
+    # PP-DocBlockLayout region blocks live beside the element list
+    # (domain/structure.rs RegionBlock) — they never enter the element
+    # threshold/NMS/dedupe chain
+    region_boxes = np.stack(
+        [boxes[i] for i in range(len(boxes)) if labels[i] == "region"]
+    ) if any(lb == "region" for lb in labels) else np.empty((0, 4), dtype=np.float32)
+    keep = [i for i in range(len(boxes)) if labels[i] != "region"]
+    boxes, classes, scores = boxes[keep], classes[keep], scores[keep]
+    labels = [LAYOUT_CLASSES[int(c)] for c in classes]
+
     keep = filter_by_class_thresholds(labels, scores)
     boxes, classes, scores = boxes[keep], classes[keep], scores[keep]
     labels = [LAYOUT_CLASSES[int(c)] for c in classes]
@@ -108,6 +119,18 @@ def extract_structure_page(
         for i in range(len(boxes))
         if i not in dropped
     ]
+
+    # region membership: best IoA ≥ 0.1 (REGION_MEMBERSHIP_IOA_THRESHOLD,
+    # structure.rs:44, assign logic :2109-2168)
+    if len(region_boxes) and elements:
+        from .operators.geometry import overlap_ratio
+
+        el_boxes = np.stack([el.bbox for el in elements])
+        ratios = overlap_ratio(el_boxes, region_boxes)  # (N_el, N_rg)
+        best = ratios.argmax(axis=1)
+        best_val = ratios[np.arange(len(elements)), best]
+        for i, el in enumerate(elements):
+            el.region_index = int(best[i]) if best_val[i] >= 0.1 else -1
 
     # formula recognition (structure.rs:1914-2007; synthetic
     # PP-FormulaNet stand-in: decode the glyph content, emit latex)
