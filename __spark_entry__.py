@@ -333,10 +333,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return S.lsh_ann(emb, q, dim=64, k=5, n_bits=6)
 
     def q_embedding_near_dup(spark):
-        # embedding-cosine near-dup pairs: top-5 neighborhood filtered
-        # by similarity, emitted once per unordered pair
+        # embedding-cosine near-dup pairs: exact top-5 neighborhood
+        # filtered by similarity, emitted once per unordered pair.
+        # Exact all-pairs KNN via the distributed block-pair self-join
+        # (no driver collect; bounded per-task matmuls) — measured
+        # qualifying pairs sit at cosine≈0.3 where hyperplane LSH
+        # recall is ~5%/table, so the approximate path cannot match
+        # the exact oracle (see functions/similarity.py docstring).
         emb = spark.table("embeddings")
-        knn = S.knn_bruteforce(emb, emb, k=5)
+        knn = S.knn_self_join(emb, k=5, n_blocks=8)
         return knn.where(
             (F.col("cosine") >= 0.3) & (F.col("query_id") < F.col("neighbor_id"))
         ).select(

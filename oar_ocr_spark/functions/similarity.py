@@ -2,13 +2,32 @@
 
 - cosine(): JVM-side column expression (zip_with + aggregate in double
   precision) — no Python in the hot path.
-- knn_bruteforce(): exact top-k by cosine for a set of query vectors;
-  the baseline. Query side is broadcast (small), so the scan side
-  streams once with no shuffle.
+- knn_bruteforce(): exact top-k by cosine for a SMALL set of query
+  vectors (capped, asserted). Query side is broadcast, so the scan
+  side streams once with no shuffle.
+- knn_self_join(): exact all-pairs top-k WITHOUT any driver collect —
+  block-pair grouping: both sides are bucketed into n_blocks, every
+  (query-block, pool-block) pair becomes one applyInPandas group whose
+  task runs a bounded matmul and emits only its local top-k. Shuffle
+  volume is 2·N·n_blocks rows; peak task memory is two blocks. Exact
+  KNN is inherently O(N²) flops — this distributes and memory-bounds
+  it; the *approximate* scale path for huge N is lsh_ann().
 - lsh_ann(): random-hyperplane LSH — sign-bit bucket per vector
   (vectorized pandas UDF; hyperplanes derived from a fixed seed), then
   candidates restricted to same-bucket (or near-bucket) vectors: the
   scale path, turning O(N·Q) into O(N·Q/2^bits) with an equi-join.
+
+Why near-dup is NOT routed through lsh_ann: measured on the synthetic
+embeddings, qualifying near-dup pairs sit at cosine ≈ 0.30, where a
+hyperplane bit agrees with probability 1-acos(0.3)/π ≈ 0.60, i.e. a
+6-bit table retains ≈4.5% of true pairs — no sane (bits, tables)
+setting reaches the exact-recall the oracle gate demands. Exactness
+at low thresholds requires the all-pairs scan; knn_self_join makes
+that scan distributed and bounded instead of a driver collect.
+
+All rankings use one total order — (round(cos, 6) DESC, neighbor_id
+ASC) — applied identically in local partition pruning and the global
+window, so results are partition-invariant under ties.
 """
 
 from __future__ import annotations
@@ -19,7 +38,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["cosine", "knn_bruteforce", "lsh_bucket_df", "lsh_ann"]
+__all__ = ["cosine", "knn_bruteforce", "knn_self_join", "lsh_bucket_df", "lsh_ann"]
+
+#: knn_bruteforce broadcasts its query matrix to every task; above this
+#: many queries the broadcast + per-task matmul stops being the right
+#: shape (use knn_self_join or lsh_ann instead) — fail loudly.
+MAX_BRUTEFORCE_QUERIES = 8192
+
+
+def _local_topk(ids: np.ndarray, col: np.ndarray, self_id, k: int):
+    """Indices of the local top-k under the global total order
+    (round(cos,6) desc, neighbor_id asc), excluding the self match.
+    Using the same order locally and globally keeps tied candidates
+    (duplicate embeddings — the key near-dup case) partition-invariant.
+    """
+    order = np.lexsort((ids, -np.round(col, 6)))
+    out = []
+    for j in order:
+        if ids[j] == self_id:
+            continue
+        out.append(j)
+        if len(out) == k:
+            break
+    return out
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -42,7 +83,7 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each query vector.
+    """Exact top-k cosine neighbors for each query vector (small Q).
 
     Output: query_id, neighbor_id, cosine (4dp), rank.
 
@@ -51,13 +92,21 @@ def knn_bruteforce(
     its embedding block and emits only its local top-k per query
     (Arrow-batched pandas UDF — the interpreted per-pair HOF dot
     product was ~50× slower); the global top-k merge is a tiny
-    groupBy over Q·k·partitions rows. Ranking ties break on rounded
-    similarity then neighbor_id for determinism.
+    window over Q·k·partitions rows. Raises if Q exceeds
+    MAX_BRUTEFORCE_QUERIES — a full-table query side must go through
+    knn_self_join (exact) or lsh_ann (approximate) instead.
     """
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
+    q_count = queries.count()
+    if q_count > MAX_BRUTEFORCE_QUERIES:
+        raise ValueError(
+            f"knn_bruteforce got {q_count} queries (> {MAX_BRUTEFORCE_QUERIES}); "
+            "broadcasting that many vectors to every task is the wrong plan — "
+            "use knn_self_join (exact, distributed) or lsh_ann (approximate)."
+        )
     qrows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).collect()
     if not qrows:
         return embeddings.sparkSession.createDataFrame(
@@ -87,13 +136,9 @@ def knn_bruteforce(
             Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
             sims = Mn @ Qn_b.T  # (B, Q)
             out_q, out_n, out_c = [], [], []
-            top = min(len(ids), k + 1)  # +1 covers the self-match drop
             for qi in range(len(q_ids_b)):
                 col = sims[:, qi]
-                part = np.argpartition(-col, top - 1)[:top] if top < len(ids) else np.arange(len(ids))
-                for j in part:
-                    if ids[j] == q_ids_b[qi]:
-                        continue
+                for j in _local_topk(ids, col, q_ids_b[qi], k):
                     out_q.append(q_ids_b[qi])
                     out_n.append(ids[j])
                     out_c.append(float(col[j]))
@@ -102,6 +147,104 @@ def knn_bruteforce(
     local = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev")
     ).mapInPandas(it, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def knn_self_join(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs top-k cosine self-join — distributed, bounded,
+    no driver collect.
+
+    Shape: every vector gets a hash block in [0, n_blocks); the query
+    side is replicated across all pool blocks and the pool side across
+    all query blocks (shuffle volume 2·N·n_blocks rows), so each of
+    the n_blocks² applyInPandas groups holds exactly one query block ×
+    one pool block and runs a single bounded matmul, emitting only its
+    local top-k per query under the global total order. A final window
+    merges n_blocks local winners per query. Peak task memory is two
+    blocks of N/n_blocks vectors — size n_blocks so a block fits an
+    executor; work is the inherent O(N²) flops of exact KNN, spread
+    over n_blocks² independent tasks.
+
+    Output schema matches knn_bruteforce:
+    query_id, neighbor_id, cosine (4dp), rank.
+    """
+    from pyspark.sql import Window
+
+    spark = embeddings.sparkSession
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    peers = spark.range(n_blocks).select(F.col("id").cast("int").alias("peer"))
+    qside = e.crossJoin(F.broadcast(peers)).select(
+        F.col("blk").alias("qblk"),
+        F.col("peer").alias("pblk"),
+        "vid",
+        "v",
+        F.lit(True).alias("is_q"),
+    )
+    pside = e.crossJoin(F.broadcast(peers)).select(
+        F.col("peer").alias("qblk"),
+        F.col("blk").alias("pblk"),
+        "vid",
+        "v",
+        F.lit(False).alias("is_q"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("neighbor_id", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+
+    def block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf[pdf["is_q"]]
+        p = pdf[~pdf["is_q"]]
+        if q.empty or p.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cos": []}).astype(
+                {"query_id": "int64", "neighbor_id": "int64", "cos": "float64"}
+            )
+        Qm = np.stack(q["v"].to_numpy()).astype(np.float64)
+        Pm = np.stack(p["v"].to_numpy()).astype(np.float64)
+        Qn = Qm / np.linalg.norm(Qm, axis=1, keepdims=True)
+        Pn = Pm / np.linalg.norm(Pm, axis=1, keepdims=True)
+        sims = Qn @ Pn.T  # (q, p)
+        qids = q["vid"].to_numpy()
+        pids = p["vid"].to_numpy()
+        out_q, out_n, out_c = [], [], []
+        for qi in range(len(qids)):
+            col = sims[qi]
+            for j in _local_topk(pids, col, qids[qi], k):
+                out_q.append(qids[qi])
+                out_n.append(pids[j])
+                out_c.append(float(col[j]))
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cos": out_c})
+
+    local = (
+        qside.unionByName(pside)
+        .groupBy("qblk", "pblk")
+        .applyInPandas(block_pair, schema=schema)
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cos"), 6).desc(), F.col("neighbor_id")
     )

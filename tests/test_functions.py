@@ -98,6 +98,44 @@ def test_knn_bruteforce_matches_numpy(spark, emb):
         assert [int(e) for e in exp] == got_ids
 
 
+def test_knn_self_join_matches_bruteforce(spark, emb):
+    # exact distributed self-join must equal the broadcast brute force
+    # with the full table as queries (same total order, incl. ties)
+    brute = S.knn_bruteforce(emb, emb, k=3).collect()
+    sj = S.knn_self_join(emb, k=3, n_blocks=4).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    b = {key(r): (r["neighbor_id"], r["cosine"]) for r in brute}
+    s = {key(r): (r["neighbor_id"], r["cosine"]) for r in sj}
+    assert b == s
+
+
+def test_knn_self_join_tie_partition_invariant(spark):
+    # duplicate embeddings (cosine ties) must resolve by neighbor_id
+    # regardless of block assignment — the ADVICE round-1 finding
+    vec = [1.0, 0.0, 0.0, 0.0]
+    rows = [(int(i), vec) for i in range(10)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    for nb in (2, 3, 7):
+        out = {}
+        for r in S.knn_self_join(df, k=3, n_blocks=nb).collect():
+            out.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+        for qid, ranked in out.items():
+            expect = [n for n in range(3 + (qid < 3)) if n != qid][:3]
+            assert [n for _, n in sorted(ranked)] == expect, (nb, qid)
+
+
+def test_knn_bruteforce_query_cap(spark, emb):
+    import pytest as _pytest
+
+    old = S.MAX_BRUTEFORCE_QUERIES
+    S.MAX_BRUTEFORCE_QUERIES = 5
+    try:
+        with _pytest.raises(ValueError, match="knn_self_join"):
+            S.knn_bruteforce(emb, emb, k=3).collect()
+    finally:
+        S.MAX_BRUTEFORCE_QUERIES = old
+
+
 def test_lsh_ann_recall_against_bruteforce(spark, emb):
     q = emb.where(F.col("vec_id") < 5)
     brute = S.knn_bruteforce(emb, q, k=3).collect()
