@@ -5,8 +5,8 @@ entry(spark)   — flagship: full extraction DAG over interleaved docs
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  the training-data ops); each takes (spark, sf_dir).
 oracle_sql()   — DuckDB-equivalent SQL per query (omitted only for ops
-                 DuckDB cannot express: the OCR pipeline itself,
-                 simhash bit-packing, LSH bucketing, media decode).
+                 DuckDB cannot express: the OCR/layout pipelines
+                 themselves and the media-decode codec seam).
 
 The interleaved documents table (BASELINE.json input_hint shape) is
 derived deterministically from the driver's plain `documents` table by
@@ -317,7 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.minhash_candidates(bands)
 
     def q_ngram_jaccard(spark):
-        return D.ngram_jaccard_pairs(docs_tbl(spark), k=3, threshold=0.2)
+        return D.ngram_jaccard_pairs(docs_tbl(spark), k=3, threshold=0.2, max_df=1000)
 
     def q_knn(spark):
         emb = spark.table("embeddings")
@@ -328,9 +328,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.simhash_df(docs_tbl(spark))
 
     def q_lsh_ann(spark):
+        # axis-plane flavor: bucketing is pure Catalyst and SQL-
+        # expressible, so the whole ANN query is oracle-checked
+        # (the random-hyperplane flavor stays recall-tested in pytest)
         emb = spark.table("embeddings")
         q = emb.where(F.col("vec_id") % 50 == 0)
-        return S.lsh_ann(emb, q, dim=64, k=5, n_bits=6)
+        return S.lsh_ann(emb, q, dim=64, k=5, n_bits=6, n_tables=4, planes="axis")
+
+    def q_knn_self_join(spark):
+        # exact full-table top-5 neighbors, distributed block-pair shape
+        emb = spark.table("embeddings")
+        return S.knn_self_join(emb, k=5, n_blocks=8)
 
     def q_embedding_near_dup(spark):
         # embedding-cosine near-dup pairs: exact top-5 neighborhood
@@ -434,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": with_views(q_minhash_candidates),
         "ngram_jaccard": with_views(q_ngram_jaccard),
         "knn_bruteforce": with_views(q_knn),
+        "knn_self_join": with_views(q_knn_self_join),
         "embedding_near_dup": with_views(q_embedding_near_dup),
         "simhash": with_views(q_simhash),
         "lsh_ann": with_views(q_lsh_ann),
@@ -458,6 +467,18 @@ def oracle_sql() -> dict[str, str]:
         for lbl, canon in sorted(LABEL_TO_TYPE.items())
     )
     span_cte = SPAN_DERIVATION_DUCKDB.strip().rstrip()
+    # axis-plane LSH buckets (must mirror similarity.axis_bucket_df)
+    _n_bits, _n_tables = 6, 4
+    _bucket_selects = " union all ".join(
+        "select vec_id, {t} as table_id, cast({bits} as int) as bucket from embeddings".format(
+            t=t,
+            bits=" + ".join(
+                f"(case when embedding[{t*_n_bits+i+1}] > 0 then {1 << i} else 0 end)"
+                for i in range(_n_bits)
+            ),
+        )
+        for t in range(_n_tables)
+    )
     shingles_cte = """
 with words as (
   select cast(doc_id as varchar) as doc_id, string_split(text, ' ') as w from documents
@@ -644,10 +665,14 @@ group by a.doc_id, b.doc_id
 """,
         "ngram_jaccard": f"""
 {shingles_cte},
-sizes as (select doc_id, count(*) as n_sh from shingles group by doc_id),
+sh_df as (select sh, count(*) as df_sh from shingles group by sh),
+kept as (
+  select s.doc_id, s.sh from shingles s join sh_df using (sh) where df_sh <= 1000
+),
+sizes as (select doc_id, count(*) as n_sh from kept group by doc_id),
 inter as (
   select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_inter
-  from shingles a join shingles b on a.sh = b.sh and a.doc_id < b.doc_id
+  from kept a join kept b on a.sh = b.sh and a.doc_id < b.doc_id
   group by a.doc_id, b.doc_id
 )
 select doc_a, doc_b,
@@ -666,6 +691,23 @@ pairs as (
          (sqrt(list_sum(list_transform(q.embedding, v -> cast(v as double)*cast(v as double)))) *
           sqrt(list_sum(list_transform(e.embedding, v -> cast(v as double)*cast(v as double))))) as cos
   from q, embeddings e where e.vec_id != q.vec_id
+),
+ranked as (
+  select query_id, neighbor_id, round(cos, 4) as cosine,
+         row_number() over (partition by query_id order by round(cos, 6) desc, neighbor_id) as rank
+  from pairs
+)
+select query_id, neighbor_id, cosine, cast(rank as int) as rank
+from ranked where rank <= 5
+""",
+        "knn_self_join": """
+with pairs as (
+  select q.vec_id as query_id, e.vec_id as neighbor_id,
+         list_sum(list_transform(list_zip(q.embedding, e.embedding),
+                  x -> cast(x[1] as double) * cast(x[2] as double))) /
+         (sqrt(list_sum(list_transform(q.embedding, v -> cast(v as double)*cast(v as double)))) *
+          sqrt(list_sum(list_transform(e.embedding, v -> cast(v as double)*cast(v as double))))) as cos
+  from embeddings q, embeddings e where e.vec_id != q.vec_id
 ),
 ranked as (
   select query_id, neighbor_id, round(cos, 4) as cosine,
@@ -710,8 +752,54 @@ select * from (values
 {label_values}
 ) as t(label, canonical, category, should_ocr)
 """,
-        # no oracle (rows-only driver check): simhash (bit packing),
-        # lsh_ann (hyperplane model), media_decode_stats (codec),
+        "simhash": """
+with toks as (
+  select cast(doc_id as varchar) as doc_id, unnest(string_split(text, ' ')) as tok
+  from documents
+),
+hashed as (
+  select doc_id, ('0x' || substr(md5(tok), 1, 16))::ubigint as h from toks
+),
+votes as (
+  select doc_id, b.bit,
+         sum(case when (h >> b.bit) & 1 = 1 then 1 else 0 end) as ones,
+         count(*) as n
+  from hashed, (select unnest(range(64)) as bit) b
+  group by doc_id, b.bit
+)
+select doc_id,
+       cast(sum(case when 2*ones > n then
+             case when bit = 63 then -9223372036854775807 - 1
+                  else (1::bigint << bit) end
+           else 0 end) as bigint) as simhash
+from votes group by doc_id
+""",
+        "lsh_ann": f"""
+with buckets as ({_bucket_selects}),
+cand as (
+  select distinct q.vec_id as query_id, e.vec_id as neighbor_id
+  from buckets e join buckets q on e.table_id = q.table_id and e.bucket = q.bucket
+  where q.vec_id % 50 = 0 and e.vec_id != q.vec_id
+),
+pairs as (
+  select c.query_id, c.neighbor_id,
+         list_sum(list_transform(list_zip(q.embedding, e.embedding),
+                  x -> cast(x[1] as double) * cast(x[2] as double))) /
+         (sqrt(list_sum(list_transform(q.embedding, v -> cast(v as double)*cast(v as double)))) *
+          sqrt(list_sum(list_transform(e.embedding, v -> cast(v as double)*cast(v as double))))) as cos
+  from cand c
+  join embeddings e on e.vec_id = c.neighbor_id
+  join embeddings q on q.vec_id = c.query_id
+),
+ranked as (
+  select query_id, neighbor_id, round(cos, 4) as cosine,
+         row_number() over (partition by query_id order by round(cos, 6) desc, neighbor_id) as rank
+  from pairs
+)
+select query_id, neighbor_id, cosine, cast(rank as int) as rank
+from ranked where rank <= 5
+""",
+        # no oracle (rows-only driver check): media_decode_stats (codec),
         # extraction_e2e and structure_extract (the OCR/layout pipelines
         # themselves — covered by the golden pytest gate instead)
     }

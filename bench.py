@@ -143,8 +143,15 @@ def main() -> None:
     extract_spans(spark, E.interleaved_docs_df(spark).limit(24)).count()
 
     queries: dict[str, float] = {}
+    # per-query best-of-N (default 2): one-off session noise (GC, JIT,
+    # page-cache misses) cannot distort the official round figure —
+    # steady-state = min of warmed in-session trials (CLAUDE.md)
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
 
     t_ex, n_docs, n_spans = run_extraction(spark, SF_DIR)
+    for _ in range(trials - 1):
+        t2, _, _ = run_extraction(spark, SF_DIR)
+        t_ex = min(t_ex, t2)
     queries["extraction_e2e"] = round(t_ex, 3)
 
     qs = E.queries()
@@ -162,11 +169,17 @@ def main() -> None:
         "quality_score",
         "lang_id",
         "knn_bruteforce",
+        "knn_self_join",
+        "embedding_near_dup",
         "lsh_ann",
     ]:
-        t0 = time.time()
-        qs[name](spark, SF_DIR).count()
-        queries[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(trials):
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
 
     result = {
         "metric": "end-to-end span extraction + analytics suite wall time",

@@ -112,11 +112,33 @@ def minhash_candidates(band_hashes: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str = "text", k: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
-    Output: doc_a < doc_b, jaccard (rounded 4dp), filtered ≥ threshold."""
-    sh = shingle_df(df, text_col, k).cache()
+    Output: doc_a < doc_b, jaccard (rounded 4dp), filtered ≥ threshold.
+
+    Skew guard: shingles appearing in more than `max_df` documents are
+    dropped from the corpus before the self-join (standard document-
+    frequency cap) — a boilerplate shingle shared by d documents would
+    otherwise contribute d² rows to one join key, a single-key skew
+    bomb at corpus scale. The drop list is tiny by construction, so it
+    is applied as a broadcast anti-join (no extra shuffle of the
+    shingle table); Jaccard is then exact over the surviving shingle
+    universe. The threshold filters the RAW ratio (rounding happens
+    only in the final projection) so the predicate matches the SQL
+    oracle's exactly."""
+    sh_all = shingle_df(df, text_col, k)
+    heavy = (
+        sh_all.groupBy("sh")
+        .agg(F.count("*").alias("df_sh"))
+        .where(F.col("df_sh") > max_df)
+        .select("sh")
+    )
+    sh = sh_all.join(F.broadcast(heavy), "sh", "left_anti").cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")
@@ -125,17 +147,12 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )
+    raw = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     out = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 4).alias(
-                "jaccard"
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
+        .where(raw >= threshold)
+        .select("doc_a", "doc_b", F.round(raw, 4).alias("jaccard"))
     )
     return out
 
@@ -149,27 +166,45 @@ _SIMHASH_SCHEMA = T.StructType(
 
 
 def _simhash_batch(doc_ids: pd.Series, texts: pd.Series) -> pd.DataFrame:
-    """Vectorized 64-bit SimHash: per token md5 → 64 bits, weighted
-    majority vote per bit position."""
-    import hashlib
+    """Vectorized 64-bit SimHash over an Arrow batch.
 
-    out = np.zeros(len(texts), dtype=np.int64)
-    for row_i, text in enumerate(texts):
-        toks = (text or "").split(" ")
-        if not toks:
-            continue
-        bits = np.zeros((len(toks), 64), dtype=np.int8)
-        for ti, tok in enumerate(toks):
-            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-            bits[ti] = [(h >> b) & 1 for b in range(64)]
-        vote = bits.sum(axis=0) * 2 - len(toks)  # >0 → bit set
-        sh = 0
-        for b in range(64):
-            if vote[b] > 0:
-                sh |= 1 << b
-        # two's-complement into int64
-        out[row_i] = np.int64(np.uint64(sh).astype(np.int64))
-    return pd.DataFrame({"doc_id": doc_ids.astype(str), "simhash": out})
+    h(token) = first 8 bytes of md5, big-endian; signature bit b is set
+    iff more than half the token occurrences have bit b set (weighted
+    majority vote, weight = occurrence count).
+
+    Vectorization: tokens of the whole batch are factorized so each
+    unique token is hashed once; bit unpacking, the per-document vote
+    (np.add.reduceat over the row-contiguous token matrix), and the
+    bit packing are all single numpy expressions — no per-token Python
+    in the common path (the round-1 version looped per token per row).
+    """
+    import hashlib
+    import itertools
+
+    tok_lists = [(t or "").split(" ") for t in texts]
+    lens = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    flat = np.array(list(itertools.chain.from_iterable(tok_lists)), dtype=object)
+    if len(flat) == 0:
+        return pd.DataFrame(
+            {"doc_id": doc_ids.astype(str), "simhash": np.zeros(len(texts), np.int64)}
+        )
+    codes, uniques = pd.factorize(flat)
+    h_u = np.fromiter(
+        (int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8], "big") for u in uniques),
+        dtype=np.uint64,
+        count=len(uniques),
+    )
+    bit_pos = np.arange(64, dtype=np.uint64)
+    bits_u = ((h_u[:, None] >> bit_pos) & np.uint64(1)).astype(np.int64)  # (U, 64)
+    tok_bits = bits_u[codes]  # (T, 64), rows contiguous per document
+    starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    # every text yields >=1 token ("".split(" ") == [""]), so reduceat
+    # segment starts are strictly increasing and each segment is one doc
+    ones = np.add.reduceat(tok_bits, starts, axis=0)  # (D, 64)
+    vote_set = (2 * ones) > lens[:, None]
+    sig = (vote_set.astype(np.uint64) << bit_pos).sum(axis=1, dtype=np.uint64)
+    return pd.DataFrame({"doc_id": doc_ids.astype(str), "simhash": sig.view(np.int64)})
 
 
 def simhash_df(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -38,7 +38,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["cosine", "knn_bruteforce", "knn_self_join", "lsh_bucket_df", "lsh_ann"]
+__all__ = [
+    "cosine",
+    "knn_bruteforce",
+    "knn_self_join",
+    "lsh_bucket_df",
+    "axis_bucket_df",
+    "lsh_ann",
+]
 
 #: knn_bruteforce broadcasts its query matrix to every task; above this
 #: many queries the broadcast + per-task matmul stops being the right
@@ -310,6 +317,39 @@ def lsh_bucket_df(
     return df.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(it, schema=schema)
 
 
+def axis_bucket_df(
+    df: DataFrame,
+    n_bits: int = 6,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic axis-aligned hyperplane LSH buckets — pure
+    Catalyst, no Python worker: table t's bucket packs the sign bits
+    of embedding components [t*n_bits, (t+1)*n_bits). Axis-aligned
+    planes are a valid hyperplane family (for non-degenerate data) and
+    are expressible in ANSI SQL, which makes the full ANN query
+    oracle-checkable end to end. Requires dim >= n_bits * n_tables.
+    Output: (vec_id, table_id, bucket) — one row per table."""
+    vec = F.col(vec_col)
+    tables = []
+    for t in range(n_tables):
+        bucket = F.lit(0)
+        for i in range(n_bits):
+            bucket = bucket + F.when(
+                F.element_at(vec, t * n_bits + i + 1) > 0, F.lit(1 << i)
+            ).otherwise(F.lit(0))
+        tables.append(
+            F.struct(
+                F.lit(t).cast("int").alias("table_id"),
+                bucket.cast("int").alias("bucket"),
+            )
+        )
+    return df.select(
+        F.col(id_col).alias("vec_id"), F.explode(F.array(*tables)).alias("tb")
+    ).select("vec_id", F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket"))
+
+
 def lsh_ann(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -320,19 +360,34 @@ def lsh_ann(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: str = "random",
 ) -> DataFrame:
     """Approximate top-k: candidates = same bucket in ANY of n_tables
     LSH tables (union via distinct on the (table_id, bucket) equi-join),
     ranked by exact cosine. Output schema matches knn_bruteforce
-    (recall measured in tests against it)."""
+    (recall measured in tests against it).
+
+    planes="random": seeded gaussian hyperplanes (pandas-UDF matmul).
+    planes="axis": deterministic sign-bit buckets (pure Catalyst, SQL-
+    expressible — the oracle-checked flavor); ignores `seed`."""
     from pyspark.sql import Window
 
-    eb = lsh_bucket_df(
-        embeddings, dim, n_bits, seed, n_tables, id_col, vec_col
-    ).withColumnRenamed("vec_id", "neighbor_id")
-    qb = lsh_bucket_df(
-        queries, dim, n_bits, seed, n_tables, id_col, vec_col
-    ).withColumnRenamed("vec_id", "query_id")
+    if planes == "axis":
+        if dim < n_bits * n_tables:
+            raise ValueError(f"axis planes need dim >= n_bits*n_tables ({n_bits*n_tables})")
+        eb = axis_bucket_df(embeddings, n_bits, n_tables, id_col, vec_col).withColumnRenamed(
+            "vec_id", "neighbor_id"
+        )
+        qb = axis_bucket_df(queries, n_bits, n_tables, id_col, vec_col).withColumnRenamed(
+            "vec_id", "query_id"
+        )
+    else:
+        eb = lsh_bucket_df(
+            embeddings, dim, n_bits, seed, n_tables, id_col, vec_col
+        ).withColumnRenamed("vec_id", "neighbor_id")
+        qb = lsh_bucket_df(
+            queries, dim, n_bits, seed, n_tables, id_col, vec_col
+        ).withColumnRenamed("vec_id", "query_id")
     cand = (
         eb.join(F.broadcast(qb), ["table_id", "bucket"])
         .where(F.col("neighbor_id") != F.col("query_id"))

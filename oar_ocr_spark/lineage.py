@@ -119,7 +119,9 @@ def run_extraction_job(
         out = extract_spans(spark, subset, cfg)
         bucket_dir = os.path.join(results_path, f"bucket={b}")
         out.write.mode("overwrite").parquet(bucket_dir)
-        n_docs = out.count()
+        # count what landed on disk — re-counting `out` would re-execute
+        # the whole extraction DAG (detect+recognize UDFs) a second time
+        n_docs = spark.read.parquet(bucket_dir).count()
         # commit: the lineage row is written only after the results land
         rec = {
             "stage": "bucket_complete",

@@ -221,9 +221,14 @@ def recognize_with_word_boxes(crops: DataFrame, cfg: ExtractConfig) -> DataFrame
                     [pdf["x1"].iloc[k], pdf["y1"].iloc[k], pdf["x2"].iloc[k], pdf["y2"].iloc[k]],
                     dtype=np.float32,
                 )
-                wb = ctc_word_boxes(
-                    line_bbox, text, cols, T, float(pdf["wh_ratio"].iloc[k]), float(b)
-                )
+                if base["confidence"].iloc[k] < cfg.rec_score_threshold:
+                    # index-parity blanking zeroed the text — word boxes
+                    # from the unblanked decode must not leak through
+                    wb = []
+                else:
+                    wb = ctc_word_boxes(
+                        line_bbox, text, cols, T, float(pdf["wh_ratio"].iloc[k]), float(b)
+                    )
                 word_boxes.append([[float(v) for v in box] for box in wb])
             base = base.copy()
             base["word_boxes"] = word_boxes

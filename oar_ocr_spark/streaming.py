@@ -4,9 +4,12 @@ The reference is strictly batch (SURVEY.md §2.9) and the north_rule is
 batch-over-snapshots, so streaming is not load-bearing — but the stage
 DAG ports directly to `foreachBatch`, and this module proves it: a
 file/Iceberg stream of documents(doc_id, spans) is extracted
-micro-batch by micro-batch with exactly the same `extract_spans` plan,
-results appended to a parquet/Iceberg sink with streaming checkpoints
-(exactly-once via the sink commit log + the source's offset tracking).
+micro-batch by micro-batch with exactly the same `extract_spans` plan.
+foreachBatch is an at-least-once contract (a micro-batch can be
+retried after a partial write), so the sink write is made IDEMPOTENT:
+each batch overwrites its own batch_id=<id> partition directory — a
+retry replaces, never duplicates — which combined with the source's
+checkpointed offsets gives effectively-once results.
 
 At corpus scale this is the "continuously arriving crawl shards" mode:
 each micro-batch is one snapshot delta; lineage/metrics integration is
@@ -14,6 +17,8 @@ the same as the batch path.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
@@ -52,7 +57,11 @@ def extract_stream(
         out = extract_spans(
             batch_df.sparkSession, batch_df, cfg, persist_input=True
         )
-        out.write.mode("append").parquet(results_path)
+        # idempotent by batch_id: a retried micro-batch overwrites its
+        # own partition instead of appending duplicate rows
+        out.write.mode("overwrite").parquet(
+            os.path.join(results_path, f"batch_id={batch_id}")
+        )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_path

@@ -42,6 +42,36 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert ("1", "3") not in pairs
 
 
+def test_ngram_jaccard_df_cap_drops_boilerplate_shingle(spark):
+    # one boilerplate shingle shared by 1k docs would contribute ~1M
+    # rows to a single join key without the document-frequency cap;
+    # with the cap it is dropped and the join stays linear
+    rows = [(i, f"common boiler plate unique{i} token{i} word{i}") for i in range(1000)]
+    rows.append((2000, "common boiler plate only"))
+    rows.append((2001, "common boiler plate only"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = D.ngram_jaccard_pairs(df, k=3, threshold=0.2, max_df=100).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # docs 2000/2001 share surviving shingles ('boiler plate only'),
+    # so they still pair; the 1000 boilerplate-only overlaps do not
+    assert ("2000", "2001") in got
+    assert all(a in ("2000",) and b in ("2001",) for a, b in got)
+
+
+def test_ngram_jaccard_threshold_uses_raw_ratio(spark):
+    # raw jaccard just below threshold must be dropped even when it
+    # rounds up to the threshold at 4dp (ADVICE round-1 finding)
+    # 3 shared / (5 + 5 - 3) = 0.428571... — with threshold 0.4286 the
+    # 4dp-rounded value (0.4286) passes but the raw value fails
+    a = "w1 w2 w3 w4 w5 w6 w7"  # 5 shingles
+    b = "w1 w2 w3 w4 w5 x1 x2"  # 5 shingles, 3 shared
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    out = D.ngram_jaccard_pairs(df, k=3, threshold=0.4286).collect()
+    assert out == []
+    out2 = D.ngram_jaccard_pairs(df, k=3, threshold=0.4285).collect()
+    assert len(out2) == 1 and out2[0]["jaccard"] == 0.4286
+
+
 def test_minhash_bands_identical_docs_collide(spark, docs):
     bands = D.minhash_band_hashes(docs, n_hashes=8, n_bands=2)
     cands = {(r["doc_a"], r["doc_b"]) for r in D.minhash_candidates(bands).collect()}
@@ -144,6 +174,37 @@ def test_lsh_ann_recall_against_bruteforce(spark, emb):
     aset = {(r["query_id"], r["neighbor_id"]) for r in ann}
     recall = len(bset & aset) / len(bset)
     assert recall >= 0.5  # 2-bit LSH on 20 vectors keeps most true neighbors
+
+
+def test_lsh_ann_axis_planes_recall_and_schema(spark, emb):
+    q = emb.where(F.col("vec_id") < 5)
+    brute = S.knn_bruteforce(emb, q, k=3).collect()
+    ann = S.lsh_ann(emb, q, dim=16, k=3, n_bits=2, n_tables=4, planes="axis").collect()
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    aset = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    assert len(bset & aset) / len(bset) >= 0.5
+    assert set(ann[0].asDict()) == {"query_id", "neighbor_id", "cosine", "rank"}
+
+
+def test_simhash_vectorized_reference_vector(spark):
+    # pin the signature against a hand-computed reference so the
+    # vectorized path (and the DuckDB oracle) share one contract
+    import hashlib
+
+    text = "a b a"
+    toks = text.split(" ")
+    votes = [0] * 64
+    for t in toks:
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        for b in range(64):
+            votes[b] += (h >> b) & 1
+    expect = 0
+    for b in range(64):
+        if 2 * votes[b] > len(toks):
+            expect |= 1 << b
+    expect = int(np.uint64(expect).astype(np.int64))
+    got = D.simhash_df(spark.createDataFrame([(1, text)], ["doc_id", "text"])).collect()
+    assert got[0]["simhash"] == expect
 
 
 def test_token_stats_and_quality(spark, docs):

@@ -30,3 +30,16 @@ def test_word_boxes_through_pipeline(spark):
             assert b[2] > b[0] and b[3] > b[1]
         checked += 1
     assert checked >= 5
+
+
+def test_word_boxes_blanked_with_text(spark):
+    # when the score threshold blanks a row's text, its word boxes must
+    # be blanked too (no empty-text rows with non-empty boxes)
+    docs = [(f"wbt{d}", [("media", None, f"wbt{d}_m", 0)]) for d in range(3)]
+    df = spark.createDataFrame(docs, schema=DOCUMENTS_SCHEMA)
+    cfg = ExtractConfig(rec_score_threshold=0.99)
+    rows = recognize_with_word_boxes(detect_crops_df(df, cfg), cfg).collect()
+    assert rows
+    for r in rows:
+        assert r["text"] == ""
+        assert r["word_boxes"] == []
