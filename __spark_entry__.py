@@ -377,6 +377,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _exploded_results(extract_spans(spark, docs))
 
+    def q_extraction_rotated(spark):
+        # rotated-text flavor: min-area-rect quad detection (rotating
+        # calipers) + 4-pt perspective crops; media refs prefixed
+        # 'rot:' render skewed lines. Golden-pinned in pytest
+        # (test_rotated_geometry / test_pipeline_golden); rows-only
+        # here (the OCR pipeline itself is not SQL-expressible).
+        from oar_ocr_spark.local_ref import ExtractConfig
+
+        docs = (
+            derived_spans_df(spark)
+            .where((F.col("doc_id").cast("bigint") % 50) == 0)
+            .withColumn(
+                "media_ref",
+                F.when(
+                    F.col("kind") == "media", F.concat(F.lit("rot:"), F.col("media_ref"))
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("span_offset", "kind", "span_text", "media_ref")
+                        )
+                    ),
+                    lambda s: F.struct(
+                        s["kind"].alias("kind"),
+                        s["span_text"].alias("text"),
+                        s["media_ref"].alias("media_ref"),
+                        s["span_offset"].alias("offset"),
+                    ),
+                ).alias("spans")
+            )
+        )
+        return _exploded_results(
+            extract_spans(spark, docs, ExtractConfig(text_type="rotated"))
+        )
+
     def q_structure_extract(spark):
         # PP-StructureV3 track: layout detect → postprocess → OCR match
         # → text join → xycut_enhanced order → markdown, per media page
@@ -449,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_stats": with_views(q_media_decode),
         "extraction_text_only": with_views(q_extraction_text_only),
         "extraction_e2e": with_views(q_extraction_e2e),
+        "extraction_rotated": with_views(q_extraction_rotated),
         "structure_extract": with_views(q_structure_extract),
         "layout_label_map": with_views(q_layout_label_map),
         "lineage_stats": with_views(q_lineage_stats),

@@ -110,9 +110,121 @@ def page_truth(media_ref: str) -> PageTruth:
     return PageTruth(width, height, orientation_class, regions)
 
 
+ROT_PREFIX = "rot:"
+
+
+@dataclass
+class RotatedRegionTruth:
+    cx: float
+    cy: float
+    text: str
+    angle_deg: float
+    line_flipped: bool
+
+    def quad(self) -> np.ndarray:
+        """(4,2) corner coordinates of the rotated glyph block."""
+        w = float(region_width(len(self.text)))
+        h = float(REGION_H)
+        rad = np.radians(self.angle_deg)
+        ca, sa = np.cos(rad), np.sin(rad)
+        local = np.asarray(
+            [(-w / 2, -h / 2), (w / 2, -h / 2), (w / 2, h / 2), (-w / 2, h / 2)]
+        )
+        out = np.empty((4, 2))
+        out[:, 0] = local[:, 0] * ca - local[:, 1] * sa + self.cx
+        out[:, 1] = local[:, 0] * sa + local[:, 1] * ca + self.cy
+        return out
+
+
+@dataclass
+class RotatedPageTruth:
+    width: int
+    height: int
+    orientation_class: int
+    regions: list[RotatedRegionTruth]  # upright coordinates, top→bottom
+
+
+def rotated_page_truth(media_ref: str) -> RotatedPageTruth:
+    """Deterministic rotated-text layout for refs with the 'rot:'
+    prefix: one region per line, each skewed by ±(5°..25°); vertical
+    pitch leaves room for the rotated extent plus the detection unclip
+    margin so regions stay separate components."""
+    rng = _rng_for(media_ref)
+    n_lines = int(rng.integers(1, 5))
+    orientation_class = int(rng.integers(0, 4))
+    regions: list[RotatedRegionTruth] = []
+    y = float(MARGIN_TOP + 30)
+    max_right = 0.0
+    for _ in range(n_lines):
+        n_chars = int(rng.integers(2, 11))
+        text = "".join(ALPHABET[int(i)] for i in rng.integers(0, len(ALPHABET), n_chars))
+        angle = float(rng.uniform(5.0, 25.0)) * (1.0 if rng.random() < 0.5 else -1.0)
+        flipped = bool(rng.random() < 0.25)
+        bw = float(region_width(n_chars))
+        bh = float(REGION_H)
+        rad = np.radians(angle)
+        hw = (bw * abs(np.cos(rad)) + bh * abs(np.sin(rad))) / 2.0
+        hh = (bw * abs(np.sin(rad)) + bh * abs(np.cos(rad))) / 2.0
+        cy = y + hh
+        cx = MARGIN_X + 30 + hw
+        regions.append(RotatedRegionTruth(cx, cy, text, angle, flipped))
+        max_right = max(max_right, cx + hw)
+        # pitch: rotated extent + unclip margin (δ ≤ ~18px per side,
+        # rotated ⇒ ×(|cos|+|sin|) ≤ ×1.42) + separation slack
+        y = cy + hh + 56.0
+    width = int(np.ceil(max_right)) + MARGIN_X + 30
+    height = int(np.ceil(y))
+    return RotatedPageTruth(width, height, orientation_class, regions)
+
+
+def _paste_rotated(img: np.ndarray, block: np.ndarray, cx: float, cy: float, angle_deg: float) -> None:
+    """NN inverse-mapped paste of `block` rotated by angle_deg about
+    (cx, cy) — intensities stay exact integers (determinism contract)."""
+    bh, bw = block.shape
+    rad = np.radians(angle_deg)
+    ca, sa = float(np.cos(rad)), float(np.sin(rad))
+    hw = (bw * abs(ca) + bh * abs(sa)) / 2.0
+    hh = (bw * abs(sa) + bh * abs(ca)) / 2.0
+    h, w = img.shape
+    x0 = max(int(np.floor(cx - hw)) - 1, 0)
+    x1 = min(int(np.ceil(cx + hw)) + 2, w)
+    y0 = max(int(np.floor(cy - hh)) - 1, 0)
+    y1 = min(int(np.ceil(cy + hh)) + 2, h)
+    ys, xs = np.mgrid[y0:y1, x0:x1]
+    dx = xs + 0.5 - cx
+    dy = ys + 0.5 - cy
+    u = ca * dx + sa * dy + bw / 2.0
+    v = -sa * dx + ca * dy + bh / 2.0
+    ui = np.floor(u).astype(np.int64)
+    vi = np.floor(v).astype(np.int64)
+    inside = (ui >= 0) & (ui < bw) & (vi >= 0) & (vi < bh)
+    win = img[y0:y1, x0:x1]
+    win[inside] = block[vi[inside], ui[inside]]
+
+
+def render_rotated_page(media_ref: str) -> np.ndarray:
+    """'rot:'-prefixed media_ref → page with skewed text lines (then
+    rotated per its ground-truth orientation class, like render_page)."""
+    truth = rotated_page_truth(media_ref)
+    img = np.full((truth.height, truth.width), BG, dtype=np.uint8)
+    img[4 : 4 + ANCHOR_SIZE, 4 : 4 + ANCHOR_SIZE] = ANCHOR
+    for r in truth.regions:
+        block = _render_region_block(r.text)
+        if r.line_flipped:
+            block = block[::-1, ::-1]
+        _paste_rotated(img, block, r.cx, r.cy, r.angle_deg)
+    k = truth.orientation_class % 4
+    if k:
+        img = np.rot90(img, k=-k)
+    return np.ascontiguousarray(img)
+
+
 def render_page(media_ref: str) -> np.ndarray:
     """media_ref → (H, W) uint8 grayscale page (rotated per its
-    ground-truth orientation class)."""
+    ground-truth orientation class). Refs prefixed 'rot:' render the
+    skewed-text flavor (render_rotated_page)."""
+    if media_ref.startswith(ROT_PREFIX):
+        return render_rotated_page(media_ref)
     truth = page_truth(media_ref)
     img = np.full((truth.height, truth.width), BG, dtype=np.uint8)
     img[4 : 4 + ANCHOR_SIZE, 4 : 4 + ANCHOR_SIZE] = ANCHOR

@@ -36,7 +36,14 @@ from .operators.db_postprocess import DBPostProcess
 from .operators.resize import resize_for_detection, resize_for_recognition
 from .operators.sorting import sort_quad_boxes
 
-__all__ = ["ExtractConfig", "extract_page", "extract_document_spans", "bucket_ratio"]
+__all__ = [
+    "ExtractConfig",
+    "extract_page",
+    "extract_document_spans",
+    "bucket_ratio",
+    "detect_and_crop",
+    "detect_page_quads",
+]
 
 MAX_BUCKET = 32  # wh_ratio bucket cap (crops here are ≤ ~7)
 
@@ -44,7 +51,16 @@ MAX_BUCKET = 32  # wh_ratio bucket cap (crops here are ≤ ~7)
 @dataclass
 class ExtractConfig:
     """Engine defaults mirroring the reference general-text config
-    (src/oarocr/ocr.rs:314-366; db_postprocess.rs:67-88)."""
+    (src/oarocr/ocr.rs:314-366; db_postprocess.rs:67-88).
+
+    text_type selects the detection/crop flavor:
+    - "general": axis-aligned boxes, AABB slice crops (the fast path;
+      reference text_type=general, ocr.rs:314-330)
+    - "rotated": min-area-rect quad boxes (rotating calipers) +
+      4-point perspective crops with the h≥1.5·w vertical-text rotate
+      (get_rotate_crop_image, transform.rs:50-166) — the reference's
+      default handle_rotation=true crop path (processors.rs:80-125)
+    """
 
     det_thresh: float = 0.3
     det_box_thresh: float = 0.6
@@ -58,6 +74,7 @@ class ExtractConfig:
     use_orientation: bool = True
     use_line_orientation: bool = True
     use_rectification: bool = False
+    text_type: str = "general"
     postprocess: DBPostProcess = field(init=False)
 
     def __post_init__(self) -> None:
@@ -66,6 +83,10 @@ class ExtractConfig:
             box_thresh=self.det_box_thresh,
             max_candidates=self.max_candidates,
             unclip_ratio=self.det_unclip_ratio,
+            # rotated boxes fast-score over their AABB mostly on
+            # background; slow mode scores the component polygon
+            # (ScoreMode::Slow, db_bitmap.rs:117)
+            score_mode="slow" if self.text_type == "rotated" else "fast",
         )
 
 
@@ -137,6 +158,69 @@ def detect_page(img: np.ndarray, cfg: ExtractConfig) -> tuple[np.ndarray, np.nda
     return cfg.postprocess.apply_uint8_inverted(resized, src_w=w, src_h=h)
 
 
+def detect_page_quads(img: np.ndarray, cfg: ExtractConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Upright page → (quads (N,4,2) [tl,tr,br,bl] source coords,
+    scores) — the rotated-geometry DB postprocess chain
+    (db_bitmap.rs:84-149: contours → min-area rect → score → round-join
+    unclip → scale-back)."""
+    h, w = img.shape
+    resized, _, _ = resize_for_detection(
+        img, cfg.det_limit_side_len, cfg.det_limit_type, cfg.det_max_side_limit
+    )
+    return cfg.postprocess.apply_quad_uint8_inverted(resized, src_w=w, src_h=h)
+
+
+def detect_and_crop(
+    upright: np.ndarray, cfg: ExtractConfig
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Detect + reading-order sort + crop one upright page.
+
+    Returns [(crop, box)] where box is the detection's float32 AABB
+    [x1,y1,x2,y2] (for quads: the quad's AABB). The ONE implementation
+    both the Spark detect UDF and the single-process golden generator
+    call (CLAUDE.md determinism invariant).
+
+    general: AABB detect (apply_uint8_inverted) + integer slice crops.
+    rotated: quad detect (min-area rect) + perspective crops
+    (get_rotate_crop_image); reading order sorts the quads' AABBs —
+    the reference's sort_quad_boxes reads y_min()/x_min() accessors,
+    i.e. AABB extents of the quad (sorting.rs:35-84).
+    """
+    h, w = upright.shape
+    out: list[tuple[np.ndarray, np.ndarray]] = []
+    if cfg.text_type == "rotated":
+        from .operators.rotated_geometry import get_rotate_crop_image
+
+        quads, _scores = detect_page_quads(upright, cfg)
+        if len(quads) == 0:
+            return out
+        aabbs = np.stack(
+            [
+                quads[:, :, 0].min(axis=1),
+                quads[:, :, 1].min(axis=1),
+                quads[:, :, 0].max(axis=1),
+                quads[:, :, 1].max(axis=1),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        for i in sort_quad_boxes(aabbs):
+            crop = get_rotate_crop_image(upright, quads[i])
+            if crop is None or crop.size == 0:
+                continue
+            out.append((np.ascontiguousarray(crop), aabbs[i]))
+        return out
+    boxes, _scores = detect_page(upright, cfg)
+    if len(boxes) == 0:
+        return out
+    for i in sort_quad_boxes(boxes):
+        x1, y1, x2, y2 = (int(v) for v in boxes[i])
+        crop = upright[max(y1, 0) : min(y2, h), max(x1, 0) : min(x2, w)]
+        if crop.size == 0:
+            continue
+        out.append((crop, boxes[i]))
+    return out
+
+
 def recognize_crop(crop: np.ndarray, cfg: ExtractConfig) -> tuple[str, float]:
     """One crop → (text, confidence). Line-orient → bucketed resize →
     logits → CTC decode (ocr.rs:755-897 + decode.rs:452-552)."""
@@ -159,17 +243,8 @@ def extract_page(img: np.ndarray, cfg: ExtractConfig | None = None) -> list[tupl
     texts dropped (structure.rs:2431-2433 empty-text drop)."""
     cfg = cfg or ExtractConfig()
     upright, _cls = preprocess_page(img, cfg)
-    boxes, _scores = detect_page(upright, cfg)
-    if len(boxes) == 0:
-        return []
-    order = sort_quad_boxes(boxes)
     out: list[tuple[str, float]] = []
-    for i in order:
-        x1, y1, x2, y2 = (int(v) for v in boxes[i])
-        h, w = upright.shape
-        crop = upright[max(y1, 0) : min(y2, h), max(x1, 0) : min(x2, w)]
-        if crop.size == 0:
-            continue
+    for crop, _box in detect_and_crop(upright, cfg):
         text, conf = recognize_crop(crop, cfg)
         if text:
             out.append((text, conf))

@@ -31,7 +31,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["DBPostProcess", "connected_components_boxes"]
+__all__ = ["DBPostProcess", "connected_components_boxes", "connected_components_points"]
 
 
 def _extract_runs(m: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -144,6 +144,100 @@ def connected_components_boxes(mask: np.ndarray) -> list[tuple[int, int, int, in
     return [tuple(merged[r]) for r in root_order]  # type: ignore[misc]
 
 
+def connected_components_points(mask: np.ndarray) -> list[np.ndarray]:
+    """8-connected components of a boolean mask → per-component (K,2)
+    arrays of run-endpoint pixel coordinates (x, y), components in
+    first-pixel scan order.
+
+    The run endpoints contain every vertex of the convex hull of the
+    component's pixel centers, and the hull of pixel centers equals the
+    hull of the reference's boundary-contour points (db_bitmap.rs:100
+    find_contours emits boundary pixel coords) — so min-area rects
+    computed from these points match the reference's exactly.
+    """
+    out: list[np.ndarray] = []
+    for runs in connected_components_runs(mask):
+        pts: list[tuple[int, int]] = []
+        for (y, x0, x1) in runs:
+            pts.append((int(x0), int(y)))
+            if x1 - 1 != x0:
+                pts.append((int(x1 - 1), int(y)))
+        out.append(np.asarray(pts, dtype=np.float64))
+    return out
+
+
+def connected_components_runs(mask: np.ndarray) -> list[np.ndarray]:
+    """8-connected components as per-component (R,3) arrays of
+    foreground runs [y, x0, x1_exclusive], components in first-pixel
+    scan order (same union-find as connected_components_boxes)."""
+    m = np.asarray(mask, dtype=bool)
+    if m.size == 0 or not m.any():
+        return []
+    rows, xs0, xs1 = _extract_runs(m)
+    n_runs = len(rows)
+    parent: list[int] = []
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    runs_by_label: list[list[tuple[int, int, int]]] = []
+    order: list[int] = []
+    labels = np.empty(n_runs, dtype=np.int64)
+    prev_lo = prev_hi = 0
+    cur_row = -2
+    cur_start = 0
+    for k in range(n_runs):
+        y = int(rows[k])
+        if y != cur_row:
+            if y == cur_row + 1:
+                prev_lo, prev_hi = cur_start, k
+            else:
+                prev_lo = prev_hi = k
+            cur_row = y
+            cur_start = k
+        x0 = int(xs0[k])
+        x1 = int(xs1[k])
+        label = -1
+        for p in range(prev_lo, prev_hi):
+            if int(xs0[p]) < x1 + 1 and x0 < int(xs1[p]) + 1:
+                plab = int(labels[p])
+                if label == -1:
+                    label = find(plab)
+                else:
+                    union(label, plab)
+                    label = find(label)
+        if label == -1:
+            label = len(parent)
+            parent.append(label)
+            runs_by_label.append([(y, x0, x1)])
+            order.append(label)
+        else:
+            runs_by_label[label].append((y, x0, x1))
+        labels[k] = label
+
+    merged: dict[int, list[tuple[int, int, int]]] = {}
+    root_order: list[int] = []
+    for lab in order:
+        r = find(lab)
+        if r not in merged:
+            merged[r] = list(runs_by_label[lab])
+            root_order.append(r)
+        else:
+            merged[r].extend(runs_by_label[lab])
+    return [np.asarray(merged[r], dtype=np.int64) for r in root_order]
+
+
 @dataclass
 class DBPostProcess:
     """DB heatmap → boxes. Defaults match db_postprocess.rs:67-88."""
@@ -153,6 +247,13 @@ class DBPostProcess:
     max_candidates: int = 1000
     unclip_ratio: float = 1.5
     min_size: float = 3.0
+    # "fast" = mean over the box's AABB (box_score_fast, db_score.rs:33-53);
+    # "slow" = mean over the contour polygon (box_score_slow) — for the
+    # run-based components here the polygon fill IS the component's own
+    # pixels, so slow mode means over the component runs exactly.
+    # Rotated (quad) detection needs slow: a skewed line's AABB is
+    # mostly background and fast-scores below box_thresh.
+    score_mode: str = "fast"
 
     def box_score_fast(self, pred: np.ndarray, box: np.ndarray) -> float:
         """Mean of pred over the box's floor/ceil-clamped inclusive AABB
@@ -226,6 +327,89 @@ class DBPostProcess:
         return self._boxes_from_mask(
             mask, lambda box: self.box_score_fast(pred, box), src_w, src_h
         )
+
+    def apply_quad_uint8_inverted(
+        self, img: np.ndarray, src_w: int, src_h: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Quad (rotated min-area rect) flavor of apply_uint8_inverted:
+        same inverted-uint8 threshold fast path, boxes from the full
+        boxes_from_bitmap chain (db_bitmap.rs:84-149): component points
+        → min-area rect (rotating calipers) → min_size → score
+        (fast=AABB mean / slow=component-pixel mean, per score_mode) →
+        round-join unclip → sside filter → scale/round/clamp.
+        Returns (quads (N,4,2) [tl,tr,br,bl] source coords, scores)."""
+        img = np.asarray(img)
+        lut = (np.float32(255) - np.arange(256, dtype=np.float32)) / np.float32(255)
+        mask = (lut > np.float32(self.thresh))[img]
+        return self._quads_from_mask(mask, img, src_w, src_h)
+
+    def _quads_from_mask(
+        self, mask: np.ndarray, img: np.ndarray, src_w: int, src_h: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        from .rotated_geometry import min_area_rect, order_quad_points, rect_corners, unclip_rect
+
+        h, w = mask.shape
+        comps = connected_components_runs(mask)[: self.max_candidates]
+        width_scale = float(src_w) / float(w)
+        height_scale = float(src_h) / float(h)
+        quads: list[np.ndarray] = []
+        scores: list[float] = []
+        for runs in comps:
+            pts: list[tuple[int, int]] = []
+            for (y, x0, x1) in runs:
+                pts.append((int(x0), int(y)))
+                if x1 - 1 != x0:
+                    pts.append((int(x1 - 1), int(y)))
+            if len(pts) < 3:
+                continue
+            rect = min_area_rect(np.asarray(pts, dtype=np.float64))
+            min_side = min(rect[2], rect[3])
+            if not np.isfinite(min_side) or min_side <= 0.0:
+                continue
+            if min_side < self.min_size:  # db_bitmap.rs:110
+                continue
+            mini = order_quad_points(rect_corners(rect))
+            score = self._score_quad(img, mini, runs)
+            if score < self.box_thresh:  # db_bitmap.rs:120
+                continue
+            urect = unclip_rect(rect, self.unclip_ratio)
+            if urect is None:
+                continue
+            sside = min(urect[2], urect[3])
+            if sside < self.min_size + 2.0:  # db_bitmap.rs:133
+                continue
+            quad = order_quad_points(rect_corners(urect))
+            qx = np.clip(np.round(quad[:, 0] * width_scale), 0, src_w)
+            qy = np.clip(np.round(quad[:, 1] * height_scale), 0, src_h)
+            quads.append(np.stack([qx, qy], axis=1).astype(np.float32))
+            scores.append(score)
+        if not quads:
+            return np.empty((0, 4, 2), dtype=np.float32), np.empty(0, dtype=np.float32)
+        return np.stack(quads), np.asarray(scores, dtype=np.float32)
+
+    def _score_quad(self, img: np.ndarray, mini: np.ndarray, runs: np.ndarray) -> float:
+        """Inverted-uint8 score of a quad: score_mode 'slow' averages the
+        component's own pixels (box_score_slow's polygon fill == the
+        component for run-based components); 'fast' averages the quad's
+        AABB region (box_score_fast, db_score.rs:33-53)."""
+        if self.score_mode == "slow":
+            total = 0.0
+            count = 0
+            for (y, x0, x1) in runs:
+                total += float(img[int(y), int(x0) : int(x1)].sum(dtype=np.float64))
+                count += int(x1 - x0)
+            if count == 0:
+                return 0.0
+            return float((255.0 - total / count) / 255.0)
+        h, w = img.shape
+        min_x = int(np.clip(np.floor(mini[:, 0].min()), 0, w - 1))
+        max_x = int(np.clip(np.ceil(mini[:, 0].max()), 0, w - 1))
+        min_y = int(np.clip(np.floor(mini[:, 1].min()), 0, h - 1))
+        max_y = int(np.clip(np.ceil(mini[:, 1].max()), 0, h - 1))
+        region = img[min_y : max_y + 1, min_x : max_x + 1]
+        if not region.size:
+            return 0.0
+        return float((255.0 - float(region.mean())) / 255.0)
 
     def _boxes_from_mask(
         self, mask: np.ndarray, score_fn, src_w: int, src_h: int

@@ -48,7 +48,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .local_ref import ExtractConfig, bucket_ratio, detect_page, preprocess_page
+from .local_ref import ExtractConfig, bucket_ratio, preprocess_page
 from .models.synthetic import BG, CHAR_BASE, VOCAB, classify_line_orientation
 from .operators.ctc import ctc_collapse_batch
 from .schemas import CROPS_SCHEMA, REC_SCHEMA, RESULTS_SCHEMA
@@ -62,25 +62,19 @@ __all__ = ["extract_spans", "detect_crops_df", "recognize_df", "assemble_results
 
 def _detect_one_page(doc_id: str, offset: int, media_ref: str, cfg: ExtractConfig) -> list[tuple]:
     """Render + preprocess + detect + reading-order sort + crop for one
-    media span. Returns CROPS_SCHEMA tuples with det_idx = reading rank."""
+    media span. Returns CROPS_SCHEMA tuples with det_idx = reading rank.
+    Detection/crop flavor (AABB slice vs min-area-rect perspective
+    crop) follows cfg.text_type via local_ref.detect_and_crop — the
+    same function the golden generator calls."""
     from .fixtures.render import render_page
-    from .operators.sorting import sort_quad_boxes
+    from .local_ref import detect_and_crop
 
     import zlib
 
     img = render_page(media_ref)
     upright, _cls = preprocess_page(img, cfg)
-    boxes, _scores = detect_page(upright, cfg)
     rows: list[tuple] = []
-    if len(boxes) == 0:
-        return rows
-    order = sort_quad_boxes(boxes)
-    h, w = upright.shape
-    for rank, i in enumerate(order):
-        x1, y1, x2, y2 = (int(v) for v in boxes[i])
-        crop = upright[max(y1, 0) : min(y2, h), max(x1, 0) : min(x2, w)]
-        if crop.size == 0:
-            continue
+    for rank, (crop, box) in enumerate(detect_and_crop(upright, cfg)):
         ch, cw = crop.shape
         ratio = float(cw / max(ch, 1))
         rows.append(
@@ -97,10 +91,10 @@ def _detect_one_page(doc_id: str, offset: int, media_ref: str, cfg: ExtractConfi
                 cw,
                 np.float32(ratio),
                 bucket_ratio(ratio),
-                np.float32(boxes[i][0]),
-                np.float32(boxes[i][1]),
-                np.float32(boxes[i][2]),
-                np.float32(boxes[i][3]),
+                np.float32(box[0]),
+                np.float32(box[1]),
+                np.float32(box[2]),
+                np.float32(box[3]),
             )
         )
     return rows

@@ -84,3 +84,35 @@ def test_output_schema(spark, corpus):
     assert [f.name for f in out.schema.fields] == ["doc_id", "spans"]
     span_fields = out.schema["spans"].dataType.elementType.fieldNames()
     assert span_fields == ["kind", "text", "media_ref", "order"]
+
+
+def test_rotated_text_spark_matches_golden(spark):
+    # rotated-text flavor: min-area-rect quads + perspective crops,
+    # exercised through the full distributed DAG at two partitionings
+    cfg = ExtractConfig(text_type="rotated")
+    docs = []
+    for d in range(14):
+        docs.append(
+            {
+                "doc_id": f"rotdoc{d}",
+                "spans": [
+                    {"kind": "text", "text": f"intro {d}", "media_ref": None, "offset": 0},
+                    {"kind": "media", "text": None, "media_ref": f"rot:g{d}a", "offset": 1},
+                    {"kind": "media", "text": None, "media_ref": f"rot:g{d}b", "offset": 2},
+                    {"kind": "text", "text": f"outro {d}", "media_ref": None, "offset": 3},
+                ],
+            }
+        )
+    df = docs_df(spark, docs)
+    expected = {
+        d["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in extract_document_spans(d["spans"], cfg)
+        ]
+        for d in docs
+    }
+    # every page must actually contribute recognized rotated spans
+    assert all(len(v) > 2 for v in expected.values())
+    for parts in (2, 7):
+        result = collect_spans(extract_spans(spark, df, cfg, num_partitions=parts))
+        assert result == expected, f"rotated span mismatch at P={parts}"

@@ -1,0 +1,195 @@
+"""Rotated-geometry operators: convex hull, min-area rect (rotating
+calipers), PaddleX mini-box ordering, rect unclip, perspective crop.
+Vectors ported from the reference test modules where they exist
+(db_bitmap.rs:370-423); the rest are analytically-known rotated
+rectangles."""
+
+import numpy as np
+import pytest
+
+from oar_ocr_spark.operators.db_postprocess import (
+    DBPostProcess,
+    connected_components_points,
+    connected_components_runs,
+)
+from oar_ocr_spark.operators.rotated_geometry import (
+    convex_hull,
+    get_mini_boxes,
+    get_rotate_crop_image,
+    min_area_rect,
+    order_quad_points,
+    perspective_transform,
+    rect_corners,
+    unclip_rect,
+    warp_perspective_nn,
+)
+
+
+def rot(points, angle_deg, center=(0.0, 0.0)):
+    rad = np.radians(angle_deg)
+    ca, sa = np.cos(rad), np.sin(rad)
+    p = np.asarray(points, dtype=np.float64) - center
+    out = np.stack([p[:, 0] * ca - p[:, 1] * sa, p[:, 0] * sa + p[:, 1] * ca], axis=1)
+    return out + center
+
+
+def test_order_quad_points_reference_vector():
+    # db_bitmap.rs:376-389 test_paddlex_order_mini_box_points
+    pts = np.asarray([(20.0, 20.0), (10.0, 10.0), (20.0, 10.0), (10.0, 20.0)])
+    ordered = order_quad_points(pts)
+    np.testing.assert_allclose(
+        ordered, [(10.0, 10.0), (20.0, 10.0), (20.0, 20.0), (10.0, 20.0)], atol=1e-6
+    )
+
+
+def test_get_mini_boxes_min_side_reference_vector():
+    # db_bitmap.rs:392-405 test_get_mini_boxes_from_points_returns_min_side
+    pts = np.asarray([(0.0, 0.0), (10.0, 0.0), (10.0, 5.0), (0.0, 5.0)])
+    box, min_side = get_mini_boxes(pts)
+    assert abs(min_side - 5.0) < 1e-3
+    np.testing.assert_allclose(box, [(0, 0), (10, 0), (10, 5), (0, 5)], atol=1e-6)
+
+
+def test_convex_hull_drops_interior_and_collinear():
+    pts = np.asarray(
+        [(0, 0), (4, 0), (2, 0), (4, 4), (0, 4), (2, 2), (1, 1), (0, 2)], dtype=float
+    )
+    hull = convex_hull(pts)
+    assert {tuple(p) for p in hull} == {(0, 0), (4, 0), (4, 4), (0, 4)}
+
+
+def test_min_area_rect_recovers_rotated_rectangle():
+    for angle in (0.0, 12.5, -30.0, 45.0):
+        corners = rot(
+            [(-20, -5), (20, -5), (20, 5), (-20, 5)], angle, center=(50.0, 40.0)
+        ) + (50.0, 40.0) - (50.0, 40.0)
+        corners = rot([(30, 35), (70, 35), (70, 45), (30, 45)], angle, center=(50.0, 40.0))
+        cx, cy, w, h, got_angle = min_area_rect(corners)
+        assert abs(cx - 50.0) < 1e-6 and abs(cy - 40.0) < 1e-6
+        assert abs(min(w, h) - 10.0) < 1e-6 and abs(max(w, h) - 40.0) < 1e-6
+        # the rect's own edge direction must match the rotation mod 90°
+        assert abs(((got_angle - angle) + 45.0) % 90.0 - 45.0) < 1e-4
+
+
+def test_min_area_rect_degenerate_collinear_points():
+    cx, cy, w, h, angle = min_area_rect(np.asarray([(0, 0), (5, 0), (10, 0)], dtype=float))
+    assert (w, h) == (10.0, 0.0) or (w, h) == (0.0, 10.0) or h == 0.0
+
+
+def test_rect_corners_roundtrip():
+    rect = (50.0, 40.0, 40.0, 10.0, 12.5)
+    corners = rect_corners(rect)
+    cx, cy, w, h, angle = min_area_rect(corners)
+    assert abs(cx - 50) < 1e-6 and abs(cy - 40) < 1e-6
+    assert abs(min(w, h) - 10) < 1e-6 and abs(max(w, h) - 40) < 1e-6
+
+
+def test_unclip_rect_delta_matches_reference_formula():
+    # delta = area * ratio / perimeter (db_bitmap.rs:279-345)
+    rect = (0.0, 0.0, 40.0, 10.0, 30.0)
+    out = unclip_rect(rect, 2.0)
+    delta = (40.0 * 10.0) * 2.0 / (2 * (40.0 + 10.0))
+    assert abs(out[2] - (40.0 + 2 * delta)) < 1e-9
+    assert abs(out[3] - (10.0 + 2 * delta)) < 1e-9
+    assert out[4] == 30.0
+    assert unclip_rect((0, 0, 0.0, 10.0, 0.0), 2.0) is None  # zero area
+
+
+def test_perspective_transform_maps_corners():
+    src = np.asarray([(10, 10), (60, 20), (55, 50), (5, 40)], dtype=float)
+    dst = np.asarray([(0, 0), (50, 0), (50, 30), (0, 30)], dtype=float)
+    m = perspective_transform(src, dst)
+    for s, d in zip(src, dst):
+        v = m @ np.asarray([s[0], s[1], 1.0])
+        np.testing.assert_allclose(v[:2] / v[2], d, atol=1e-6)
+
+
+def test_warp_identity_is_exact():
+    img = (np.arange(48, dtype=np.uint8).reshape(6, 8) * 5).astype(np.uint8)
+    m = np.eye(3)
+    out = warp_perspective_nn(img, m, 8, 6)
+    # identity inverse mapping hits integer coordinates exactly
+    np.testing.assert_array_equal(out, img)
+
+
+def test_get_rotate_crop_image_axis_aligned():
+    img = np.full((40, 60), 255, dtype=np.uint8)
+    img[10:20, 5:45] = 7
+    quad = np.asarray([(5, 10), (45, 10), (45, 20), (5, 20)], dtype=float)
+    crop = get_rotate_crop_image(img, quad)
+    assert crop.shape == (10, 40)
+    assert (crop == 7).all()
+
+
+def test_get_rotate_crop_image_rotates_vertical_text():
+    # h >= 1.5*w → rotate270 (90° CCW), transform.rs:155-163
+    img = np.zeros((100, 100), dtype=np.uint8)
+    img[10:70, 40:50] = np.arange(10, dtype=np.uint8)[None, :]
+    quad = np.asarray([(40, 10), (50, 10), (50, 70), (40, 70)], dtype=float)
+    crop = get_rotate_crop_image(img, quad)
+    assert crop.shape == (10, 60)  # rotated to horizontal
+
+
+def test_get_rotate_crop_image_recovers_rotated_block():
+    # paste a coded block rotated 15° into a page, crop by its exact
+    # corner quad — every interior pixel must carry a block intensity
+    from oar_ocr_spark.fixtures.render import _paste_rotated
+
+    block = np.full((20, 60), 99, dtype=np.uint8)
+    page = np.full((120, 140), 255, dtype=np.uint8)
+    _paste_rotated(page, block, 70.0, 60.0, 15.0)
+    quad = rot([(40, 50), (100, 50), (100, 70), (40, 70)], 15.0, center=(70.0, 60.0))
+    crop = get_rotate_crop_image(page, quad)
+    assert crop is not None
+    assert crop.shape[0] in (19, 20, 21) and crop.shape[1] in (59, 60, 61)
+    inner = crop[2:-2, 2:-2]
+    assert (inner == 99).mean() > 0.99
+
+
+def test_quad_postprocess_detects_rotated_component():
+    from oar_ocr_spark.fixtures.render import _paste_rotated
+
+    page = np.full((150, 200), 255, dtype=np.uint8)
+    block = np.full((20, 80), 40, dtype=np.uint8)
+    _paste_rotated(page, block, 100.0, 75.0, -18.0)
+    post = DBPostProcess(unclip_ratio=2.0, score_mode="slow")
+    quads, scores = post.apply_quad_uint8_inverted(page, src_w=200, src_h=150)
+    assert quads.shape == (1, 4, 2)
+    assert scores[0] > 0.6
+    cx, cy, w, h, angle = min_area_rect(quads[0])
+    assert abs(cx - 100) < 2 and abs(cy - 75) < 2
+    delta = (80 * 20) * 2.0 / (2 * (80 + 20))  # unclip growth
+    assert abs(max(w, h) - (80 + 2 * delta)) < 3
+    assert abs(min(h, w) - (20 + 2 * delta)) < 3
+    assert abs(((angle + 18.0) + 45.0) % 90.0 - 45.0) < 2.0
+
+
+def test_components_runs_and_points_agree_with_boxes():
+    rng = np.random.default_rng(7)
+    mask = rng.random((40, 60)) > 0.8
+    from oar_ocr_spark.operators.db_postprocess import connected_components_boxes
+
+    boxes = connected_components_boxes(mask)
+    runs = connected_components_runs(mask)
+    pts = connected_components_points(mask)
+    assert len(boxes) == len(runs) == len(pts)
+    for (x1, y1, x2, y2), r, p in zip(boxes, runs, pts):
+        assert r[:, 1].min() == x1 and (r[:, 2] - 1).max() == x2
+        assert r[:, 0].min() == y1 and r[:, 0].max() == y2
+        assert p[:, 0].min() == x1 and p[:, 0].max() == x2
+        # total run pixels equals the mask's component pixel count union
+    total = sum(int((r[:, 2] - r[:, 1]).sum()) for r in runs)
+    assert total == int(mask.sum())
+
+
+@pytest.mark.parametrize("i", range(8))
+def test_rotated_page_roundtrip_truth(i):
+    # e2e single-process: skewed lines (± angle, flips, orientations)
+    # decode to exactly the drawn text in top-to-bottom order
+    from oar_ocr_spark.fixtures.render import render_page, rotated_page_truth
+    from oar_ocr_spark.local_ref import ExtractConfig, extract_page
+
+    ref = f"rot:v{i}"
+    truth = rotated_page_truth(ref)
+    got = [t for t, _ in extract_page(render_page(ref), ExtractConfig(text_type="rotated"))]
+    assert got == [r.text for r in truth.regions]
