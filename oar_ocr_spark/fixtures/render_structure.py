@@ -62,6 +62,11 @@ class ElementTruth:
     cell_texts: list[str] | None = None
     n_rows: int = 0
     n_cols: int = 0
+    wired: bool = True  # tables: vertical grid lines present
+    # text: render only the middle 2 pixel rows of the glyph block —
+    # invisible to detection (min_size), readable by whole-block
+    # recognition (the fallback-block-OCR fixture)
+    thin: bool = False
 
 
 @dataclass
@@ -149,17 +154,26 @@ def structure_page_truth(media_ref: str) -> StructurePageTruth:
                     cap = add_element(margin, y, "figure_title", [_text_for(rng, 5)], body_w)
                     y = cap.y2 + 12
             elif kind < 0.36:
-                # table block: grid of cells, each with a short text
+                # table block: grid of cells, each with a short text;
+                # ~35% render wireless (row separators only — exercises
+                # the classify + cell-detection/column-inference path)
                 n_rows = int(rng.integers(2, 4))
                 n_cols = int(rng.integers(2, 4))
                 cell_texts = [_text_for(rng, int(rng.integers(3, 6))) for _ in range(n_rows * n_cols)]
+                wired = bool(rng.random() < 0.65)
                 cell_h = REGION_H + 14
                 grid_h = n_rows * cell_h + 2
                 el = ElementTruth(
                     margin, y, margin + body_w, y + grid_h + 2 * pad + 4,
-                    "table", [], n_rows, cell_texts, n_rows, n_cols,
+                    "table", [], n_rows, cell_texts, n_rows, n_cols, wired,
                 )
                 elements.append(el)
+                y = el.y2 + 12
+            elif kind < 0.41:
+                # thin text block: detection sees nothing (2px strip
+                # < min_size) — only the fallback block OCR recovers it
+                el = add_element(margin, y, "text", [_text_for(rng, int(rng.integers(4, 7)))], body_w)
+                el.thin = True
                 y = el.y2 + 12
             elif kind < 0.45:
                 el = add_element(margin, y, "formula", [_text_for(rng, int(rng.integers(3, 7)))], body_w)
@@ -192,7 +206,9 @@ TABLE_GRID = 190  # grid-line intensity (invisible to text detection)
 
 
 def _render_table(img: np.ndarray, el, pad: int) -> None:
-    """Grid lines at TABLE_GRID + glyph text per cell."""
+    """Grid lines at TABLE_GRID + glyph text per cell. Wireless tables
+    (el.wired False) draw row separators only — the column structure
+    must be inferred from text positions."""
     gx1, gy1 = el.x1 + pad, el.y1 + pad
     gx2, gy2 = el.x2 - pad, el.y1 + pad + el.n_rows * (REGION_H + 14) + 2
     col_w = (gx2 - gx1) // el.n_cols
@@ -201,9 +217,10 @@ def _render_table(img: np.ndarray, el, pad: int) -> None:
     for r in range(el.n_rows + 1):
         yy = gy1 + r * row_h
         img[yy : yy + 2, gx1:gx2] = TABLE_GRID
-    for c in range(el.n_cols + 1):
-        xx = gx1 + c * col_w
-        img[gy1 : gy1 + el.n_rows * row_h + 2, xx : xx + 2] = TABLE_GRID
+    if el.wired:
+        for c in range(el.n_cols + 1):
+            xx = gx1 + c * col_w
+            img[gy1 : gy1 + el.n_rows * row_h + 2, xx : xx + 2] = TABLE_GRID
     for r in range(el.n_rows):
         for c in range(el.n_cols):
             text = el.cell_texts[r * el.n_cols + c]
@@ -230,6 +247,16 @@ def render_structure_page(media_ref: str) -> np.ndarray:
             continue
         if el.element_type == "table":
             _render_table(img, el, pad)
+            continue
+        if el.thin:
+            # 2-px strip of the glyph block placed on the crop row the
+            # recognizer samples: int((24+0.5)·h/48) of the element crop
+            line = el.lines[0]
+            block = _render_region_block(line)
+            w = min(region_width(len(line)), el.x2 - el.x1 - 2 * pad)
+            eh = el.y2 - el.y1
+            r = int((24 + 0.5) * eh / 48)
+            img[el.y1 + r : el.y1 + r + 2, el.x1 + pad : el.x1 + pad + w] = block[9:11, :w]
             continue
         ty = el.y1 + pad
         for line in el.lines:

@@ -75,6 +75,13 @@ class ExtractConfig:
     use_line_orientation: bool = True
     use_rectification: bool = False
     text_type: str = "general"
+    # table-analyzer mode flags (OARStructureBuilder defaults,
+    # src/oarocr/structure.rs:228-229: wired tables use cell-detection
+    # mode, wireless tables use E2E structure recognition)
+    use_e2e_wired_table_rec: bool = False
+    use_e2e_wireless_table_rec: bool = True
+    use_wired_table_cells_trans_to_html: bool = False
+    use_wireless_table_cells_trans_to_html: bool = False
     postprocess: DBPostProcess = field(init=False)
 
     def __post_init__(self) -> None:

@@ -30,6 +30,11 @@ __all__ = [
     "structure_tokens",
     "wrap_table_html_with_content",
     "table_structure_from_crop",
+    "classify_table_type",
+    "detect_table_cells",
+    "table_cells_to_html_structure",
+    "get_overlapping_cells",
+    "split_box_by_cells",
 ]
 
 TABLE_GRID = 190  # grid-line intensity in synthetic table renders
@@ -189,47 +194,129 @@ def wrap_table_html_with_content(
     """Token stream + ordered cell texts → HTML
     (table_structure_decode.rs:66-166, simple-token subset)."""
     parts = ["<html><body>"]
-    if not (tokens and "<table" in tokens[0]):
+    has_table_tag = bool(tokens and "<table" in tokens[0])
+    if not has_table_tag:
         parts.append("<table>")
     td_index = 0
     for tag in tokens:
-        if tag == "<td></td>":
-            parts.append("<td>")
+        # fillable cell tokens include span-attributed ones,
+        # e.g. '<td rowspan="2"></td>' (table_structure_decode.rs:66-166)
+        if tag.startswith("<td") and tag.endswith("></td>"):
+            parts.append(tag[: -len("</td>")])
             if td_index < len(cell_texts) and cell_texts[td_index]:
                 parts.append(cell_texts[td_index])  # type: ignore[arg-type]
             parts.append("</td>")
             td_index += 1
         else:
             parts.append(tag)
-    parts.append("</table>")
+    if not has_table_tag:
+        parts.append("</table>")
     parts.append("</body></html>")
     return "".join(parts)
 
 
-def table_structure_from_crop(crop: np.ndarray) -> tuple[list[str], list[TableCell]]:
-    """Synthetic SLANet: parse grid-line intensities into
-    (structure_tokens, cells). Grid rows/cols are pixel rows/columns
-    dominated by TABLE_GRID; boundaries are clustered with the
-    reference's cluster_positions (tolerance 3px)."""
+def _grid_lines(crop: np.ndarray) -> tuple[list[float], list[float]]:
+    """Clustered (row_line_positions, col_line_positions) of the
+    TABLE_GRID intensity channel; a full line spans most of the crop."""
     gy, gx = np.where(crop == TABLE_GRID)
     if gy.size == 0:
         return [], []
     h, w = crop.shape
     row_counts = np.bincount(gy, minlength=h)
     col_counts = np.bincount(gx, minlength=w)
-    # a full grid line spans most of the table extent
     row_lines = np.flatnonzero(row_counts > 0.6 * w)
     col_lines = np.flatnonzero(col_counts > 0.6 * h)
-    row_pos = cluster_positions([float(v) for v in row_lines], 3.0)
-    col_pos = cluster_positions([float(v) for v in col_lines], 3.0)
-    if len(row_pos) < 2 or len(col_pos) < 2:
+    return (
+        cluster_positions([float(v) for v in row_lines], 3.0),
+        cluster_positions([float(v) for v in col_lines], 3.0),
+    )
+
+
+def classify_table_type(crop: np.ndarray) -> tuple[str, float]:
+    """Wired vs wireless table classification (PP-LCNet stand-in —
+    src/oarocr/table_analyzer.rs:386-404): wired tables carry full
+    vertical grid lines, wireless ones only row separators. Confidence
+    is the fraction of expected grid evidence present (deterministic
+    function of pixels, per the synthetic-model contract)."""
+    row_pos, col_pos = _grid_lines(crop)
+    if len(col_pos) >= 2 and len(row_pos) >= 2:
+        return "wired", 0.99
+    if len(row_pos) >= 2:
+        return "wireless", 0.95
+    return "unknown", 0.5
+
+
+def _text_column_ranges(crop: np.ndarray, y0: int, y1: int, min_gap: int = 5) -> list[tuple[int, int]]:
+    """x-ranges of glyph columns inside rows [y0, y1): projection of
+    the text mask (detection-foreground, non-grid) onto x, split at
+    gaps >= min_gap (intra-cell separators are 3px; inter-column gaps
+    are >= 8px in the synthetic corpus)."""
+    band = crop[y0:y1]
+    textish = (band < 178.5) & (band != TABLE_GRID)
+    proj = textish.any(axis=0)
+    xs = np.flatnonzero(proj)
+    if xs.size == 0:
+        return []
+    ranges: list[tuple[int, int]] = []
+    start = prev = int(xs[0])
+    for x in xs[1:]:
+        x = int(x)
+        if x - prev >= min_gap:
+            ranges.append((start, prev + 1))
+            start = x
+        prev = x
+    ranges.append((start, prev + 1))
+    return ranges
+
+
+def table_structure_from_crop(crop: np.ndarray) -> tuple[list[str], list[TableCell]]:
+    """Synthetic SLANet: parse grid-line intensities into
+    (structure_tokens, cells). Wired tables (row+column lines) give the
+    full grid directly. Wireless tables (row separators only — the
+    SLANet-wireless case) infer column boundaries by clustering the
+    text-column x-ranges across all rows (table_analyzer.rs
+    cluster_positions approach, tolerance 3px). Returns ([], []) when
+    no table structure is recognizable."""
+    row_pos, col_pos = _grid_lines(crop)
+    if len(row_pos) < 2:
         return [], []
-    n_rows, n_cols = len(row_pos) - 1, len(col_pos) - 1
+    if len(col_pos) >= 2:
+        n_rows, n_cols = len(row_pos) - 1, len(col_pos) - 1
+        cells = [
+            TableCell(
+                np.asarray(
+                    [col_pos[c], row_pos[r], col_pos[c + 1], row_pos[r + 1]], dtype=np.float32
+                ),
+                r,
+                c,
+            )
+            for r in range(n_rows)
+            for c in range(n_cols)
+        ]
+        return structure_tokens(n_rows, n_cols), cells
+    # wireless: column starts clustered across rows; boundaries at the
+    # midpoints between consecutive column ranges
+    n_rows = len(row_pos) - 1
+    starts: list[float] = []
+    ends: list[float] = []
+    per_row: list[list[tuple[int, int]]] = []
+    for r in range(n_rows):
+        rr = _text_column_ranges(crop, int(row_pos[r]) + 2, int(row_pos[r + 1]))
+        per_row.append(rr)
+        starts.extend(float(a) for a, _ in rr)
+        ends.extend(float(b) for _, b in rr)
+    col_starts = cluster_positions(starts, 6.0)
+    if not col_starts:
+        return [], []
+    n_cols = len(col_starts)
+    right = max(ends) if ends else float(crop.shape[1])
+    bounds = [col_starts[0] - 2.0]
+    for i in range(1, n_cols):
+        bounds.append((col_starts[i - 1] + col_starts[i]) / 2.0)
+    bounds.append(right + 2.0)
     cells = [
         TableCell(
-            np.asarray(
-                [col_pos[c], row_pos[r], col_pos[c + 1], row_pos[r + 1]], dtype=np.float32
-            ),
+            np.asarray([bounds[c], row_pos[r], bounds[c + 1], row_pos[r + 1]], dtype=np.float32),
             r,
             c,
         )
@@ -237,3 +324,163 @@ def table_structure_from_crop(crop: np.ndarray) -> tuple[list[str], list[TableCe
         for c in range(n_cols)
     ]
     return structure_tokens(n_rows, n_cols), cells
+
+
+def detect_table_cells(crop: np.ndarray) -> tuple[list[np.ndarray], list[float]]:
+    """Table cell detection (RT-DETR-L stand-in —
+    domain/adapters/table_cell_detection_adapter.rs): emits one box per
+    cell interior. Wired: interiors between grid lines. Wireless: row
+    bands × clustered text columns. Scores are deterministic (0.9+).
+    Returns (cell boxes in crop coords, scores)."""
+    tokens, cells = table_structure_from_crop(crop)
+    if not cells:
+        return [], []
+    boxes: list[np.ndarray] = []
+    scores: list[float] = []
+    for cell in cells:
+        b = cell.bbox
+        # interior: inset by the 2px grid-line thickness
+        boxes.append(
+            np.asarray([b[0] + 2.0, b[1] + 2.0, b[2], b[3]], dtype=np.float32)
+        )
+        scores.append(0.9 + ((cell.row * 7 + cell.col * 3) % 10) / 100.0)
+    return boxes, scores
+
+
+def table_cells_to_html_structure(
+    cell_bboxes: list[np.ndarray], tolerance: float = 5.0
+) -> tuple[list[str], list[tuple[int, "CellGridInfo"]]] | None:
+    """Detected cell boxes → PaddleX-like structure tokens + row-major
+    cell ordering with row/col spans. Port of
+    table_cells_to_html_structure (src/oarocr/table_analyzer.rs:149-265):
+    cluster x/y edges, snap each box to nearest grid indices, derive
+    spans, walk the grid row-major emitting <td> tokens."""
+    if not cell_bboxes:
+        return None
+    x_coords: list[float] = []
+    y_coords: list[float] = []
+    for b in cell_bboxes:
+        x_coords.extend([float(b[0]), float(b[2])])
+        y_coords.extend([float(b[1]), float(b[3])])
+    x_positions = cluster_positions(x_coords, tolerance)
+    y_positions = cluster_positions(y_coords, tolerance)
+    if len(x_positions) < 2 or len(y_positions) < 2:
+        return None
+    num_rows = len(y_positions) - 1
+    num_cols = len(x_positions) - 1
+    entries: list[tuple[int, int, int, int, int]] = []  # (src, r0, c0, rs, cs)
+    cell_map: dict[tuple[int, int], int] = {}
+    for source_idx, b in enumerate(cell_bboxes):
+        x1i = nearest_index(x_positions, float(b[0]))
+        x2i = nearest_index(x_positions, float(b[2]))
+        y1i = nearest_index(y_positions, float(b[1]))
+        y2i = nearest_index(y_positions, float(b[3]))
+        col_start = min(min(x1i, x2i), max(num_cols - 1, 0))
+        col_end = min(max(x1i, x2i), num_cols)
+        row_start = min(min(y1i, y2i), max(num_rows - 1, 0))
+        row_end = min(max(y1i, y2i), num_rows)
+        row_span = max(row_end - row_start, 1)
+        col_span = max(col_end - col_start, 1)
+        entry_idx = len(entries)
+        entries.append((source_idx, row_start, col_start, row_span, col_span))
+        for r in range(row_start, min(row_start + row_span, num_rows)):
+            for c in range(col_start, min(col_start + col_span, num_cols)):
+                cell_map.setdefault((r, c), entry_idx)
+    tokens = ["<table>", "<tbody>"]
+    cell_order: list[tuple[int, CellGridInfo]] = []
+    for r in range(num_rows):
+        tokens.append("<tr>")
+        c = 0
+        while c < num_cols:
+            entry_idx = cell_map.get((r, c))
+            if entry_idx is not None:
+                src, r0, c0, rs, cs = entries[entry_idx]
+                if r0 == r and c0 == c:
+                    attrs = ""
+                    if rs > 1:
+                        attrs += f' rowspan="{rs}"'
+                    if cs > 1:
+                        attrs += f' colspan="{cs}"'
+                    tokens.append(f"<td{attrs}></td>" if attrs else "<td></td>")
+                    cell_order.append((src, CellGridInfo(r0, c0, rs, cs)))
+                c += max(cs, 1)
+            else:
+                c += 1
+        tokens.append("</tr>")
+    tokens.append("</tbody>")
+    tokens.append("</table>")
+    return (tokens, cell_order) if cell_order else None
+
+
+@dataclass
+class CellGridInfo:
+    row: int
+    col: int
+    row_span: int = 1
+    col_span: int = 1
+
+
+# --------------------------------------------------------------------------
+# cross-cell OCR box splitting (split_ocr_bboxes_by_table_cells,
+# src/oarocr/structure.rs:1630-1851; PaddleX-compatible)
+# --------------------------------------------------------------------------
+
+CELL_OVERLAP_IOU_THRESHOLD = 0.5  # structure.rs:40
+
+
+def _overlap_ratio_box_over_cell(box: np.ndarray, cell: np.ndarray) -> float:
+    """intersection / cell_area (structure.rs:1657-1676)."""
+    x_left = max(float(box[0]), float(cell[0]))
+    y_top = max(float(box[1]), float(cell[1]))
+    x_right = min(float(box[2]), float(cell[2]))
+    y_bottom = min(float(box[3]), float(cell[3]))
+    if x_right <= x_left or y_bottom <= y_top:
+        return 0.0
+    inter = (x_right - x_left) * (y_bottom - y_top)
+    cell_area = (float(cell[2]) - float(cell[0])) * (float(cell[3]) - float(cell[1]))
+    return inter / cell_area if cell_area > 0 else 0.0
+
+
+def get_overlapping_cells(
+    ocr_box: np.ndarray,
+    cells: list[np.ndarray],
+    threshold: float = CELL_OVERLAP_IOU_THRESHOLD,
+) -> list[int]:
+    """Cells whose area is covered by the OCR box beyond `threshold`,
+    sorted left-to-right by cell x1 (structure.rs:1678-1697)."""
+    overlapping = [
+        i for i, c in enumerate(cells) if _overlap_ratio_box_over_cell(ocr_box, c) > threshold
+    ]
+    overlapping.sort(key=lambda i: float(cells[i][0]))
+    return overlapping
+
+
+def split_box_by_cells(
+    ocr_box: np.ndarray, cell_indices: list[int], cells: list[np.ndarray]
+) -> list[np.ndarray]:
+    """Split an OCR box vertically at its overlapped cells' x-edges:
+    leading segment, per-cell overlap segments, inter-cell gaps,
+    trailing segment; deduplicated (structure.rs:1699-1755)."""
+    if not cell_indices:
+        return [np.asarray(ocr_box, dtype=np.float32)]
+    parts: list[tuple[float, float, float, float]] = []
+    sel = [cells[i] for i in cell_indices]
+    ox1, oy1, ox2, oy2 = (float(v) for v in ocr_box)
+    if ox1 < float(sel[0][0]):
+        parts.append((ox1, oy1, float(sel[0][0]), oy2))
+    for i, cur in enumerate(sel):
+        parts.append((max(ox1, float(cur[0])), oy1, min(ox2, float(cur[2])), oy2))
+        if i + 1 < len(sel):
+            nxt = sel[i + 1]
+            if float(cur[2]) < float(nxt[0]):
+                parts.append((float(cur[2]), oy1, float(nxt[0]), oy2))
+    last = sel[-1]
+    if float(last[2]) < ox2:
+        parts.append((float(last[2]), oy1, ox2, oy2))
+    seen: set[tuple[float, float, float, float]] = set()
+    out: list[np.ndarray] = []
+    for p in parts:
+        if p not in seen:
+            seen.add(p)
+            out.append(np.asarray(p, dtype=np.float32))
+    return out

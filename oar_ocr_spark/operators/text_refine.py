@@ -26,6 +26,8 @@ import numpy as np
 
 __all__ = [
     "split_cross_layout_boxes",
+    "split_cross_layout_boxes_with_origins",
+    "suppress_covered_boxes",
     "normalize_tiny_symbol",
     "normalize_checkbox_symbols",
     "semantic_title_level",
@@ -57,15 +59,35 @@ def split_cross_layout_boxes(
     per-container intersections (structure.rs:2268-2316). Preserves
     input order; a box with <2 qualifying intersections passes through.
     """
+    boxes, _origins, _is_split = split_cross_layout_boxes_with_origins(
+        det_boxes, container_boxes, ioa_threshold
+    )
+    return boxes
+
+
+def split_cross_layout_boxes_with_origins(
+    det_boxes: np.ndarray,
+    container_boxes: np.ndarray,
+    ioa_threshold: float = TEXT_BOX_SPLIT_IOA_THRESHOLD,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """split_cross_layout_boxes plus provenance: returns
+    (boxes, origins, is_split) where origins[i] is the input index the
+    output box came from and is_split[i] marks intersection pieces —
+    the covered-OCR suppression pass (structure.rs:1485-1493) needs to
+    know which boxes are re-recognition crops."""
     db = np.asarray(det_boxes, dtype=np.float32).reshape(-1, 4)
     cb = np.asarray(container_boxes, dtype=np.float32).reshape(-1, 4)
     if len(db) == 0 or len(cb) == 0:
-        return db.copy()
+        return db.copy(), np.arange(len(db)), np.zeros(len(db), dtype=bool)
     out: list[np.ndarray] = []
-    for box in db:
+    origins: list[int] = []
+    is_split: list[bool] = []
+    for bi, box in enumerate(db):
         self_area = float((box[2] - box[0]) * (box[3] - box[1]))
         if self_area <= 0.0:
             out.append(box)
+            origins.append(bi)
+            is_split.append(False)
             continue
         inters: list[np.ndarray] = []
         for c in cb:
@@ -80,9 +102,44 @@ def split_cross_layout_boxes(
                 inters.append(np.asarray([ix1, iy1, ix2, iy2], dtype=np.float32))
         if len(inters) >= 2:
             out.extend(inters)
+            origins.extend([bi] * len(inters))
+            is_split.extend([True] * len(inters))
         else:
             out.append(box)
-    return np.stack(out) if out else np.empty((0, 4), dtype=np.float32)
+            origins.append(bi)
+            is_split.append(False)
+    if not out:
+        return (
+            np.empty((0, 4), dtype=np.float32),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=bool),
+        )
+    return np.stack(out), np.asarray(origins, dtype=np.int64), np.asarray(is_split, dtype=bool)
+
+
+def suppress_covered_boxes(
+    boxes: np.ndarray, origins: np.ndarray, is_split: np.ndarray, iou_threshold: float = 0.8
+) -> np.ndarray:
+    """Indices of boxes surviving covered-OCR suppression: a cross-
+    layout re-recognition crop suppresses any OTHER OCR box it covers
+    with IoU > 0.8 (structure.rs:1485-1493 — the reference nulls the
+    covered region's text; dropping the box pre-recognition is the
+    same observable outcome since empty texts are dropped anyway)."""
+    from .geometry import iou as iou_matrix
+
+    b = np.asarray(boxes, dtype=np.float32).reshape(-1, 4)
+    n = len(b)
+    if n == 0 or not is_split.any():
+        return np.arange(n)
+    ious = iou_matrix(b, b)
+    dead = np.zeros(n, dtype=bool)
+    for i in np.flatnonzero(is_split):
+        for j in range(n):
+            if j == i or origins[j] == origins[i]:
+                continue
+            if ious[i, j] > iou_threshold:
+                dead[j] = True
+    return np.flatnonzero(~dead)
 
 
 def normalize_tiny_symbol(

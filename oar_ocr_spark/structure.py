@@ -171,10 +171,13 @@ def extract_structure_page(
     # overall OCR over the full (masked) page, with cross-layout box
     # splitting: detection boxes spanning ≥2 text-bearing containers
     # are split at container boundaries before recognition
-    # (structure.rs:2230-2322 / 3008-3052)
+    # (structure.rs:2230-2322 / 3008-3052), and each re-recognition
+    # crop suppresses other OCR boxes it covers with IoU > 0.8
+    # (covered-OCR suppression, structure.rs:1485-1493)
     from .operators.text_refine import (
         CROSS_SPLIT_CONTAINER_TYPES,
-        split_cross_layout_boxes,
+        split_cross_layout_boxes_with_origins,
+        suppress_covered_boxes,
     )
 
     ocr_boxes, _s = detect_page(ocr_input, cfg)
@@ -182,7 +185,11 @@ def extract_structure_page(
         el.bbox for el in elements if el.element_type in CROSS_SPLIT_CONTAINER_TYPES
     ]
     if len(ocr_boxes) and containers:
-        ocr_boxes = split_cross_layout_boxes(ocr_boxes, np.stack(containers))
+        ocr_boxes, origins, is_split = split_cross_layout_boxes_with_origins(
+            ocr_boxes, np.stack(containers)
+        )
+        keep_idx = suppress_covered_boxes(ocr_boxes, origins, is_split)
+        ocr_boxes = ocr_boxes[keep_idx]
     matched = [False] * len(ocr_boxes)
     for k, ob in enumerate(ocr_boxes):
         for el in elements:
@@ -204,6 +211,31 @@ def extract_structure_page(
                     el.ocr_boxes.append(np.asarray(ob, dtype=np.float32))
                     el.ocr_texts.append(text)
                 matched[k] = True
+
+    # fallback block OCR (structure.rs:1551-1607): a text-bearing
+    # layout block with NO matched text gets one whole-block
+    # recognition pass — a block whose inner detections all failed
+    # would otherwise yield silent empty text. Excluded: the
+    # specialized types (formula/table/seal, is_excluded_layout
+    # structure.rs:1430-1438) and vision blocks (image/chart).
+    for el in elements:
+        t = el.element_type
+        if (
+            t in SHOULD_OCR
+            and t not in EXCLUDED_FROM_OCR_LABELS
+            and t not in ("formula", "image", "chart")
+            and not el.ocr_texts
+        ):
+            crop = upright[
+                max(int(el.bbox[1]), 0) : min(int(el.bbox[3]), h),
+                max(int(el.bbox[0]), 0) : min(int(el.bbox[2]), w),
+            ]
+            if crop.size == 0:
+                continue
+            text, _conf = recognize_crop(crop, cfg)
+            if text:
+                el.ocr_boxes.append(np.asarray(el.bbox, dtype=np.float32))
+                el.ocr_texts.append(text)
 
     # orphan OCR regions → new text elements (stitching.rs:165-293),
     # unless covered by an image element (ioa > 0.5) or a table
@@ -276,11 +308,23 @@ def extract_structure_page(
 
 
 def _analyze_table(upright: np.ndarray, el: StructureElement, cfg: ExtractConfig) -> str:
-    """Table subtree (src/oarocr/table_analyzer.rs:285-470 classic
-    path): crop the table element → synthetic SLANet grid parse →
-    text detection inside the crop → cell↔OCR matching
-    (stitching.rs:640-830) → per-cell x-sorted text join → HTML
-    (table_structure_decode.rs:37-166)."""
+    """Table subtree — analyze_single_table
+    (src/oarocr/table_analyzer.rs:285-760): crop → wired/wireless
+    classification → mode selection (E2E structure vs cell detection,
+    cells→html override) → structure tokens + cells → in-crop OCR →
+    cross-cell box splitting + re-recognition
+    (split_ocr_bboxes_by_table_cells, structure.rs:1630-1851) →
+    cell↔OCR matching (stitching.rs:640-830) → per-cell x-sorted text
+    join → HTML (table_structure_decode.rs:37-166)."""
+    from .operators.table import (
+        classify_table_type,
+        detect_table_cells,
+        get_overlapping_cells,
+        split_box_by_cells,
+        table_cells_to_html_structure,
+    )
+    from .operators.table import TableCell
+
     h, w = upright.shape
     x1 = max(int(el.bbox[0]), 0)
     y1 = max(int(el.bbox[1]), 0)
@@ -289,26 +333,100 @@ def _analyze_table(upright: np.ndarray, el: StructureElement, cfg: ExtractConfig
     crop = upright[y1:y2, x1:x2]
     if crop.size == 0:
         return ""
+
+    # wired/wireless classification drives the mode flags
+    # (table_analyzer.rs:386-417)
+    ttype, _tconf = classify_table_type(crop)
+    if ttype == "wired":
+        use_e2e = cfg.use_e2e_wired_table_rec
+        use_cells_trans = cfg.use_wired_table_cells_trans_to_html
+    elif ttype == "wireless":
+        use_e2e = cfg.use_e2e_wireless_table_rec
+        use_cells_trans = cfg.use_wireless_table_cells_trans_to_html
+    else:
+        use_e2e = cfg.use_e2e_wireless_table_rec
+        use_cells_trans = False
+
+    # E2E structure recognition (SLANet stand-in)
+    tokens: list[str] | None
     tokens, cells = table_structure_from_crop(crop)
     if not tokens:
+        tokens = None
+
+    # cell detection runs when E2E is off or cells→html is requested
+    # (table_analyzer.rs:440-479)
+    detected: list[np.ndarray] = []
+    if not use_e2e or use_cells_trans:
+        detected, _dscores = detect_table_cells(crop)
+    if use_cells_trans and detected:
+        # detected cells replace structure cells; tokens regenerate
+        # from cell positions (table_analyzer.rs:610-625)
+        cells = [TableCell(b, 0, 0) for b in detected]
+        tokens = None
+    if cells and tokens is None:
+        gen = table_cells_to_html_structure([c.bbox for c in cells], 5.0)
+        if gen is not None:
+            gen_tokens, cell_order = gen
+            reordered = []
+            for src_idx, info in cell_order:
+                c = cells[src_idx]
+                c.row, c.col = info.row, info.col
+                reordered.append(c)
+            cells = reordered
+            tokens = gen_tokens
+    if not cells or tokens is None:
         return ""
+    # non-E2E mode keeps detected boxes as better matching geometry
+    # ("Approach C", table_analyzer.rs:626-640)
+    e2e_like = use_e2e and not detected
+
     boxes, _scores = detect_page(crop, cfg)
+    ch, cw = crop.shape
+
+    def rec_box(ob) -> tuple[str, float] | None:
+        bx1, by1 = max(int(np.floor(ob[0])), 0), max(int(np.floor(ob[1])), 0)
+        bx2, by2 = min(int(np.ceil(ob[2])), cw), min(int(np.ceil(ob[3])), ch)
+        if bx2 - bx1 <= 1 or by2 - by1 <= 1:
+            return None
+        sub = crop[by1:by2, bx1:bx2]
+        if sub.size == 0:
+            return None
+        return recognize_crop(sub, cfg)
+
+    # cross-cell OCR splitting + re-recognition: a box covering >= 2
+    # cells (inter/cell_area > 0.5) is split at cell x-edges and each
+    # segment recognized separately (structure.rs:1630-1851); E2E-like
+    # tables skip the split (stitching.rs:434-438 enable gate)
+    cell_boxes = [c.bbox for c in cells]
     ocr_boxes: list[np.ndarray] = []
     ocr_texts: list[str] = []
-    ch, cw = crop.shape
     for ob in boxes:
-        bx1, by1, bx2, by2 = (int(v) for v in ob)
-        sub = crop[max(by1, 0) : min(by2, ch), max(bx1, 0) : min(bx2, cw)]
-        if sub.size == 0:
-            continue
-        text, _conf = recognize_crop(sub, cfg)
-        if text:
-            ocr_boxes.append(np.asarray(ob, dtype=np.float32))
-            ocr_texts.append(text)
-    assign = match_cells_and_ocr(cells, ocr_boxes)
+        pieces = [ob]
+        if not e2e_like:
+            overl = get_overlapping_cells(ob, cell_boxes)
+            if len(overl) >= 2:
+                pieces = split_box_by_cells(ob, overl, cell_boxes)
+        for piece in pieces:
+            rec = rec_box(piece)
+            if rec is None:
+                continue
+            text, _conf = rec
+            if text:
+                ocr_boxes.append(np.asarray(piece, dtype=np.float32))
+                ocr_texts.append(text)
+
+    # matching strategy per mode (stitching.rs:536-546): E2E-like uses
+    # the PaddleX distance + positive-IoU requirement; cell-detection
+    # mode allows nearest-cell assignment at IoU=0 with L1 distance
+    assign = match_cells_and_ocr(
+        cells,
+        ocr_boxes,
+        require_positive_iou=e2e_like,
+        use_paddlex_distance=e2e_like,
+    )
     scfg = StitchConfig()
     cell_texts: list[str | None] = []
-    for ci, cell in enumerate(cells):  # already row-major
+    for ci, cell in enumerate(cells):  # row-major / token order
         ks = assign.get(ci, [])
         if ks:
             cell_texts.append(

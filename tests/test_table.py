@@ -124,3 +124,201 @@ def test_table_html_in_structure_extraction():
         if checked >= 3:
             return
     assert checked >= 1, "no structure page with surviving table element found"
+
+
+# ---------------------------------------------------------------------------
+# round-2 table subtree: wired/wireless classify, cell detection mode,
+# cells->html token generation, cross-cell split + re-recognition
+# ---------------------------------------------------------------------------
+
+from oar_ocr_spark.fixtures.render import _render_region_block, region_width, REGION_H
+from oar_ocr_spark.models.synthetic import BG
+from oar_ocr_spark.operators.table import (
+    classify_table_type,
+    detect_table_cells,
+    get_overlapping_cells,
+    split_box_by_cells,
+    table_cells_to_html_structure,
+)
+
+TABLE_GRID = 190
+ROW_H = REGION_H + 14
+
+
+def _draw_table(n_rows, n_cols, cell_texts, wired=True, col_w=120, span_row=None):
+    """Standalone table crop like fixtures.render_structure._render_table;
+    span_row draws that row's text as ONE strip across cells 0..1."""
+    w = n_cols * col_w + 4
+    h = n_rows * ROW_H + 6
+    img = np.full((h, w), BG, dtype=np.uint8)
+    gx1, gy1 = 2, 2
+    gx2 = gx1 + col_w * n_cols
+    for r in range(n_rows + 1):
+        yy = gy1 + r * ROW_H
+        img[yy : yy + 2, gx1:gx2] = TABLE_GRID
+    if wired:
+        for c in range(n_cols + 1):
+            xx = gx1 + c * col_w
+            img[gy1 : gy1 + n_rows * ROW_H + 2, xx : xx + 2] = TABLE_GRID
+    for r in range(n_rows):
+        if span_row == r:
+            text = cell_texts[r * n_cols]
+            block = _render_region_block(text)
+            bw = min(region_width(len(text)), 2 * col_w - 10)
+            # strip spans both cells 0 and 1: starts just inside cell 0
+            img[gy1 + r * ROW_H + 7 : gy1 + r * ROW_H + 7 + REGION_H,
+                gx1 + 4 : gx1 + 4 + bw] = block[:, :bw]
+            continue
+        for c in range(n_cols):
+            text = cell_texts[r * n_cols + c]
+            block = _render_region_block(text)
+            bw = min(region_width(len(text)), col_w - 8)
+            img[gy1 + r * ROW_H + 7 : gy1 + r * ROW_H + 7 + REGION_H,
+                gx1 + c * col_w + 5 : gx1 + c * col_w + 5 + bw] = block[:, :bw]
+    return img
+
+
+def test_classify_table_type():
+    wired = _draw_table(2, 2, ["ab", "cd", "ef", "gh"], wired=True)
+    wireless = _draw_table(2, 2, ["ab", "cd", "ef", "gh"], wired=False)
+    assert classify_table_type(wired)[0] == "wired"
+    assert classify_table_type(wireless)[0] == "wireless"
+    assert classify_table_type(np.full((40, 40), BG, dtype=np.uint8))[0] == "unknown"
+
+
+def test_wireless_structure_infers_columns():
+    texts = ["ab1", "cd2", "ef3", "gh4", "ij5", "kl6"]
+    img = _draw_table(2, 3, texts, wired=False)
+    tokens, cells = table_structure_from_crop(img)
+    assert len(cells) == 6
+    rows = {c.row for c in cells}
+    cols = {c.col for c in cells}
+    assert rows == {0, 1} and cols == {0, 1, 2}
+    # each text strip's start must fall inside its inferred cell
+    for r in range(2):
+        for c in range(3):
+            cell = cells[r * 3 + c]
+            tx = 2 + c * 120 + 5
+            assert cell.bbox[0] <= tx <= cell.bbox[2], (r, c, cell.bbox)
+
+
+def test_detect_table_cells_interiors():
+    img = _draw_table(2, 2, ["ab", "cd", "ef", "gh"], wired=True)
+    boxes, scores = detect_table_cells(img)
+    assert len(boxes) == 4 and len(scores) == 4
+    # interiors are inset from grid lines
+    assert all(b[0] >= 2 and b[1] >= 2 for b in boxes)
+
+
+def test_table_cells_to_html_structure_with_spans():
+    # 2x2 grid where the top cell spans both columns
+    cells = [
+        np.asarray([0.0, 0.0, 100.0, 30.0]),   # row 0: colspan 2
+        np.asarray([0.0, 30.0, 50.0, 60.0]),   # row 1 col 0
+        np.asarray([50.0, 30.0, 100.0, 60.0]), # row 1 col 1
+    ]
+    tokens, order = table_cells_to_html_structure(cells, 5.0)
+    assert '<td colspan="2"></td>' in tokens
+    assert [info.row for _, info in order] == [0, 1, 1]
+    assert [src for src, _ in order] == [0, 1, 2]
+    html = wrap_table_html_with_content(tokens, ["top", "a", "b"])
+    assert '<td colspan="2">top</td>' in html
+    assert html.count("<tr>") == 2
+    assert html.count("<table>") == 1 and html.count("</table>") == 1
+
+
+def test_split_box_by_cells_segments():
+    # structure.rs:1699-1755: leading + per-cell + gap + trailing
+    cells = [np.asarray([10.0, 0.0, 50.0, 30.0]), np.asarray([60.0, 0.0, 100.0, 30.0])]
+    ob = np.asarray([0.0, 5.0, 110.0, 25.0])
+    parts = split_box_by_cells(ob, [0, 1], cells)
+    xs = [(p[0], p[2]) for p in parts]
+    assert xs == [(0, 10), (10, 50), (50, 60), (60, 100), (100, 110)]
+    assert get_overlapping_cells(ob, cells) == [0, 1]
+
+
+def test_cross_cell_split_rerecognizes_both_cells():
+    # a strip spanning cells (0,0) and (0,1) of a wired 3-row table is
+    # split at the cell boundary and each half re-recognized
+    from oar_ocr_spark.local_ref import ExtractConfig
+    from oar_ocr_spark.structure import StructureElement, _analyze_table
+
+    # col_w=60 so the 110px strip genuinely crosses the cell boundary
+    texts = ["abcdefgh12", "(spanned)", "y2", "z3", "w4", "v5"]
+    img = _draw_table(3, 2, texts, wired=True, col_w=60, span_row=0)
+    page = np.full((img.shape[0] + 20, img.shape[1] + 20), BG, dtype=np.uint8)
+    page[10 : 10 + img.shape[0], 10 : 10 + img.shape[1]] = img
+    el = StructureElement(
+        np.asarray([10.0, 10.0, 10.0 + img.shape[1], 10.0 + img.shape[0]], dtype=np.float32),
+        "table",
+        1.0,
+    )
+    cfg = ExtractConfig()
+    html = _analyze_table(page, el, cfg)
+    assert html
+    # both spanned cells carry text, and together they cover the strip
+    import re
+
+    tds = re.findall(r"<td>([^<]*)</td>", html)
+    row0 = tds[:2]
+    assert all(row0), (row0, html)
+    assert "abcd" in row0[0]
+    # characters from the right half land in cell (0,1)
+    assert any(ch in row0[1] for ch in "gh12"), row0
+    # unspanned cells keep their own text
+    assert "y2" in tds and "v5" in tds
+
+
+def test_covered_ocr_suppression():
+    from oar_ocr_spark.operators.text_refine import (
+        split_cross_layout_boxes_with_origins,
+        suppress_covered_boxes,
+    )
+
+    containers = np.asarray([[0, 0, 50, 100], [50, 0, 100, 100]], dtype=np.float32)
+    det = np.asarray(
+        [
+            [10, 10, 90, 30],   # spans both containers -> split
+            [12, 11, 49, 29],   # almost equal to the left split piece -> suppressed
+            [10, 60, 40, 80],   # unrelated -> kept
+        ],
+        dtype=np.float32,
+    )
+    boxes, origins, is_split = split_cross_layout_boxes_with_origins(det, containers)
+    assert is_split.sum() == 2
+    keep = suppress_covered_boxes(boxes, origins, is_split)
+    kept = boxes[keep]
+    # the covered standalone box is gone; split pieces + unrelated kept
+    assert len(kept) == 3
+    assert not any(abs(b[0] - 12) < 0.5 and abs(b[1] - 11) < 0.5 for b in kept)
+
+
+def test_fallback_block_ocr_recovers_thin_text(spark=None):
+    # a text block whose only content is a 2px strip: detection sees
+    # nothing, the fallback whole-block pass recovers the text
+    from oar_ocr_spark.fixtures.render_structure import (
+        structure_page_truth,
+        render_structure_page,
+    )
+    from oar_ocr_spark.local_ref import ExtractConfig
+
+    found = 0
+    for i in range(150):
+        ref = f"fb{i}"
+        truth = structure_page_truth(ref)
+        thins = [e for e in truth.elements if e.thin]
+        if not thins:
+            continue
+        els = extract_structure_page(render_structure_page(ref), ExtractConfig())
+        for th in thins:
+            got = [
+                e
+                for e in els
+                if abs(e.bbox[0] - th.x1) < 4 and abs(e.bbox[1] - th.y1) < 4
+            ]
+            if got:
+                assert got[0].text == th.lines[0], (ref, th.lines[0], got[0].text)
+                found += 1
+        if found >= 3:
+            break
+    assert found >= 3, "corpus produced too few thin-text fixtures"
