@@ -43,6 +43,7 @@ __all__ = [
     "bucket_ratio",
     "detect_and_crop",
     "detect_page_quads",
+    "detect_page_polys",
 ]
 
 MAX_BUCKET = 32  # wh_ratio bucket cap (crops here are ≤ ~7)
@@ -83,6 +84,32 @@ class ExtractConfig:
     use_wired_table_cells_trans_to_html: bool = False
     use_wireless_table_cells_trans_to_html: bool = False
     postprocess: DBPostProcess = field(init=False)
+
+    @classmethod
+    def for_text_type(cls, text_type: str = "general", **overrides) -> "ExtractConfig":
+        """Reference per-text-type detection defaults
+        (src/oarocr/ocr.rs:314-366):
+        general: thresh .3 / box .6 / unclip 2.0 / side 960 max
+        table:   thresh .3 / box .4 / unclip 2.0 / side 960 max
+        seal:    thresh .2 / box .6 / unclip 0.5 / side 736 min
+                 + Poly box type (text_detection_adapter.rs:152-160)
+        rotated: general numbers + min-area-rect quad boxes."""
+        presets: dict[str, dict] = {
+            "general": {},
+            "rotated": {"text_type": "rotated"},
+            "table": {"det_box_thresh": 0.4, "text_type": "table"},
+            "seal": {
+                "det_thresh": 0.2,
+                "det_box_thresh": 0.6,
+                "det_unclip_ratio": 0.5,
+                "det_limit_side_len": 736,
+                "det_limit_type": "min",
+                "text_type": "seal",
+            },
+        }
+        kwargs = dict(presets.get(text_type, {}))
+        kwargs.update(overrides)
+        return cls(**kwargs)
 
     def __post_init__(self) -> None:
         self.postprocess = DBPostProcess(
@@ -175,6 +202,18 @@ def detect_page_quads(img: np.ndarray, cfg: ExtractConfig) -> tuple[np.ndarray, 
         img, cfg.det_limit_side_len, cfg.det_limit_type, cfg.det_max_side_limit
     )
     return cfg.postprocess.apply_quad_uint8_inverted(resized, src_w=w, src_h=h)
+
+
+def detect_page_polys(img: np.ndarray, cfg: ExtractConfig) -> tuple[list[np.ndarray], np.ndarray]:
+    """Upright image → (polygons [(K,2) source coords], scores) — the
+    Poly box mode used by seal detection (polygons_from_bitmap,
+    db_bitmap.rs:16-82; BoxType::Poly selection
+    text_detection_adapter.rs:152-160)."""
+    h, w = img.shape
+    resized, _, _ = resize_for_detection(
+        img, cfg.det_limit_side_len, cfg.det_limit_type, cfg.det_max_side_limit
+    )
+    return cfg.postprocess.apply_poly_uint8_inverted(resized, src_w=w, src_h=h)
 
 
 def detect_and_crop(

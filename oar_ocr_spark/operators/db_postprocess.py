@@ -254,6 +254,25 @@ class DBPostProcess:
     # Rotated (quad) detection needs slow: a skewed line's AABB is
     # mostly background and fast-scores below box_thresh.
     score_mode: str = "fast"
+    # dilate the binarized mask (Chebyshev radius 1) before component
+    # extraction (db_mask.rs:8-12; DBPostprocessConfig.use_dilation)
+    use_dilation: bool = False
+
+    @staticmethod
+    def dilate_mask(mask: np.ndarray) -> np.ndarray:
+        """Binary dilation with Chebyshev radius 1 (3×3 max filter) —
+        morphology::dilate(Norm::LInf, 1), db_mask.rs:8-12."""
+        m = np.asarray(mask, dtype=bool)
+        v = m.copy()
+        v[1:, :] |= m[:-1, :]
+        v[:-1, :] |= m[1:, :]
+        out = v.copy()
+        out[:, 1:] |= v[:, :-1]
+        out[:, :-1] |= v[:, 1:]
+        return out
+
+    def _maybe_dilate(self, mask: np.ndarray) -> np.ndarray:
+        return self.dilate_mask(mask) if self.use_dilation else mask
 
     def box_score_fast(self, pred: np.ndarray, box: np.ndarray) -> float:
         """Mean of pred over the box's floor/ceil-clamped inclusive AABB
@@ -340,7 +359,7 @@ class DBPostProcess:
         Returns (quads (N,4,2) [tl,tr,br,bl] source coords, scores)."""
         img = np.asarray(img)
         lut = (np.float32(255) - np.arange(256, dtype=np.float32)) / np.float32(255)
-        mask = (lut > np.float32(self.thresh))[img]
+        mask = self._maybe_dilate((lut > np.float32(self.thresh))[img])
         return self._quads_from_mask(mask, img, src_w, src_h)
 
     def _quads_from_mask(
@@ -411,9 +430,86 @@ class DBPostProcess:
             return 0.0
         return float((255.0 - float(region.mean())) / 255.0)
 
+    def apply_poly_uint8_inverted(
+        self, img: np.ndarray, src_w: int, src_h: int
+    ) -> tuple[list[np.ndarray], np.ndarray]:
+        """Poly (curved-text / seal) flavor — polygons_from_bitmap
+        (db_bitmap.rs:16-82): component polygon (convex hull of the
+        run endpoints — exact for the engine's convex components) →
+        approx_poly_dp(ε = 0.002·perimeter) → score → round-join
+        polygon unclip (offset_convex_polygon) → mini-box sside filter
+        → scale/round/clamp. Returns (list of (K,2) polygons in source
+        coords, scores)."""
+        from .rotated_geometry import (
+            approx_poly_dp,
+            convex_hull,
+            min_area_rect,
+            offset_convex_polygon,
+        )
+
+        img = np.asarray(img)
+        lut = (np.float32(255) - np.arange(256, dtype=np.float32)) / np.float32(255)
+        mask = self._maybe_dilate((lut > np.float32(self.thresh))[img])
+        h, w = mask.shape
+        comps = connected_components_runs(mask)[: self.max_candidates]
+        width_scale = float(src_w) / float(w)
+        height_scale = float(src_h) / float(h)
+        polys: list[np.ndarray] = []
+        scores: list[float] = []
+        for runs in comps:
+            pts: list[tuple[int, int]] = []
+            for (y, x0, x1) in runs:
+                pts.append((int(x0), int(y)))
+                if x1 - 1 != x0:
+                    pts.append((int(x1 - 1), int(y)))
+            if len(pts) < 4:  # db_bitmap.rs:38 contour length guard
+                continue
+            hull = convex_hull(np.asarray(pts, dtype=np.float64))
+            if len(hull) < 3:
+                continue
+            closed = np.vstack([hull, hull[:1]])
+            perimeter = float(np.hypot(*(np.diff(closed, axis=0).T)).sum())
+            approx = approx_poly_dp(closed, 0.002 * perimeter)
+            # drop the duplicated closing point kept by DP endpoints
+            if len(approx) >= 2 and (approx[0] == approx[-1]).all():
+                approx = approx[:-1]
+            if len(approx) < 4:
+                continue
+            aabb = np.asarray(
+                [approx[:, 0].min(), approx[:, 1].min(), approx[:, 0].max(), approx[:, 1].max()]
+            )
+            mini4 = np.stack(
+                [aabb[[0, 1]], aabb[[2, 1]], aabb[[2, 3]], aabb[[0, 3]]]
+            )
+            score = self._score_quad(img, mini4, runs)
+            if score < self.box_thresh:
+                continue
+            x, y = approx[:, 0], approx[:, 1]
+            area = abs(float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))) / 2.0
+            closed_a = np.vstack([approx, approx[:1]])
+            perim_a = float(np.hypot(*(np.diff(closed_a, axis=0).T)).sum())
+            if area <= np.finfo(np.float64).eps or perim_a <= np.finfo(np.float64).eps:
+                continue
+            delta = area * float(self.unclip_ratio) / perim_a
+            if abs(delta) <= np.finfo(np.float64).eps:
+                continue
+            unclipped = offset_convex_polygon(approx, delta)
+            if len(unclipped) < 3:
+                continue
+            rect = min_area_rect(unclipped)
+            sside = min(rect[2], rect[3])
+            if sside < self.min_size + 2.0:  # db_bitmap.rs:63
+                continue
+            px = np.clip(np.round(unclipped[:, 0] * width_scale), 0, src_w)
+            py = np.clip(np.round(unclipped[:, 1] * height_scale), 0, src_h)
+            polys.append(np.stack([px, py], axis=1).astype(np.float32))
+            scores.append(score)
+        return polys, np.asarray(scores, dtype=np.float32)
+
     def _boxes_from_mask(
         self, mask: np.ndarray, score_fn, src_w: int, src_h: int
     ) -> tuple[np.ndarray, np.ndarray]:
+        mask = self._maybe_dilate(mask)
         h, w = mask.shape
         comps = connected_components_boxes(mask)[: self.max_candidates]
         width_scale = np.float32(src_w) / np.float32(w)

@@ -46,6 +46,8 @@ __all__ = [
     "order_quad_points",
     "get_mini_boxes",
     "unclip_rect",
+    "approx_poly_dp",
+    "offset_convex_polygon",
     "perspective_transform",
     "warp_perspective_nn",
     "get_rotate_crop_image",
@@ -183,6 +185,103 @@ def unclip_rect(
     if abs(delta) <= np.finfo(np.float64).eps:
         return None
     return (cx, cy, w + 2.0 * delta, h + 2.0 * delta, angle)
+
+
+def _point_to_segment_distance(p: np.ndarray, a: np.ndarray, b: np.ndarray) -> float:
+    """Perpendicular distance from p to segment a-b (geometry.rs
+    point_to_line_distance)."""
+    ab = b - a
+    denom = float(ab[0] ** 2 + ab[1] ** 2)
+    if denom <= 0.0:
+        return float(np.hypot(*(p - a)))
+    t = float(np.dot(p - a, ab)) / denom
+    t = min(max(t, 0.0), 1.0)
+    proj = a + t * ab
+    return float(np.hypot(*(p - proj)))
+
+
+def approx_poly_dp(points: np.ndarray, epsilon: float) -> np.ndarray:
+    """Douglas-Peucker polygon simplification — iterative stack port
+    of BoundingBox::approx_poly_dp / douglas_peucker
+    (geometry.rs:453-536). Keeps endpoints; splits at the farthest
+    point while its distance exceeds epsilon."""
+    pts = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+    n = len(pts)
+    if n <= 2:
+        return pts.copy()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        start, end = stack.pop()
+        if end - start <= 1:
+            continue
+        dists = [
+            _point_to_segment_distance(pts[i], pts[start], pts[end])
+            for i in range(start + 1, end)
+        ]
+        max_off = int(np.argmax(dists))
+        max_dist = dists[max_off]
+        max_index = start + 1 + max_off
+        if max_dist > epsilon:
+            keep[max_index] = True
+            if max_index - start > 1:
+                stack.append((start, max_index))
+            if end - max_index > 1:
+                stack.append((max_index, end))
+    return pts[keep]
+
+
+def offset_convex_polygon(
+    points: np.ndarray, delta: float, arc_steps: int = 8
+) -> np.ndarray:
+    """Round-join outward offset of a CONVEX polygon by `delta` — the
+    Minkowski sum with a radius-delta disk, arcs sampled with
+    `arc_steps` points per vertex. This is the closed form of the
+    reference's Clipper2 inflate_paths_d(JoinType::Round) restricted
+    to convex input (db_bitmap.rs:279-345); the engine's synthetic
+    components are convex, where the restriction is exact up to arc
+    sampling (the downstream min-area-rect/scale-back consumers are
+    insensitive to arc density).
+
+    Points must be in a consistent winding; output keeps it.
+    """
+    pts = np.asarray(points, dtype=np.float64).reshape(-1, 2)
+    n = len(pts)
+    if n < 3 or delta <= 0.0:
+        return pts.copy()
+    # signed area decides which perpendicular points outward
+    x, y = pts[:, 0], pts[:, 1]
+    area2 = float(np.dot(x, np.roll(y, -1)) - np.dot(np.roll(x, -1), y))
+    sign = 1.0 if area2 > 0 else -1.0
+    out: list[np.ndarray] = []
+    for i in range(n):
+        p_prev = pts[(i - 1) % n]
+        p = pts[i]
+        p_next = pts[(i + 1) % n]
+        # offset endpoints of the two incident edges + arc between them
+        e1 = p - p_prev
+        e2 = p_next - p
+        l1, l2 = float(np.hypot(*e1)), float(np.hypot(*e2))
+        if l1 <= 0.0 or l2 <= 0.0:
+            continue
+        n1 = sign * np.asarray([e1[1], -e1[0]]) / l1
+        n2 = sign * np.asarray([e2[1], -e2[0]]) / l2
+        a1 = float(np.arctan2(n1[1], n1[0]))
+        a2 = float(np.arctan2(n2[1], n2[0]))
+        # sweep from n1 to n2 the short way matching the winding
+        sweep = a2 - a1
+        if sign > 0:
+            while sweep < 0:
+                sweep += 2 * np.pi
+        else:
+            while sweep > 0:
+                sweep -= 2 * np.pi
+        steps = max(int(arc_steps * abs(sweep) / (np.pi / 2)), 1)
+        for s in range(steps + 1):
+            ang = a1 + sweep * s / steps
+            out.append(p + delta * np.asarray([np.cos(ang), np.sin(ang)]))
+    return np.asarray(out, dtype=np.float64)
 
 
 def perspective_transform(src: np.ndarray, dst: np.ndarray) -> np.ndarray:

@@ -48,25 +48,59 @@ STRUCTURE_SCHEMA = T.StructType(
         T.StructField("media_ref", T.StringType(), False),
         T.StructField("elements", T.ArrayType(ELEMENT_STRUCT)),
         T.StructField("markdown", T.StringType()),
+        T.StructField("html", T.StringType()),
+        # PageContinuationFlags (domain/structure.rs:331-349)
+        T.StructField("para_start", T.BooleanType()),
+        T.StructField("para_end", T.BooleanType()),
     ]
 )
 
+_CJK = "[\\x{4e00}-\\x{9fff}]"
+
 
 def document_markdown(structure_df: DataFrame) -> DataFrame:
-    """Per-document markdown: page markdowns concatenated in offset
-    order (the multi-page concat of concatenate_markdown_pages,
-    domain/structure.rs:1223; PageContinuationFlags reduce to a plain
-    page join for the synthetic corpus, whose pages never split a
-    paragraph). Pure Catalyst — no window state."""
-    return structure_df.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("offset", "markdown"))),
-                lambda s: s["markdown"],
-            ),
-            "\n\n",
-        ).alias("markdown")
+    """Per-document markdown honoring PageContinuationFlags — the
+    multi-page concat of concatenate_markdown_pages
+    (domain/structure.rs:1223-1283) as a pure-Catalyst fold: pages are
+    sorted by offset and folded with an (accumulated_markdown,
+    prev_page_end) accumulator. A page whose first paragraph continues
+    the previous page's unfinished one joins with a single space
+    (direct concat when either boundary char is CJK); empty pages only
+    forward their end flag; otherwise pages join with a blank line.
+    No window state, one shuffle for the groupBy."""
+    pages = F.array_sort(
+        F.collect_list(F.struct("offset", "markdown", "para_start", "para_end"))
     )
+
+    def merge(acc, p):
+        page_md = F.coalesce(p["markdown"], F.lit(""))
+        empty = F.trim(page_md) == ""
+        last_char = F.substring(acc["md"], -1, 1)
+        first_char = F.substring(page_md, 1, 1)
+        cjk_boundary = last_char.rlike(_CJK) | first_char.rlike(_CJK)
+        continues = (~p["para_start"]) & (~acc["prev_end"])
+        joined = (
+            F.when(empty, acc["md"])
+            .when(
+                continues & ~cjk_boundary,
+                F.concat(acc["md"], F.lit(" "), F.ltrim(page_md)),
+            )
+            .when(continues, F.concat(acc["md"], F.ltrim(page_md)))
+            .when(acc["md"] == "", page_md)
+            .otherwise(F.concat(acc["md"], F.lit("\n\n"), page_md))
+        )
+        return F.struct(
+            joined.alias("md"),
+            F.coalesce(p["para_end"], F.lit(True)).alias("prev_end"),
+        )
+
+    folded = F.aggregate(
+        pages,
+        F.struct(F.lit("").alias("md"), F.lit(True).alias("prev_end")),
+        merge,
+        lambda acc: F.trim(acc["md"]),
+    )
+    return structure_df.groupBy("doc_id").agg(folded.alias("markdown"))
 
 
 def extract_structure(
@@ -91,7 +125,12 @@ def extract_structure(
 
     def structure_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .fixtures.render_structure import render_structure_page
-        from .structure import elements_to_markdown, extract_structure_page
+        from .structure import (
+            calculate_continuation_flags,
+            elements_to_html,
+            elements_to_markdown,
+            extract_structure_page,
+        )
 
         cols = [f.name for f in STRUCTURE_SCHEMA.fields]
         for pdf in batches:
@@ -99,7 +138,9 @@ def extract_structure(
             for doc_id, offset, media_ref in zip(
                 pdf["doc_id"], pdf["offset"], pdf["media_ref"]
             ):
-                els = extract_structure_page(render_structure_page(media_ref), cfg)
+                img = render_structure_page(media_ref)
+                els = extract_structure_page(img, cfg)
+                p_start, p_end = calculate_continuation_flags(els)
                 rows.append(
                     (
                         doc_id,
@@ -121,6 +162,9 @@ def extract_structure(
                             for e in els
                         ],
                         elements_to_markdown(els),
+                        elements_to_html(els),
+                        p_start,
+                        p_end,
                     )
                 )
             yield pd.DataFrame(rows, columns=cols)

@@ -35,7 +35,16 @@ from .operators.table import (
     wrap_table_html_with_content,
 )
 
-__all__ = ["StructureElement", "detect_layout", "extract_structure_page", "elements_to_markdown"]
+__all__ = [
+    "StructureElement",
+    "detect_layout",
+    "extract_structure_page",
+    "elements_to_markdown",
+    "elements_to_html",
+    "calculate_continuation_flags",
+    "concatenate_markdown_pages",
+    "simplify_table_html",
+]
 
 # stitching.rs:40-41 — regions with specialized content skip OCR matching
 EXCLUDED_FROM_OCR_LABELS = ("table", "seal")
@@ -443,9 +452,13 @@ def _analyze_table(upright: np.ndarray, el: StructureElement, cfg: ExtractConfig
 
 
 def _analyze_seal(upright: np.ndarray, el: StructureElement, cfg: ExtractConfig) -> str:
-    """Seal subtree (structure.rs:2009-2075): crop → seal text detection
+    """Seal subtree (structure.rs:2009-2075): crop → seal-config Poly
+    text detection (thresh .2 / box .6 / unclip 0.5 / side 736 min,
+    ocr.rs:332-350; BoxType::Poly, text_detection_adapter.rs:152-160)
     → sort_poly_boxes order → recognize → boxes translated back by the
     crop offset (geometry.rs:109) → space-joined text."""
+    from .local_ref import ExtractConfig as _Cfg
+    from .local_ref import detect_page_polys
     from .operators.geometry import translate_boxes
     from .operators.sorting import sort_poly_boxes
 
@@ -457,9 +470,16 @@ def _analyze_seal(upright: np.ndarray, el: StructureElement, cfg: ExtractConfig)
     crop = upright[y1:y2, x1:x2]
     if crop.size == 0:
         return ""
-    boxes, _s = detect_page(crop, cfg)
-    if len(boxes) == 0:
+    seal_cfg = _Cfg.for_text_type("seal")
+    polys, _s = detect_page_polys(crop, seal_cfg)
+    if len(polys) == 0:
         return ""
+    boxes = np.stack(
+        [
+            [p[:, 0].min(), p[:, 1].min(), p[:, 0].max(), p[:, 1].max()]
+            for p in polys
+        ]
+    ).astype(np.float32)
     order = sort_poly_boxes(boxes)
     texts: list[str] = []
     page_boxes = translate_boxes(boxes, x1, y1)  # back to page coords
@@ -474,6 +494,141 @@ def _analyze_seal(upright: np.ndarray, el: StructureElement, cfg: ExtractConfig)
     el.ocr_boxes = [page_boxes[i] for i in order]
     el.ocr_texts = list(texts)
     return " ".join(texts)
+
+
+CONTINUATION_TEXT_TYPES = ("text", "doc_title", "paragraph_title", "abstract", "reference")
+
+
+def calculate_continuation_flags(
+    elements: list[StructureElement], page_width: float | None = None
+) -> tuple[bool, bool]:
+    """(paragraph_start, paragraph_end) for multi-page concatenation.
+
+    Port of StructureResult::calculate_continuation_flags
+    (domain/structure.rs:851-898): over the text-like elements only,
+    paragraph_start = first element begins at the left margin
+    (x_min <= 5% of page width — is_new_paragraph_start, :1188-1192);
+    paragraph_end = last element stops before the right margin
+    (x_max <= 90% of page width — is_paragraph_complete, :1198-1209).
+    """
+    if not elements:
+        return True, True
+    if page_width is None:
+        page_width = max(float(el.bbox[2]) for el in elements)
+    text_els = [el for el in elements if el.element_type in CONTINUATION_TEXT_TYPES]
+    if not text_els:
+        return True, True
+    start_threshold = page_width * 0.05 if page_width else 50.0
+    paragraph_start = float(text_els[0].bbox[0]) <= start_threshold
+    if page_width:
+        paragraph_end = float(text_els[-1].bbox[2]) <= page_width * 0.9
+    else:
+        paragraph_end = True
+    return paragraph_start, paragraph_end
+
+
+def _is_chinese_char(c: str) -> bool:
+    return "一" <= c <= "鿿"
+
+
+def concatenate_markdown_pages(pages: list[tuple[str, tuple[bool, bool]]]) -> str:
+    """Multi-page markdown concat honoring PageContinuationFlags.
+
+    Port of concatenate_markdown_pages (domain/structure.rs:1223-1283):
+    pages = [(markdown, (paragraph_start, paragraph_end))] in page
+    order. A page whose first paragraph continues the previous page's
+    unfinished paragraph is joined with a single space (direct concat
+    when either side is Chinese); otherwise pages join with a blank
+    line. Empty pages only forward their end flag."""
+    if not pages:
+        return ""
+    if len(pages) == 1:
+        return pages[0][0]
+    markdown = ""
+    prev_end = True
+    for page_md, (p_start, p_end) in pages:
+        if not page_md.strip():
+            prev_end = p_end
+            continue
+        if (not p_start) and (not prev_end):
+            last = markdown[-1] if markdown else ""
+            first = page_md[0] if page_md else ""
+            if not (_is_chinese_char(last) or _is_chinese_char(first)):
+                markdown += " " + page_md.lstrip()
+            else:
+                markdown += page_md.lstrip()
+        else:
+            if markdown:
+                markdown += "\n\n"
+            markdown += page_md
+        prev_end = p_end
+    return markdown.strip()
+
+
+def _escape_html(text: str) -> str:
+    """StructureResult::escape_html (domain/structure.rs:1043-1049)."""
+    return (
+        text.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+        .replace("'", "&#39;")
+    )
+
+
+def simplify_table_html(html: str) -> str:
+    """Strip <html>/<body> wrappers (domain/structure.rs:1550-1555)."""
+    return (
+        html.replace("<html>", "")
+        .replace("</html>", "")
+        .replace("<body>", "")
+        .replace("</body>", "")
+    )
+
+
+def elements_to_html(elements: list[StructureElement]) -> str:
+    """Reading-order HTML fold — StructureResult::to_html
+    (domain/structure.rs:903-1041): doc_title→h1, paragraph_title→h2,
+    table→simplified bordered HTML, formula→$$ in a .formula p,
+    image→figure, seal→figure.seal, figure_title→figcaption,
+    header/footer→semantic tags, default→p; text HTML-escaped."""
+    parts = ['<!DOCTYPE html>\n<html>\n<head>\n<meta charset="UTF-8">\n</head>\n<body>\n']
+    for el in elements:
+        t = el.element_type
+        text = el.text or ""
+        if t == "doc_title":
+            parts.append(f"<h1>{_escape_html(text)}</h1>\n")
+        elif t == "paragraph_title":
+            parts.append(f"<h2>{_escape_html(text)}</h2>\n")
+        elif t == "table":
+            if el.html:
+                styled = simplify_table_html(el.html).replace(
+                    "<table>",
+                    '<table border="1" style="border-collapse: collapse;">',
+                    1,
+                )
+                parts.append(styled + "\n")
+            else:
+                parts.append("<p>[Table]</p>\n")
+        elif t in ("formula", "formula_number"):
+            parts.append(f'<p class="formula">$${_escape_html(text)}$$</p>\n')
+        elif t in ("image", "chart"):
+            cap = f"<figcaption>{_escape_html(text)}</figcaption>\n" if text else ""
+            parts.append(f'<figure>\n<img alt="Figure" />\n{cap}</figure>\n')
+        elif t == "seal":
+            cap = f"<figcaption>{_escape_html(text)}</figcaption>\n" if text else ""
+            parts.append(f'<figure class="seal">\n<img alt="Seal" />\n{cap}</figure>\n')
+        elif t == "figure_title":
+            if text:
+                parts.append(f"<figcaption>{_escape_html(text)}</figcaption>\n")
+        elif t in ("header", "header_image"):
+            parts.append(f"<header>{_escape_html(text)}</header>\n")
+        elif t in ("footer", "footer_image"):
+            parts.append(f"<footer>{_escape_html(text)}</footer>\n")
+        elif text:
+            parts.append(f"<p>{_escape_html(text)}</p>\n")
+    parts.append("</body>\n</html>")
+    return "".join(parts)
 
 
 def elements_to_markdown(elements: list[StructureElement]) -> str:

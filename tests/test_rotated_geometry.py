@@ -193,3 +193,95 @@ def test_rotated_page_roundtrip_truth(i):
     truth = rotated_page_truth(ref)
     got = [t for t, _ in extract_page(render_page(ref), ExtractConfig(text_type="rotated"))]
     assert got == [r.text for r in truth.regions]
+
+
+# ---------------------------------------------------------------------------
+# Poly box mode, polygon simplification/offset, dilation, det configs
+# ---------------------------------------------------------------------------
+
+
+def test_approx_poly_dp_reference_semantics():
+    from oar_ocr_spark.operators.rotated_geometry import approx_poly_dp
+
+    # collinear midpoints are dropped; corners survive
+    pts = np.asarray(
+        [(0, 0), (5, 0), (10, 0), (10, 5), (10, 10), (5, 10), (0, 10), (0, 5), (0, 0)],
+        dtype=float,
+    )
+    out = approx_poly_dp(pts, 0.5)
+    assert {tuple(p) for p in out} == {(0, 0), (10, 0), (10, 10), (0, 10)}
+    # epsilon larger than the bulge flattens it
+    bulge = np.asarray([(0, 0), (5, 1), (10, 0)], dtype=float)
+    assert len(approx_poly_dp(bulge, 2.0)) == 2
+    assert len(approx_poly_dp(bulge, 0.5)) == 3
+
+
+def test_offset_convex_polygon_round_join():
+    from oar_ocr_spark.operators.rotated_geometry import (
+        min_area_rect,
+        offset_convex_polygon,
+    )
+
+    square = np.asarray([(10, 10), (30, 10), (30, 20), (10, 20)], dtype=float)
+    out = offset_convex_polygon(square, 5.0)
+    # support in every direction grows by exactly delta
+    assert abs(out[:, 0].min() - 5.0) < 1e-6 and abs(out[:, 0].max() - 35.0) < 1e-6
+    assert abs(out[:, 1].min() - 5.0) < 1e-6 and abs(out[:, 1].max() - 25.0) < 1e-6
+    # min-area rect of the offset equals the rect grown by delta per side
+    cx, cy, w, h, _ = min_area_rect(out)
+    assert abs(max(w, h) - 30.0) < 0.1 and abs(min(w, h) - 20.0) < 0.1
+    # corner arc points stay within radius delta of the corners
+    d = np.hypot(out[:, 0] - 30, out[:, 1] - 10)
+    assert (np.hypot(out[:, 0, None] - square[None, :, 0],
+                     out[:, 1, None] - square[None, :, 1]).min(axis=1) <= 5.0 + 1e-6).any()
+
+
+def test_dilate_mask_chebyshev_radius_1():
+    from oar_ocr_spark.operators.db_postprocess import DBPostProcess
+
+    m = np.zeros((5, 5), dtype=bool)
+    m[2, 2] = True
+    out = DBPostProcess.dilate_mask(m)
+    assert out.sum() == 9 and out[1:4, 1:4].all()  # full 3x3 block
+    # dilation merges two 1-px-gap components into one
+    from oar_ocr_spark.operators.db_postprocess import connected_components_boxes
+
+    m2 = np.zeros((5, 9), dtype=bool)
+    m2[2, 1:3] = True
+    m2[2, 6:8] = True
+    assert len(connected_components_boxes(m2)) == 2
+    post = DBPostProcess(use_dilation=True, min_size=1.0, box_thresh=0.0)
+    img = np.where(m2, 0, 255).astype(np.uint8)
+    boxes, _ = post.apply_uint8_inverted(img, 9, 5)
+    assert len(boxes) <= 2  # gap-3 still separate; radius-1 touches at gap<=2
+
+
+def test_poly_detection_on_seal_like_crop():
+    from oar_ocr_spark.local_ref import ExtractConfig, detect_page_polys
+    from oar_ocr_spark.fixtures.render import _render_region_block, region_width
+
+    cfg = ExtractConfig.for_text_type("seal")
+    assert (cfg.det_thresh, cfg.det_box_thresh, cfg.det_unclip_ratio) == (0.2, 0.6, 0.5)
+    assert (cfg.det_limit_side_len, cfg.det_limit_type) == (736, "min")
+    img = np.full((90, 140), 255, dtype=np.uint8)
+    for i, text in enumerate(["ab1", "cd2"]):
+        block = _render_region_block(text)
+        w = region_width(len(text))
+        img[10 + i * 34 : 30 + i * 34, 12 : 12 + w] = block
+    polys, scores = detect_page_polys(img, cfg)
+    assert len(polys) == 2
+    for p, y_expect in zip(sorted(polys, key=lambda p: p[:, 1].min()), (10, 44)):
+        assert p.shape[1] == 2 and len(p) >= 4
+        # unclip 0.5 margin is small: the poly hugs the strip
+        assert abs(p[:, 1].min() - y_expect) <= 4
+
+
+def test_for_text_type_presets():
+    from oar_ocr_spark.local_ref import ExtractConfig
+
+    table = ExtractConfig.for_text_type("table")
+    assert table.det_box_thresh == 0.4 and table.det_thresh == 0.3
+    general = ExtractConfig.for_text_type("general")
+    assert general.det_box_thresh == 0.6 and general.det_limit_type == "max"
+    rotated = ExtractConfig.for_text_type("rotated")
+    assert rotated.text_type == "rotated" and rotated.postprocess.score_mode == "slow"

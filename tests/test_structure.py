@@ -120,3 +120,103 @@ def test_spark_structure_partition_invariance(spark):
         }
 
     assert snap(2) == snap(7)
+
+
+# ---------------------------------------------------------------------------
+# round 2: continuation flags, multi-page concat, to_html
+# ---------------------------------------------------------------------------
+
+def _el(etype, x1, y1, x2, y2, text="", html=""):
+    import numpy as np
+    from oar_ocr_spark.structure import StructureElement
+
+    e = StructureElement(np.asarray([x1, y1, x2, y2], dtype=np.float32), etype, 1.0)
+    e.text = text
+    e.html = html
+    return e
+
+
+def test_continuation_flags_ported_heuristics():
+    from oar_ocr_spark.structure import calculate_continuation_flags
+
+    # first text at left margin (<=5% of width) -> new paragraph start;
+    # last text stops before 90% of width -> paragraph complete
+    els = [_el("text", 10, 10, 500, 40, "a"), _el("text", 10, 50, 700, 80, "b")]
+    start, end = calculate_continuation_flags(els, page_width=1000.0)
+    assert start is True and end is True
+    # indented first + flush-right last -> continuation on both sides
+    els = [_el("text", 80, 10, 500, 40, "a"), _el("text", 10, 50, 950, 80, "b")]
+    start, end = calculate_continuation_flags(els, page_width=1000.0)
+    assert start is False and end is False
+    # no text-like elements -> (True, True)
+    assert calculate_continuation_flags([_el("image", 0, 0, 10, 10)]) == (True, True)
+
+
+def test_concatenate_markdown_pages_split_paragraph():
+    from oar_ocr_spark.structure import concatenate_markdown_pages
+
+    pages = [
+        ("first page text that runs to", (True, False)),   # unfinished
+        ("the edge and continues here", (False, True)),    # continues
+        ("a fresh paragraph", (True, True)),
+    ]
+    out = concatenate_markdown_pages(pages)
+    assert out == (
+        "first page text that runs to the edge and continues here"
+        "\n\na fresh paragraph"
+    )
+    # empty page forwards its end flag without emitting anything
+    pages = [("para runs on", (True, False)), ("", (False, False)), ("tail", (False, True))]
+    assert concatenate_markdown_pages(pages) == "para runs on tail"
+    # chinese boundary joins without a space
+    pages = [("前文", (True, False)), ("后文", (False, True))]
+    assert concatenate_markdown_pages(pages) == "前文后文"
+
+
+def test_document_markdown_catalyst_matches_python(spark):
+    import itertools
+
+    from oar_ocr_spark.pipeline_structure import document_markdown
+    from oar_ocr_spark.structure import concatenate_markdown_pages
+
+    mds = ["alpha beta", "gamma", ""]
+    rows = []
+    expected = {}
+    doc = 0
+    for md1, e1, md2, s2 in itertools.product(mds, [True, False], mds, [True, False]):
+        doc_id = f"d{doc}"
+        doc += 1
+        pages = [(md1, (True, e1)), (md2, (s2, True))]
+        expected[doc_id] = concatenate_markdown_pages(pages)
+        rows.append((doc_id, 0, "m0", md1, True, e1))
+        rows.append((doc_id, 1, "m1", md2, s2, True))
+    df = spark.createDataFrame(
+        rows, "doc_id string, offset int, media_ref string, markdown string, para_start boolean, para_end boolean"
+    )
+    got = {r["doc_id"]: r["markdown"] for r in document_markdown(df).collect()}
+    assert got == expected
+
+
+def test_elements_to_html():
+    from oar_ocr_spark.structure import elements_to_html
+
+    els = [
+        _el("doc_title", 0, 0, 10, 10, "T<itle>"),
+        _el("paragraph_title", 0, 20, 10, 30, "Sec"),
+        _el("text", 0, 40, 10, 50, "body & more"),
+        _el("table", 0, 60, 10, 70, html="<html><body><table><tr><td>x</td></tr></table></body></html>"),
+        _el("formula", 0, 80, 10, 90, "E=mc^2"),
+        _el("image", 0, 100, 10, 110),
+        _el("seal", 0, 120, 10, 130, "official"),
+        _el("footer", 0, 140, 10, 150, "pg 1"),
+    ]
+    html = elements_to_html(els)
+    assert "<h1>T&lt;itle&gt;</h1>" in html
+    assert "<h2>Sec</h2>" in html
+    assert "<p>body &amp; more</p>" in html
+    assert '<table border="1" style="border-collapse: collapse;"><tr><td>x</td></tr></table>' in html
+    assert '<p class="formula">$$E=mc^2$$</p>' in html
+    assert '<img alt="Figure" />' in html
+    assert '<figure class="seal">' in html and "official" in html
+    assert "<footer>pg 1</footer>" in html
+    assert html.startswith("<!DOCTYPE html>") and html.endswith("</body>\n</html>")
