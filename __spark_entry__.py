@@ -325,7 +325,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return S.knn_bruteforce(emb, q, k=5)
 
     def q_simhash(spark):
-        return D.simhash_df(docs_tbl(spark))
+        return D.simhash_df(
+            docs_tbl(spark), parallelism=spark.sparkContext.defaultParallelism
+        )
 
     def q_lsh_ann(spark):
         # axis-plane flavor: bucketing is pure Catalyst and SQL-

@@ -195,28 +195,58 @@ def _simhash_batch(doc_ids: pd.Series, texts: pd.Series) -> pd.DataFrame:
         count=len(uniques),
     )
     bit_pos = np.arange(64, dtype=np.uint64)
-    bits_u = ((h_u[:, None] >> bit_pos) & np.uint64(1)).astype(np.int64)  # (U, 64)
-    tok_bits = bits_u[codes]  # (T, 64), rows contiguous per document
+    bits_u = ((h_u[None, :] >> bit_pos[:, None]) & np.uint64(1)).astype(np.int64)  # (64, U)
+    D, U, T = len(texts), len(uniques), len(codes)
+    if D * U <= max(4 * T, 1 << 20):
+        # small-vocabulary fast path: dense (doc, unique-token) count
+        # matrix via one bincount, then per-doc bit counts as ONE small
+        # matmul — no per-token bit expansion at all
+        row_idx = np.repeat(np.arange(D, dtype=np.int64), lens)
+        counts = np.bincount(row_idx * U + codes, minlength=D * U).reshape(D, U)
+        ones = counts @ bits_u.T  # (D, 64)
+        vote_set = (2 * ones) > lens[:, None]
+        sig = (vote_set.astype(np.uint64) << bit_pos).sum(axis=1, dtype=np.uint64)
+        return pd.DataFrame({"doc_id": doc_ids.astype(str), "simhash": sig.view(np.int64)})
+    # general path, TRANSPOSED (64, T) layout: per-document bit counts
+    # are a segmented sum along the token axis, computed as cumsum +
+    # column picks — cumsum along the contiguous axis is ~40x faster
+    # than axis-0 (and than np.add.reduceat, which dominated the first
+    # vectorization attempt); the int64 accumulator avoids numpy's slow
+    # non-SIMD int32 cumsum path (measured 20x slower)
+    tok_bits = bits_u[:, codes].astype(np.int32)  # (64, T), token-contiguous rows
     starts = np.zeros(len(texts), dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
-    # every text yields >=1 token ("".split(" ") == [""]), so reduceat
-    # segment starts are strictly increasing and each segment is one doc
-    ones = np.add.reduceat(tok_bits, starts, axis=0)  # (D, 64)
-    vote_set = (2 * ones) > lens[:, None]
-    sig = (vote_set.astype(np.uint64) << bit_pos).sum(axis=1, dtype=np.uint64)
+    # every text yields >=1 token ("".split(" ") == [""]), so segments
+    # are non-empty and ends are strictly increasing
+    csum = np.cumsum(tok_bits, axis=1, dtype=np.int64)  # (64, T)
+    ends = starts + lens - 1
+    ones = csum[:, ends].copy()  # (64, D)
+    ones[:, 1:] -= csum[:, starts[1:] - 1]
+    vote_set = (2 * ones) > lens[None, :]
+    weights = (np.uint64(1) << bit_pos)[:, None]
+    sig = (vote_set.astype(np.uint64) * weights).sum(axis=0, dtype=np.uint64)
     return pd.DataFrame({"doc_id": doc_ids.astype(str), "simhash": sig.view(np.int64)})
 
 
-def simhash_df(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id, simhash (int64) via an Arrow-batched pandas UDF (mapInPandas)."""
+def simhash_df(
+    df: DataFrame, text_col: str = "text", parallelism: int | None = None
+) -> DataFrame:
+    """doc_id, simhash (int64) via an Arrow-batched pandas UDF.
+
+    parallelism: optionally round-robin-repartition the input first —
+    a small single-file parquet arrives as ONE scan partition, leaving
+    every other worker idle through the UDF stage. At corpus scale the
+    scan already yields many partitions; leave None there (no extra
+    shuffle)."""
 
     def it(batches):
         for pdf in batches:
             yield _simhash_batch(pdf["doc_id"], pdf[text_col])
 
-    return df.select(F.col("doc_id").cast("string").alias("doc_id"), text_col).mapInPandas(
-        it, schema=_SIMHASH_SCHEMA
-    )
+    src = df.select(F.col("doc_id").cast("string").alias("doc_id"), text_col)
+    if parallelism:
+        src = src.repartition(parallelism)
+    return src.mapInPandas(it, schema=_SIMHASH_SCHEMA)
 
 
 def simhash_candidates(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
