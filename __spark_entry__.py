@@ -373,6 +373,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = interleaved_docs_df(spark, text_only=True)
         return _exploded_results(extract_spans(spark, docs))
 
+    def q_doc_text_stats(spark):
+        # result-level rollup (result.rs:53-97): concatenated_text,
+        # recognized counts, average_confidence over the extraction
+        # output — pure Catalyst HOFs on the spans array
+        from oar_ocr_spark.functions.results import doc_text_stats
+
+        docs = interleaved_docs_df(spark, text_only=True)
+        return doc_text_stats(extract_spans(spark, docs))
+
     def q_extraction_e2e(spark):
         docs = interleaved_docs_df(spark).where(
             (F.col("doc_id").cast("bigint") % 5) == 0
@@ -488,6 +497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": with_views(q_lsh_ann),
         "media_decode_stats": with_views(q_media_decode),
         "extraction_text_only": with_views(q_extraction_text_only),
+        "doc_text_stats": with_views(q_doc_text_stats),
         "extraction_e2e": with_views(q_extraction_e2e),
         "extraction_rotated": with_views(q_extraction_rotated),
         "structure_extract": with_views(q_structure_extract),
@@ -781,6 +791,17 @@ select doc_id,
        cast(row_number() over (partition by doc_id order by span_offset) - 1 as int) as span_order,
        kind, span_text, media_ref
 from spans where kind = 'text'
+""",
+        "doc_text_stats": f"""
+with spans as ({span_cte})
+select doc_id,
+       string_agg(span_text, ' ' order by span_offset) as doc_text,
+       cast(count(*) as int) as n_spans,
+       cast(sum(case when span_text is not null and length(span_text) > 0
+                then 1 else 0 end) as int) as n_recognized,
+       cast(null as double) as avg_confidence
+from spans where kind = 'text'
+group by doc_id
 """,
         "lineage_stats": f"""
 with spans as ({span_cte})

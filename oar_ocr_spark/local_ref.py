@@ -312,11 +312,20 @@ def extract_document_spans(
     out: list[dict] = []
     for span in sorted(spans, key=lambda s: s["offset"]):
         if span["kind"] == "text":
-            out.append({"kind": "text", "text": span["text"], "media_ref": None})
+            out.append(
+                {"kind": "text", "text": span["text"], "media_ref": None, "confidence": None}
+            )
         else:
             img = render_page(span["media_ref"])
-            for text, _conf in extract_page(img, cfg):
-                out.append({"kind": "media", "text": text, "media_ref": span["media_ref"]})
+            for text, conf in extract_page(img, cfg):
+                out.append(
+                    {
+                        "kind": "media",
+                        "text": text,
+                        "media_ref": span["media_ref"],
+                        "confidence": float(conf),
+                    }
+                )
     for i, s in enumerate(out):
         s["order"] = i
     return out

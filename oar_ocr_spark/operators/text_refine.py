@@ -28,6 +28,13 @@ __all__ = [
     "split_cross_layout_boxes",
     "split_cross_layout_boxes_with_origins",
     "suppress_covered_boxes",
+    "clean_ocr_text",
+    "dehyphenate",
+    "fix_merged_words",
+    "postprocess_text",
+    "format_text_block",
+    "format_first_line",
+    "deduplicate_sections",
     "normalize_tiny_symbol",
     "normalize_checkbox_symbols",
     "semantic_title_level",
@@ -140,6 +147,170 @@ def suppress_covered_boxes(
             if ious[i, j] > iou_threshold:
                 dead[j] = True
     return np.flatnonzero(~dead)
+
+
+def clean_ocr_text(text: str) -> str:
+    """Remove PDF line-break hyphens, newlines → spaces
+    (clean_ocr_text, domain/structure.rs:1294-1297)."""
+    return text.replace("-\n", "").replace("\n", " ")
+
+
+def _is_url_context(chars: list[str], pos: int) -> bool:
+    start = max(pos - 10, 0)
+    end = min(pos + 5, len(chars))
+    window = "".join(chars[start:end])
+    return "http" in window or "www" in window or "://" in window
+
+
+def dehyphenate(text: str) -> str:
+    """Remove line-break hyphenation ('word-\\nletter' → 'wordletter'
+    when the next line starts lowercase; URLs untouched) — dehyphenate,
+    domain/structure.rs:1438-1491."""
+    chars = list(text)
+    n = len(chars)
+    out: list[str] = []
+    i = 0
+    while i < n:
+        c = chars[i]
+        if c == "-":
+            if _is_url_context(chars, i):
+                out.append("-")
+                i += 1
+                continue
+            is_artifact = (
+                i + 1 < n
+                and chars[i + 1] == "\n"
+                and i + 2 < n
+                and chars[i + 2].isascii()
+                and chars[i + 2].islower()
+            )
+            if is_artifact:
+                i += 1  # skip the newline too (incremented again below)
+            else:
+                out.append("-")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def fix_merged_words(text: str) -> str:
+    """Insert missing spaces at merged-word boundaries (apostrophe
+    runs, lowercase→Uppercase word starts, digit/percent→Uppercase,
+    letter-digit-letter) — fix_merged_words,
+    domain/structure.rs:1493-1540. ASCII classes, as the reference."""
+
+    def lo(c: str) -> bool:
+        return c.isascii() and c.islower() and c.isalpha()
+
+    def up(c: str) -> bool:
+        return c.isascii() and c.isupper() and c.isalpha()
+
+    def dig(c: str) -> bool:
+        return c.isascii() and c.isdigit()
+
+    chars = list(text)
+    out: list[str] = []
+    for i, cur in enumerate(chars):
+        if i > 0:
+            prev = chars[i - 1]
+            if lo(prev) and lo(cur):
+                if i > 1 and chars[i - 2] == "'":
+                    out.append(" ")
+            elif lo(prev) and up(cur):
+                if i + 1 < len(chars) and lo(chars[i + 1]):
+                    out.append(" ")
+            elif ((dig(prev) or prev == "%") and up(cur)) or (
+                (lo(prev) or up(prev))
+                and dig(cur)
+                and i + 1 < len(chars)
+                and (lo(chars[i + 1]) or up(chars[i + 1]))
+            ):
+                out.append(" ")
+        out.append(cur)
+    return "".join(out)
+
+
+def postprocess_text(text: str) -> str:
+    """Full text-cleanup chain: dehyphenate → fix merged words →
+    whitespace normalization with punctuation spacing fixes
+    (postprocess_text, domain/structure.rs:1563-1600; bug-compatible
+    port, including the '.'-after-alnum in_space behavior)."""
+
+    def letter_or_digit(c: str) -> bool:
+        return c.isascii() and (c.isalpha() or c.isdigit())
+
+    text = dehyphenate(text)
+    text = fix_merged_words(text)
+    out: list[str] = []
+    in_space = False
+    for c in text:
+        if c.isspace():
+            if not in_space and out:
+                out.append(" ")
+                in_space = True
+        else:
+            if c == "." and out and letter_or_digit(out[-1]):
+                out.append(".")
+                in_space = True
+                continue
+            if in_space and c in ".,!?;:)]}":
+                out.pop()
+                out.append(c)
+                continue
+            out.append(c)
+            in_space = False
+    return "".join(out)
+
+
+def format_text_block(text: str) -> str:
+    """Text-block formatting: dehyphenate at line ends, then OCR line
+    breaks → paragraph breaks (format_text_block,
+    domain/structure.rs:1346-1353)."""
+    return text.replace("-\n", "").replace("\n\n", "\n").replace("\n", "\n\n")
+
+
+def format_first_line(
+    text: str, spliter: str, templates: list[str], heading_prefix: str
+) -> str:
+    """Heading-ify the first non-empty token when it matches a template
+    (case-insensitive) — format_first_line,
+    domain/structure.rs:1300-1341."""
+    parts = text.split(spliter)
+    out: list[str] = []
+    found_first = False
+    lowered = [t.lower() for t in templates]
+    for part in parts:
+        if not found_first:
+            trimmed = part.strip()
+            if not trimmed:
+                out.append(part)
+                continue
+            found_first = True
+            if trimmed.lower() in lowered:
+                out.append(f"{heading_prefix}{trimmed}\n")
+            else:
+                out.append(part)
+        else:
+            out.append(part)
+    return spliter.join(out)
+
+
+def deduplicate_sections(markdown: str) -> str:
+    """Drop repeated '**Section**' headers keeping the first occurrence
+    (deduplicate_sections, domain/structure.rs:1604-1641)."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for line in markdown.splitlines():
+        trimmed = line.strip()
+        is_header = trimmed.startswith("**") and trimmed.endswith("**") and len(trimmed) > 4
+        if is_header:
+            name = trimmed[2:-2]
+            if name in seen:
+                continue
+            seen.add(name)
+        out.append(line)
+    return "\n".join(out)
 
 
 def normalize_tiny_symbol(

@@ -287,13 +287,16 @@ def assemble_results(
     assembled = unioned.groupBy("doc_id").agg(
         F.transform(
             F.array_sort(
-                F.collect_list(F.struct("offset", "sub", "kind", "text", "media_ref"))
+                F.collect_list(
+                    F.struct("offset", "sub", "kind", "text", "media_ref", "confidence")
+                )
             ),
             lambda s, i: F.struct(
                 s["kind"].alias("kind"),
                 s["text"].alias("text"),
                 s["media_ref"].alias("media_ref"),
                 i.cast("int").alias("order"),
+                s["confidence"].alias("confidence"),
             ),
         ).alias("spans")
     )
@@ -360,6 +363,7 @@ def extract_spans(
         F.col("s.kind").alias("kind"),
         F.col("s.text").alias("text"),
         F.col("s.media_ref").alias("media_ref"),
+        F.lit(None).cast("float").alias("confidence"),
     )
 
     crops = detect_crops_from_flat(spans_flat, cfg)
@@ -378,6 +382,7 @@ def extract_spans(
             F.lit("media").alias("kind"),
             "text",
             "media_ref",
+            "confidence",
         )
     )
     # doc-id preservation reads the input directly — a doc_id-only

@@ -21,13 +21,17 @@ DOCUMENTS_SCHEMA = T.StructType(
     ]
 )
 
-# output span: order replaces offset (FIXTURES.md §3)
+# output span: order replaces offset (FIXTURES.md §3); confidence is
+# the recognition score for media-derived spans, null for pass-through
+# text (TextRegion.confidence, domain/text_region.rs:10-41 — feeds the
+# confident/recognized result filters, src/oarocr/result.rs:53-97)
 OUT_SPAN = T.StructType(
     [
         T.StructField("kind", T.StringType()),
         T.StructField("text", T.StringType()),
         T.StructField("media_ref", T.StringType()),
         T.StructField("order", T.IntegerType()),
+        T.StructField("confidence", T.FloatType()),
     ]
 )
 RESULTS_SCHEMA = T.StructType(

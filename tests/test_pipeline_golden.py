@@ -83,7 +83,7 @@ def test_output_schema(spark, corpus):
     out = extract_spans(spark, df)
     assert [f.name for f in out.schema.fields] == ["doc_id", "spans"]
     span_fields = out.schema["spans"].dataType.elementType.fieldNames()
-    assert span_fields == ["kind", "text", "media_ref", "order"]
+    assert span_fields == ["kind", "text", "media_ref", "order", "confidence"]
 
 
 def test_rotated_text_spark_matches_golden(spark):
