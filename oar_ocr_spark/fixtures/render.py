@@ -111,6 +111,48 @@ def page_truth(media_ref: str) -> PageTruth:
 
 
 ROT_PREFIX = "rot:"
+WARP_PREFIX = "warp:"
+WARP_CUE = 3  # cue-row intensity (unique: ANCHOR=0, MARKER=15, …)
+WARP_FREE_LEFT = 24  # columns left of this stay unwarped (anchor cue)
+
+
+def render_warped_page(media_ref: str) -> np.ndarray:
+    """'warp:'-prefixed media_ref → vertically warped page: column x
+    sags by dy(x) = A + round(A·sin(2πx/P + φ)) for x ≥ WARP_FREE_LEFT
+    (A ∈ 12..16 > half the 20-px line height, so an UNrectified
+    center-row decode demonstrably loses characters) — the UVDoc
+    distorted-page fixture. A 2-px cue row at base y=0..1 sags with
+    each column, so the rectifier recovers dy(x) from pixels alone
+    (models/rectification/uvdoc.rs + processors/uvdoc_postprocess.rs
+    analog; integer shifts keep the warp exact under the determinism
+    contract)."""
+    truth = page_truth(media_ref)
+    rng = _rng_for(media_ref + "#warp")
+    amp = int(rng.integers(12, 17))
+    period = float(rng.uniform(120.0, 260.0))
+    phase = float(rng.uniform(0.0, 2.0 * np.pi))
+    base = np.full((truth.height, truth.width), BG, dtype=np.uint8)
+    base[:2, :] = WARP_CUE
+    base[4 : 4 + ANCHOR_SIZE, 4 : 4 + ANCHOR_SIZE] = ANCHOR
+    for r in truth.regions:
+        block = _render_region_block(r.text)
+        if r.line_flipped:
+            block = block[::-1, ::-1]
+        base[r.y1 : r.y2, r.x1 : r.x2] = block
+    xs = np.arange(truth.width)
+    dy = np.where(
+        xs >= WARP_FREE_LEFT,
+        amp + np.round(amp * np.sin(2.0 * np.pi * xs / period + phase)).astype(np.int64),
+        0,
+    )
+    img = np.full((truth.height + 2 * amp + 2, truth.width), BG, dtype=np.uint8)
+    for d in np.unique(dy):
+        cols = dy == d
+        img[d : d + truth.height, cols] = base[:, cols]
+    k = truth.orientation_class % 4
+    if k:
+        img = np.rot90(img, k=-k)
+    return np.ascontiguousarray(img)
 
 
 @dataclass
@@ -222,9 +264,12 @@ def render_rotated_page(media_ref: str) -> np.ndarray:
 def render_page(media_ref: str) -> np.ndarray:
     """media_ref → (H, W) uint8 grayscale page (rotated per its
     ground-truth orientation class). Refs prefixed 'rot:' render the
-    skewed-text flavor (render_rotated_page)."""
+    skewed-text flavor (render_rotated_page); 'warp:' renders the
+    distorted-page flavor (render_warped_page, rectification input)."""
     if media_ref.startswith(ROT_PREFIX):
         return render_rotated_page(media_ref)
+    if media_ref.startswith(WARP_PREFIX):
+        return render_warped_page(media_ref)
     truth = page_truth(media_ref)
     img = np.full((truth.height, truth.width), BG, dtype=np.uint8)
     img[4 : 4 + ANCHOR_SIZE, 4 : 4 + ANCHOR_SIZE] = ANCHOR

@@ -174,9 +174,31 @@ def preprocess_page_full(
 
 
 def _rectify(img: np.ndarray) -> np.ndarray:
-    """Synthetic UVDoc rectifier: identity unwarp (the synthetic corpus
-    renders flat pages; a learned unwarp would replace this body)."""
-    return img
+    """Synthetic UVDoc rectifier (processors/uvdoc_postprocess.rs
+    analog): recovers the per-column sag dy(x) from the warped page's
+    cue row (fixtures/render.render_warped_page contract) and
+    inverse-shifts each column — an exact closed-form unwarp under the
+    integer-shift determinism contract. Pages without a cue (flat
+    corpus pages) pass through unchanged. The cue pixels are blanked
+    after unwarping so detection never sees them."""
+    from .fixtures.render import WARP_CUE
+
+    cue = img == WARP_CUE
+    if not cue.any():
+        return img
+    h, w = img.shape
+    has = cue.any(axis=0)
+    dy = np.where(has, cue.argmax(axis=0), 0)
+    out = np.full_like(img, 255)
+    for d in np.unique(dy):
+        cols = dy == d
+        if d == 0:
+            out[:, cols] = img[:, cols]
+        else:
+            out[: h - d, cols] = img[d:, cols]
+    head = out[:2, :]
+    head[head == WARP_CUE] = 255
+    return out
 
 
 def detect_page(img: np.ndarray, cfg: ExtractConfig) -> tuple[np.ndarray, np.ndarray]:

@@ -116,3 +116,40 @@ def test_rotated_text_spark_matches_golden(spark):
     for parts in (2, 7):
         result = collect_spans(extract_spans(spark, df, cfg, num_partitions=parts))
         assert result == expected, f"rotated span mismatch at P={parts}"
+
+
+def test_warped_pages_spark_matches_golden(spark):
+    # UVDoc rectification through the distributed DAG: warped media
+    # spans decode exactly when use_rectification=True, and the output
+    # equals the single-process golden
+    cfg = ExtractConfig(use_rectification=True)
+    docs = []
+    for d in range(10):
+        docs.append(
+            {
+                "doc_id": f"warpdoc{d}",
+                "spans": [
+                    {"kind": "media", "text": None, "media_ref": f"warp:g{d}", "offset": 0},
+                    {"kind": "text", "text": f"tail {d}", "media_ref": None, "offset": 1},
+                ],
+            }
+        )
+    df = docs_df(spark, docs)
+    expected = {
+        d["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in extract_document_spans(d["spans"], cfg)
+        ]
+        for d in docs
+    }
+    assert all(len(v) >= 2 for v in expected.values())
+    result = collect_spans(extract_spans(spark, df, cfg, num_partitions=3))
+    assert result == expected
+    # and the recovered media text equals the DRAWN truth, not merely
+    # the golden (the rectifier inverts the warp exactly)
+    from oar_ocr_spark.fixtures.render import page_truth
+
+    for d in docs:
+        truth = [r.text for r in page_truth(d["spans"][0]["media_ref"]).regions]
+        media_texts = [t for k, t, _, _ in result[d["doc_id"]] if k == "media"]
+        assert media_texts == truth

@@ -68,3 +68,36 @@ def test_rotate_back_maps_upright_boxes_to_source():
         else:  # k == 3: correction was 90° CW: (x,y) -> (H-y, x)
             fwd = np.stack([H - y2, x1, H - y1, x2], axis=1)
         np.testing.assert_allclose(fwd, boxes, atol=1e-3)
+
+
+def test_rectification_unwarps_exactly():
+    # the UVDoc stand-in now performs a REAL unwarp: the vertical sag
+    # (A in 12..16 > half the line height) breaks the unrectified
+    # decode, and rectification recovers the exact drawn text
+    from oar_ocr_spark.fixtures.render import page_truth, render_page
+    from oar_ocr_spark.local_ref import ExtractConfig, extract_page
+
+    rectified_ok = 0
+    raw_wrong = 0
+    for i in range(12):
+        ref = f"warp:t{i}"
+        exp = [r.text for r in page_truth(ref).regions]
+        img = render_page(ref)
+        got = [t for t, _ in extract_page(img, ExtractConfig(use_rectification=True))]
+        assert got == exp, (ref, exp, got)
+        rectified_ok += 1
+        raw = [t for t, _ in extract_page(img, ExtractConfig())]
+        if raw != exp:
+            raw_wrong += 1
+    assert rectified_ok == 12
+    assert raw_wrong >= 8  # the warp genuinely matters
+
+
+def test_rectifier_identity_on_flat_pages():
+    import numpy as np
+
+    from oar_ocr_spark.fixtures.render import render_page
+    from oar_ocr_spark.local_ref import _rectify
+
+    img = render_page("flat_0")
+    assert np.array_equal(_rectify(img), img)
