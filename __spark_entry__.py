@@ -342,6 +342,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.table("embeddings")
         return S.knn_self_join(emb, k=5, n_blocks=8)
 
+    def q_ivf_ann(spark):
+        # IVF coarse-quantizer ANN: deterministic centroid codebook
+        # (vec_id % 37), nprobe=3 — assignment and probing are
+        # broadcast joins + windows, fully SQL-expressible (oracled)
+        emb = spark.table("embeddings")
+        q = emb.where(F.col("vec_id") % 50 == 0)
+        return S.ivf_ann(emb, q, k=5, nprobe=3, centroid_mod=37)
+
     def q_embedding_near_dup(spark):
         # embedding-cosine near-dup pairs: exact top-5 neighborhood
         # filtered by similarity, emitted once per unordered pair.
@@ -495,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": with_views(q_embedding_near_dup),
         "simhash": with_views(q_simhash),
         "lsh_ann": with_views(q_lsh_ann),
+        "ivf_ann": with_views(q_ivf_ann),
         "media_decode_stats": with_views(q_media_decode),
         "extraction_text_only": with_views(q_extraction_text_only),
         "doc_text_stats": with_views(q_doc_text_stats),
@@ -518,6 +527,14 @@ def oracle_sql() -> dict[str, str]:
         for lbl, canon in sorted(LABEL_TO_TYPE.items())
     )
     span_cte = SPAN_DERIVATION_DUCKDB.strip().rstrip()
+
+    def _cos_sql(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            "x -> cast(x[1] as double) * cast(x[2] as double))) / "
+            f"(sqrt(list_sum(list_transform({a}, v -> cast(v as double)*cast(v as double)))) * "
+            f"sqrt(list_sum(list_transform({b}, v -> cast(v as double)*cast(v as double)))))"
+        )
     # axis-plane LSH buckets (must mirror similarity.axis_bucket_df)
     _n_bits, _n_tables = 6, 4
     _bucket_selects = " union all ".join(
@@ -742,6 +759,46 @@ pairs as (
          (sqrt(list_sum(list_transform(q.embedding, v -> cast(v as double)*cast(v as double)))) *
           sqrt(list_sum(list_transform(e.embedding, v -> cast(v as double)*cast(v as double))))) as cos
   from q, embeddings e where e.vec_id != q.vec_id
+),
+ranked as (
+  select query_id, neighbor_id, round(cos, 4) as cosine,
+         row_number() over (partition by query_id order by round(cos, 6) desc, neighbor_id) as rank
+  from pairs
+)
+select query_id, neighbor_id, cosine, cast(rank as int) as rank
+from ranked where rank <= 5
+""",
+        "ivf_ann": f"""
+with cent as (
+  select vec_id as centroid_id, embedding as cv from embeddings where vec_id % 37 = 0
+),
+assign as (
+  select neighbor_id, centroid_id from (
+    select e.vec_id as neighbor_id, c.centroid_id,
+           row_number() over (partition by e.vec_id
+             order by round({_cos_sql('e.embedding', 'c.cv')}, 6) desc, c.centroid_id) as rn
+    from embeddings e cross join cent c
+  ) where rn = 1
+),
+probes as (
+  select query_id, centroid_id from (
+    select q.vec_id as query_id, c.centroid_id,
+           row_number() over (partition by q.vec_id
+             order by round({_cos_sql('q.embedding', 'c.cv')}, 6) desc, c.centroid_id) as rn
+    from embeddings q cross join cent c
+    where q.vec_id % 50 = 0
+  ) where rn <= 3
+),
+cand as (
+  select distinct p.query_id, a.neighbor_id
+  from probes p join assign a using (centroid_id)
+  where a.neighbor_id != p.query_id
+),
+pairs as (
+  select c.query_id, c.neighbor_id, {_cos_sql('q.embedding', 'e.embedding')} as cos
+  from cand c
+  join embeddings e on e.vec_id = c.neighbor_id
+  join embeddings q on q.vec_id = c.query_id
 ),
 ranked as (
   select query_id, neighbor_id, round(cos, 4) as cosine,

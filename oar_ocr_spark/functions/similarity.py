@@ -45,6 +45,7 @@ __all__ = [
     "lsh_bucket_df",
     "axis_bucket_df",
     "lsh_ann",
+    "ivf_ann",
 ]
 
 #: knn_bruteforce broadcasts its query matrix to every task; above this
@@ -390,6 +391,87 @@ def lsh_ann(
         ).withColumnRenamed("vec_id", "query_id")
     cand = (
         eb.join(F.broadcast(qb), ["table_id", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    pairs = cand.join(e, "neighbor_id").join(F.broadcast(q), "query_id")
+    sim = pairs.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("ev")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col("neighbor_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def ivf_ann(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    centroids: DataFrame | None = None,
+    centroid_mod: int = 37,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: vectors are assigned to
+    their nearest centroid (the coarse quantizer's inverted lists);
+    each query probes its `nprobe` nearest centroids and exact-cosine
+    re-ranks only those lists' vectors.
+
+    The centroid table is broadcast (small by construction); the
+    assignment is the standard IVF N·K cosine pass, expressed as a
+    broadcast join + window so Catalyst keeps it JVM-side and the
+    whole query stays ANSI-SQL-expressible (oracle-checked). When no
+    `centroids` frame is given, centroids default to the vectors with
+    id % centroid_mod == 0 — a deterministic stand-in for a trained
+    k-means codebook (pass a real one at scale; the plan shape is
+    identical). All rankings use the engine's total order
+    (round(cos,6) DESC, id ASC).
+
+    Output schema matches knn_bruteforce:
+    query_id, neighbor_id, cosine (4dp), rank.
+    """
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = embeddings.where(F.col(id_col) % centroid_mod == 0)
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+
+    def nearest(df: DataFrame, out_id: str, n_keep: int) -> DataFrame:
+        pairs = df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias("v")
+        ).crossJoin(F.broadcast(cent))
+        sim = pairs.select(
+            out_id, "centroid_id", cosine(F.col("v"), F.col("cv")).alias("ccos")
+        )
+        w = Window.partitionBy(out_id).orderBy(
+            F.round(F.col("ccos"), 6).desc(), F.col("centroid_id")
+        )
+        return (
+            sim.withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") <= n_keep)
+            .select(out_id, "centroid_id")
+        )
+
+    assign = nearest(embeddings, "neighbor_id", 1)
+    probes = nearest(queries, "query_id", nprobe)
+    cand = (
+        probes.join(assign, "centroid_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .distinct()

@@ -259,3 +259,18 @@ def test_frame_sample_shapes(spark):
     assert sum(f["height"] for f in frames) == h
     for f in frames:
         assert len(f["frame"]) == f["height"] * f["width"]
+
+
+def test_ivf_ann_recall_and_schema(spark, emb):
+    q = emb.where(F.col("vec_id") < 5)
+    brute = S.knn_bruteforce(emb, q, k=3).collect()
+    ann = S.ivf_ann(emb, q, k=3, nprobe=2, centroid_mod=5).collect()
+    bset = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    aset = {(r["query_id"], r["neighbor_id"]) for r in ann}
+    assert len(bset & aset) / len(bset) >= 0.5
+    assert set(ann[0].asDict()) == {"query_id", "neighbor_id", "cosine", "rank"}
+    # probing ALL centroids with unlimited k recovers brute force exactly
+    full = S.ivf_ann(emb, q, k=3, nprobe=4, centroid_mod=5).collect()
+    fset = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in full}
+    # nprobe=4 covers all 4 centroids -> candidates = all vectors
+    assert fset == {(r["query_id"], r["rank"], r["neighbor_id"]) for r in brute}
