@@ -151,19 +151,24 @@ def _recognize_chunk(pdf: pd.DataFrame, cfg: ExtractConfig) -> pd.DataFrame:
             crop = crop[::-1, ::-1]
         crops.append(crop)
     for b in np.unique(buckets):
-        pos = np.flatnonzero(buckets == b)
-        rows = np.stack(
-            [_decode_row_for_crop(crops[p], cfg.rec_target_h, int(b)) for p in pos]
-        ).astype(np.int32)
-        idx = rows - CHAR_BASE
-        idx = np.where((idx >= 1) & (idx < len(VOCAB)), idx, 0)
-        prob = np.where(idx > 0, np.float32(0.95), np.float32(0.05))
-        for p, (text, conf, _cols, _T) in zip(pos, ctc_collapse_batch(idx, prob, VOCAB)):
-            # index-parity blanking (text_recognition_adapter.rs:61-102)
-            if conf < cfg.rec_score_threshold:
-                text = ""
-            texts[int(p)] = text
-            confs[int(p)] = conf
+        all_pos = np.flatnonzero(buckets == b)
+        # region_batch_size bounds the stacked decode-row matrix per
+        # inference call (the reference's recognition chunking,
+        # ocr.rs:802-897)
+        for c0 in range(0, len(all_pos), max(int(cfg.region_batch_size), 1)):
+            pos = all_pos[c0 : c0 + max(int(cfg.region_batch_size), 1)]
+            rows = np.stack(
+                [_decode_row_for_crop(crops[p], cfg.rec_target_h, int(b)) for p in pos]
+            ).astype(np.int32)
+            idx = rows - CHAR_BASE
+            idx = np.where((idx >= 1) & (idx < len(VOCAB)), idx, 0)
+            prob = np.where(idx > 0, np.float32(0.95), np.float32(0.05))
+            for p, (text, conf, _cols, _T) in zip(pos, ctc_collapse_batch(idx, prob, VOCAB)):
+                # index-parity blanking (text_recognition_adapter.rs:61-102)
+                if conf < cfg.rec_score_threshold:
+                    text = ""
+                texts[int(p)] = text
+                confs[int(p)] = conf
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"].to_numpy(),

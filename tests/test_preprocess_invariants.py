@@ -101,3 +101,36 @@ def test_rectifier_identity_on_flat_pages():
 
     img = render_page("flat_0")
     assert np.array_equal(_rectify(img), img)
+
+
+def test_batch_size_validation_bounds():
+    # builder validation 1..=4096 (ocr.rs:93,419-430)
+    import pytest
+
+    from oar_ocr_spark.local_ref import ExtractConfig
+
+    with pytest.raises(ValueError, match="image_batch_size"):
+        ExtractConfig(image_batch_size=0)
+    with pytest.raises(ValueError, match="region_batch_size"):
+        ExtractConfig(region_batch_size=4097)
+    cfg = ExtractConfig(image_batch_size=1, region_batch_size=4096)
+    assert cfg.region_batch_size == 4096
+
+
+def test_region_batch_chunking_is_result_invariant(spark):
+    from oar_ocr_spark.fixtures.corpus import generate_documents
+    from oar_ocr_spark.local_ref import ExtractConfig
+    from oar_ocr_spark.pipeline import extract_spans
+    from oar_ocr_spark.schemas import DOCUMENTS_SCHEMA
+
+    docs = generate_documents(8, seed=3)
+    df = spark.createDataFrame(
+        [(d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in docs],
+        schema=DOCUMENTS_SCHEMA,
+    )
+    def spans(cfg):
+        return {
+            r["doc_id"]: [(s["kind"], s["text"], s["order"]) for s in r["spans"]]
+            for r in extract_spans(spark, df, cfg).collect()
+        }
+    assert spans(ExtractConfig(region_batch_size=2)) == spans(ExtractConfig(region_batch_size=4096))
