@@ -172,6 +172,8 @@ def main() -> None:
         "knn_self_join",
         "embedding_near_dup",
         "lsh_ann",
+        "ivf_ann",
+        "doc_text_stats",
     ]:
         best = None
         for _ in range(trials):
