@@ -289,6 +289,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_dedup_exact(spark):
         return D.exact_dedup(docs_tbl(spark))
 
+    def q_corpus_clean(spark):
+        # composed training-data cleaning pipeline: exact-dedup
+        # representatives ∩ quality floor ∩ language filter — the
+        # realistic pre-training corpus pass, one declarative plan
+        docs = docs_tbl(spark)
+        q = X.quality_score(docs).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "quality"
+        )
+        lang = X.lang_id(docs).select(
+            F.col("doc_id").cast("string").alias("doc_id"), "lang_guess"
+        )
+        keep = D.exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+        return (
+            q.join(lang, "doc_id")
+            .join(keep, "doc_id")
+            .where((F.col("quality") >= 0.5) & (F.col("lang_guess") == "en"))
+            .select("doc_id", "quality", "lang_guess")
+        )
+
     def q_token_stats(spark):
         return X.token_stats(docs_tbl(spark)).withColumn(
             "doc_id", F.col("doc_id").cast("string")
@@ -491,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_revenue_topk": with_views(q_tpch_q3),
         "events_hourly": with_views(q_events_hourly),
         "dedup_exact": with_views(q_dedup_exact),
+        "corpus_clean": with_views(q_corpus_clean),
         "token_stats": with_views(q_token_stats),
         "quality_score": with_views(q_quality),
         "lang_id": with_views(q_lang_id),
@@ -643,6 +663,53 @@ select md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) as fp,
        min(cast(doc_id as varchar)) as keep_doc_id,
        count(*) as n_dups
 from documents group by 1
+""",
+        "corpus_clean": """
+with t as (
+  select cast(doc_id as varchar) as doc_id, string_split(text, ' ') as toks, text
+  from documents
+),
+m as (
+  select doc_id,
+         cast(len(toks) as int) as n_tokens,
+         len(list_filter(toks, x -> x in ('the','a','of','and','in','to','is'))) as n_stop,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) as digit_chars,
+         length(text) as n_chars
+  from t
+),
+q as (
+  select doc_id,
+         round(0.4 * least(n_stop / cast(n_tokens as double) / 0.1, 1.0)
+             + 0.3 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * (1 - digit_chars / cast(greatest(n_chars, 1) as double)), 4) as quality
+  from m
+),
+h as (
+  select doc_id,
+         cast(len(list_intersect(toks, ['der','die','das','und','daten','abfrage'])) as int) as hits_de,
+         cast(len(list_intersect(toks, ['the','a','of','and','query','fast'])) as int) as hits_en,
+         cast(len(list_intersect(toks, ['el','la','de','y','datos','consulta'])) as int) as hits_es,
+         cast(len(list_intersect(toks, ['le','la','de','et','données','requête'])) as int) as hits_fr,
+         cast(len(list_intersect(toks, ['的','是','在','和','数据','查询'])) as int) as hits_zh
+  from t
+),
+lang as (
+  select doc_id,
+         case when hits_de = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) then 'de'
+              when hits_en = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) then 'en'
+              when hits_es = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) then 'es'
+              when hits_fr = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) then 'fr'
+              else 'zh' end as lang_guess
+  from h
+),
+keep as (
+  select min(cast(doc_id as varchar)) as doc_id
+  from documents
+  group by md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+)
+select q.doc_id, q.quality, lang.lang_guess
+from q join lang using (doc_id) join keep using (doc_id)
+where q.quality >= 0.5 and lang.lang_guess = 'en'
 """,
         "token_stats": """
 select cast(doc_id as varchar) as doc_id,

@@ -21,13 +21,14 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from .local_ref import ExtractConfig
 from .pipeline import extract_spans
 from .schemas import DOCUMENTS_SCHEMA
 
-__all__ = ["extract_stream"]
+__all__ = ["extract_stream", "dedup_stream"]
 
 
 def extract_stream(
@@ -64,6 +65,90 @@ def extract_stream(
         )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def dedup_stream(
+    spark: SparkSession,
+    input_path: str,
+    results_path: str,
+    checkpoint_path: str,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """Streaming exact dedup with KEYED STATE: a continuously arriving
+    corpus of (doc_id, text) rows is deduplicated across micro-batches
+    — only the first document per normalized-content fingerprint is
+    ever emitted; later arrivals (same batch or any later batch) are
+    dropped. This is the custom stateful operator the batch
+    exact_dedup cannot express over an unbounded stream: the
+    seen-fingerprint set lives in Spark's managed per-key state
+    (applyInPandasWithState, checkpointed with the query), so a
+    restarted stream keeps its memory of what it already kept.
+
+    Output rows: (fp, keep_doc_id) appended to a batch_id-partitioned
+    parquet (idempotent per micro-batch, like extract_stream).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql import types as T
+
+    in_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    stream = spark.readStream.schema(in_schema).parquet(input_path)
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")
+    keyed = stream.select(
+        F.md5(norm).alias("fp"), F.col("doc_id").cast("string").alias("doc_id")
+    ).groupBy("fp")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("fp", T.StringType()),
+            T.StructField("keep_doc_id", T.StringType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def first_per_fp(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        if state.exists:
+            # fingerprint already kept in an earlier micro-batch
+            for _ in pdfs:
+                pass
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf):
+                cand = pdf["doc_id"].min()
+                best = cand if best is None else min(best, cand)
+        if best is None:
+            return
+        state.update((True,))
+        yield pd.DataFrame({"fp": [key[0]], "keep_doc_id": [best]})
+
+    deduped = keyed.applyInPandasWithState(
+        first_per_fp,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(results_path, f"batch_id={batch_id}")
+        )
+
+    writer = deduped.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_path
     )
     if trigger_once:

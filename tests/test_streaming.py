@@ -44,3 +44,34 @@ def test_stream_extracts_and_resumes(spark, tmp_path):
     assert [
         (s["kind"], s["text"], s["media_ref"], s["order"]) for s in row["spans"]
     ] == [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in exp]
+
+
+def test_dedup_stream_keyed_state_across_batches(spark, tmp_path):
+    from oar_ocr_spark.streaming import dedup_stream
+
+    inp = str(tmp_path / "din")
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    shard1 = [("d1", "alpha beta"), ("d2", "gamma"), ("d3", "Alpha  Beta")]
+    shard2 = [("d4", "alpha beta"), ("d5", "delta"), ("d6", "delta")]
+    spark.createDataFrame(shard1, "doc_id string, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+
+    q = dedup_stream(spark, inp, out, ckpt)
+    q.awaitTermination(120)
+    got1 = {r["keep_doc_id"] for r in spark.read.parquet(out).collect()}
+    # d3 normalizes to d1's fingerprint → dropped within the batch
+    assert got1 == {"d1", "d2"}
+
+    spark.createDataFrame(shard2, "doc_id string, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    q2 = dedup_stream(spark, inp, out, ckpt)
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    got2 = {r["keep_doc_id"] for r in rows}
+    # d4 duplicates d1 ACROSS batches → suppressed by keyed state;
+    # d6 duplicates d5 within the new batch → suppressed too
+    assert got2 == {"d1", "d2", "d5"}
+    assert len(rows) == 3
