@@ -35,6 +35,8 @@ __all__ = [
     "table_cells_to_html_structure",
     "get_overlapping_cells",
     "split_box_by_cells",
+    "combine_rectangles_kmeans",
+    "reprocess_table_cells_with_ocr",
 ]
 
 TABLE_GRID = 190  # grid-line intensity in synthetic table renders
@@ -484,3 +486,142 @@ def split_box_by_cells(
             seen.add(p)
             out.append(np.asarray(p, dtype=np.float32))
     return out
+
+
+# --------------------------------------------------------------------------
+# cell-count reconciliation (reprocess_table_cells_with_ocr +
+# combine_rectangles_kmeans, oar-ocr-core/src/processors/layout_utils.rs:
+# 341-560; deterministic max-distance k-means init :572-640)
+# --------------------------------------------------------------------------
+
+
+def _kmeans_maxdist_init(points: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic k-means seeding (layout_utils.rs:572-640): first
+    center = median-x point; each next = the point farthest from its
+    nearest existing center."""
+    n = len(points)
+    if n == 0 or k == 0:
+        return points[:0]
+    if k >= n:
+        return points.copy()
+    order = np.argsort(points[:, 0], kind="stable")
+    centers = [points[order[n // 2]]]
+    for _ in range(1, k):
+        c = np.asarray(centers)
+        d = ((points[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+        total = float(d.sum())
+        if total <= 0.0:
+            fresh = next(
+                (p for p in points if not any((p == cc).all() for cc in centers)), None
+            )
+            if fresh is None:
+                break
+            centers.append(fresh)
+            continue
+        centers.append(points[int(np.argmax(d))])
+    return np.asarray(centers)
+
+
+def combine_rectangles_kmeans(rectangles: list[np.ndarray], target_n: int) -> list[np.ndarray]:
+    """Merge rectangles into <= target_n by k-means over box centers
+    (10 Lloyd iterations, deterministic seeding); each cluster emits
+    the union AABB of its members (layout_utils.rs:447-555)."""
+    n = len(rectangles)
+    if n == 0 or target_n == 0:
+        return []
+    if target_n >= n:
+        return [np.asarray(r, dtype=np.float32) for r in rectangles]
+    rects = np.stack([np.asarray(r, dtype=np.float64).reshape(4) for r in rectangles])
+    points = np.stack(
+        [(rects[:, 0] + rects[:, 2]) * 0.5, (rects[:, 1] + rects[:, 3]) * 0.5], axis=1
+    )
+    centers = _kmeans_maxdist_init(points, target_n)
+    labels = np.zeros(n, dtype=np.int64)
+    for _ in range(10):
+        d = ((points[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        new_labels = d.argmin(axis=1)
+        changed = bool((new_labels != labels).any())
+        labels = new_labels
+        for c in range(len(centers)):
+            sel = labels == c
+            if sel.any():
+                centers[c] = points[sel].mean(axis=0)
+        if not changed:
+            break
+    out: list[np.ndarray] = []
+    for c in range(target_n):
+        sel = labels == c
+        if sel.any():
+            grp = rects[sel]
+            out.append(
+                np.asarray(
+                    [grp[:, 0].min(), grp[:, 1].min(), grp[:, 2].max(), grp[:, 3].max()],
+                    dtype=np.float32,
+                )
+            )
+    return out if out else [r.astype(np.float32) for r in rects]
+
+
+def reprocess_table_cells_with_ocr(
+    detected_cells: list[np.ndarray],
+    detected_scores: list[float],
+    ocr_boxes: list[np.ndarray],
+    target_n: int,
+) -> list[np.ndarray]:
+    """Reconcile detected cell boxes with the structure model's expected
+    cell count (layout_utils.rs:341-445): top-N by score when too many;
+    OCR boxes not covered by any cell (cumulative IoA >= 0.6) are
+    clustered in as supplements; falls back to clustering the OCR boxes
+    when the result stays below 0.6 * target_n."""
+    if target_n == 0:
+        return []
+    if not detected_cells:
+        return combine_rectangles_kmeans(ocr_boxes, target_n)
+    scores = (
+        list(detected_scores)
+        if len(detected_scores) == len(detected_cells)
+        else [1.0] * len(detected_cells)
+    )
+    cells = [np.asarray(c, dtype=np.float32) for c in detected_cells]
+    more_cells_flag = False
+    if len(cells) == target_n:
+        return cells
+    if len(cells) > target_n:
+        more_cells_flag = True
+        idxs = sorted(range(len(cells)), key=lambda i: -scores[i])[:target_n]
+        cells = [cells[i] for i in idxs]
+
+    def ioa_ocr_in_cell(ocr: np.ndarray, cell: np.ndarray) -> float:
+        ix1, iy1 = max(ocr[0], cell[0]), max(ocr[1], cell[1])
+        ix2, iy2 = min(ocr[2], cell[2]), min(ocr[3], cell[3])
+        inter = max(ix2 - ix1, 0.0) * max(iy2 - iy1, 0.0)
+        if inter <= 0.0:
+            return 0.0
+        area = (ocr[2] - ocr[0]) * (ocr[3] - ocr[1])
+        return float(inter / area) if area > 0 else 0.0
+
+    miss: list[np.ndarray] = []
+    for ob in ocr_boxes:
+        covered = False
+        ioa_sum = 0.0
+        for cb in cells:
+            ioa = ioa_ocr_in_cell(np.asarray(ob, dtype=np.float64), cb)
+            if ioa > 0.0:
+                ioa_sum += ioa
+            if ioa >= 0.6 or ioa_sum >= 0.6:
+                covered = True
+                break
+        if not covered:
+            miss.append(np.asarray(ob, dtype=np.float32))
+    if not miss:
+        final = cells
+    elif more_cells_flag:
+        final = combine_rectangles_kmeans(cells + miss, target_n)
+    else:
+        need = max(target_n - len(cells), 0)
+        final = cells + combine_rectangles_kmeans(miss, need)
+    if len(final) <= 0.6 * target_n:
+        final = combine_rectangles_kmeans(
+            [np.asarray(b, dtype=np.float32) for b in ocr_boxes], target_n
+        )
+    return final

@@ -343,6 +343,18 @@ def _analyze_table(upright: np.ndarray, el: StructureElement, cfg: ExtractConfig
     if crop.size == 0:
         return ""
 
+    # table orientation (table_analyzer.rs:353-384): classify the crop
+    # and rotate it upright before structure analysis; detected cell
+    # geometry maps back through rotate_back_to_original. The synthetic
+    # orientation cue is the page anchor, which a table crop never
+    # carries, so class 0 (no-op) is the fixture norm — the plumbing is
+    # exercised by the rotated-crop unit test.
+    from .models.synthetic import classify_orientation, correct_orientation
+
+    table_rotation = classify_orientation(crop)
+    if table_rotation:
+        crop = correct_orientation(crop, table_rotation)
+
     # wired/wireless classification drives the mode flags
     # (table_analyzer.rs:386-417)
     ttype, _tconf = classify_table_type(crop)

@@ -322,3 +322,74 @@ def test_fallback_block_ocr_recovers_thin_text(spark=None):
         if found >= 3:
             break
     assert found >= 3, "corpus produced too few thin-text fixtures"
+
+
+def test_table_orientation_corrects_rotated_crop():
+    # table_analyzer.rs:353-384: a table crop carrying the orientation
+    # cue rotated 90 degrees is classified and rotated upright before
+    # structure analysis — identical HTML to the upright crop
+    from oar_ocr_spark.local_ref import ExtractConfig
+    from oar_ocr_spark.models.synthetic import ANCHOR, ANCHOR_SIZE
+    from oar_ocr_spark.structure import StructureElement, _analyze_table
+
+    texts = ["ab", "cd", "ef", "gh"]
+    img = _draw_table(2, 2, texts, wired=True)
+    img[4 : 4 + ANCHOR_SIZE, 4 : 4 + ANCHOR_SIZE] = ANCHOR
+
+    def run(page_img):
+        pad = np.full((page_img.shape[0] + 8, page_img.shape[1] + 8), BG, dtype=np.uint8)
+        pad[4 : 4 + page_img.shape[0], 4 : 4 + page_img.shape[1]] = page_img
+        el = StructureElement(
+            np.asarray(
+                [4.0, 4.0, 4.0 + page_img.shape[1], 4.0 + page_img.shape[0]],
+                dtype=np.float32,
+            ),
+            "table",
+            1.0,
+        )
+        return _analyze_table(pad, el, ExtractConfig())
+
+    upright_html = run(img)
+    rotated_html = run(np.ascontiguousarray(np.rot90(img, k=-1)))
+    assert upright_html
+    assert upright_html == rotated_html
+    for t in texts:
+        assert t in upright_html
+
+
+def test_combine_rectangles_kmeans_merges_to_target():
+    from oar_ocr_spark.operators.table import combine_rectangles_kmeans
+
+    # two tight clusters of 3 rects each -> target 2 unions
+    rects = [np.asarray(r, dtype=np.float32) for r in [
+        (0, 0, 10, 10), (2, 1, 12, 11), (1, 2, 11, 12),
+        (100, 100, 110, 110), (102, 101, 112, 111), (101, 102, 111, 112),
+    ]]
+    out = combine_rectangles_kmeans(rects, 2)
+    assert len(out) == 2
+    out = sorted(out, key=lambda b: b[0])
+    np.testing.assert_allclose(out[0], [0, 0, 12, 12])
+    np.testing.assert_allclose(out[1], [100, 100, 112, 112])
+    # target >= n passes through
+    assert len(combine_rectangles_kmeans(rects, 10)) == 6
+    assert combine_rectangles_kmeans([], 3) == []
+
+
+def test_reprocess_table_cells_with_ocr_paths():
+    from oar_ocr_spark.operators.table import reprocess_table_cells_with_ocr
+
+    cells = [np.asarray(c, dtype=np.float32) for c in [(0, 0, 50, 20), (50, 0, 100, 20)]]
+    # exact count: unchanged
+    out = reprocess_table_cells_with_ocr(cells, [0.9, 0.8], [], 2)
+    assert len(out) == 2
+    # fewer cells than target + an uncovered OCR box: supplemented
+    ocr = [np.asarray((0, 30, 40, 45), dtype=np.float32)]
+    out = reprocess_table_cells_with_ocr(cells, [0.9, 0.8], ocr, 3)
+    assert len(out) == 3
+    # no detected cells: cluster the OCR boxes
+    out = reprocess_table_cells_with_ocr([], [], ocr * 3, 1)
+    assert len(out) == 1
+    # more cells than target: top-N by score, then merge with misses
+    many = cells + [np.asarray((0, 40, 100, 60), dtype=np.float32)]
+    out = reprocess_table_cells_with_ocr(many, [0.9, 0.8, 0.7], [], 2)
+    assert len(out) == 2
