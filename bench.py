@@ -174,6 +174,9 @@ def main() -> None:
         "lsh_ann",
         "ivf_ann",
         "doc_text_stats",
+        "corpus_clean",
+        "extraction_rotated",
+        "structure_extract",
     ]:
         best = None
         for _ in range(trials):
