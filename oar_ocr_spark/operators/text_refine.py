@@ -32,6 +32,8 @@ __all__ = [
     "dehyphenate",
     "fix_merged_words",
     "postprocess_text",
+    "postprocess_markdown",
+    "filter_empty_formulas",
     "format_text_block",
     "format_first_line",
     "deduplicate_sections",
@@ -506,3 +508,74 @@ def infer_paragraph_title_levels(
             )
         voted[idx] = min(max(best_level, 1), 6)
     return voted
+
+
+def filter_empty_formulas(markdown: str) -> str:
+    """Drop empty $$...$$ blocks (filter_empty_formulas,
+    domain/structure.rs:1667-1726; bug-compatible port, including the
+    only-blank-lines branch that skips just the opening marker)."""
+    lines = markdown.splitlines()
+    out: list[str] = []
+    i = 0
+    n = len(lines)
+    while i < n:
+        line = lines[i]
+        if line.strip() == "$$":
+            if i + 1 < n and lines[i + 1].strip() == "$$":
+                i += 2
+                if i < n and not lines[i].strip():
+                    i += 1
+                continue
+            j = i + 1
+            has_content = False
+            while j < n:
+                if lines[j].strip() == "$$":
+                    break
+                if lines[j].strip():
+                    has_content = True
+                    break
+                j += 1
+            if not has_content:
+                while i < n and lines[i].strip() != "$$":
+                    i += 1
+                if i < n:
+                    i += 1
+                continue
+        out.append(line)
+        i += 1
+    return "\n".join(out)
+
+
+def postprocess_markdown(markdown: str) -> str:
+    """Markdown-level cleanup chain (postprocess_markdown,
+    domain/structure.rs:1731-1804): drop empty formulas, deduplicate
+    section headers, then per line — code blocks passed through,
+    $$-blocks get bare dollars escaped for KaTeX, markdown-syntax
+    lines (#, *, >, |, -, +) passed through, plain text lines run
+    through postprocess_text."""
+    markdown = filter_empty_formulas(markdown)
+    markdown = deduplicate_sections(markdown)
+    out: list[str] = []
+    in_code = False
+    in_formula = False
+    for line in markdown.splitlines():
+        trimmed = line.strip()
+        if trimmed.startswith("```"):
+            in_code = not in_code
+            out.append(line)
+            continue
+        if trimmed == "$$":
+            in_formula = not in_formula
+            out.append(line)
+            continue
+        if in_code:
+            out.append(line)
+            continue
+        if in_formula:
+            out.append(line.replace("$", "\\$") if "$" in line else line)
+            continue
+        if trimmed[:1] in ("#", "*", ">", "|", "-", "+"):
+            out.append(line)
+        else:
+            out.append(postprocess_text(line))
+    return "\n".join(out) + ("\n" if out else "")

@@ -109,3 +109,32 @@ def test_format_blocks_and_sections():
     assert out.startswith("## abstract\n")
     md = "**Abstract**\nbody\n**Abstract**\ntail"
     assert deduplicate_sections(md) == "**Abstract**\nbody\ntail"
+
+
+def test_postprocess_markdown_chain():
+    from oar_ocr_spark.operators.text_refine import postprocess_markdown
+
+    md = "\n".join([
+        "# Title",
+        "$$",
+        "$$",
+        "",
+        "plain  text   here",
+        "$$",
+        "E = mc^2 costs $5",
+        "$$",
+        "```",
+        "code   stays",
+        "```",
+        "| table | row |",
+    ])
+    out = postprocess_markdown(md)
+    assert "# Title" in out
+    # empty formula block dropped
+    assert out.count("$$") == 2
+    # plain text whitespace normalized; markdown-syntax lines untouched
+    assert "plain text here" in out
+    assert "code   stays" in out
+    assert "| table | row |" in out
+    # bare dollars escaped inside the surviving formula block
+    assert "costs \\$5" in out
