@@ -335,6 +335,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bands = D.minhash_band_hashes(docs_tbl(spark), n_hashes=8, n_bands=2, k=3)
         return D.minhash_candidates(bands)
 
+    def q_dedup_clusters(spark):
+        # duplicate clusters: connected components over the minhash
+        # candidate pairs via iterative min-label propagation (one
+        # shuffle join per round, fixpoint-stopped)
+        bands = D.minhash_band_hashes(docs_tbl(spark), n_hashes=8, n_bands=2, k=3)
+        return D.duplicate_clusters(D.minhash_candidates(bands))
+
     def q_ngram_jaccard(spark):
         return D.ngram_jaccard_pairs(docs_tbl(spark), k=3, threshold=0.2, max_df=1000)
 
@@ -465,14 +472,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(
             "doc_id",
             "media_ref",
+            "para_start",
+            "para_end",
             F.explode("elements").alias("e"),
         ).select(
             "doc_id",
             "media_ref",
             F.col("e.element_type").alias("element_type"),
             F.col("e.text").alias("element_text"),
+            F.col("e.html").alias("element_html"),
             F.col("e.order_index").alias("order_index"),
+            "para_start",
+            "para_end",
         )
+
+    def q_document_markdown(spark):
+        # PageContinuationFlags-aware multi-page markdown concat —
+        # pure-Catalyst F.aggregate fold over the per-page structure
+        # rows (domain/structure.rs:1223); cross-checked against the
+        # Python port in pytest, rows-only here
+        from oar_ocr_spark.pipeline_structure import document_markdown, extract_structure
+
+        docs = interleaved_docs_df(spark).where(
+            (F.col("doc_id").cast("bigint") % 25) == 0
+        )
+        return document_markdown(extract_structure(spark, docs))
 
     def q_layout_label_map(spark):
         # broadcast label-normalization maps as a checkable relation
@@ -517,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": with_views(q_fingerprint),
         "minhash_bands": with_views(q_minhash_bands),
         "minhash_candidates": with_views(q_minhash_candidates),
+        "dedup_clusters": with_views(q_dedup_clusters),
         "ngram_jaccard": with_views(q_ngram_jaccard),
         "knn_bruteforce": with_views(q_knn),
         "knn_self_join": with_views(q_knn_self_join),
@@ -530,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_e2e": with_views(q_extraction_e2e),
         "extraction_rotated": with_views(q_extraction_rotated),
         "structure_extract": with_views(q_structure_extract),
+        "document_markdown": with_views(q_document_markdown),
         "layout_label_map": with_views(q_layout_label_map),
         "lineage_stats": with_views(q_lineage_stats),
     }
@@ -797,6 +823,56 @@ select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as n_shared_bands
 from bands a join bands b
   on a.band_id = b.band_id and a.band_hash = b.band_hash and a.doc_id < b.doc_id
 group by a.doc_id, b.doc_id
+""",
+        "dedup_clusters": f"""
+{shingles_cte},
+sig as (
+  select doc_id, h.seed, min(md5(cast(h.seed as varchar) || '#' || sh)) as mh
+  from shingles, unnest(range(8)) as h(seed)
+  group by doc_id, h.seed
+),
+bands as (
+  select doc_id, cast(seed//4 as int) as band_id,
+         md5(string_agg(mh, '|' order by seed)) as band_hash
+  from sig group by doc_id, seed//4
+),
+pairs as (
+  select a.doc_id as doc_a, b.doc_id as doc_b
+  from bands a join bands b
+    on a.band_id = b.band_id and a.band_hash = b.band_hash and a.doc_id < b.doc_id
+  group by a.doc_id, b.doc_id
+),
+edges as (
+  select doc_a as src, doc_b as dst from pairs
+  union all
+  select doc_b as src, doc_a as dst from pairs
+),
+l0 as (select distinct src as doc_id, src as cluster_id from edges),
+l1 as (
+  select l.doc_id, least(l.cluster_id, coalesce(min(x.cluster_id), l.cluster_id)) as cluster_id
+  from l0 l left join edges e on e.src = l.doc_id
+            left join l0 x on x.doc_id = e.dst
+  group by l.doc_id, l.cluster_id
+),
+l2 as (
+  select l.doc_id, least(l.cluster_id, coalesce(min(x.cluster_id), l.cluster_id)) as cluster_id
+  from l1 l left join edges e on e.src = l.doc_id
+            left join l1 x on x.doc_id = e.dst
+  group by l.doc_id, l.cluster_id
+),
+l3 as (
+  select l.doc_id, least(l.cluster_id, coalesce(min(x.cluster_id), l.cluster_id)) as cluster_id
+  from l2 l left join edges e on e.src = l.doc_id
+            left join l2 x on x.doc_id = e.dst
+  group by l.doc_id, l.cluster_id
+),
+l4 as (
+  select l.doc_id, least(l.cluster_id, coalesce(min(x.cluster_id), l.cluster_id)) as cluster_id
+  from l3 l left join edges e on e.src = l.doc_id
+            left join l3 x on x.doc_id = e.dst
+  group by l.doc_id, l.cluster_id
+)
+select doc_id, cluster_id from l4
 """,
         "ngram_jaccard": f"""
 {shingles_cte},

@@ -33,6 +33,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_df",
     "simhash_candidates",
+    "duplicate_clusters",
 ]
 
 
@@ -286,3 +287,54 @@ def simhash_candidates(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
     return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame, doc_a: str = "doc_a", doc_b: str = "doc_b", max_iters: int = 20
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs → duplicate
+    clusters: (doc_id, cluster_id) with cluster_id = min doc id in the
+    component — the canonical representative-selection step after any
+    pairwise dedup pass.
+
+    Iterative min-label propagation: each round joins every node's
+    label against its neighbors' and keeps the minimum (one shuffle
+    join per round — the standard large-scale CC shape; converges in
+    O(component diameter) rounds and stops at the measured fixpoint,
+    so near-dup cliques finish in one round)."""
+    nodes = (
+        pairs.select(F.col(doc_a).alias("doc_id"))
+        .union(pairs.select(F.col(doc_b).alias("doc_id")))
+        .distinct()
+    )
+    edges = pairs.select(F.col(doc_a).alias("src"), F.col(doc_b).alias("dst")).union(
+        pairs.select(F.col(doc_b).alias("src"), F.col(doc_a).alias("dst"))
+    )
+    labels = nodes.withColumn("cluster_id", F.col("doc_id"))
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", "cluster_id")

@@ -274,3 +274,13 @@ def test_ivf_ann_recall_and_schema(spark, emb):
     fset = {(r["query_id"], r["rank"], r["neighbor_id"]) for r in full}
     # nprobe=4 covers all 4 centroids -> candidates = all vectors
     assert fset == {(r["query_id"], r["rank"], r["neighbor_id"]) for r in brute}
+
+
+def test_duplicate_clusters_path_graph(spark):
+    # a path a-b-c-d (diameter 3) must collapse to one cluster with the
+    # min label, plus an isolated pair e-f
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("c", "d"), ("e", "f")], ["doc_a", "doc_b"]
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in D.duplicate_clusters(pairs).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "f": "e"}
