@@ -1,0 +1,70 @@
+"""Physical-plan shape pins: the scale properties BENCH.md claims are
+asserted here so a refactor cannot silently regress them."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from oar_ocr_spark.fixtures.corpus import generate_documents
+from oar_ocr_spark.pipeline import detect_crops_from_flat, extract_spans
+from oar_ocr_spark.local_ref import ExtractConfig
+from oar_ocr_spark.schemas import DOCUMENTS_SCHEMA
+
+
+def _parquet_docs(spark, tmp_path, docs):
+    rows = [(d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in docs]
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_extraction_plan_two_python_boundaries_and_pruned_scan(spark, tmp_path):
+    docs = _parquet_docs(spark, tmp_path, generate_documents(12, seed=9))
+    out = extract_spans(spark, docs, persist_input=False)
+    plan = _plan(out)
+    # exactly two Python boundaries: detect and recognize (formatted
+    # explain lists each node once in the tree and once in the detail
+    # section — count the numbered detail entries)
+    import re
+
+    boundaries = re.findall(r"\(\d+\) MapInPandas", plan)
+    assert len(boundaries) == 2, plan
+    # the doc-id preservation branch scans doc_id ONLY (column pruning
+    # reaches the parquet scan)
+    assert "ReadSchema: struct<doc_id:string>" in plan, plan
+    # no cartesian products anywhere in the extraction DAG
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_doc_crops_spread_across_partitions(spark):
+    # the crop repartition on (doc_id, offset, det_idx) must fan a
+    # heavy document's pages across partitions (built-in salting) —
+    # one task never owns more than its hash share
+    all_docs = generate_documents(120, seed=11)
+    heavy = [d for d in all_docs if len(d["spans"]) >= 100]
+    assert heavy, "corpus should contain a heavy doc"
+    docs = heavy[:1] + [d for d in all_docs if len(d["spans"]) < 100][:10]
+    rows = [(d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in docs]
+    df = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+    cfg = ExtractConfig()
+    flat = df.select("doc_id", F.explode_outer("spans").alias("s"))
+    crops = detect_crops_from_flat(flat, cfg).repartition(8, "doc_id", "offset", "det_idx")
+    dist = (
+        crops.where(F.col("doc_id") == heavy[0]["doc_id"])
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    counts = {r["pid"]: r["count"] for r in dist}
+    total = sum(counts.values())
+    assert len(counts) >= 6, counts  # spread over most of the 8 partitions
+    assert max(counts.values()) / total < 0.4, counts  # no single-task hotspot
