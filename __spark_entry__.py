@@ -847,32 +847,22 @@ edges as (
   union all
   select doc_b as src, doc_a as dst from pairs
 ),
-l0 as (select distinct src as doc_id, src as cluster_id from edges),
-l1 as (
-  select l.doc_id, least(l.cluster_id, coalesce(min(x.cluster_id), l.cluster_id)) as cluster_id
-  from l0 l left join edges e on e.src = l.doc_id
-            left join l0 x on x.doc_id = e.dst
-  group by l.doc_id, l.cluster_id
-),
-l2 as (
-  select l.doc_id, least(l.cluster_id, coalesce(min(x.cluster_id), l.cluster_id)) as cluster_id
-  from l1 l left join edges e on e.src = l.doc_id
-            left join l1 x on x.doc_id = e.dst
-  group by l.doc_id, l.cluster_id
-),
-l3 as (
-  select l.doc_id, least(l.cluster_id, coalesce(min(x.cluster_id), l.cluster_id)) as cluster_id
-  from l2 l left join edges e on e.src = l.doc_id
-            left join l2 x on x.doc_id = e.dst
-  group by l.doc_id, l.cluster_id
-),
-l4 as (
-  select l.doc_id, least(l.cluster_id, coalesce(min(x.cluster_id), l.cluster_id)) as cluster_id
-  from l3 l left join edges e on e.src = l.doc_id
-            left join l3 x on x.doc_id = e.dst
-  group by l.doc_id, l.cluster_id
+-- exact connected components at ANY diameter: recursive transitive
+-- closure (distinct-union recursion reaches a fixpoint), then
+-- cluster_id = min reachable node (matches the engine's fixpoint
+-- min-label propagation for every component shape)
+reach as (
+  with recursive r(a, b) as (
+    select src, dst from edges
+    union
+    select r.a, e.dst from r join edges e on e.src = r.b where e.dst != r.a
+  )
+  select a, b from r
 )
-select doc_id, cluster_id from l4
+select n.doc_id, least(n.doc_id, min(reach.b)) as cluster_id
+from (select distinct src as doc_id from edges) n
+join reach on reach.a = n.doc_id
+group by n.doc_id
 """,
         "ngram_jaccard": f"""
 {shingles_cte},
@@ -995,7 +985,10 @@ from spans where kind = 'text'
         "doc_text_stats": f"""
 with spans as ({span_cte})
 select doc_id,
-       string_agg(span_text, ' ' order by span_offset) as doc_text,
+       -- only non-empty texts join (string_agg skips NULLs), matching
+       -- the engine's recognized-span filter in concatenated_text
+       coalesce(string_agg(case when span_text is not null and length(span_text) > 0
+                       then span_text end, ' ' order by span_offset), '') as doc_text,
        cast(count(*) as int) as n_spans,
        cast(sum(case when span_text is not null and length(span_text) > 0
                 then 1 else 0 end) as int) as n_recognized,

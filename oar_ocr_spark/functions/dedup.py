@@ -333,8 +333,11 @@ def duplicate_clusters(
             .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
             .count()
         )
-        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels.unpersist()  # no-op on the (unpersisted) initial frame
         labels = new_labels
         if changed == 0:
             break
+    # the returned frame stays persisted (its lineage chains through the
+    # unpersisted intermediates); callers holding the session long-term
+    # can .unpersist() it after consuming
     return labels.select("doc_id", "cluster_id")

@@ -170,9 +170,9 @@ def preprocess_page_full(
     Invariant (preprocess.rs:9-12, 87-91): when rectification is
     applied, `rotation` is None — coordinate back-mapping is not
     supported for warped images; results stay in rectified space. The
-    synthetic rectifier is the identity warp (UVDoc stand-in —
-    models/rectification/uvdoc.rs; real unwarping slots in here), but
-    the metadata contract is enforced and tested either way.
+    synthetic rectifier (_rectify below) performs a REAL cue-driven
+    unwarp of 'warp:' pages and is the identity on flat pages; the
+    metadata contract is enforced and tested either way.
     """
     class_id = classify_orientation(img) if cfg.use_orientation else 0
     upright = correct_orientation(img, class_id)

@@ -55,7 +55,13 @@ STRUCTURE_SCHEMA = T.StructType(
     ]
 )
 
-_CJK = "[\\x{4e00}-\\x{9fff}]"
+# is_chinese_char ranges (domain/structure.rs:1403-1415): Unified
+# Ideographs + Extensions A-F — must match structure._CJK_RANGES
+_CJK = (
+    "[\\x{4e00}-\\x{9fff}\\x{3400}-\\x{4dbf}\\x{20000}-\\x{2a6df}"
+    "\\x{2a700}-\\x{2b73f}\\x{2b740}-\\x{2b81f}\\x{2b820}-\\x{2ceaf}"
+    "\\x{2ceb0}-\\x{2ebef}]"
+)
 
 
 def document_markdown(structure_df: DataFrame) -> DataFrame:
@@ -72,9 +78,19 @@ def document_markdown(structure_df: DataFrame) -> DataFrame:
         F.collect_list(F.struct("offset", "markdown", "para_start", "para_end"))
     )
 
+    # Spark's trim/ltrim strip SPACES only; the Python twin (and the
+    # reference's trim_start/trim) strip all whitespace — use regexes
+    # so the two implementations stay value-identical at newline
+    # boundaries (cross-checked in test_document_markdown_catalyst...)
+    def _lstrip(c):
+        return F.regexp_replace(c, r"^\s+", "")
+
+    def _strip(c):
+        return F.regexp_replace(F.regexp_replace(c, r"^\s+", ""), r"\s+$", "")
+
     def merge(acc, p):
         page_md = F.coalesce(p["markdown"], F.lit(""))
-        empty = F.trim(page_md) == ""
+        empty = _strip(page_md) == ""
         last_char = F.substring(acc["md"], -1, 1)
         first_char = F.substring(page_md, 1, 1)
         cjk_boundary = last_char.rlike(_CJK) | first_char.rlike(_CJK)
@@ -83,9 +99,9 @@ def document_markdown(structure_df: DataFrame) -> DataFrame:
             F.when(empty, acc["md"])
             .when(
                 continues & ~cjk_boundary,
-                F.concat(acc["md"], F.lit(" "), F.ltrim(page_md)),
+                F.concat(acc["md"], F.lit(" "), _lstrip(page_md)),
             )
-            .when(continues, F.concat(acc["md"], F.ltrim(page_md)))
+            .when(continues, F.concat(acc["md"], _lstrip(page_md)))
             .when(acc["md"] == "", page_md)
             .otherwise(F.concat(acc["md"], F.lit("\n\n"), page_md))
         )
@@ -98,7 +114,7 @@ def document_markdown(structure_df: DataFrame) -> DataFrame:
         pages,
         F.struct(F.lit("").alias("md"), F.lit(True).alias("prev_end")),
         merge,
-        lambda acc: F.trim(acc["md"]),
+        lambda acc: _strip(acc["md"]),
     )
     return structure_df.groupBy("doc_id").agg(folded.alias("markdown"))
 
@@ -140,7 +156,17 @@ def extract_structure(
             ):
                 img = render_structure_page(media_ref)
                 els = extract_structure_page(img, cfg)
-                p_start, p_end = calculate_continuation_flags(els)
+                # page width for the continuation heuristics: the
+                # reference prefers the actual image width over the
+                # max-element fallback (structure.rs:858-868); elements
+                # live in upright coords, so undo the orientation swap
+                from oar_ocr_spark.models.synthetic import classify_orientation
+
+                k = classify_orientation(img)
+                upright_w = img.shape[1] if k % 2 == 0 else img.shape[0]
+                p_start, p_end = calculate_continuation_flags(
+                    els, page_width=float(upright_w)
+                )
                 rows.append(
                     (
                         doc_id,

@@ -539,8 +539,24 @@ def calculate_continuation_flags(
     return paragraph_start, paragraph_end
 
 
+_CJK_RANGES = (
+    # is_chinese_char, domain/structure.rs:1403-1415: Unified Ideographs
+    # + Extensions A-F
+    (0x4E00, 0x9FFF),
+    (0x3400, 0x4DBF),
+    (0x20000, 0x2A6DF),
+    (0x2A700, 0x2B73F),
+    (0x2B740, 0x2B81F),
+    (0x2B820, 0x2CEAF),
+    (0x2CEB0, 0x2EBEF),
+)
+
+
 def _is_chinese_char(c: str) -> bool:
-    return "一" <= c <= "鿿"
+    if len(c) != 1:
+        return False
+    cp = ord(c)
+    return any(lo <= cp <= hi for lo, hi in _CJK_RANGES)
 
 
 def concatenate_markdown_pages(pages: list[tuple[str, tuple[bool, bool]]]) -> str:

@@ -179,7 +179,9 @@ def test_document_markdown_catalyst_matches_python(spark):
     from oar_ocr_spark.pipeline_structure import document_markdown
     from oar_ocr_spark.structure import concatenate_markdown_pages
 
-    mds = ["alpha beta", "gamma", ""]
+    # include newline boundaries and a CJK boundary — the Catalyst fold
+    # must trim ALL whitespace like the Python twin, not just spaces
+    mds = ["alpha beta", "gamma", "", "\nlead nl", "trail nl\n", "前文"]
     rows = []
     expected = {}
     doc = 0
