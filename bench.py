@@ -175,8 +175,10 @@ def main() -> None:
         "ivf_ann",
         "doc_text_stats",
         "corpus_clean",
+        "dedup_clusters",
         "extraction_rotated",
         "structure_extract",
+        "document_markdown",
     ]:
         best = None
         for _ in range(trials):

@@ -302,14 +302,15 @@ def duplicate_clusters(
     join per round — the standard large-scale CC shape; converges in
     O(component diameter) rounds and stops at the measured fixpoint,
     so near-dup cliques finish in one round)."""
-    nodes = (
-        pairs.select(F.col(doc_a).alias("doc_id"))
-        .union(pairs.select(F.col(doc_b).alias("doc_id")))
-        .distinct()
+    # the edge set joins into EVERY propagation round — persist it once
+    # or the (possibly expensive) candidate-pair lineage re-executes per
+    # round (measured: minhash banding re-ran each iteration, 5x wall)
+    edges = (
+        pairs.select(F.col(doc_a).alias("src"), F.col(doc_b).alias("dst"))
+        .union(pairs.select(F.col(doc_b).alias("src"), F.col(doc_a).alias("dst")))
+        .persist()
     )
-    edges = pairs.select(F.col(doc_a).alias("src"), F.col(doc_b).alias("dst")).union(
-        pairs.select(F.col(doc_b).alias("src"), F.col(doc_a).alias("dst"))
-    )
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.withColumn("cluster_id", F.col("doc_id"))
     for _ in range(max_iters):
         nbr_min = (
@@ -337,6 +338,9 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    # labels was materialized by the convergence count, so the edge
+    # cache can be released here
+    edges.unpersist()
     # the returned frame stays persisted (its lineage chains through the
     # unpersisted intermediates); callers holding the session long-term
     # can .unpersist() it after consuming
