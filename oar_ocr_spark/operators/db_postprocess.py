@@ -12,8 +12,15 @@ Parity targets (reference = GreatV/oar-ocr at /root/reference):
 - unclip offset delta = area * unclip_ratio / perimeter (Vatti/Clipper
   round-join inflate): db_bitmap.rs:279-345. For the axis-aligned
   components this engine detects, the inflated polygon's min-area rect
-  is exactly the AABB expanded by `delta` per side, so the closed-form
-  expansion below is bit-equivalent.
+  is exactly the AABB expanded by `delta` per side.
+
+Box convention note: the AABB fast path measures components by their
+PIXEL FOOTPRINT (inclusive extent + 1 — a 3-px-wide component has
+min_side 3), a deliberate choice for the synthetic glyph geometry.
+The quad/poly paths measure coordinate SPREAD like the reference's
+contour math (the same component has min_side 2, matching the
+db_bitmap.rs unit vectors). Each flavor is self-consistent with its
+own goldens; they intentionally differ by one pixel of convention.
 
 Connected components replace imageproc::find_contours: a run-based
 union-find over foreground rows, emitting components in first-pixel
@@ -144,26 +151,27 @@ def connected_components_boxes(mask: np.ndarray) -> list[tuple[int, int, int, in
     return [tuple(merged[r]) for r in root_order]  # type: ignore[misc]
 
 
+def _run_endpoints(runs: np.ndarray) -> np.ndarray:
+    """(R,3) [y, x0, x1) runs → (K,2) endpoint pixel coords (x, y):
+    (x0, y) plus (x1-1, y) when distinct. The endpoints contain every
+    vertex of the convex hull of the component's pixel centers, and
+    that hull equals the hull of the reference's boundary-contour
+    points (db_bitmap.rs:100) — the single definition the AABB-,
+    quad- and poly-path consumers all share."""
+    pts: list[tuple[int, int]] = []
+    for (y, x0, x1) in runs:
+        pts.append((int(x0), int(y)))
+        if x1 - 1 != x0:
+            pts.append((int(x1 - 1), int(y)))
+    return np.asarray(pts, dtype=np.float64)
+
+
 def connected_components_points(mask: np.ndarray) -> list[np.ndarray]:
     """8-connected components of a boolean mask → per-component (K,2)
     arrays of run-endpoint pixel coordinates (x, y), components in
-    first-pixel scan order.
-
-    The run endpoints contain every vertex of the convex hull of the
-    component's pixel centers, and the hull of pixel centers equals the
-    hull of the reference's boundary-contour points (db_bitmap.rs:100
-    find_contours emits boundary pixel coords) — so min-area rects
-    computed from these points match the reference's exactly.
-    """
-    out: list[np.ndarray] = []
-    for runs in connected_components_runs(mask):
-        pts: list[tuple[int, int]] = []
-        for (y, x0, x1) in runs:
-            pts.append((int(x0), int(y)))
-            if x1 - 1 != x0:
-                pts.append((int(x1 - 1), int(y)))
-        out.append(np.asarray(pts, dtype=np.float64))
-    return out
+    first-pixel scan order (see _run_endpoints for the hull-equivalence
+    argument)."""
+    return [_run_endpoints(runs) for runs in connected_components_runs(mask)]
 
 
 def connected_components_runs(mask: np.ndarray) -> list[np.ndarray]:
@@ -369,19 +377,15 @@ class DBPostProcess:
 
         h, w = mask.shape
         comps = connected_components_runs(mask)[: self.max_candidates]
-        width_scale = float(src_w) / float(w)
-        height_scale = float(src_h) / float(h)
+        width_scale = np.float32(src_w) / np.float32(w)
+        height_scale = np.float32(src_h) / np.float32(h)
         quads: list[np.ndarray] = []
         scores: list[float] = []
         for runs in comps:
-            pts: list[tuple[int, int]] = []
-            for (y, x0, x1) in runs:
-                pts.append((int(x0), int(y)))
-                if x1 - 1 != x0:
-                    pts.append((int(x1 - 1), int(y)))
+            pts = _run_endpoints(runs)
             if len(pts) < 3:
                 continue
-            rect = min_area_rect(np.asarray(pts, dtype=np.float64))
+            rect = min_area_rect(pts)
             min_side = min(rect[2], rect[3])
             if not np.isfinite(min_side) or min_side <= 0.0:
                 continue
@@ -398,20 +402,23 @@ class DBPostProcess:
             if sside < self.min_size + 2.0:  # db_bitmap.rs:133
                 continue
             quad = order_quad_points(rect_corners(urect))
-            qx = np.clip(np.round(quad[:, 0] * width_scale), 0, src_w)
-            qy = np.clip(np.round(quad[:, 1] * height_scale), 0, src_h)
+            # half-away-from-zero like Rust f32::round (db_bitmap.rs:140)
+            qx = np.clip(np.floor(quad[:, 0] * width_scale + 0.5), 0, src_w)
+            qy = np.clip(np.floor(quad[:, 1] * height_scale + 0.5), 0, src_h)
             quads.append(np.stack([qx, qy], axis=1).astype(np.float32))
             scores.append(score)
         if not quads:
             return np.empty((0, 4, 2), dtype=np.float32), np.empty(0, dtype=np.float32)
         return np.stack(quads), np.asarray(scores, dtype=np.float32)
 
-    def _score_quad(self, img: np.ndarray, mini: np.ndarray, runs: np.ndarray) -> float:
+    def _score_quad(
+        self, img: np.ndarray, mini: np.ndarray, runs: np.ndarray, force_fast: bool = False
+    ) -> float:
         """Inverted-uint8 score of a quad: score_mode 'slow' averages the
         component's own pixels (box_score_slow's polygon fill == the
         component for run-based components); 'fast' averages the quad's
         AABB region (box_score_fast, db_score.rs:33-53)."""
-        if self.score_mode == "slow":
+        if self.score_mode == "slow" and not force_fast:
             total = 0.0
             count = 0
             for (y, x0, x1) in runs:
@@ -452,19 +459,15 @@ class DBPostProcess:
         mask = self._maybe_dilate((lut > np.float32(self.thresh))[img])
         h, w = mask.shape
         comps = connected_components_runs(mask)[: self.max_candidates]
-        width_scale = float(src_w) / float(w)
-        height_scale = float(src_h) / float(h)
+        width_scale = np.float32(src_w) / np.float32(w)
+        height_scale = np.float32(src_h) / np.float32(h)
         polys: list[np.ndarray] = []
         scores: list[float] = []
         for runs in comps:
-            pts: list[tuple[int, int]] = []
-            for (y, x0, x1) in runs:
-                pts.append((int(x0), int(y)))
-                if x1 - 1 != x0:
-                    pts.append((int(x1 - 1), int(y)))
+            pts = _run_endpoints(runs)
             if len(pts) < 4:  # db_bitmap.rs:38 contour length guard
                 continue
-            hull = convex_hull(np.asarray(pts, dtype=np.float64))
+            hull = convex_hull(pts)
             if len(hull) < 3:
                 continue
             closed = np.vstack([hull, hull[:1]])
@@ -481,7 +484,9 @@ class DBPostProcess:
             mini4 = np.stack(
                 [aabb[[0, 1]], aabb[[2, 1]], aabb[[2, 3]], aabb[[0, 3]]]
             )
-            score = self._score_quad(img, mini4, runs)
+            # the reference's poly flavor always fast-scores the approx
+            # polygon's AABB regardless of score_mode (db_bitmap.rs:50)
+            score = self._score_quad(img, mini4, runs, force_fast=True)
             if score < self.box_thresh:
                 continue
             x, y = approx[:, 0], approx[:, 1]
@@ -500,8 +505,9 @@ class DBPostProcess:
             sside = min(rect[2], rect[3])
             if sside < self.min_size + 2.0:  # db_bitmap.rs:63
                 continue
-            px = np.clip(np.round(unclipped[:, 0] * width_scale), 0, src_w)
-            py = np.clip(np.round(unclipped[:, 1] * height_scale), 0, src_h)
+            # half-away-from-zero like Rust f32::round (db_bitmap.rs:72)
+            px = np.clip(np.floor(unclipped[:, 0] * width_scale + 0.5), 0, src_w)
+            py = np.clip(np.floor(unclipped[:, 1] * height_scale + 0.5), 0, src_h)
             polys.append(np.stack([px, py], axis=1).astype(np.float32))
             scores.append(score)
         return polys, np.asarray(scores, dtype=np.float32)
@@ -532,10 +538,12 @@ class DBPostProcess:
             sside = float(min(unclipped[2] - unclipped[0], unclipped[3] - unclipped[1]))
             if sside < self.min_size + 2.0:  # db_bitmap.rs:133
                 continue
-            x1 = np.clip(np.round(unclipped[0] * width_scale), 0, src_w)
-            y1 = np.clip(np.round(unclipped[1] * height_scale), 0, src_h)
-            x2 = np.clip(np.round(unclipped[2] * width_scale), 0, src_w)
-            y2 = np.clip(np.round(unclipped[3] * height_scale), 0, src_h)
+            # half-away-from-zero like Rust f32::round (np.round is
+            # half-to-even); negatives clamp to 0 anyway
+            x1 = np.clip(np.floor(unclipped[0] * width_scale + 0.5), 0, src_w)
+            y1 = np.clip(np.floor(unclipped[1] * height_scale + 0.5), 0, src_h)
+            x2 = np.clip(np.floor(unclipped[2] * width_scale + 0.5), 0, src_w)
+            y2 = np.clip(np.floor(unclipped[3] * height_scale + 0.5), 0, src_h)
             boxes.append(np.asarray([x1, y1, x2, y2], dtype=np.float32))
             scores.append(score)
         if not boxes:

@@ -326,7 +326,9 @@ def warp_perspective_nn(
     h, w = img.shape[:2]
     xi = np.clip(np.rint(sx), 0, w - 1).astype(np.int64)
     yi = np.clip(np.rint(sy), 0, h - 1).astype(np.int64)
-    return img[yi, xi].reshape(dst_h, dst_w)
+    # preserve trailing channel axes (the engine is grayscale today;
+    # RGB inputs must not crash the reshape)
+    return img[yi, xi].reshape(dst_h, dst_w, *img.shape[2:])
 
 
 def get_rotate_crop_image(img: np.ndarray, box_points: np.ndarray) -> np.ndarray | None:
@@ -361,7 +363,11 @@ def get_rotate_crop_image(img: np.ndarray, box_points: np.ndarray) -> np.ndarray
     if tw == 0 or th == 0:
         return None
     pts_std = np.asarray([(0.0, 0.0), (tw, 0.0), (tw, th), (0.0, th)], dtype=np.float64)
-    m = perspective_transform(ordered, pts_std)
+    try:
+        m = perspective_transform(ordered, pts_std)
+    except np.linalg.LinAlgError:
+        # degenerate (collinear) quad: singular system — invalid region
+        return None
     dst = warp_perspective_nn(crop, m, tw, th)
     if dst.shape[0] >= dst.shape[1] * 1.5:
         # vertical text: rotate270 (90° CCW), transform.rs:155-163

@@ -285,3 +285,17 @@ def test_for_text_type_presets():
     assert general.det_box_thresh == 0.6 and general.det_limit_type == "max"
     rotated = ExtractConfig.for_text_type("rotated")
     assert rotated.text_type == "rotated" and rotated.postprocess.score_mode == "slow"
+
+
+def test_get_rotate_crop_image_degenerate_quad_returns_none():
+    img = np.full((30, 30), 100, dtype=np.uint8)
+    collinear = np.asarray([(0, 0), (5, 5), (10, 10), (5, 5)], dtype=float)
+    assert get_rotate_crop_image(img, collinear) is None
+
+
+def test_warp_preserves_channel_axis():
+    from oar_ocr_spark.operators.rotated_geometry import warp_perspective_nn
+
+    rgb = np.arange(6 * 8 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    out = warp_perspective_nn(rgb, np.eye(3), 8, 6)
+    np.testing.assert_array_equal(out, rgb)
