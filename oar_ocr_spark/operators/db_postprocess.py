@@ -67,88 +67,19 @@ def connected_components_boxes(mask: np.ndarray) -> list[tuple[int, int, int, in
 
     Returns [(x_min, y_min, x_max, y_max)] ordered by first foreground
     pixel in row-major scan order (matches contour discovery order in
-    db_bitmap.rs:100). Runs are extracted in one vectorized pass; the
-    union-find then iterates runs (≈ number of text-line rows), not
-    pixel rows — the detect stage's hot spot at corpus scale.
-    """
-    m = np.asarray(mask, dtype=bool)
-    if m.size == 0 or not m.any():
-        return []
-    rows, xs0, xs1 = _extract_runs(m)
-    n_runs = len(rows)
-    parent: list[int] = []
-
-    def find(i: int) -> int:
-        while parent[i] != i:
-            parent[i] = parent[parent[i]]
-            i = parent[i]
-        return i
-
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # keep the smaller (earlier-created) label as root
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-
-    extents: list[list[int]] = []  # [x0, y0, x1, y1] per label
-    order: list[int] = []  # labels in creation (first-pixel) order
-    labels = np.empty(n_runs, dtype=np.int64)
-    prev_lo = 0  # run-index window of the previous row
-    prev_hi = 0
-    cur_row = -2
-    cur_start = 0
-    for k in range(n_runs):
-        y = int(rows[k])
-        if y != cur_row:
-            if y == cur_row + 1:
-                prev_lo, prev_hi = cur_start, k
-            else:
-                prev_lo = prev_hi = k  # gap row: no previous-row runs
-            cur_row = y
-            cur_start = k
-        x0 = int(xs0[k])
-        x1 = int(xs1[k])
-        label = -1
-        for p in range(prev_lo, prev_hi):
-            # 8-connectivity: diagonal touch counts
-            if int(xs0[p]) < x1 + 1 and x0 < int(xs1[p]) + 1:
-                plab = int(labels[p])
-                if label == -1:
-                    label = find(plab)
-                else:
-                    union(label, plab)
-                    label = find(label)
-        if label == -1:
-            label = len(parent)
-            parent.append(label)
-            extents.append([x0, y, x1 - 1, y])
-            order.append(label)
-        else:
-            e = extents[label]
-            e[0] = min(e[0], x0)
-            e[2] = max(e[2], x1 - 1)
-            e[3] = max(e[3], y)
-        labels[k] = label
-
-    # merge extents into roots, keep earliest-created root order
-    merged: dict[int, list[int]] = {}
-    root_order: list[int] = []
-    for lab in order:
-        r = find(lab)
-        if r not in merged:
-            merged[r] = list(extents[lab])
-            root_order.append(r)
-        else:
-            e = merged[r]
-            f = extents[lab]
-            e[0] = min(e[0], f[0])
-            e[1] = min(e[1], f[1])
-            e[2] = max(e[2], f[2])
-            e[3] = max(e[3], f[3])
-    return [tuple(merged[r]) for r in root_order]  # type: ignore[misc]
+    db_bitmap.rs:100). Derived from connected_components_runs so the
+    subtle union-find lives in exactly one place."""
+    out: list[tuple[int, int, int, int]] = []
+    for runs in connected_components_runs(mask):
+        out.append(
+            (
+                int(runs[:, 1].min()),
+                int(runs[:, 0].min()),
+                int((runs[:, 2] - 1).max()),
+                int(runs[:, 0].max()),
+            )
+        )
+    return out
 
 
 def _run_endpoints(runs: np.ndarray) -> np.ndarray:
@@ -205,6 +136,7 @@ def connected_components_runs(mask: np.ndarray) -> list[np.ndarray]:
     prev_lo = prev_hi = 0
     cur_row = -2
     cur_start = 0
+    p_lo = 0  # two-pointer front into the previous row's runs
     for k in range(n_runs):
         y = int(rows[k])
         if y != cur_row:
@@ -212,19 +144,29 @@ def connected_components_runs(mask: np.ndarray) -> list[np.ndarray]:
                 prev_lo, prev_hi = cur_start, k
             else:
                 prev_lo = prev_hi = k
+            p_lo = prev_lo
             cur_row = y
             cur_start = k
         x0 = int(xs0[k])
         x1 = int(xs1[k])
+        # 8-connectivity neighbor predicate: xs0[p] < x1+1 AND x0 < xs1[p]+1.
+        # Runs within a row are maximal → disjoint and sorted, so both
+        # xs0 and xs1 are strictly increasing: runs that fell behind the
+        # current x0 can never match a later run either — advance the
+        # shared front pointer once (O(R) per row pair instead of
+        # O(R_prev·R_cur))
+        while p_lo < prev_hi and int(xs1[p_lo]) + 1 <= x0:
+            p_lo += 1
         label = -1
-        for p in range(prev_lo, prev_hi):
-            if int(xs0[p]) < x1 + 1 and x0 < int(xs1[p]) + 1:
-                plab = int(labels[p])
-                if label == -1:
-                    label = find(plab)
-                else:
-                    union(label, plab)
-                    label = find(label)
+        p = p_lo
+        while p < prev_hi and int(xs0[p]) < x1 + 1:
+            plab = int(labels[p])
+            if label == -1:
+                label = find(plab)
+            else:
+                union(label, plab)
+                label = find(label)
+            p += 1
         if label == -1:
             label = len(parent)
             parent.append(label)
