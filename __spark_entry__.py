@@ -460,6 +460,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             extract_spans(spark, docs, ExtractConfig(text_type="rotated"))
         )
 
+    def q_extraction_warped(spark):
+        # UVDoc rectification flavor: 'warp:' media refs render pages
+        # with a per-column sag that provably breaks unrectified
+        # decoding; use_rectification=True recovers the exact text
+        # (golden-pinned in test_pipeline_golden / rows-only here)
+        from oar_ocr_spark.local_ref import ExtractConfig
+
+        docs = (
+            derived_spans_df(spark)
+            .where((F.col("doc_id").cast("bigint") % 50) == 0)
+            .withColumn(
+                "media_ref",
+                F.when(
+                    F.col("kind") == "media", F.concat(F.lit("warp:"), F.col("media_ref"))
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("span_offset", "kind", "span_text", "media_ref")
+                        )
+                    ),
+                    lambda s: F.struct(
+                        s["kind"].alias("kind"),
+                        s["span_text"].alias("text"),
+                        s["media_ref"].alias("media_ref"),
+                        s["span_offset"].alias("offset"),
+                    ),
+                ).alias("spans")
+            )
+        )
+        return _exploded_results(
+            extract_spans(spark, docs, ExtractConfig(use_rectification=True))
+        )
+
     def q_structure_extract(spark):
         # PP-StructureV3 track: layout detect → postprocess → OCR match
         # → text join → xycut_enhanced order → markdown, per media page
@@ -554,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_text_stats": with_views(q_doc_text_stats),
         "extraction_e2e": with_views(q_extraction_e2e),
         "extraction_rotated": with_views(q_extraction_rotated),
+        "extraction_warped": with_views(q_extraction_warped),
         "structure_extract": with_views(q_structure_extract),
         "document_markdown": with_views(q_document_markdown),
         "layout_label_map": with_views(q_layout_label_map),
