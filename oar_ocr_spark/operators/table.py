@@ -328,13 +328,22 @@ def table_structure_from_crop(crop: np.ndarray) -> tuple[list[str], list[TableCe
     return structure_tokens(n_rows, n_cols), cells
 
 
-def detect_table_cells(crop: np.ndarray) -> tuple[list[np.ndarray], list[float]]:
+def detect_table_cells(
+    crop: np.ndarray, precomputed_cells: list["TableCell"] | None = None
+) -> tuple[list[np.ndarray], list[float]]:
     """Table cell detection (RT-DETR-L stand-in —
     domain/adapters/table_cell_detection_adapter.rs): emits one box per
     cell interior. Wired: interiors between grid lines. Wireless: row
     bands × clustered text columns. Scores are deterministic (0.9+).
-    Returns (cell boxes in crop coords, scores)."""
-    tokens, cells = table_structure_from_crop(crop)
+    Returns (cell boxes in crop coords, scores).
+
+    precomputed_cells lets a caller that already ran
+    table_structure_from_crop on the same crop skip the second
+    structure parse (the hot structure UDF does)."""
+    if precomputed_cells is not None:
+        cells = precomputed_cells
+    else:
+        _tokens, cells = table_structure_from_crop(crop)
     if not cells:
         return [], []
     boxes: list[np.ndarray] = []

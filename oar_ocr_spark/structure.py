@@ -374,11 +374,14 @@ def _analyze_table(upright: np.ndarray, el: StructureElement, cfg: ExtractConfig
     if not tokens:
         tokens = None
 
-    # cell detection runs when E2E is off or cells→html is requested
-    # (table_analyzer.rs:440-479)
+    # cell detection runs only when its boxes can be used — the
+    # cells→html override (table_analyzer.rs:440-479). When use_e2e is
+    # off and cells_trans is off, detected boxes would be discarded
+    # (e2e_like is already False), so the second structure parse is
+    # skipped; the already-computed cells are reused as the geometry.
     detected: list[np.ndarray] = []
-    if not use_e2e or use_cells_trans:
-        detected, _dscores = detect_table_cells(crop)
+    if use_cells_trans:
+        detected, _dscores = detect_table_cells(crop, precomputed_cells=cells)
     if use_cells_trans and detected:
         # detected cells replace structure cells; tokens regenerate
         # from cell positions (table_analyzer.rs:610-625)
@@ -397,8 +400,9 @@ def _analyze_table(upright: np.ndarray, el: StructureElement, cfg: ExtractConfig
             tokens = gen_tokens
     if not cells or tokens is None:
         return ""
-    # non-E2E mode keeps detected boxes as better matching geometry
-    # ("Approach C", table_analyzer.rs:626-640)
+    # E2E-like iff E2E structure recognition ran and no cell-detection
+    # override replaced its cells (table_analyzer.rs:626-640); it gates
+    # the matching strategy and the cross-cell split below
     e2e_like = use_e2e and not detected
 
     boxes, _scores = detect_page(crop, cfg)
@@ -567,11 +571,18 @@ def concatenate_markdown_pages(pages: list[tuple[str, tuple[bool, bool]]]) -> st
     order. A page whose first paragraph continues the previous page's
     unfinished paragraph is joined with a single space (direct concat
     when either side is Chinese); otherwise pages join with a blank
-    line. Empty pages only forward their end flag."""
+    line. Empty pages only forward their end flag.
+
+    Deliberate deviation: the reference's single-page early return
+    (structure.rs:1228-1230) emits the page UNstripped while the
+    multi-page path trims; this port strips in both branches so the
+    Python twin stays value-identical with the Catalyst fold in
+    pipeline_structure.document_markdown (which applies its final trim
+    unconditionally)."""
     if not pages:
         return ""
     if len(pages) == 1:
-        return pages[0][0]
+        return pages[0][0].strip()
     markdown = ""
     prev_end = True
     for page_md, (p_start, p_end) in pages:

@@ -192,6 +192,14 @@ def test_document_markdown_catalyst_matches_python(spark):
         expected[doc_id] = concatenate_markdown_pages(pages)
         rows.append((doc_id, 0, "m0", md1, True, e1))
         rows.append((doc_id, 1, "m1", md2, s2, True))
+    # single-page docs: the Python twin's early-return branch must
+    # strip exactly like the fold's final trim (whitespace-carrying
+    # markdown was the latent divergence — ADVICE r2)
+    for md1 in mds:
+        doc_id = f"d{doc}"
+        doc += 1
+        expected[doc_id] = concatenate_markdown_pages([(md1, (True, True))])
+        rows.append((doc_id, 0, "m0", md1, True, True))
     df = spark.createDataFrame(
         rows, "doc_id string, offset int, media_ref string, markdown string, para_start boolean, para_end boolean"
     )
