@@ -4,9 +4,13 @@ entry(spark)   — flagship: full extraction DAG over interleaved docs
                  derived from sf0.001 documents.
 queries()      — one entry per implemented operator (SURVEY.md §2 +
                  the training-data ops); each takes (spark, sf_dir).
-oracle_sql()   — DuckDB-equivalent SQL per query (omitted only for ops
-                 DuckDB cannot express: the OCR/layout pipelines
-                 themselves and the media-decode codec seam).
+oracle_sql()   — DuckDB-equivalent SQL per query. Every query has one:
+                 relational slices are re-expressed directly; the
+                 OCR/layout pipeline queries check against
+                 golden-fixture parquet computed by the single-process
+                 Python twins (tools/make_goldens.py), with all
+                 relational structure (span interleaving, ordering,
+                 joins) re-derived in SQL.
 
 The interleaved documents table (BASELINE.json input_hint shape) is
 derived deterministically from the driver's plain `documents` table by
@@ -395,11 +399,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_media_decode(spark):
+        # deterministic subset (doc_id % 10) so the oracle can name the
+        # exact ref set; features per ref are golden-fixture-checked
         refs = (
             derived_spans_df(spark)
-            .where(F.col("kind") == "media")
+            .where(
+                (F.col("kind") == "media")
+                & ((F.col("doc_id").cast("bigint") % 10) == 0)
+            )
             .select("media_ref")
-            .limit(50)
         )
         return image_features_df(refs)
 
@@ -639,6 +647,50 @@ shingles as (
   select distinct doc_id, array_to_string(w[i+1 : i+3], ' ') as sh
   from words, unnest(range(cast(greatest(len(w)-2, 1) as bigint))) as t(i)
 )"""
+
+    # golden-fixture tables for the pipeline-track oracles: recognized
+    # texts / structure elements / markdown per media_ref, computed by
+    # the single-process Python twins (tools/make_goldens.py — the same
+    # functions the Spark UDFs call, pinned by the pytest golden gate).
+    # The SQL below re-derives everything relational — span
+    # interleaving, reading order, joins, the final row_number order —
+    # so the oracle checks the distributed plumbing, not just a replay.
+    golden_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "oar_ocr_spark", "fixtures", "golden"
+    )
+
+    def _extraction_oracle(doc_mod: int, prefix: str) -> str:
+        """Span-sequence twin: pass-through text spans interleaved (by
+        offset) with golden recognized spans per media ref in detection
+        order; order = row_number per doc (assemble_results semantics)."""
+        ref_expr = f"'{prefix}' || media_ref" if prefix else "media_ref"
+        return f"""
+with spans as ({span_cte}),
+filt as (
+  select doc_id, span_offset, kind, span_text,
+         case when kind = 'media' then {ref_expr} end as media_ref
+  from spans where cast(doc_id as bigint) % {doc_mod} = 0
+),
+media as (
+  select f.doc_id, f.span_offset, g.det_rank, 'media' as kind,
+         g.rec_text as span_text, f.media_ref
+  from filt f
+  join read_parquet('{golden_dir}/media_rec.parquet') g on g.media_ref = f.media_ref
+  where f.kind = 'media'
+),
+text_sp as (
+  select doc_id, span_offset, -1 as det_rank, 'text' as kind, span_text,
+         cast(null as varchar) as media_ref
+  from filt where kind = 'text'
+),
+unioned as (select * from text_sp union all select * from media)
+select doc_id,
+       cast(row_number() over (
+         partition by doc_id order by span_offset, det_rank
+       ) - 1 as int) as span_order,
+       kind, span_text, media_ref
+from unioned
+"""
     return {
         "span_derivation": span_cte,
         "span_kind_stats": f"""
@@ -1092,7 +1144,43 @@ ranked as (
 select query_id, neighbor_id, cosine, cast(rank as int) as rank
 from ranked where rank <= 5
 """,
-        # no oracle (rows-only driver check): media_decode_stats (codec),
-        # extraction_e2e and structure_extract (the OCR/layout pipelines
-        # themselves — covered by the golden pytest gate instead)
+        "extraction_e2e": _extraction_oracle(5, ""),
+        "extraction_rotated": _extraction_oracle(50, "rot:"),
+        "extraction_warped": _extraction_oracle(50, "warp:"),
+        "structure_extract": f"""
+with spans as ({span_cte}),
+refs as (
+  select doc_id, media_ref from spans
+  where kind = 'media' and cast(doc_id as bigint) % 25 = 0
+)
+select r.doc_id, r.media_ref, g.element_type, g.element_text,
+       g.element_html, g.order_index, g.para_start, g.para_end
+from refs r
+join read_parquet('{golden_dir}/structure_pages.parquet') g using (media_ref)
+""",
+        "document_markdown": f"""
+with spans as ({span_cte}),
+seq as (
+  select doc_id,
+         md5(string_agg(media_ref, '|' order by span_offset)) as seq_hash
+  from spans
+  where kind = 'media' and cast(doc_id as bigint) % 25 = 0
+  group by doc_id
+)
+select s.doc_id, g.markdown
+from seq s
+join read_parquet('{golden_dir}/document_markdown.parquet') g
+  using (doc_id, seq_hash)
+""",
+        "media_decode_stats": f"""
+with spans as ({span_cte}),
+refs as (
+  select distinct media_ref from spans
+  where kind = 'media' and cast(doc_id as bigint) % 10 = 0
+)
+select g.media_ref, g.width, g.height, g.mean_intensity, g.ink_ratio,
+       g.n_regions
+from read_parquet('{golden_dir}/media_features.parquet') g
+join refs using (media_ref)
+""",
     }

@@ -140,13 +140,7 @@ def extract_structure(
     )
 
     def structure_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .fixtures.render_structure import render_structure_page
-        from .structure import (
-            calculate_continuation_flags,
-            elements_to_html,
-            elements_to_markdown,
-            extract_structure_page,
-        )
+        from .structure import structure_page_record
 
         cols = [f.name for f in STRUCTURE_SCHEMA.fields]
         for pdf in batches:
@@ -154,18 +148,8 @@ def extract_structure(
             for doc_id, offset, media_ref in zip(
                 pdf["doc_id"], pdf["offset"], pdf["media_ref"]
             ):
-                img = render_structure_page(media_ref)
-                els = extract_structure_page(img, cfg)
-                # page width for the continuation heuristics: the
-                # reference prefers the actual image width over the
-                # max-element fallback (structure.rs:858-868); elements
-                # live in upright coords, so undo the orientation swap
-                from oar_ocr_spark.models.synthetic import classify_orientation
-
-                k = classify_orientation(img)
-                upright_w = img.shape[1] if k % 2 == 0 else img.shape[0]
-                p_start, p_end = calculate_continuation_flags(
-                    els, page_width=float(upright_w)
+                els, markdown, html, p_start, p_end = structure_page_record(
+                    media_ref, cfg
                 )
                 rows.append(
                     (
@@ -187,8 +171,8 @@ def extract_structure(
                             )
                             for e in els
                         ],
-                        elements_to_markdown(els),
-                        elements_to_html(els),
+                        markdown,
+                        html,
                         p_start,
                         p_end,
                     )

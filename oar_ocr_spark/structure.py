@@ -708,3 +708,29 @@ def elements_to_markdown(elements: list[StructureElement]) -> str:
         elif el.text:
             parts.append(el.text)
     return "\n\n".join(parts)
+
+
+def structure_page_record(
+    media_ref: str, cfg
+) -> tuple[list[StructureElement], str, str, bool, bool]:
+    """Full per-page structure record for one media_ref: (elements,
+    markdown, html, para_start, para_end).
+
+    The ONE per-page implementation both the Spark structure UDF
+    (pipeline_structure.extract_structure) and the golden generator
+    (tools/make_goldens.py) call — the structure-track analog of
+    local_ref.detect_and_crop (CLAUDE.md determinism invariant).
+
+    Page width for the continuation heuristics prefers the actual image
+    width over the max-element fallback (structure.rs:858-868);
+    elements live in upright coords, so the orientation swap is undone.
+    """
+    from .fixtures.render_structure import render_structure_page
+    from .models.synthetic import classify_orientation
+
+    img = render_structure_page(media_ref)
+    els = extract_structure_page(img, cfg)
+    k = classify_orientation(img)
+    upright_w = img.shape[1] if k % 2 == 0 else img.shape[0]
+    p_start, p_end = calculate_continuation_flags(els, page_width=float(upright_w))
+    return els, elements_to_markdown(els), elements_to_html(els), p_start, p_end

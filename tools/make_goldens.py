@@ -1,0 +1,246 @@
+"""Materialize golden-fixture parquet for the extraction-track oracles.
+
+The five extraction-track driver queries (extraction_e2e / _rotated /
+_warped, structure_extract, document_markdown) and media_decode_stats
+are OCR/layout pipelines DuckDB cannot run — but their outputs are
+deterministic functions of each document's media_ref strings and span
+layout. This tool runs the single-process Python twins
+(local_ref.extract_page, structure.structure_page_record,
+structure.concatenate_markdown_pages — the same functions the Spark
+UDFs call, pinned by the pytest golden gate) over every media ref the
+driver queries can touch at sf0.001/0.01/0.1 and writes the results as
+parquet under oar_ocr_spark/fixtures/golden/. __spark_entry__'s
+oracle_sql() then reconstructs the full relational output (span
+interleaving, ordering, joins) in plain SQL over these tables, closing
+the CORRECTNESS gate for the pipeline queries.
+
+Golden tables (all keyed by content, so they are sf-independent):
+- media_rec.parquet        (media_ref, det_rank, rec_text)
+- media_features.parquet   (media_ref, width, height, mean_intensity,
+                            ink_ratio, n_regions)
+- structure_pages.parquet  (media_ref, element_type, element_text,
+                            element_html, order_index, para_start, para_end)
+- document_markdown.parquet(doc_id, seq_hash, markdown) where seq_hash
+                            = md5 of the doc's media_ref sequence
+
+Usage: python tools/make_goldens.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "oar_ocr_spark",
+    "fixtures",
+    "golden",
+)
+
+# driver-query doc filters (must mirror __spark_entry__.queries())
+E2E_MOD = 5
+ROTWARP_MOD = 50
+STRUCT_MOD = 25
+FEATURES_MOD = 10
+
+
+def _cfg_for(ref: str):
+    from oar_ocr_spark.local_ref import ExtractConfig
+
+    if ref.startswith("rot:"):
+        return ExtractConfig(text_type="rotated")
+    if ref.startswith("warp:"):
+        return ExtractConfig(use_rectification=True)
+    return ExtractConfig()
+
+
+def _rec_rows(ref: str) -> list[tuple[str, int, str]]:
+    from oar_ocr_spark.fixtures.render import render_page
+    from oar_ocr_spark.local_ref import extract_page
+
+    img = render_page(ref)
+    return [(ref, i, text) for i, (text, _conf) in enumerate(extract_page(img, _cfg_for(ref)))]
+
+
+def _feature_row(ref: str) -> tuple:
+    import numpy as np
+
+    from oar_ocr_spark.fixtures.render import render_page
+    from oar_ocr_spark.local_ref import ExtractConfig, detect_page, preprocess_page
+
+    cfg = ExtractConfig()
+    img = render_page(ref)
+    upright, _ = preprocess_page(img, cfg)
+    boxes, _ = detect_page(upright, cfg)
+    return (
+        ref,
+        int(img.shape[1]),
+        int(img.shape[0]),
+        np.float32(img.mean()),
+        np.float32((img < 200).mean()),
+        int(len(boxes)),
+    )
+
+
+def _structure_page(ref: str) -> tuple[list[tuple], str, bool, bool]:
+    """Per-page structure golden: (element rows, markdown, p_start, p_end)."""
+    from oar_ocr_spark.local_ref import ExtractConfig
+    from oar_ocr_spark.structure import structure_page_record
+
+    els, markdown, _html, p_start, p_end = structure_page_record(ref, ExtractConfig())
+    rows = [
+        (ref, e.element_type, e.text, e.html, int(e.order_index), p_start, p_end)
+        for e in els
+    ]
+    return rows, markdown, p_start, p_end
+
+
+def main() -> int:
+    import duckdb
+    import pandas as pd
+    from multiprocessing import Pool
+
+    from __spark_entry__ import SPAN_DERIVATION_DUCKDB
+
+    sf_dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ]
+
+    rec_refs: set[str] = set()
+    feat_refs: set[str] = set()
+    struct_refs: set[str] = set()
+    # doc markdown work: (doc_id, seq_hash) -> ordered ref list
+    md_docs: dict[tuple[str, str], list[str]] = {}
+
+    con = duckdb.connect()
+    for sf_dir in sf_dirs:
+        con.sql(
+            "create or replace view documents as "
+            f"select * from '{os.path.join(sf_dir, 'documents.parquet')}'"
+        )
+        media = con.sql(
+            f"with spans as ({SPAN_DERIVATION_DUCKDB}) "
+            "select doc_id, span_offset, media_ref, cast(doc_id as bigint) as did "
+            "from spans where kind = 'media' order by doc_id, span_offset"
+        ).df()
+        for _, r in media.iterrows():
+            did, ref = int(r["did"]), r["media_ref"]
+            if did % E2E_MOD == 0:
+                rec_refs.add(ref)
+            if did % ROTWARP_MOD == 0:
+                rec_refs.add("rot:" + ref)
+                rec_refs.add("warp:" + ref)
+            if did % FEATURES_MOD == 0:
+                feat_refs.add(ref)
+            if did % STRUCT_MOD == 0:
+                struct_refs.add(ref)
+        sub = media[media["did"] % STRUCT_MOD == 0]
+        for doc_id, grp in sub.groupby("doc_id"):
+            refs = list(grp.sort_values("span_offset")["media_ref"])
+            seq_hash = hashlib.md5("|".join(refs).encode()).hexdigest()
+            md_docs.setdefault((str(doc_id), seq_hash), refs)
+
+    print(
+        f"work: rec={len(rec_refs)} features={len(feat_refs)} "
+        f"structure={len(struct_refs)} markdown_docs={len(md_docs)}"
+    )
+
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    with Pool(processes=min(16, os.cpu_count() or 4)) as pool:
+        rec_rows = [row for rows in pool.map(_rec_rows, sorted(rec_refs), 32) for row in rows]
+        feat_rows = pool.map(_feature_row, sorted(feat_refs), 32)
+        struct_results = pool.map(_structure_page, sorted(struct_refs), 16)
+
+    struct_rows: list[tuple] = []
+    page_md: dict[str, tuple[str, bool, bool]] = {}
+    for ref, (rows, markdown, p_start, p_end) in zip(sorted(struct_refs), struct_results):
+        struct_rows.extend(rows)
+        page_md[ref] = (markdown, p_start, p_end)
+
+    from oar_ocr_spark.structure import concatenate_markdown_pages
+
+    md_rows = []
+    for (doc_id, seq_hash), refs in sorted(md_docs.items()):
+        pages = [(page_md[r][0], (page_md[r][1], page_md[r][2])) for r in refs]
+        md_rows.append((doc_id, seq_hash, concatenate_markdown_pages(pages)))
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(name: str, df: pd.DataFrame, schema: pa.Schema) -> None:
+        path = os.path.join(GOLDEN_DIR, name)
+        pq.write_table(pa.Table.from_pandas(df, schema=schema, preserve_index=False), path)
+        print(f"wrote {path}: {len(df)} rows")
+
+    write(
+        "media_rec.parquet",
+        pd.DataFrame(rec_rows, columns=["media_ref", "det_rank", "rec_text"]),
+        pa.schema(
+            [("media_ref", pa.string()), ("det_rank", pa.int32()), ("rec_text", pa.string())]
+        ),
+    )
+    write(
+        "media_features.parquet",
+        pd.DataFrame(
+            feat_rows,
+            columns=["media_ref", "width", "height", "mean_intensity", "ink_ratio", "n_regions"],
+        ),
+        pa.schema(
+            [
+                ("media_ref", pa.string()),
+                ("width", pa.int32()),
+                ("height", pa.int32()),
+                ("mean_intensity", pa.float32()),
+                ("ink_ratio", pa.float32()),
+                ("n_regions", pa.int32()),
+            ]
+        ),
+    )
+    write(
+        "structure_pages.parquet",
+        pd.DataFrame(
+            struct_rows,
+            columns=[
+                "media_ref",
+                "element_type",
+                "element_text",
+                "element_html",
+                "order_index",
+                "para_start",
+                "para_end",
+            ],
+        ),
+        pa.schema(
+            [
+                ("media_ref", pa.string()),
+                ("element_type", pa.string()),
+                ("element_text", pa.string()),
+                ("element_html", pa.string()),
+                ("order_index", pa.int32()),
+                ("para_start", pa.bool_()),
+                ("para_end", pa.bool_()),
+            ]
+        ),
+    )
+    write(
+        "document_markdown.parquet",
+        pd.DataFrame(md_rows, columns=["doc_id", "seq_hash", "markdown"]),
+        pa.schema(
+            [("doc_id", pa.string()), ("seq_hash", pa.string()), ("markdown", pa.string())]
+        ),
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
