@@ -411,6 +411,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return image_features_df(refs)
 
+    def q_media_png_roundtrip(spark):
+        # real-format seam: render → encode real PNG bytes (the media
+        # store write side) → decode via the pure-numpy PNG codec →
+        # features. PNG is lossless, so the oracle is the same golden
+        # feature table as media_decode_stats — proving byte-level
+        # round-trip fidelity inside the driver gate.
+        from oar_ocr_spark.functions.multimodal import (
+            image_features_from_bytes_df,
+            png_store_df,
+        )
+
+        refs = (
+            derived_spans_df(spark)
+            .where(
+                (F.col("kind") == "media")
+                & ((F.col("doc_id").cast("bigint") % 20) == 0)
+            )
+            .select("media_ref")
+        )
+        return image_features_from_bytes_df(png_store_df(refs))
+
     def q_extraction_text_only(spark):
         docs = interleaved_docs_df(spark, text_only=True)
         return _exploded_results(extract_spans(spark, docs))
@@ -595,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann": with_views(q_lsh_ann),
         "ivf_ann": with_views(q_ivf_ann),
         "media_decode_stats": with_views(q_media_decode),
+        "media_png_roundtrip": with_views(q_media_png_roundtrip),
         "extraction_text_only": with_views(q_extraction_text_only),
         "doc_text_stats": with_views(q_doc_text_stats),
         "extraction_e2e": with_views(q_extraction_e2e),
@@ -1177,6 +1199,17 @@ with spans as ({span_cte}),
 refs as (
   select distinct media_ref from spans
   where kind = 'media' and cast(doc_id as bigint) % 10 = 0
+)
+select g.media_ref, g.width, g.height, g.mean_intensity, g.ink_ratio,
+       g.n_regions
+from read_parquet('{golden_dir}/media_features.parquet') g
+join refs using (media_ref)
+""",
+        "media_png_roundtrip": f"""
+with spans as ({span_cte}),
+refs as (
+  select distinct media_ref from spans
+  where kind = 'media' and cast(doc_id as bigint) % 20 = 0
 )
 select g.media_ref, g.width, g.height, g.mean_intensity, g.ink_ratio,
        g.n_regions

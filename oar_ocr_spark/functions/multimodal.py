@@ -2,12 +2,14 @@
 
 Images/audio/video are carried as `binary` columns with typed metadata
 structs; decode / feature-extract / resize / frame-sample run as
-Arrow-batched pandas UDFs over mapInPandas. The container has no
-image/audio codecs, so the *codec* call is stubbed behind
-``_decode_payload`` — a deterministic fake for synthetic refs (the
-engine's renderer) and ``NotImplementedError`` for real formats — while
-everything Spark-side (schema, batching, partitioning, UDF signature,
-batch shapes) is real and tested.
+Arrow-batched pandas UDFs over mapInPandas. The codec seam
+(``_decode_payload``) now decodes REAL PNG bytes via the pure-numpy
+codec in functions/png.py (lossless, so the determinism contract
+survives real bytes); formats the environment genuinely cannot decode
+(JPEG/WAV/MP4 — no PIL/ffmpeg here) raise the declared
+``NotImplementedError``. Synthetic refs without a payload decode via
+the deterministic renderer. Everything Spark-side (schema, batching,
+partitioning, UDF signature, batch shapes) is real and tested.
 """
 
 from __future__ import annotations
@@ -20,7 +22,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_META_SCHEMA", "decode_media_df", "image_features_df", "frame_sample_df"]
+__all__ = [
+    "MEDIA_META_SCHEMA",
+    "decode_media_df",
+    "image_features_df",
+    "image_features_from_bytes_df",
+    "png_store_df",
+    "frame_sample_df",
+]
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -44,10 +53,26 @@ _FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _decode_payload(media_ref: str, media_type: str) -> np.ndarray:
-    """Codec seam. Synthetic refs decode via the deterministic renderer;
-    real formats (PNG/JPEG/WAV/MP4) would dispatch to PIL/ffmpeg here.
-    """
+def _decode_payload(
+    media_ref: str, media_type: str, payload: bytes | None = None
+) -> np.ndarray:
+    """Codec seam (load_image / load_image_from_memory,
+    oar-ocr-core/src/utils/image.rs:65-88).
+
+    With a binary payload, real PNG bytes decode through the pure-numpy
+    codec (functions/png.py — lossless, so the determinism contract
+    survives real bytes); other byte formats (JPEG/WAV/MP4) raise the
+    declared NotImplementedError (no codecs in this environment).
+    Without a payload, synthetic refs decode via the deterministic
+    renderer (the media-store stand-in)."""
+    if payload is not None:
+        from .png import PNG_SIGNATURE, decode_png
+
+        if bytes(payload[:8]) == PNG_SIGNATURE:
+            return decode_png(bytes(payload))
+        raise NotImplementedError(
+            "codec for non-PNG media payload not available in this environment"
+        )
     if media_type == "image":
         from ..fixtures.render import render_page
 
@@ -55,6 +80,31 @@ def _decode_payload(media_ref: str, media_type: str) -> np.ndarray:
     raise NotImplementedError(
         f"codec for media_type={media_type!r} not available in this environment"
     )
+
+
+def png_store_df(refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
+    """(media_ref) → (media_ref, payload) media-store table with REAL
+    PNG bytes per page (FIXTURES.md §2 media_store.image): render the
+    deterministic page, encode with functions/png.encode_png. The write
+    side of the real-format seam; image_features_from_bytes_df /
+    extract_spans(media_store=...) are the read side."""
+    from .png import encode_png
+
+    schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..fixtures.render import render_page
+
+        for pdf in batches:
+            rows = [(ref, encode_png(render_page(ref))) for ref in pdf[ref_col]]
+            yield pd.DataFrame(rows, columns=["media_ref", "payload"])
+
+    return refs.select(F.col(ref_col).alias("media_ref")).mapInPandas(it, schema=schema)
 
 
 def decode_media_df(refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
@@ -73,35 +123,63 @@ def decode_media_df(refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
     )
 
 
+def _feature_row(ref: str, img: np.ndarray, cfg) -> tuple:
+    from ..local_ref import detect_page, preprocess_page
+
+    upright, _ = preprocess_page(img, cfg)
+    boxes, _ = detect_page(upright, cfg)
+    return (
+        ref,
+        img.shape[1],
+        img.shape[0],
+        float(img.mean()),
+        float((img < 200).mean()),
+        int(len(boxes)),
+    )
+
+
 def image_features_df(refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
     """Decode + feature-extract: dims, mean intensity, ink ratio, region
     count (via the detection operators) per media item."""
-    from ..local_ref import ExtractConfig, detect_page, preprocess_page
+    from ..local_ref import ExtractConfig
 
     cfg = ExtractConfig()
 
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for ref in pdf[ref_col]:
-                img = _decode_payload(ref, "image")
-                upright, _ = preprocess_page(img, cfg)
-                boxes, _ = detect_page(upright, cfg)
-                rows.append(
-                    (
-                        ref,
-                        img.shape[1],
-                        img.shape[0],
-                        float(img.mean()),
-                        float((img < 200).mean()),
-                        int(len(boxes)),
-                    )
-                )
+            rows = [
+                _feature_row(ref, _decode_payload(ref, "image"), cfg)
+                for ref in pdf[ref_col]
+            ]
             yield pd.DataFrame(rows, columns=[f.name for f in _FEATURES_SCHEMA.fields])
 
     return refs.select(F.col(ref_col).alias("media_ref")).mapInPandas(
         it, schema=_FEATURES_SCHEMA
     )
+
+
+def image_features_from_bytes_df(
+    store: DataFrame, ref_col: str = "media_ref", payload_col: str = "payload"
+) -> DataFrame:
+    """Feature extraction over REAL media bytes (load_image_from_memory
+    parity, utils/image.rs:65): each row's binary payload decodes
+    through the PNG codec; features match image_features_df exactly
+    because PNG is lossless."""
+    from ..local_ref import ExtractConfig
+
+    cfg = ExtractConfig()
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _feature_row(ref, _decode_payload(ref, "image", payload), cfg)
+                for ref, payload in zip(pdf[ref_col], pdf[payload_col])
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in _FEATURES_SCHEMA.fields])
+
+    return store.select(
+        F.col(ref_col).alias("media_ref"), F.col(payload_col).alias("payload")
+    ).mapInPandas(it, schema=_FEATURES_SCHEMA)
 
 
 _FRAME_SCHEMA = T.StructType(

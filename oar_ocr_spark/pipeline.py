@@ -60,18 +60,33 @@ __all__ = ["extract_spans", "detect_crops_df", "recognize_df", "assemble_results
 # stage bodies (plain python over numpy, called from mapInPandas iterators)
 # --------------------------------------------------------------------------
 
-def _detect_one_page(doc_id: str, offset: int, media_ref: str, cfg: ExtractConfig) -> list[tuple]:
-    """Render + preprocess + detect + reading-order sort + crop for one
-    media span. Returns CROPS_SCHEMA tuples with det_idx = reading rank.
-    Detection/crop flavor (AABB slice vs min-area-rect perspective
-    crop) follows cfg.text_type via local_ref.detect_and_crop — the
-    same function the golden generator calls."""
-    from .fixtures.render import render_page
+def _detect_one_page(
+    doc_id: str,
+    offset: int,
+    media_ref: str,
+    cfg: ExtractConfig,
+    payload: bytes | None = None,
+) -> list[tuple]:
+    """Decode/render + preprocess + detect + reading-order sort + crop
+    for one media span. Returns CROPS_SCHEMA tuples with det_idx =
+    reading rank. Detection/crop flavor (AABB slice vs min-area-rect
+    perspective crop) follows cfg.text_type via
+    local_ref.detect_and_crop — the same function the golden generator
+    calls. With a binary payload (media_store mode) the page decodes
+    from real PNG bytes (functions/multimodal._decode_payload); PNG is
+    lossless so results are identical to the render path."""
     from .local_ref import detect_and_crop
 
     import zlib
 
-    img = render_page(media_ref)
+    if payload is not None:
+        from .functions.multimodal import _decode_payload
+
+        img = _decode_payload(media_ref, "image", payload)
+    else:
+        from .fixtures.render import render_page
+
+        img = render_page(media_ref)
     upright, _cls = preprocess_page(img, cfg)
     rows: list[tuple] = []
     for rank, (crop, box) in enumerate(detect_and_crop(upright, cfg)):
@@ -244,24 +259,42 @@ def detect_crops_df(docs: DataFrame, cfg: ExtractConfig) -> DataFrame:
     return detect_crops_from_flat(flat, cfg)
 
 
-def detect_crops_from_flat(spans_flat: DataFrame, cfg: ExtractConfig) -> DataFrame:
+def detect_crops_from_flat(
+    spans_flat: DataFrame, cfg: ExtractConfig, media_store: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, s:struct) exploded spans → crops DataFrame.
 
     A media span without a ref cannot be resolved; dropping it here
     (instead of crashing the UDF) keeps one malformed row from failing
-    a whole partition at corpus scale."""
+    a whole partition at corpus scale.
+
+    media_store (media_ref, payload:binary) switches the page source
+    from the synthetic renderer to real encoded bytes: media spans
+    equi-join their payload on media_ref (the natural shape for an
+    Iceberg media side table — hash join, AQE-sized) and the detect UDF
+    decodes via the PNG codec. Spans whose ref is missing from the
+    store are dropped (left join + null guard), mirroring the
+    malformed-row policy above."""
     media = spans_flat.where(
         (F.col("s.kind") == "media") & F.col("s.media_ref").isNotNull()
     ).select("doc_id", F.col("s.offset").alias("offset"), F.col("s.media_ref").alias("media_ref"))
+    with_payload = media_store is not None
+    if with_payload:
+        media = media.join(
+            media_store.select("media_ref", "payload"), "media_ref", "left"
+        ).where(F.col("payload").isNotNull())
 
     def detect_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in CROPS_SCHEMA.fields]
         for pdf in batches:
             rows: list[tuple] = []
-            for doc_id, offset, media_ref in zip(
-                pdf["doc_id"], pdf["offset"], pdf["media_ref"]
+            payloads = pdf["payload"] if with_payload else [None] * len(pdf)
+            for doc_id, offset, media_ref, payload in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_ref"], payloads
             ):
-                rows.extend(_detect_one_page(doc_id, offset, media_ref, cfg))
+                rows.extend(
+                    _detect_one_page(doc_id, offset, media_ref, cfg, payload=payload)
+                )
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(detect_iter, schema=CROPS_SCHEMA)
@@ -326,12 +359,18 @@ def extract_spans(
     pooled: bool = True,
     persist_input: bool = True,
     width_sorted: bool = False,
+    media_store: DataFrame | None = None,
 ) -> DataFrame:
     """documents(doc_id, spans) → results(doc_id, spans) (RESULTS_SCHEMA).
 
     pooled=True routes crops through a rebalancing shuffle (the scale
     path); pooled=False fuses recognition into the detect task (no crop
     shuffle).
+
+    media_store=(media_ref, payload:binary) sources pages from real PNG
+    bytes via an equi-join instead of the synthetic renderer (see
+    detect_crops_from_flat); output is identical because PNG is
+    lossless (pinned by test_pipeline_golden).
 
     width_sorted=True additionally sorts each crop partition by
     (bucket, wh_ratio) before recognition — the reference's
@@ -371,7 +410,7 @@ def extract_spans(
         F.lit(None).cast("float").alias("confidence"),
     )
 
-    crops = detect_crops_from_flat(spans_flat, cfg)
+    crops = detect_crops_from_flat(spans_flat, cfg, media_store=media_store)
     if pooled:
         crops = crops.repartition(P, "doc_id", "offset", "det_idx")
         if width_sorted:

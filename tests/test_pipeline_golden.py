@@ -153,3 +153,52 @@ def test_warped_pages_spark_matches_golden(spark):
         truth = [r.text for r in page_truth(d["spans"][0]["media_ref"]).regions]
         media_texts = [t for k, t, _, _ in result[d["doc_id"]] if k == "media"]
         assert media_texts == truth
+
+
+def test_media_store_png_matches_golden(spark, corpus):
+    """Real-format source: pages arrive as REAL PNG bytes in a media
+    store side table (load_image_from_memory parity) — output must
+    equal the render-path golden exactly (PNG is lossless)."""
+    from pyspark.sql import functions as F
+
+    from oar_ocr_spark.functions.multimodal import png_store_df
+
+    docs = corpus[:30]
+    df = docs_df(spark, docs)
+    refs = (
+        df.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+    store = png_store_df(refs)
+    result = collect_spans(
+        extract_spans(spark, df, num_partitions=4, media_store=store)
+    )
+    expected = golden(docs)
+    assert result == {d["doc_id"]: expected[d["doc_id"]] for d in docs}
+
+
+def test_media_store_missing_ref_dropped(spark):
+    """A media span whose ref is absent from the store is dropped (the
+    malformed-row policy), not a task failure."""
+    from pyspark.sql import functions as F
+
+    from oar_ocr_spark.functions.multimodal import png_store_df
+
+    docs = generate_documents(4, seed=5)
+    df = docs_df(spark, docs)
+    refs = (
+        df.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+        .orderBy("media_ref")
+        .limit(1)  # store holds just one ref; the rest are "missing"
+    )
+    store = png_store_df(refs)
+    out = collect_spans(extract_spans(spark, df, media_store=store))
+    kept_refs = {
+        s[2] for spans in out.values() for s in spans if s[0] == "media"
+    }
+    assert len(kept_refs) <= 1  # only the stored ref can produce spans
