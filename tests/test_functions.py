@@ -284,3 +284,30 @@ def test_duplicate_clusters_path_graph(spark):
     )
     out = {r["doc_id"]: r["cluster_id"] for r in D.duplicate_clusters(pairs).collect()}
     assert out == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "f": "e"}
+
+
+def test_duplicate_clusters_chain_converges_logarithmically(spark):
+    # 256-node path graph: min-label eccentricity 255. One-hop-only
+    # propagation needs ~255 rounds; pointer doubling must finish
+    # within ~log2(255)+2 rounds — max_iters=12 would raise otherwise.
+    n = 256
+    ids = [f"n{i:04d}" for i in range(n)]
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.duplicate_clusters(pairs, max_iters=12).collect()
+    }
+    assert out == {i: ids[0] for i in ids}
+
+
+def test_duplicate_clusters_raises_on_exhaustion(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        # diameter-4 path cannot settle in a single round
+        D.duplicate_clusters(pairs, max_iters=1)
