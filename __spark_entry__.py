@@ -373,29 +373,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return S.knn_self_join(emb, k=5, n_blocks=8)
 
     def q_ivf_ann(spark):
-        # IVF coarse-quantizer ANN: deterministic centroid codebook
-        # (vec_id % 37), nprobe=3 — assignment and probing are
-        # broadcast joins + windows, fully SQL-expressible (oracled)
+        # IVF coarse-quantizer ANN with a TRAINED codebook: 2 rounds of
+        # deterministic sampled-Lloyd k-means (seeds vec_id % 37,
+        # 6dp-rounded means), then nprobe=3 probing — training,
+        # assignment and probing are broadcast joins + windows, fully
+        # SQL-expressible (the oracle unrolls the same k-means rounds)
         emb = spark.table("embeddings")
         q = emb.where(F.col("vec_id") % 50 == 0)
-        return S.ivf_ann(emb, q, k=5, nprobe=3, centroid_mod=37)
+        codebook = S.train_ivf_centroids(emb, centroid_mod=37, iters=2)
+        return S.ivf_ann(emb, q, k=5, nprobe=3, centroids=codebook)
 
     def q_embedding_near_dup(spark):
-        # embedding-cosine near-dup pairs: exact top-5 neighborhood
-        # filtered by similarity, emitted once per unordered pair.
-        # Exact all-pairs KNN via the distributed block-pair self-join
-        # (no driver collect; bounded per-task matmuls) — measured
+        # embedding-cosine near-dup pairs, mode="exact": top-5
+        # neighborhoods from the distributed block-pair self-join (no
+        # driver collect; bounded per-task matmuls) filtered by
+        # similarity — the oracle-gate path. The gate corpus's
         # qualifying pairs sit at cosine≈0.3 where hyperplane LSH
-        # recall is ~5%/table, so the approximate path cannot match
-        # the exact oracle (see functions/similarity.py docstring).
+        # recall is ~5%, so exact is the only correct mode here (see
+        # similarity.embedding_near_dup docstring for the crossover).
         emb = spark.table("embeddings")
-        knn = S.knn_self_join(emb, k=5, n_blocks=8)
-        return knn.where(
-            (F.col("cosine") >= 0.3) & (F.col("query_id") < F.col("neighbor_id"))
-        ).select(
-            F.col("query_id").alias("vec_a"),
-            F.col("neighbor_id").alias("vec_b"),
-            "cosine",
+        return S.embedding_near_dup(emb, threshold=0.3, mode="exact", k=5, n_blocks=8)
+
+    def q_embedding_near_dup_approx(spark):
+        # the 100 TB near-dup path: multi-table LSH candidate
+        # generation (bucket self equi-join, no broadcast) + exact
+        # cosine re-rank. Axis planes keep it SQL-expressible, so the
+        # oracle checks the ALGORITHM exactly (candidates included);
+        # the recall bound at a real near-dup threshold (≥0.95 at 0.9)
+        # is pinned by the planted-cluster pytest — at this corpus's
+        # 0.3 operating point approx recall is low BY DESIGN, which is
+        # why embedding_near_dup (exact) is the gate query.
+        emb = spark.table("embeddings")
+        return S.embedding_near_dup(
+            emb, threshold=0.3, mode="approx", n_bits=6, n_tables=4, planes="axis"
         )
 
     def q_media_decode(spark):
@@ -612,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": with_views(q_knn),
         "knn_self_join": with_views(q_knn_self_join),
         "embedding_near_dup": with_views(q_embedding_near_dup),
+        "embedding_near_dup_approx": with_views(q_embedding_near_dup_approx),
         "simhash": with_views(q_simhash),
         "lsh_ann": with_views(q_lsh_ann),
         "ivf_ann": with_views(q_ivf_ann),
@@ -649,6 +660,46 @@ def oracle_sql() -> dict[str, str]:
             f"(sqrt(list_sum(list_transform({a}, v -> cast(v as double)*cast(v as double)))) * "
             f"sqrt(list_sum(list_transform({b}, v -> cast(v as double)*cast(v as double)))))"
         )
+
+    def _kmeans_ctes(iters: int) -> str:
+        """Unrolled deterministic sampled-Lloyd k-means (the DuckDB twin
+        of similarity.train_ivf_centroids): seeds vec_id % 37, per-round
+        nearest-centroid assignment under the engine total order, then
+        6dp-rounded element-wise member means; empty clusters keep the
+        previous centroid. The 6dp rounding pins both engines' float
+        paths to identical codebooks."""
+        parts = [
+            """cent0 as (
+  select vec_id as centroid_id,
+         list_transform(embedding, v -> cast(v as double)) as cv
+  from embeddings where vec_id % 37 = 0
+)"""
+        ]
+        for i in range(1, iters + 1):
+            prev = f"cent{i-1}"
+            parts.append(
+                f"""assign{i} as (
+  select vid, centroid_id, v from (
+    select e.vec_id as vid, e.embedding as v, c.centroid_id,
+           row_number() over (partition by e.vec_id
+             order by round({_cos_sql('e.embedding', 'c.cv')}, 6) desc, c.centroid_id) as rn
+    from embeddings e cross join {prev} c
+  ) where rn = 1
+),
+upd{i} as (
+  select centroid_id, d.i as pos, round(avg(cast(v[d.i+1] as double)), 6) as m
+  from assign{i}, unnest(range(len(v))) as d(i)
+  group by centroid_id, d.i
+),
+updl{i} as (
+  select centroid_id, list(m order by pos) as new_cv from upd{i} group by centroid_id
+),
+cent{i} as (
+  select c.centroid_id, coalesce(u.new_cv, c.cv) as cv
+  from {prev} c left join updl{i} u using (centroid_id)
+)"""
+            )
+        return ",\n".join(parts)
     # axis-plane LSH buckets (must mirror similarity.axis_bucket_df)
     _n_bits, _n_tables = 6, 4
     _bucket_selects = " union all ".join(
@@ -1014,9 +1065,8 @@ select query_id, neighbor_id, cosine, cast(rank as int) as rank
 from ranked where rank <= 5
 """,
         "ivf_ann": f"""
-with cent as (
-  select vec_id as centroid_id, embedding as cv from embeddings where vec_id % 37 = 0
-),
+with {_kmeans_ctes(2)},
+cent as (select centroid_id, cv from cent2),
 assign as (
   select neighbor_id, centroid_id from (
     select e.vec_id as neighbor_id, c.centroid_id,
@@ -1086,6 +1136,23 @@ ranked as (
 )
 select query_id as vec_a, neighbor_id as vec_b, cosine
 from ranked where rank <= 5 and cosine >= 0.3 and query_id < neighbor_id
+""",
+        "embedding_near_dup_approx": f"""
+with buckets as ({_bucket_selects}),
+cand as (
+  select distinct a.vec_id as vec_a, b.vec_id as vec_b
+  from buckets a join buckets b
+    on a.table_id = b.table_id and a.bucket = b.bucket and a.vec_id < b.vec_id
+),
+pairs as (
+  select c.vec_a, c.vec_b,
+         {_cos_sql('ea.embedding', 'eb.embedding')} as cos
+  from cand c
+  join embeddings ea on ea.vec_id = c.vec_a
+  join embeddings eb on eb.vec_id = c.vec_b
+)
+select vec_a, vec_b, round(cos, 4) as cosine
+from pairs where round(cos, 4) >= 0.3
 """,
         "extraction_text_only": f"""
 with spans as ({span_cte})

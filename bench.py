@@ -171,8 +171,10 @@ def main() -> None:
         "knn_bruteforce",
         "knn_self_join",
         "embedding_near_dup",
+        "embedding_near_dup_approx",
         "lsh_ann",
         "ivf_ann",
+        "media_png_roundtrip",
         "doc_text_stats",
         "corpus_clean",
         "dedup_clusters",

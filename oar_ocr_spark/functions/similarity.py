@@ -46,6 +46,8 @@ __all__ = [
     "axis_bucket_df",
     "lsh_ann",
     "ivf_ann",
+    "train_ivf_centroids",
+    "embedding_near_dup",
 ]
 
 #: knn_bruteforce broadcasts its query matrix to every task; above this
@@ -435,6 +437,152 @@ def lsh_ann(
     )
 
 
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    mode: str = "exact",
+    k: int = 5,
+    n_blocks: int = 8,
+    dim: int | None = None,
+    n_bits: int = 6,
+    n_tables: int = 8,
+    seed: int = 13,
+    planes: str = "random",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, cosine)
+    with vec_a < vec_b and round(cosine,4) >= threshold.
+
+    mode="exact" — the oracle-gate path: distributed block-pair
+    knn_self_join, pairs drawn from each vector's exact top-k
+    neighborhood. Inherently O(N²·d) flops (no sublinear method is
+    exact at arbitrary thresholds); the block shape spreads them over
+    n_blocks² bounded tasks with no driver collect.
+
+    mode="approx" — the 100 TB path: multi-table hyperplane LSH.
+    Candidates = same sign-bit bucket in ANY of n_tables tables (a
+    self equi-join on (table_id, bucket) — no broadcast, no top-k
+    cap), then exact-cosine re-rank, so precision is 1.0 and only
+    recall is approximate. Per-pair retention is
+    1-(1-p^n_bits)^n_tables with p = 1-acos(threshold)/π:
+    at the defaults (6 bits × 8 tables) that is ≥0.95 for
+    threshold ≥ ~0.85 (measured ≥0.95 at 0.9 on the planted-cluster
+    pytest), but only ~5% at threshold 0.3 — which is exactly why the
+    gate corpus (qualifying pairs at cosine≈0.30) stays on exact.
+
+    Crossover: exact costs N²·d mults sheared into n_blocks² tasks;
+    approx costs ~N·n_tables bucket rows + bucket-local pairs. For a
+    true near-dup operating point (threshold ≥ 0.85, where embedding
+    copies/near-copies live) switch to approx once N²·d stops fitting
+    the cluster's flop budget — roughly N ≳ 10⁶ at d=768.
+
+    planes="axis" uses deterministic axis-aligned hyperplanes (pure
+    Catalyst, SQL-expressible — the oracle-checked flavor); "random"
+    uses seeded gaussian planes (better spread, pandas-UDF matmul).
+    """
+    if mode == "exact":
+        knn = knn_self_join(embeddings, k=k, n_blocks=n_blocks, id_col=id_col, vec_col=vec_col)
+        return knn.where(
+            (F.col("cosine") >= threshold) & (F.col("query_id") < F.col("neighbor_id"))
+        ).select(
+            F.col("query_id").alias("vec_a"),
+            F.col("neighbor_id").alias("vec_b"),
+            "cosine",
+        )
+    if mode != "approx":
+        raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
+    if planes == "axis":
+        buckets = axis_bucket_df(embeddings, n_bits, n_tables, id_col, vec_col)
+    else:
+        if dim is None:
+            raise ValueError("approx mode with random planes needs dim")
+        buckets = lsh_bucket_df(embeddings, dim, n_bits, seed, n_tables, id_col, vec_col)
+    a = buckets.select(
+        F.col("table_id"), F.col("bucket"), F.col("vec_id").alias("vec_a")
+    )
+    b = buckets.select(
+        F.col("table_id"), F.col("bucket"), F.col("vec_id").alias("vec_b")
+    )
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    eb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
+    return pairs.select(
+        "vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine")
+    ).where(F.col("cosine") >= threshold)
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    centroid_mod: int = 37,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic sampled-Lloyd k-means codebook for ivf_ann.
+
+    Fully declarative and ANSI-SQL-expressible (the oracle unrolls the
+    same iterations in DuckDB), following the engine's deterministic
+    k-means discipline (operators/table.combine_rectangles_kmeans):
+    - seeds: the vectors with id % centroid_mod == 0 (deterministic,
+      no RNG; centroid_id keeps the seed's vec_id)
+    - fixed `iters` Lloyd rounds: assign every vector to its nearest
+      centroid under the engine total order (round(cos,6) DESC,
+      centroid_id ASC), then recompute each centroid as the
+      element-wise member mean ROUNDED to 6dp (the rounding makes the
+      Spark and DuckDB float paths land on identical codebooks);
+      empty clusters keep their previous centroid.
+
+    Scale shape: assignment is a broadcast nested loop over N×K (the
+    standard IVF training pass); the update is one posexplode +
+    groupBy(centroid, dim) partial-agg shuffle of N·dim skinny rows per
+    round. At corpus scale, train on a deterministic sample (pass
+    embeddings.where(id % sample_mod == 0)) — the codebook quality
+    needs only a sample, and the plan is unchanged.
+    """
+    from pyspark.sql import Window
+
+    cent = embeddings.where(F.col(id_col) % centroid_mod == 0).select(
+        F.col(id_col).alias("centroid_id"),
+        F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("cv"),
+    )
+    for _ in range(iters):
+        cent = cent.persist()
+        pairs = embeddings.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
+        ).crossJoin(F.broadcast(cent))
+        w = Window.partitionBy("vid").orderBy(
+            F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("centroid_id")
+        )
+        assign = (
+            pairs.withColumn("crank", F.row_number().over(w))
+            .where(F.col("crank") == 1)
+            .select("vid", "centroid_id", "v")
+        )
+        upd = (
+            assign.select("centroid_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("new_cv")
+            )
+        )
+        cent = cent.join(upd, "centroid_id", "left").select(
+            "centroid_id", F.coalesce("new_cv", "cv").alias("cv")
+        )
+    return cent
+
+
 def ivf_ann(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -467,9 +615,13 @@ def ivf_ann(
 
     if centroids is None:
         centroids = embeddings.where(F.col(id_col) % centroid_mod == 0)
-    cent = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
-    )
+    if set(centroids.columns) >= {"centroid_id", "cv"}:
+        # already a codebook frame (train_ivf_centroids output)
+        cent = centroids.select("centroid_id", "cv")
+    else:
+        cent = centroids.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+        )
 
     def nearest(df: DataFrame, out_id: str, n_keep: int) -> DataFrame:
         pairs = df.select(

@@ -9,7 +9,8 @@ foreachBatch is an at-least-once contract (a micro-batch can be
 retried after a partial write), so the sink write is made IDEMPOTENT:
 each batch overwrites its own batch_id=<id> partition directory — a
 retry replaces, never duplicates — which combined with the source's
-checkpointed offsets gives effectively-once results.
+checkpointed offsets gives exactly-once OBSERVABLE results (replay
+pinned by test_streaming.test_batch_replay_is_exactly_once).
 
 At corpus scale this is the "continuously arriving crawl shards" mode:
 each micro-batch is one snapshot delta; lineage/metrics integration is
@@ -28,7 +29,22 @@ from .local_ref import ExtractConfig
 from .pipeline import extract_spans
 from .schemas import DOCUMENTS_SCHEMA
 
-__all__ = ["extract_stream", "dedup_stream"]
+__all__ = ["extract_stream", "dedup_stream", "write_batch_idempotent"]
+
+
+def write_batch_idempotent(df: DataFrame, results_path: str, batch_id: int) -> None:
+    """The exactly-once sink both streams use: each micro-batch
+    overwrites its own batch_id=<id> partition directory. foreachBatch
+    is an at-least-once contract — a batch can be re-run after a
+    partial write — but replaying batch N replaces batch N's directory
+    wholesale, so observable results are exactly-once (pinned by
+    test_streaming.test_batch_replay_is_exactly_once). Combined with
+    the source's checkpointed offsets (a COMMITTED batch is never
+    redelivered), the end-to-end pipeline is effectively exactly-once.
+    """
+    df.write.mode("overwrite").parquet(
+        os.path.join(results_path, f"batch_id={batch_id}")
+    )
 
 
 def extract_stream(
@@ -58,11 +74,7 @@ def extract_stream(
         out = extract_spans(
             batch_df.sparkSession, batch_df, cfg, persist_input=True
         )
-        # idempotent by batch_id: a retried micro-batch overwrites its
-        # own partition instead of appending duplicate rows
-        out.write.mode("overwrite").parquet(
-            os.path.join(results_path, f"batch_id={batch_id}")
-        )
+        write_batch_idempotent(out, results_path, batch_id)
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_path
@@ -144,9 +156,7 @@ def dedup_stream(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(results_path, f"batch_id={batch_id}")
-        )
+        write_batch_idempotent(batch_df, results_path, batch_id)
 
     writer = deduped.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_path

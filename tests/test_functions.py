@@ -311,3 +311,83 @@ def test_duplicate_clusters_raises_on_exhaustion(spark):
     with pytest.raises(RuntimeError, match="fixpoint"):
         # diameter-4 path cannot settle in a single round
         D.duplicate_clusters(pairs, max_iters=1)
+
+
+def test_trained_ivf_recall_monotone_and_beats_standin(spark):
+    # clustered corpus (8 gaussian clusters in 16-d): sampled-Lloyd
+    # centroids should land near cluster centers, so probing fewer
+    # lists recovers more true neighbors than the id%K stand-in
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((8, 16)) * 3.0
+    vecs = np.concatenate(
+        [centers[i % 8] + 0.15 * rng.standard_normal(16) for i in range(96)]
+    ).reshape(96, 16)
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in vecs[i]]) for i in range(96)],
+        ["vec_id", "embedding"],
+    )
+    q = emb.where(F.col("vec_id") < 8)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.knn_bruteforce(emb, q, k=5).collect()
+    }
+    trained = S.train_ivf_centroids(emb, centroid_mod=12, iters=2)
+
+    def recall(codebook, nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in S.ivf_ann(
+                emb, q, k=5, nprobe=nprobe, centroids=codebook, centroid_mod=12
+            ).collect()
+        }
+        return len(got & brute) / len(brute)
+
+    r_trained = [recall(trained, p) for p in (1, 2, 3)]
+    r_standin = [recall(None, p) for p in (1, 2, 3)]
+    # candidates grow with nprobe -> recall is monotone
+    assert r_trained == sorted(r_trained)
+    assert r_standin == sorted(r_standin)
+    # the trained codebook dominates the stand-in at every probe depth
+    assert all(t >= s for t, s in zip(r_trained, r_standin))
+    assert r_trained[0] > r_standin[0]  # strict win where probing is tight
+    assert r_trained[-1] >= 0.95
+
+
+def test_embedding_near_dup_exact_matches_query_shape(spark, emb):
+    out = S.embedding_near_dup(emb, threshold=0.5, mode="exact", k=3).collect()
+    assert set(out[0].asDict()) == {"vec_a", "vec_b", "cosine"} if out else True
+    for r in out:
+        assert r["vec_a"] < r["vec_b"] and r["cosine"] >= 0.5
+
+
+def test_embedding_near_dup_approx_recall_at_high_threshold(spark):
+    # planted near-dup corpus: 150 base vectors + a perturbed copy of
+    # each (cosine >= ~0.97). At threshold 0.9 the LSH defaults
+    # (6 bits x 8 tables) must recover >= 95% of the true pairs —
+    # the measured recall bound the approx mode's docstring claims.
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((150, 64))
+    pert = base + 0.12 * rng.standard_normal((150, 64))
+    vecs = np.concatenate([base, pert])
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ vn.T
+    iu = np.triu_indices(len(vecs), 1)
+    true_pairs = {
+        (int(i), int(j))
+        for i, j in zip(*iu)
+        if round(float(sims[i, j]), 4) >= 0.9
+    }
+    assert len(true_pairs) >= 100  # the plant worked
+    emb = spark.createDataFrame(
+        [(int(i), [float(v) for v in vecs[i]]) for i in range(len(vecs))],
+        ["vec_id", "embedding"],
+    )
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in S.embedding_near_dup(
+            emb, threshold=0.9, mode="approx", dim=64, n_bits=6, n_tables=8
+        ).collect()
+    }
+    # exact re-rank -> precision 1.0
+    assert got <= true_pairs
+    assert len(got) / len(true_pairs) >= 0.95

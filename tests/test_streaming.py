@@ -75,3 +75,33 @@ def test_dedup_stream_keyed_state_across_batches(spark, tmp_path):
     # d6 duplicates d5 within the new batch → suppressed too
     assert got2 == {"d1", "d2", "d5"}
     assert len(rows) == 3
+
+
+def test_batch_replay_is_exactly_once(spark, tmp_path):
+    """foreachBatch retry simulation: re-writing the SAME batch_id
+    (even from a partial state) replaces its partition wholesale — no
+    duplicate rows survive a replay."""
+    from pyspark.sql import functions as F
+
+    from oar_ocr_spark.pipeline import extract_spans
+    from oar_ocr_spark.streaming import write_batch_idempotent
+
+    out = str(tmp_path / "replay_out")
+    docs = generate_documents(6, seed=9)
+    rows = [(d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in docs]
+    df = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+
+    # first (simulated partial) delivery of batch 0: half the docs
+    half = df.where(F.col("doc_id").isin([d["doc_id"] for d in docs[:3]]))
+    write_batch_idempotent(extract_spans(spark, half), out, batch_id=0)
+    assert spark.read.parquet(out).count() == 3
+
+    # the retry re-runs the FULL batch 0 → replaces, never appends
+    write_batch_idempotent(extract_spans(spark, df), out, batch_id=0)
+    got = spark.read.parquet(out)
+    assert got.count() == 6
+    assert got.select("doc_id").distinct().count() == 6
+
+    # a second replay of the identical batch is a no-op on row counts
+    write_batch_idempotent(extract_spans(spark, df), out, batch_id=0)
+    assert spark.read.parquet(out).count() == 6
