@@ -442,6 +442,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return image_features_from_bytes_df(png_store_df(refs))
 
+    def q_media_jpeg_roundtrip(spark):
+        # the LOSSY real-format seam: render → baseline JPEG q100
+        # (functions/jpeg.py, pure-numpy T.81 encoder) → decode →
+        # features. The oracle golden is computed through the SAME
+        # codec twin (media_features_jpeg.parquet), so the gate checks
+        # the distributed byte path bit-for-bit without assuming JPEG
+        # is lossless (it is not; q100 error is ±1).
+        from oar_ocr_spark.functions.multimodal import (
+            image_features_from_bytes_df,
+            jpeg_store_df,
+        )
+
+        refs = (
+            derived_spans_df(spark)
+            .where(
+                (F.col("kind") == "media")
+                & ((F.col("doc_id").cast("bigint") % 20) == 0)
+            )
+            .select("media_ref")
+        )
+        return image_features_from_bytes_df(jpeg_store_df(refs))
+
+    def q_pdf_extract(spark):
+        # PDF container input (ref: hayro dep, Cargo.toml:20; the
+        # north-rule's "PDF/layout parse"): pack each doc's pages into
+        # ONE real PDF (functions/pdf.py writer), unpack via the real
+        # parser into the (media_ref, payload) page store, then run the
+        # FULL extraction DAG from those bytes. Both container steps
+        # are lossless (FlateDecode), so the oracle is exact span-
+        # sequence equality against the same golden as extraction_e2e.
+        from oar_ocr_spark.functions.pdf import pdf_media_store_df, pdf_store_df
+        from oar_ocr_spark.local_ref import ExtractConfig
+        from oar_ocr_spark.pipeline import extract_spans
+
+        docs = interleaved_docs_df(spark).where(
+            (F.col("doc_id").cast("bigint") % 20) == 0
+        )
+        store = pdf_media_store_df(pdf_store_df(docs))
+        return _exploded_results(extract_spans(spark, docs, media_store=store))
+
+    def q_audio_wav_features(spark):
+        # audio modality through REAL PCM WAV bytes (functions/wav.py):
+        # deterministic waveform fixture → encode → decode → clip
+        # features. WAV PCM is lossless; the golden twin runs the same
+        # functions single-process (audio_features.parquet).
+        from oar_ocr_spark.functions.wav import (
+            audio_features_from_bytes_df,
+            wav_store_df,
+        )
+
+        refs = (
+            derived_spans_df(spark)
+            .where(
+                (F.col("kind") == "media")
+                & ((F.col("doc_id").cast("bigint") % 10) == 0)
+            )
+            .select("media_ref")
+        )
+        return audio_features_from_bytes_df(wav_store_df(refs))
+
+    def q_video_frame_stats(spark):
+        # video modality through a REAL container: AVI-MJPEG
+        # (functions/avi.py) with 8 frames per ref; the sampler seeks
+        # the container index and decodes ONLY the 4 sampled frames
+        # (intra-only codec → exact random access).
+        from oar_ocr_spark.functions.avi import (
+            frame_sample_from_bytes_df,
+            video_store_df,
+        )
+
+        refs = (
+            derived_spans_df(spark)
+            .where(
+                (F.col("kind") == "media")
+                & ((F.col("doc_id").cast("bigint") % 20) == 0)
+            )
+            .select("media_ref")
+        )
+        return frame_sample_from_bytes_df(video_store_df(refs, n_frames=8), n_sample=4)
+
     def q_extraction_text_only(spark):
         docs = interleaved_docs_df(spark, text_only=True)
         return _exploded_results(extract_spans(spark, docs))
@@ -628,6 +708,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": with_views(q_ivf_ann),
         "media_decode_stats": with_views(q_media_decode),
         "media_png_roundtrip": with_views(q_media_png_roundtrip),
+        "media_jpeg_roundtrip": with_views(q_media_jpeg_roundtrip),
+        "pdf_extract": with_views(q_pdf_extract),
+        "audio_wav_features": with_views(q_audio_wav_features),
+        "video_frame_stats": with_views(q_video_frame_stats),
         "extraction_text_only": with_views(q_extraction_text_only),
         "doc_text_stats": with_views(q_doc_text_stats),
         "extraction_e2e": with_views(q_extraction_e2e),
@@ -1281,6 +1365,40 @@ refs as (
 select g.media_ref, g.width, g.height, g.mean_intensity, g.ink_ratio,
        g.n_regions
 from read_parquet('{golden_dir}/media_features.parquet') g
+join refs using (media_ref)
+""",
+        "media_jpeg_roundtrip": f"""
+with spans as ({span_cte}),
+refs as (
+  select distinct media_ref from spans
+  where kind = 'media' and cast(doc_id as bigint) % 20 = 0
+)
+select g.media_ref, g.width, g.height, g.mean_intensity, g.ink_ratio,
+       g.n_regions
+from read_parquet('{golden_dir}/media_features_jpeg.parquet') g
+join refs using (media_ref)
+""",
+        "pdf_extract": _extraction_oracle(20, ""),
+        "audio_wav_features": f"""
+with spans as ({span_cte}),
+refs as (
+  select distinct media_ref from spans
+  where kind = 'media' and cast(doc_id as bigint) % 10 = 0
+)
+select g.media_ref, g.n_samples, g.sample_rate, g.duration_ms, g.rms,
+       g.peak, g.zero_crossings
+from read_parquet('{golden_dir}/audio_features.parquet') g
+join refs using (media_ref)
+""",
+        "video_frame_stats": f"""
+with spans as ({span_cte}),
+refs as (
+  select distinct media_ref from spans
+  where kind = 'media' and cast(doc_id as bigint) % 20 = 0
+)
+select g.media_ref, g.frame_idx, g.height, g.width, g.mean_intensity,
+       g.ink_ratio
+from read_parquet('{golden_dir}/video_frames.parquet') g
 join refs using (media_ref)
 """,
     }

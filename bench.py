@@ -175,6 +175,10 @@ def main() -> None:
         "lsh_ann",
         "ivf_ann",
         "media_png_roundtrip",
+        "media_jpeg_roundtrip",
+        "pdf_extract",
+        "audio_wav_features",
+        "video_frame_stats",
         "doc_text_stats",
         "corpus_clean",
         "dedup_clusters",

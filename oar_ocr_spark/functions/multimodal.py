@@ -3,10 +3,12 @@
 Images/audio/video are carried as `binary` columns with typed metadata
 structs; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas UDFs over mapInPandas. The codec seam
-(``_decode_payload``) now decodes REAL PNG bytes via the pure-numpy
-codec in functions/png.py (lossless, so the determinism contract
-survives real bytes); formats the environment genuinely cannot decode
-(JPEG/WAV/MP4 — no PIL/ffmpeg here) raise the declared
+(``_decode_payload``) decodes REAL bytes for both image formats —
+PNG via the pure-numpy codec in functions/png.py (lossless) and
+baseline JPEG via functions/jpeg.py (lossy, q=100 measured
+span-preserving). Audio and video are real formats too, in their own
+modules: PCM WAV (functions/wav.py) and AVI-MJPEG (functions/avi.py).
+Formats none of these cover raise the declared
 ``NotImplementedError``. Synthetic refs without a payload decode via
 the deterministic renderer. Everything Spark-side (schema, batching,
 partitioning, UDF signature, batch shapes) is real and tested.
@@ -28,6 +30,7 @@ __all__ = [
     "image_features_df",
     "image_features_from_bytes_df",
     "png_store_df",
+    "jpeg_store_df",
     "frame_sample_df",
 ]
 
@@ -60,18 +63,23 @@ def _decode_payload(
     oar-ocr-core/src/utils/image.rs:65-88).
 
     With a binary payload, real PNG bytes decode through the pure-numpy
-    codec (functions/png.py — lossless, so the determinism contract
-    survives real bytes); other byte formats (JPEG/WAV/MP4) raise the
-    declared NotImplementedError (no codecs in this environment).
-    Without a payload, synthetic refs decode via the deterministic
-    renderer (the media-store stand-in)."""
+    codec (functions/png.py — lossless) and real baseline JPEG bytes
+    through functions/jpeg.py (lossy; q=100 measured span-preserving,
+    test_jpeg.py). Audio/video payloads have their own real-format
+    operators (functions/wav.py PCM WAV, functions/avi.py AVI-MJPEG);
+    byte formats none of these cover raise the declared
+    NotImplementedError. Without a payload, synthetic refs decode via
+    the deterministic renderer (the media-store stand-in)."""
     if payload is not None:
+        from .jpeg import JPEG_SOI, decode_jpeg
         from .png import PNG_SIGNATURE, decode_png
 
         if bytes(payload[:8]) == PNG_SIGNATURE:
             return decode_png(bytes(payload))
+        if bytes(payload[:2]) == JPEG_SOI:
+            return decode_jpeg(bytes(payload))
         raise NotImplementedError(
-            "codec for non-PNG media payload not available in this environment"
+            "codec for this media payload format not available in this environment"
         )
     if media_type == "image":
         from ..fixtures.render import render_page
@@ -102,6 +110,36 @@ def png_store_df(refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
 
         for pdf in batches:
             rows = [(ref, encode_png(render_page(ref))) for ref in pdf[ref_col]]
+            yield pd.DataFrame(rows, columns=["media_ref", "payload"])
+
+    return refs.select(F.col(ref_col).alias("media_ref")).mapInPandas(it, schema=schema)
+
+
+def jpeg_store_df(
+    refs: DataFrame, ref_col: str = "media_ref", quality: int = 100
+) -> DataFrame:
+    """(media_ref) → (media_ref, payload) media store with REAL baseline
+    JPEG bytes per page (functions/jpeg.py). The lossy sibling of
+    png_store_df: at quality=100 the reconstruction error is ±1 and the
+    span pipeline is measured unchanged (test_jpeg.py); features through
+    these bytes are goldened via the same codec twin
+    (tools/make_goldens.py media_features_jpeg)."""
+    from .jpeg import encode_jpeg
+
+    schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..fixtures.render import render_page
+
+        for pdf in batches:
+            rows = [
+                (ref, encode_jpeg(render_page(ref), quality)) for ref in pdf[ref_col]
+            ]
             yield pd.DataFrame(rows, columns=["media_ref", "payload"])
 
     return refs.select(F.col(ref_col).alias("media_ref")).mapInPandas(it, schema=schema)

@@ -1,0 +1,508 @@
+"""Pure-python PDF container codec + Spark page-unpack operators.
+
+The reference ships PDF input via the `hayro` rasterizer dependency
+(/root/reference/Cargo.toml:20, examples only): a PDF's pages become
+images that feed the OCR pipeline. The north-rule names "PDF/layout
+parse" as part of main-content extraction, so this module implements a
+real (minimal, declared-subset) PDF 1.4 writer and parser — no PDF
+library exists in this environment — plus the distributed unpack shape:
+
+  container table (pdf_ref, payload:binary)
+    → one Arrow-batched mapInPandas parse          (pdf_media_store_df)
+    → page store (media_ref, payload:PNG bytes)
+    → the existing extract_spans(media_store=...) byte path.
+
+Unpack-once-then-columnar is the lakehouse shape for 100 TB: the PDF
+parse runs exactly once per container, pages land in an Iceberg-style
+side table keyed by media_ref, and every downstream read is a plain
+hash join + PNG decode. (A fused variant — parsing the PDF inside the
+detect UDF — would save the intermediate write but re-parse the whole
+container for every page-level retry; at corpus scale the materialized
+page store wins.)
+
+Writer scope: 8-bit greyscale pages (the engine's page type) embedded
+as /DeviceGray /FlateDecode image XObjects, one per page, plus an
+/Info dict whose /Title carries the newline-joined page media_refs so
+the container is self-describing. Everything is real PDF syntax: object
+table, xref, trailer, startxref.
+
+Parser scope (declared, fails loudly outside it): classic xref tables
+(incl. /Prev chains), indirect /Length, nested /Pages trees, literal +
+hex strings, comments, /DeviceGray and /DeviceRGB FlateDecode or
+uncompressed image XObjects. Cross-reference *streams* (PDF 1.5+) and
+DCTDecode/JPXDecode images raise NotImplementedError — the same honest
+codec-seam contract as functions/png.py (no JPEG codec here).
+
+Determinism: FlateDecode is lossless and the writer emits exact-integer
+pages, so container → pages → spans preserves the CLAUDE.md contract
+bit-for-bit; the pdf_extract driver query oracles against the same
+golden span fixtures as the renderer path.
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "encode_pdf",
+    "decode_pdf",
+    "decode_pdf_refs",
+    "pdf_store_df",
+    "pdf_media_store_df",
+]
+
+
+# ---------------------------------------------------------------------------
+# writer
+# ---------------------------------------------------------------------------
+
+def _pdf_string(s: str) -> bytes:
+    """Literal PDF string with ()\\ and newline escaped."""
+    out = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    out = out.replace("\n", "\\n").replace("\r", "\\r")
+    return b"(" + out.encode("latin-1") + b")"
+
+
+def encode_pdf(pages: list[np.ndarray], page_refs: list[str] | None = None) -> bytes:
+    """Greyscale (H,W) uint8 pages → real PDF 1.4 bytes.
+
+    Each page is a /DeviceGray 8-bit image XObject (FlateDecode — i.e.
+    zlib, lossless) drawn full-bleed on a page whose MediaBox matches
+    the pixel dims. `page_refs` (one per page) lands newline-joined in
+    the /Info /Title string so the container names its own pages."""
+    if page_refs is not None and len(page_refs) != len(pages):
+        raise ValueError("page_refs length must match pages")
+    for p in pages:
+        if p.dtype != np.uint8 or p.ndim != 2:
+            raise ValueError(f"encode_pdf expects (H,W) uint8 pages, got {p.dtype} {p.shape}")
+
+    objs: list[bytes] = []  # objs[i] is object number i+1
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    catalog_num = add(b"")  # placeholder, patched after pages tree exists
+    pages_num = add(b"")
+    kid_nums = []
+    for page in pages:
+        h, w = page.shape
+        data = zlib.compress(page.tobytes(), 6)
+        img_num = add(
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+            b" /Filter /FlateDecode /Length %d >>\nstream\n" % (w, h, len(data))
+            + data
+            + b"\nendstream"
+        )
+        content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
+        content_num = add(
+            b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+        )
+        kid_nums.append(
+            add(
+                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 %d %d]"
+                b" /Resources << /XObject << /Im0 %d 0 R >> >>"
+                b" /Contents %d 0 R >>" % (pages_num, w, h, img_num, content_num)
+            )
+        )
+    objs[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
+    kids = b" ".join(b"%d 0 R" % n for n in kid_nums)
+    objs[pages_num - 1] = b"<< /Type /Pages /Kids [%s] /Count %d >>" % (
+        kids,
+        len(kid_nums),
+    )
+    info_num = None
+    if page_refs is not None:
+        info_num = add(b"<< /Title " + _pdf_string("\n".join(page_refs)) + b" >>")
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]  # object 0 is the free head
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objs) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    trailer = b"<< /Size %d /Root %d 0 R" % (len(objs) + 1, catalog_num)
+    if info_num is not None:
+        trailer += b" /Info %d 0 R" % info_num
+    trailer += b" >>"
+    out += b"trailer\n" + trailer + b"\nstartxref\n%d\n%%%%EOF\n" % xref_pos
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num, self.gen = num, gen
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"{self.num} {self.gen} R"
+
+
+class _Name(str):
+    """PDF /Name (distinct from strings so dict keys are unambiguous)."""
+
+
+def _skip_ws(data: bytes, pos: int) -> int:
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c in _WS:
+            pos += 1
+        elif c == 0x25:  # '%' comment to end of line
+            while pos < n and data[pos] not in b"\r\n":
+                pos += 1
+        else:
+            break
+    return pos
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+
+def _parse_value(data: bytes, pos: int):
+    """Recursive-descent parse of one PDF object at `pos` → (value, pos)."""
+    pos = _skip_ws(data, pos)
+    if pos >= len(data):
+        raise ValueError("unexpected end of PDF data")
+    c = data[pos]
+    if data.startswith(b"<<", pos):
+        pos += 2
+        d: dict[str, object] = {}
+        while True:
+            pos = _skip_ws(data, pos)
+            if data.startswith(b">>", pos):
+                return d, pos + 2
+            key, pos = _parse_value(data, pos)
+            if not isinstance(key, _Name):
+                raise ValueError(f"PDF dict key is not a name at offset {pos}")
+            val, pos = _parse_value(data, pos)
+            d[str(key)] = val
+    if c == 0x5B:  # '['
+        pos += 1
+        arr: list[object] = []
+        while True:
+            pos = _skip_ws(data, pos)
+            if data[pos] == 0x5D:
+                return arr, pos + 1
+            v, pos = _parse_value(data, pos)
+            arr.append(v)
+    if c == 0x2F:  # '/'
+        pos += 1
+        start = pos
+        while pos < len(data) and data[pos] not in _WS and data[pos] not in _DELIM:
+            pos += 1
+        return _Name(data[start:pos].decode("latin-1")), pos
+    if c == 0x28:  # '(' literal string
+        pos += 1
+        depth = 1
+        out = bytearray()
+        while depth:
+            ch = data[pos]
+            if ch == 0x5C:  # backslash escape
+                nxt = data[pos + 1]
+                esc = {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b", 0x66: b"\f"}
+                out += esc.get(nxt, bytes([nxt]))
+                pos += 2
+            elif ch == 0x28:
+                depth += 1
+                out.append(ch)
+                pos += 1
+            elif ch == 0x29:
+                depth -= 1
+                if depth:
+                    out.append(ch)
+                pos += 1
+            else:
+                out.append(ch)
+                pos += 1
+        return bytes(out).decode("latin-1"), pos
+    if c == 0x3C:  # '<' hex string (not '<<', handled above)
+        end = data.index(b">", pos)
+        hexdigits = re.sub(rb"\s", b"", data[pos + 1 : end])
+        if len(hexdigits) % 2:
+            hexdigits += b"0"
+        return bytes.fromhex(hexdigits.decode("ascii")).decode("latin-1"), end + 1
+    if data.startswith(b"true", pos):
+        return True, pos + 4
+    if data.startswith(b"false", pos):
+        return False, pos + 5
+    if data.startswith(b"null", pos):
+        return None, pos + 4
+    m = _NUM_RE.match(data, pos)
+    if m:
+        tok = m.group(0)
+        pos = m.end()
+        if b"." in tok:
+            return float(tok), pos
+        # int — maybe the start of an "N G R" indirect reference
+        la = _skip_ws(data, pos)
+        m2 = _NUM_RE.match(data, la)
+        if m2 and b"." not in m2.group(0):
+            la2 = _skip_ws(data, m2.end())
+            if data.startswith(b"R", la2) and (
+                la2 + 1 >= len(data)
+                or data[la2 + 1] in _WS
+                or data[la2 + 1] in _DELIM
+            ):
+                return _Ref(int(tok), int(m2.group(0))), la2 + 1
+        return int(tok), pos
+    raise ValueError(f"cannot parse PDF object at offset {pos}: {data[pos:pos+20]!r}")
+
+
+class PdfDocument:
+    """Parsed classic-xref PDF. Objects load lazily by number."""
+
+    def __init__(self, data: bytes):
+        if not data.startswith(b"%PDF-"):
+            raise ValueError("not a PDF (missing %PDF- header)")
+        self._data = data
+        self._cache: dict[int, object] = {}
+        self._offsets: dict[int, int] = {}
+        self.trailer = self._read_xref_chain()
+
+    # -- xref / trailer ----------------------------------------------------
+    def _read_xref_chain(self) -> dict:
+        data = self._data
+        tail = data[-256:]
+        m = re.search(rb"startxref\s+(\d+)", tail)
+        if m is None:
+            raise ValueError("PDF missing startxref")
+        pos = int(m.group(1))
+        trailer: dict = {}
+        seen: set[int] = set()
+        while pos not in seen:
+            seen.add(pos)
+            pos0 = _skip_ws(data, pos)
+            if not data.startswith(b"xref", pos0):
+                raise NotImplementedError(
+                    "PDF cross-reference streams (1.5+) not supported here"
+                )
+            p = _skip_ws(data, pos0 + 4)
+            while not data.startswith(b"trailer", p):
+                m2 = re.match(rb"(\d+)\s+(\d+)", data[p : p + 40])
+                if m2 is None:
+                    raise ValueError(f"bad xref subsection header at {p}")
+                start, count = int(m2.group(1)), int(m2.group(2))
+                p = _skip_ws(data, p + m2.end())
+                for i in range(count):
+                    entry = data[p : p + 20]
+                    off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
+                    if kind == b"n":
+                        self._offsets.setdefault(start + i, int(off))
+                    p += 20
+                p = _skip_ws(data, p)
+            t, _ = _parse_value(data, p + len(b"trailer"))
+            if not trailer:
+                trailer = t  # first (newest) trailer wins
+            if "Prev" in t:
+                pos = int(t["Prev"])  # earlier section: fills only missing objs
+            else:
+                break
+        return trailer
+
+    # -- objects -----------------------------------------------------------
+    def resolve(self, v):
+        while isinstance(v, _Ref):
+            v = self._load(v.num)
+        return v
+
+    def _load(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        off = self._offsets.get(num)
+        if off is None:
+            return None
+        data = self._data
+        m = re.match(rb"(\d+)\s+(\d+)\s+obj", data[off : off + 40])
+        if m is None or int(m.group(1)) != num:
+            raise ValueError(f"object {num} not at xref offset {off}")
+        val, pos = _parse_value(data, off + m.end())
+        pos = _skip_ws(data, pos)
+        if data.startswith(b"stream", pos):
+            pos += len(b"stream")
+            if data.startswith(b"\r\n", pos):
+                pos += 2
+            elif data.startswith(b"\n", pos):
+                pos += 1
+            length = self.resolve(val["Length"])  # /Length may be indirect
+            val = (val, data[pos : pos + int(length)])  # (dict, raw stream)
+        self._cache[num] = val
+        return val
+
+    # -- pages -------------------------------------------------------------
+    def pages(self) -> list[dict]:
+        """Page dicts in document order (walks nested /Pages trees)."""
+        root = self.resolve(self.trailer["Root"])
+        out: list[dict] = []
+
+        def walk(node_ref):
+            node = self.resolve(node_ref)
+            if node.get("Type") == "Pages" or "Kids" in node:
+                for kid in self.resolve(node["Kids"]):
+                    walk(kid)
+            else:
+                out.append(node)
+
+        walk(root["Pages"])
+        return out
+
+    def page_image(self, page: dict) -> np.ndarray:
+        """First image XObject of a page → ndarray ((H,W) grey or (H,W,3))."""
+        res = self.resolve(page.get("Resources", {}))
+        xobjects = self.resolve(res.get("XObject", {}))
+        for _name, ref in xobjects.items():
+            obj = self.resolve(ref)
+            if not (isinstance(obj, tuple) and len(obj) == 2):
+                continue
+            d, raw = obj
+            if d.get("Subtype") != "Image":
+                continue
+            filt = d.get("Filter")
+            filts = [filt] if not isinstance(filt, list) else filt
+            filts = [str(f) for f in filts if f is not None]
+            if any(f in ("DCTDecode", "JPXDecode") for f in filts):
+                raise NotImplementedError(
+                    f"PDF image filter {filts} needs a JPEG codec — "
+                    "not available in this environment"
+                )
+            for f in filts:
+                if f == "FlateDecode":
+                    raw = zlib.decompress(raw)
+                else:
+                    raise NotImplementedError(f"PDF stream filter {f} not supported")
+            w, h = int(self.resolve(d["Width"])), int(self.resolve(d["Height"]))
+            bpc = int(self.resolve(d.get("BitsPerComponent", 8)))
+            cs = str(self.resolve(d.get("ColorSpace", "DeviceGray")))
+            if bpc != 8:
+                raise NotImplementedError(f"PDF image depth {bpc} not supported")
+            if cs == "DeviceGray":
+                return np.frombuffer(raw, dtype=np.uint8, count=h * w).reshape(h, w)
+            if cs == "DeviceRGB":
+                return np.frombuffer(raw, dtype=np.uint8, count=h * w * 3).reshape(
+                    h, w, 3
+                )
+            raise NotImplementedError(f"PDF color space {cs} not supported")
+        raise ValueError("PDF page has no image XObject")
+
+    def info_title(self) -> str | None:
+        info = self.resolve(self.trailer.get("Info"))
+        if isinstance(info, dict) and isinstance(info.get("Title"), str):
+            return info["Title"]
+        return None
+
+
+def decode_pdf(data: bytes) -> list[np.ndarray]:
+    """PDF bytes → list of page images in document order."""
+    doc = PdfDocument(data)
+    return [doc.page_image(p) for p in doc.pages()]
+
+
+def decode_pdf_refs(data: bytes) -> list[str] | None:
+    """Embedded page media_refs (newline-joined /Info /Title), if any."""
+    title = PdfDocument(data).info_title()
+    return title.split("\n") if title else None
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+_PDF_STORE_SCHEMA = T.StructType(
+    [
+        T.StructField("pdf_ref", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("n_pages", T.IntegerType(), False),
+    ]
+)
+
+_PAGE_STORE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def pdf_store_df(docs: DataFrame) -> DataFrame:
+    """input_hint documents → (pdf_ref, payload, n_pages): ONE real PDF
+    per document packing its media spans' rendered pages in span order.
+
+    The media-ref list per doc is computed JVM-side (filter/transform
+    HOFs — no Python touches docs without media); only the render +
+    encode runs in the Arrow-batched UDF. Docs with no media spans are
+    pruned before the Python boundary."""
+    refs = (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "transform(filter(spans, s -> s.kind = 'media' and s.media_ref is not null),"
+                " s -> s.media_ref)"
+            ).alias("refs"),
+        )
+        .where(F.size("refs") > 0)
+    )
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..fixtures.render import render_page
+
+        for pdf in batches:
+            rows = []
+            for doc_id, media_refs in zip(pdf["doc_id"], pdf["refs"]):
+                media_refs = list(media_refs)
+                pages = [render_page(r) for r in media_refs]
+                rows.append((doc_id, encode_pdf(pages, media_refs), len(pages)))
+            yield pd.DataFrame(rows, columns=[f.name for f in _PDF_STORE_SCHEMA.fields])
+
+    return refs.mapInPandas(it, schema=_PDF_STORE_SCHEMA)
+
+
+def pdf_media_store_df(pdfs: DataFrame) -> DataFrame:
+    """(pdf_ref, payload) → (media_ref, payload:PNG bytes) page store.
+
+    The container-unpack operator: parse each PDF once, re-encode each
+    page as lossless PNG keyed by its embedded media_ref (fallback:
+    '<pdf_ref>#page<i>'). Output feeds extract_spans(media_store=...)
+    / image_features_from_bytes_df unchanged — containers and loose
+    images meet in the same page-store shape."""
+    from .png import encode_png
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pdf_ref, payload in zip(pdf["pdf_ref"], pdf["payload"]):
+                doc = PdfDocument(bytes(payload))
+                title = doc.info_title()
+                refs = title.split("\n") if title else None
+                pages = [doc.page_image(p) for p in doc.pages()]
+                if refs is None or len(refs) != len(pages):
+                    refs = [f"{pdf_ref}#page{i}" for i in range(len(pages))]
+                for ref, page in zip(refs, pages):
+                    if page.ndim == 3:  # grey pipeline: luma-free mean keeps ints exact
+                        page = page[:, :, 0]
+                    rows.append((ref, encode_png(page)))
+            yield pd.DataFrame(rows, columns=[f.name for f in _PAGE_STORE_SCHEMA.fields])
+
+    return pdfs.select("pdf_ref", "payload").mapInPandas(it, schema=_PAGE_STORE_SCHEMA)

@@ -1,0 +1,200 @@
+"""Pure-python RIFF/WAVE PCM codec + audio feature extraction.
+
+The multimodal seam (functions/multimodal.py, SURVEY §2.1) carries
+audio as opaque binary + typed metadata; until now any audio payload
+raised the declared NotImplementedError. WAV PCM needs no codec
+library — the container is length-prefixed RIFF chunks and the samples
+are raw little-endian integers (public format: RIFF spec / RFC 2361
+WAVE taxonomy) — so the audio modality gets the same treatment PNG
+gave images: a real, lossless, deterministic byte format.
+
+Scope (declared): PCM (format tag 1), 16-bit or 8-bit, any channel
+count / sample rate. Compressed WAVE formats (ADPCM, mu-law, MP3-in-
+WAV) raise NotImplementedError — the codec-seam contract.
+
+The deterministic audio fixture (`render_audio`) synthesizes each
+ref's waveform as a closed-form function of its hash (sum of 3
+sinusoids + linear fade-out, int16) — the audio analogue of
+fixtures/render.render_page, same exact-integer determinism contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = [
+    "encode_wav",
+    "decode_wav",
+    "render_audio",
+    "wav_store_df",
+    "audio_features_from_bytes_df",
+    "WAV_MAGIC",
+]
+
+WAV_MAGIC = b"RIFF"
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(N,) or (N, channels) int16 → WAV bytes (PCM, lossless)."""
+    if samples.dtype != np.int16:
+        raise ValueError(f"encode_wav expects int16, got {samples.dtype}")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.ndim != 2:
+        raise ValueError(f"encode_wav expects (N,) or (N,C), got {samples.shape}")
+    n, ch = samples.shape
+    data = samples.astype("<i2").tobytes()
+    block_align = ch * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → ((N, channels) int16, sample_rate)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV (missing RIFF/WAVE header)")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            raw = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, ch, rate, _byterate, _align, bits = fmt
+    if tag != 1:
+        raise NotImplementedError(
+            f"compressed WAVE format tag {tag} not supported here (PCM only)"
+        )
+    if bits == 16:
+        samples = np.frombuffer(raw, dtype="<i2")
+    elif bits == 8:  # 8-bit WAV is unsigned, rebased to signed 16
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) << 8
+    else:
+        raise NotImplementedError(f"WAV bit depth {bits} not supported here")
+    return samples.reshape(-1, ch).astype(np.int16), int(rate)
+
+
+# ---------------------------------------------------------------------------
+# deterministic fixture
+# ---------------------------------------------------------------------------
+
+_RATE = 8000
+
+
+def render_audio(ref: str) -> tuple[np.ndarray, int]:
+    """Deterministic synthetic waveform for a media ref: 3 sinusoids
+    with hash-derived frequencies/amplitudes, linear fade-out, int16
+    mono at 8 kHz, 0.25–1.0 s. Closed-form function of the ref (the
+    determinism contract of fixtures/render.render_page)."""
+    h = hashlib.sha256(ref.encode()).digest()
+    n = _RATE // 4 + (h[0] * _RATE * 3 // 4) // 255  # 0.25s .. 1.0s
+    t = np.arange(n, dtype=np.float64) / _RATE
+    wave = np.zeros(n, dtype=np.float64)
+    for k in range(3):
+        freq = 100.0 + 40.0 * h[1 + 2 * k] + h[2 + 2 * k]  # 100..10395 Hz
+        amp = (h[7 + k] + 1) / 256.0 / 3.0
+        wave += amp * np.sin(2.0 * np.pi * freq * t)
+    wave *= 1.0 - t / t[-1] if n > 1 else 1.0  # fade out
+    return np.round(wave * 20000.0).astype(np.int16), _RATE
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+_WAV_STORE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+_AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("duration_ms", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+        T.StructField("zero_crossings", T.IntegerType(), False),
+    ]
+)
+
+
+def wav_store_df(refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
+    """(media_ref) → (media_ref, payload) with REAL WAV bytes per ref
+    (the audio analogue of multimodal.png_store_df)."""
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref in pdf[ref_col]:
+                samples, rate = render_audio(ref)
+                rows.append((ref, encode_wav(samples, rate)))
+            yield pd.DataFrame(rows, columns=["media_ref", "payload"])
+
+    return refs.select(F.col(ref_col).alias("media_ref")).mapInPandas(
+        it, schema=_WAV_STORE_SCHEMA
+    )
+
+
+def audio_features_from_bytes_df(
+    store: DataFrame, ref_col: str = "media_ref", payload_col: str = "payload"
+) -> DataFrame:
+    """(media_ref, payload:WAV bytes) → per-clip features. All integer
+    except rms, which is rounded to 6 dp (hash-stable across
+    partitionings — int64 sum of squares then one float op)."""
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf[ref_col], pdf[payload_col]):
+                samples, rate = decode_wav(bytes(payload))
+                mono = samples[:, 0].astype(np.int64)
+                n = len(mono)
+                rms = float(np.sqrt(np.sum(mono * mono) / n)) if n else 0.0
+                sign = np.sign(mono)
+                nz = sign != 0
+                compact = sign[nz]
+                zc = int(np.count_nonzero(np.diff(compact) != 0))
+                rows.append(
+                    (
+                        ref,
+                        n,
+                        rate,
+                        int(n * 1000 // rate),
+                        round(rms, 6),
+                        int(np.max(np.abs(mono))) if n else 0,
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return store.select(
+        F.col(ref_col).alias("media_ref"), F.col(payload_col).alias("payload")
+    ).mapInPandas(it, schema=_AUDIO_FEATURES_SCHEMA)

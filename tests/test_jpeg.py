@@ -1,0 +1,114 @@
+"""Baseline JPEG codec (functions/jpeg.py).
+
+Parity target: load_image/load_image_from_memory decode JPEG via the
+`image` crate (oar-ocr-core/src/utils/image.rs:65-88). JPEG is lossy,
+so the contract differs from PNG's bit-equality: deterministic encode
+bytes, deterministic decode, bounded reconstruction error — and the
+measured property that q=100 keeps the synthetic-model span pipeline
+byte-identical (pinned here across page flavors)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from oar_ocr_spark.fixtures.render import render_page
+from oar_ocr_spark.functions.jpeg import JPEG_SOI, decode_jpeg, encode_jpeg
+from oar_ocr_spark.local_ref import ExtractConfig, extract_page
+
+
+class TestRoundtrip:
+    def test_deterministic_and_bounded_error(self):
+        for ref, q, bound in [("40_m0", 90, 16), ("7_m1", 90, 16), ("999_m0", 100, 1)]:
+            img = render_page(ref)
+            data = encode_jpeg(img, quality=q)
+            assert data[:2] == JPEG_SOI and data[-2:] == b"\xff\xd9"
+            assert data == encode_jpeg(img, quality=q)  # byte-deterministic
+            out = decode_jpeg(data)
+            assert out.shape == img.shape and out.dtype == np.uint8
+            assert (decode_jpeg(data) == out).all()  # decode-deterministic
+            assert np.abs(out.astype(int) - img.astype(int)).max() <= bound
+
+    def test_odd_sizes_and_extremes(self):
+        for arr in [
+            np.array([[7]], dtype=np.uint8),  # 1x1 (block padding path)
+            np.zeros((9, 17), dtype=np.uint8),  # all black, non-multiple of 8
+            np.full((23, 5), 255, dtype=np.uint8),  # all white
+            np.linspace(0, 255, 48 * 64).reshape(48, 64).astype(np.uint8),
+        ]:
+            out = decode_jpeg(encode_jpeg(arr, 95))
+            assert out.shape == arr.shape
+            assert np.abs(out.astype(int) - arr.astype(int)).max() <= 4
+
+    def test_quality_monotone(self):
+        img = render_page("123_m2")
+        errs = []
+        for q in (50, 75, 90, 100):
+            out = decode_jpeg(encode_jpeg(img, q))
+            errs.append(np.abs(out.astype(int) - img.astype(int)).mean())
+        assert errs == sorted(errs, reverse=True)  # higher quality → lower error
+        assert errs[-1] < 0.1
+
+    def test_rejects_bad_input(self):
+        with pytest.raises(ValueError):
+            encode_jpeg(np.zeros((4, 4), dtype=np.int32))
+        with pytest.raises(ValueError):
+            encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8))
+        with pytest.raises(ValueError):
+            encode_jpeg(np.zeros((4, 4), dtype=np.uint8), quality=0)
+        with pytest.raises(ValueError):
+            decode_jpeg(b"\x89PNG....")
+
+
+class TestSpanPreservation:
+    """The q=100 quant table is all-ones, so the only loss is DCT
+    round-off (±1). The synthetic models are measured robust to it:
+    spans through JPEG bytes equal the renderer-path spans exactly."""
+
+    def test_q100_preserves_spans_across_flavors(self):
+        cfg = ExtractConfig()
+        for i in range(8):
+            ref = f"{i * 29 + 5}_m{i % 3}"
+            img = render_page(ref)
+            jp = decode_jpeg(encode_jpeg(img, 100))
+            assert extract_page(jp, cfg) == extract_page(img, cfg), ref
+
+
+class TestDeclaredSubset:
+    def _swap_marker(self, data: bytes, old: int, new: int) -> bytes:
+        i = data.index(bytes([0xFF, old]))
+        return data[:i] + bytes([0xFF, new]) + data[i + 2 :]
+
+    def test_progressive_raises(self):
+        data = self._swap_marker(encode_jpeg(render_page("40_m0")), 0xC0, 0xC2)
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(data)
+
+    def test_color_raises(self):
+        # splice a 3-component SOF0 into a valid stream
+        data = encode_jpeg(render_page("40_m0"))
+        i = data.index(b"\xff\xc0")
+        (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+        sof3 = (
+            b"\xff\xc0"
+            + struct.pack(">HBHHB", 8 + 3 * 3 + 2, 8, 98, 126, 3)
+            + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        )
+        patched = data[:i] + sof3 + data[i + 2 + seglen :]
+        with pytest.raises(NotImplementedError, match="color"):
+            decode_jpeg(patched)
+
+    def test_restart_interval_raises(self):
+        data = encode_jpeg(render_page("40_m0"))
+        i = data.index(b"\xff\xda")
+        dri = b"\xff\xdd\x00\x04\x00\x08"
+        with pytest.raises(NotImplementedError, match="restart"):
+            decode_jpeg(data[:i] + dri + data[i:])
+
+    def test_decoder_reads_tables_from_file_not_assumptions(self):
+        # different qualities write different DQT segments; the decoder
+        # must dequantize with the FILE's table to stay within bound
+        img = render_page("7_m1")
+        for q in (60, 85):
+            out = decode_jpeg(encode_jpeg(img, q))
+            assert np.abs(out.astype(int) - img.astype(int)).max() <= 40

@@ -1,0 +1,189 @@
+"""PDF container codec + distributed unpack (functions/pdf.py).
+
+Parity target: the reference's PDF input path (hayro rasterizer,
+Cargo.toml:20 — PDF pages become images feeding the OCR pipeline);
+north-rule names "PDF/layout parse". The container is lossless
+(FlateDecode), so spans extracted through PDF bytes must equal the
+renderer-path spans exactly."""
+
+import re
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from oar_ocr_spark.fixtures.corpus import generate_documents
+from oar_ocr_spark.fixtures.render import render_page
+from oar_ocr_spark.functions.pdf import (
+    PdfDocument,
+    decode_pdf,
+    decode_pdf_refs,
+    encode_pdf,
+    pdf_media_store_df,
+    pdf_store_df,
+)
+from oar_ocr_spark.functions.png import decode_png
+from oar_ocr_spark.pipeline import extract_spans
+from oar_ocr_spark.schemas import DOCUMENTS_SCHEMA
+
+
+def _pages(refs):
+    return [render_page(r) for r in refs]
+
+
+class TestCodecRoundtrip:
+    def test_roundtrip_pages_and_refs(self):
+        refs = ["11_m2", "40_m0", "7_m1"]
+        pages = _pages(refs)
+        data = encode_pdf(pages, refs)
+        assert data.startswith(b"%PDF-1.4")
+        assert data.rstrip().endswith(b"%%EOF")
+        out = decode_pdf(data)
+        assert len(out) == 3
+        for got, want in zip(out, pages):
+            assert got.dtype == np.uint8
+            assert (got == want).all()  # bit-for-bit: FlateDecode is lossless
+        assert decode_pdf_refs(data) == refs
+
+    def test_empty_pdf(self):
+        data = encode_pdf([], [])
+        assert decode_pdf(data) == []
+
+    def test_refs_with_pdf_delimiters_escape(self):
+        page = np.full((8, 6), 200, dtype=np.uint8)
+        refs = [r"we(ird)\ref"]
+        assert decode_pdf_refs(encode_pdf([page], refs)) == refs
+
+    def test_no_refs_title_absent(self):
+        page = np.zeros((4, 4), dtype=np.uint8)
+        assert decode_pdf_refs(encode_pdf([page])) is None
+
+    def test_rejects_non_grey_pages(self):
+        with pytest.raises(ValueError):
+            encode_pdf([np.zeros((4, 4, 3), dtype=np.uint8)])
+
+    def test_xref_offsets_are_real(self):
+        # every xref entry must point at "N 0 obj" — the writer emits a
+        # genuine cross-reference table, not decoration
+        data = encode_pdf(_pages(["40_m0"]), ["40_m0"])
+        doc = PdfDocument(data)
+        for num, off in doc._offsets.items():
+            assert re.match(rb"%d\s+0\s+obj" % num, data[off : off + 20])
+
+
+class TestForeignPdfs:
+    """Hand-built PDFs exercising parser paths our writer never emits."""
+
+    def _wrap(self, objs: list[bytes], trailer_extra: bytes = b"") -> bytes:
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        for i, body in enumerate(objs, start=1):
+            offsets.append(len(out))
+            out += b"%d 0 obj " % i + body + b" endobj\n"
+        xref = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for off in offsets:
+            out += b"%010d 00000 n \n" % off
+        out += (
+            b"trailer << /Size %d /Root 1 0 R" % (len(objs) + 1)
+            + trailer_extra
+            + b" >>\nstartxref\n%d\n%%%%EOF" % xref
+        )
+        return bytes(out)
+
+    def test_nested_pages_tree_indirect_length_comments_hex_strings(self):
+        img = np.arange(24, dtype=np.uint8).reshape(4, 6)
+        stream = zlib.compress(img.tobytes())
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            # nested tree: root node -> inner Pages node -> leaf page
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            b"% a comment\n<< /Type /Page /Parent 3 0 R /MediaBox [0 0 6 4] "
+            b"/Resources << /XObject << /ImX 5 0 R >> >> >>",
+            b"<< /Type /XObject /Subtype /Image /Width 6 /Height 4 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+            b"/Length 6 0 R >> stream\n" + stream + b"\nendstream",
+            b"%d" % len(stream),  # indirect /Length
+        ]
+        pages = decode_pdf(self._wrap(objs))
+        assert len(pages) == 1
+        assert (pages[0] == img).all()
+
+    def test_rgb_uncompressed_image(self):
+        img = np.arange(36, dtype=np.uint8).reshape(2, 6, 3)
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R "
+            b"/Resources << /XObject << /Im0 4 0 R >> >> >>",
+            b"<< /Type /XObject /Subtype /Image /Width 6 /Height 2 "
+            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Length %d >> stream\n"
+            % len(img.tobytes())
+            + img.tobytes()
+            + b"\nendstream",
+        ]
+        pages = decode_pdf(self._wrap(objs))
+        assert pages[0].shape == (2, 6, 3)
+        assert (pages[0] == img).all()
+
+    def test_dctdecode_raises_declared(self):
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R "
+            b"/Resources << /XObject << /Im0 4 0 R >> >> >>",
+            b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode "
+            b"/Length 4 >> stream\n\xff\xd8\xff\xd9\nendstream",
+        ]
+        with pytest.raises(NotImplementedError, match="JPEG"):
+            decode_pdf(self._wrap(objs))
+
+    def test_xref_stream_raises_declared(self):
+        data = b"%PDF-1.5\njunk\nstartxref\n9\n%%EOF"  # offset 9 -> 'junk' not 'xref'
+        with pytest.raises(NotImplementedError, match="cross-reference"):
+            PdfDocument(data)
+
+    def test_not_a_pdf(self):
+        with pytest.raises(ValueError):
+            PdfDocument(b"GIF89a...")
+
+
+class TestSparkUnpack:
+    def test_pdf_path_spans_equal_renderer_path(self, spark):
+        docs_raw = generate_documents(12, seed=9)
+        rows = [
+            (d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in docs_raw
+        ]
+        docs = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+
+        pdfs = pdf_store_df(docs)
+        got_pdfs = {r["pdf_ref"]: r for r in pdfs.collect()}
+        for d in docs_raw:
+            n_media = sum(
+                1 for s in d["spans"] if s["kind"] == "media" and s["media_ref"]
+            )
+            if n_media:
+                assert got_pdfs[d["doc_id"]]["n_pages"] == n_media
+            else:
+                assert d["doc_id"] not in got_pdfs
+
+        store = pdf_media_store_df(pdfs)
+        # page store holds real PNG of the exact rendered page
+        sample = store.limit(3).collect()
+        for r in sample:
+            assert (decode_png(bytes(r["payload"])) == render_page(r["media_ref"])).all()
+
+        via_pdf = extract_spans(spark, docs, media_store=store)
+        direct = extract_spans(spark, docs)
+        a = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in via_pdf.collect()}
+        b = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in direct.collect()}
+        assert a == b
+
+    def test_unpack_falls_back_to_positional_refs(self, spark):
+        data = encode_pdf(_pages(["40_m0", "40_m1"]))  # no embedded refs
+        pdfs = spark.createDataFrame([("p1", bytearray(data))], "pdf_ref string, payload binary")
+        refs = [r["media_ref"] for r in pdf_media_store_df(pdfs).collect()]
+        assert refs == ["p1#page0", "p1#page1"]

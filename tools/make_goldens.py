@@ -50,6 +50,9 @@ E2E_MOD = 5
 ROTWARP_MOD = 50
 STRUCT_MOD = 25
 FEATURES_MOD = 10
+JPEG_MOD = 20   # media_jpeg_roundtrip
+AUDIO_MOD = 10  # audio_wav_features
+VIDEO_MOD = 20  # video_frame_stats
 
 
 def _cfg_for(ref: str):
@@ -90,6 +93,84 @@ def _feature_row(ref: str) -> tuple:
     )
 
 
+def _jpeg_feature_row(ref: str) -> tuple:
+    """Features through the lossy byte path: render → encode_jpeg(q100)
+    → decode_jpeg → the same feature function. Deterministic because
+    both codec directions are (the twin of
+    multimodal.image_features_from_bytes_df over jpeg_store_df)."""
+    import numpy as np
+
+    from oar_ocr_spark.fixtures.render import render_page
+    from oar_ocr_spark.functions.jpeg import decode_jpeg, encode_jpeg
+    from oar_ocr_spark.local_ref import ExtractConfig, detect_page, preprocess_page
+
+    cfg = ExtractConfig()
+    img = decode_jpeg(encode_jpeg(render_page(ref), quality=100))
+    upright, _ = preprocess_page(img, cfg)
+    boxes, _ = detect_page(upright, cfg)
+    return (
+        ref,
+        int(img.shape[1]),
+        int(img.shape[0]),
+        np.float32(img.mean()),
+        np.float32((img < 200).mean()),
+        int(len(boxes)),
+    )
+
+
+def _audio_feature_row(ref: str) -> tuple:
+    """Twin of wav.audio_features_from_bytes_df over wav_store_df."""
+    import numpy as np
+
+    from oar_ocr_spark.functions.wav import decode_wav, encode_wav, render_audio
+
+    samples, rate = render_audio(ref)
+    out, rate2 = decode_wav(encode_wav(samples, rate))
+    mono = out[:, 0].astype(np.int64)
+    n = len(mono)
+    rms = float(np.sqrt(np.sum(mono * mono) / n)) if n else 0.0
+    sign = np.sign(mono)
+    compact = sign[sign != 0]
+    zc = int(np.count_nonzero(np.diff(compact) != 0))
+    return (
+        ref,
+        n,
+        rate2,
+        int(n * 1000 // rate2),
+        round(rms, 6),
+        int(np.max(np.abs(mono))) if n else 0,
+        zc,
+    )
+
+
+def _video_frame_rows(ref: str) -> list[tuple]:
+    """Twin of avi.frame_sample_from_bytes_df over video_store_df
+    (8 frames encoded, 4 sampled via the container index)."""
+    from oar_ocr_spark.functions.avi import (
+        avi_frame_count,
+        decode_avi_frames,
+        encode_avi_mjpeg,
+        render_video_frames,
+    )
+
+    data = encode_avi_mjpeg(render_video_frames(ref, 8), quality=100)
+    total = avi_frame_count(data)
+    idx = sorted({(total * k) // 4 for k in range(4)})
+    rows = []
+    for i, frame in zip(idx, decode_avi_frames(data, idx)):
+        rows.append(
+            (
+                ref,
+                int(i),
+                int(frame.shape[0]),
+                int(frame.shape[1]),
+                round(float(frame.mean()), 6),
+                round(float((frame < 200).mean()), 6),
+            )
+        )
+    return rows
+
+
 def _structure_page(ref: str) -> tuple[list[tuple], str, bool, bool]:
     """Per-page structure golden: (element rows, markdown, p_start, p_end)."""
     from oar_ocr_spark.local_ref import ExtractConfig
@@ -119,6 +200,9 @@ def main() -> int:
     rec_refs: set[str] = set()
     feat_refs: set[str] = set()
     struct_refs: set[str] = set()
+    jpeg_refs: set[str] = set()
+    audio_refs: set[str] = set()
+    video_refs: set[str] = set()
     # doc markdown work: (doc_id, seq_hash) -> ordered ref list
     md_docs: dict[tuple[str, str], list[str]] = {}
 
@@ -144,6 +228,12 @@ def main() -> int:
                 feat_refs.add(ref)
             if did % STRUCT_MOD == 0:
                 struct_refs.add(ref)
+            if did % JPEG_MOD == 0:
+                jpeg_refs.add(ref)
+            if did % AUDIO_MOD == 0:
+                audio_refs.add(ref)
+            if did % VIDEO_MOD == 0:
+                video_refs.add(ref)
         sub = media[media["did"] % STRUCT_MOD == 0]
         for doc_id, grp in sub.groupby("doc_id"):
             refs = list(grp.sort_values("span_offset")["media_ref"])
@@ -160,6 +250,13 @@ def main() -> int:
         rec_rows = [row for rows in pool.map(_rec_rows, sorted(rec_refs), 32) for row in rows]
         feat_rows = pool.map(_feature_row, sorted(feat_refs), 32)
         struct_results = pool.map(_structure_page, sorted(struct_refs), 16)
+        jpeg_rows = pool.map(_jpeg_feature_row, sorted(jpeg_refs), 32)
+        audio_rows = pool.map(_audio_feature_row, sorted(audio_refs), 32)
+        video_rows = [
+            row
+            for rows in pool.map(_video_frame_rows, sorted(video_refs), 16)
+            for row in rows
+        ]
 
     struct_rows: list[tuple] = []
     page_md: dict[str, tuple[str, bool, bool]] = {}
@@ -237,6 +334,66 @@ def main() -> int:
         pd.DataFrame(md_rows, columns=["doc_id", "seq_hash", "markdown"]),
         pa.schema(
             [("doc_id", pa.string()), ("seq_hash", pa.string()), ("markdown", pa.string())]
+        ),
+    )
+    write(
+        "media_features_jpeg.parquet",
+        pd.DataFrame(
+            jpeg_rows,
+            columns=["media_ref", "width", "height", "mean_intensity", "ink_ratio", "n_regions"],
+        ),
+        pa.schema(
+            [
+                ("media_ref", pa.string()),
+                ("width", pa.int32()),
+                ("height", pa.int32()),
+                ("mean_intensity", pa.float32()),
+                ("ink_ratio", pa.float32()),
+                ("n_regions", pa.int32()),
+            ]
+        ),
+    )
+    write(
+        "audio_features.parquet",
+        pd.DataFrame(
+            audio_rows,
+            columns=[
+                "media_ref",
+                "n_samples",
+                "sample_rate",
+                "duration_ms",
+                "rms",
+                "peak",
+                "zero_crossings",
+            ],
+        ),
+        pa.schema(
+            [
+                ("media_ref", pa.string()),
+                ("n_samples", pa.int32()),
+                ("sample_rate", pa.int32()),
+                ("duration_ms", pa.int32()),
+                ("rms", pa.float64()),
+                ("peak", pa.int32()),
+                ("zero_crossings", pa.int32()),
+            ]
+        ),
+    )
+    write(
+        "video_frames.parquet",
+        pd.DataFrame(
+            video_rows,
+            columns=["media_ref", "frame_idx", "height", "width", "mean_intensity", "ink_ratio"],
+        ),
+        pa.schema(
+            [
+                ("media_ref", pa.string()),
+                ("frame_idx", pa.int32()),
+                ("height", pa.int32()),
+                ("width", pa.int32()),
+                ("mean_intensity", pa.float64()),
+                ("ink_ratio", pa.float64()),
+            ]
         ),
     )
     return 0
