@@ -440,7 +440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .select("media_ref")
         )
-        return image_features_from_bytes_df(png_store_df(refs))
+        return image_features_from_bytes_df(
+            png_store_df(refs, parallelism=spark.sparkContext.defaultParallelism)
+        )
 
     def q_media_jpeg_roundtrip(spark):
         # the LOSSY real-format seam: render → baseline JPEG q100
@@ -462,7 +464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .select("media_ref")
         )
-        return image_features_from_bytes_df(jpeg_store_df(refs))
+        return image_features_from_bytes_df(
+            jpeg_store_df(refs, parallelism=spark.sparkContext.defaultParallelism)
+        )
 
     def q_pdf_extract(spark):
         # PDF container input (ref: hayro dep, Cargo.toml:20; the
@@ -479,7 +483,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = interleaved_docs_df(spark).where(
             (F.col("doc_id").cast("bigint") % 20) == 0
         )
-        store = pdf_media_store_df(pdf_store_df(docs))
+        store = pdf_media_store_df(
+            pdf_store_df(docs, parallelism=spark.sparkContext.defaultParallelism)
+        )
         return _exploded_results(extract_spans(spark, docs, media_store=store))
 
     def q_audio_wav_features(spark):
@@ -500,7 +506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .select("media_ref")
         )
-        return audio_features_from_bytes_df(wav_store_df(refs))
+        return audio_features_from_bytes_df(
+            wav_store_df(refs, parallelism=spark.sparkContext.defaultParallelism)
+        )
 
     def q_video_frame_stats(spark):
         # video modality through a REAL container: AVI-MJPEG
@@ -520,7 +528,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .select("media_ref")
         )
-        return frame_sample_from_bytes_df(video_store_df(refs, n_frames=8), n_sample=4)
+        return frame_sample_from_bytes_df(
+            video_store_df(
+                refs,
+                n_frames=8,
+                parallelism=spark.sparkContext.defaultParallelism,
+            ),
+            n_sample=4,
+        )
 
     def q_extraction_text_only(spark):
         docs = interleaved_docs_df(spark, text_only=True)

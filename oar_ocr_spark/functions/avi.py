@@ -192,9 +192,18 @@ _FRAME_FEATURES_SCHEMA = T.StructType(
 
 
 def video_store_df(
-    refs: DataFrame, n_frames: int = 8, ref_col: str = "media_ref"
+    refs: DataFrame,
+    n_frames: int = 8,
+    ref_col: str = "media_ref",
+    parallelism: int | None = None,
 ) -> DataFrame:
-    """(media_ref) → (media_ref, payload:AVI bytes, n_frames)."""
+    """(media_ref) → (media_ref, payload:AVI bytes, n_frames).
+
+    `parallelism` spreads a single-partition refs scan before the
+    (expensive: n_frames JPEG encodes per ref) UDF, same as
+    multimodal.png_store_df."""
+    if parallelism:
+        refs = refs.repartition(parallelism, ref_col)
 
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -90,13 +90,23 @@ def _decode_payload(
     )
 
 
-def png_store_df(refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
+def png_store_df(
+    refs: DataFrame, ref_col: str = "media_ref", parallelism: int | None = None
+) -> DataFrame:
     """(media_ref) → (media_ref, payload) media-store table with REAL
     PNG bytes per page (FIXTURES.md §2 media_store.image): render the
     deterministic page, encode with functions/png.encode_png. The write
     side of the real-format seam; image_features_from_bytes_df /
-    extract_spans(media_store=...) are the read side."""
+    extract_spans(media_store=...) are the read side.
+
+    parallelism: hash-repartition the refs first. A small single-file
+    parquet arrives as ONE scan partition, serializing the expensive
+    per-ref UDF — the same fix as dedup.simhash_df; at corpus scale the
+    refs arrive pre-partitioned and this stays None."""
     from .png import encode_png
+
+    if parallelism:
+        refs = refs.repartition(parallelism, ref_col)
 
     schema = T.StructType(
         [
@@ -116,15 +126,22 @@ def png_store_df(refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
 
 
 def jpeg_store_df(
-    refs: DataFrame, ref_col: str = "media_ref", quality: int = 100
+    refs: DataFrame,
+    ref_col: str = "media_ref",
+    quality: int = 100,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """(media_ref) → (media_ref, payload) media store with REAL baseline
     JPEG bytes per page (functions/jpeg.py). The lossy sibling of
     png_store_df: at quality=100 the reconstruction error is ±1 and the
     span pipeline is measured unchanged (test_jpeg.py); features through
     these bytes are goldened via the same codec twin
-    (tools/make_goldens.py media_features_jpeg)."""
+    (tools/make_goldens.py media_features_jpeg). `parallelism` as in
+    png_store_df (spread a single-partition scan before the UDF)."""
     from .jpeg import encode_jpeg
+
+    if parallelism:
+        refs = refs.repartition(parallelism, ref_col)
 
     schema = T.StructType(
         [

@@ -446,14 +446,18 @@ _PAGE_STORE_SCHEMA = T.StructType(
 )
 
 
-def pdf_store_df(docs: DataFrame) -> DataFrame:
+def pdf_store_df(docs: DataFrame, parallelism: int | None = None) -> DataFrame:
     """input_hint documents → (pdf_ref, payload, n_pages): ONE real PDF
     per document packing its media spans' rendered pages in span order.
 
     The media-ref list per doc is computed JVM-side (filter/transform
     HOFs — no Python touches docs without media); only the render +
     encode runs in the Arrow-batched UDF. Docs with no media spans are
-    pruned before the Python boundary."""
+    pruned before the Python boundary. `parallelism` hash-spreads a
+    single-partition docs scan across workers before the UDF (the
+    multimodal.png_store_df discipline)."""
+    if parallelism:
+        docs = docs.repartition(parallelism, "doc_id")
     refs = (
         docs.select(
             "doc_id",

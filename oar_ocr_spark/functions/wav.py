@@ -144,9 +144,14 @@ _AUDIO_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def wav_store_df(refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
+def wav_store_df(
+    refs: DataFrame, ref_col: str = "media_ref", parallelism: int | None = None
+) -> DataFrame:
     """(media_ref) → (media_ref, payload) with REAL WAV bytes per ref
-    (the audio analogue of multimodal.png_store_df)."""
+    (the audio analogue of multimodal.png_store_df; `parallelism`
+    spreads a single-partition scan before the UDF, same as there)."""
+    if parallelism:
+        refs = refs.repartition(parallelism, ref_col)
 
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
