@@ -22,6 +22,14 @@ Golden tables (all keyed by content, so they are sf-independent):
                             element_html, order_index, para_start, para_end)
 - document_markdown.parquet(doc_id, seq_hash, markdown) where seq_hash
                             = md5 of the doc's media_ref sequence
+- media_features_jpeg.parquet — features through the LOSSY byte path
+                            (render → encode_jpeg(q100) → decode →
+                            features), so the JPEG oracle never
+                            assumes losslessness
+- audio_features.parquet    — WAV roundtrip clip features (twin of
+                            wav.audio_features_from_bytes_df)
+- video_frames.parquet      — AVI-MJPEG sampled-frame features (twin
+                            of avi.frame_sample_from_bytes_df)
 
 Usage: python tools/make_goldens.py [sf_dir ...]
 """
