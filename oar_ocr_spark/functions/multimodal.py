@@ -133,8 +133,10 @@ def jpeg_store_df(
 ) -> DataFrame:
     """(media_ref) → (media_ref, payload) media store with REAL baseline
     JPEG bytes per page (functions/jpeg.py). The lossy sibling of
-    png_store_df: at quality=100 the reconstruction error is ±1 and the
-    span pipeline is measured unchanged (test_jpeg.py); features through
+    png_store_df: at quality=100 the reconstruction error is ±1 on the
+    synthetic pages (measured; provable worst case <8 on adversarial
+    blocks — test_codec_properties) and the span pipeline is measured
+    unchanged (test_jpeg.py); features through
     these bytes are goldened via the same codec twin
     (tools/make_goldens.py media_features_jpeg). `parallelism` as in
     png_store_df (spread a single-partition scan before the UDF)."""

@@ -420,10 +420,17 @@ def decode_pdf(data: bytes) -> list[np.ndarray]:
     return [doc.page_image(p) for p in doc.pages()]
 
 
+def _split_refs(title: str | None) -> list[str] | None:
+    """/Info /Title → ref list. An empty Title is an empty list (the
+    zero-page container), absent Title is None (no embedded refs)."""
+    if title is None:
+        return None
+    return title.split("\n") if title else []
+
+
 def decode_pdf_refs(data: bytes) -> list[str] | None:
     """Embedded page media_refs (newline-joined /Info /Title), if any."""
-    title = PdfDocument(data).info_title()
-    return title.split("\n") if title else None
+    return _split_refs(PdfDocument(data).info_title())
 
 
 # ---------------------------------------------------------------------------
@@ -498,8 +505,7 @@ def pdf_media_store_df(pdfs: DataFrame) -> DataFrame:
             rows = []
             for pdf_ref, payload in zip(pdf["pdf_ref"], pdf["payload"]):
                 doc = PdfDocument(bytes(payload))
-                title = doc.info_title()
-                refs = title.split("\n") if title else None
+                refs = _split_refs(doc.info_title())
                 pages = [doc.page_image(p) for p in doc.pages()]
                 if refs is None or len(refs) != len(pages):
                     refs = [f"{pdf_ref}#page{i}" for i in range(len(pages))]

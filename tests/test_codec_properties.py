@@ -1,0 +1,105 @@
+"""Property tests (hypothesis) for the round-3 codecs.
+
+The pytest vectors in test_jpeg/test_pdf/test_media_codecs pin known
+inputs; these sweep randomized shapes/contents to flush entropy-coding
+and container-parsing edge cases (extreme DC jumps, ZRL chains, 16-bit
+amplitude boundaries, odd dims, many tiny pages)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from oar_ocr_spark.functions.avi import decode_avi_frames, encode_avi_mjpeg
+from oar_ocr_spark.functions.jpeg import decode_jpeg, encode_jpeg
+from oar_ocr_spark.functions.pdf import decode_pdf, decode_pdf_refs, encode_pdf
+from oar_ocr_spark.functions.png import decode_png, encode_png
+from oar_ocr_spark.functions.wav import decode_wav, encode_wav
+
+_gray = lambda h, w: arrays(np.uint8, (h, w), elements=st.integers(0, 255))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 40).flatmap(lambda h: st.integers(1, 40).flatmap(lambda w: _gray(h, w))),
+    st.integers(50, 100),
+)
+def test_jpeg_roundtrip_random(img, quality):
+    data = encode_jpeg(img, quality)
+    out = decode_jpeg(data)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # worst-case reconstruction bound: quant steps are <= 121*scale/100;
+    # at q=50 the largest step is 121 -> error provably < 200 even for
+    # adversarial noise images. The bound here is loose on purpose: the
+    # property is "decodes, right shape, sane values", tight bounds are
+    # pinned on structured pages in test_jpeg.
+    err = np.abs(out.astype(int) - img.astype(int)).max()
+    assert err <= 200, err
+    assert encode_jpeg(img, quality) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 30).flatmap(lambda h: st.integers(1, 30).flatmap(lambda w: _gray(h, w)))
+)
+def test_jpeg_q100_near_lossless_random(img):
+    # q=100 quantization is all-ones, so the only error is coefficient
+    # rounding: |e_uv| <= 0.5, and |pixel err| <= 0.5 * (sum_u |A[u,x]|)^2
+    # <= 0.5 * (sqrt(1/8) + 7*0.5)^2 < 8. Structured pages measure +-1
+    # (test_jpeg); adversarial noise blocks can reach a few units.
+    out = decode_jpeg(encode_jpeg(img, 100))
+    assert np.abs(out.astype(int) - img.astype(int)).max() < 8
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 24), st.integers(1, 24)),
+        min_size=0,
+        max_size=6,
+    ),
+    st.booleans(),
+)
+def test_pdf_roundtrip_random_page_sets(dims, with_refs):
+    rng = np.random.RandomState(7)
+    pages = [rng.randint(0, 256, (h, w)).astype(np.uint8) for h, w in dims]
+    refs = [f"r{i}(weird)\\n" for i in range(len(pages))] if with_refs else None
+    data = encode_pdf(pages, refs)
+    out = decode_pdf(data)
+    assert len(out) == len(pages)
+    for got, want in zip(out, pages):
+        assert (got == want).all()  # PDF path is lossless
+    assert decode_pdf_refs(data) == refs
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 2000),
+    st.integers(1, 3),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_random(n, channels, rate):
+    rng = np.random.RandomState(n)
+    samples = rng.randint(-32768, 32768, (n, channels)).astype(np.int16)
+    out, rate2 = decode_wav(encode_wav(samples, rate))
+    assert rate2 == rate and (out == samples).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(1, 5), st.integers(8, 24), st.integers(8, 24))
+def test_avi_roundtrip_random(n_frames, h, w):
+    rng = np.random.RandomState(h * 100 + w)
+    frames = [rng.randint(0, 256, (h, w)).astype(np.uint8) for _ in range(n_frames)]
+    data = encode_avi_mjpeg(frames, quality=100)
+    out = decode_avi_frames(data)
+    assert len(out) == n_frames
+    for got, want in zip(out, frames):
+        assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(1, 50).flatmap(lambda h: st.integers(1, 50).flatmap(lambda w: _gray(h, w)))
+)
+def test_png_roundtrip_random(img):
+    assert (decode_png(encode_png(img)) == img).all()
