@@ -45,6 +45,20 @@ TABLES = [
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# driver-query doc_id filters — single source of truth shared with the
+# golden generator (tools/make_goldens.py imports these) and
+# interpolated into the oracle SQL below; drift between the three
+# would otherwise only surface as a parity row-count failure
+E2E_MOD = 5
+ROTWARP_MOD = 50
+STRUCT_MOD = 25
+FEATURES_MOD = 10
+PNG_MOD = 20
+JPEG_MOD = 20
+PDF_MOD = 20
+AUDIO_MOD = 10
+VIDEO_MOD = 20
+
 
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLES:
@@ -107,6 +121,16 @@ def derived_spans_df(spark: SparkSession) -> DataFrame:
     return spark.sql(SPAN_DERIVATION_SPARK)
 
 
+def media_refs_df(spark: SparkSession, mod: int) -> DataFrame:
+    """Media refs of the doc_id % mod == 0 slice (the shared selection
+    every media/audio/video query and its oracle both express)."""
+    return (
+        derived_spans_df(spark)
+        .where((F.col("kind") == "media") & ((F.col("doc_id").cast("bigint") % mod) == 0))
+        .select("media_ref")
+    )
+
+
 def interleaved_docs_df(spark: SparkSession, text_only: bool = False) -> DataFrame:
     """Assemble the input_hint-shaped documents table from derived spans."""
     spans = derived_spans_df(spark)
@@ -154,7 +178,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     _register_views(spark, DEFAULT_SF_DIR)
     docs = interleaved_docs_df(spark).where(
-        (F.col("doc_id").cast("bigint") % 5) == 0
+        (F.col("doc_id").cast("bigint") % E2E_MOD) == 0
     )
     return _exploded_results(extract_spans(spark, docs))
 
@@ -405,20 +429,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # why embedding_near_dup (exact) is the gate query.
         emb = spark.table("embeddings")
         return S.embedding_near_dup(
-            emb, threshold=0.3, mode="approx", n_bits=6, n_tables=4, planes="axis"
+            emb, threshold=0.3, mode="approx", dim=64, n_bits=6, n_tables=4, planes="axis"
         )
 
     def q_media_decode(spark):
         # deterministic subset (doc_id % 10) so the oracle can name the
         # exact ref set; features per ref are golden-fixture-checked
-        refs = (
-            derived_spans_df(spark)
-            .where(
-                (F.col("kind") == "media")
-                & ((F.col("doc_id").cast("bigint") % 10) == 0)
-            )
-            .select("media_ref")
-        )
+        refs = media_refs_df(spark, FEATURES_MOD)
         return image_features_df(refs)
 
     def q_media_png_roundtrip(spark):
@@ -432,14 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             png_store_df,
         )
 
-        refs = (
-            derived_spans_df(spark)
-            .where(
-                (F.col("kind") == "media")
-                & ((F.col("doc_id").cast("bigint") % 20) == 0)
-            )
-            .select("media_ref")
-        )
+        refs = media_refs_df(spark, PNG_MOD)
         return image_features_from_bytes_df(
             png_store_df(refs, parallelism=spark.sparkContext.defaultParallelism)
         )
@@ -456,14 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             jpeg_store_df,
         )
 
-        refs = (
-            derived_spans_df(spark)
-            .where(
-                (F.col("kind") == "media")
-                & ((F.col("doc_id").cast("bigint") % 20) == 0)
-            )
-            .select("media_ref")
-        )
+        refs = media_refs_df(spark, JPEG_MOD)
         return image_features_from_bytes_df(
             jpeg_store_df(refs, parallelism=spark.sparkContext.defaultParallelism)
         )
@@ -481,7 +484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from oar_ocr_spark.pipeline import extract_spans
 
         docs = interleaved_docs_df(spark).where(
-            (F.col("doc_id").cast("bigint") % 20) == 0
+            (F.col("doc_id").cast("bigint") % PDF_MOD) == 0
         )
         store = pdf_media_store_df(
             pdf_store_df(docs, parallelism=spark.sparkContext.defaultParallelism)
@@ -498,14 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             wav_store_df,
         )
 
-        refs = (
-            derived_spans_df(spark)
-            .where(
-                (F.col("kind") == "media")
-                & ((F.col("doc_id").cast("bigint") % 10) == 0)
-            )
-            .select("media_ref")
-        )
+        refs = media_refs_df(spark, AUDIO_MOD)
         return audio_features_from_bytes_df(
             wav_store_df(refs, parallelism=spark.sparkContext.defaultParallelism)
         )
@@ -520,14 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             video_store_df,
         )
 
-        refs = (
-            derived_spans_df(spark)
-            .where(
-                (F.col("kind") == "media")
-                & ((F.col("doc_id").cast("bigint") % 20) == 0)
-            )
-            .select("media_ref")
-        )
+        refs = media_refs_df(spark, VIDEO_MOD)
         return frame_sample_from_bytes_df(
             video_store_df(
                 refs,
@@ -552,7 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_extraction_e2e(spark):
         docs = interleaved_docs_df(spark).where(
-            (F.col("doc_id").cast("bigint") % 5) == 0
+            (F.col("doc_id").cast("bigint") % E2E_MOD) == 0
         )
         return _exploded_results(extract_spans(spark, docs))
 
@@ -566,7 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = (
             derived_spans_df(spark)
-            .where((F.col("doc_id").cast("bigint") % 50) == 0)
+            .where((F.col("doc_id").cast("bigint") % ROTWARP_MOD) == 0)
             .withColumn(
                 "media_ref",
                 F.when(
@@ -603,7 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = (
             derived_spans_df(spark)
-            .where((F.col("doc_id").cast("bigint") % 50) == 0)
+            .where((F.col("doc_id").cast("bigint") % ROTWARP_MOD) == 0)
             .withColumn(
                 "media_ref",
                 F.when(
@@ -637,7 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from oar_ocr_spark.pipeline_structure import extract_structure
 
         docs = interleaved_docs_df(spark).where(
-            (F.col("doc_id").cast("bigint") % 25) == 0
+            (F.col("doc_id").cast("bigint") % STRUCT_MOD) == 0
         )
         out = extract_structure(spark, docs)
         return out.select(
@@ -665,7 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from oar_ocr_spark.pipeline_structure import document_markdown, extract_structure
 
         docs = interleaved_docs_df(spark).where(
-            (F.col("doc_id").cast("bigint") % 25) == 0
+            (F.col("doc_id").cast("bigint") % STRUCT_MOD) == 0
         )
         return document_markdown(extract_structure(spark, docs))
 
@@ -1332,14 +1321,14 @@ ranked as (
 select query_id, neighbor_id, cosine, cast(rank as int) as rank
 from ranked where rank <= 5
 """,
-        "extraction_e2e": _extraction_oracle(5, ""),
-        "extraction_rotated": _extraction_oracle(50, "rot:"),
-        "extraction_warped": _extraction_oracle(50, "warp:"),
+        "extraction_e2e": _extraction_oracle(E2E_MOD, ""),
+        "extraction_rotated": _extraction_oracle(ROTWARP_MOD, "rot:"),
+        "extraction_warped": _extraction_oracle(ROTWARP_MOD, "warp:"),
         "structure_extract": f"""
 with spans as ({span_cte}),
 refs as (
   select doc_id, media_ref from spans
-  where kind = 'media' and cast(doc_id as bigint) % 25 = 0
+  where kind = 'media' and cast(doc_id as bigint) % {STRUCT_MOD} = 0
 )
 select r.doc_id, r.media_ref, g.element_type, g.element_text,
        g.element_html, g.order_index, g.para_start, g.para_end
@@ -1352,7 +1341,7 @@ seq as (
   select doc_id,
          md5(string_agg(media_ref, '|' order by span_offset)) as seq_hash
   from spans
-  where kind = 'media' and cast(doc_id as bigint) % 25 = 0
+  where kind = 'media' and cast(doc_id as bigint) % {STRUCT_MOD} = 0
   group by doc_id
 )
 select s.doc_id, g.markdown
@@ -1364,7 +1353,7 @@ join read_parquet('{golden_dir}/document_markdown.parquet') g
 with spans as ({span_cte}),
 refs as (
   select distinct media_ref from spans
-  where kind = 'media' and cast(doc_id as bigint) % 10 = 0
+  where kind = 'media' and cast(doc_id as bigint) % {FEATURES_MOD} = 0
 )
 select g.media_ref, g.width, g.height, g.mean_intensity, g.ink_ratio,
        g.n_regions
@@ -1375,7 +1364,7 @@ join refs using (media_ref)
 with spans as ({span_cte}),
 refs as (
   select distinct media_ref from spans
-  where kind = 'media' and cast(doc_id as bigint) % 20 = 0
+  where kind = 'media' and cast(doc_id as bigint) % {PNG_MOD} = 0
 )
 select g.media_ref, g.width, g.height, g.mean_intensity, g.ink_ratio,
        g.n_regions
@@ -1386,19 +1375,19 @@ join refs using (media_ref)
 with spans as ({span_cte}),
 refs as (
   select distinct media_ref from spans
-  where kind = 'media' and cast(doc_id as bigint) % 20 = 0
+  where kind = 'media' and cast(doc_id as bigint) % {JPEG_MOD} = 0
 )
 select g.media_ref, g.width, g.height, g.mean_intensity, g.ink_ratio,
        g.n_regions
 from read_parquet('{golden_dir}/media_features_jpeg.parquet') g
 join refs using (media_ref)
 """,
-        "pdf_extract": _extraction_oracle(20, ""),
+        "pdf_extract": _extraction_oracle(PDF_MOD, ""),
         "audio_wav_features": f"""
 with spans as ({span_cte}),
 refs as (
   select distinct media_ref from spans
-  where kind = 'media' and cast(doc_id as bigint) % 10 = 0
+  where kind = 'media' and cast(doc_id as bigint) % {AUDIO_MOD} = 0
 )
 select g.media_ref, g.n_samples, g.sample_rate, g.duration_ms, g.rms,
        g.peak, g.zero_crossings
@@ -1409,7 +1398,7 @@ join refs using (media_ref)
 with spans as ({span_cte}),
 refs as (
   select distinct media_ref from spans
-  where kind = 'media' and cast(doc_id as bigint) % 20 = 0
+  where kind = 'media' and cast(doc_id as bigint) % {VIDEO_MOD} = 0
 )
 select g.media_ref, g.frame_idx, g.height, g.width, g.mean_intensity,
        g.ink_ratio

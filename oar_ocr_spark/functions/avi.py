@@ -197,26 +197,17 @@ def video_store_df(
     ref_col: str = "media_ref",
     parallelism: int | None = None,
 ) -> DataFrame:
-    """(media_ref) → (media_ref, payload:AVI bytes, n_frames).
+    """(media_ref) → (media_ref, payload:AVI bytes, n_frames), on the
+    shared multimodal.payload_store_df scaffold (the per-ref UDF is
+    expensive: n_frames JPEG encodes)."""
+    from .multimodal import payload_store_df
 
-    `parallelism` spreads a single-partition refs scan before the
-    (expensive: n_frames JPEG encodes per ref) UDF, same as
-    multimodal.png_store_df."""
-    if parallelism:
-        refs = refs.repartition(parallelism, ref_col)
+    def row(ref: str) -> tuple:
+        frames = render_video_frames(ref, n_frames)
+        return (ref, encode_avi_mjpeg(frames), len(frames))
 
-    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for ref in pdf[ref_col]:
-                frames = render_video_frames(ref, n_frames)
-                rows.append((ref, encode_avi_mjpeg(frames), len(frames)))
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in _VIDEO_STORE_SCHEMA.fields]
-            )
-
-    return refs.select(F.col(ref_col).alias("media_ref")).mapInPandas(
-        it, schema=_VIDEO_STORE_SCHEMA
+    return payload_store_df(
+        refs, row, schema=_VIDEO_STORE_SCHEMA, ref_col=ref_col, parallelism=parallelism
     )
 
 

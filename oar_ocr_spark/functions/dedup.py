@@ -319,6 +319,7 @@ def duplicate_clusters(
     )
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.withColumn("cluster_id", F.col("doc_id"))
+    prev_cached = None
     converged = False
     for it in range(max_iters):
         nbr_min = (
@@ -364,7 +365,13 @@ def duplicate_clusters(
             new_labels = new_labels.localCheckpoint(eager=False)
         new_labels = new_labels.persist()
         changed = new_labels.where(F.col("moved")).count()
-        labels.unpersist()  # no-op on the (unpersisted) initial frame
+        if prev_cached is not None:
+            # unpersist the frame that was ACTUALLY persisted last round
+            # (labels itself is a .select projection of it — calling
+            # unpersist on the projection is a silent no-op and would
+            # pin one full label frame per round until session end)
+            prev_cached.unpersist()
+        prev_cached = new_labels
         labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             converged = True
@@ -375,7 +382,9 @@ def duplicate_clusters(
             f"duplicate_clusters did not reach the fixpoint in {max_iters} rounds; "
             "component min-label eccentricity exceeds 2^rounds — raise max_iters"
         )
-    # the returned frame stays persisted (its lineage chains through the
-    # unpersisted intermediates); callers holding the session long-term
-    # can .unpersist() it after consuming
+    # exactly ONE label frame (the last round's) remains cached — the
+    # returned frame is a projection of it, so long-lived callers free
+    # it via the frame returned here: .sparkSession-level clearCache()
+    # or unpersist_parent below after consuming
+    labels.unpersist_parent = prev_cached.unpersist if prev_cached is not None else None
     return labels

@@ -295,8 +295,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if data[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
         marker = data[pos + 1]
+        if marker == 0xFF:  # optional fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # standalone markers (TEM, RSTn, SOI) carry no length field
+            pos += 2
+            continue
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen

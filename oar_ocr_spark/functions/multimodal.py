@@ -29,6 +29,7 @@ __all__ = [
     "decode_media_df",
     "image_features_df",
     "image_features_from_bytes_df",
+    "payload_store_df",
     "png_store_df",
     "jpeg_store_df",
     "frame_sample_df",
@@ -90,6 +91,40 @@ def _decode_payload(
     )
 
 
+PAYLOAD_STORE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ]
+)
+
+
+def payload_store_df(
+    refs: DataFrame,
+    row_fn,
+    schema: T.StructType = PAYLOAD_STORE_SCHEMA,
+    ref_col: str = "media_ref",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Shared scaffold for every real-format media store: (media_ref)
+    refs → one encoded row per ref via `row_fn(ref) -> tuple` in a
+    single Arrow-batched mapInPandas.
+
+    parallelism: hash-repartition the refs first. A small single-file
+    parquet arrives as ONE scan partition, serializing the expensive
+    per-ref UDF — the same fix as dedup.simhash_df; at corpus scale the
+    refs arrive pre-partitioned and this stays None."""
+    if parallelism:
+        refs = refs.repartition(parallelism, ref_col)
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in schema.fields]
+        for pdf in batches:
+            yield pd.DataFrame([row_fn(ref) for ref in pdf[ref_col]], columns=cols)
+
+    return refs.select(F.col(ref_col).alias("media_ref")).mapInPandas(it, schema=schema)
+
+
 def png_store_df(
     refs: DataFrame, ref_col: str = "media_ref", parallelism: int | None = None
 ) -> DataFrame:
@@ -97,32 +132,15 @@ def png_store_df(
     PNG bytes per page (FIXTURES.md §2 media_store.image): render the
     deterministic page, encode with functions/png.encode_png. The write
     side of the real-format seam; image_features_from_bytes_df /
-    extract_spans(media_store=...) are the read side.
+    extract_spans(media_store=...) are the read side."""
 
-    parallelism: hash-repartition the refs first. A small single-file
-    parquet arrives as ONE scan partition, serializing the expensive
-    per-ref UDF — the same fix as dedup.simhash_df; at corpus scale the
-    refs arrive pre-partitioned and this stays None."""
-    from .png import encode_png
-
-    if parallelism:
-        refs = refs.repartition(parallelism, ref_col)
-
-    schema = T.StructType(
-        [
-            T.StructField("media_ref", T.StringType(), False),
-            T.StructField("payload", T.BinaryType(), False),
-        ]
-    )
-
-    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def row(ref: str) -> tuple:
         from ..fixtures.render import render_page
+        from .png import encode_png
 
-        for pdf in batches:
-            rows = [(ref, encode_png(render_page(ref))) for ref in pdf[ref_col]]
-            yield pd.DataFrame(rows, columns=["media_ref", "payload"])
+        return (ref, encode_png(render_page(ref)))
 
-    return refs.select(F.col(ref_col).alias("media_ref")).mapInPandas(it, schema=schema)
+    return payload_store_df(refs, row, ref_col=ref_col, parallelism=parallelism)
 
 
 def jpeg_store_df(
@@ -136,32 +154,16 @@ def jpeg_store_df(
     png_store_df: at quality=100 the reconstruction error is ±1 on the
     synthetic pages (measured; provable worst case <8 on adversarial
     blocks — test_codec_properties) and the span pipeline is measured
-    unchanged (test_jpeg.py); features through
-    these bytes are goldened via the same codec twin
-    (tools/make_goldens.py media_features_jpeg). `parallelism` as in
-    png_store_df (spread a single-partition scan before the UDF)."""
-    from .jpeg import encode_jpeg
+    unchanged (test_jpeg.py); features through these bytes are goldened
+    via the same codec twin (tools/make_goldens.py media_features_jpeg)."""
 
-    if parallelism:
-        refs = refs.repartition(parallelism, ref_col)
-
-    schema = T.StructType(
-        [
-            T.StructField("media_ref", T.StringType(), False),
-            T.StructField("payload", T.BinaryType(), False),
-        ]
-    )
-
-    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def row(ref: str) -> tuple:
         from ..fixtures.render import render_page
+        from .jpeg import encode_jpeg
 
-        for pdf in batches:
-            rows = [
-                (ref, encode_jpeg(render_page(ref), quality)) for ref in pdf[ref_col]
-            ]
-            yield pd.DataFrame(rows, columns=["media_ref", "payload"])
+        return (ref, encode_jpeg(render_page(ref), quality))
 
-    return refs.select(F.col(ref_col).alias("media_ref")).mapInPandas(it, schema=schema)
+    return payload_store_df(refs, row, ref_col=ref_col, parallelism=parallelism)
 
 
 def decode_media_df(refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:

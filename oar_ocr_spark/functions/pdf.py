@@ -287,10 +287,13 @@ class PdfDocument:
     def _read_xref_chain(self) -> dict:
         data = self._data
         tail = data[-256:]
-        m = re.search(rb"startxref\s+(\d+)", tail)
-        if m is None:
+        # the LAST startxref wins: an incrementally-updated PDF appends
+        # a new xref + trailer + startxref after the old %%EOF, and a
+        # small update can leave both markers inside the tail window
+        matches = list(re.finditer(rb"startxref\s+(\d+)", tail))
+        if not matches:
             raise ValueError("PDF missing startxref")
-        pos = int(m.group(1))
+        pos = int(matches[-1].group(1))
         trailer: dict = {}
         seen: set[int] = set()
         while pos not in seen:

@@ -492,11 +492,19 @@ def embedding_near_dup(
         )
     if mode != "approx":
         raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
+    if dim is None:
+        raise ValueError("approx mode needs dim")
     if planes == "axis":
+        if dim < n_bits * n_tables:
+            # same guard as lsh_ann: components past the vector end read
+            # NULL (or throw under ANSI), which would silently collapse
+            # the out-of-range tables into one all-N bucket — i.e. the
+            # quadratic join this mode exists to avoid
+            raise ValueError(
+                f"axis planes need dim >= n_bits*n_tables ({n_bits * n_tables})"
+            )
         buckets = axis_bucket_df(embeddings, n_bits, n_tables, id_col, vec_col)
     else:
-        if dim is None:
-            raise ValueError("approx mode with random planes needs dim")
         buckets = lsh_bucket_df(embeddings, dim, n_bits, seed, n_tables, id_col, vec_col)
     a = buckets.select(
         F.col("table_id"), F.col("bucket"), F.col("vec_id").alias("vec_a")
@@ -552,8 +560,18 @@ def train_ivf_centroids(
         F.col(id_col).alias("centroid_id"),
         F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("cv"),
     )
+    prev_cached = None
     for _ in range(iters):
-        cent = cent.persist()
+        # eager checkpoint: materializes the K-row codebook NOW (one
+        # tiny job), truncates the per-round join lineage, and makes it
+        # safe to free the previous round's blocks immediately — a
+        # lazy .persist() here would pin every round's codebook until
+        # session end (unpersisting the rebound derived frame is a
+        # silent no-op)
+        cent = cent.localCheckpoint(eager=True)
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = cent
         pairs = embeddings.select(
             F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
         ).crossJoin(F.broadcast(cent))

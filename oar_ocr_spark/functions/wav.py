@@ -124,13 +124,6 @@ def render_audio(ref: str) -> tuple[np.ndarray, int]:
 # Spark operators
 # ---------------------------------------------------------------------------
 
-_WAV_STORE_SCHEMA = T.StructType(
-    [
-        T.StructField("media_ref", T.StringType(), False),
-        T.StructField("payload", T.BinaryType(), False),
-    ]
-)
-
 _AUDIO_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType(), False),
@@ -148,22 +141,15 @@ def wav_store_df(
     refs: DataFrame, ref_col: str = "media_ref", parallelism: int | None = None
 ) -> DataFrame:
     """(media_ref) → (media_ref, payload) with REAL WAV bytes per ref
-    (the audio analogue of multimodal.png_store_df; `parallelism`
-    spreads a single-partition scan before the UDF, same as there)."""
-    if parallelism:
-        refs = refs.repartition(parallelism, ref_col)
+    (the audio analogue of multimodal.png_store_df, on the shared
+    payload_store_df scaffold)."""
+    from .multimodal import payload_store_df
 
-    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for ref in pdf[ref_col]:
-                samples, rate = render_audio(ref)
-                rows.append((ref, encode_wav(samples, rate)))
-            yield pd.DataFrame(rows, columns=["media_ref", "payload"])
+    def row(ref: str) -> tuple:
+        samples, rate = render_audio(ref)
+        return (ref, encode_wav(samples, rate))
 
-    return refs.select(F.col(ref_col).alias("media_ref")).mapInPandas(
-        it, schema=_WAV_STORE_SCHEMA
-    )
+    return payload_store_df(refs, row, ref_col=ref_col, parallelism=parallelism)
 
 
 def audio_features_from_bytes_df(

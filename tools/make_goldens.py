@@ -53,14 +53,17 @@ GOLDEN_DIR = os.path.join(
     "golden",
 )
 
-# driver-query doc filters (must mirror __spark_entry__.queries())
-E2E_MOD = 5
-ROTWARP_MOD = 50
-STRUCT_MOD = 25
-FEATURES_MOD = 10
-JPEG_MOD = 20   # media_jpeg_roundtrip
-AUDIO_MOD = 10  # audio_wav_features
-VIDEO_MOD = 20  # video_frame_stats
+# driver-query doc filters: imported from the single source of truth
+# in __spark_entry__ (the queries and oracle SQL use the same names)
+from __spark_entry__ import (  # noqa: E402
+    AUDIO_MOD,
+    E2E_MOD,
+    FEATURES_MOD,
+    JPEG_MOD,
+    ROTWARP_MOD,
+    STRUCT_MOD,
+    VIDEO_MOD,
+)
 
 
 def _cfg_for(ref: str):
