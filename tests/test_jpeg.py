@@ -74,6 +74,36 @@ class TestSpanPreservation:
             assert extract_page(jp, cfg) == extract_page(img, cfg), ref
 
 
+class TestSparkPipeline:
+    def test_extraction_through_jpeg_media_store(self, spark):
+        """Full distributed DAG from JPEG payloads: the detect UDF's
+        codec seam takes the JPEG branch, and q=100 span preservation
+        holds end-to-end (the Spark twin of test_q100_preserves_spans)."""
+        from pyspark.sql import functions as F
+
+        from oar_ocr_spark.fixtures.corpus import generate_documents
+        from oar_ocr_spark.functions.multimodal import jpeg_store_df
+        from oar_ocr_spark.pipeline import extract_spans
+        from oar_ocr_spark.schemas import DOCUMENTS_SCHEMA
+
+        docs_raw = generate_documents(8, seed=17)
+        rows = [
+            (d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in docs_raw
+        ]
+        docs = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+        refs = (
+            docs.select(F.explode("spans").alias("s"))
+            .where(F.col("s.kind") == "media")
+            .select(F.col("s.media_ref").alias("media_ref"))
+            .distinct()
+        )
+        via_jpeg = extract_spans(spark, docs, media_store=jpeg_store_df(refs))
+        direct = extract_spans(spark, docs)
+        a = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in via_jpeg.collect()}
+        b = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in direct.collect()}
+        assert a == b
+
+
 class TestDeclaredSubset:
     def _swap_marker(self, data: bytes, old: int, new: int) -> bytes:
         i = data.index(bytes([0xFF, old]))
