@@ -319,7 +319,7 @@ def duplicate_clusters(
     )
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.withColumn("cluster_id", F.col("doc_id"))
-    prev_cached = None
+    round_frames: list[DataFrame] = []
     converged = False
     for it in range(max_iters):
         nbr_min = (
@@ -363,28 +363,33 @@ def duplicate_clusters(
             # stacks two joins onto the plan; at O(log n) rounds this
             # keeps replanning + potential recovery cost flat)
             new_labels = new_labels.localCheckpoint(eager=False)
+        # persist-per-round is the measured-fast shape. Do NOT unpersist
+        # round frames inside the loop: round i+1's cached plan contains
+        # round i as a subtree, and Spark's non-cascading invalidation
+        # responds to unpersisting round i by discarding round i+1's
+        # already-built buffers for lazy re-computation (measured 3 s →
+        # 30 s); checkpointing EVERY round avoids that but measured
+        # ~2-8× slower and flaky. Handles are freed after the loop, once
+        # the final frame is decoupled.
         new_labels = new_labels.persist()
+        round_frames.append(new_labels)
         changed = new_labels.where(F.col("moved")).count()
-        if prev_cached is not None:
-            # unpersist the frame that was ACTUALLY persisted last round
-            # (labels itself is a .select projection of it — calling
-            # unpersist on the projection is a silent no-op and would
-            # pin one full label frame per round until session end)
-            prev_cached.unpersist()
-        prev_cached = new_labels
         labels = new_labels.select("doc_id", "cluster_id")
         if changed == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
+        edges.unpersist()
         raise RuntimeError(
             f"duplicate_clusters did not reach the fixpoint in {max_iters} rounds; "
             "component min-label eccentricity exceeds 2^rounds — raise max_iters"
         )
-    # exactly ONE label frame (the last round's) remains cached — the
-    # returned frame is a projection of it, so long-lived callers free
-    # it via the frame returned here: .sparkSession-level clearCache()
-    # or unpersist_parent below after consuming
-    labels.unpersist_parent = prev_cached.unpersist if prev_cached is not None else None
-    return labels
+    # decouple the result from every round frame (one eager checkpoint
+    # of the final labels — a cache read), then free ALL round caches:
+    # nothing leaks into the long-lived session, and the invalidation
+    # cascade above cannot touch the checkpointed result
+    final = labels.localCheckpoint(eager=True)
+    for f in round_frames:
+        f.unpersist()
+    edges.unpersist()
+    return final

@@ -560,18 +560,15 @@ def train_ivf_centroids(
         F.col(id_col).alias("centroid_id"),
         F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("cv"),
     )
-    prev_cached = None
+    round_frames = []
     for _ in range(iters):
-        # eager checkpoint: materializes the K-row codebook NOW (one
-        # tiny job), truncates the per-round join lineage, and makes it
-        # safe to free the previous round's blocks immediately — a
-        # lazy .persist() here would pin every round's codebook until
-        # session end (unpersisting the rebound derived frame is a
-        # silent no-op)
-        cent = cent.localCheckpoint(eager=True)
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = cent
+        # persist-per-round (the measured-fast iterative shape — see
+        # duplicate_clusters for why in-loop unpersist is unsafe:
+        # non-cascading invalidation discards dependent rounds' built
+        # caches); all handles are freed after the final codebook is
+        # decoupled below
+        cent = cent.persist()
+        round_frames.append(cent)
         pairs = embeddings.select(
             F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
         ).crossJoin(F.broadcast(cent))
@@ -598,6 +595,12 @@ def train_ivf_centroids(
         cent = cent.join(upd, "centroid_id", "left").select(
             "centroid_id", F.coalesce("new_cv", "cv").alias("cv")
         )
+    # materialize + decouple the final K-row codebook (one tiny eager
+    # checkpoint), then free every round's cache — nothing stays pinned
+    # in a long-lived session
+    cent = cent.localCheckpoint(eager=True)
+    for f in round_frames:
+        f.unpersist()
     return cent
 
 
