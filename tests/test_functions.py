@@ -302,6 +302,26 @@ def test_duplicate_clusters_chain_converges_logarithmically(spark):
     assert out == {i: ids[0] for i in ids}
 
 
+def test_duplicate_clusters_frees_round_caches(spark):
+    # regression pin for the round-3 cache-lifecycle fix: the CC loop
+    # must not leave one persisted label frame per round in the
+    # CacheManager (the final frame is checkpointed + every round
+    # handle freed). Budget: the persistent-RDD count may grow by at
+    # most 2 (the final checkpointed labels; older checkpoint blocks
+    # are ContextCleaner-collected asynchronously).
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    n = 64
+    ids = [f"m{i:03d}" for i in range(n)]
+    pairs = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    out = D.duplicate_clusters(pairs, max_iters=12)
+    assert out.count() == n
+    after = jsc.getPersistentRDDs().size()
+    assert after - before <= 2, f"cache leak: {before} -> {after} persistent RDDs"
+
+
 def test_duplicate_clusters_raises_on_exhaustion(spark):
     import pytest
 
