@@ -118,36 +118,132 @@ def _scaled_qtable(quality: int) -> np.ndarray:
     return np.clip(q, 1, 255)
 
 
-class _BitWriter:
-    def __init__(self):
-        self.out = bytearray()
-        self.acc = 0
-        self.nbits = 0
-
-    def write(self, value: int, length: int) -> None:
-        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            byte = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.out.append(byte)
-            if byte == 0xFF:
-                self.out.append(0x00)  # byte stuffing
-            self.nbits -= 8
-        self.acc &= (1 << self.nbits) - 1
-
-    def flush(self) -> None:
-        if self.nbits:
-            pad = 8 - self.nbits
-            byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
-            self.out.append(byte)
-            if byte == 0xFF:
-                self.out.append(0x00)
-            self.acc = 0
-            self.nbits = 0
+def _dct2(blocks: np.ndarray) -> np.ndarray:
+    """(n,8,8) level-shifted blocks → DCT-II coefficients, as two
+    (n·8,8)@(8,8) GEMMs (the separable form; ~5× faster than the
+    one-shot einsum contraction, which bypasses BLAS)."""
+    n = blocks.shape[0]
+    b = (blocks.reshape(n * 8, 8) @ _A.T).reshape(n, 8, 8)  # over y
+    c = (np.ascontiguousarray(b.transpose(0, 2, 1)).reshape(n * 8, 8) @ _A.T)
+    return c.reshape(n, 8, 8).transpose(0, 2, 1)  # [n,u,v]
 
 
-def _category(v: int) -> int:
-    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+def _idct2(coefs: np.ndarray) -> np.ndarray:
+    """(n,8,8) coefficients → pixel blocks (inverse of _dct2)."""
+    n = coefs.shape[0]
+    d = (coefs.reshape(n * 8, 8) @ _A).reshape(n, 8, 8)  # over v
+    e = (np.ascontiguousarray(d.transpose(0, 2, 1)).reshape(n * 8, 8) @ _A)
+    return e.reshape(n, 8, 8).transpose(0, 2, 1)  # [n,x,y]
+
+
+# amplitude-category lookup: _CAT_LUT[|v|] = bit_length(|v|); covers the
+# full baseline coefficient range (|DC diff| <= 2·255·8 < 4096)
+_CAT_LUT = np.array([int(i).bit_length() for i in range(4096)], dtype=np.int64)
+
+
+def _code_arrays(bits: list[int], vals: list[int], n: int):
+    """Canonical Huffman table as (code, length) numpy lookup arrays."""
+    codes = np.zeros(n, dtype=np.int64)
+    lens = np.zeros(n, dtype=np.int64)
+    for sym, (code, length) in _canonical_codes(bits, vals).items():
+        codes[sym], lens[sym] = code, length
+    return codes, lens
+
+
+_DC_CODE, _DC_LEN = _code_arrays(_DC_BITS, _DC_VALS, 12)
+_AC_CODE, _AC_LEN = _code_arrays(_AC_BITS, _AC_VALS, 256)
+
+
+def _encode_scan(zz: np.ndarray) -> bytes:
+    """Entropy-code the zigzag coefficient matrix (nb, 64) → stuffed
+    scan bytes. Fully vectorized: every symbol's (value, bitlength) is
+    computed in numpy, ordered by a (block, zigzag-pos, sub) sort key,
+    and packed into the bitstream with one ≤16-iteration bit loop —
+    the reference-shape per-symbol python BitWriter was ~5× the whole
+    encoder's cost on blocky pages."""
+    nb = zz.shape[0]
+    blocks_arange = np.arange(nb, dtype=np.int64)
+
+    # --- DC: differential code + amplitude -------------------------------
+    dcs = zz[:, 0]
+    diffs = np.diff(dcs, prepend=0)
+    dsize = _CAT_LUT[np.abs(diffs)]
+    dc_keys = blocks_arange * 270
+    damp_mask = dsize > 0
+    damps = np.where(diffs >= 0, diffs, diffs + (1 << dsize) - 1)
+
+    # --- AC: (run, size) symbols + amplitudes ----------------------------
+    bid, kz = np.nonzero(zz[:, 1:])
+    kz = kz + 1  # zigzag position (np.nonzero is row-major → in-block order)
+    first = np.empty(len(bid), dtype=bool)
+    if len(bid):
+        first[0] = True
+        first[1:] = bid[1:] != bid[:-1]
+    prev_k = np.empty_like(kz)
+    if len(kz):
+        prev_k[0] = 0
+        prev_k[1:] = kz[:-1]
+        prev_k[first] = 0
+    runs = kz - prev_k - 1
+    n_zrl = runs // 16
+    rem = runs % 16
+    avals = zz[bid, kz]
+    asize = _CAT_LUT[np.abs(avals)]
+    aamps = np.where(avals >= 0, avals, avals + (1 << asize) - 1)
+    sym = (rem << 4) | asize
+    ac_keys = bid * 270 + kz * 4
+
+    # ZRL fillers precede their item's code at the same position
+    zrl_keys = np.repeat(ac_keys, n_zrl)
+
+    # EOB for every block whose last nonzero AC is before position 63
+    last_nz = np.zeros(nb, dtype=np.int64)
+    if len(bid):
+        np.maximum.at(last_nz, bid, kz)
+    eob_mask = last_nz < 63
+    eob_keys = blocks_arange[eob_mask] * 270 + 64 * 4
+
+    # --- assemble the (value, length) stream in emission order -----------
+    keys = np.concatenate(
+        [dc_keys, dc_keys[damp_mask] + 1, zrl_keys, ac_keys + 1, ac_keys + 2, eob_keys]
+    )
+    vals = np.concatenate(
+        [
+            _DC_CODE[dsize],
+            damps[damp_mask],
+            np.full(len(zrl_keys), _AC_CODE[0xF0], dtype=np.int64),
+            _AC_CODE[sym],
+            aamps,
+            np.full(int(eob_mask.sum()), _AC_CODE[0x00], dtype=np.int64),
+        ]
+    )
+    lens = np.concatenate(
+        [
+            _DC_LEN[dsize],
+            dsize[damp_mask],
+            np.full(len(zrl_keys), _AC_LEN[0xF0], dtype=np.int64),
+            _AC_LEN[sym],
+            asize,
+            np.full(int(eob_mask.sum()), _AC_LEN[0x00], dtype=np.int64),
+        ]
+    )
+    order = np.argsort(keys, kind="stable")
+    vals, lens = vals[order], lens[order]
+
+    # --- pack bits (MSB-first per symbol), pad with 1s, byte-stuff -------
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    total = int(ends[-1]) if len(ends) else 0
+    pad = (-total) % 8
+    bits = np.ones(total + pad, dtype=np.uint8)  # padding bits are 1s
+    for t in range(int(lens.max()) if len(lens) else 0):
+        m = lens > t
+        bits[starts[m] + t] = (vals[m] >> (lens[m] - 1 - t)) & 1
+    packed = np.packbits(bits)
+    ff = np.nonzero(packed == 0xFF)[0]
+    if len(ff):
+        packed = np.insert(packed, ff + 1, 0)  # stuff 0x00 after every 0xFF
+    return packed.tobytes()
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
@@ -169,46 +265,11 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         .astype(np.float64)
         - 128.0
     )
-    coefs = np.einsum("ux,nxy,vy->nuv", _A, blocks, _A)
+    coefs = _dct2(blocks)
     quant = np.round(coefs / q).astype(np.int64)
     zz = quant.reshape(-1, 64)[:, _ZIGZAG]
 
-    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
-    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
-    bw = _BitWriter()
-    pred = 0
-    for block in zz:
-        diff = int(block[0]) - pred
-        pred = int(block[0])
-        size = _category(diff)
-        code, length = dc_codes[size]
-        bw.write(code, length)
-        if size:
-            amp = diff if diff >= 0 else diff + (1 << size) - 1
-            bw.write(amp, size)
-        run = 0
-        last_nz = int(np.max(np.nonzero(block)[0])) if np.any(block[1:]) else 0
-        for k in range(1, 64):
-            v = int(block[k])
-            if k > last_nz:
-                break
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                code, length = ac_codes[0xF0]  # ZRL
-                bw.write(code, length)
-                run -= 16
-            size = _category(v)
-            code, length = ac_codes[(run << 4) | size]
-            bw.write(code, length)
-            amp = v if v >= 0 else v + (1 << size) - 1
-            bw.write(amp, size)
-            run = 0
-        if last_nz < 63:
-            code, length = ac_codes[0x00]  # EOB
-            bw.write(code, length)
-    bw.flush()
+    scan = _encode_scan(zz)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -220,7 +281,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC 0
     out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC 0
     out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
-    out += bw.out
+    out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -242,38 +303,80 @@ class _BitReader:
                 break  # a real marker ends the entropy segment
             clean.append(b)
             pos += 1
-        self.bits = np.unpackbits(np.frombuffer(bytes(clean), dtype=np.uint8))
-        self.pos = 0
+        self.data = bytes(clean)
+        self.n = len(self.data)
+        self.bpos = 0  # next byte to pull into the accumulator
+        self.acc = 0
+        self.nbits = 0
         self.end = pos
 
-    def read_bit(self) -> int:
-        if self.pos >= len(self.bits):
+    def peek16(self) -> int:
+        """Next 16 bits without consuming (zero-padded past stream end)."""
+        while self.nbits < 16 and self.bpos < self.n:
+            self.acc = (self.acc << 8) | self.data[self.bpos]
+            self.bpos += 1
+            self.nbits += 8
+        if self.nbits >= 16:
+            return (self.acc >> (self.nbits - 16)) & 0xFFFF
+        return (self.acc << (16 - self.nbits)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        if n > self.nbits:
             raise ValueError("JPEG entropy stream exhausted")
-        b = int(self.bits[self.pos])
-        self.pos += 1
-        return b
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def read_bits(self, n: int) -> int:
         if n == 0:
             return 0
-        if self.pos + n > len(self.bits):
+        while self.nbits < n and self.bpos < self.n:
+            self.acc = (self.acc << 8) | self.data[self.bpos]
+            self.bpos += 1
+            self.nbits += 8
+        if self.nbits < n:
             raise ValueError("JPEG entropy stream exhausted")
-        chunk = self.bits[self.pos : self.pos + n]
-        self.pos += n
-        v = 0
-        for b in chunk:
-            v = (v << 1) | int(b)
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
         return v
 
 
-def _decode_huffman(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | reader.read_bit()
-        sym = table.get((code, length))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+_LUT_CACHE: dict[bytes, tuple[list[int], list[int]]] = {}
+
+
+def _decode_lut(dht_body: bytes) -> tuple[list[int], list[int]]:
+    """Table-driven Huffman decode: 16-bit-lookahead LUT mapping every
+    possible next-16-bit window to (symbol, code length); length 0
+    marks an invalid prefix. One list index per symbol instead of a
+    bit-by-bit tree walk (measured ~4× on the whole decoder). Cached
+    on the raw DHT payload — repeated decodes of streams using the
+    same tables (e.g. every frame of an MJPEG video) build it once."""
+    cached = _LUT_CACHE.get(dht_body)
+    if cached is not None:
+        return cached
+    bits = list(dht_body[:16])
+    vals = list(dht_body[16 : 16 + sum(bits)])
+    sym_lut = np.zeros(65536, dtype=np.int32)
+    len_lut = np.zeros(65536, dtype=np.int32)
+    for sym, (code, length) in _canonical_codes(bits, vals).items():
+        lo = code << (16 - length)
+        hi = (code + 1) << (16 - length)
+        sym_lut[lo:hi] = sym
+        len_lut[lo:hi] = length
+    lut = (sym_lut.tolist(), len_lut.tolist())  # python lists: faster scalar indexing
+    if len(_LUT_CACHE) < 64:  # bound the cache (foreign files with many tables)
+        _LUT_CACHE[dht_body] = lut
+    return lut
+
+
+def _decode_huffman(reader: _BitReader, table: tuple[list[int], list[int]]) -> int:
+    sym_lut, len_lut = table
+    p = reader.peek16()
+    length = len_lut[p]
+    if length == 0:
+        raise ValueError("invalid JPEG Huffman code")
+    reader.skip(length)
+    return sym_lut[p]
 
 
 def _extend(amp: int, size: int) -> int:
@@ -323,10 +426,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[b + 1 : b + 17])
                 nvals = sum(bits)
                 vals = list(body[b + 17 : b + 17 + nvals])
-                codes = _canonical_codes(bits, vals)
-                huff[(tclass, tid)] = {
-                    (code, length): sym for sym, (code, length) in codes.items()
-                }
+                huff[(tclass, tid)] = _decode_lut(bytes(body[b + 1 : b + 17 + nvals]))
                 b += 17 + nvals
         elif marker == 0xC0:  # SOF0 baseline
             depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
@@ -378,7 +478,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     out[n, k] = _extend(reader.read_bits(size), size)
                     k += 1
             coefs = (out[:, _UNZIGZAG].reshape(-1, 8, 8)) * q
-            blocks = np.einsum("xu,nuv,yv->nxy", _A.T, coefs.astype(np.float64), _A.T)
+            blocks = _idct2(coefs.astype(np.float64))
             pixels = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
             full = (
                 pixels.reshape(bh, bw_, 8, 8)
