@@ -526,6 +526,24 @@ def embedding_near_dup(
     ).where(F.col("cosine") >= threshold)
 
 
+def _argmin_assign(sim: DataFrame, out_id: str) -> DataFrame:
+    """(out_id, centroid_id, ccos) → nearest centroid per out_id under
+    the engine total order (round(ccos,6) DESC, centroid_id ASC), as a
+    hash aggregation instead of a sort window."""
+    return (
+        sim.groupBy(out_id)
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.round(F.col("ccos"), 6)).alias("nr"),
+                    F.col("centroid_id").alias("cid"),
+                )
+            ).alias("m")
+        )
+        .select(out_id, F.col("m.cid").alias("centroid_id"))
+    )
+
+
 def train_ivf_centroids(
     embeddings: DataFrame,
     centroid_mod: int = 37,
@@ -572,13 +590,22 @@ def train_ivf_centroids(
         pairs = embeddings.select(
             F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
         ).crossJoin(F.broadcast(cent))
-        w = Window.partitionBy("vid").orderBy(
-            F.round(cosine(F.col("v"), F.col("cv")), 6).desc(), F.col("centroid_id")
-        )
+        # argmin as a hash aggregation (same rewrite as ivf_ann's
+        # _argmin_assign — N·K rows combine map-side instead of
+        # sort-shuffling through a row_number window); v rides along in
+        # the struct (cid is unique per group, so it never tiebreaks)
         assign = (
-            pairs.withColumn("crank", F.row_number().over(w))
-            .where(F.col("crank") == 1)
-            .select("vid", "centroid_id", "v")
+            pairs.groupBy("vid")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.round(cosine(F.col("v"), F.col("cv")), 6)).alias("nr"),
+                        F.col("centroid_id").alias("cid"),
+                        F.col("v").alias("v"),
+                    )
+                ).alias("m")
+            )
+            .select("vid", F.col("m.cid").alias("centroid_id"), F.col("m.v").alias("v"))
         )
         upd = (
             assign.select("centroid_id", F.posexplode("v").alias("pos", "val"))
@@ -651,6 +678,14 @@ def ivf_ann(
         sim = pairs.select(
             out_id, "centroid_id", cosine(F.col("v"), F.col("cv")).alias("ccos")
         )
+        if n_keep == 1:
+            # argmin under the engine total order as a partial-aggregable
+            # min(struct(-round(cos,6), centroid_id)): the N·K rows
+            # combine map-side, so only N rows cross the shuffle — the
+            # row_number window below would sort-shuffle all N·K
+            # (identical winners: struct order = cos desc, id asc, and
+            # Spark normalizes -0.0 == 0.0 in comparisons either way)
+            return _argmin_assign(sim, out_id)
         w = Window.partitionBy(out_id).orderBy(
             F.round(F.col("ccos"), 6).desc(), F.col("centroid_id")
         )
