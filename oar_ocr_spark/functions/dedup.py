@@ -379,6 +379,8 @@ def duplicate_clusters(
             converged = True
             break
     if not converged:
+        for f in round_frames:
+            f.unpersist()
         edges.unpersist()
         raise RuntimeError(
             f"duplicate_clusters did not reach the fixpoint in {max_iters} rounds; "

@@ -191,6 +191,12 @@ def _encode_scan(zz: np.ndarray) -> bytes:
     asize = _CAT_LUT[np.abs(avals)]
     aamps = np.where(avals >= 0, avals, avals + (1 << asize) - 1)
     sym = (rem << 4) | asize
+    if (len(sym) and int(np.max(asize)) > 10) or int(np.max(dsize, initial=0)) > 11:
+        # baseline luminance tables stop at AC size 10 / DC size 11;
+        # uint8 input provably stays inside (|AC quant| <= 1020), so
+        # reaching here means a scope change — fail loudly rather than
+        # emit a zero-length code into the bitstream
+        raise ValueError("JPEG coefficient category outside baseline Annex-K tables")
     ac_keys = bid * 270 + kz * 4
 
     # ZRL fillers precede their item's code at the same position
@@ -391,7 +397,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     h = w = None
     comp_qtable = comp_dc = comp_ac = 0
     while pos + 4 <= len(data):
@@ -423,9 +429,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             b = 0
             while b < len(body):
                 tclass, tid = body[b] >> 4, body[b] & 0x0F
-                bits = list(body[b + 1 : b + 17])
-                nvals = sum(bits)
-                vals = list(body[b + 17 : b + 17 + nvals])
+                nvals = sum(body[b + 1 : b + 17])
                 huff[(tclass, tid)] = _decode_lut(bytes(body[b + 1 : b + 17 + nvals]))
                 b += 17 + nvals
         elif marker == 0xC0:  # SOF0 baseline

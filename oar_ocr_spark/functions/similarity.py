@@ -530,14 +530,15 @@ def _argmin_assign(sim: DataFrame, out_id: str) -> DataFrame:
     """(out_id, centroid_id, ccos) → nearest centroid per out_id under
     the engine total order (round(ccos,6) DESC, centroid_id ASC), as a
     hash aggregation instead of a sort window."""
+    # NULL cosine (zero-norm vector under non-ANSI division) must sort
+    # LAST, matching the window's desc_nulls_last — a bare struct min
+    # would sort NULL first and pick a degenerate centroid
+    nr = F.coalesce(-F.round(F.col("ccos"), 6), F.lit(float("inf")))
     return (
         sim.groupBy(out_id)
         .agg(
             F.min(
-                F.struct(
-                    (-F.round(F.col("ccos"), 6)).alias("nr"),
-                    F.col("centroid_id").alias("cid"),
-                )
+                F.struct(nr.alias("nr"), F.col("centroid_id").alias("cid"))
             ).alias("m")
         )
         .select(out_id, F.col("m.cid").alias("centroid_id"))
@@ -572,13 +573,20 @@ def train_ivf_centroids(
     embeddings.where(id % sample_mod == 0)) — the codebook quality
     needs only a sample, and the plan is unchanged.
     """
-    from pyspark.sql import Window
-
     cent = embeddings.where(F.col(id_col) % centroid_mod == 0).select(
         F.col(id_col).alias("centroid_id"),
         F.transform(F.col(vec_col), lambda v: v.cast("double")).alias("cv"),
     )
     round_frames = []
+    try:
+        return _train_rounds(embeddings, cent, iters, id_col, vec_col, round_frames)
+    except BaseException:
+        for f in round_frames:
+            f.unpersist()
+        raise
+
+
+def _train_rounds(embeddings, cent, iters, id_col, vec_col, round_frames):
     for _ in range(iters):
         # persist-per-round (the measured-fast iterative shape — see
         # duplicate_clusters for why in-loop unpersist is unsafe:
@@ -599,7 +607,10 @@ def train_ivf_centroids(
             .agg(
                 F.min(
                     F.struct(
-                        (-F.round(cosine(F.col("v"), F.col("cv")), 6)).alias("nr"),
+                        F.coalesce(
+                            -F.round(cosine(F.col("v"), F.col("cv")), 6),
+                            F.lit(float("inf")),
+                        ).alias("nr"),
                         F.col("centroid_id").alias("cid"),
                         F.col("v").alias("v"),
                     )

@@ -306,9 +306,11 @@ def test_duplicate_clusters_frees_round_caches(spark):
     # regression pin for the round-3 cache-lifecycle fix: the CC loop
     # must not leave one persisted label frame per round in the
     # CacheManager (the final frame is checkpointed + every round
-    # handle freed). Budget: the persistent-RDD count may grow by at
-    # most 2 (the final checkpointed labels; older checkpoint blocks
-    # are ContextCleaner-collected asynchronously).
+    # handle freed). Budget: the final checkpoint plus the loop's
+    # every-3-rounds lineage-truncation checkpoints (~log2(64)/3 + 1
+    # ≤ 4 here) — those are ContextCleaner-collected asynchronously,
+    # so they may still be registered at assert time. The leaky
+    # version left one frame PER ROUND (~8-10).
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()
     n = 64
@@ -319,7 +321,7 @@ def test_duplicate_clusters_frees_round_caches(spark):
     out = D.duplicate_clusters(pairs, max_iters=12)
     assert out.count() == n
     after = jsc.getPersistentRDDs().size()
-    assert after - before <= 2, f"cache leak: {before} -> {after} persistent RDDs"
+    assert after - before <= 4, f"cache leak: {before} -> {after} persistent RDDs"
 
 
 def test_duplicate_clusters_raises_on_exhaustion(spark):
@@ -331,6 +333,20 @@ def test_duplicate_clusters_raises_on_exhaustion(spark):
     with pytest.raises(RuntimeError, match="fixpoint"):
         # diameter-4 path cannot settle in a single round
         D.duplicate_clusters(pairs, max_iters=1)
+
+
+def test_argmin_assign_null_cosine_sorts_last(spark):
+    # parity with the row_number window's desc_nulls_last: a NULL
+    # cosine (zero-norm vector under non-ANSI division) must lose to
+    # every real score — a bare struct-min would sort NULL first and
+    # pick the degenerate centroid
+    sim = spark.createDataFrame(
+        [("q1", 1, 0.9), ("q1", 2, None), ("q1", 3, 0.5), ("q2", 2, None), ("q2", 7, None)],
+        "qid string, centroid_id int, ccos double",
+    )
+    out = {r["qid"]: r["centroid_id"] for r in S._argmin_assign(sim, "qid").collect()}
+    assert out["q1"] == 1  # best real score wins, not the NULL
+    assert out["q2"] == 2  # all-NULL group: centroid_id tiebreak
 
 
 def test_trained_ivf_recall_monotone_and_beats_standin(spark):
