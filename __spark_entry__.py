@@ -58,6 +58,7 @@ JPEG_MOD = 20
 PDF_MOD = 20
 AUDIO_MOD = 10
 VIDEO_MOD = 20
+HTML_MOD = 10
 
 
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -526,6 +527,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_sample=4,
         )
 
+    def q_html_extract(spark):
+        # HTML boilerplate strip / DOM heuristics (named by the north
+        # rule alongside PDF parse): deterministic template-wrapped
+        # pages -> Readability-style density extraction. The oracle is
+        # pure SQL: a correct extractor recovers exactly the
+        # whitespace-normalized document text, ceil(words/12) kept
+        # paragraphs, and the template's fixed boilerplate block count
+        # (template id = md5 hex digit % 3, replicated in DuckDB).
+        from oar_ocr_spark.fixtures.htmlgen import html_corpus_df
+        from oar_ocr_spark.functions.html import html_main_content_df
+
+        docs = (
+            spark.table("documents")
+            .where((F.col("doc_id").cast("bigint") % HTML_MOD) == 0)
+            .select("doc_id", "text")
+        )
+        pages = html_corpus_df(
+            docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        )
+        return html_main_content_df(pages)
+
     def q_extraction_text_only(spark):
         docs = interleaved_docs_df(spark, text_only=True)
         return _exploded_results(extract_spans(spark, docs))
@@ -716,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": with_views(q_pdf_extract),
         "audio_wav_features": with_views(q_audio_wav_features),
         "video_frame_stats": with_views(q_video_frame_stats),
+        "html_extract": with_views(q_html_extract),
         "extraction_text_only": with_views(q_extraction_text_only),
         "doc_text_stats": with_views(q_doc_text_stats),
         "extraction_e2e": with_views(q_extraction_e2e),
@@ -729,6 +752,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from oar_ocr_spark.fixtures.htmlgen import (
+        BOILERPLATE_BLOCKS,
+        WORDS_PER_PARAGRAPH,
+    )
+
     from oar_ocr_spark.operators.layout_types import (
         LABEL_TO_TYPE,
         SEMANTIC_CATEGORY,
@@ -1404,5 +1432,18 @@ select g.media_ref, g.frame_idx, g.height, g.width, g.mean_intensity,
        g.ink_ratio
 from read_parquet('{golden_dir}/video_frames.parquet') g
 join refs using (media_ref)
+""",
+        "html_extract": f"""
+select cast(doc_id as varchar) as doc_id,
+       regexp_replace(trim(text), '\\s+', ' ', 'g') as main_text,
+       cast(ceil(
+         len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))
+         / {WORDS_PER_PARAGRAPH}.0) as int) as n_blocks_kept,
+       (case ascii(substr(md5(cast(doc_id as varchar)), 1, 1)) % 3
+          when 0 then {BOILERPLATE_BLOCKS[0]}
+          when 1 then {BOILERPLATE_BLOCKS[1]}
+          else {BOILERPLATE_BLOCKS[2]} end) as n_blocks_dropped
+from documents
+where cast(doc_id as bigint) % {HTML_MOD} = 0
 """,
     }

@@ -179,6 +179,7 @@ def main() -> None:
         "pdf_extract",
         "audio_wav_features",
         "video_frame_stats",
+        "html_extract",
         "doc_text_stats",
         "corpus_clean",
         "dedup_clusters",

@@ -1,0 +1,203 @@
+"""HTML main-content extraction (boilerplate strip via DOM heuristics).
+
+The north rule names "HTML boilerplate strip, PDF/layout parse, DOM
+heuristics" as the main-content extraction surface; PDF lives in
+functions/pdf.py, and this module covers the HTML side with the
+standard public heuristics family (Readability / trafilatura /
+boilerpipe style — density-based block scoring, no ML):
+
+1. parse the document into a lightweight DOM (stdlib html.parser —
+   no external deps), dropping script/style/noscript/template
+   subtrees outright;
+2. collect text blocks (p, h1–h6, li, td, pre, blockquote — plus
+   bare-text div/article/section leaves) with their ancestor chain
+   and per-block link-character count;
+3. score each block: text length × (1 − link_density)², zeroed for
+   blocks whose ancestor chain crosses nav/header/footer/aside or a
+   class/id matching the boilerplate lexicon (nav, menu, sidebar,
+   footer, comment, ad, promo, share, related);
+4. pick the container (deepest common ancestor bucket) with the
+   highest summed score and emit its blocks, in document order, as
+   the main text.
+
+Spark side: one Arrow-batched mapInPandas over (doc_id, html) — the
+same per-row transform shape as every codec in this engine; at corpus
+scale the HTML column arrives from the crawl table and the operator
+is embarrassingly parallel.
+
+The driver query's oracle is fully SQL-expressible: the deterministic
+HTML fixture (fixtures/htmlgen.render_html) wraps each document's
+text in one of three boilerplate templates keyed by md5(doc_id), and
+a correct extractor must recover EXACTLY the article text — so the
+DuckDB twin just re-derives the expected text (and per-template
+boilerplate block count) from the documents table.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["extract_main_content", "html_main_content_df"]
+
+_DROP_SUBTREES = {"script", "style", "noscript", "template", "svg", "head"}
+_BLOCK_TAGS = {
+    "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th", "pre",
+    "blockquote", "figcaption", "dd", "dt",
+}
+_CONTAINER_TAGS = {"div", "article", "section", "main", "body", "ul", "ol", "table"}
+_NEGATIVE_TAGS = {"nav", "header", "footer", "aside", "form", "button", "select"}
+_NEGATIVE_RE = re.compile(
+    r"nav|menu|sidebar|footer|header|banner|comment|advert|\bad\b|ads|promo|"
+    r"share|social|related|breadcrumb|cookie|popup|masthead",
+    re.IGNORECASE,
+)
+_WS_RE = re.compile(r"\s+")
+
+
+class _Block:
+    __slots__ = ("order", "text_len", "link_len", "container", "texts", "negative")
+
+    def __init__(self, order: int, container: int, negative: bool):
+        self.order = order
+        self.container = container  # id of the nearest container ancestor
+        self.negative = negative  # ancestor chain crosses boilerplate markers
+        self.text_len = 0
+        self.link_len = 0
+        self.texts: list[str] = []
+
+
+class _Extractor(HTMLParser):
+    """Single-pass DOM walk: no tree is materialized — the open-element
+    stack carries (tag, container_id, negative) flags and text lands in
+    the innermost open block."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.stack: list[tuple[str, int, bool]] = [("#root", 0, False)]
+        self.drop_depth = 0
+        self.link_depth = 0
+        self.blocks: list[_Block] = []
+        self.open_blocks: list[_Block] = []
+        self.n_containers = 1
+
+    @staticmethod
+    def _is_negative(tag: str, attrs) -> bool:
+        if tag in _NEGATIVE_TAGS:
+            return True
+        for name, val in attrs:
+            if name in ("class", "id", "role") and val and _NEGATIVE_RE.search(val):
+                return True
+        return False
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP_SUBTREES:
+            self.drop_depth += 1
+            return
+        if self.drop_depth:
+            return
+        if tag == "a":
+            self.link_depth += 1
+        _, container, negative = self.stack[-1]
+        negative = negative or self._is_negative(tag, attrs)
+        if tag in _CONTAINER_TAGS:
+            container = self.n_containers
+            self.n_containers += 1
+        self.stack.append((tag, container, negative))
+        if tag in _BLOCK_TAGS:
+            blk = _Block(len(self.blocks), container, negative)
+            self.blocks.append(blk)
+            self.open_blocks.append(blk)
+
+    def handle_endtag(self, tag):
+        if tag in _DROP_SUBTREES:
+            self.drop_depth = max(0, self.drop_depth - 1)
+            return
+        if self.drop_depth:
+            return
+        if tag == "a":
+            self.link_depth = max(0, self.link_depth - 1)
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i][0] == tag:
+                closed = self.stack[i:]
+                del self.stack[i:]
+                n_blocks = sum(1 for t, _, _ in closed if t in _BLOCK_TAGS)
+                if n_blocks:
+                    del self.open_blocks[-n_blocks:]
+                break
+
+    def handle_data(self, data):
+        if self.drop_depth or not self.open_blocks:
+            return
+        text = data.strip()
+        if not text:
+            return
+        blk = self.open_blocks[-1]
+        blk.texts.append(text)
+        blk.text_len += len(text)
+        if self.link_depth:
+            blk.link_len += len(text)
+
+
+def extract_main_content(html: str) -> tuple[str, int, int]:
+    """→ (main_text, n_blocks_kept, n_blocks_dropped).
+
+    Container scoring: each text block scores
+    ``text_len · (1 − link_density)²`` (0 if its ancestor chain is
+    boilerplate-marked); the container with the highest summed score
+    wins and its non-negative blocks are emitted in document order,
+    whitespace-normalized and joined with single spaces."""
+    p = _Extractor()
+    p.feed(html)
+    p.close()
+    scores: dict[int, float] = {}
+    for blk in p.blocks:
+        if blk.negative or blk.text_len == 0:
+            continue
+        link_density = blk.link_len / blk.text_len
+        score = blk.text_len * (1.0 - link_density) ** 2
+        scores[blk.container] = scores.get(blk.container, 0.0) + score
+    if not scores:
+        return "", 0, len(p.blocks)
+    best = max(scores, key=lambda c: (scores[c], -c))
+    kept = [
+        _WS_RE.sub(" ", " ".join(blk.texts))
+        for blk in p.blocks
+        if blk.container == best and not blk.negative and blk.text_len
+    ]
+    return " ".join(kept), len(kept), len(p.blocks) - len(kept)
+
+
+_MAIN_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("main_text", T.StringType(), False),
+        T.StructField("n_blocks_kept", T.IntegerType(), False),
+        T.StructField("n_blocks_dropped", T.IntegerType(), False),
+    ]
+)
+
+
+def html_main_content_df(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """(doc_id, html) → (doc_id, main_text, n_blocks_kept,
+    n_blocks_dropped) via one Arrow-batched mapInPandas."""
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, html in zip(pdf[id_col], pdf[html_col]):
+                text, kept, dropped = extract_main_content(html)
+                rows.append((str(doc_id), text, kept, dropped))
+            yield pd.DataFrame(rows, columns=[f.name for f in _MAIN_SCHEMA.fields])
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(html_col).alias("html")
+    ).mapInPandas(it, schema=_MAIN_SCHEMA)
