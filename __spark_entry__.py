@@ -1436,9 +1436,9 @@ join refs using (media_ref)
         "html_extract": f"""
 select cast(doc_id as varchar) as doc_id,
        regexp_replace(trim(text), '\\s+', ' ', 'g') as main_text,
-       cast(ceil(
+       cast(case when length(trim(text)) = 0 then 0 else ceil(
          len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))
-         / {WORDS_PER_PARAGRAPH}.0) as int) as n_blocks_kept,
+         / {WORDS_PER_PARAGRAPH}.0) end as int) as n_blocks_kept,
        (case ascii(substr(md5(cast(doc_id as varchar)), 1, 1)) % 3
           when 0 then {BOILERPLATE_BLOCKS[0]}
           when 1 then {BOILERPLATE_BLOCKS[1]}

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import hashlib
 import html as _html
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -47,7 +48,9 @@ _TOC5 = "".join(f'<li><a href="#h{i}">Chapter {i}</a></li>' for i in range(5))
 
 
 def _paragraphs(text: str) -> str:
-    words = text.split()
+    # ASCII-whitespace split, matching the extractor's normalization and
+    # the DuckDB oracle's RE2 '\s' semantics (see functions/html._WS_RE)
+    words = [w for w in re.split(r"[ \t\n\r\f\v]+", text) if w]
     return "".join(
         "<p>" + _html.escape(" ".join(words[i : i + WORDS_PER_PARAGRAPH])) + "</p>"
         for i in range(0, len(words), WORDS_PER_PARAGRAPH)
@@ -109,7 +112,7 @@ def html_corpus_df(
         for pdf in batches:
             rows = [
                 (str(doc_id), render_html(str(doc_id), text or ""))
-                for doc_id, text in zip(pdf[id_col], pdf[text_col])
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "html"])
 

@@ -225,7 +225,7 @@ def frame_sample_from_bytes_df(
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for ref, payload in zip(pdf[ref_col], pdf[payload_col]):
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 data = bytes(payload)
                 total = avi_frame_count(data)
                 idx = sorted({(total * k) // n_sample for k in range(n_sample)})

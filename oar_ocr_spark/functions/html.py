@@ -54,18 +54,23 @@ _BLOCK_TAGS = {
 _CONTAINER_TAGS = {"div", "article", "section", "main", "body", "ul", "ol", "table"}
 _NEGATIVE_TAGS = {"nav", "header", "footer", "aside", "form", "button", "select"}
 _NEGATIVE_RE = re.compile(
-    r"nav|menu|sidebar|footer|header|banner|comment|advert|\bad\b|ads|promo|"
-    r"share|social|related|breadcrumb|cookie|popup|masthead",
+    # short/ambiguous tokens are word-anchored so 'threads', 'downloads',
+    # 'navigate', 'sharing' etc. do not mark real content as boilerplate
+    r"menu|sidebar|footer|header|banner|comment|advert|\bad\b|\bads\b|"
+    r"\bnav\b|\bpromo\b|\bshare\b|\bsocial\b|related|breadcrumb|"
+    r"cookie|popup|masthead",
     re.IGNORECASE,
 )
-_WS_RE = re.compile(r"\s+")
+# ASCII whitespace only — the DuckDB oracle's RE2 '\s' is ASCII, and
+# the fixture splits the same way, so non-ASCII whitespace (U+00A0 …)
+# passes through all three paths verbatim instead of diverging
+_WS_RE = re.compile(r"[ \t\n\r\f\v]+")
 
 
 class _Block:
-    __slots__ = ("order", "text_len", "link_len", "container", "texts", "negative")
+    __slots__ = ("text_len", "link_len", "container", "texts", "negative")
 
-    def __init__(self, order: int, container: int, negative: bool):
-        self.order = order
+    def __init__(self, container: int, negative: bool):
         self.container = container  # id of the nearest container ancestor
         self.negative = negative  # ancestor chain crosses boilerplate markers
         self.text_len = 0
@@ -76,7 +81,10 @@ class _Block:
 class _Extractor(HTMLParser):
     """Single-pass DOM walk: no tree is materialized — the open-element
     stack carries (tag, container_id, negative) flags and text lands in
-    the innermost open block."""
+    the innermost open block (or an anonymous block for bare container
+    text). Every bookkeeping counter (drop/link depth, open blocks) is
+    reconciled through the one stack-unwind in handle_endtag, so
+    unclosed tags — endemic in real HTML — cannot leak state."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -86,6 +94,7 @@ class _Extractor(HTMLParser):
         self.blocks: list[_Block] = []
         self.open_blocks: list[_Block] = []
         self.n_containers = 1
+        self.bare_block: _Block | None = None  # anonymous run of container text
 
     @staticmethod
     def _is_negative(tag: str, attrs) -> bool:
@@ -97,8 +106,12 @@ class _Extractor(HTMLParser):
         return False
 
     def handle_starttag(self, tag, attrs):
+        self.bare_block = None  # any tag ends a bare-text run
         if tag in _DROP_SUBTREES:
+            # dropped subtrees ride the SAME stack so an unclosed
+            # <template>/<script> is reconciled when an ancestor closes
             self.drop_depth += 1
+            self.stack.append((tag, self.stack[-1][1], True))
             return
         if self.drop_depth:
             return
@@ -111,34 +124,48 @@ class _Extractor(HTMLParser):
             self.n_containers += 1
         self.stack.append((tag, container, negative))
         if tag in _BLOCK_TAGS:
-            blk = _Block(len(self.blocks), container, negative)
+            blk = _Block(container, negative)
             self.blocks.append(blk)
             self.open_blocks.append(blk)
 
     def handle_endtag(self, tag):
-        if tag in _DROP_SUBTREES:
-            self.drop_depth = max(0, self.drop_depth - 1)
+        self.bare_block = None
+        if self.drop_depth and tag not in _DROP_SUBTREES:
             return
-        if self.drop_depth:
-            return
-        if tag == "a":
-            self.link_depth = max(0, self.link_depth - 1)
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i][0] == tag:
                 closed = self.stack[i:]
                 del self.stack[i:]
-                n_blocks = sum(1 for t, _, _ in closed if t in _BLOCK_TAGS)
+                # reconcile every counter for implicitly closed elements
+                n_blocks = 0
+                for t, _, _ in closed:
+                    if t in _BLOCK_TAGS:
+                        n_blocks += 1
+                    elif t == "a":
+                        self.link_depth -= 1
+                    elif t in _DROP_SUBTREES:
+                        self.drop_depth -= 1
                 if n_blocks:
                     del self.open_blocks[-n_blocks:]
                 break
 
     def handle_data(self, data):
-        if self.drop_depth or not self.open_blocks:
+        if self.drop_depth:
             return
         text = data.strip()
         if not text:
             return
-        blk = self.open_blocks[-1]
+        if self.open_blocks:
+            blk = self.open_blocks[-1]
+        else:
+            # bare text directly inside a container (div/article/…):
+            # an anonymous block per contiguous run, so pages without
+            # <p> markup still extract (docstring step 2)
+            if self.bare_block is None:
+                _, container, negative = self.stack[-1]
+                self.bare_block = _Block(container, negative)
+                self.blocks.append(self.bare_block)
+            blk = self.bare_block
         blk.texts.append(text)
         blk.text_len += len(text)
         if self.link_depth:
@@ -193,7 +220,7 @@ def html_main_content_df(
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_id, html in zip(pdf[id_col], pdf[html_col]):
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
                 text, kept, dropped = extract_main_content(html)
                 rows.append((str(doc_id), text, kept, dropped))
             yield pd.DataFrame(rows, columns=[f.name for f in _MAIN_SCHEMA.fields])

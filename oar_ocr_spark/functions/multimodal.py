@@ -120,7 +120,7 @@ def payload_store_df(
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in schema.fields]
         for pdf in batches:
-            yield pd.DataFrame([row_fn(ref) for ref in pdf[ref_col]], columns=cols)
+            yield pd.DataFrame([row_fn(ref) for ref in pdf["media_ref"]], columns=cols)
 
     return refs.select(F.col(ref_col).alias("media_ref")).mapInPandas(it, schema=schema)
 
@@ -172,7 +172,7 @@ def decode_media_df(refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for ref in pdf[ref_col]:
+            for ref in pdf["media_ref"]:
                 img = _decode_payload(ref, "image")
                 rows.append((ref, "image", img.shape[1], img.shape[0], img.nbytes))
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA.fields])
@@ -208,7 +208,7 @@ def image_features_df(refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
         for pdf in batches:
             rows = [
                 _feature_row(ref, _decode_payload(ref, "image"), cfg)
-                for ref in pdf[ref_col]
+                for ref in pdf["media_ref"]
             ]
             yield pd.DataFrame(rows, columns=[f.name for f in _FEATURES_SCHEMA.fields])
 
@@ -232,7 +232,7 @@ def image_features_from_bytes_df(
         for pdf in batches:
             rows = [
                 _feature_row(ref, _decode_payload(ref, "image", payload), cfg)
-                for ref, payload in zip(pdf[ref_col], pdf[payload_col])
+                for ref, payload in zip(pdf["media_ref"], pdf["payload"])
             ]
             yield pd.DataFrame(rows, columns=[f.name for f in _FEATURES_SCHEMA.fields])
 
@@ -263,7 +263,7 @@ def frame_sample_df(
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for ref in pdf[ref_col]:
+            for ref in pdf["media_ref"]:
                 img = _decode_payload(ref, "image")
                 h = img.shape[0]
                 for i in range(n_frames):

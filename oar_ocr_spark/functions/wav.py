@@ -162,7 +162,7 @@ def audio_features_from_bytes_df(
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for ref, payload in zip(pdf[ref_col], pdf[payload_col]):
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
                 samples, rate = decode_wav(bytes(payload))
                 mono = samples[:, 0].astype(np.int64)
                 n = len(mono)

@@ -92,7 +92,7 @@ def annotated_pages_df(
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for ref in pdf[ref_col]:
+            for ref in pdf["media_ref"]:
                 png, w, h, n = annotate_page(ref, cfg)
                 rows.append((ref, png, w, h, n))
             yield pd.DataFrame(

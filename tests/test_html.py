@@ -97,8 +97,50 @@ class TestHeuristics:
         assert extract_main_content("") == ("", 0, 0)
         assert extract_main_content("<body><nav><li><a>x</a></li></nav></body>")[0] == ""
 
+    def test_unclosed_anchor_does_not_poison_link_depth(self):
+        # implicit </a> via the </p> unwind must decrement link depth,
+        # or every later block counts as link text and the article loses
+        html = (
+            "<body><div><p>short teaser blurb</p></div>"
+            '<div><p><a href="/x">see more</p>'
+            "<p>long real article text with many genuine words here today</p></div></body>"
+        )
+        main, _, _ = extract_main_content(html)
+        assert main.startswith("see more long real article")
+
+    def test_unclosed_drop_subtree_reconciles(self):
+        # an unclosed <template> inside <head> must not swallow the body
+        html = (
+            "<html><head><title>t</title><template></head>"
+            "<body><div><p>real body text</p></div></body></html>"
+        )
+        main, kept, _ = extract_main_content(html)
+        assert main == "real body text" and kept == 1
+
+    def test_bare_container_text_extracts(self):
+        html = "<body><div>Just plain text content no p tags at all</div></body>"
+        main, kept, _ = extract_main_content(html)
+        assert main == "Just plain text content no p tags at all" and kept == 1
+
+    def test_lexicon_tokens_are_word_anchored(self):
+        # 'threads'/'downloads' must NOT be treated as 'ads'
+        html = (
+            '<body><div class="threads"><p>forum main content text here</p></div></body>'
+        )
+        main, _, _ = extract_main_content(html)
+        assert main == "forum main content text here"
+
 
 class TestSpark:
+    def test_non_default_column_names(self, spark):
+        # the id_col/text_col/html_col params must actually work (the
+        # closures read the ALIASED names, not the caller's)
+        docs = spark.createDataFrame([(5, "custom column doc body")], ["k", "body"])
+        pages = html_corpus_df(docs, id_col="k", text_col="body")
+        renamed = pages.withColumnRenamed("html", "markup")
+        out = html_main_content_df(renamed, html_col="markup").collect()
+        assert out[0]["main_text"] == "custom column doc body"
+
     def test_corpus_roundtrip(self, spark):
         rows = [(i, f"document number {i} body text repeated words " * 3) for i in range(12)]
         docs = spark.createDataFrame(rows, ["doc_id", "text"])
