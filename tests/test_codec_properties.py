@@ -103,3 +103,34 @@ def test_avi_roundtrip_random(n_frames, h, w):
 )
 def test_png_roundtrip_random(img):
     assert (decode_png(encode_png(img)) == img).all()
+
+
+_TAG_SOUP = st.lists(
+    st.one_of(
+        st.sampled_from(
+            [
+                "<div>", "</div>", "<p>", "</p>", "<a href='x'>", "</a>",
+                "<li>", "</li>", "<nav>", "</nav>", "<script>", "</script>",
+                "<template>", "</head>", "<body>", "<td>", "</table>",
+                "<div class='sidebar'>", "<br>", "<img src=y>", "<!-- c -->",
+                "&amp;", "&#65;", "<", ">", "</",
+            ]
+        ),
+        st.text(alphabet="abc xyz\n\t&;", min_size=0, max_size=12),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_TAG_SOUP)
+def test_html_extractor_survives_tag_soup(parts):
+    # arbitrary malformed markup must never crash the extractor, and the
+    # result shape must stay sane (counters reconciled, no negatives)
+    from oar_ocr_spark.functions.html import extract_main_content
+
+    main, kept, dropped = extract_main_content("".join(parts))
+    assert isinstance(main, str)
+    assert kept >= 0 and dropped >= 0
+    assert (kept == 0) == (main == "")
