@@ -141,6 +141,44 @@ class TestForeignPdfs:
         with pytest.raises(NotImplementedError, match="JPEG"):
             decode_pdf(self._wrap(objs))
 
+    def test_incremental_update_newest_object_wins(self):
+        # real incremental update: append a replacement image object +
+        # a new xref whose trailer /Prev points at the original xref.
+        # The parser must take the LAST startxref and prefer the newest
+        # offsets (a small update leaves both startxrefs in the tail
+        # window — the exact case the last-match rule exists for).
+        old_img = np.full((4, 4), 9, dtype=np.uint8)
+        new_img = np.full((4, 4), 200, dtype=np.uint8)
+        base = encode_pdf([old_img])
+        doc = PdfDocument(base)
+        # object numbering from encode_pdf: 3 = the page's image XObject
+        img_num = 3
+        stream = zlib.compress(new_img.tobytes())
+        body = (
+            b"%d 0 obj\n" % img_num
+            + b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+            b" /Filter /FlateDecode /Length %d >>\nstream\n" % len(stream)
+            + stream
+            + b"\nendstream\nendobj\n"
+        )
+        prev_xref = doc._offsets  # noqa: F841 — original offsets stay reachable
+        m = re.search(rb"startxref\s+(\d+)", base[-64:])
+        orig_xref_pos = int(m.group(1))
+        out = bytearray(base)
+        obj_at = len(out)
+        out += body
+        xref_at = len(out)
+        out += b"xref\n%d 1\n%010d 00000 n \n" % (img_num, obj_at)
+        out += (
+            b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+            % (orig_xref_pos, xref_at)
+        )
+        updated = bytes(out)
+        pages = decode_pdf(updated)
+        assert (pages[0] == new_img).all()  # newest revision wins
+        assert (decode_pdf(base)[0] == old_img).all()  # original untouched
+
     def test_xref_stream_raises_declared(self):
         data = b"%PDF-1.5\njunk\nstartxref\n9\n%%EOF"  # offset 9 -> 'junk' not 'xref'
         with pytest.raises(NotImplementedError, match="cross-reference"):
