@@ -15,10 +15,11 @@ from the JPEG specification (ITU-T T.81 / ISO 10918-1) directly:
   canonical Huffman decode, dequantize, inverse zigzag, IDCT, clamp.
 
 Scope (declared, fails loudly outside it): baseline sequential DCT,
-8-bit, single greyscale component — the engine's page type. Progressive
-scans, multi-component (color) images, arithmetic coding, and restart
-intervals raise NotImplementedError (the codec-seam contract,
-functions/multimodal.py).
+8-bit, greyscale (the engine's page type) or 4:4:4 interleaved YCbCr
+color (Annex-K chrominance quantization + Huffman tables, JFIF
+full-range color conversion). Progressive scans, chroma subsampling,
+arithmetic coding, and restart intervals raise NotImplementedError
+(the codec-seam contract, functions/multimodal.py).
 
 JPEG is lossy: the round-trip contract here is NOT bit equality (PNG's
 contract) but (a) byte-level determinism of the encoder, (b) a tested
@@ -86,6 +87,42 @@ _AC_VALS = [
     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 ]
 
+# Annex K.2 chrominance quantization table (raster order)
+_QTABLE_K2 = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+).reshape(8, 8)
+
+# Annex K.3.3 / K.3.4 chrominance DC + AC tables
+_DC_BITS_C = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_VALS_C = list(range(12))
+_AC_BITS_C = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_VALS_C = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
 # orthonormal DCT-II basis: A[u, x] = c(u) cos((2x+1) u pi / 16)
 _A = np.zeros((8, 8))
 for _u in range(8):
@@ -109,12 +146,12 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return codes
 
 
-def _scaled_qtable(quality: int) -> np.ndarray:
-    """libjpeg-compatible quality scaling of the Annex-K table."""
+def _scaled_qtable(quality: int, base: np.ndarray | None = None) -> np.ndarray:
+    """libjpeg-compatible quality scaling of an Annex-K table."""
     if not 1 <= quality <= 100:
         raise ValueError("quality must be in 1..100")
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    q = (_QTABLE_K1 * scale + 50) // 100
+    q = ((_QTABLE_K1 if base is None else base) * scale + 50) // 100
     return np.clip(q, 1, 255)
 
 
@@ -152,23 +189,34 @@ def _code_arrays(bits: list[int], vals: list[int], n: int):
 
 _DC_CODE, _DC_LEN = _code_arrays(_DC_BITS, _DC_VALS, 12)
 _AC_CODE, _AC_LEN = _code_arrays(_AC_BITS, _AC_VALS, 256)
+_DCC_CODE, _DCC_LEN = _code_arrays(_DC_BITS_C, _DC_VALS_C, 12)
+_ACC_CODE, _ACC_LEN = _code_arrays(_AC_BITS_C, _AC_VALS_C, 256)
 
 
-def _encode_scan(zz: np.ndarray) -> bytes:
-    """Entropy-code the zigzag coefficient matrix (nb, 64) → stuffed
-    scan bytes. Fully vectorized: every symbol's (value, bitlength) is
-    computed in numpy, ordered by a (block, zigzag-pos, sub) sort key,
-    and packed into the bitstream with one ≤16-iteration bit loop —
-    the reference-shape per-symbol python BitWriter was ~5× the whole
-    encoder's cost on blocky pages."""
+def _component_symbols(
+    zz: np.ndarray,
+    comp: int,
+    n_comp: int,
+    dc_code: np.ndarray,
+    dc_len: np.ndarray,
+    ac_code: np.ndarray,
+    ac_len: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One component's (sort-key, value, bitlength) symbol arrays.
+
+    Fully vectorized: DC differentials, run-length AC symbols, ZRL
+    fillers and EOBs are computed in numpy; the interleaved-MCU
+    emission order is encoded in the key
+    ``(mcu·n_comp + comp)·270 + zigzag_pos·4 + sub`` so a single
+    stable argsort over all components yields the exact T.81 scan
+    order (4:4:4 ⇒ one block per component per MCU)."""
     nb = zz.shape[0]
-    blocks_arange = np.arange(nb, dtype=np.int64)
+    mcu_base = (np.arange(nb, dtype=np.int64) * n_comp + comp) * 270
 
     # --- DC: differential code + amplitude -------------------------------
     dcs = zz[:, 0]
     diffs = np.diff(dcs, prepend=0)
     dsize = _CAT_LUT[np.abs(diffs)]
-    dc_keys = blocks_arange * 270
     damp_mask = dsize > 0
     damps = np.where(diffs >= 0, diffs, diffs + (1 << dsize) - 1)
 
@@ -192,12 +240,12 @@ def _encode_scan(zz: np.ndarray) -> bytes:
     aamps = np.where(avals >= 0, avals, avals + (1 << asize) - 1)
     sym = (rem << 4) | asize
     if (len(sym) and int(np.max(asize)) > 10) or int(np.max(dsize, initial=0)) > 11:
-        # baseline luminance tables stop at AC size 10 / DC size 11;
+        # baseline Annex-K tables stop at AC size 10 / DC size 11;
         # uint8 input provably stays inside (|AC quant| <= 1020), so
         # reaching here means a scope change — fail loudly rather than
         # emit a zero-length code into the bitstream
         raise ValueError("JPEG coefficient category outside baseline Annex-K tables")
-    ac_keys = bid * 270 + kz * 4
+    ac_keys = mcu_base[bid] + kz * 4
 
     # ZRL fillers precede their item's code at the same position
     zrl_keys = np.repeat(ac_keys, n_zrl)
@@ -207,36 +255,38 @@ def _encode_scan(zz: np.ndarray) -> bytes:
     if len(bid):
         np.maximum.at(last_nz, bid, kz)
     eob_mask = last_nz < 63
-    eob_keys = blocks_arange[eob_mask] * 270 + 64 * 4
+    eob_keys = mcu_base[eob_mask] + 64 * 4
 
-    # --- assemble the (value, length) stream in emission order -----------
     keys = np.concatenate(
-        [dc_keys, dc_keys[damp_mask] + 1, zrl_keys, ac_keys + 1, ac_keys + 2, eob_keys]
+        [mcu_base, mcu_base[damp_mask] + 1, zrl_keys, ac_keys + 1, ac_keys + 2, eob_keys]
     )
     vals = np.concatenate(
         [
-            _DC_CODE[dsize],
+            dc_code[dsize],
             damps[damp_mask],
-            np.full(len(zrl_keys), _AC_CODE[0xF0], dtype=np.int64),
-            _AC_CODE[sym],
+            np.full(len(zrl_keys), ac_code[0xF0], dtype=np.int64),
+            ac_code[sym],
             aamps,
-            np.full(int(eob_mask.sum()), _AC_CODE[0x00], dtype=np.int64),
+            np.full(int(eob_mask.sum()), ac_code[0x00], dtype=np.int64),
         ]
     )
     lens = np.concatenate(
         [
-            _DC_LEN[dsize],
+            dc_len[dsize],
             dsize[damp_mask],
-            np.full(len(zrl_keys), _AC_LEN[0xF0], dtype=np.int64),
-            _AC_LEN[sym],
+            np.full(len(zrl_keys), ac_len[0xF0], dtype=np.int64),
+            ac_len[sym],
             asize,
-            np.full(int(eob_mask.sum()), _AC_LEN[0x00], dtype=np.int64),
+            np.full(int(eob_mask.sum()), ac_len[0x00], dtype=np.int64),
         ]
     )
+    return keys, vals, lens
+
+
+def _pack_symbols(keys: np.ndarray, vals: np.ndarray, lens: np.ndarray) -> bytes:
+    """Order symbols by key, pack MSB-first with 1-padding, byte-stuff."""
     order = np.argsort(keys, kind="stable")
     vals, lens = vals[order], lens[order]
-
-    # --- pack bits (MSB-first per symbol), pad with 1s, byte-stuff -------
     ends = np.cumsum(lens)
     starts = ends - lens
     total = int(ends[-1]) if len(ends) else 0
@@ -252,18 +302,41 @@ def _encode_scan(zz: np.ndarray) -> bytes:
     return packed.tobytes()
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """(H,W) uint8 greyscale → baseline JFIF JPEG bytes (deterministic)."""
-    if img.dtype != np.uint8 or img.ndim != 2:
-        raise ValueError(f"encode_jpeg expects (H,W) uint8, got {img.dtype} {img.shape}")
-    h, w = img.shape
-    if h == 0 or w == 0:
-        raise ValueError("empty image")
-    q = _scaled_qtable(quality)
+def _encode_scan(zz: np.ndarray) -> bytes:
+    """Single-component (greyscale) scan bytes."""
+    keys, vals, lens = _component_symbols(
+        zz, 0, 1, _DC_CODE, _DC_LEN, _AC_CODE, _AC_LEN
+    )
+    return _pack_symbols(keys, vals, lens)
 
-    # pad to 8-multiples by edge replication, block, DCT, quantize
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    """(H,W,3) uint8 RGB → (H,W,3) uint8 YCbCr (JFIF full-range)."""
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
+    """(H,W,3) uint8 YCbCr → (H,W,3) uint8 RGB (JFIF full-range)."""
+    y = planes[..., 0].astype(np.float64)
+    cb = planes[..., 1].astype(np.float64) - 128.0
+    cr = planes[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _plane_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(H,W) uint8 plane → (nb, 64) quantized zigzag coefficients."""
+    h, w = plane.shape
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge")
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
     blocks = (
         padded.reshape(ph // 8, 8, pw // 8, 8)
         .transpose(0, 2, 1, 3)
@@ -271,10 +344,25 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
         .astype(np.float64)
         - 128.0
     )
-    coefs = _dct2(blocks)
-    quant = np.round(coefs / q).astype(np.int64)
-    zz = quant.reshape(-1, 64)[:, _ZIGZAG]
+    quant = np.round(_dct2(blocks) / q).astype(np.int64)
+    return quant.reshape(-1, 64)[:, _ZIGZAG]
 
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """(H,W) uint8 greyscale or (H,W,3) uint8 RGB → baseline JFIF JPEG
+    bytes (deterministic). Color uses YCbCr 4:4:4 (no subsampling) with
+    the Annex-K chrominance quantization + Huffman tables."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError(f"encode_jpeg expects uint8 (H,W) or (H,W,3), got {img.dtype} {img.shape}")
+    if img.ndim == 3:
+        if img.shape[2] != 3:
+            raise ValueError(f"encode_jpeg expects 3 channels, got {img.shape}")
+        return _encode_jpeg_color(img, quality)
+    h, w = img.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = _scaled_qtable(quality)
+    zz = _plane_zz(img, q)
     scan = _encode_scan(zz)
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -289,6 +377,53 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
     out += scan
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _encode_jpeg_color(img: np.ndarray, quality: int) -> bytes:
+    """(H,W,3) RGB → 3-component interleaved 4:4:4 baseline JFIF."""
+    h, w = img.shape[0], img.shape[1]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ycc = _rgb_to_ycbcr(img)
+    q_lum = _scaled_qtable(quality)
+    q_chr = _scaled_qtable(quality, _QTABLE_K2)
+    tables = [
+        (q_lum, _DC_CODE, _DC_LEN, _AC_CODE, _AC_LEN),
+        (q_chr, _DCC_CODE, _DCC_LEN, _ACC_CODE, _ACC_LEN),
+        (q_chr, _DCC_CODE, _DCC_LEN, _ACC_CODE, _ACC_LEN),
+    ]
+    parts = []
+    for comp, (q, dc_c, dc_l, ac_c, ac_l) in enumerate(tables):
+        zz = _plane_zz(ycc[..., comp], q)
+        parts.append(_component_symbols(zz, comp, 3, dc_c, dc_l, ac_c, ac_l))
+    scan = _pack_symbols(
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+        np.concatenate([p[2] for p in parts]),
+    )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(JPEG_SOI)
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(q_lum.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    out += seg(0xFFDB, b"\x01" + bytes(q_chr.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    # SOF0: 3 components, ids 1/2/3, 1x1 sampling, qtables 0/1/1
+    out += seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+    )
+    out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += seg(0xFFC4, b"\x01" + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
+    out += seg(0xFFC4, b"\x11" + bytes(_AC_BITS_C) + bytes(_AC_VALS_C))
+    # SOS: 3 components, (dc,ac) table ids 0/0, 1/1, 1/1
+    out += seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
+    out += scan
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -392,14 +527,15 @@ def _extend(amp: int, size: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline greyscale JPEG bytes → (H,W) uint8 (deterministic)."""
+    """Baseline JPEG bytes → (H,W) uint8 greyscale or (H,W,3) uint8 RGB
+    (deterministic). 4:4:4 only; subsampled color raises."""
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     h = w = None
-    comp_qtable = comp_dc = comp_ac = 0
+    comp_qtids: list[int] = []
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
@@ -436,15 +572,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if depth != 8:
                 raise NotImplementedError(f"JPEG depth {depth} not supported")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "multi-component (color) JPEG not supported here — "
-                    "the engine's pages are greyscale"
+                    f"JPEG with {ncomp} components not supported (grey or 4:4:4 color)"
                 )
-            sampling = body[7]
-            if sampling != 0x11:
-                raise NotImplementedError("JPEG subsampling not supported")
-            comp_qtable = body[8]
+            comp_qtids = []
+            for c in range(ncomp):
+                if body[6 + 3 * c + 1] != 0x11:
+                    raise NotImplementedError(
+                        "subsampled (non-4:4:4) JPEG not supported here"
+                    )
+                comp_qtids.append(body[6 + 3 * c + 2])
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"JPEG process SOF{marker - 0xC0} (progressive/extended) not supported"
@@ -454,41 +592,55 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if h is None:
                 raise ValueError("JPEG SOS before SOF0")
-            comp_dc = body[2] >> 4
-            comp_ac = body[2] & 0x0F
-            q = qtables[comp_qtable]
-            dc_tbl = huff[(0, comp_dc)]
-            ac_tbl = huff[(1, comp_ac)]
+            ncomp = body[0]
+            if ncomp != len(comp_qtids):
+                raise ValueError("JPEG SOS component count mismatch with SOF0")
+            comp_tbls = []
+            for c in range(ncomp):
+                tbl_byte = body[2 + 2 * c]
+                comp_tbls.append(
+                    (huff[(0, tbl_byte >> 4)], huff[(1, tbl_byte & 0x0F)])
+                )
             reader = _BitReader(data, pos)
             bh, bw_ = -(-h // 8), -(-w // 8)
-            out = np.zeros((bh * bw_, 64), dtype=np.int64)
-            pred = 0
-            for n in range(bh * bw_):
-                size = _decode_huffman(reader, dc_tbl)
-                pred += _extend(reader.read_bits(size), size)
-                out[n, 0] = pred
-                k = 1
-                while k < 64:
-                    sym = _decode_huffman(reader, ac_tbl)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k >= 64:
-                        raise ValueError("JPEG AC run overflows block")
-                    out[n, k] = _extend(reader.read_bits(size), size)
-                    k += 1
-            coefs = (out[:, _UNZIGZAG].reshape(-1, 8, 8)) * q
-            blocks = _idct2(coefs.astype(np.float64))
-            pixels = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
-            full = (
-                pixels.reshape(bh, bw_, 8, 8)
-                .transpose(0, 2, 1, 3)
-                .reshape(bh * 8, bw_ * 8)
-            )
-            return full[:h, :w]
+            nmcu = bh * bw_
+            outs = [np.zeros((nmcu, 64), dtype=np.int64) for _ in range(ncomp)]
+            preds = [0] * ncomp
+            for n in range(nmcu):
+                for c in range(ncomp):  # interleaved MCU, one block/comp (4:4:4)
+                    dc_tbl, ac_tbl = comp_tbls[c]
+                    out = outs[c]
+                    size = _decode_huffman(reader, dc_tbl)
+                    preds[c] += _extend(reader.read_bits(size), size)
+                    out[n, 0] = preds[c]
+                    k = 1
+                    while k < 64:
+                        sym = _decode_huffman(reader, ac_tbl)
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        run, size = sym >> 4, sym & 0x0F
+                        k += run
+                        if k >= 64:
+                            raise ValueError("JPEG AC run overflows block")
+                        out[n, k] = _extend(reader.read_bits(size), size)
+                        k += 1
+            planes = []
+            for c in range(ncomp):
+                q = qtables[comp_qtids[c]]
+                coefs = (outs[c][:, _UNZIGZAG].reshape(-1, 8, 8)) * q
+                blocks = _idct2(coefs.astype(np.float64))
+                pixels = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
+                full = (
+                    pixels.reshape(bh, bw_, 8, 8)
+                    .transpose(0, 2, 1, 3)
+                    .reshape(bh * 8, bw_ * 8)
+                )
+                planes.append(full[:h, :w])
+            if ncomp == 1:
+                return planes[0]
+            return _ycbcr_to_rgb(np.stack(planes, axis=-1))
         # other segments (APPn, COM) are skipped
     raise ValueError("JPEG has no SOS scan")

@@ -53,11 +53,57 @@ class TestRoundtrip:
         with pytest.raises(ValueError):
             encode_jpeg(np.zeros((4, 4), dtype=np.int32))
         with pytest.raises(ValueError):
-            encode_jpeg(np.zeros((4, 4, 3), dtype=np.uint8))
+            encode_jpeg(np.zeros((4, 4, 4), dtype=np.uint8))  # RGBA unsupported
         with pytest.raises(ValueError):
             encode_jpeg(np.zeros((4, 4), dtype=np.uint8), quality=0)
         with pytest.raises(ValueError):
             decode_jpeg(b"\x89PNG....")
+
+
+class TestColor:
+    def _color_img(self, h, w, seed=11):
+        rng = np.random.RandomState(seed)
+        small = rng.randint(0, 256, (h // 4 + 1, w // 4 + 1, 3)).astype(np.uint8)
+        return np.kron(small, np.ones((4, 4, 1), dtype=np.uint8))[:h, :w, :]
+
+    def test_color_roundtrip_bounded_and_deterministic(self):
+        for h, w in [(17, 23), (64, 48), (8, 8), (1, 1)]:
+            img = self._color_img(h, w)
+            data = encode_jpeg(img, 100)
+            assert data == encode_jpeg(img, 100)
+            out = decode_jpeg(data)
+            assert out.shape == img.shape and out.dtype == np.uint8
+            # DCT round-off (±1 per plane) + YCbCr↔RGB rounding
+            assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+
+    def test_color_uses_chroma_tables_from_file(self):
+        # different qualities write different chroma DQTs; the decoder
+        # must dequantize Cb/Cr with table 1 from the FILE
+        img = self._color_img(32, 24)
+        for q in (60, 85):
+            out = decode_jpeg(encode_jpeg(img, q))
+            assert np.abs(out.astype(int) - img.astype(int)).max() <= 120
+
+    def test_grayscale_bytes_unchanged_by_color_support(self):
+        # the 1-component stream must be identical to the grey-only
+        # encoder (no extra DQT/DHT segments, same symbol stream)
+        img = render_page("40_m0")
+        data = encode_jpeg(img, 90)
+        assert data.count(b"\xff\xdb") == 1  # one quant table
+        assert data.count(b"\xff\xc4") == 2  # DC+AC luminance only
+        assert (decode_jpeg(data).shape) == img.shape
+
+    def test_subsampled_color_raises_declared(self):
+        data = encode_jpeg(self._color_img(16, 16), 90)
+        i = data.index(b"\xff\xc0")
+        # patch Y sampling 0x11 -> 0x22 (2x2 subsampling declared)
+        patched = data[: i + 11] + b"\x22" + data[i + 12 :]
+        with pytest.raises(NotImplementedError, match="4:4:4"):
+            decode_jpeg(patched)
+
+    def test_wrong_channel_count_raises(self):
+        with pytest.raises(ValueError):
+            encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
 
 
 class TestSpanPreservation:
@@ -114,8 +160,9 @@ class TestDeclaredSubset:
         with pytest.raises(NotImplementedError, match="progressive"):
             decode_jpeg(data)
 
-    def test_color_raises(self):
-        # splice a 3-component SOF0 into a valid stream
+    def test_subsampled_sof_raises(self):
+        # splice a 3-component SOF0 with 2x2-subsampled Y into a valid
+        # stream — 4:2:0 is outside the declared subset (4:4:4 decodes)
         data = encode_jpeg(render_page("40_m0"))
         i = data.index(b"\xff\xc0")
         (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
@@ -125,7 +172,20 @@ class TestDeclaredSubset:
             + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
         )
         patched = data[:i] + sof3 + data[i + 2 + seglen :]
-        with pytest.raises(NotImplementedError, match="color"):
+        with pytest.raises(NotImplementedError, match="4:4:4"):
+            decode_jpeg(patched)
+
+    def test_four_component_raises(self):
+        data = encode_jpeg(render_page("40_m0"))
+        i = data.index(b"\xff\xc0")
+        (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+        sof4 = (
+            b"\xff\xc0"
+            + struct.pack(">HBHHB", 8 + 3 * 4 + 2, 8, 98, 126, 4)
+            + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01\x04\x11\x01"
+        )
+        patched = data[:i] + sof4 + data[i + 2 + seglen :]
+        with pytest.raises(NotImplementedError, match="components"):
             decode_jpeg(patched)
 
     def test_restart_interval_raises(self):
