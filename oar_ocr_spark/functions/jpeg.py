@@ -348,6 +348,12 @@ def _plane_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     return quant.reshape(-1, 64)[:, _ZIGZAG]
 
 
+def _seg(marker: int, body: bytes) -> bytes:
+    """One marker segment (shared by the grey and color framers — keep
+    any marker-emission fix in ONE place)."""
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     """(H,W) uint8 greyscale or (H,W,3) uint8 RGB → baseline JFIF JPEG
     bytes (deterministic). Color uses YCbCr 4:4:4 (no subsampling) with
@@ -364,9 +370,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     q = _scaled_qtable(quality)
     zz = _plane_zz(img, q)
     scan = _encode_scan(zz)
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
+    seg = _seg
 
     out = bytearray(JPEG_SOI)
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
@@ -403,8 +407,7 @@ def _encode_jpeg_color(img: np.ndarray, quality: int) -> bytes:
         np.concatenate([p[2] for p in parts]),
     )
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
+    seg = _seg
 
     out = bytearray(JPEG_SOI)
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -578,6 +581,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 )
             comp_qtids = []
             for c in range(ncomp):
+                if ncomp == 3 and body[6 + 3 * c] != c + 1:
+                    # IDs 1/2/3 = YCbCr (JFIF). 'R','G','B' IDs (or an
+                    # Adobe transform) mean an RGB-colorspace JPEG —
+                    # decoding it as YCbCr would be silently wrong colors
+                    raise NotImplementedError(
+                        "non-YCbCr component IDs (RGB-colorspace JPEG) not supported here"
+                    )
                 if body[6 + 3 * c + 1] != 0x11:
                     raise NotImplementedError(
                         "subsampled (non-4:4:4) JPEG not supported here"
@@ -593,8 +603,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if h is None:
                 raise ValueError("JPEG SOS before SOF0")
             ncomp = body[0]
-            if ncomp != len(comp_qtids):
-                raise ValueError("JPEG SOS component count mismatch with SOF0")
+            if ncomp < len(comp_qtids):
+                # legal baseline variant (one scan per component) that
+                # this decoder does not implement — not a corrupt file
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG not supported here"
+                )
+            if ncomp > len(comp_qtids):
+                raise ValueError("JPEG SOS component count exceeds SOF0")
             comp_tbls = []
             for c in range(ncomp):
                 tbl_byte = body[2 + 2 * c]

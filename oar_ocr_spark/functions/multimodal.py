@@ -57,6 +57,19 @@ _FEATURES_SCHEMA = T.StructType(
 )
 
 
+def _to_grey(img: np.ndarray) -> np.ndarray:
+    """Color decodes (RGB PNG / 4:4:4 color JPEG) → the engine's grey
+    page type via ITU-R BT.601 luma (the same weights the JPEG
+    encoder's Y channel uses), deterministically rounded. Every
+    downstream operator keeps its (H,W) contract."""
+    if img.ndim == 2:
+        return img
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    return np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255).astype(np.uint8)
+
+
 def _decode_payload(
     media_ref: str, media_type: str, payload: bytes | None = None
 ) -> np.ndarray:
@@ -76,9 +89,9 @@ def _decode_payload(
         from .png import PNG_SIGNATURE, decode_png
 
         if bytes(payload[:8]) == PNG_SIGNATURE:
-            return decode_png(bytes(payload))
+            return _to_grey(decode_png(bytes(payload)))
         if bytes(payload[:2]) == JPEG_SOI:
-            return decode_jpeg(bytes(payload))
+            return _to_grey(decode_jpeg(bytes(payload)))
         raise NotImplementedError(
             "codec for this media payload format not available in this environment"
         )

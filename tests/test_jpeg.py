@@ -105,6 +105,39 @@ class TestColor:
         with pytest.raises(ValueError):
             encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
 
+    def test_rgb_colorspace_component_ids_raise(self):
+        # patch component IDs 1/2/3 -> 'R'/'G'/'B' (an RGB-colorspace
+        # baseline JPEG): decoding it as YCbCr would silently produce
+        # wrong colors, so the declared error must fire instead
+        data = encode_jpeg(self._color_img(16, 16), 90)
+        i = data.index(b"\xff\xc0")
+        body = bytearray(data[i + 4 : i + 4 + 15])
+        body[6], body[9], body[12] = 0x52, 0x47, 0x42  # 'R','G','B'
+        patched = data[: i + 4] + bytes(body) + data[i + 4 + 15 :]
+        with pytest.raises(NotImplementedError, match="RGB-colorspace"):
+            decode_jpeg(patched)
+
+    def test_color_payload_greyscales_at_media_seam(self):
+        # the media seam keeps its (H,W) contract: a color JPEG payload
+        # decodes to the BT.601 luma plane, not a 3D array that would
+        # crash detect_page deep inside a UDF
+        from oar_ocr_spark.functions.multimodal import _decode_payload
+
+        img = self._color_img(24, 16)
+        out = _decode_payload("x", "image", encode_jpeg(img, 100))
+        assert out.ndim == 2 and out.shape == (24, 16) and out.dtype == np.uint8
+        luma = np.clip(
+            np.round(
+                0.299 * img[..., 0].astype(float)
+                + 0.587 * img[..., 1].astype(float)
+                + 0.114 * img[..., 2].astype(float)
+            ),
+            0,
+            255,
+        )
+        # within codec round-trip error of the exact luma
+        assert np.abs(out.astype(int) - luma.astype(int)).max() <= 4
+
 
 class TestSpanPreservation:
     """The q=100 quant table is all-ones, so the only loss is DCT

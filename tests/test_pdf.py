@@ -150,7 +150,6 @@ class TestForeignPdfs:
         old_img = np.full((4, 4), 9, dtype=np.uint8)
         new_img = np.full((4, 4), 200, dtype=np.uint8)
         base = encode_pdf([old_img])
-        doc = PdfDocument(base)
         # object numbering from encode_pdf: 3 = the page's image XObject
         img_num = 3
         stream = zlib.compress(new_img.tobytes())
@@ -162,7 +161,6 @@ class TestForeignPdfs:
             + stream
             + b"\nendstream\nendobj\n"
         )
-        prev_xref = doc._offsets  # noqa: F841 — original offsets stay reachable
         m = re.search(rb"startxref\s+(\d+)", base[-64:])
         orig_xref_pos = int(m.group(1))
         out = bytearray(base)
