@@ -21,7 +21,8 @@ container for every page-level retry; at corpus scale the materialized
 page store wins.)
 
 Writer scope: 8-bit greyscale pages (the engine's page type) embedded
-as /DeviceGray /FlateDecode image XObjects, one per page, plus an
+as /DeviceGray image XObjects — FlateDecode (lossless, default) or
+DCTDecode baseline JPEG (the scanned-PDF layout) — one per page, plus an
 /Info dict whose /Title carries the newline-joined page media_refs so
 the container is self-describing. Everything is real PDF syntax: object
 table, xref, trailer, startxref.
@@ -30,8 +31,10 @@ Parser scope (declared, fails loudly outside it): classic xref tables
 (incl. /Prev chains), indirect /Length, nested /Pages trees, literal +
 hex strings, comments, /DeviceGray and /DeviceRGB FlateDecode or
 uncompressed image XObjects. Cross-reference *streams* (PDF 1.5+) and
-DCTDecode/JPXDecode images raise NotImplementedError — the same honest
-codec-seam contract as functions/png.py (no JPEG codec here).
+JPXDecode (JPEG 2000) images raise NotImplementedError; DCTDecode
+images — the layout real scanned PDFs use — decode through the
+engine's own baseline JPEG codec (functions/jpeg.py, whose declared
+subset applies).
 
 Determinism: FlateDecode is lossless and the writer emits exact-integer
 pages, so container → pages → spans preserves the CLAUDE.md contract
@@ -72,15 +75,26 @@ def _pdf_string(s: str) -> bytes:
     return b"(" + out.encode("latin-1") + b")"
 
 
-def encode_pdf(pages: list[np.ndarray], page_refs: list[str] | None = None) -> bytes:
+def encode_pdf(
+    pages: list[np.ndarray],
+    page_refs: list[str] | None = None,
+    image_format: str = "flate",
+    quality: int = 100,
+) -> bytes:
     """Greyscale (H,W) uint8 pages → real PDF 1.4 bytes.
 
-    Each page is a /DeviceGray 8-bit image XObject (FlateDecode — i.e.
-    zlib, lossless) drawn full-bleed on a page whose MediaBox matches
-    the pixel dims. `page_refs` (one per page) lands newline-joined in
-    the /Info /Title string so the container names its own pages."""
+    Each page is a /DeviceGray 8-bit image XObject drawn full-bleed on
+    a page whose MediaBox matches the pixel dims. image_format="flate"
+    (default) stores zlib-compressed raw samples — lossless, the oracle
+    path; image_format="jpeg" stores baseline-JPEG bytes under
+    /DCTDecode (the layout real scanned PDFs use; lossy per
+    functions/jpeg.py's contract). `page_refs` (one per page) lands
+    newline-joined in the /Info /Title string so the container names
+    its own pages."""
     if page_refs is not None and len(page_refs) != len(pages):
         raise ValueError("page_refs length must match pages")
+    if image_format not in ("flate", "jpeg"):
+        raise ValueError(f"image_format must be 'flate' or 'jpeg', got {image_format!r}")
     for p in pages:
         if p.dtype != np.uint8 or p.ndim != 2:
             raise ValueError(f"encode_pdf expects (H,W) uint8 pages, got {p.dtype} {p.shape}")
@@ -96,11 +110,18 @@ def encode_pdf(pages: list[np.ndarray], page_refs: list[str] | None = None) -> b
     kid_nums = []
     for page in pages:
         h, w = page.shape
-        data = zlib.compress(page.tobytes(), 6)
+        if image_format == "jpeg":
+            from .jpeg import encode_jpeg
+
+            data = encode_jpeg(page, quality)
+            filter_name = b"DCTDecode"
+        else:
+            data = zlib.compress(page.tobytes(), 6)
+            filter_name = b"FlateDecode"
         img_num = add(
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
             b" /ColorSpace /DeviceGray /BitsPerComponent 8"
-            b" /Filter /FlateDecode /Length %d >>\nstream\n" % (w, h, len(data))
+            b" /Filter /%s /Length %d >>\nstream\n" % (w, h, filter_name, len(data))
             + data
             + b"\nendstream"
         )
@@ -386,14 +407,18 @@ class PdfDocument:
             filt = d.get("Filter")
             filts = [filt] if not isinstance(filt, list) else filt
             filts = [str(f) for f in filts if f is not None]
-            if any(f in ("DCTDecode", "JPXDecode") for f in filts):
-                raise NotImplementedError(
-                    f"PDF image filter {filts} needs a JPEG codec — "
-                    "not available in this environment"
-                )
             for f in filts:
                 if f == "FlateDecode":
                     raw = zlib.decompress(raw)
+                elif f == "DCTDecode":
+                    # JPEG-compressed image XObject — the common layout
+                    # for scanned PDFs; decoded by the engine's own
+                    # baseline codec (functions/jpeg.py; its declared
+                    # subset applies — progressive/subsampled raise
+                    # there)
+                    from .jpeg import decode_jpeg
+
+                    return decode_jpeg(raw)
                 else:
                     raise NotImplementedError(f"PDF stream filter {f} not supported")
             w, h = int(self.resolve(d["Width"])), int(self.resolve(d["Height"]))

@@ -128,18 +128,50 @@ class TestForeignPdfs:
         assert pages[0].shape == (2, 6, 3)
         assert (pages[0] == img).all()
 
-    def test_dctdecode_raises_declared(self):
+    def test_dctdecode_images_decode_via_jpeg_codec(self):
+        # JPEG-compressed image XObjects (the layout of real scanned
+        # PDFs) decode through the engine's own baseline codec
+        from oar_ocr_spark.functions.jpeg import encode_jpeg
+
+        img = render_page("40_m0")
+        jp = encode_jpeg(img, 100)
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R "
+            b"/Resources << /XObject << /Im0 4 0 R >> >> >>",
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode "
+            b"/Length %d >> stream\n" % (img.shape[1], img.shape[0], len(jp))
+            + jp
+            + b"\nendstream",
+        ]
+        pages = decode_pdf(self._wrap(objs))
+        assert np.abs(pages[0].astype(int) - img.astype(int)).max() <= 1
+
+    def test_jpx_raises_declared(self):
         objs = [
             b"<< /Type /Catalog /Pages 2 0 R >>",
             b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
             b"<< /Type /Page /Parent 2 0 R "
             b"/Resources << /XObject << /Im0 4 0 R >> >> >>",
             b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 "
-            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode "
-            b"/Length 4 >> stream\n\xff\xd8\xff\xd9\nendstream",
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /JPXDecode "
+            b"/Length 4 >> stream\nabcd\nendstream",
         ]
-        with pytest.raises(NotImplementedError, match="JPEG"):
+        with pytest.raises(NotImplementedError, match="JPXDecode"):
             decode_pdf(self._wrap(objs))
+
+    def test_scanned_pdf_roundtrip_jpeg_pages(self):
+        # writer's image_format='jpeg' produces a real scanned-style PDF
+        refs = ["40_m0", "7_m1"]
+        pages = _pages(refs)
+        data = encode_pdf(pages, refs, image_format="jpeg", quality=100)
+        assert b"/DCTDecode" in data
+        out = decode_pdf(data)
+        assert decode_pdf_refs(data) == refs
+        for got, want in zip(out, pages):
+            assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
 
     def test_incremental_update_newest_object_wins(self):
         # real incremental update: append a replacement image object +
