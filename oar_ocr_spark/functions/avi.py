@@ -211,6 +211,29 @@ def video_store_df(
     )
 
 
+def frame_feature_rows(ref: str, data: bytes, n_sample: int) -> list[tuple]:
+    """Per-payload body of frame_sample_from_bytes_df (module-level so
+    the zero-frame guard is unit-testable without a Spark job)."""
+    total = avi_frame_count(data)
+    if total == 0:
+        # foreign/corrupt container (the in-house encoder requires
+        # ≥1 frame) — fail with a clear message instead of a bare
+        # IndexError from probing frame 0
+        raise ValueError(f"AVI has no video frames (media_ref={ref!r})")
+    idx = sorted({(total * k) // n_sample for k in range(n_sample)})
+    return [
+        (
+            ref,
+            int(i),
+            frame.shape[0],
+            frame.shape[1],
+            round(float(frame.mean()), 6),
+            round(float((frame < 200).mean()), 6),
+        )
+        for i, frame in zip(idx, decode_avi_frames(data, idx))
+    ]
+
+
 def frame_sample_from_bytes_df(
     store: DataFrame,
     n_sample: int = 4,
@@ -226,20 +249,7 @@ def frame_sample_from_bytes_df(
         for pdf in batches:
             rows = []
             for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
-                data = bytes(payload)
-                total = avi_frame_count(data)
-                idx = sorted({(total * k) // n_sample for k in range(n_sample)})
-                for i, frame in zip(idx, decode_avi_frames(data, idx)):
-                    rows.append(
-                        (
-                            ref,
-                            int(i),
-                            frame.shape[0],
-                            frame.shape[1],
-                            round(float(frame.mean()), 6),
-                            round(float((frame < 200).mean()), 6),
-                        )
-                    )
+                rows.extend(frame_feature_rows(str(ref), bytes(payload), n_sample))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _FRAME_FEATURES_SCHEMA.fields]
             )

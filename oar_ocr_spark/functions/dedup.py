@@ -301,8 +301,8 @@ def duplicate_clusters(
     labels) with POINTER DOUBLING (label-of-label: every node also
     adopts its current label's label), so convergence is O(log
     component diameter) rounds instead of O(diameter) — a 1000-node
-    chain finishes in ~10 rounds (pinned by
-    test_components_property.test_chain_converges_logarithmically).
+    chain finishes in ~10 rounds (pinned by tests/test_functions.py::
+    test_duplicate_clusters_chain_converges_logarithmically).
     Near-dup cliques still finish in one round. Per round: two shuffle
     joins + one count action on the persisted result frame;
     localCheckpoint every few rounds truncates the growing loop

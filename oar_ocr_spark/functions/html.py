@@ -88,7 +88,10 @@ class _Extractor(HTMLParser):
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.stack: list[tuple[str, int, bool]] = [("#root", 0, False)]
+        # (tag, container_id, negative, in_drop) — in_drop entries exist
+        # only so end tags inside dropped subtrees unwind their own
+        # element instead of matching an ancestor outside the subtree
+        self.stack: list[tuple[str, int, bool, bool]] = [("#root", 0, False, False)]
         self.drop_depth = 0
         self.link_depth = 0
         self.blocks: list[_Block] = []
@@ -111,18 +114,22 @@ class _Extractor(HTMLParser):
             # dropped subtrees ride the SAME stack so an unclosed
             # <template>/<script> is reconciled when an ancestor closes
             self.drop_depth += 1
-            self.stack.append((tag, self.stack[-1][1], True))
+            self.stack.append((tag, self.stack[-1][1], True, True))
             return
         if self.drop_depth:
+            # still push (flagged in_drop) so an end tag INSIDE the
+            # dropped subtree unwinds its own element rather than
+            # falsely matching an ancestor outside the subtree
+            self.stack.append((tag, self.stack[-1][1], True, True))
             return
         if tag == "a":
             self.link_depth += 1
-        _, container, negative = self.stack[-1]
+        _, container, negative, _ = self.stack[-1]
         negative = negative or self._is_negative(tag, attrs)
         if tag in _CONTAINER_TAGS:
             container = self.n_containers
             self.n_containers += 1
-        self.stack.append((tag, container, negative))
+        self.stack.append((tag, container, negative, False))
         if tag in _BLOCK_TAGS:
             blk = _Block(container, negative)
             self.blocks.append(blk)
@@ -130,21 +137,25 @@ class _Extractor(HTMLParser):
 
     def handle_endtag(self, tag):
         self.bare_block = None
-        if self.drop_depth and tag not in _DROP_SUBTREES:
-            return
+        # no drop_depth early-exit: an ancestor's end tag must be able to
+        # implicitly close an unclosed <template>/<svg>/… so the rest of
+        # the document is not silently dropped (a tag not on the stack is
+        # a no-op — the scan simply finds no match)
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i][0] == tag:
                 closed = self.stack[i:]
                 del self.stack[i:]
                 # reconcile every counter for implicitly closed elements
                 n_blocks = 0
-                for t, _, _ in closed:
-                    if t in _BLOCK_TAGS:
+                for t, _, _, in_drop in closed:
+                    if t in _DROP_SUBTREES:
+                        self.drop_depth -= 1
+                    elif in_drop:
+                        continue  # never counted toward blocks/links
+                    elif t in _BLOCK_TAGS:
                         n_blocks += 1
                     elif t == "a":
                         self.link_depth -= 1
-                    elif t in _DROP_SUBTREES:
-                        self.drop_depth -= 1
                 if n_blocks:
                     del self.open_blocks[-n_blocks:]
                 break
@@ -162,7 +173,7 @@ class _Extractor(HTMLParser):
             # an anonymous block per contiguous run, so pages without
             # <p> markup still extract (docstring step 2)
             if self.bare_block is None:
-                _, container, negative = self.stack[-1]
+                _, container, negative, _ = self.stack[-1]
                 self.bare_block = _Block(container, negative)
                 self.blocks.append(self.bare_block)
             blk = self.bare_block

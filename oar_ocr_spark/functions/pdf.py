@@ -244,9 +244,24 @@ def _parse_value(data: bytes, pos: int):
             ch = data[pos]
             if ch == 0x5C:  # backslash escape
                 nxt = data[pos + 1]
-                esc = {0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b", 0x66: b"\f"}
-                out += esc.get(nxt, bytes([nxt]))
-                pos += 2
+                if 0x30 <= nxt <= 0x37:  # \ddd octal, 1-3 digits (spec 7.3.4.2)
+                    j = pos + 1
+                    val = 0
+                    while j < pos + 4 and j < len(data) and 0x30 <= data[j] <= 0x37:
+                        val = val * 8 + (data[j] - 0x30)
+                        j += 1
+                    out.append(val & 0xFF)
+                    pos = j
+                elif nxt in (0x0D, 0x0A):  # backslash-EOL: line continuation
+                    pos += 2
+                    if nxt == 0x0D and pos < len(data) and data[pos] == 0x0A:
+                        pos += 1
+                else:
+                    esc = {
+                        0x6E: b"\n", 0x72: b"\r", 0x74: b"\t", 0x62: b"\b", 0x66: b"\f",
+                    }
+                    out += esc.get(nxt, bytes([nxt]))
+                    pos += 2
             elif ch == 0x28:
                 depth += 1
                 out.append(ch)
@@ -301,7 +316,7 @@ class PdfDocument:
             raise ValueError("not a PDF (missing %PDF- header)")
         self._data = data
         self._cache: dict[int, object] = {}
-        self._offsets: dict[int, int] = {}
+        self._offsets: dict[int, int | None] = {}  # None = freed ('f' entry)
         self.trailer = self._read_xref_chain()
 
     # -- xref / trailer ----------------------------------------------------
@@ -336,6 +351,12 @@ class PdfDocument:
                     off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
                     if kind == b"n":
                         self._offsets.setdefault(start + i, int(off))
+                    elif kind == b"f":
+                        # a newer free entry must MASK an older in-use
+                        # entry (incremental-update deletion); None means
+                        # "absent" to _load, and setdefault keeps the
+                        # newest revision's verdict
+                        self._offsets.setdefault(start + i, None)
                     p += 20
                 p = _skip_ws(data, p)
             t, _ = _parse_value(data, p + len(b"trailer"))

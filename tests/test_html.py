@@ -117,6 +117,32 @@ class TestHeuristics:
         main, kept, _ = extract_main_content(html)
         assert main == "real body text" and kept == 1
 
+    def test_implicitly_closed_drop_subtree_mid_document(self):
+        # an unclosed <template> implicitly closed by an ANCESTOR's end
+        # tag must not swallow the rest of the document (round-4 advice:
+        # drop_depth used to stay >0 and everything after was dropped)
+        html = (
+            "<div><template>x</div>"
+            "<div><p>article body text here long enough to win</p></div>"
+        )
+        main, kept, _ = extract_main_content(html)
+        assert main == "article body text here long enough to win" and kept == 1
+
+    def test_end_tag_inside_drop_subtree_does_not_close_ancestor(self):
+        # an inner </div> INSIDE <template> must unwind the template's
+        # own <div>, not falsely match the ancestor div outside it
+        html = (
+            "<div><template><div>junk</div></template>"
+            "<p>real article content text stays</p></div>"
+        )
+        main, kept, _ = extract_main_content(html)
+        assert main == "real article content text stays" and kept == 1
+
+    def test_stray_end_tag_inside_drop_subtree_is_noop(self):
+        html = "<div><template></p>junk</div><p>after text survives fine</p>"
+        main, _, _ = extract_main_content(html)
+        assert main == "after text survives fine"
+
     def test_bare_container_text_extracts(self):
         html = "<body><div>Just plain text content no p tags at all</div></body>"
         main, kept, _ = extract_main_content(html)

@@ -100,6 +100,16 @@ class TestAvi:
         with pytest.raises(NotImplementedError, match="frame codec"):
             frames(patched, [0])
 
+    def test_zero_frame_avi_fails_loudly(self):
+        # a foreign container with no '00dc' chunks must raise a clear
+        # scope error, not a bare IndexError from probing frame 0
+        from oar_ocr_spark.functions.avi import frame_feature_rows
+
+        empty = b"RIFF\x04\x00\x00\x00AVI "
+        assert avi_frame_count(empty) == 0
+        with pytest.raises(ValueError, match="no video frames"):
+            frame_feature_rows("x_m0", empty, 4)
+
     def test_not_an_avi(self):
         with pytest.raises(ValueError):
             avi_frame_count(b"RIFF\x04\x00\x00\x00WAVE")

@@ -69,6 +69,8 @@ class TestCodecRoundtrip:
         data = encode_pdf(_pages(["40_m0"]), ["40_m0"])
         doc = PdfDocument(data)
         for num, off in doc._offsets.items():
+            if off is None:
+                continue  # freed entry (object 0 = head of the free list)
             assert re.match(rb"%d\s+0\s+obj" % num, data[off : off + 20])
 
 
@@ -208,6 +210,39 @@ class TestForeignPdfs:
         pages = decode_pdf(updated)
         assert (pages[0] == new_img).all()  # newest revision wins
         assert (decode_pdf(base)[0] == old_img).all()  # original untouched
+
+    def test_literal_string_octal_and_continuation(self):
+        # PDF 7.3.4.2: \ddd octal escapes (1-3 digits) and backslash-EOL
+        # line continuations — foreign PDFs use both in /Info strings
+        from oar_ocr_spark.functions.pdf import _parse_value
+
+        val, _ = _parse_value(b"(\\101\\12\\0053)", 0)
+        assert val == "A\n\x053"  # 3-digit, 2-digit, 3-digit+literal
+        val, _ = _parse_value(b"(ab\\\ncd)", 0)
+        assert val == "abcd"  # \<LF> continuation vanishes
+        val, _ = _parse_value(b"(ab\\\r\ncd)", 0)
+        assert val == "abcd"  # \<CRLF> counts as ONE line end
+        val, _ = _parse_value(b"(a\\(b\\)c\\\\d)", 0)
+        assert val == "a(b)c\\d"  # named/identity escapes unchanged
+
+    def test_incremental_update_free_entry_deletes_object(self):
+        # an 'f' (free) entry in a NEWER xref section must mask the older
+        # section's 'n' entry — a deleted object must not resurrect
+        img = np.full((4, 4), 9, dtype=np.uint8)
+        base = encode_pdf([img])
+        img_num = 3  # the page's image XObject in encode_pdf numbering
+        m = re.search(rb"startxref\s+(\d+)", base[-64:])
+        orig_xref_pos = int(m.group(1))
+        out = bytearray(base)
+        xref_at = len(out)
+        out += b"xref\n%d 1\n0000000000 65535 f \n" % img_num
+        out += (
+            b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+            % (orig_xref_pos, xref_at)
+        )
+        doc = PdfDocument(bytes(out))
+        assert doc._load(img_num) is None  # freed, not resurrected
+        assert PdfDocument(base)._load(img_num) is not None  # original intact
 
     def test_xref_stream_raises_declared(self):
         data = b"%PDF-1.5\njunk\nstartxref\n9\n%%EOF"  # offset 9 -> 'junk' not 'xref'
