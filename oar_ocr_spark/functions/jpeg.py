@@ -15,11 +15,18 @@ from the JPEG specification (ITU-T T.81 / ISO 10918-1) directly:
   canonical Huffman decode, dequantize, inverse zigzag, IDCT, clamp.
 
 Scope (declared, fails loudly outside it): baseline sequential DCT,
-8-bit, greyscale (the engine's page type) or 4:4:4 interleaved YCbCr
-color (Annex-K chrominance quantization + Huffman tables, JFIF
-full-range color conversion). Progressive scans, chroma subsampling,
-arithmetic coding, and restart intervals raise NotImplementedError
-(the codec-seam contract, functions/multimodal.py).
+8-bit, greyscale (the engine's page type) or interleaved YCbCr color
+(Annex-K chrominance quantization + Huffman tables, JFIF full-range
+color conversion). The DECODER accepts any interleaved sampling-factor
+combination whose chroma factors divide the luma factors — 4:4:4,
+4:2:2, 4:4:0 and the dominant wild subformat 4:2:0 — with box
+(pixel-replication) chroma upsampling; libjpeg's default "fancy"
+triangular upsampling is a documented deviation (≤ a few LSB on
+chroma edges; this engine's determinism contract wants the exact
+closed form). The ENCODER writes 4:4:4 by default and 4:2:2/4:2:0 on
+request (box-average chroma downsample). Progressive scans,
+arithmetic coding, non-interleaved scans, and restart intervals raise
+NotImplementedError (the codec-seam contract, functions/multimodal.py).
 
 JPEG is lossy: the round-trip contract here is NOT bit equality (PNG's
 contract) but (a) byte-level determinism of the encoder, (b) a tested
@@ -193,10 +200,21 @@ _DCC_CODE, _DCC_LEN = _code_arrays(_DC_BITS_C, _DC_VALS_C, 12)
 _ACC_CODE, _ACC_LEN = _code_arrays(_AC_BITS_C, _AC_VALS_C, 256)
 
 
+def _mcu_perm(mcuy: int, mcux: int, vc: int, hc: int) -> np.ndarray:
+    """Interleaved-scan permutation for one component: perm[j] = raster
+    block index of the j-th block in T.81 MCU scan order (MCUs in
+    raster order, hc×vc blocks per MCU in raster sub-order)."""
+    return (
+        np.arange(mcuy * vc * mcux * hc, dtype=np.int64)
+        .reshape(mcuy, vc, mcux, hc)  # raster grid split as (my, by, mx, bx)
+        .transpose(0, 2, 1, 3)  # scan order enumerates (my, mx, by, bx)
+        .reshape(-1)
+    )
+
+
 def _component_symbols(
     zz: np.ndarray,
-    comp: int,
-    n_comp: int,
+    slots: np.ndarray,
     dc_code: np.ndarray,
     dc_len: np.ndarray,
     ac_code: np.ndarray,
@@ -207,11 +225,14 @@ def _component_symbols(
     Fully vectorized: DC differentials, run-length AC symbols, ZRL
     fillers and EOBs are computed in numpy; the interleaved-MCU
     emission order is encoded in the key
-    ``(mcu·n_comp + comp)·270 + zigzag_pos·4 + sub`` so a single
-    stable argsort over all components yields the exact T.81 scan
-    order (4:4:4 ⇒ one block per component per MCU)."""
+    ``slot·270 + zigzag_pos·4 + sub`` — `slots` gives each block's
+    global position in the T.81 scan (across all components), so a
+    single stable argsort over all components yields the exact
+    interleaved order for ANY sampling-factor combination. zz rows
+    must already be in this component's scan order (DC differentials
+    are taken row-to-row)."""
     nb = zz.shape[0]
-    mcu_base = (np.arange(nb, dtype=np.int64) * n_comp + comp) * 270
+    mcu_base = slots * 270
 
     # --- DC: differential code + amplitude -------------------------------
     dcs = zz[:, 0]
@@ -304,8 +325,9 @@ def _pack_symbols(keys: np.ndarray, vals: np.ndarray, lens: np.ndarray) -> bytes
 
 def _encode_scan(zz: np.ndarray) -> bytes:
     """Single-component (greyscale) scan bytes."""
+    slots = np.arange(zz.shape[0], dtype=np.int64)
     keys, vals, lens = _component_symbols(
-        zz, 0, 1, _DC_CODE, _DC_LEN, _AC_CODE, _AC_LEN
+        zz, slots, _DC_CODE, _DC_LEN, _AC_CODE, _AC_LEN
     )
     return _pack_symbols(keys, vals, lens)
 
@@ -332,10 +354,18 @@ def _ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
-def _plane_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
-    """(H,W) uint8 plane → (nb, 64) quantized zigzag coefficients."""
+def _plane_zz(
+    plane: np.ndarray, q: np.ndarray, grid: tuple[int, int] | None = None
+) -> np.ndarray:
+    """(H,W) uint8 plane → (nb, 64) quantized zigzag coefficients, in
+    raster block order. `grid` = (block_rows, block_cols) pads beyond
+    the minimal 8-multiple so the block grid tiles whole MCUs (e.g. a
+    4:2:0 luma plane needs 16-pixel alignment)."""
     h, w = plane.shape
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    if grid is None:
+        ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    else:
+        ph, pw = grid[0] * 8, grid[1] * 8
     padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
     blocks = (
         padded.reshape(ph // 8, 8, pw // 8, 8)
@@ -354,16 +384,23 @@ def _seg(marker: int, body: bytes) -> bytes:
     return struct.pack(">HH", marker, len(body) + 2) + body
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(
+    img: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
     """(H,W) uint8 greyscale or (H,W,3) uint8 RGB → baseline JFIF JPEG
-    bytes (deterministic). Color uses YCbCr 4:4:4 (no subsampling) with
-    the Annex-K chrominance quantization + Huffman tables."""
+    bytes (deterministic). Color uses YCbCr with the Annex-K
+    chrominance quantization + Huffman tables; `subsampling` is one of
+    "444" (default — no chroma subsampling), "422" (2×1) or "420"
+    (2×2, box-average downsample — the dominant wild subformat, mainly
+    for building decoder fixtures)."""
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError(f"encode_jpeg expects uint8 (H,W) or (H,W,3), got {img.dtype} {img.shape}")
     if img.ndim == 3:
         if img.shape[2] != 3:
             raise ValueError(f"encode_jpeg expects 3 channels, got {img.shape}")
-        return _encode_jpeg_color(img, quality)
+        return _encode_jpeg_color(img, quality, subsampling)
+    if subsampling != "444":
+        raise ValueError("subsampling applies to color images only")
     h, w = img.shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -384,23 +421,56 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     return bytes(out)
 
 
-def _encode_jpeg_color(img: np.ndarray, quality: int) -> bytes:
-    """(H,W,3) RGB → 3-component interleaved 4:4:4 baseline JFIF."""
+_SUBSAMPLING_FACTORS = {"444": (1, 1), "422": (2, 1), "440": (1, 2), "420": (2, 2)}
+
+
+def _box_downsample(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
+    """(H,W) uint8 → box-averaged (ceil(H/fv), ceil(W/fh)) uint8 (edge-
+    padded to full boxes; round-half-up for determinism)."""
+    if fh == 1 and fv == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = -(-h // fv) * fv, -(-w // fh) * fh
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    boxes = padded.reshape(ph // fv, fv, pw // fh, fh).astype(np.int64)
+    sums = boxes.sum(axis=(1, 3))
+    return ((sums + (fh * fv) // 2) // (fh * fv)).astype(np.uint8)
+
+
+def _encode_jpeg_color(img: np.ndarray, quality: int, subsampling: str) -> bytes:
+    """(H,W,3) RGB → 3-component interleaved baseline JFIF (4:4:4,
+    4:2:2 or 4:2:0 per `subsampling`)."""
+    if subsampling not in _SUBSAMPLING_FACTORS:
+        raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING_FACTORS)}")
+    hY, vY = _SUBSAMPLING_FACTORS[subsampling]
     h, w = img.shape[0], img.shape[1]
     if h == 0 or w == 0:
         raise ValueError("empty image")
     ycc = _rgb_to_ycbcr(img)
     q_lum = _scaled_qtable(quality)
     q_chr = _scaled_qtable(quality, _QTABLE_K2)
-    tables = [
-        (q_lum, _DC_CODE, _DC_LEN, _AC_CODE, _AC_LEN),
-        (q_chr, _DCC_CODE, _DCC_LEN, _ACC_CODE, _ACC_LEN),
-        (q_chr, _DCC_CODE, _DCC_LEN, _ACC_CODE, _ACC_LEN),
+    # MCU grid from the luma factors; chroma is always 1×1 here
+    mcux, mcuy = -(-w // (8 * hY)), -(-h // (8 * vY))
+    bpm = hY * vY  # luma blocks per MCU
+    per_mcu = bpm + 2  # total blocks per MCU across the 3 components
+
+    # luma: pad to whole MCUs, reorder raster blocks into MCU scan order
+    zz_y = _plane_zz(ycc[..., 0], q_lum, grid=(mcuy * vY, mcux * hY))
+    perm = _mcu_perm(mcuy, mcux, vY, hY)
+    zz_y = zz_y[perm]
+    j = np.arange(zz_y.shape[0], dtype=np.int64)
+    slots_y = (j // bpm) * per_mcu + j % bpm
+
+    parts = [
+        _component_symbols(zz_y, slots_y, _DC_CODE, _DC_LEN, _AC_CODE, _AC_LEN)
     ]
-    parts = []
-    for comp, (q, dc_c, dc_l, ac_c, ac_l) in enumerate(tables):
-        zz = _plane_zz(ycc[..., comp], q)
-        parts.append(_component_symbols(zz, comp, 3, dc_c, dc_l, ac_c, ac_l))
+    for comp in (1, 2):
+        sub = _box_downsample(ycc[..., comp], hY, vY)
+        zz_c = _plane_zz(sub, q_chr, grid=(mcuy, mcux))  # 1 block/MCU: raster=scan
+        slots_c = np.arange(zz_c.shape[0], dtype=np.int64) * per_mcu + bpm + (comp - 1)
+        parts.append(
+            _component_symbols(zz_c, slots_c, _DCC_CODE, _DCC_LEN, _ACC_CODE, _ACC_LEN)
+        )
     scan = _pack_symbols(
         np.concatenate([p[0] for p in parts]),
         np.concatenate([p[1] for p in parts]),
@@ -413,11 +483,13 @@ def _encode_jpeg_color(img: np.ndarray, quality: int) -> bytes:
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xFFDB, b"\x00" + bytes(q_lum.reshape(-1)[_ZIGZAG].astype(np.uint8)))
     out += seg(0xFFDB, b"\x01" + bytes(q_chr.reshape(-1)[_ZIGZAG].astype(np.uint8)))
-    # SOF0: 3 components, ids 1/2/3, 1x1 sampling, qtables 0/1/1
+    # SOF0: 3 components, ids 1/2/3, luma (hY,vY) / chroma 1x1, qtables 0/1/1
     out += seg(
         0xFFC0,
         struct.pack(">BHHB", 8, h, w, 3)
-        + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+        + bytes([0x01, (hY << 4) | vY, 0x00])
+        + b"\x02\x11\x01"
+        + b"\x03\x11\x01",
     )
     out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
@@ -531,14 +603,16 @@ def _extend(amp: int, size: int) -> int:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JPEG bytes → (H,W) uint8 greyscale or (H,W,3) uint8 RGB
-    (deterministic). 4:4:4 only; subsampled color raises."""
+    (deterministic). Any interleaved sampling-factor combination with
+    integer chroma ratios decodes (4:4:4, 4:2:2, 4:4:0, 4:2:0 …) via
+    box chroma upsampling."""
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     h = w = None
-    comp_qtids: list[int] = []
+    comp_info: list[tuple[int, int, int]] = []  # (h_samp, v_samp, qtable id)
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad JPEG marker alignment at {pos}")
@@ -579,7 +653,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     f"JPEG with {ncomp} components not supported (grey or 4:4:4 color)"
                 )
-            comp_qtids = []
+            comp_info = []
             for c in range(ncomp):
                 if ncomp == 3 and body[6 + 3 * c] != c + 1:
                     # IDs 1/2/3 = YCbCr (JFIF). 'R','G','B' IDs (or an
@@ -588,11 +662,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise NotImplementedError(
                         "non-YCbCr component IDs (RGB-colorspace JPEG) not supported here"
                     )
-                if body[6 + 3 * c + 1] != 0x11:
-                    raise NotImplementedError(
-                        "subsampled (non-4:4:4) JPEG not supported here"
-                    )
-                comp_qtids.append(body[6 + 3 * c + 2])
+                samp = body[6 + 3 * c + 1]
+                hc, vc = samp >> 4, samp & 0x0F
+                if not (1 <= hc <= 4 and 1 <= vc <= 4):  # T.81 B.2.2
+                    raise ValueError(f"illegal JPEG sampling factors {hc}x{vc}")
+                if ncomp == 1:
+                    # one-component frames are non-interleaved: the scan
+                    # is the component's own 8×8 block grid and declared
+                    # sampling factors are irrelevant (T.81 A.2.2)
+                    hc = vc = 1
+                comp_info.append((hc, vc, body[6 + 3 * c + 2]))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"JPEG process SOF{marker - 0xC0} (progressive/extended) not supported"
@@ -603,14 +682,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if h is None:
                 raise ValueError("JPEG SOS before SOF0")
             ncomp = body[0]
-            if ncomp < len(comp_qtids):
+            if ncomp < len(comp_info):
                 # legal baseline variant (one scan per component) that
                 # this decoder does not implement — not a corrupt file
                 raise NotImplementedError(
                     "non-interleaved (multi-scan) baseline JPEG not supported here"
                 )
-            if ncomp > len(comp_qtids):
+            if ncomp > len(comp_info):
                 raise ValueError("JPEG SOS component count exceeds SOF0")
+            hmax = max(ci[0] for ci in comp_info)
+            vmax = max(ci[1] for ci in comp_info)
+            for hc, vc, _ in comp_info:
+                if hmax % hc or vmax % vc:
+                    # replication upsampling needs integer factors;
+                    # e.g. 3:2 chroma ratios are vanishingly rare
+                    raise NotImplementedError(
+                        "JPEG sampling factors requiring fractional upsampling"
+                    )
             comp_tbls = []
             for c in range(ncomp):
                 tbl_byte = body[2 + 2 * c]
@@ -618,42 +706,62 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     (huff[(0, tbl_byte >> 4)], huff[(1, tbl_byte & 0x0F)])
                 )
             reader = _BitReader(data, pos)
-            bh, bw_ = -(-h // 8), -(-w // 8)
-            nmcu = bh * bw_
-            outs = [np.zeros((nmcu, 64), dtype=np.int64) for _ in range(ncomp)]
+            mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+            nmcu = mcux * mcuy
+            outs = [
+                np.zeros((nmcu * hc * vc, 64), dtype=np.int64)
+                for hc, vc, _ in comp_info
+            ]
             preds = [0] * ncomp
             for n in range(nmcu):
-                for c in range(ncomp):  # interleaved MCU, one block/comp (4:4:4)
+                for c in range(ncomp):  # interleaved MCU: hc·vc blocks/comp
+                    hc, vc, _ = comp_info[c]
                     dc_tbl, ac_tbl = comp_tbls[c]
                     out = outs[c]
-                    size = _decode_huffman(reader, dc_tbl)
-                    preds[c] += _extend(reader.read_bits(size), size)
-                    out[n, 0] = preds[c]
-                    k = 1
-                    while k < 64:
-                        sym = _decode_huffman(reader, ac_tbl)
-                        if sym == 0x00:  # EOB
-                            break
-                        if sym == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        run, size = sym >> 4, sym & 0x0F
-                        k += run
-                        if k >= 64:
-                            raise ValueError("JPEG AC run overflows block")
-                        out[n, k] = _extend(reader.read_bits(size), size)
-                        k += 1
+                    base = n * hc * vc
+                    for r in range(hc * vc):
+                        size = _decode_huffman(reader, dc_tbl)
+                        preds[c] += _extend(reader.read_bits(size), size)
+                        out[base + r, 0] = preds[c]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_huffman(reader, ac_tbl)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            k += run
+                            if k >= 64:
+                                raise ValueError("JPEG AC run overflows block")
+                            out[base + r, k] = _extend(reader.read_bits(size), size)
+                            k += 1
             planes = []
             for c in range(ncomp):
-                q = qtables[comp_qtids[c]]
+                hc, vc, qtid = comp_info[c]
+                q = qtables[qtid]
                 coefs = (outs[c][:, _UNZIGZAG].reshape(-1, 8, 8)) * q
                 blocks = _idct2(coefs.astype(np.float64))
                 pixels = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
+                # scan order → raster block order → plane
+                raster = np.empty_like(pixels)
+                raster[_mcu_perm(mcuy, mcux, vc, hc)] = pixels
+                bh_c, bw_c = mcuy * vc, mcux * hc
                 full = (
-                    pixels.reshape(bh, bw_, 8, 8)
+                    raster.reshape(bh_c, bw_c, 8, 8)
                     .transpose(0, 2, 1, 3)
-                    .reshape(bh * 8, bw_ * 8)
+                    .reshape(bh_c * 8, bw_c * 8)
                 )
+                # crop to the component's true dims, then box-upsample
+                # (pixel replication; libjpeg's "fancy" triangular
+                # filter is a documented deviation — module docstring)
+                ch_, cw_ = -(-h * vc // vmax), -(-w * hc // hmax)
+                full = full[:ch_, :cw_]
+                if vc != vmax or hc != hmax:
+                    full = np.repeat(
+                        np.repeat(full, vmax // vc, axis=0), hmax // hc, axis=1
+                    )
                 planes.append(full[:h, :w])
             if ncomp == 1:
                 return planes[0]

@@ -93,13 +93,55 @@ class TestColor:
         assert data.count(b"\xff\xc4") == 2  # DC+AC luminance only
         assert (decode_jpeg(data).shape) == img.shape
 
-    def test_subsampled_color_raises_declared(self):
-        data = encode_jpeg(self._color_img(16, 16), 90)
-        i = data.index(b"\xff\xc0")
-        # patch Y sampling 0x11 -> 0x22 (2x2 subsampling declared)
-        patched = data[: i + 11] + b"\x22" + data[i + 12 :]
-        with pytest.raises(NotImplementedError, match="4:4:4"):
-            decode_jpeg(patched)
+    def test_subsampled_roundtrip_bounded_and_deterministic(self):
+        # 4:2:0 / 4:2:2 / 4:4:0: chroma loses detail but smooth-chroma
+        # content stays within a tight bound; both sides deterministic
+        for sub in ("420", "422", "440"):
+            for h, w in [(17, 23), (64, 48), (8, 8), (1, 1), (16, 16)]:
+                img = self._color_img(h, w)
+                data = encode_jpeg(img, 100, subsampling=sub)
+                assert data == encode_jpeg(img, 100, subsampling=sub)
+                out = decode_jpeg(data)
+                assert out.shape == img.shape and out.dtype == np.uint8
+                assert decode_jpeg(data).tobytes() == out.tobytes()
+                # _color_img is 4x4-constant so box downsample/upsample
+                # is near-exact: only DCT + colorspace round-off remains
+                assert np.abs(out.astype(int) - img.astype(int)).max() <= 6
+
+    def test_420_declares_sampling_and_shrinks_stream(self):
+        img = self._color_img(64, 64)
+        d444 = encode_jpeg(img, 90)
+        d420 = encode_jpeg(img, 90, subsampling="420")
+        i = d420.index(b"\xff\xc0")
+        assert d420[i + 11] == 0x22  # Y sampling 2x2 in SOF0
+        assert len(d420) < len(d444)  # 1/4 the chroma blocks
+
+    def test_420_chroma_grid_alignment(self):
+        # solid color quadrants aligned to the 16px MCU grid: each
+        # quadrant must come back its own color (a block-order or
+        # upsample-grid bug would bleed colors across quadrants)
+        img = np.zeros((32, 32, 3), dtype=np.uint8)
+        img[:16, :16] = (200, 40, 40)
+        img[:16, 16:] = (40, 200, 40)
+        img[16:, :16] = (40, 40, 200)
+        img[16:, 16:] = (200, 200, 40)
+        out = decode_jpeg(encode_jpeg(img, 100, subsampling="420"))
+        for sl, want in [
+            ((slice(2, 14), slice(2, 14)), (200, 40, 40)),
+            ((slice(2, 14), slice(18, 30)), (40, 200, 40)),
+            ((slice(18, 30), slice(2, 14)), (40, 40, 200)),
+            ((slice(18, 30), slice(18, 30)), (200, 200, 40)),
+        ]:
+            got = out[sl].reshape(-1, 3).astype(int)
+            assert np.abs(got - np.array(want)).max() <= 6
+
+    def test_subsampled_payload_greyscales_at_media_seam(self):
+        # the wild subformat must pass the media seam: (H,W) luma out
+        from oar_ocr_spark.functions.multimodal import _decode_payload
+
+        img = self._color_img(24, 16)
+        out = _decode_payload("x", "image", encode_jpeg(img, 100, subsampling="420"))
+        assert out.ndim == 2 and out.shape == (24, 16) and out.dtype == np.uint8
 
     def test_wrong_channel_count_raises(self):
         with pytest.raises(ValueError):
@@ -193,20 +235,31 @@ class TestDeclaredSubset:
         with pytest.raises(NotImplementedError, match="progressive"):
             decode_jpeg(data)
 
-    def test_subsampled_sof_raises(self):
-        # splice a 3-component SOF0 with 2x2-subsampled Y into a valid
-        # stream — 4:2:0 is outside the declared subset (4:4:4 decodes)
-        data = encode_jpeg(render_page("40_m0"))
+    def test_fractional_upsampling_raises(self):
+        # T.81 allows factors 1..4, so Y=3x1 with Cb=2x1 is a LEGAL
+        # frame — but 3:2 replication is fractional, outside this
+        # decoder's integer-box upsampling subset
+        data = encode_jpeg(self._color_3comp(), 90)
         i = data.index(b"\xff\xc0")
-        (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
-        sof3 = (
-            b"\xff\xc0"
-            + struct.pack(">HBHHB", 8 + 3 * 3 + 2, 8, 98, 126, 3)
-            + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
-        )
-        patched = data[:i] + sof3 + data[i + 2 + seglen :]
-        with pytest.raises(NotImplementedError, match="4:4:4"):
+        body = bytearray(data[i + 4 : i + 4 + 15])
+        body[7], body[10] = 0x31, 0x21  # Y 3x1, Cb 2x1
+        patched = data[: i + 4] + bytes(body) + data[i + 4 + 15 :]
+        with pytest.raises(NotImplementedError, match="fractional"):
             decode_jpeg(patched)
+
+    def test_sampling_factor_out_of_range_raises(self):
+        data = encode_jpeg(self._color_3comp(), 90)
+        i = data.index(b"\xff\xc0")
+        body = bytearray(data[i + 4 : i + 4 + 15])
+        body[7] = 0x51  # h=5 > 4: illegal per B.2.2
+        patched = data[: i + 4] + bytes(body) + data[i + 4 + 15 :]
+        with pytest.raises(ValueError, match="sampling factors"):
+            decode_jpeg(patched)
+
+    @staticmethod
+    def _color_3comp():
+        rng = np.random.RandomState(3)
+        return rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
 
     def test_four_component_raises(self):
         data = encode_jpeg(render_page("40_m0"))

@@ -211,6 +211,28 @@ class TestForeignPdfs:
         assert (pages[0] == new_img).all()  # newest revision wins
         assert (decode_pdf(base)[0] == old_img).all()  # original untouched
 
+    def test_scanned_pdf_with_420_subsampled_jpeg_decodes(self):
+        # wild scanned PDFs embed camera-style 4:2:0 JPEGs; the
+        # DCTDecode path must hand them to the generalized decoder
+        from oar_ocr_spark.functions.jpeg import encode_jpeg
+
+        rng = np.random.RandomState(5)
+        small = rng.randint(0, 256, (6, 5, 3)).astype(np.uint8)
+        img = np.kron(small, np.ones((4, 4, 1), dtype=np.uint8))  # 24x20
+        jpg = encode_jpeg(img, 100, subsampling="420")
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R "
+            b"/Resources << /XObject << /Im0 4 0 R >> >> >>",
+            b"<< /Type /XObject /Subtype /Image /Width 20 /Height 24 "
+            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode "
+            b"/Length %d >> stream\n" % len(jpg) + jpg + b"\nendstream",
+        ]
+        pages = decode_pdf(self._wrap(objs))
+        assert pages[0].shape == (24, 20, 3)
+        assert np.abs(pages[0].astype(int) - img.astype(int)).max() <= 6
+
     def test_literal_string_octal_and_continuation(self):
         # PDF 7.3.4.2: \ddd octal escapes (1-3 digits) and backslash-EOL
         # line continuations — foreign PDFs use both in /Info strings
