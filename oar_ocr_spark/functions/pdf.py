@@ -28,13 +28,24 @@ the container is self-describing. Everything is real PDF syntax: object
 table, xref, trailer, startxref.
 
 Parser scope (declared, fails loudly outside it): classic xref tables
-(incl. /Prev chains), indirect /Length, nested /Pages trees, literal +
-hex strings, comments, /DeviceGray and /DeviceRGB FlateDecode or
-uncompressed image XObjects. Cross-reference *streams* (PDF 1.5+) and
-JPXDecode (JPEG 2000) images raise NotImplementedError; DCTDecode
-images — the layout real scanned PDFs use — decode through the
-engine's own baseline JPEG codec (functions/jpeg.py, whose declared
-subset applies).
+(incl. /Prev chains and 'f' deletion masking), PDF 1.5+ cross-
+reference STREAMS (/Type /XRef, any /W widths, /Index subsections,
+FlateDecode with PNG predictors 10–15 via the shared png.py
+unfilter), compressed object streams (/Type /ObjStm), hybrid-
+reference files (/XRefStm in a classic trailer), indirect /Length,
+nested /Pages trees, literal + hex strings, comments, /DeviceGray and
+/DeviceRGB FlateDecode or uncompressed image XObjects. JPXDecode
+(JPEG 2000) images and TIFF predictors raise NotImplementedError;
+DCTDecode images — the layout real scanned PDFs use — decode through
+the engine's own baseline JPEG codec (functions/jpeg.py, including
+4:2:0-subsampled camera JPEGs).
+
+The writer emits classic xref by default; ``xref_format="stream"``
+writes the PDF 1.5 layout real tools produce — non-stream objects
+packed in an /ObjStm, a /Type /XRef stream with /W [1 4 2] rows
+Up-predicted (Predictor 12) — so the parser's modern path is
+roundtrip-tested against self-produced files as well as hand-built
+foreign fixtures.
 
 Determinism: FlateDecode is lossless and the writer emits exact-integer
 pages, so container → pages → spans preserves the CLAUDE.md contract
@@ -80,8 +91,9 @@ def encode_pdf(
     page_refs: list[str] | None = None,
     image_format: str = "flate",
     quality: int = 100,
+    xref_format: str = "classic",
 ) -> bytes:
-    """Greyscale (H,W) uint8 pages → real PDF 1.4 bytes.
+    """Greyscale (H,W) uint8 pages → real PDF bytes.
 
     Each page is a /DeviceGray 8-bit image XObject drawn full-bleed on
     a page whose MediaBox matches the pixel dims. image_format="flate"
@@ -90,19 +102,25 @@ def encode_pdf(
     /DCTDecode (the layout real scanned PDFs use; lossy per
     functions/jpeg.py's contract). `page_refs` (one per page) lands
     newline-joined in the /Info /Title string so the container names
-    its own pages."""
+    its own pages. xref_format="classic" writes a PDF 1.4 xref table;
+    "stream" writes the PDF 1.5 layout (cross-reference stream with
+    Up-predicted rows + /ObjStm holding the non-stream objects)."""
     if page_refs is not None and len(page_refs) != len(pages):
         raise ValueError("page_refs length must match pages")
     if image_format not in ("flate", "jpeg"):
         raise ValueError(f"image_format must be 'flate' or 'jpeg', got {image_format!r}")
+    if xref_format not in ("classic", "stream"):
+        raise ValueError(f"xref_format must be 'classic' or 'stream', got {xref_format!r}")
     for p in pages:
         if p.dtype != np.uint8 or p.ndim != 2:
             raise ValueError(f"encode_pdf expects (H,W) uint8 pages, got {p.dtype} {p.shape}")
 
     objs: list[bytes] = []  # objs[i] is object number i+1
+    is_stream: list[bool] = []  # streams can't live inside an /ObjStm
 
-    def add(body: bytes) -> int:
+    def add(body: bytes, stream: bool = False) -> int:
         objs.append(body)
+        is_stream.append(stream)
         return len(objs)
 
     catalog_num = add(b"")  # placeholder, patched after pages tree exists
@@ -123,11 +141,13 @@ def encode_pdf(
             b" /ColorSpace /DeviceGray /BitsPerComponent 8"
             b" /Filter /%s /Length %d >>\nstream\n" % (w, h, filter_name, len(data))
             + data
-            + b"\nendstream"
+            + b"\nendstream",
+            stream=True,
         )
         content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
         content_num = add(
-            b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream"
+            b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+            stream=True,
         )
         kid_nums.append(
             add(
@@ -146,22 +166,91 @@ def encode_pdf(
     if page_refs is not None:
         info_num = add(b"<< /Title " + _pdf_string("\n".join(page_refs)) + b" >>")
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = [0]  # object 0 is the free head
+    if xref_format == "classic":
+        out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets = [0]  # object 0 is the free head
+        for num, body in enumerate(objs, start=1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+        xref_pos = len(out)
+        out += b"xref\n0 %d\n" % (len(objs) + 1)
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += b"%010d 00000 n \n" % off
+        trailer = b"<< /Size %d /Root %d 0 R" % (len(objs) + 1, catalog_num)
+        if info_num is not None:
+            trailer += b" /Info %d 0 R" % info_num
+        trailer += b" >>"
+        out += b"trailer\n" + trailer + b"\nstartxref\n%d\n%%%%EOF\n" % xref_pos
+        return bytes(out)
+
+    # --- PDF 1.5 layout: /ObjStm for non-stream objects + xref stream ----
+    members = [n for n in range(1, len(objs) + 1) if not is_stream[n - 1]]
+    objstm_num = len(objs) + 1
+    xref_num = len(objs) + 2
+    header = b" ".join(b"%d %d" % (n, off) for n, off in _running_offsets(objs, members))
+    first = len(header) + 1
+    stm_body = header + b"\n" + b"\n".join(objs[n - 1] for n in members)
+    packed = zlib.compress(stm_body, 6)
+    objstm_obj = (
+        b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode /Length %d >>"
+        b"\nstream\n" % (len(members), first, len(packed)) + packed + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    entry: dict[int, tuple[int, int, int]] = {0: (0, 0, 65535)}  # free head
+    for idx, n in enumerate(members):
+        entry[n] = (2, objstm_num, idx)
     for num, body in enumerate(objs, start=1):
-        offsets.append(len(out))
+        if not is_stream[num - 1]:
+            continue  # lives in the ObjStm
+        entry[num] = (1, len(out), 0)
         out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    entry[objstm_num] = (1, len(out), 0)
+    out += b"%d 0 obj\n" % objstm_num + objstm_obj + b"\nendobj\n"
     xref_pos = len(out)
-    out += b"xref\n0 %d\n" % (len(objs) + 1)
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += b"%010d 00000 n \n" % off
-    trailer = b"<< /Size %d /Root %d 0 R" % (len(objs) + 1, catalog_num)
-    if info_num is not None:
-        trailer += b" /Info %d 0 R" % info_num
-    trailer += b" >>"
-    out += b"trailer\n" + trailer + b"\nstartxref\n%d\n%%%%EOF\n" % xref_pos
+    entry[xref_num] = (1, xref_pos, 0)
+
+    size = xref_num + 1
+    rows = np.zeros((size, 7), dtype=np.uint8)  # /W [1 4 2]
+    for n in range(size):
+        t, f2, f3 = entry.get(n, (0, 0, 0))
+        rows[n, 0] = t
+        rows[n, 1:5] = list(struct.pack(">I", f2))
+        rows[n, 5:7] = list(struct.pack(">H", f3))
+    # Up predictor (Predictor 12): the wild layout — rows delta'd
+    # against the previous row, each prefixed by PNG filter byte 2
+    pred = np.zeros((size, 8), dtype=np.uint8)
+    pred[:, 0] = 2
+    pred[0, 1:] = rows[0]
+    pred[1:, 1:] = rows[1:] - rows[:-1]  # uint8 wraparound == mod-256 delta
+    xref_data = zlib.compress(pred.tobytes(), 6)
+    xref_dict = (
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R" % (size, catalog_num)
+        + (b" /Info %d 0 R" % info_num if info_num is not None else b"")
+        + b" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >>"
+        + b" /Length %d >>" % len(xref_data)
+    )
+    out += (
+        b"%d 0 obj\n" % xref_num
+        + xref_dict
+        + b"\nstream\n"
+        + xref_data
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(out)
+
+
+def _running_offsets(objs: list[bytes], members: list[int]) -> list[tuple[int, int]]:
+    """(object number, byte offset within the ObjStm body) pairs —
+    offsets are relative to /First and members are newline-joined."""
+    pairs = []
+    off = 0
+    for n in members:
+        pairs.append((n, off))
+        off += len(objs[n - 1]) + 1  # +1 for the joining newline
+    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -308,15 +397,66 @@ def _parse_value(data: bytes, pos: int):
     raise ValueError(f"cannot parse PDF object at offset {pos}: {data[pos:pos+20]!r}")
 
 
+def _apply_stream_filters(d: dict, raw: bytes) -> bytes:
+    """Decode a stream's /Filter chain honoring /DecodeParms. Direct
+    objects only — used for xref/object streams, where the spec
+    requires direct values (the xref doesn't exist yet to resolve
+    refs). FlateDecode with PNG predictors 10–15 (the wild xref-stream
+    layout); anything else fails loudly."""
+    filt = d.get("Filter")
+    filts = filt if isinstance(filt, list) else ([] if filt is None else [filt])
+    parms = d.get("DecodeParms")
+    parms_list = parms if isinstance(parms, list) else [parms] * len(filts)
+    out = raw
+    for f, pm in zip(filts, parms_list):
+        if str(f) != "FlateDecode":
+            raise NotImplementedError(
+                f"PDF xref/object stream filter {f} not supported here"
+            )
+        out = zlib.decompress(out)
+        if isinstance(pm, dict):
+            out = _apply_predictor(out, pm)
+    return out
+
+
+def _apply_predictor(data: bytes, pm: dict) -> bytes:
+    """Reverse a /Predictor on FlateDecode output. PNG predictors
+    (10–15) share the per-row filter-byte format with PNG itself, so
+    the unfilter loop is png.py's (one implementation, two formats)."""
+    pred = int(pm.get("Predictor", 1))
+    if pred == 1:
+        return data
+    if pred == 2:
+        raise NotImplementedError("TIFF predictor 2 not supported here")
+    if not 10 <= pred <= 15:
+        raise ValueError(f"unknown stream predictor {pred}")
+    colors = int(pm.get("Colors", 1))
+    bpc = int(pm.get("BitsPerComponent", 8))
+    if bpc != 8:
+        raise NotImplementedError("predictor BitsPerComponent != 8 not supported")
+    columns = int(pm.get("Columns", 1))
+    stride = columns * colors
+    if stride <= 0 or len(data) % (stride + 1):
+        raise ValueError("predicted stream length not a whole number of rows")
+    from .png import _unfilter
+
+    h = len(data) // (stride + 1)
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(h, stride + 1)
+    return _unfilter(arr, h, columns, colors).tobytes()
+
+
 class PdfDocument:
-    """Parsed classic-xref PDF. Objects load lazily by number."""
+    """Parsed PDF (classic xref tables OR 1.5+ xref streams with
+    /ObjStm compressed objects). Objects load lazily by number."""
 
     def __init__(self, data: bytes):
         if not data.startswith(b"%PDF-"):
             raise ValueError("not a PDF (missing %PDF- header)")
         self._data = data
         self._cache: dict[int, object] = {}
-        self._offsets: dict[int, int | None] = {}  # None = freed ('f' entry)
+        # num → byte offset | None (freed) | ("objstm", stream num, idx)
+        self._offsets: dict[int, int | None | tuple] = {}
+        self._objstm_cache: dict[int, tuple[list[tuple[int, int]], bytes, int]] = {}
         self.trailer = self._read_xref_chain()
 
     # -- xref / trailer ----------------------------------------------------
@@ -335,38 +475,115 @@ class PdfDocument:
         while pos not in seen:
             seen.add(pos)
             pos0 = _skip_ws(data, pos)
-            if not data.startswith(b"xref", pos0):
-                raise NotImplementedError(
-                    "PDF cross-reference streams (1.5+) not supported here"
-                )
-            p = _skip_ws(data, pos0 + 4)
-            while not data.startswith(b"trailer", p):
-                m2 = re.match(rb"(\d+)\s+(\d+)", data[p : p + 40])
-                if m2 is None:
-                    raise ValueError(f"bad xref subsection header at {p}")
-                start, count = int(m2.group(1)), int(m2.group(2))
-                p = _skip_ws(data, p + m2.end())
-                for i in range(count):
-                    entry = data[p : p + 20]
-                    off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
-                    if kind == b"n":
-                        self._offsets.setdefault(start + i, int(off))
-                    elif kind == b"f":
-                        # a newer free entry must MASK an older in-use
-                        # entry (incremental-update deletion); None means
-                        # "absent" to _load, and setdefault keeps the
-                        # newest revision's verdict
-                        self._offsets.setdefault(start + i, None)
-                    p += 20
-                p = _skip_ws(data, p)
-            t, _ = _parse_value(data, p + len(b"trailer"))
+            if data.startswith(b"xref", pos0):
+                t = self._read_classic_xref(pos0)
+            else:
+                t = self._read_xref_stream(pos0)
             if not trailer:
                 trailer = t  # first (newest) trailer wins
+            if "XRefStm" in t:
+                # hybrid-reference file (7.5.8.4): the classic section's
+                # entries win (processed first — setdefault), then the
+                # stream's fill in, then the /Prev revision
+                self._read_xref_stream(_skip_ws(data, int(t["XRefStm"])))
             if "Prev" in t:
                 pos = int(t["Prev"])  # earlier section: fills only missing objs
             else:
                 break
         return trailer
+
+    def _read_classic_xref(self, pos0: int) -> dict:
+        data = self._data
+        p = _skip_ws(data, pos0 + 4)
+        while not data.startswith(b"trailer", p):
+            m2 = re.match(rb"(\d+)\s+(\d+)", data[p : p + 40])
+            if m2 is None:
+                raise ValueError(f"bad xref subsection header at {p}")
+            start, count = int(m2.group(1)), int(m2.group(2))
+            p = _skip_ws(data, p + m2.end())
+            for i in range(count):
+                entry = data[p : p + 20]
+                off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
+                if kind == b"n":
+                    self._offsets.setdefault(start + i, int(off))
+                elif kind == b"f":
+                    # a newer free entry must MASK an older in-use
+                    # entry (incremental-update deletion); None means
+                    # "absent" to _load, and setdefault keeps the
+                    # newest revision's verdict
+                    self._offsets.setdefault(start + i, None)
+                p += 20
+            p = _skip_ws(data, p)
+        t, _ = _parse_value(data, p + len(b"trailer"))
+        return t
+
+    def _read_xref_stream(self, pos0: int) -> dict:
+        """PDF 1.5+ cross-reference stream (/Type /XRef): the stream's
+        dict doubles as the trailer; rows are [type, field2, field3]
+        big-endian records of /W widths over the /Index subsections."""
+        data = self._data
+        m = re.match(rb"(\d+)\s+(\d+)\s+obj", data[pos0 : pos0 + 40])
+        if m is None:
+            raise ValueError(
+                f"startxref offset {pos0} is neither an xref table nor an object"
+            )
+        d, p = _parse_value(data, pos0 + m.end())
+        if not isinstance(d, dict) or d.get("Type") != "XRef":
+            raise ValueError("startxref object is not a /Type /XRef stream")
+        p = _skip_ws(data, p)
+        if not data.startswith(b"stream", p):
+            raise ValueError("xref stream object has no stream data")
+        p += len(b"stream")
+        if data.startswith(b"\r\n", p):
+            p += 2
+        elif data.startswith(b"\n", p):
+            p += 1
+        # /Length must be direct here (we can't resolve refs before the
+        # xref exists); fall back to scanning for endstream if it isn't
+        length = d.get("Length")
+        if isinstance(length, int):
+            raw = data[p : p + length]
+        else:
+            end = data.index(b"endstream", p)
+            raw = data[p:end].rstrip(b"\r\n")
+        content = _apply_stream_filters(d, raw)
+        widths = [int(x) for x in d["W"]]
+        if len(widths) != 3:
+            raise ValueError(f"xref stream /W must have 3 entries, got {widths}")
+        size = int(d["Size"])
+        index = [int(x) for x in d.get("Index", [0, size])]
+        rowlen = sum(widths)
+        nrows = sum(index[1::2])
+        if len(content) < nrows * rowlen:
+            raise ValueError("xref stream data shorter than /Index claims")
+        rows = np.frombuffer(content[: nrows * rowlen], dtype=np.uint8).reshape(
+            nrows, rowlen
+        )
+        # big-endian multi-byte fields; a zero-width type field means
+        # "type 1" (7.5.8.3)
+        fields = []
+        at = 0
+        for wi in widths:
+            f = np.zeros(nrows, dtype=np.int64)
+            for b in range(wi):
+                f = (f << 8) | rows[:, at + b]
+            at += wi
+            fields.append(f)
+        types = fields[0] if widths[0] else np.ones(nrows, dtype=np.int64)
+        r = 0
+        for start, count in zip(index[0::2], index[1::2]):
+            for i in range(count):
+                num = start + i
+                t, f2, f3 = int(types[r]), int(fields[1][r]), int(fields[2][r])
+                r += 1
+                if t == 0:
+                    self._offsets.setdefault(num, None)
+                elif t == 1:
+                    self._offsets.setdefault(num, f2)
+                elif t == 2:
+                    self._offsets.setdefault(num, ("objstm", f2, f3))
+                # types > 2: reserved — treated as absent (spec 7.5.8.3)
+        return d
 
     # -- objects -----------------------------------------------------------
     def resolve(self, v):
@@ -380,6 +597,10 @@ class PdfDocument:
         off = self._offsets.get(num)
         if off is None:
             return None
+        if isinstance(off, tuple):  # ("objstm", stream number, index)
+            val = self._load_from_objstm(off[1], off[2], num)
+            self._cache[num] = val
+            return val
         data = self._data
         m = re.match(rb"(\d+)\s+(\d+)\s+obj", data[off : off + 40])
         if m is None or int(m.group(1)) != num:
@@ -395,6 +616,40 @@ class PdfDocument:
             length = self.resolve(val["Length"])  # /Length may be indirect
             val = (val, data[pos : pos + int(length)])  # (dict, raw stream)
         self._cache[num] = val
+        return val
+
+    def _load_from_objstm(self, stm_num: int, idx: int, want_num: int):
+        """Load one object from a /Type /ObjStm compressed object
+        stream. Decoded content + header pairs are cached per stream so
+        N sibling objects cost one inflate."""
+        cached = self._objstm_cache.get(stm_num)
+        if cached is None:
+            obj = self._load(stm_num)
+            if not (isinstance(obj, tuple) and len(obj) == 2):
+                raise ValueError(f"object stream {stm_num} is not a stream")
+            d, raw = obj
+            if d.get("Type") != "ObjStm":
+                raise ValueError(f"object {stm_num} is not /Type /ObjStm")
+            content = _apply_stream_filters(d, raw)
+            n = int(self.resolve(d["N"]))
+            first = int(self.resolve(d["First"]))
+            ints = [int(x) for x in content[:first].split()]
+            pairs = list(zip(ints[0::2], ints[1::2]))[:n]
+            cached = (pairs, content, first)
+            if len(self._objstm_cache) < 256:  # bound pathological files
+                self._objstm_cache[stm_num] = cached
+        pairs, content, first = cached
+        if idx >= len(pairs):
+            raise ValueError(
+                f"object stream {stm_num} has no entry {idx} (N={len(pairs)})"
+            )
+        onum, ooff = pairs[idx]
+        if onum != want_num:
+            raise ValueError(
+                f"object stream {stm_num} entry {idx} is object {onum}, "
+                f"xref said {want_num}"
+            )
+        val, _ = _parse_value(content, first + ooff)
         return val
 
     # -- pages -------------------------------------------------------------

@@ -7,6 +7,7 @@ north-rule names "PDF/layout parse". The container is lossless
 renderer-path spans exactly."""
 
 import re
+import struct
 import zlib
 
 import numpy as np
@@ -266,10 +267,111 @@ class TestForeignPdfs:
         assert doc._load(img_num) is None  # freed, not resurrected
         assert PdfDocument(base)._load(img_num) is not None  # original intact
 
-    def test_xref_stream_raises_declared(self):
-        data = b"%PDF-1.5\njunk\nstartxref\n9\n%%EOF"  # offset 9 -> 'junk' not 'xref'
-        with pytest.raises(NotImplementedError, match="cross-reference"):
+    def test_startxref_at_junk_raises(self):
+        data = b"%PDF-1.5\njunk\nstartxref\n9\n%%EOF"  # offset 9 -> 'junk'
+        with pytest.raises(ValueError, match="neither an xref table nor an object"):
             PdfDocument(data)
+
+    def test_xref_stream_roundtrip(self):
+        # PDF 1.5 layout: /ObjStm + Up-predicted /XRef stream, both
+        # image formats; deterministic bytes, no classic trailer at all
+        refs = ["40_m0", "7_m1"]
+        pages = _pages(refs)
+        for fmt in ("flate", "jpeg"):
+            data = encode_pdf(pages, refs, image_format=fmt, xref_format="stream")
+            assert data.startswith(b"%PDF-1.5")
+            assert b"/ObjStm" in data and b"/Type /XRef" in data
+            assert b"trailer" not in data
+            assert encode_pdf(pages, refs, image_format=fmt, xref_format="stream") == data
+            assert decode_pdf_refs(data) == refs
+            for got, want in zip(decode_pdf(data), pages):
+                assert np.abs(got.astype(int) - want.astype(int)).max() <= (
+                    0 if fmt == "flate" else 1
+                )
+
+    def test_foreign_xref_stream_no_predictor_multi_index(self):
+        # hand-built 1.5 fixture exercising paths our writer never
+        # emits: no /DecodeParms, /W [1 2 0] (zero-width field 3),
+        # TWO /Index subsections
+        img = np.full((3, 5), 77, dtype=np.uint8)
+        stream = zlib.compress(img.tobytes())
+        bodies = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R "
+            b"/Resources << /XObject << /Im0 4 0 R >> >> >>",
+            4: b"<< /Type /XObject /Subtype /Image /Width 5 /Height 3"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+            b" /Filter /FlateDecode /Length %d >>\nstream\n" % len(stream)
+            + stream
+            + b"\nendstream",
+        }
+        out = bytearray(b"%PDF-1.5\n")
+        offs = {}
+        for n in (1, 2, 3, 4):
+            offs[n] = len(out)
+            out += b"%d 0 obj\n" % n + bodies[n] + b"\nendobj\n"
+        # xref stream object 5: Index [0 1] + [1 5] (split subsections)
+        rows = bytearray()
+        rows += bytes([0, 0, 0])  # obj 0: free (type 0)
+        xref_at_placeholder = len(out)
+        for n in (1, 2, 3, 4):
+            rows += bytes([1]) + struct.pack(">H", offs[n])
+        rows += bytes([1]) + struct.pack(">H", xref_at_placeholder)  # obj 5
+        packed = zlib.compress(bytes(rows))
+        out += (
+            b"5 0 obj\n<< /Type /XRef /Size 6 /W [1 2 0] /Index [0 1 1 5]"
+            b" /Root 1 0 R /Filter /FlateDecode /Length %d >>\nstream\n" % len(packed)
+            + packed
+            + b"\nendstream\nendobj\n"
+        )
+        out += b"startxref\n%d\n%%%%EOF\n" % xref_at_placeholder
+        pages = decode_pdf(bytes(out))
+        assert (pages[0] == img).all()
+
+    def test_hybrid_xrefstm_update(self):
+        # hybrid-reference incremental update: a classic trailer with
+        # /XRefStm whose stream maps a REPLACEMENT image object — old
+        # readers see the old xref, new readers the updated object
+        old_img = np.full((4, 4), 9, dtype=np.uint8)
+        new_img = np.full((4, 4), 123, dtype=np.uint8)
+        base = encode_pdf([old_img])
+        img_num = 3
+        stream = zlib.compress(new_img.tobytes())
+        body = (
+            b"%d 0 obj\n" % img_num
+            + b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+            b" /Filter /FlateDecode /Length %d >>\nstream\n" % len(stream)
+            + stream
+            + b"\nendstream\nendobj\n"
+        )
+        m = re.search(rb"startxref\s+(\d+)", base[-64:])
+        orig_xref_pos = int(m.group(1))
+        out = bytearray(base)
+        obj_at = len(out)
+        out += body
+        # xref STREAM (object 6) mapping img_num -> the new offset
+        rows = bytes([1]) + struct.pack(">I", obj_at)
+        xrefstm_at = len(out)
+        packed = zlib.compress(rows)
+        out += (
+            b"6 0 obj\n<< /Type /XRef /Size 7 /W [1 4 0] /Index [%d 1]"
+            b" /Root 1 0 R /Filter /FlateDecode /Length %d >>\nstream\n"
+            % (img_num, len(packed))
+            + packed
+            + b"\nendstream\nendobj\n"
+        )
+        # classic update trailer: no subsections, /XRefStm + /Prev
+        xref_at = len(out)
+        out += b"xref\n"
+        out += (
+            b"trailer\n<< /Size 7 /Root 1 0 R /XRefStm %d /Prev %d >>"
+            b"\nstartxref\n%d\n%%%%EOF\n" % (xrefstm_at, orig_xref_pos, xref_at)
+        )
+        pages = decode_pdf(bytes(out))
+        assert (pages[0] == new_img).all()  # stream entry shadows /Prev
+        assert (decode_pdf(base)[0] == old_img).all()
 
     def test_not_a_pdf(self):
         with pytest.raises(ValueError):
@@ -306,6 +408,19 @@ class TestSparkUnpack:
         a = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in via_pdf.collect()}
         b = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in direct.collect()}
         assert a == b
+
+    def test_unpack_handles_xref_stream_containers(self, spark):
+        # a PDF 1.5 container (ObjStm + xref stream) must unpack to the
+        # identical page store through the distributed path
+        refs = ["40_m0", "7_m1"]
+        data = encode_pdf(_pages(refs), refs, xref_format="stream")
+        pdfs = spark.createDataFrame(
+            [("p15", bytearray(data))], "pdf_ref string, payload binary"
+        )
+        rows = {r["media_ref"]: r for r in pdf_media_store_df(pdfs).collect()}
+        assert sorted(rows) == sorted(refs)
+        for ref in refs:
+            assert (decode_png(bytes(rows[ref]["payload"])) == render_page(ref)).all()
 
     def test_unpack_falls_back_to_positional_refs(self, spark):
         data = encode_pdf(_pages(["40_m0", "40_m1"]))  # no embedded refs
