@@ -67,6 +67,10 @@ class ElementTruth:
     # invisible to detection (min_size), readable by whole-block
     # recognition (the fallback-block-OCR fixture)
     thin: bool = False
+    # formulas only: ("plain", text) | ("sup"/"sub", base, script) |
+    # ("frac", numerator, denominator) — drives the structured layout
+    # the geometry-aware recognizer must decode back into latex
+    formula_spec: tuple | None = None
 
 
 @dataclass
@@ -176,7 +180,44 @@ def structure_page_truth(media_ref: str) -> StructurePageTruth:
                 el.thin = True
                 y = el.y2 + 12
             elif kind < 0.45:
-                el = add_element(margin, y, "formula", [_text_for(rng, int(rng.integers(3, 7)))], body_w)
+                # structured formula: the layout (raised/lowered script
+                # strip or a fraction bar) IS the content — the
+                # recognizer derives ^{}/_{}/\frac from glyph geometry
+                p = rng.random()
+                if p < 0.3:
+                    spec = (
+                        "sup",
+                        _text_for(rng, int(rng.integers(2, 5))),
+                        _text_for(rng, int(rng.integers(1, 3))),
+                    )
+                    fh = REGION_H + FORMULA_SCRIPT_DY + 2 * FORMULA_INNER_PAD
+                elif p < 0.6:
+                    spec = (
+                        "sub",
+                        _text_for(rng, int(rng.integers(2, 5))),
+                        _text_for(rng, int(rng.integers(1, 3))),
+                    )
+                    fh = REGION_H + FORMULA_SCRIPT_DY + 2 * FORMULA_INNER_PAD
+                elif p < 0.85:
+                    spec = (
+                        "frac",
+                        _text_for(rng, int(rng.integers(2, 5))),
+                        _text_for(rng, int(rng.integers(2, 5))),
+                    )
+                    fh = (
+                        2 * REGION_H
+                        + 2 * FORMULA_FRAC_GAP
+                        + FORMULA_BAR_H
+                        + 2 * FORMULA_INNER_PAD
+                    )
+                else:
+                    spec = ("plain", _text_for(rng, int(rng.integers(3, 7))))
+                    fh = REGION_H + 2 * pad
+                el = ElementTruth(
+                    margin, y, margin + body_w, y + fh, "formula",
+                    list(spec[1:]), 1, formula_spec=spec,
+                )
+                elements.append(el)
                 y = el.y2 + 10
             elif kind < 0.56:
                 el = add_element(margin, y, "paragraph_title", [_text_for(rng, 5)], body_w)
@@ -203,6 +244,58 @@ def structure_page_truth(media_ref: str) -> StructurePageTruth:
 
 
 TABLE_GRID = 190  # grid-line intensity (invisible to text detection)
+
+# structured-formula layout constants (shared with the recognizer's
+# geometry thresholds in structure.py — change together). Gaps must
+# exceed twice the DB unclip expansion (delta = area·1.5/perimeter ≈
+# 10px for a glyph strip), or one box's recognition slice captures the
+# neighboring strip's glyphs.
+FORMULA_SCRIPT_DY = 8  # vertical offset of a sup/sub strip vs its base
+FORMULA_SCRIPT_GAP = 28  # horizontal gap between base and script strips
+FORMULA_BAR_H = 6  # fraction-bar height (survives the min_size filter)
+FORMULA_FRAC_GAP = 12  # gap between bar and numerator/denominator
+FORMULA_BAR_INK = 64  # dark enough for DB detection (< 178.5 cutoff)
+# vertical headroom inside the element: detected boxes grow by the
+# unclip delta (~10px); without headroom they CLIP at the crop border,
+# which compresses the very center offsets the classifier reads
+FORMULA_INNER_PAD = 12
+
+
+def _render_formula(img: np.ndarray, el: ElementTruth, pad: int) -> None:
+    """Structured formula layouts per el.formula_spec (upright)."""
+    kind = el.formula_spec[0]
+    x0 = el.x1 + pad
+    max_w = el.x2 - el.x1 - 2 * pad
+
+    def put(text: str, x: int, yy: int) -> int:
+        block = _render_region_block(text)
+        w = min(region_width(len(text)), max(el.x2 - pad - x, 0))
+        if w > 0:
+            img[yy : yy + REGION_H, x : x + w] = block[:, :w]
+        return w
+
+    if kind == "plain":
+        put(el.formula_spec[1], x0, el.y1 + pad)
+    elif kind in ("sup", "sub"):
+        base, script = el.formula_spec[1], el.formula_spec[2]
+        top = el.y1 + FORMULA_INNER_PAD
+        if kind == "sup":
+            by, sy = top + FORMULA_SCRIPT_DY, top
+        else:
+            by, sy = top, top + FORMULA_SCRIPT_DY
+        bw = put(base, x0, by)
+        put(script, x0 + bw + FORMULA_SCRIPT_GAP, sy)
+    else:  # frac
+        num, den = el.formula_spec[1], el.formula_spec[2]
+        ny = el.y1 + FORMULA_INNER_PAD
+        bar_y = ny + REGION_H + FORMULA_FRAC_GAP
+        dy_ = bar_y + FORMULA_BAR_H + FORMULA_FRAC_GAP
+        nw = put(num, x0 + 8, ny)
+        dw = put(den, x0 + 8, dy_)
+        # min width 56 keeps the bar's 3×-wider-than-tall signature
+        # after unclip even when both operands are short
+        bar_w = min(max(max(nw, dw) + 16, 56), max_w)
+        img[bar_y : bar_y + FORMULA_BAR_H, x0 : x0 + bar_w] = FORMULA_BAR_INK
 
 
 def _render_table(img: np.ndarray, el, pad: int) -> None:
@@ -247,6 +340,9 @@ def render_structure_page(media_ref: str) -> np.ndarray:
             continue
         if el.element_type == "table":
             _render_table(img, el, pad)
+            continue
+        if el.element_type == "formula" and el.formula_spec is not None:
+            _render_formula(img, el, pad)
             continue
         if el.thin:
             # 2-px strip of the glyph block placed on the crop row the

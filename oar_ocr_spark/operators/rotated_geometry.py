@@ -305,13 +305,20 @@ def perspective_transform(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     )
 
 
-def warp_perspective_nn(
-    img: np.ndarray, matrix: np.ndarray, dst_w: int, dst_h: int
+def warp_perspective(
+    img: np.ndarray,
+    matrix: np.ndarray,
+    dst_w: int,
+    dst_h: int,
+    interpolation: str = "nearest",
 ) -> np.ndarray:
-    """Inverse-mapped perspective warp with nearest-neighbor sampling
-    and border replication (transform.rs:260-340; NN instead of
-    bicubic per the determinism contract). Fully vectorized: one
-    3×(W·H) mat-vec for the whole destination grid."""
+    """Inverse-mapped perspective warp with border replication
+    (transform.rs:260-340). interpolation="nearest" (default) is the
+    determinism-contract path every golden is computed through;
+    "bilinear" is the opt-in real-scan fidelity flavor (still short of
+    the reference's bicubic, but sub-pixel-correct on smooth content).
+    Fully vectorized: one 3×(W·H) mat-vec for the whole destination
+    grid."""
     inv = np.linalg.inv(matrix)
     xs, ys = np.meshgrid(
         np.arange(dst_w, dtype=np.float64), np.arange(dst_h, dtype=np.float64)
@@ -324,19 +331,52 @@ def warp_perspective_nn(
     sx = np.where(safe, src[0] / np.where(safe, z, 1.0), 0.0)
     sy = np.where(safe, src[1] / np.where(safe, z, 1.0), 0.0)
     h, w = img.shape[:2]
-    xi = np.clip(np.rint(sx), 0, w - 1).astype(np.int64)
-    yi = np.clip(np.rint(sy), 0, h - 1).astype(np.int64)
-    # preserve trailing channel axes (the engine is grayscale today;
-    # RGB inputs must not crash the reshape)
-    return img[yi, xi].reshape(dst_h, dst_w, *img.shape[2:])
+    if interpolation == "nearest":
+        xi = np.clip(np.rint(sx), 0, w - 1).astype(np.int64)
+        yi = np.clip(np.rint(sy), 0, h - 1).astype(np.int64)
+        # preserve trailing channel axes (the engine is grayscale today;
+        # RGB inputs must not crash the reshape)
+        return img[yi, xi].reshape(dst_h, dst_w, *img.shape[2:])
+    if interpolation != "bilinear":
+        raise ValueError(f"unknown interpolation {interpolation!r}")
+    x0 = np.clip(np.floor(sx), 0, w - 1).astype(np.int64)
+    y0 = np.clip(np.floor(sy), 0, h - 1).astype(np.int64)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    fx = np.clip(sx - x0, 0.0, 1.0)
+    fy = np.clip(sy - y0, 0.0, 1.0)
+    if img.ndim > 2:  # broadcast weights over trailing channel axes
+        fx = fx.reshape(-1, *([1] * (img.ndim - 2)))
+        fy = fy.reshape(-1, *([1] * (img.ndim - 2)))
+    p = img.astype(np.float64)
+    val = (
+        p[y0, x0] * (1 - fx) * (1 - fy)
+        + p[y0, x1] * fx * (1 - fy)
+        + p[y1, x0] * (1 - fx) * fy
+        + p[y1, x1] * fx * fy
+    )
+    if np.issubdtype(img.dtype, np.integer):
+        val = np.rint(val)
+    return val.astype(img.dtype).reshape(dst_h, dst_w, *img.shape[2:])
 
 
-def get_rotate_crop_image(img: np.ndarray, box_points: np.ndarray) -> np.ndarray | None:
+def warp_perspective_nn(
+    img: np.ndarray, matrix: np.ndarray, dst_w: int, dst_h: int
+) -> np.ndarray:
+    """Nearest-neighbor flavor (the historical name — golden path)."""
+    return warp_perspective(img, matrix, dst_w, dst_h, interpolation="nearest")
+
+
+def get_rotate_crop_image(
+    img: np.ndarray, box_points: np.ndarray, interpolation: str = "nearest"
+) -> np.ndarray | None:
     """4-point perspective crop: AABB pre-crop → reorder points →
     target dims from max opposite-edge lengths → perspective warp →
     rotate 90° CCW when h ≥ 1.5·w (vertical text). Returns None for
     invalid regions (the reference returns Err; the caller skips).
-    Port of get_rotate_crop_image (transform.rs:50-166)."""
+    Port of get_rotate_crop_image (transform.rs:50-166).
+    interpolation="bilinear" opts into sub-pixel sampling for real
+    scans; "nearest" (default) is the golden/determinism path."""
     pts = np.asarray(box_points, dtype=np.float64).reshape(4, 2)
     ih, iw = img.shape[:2]
     min_x, min_y = pts.min(axis=0)
@@ -368,7 +408,7 @@ def get_rotate_crop_image(img: np.ndarray, box_points: np.ndarray) -> np.ndarray
     except np.linalg.LinAlgError:
         # degenerate (collinear) quad: singular system — invalid region
         return None
-    dst = warp_perspective_nn(crop, m, tw, th)
+    dst = warp_perspective(crop, m, tw, th, interpolation=interpolation)
     if dst.shape[0] >= dst.shape[1] * 1.5:
         # vertical text: rotate270 (90° CCW), transform.rs:155-163
         dst = np.ascontiguousarray(np.rot90(dst, k=1))

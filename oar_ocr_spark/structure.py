@@ -89,6 +89,81 @@ def detect_layout(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
+def _formula_latex(fcrop: np.ndarray, boxes: np.ndarray, cfg: ExtractConfig) -> str:
+    """Detected glyph/bar boxes inside a formula crop → latex string.
+
+    Geometry-aware PP-FormulaNet stand-in (twin of the fixture layout,
+    fixtures/render_structure._render_formula — the two sides share
+    FORMULA_* constants):
+    - a box ≥3× wider than tall AND shorter than 60% of the tallest
+      box is a fraction BAR: glyph boxes above it are the numerator,
+      below the denominator → ``\\frac{num}{den}``
+    - otherwise glyph boxes sort by x; a box whose center sits more
+      than ~FORMULA_SCRIPT_DY/2 above/below the leading base box's
+      center attaches to the previous token as ``^{}`` / ``_{}``
+    - a flat single-level sequence keeps the legacy ``\\mathrm{…}``
+      wrapper (plain formulas, and any foreign layout the rules above
+      don't recognize, degrade to that instead of guessing)."""
+    items = []
+    ch, cw = fcrop.shape[:2]
+    for ob in boxes:
+        x1, y1 = max(int(ob[0]), 0), max(int(ob[1]), 0)
+        x2, y2 = min(int(ob[2]), cw), min(int(ob[3]), ch)
+        if x2 > x1 and y2 > y1:
+            items.append((x1, y1, x2, y2))
+    if not items:
+        return ""
+    hmax = max(y2 - y1 for _x1, y1, _x2, y2 in items)
+    bars = {
+        it
+        for it in items
+        if (it[3] - it[1]) < 0.6 * hmax and (it[2] - it[0]) >= 3 * (it[3] - it[1])
+    }
+    glyphs = [it for it in items if it not in bars]
+
+    def rec(it: tuple) -> str:
+        t, _c = recognize_crop(fcrop[it[1] : it[3], it[0] : it[2]], cfg)
+        return t
+
+    def cy(it: tuple) -> float:
+        return (it[1] + it[3]) / 2.0
+
+    if bars and glyphs:
+        bar = max(bars, key=lambda it: it[2] - it[0])
+        num = sorted((g for g in glyphs if cy(g) < cy(bar)), key=lambda it: it[0])
+        den = sorted((g for g in glyphs if cy(g) >= cy(bar)), key=lambda it: it[0])
+        ntxt = " ".join(filter(None, (rec(g) for g in num)))
+        dtxt = " ".join(filter(None, (rec(g) for g in den)))
+        if ntxt and dtxt:
+            return "\\frac{%s}{%s}" % (ntxt, dtxt)
+        flat = " ".join(filter(None, [ntxt, dtxt]))
+        return "\\mathrm{" + flat + "}" if flat else ""
+
+    glyphs.sort(key=lambda it: it[0])
+    base_cy = cy(glyphs[0])
+    tol = 4.0
+    parts: list[str] = []
+    structured = False
+    for g in glyphs:
+        t = rec(g)
+        if not t:
+            continue
+        dy = cy(g) - base_cy
+        if parts and dy < -tol:
+            parts[-1] += "^{%s}" % t
+            structured = True
+        elif parts and dy > tol:
+            parts[-1] += "_{%s}" % t
+            structured = True
+        else:
+            parts.append(t)
+    if not parts:
+        return ""
+    if structured:
+        return " ".join(parts)
+    return "\\mathrm{" + " ".join(parts) + "}"
+
+
 def extract_structure_page(
     img: np.ndarray, cfg: ExtractConfig | None = None
 ) -> list[StructureElement]:
@@ -141,8 +216,11 @@ def extract_structure_page(
         for i, el in enumerate(elements):
             el.region_index = int(best[i]) if best_val[i] >= 0.1 else -1
 
-    # formula recognition (structure.rs:1914-2007; synthetic
-    # PP-FormulaNet stand-in: decode the glyph content, emit latex)
+    # formula recognition (structure.rs:1914-2007; geometry-aware
+    # PP-FormulaNet stand-in: the reference decodes crop → latex token
+    # sequence, pp_formulanet.rs:391 — here the sequence derives from
+    # the rendered glyph GEOMETRY: raised/lowered strips → ^{}/_{},
+    # a wide short bar with ink above and below → \frac{}{})
     for el in elements:
         if el.element_type == "formula":
             fx1, fy1 = max(int(el.bbox[0]), 0), max(int(el.bbox[1]), 0)
@@ -150,18 +228,9 @@ def extract_structure_page(
             fcrop = upright[fy1:fy2, fx1:fx2]
             if fcrop.size:
                 fb, _fs = detect_page(fcrop, cfg)
-                parts = []
-                for ob in fb:
-                    sub = fcrop[
-                        max(int(ob[1]), 0) : min(int(ob[3]), fcrop.shape[0]),
-                        max(int(ob[0]), 0) : min(int(ob[2]), fcrop.shape[1]),
-                    ]
-                    if sub.size:
-                        t, _c = recognize_crop(sub, cfg)
-                        if t:
-                            parts.append(t)
-                if parts:
-                    el.text = "\\mathrm{" + " ".join(parts) + "}"
+                latex = _formula_latex(fcrop, fb, cfg)
+                if latex:
+                    el.text = latex
                     el.score = 1.0  # injected with conf 1.0 (structure.rs:2765-2775)
 
     # formula-region masking before text detection

@@ -112,6 +112,53 @@ def test_warp_identity_is_exact():
     np.testing.assert_array_equal(out, img)
 
 
+def test_warp_bilinear_exact_on_affine_ramp():
+    # bilinear interpolation reproduces any affine intensity ramp
+    # EXACTLY, so a fractional translation of f(x,y)=a+bx+cy has the
+    # closed form f(x+tx, y+ty) — a sharp correctness oracle NN fails
+    from oar_ocr_spark.operators.rotated_geometry import warp_perspective
+
+    a, b, c = 10.0, 3.0, 7.0
+    xs, ys = np.meshgrid(np.arange(12, dtype=np.float64), np.arange(9, dtype=np.float64))
+    img = a + b * xs + c * ys
+    tx, ty = 0.5, 0.25
+    m = np.array([[1.0, 0.0, -tx], [0.0, 1.0, -ty], [0.0, 0.0, 1.0]])  # src→dst
+    out = warp_perspective(img, m, 12, 9, interpolation="bilinear")
+    want = a + b * (xs + tx) + c * (ys + ty)
+    # interior only: border replication clamps the last row/col
+    np.testing.assert_allclose(out[:-1, :-1], want[:-1, :-1], atol=1e-9)
+    # NN at the same shift snaps to integers — provably different
+    nn = warp_perspective_nn(img, m, 12, 9)
+    assert not np.allclose(nn[:-1, :-1], want[:-1, :-1])
+
+
+def test_warp_bilinear_uint8_rounds_and_identity_exact():
+    from oar_ocr_spark.operators.rotated_geometry import warp_perspective
+
+    img = (np.arange(48).reshape(6, 8) * 5 % 256).astype(np.uint8)
+    out = warp_perspective(img, np.eye(3), 8, 6, interpolation="bilinear")
+    np.testing.assert_array_equal(out, img)  # integer grid → exact
+    assert out.dtype == np.uint8
+    # half-pixel shift on a 2-pixel checker = rounded midpoint
+    chk = np.array([[0, 100], [0, 100]], dtype=np.uint8)
+    m = np.array([[1.0, 0.0, -0.5], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    mid = warp_perspective(chk, m, 2, 2, interpolation="bilinear")
+    assert mid[0, 0] == 50
+
+
+def test_get_rotate_crop_image_bilinear_flag():
+    # the flag must reach the warp: a quad at fractional coordinates
+    # yields blended values under bilinear, pure source values under NN
+    img = np.zeros((20, 20), dtype=np.uint8)
+    img[:, 10:] = 200
+    quad = np.asarray([(4.5, 4.0), (15.5, 4.0), (15.5, 12.0), (4.5, 12.0)], dtype=float)
+    nn = get_rotate_crop_image(img, quad)
+    bl = get_rotate_crop_image(img, quad, interpolation="bilinear")
+    assert nn.shape == bl.shape
+    assert set(np.unique(nn)) <= {0, 200}  # NN: source values only
+    assert ((bl > 0) & (bl < 200)).any()  # bilinear: blended seam
+
+
 def test_get_rotate_crop_image_axis_aligned():
     img = np.full((40, 60), 255, dtype=np.uint8)
     img[10:20, 5:45] = 7

@@ -61,6 +61,37 @@ def test_text_elements_carry_joined_text():
                 assert e.text == ""
 
 
+def test_formula_latex_derives_from_glyph_geometry():
+    # the PP-FormulaNet stand-in must decode STRUCTURE, not just glyph
+    # content: raised strip → ^{}, lowered → _{}, bar → \frac{}{} —
+    # scan refs until every pattern (incl. plain) has been pinned
+    from oar_ocr_spark.fixtures.render_structure import structure_page_truth
+
+    want_of = {
+        "plain": lambda s: "\\mathrm{%s}" % s[1],
+        "sup": lambda s: "%s^{%s}" % (s[1], s[2]),
+        "sub": lambda s: "%s_{%s}" % (s[1], s[2]),
+        "frac": lambda s: "\\frac{%s}{%s}" % (s[1], s[2]),
+    }
+    seen: set[str] = set()
+    i = 0
+    while len(seen) < 4 and i < 400:
+        ref = f"{i}_m0"
+        i += 1
+        truth = structure_page_truth(ref)
+        fs = [el for el in truth.elements if el.element_type == "formula"]
+        if not fs:
+            continue
+        els = extract_structure_page(render_structure_page(ref))
+        got = [el for el in els if el.element_type == "formula"]
+        assert len(got) == len(fs)
+        for tel, gel in zip(fs, got):
+            assert gel.text == want_of[tel.formula_spec[0]](tel.formula_spec)
+            assert gel.score == 1.0  # conf-1.0 injection (structure.rs:2765)
+            seen.add(tel.formula_spec[0])
+    assert seen == {"plain", "sup", "sub", "frac"}
+
+
 def test_markdown_rules():
     els = extract_structure_page(render_structure_page("md_2"))
     md = elements_to_markdown(els)
