@@ -465,11 +465,22 @@ def embedding_near_dup(
     self equi-join on (table_id, bucket) — no broadcast, no top-k
     cap), then exact-cosine re-rank, so precision is 1.0 and only
     recall is approximate. Per-pair retention is
-    1-(1-p^n_bits)^n_tables with p = 1-acos(threshold)/π:
-    at the defaults (6 bits × 8 tables) that is ≥0.95 for
-    threshold ≥ ~0.85 (measured ≥0.95 at 0.9 on the planted-cluster
-    pytest), but only ~5% at threshold 0.3 — which is exactly why the
-    gate corpus (qualifying pairs at cosine≈0.30) stays on exact.
+    1-(1-p^n_bits)^n_tables with p = 1-acos(cosine)/π; at the
+    defaults (6 bits × 8 tables) the retention of a pair sitting
+    EXACTLY at the threshold — the worst case; pairs above it retain
+    more — is:
+
+        threshold   0.5    0.7    0.8    0.85   0.9    0.95
+        retention   0.52   0.78   0.90   0.95   0.98   1.00
+
+    Measured corpus recall (planted-pair pytest,
+    test_embedding_near_dup_approx_recall): 1.00 at threshold 0.9
+    (near-copies, cosine≈0.99) and 0.977 at threshold 0.8 (pairs
+    spread 0.74–0.91) — corpus recall beats the boundary-pair bound
+    because real near-dup cosines cluster above the threshold. Below
+    ~0.7 the curve collapses (~31% per-pair at 0.3), which is exactly
+    why the gate corpus (qualifying pairs at cosine≈0.30) stays on
+    exact; raise n_tables to push the knee left at linear cost.
 
     Crossover: exact costs N²·d mults sheared into n_blocks² tasks;
     approx costs ~N·n_tables bucket rows + bucket-local pairs. For a

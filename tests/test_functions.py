@@ -396,14 +396,27 @@ def test_embedding_near_dup_exact_matches_query_shape(spark, emb):
         assert r["vec_a"] < r["vec_b"] and r["cosine"] >= 0.5
 
 
-def test_embedding_near_dup_approx_recall_at_high_threshold(spark):
+@pytest.mark.parametrize(
+    "threshold,noise,min_recall",
+    [
+        # near-copies (cosine ≈ 0.99): the easy regime the docstring's
+        # ≥0.95 claim covers
+        (0.9, 0.12, 0.95),
+        # harder operating point: planted pairs spread 0.74–0.91, so
+        # qualifying pairs sit close to the threshold where per-pair
+        # retention drops to ~0.90 (docstring curve) — measured 0.977
+        # on this corpus because most pairs sit above the boundary
+        (0.8, 0.65, 0.90),
+    ],
+)
+def test_embedding_near_dup_approx_recall(spark, threshold, noise, min_recall):
     # planted near-dup corpus: 150 base vectors + a perturbed copy of
-    # each (cosine >= ~0.97). At threshold 0.9 the LSH defaults
-    # (6 bits x 8 tables) must recover >= 95% of the true pairs —
-    # the measured recall bound the approx mode's docstring claims.
+    # each; the LSH defaults (6 bits x 8 tables) must recover the
+    # documented recall at BOTH operating points of the
+    # recall/threshold curve (see embedding_near_dup docstring).
     rng = np.random.default_rng(23)
     base = rng.standard_normal((150, 64))
-    pert = base + 0.12 * rng.standard_normal((150, 64))
+    pert = base + noise * rng.standard_normal((150, 64))
     vecs = np.concatenate([base, pert])
     vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
     sims = vn @ vn.T
@@ -411,7 +424,7 @@ def test_embedding_near_dup_approx_recall_at_high_threshold(spark):
     true_pairs = {
         (int(i), int(j))
         for i, j in zip(*iu)
-        if round(float(sims[i, j]), 4) >= 0.9
+        if round(float(sims[i, j]), 4) >= threshold
     }
     assert len(true_pairs) >= 100  # the plant worked
     emb = spark.createDataFrame(
@@ -421,9 +434,9 @@ def test_embedding_near_dup_approx_recall_at_high_threshold(spark):
     got = {
         (r["vec_a"], r["vec_b"])
         for r in S.embedding_near_dup(
-            emb, threshold=0.9, mode="approx", dim=64, n_bits=6, n_tables=8
+            emb, threshold=threshold, mode="approx", dim=64, n_bits=6, n_tables=8
         ).collect()
     }
     # exact re-rank -> precision 1.0
     assert got <= true_pairs
-    assert len(got) / len(true_pairs) >= 0.95
+    assert len(got) / len(true_pairs) >= min_recall

@@ -44,6 +44,45 @@ def test_extraction_plan_two_python_boundaries_and_pruned_scan(spark, tmp_path):
     assert "CartesianProduct" not in plan
 
 
+def test_page_store_join_shuffles_above_broadcast_threshold(spark, tmp_path):
+    # at corpus scale the PDF/media page store is far beyond the
+    # broadcast threshold; the payload join must degrade to a shuffle
+    # join (sort-merge / shuffled-hash), NOT a forced broadcast that
+    # would OOM the driver at 100×. Simulate "store too big" by
+    # disabling auto-broadcast and assert no broadcast join survives
+    # anywhere in the extraction DAG (i.e. no broadcast() hint pins the
+    # store side).
+    from oar_ocr_spark.functions.multimodal import png_store_df
+
+    docs_raw = generate_documents(8, seed=21)
+    docs = _parquet_docs(spark, tmp_path, docs_raw)
+    refs = docs.select(
+        F.explode(
+            F.expr(
+                "transform(filter(spans, s -> s.kind = 'media' and s.media_ref"
+                " is not null), s -> s.media_ref)"
+            )
+        ).alias("media_ref")
+    ).distinct()
+    store = png_store_df(refs)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = extract_spans(spark, docs, media_store=store, persist_input=False)
+        plan = _plan(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    # and the shuffle join is correct: results equal the renderer path
+    a = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in out.collect()}
+    b = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in extract_spans(spark, docs, persist_input=False).collect()
+    }
+    assert a == b
+
+
 def test_heavy_doc_crops_spread_across_partitions(spark):
     # the crop repartition on (doc_id, offset, det_idx) must fan a
     # heavy document's pages across partitions (built-in salting) —
