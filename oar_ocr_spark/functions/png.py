@@ -7,16 +7,23 @@ the deterministic renderer's exact-integer pages through real PNG
 bytes preserves the determinism contract (CLAUDE.md) bit-for-bit —
 this is the honest "real codec" the round-2 verdict asked for.
 
-Scope (declared): 8-bit greyscale (color type 0) and RGB (color type
-2), non-interlaced — the PNG subformats the engine writes and any
-compliant encoder can produce for its pages. All five row filters
-(None/Sub/Up/Average/Paeth) are decoded, so PNGs from external writers
-round-trip too. Palette/16-bit/interlaced raise the declared
-NotImplementedError (the codec seam contract, functions/multimodal.py).
+Encoder scope: 8-bit greyscale (color type 0) and RGB (color type 2),
+non-interlaced — the subformats the engine writes for its pages.
+
+Decoder scope: EVERY legal IHDR combination — color types 0/2/3/4/6,
+bit depths 1/2/4/8/16, all five row filters, interlace 0 and Adam7.
+Output is always 8-bit grey or RGB: 16-bit samples take their high
+byte (the standard downconversion), sub-byte greys scale by
+255/(2^d−1) (1-bit scanned documents become 0/255), palette indices
+resolve through PLTE, and alpha (tRNS or a real alpha channel)
+composites over WHITE — the document-background convention for an OCR
+engine, computed in exact integer arithmetic so the determinism
+contract holds.
 
 Format reference: the public PNG specification (RFC 2083 / ISO 15948):
-8-byte signature, length-type-data-CRC chunks, IHDR/IDAT/IEND, zlib-
-deflated scanlines each prefixed by a filter-type byte.
+8-byte signature, length-type-data-CRC chunks, IHDR/PLTE/tRNS/IDAT/
+IEND, zlib-deflated scanlines each prefixed by a filter-type byte;
+Adam7 passes are independently-filtered sub-images.
 """
 
 from __future__ import annotations
@@ -67,11 +74,39 @@ def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
     )
 
 
+# Adam7 interlace pass grid: (x offset, y offset, x step, y step)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_LEGAL_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
 def _unfilter(raw: np.ndarray, h: int, w: int, channels: int) -> np.ndarray:
-    """Reverse PNG row filters. raw is (h, 1 + w*channels) uint8 with the
-    filter byte in column 0. Returns (h, w*channels) uint8."""
-    bpp = channels  # bytes per pixel (8-bit depth)
-    stride = w * channels
+    """Reverse PNG row filters for 8-bit depth (the historical
+    signature — also the /Predictor seam pdf.py shares): raw is
+    (h, 1 + w*channels) uint8 with the filter byte in column 0."""
+    return _unfilter_bytes(raw, h, w * channels, channels)
+
+
+def _unfilter_bytes(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG row filters on BYTE streams: raw is (h, 1 + stride)
+    uint8 with the filter byte in column 0; bpp = bytes per pixel
+    (filters predict at byte distance bpp regardless of bit depth —
+    PNG spec 6.2; sub-byte depths use bpp=1). Returns (h, stride)."""
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
@@ -112,12 +147,55 @@ def _unfilter(raw: np.ndarray, h: int, w: int, channels: int) -> np.ndarray:
     return out
 
 
+def _rows_to_samples(rows: np.ndarray, w: int, channels: int, depth: int) -> np.ndarray:
+    """(h, rowbytes) unfiltered bytes → (h, w·channels) samples.
+    uint8 for depth ≤ 8 (sub-byte values NOT yet scaled), uint16 for
+    depth 16 (big-endian pairs)."""
+    h = rows.shape[0]
+    n = w * channels
+    if depth == 8:
+        return rows[:, :n]
+    if depth == 16:
+        pairs = rows.reshape(h, -1)[:, : 2 * n].reshape(h, n, 2).astype(np.uint16)
+        return pairs[:, :, 0] * 256 + pairs[:, :, 1]
+    # sub-byte: unpack MSB-first, regroup depth-bit fields
+    bits = np.unpackbits(rows, axis=1)
+    fields = bits[:, : ((bits.shape[1] // depth) * depth)].reshape(h, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    vals = (fields * weights).sum(axis=2).astype(np.uint8)
+    return vals[:, :n]
+
+
+def _decode_subimage(
+    raw: np.ndarray, at: int, h: int, w: int, channels: int, depth: int
+) -> tuple[np.ndarray, int]:
+    """One (sub)image's scanlines from the inflated byte stream
+    starting at `at` → ((h, w·channels) samples, next offset)."""
+    stride = (w * channels * depth + 7) // 8
+    need = h * (1 + stride)
+    if raw.size - at < need:
+        raise ValueError("PNG scanline data truncated")
+    block = raw[at : at + need].reshape(h, 1 + stride)
+    bpp = max(1, channels * depth // 8)
+    if (block[:, 0] == 0).all():  # fast path: all rows unfiltered
+        rows = block[:, 1:].copy()
+    else:
+        rows = _unfilter_bytes(block, h, stride, bpp)
+    return _rows_to_samples(rows, w, channels, depth), at + need
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → (H,W) uint8 greyscale or (H,W,3) uint8 RGB array."""
+    """PNG bytes → (H,W) uint8 greyscale or (H,W,3) uint8 RGB.
+
+    Decodes every legal IHDR combination (see module docstring for the
+    8-bit output conventions: 16→high byte, sub-byte grey scaled,
+    palette resolved, alpha composited over white)."""
     if data[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     ihdr = None
+    plte = None
+    trns = None
     idat_parts: list[bytes] = []
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -125,6 +203,10 @@ def decode_png(data: bytes) -> np.ndarray:
         body = data[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat_parts.append(body)
         elif ctype == b"IEND":
@@ -133,28 +215,66 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color_type, compression, filt, interlace = ihdr
-    if depth != 8 or compression != 0 or filt != 0:
+    if compression != 0 or filt != 0:
         raise NotImplementedError(
-            f"PNG subformat not supported here: depth={depth} "
+            f"PNG subformat not supported here: "
             f"compression={compression} filter_method={filt}"
         )
-    if interlace != 0:
-        raise NotImplementedError("interlaced PNG not supported here")
-    if color_type == 0:
-        channels = 1
-    elif color_type == 2:
-        channels = 3
-    else:
-        raise NotImplementedError(f"PNG color type {color_type} not supported here")
+    if color_type not in _CHANNELS:
+        raise ValueError(f"illegal PNG color type {color_type}")
+    if depth not in _LEGAL_DEPTHS[color_type]:
+        raise ValueError(f"illegal PNG depth {depth} for color type {color_type}")
+    if interlace not in (0, 1):
+        raise ValueError(f"illegal PNG interlace method {interlace}")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    channels = _CHANNELS[color_type]
     raw = np.frombuffer(zlib.decompress(b"".join(idat_parts)), dtype=np.uint8)
-    stride = 1 + w * channels
-    if raw.size != h * stride:
-        raise ValueError(f"PNG scanline size mismatch: {raw.size} != {h}*{stride}")
-    raw = raw.reshape(h, stride)
-    if (raw[:, 0] == 0).all():  # fast path: all rows unfiltered
-        out = raw[:, 1:].copy()
-    else:
-        out = _unfilter(raw, h, w, channels)
-    if channels == 1:
-        return out.reshape(h, w)
-    return out.reshape(h, w, 3)
+    if interlace == 0:
+        samples, at = _decode_subimage(raw, 0, h, w, channels, depth)
+    else:  # Adam7: 7 independently-filtered sub-images
+        wide = np.uint16 if depth == 16 else np.uint8
+        samples = np.zeros((h, w * channels), dtype=wide)
+        at = 0
+        for xoff, yoff, xstep, ystep in _ADAM7:
+            pw = (w - xoff + xstep - 1) // xstep
+            ph = (h - yoff + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, at = _decode_subimage(raw, at, ph, pw, channels, depth)
+            samples.reshape(h, w, channels)[yoff::ystep, xoff::xstep, :] = sub.reshape(
+                ph, pw, channels
+            )
+    if at != raw.size:
+        raise ValueError("PNG has trailing scanline data")
+
+    # ---- sample post-processing → 8-bit grey or RGB ---------------------
+    if depth == 16:
+        samples = (samples >> 8).astype(np.uint8)
+    if color_type == 3:  # palette
+        idx = samples.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx]  # (h, w, 3)
+        if trns is not None and len(trns):
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns[: len(plte)]
+            a = alpha[idx].astype(np.uint16)[..., None]
+            rgb = ((rgb.astype(np.uint16) * a + 255 * (255 - a) + 127) // 255).astype(
+                np.uint8
+            )
+        return np.ascontiguousarray(rgb)
+    if color_type == 0:  # greyscale
+        g = samples.reshape(h, w)
+        if depth < 8:
+            g = (g.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        return np.ascontiguousarray(g)
+    if color_type == 2:  # RGB
+        return np.ascontiguousarray(samples.reshape(h, w, 3))
+    # alpha-bearing types composite over white (document background)
+    px = samples.reshape(h, w, channels).astype(np.uint16)
+    a = px[..., -1:]
+    out = ((px[..., :-1] * a + 255 * (255 - a) + 127) // 255).astype(np.uint8)
+    if color_type == 4:
+        return np.ascontiguousarray(out.reshape(h, w))
+    return np.ascontiguousarray(out)  # RGBA → RGB

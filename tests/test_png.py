@@ -92,9 +92,13 @@ def test_decode_rejects_bad_inputs():
         decode_png(b"JFIF" + b"\x00" * 64)
     img = np.zeros((4, 4), dtype=np.uint8)
     data = bytearray(encode_png(img))
-    # flip IHDR bit depth 8 -> 16 (offset: 8 sig + 8 len/type + 8 w/h)
+    # flip IHDR bit depth 8 -> 16: depth 16 now DECODES, but this
+    # stream only carries 8-bit scanlines — must fail loudly
     data[24] = 16
-    with pytest.raises(NotImplementedError, match="depth=16"):
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(bytes(data))
+    data[24] = 3  # not a legal PNG depth at all
+    with pytest.raises(ValueError, match="illegal PNG depth"):
         decode_png(bytes(data))
 
 
@@ -103,3 +107,167 @@ def test_encode_rejects_bad_inputs():
         encode_png(np.zeros((4, 4), dtype=np.float32))
     with pytest.raises(ValueError, match=r"expects \(H,W\)"):
         encode_png(np.zeros((4, 4, 4), dtype=np.uint8))
+
+
+# ---------------------------------------------------------------------------
+# extended decoder subformats (palette / sub-byte / 16-bit / alpha / Adam7)
+# ---------------------------------------------------------------------------
+
+import struct
+import zlib
+
+from oar_ocr_spark.functions.png import _ADAM7
+
+
+def _chunk(ctype, data):
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(
+        ">I", zlib.crc32(ctype + data) & 0xFFFFFFFF
+    )
+
+
+def _pack_row(samples, depth):
+    if depth == 8:
+        return samples.astype(np.uint8).tobytes()
+    if depth == 16:
+        return samples.astype(">u2").tobytes()
+    bits = np.zeros(len(samples) * depth, dtype=np.uint8)
+    for i, v in enumerate(samples):
+        for b in range(depth):
+            bits[i * depth + b] = (int(v) >> (depth - 1 - b)) & 1
+    return np.packbits(bits).tobytes()
+
+
+def _build_png(arr, color_type, depth, interlace=0, plte=None, trns=None):
+    """Test-side encoder for subformats the engine's writer never emits
+    (filter 0 rows; Adam7 pass split mirrors the spec grid)."""
+    h, w, _channels = arr.shape
+    out = bytearray(PNG_SIGNATURE)
+    out += _chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    )
+    if plte is not None:
+        out += _chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += _chunk(b"tRNS", bytes(trns))
+    raw = bytearray()
+    if interlace == 0:
+        for y in range(h):
+            raw += b"\x00" + _pack_row(arr[y].reshape(-1), depth)
+    else:
+        for xoff, yoff, xstep, ystep in _ADAM7:
+            sub = arr[yoff::ystep, xoff::xstep, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for y in range(sub.shape[0]):
+                raw += b"\x00" + _pack_row(sub[y].reshape(-1), depth)
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+class TestExtendedSubformats:
+    rng = np.random.default_rng(3)
+
+    def test_1bit_grey_scales_to_bw(self):
+        g1 = self.rng.integers(0, 2, (9, 13, 1))
+        got = decode_png(_build_png(g1, 0, 1))
+        assert got.shape == (9, 13) and got.dtype == np.uint8
+        assert (got == g1[..., 0] * 255).all()
+
+    def test_2_and_4_bit_grey_scale_exactly(self):
+        for d in (2, 4):
+            gg = self.rng.integers(0, 1 << d, (5, 7, 1))
+            got = decode_png(_build_png(gg, 0, d))
+            assert (got == gg[..., 0] * (255 // ((1 << d) - 1))).all()
+
+    def test_16bit_takes_high_byte(self):
+        g16 = self.rng.integers(0, 65536, (6, 5, 1))
+        assert (decode_png(_build_png(g16, 0, 16)) == (g16[..., 0] >> 8)).all()
+        c16 = self.rng.integers(0, 65536, (4, 3, 3))
+        assert (decode_png(_build_png(c16, 2, 16)) == (c16 >> 8)).all()
+
+    def test_palette_resolves_through_plte(self):
+        plte = self.rng.integers(0, 256, (16, 3))
+        pi = self.rng.integers(0, 16, (8, 6, 1))
+        got = decode_png(_build_png(pi, 3, 8, plte=plte))
+        assert (got == plte[pi[..., 0]]).all()
+        # 4-bit palette indices
+        pi4 = self.rng.integers(0, 8, (5, 9, 1))
+        got4 = decode_png(_build_png(pi4, 3, 4, plte=plte[:8]))
+        assert (got4 == plte[:8][pi4[..., 0]]).all()
+
+    def test_palette_trns_composites_over_white(self):
+        plte = self.rng.integers(0, 256, (8, 3))
+        pi4 = self.rng.integers(0, 8, (5, 9, 1))
+        trns = [0, 255, 128] + [255] * 5
+        got = decode_png(_build_png(pi4, 3, 4, plte=plte, trns=trns))
+        a = np.array(trns, dtype=np.uint16)[pi4[..., 0]][..., None]
+        want = (
+            (plte[pi4[..., 0]].astype(np.uint16) * a + 255 * (255 - a) + 127) // 255
+        ).astype(np.uint8)
+        assert (got == want).all()
+
+    def test_alpha_channels_composite_over_white(self):
+        ga = self.rng.integers(0, 256, (7, 4, 2))
+        got = decode_png(_build_png(ga, 4, 8))
+        want = (
+            (ga[..., 0].astype(np.uint16) * ga[..., 1] + 255 * (255 - ga[..., 1]) + 127)
+            // 255
+        ).astype(np.uint8)
+        assert got.shape == (7, 4) and (got == want).all()
+        rgba = self.rng.integers(0, 256, (6, 6, 4))
+        got = decode_png(_build_png(rgba, 6, 8))
+        a = rgba[..., 3:4].astype(np.uint16)
+        want = ((rgba[..., :3].astype(np.uint16) * a + 255 * (255 - a) + 127) // 255).astype(
+            np.uint8
+        )
+        assert got.shape == (6, 6, 3) and (got == want).all()
+
+    def test_adam7_equals_progressive_less(self):
+        # 11x10 — not multiples of 8, so several passes are partial
+        for ct, d, ch in [(0, 8, 1), (2, 8, 3), (0, 1, 1), (0, 16, 1), (6, 8, 4)]:
+            arr = self.rng.integers(0, 1 << d, (11, 10, ch))
+            want = decode_png(_build_png(arr, ct, d, interlace=0))
+            got = decode_png(_build_png(arr, ct, d, interlace=1))
+            assert (got == want).all(), f"adam7 ct={ct} d={d}"
+
+    def test_adam7_palette(self):
+        plte = self.rng.integers(0, 256, (16, 3))
+        pi = self.rng.integers(0, 16, (11, 10, 1))
+        got = decode_png(_build_png(pi, 3, 8, interlace=1, plte=plte))
+        assert (got == plte[pi[..., 0]]).all()
+
+    def test_adam7_tiny_images_skip_empty_passes(self):
+        one = np.array([[[200]]])
+        assert decode_png(_build_png(one, 0, 8, interlace=1))[0, 0] == 200
+        row = np.arange(8).reshape(1, 8, 1) * 30
+        assert (decode_png(_build_png(row, 0, 8, interlace=1)) == row[..., 0]).all()
+
+    def test_16bit_filtered_rows_use_two_byte_bpp(self):
+        # Sub/Paeth filters predict at byte distance bpp=2 for 16-bit
+        # grey — regression pin for the _unfilter_bytes generalization
+        g16 = self.rng.integers(0, 65536, (12, 7, 1))
+        data = bytearray(_build_png(g16, 0, 16))
+        # re-filter rows with Sub(1): locate the IDAT, rebuild with ft=1
+        raw = bytearray()
+        rows = [np.frombuffer(_pack_row(g16[y].reshape(-1), 16), dtype=np.uint8).astype(int) for y in range(12)]
+        for cur in rows:
+            line = cur.copy()
+            for x in range(len(cur) - 1, 1, -1):
+                line[x] = (cur[x] - cur[x - 2]) & 0xFF
+            raw += b"\x01" + bytes(np.asarray(line, dtype=np.uint8))
+        out = bytearray(PNG_SIGNATURE)
+        out += _chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 12, 16, 0, 0, 0, 0))
+        out += _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        out += _chunk(b"IEND", b"")
+        assert (decode_png(bytes(out)) == (g16[..., 0] >> 8)).all()
+
+    def test_palette_missing_plte_and_bad_index(self):
+        pi = np.zeros((2, 2, 1), dtype=int)
+        data = _build_png(pi, 3, 8, plte=None)
+        with pytest.raises(ValueError, match="missing PLTE"):
+            decode_png(data)
+        pi9 = np.full((2, 2, 1), 9)
+        plte = np.zeros((4, 3))
+        with pytest.raises(ValueError, match="palette index"):
+            decode_png(_build_png(pi9, 3, 8, plte=plte))
