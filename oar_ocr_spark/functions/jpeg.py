@@ -24,8 +24,10 @@ combination whose chroma factors divide the luma factors — 4:4:4,
 triangular upsampling is a documented deviation (≤ a few LSB on
 chroma edges; this engine's determinism contract wants the exact
 closed form). The ENCODER writes 4:4:4 by default and 4:2:2/4:2:0 on
-request (box-average chroma downsample). Progressive scans,
-arithmetic coding, non-interleaved scans, and restart intervals raise
+request (box-average chroma downsample). Restart intervals (DRI/RSTn
+— the camera error-resilience layout) decode AND encode, with the
+RST0-7 cycle validated and DC predictors reset per segment.
+Progressive scans, arithmetic coding, and non-interleaved scans raise
 NotImplementedError (the codec-seam contract, functions/multimodal.py).
 
 JPEG is lossy: the round-trip contract here is NOT bit equality (PNG's
@@ -323,13 +325,47 @@ def _pack_symbols(keys: np.ndarray, vals: np.ndarray, lens: np.ndarray) -> bytes
     return packed.tobytes()
 
 
-def _encode_scan(zz: np.ndarray) -> bytes:
+def _interleaved_scan(
+    comps: list[tuple], nmcu: int, restart_interval: int = 0
+) -> bytes:
+    """Entropy-coded scan for components in T.81 interleave order.
+
+    comps: (zz_in_scan_order, blocks_per_mcu, dc_code, dc_len,
+    ac_code, ac_len) per component. With restart_interval > 0, the
+    stream splits into byte-aligned segments of that many MCUs joined
+    by RST0..RST7 markers (cycling), with DC predictors reset per
+    segment (T.81 E.1.4 — the layout every camera JPEG uses)."""
+    per_mcu = sum(c[1] for c in comps)
+    offsets = np.cumsum([0] + [c[1] for c in comps])
+    ri = restart_interval if restart_interval > 0 else nmcu
+    out = bytearray()
+    seg = 0
+    for start in range(0, nmcu, ri):
+        end = min(start + ri, nmcu)
+        parts = []
+        for ci, (zz, bpm, dc_c, dc_l, ac_c, ac_l) in enumerate(comps):
+            chunk = zz[start * bpm : end * bpm]
+            j = np.arange(chunk.shape[0], dtype=np.int64)
+            slots = (j // bpm) * per_mcu + int(offsets[ci]) + j % bpm
+            # _component_symbols takes DC diffs from a 0 predecessor —
+            # exactly the per-segment predictor reset restarts require
+            parts.append(_component_symbols(chunk, slots, dc_c, dc_l, ac_c, ac_l))
+        if seg:
+            out += bytes([0xFF, 0xD0 + ((seg - 1) % 8)])
+        out += _pack_symbols(
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
+        )
+        seg += 1
+    return bytes(out)
+
+
+def _encode_scan(zz: np.ndarray, restart_interval: int = 0) -> bytes:
     """Single-component (greyscale) scan bytes."""
-    slots = np.arange(zz.shape[0], dtype=np.int64)
-    keys, vals, lens = _component_symbols(
-        zz, slots, _DC_CODE, _DC_LEN, _AC_CODE, _AC_LEN
+    return _interleaved_scan(
+        [(zz, 1, _DC_CODE, _DC_LEN, _AC_CODE, _AC_LEN)], zz.shape[0], restart_interval
     )
-    return _pack_symbols(keys, vals, lens)
 
 
 def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
@@ -385,20 +421,26 @@ def _seg(marker: int, body: bytes) -> bytes:
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 90, subsampling: str = "444"
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """(H,W) uint8 greyscale or (H,W,3) uint8 RGB → baseline JFIF JPEG
     bytes (deterministic). Color uses YCbCr with the Annex-K
     chrominance quantization + Huffman tables; `subsampling` is one of
-    "444" (default — no chroma subsampling), "422" (2×1) or "420"
-    (2×2, box-average downsample — the dominant wild subformat, mainly
-    for building decoder fixtures)."""
+    "444" (default — no chroma subsampling), "422" (2×1), "440" (1×2)
+    or "420" (2×2, box-average downsample — the dominant wild
+    subformat, mainly for building decoder fixtures).
+    `restart_interval` > 0 writes a DRI segment and splits the entropy
+    stream with RSTn markers every that many MCUs (the camera-JPEG
+    error-resilience layout)."""
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError(f"encode_jpeg expects uint8 (H,W) or (H,W,3), got {img.dtype} {img.shape}")
     if img.ndim == 3:
         if img.shape[2] != 3:
             raise ValueError(f"encode_jpeg expects 3 channels, got {img.shape}")
-        return _encode_jpeg_color(img, quality, subsampling)
+        return _encode_jpeg_color(img, quality, subsampling, restart_interval)
     if subsampling != "444":
         raise ValueError("subsampling applies to color images only")
     h, w = img.shape
@@ -406,7 +448,7 @@ def encode_jpeg(
         raise ValueError("empty image")
     q = _scaled_qtable(quality)
     zz = _plane_zz(img, q)
-    scan = _encode_scan(zz)
+    scan = _encode_scan(zz, restart_interval)
     seg = _seg
 
     out = bytearray(JPEG_SOI)
@@ -415,6 +457,8 @@ def encode_jpeg(
     out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")  # SOF0
     out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))  # DHT DC 0
     out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))  # DHT AC 0
+    if restart_interval > 0:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
     out += scan
     out += b"\xff\xd9"  # EOI
@@ -437,9 +481,11 @@ def _box_downsample(plane: np.ndarray, fh: int, fv: int) -> np.ndarray:
     return ((sums + (fh * fv) // 2) // (fh * fv)).astype(np.uint8)
 
 
-def _encode_jpeg_color(img: np.ndarray, quality: int, subsampling: str) -> bytes:
+def _encode_jpeg_color(
+    img: np.ndarray, quality: int, subsampling: str, restart_interval: int = 0
+) -> bytes:
     """(H,W,3) RGB → 3-component interleaved baseline JFIF (4:4:4,
-    4:2:2 or 4:2:0 per `subsampling`)."""
+    4:2:2, 4:4:0 or 4:2:0 per `subsampling`)."""
     if subsampling not in _SUBSAMPLING_FACTORS:
         raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING_FACTORS)}")
     hY, vY = _SUBSAMPLING_FACTORS[subsampling]
@@ -452,30 +498,16 @@ def _encode_jpeg_color(img: np.ndarray, quality: int, subsampling: str) -> bytes
     # MCU grid from the luma factors; chroma is always 1×1 here
     mcux, mcuy = -(-w // (8 * hY)), -(-h // (8 * vY))
     bpm = hY * vY  # luma blocks per MCU
-    per_mcu = bpm + 2  # total blocks per MCU across the 3 components
 
     # luma: pad to whole MCUs, reorder raster blocks into MCU scan order
     zz_y = _plane_zz(ycc[..., 0], q_lum, grid=(mcuy * vY, mcux * hY))
-    perm = _mcu_perm(mcuy, mcux, vY, hY)
-    zz_y = zz_y[perm]
-    j = np.arange(zz_y.shape[0], dtype=np.int64)
-    slots_y = (j // bpm) * per_mcu + j % bpm
-
-    parts = [
-        _component_symbols(zz_y, slots_y, _DC_CODE, _DC_LEN, _AC_CODE, _AC_LEN)
-    ]
+    zz_y = zz_y[_mcu_perm(mcuy, mcux, vY, hY)]
+    comps = [(zz_y, bpm, _DC_CODE, _DC_LEN, _AC_CODE, _AC_LEN)]
     for comp in (1, 2):
         sub = _box_downsample(ycc[..., comp], hY, vY)
         zz_c = _plane_zz(sub, q_chr, grid=(mcuy, mcux))  # 1 block/MCU: raster=scan
-        slots_c = np.arange(zz_c.shape[0], dtype=np.int64) * per_mcu + bpm + (comp - 1)
-        parts.append(
-            _component_symbols(zz_c, slots_c, _DCC_CODE, _DCC_LEN, _ACC_CODE, _ACC_LEN)
-        )
-    scan = _pack_symbols(
-        np.concatenate([p[0] for p in parts]),
-        np.concatenate([p[1] for p in parts]),
-        np.concatenate([p[2] for p in parts]),
-    )
+        comps.append((zz_c, 1, _DCC_CODE, _DCC_LEN, _ACC_CODE, _ACC_LEN))
+    scan = _interleaved_scan(comps, mcux * mcuy, restart_interval)
 
     seg = _seg
 
@@ -495,6 +527,8 @@ def _encode_jpeg_color(img: np.ndarray, quality: int, subsampling: str) -> bytes
     out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
     out += seg(0xFFC4, b"\x01" + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
     out += seg(0xFFC4, b"\x11" + bytes(_AC_BITS_C) + bytes(_AC_VALS_C))
+    if restart_interval > 0:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))  # DRI
     # SOS: 3 components, (dc,ac) table ids 0/0, 1/1, 1/1
     out += seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
     out += scan
@@ -504,7 +538,8 @@ def _encode_jpeg_color(img: np.ndarray, quality: int, subsampling: str) -> bytes
 
 class _BitReader:
     """Entropy-segment reader: 0xFF00 unstuffed; any other marker ends
-    the stream (RSTn would land here → declared unsupported upstream)."""
+    the stream (an RSTn boundary — the decoder resyncs a fresh reader
+    past it — or the closing EOI/next header)."""
 
     def __init__(self, data: bytes, pos: int):
         clean = bytearray()
@@ -612,6 +647,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     h = w = None
+    restart_interval = 0
     comp_info: list[tuple[int, int, int]] = []  # (h_samp, v_samp, qtable id)
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -676,8 +712,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise NotImplementedError(
                 f"JPEG process SOF{marker - 0xC0} (progressive/extended) not supported"
             )
-        elif marker == 0xDD:  # DRI
-            raise NotImplementedError("JPEG restart intervals not supported here")
+        elif marker == 0xDD:  # DRI: MCUs per restart segment (0 = off)
+            (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if h is None:
                 raise ValueError("JPEG SOS before SOF0")
@@ -713,30 +749,54 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 for hc, vc, _ in comp_info
             ]
             preds = [0] * ncomp
-            for n in range(nmcu):
-                for c in range(ncomp):  # interleaved MCU: hc·vc blocks/comp
-                    hc, vc, _ = comp_info[c]
-                    dc_tbl, ac_tbl = comp_tbls[c]
-                    out = outs[c]
-                    base = n * hc * vc
-                    for r in range(hc * vc):
-                        size = _decode_huffman(reader, dc_tbl)
-                        preds[c] += _extend(reader.read_bits(size), size)
-                        out[base + r, 0] = preds[c]
-                        k = 1
-                        while k < 64:
-                            sym = _decode_huffman(reader, ac_tbl)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            run, size = sym >> 4, sym & 0x0F
-                            k += run
-                            if k >= 64:
-                                raise ValueError("JPEG AC run overflows block")
-                            out[base + r, k] = _extend(reader.read_bits(size), size)
-                            k += 1
+            n = 0
+            seg_i = 0
+            while n < nmcu:
+                limit = min(nmcu, n + restart_interval) if restart_interval else nmcu
+                while n < limit:
+                    for c in range(ncomp):  # interleaved MCU: hc·vc blocks/comp
+                        hc, vc, _ = comp_info[c]
+                        dc_tbl, ac_tbl = comp_tbls[c]
+                        out = outs[c]
+                        base = n * hc * vc
+                        for r in range(hc * vc):
+                            size = _decode_huffman(reader, dc_tbl)
+                            preds[c] += _extend(reader.read_bits(size), size)
+                            out[base + r, 0] = preds[c]
+                            k = 1
+                            while k < 64:
+                                sym = _decode_huffman(reader, ac_tbl)
+                                if sym == 0x00:  # EOB
+                                    break
+                                if sym == 0xF0:  # ZRL
+                                    k += 16
+                                    continue
+                                run, size = sym >> 4, sym & 0x0F
+                                k += run
+                                if k >= 64:
+                                    raise ValueError("JPEG AC run overflows block")
+                                out[base + r, k] = _extend(
+                                    reader.read_bits(size), size
+                                )
+                                k += 1
+                    n += 1
+                if n < nmcu:
+                    # restart boundary (T.81 E.1.4): byte-aligned RSTn
+                    # marker in 0..7 cycle, DC predictors reset, fresh
+                    # entropy segment after the marker
+                    e = reader.end
+                    want = 0xD0 + (seg_i % 8)
+                    if not (
+                        e + 1 < len(data)
+                        and data[e] == 0xFF
+                        and data[e + 1] == want
+                    ):
+                        raise ValueError(
+                            f"expected RST{seg_i % 8} marker at offset {e}"
+                        )
+                    seg_i += 1
+                    preds = [0] * ncomp
+                    reader = _BitReader(data, e + 2)
             planes = []
             for c in range(ncomp):
                 hc, vc, qtid = comp_info[c]

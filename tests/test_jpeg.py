@@ -274,12 +274,34 @@ class TestDeclaredSubset:
         with pytest.raises(NotImplementedError, match="components"):
             decode_jpeg(patched)
 
-    def test_restart_interval_raises(self):
-        data = encode_jpeg(render_page("40_m0"))
-        i = data.index(b"\xff\xda")
-        dri = b"\xff\xdd\x00\x04\x00\x08"
-        with pytest.raises(NotImplementedError, match="restart"):
-            decode_jpeg(data[:i] + dri + data[i:])
+    def test_restart_interval_roundtrip(self):
+        # DRI/RSTn is the camera layout: pixel output must equal the
+        # restart-free stream (predictor resets cancel out), and the
+        # RST cycle must wrap correctly past RST7
+        img = render_page("40_m0")
+        base = decode_jpeg(encode_jpeg(img, 95))
+        for ri in (1, 3, 7):
+            data = encode_jpeg(img, 95, restart_interval=ri)
+            assert b"\xff\xdd" in data  # DRI present
+            assert (decode_jpeg(data) == base).all()
+        rng = np.random.RandomState(7)
+        color = np.kron(
+            rng.randint(0, 256, (6, 7, 3)).astype(np.uint8),
+            np.ones((4, 4, 1), dtype=np.uint8),
+        )
+        for sub in ("444", "420"):
+            want = decode_jpeg(encode_jpeg(color, 95, subsampling=sub))
+            got = decode_jpeg(
+                encode_jpeg(color, 95, subsampling=sub, restart_interval=2)
+            )
+            assert (got == want).all()
+
+    def test_restart_marker_out_of_sequence_raises(self):
+        data = bytearray(encode_jpeg(render_page("40_m0"), 95, restart_interval=3))
+        i = data.index(b"\xff\xd0")
+        data[i + 1] = 0xD5  # wrong RSTn in the cycle
+        with pytest.raises(ValueError, match="expected RST0"):
+            decode_jpeg(bytes(data))
 
     def test_decoder_reads_tables_from_file_not_assumptions(self):
         # different qualities write different DQT segments; the decoder
