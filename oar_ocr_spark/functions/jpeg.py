@@ -27,7 +27,13 @@ closed form). The ENCODER writes 4:4:4 by default and 4:2:2/4:2:0 on
 request (box-average chroma downsample). Restart intervals (DRI/RSTn
 — the camera error-resilience layout) decode AND encode, with the
 RST0-7 cycle validated and DC predictors reset per segment.
-Progressive scans, arithmetic coding, and non-interleaved scans raise
+PROGRESSIVE (SOF2) streams decode in full — spectral selection,
+successive approximation (DC and AC refinement per T.81 G.2), EOBn
+cross-block runs, per-scan restart resync — and a progressive ENCODER
+(`encode_jpeg_progressive`, libjpeg-style scan script) generates the
+fixtures, with decode(progressive) == decode(baseline) exactly (same
+quantized coefficients). Arithmetic coding, extended/lossless SOF
+processes, and non-interleaved BASELINE scans raise
 NotImplementedError (the codec-seam contract, functions/multimodal.py).
 
 JPEG is lossy: the round-trip contract here is NOT bit equality (PNG's
@@ -44,7 +50,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg", "decode_jpeg", "JPEG_SOI"]
+__all__ = ["encode_jpeg", "decode_jpeg", "encode_jpeg_progressive", "JPEG_SOI"]
 
 JPEG_SOI = b"\xff\xd8"
 
@@ -536,6 +542,333 @@ def _encode_jpeg_color(
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(H,W) grey / (H,W,3) RGB → PROGRESSIVE (SOF2) JFIF bytes.
+
+    Fixture generator for the progressive decode path (the second wild
+    JPEG layout after baseline 4:2:0): a libjpeg-style scan script with
+    spectral selection AND successive approximation — DC first at
+    Al=1 + DC refinement, banded AC first scans at Al=2/1 + AC
+    refinement scans down to Al=0 — so every decoder branch (EOB runs,
+    ZRL-in-refinement, correction bits, per-scan restart resync) is
+    exercised. Quantized coefficients are identical to the baseline
+    encoder's, so decode(progressive) == decode(baseline) EXACTLY."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError(
+            f"encode_jpeg_progressive expects uint8 (H,W) or (H,W,3), "
+            f"got {img.dtype} {img.shape}"
+        )
+    grey = img.ndim == 2
+    h, w = img.shape[0], img.shape[1]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q_lum = _scaled_qtable(quality)
+    if grey:
+        if subsampling != "444":
+            raise ValueError("subsampling applies to color images only")
+        hY = vY = 1
+        mcux, mcuy = -(-w // 8), -(-h // 8)
+        zz = [_plane_zz(img, q_lum, grid=(mcuy, mcux))]  # raster order
+        samp = [(1, 1)]
+    else:
+        if subsampling not in _SUBSAMPLING_FACTORS:
+            raise ValueError(
+                f"subsampling must be one of {sorted(_SUBSAMPLING_FACTORS)}"
+            )
+        hY, vY = _SUBSAMPLING_FACTORS[subsampling]
+        q_chr = _scaled_qtable(quality, _QTABLE_K2)
+        ycc = _rgb_to_ycbcr(img)
+        mcux, mcuy = -(-w // (8 * hY)), -(-h // (8 * vY))
+        zz = [_plane_zz(ycc[..., 0], q_lum, grid=(mcuy * vY, mcux * hY))]
+        for comp in (1, 2):
+            sub = _box_downsample(ycc[..., comp], hY, vY)
+            zz.append(_plane_zz(sub, q_chr, grid=(mcuy, mcux)))
+        samp = [(hY, vY), (1, 1), (1, 1)]
+
+    dc_codes = [_canonical_codes(_DC_BITS, _DC_VALS)] + [
+        _canonical_codes(_DC_BITS_C, _DC_VALS_C)
+    ] * (0 if grey else 2)
+    # progressive AC scans need EOBn symbols (cross-block EOB runs) that
+    # the Kraft-full Annex-K baseline tables cannot carry — use the
+    # custom progressive table (emitted via DHT, so the decoder reads
+    # it from the file like any foreign table)
+    ac_bits, ac_vals = _progressive_ac_table()
+    ac_codes = [_canonical_codes(ac_bits, ac_vals)] * (1 if grey else 3)
+
+    if grey:
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([1], 1, 63, 0, 1),
+            ([2], 1, 63, 0, 1),
+            ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([2], 1, 63, 1, 0),
+        ]
+
+    seg = _seg
+    out = bytearray(JPEG_SOI)
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(q_lum.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    if not grey:
+        out += seg(
+            0xFFDB, b"\x01" + bytes(q_chr.reshape(-1)[_ZIGZAG].astype(np.uint8))
+        )
+    sof = struct.pack(">BHHB", 8, h, w, 1 if grey else 3)
+    for c, (hc, vc) in enumerate(samp):
+        sof += bytes([c + 1, (hc << 4) | vc, 0 if c == 0 else 1])
+    out += seg(0xFFC2, sof)  # SOF2: progressive DCT
+    out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))
+    if not grey:
+        out += seg(0xFFC4, b"\x01" + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
+        out += seg(0xFFC4, b"\x11" + bytes(ac_bits) + bytes(ac_vals))
+    if restart_interval > 0:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+
+    for comps, ss, se, ah, al in script:
+        hdr = bytes([len(comps)])
+        for idx in comps:
+            tblc = 0 if idx == 0 else 1
+            hdr += bytes([idx + 1, (tblc << 4) | tblc])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, hdr)
+        out += _emit_progressive_scan(
+            zz, samp, comps, ss, se, ah, al, mcux, mcuy,
+            dc_codes, ac_codes, h, w, restart_interval,
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _emit_progressive_scan(
+    zz, samp, comps, ss, se, ah, al, mcux, mcuy, dc_codes, ac_codes,
+    h, w, restart_interval,
+):
+    """One progressive scan's entropy bytes (RSTn-separated segments
+    when restart_interval > 0). Mirrors _decode_progressive_scan."""
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    def units_dc():
+        if len(comps) > 1:
+            perms = {
+                i: _mcu_perm(mcuy, mcux, samp[i][1], samp[i][0]) for i in comps
+            }
+            us = []
+            for m in range(mcux * mcuy):
+                for i in comps:
+                    bpm = samp[i][0] * samp[i][1]
+                    for r in range(bpm):
+                        us.append((i, int(perms[i][m * bpm + r])))
+            per_ri = restart_interval * sum(samp[i][0] * samp[i][1] for i in comps)
+        else:
+            i = comps[0]
+            hc, vc = samp[i]
+            xc, yc = -(-w * hc // hmax), -(-h * vc // vmax)
+            bh_n, bw_n, stride = -(-yc // 8), -(-xc // 8), mcux * hc
+            us = [(i, r * stride + c) for r in range(bh_n) for c in range(bw_n)]
+            per_ri = restart_interval
+        return us, per_ri
+
+    segments: list[bytes] = []
+    if ss == 0:  # DC scan
+        units, per_ri = units_dc()
+        chunk = per_ri if restart_interval else len(units)
+        for start in range(0, len(units), max(chunk, 1)):
+            bw_ = _BitWriter()
+            preds: dict[int, int] = {}
+            for i, row in units[start : start + chunk]:
+                v = int(zz[i][row, 0]) >> al  # arithmetic shift (T.81 G.1.2.1)
+                if ah == 0:
+                    diff = v - preds.get(i, 0)
+                    preds[i] = v
+                    size = abs(diff).bit_length()
+                    code, length = dc_codes[i][size]
+                    bw_.bits(code, length)
+                    if size:
+                        amp = diff if diff >= 0 else diff + (1 << size) - 1
+                        bw_.bits(amp, size)
+                else:
+                    bw_.bit(v & 1)
+            segments.append(bw_.flush())
+    else:  # AC scan: single component
+        i = comps[0]
+        hc, vc = samp[i]
+        xc, yc = -(-w * hc // hmax), -(-h * vc // vmax)
+        bh_n, bw_n, stride = -(-yc // 8), -(-xc // 8), mcux * hc
+        rows = [r * stride + c for r in range(bh_n) for c in range(bw_n)]
+        codes = ac_codes[i]
+        chunk = restart_interval if restart_interval else len(rows)
+        for start in range(0, len(rows), max(chunk, 1)):
+            bw_ = _BitWriter()
+            pending = 0  # cross-block EOB run (first scans only)
+
+            def flush_eob(bw_=bw_):
+                nonlocal pending
+                while pending:
+                    n = min(pending, 32767)
+                    r = n.bit_length() - 1
+                    code, length = codes[r << 4]
+                    bw_.bits(code, length)
+                    if r:
+                        bw_.bits(n - (1 << r), r)
+                    pending -= n
+
+            for row in rows[start : start + chunk]:
+                coefv = zz[i][row]
+                if ah == 0:
+                    if all(
+                        (abs(int(coefv[k])) >> al) == 0 for k in range(ss, se + 1)
+                    ):
+                        pending += 1  # whole band zero: extend the run
+                        continue
+                    flush_eob()
+                    if _emit_ac_first_block(bw_, coefv, ss, se, al, codes):
+                        pending = 1  # trailing zeros start a new run
+                else:
+                    _emit_ac_refine_block(bw_, coefv, ss, se, al, codes)
+            flush_eob()
+            segments.append(bw_.flush())
+    out = bytearray()
+    for k, s in enumerate(segments):
+        if k:
+            out += bytes([0xFF, 0xD0 + ((k - 1) % 8)])
+        out += s
+    return bytes(out)
+
+
+def _progressive_ac_table() -> tuple[list[int], list[int]]:
+    """Custom AC Huffman table for progressive scans: the Annex-K
+    baseline tables are Kraft-FULL (their only free 16-bit slot is the
+    reserved all-ones code), so the EOBn symbols (0x10..0xE0) that
+    cross-block EOB runs need cannot be appended to them. Instead:
+    every symbol a progressive AC scan can emit — EOB0..EOB14, ZRL,
+    and (run,size) for size 1..10 — as a flat 8-bit canonical code
+    (176 symbols ≪ 256: legal, prefix-free, no all-ones). Emitted via
+    DHT like any custom table; compression is secondary for fixtures."""
+    vals = [r << 4 for r in range(15)]  # EOB0..EOB14
+    vals.append(0xF0)  # ZRL
+    for r in range(16):
+        for s in range(1, 11):
+            vals.append((r << 4) | s)
+    bits = [0] * 16
+    bits[7] = len(vals)  # all at code length 8
+    return bits, vals
+
+
+def _emit_ac_first_block(bw_, coefv, ss, se, al, codes) -> bool:
+    """First AC scan for one block (which has at least one significant
+    coefficient): run-length symbols over |coef|>>Al. Returns True if
+    the block ends with trailing zeros (the caller folds them into a
+    cross-block EOB run)."""
+    r = 0
+    for k in range(ss, se + 1):
+        c = int(coefv[k])
+        t = abs(c) >> al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, length = codes[0xF0]
+            bw_.bits(code, length)
+            r -= 16
+        s = t.bit_length()
+        code, length = codes[(r << 4) | s]
+        bw_.bits(code, length)
+        amp = t if c > 0 else (1 << s) - 1 - t
+        bw_.bits(amp, s)
+        r = 0
+    return r > 0
+
+
+def _emit_ac_refine_block(bw_, coefv, ss, se, al, codes):
+    """AC refinement for one block (T.81 G.1.2.3): newly-significant
+    coefficients as (run,1)+sign, correction bits for history-nonzero
+    coefficients buffered and flushed after each symbol, per-block
+    EOB carrying the tail corrections."""
+    absv = [abs(int(coefv[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1
+    for j, t in enumerate(absv):
+        if t == 1:
+            eob = ss + j
+    r = 0
+    br: list[int] = []
+    for j, t in enumerate(absv):
+        k = ss + j
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            code, length = codes[0xF0]
+            bw_.bits(code, length)
+            r -= 16
+            for b in br:
+                bw_.bit(b)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        code, length = codes[(r << 4) | 1]
+        bw_.bits(code, length)
+        bw_.bit(1 if int(coefv[k]) > 0 else 0)
+        for b in br:
+            bw_.bit(b)
+        br = []
+        r = 0
+    if r > 0 or br:
+        code, length = codes[0x00]
+        bw_.bits(code, length)
+        for b in br:
+            bw_.bit(b)
+
+
+class _BitWriter:
+    """MSB-first bit emitter with 0xFF byte stuffing and 1-padding —
+    the progressive encoder's counterpart of _BitReader."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bit(self, b: int) -> None:
+        self.acc = (self.acc << 1) | (b & 1)
+        self.n += 1
+        if self.n == 8:
+            self.buf.append(self.acc)
+            if self.acc == 0xFF:
+                self.buf.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+    def bits(self, val: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bit((val >> i) & 1)
+
+    def flush(self) -> bytes:
+        while self.n:
+            self.bit(1)
+        return bytes(self.buf)
+
+
 class _BitReader:
     """Entropy-segment reader: 0xFF00 unstuffed; any other marker ends
     the stream (an RSTn boundary — the decoder resyncs a fresh reader
@@ -636,11 +969,245 @@ def _extend(amp: int, size: int) -> int:
     return amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
 
 
+def _planes_from_raster(
+    raster_coefs: list[np.ndarray],
+    comp_info: list[tuple[int, int, int]],
+    qtables: dict[int, np.ndarray],
+    h: int,
+    w: int,
+    hmax: int,
+    vmax: int,
+    mcux: int,
+    mcuy: int,
+) -> np.ndarray:
+    """Raster-ordered dequantizable zigzag coefficient arrays → final
+    image (dequantize → IDCT → assemble → crop → box-upsample →
+    grey/RGB). Shared by the baseline and progressive paths."""
+    planes = []
+    for c, (hc, vc, qtid) in enumerate(comp_info):
+        q = qtables[qtid]
+        coefs = (raster_coefs[c][:, _UNZIGZAG].reshape(-1, 8, 8)) * q
+        blocks = _idct2(coefs.astype(np.float64))
+        pixels = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
+        bh_c, bw_c = mcuy * vc, mcux * hc
+        full = (
+            pixels.reshape(bh_c, bw_c, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh_c * 8, bw_c * 8)
+        )
+        # crop to the component's true dims, then box-upsample
+        # (pixel replication; libjpeg's "fancy" triangular filter is a
+        # documented deviation — module docstring)
+        ch_, cw_ = -(-h * vc // vmax), -(-w * hc // hmax)
+        full = full[:ch_, :cw_]
+        if vc != vmax or hc != hmax:
+            full = np.repeat(np.repeat(full, vmax // vc, axis=0), hmax // hc, axis=1)
+        planes.append(full[:h, :w])
+    if len(planes) == 1:
+        return planes[0]
+    return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
+def _scan_params(body: bytes, ncomp_frame: int):
+    """SOS body → ([(comp index, dc table id, ac table id)], Ss, Se,
+    Ah, Al)."""
+    n_sc = body[0]
+    comps = []
+    for c in range(n_sc):
+        cid, tbl = body[1 + 2 * c], body[2 + 2 * c]
+        idx = 0 if ncomp_frame == 1 else cid - 1
+        if not 0 <= idx < ncomp_frame:
+            raise ValueError(f"JPEG scan references unknown component id {cid}")
+        comps.append((idx, tbl >> 4, tbl & 0x0F))
+    ss, se = body[1 + 2 * n_sc], body[2 + 2 * n_sc]
+    a = body[3 + 2 * n_sc]
+    return comps, ss, se, a >> 4, a & 0x0F
+
+
+def _noninterleaved_grid(
+    comp_info, idx: int, h: int, w: int, hmax: int, vmax: int, mcux: int
+) -> tuple[int, int, int]:
+    """(block rows, block cols, raster row stride) of component idx's
+    NON-interleaved scan grid — ceil over the component's own dims
+    (T.81 A.2.2), a subset of the MCU-padded storage grid."""
+    hc, vc, _ = comp_info[idx]
+    xc, yc = -(-w * hc // hmax), -(-h * vc // vmax)
+    return -(-yc // 8), -(-xc // 8), mcux * hc
+
+
+def _expect_rst(data: bytes, reader: _BitReader, seg_i: int) -> _BitReader:
+    """Validate the next restart marker in the RST0..7 cycle and return
+    a fresh byte-aligned reader past it."""
+    e = reader.end
+    want = 0xD0 + (seg_i % 8)
+    if not (e + 1 < len(data) and data[e] == 0xFF and data[e + 1] == want):
+        raise ValueError(f"expected RST{seg_i % 8} marker at offset {e}")
+    return _BitReader(data, e + 2)
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    body: bytes,
+    st: dict,
+    comp_info: list[tuple[int, int, int]],
+    huff: dict,
+    restart_interval: int,
+) -> int:
+    """Decode one progressive (SOF2) scan into st['coefs'] (raster
+    block layout, per component) per T.81 G.2: spectral selection
+    bands + successive approximation, EOB runs, restart resync.
+    Returns the offset just past the scan's entropy data."""
+    comps, ss, se, ah, al = _scan_params(body, len(comp_info))
+    mcux, mcuy = st["mcux"], st["mcuy"]
+    h, w, hmax, vmax = st["h"], st["w"], st["hmax"], st["vmax"]
+    reader = _BitReader(data, pos)
+    seg_i = 0
+
+    if ss == 0:  # ---- DC scan ------------------------------------------
+        if se != 0:
+            raise ValueError("JPEG DC scan with Se != 0")
+        units: list[tuple[int, int, int]] = []  # (comp idx, raster row, dc tbl)
+        if len(comps) > 1:
+            # interleaved MCU order over the scan's components
+            perms = {
+                idx: _mcu_perm(mcuy, mcux, comp_info[idx][1], comp_info[idx][0])
+                for idx, _d, _a in comps
+            }
+            for m in range(mcux * mcuy):
+                for idx, dc_t, _ in comps:
+                    hc, vc, _ = comp_info[idx]
+                    bpm = hc * vc
+                    for r in range(bpm):
+                        units.append((idx, int(perms[idx][m * bpm + r]), dc_t))
+            units_per_ri = restart_interval * sum(
+                comp_info[idx][0] * comp_info[idx][1] for idx, _d, _a in comps
+            )
+        else:
+            idx, dc_t, _ = comps[0]
+            bh_n, bw_n, stride = _noninterleaved_grid(
+                comp_info, idx, h, w, hmax, vmax, mcux
+            )
+            units = [
+                (idx, r * stride + c, dc_t) for r in range(bh_n) for c in range(bw_n)
+            ]
+            units_per_ri = restart_interval
+        preds: dict[int, int] = {}
+        i = 0
+        while i < len(units):
+            limit = min(len(units), i + units_per_ri) if restart_interval else len(units)
+            while i < limit:
+                idx, row, dc_t = units[i]
+                coef = st["coefs"][idx]
+                if ah == 0:  # first DC scan: diff-coded, shifted by Al
+                    size = _decode_huffman(reader, huff[(0, dc_t)])
+                    preds[idx] = preds.get(idx, 0) + _extend(
+                        reader.read_bits(size), size
+                    )
+                    coef[row, 0] = preds[idx] << al
+                else:  # refinement: one raw bit appended at bit Al
+                    if reader.read_bits(1):
+                        coef[row, 0] |= 1 << al
+                i += 1
+            if i < len(units):
+                reader = _expect_rst(data, reader, seg_i)
+                seg_i += 1
+                preds = {}
+        return reader.end
+
+    # ---- AC scan (single component, T.81 G.1.1.1) -----------------------
+    if len(comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not 1 <= ss <= se <= 63:
+        raise ValueError(f"bad spectral band {ss}..{se}")
+    idx, _dc_t, ac_t = comps[0]
+    ac_tbl = huff[(1, ac_t)]
+    bh_n, bw_n, stride = _noninterleaved_grid(comp_info, idx, h, w, hmax, vmax, mcux)
+    rows = [r * stride + c for r in range(bh_n) for c in range(bw_n)]
+    coef = st["coefs"][idx]
+    eobrun = 0
+    p1, m1 = 1 << al, (-1) << al
+
+    def refine_nonzero(row: int, k: int) -> None:
+        # correction bit: move an already-nonzero coef toward ±(…1b…)
+        if reader.read_bits(1) and (coef[row, k] & p1) == 0:
+            coef[row, k] += p1 if coef[row, k] >= 0 else m1
+
+    i = 0
+    while i < len(rows):
+        limit = min(len(rows), i + restart_interval) if restart_interval else len(rows)
+        while i < limit:
+            row = rows[i]
+            if ah == 0:  # first scan for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                else:
+                    k = ss
+                    while k <= se:
+                        sym = _decode_huffman(reader, ac_tbl)
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if r < 15:  # EOBn
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            k += 16  # ZRL
+                        else:
+                            k += r
+                            if k > se:
+                                raise ValueError("JPEG AC run overflows band")
+                            coef[row, k] = _extend(reader.read_bits(s), s) << al
+                            k += 1
+            else:  # refinement scan (G.1.2.3 / T.81 figure G.10)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = _decode_huffman(reader, ac_tbl)
+                        r, s = sym >> 4, sym & 0x0F
+                        if s == 0:
+                            if r < 15:  # EOBn: tail handled below
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            val = 0  # ZRL: skip 16 zero-history coeffs
+                        else:
+                            if s != 1:
+                                raise ValueError("invalid AC refinement symbol")
+                            val = p1 if reader.read_bits(1) else m1
+                        while k <= se:
+                            if coef[row, k] != 0:
+                                refine_nonzero(row, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if k <= se and val:
+                            coef[row, k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if coef[row, k] != 0:
+                            refine_nonzero(row, k)
+                        k += 1
+                    eobrun -= 1
+            i += 1
+        if i < len(rows):
+            reader = _expect_rst(data, reader, seg_i)
+            seg_i += 1
+            eobrun = 0
+    return reader.end
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (H,W) uint8 greyscale or (H,W,3) uint8 RGB
-    (deterministic). Any interleaved sampling-factor combination with
-    integer chroma ratios decodes (4:4:4, 4:2:2, 4:4:0, 4:2:0 …) via
-    box chroma upsampling."""
+    """Baseline OR progressive JPEG bytes → (H,W) uint8 greyscale or
+    (H,W,3) uint8 RGB (deterministic). Any interleaved sampling-factor
+    combination with integer chroma ratios decodes (4:4:4, 4:2:2,
+    4:4:0, 4:2:0 …) via box chroma upsampling; progressive (SOF2)
+    streams accumulate spectral-selection / successive-approximation
+    scans and reconstruct at EOI."""
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -648,6 +1215,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     h = w = None
     restart_interval = 0
+    progressive = False
+    prog: dict | None = None  # progressive coefficient state
     comp_info: list[tuple[int, int, int]] = []  # (h_samp, v_samp, qtable id)
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -681,7 +1250,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 nvals = sum(body[b + 1 : b + 17])
                 huff[(tclass, tid)] = _decode_lut(bytes(body[b + 1 : b + 17 + nvals]))
                 b += 17 + nvals
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if depth != 8:
                 raise NotImplementedError(f"JPEG depth {depth} not supported")
@@ -708,15 +1278,38 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     # sampling factors are irrelevant (T.81 A.2.2)
                     hc = vc = 1
                 comp_info.append((hc, vc, body[6 + 3 * c + 2]))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"JPEG process SOF{marker - 0xC0} (progressive/extended) not supported"
+                f"JPEG process SOF{marker - 0xC0} (extended/lossless/"
+                "arithmetic) not supported"
             )
         elif marker == 0xDD:  # DRI: MCUs per restart segment (0 = off)
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if h is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF")
+            if progressive:
+                if prog is None:
+                    hmax = max(ci[0] for ci in comp_info)
+                    vmax = max(ci[1] for ci in comp_info)
+                    for hc, vc, _ in comp_info:
+                        if hmax % hc or vmax % vc:
+                            raise NotImplementedError(
+                                "JPEG sampling factors requiring fractional upsampling"
+                            )
+                    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+                    prog = {
+                        "h": h, "w": w, "hmax": hmax, "vmax": vmax,
+                        "mcux": mcux, "mcuy": mcuy,
+                        "coefs": [
+                            np.zeros((mcux * mcuy * hc * vc, 64), dtype=np.int64)
+                            for hc, vc, _ in comp_info
+                        ],
+                    }
+                pos = _decode_progressive_scan(
+                    data, pos, body, prog, comp_info, huff, restart_interval
+                )
+                continue
             ncomp = body[0]
             if ncomp < len(comp_info):
                 # legal baseline variant (one scan per component) that
@@ -797,34 +1390,20 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     seg_i += 1
                     preds = [0] * ncomp
                     reader = _BitReader(data, e + 2)
-            planes = []
+            # scan order → raster block order, then the shared assembly
+            rasters = []
             for c in range(ncomp):
-                hc, vc, qtid = comp_info[c]
-                q = qtables[qtid]
-                coefs = (outs[c][:, _UNZIGZAG].reshape(-1, 8, 8)) * q
-                blocks = _idct2(coefs.astype(np.float64))
-                pixels = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
-                # scan order → raster block order → plane
-                raster = np.empty_like(pixels)
-                raster[_mcu_perm(mcuy, mcux, vc, hc)] = pixels
-                bh_c, bw_c = mcuy * vc, mcux * hc
-                full = (
-                    raster.reshape(bh_c, bw_c, 8, 8)
-                    .transpose(0, 2, 1, 3)
-                    .reshape(bh_c * 8, bw_c * 8)
-                )
-                # crop to the component's true dims, then box-upsample
-                # (pixel replication; libjpeg's "fancy" triangular
-                # filter is a documented deviation — module docstring)
-                ch_, cw_ = -(-h * vc // vmax), -(-w * hc // hmax)
-                full = full[:ch_, :cw_]
-                if vc != vmax or hc != hmax:
-                    full = np.repeat(
-                        np.repeat(full, vmax // vc, axis=0), hmax // hc, axis=1
-                    )
-                planes.append(full[:h, :w])
-            if ncomp == 1:
-                return planes[0]
-            return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+                hc, vc, _ = comp_info[c]
+                raster = np.empty_like(outs[c])
+                raster[_mcu_perm(mcuy, mcux, vc, hc)] = outs[c]
+                rasters.append(raster)
+            return _planes_from_raster(
+                rasters, comp_info, qtables, h, w, hmax, vmax, mcux, mcuy
+            )
         # other segments (APPn, COM) are skipped
+    if prog is not None:  # progressive: reconstruct at EOI
+        return _planes_from_raster(
+            prog["coefs"], comp_info, qtables, prog["h"], prog["w"],
+            prog["hmax"], prog["vmax"], prog["mcux"], prog["mcuy"],
+        )
     raise ValueError("JPEG has no SOS scan")

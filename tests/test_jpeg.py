@@ -225,14 +225,81 @@ class TestSparkPipeline:
         assert a == b
 
 
+class TestProgressive:
+    """Progressive (SOF2) decode: the scan-script encoder produces the
+    SAME quantized coefficients as the baseline encoder, so progressive
+    and baseline streams must decode to IDENTICAL pixels — a sharp
+    oracle over every scan type (DC first/refine, banded AC first at
+    two Al levels, AC refine, EOB runs, ZRL-in-refinement)."""
+
+    def _eq(self, img, **kw):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_progressive
+
+        base = decode_jpeg(encode_jpeg(img, 90, **{k: v for k, v in kw.items() if k != "restart_interval"}))
+        prog = decode_jpeg(encode_jpeg_progressive(img, 90, **kw))
+        return (base == prog).all()
+
+    def test_grey_page_and_noise(self):
+        assert self._eq(render_page("40_m0"))
+        rng = np.random.RandomState(4)
+        assert self._eq(rng.randint(0, 256, (24, 31)).astype(np.uint8))
+
+    def test_flat_image_exercises_cross_block_eob_runs(self):
+        # constant image → every AC band zero → one EOBn run spanning
+        # all blocks (the decoder path Annex-K tables can't even code)
+        assert self._eq(np.full((64, 80), 128, np.uint8))
+
+    def test_color_all_subsamplings(self):
+        rng = np.random.RandomState(6)
+        img = np.kron(
+            rng.randint(0, 256, (10, 14, 3)).astype(np.uint8),
+            np.ones((4, 4, 1), dtype=np.uint8),
+        )
+        for sub in ("444", "422", "440", "420"):
+            assert self._eq(img, subsampling=sub), sub
+
+    def test_restart_intervals_in_progressive_scans(self):
+        assert self._eq(np.full((64, 80), 128, np.uint8), restart_interval=3)
+        rng = np.random.RandomState(8)
+        img = np.kron(
+            rng.randint(0, 256, (8, 9, 3)).astype(np.uint8),
+            np.ones((4, 4, 1), dtype=np.uint8),
+        )
+        assert self._eq(img, subsampling="420", restart_interval=2)
+
+    def test_deterministic_bytes(self):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_progressive
+
+        img = render_page("7_m1")
+        assert encode_jpeg_progressive(img, 95) == encode_jpeg_progressive(img, 95)
+
+    def test_progressive_payload_at_media_seam(self):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_progressive
+        from oar_ocr_spark.functions.multimodal import _decode_payload
+
+        img = render_page("40_m0")
+        out = _decode_payload("x", "image", encode_jpeg_progressive(img, 100))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
 class TestDeclaredSubset:
     def _swap_marker(self, data: bytes, old: int, new: int) -> bytes:
         i = data.index(bytes([0xFF, old]))
         return data[:i] + bytes([0xFF, new]) + data[i + 2 :]
 
-    def test_progressive_raises(self):
+    def test_extended_sof_raises(self):
+        # SOF1 (extended sequential) stays outside the declared subset
+        data = self._swap_marker(encode_jpeg(render_page("40_m0")), 0xC0, 0xC1)
+        with pytest.raises(NotImplementedError, match="extended"):
+            decode_jpeg(data)
+
+    def test_baseline_stream_mislabeled_progressive_fails_loudly(self):
+        # SOF2 with a baseline-style full-band scan is malformed
+        # (progressive DC scans must have Se=0) — must not decode as
+        # garbage
         data = self._swap_marker(encode_jpeg(render_page("40_m0")), 0xC0, 0xC2)
-        with pytest.raises(NotImplementedError, match="progressive"):
+        with pytest.raises(ValueError, match="DC scan"):
             decode_jpeg(data)
 
     def test_fractional_upsampling_raises(self):
