@@ -32,9 +32,11 @@ successive approximation (DC and AC refinement per T.81 G.2), EOBn
 cross-block runs, per-scan restart resync — and a progressive ENCODER
 (`encode_jpeg_progressive`, libjpeg-style scan script) generates the
 fixtures, with decode(progressive) == decode(baseline) exactly (same
-quantized coefficients). Arithmetic coding, extended/lossless SOF
-processes, and non-interleaved BASELINE scans raise
-NotImplementedError (the codec-seam contract, functions/multimodal.py).
+quantized coefficients). NON-interleaved baseline (one scan per
+component, the multi-scan scanner layout) decodes too, with its own
+fixture writer (`encode_jpeg_multiscan`). Arithmetic coding and
+extended/lossless SOF processes raise NotImplementedError (the
+codec-seam contract, functions/multimodal.py).
 
 JPEG is lossy: the round-trip contract here is NOT bit equality (PNG's
 contract) but (a) byte-level determinism of the encoder, (b) a tested
@@ -50,7 +52,13 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg", "decode_jpeg", "encode_jpeg_progressive", "JPEG_SOI"]
+__all__ = [
+    "encode_jpeg",
+    "decode_jpeg",
+    "encode_jpeg_progressive",
+    "encode_jpeg_multiscan",
+    "JPEG_SOI",
+]
 
 JPEG_SOI = b"\xff\xd8"
 
@@ -538,6 +546,74 @@ def _encode_jpeg_color(
     # SOS: 3 components, (dc,ac) table ids 0/0, 1/1, 1/1
     out += seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
     out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_multiscan(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(H,W,3) RGB → baseline SOF0 JFIF with one NON-interleaved scan
+    per component (T.81 A.2.2 — the multi-scan layout some scanners
+    produce). Fixture generator: quantized coefficients match the
+    interleaved encoder's, so both streams decode identically."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("encode_jpeg_multiscan expects (H,W,3) uint8")
+    if subsampling not in _SUBSAMPLING_FACTORS:
+        raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING_FACTORS)}")
+    hY, vY = _SUBSAMPLING_FACTORS[subsampling]
+    h, w = img.shape[0], img.shape[1]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q_lum = _scaled_qtable(quality)
+    q_chr = _scaled_qtable(quality, _QTABLE_K2)
+    ycc = _rgb_to_ycbcr(img)
+    mcux, mcuy = -(-w // (8 * hY)), -(-h // (8 * vY))
+    # raster-order coefficient planes (MCU-padded grids, like the
+    # progressive encoder)
+    zz = [_plane_zz(ycc[..., 0], q_lum, grid=(mcuy * vY, mcux * hY))]
+    for comp in (1, 2):
+        zz.append(
+            _plane_zz(_box_downsample(ycc[..., comp], hY, vY), q_chr, grid=(mcuy, mcux))
+        )
+    samp = [(hY, vY), (1, 1), (1, 1)]
+    tables = [
+        (_DC_CODE, _DC_LEN, _AC_CODE, _AC_LEN),
+        (_DCC_CODE, _DCC_LEN, _ACC_CODE, _ACC_LEN),
+        (_DCC_CODE, _DCC_LEN, _ACC_CODE, _ACC_LEN),
+    ]
+
+    seg = _seg
+    out = bytearray(JPEG_SOI)
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(q_lum.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    out += seg(0xFFDB, b"\x01" + bytes(q_chr.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for c, (hc, vc) in enumerate(samp):
+        sof += bytes([c + 1, (hc << 4) | vc, 0 if c == 0 else 1])
+    out += seg(0xFFC0, sof)
+    out += seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += seg(0xFFC4, b"\x01" + bytes(_DC_BITS_C) + bytes(_DC_VALS_C))
+    out += seg(0xFFC4, b"\x11" + bytes(_AC_BITS_C) + bytes(_AC_VALS_C))
+    if restart_interval > 0:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    for c in range(3):
+        hc, vc = samp[c]
+        # the component's NON-interleaved grid (subset of the padded one)
+        xc, yc = -(-w * hc // hY), -(-h * vc // vY)
+        bh_n, bw_n, stride = -(-yc // 8), -(-xc // 8), mcux * hc
+        rows = [r * stride + cc for r in range(bh_n) for cc in range(bw_n)]
+        dc_c, dc_l, ac_c, ac_l = tables[c]
+        scan = _interleaved_scan(
+            [(zz[c][rows], 1, dc_c, dc_l, ac_c, ac_l)], len(rows), restart_interval
+        )
+        tblc = 0 if c == 0 else 1
+        out += seg(0xFFDA, bytes([1, c + 1, (tblc << 4) | tblc, 0, 63, 0]))
+        out += scan
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1045,6 +1121,59 @@ def _expect_rst(data: bytes, reader: _BitReader, seg_i: int) -> _BitReader:
     return _BitReader(data, e + 2)
 
 
+def _decode_sequential_scan(
+    data: bytes,
+    pos: int,
+    body: bytes,
+    st: dict,
+    comp_info: list[tuple[int, int, int]],
+    huff: dict,
+    restart_interval: int,
+) -> int:
+    """One NON-interleaved baseline scan (full spectrum, one
+    component) into st['coefs'] raster storage; restart interval
+    counts data units (= blocks) for non-interleaved scans."""
+    comps, _ss, _se, _ah, _al = _scan_params(body, len(comp_info))
+    (idx, dc_t, ac_t) = comps[0]
+    dc_tbl, ac_tbl = huff[(0, dc_t)], huff[(1, ac_t)]
+    bh_n, bw_n, stride = _noninterleaved_grid(
+        comp_info, idx, st["h"], st["w"], st["hmax"], st["vmax"], st["mcux"]
+    )
+    rows = [r * stride + c for r in range(bh_n) for c in range(bw_n)]
+    coef = st["coefs"][idx]
+    reader = _BitReader(data, pos)
+    pred = 0
+    seg_i = 0
+    i = 0
+    while i < len(rows):
+        limit = min(len(rows), i + restart_interval) if restart_interval else len(rows)
+        while i < limit:
+            row = rows[i]
+            size = _decode_huffman(reader, dc_tbl)
+            pred += _extend(reader.read_bits(size), size)
+            coef[row, 0] = pred
+            k = 1
+            while k < 64:
+                sym = _decode_huffman(reader, ac_tbl)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                k += run
+                if k >= 64:
+                    raise ValueError("JPEG AC run overflows block")
+                coef[row, k] = _extend(reader.read_bits(size), size)
+                k += 1
+            i += 1
+        if i < len(rows):
+            reader = _expect_rst(data, reader, seg_i)
+            seg_i += 1
+            pred = 0
+    return reader.end
+
+
 def _decode_progressive_scan(
     data: bytes,
     pos: int,
@@ -1312,11 +1441,34 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 continue
             ncomp = body[0]
             if ncomp < len(comp_info):
-                # legal baseline variant (one scan per component) that
-                # this decoder does not implement — not a corrupt file
-                raise NotImplementedError(
-                    "non-interleaved (multi-scan) baseline JPEG not supported here"
+                if ncomp != 1:
+                    raise NotImplementedError(
+                        "baseline scan over a strict multi-component subset"
+                    )
+                # non-interleaved single-component baseline scan
+                # (T.81 A.2.2): one scan per component, blocks in the
+                # component's own grid; accumulate and finish at EOI
+                if prog is None:
+                    hmax = max(ci[0] for ci in comp_info)
+                    vmax = max(ci[1] for ci in comp_info)
+                    for hc, vc, _ in comp_info:
+                        if hmax % hc or vmax % vc:
+                            raise NotImplementedError(
+                                "JPEG sampling factors requiring fractional upsampling"
+                            )
+                    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+                    prog = {
+                        "h": h, "w": w, "hmax": hmax, "vmax": vmax,
+                        "mcux": mcux, "mcuy": mcuy,
+                        "coefs": [
+                            np.zeros((mcux * mcuy * hc * vc, 64), dtype=np.int64)
+                            for hc, vc, _ in comp_info
+                        ],
+                    }
+                pos = _decode_sequential_scan(
+                    data, pos, body, prog, comp_info, huff, restart_interval
                 )
+                continue
             if ncomp > len(comp_info):
                 raise ValueError("JPEG SOS component count exceeds SOF0")
             hmax = max(ci[0] for ci in comp_info)

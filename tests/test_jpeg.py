@@ -283,6 +283,38 @@ class TestProgressive:
         assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
 
 
+class TestMultiScan:
+    """Non-interleaved baseline (one scan per component): must decode
+    identically to the interleaved stream of the same coefficients."""
+
+    def test_all_subsamplings_equal_interleaved(self):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_multiscan
+
+        rng = np.random.RandomState(13)
+        img = np.kron(
+            rng.randint(0, 256, (10, 14, 3)).astype(np.uint8),
+            np.ones((4, 4, 1), dtype=np.uint8),
+        )
+        for sub in ("444", "422", "420"):
+            b = decode_jpeg(encode_jpeg(img, 90, subsampling=sub))
+            m = decode_jpeg(encode_jpeg_multiscan(img, 90, subsampling=sub))
+            assert (b == m).all(), sub
+
+    def test_restarts_count_blocks_in_noninterleaved_scans(self):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_multiscan
+
+        rng = np.random.RandomState(14)
+        img = np.kron(
+            rng.randint(0, 256, (8, 9, 3)).astype(np.uint8),
+            np.ones((4, 4, 1), dtype=np.uint8),
+        )
+        b = decode_jpeg(encode_jpeg(img, 90, subsampling="420"))
+        m = decode_jpeg(
+            encode_jpeg_multiscan(img, 90, subsampling="420", restart_interval=3)
+        )
+        assert (b == m).all()
+
+
 class TestDeclaredSubset:
     def _swap_marker(self, data: bytes, old: int, new: int) -> bytes:
         i = data.index(bytes([0xFF, old]))
