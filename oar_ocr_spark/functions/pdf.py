@@ -397,25 +397,156 @@ def _parse_value(data: bytes, pos: int):
     raise ValueError(f"cannot parse PDF object at offset {pos}: {data[pos:pos+20]!r}")
 
 
-def _apply_stream_filters(d: dict, raw: bytes) -> bytes:
-    """Decode a stream's /Filter chain honoring /DecodeParms. Direct
-    objects only — used for xref/object streams, where the spec
-    requires direct values (the xref doesn't exist yet to resolve
-    refs). FlateDecode with PNG predictors 10–15 (the wild xref-stream
-    layout); anything else fails loudly."""
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """/ASCIIHexDecode (spec 7.4.2): hex pairs, whitespace ignored,
+    '>' EOD, odd trailing digit padded with 0."""
+    end = data.find(b">")
+    hexdigits = re.sub(rb"\s", b"", data if end < 0 else data[:end])
+    if len(hexdigits) % 2:
+        hexdigits += b"0"
+    return bytes.fromhex(hexdigits.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """/ASCII85Decode (spec 7.4.3): base-85 groups, 'z' = four zero
+    bytes, '~>' EOD, partial final group."""
+    end = data.find(b"~>")
+    body = re.sub(rb"\s", b"", data if end < 0 else data[:end])
+    out = bytearray()
+    group: list[int] = []
+    for ch in body:
+        if ch == 0x7A:  # 'z'
+            if group:
+                raise ValueError("ASCII85 'z' inside a group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= ch <= 0x75:  # '!'..'u'
+            raise ValueError(f"invalid ASCII85 character {ch:#x}")
+        group.append(ch - 0x21)
+        if len(group) == 5:
+            v = 0
+            for g in group:
+                v = v * 85 + g
+            out += v.to_bytes(4, "big")
+            group = []
+    if group:
+        if len(group) == 1:
+            raise ValueError("ASCII85 partial group of 1 digit")
+        n = len(group)
+        v = 0
+        for g in group + [84] * (5 - n):  # pad with 'u'
+            v = v * 85 + g
+        out += v.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """/RunLengthDecode (spec 7.4.5): PackBits-style runs, 128 EOD."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        if n == 128:  # EOD
+            break
+        if n < 128:
+            out += data[i + 1 : i + 2 + n]
+            i += 2 + n
+        else:
+            out += bytes([data[i + 1]]) * (257 - n)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """/LZWDecode (spec 7.4.4): 9→12-bit variable codes MSB-first,
+    256 = clear table, 257 = EOD; /EarlyChange (default 1) widens the
+    code one entry before the table fills — the layout every PDF
+    writer uses."""
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+
+    width = 9
+    reset()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            acc &= (1 << nbits) - 1
+            if code == 256:
+                reset()
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"LZW code {code} beyond table")
+            out += entry
+            prev = entry
+            if len(table) + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _apply_one_filter(name: str, data: bytes, pm) -> bytes:
+    """One /Filter stage + its /DecodeParms (predictors apply to the
+    LZW/Flate stages per spec 7.4.4.4)."""
+    if name == "FlateDecode":
+        data = zlib.decompress(data)
+    elif name == "LZWDecode":
+        early = int(pm.get("EarlyChange", 1)) if isinstance(pm, dict) else 1
+        data = _lzw_decode(data, early)
+    elif name == "ASCIIHexDecode":
+        return _ascii_hex_decode(data)
+    elif name == "ASCII85Decode":
+        return _ascii85_decode(data)
+    elif name == "RunLengthDecode":
+        return _rle_decode(data)
+    else:
+        raise NotImplementedError(f"PDF stream filter {name} not supported")
+    if isinstance(pm, dict):
+        data = _apply_predictor(data, pm)
+    return data
+
+
+def _filter_chain(d: dict):
+    """(filter names, per-filter DecodeParms) from a stream dict
+    (both may be single values or arrays)."""
     filt = d.get("Filter")
     filts = filt if isinstance(filt, list) else ([] if filt is None else [filt])
     parms = d.get("DecodeParms")
     parms_list = parms if isinstance(parms, list) else [parms] * len(filts)
+    return [str(f) for f in filts], list(parms_list) + [None] * (
+        len(filts) - len(parms_list)
+    )
+
+
+def _apply_stream_filters(d: dict, raw: bytes) -> bytes:
+    """Decode a stream's full /Filter chain honoring /DecodeParms.
+    Direct objects only — also used for xref/object streams, where the
+    spec requires direct values (the xref doesn't exist yet to resolve
+    refs). Flate/LZW (with PNG predictors 10–15), ASCIIHex, ASCII85
+    and RunLength; anything else fails loudly."""
     out = raw
-    for f, pm in zip(filts, parms_list):
-        if str(f) != "FlateDecode":
-            raise NotImplementedError(
-                f"PDF xref/object stream filter {f} not supported here"
-            )
-        out = zlib.decompress(out)
-        if isinstance(pm, dict):
-            out = _apply_predictor(out, pm)
+    for f, pm in zip(*_filter_chain(d)):
+        out = _apply_one_filter(f, out, pm)
     return out
 
 
@@ -680,23 +811,17 @@ class PdfDocument:
             d, raw = obj
             if d.get("Subtype") != "Image":
                 continue
-            filt = d.get("Filter")
-            filts = [filt] if not isinstance(filt, list) else filt
-            filts = [str(f) for f in filts if f is not None]
-            for f in filts:
-                if f == "FlateDecode":
-                    raw = zlib.decompress(raw)
-                elif f == "DCTDecode":
+            filts, parms = _filter_chain(d)
+            for f, pm in zip(filts, parms):
+                if f == "DCTDecode":
                     # JPEG-compressed image XObject — the common layout
                     # for scanned PDFs; decoded by the engine's own
-                    # baseline codec (functions/jpeg.py; its declared
-                    # subset applies — progressive/subsampled raise
-                    # there)
+                    # codec (functions/jpeg.py: baseline incl. 4:2:0
+                    # subsampling, restart intervals, progressive)
                     from .jpeg import decode_jpeg
 
                     return decode_jpeg(raw)
-                else:
-                    raise NotImplementedError(f"PDF stream filter {f} not supported")
+                raw = _apply_one_filter(f, raw, self.resolve(pm))
             w, h = int(self.resolve(d["Width"])), int(self.resolve(d["Height"]))
             bpc = int(self.resolve(d.get("BitsPerComponent", 8)))
             cs = str(self.resolve(d.get("ColorSpace", "DeviceGray")))

@@ -267,6 +267,130 @@ class TestForeignPdfs:
         assert doc._load(img_num) is None  # freed, not resurrected
         assert PdfDocument(base)._load(img_num) is not None  # original intact
 
+    def test_ascii85_matches_stdlib_oracle(self):
+        import base64
+
+        from oar_ocr_spark.functions.pdf import _ascii85_decode
+
+        rng = np.random.RandomState(3)
+        for n in (0, 1, 2, 3, 4, 5, 17, 256):
+            payload = bytes(rng.randint(0, 256, n).astype(np.uint8))
+            enc = base64.a85encode(payload, adobe=True)  # <~ ... ~>
+            assert _ascii85_decode(enc[2:]) == payload  # strip '<~'
+        # 'z' shortcut for four zero bytes
+        assert _ascii85_decode(b"z~>") == b"\x00\x00\x00\x00"
+
+    def test_lzw_spec_vector(self):
+        # hand-derived code sequence for the PDF spec's 7.4.4.2 sample
+        # input (EEEEEeEEEf): CLEAR, E, EE, EE, e, EEE, f, EOD — i.e.
+        # codes 256,69,258,258,101,259,102,257 at 9 bits (the third
+        # code reuses table entry 258 added while coding the second)
+        from oar_ocr_spark.functions.pdf import _lzw_decode
+
+        codes = [256, 69, 258, 258, 101, 259, 102, 257]
+        acc = 0
+        nbits = 0
+        out = bytearray()
+        for c in codes:
+            acc = (acc << 9) | c
+            nbits += 9
+            while nbits >= 8:
+                out.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        assert _lzw_decode(bytes(out)) == b"\x45" * 5 + b"\x65" + b"\x45" * 3 + b"\x66"
+
+    def test_runlength_vectors(self):
+        from oar_ocr_spark.functions.pdf import _rle_decode
+
+        assert _rle_decode(b"\x02abc\x80") == b"abc"  # literal run of 3
+        assert _rle_decode(b"\xfeZ\x80") == b"ZZZ"  # 257-254=3 repeats
+        assert _rle_decode(b"\x00a\xffQ\x80trailing") == b"aQQ"
+
+    def test_image_xobject_filter_chains(self):
+        # foreign PDFs wrap image data in ASCII filters and chains
+        import base64
+
+        img = np.arange(20, dtype=np.uint8).reshape(4, 5)
+
+        def obj_for(filter_spec, payload):
+            return (
+                b"<< /Type /XObject /Subtype /Image /Width 5 /Height 4 "
+                b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter "
+                + filter_spec
+                + b" /Length %d >> stream\n" % len(payload)
+                + payload
+                + b"\nendstream"
+            )
+
+        cases = [
+            (b"/ASCIIHexDecode", img.tobytes().hex().encode() + b">"),
+            (b"/ASCII85Decode", base64.a85encode(img.tobytes(), adobe=True)[2:]),
+            (b"/RunLengthDecode", b"\x13" + img.tobytes() + b"\x80"),
+            (
+                b"[/ASCII85Decode /FlateDecode]",
+                base64.a85encode(zlib.compress(img.tobytes()), adobe=True)[2:],
+            ),
+        ]
+        for spec, payload in cases:
+            objs = [
+                b"<< /Type /Catalog /Pages 2 0 R >>",
+                b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+                b"<< /Type /Page /Parent 2 0 R "
+                b"/Resources << /XObject << /Im0 4 0 R >> >> >>",
+                obj_for(spec, payload),
+            ]
+            pages = decode_pdf(self._wrap(objs))
+            assert (pages[0] == img).all(), spec
+
+    def test_lzw_with_png_predictor_stream(self):
+        # LZW + /Predictor 12: the pre-Flate layout old PDF writers used
+        from oar_ocr_spark.functions.pdf import _apply_stream_filters, _lzw_decode
+
+        rows = np.arange(21, dtype=np.uint8).reshape(3, 7)
+        pred = np.zeros((3, 8), dtype=np.uint8)
+        pred[:, 0] = 2  # Up filter
+        pred[0, 1:] = rows[0]
+        pred[1:, 1:] = rows[1:] - rows[:-1]
+        raw = pred.tobytes()
+        # test-side LZW encoder (independent bit packing, early change)
+        table = {bytes([i]): i for i in range(256)}
+        nxt = 258
+        width = 9
+        codes = [256]
+        wbuf = raw[:1]
+        for b in raw[1:]:
+            t = wbuf + bytes([b])
+            if t in table:
+                wbuf = t
+            else:
+                codes.append((table[wbuf], width))
+                table[t] = nxt
+                nxt += 1
+                if nxt + 1 >= (1 << width):
+                    width += 1
+                wbuf = bytes([b])
+        codes.append((table[wbuf], width))
+        codes.append((257, width))
+        codes[0] = (256, 9)
+        acc = nbits = 0
+        out = bytearray()
+        for c, wdt in codes:
+            acc = (acc << wdt) | c
+            nbits += wdt
+            while nbits >= 8:
+                out.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        d = {
+            "Filter": "LZWDecode",
+            "DecodeParms": {"Predictor": 12, "Columns": 7},
+        }
+        assert _lzw_decode(bytes(out)) == raw
+        assert _apply_stream_filters(d, bytes(out)) == rows.tobytes()
+
     def test_startxref_at_junk_raises(self):
         data = b"%PDF-1.5\njunk\nstartxref\n9\n%%EOF"  # offset 9 -> 'junk'
         with pytest.raises(ValueError, match="neither an xref table nor an object"):
