@@ -8,9 +8,14 @@ are raw little-endian integers (public format: RIFF spec / RFC 2361
 WAVE taxonomy) — so the audio modality gets the same treatment PNG
 gave images: a real, lossless, deterministic byte format.
 
-Scope (declared): PCM (format tag 1), 16-bit or 8-bit, any channel
-count / sample rate. Compressed WAVE formats (ADPCM, mu-law, MP3-in-
-WAV) raise NotImplementedError — the codec-seam contract.
+Scope (declared): integer PCM (format tag 1) at 8/16/24/32 bits,
+IEEE float (tag 3) at 32/64 bits, and WAVE_FORMAT_EXTENSIBLE (tag
+0xFFFE — the >2-channel / >16-bit layout, SubFormat GUID resolved to
+PCM or float), any channel count / sample rate. Decode output is
+always int16 (wider samples keep their top 16 bits; floats scale by
+32767 and clip — the standard downconversions). Compressed WAVE
+formats (ADPCM, mu-law, MP3-in-WAV) raise NotImplementedError — the
+codec-seam contract.
 
 The deterministic audio fixture (`render_audio`) synthesizes each
 ref's waveform as a closed-form function of its hash (sum of 3
@@ -70,6 +75,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a WAV (missing RIFF/WAVE header)")
     pos = 12
     fmt = None
+    fmt_body = None
     raw = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -77,20 +83,46 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             raw = body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
     tag, ch, rate, _byterate, _align, bits = fmt
-    if tag != 1:
+    if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag is in the
+        # SubFormat GUID's first two bytes (fmt body: 16 base + cbSize
+        # + validBits + channelMask + GUID)
+        if fmt_body is None or len(fmt_body) < 40:
+            raise ValueError("extensible WAV fmt chunk too short")
+        tag = struct.unpack("<H", fmt_body[24:26])[0]
+    if tag == 3:  # IEEE float → int16 (scale + clip, the standard map)
+        if bits == 32:
+            f = np.frombuffer(raw, dtype="<f4")
+        elif bits == 64:
+            f = np.frombuffer(raw, dtype="<f8")
+        else:
+            raise NotImplementedError(f"float WAV bit depth {bits} not supported")
+        samples = np.clip(np.round(f.astype(np.float64) * 32767.0), -32768, 32767)
+        samples = samples.astype(np.int16)
+    elif tag != 1:
         raise NotImplementedError(
-            f"compressed WAVE format tag {tag} not supported here (PCM only)"
+            f"compressed WAVE format tag {tag} not supported here (PCM/float only)"
         )
-    if bits == 16:
+    elif bits == 16:
         samples = np.frombuffer(raw, dtype="<i2")
     elif bits == 8:  # 8-bit WAV is unsigned, rebased to signed 16
         samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.int16) - 128) << 8
+    elif bits == 24:  # packed 3-byte little-endian → top 16 bits
+        b = np.frombuffer(raw, dtype=np.uint8)
+        if len(b) % 3:
+            raise ValueError("24-bit WAV data length not a multiple of 3")
+        b = b.reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)  # sign-extend
+        samples = (v >> 8).astype(np.int16)
+    elif bits == 32:  # int32 → top 16 bits
+        samples = (np.frombuffer(raw, dtype="<i4") >> 16).astype(np.int16)
     else:
         raise NotImplementedError(f"WAV bit depth {bits} not supported here")
     return samples.reshape(-1, ch).astype(np.int16), int(rate)

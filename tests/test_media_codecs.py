@@ -57,6 +57,51 @@ class TestWav:
         assert rate == 8000
         assert out[:, 0].tolist() == [-32768, 0, 32512, -16384]
 
+    @staticmethod
+    def _wrap(fmt: bytes, raw: bytes) -> bytes:
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(raw)) + raw
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_24bit_wav_takes_top_16_bits(self):
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 24000, 3, 24)
+        vals = [0x123456, -0x123456, 0x7FFFFF, -0x800000]
+        raw = b"".join(
+            (v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+        )
+        out, rate = decode_wav(self._wrap(fmt, raw))
+        assert out[:, 0].tolist() == [v >> 8 for v in vals]
+
+    def test_32bit_int_wav(self):
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 32000, 4, 32)
+        vals = np.array([1 << 30, -(1 << 30), 0x7FFFFFFF], dtype="<i4")
+        out, _ = decode_wav(self._wrap(fmt, vals.tobytes()))
+        assert out[:, 0].tolist() == (vals >> 16).astype(np.int16).tolist()
+
+    def test_float_wav_scales_and_clips(self):
+        for bits, dt in ((32, "<f4"), (64, "<f8")):
+            fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * bits // 8, bits // 8, bits)
+            vals = np.array([0.0, 0.5, -1.0, 1.5, -2.0], dtype=dt)
+            out, _ = decode_wav(self._wrap(fmt, vals.tobytes()))
+            assert out[:, 0].tolist() == [0, 16384, -32767, 32767, -32768]
+
+    def test_extensible_wav_resolves_subformat(self):
+        # WAVE_FORMAT_EXTENSIBLE (0xFFFE): real tag lives in the
+        # SubFormat GUID — here KSDATAFORMAT_SUBTYPE_PCM
+        guid_pcm = struct.pack("<H", 1) + b"\x00\x00" + bytes.fromhex(
+            "0000100080000080" + "00aa00389b71"
+        )
+        fmt = (
+            struct.pack("<HHIIHH", 0xFFFE, 2, 44100, 44100 * 4, 4, 16)
+            + struct.pack("<HHI", 22, 16, 3)  # cbSize, validBits, channel mask
+            + guid_pcm
+        )
+        samples = np.array([[100, -100], [2000, -2000]], dtype="<i2")
+        out, rate = decode_wav(self._wrap(fmt, samples.tobytes()))
+        assert rate == 44100 and (out == samples).all()
+
     def test_compressed_raises_declared(self):
         fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # ADPCM tag
         body = (
