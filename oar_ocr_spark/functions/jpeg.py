@@ -1055,10 +1055,13 @@ def _planes_from_raster(
     vmax: int,
     mcux: int,
     mcuy: int,
+    rgb_direct: bool = False,
 ) -> np.ndarray:
     """Raster-ordered dequantizable zigzag coefficient arrays → final
     image (dequantize → IDCT → assemble → crop → box-upsample →
-    grey/RGB). Shared by the baseline and progressive paths."""
+    grey/RGB). Shared by the baseline and progressive paths.
+    rgb_direct skips the YCbCr→RGB conversion (RGB-colorspace JPEGs:
+    'R'/'G'/'B' component IDs or an Adobe APP14 transform of 0)."""
     planes = []
     for c, (hc, vc, qtid) in enumerate(comp_info):
         q = qtables[qtid]
@@ -1081,6 +1084,8 @@ def _planes_from_raster(
         planes.append(full[:h, :w])
     if len(planes) == 1:
         return planes[0]
+    if rgb_direct:
+        return np.ascontiguousarray(np.stack(planes, axis=-1))
     return _ycbcr_to_rgb(np.stack(planes, axis=-1))
 
 
@@ -1345,6 +1350,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     h = w = None
     restart_interval = 0
     progressive = False
+    rgb_direct = False  # 'R','G','B' component IDs / Adobe transform 0
     prog: dict | None = None  # progressive coefficient state
     comp_info: list[tuple[int, int, int]] = []  # (h_samp, v_samp, qtable id)
     while pos + 4 <= len(data):
@@ -1363,15 +1369,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
-        if marker == 0xDB:  # DQT (possibly several tables per segment)
+        if marker == 0xEE and body[:5] == b"Adobe":  # APP14
+            # transform byte: 0 = RGB (3-comp) / CMYK, 1/2 = YCbCr(K)
+            if len(body) >= 12 and body[11] == 0:
+                rgb_direct = True
+        elif marker == 0xDB:  # DQT (possibly several tables per segment)
             b = 0
             while b < len(body):
                 prec, tid = body[b] >> 4, body[b] & 0x0F
-                if prec != 0:
-                    raise NotImplementedError("16-bit JPEG quant tables not supported")
-                tbl = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8)
+                if prec == 0:
+                    tbl = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8)
+                    b += 65
+                elif prec == 1:  # 16-bit table (extended/progressive files)
+                    tbl = np.frombuffer(body[b + 1 : b + 129], dtype=">u2")
+                    b += 129
+                else:
+                    raise ValueError(f"illegal DQT precision {prec}")
                 qtables[tid] = tbl.astype(np.int64)[_UNZIGZAG].reshape(8, 8)
-                b += 65
         elif marker == 0xC4:  # DHT
             b = 0
             while b < len(body):
@@ -1389,14 +1403,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     f"JPEG with {ncomp} components not supported (grey or 4:4:4 color)"
                 )
             comp_info = []
+            ids = [body[6 + 3 * c] for c in range(ncomp)]
+            if ncomp == 3 and ids == [0x52, 0x47, 0x42]:
+                # 'R','G','B' component IDs: an RGB-colorspace JPEG —
+                # planes are already RGB, so skip the YCbCr conversion
+                rgb_direct = True
+            elif ncomp == 3 and ids != [1, 2, 3]:
+                raise NotImplementedError(
+                    f"JPEG component IDs {ids} not supported (YCbCr 1/2/3 or RGB)"
+                )
             for c in range(ncomp):
-                if ncomp == 3 and body[6 + 3 * c] != c + 1:
-                    # IDs 1/2/3 = YCbCr (JFIF). 'R','G','B' IDs (or an
-                    # Adobe transform) mean an RGB-colorspace JPEG —
-                    # decoding it as YCbCr would be silently wrong colors
-                    raise NotImplementedError(
-                        "non-YCbCr component IDs (RGB-colorspace JPEG) not supported here"
-                    )
                 samp = body[6 + 3 * c + 1]
                 hc, vc = samp >> 4, samp & 0x0F
                 if not (1 <= hc <= 4 and 1 <= vc <= 4):  # T.81 B.2.2
@@ -1550,12 +1566,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raster[_mcu_perm(mcuy, mcux, vc, hc)] = outs[c]
                 rasters.append(raster)
             return _planes_from_raster(
-                rasters, comp_info, qtables, h, w, hmax, vmax, mcux, mcuy
+                rasters, comp_info, qtables, h, w, hmax, vmax, mcux, mcuy,
+                rgb_direct=rgb_direct,
             )
         # other segments (APPn, COM) are skipped
     if prog is not None:  # progressive: reconstruct at EOI
         return _planes_from_raster(
             prog["coefs"], comp_info, qtables, prog["h"], prog["w"],
             prog["hmax"], prog["vmax"], prog["mcux"], prog["mcuy"],
+            rgb_direct=rgb_direct,
         )
     raise ValueError("JPEG has no SOS scan")

@@ -147,17 +147,50 @@ class TestColor:
         with pytest.raises(ValueError):
             encode_jpeg(np.zeros((4, 4, 2), dtype=np.uint8))
 
-    def test_rgb_colorspace_component_ids_raise(self):
-        # patch component IDs 1/2/3 -> 'R'/'G'/'B' (an RGB-colorspace
-        # baseline JPEG): decoding it as YCbCr would silently produce
-        # wrong colors, so the declared error must fire instead
-        data = encode_jpeg(self._color_img(16, 16), 90)
+    def test_rgb_colorspace_component_ids_skip_ycbcr(self):
+        # 'R'/'G'/'B' component IDs mean the planes are ALREADY RGB:
+        # decoding must skip the YCbCr conversion (converting the
+        # result recovers what the YCbCr interpretation would give)
+        from oar_ocr_spark.functions.jpeg import _ycbcr_to_rgb
+
+        data = encode_jpeg(self._color_img(16, 16), 95)
         i = data.index(b"\xff\xc0")
         body = bytearray(data[i + 4 : i + 4 + 15])
         body[6], body[9], body[12] = 0x52, 0x47, 0x42  # 'R','G','B'
         patched = data[: i + 4] + bytes(body) + data[i + 4 + 15 :]
-        with pytest.raises(NotImplementedError, match="RGB-colorspace"):
-            decode_jpeg(patched)
+        out = decode_jpeg(patched)
+        normal = decode_jpeg(data)
+        assert (
+            np.abs(_ycbcr_to_rgb(out).astype(int) - normal.astype(int)) <= 1
+        ).all()
+
+    def test_adobe_app14_transform_zero_means_rgb(self):
+        data = encode_jpeg(self._color_img(16, 16), 95)
+        app14 = b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" + bytes(7)
+        out = decode_jpeg(data[:2] + app14 + data[2:])
+        # same skip-conversion behavior as R/G/B component IDs
+        i = data.index(b"\xff\xc0")
+        body = bytearray(data[i + 4 : i + 4 + 15])
+        body[6], body[9], body[12] = 0x52, 0x47, 0x42
+        want = decode_jpeg(data[: i + 4] + bytes(body) + data[i + 4 + 15 :])
+        assert (out == want).all()
+
+    def test_16bit_quant_tables_decode(self):
+        # DQT precision 1 (2-byte entries) — extended/progressive files
+        data = encode_jpeg(self._color_img(16, 16), 95)
+        normal = decode_jpeg(data)
+        i = data.index(b"\xff\xdb")
+        (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+        tid = data[i + 4]
+        tbl8 = np.frombuffer(data[i + 5 : i + 5 + 64], dtype=np.uint8)
+        new = (
+            b"\xff\xdb"
+            + struct.pack(">H", 2 + 1 + 128)
+            + bytes([0x10 | tid])
+            + tbl8.astype(">u2").tobytes()
+        )
+        patched = data[:i] + new + data[i + 2 + seglen :]
+        assert (decode_jpeg(patched) == normal).all()
 
     def test_color_payload_greyscales_at_media_seam(self):
         # the media seam keeps its (H,W) contract: a color JPEG payload
