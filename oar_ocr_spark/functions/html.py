@@ -86,12 +86,17 @@ class _Extractor(HTMLParser):
     reconciled through the one stack-unwind in handle_endtag, so
     unclosed tags — endemic in real HTML — cannot leak state."""
 
-    def __init__(self) -> None:
+    def __init__(self, pending_closers: dict[str, int] | None = None) -> None:
         super().__init__(convert_charrefs=True)
         # (tag, container_id, negative, in_drop) — in_drop entries exist
         # only so end tags inside dropped subtrees unwind their own
         # element instead of matching an ancestor outside the subtree
         self.stack: list[tuple[str, int, bool, bool]] = [("#root", 0, False, False)]
+        # remaining </template>/</svg>/… occurrences in the document:
+        # an end tag may implicitly close an OPEN drop subtree only when
+        # its own closer is NOT coming later (recovery for truly
+        # unclosed subtrees, without leaking ones that do close)
+        self.pending_closers = dict(pending_closers or {})
         self.drop_depth = 0
         self.link_depth = 0
         self.blocks: list[_Block] = []
@@ -137,12 +142,22 @@ class _Extractor(HTMLParser):
 
     def handle_endtag(self, tag):
         self.bare_block = None
-        # no drop_depth early-exit: an ancestor's end tag must be able to
-        # implicitly close an unclosed <template>/<svg>/… so the rest of
-        # the document is not silently dropped (a tag not on the stack is
-        # a no-op — the scan simply finds no match)
+        if tag in self.pending_closers:
+            self.pending_closers[tag] -= 1
+        # no blanket drop_depth early-exit: an ancestor's end tag must be
+        # able to implicitly close an UNCLOSED <template>/<svg>/… so the
+        # rest of the document is not silently dropped (a tag not on the
+        # stack is a no-op — the scan simply finds no match)
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i][0] == tag:
+                if tag not in _DROP_SUBTREES:
+                    # would this unwind cross a drop root whose own end
+                    # tag is still coming? Then it's a STRAY end tag
+                    # inside the subtree (wild unbalanced markup) — keep
+                    # dropping rather than leak the subtree's remainder
+                    for t, _c, _n, _d in self.stack[i:]:
+                        if t in _DROP_SUBTREES and self.pending_closers.get(t, 0) > 0:
+                            return
                 closed = self.stack[i:]
                 del self.stack[i:]
                 # reconcile every counter for implicitly closed elements
@@ -191,7 +206,10 @@ def extract_main_content(html: str) -> tuple[str, int, int]:
     boilerplate-marked); the container with the highest summed score
     wins and its non-negative blocks are emitted in document order,
     whitespace-normalized and joined with single spaces."""
-    p = _Extractor()
+    closers = {
+        t: len(re.findall(rf"</{t}\s*>", html, re.IGNORECASE)) for t in _DROP_SUBTREES
+    }
+    p = _Extractor({t: n for t, n in closers.items() if n})
     p.feed(html)
     p.close()
     scores: dict[int, float] = {}

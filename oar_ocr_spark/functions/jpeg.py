@@ -1089,15 +1089,19 @@ def _planes_from_raster(
     return _ycbcr_to_rgb(np.stack(planes, axis=-1))
 
 
-def _scan_params(body: bytes, ncomp_frame: int):
+def _scan_params(body: bytes, comp_ids: list[int]):
     """SOS body → ([(comp index, dc table id, ac table id)], Ss, Se,
-    Ah, Al)."""
+    Ah, Al). Components are matched by their SOF id (ids need not be
+    1..N — RGB-colorspace files use 'R'/'G'/'B')."""
     n_sc = body[0]
     comps = []
     for c in range(n_sc):
         cid, tbl = body[1 + 2 * c], body[2 + 2 * c]
-        idx = 0 if ncomp_frame == 1 else cid - 1
-        if not 0 <= idx < ncomp_frame:
+        if cid in comp_ids:
+            idx = comp_ids.index(cid)
+        elif len(comp_ids) == 1:
+            idx = 0  # forgiving single-component match (wild files)
+        else:
             raise ValueError(f"JPEG scan references unknown component id {cid}")
         comps.append((idx, tbl >> 4, tbl & 0x0F))
     ss, se = body[1 + 2 * n_sc], body[2 + 2 * n_sc]
@@ -1126,6 +1130,30 @@ def _expect_rst(data: bytes, reader: _BitReader, seg_i: int) -> _BitReader:
     return _BitReader(data, e + 2)
 
 
+def _init_coef_state(
+    comp_info: list[tuple[int, int, int]], comp_ids: list[int], h: int, w: int
+) -> dict:
+    """Shared multi-scan coefficient state (progressive AND
+    non-interleaved baseline): raster-ordered per-component arrays over
+    the MCU-padded grids, plus the frame geometry scans need."""
+    hmax = max(ci[0] for ci in comp_info)
+    vmax = max(ci[1] for ci in comp_info)
+    for hc, vc, _ in comp_info:
+        if hmax % hc or vmax % vc:
+            raise NotImplementedError(
+                "JPEG sampling factors requiring fractional upsampling"
+            )
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    return {
+        "h": h, "w": w, "hmax": hmax, "vmax": vmax,
+        "mcux": mcux, "mcuy": mcuy, "ids": list(comp_ids),
+        "coefs": [
+            np.zeros((mcux * mcuy * hc * vc, 64), dtype=np.int64)
+            for hc, vc, _ in comp_info
+        ],
+    }
+
+
 def _decode_sequential_scan(
     data: bytes,
     pos: int,
@@ -1138,7 +1166,7 @@ def _decode_sequential_scan(
     """One NON-interleaved baseline scan (full spectrum, one
     component) into st['coefs'] raster storage; restart interval
     counts data units (= blocks) for non-interleaved scans."""
-    comps, _ss, _se, _ah, _al = _scan_params(body, len(comp_info))
+    comps, _ss, _se, _ah, _al = _scan_params(body, st["ids"])
     (idx, dc_t, ac_t) = comps[0]
     dc_tbl, ac_tbl = huff[(0, dc_t)], huff[(1, ac_t)]
     bh_n, bw_n, stride = _noninterleaved_grid(
@@ -1192,7 +1220,7 @@ def _decode_progressive_scan(
     block layout, per component) per T.81 G.2: spectral selection
     bands + successive approximation, EOB runs, restart resync.
     Returns the offset just past the scan's entropy data."""
-    comps, ss, se, ah, al = _scan_params(body, len(comp_info))
+    comps, ss, se, ah, al = _scan_params(body, st["ids"])
     mcux, mcuy = st["mcux"], st["mcuy"]
     h, w, hmax, vmax = st["h"], st["w"], st["hmax"], st["vmax"]
     reader = _BitReader(data, pos)
@@ -1351,6 +1379,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     restart_interval = 0
     progressive = False
     rgb_direct = False  # 'R','G','B' component IDs / Adobe transform 0
+    comp_ids: list[int] = []  # SOF component ids, scan-header matching
     prog: dict | None = None  # progressive coefficient state
     comp_info: list[tuple[int, int, int]] = []  # (h_samp, v_samp, qtable id)
     while pos + 4 <= len(data):
@@ -1404,6 +1433,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 )
             comp_info = []
             ids = [body[6 + 3 * c] for c in range(ncomp)]
+            comp_ids = ids
             if ncomp == 3 and ids == [0x52, 0x47, 0x42]:
                 # 'R','G','B' component IDs: an RGB-colorspace JPEG —
                 # planes are already RGB, so skip the YCbCr conversion
@@ -1435,22 +1465,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("JPEG SOS before SOF")
             if progressive:
                 if prog is None:
-                    hmax = max(ci[0] for ci in comp_info)
-                    vmax = max(ci[1] for ci in comp_info)
-                    for hc, vc, _ in comp_info:
-                        if hmax % hc or vmax % vc:
-                            raise NotImplementedError(
-                                "JPEG sampling factors requiring fractional upsampling"
-                            )
-                    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-                    prog = {
-                        "h": h, "w": w, "hmax": hmax, "vmax": vmax,
-                        "mcux": mcux, "mcuy": mcuy,
-                        "coefs": [
-                            np.zeros((mcux * mcuy * hc * vc, 64), dtype=np.int64)
-                            for hc, vc, _ in comp_info
-                        ],
-                    }
+                    prog = _init_coef_state(comp_info, comp_ids, h, w)
                 pos = _decode_progressive_scan(
                     data, pos, body, prog, comp_info, huff, restart_interval
                 )
@@ -1465,22 +1480,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 # (T.81 A.2.2): one scan per component, blocks in the
                 # component's own grid; accumulate and finish at EOI
                 if prog is None:
-                    hmax = max(ci[0] for ci in comp_info)
-                    vmax = max(ci[1] for ci in comp_info)
-                    for hc, vc, _ in comp_info:
-                        if hmax % hc or vmax % vc:
-                            raise NotImplementedError(
-                                "JPEG sampling factors requiring fractional upsampling"
-                            )
-                    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-                    prog = {
-                        "h": h, "w": w, "hmax": hmax, "vmax": vmax,
-                        "mcux": mcux, "mcuy": mcuy,
-                        "coefs": [
-                            np.zeros((mcux * mcuy * hc * vc, 64), dtype=np.int64)
-                            for hc, vc, _ in comp_info
-                        ],
-                    }
+                    prog = _init_coef_state(comp_info, comp_ids, h, w)
                 pos = _decode_sequential_scan(
                     data, pos, body, prog, comp_info, huff, restart_interval
                 )
@@ -1545,19 +1545,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     # restart boundary (T.81 E.1.4): byte-aligned RSTn
                     # marker in 0..7 cycle, DC predictors reset, fresh
                     # entropy segment after the marker
-                    e = reader.end
-                    want = 0xD0 + (seg_i % 8)
-                    if not (
-                        e + 1 < len(data)
-                        and data[e] == 0xFF
-                        and data[e + 1] == want
-                    ):
-                        raise ValueError(
-                            f"expected RST{seg_i % 8} marker at offset {e}"
-                        )
+                    reader = _expect_rst(data, reader, seg_i)
                     seg_i += 1
                     preds = [0] * ncomp
-                    reader = _BitReader(data, e + 2)
             # scan order → raster block order, then the shared assembly
             rasters = []
             for c in range(ncomp):

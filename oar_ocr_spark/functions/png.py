@@ -249,6 +249,16 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("PNG has trailing scanline data")
 
     # ---- sample post-processing → 8-bit grey or RGB ---------------------
+    # tRNS on color types 0/2 marks ONE exact sample value (at native
+    # depth) fully transparent → white, per the composite convention
+    trns_mask = None
+    if trns is not None and len(trns) and color_type in (0, 2):
+        tv = np.frombuffer(trns, dtype=">u2")  # 2-byte samples (13.6)
+        if color_type == 0 and len(tv) >= 1:
+            trns_mask = samples.reshape(h, w) == tv[0]
+        elif color_type == 2 and len(tv) >= 3:
+            px = samples.reshape(h, w, 3)
+            trns_mask = (px == tv[:3].astype(px.dtype)).all(axis=2)
     if depth == 16:
         samples = (samples >> 8).astype(np.uint8)
     if color_type == 3:  # palette
@@ -268,9 +278,16 @@ def decode_png(data: bytes) -> np.ndarray:
         g = samples.reshape(h, w)
         if depth < 8:
             g = (g.astype(np.uint16) * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        if trns_mask is not None:
+            g = g.copy()
+            g[trns_mask] = 255
         return np.ascontiguousarray(g)
     if color_type == 2:  # RGB
-        return np.ascontiguousarray(samples.reshape(h, w, 3))
+        rgb = samples.reshape(h, w, 3)
+        if trns_mask is not None:
+            rgb = rgb.copy()
+            rgb[trns_mask] = 255
+        return np.ascontiguousarray(rgb)
     # alpha-bearing types composite over white (document background)
     px = samples.reshape(h, w, channels).astype(np.uint16)
     a = px[..., -1:]

@@ -103,8 +103,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             f = np.frombuffer(raw, dtype="<f8")
         else:
             raise NotImplementedError(f"float WAV bit depth {bits} not supported")
-        samples = np.clip(np.round(f.astype(np.float64) * 32767.0), -32768, 32767)
-        samples = samples.astype(np.int16)
+        # NaN → 0 before the cast: nan.astype(int16) is C-undefined and
+        # would break determinism on corrupt/DSP-generated files
+        f = np.nan_to_num(f.astype(np.float64), nan=0.0)
+        samples = np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int16)
     elif tag != 1:
         raise NotImplementedError(
             f"compressed WAVE format tag {tag} not supported here (PCM/float only)"

@@ -138,6 +138,18 @@ class TestHeuristics:
         main, kept, _ = extract_main_content(html)
         assert main == "real article content text stays" and kept == 1
 
+    def test_stray_ancestor_end_tag_does_not_leak_closed_subtree(self):
+        # a stray </div> INSIDE a template that DOES close later must
+        # not implicitly close it (that would leak the remainder of the
+        # dropped subtree into the page text) — the pending-closer count
+        # distinguishes this from the genuinely-unclosed recovery case
+        html = (
+            "<div><template></div>leaked junk that should be dropped</template>"
+            "<p>real article body text long enough to win</p></div>"
+        )
+        main, _, _ = extract_main_content(html)
+        assert "leaked" not in main and main.startswith("real article")
+
     def test_stray_end_tag_inside_drop_subtree_is_noop(self):
         html = "<div><template></p>junk</div><p>after text survives fine</p>"
         main, _, _ = extract_main_content(html)

@@ -175,6 +175,40 @@ class TestColor:
         want = decode_jpeg(data[: i + 4] + bytes(body) + data[i + 4 + 15 :])
         assert (out == want).all()
 
+    def test_rgb_ids_work_in_progressive_and_multiscan_scans(self):
+        # scan headers reference components by SOF id — R/G/B ids must
+        # resolve through the id list, not an assumed 1..N numbering
+        from oar_ocr_spark.functions.jpeg import (
+            encode_jpeg_multiscan,
+            encode_jpeg_progressive,
+        )
+
+        img = self._color_img(16, 16)
+
+        def patch_ids(data: bytes) -> bytes:
+            i = (
+                data.index(b"\xff\xc2")
+                if b"\xff\xc2" in data
+                else data.index(b"\xff\xc0")
+            )
+            body = bytearray(data[i + 4 : i + 4 + 15])
+            body[6], body[9], body[12] = 0x52, 0x47, 0x42
+            out = bytearray(data[: i + 4] + bytes(body) + data[i + 4 + 15 :])
+            j = 0
+            while True:
+                j = out.find(b"\xff\xda", j)
+                if j < 0:
+                    break
+                for c in range(out[j + 4]):
+                    cid = out[j + 5 + 2 * c]
+                    out[j + 5 + 2 * c] = {1: 0x52, 2: 0x47, 3: 0x42}.get(cid, cid)
+                j += 2
+            return bytes(out)
+
+        want = decode_jpeg(patch_ids(encode_jpeg(img, 95)))
+        for enc in (encode_jpeg_progressive, encode_jpeg_multiscan):
+            assert (decode_jpeg(patch_ids(enc(img, 95))) == want).all()
+
     def test_16bit_quant_tables_decode(self):
         # DQT precision 1 (2-byte entries) — extended/progressive files
         data = encode_jpeg(self._color_img(16, 16), 95)

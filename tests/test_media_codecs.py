@@ -87,6 +87,13 @@ class TestWav:
             out, _ = decode_wav(self._wrap(fmt, vals.tobytes()))
             assert out[:, 0].tolist() == [0, 16384, -32767, 32767, -32768]
 
+    def test_float_wav_nan_maps_to_zero(self):
+        # nan.astype(int16) is C-undefined — must be pinned to 0
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+        vals = np.array([np.nan, 0.25, -np.inf, np.inf], dtype="<f4")
+        out, _ = decode_wav(self._wrap(fmt, vals.tobytes()))
+        assert out[:, 0].tolist() == [0, 8192, -32768, 32767]
+
     def test_extensible_wav_resolves_subformat(self):
         # WAVE_FORMAT_EXTENSIBLE (0xFFFE): real tag lives in the
         # SubFormat GUID — here KSDATAFORMAT_SUBTYPE_PCM

@@ -262,6 +262,21 @@ class TestExtendedSubformats:
         out += _chunk(b"IEND", b"")
         assert (decode_png(bytes(out)) == (g16[..., 0] >> 8)).all()
 
+    def test_trns_on_grey_and_rgb_goes_white(self):
+        # color-keyed transparency (spec 13.6): the tRNS sample value
+        # is fully transparent → white under the composite convention
+        g = np.array([[0, 7, 255], [7, 1, 7]]).reshape(2, 3, 1)
+        got = decode_png(_build_png(g, 0, 8, trns=struct.pack(">H", 7)))
+        assert got.tolist() == [[0, 255, 255], [255, 1, 255]]
+        # 16-bit grey: match at NATIVE depth, not the downconverted one
+        g16 = np.array([[0x1234, 0x1299]]).reshape(1, 2, 1)
+        got = decode_png(_build_png(g16, 0, 16, trns=struct.pack(">H", 0x1234)))
+        assert got.tolist() == [[255, 0x12]]
+        # RGB: all three channels must match
+        c = np.array([[[9, 8, 7], [9, 8, 6], [1, 2, 3]]])
+        got = decode_png(_build_png(c, 2, 8, trns=struct.pack(">HHH", 9, 8, 7)))
+        assert got[0].tolist() == [[255, 255, 255], [9, 8, 6], [1, 2, 3]]
+
     def test_palette_missing_plte_and_bad_index(self):
         pi = np.zeros((2, 2, 1), dtype=int)
         data = _build_png(pi, 3, 8, plte=None)
