@@ -175,6 +175,15 @@ class _Extractor(HTMLParser):
                     del self.open_blocks[-n_blocks:]
                 break
 
+    def handle_startendtag(self, tag, attrs):
+        if tag in _DROP_SUBTREES:
+            # a self-closing <svg/>/<template/> is an EMPTY subtree:
+            # nothing to drop — and it must not touch pending_closers
+            # (the counter pre-pass skips it identically)
+            self.bare_block = None
+            return
+        super().handle_startendtag(tag, attrs)
+
     def handle_data(self, data):
         if self.drop_depth:
             return
@@ -198,6 +207,24 @@ class _Extractor(HTMLParser):
             blk.link_len += len(text)
 
 
+class _CloserCounter(HTMLParser):
+    """Pre-pass counting drop-subtree END-TAG EVENTS (not raw text):
+    a '</template>' inside a comment or a self-closing <svg/> must not
+    skew the count, or the extractor's stray-end-tag heuristic desyncs
+    — the counter and _Extractor see the exact same event stream."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.counts: dict[str, int] = {}
+
+    def handle_endtag(self, tag):
+        if tag in _DROP_SUBTREES:
+            self.counts[tag] = self.counts.get(tag, 0) + 1
+
+    def handle_startendtag(self, tag, attrs):
+        pass  # mirror _Extractor: self-closing tags fire no end event
+
+
 def extract_main_content(html: str) -> tuple[str, int, int]:
     """→ (main_text, n_blocks_kept, n_blocks_dropped).
 
@@ -206,10 +233,10 @@ def extract_main_content(html: str) -> tuple[str, int, int]:
     boilerplate-marked); the container with the highest summed score
     wins and its non-negative blocks are emitted in document order,
     whitespace-normalized and joined with single spaces."""
-    closers = {
-        t: len(re.findall(rf"</{t}\s*>", html, re.IGNORECASE)) for t in _DROP_SUBTREES
-    }
-    p = _Extractor({t: n for t, n in closers.items() if n})
+    counter = _CloserCounter()
+    counter.feed(html)
+    counter.close()
+    p = _Extractor(counter.counts)
     p.feed(html)
     p.close()
     scores: dict[int, float] = {}

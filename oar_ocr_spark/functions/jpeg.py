@@ -603,9 +603,7 @@ def encode_jpeg_multiscan(
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
     for c in range(3):
         hc, vc = samp[c]
-        # the component's NON-interleaved grid (subset of the padded one)
-        xc, yc = -(-w * hc // hY), -(-h * vc // vY)
-        bh_n, bw_n, stride = -(-yc // 8), -(-xc // 8), mcux * hc
+        bh_n, bw_n, stride = _noninterleaved_grid(hc, vc, h, w, hY, vY, mcux)
         rows = [r * stride + cc for r in range(bh_n) for cc in range(bw_n)]
         dc_c, dc_l, ac_c, ac_l = tables[c]
         scan = _interleaved_scan(
@@ -758,8 +756,7 @@ def _emit_progressive_scan(
         else:
             i = comps[0]
             hc, vc = samp[i]
-            xc, yc = -(-w * hc // hmax), -(-h * vc // vmax)
-            bh_n, bw_n, stride = -(-yc // 8), -(-xc // 8), mcux * hc
+            bh_n, bw_n, stride = _noninterleaved_grid(hc, vc, h, w, hmax, vmax, mcux)
             us = [(i, r * stride + c) for r in range(bh_n) for c in range(bw_n)]
             per_ri = restart_interval
         return us, per_ri
@@ -788,8 +785,7 @@ def _emit_progressive_scan(
     else:  # AC scan: single component
         i = comps[0]
         hc, vc = samp[i]
-        xc, yc = -(-w * hc // hmax), -(-h * vc // vmax)
-        bh_n, bw_n, stride = -(-yc // 8), -(-xc // 8), mcux * hc
+        bh_n, bw_n, stride = _noninterleaved_grid(hc, vc, h, w, hmax, vmax, mcux)
         rows = [r * stride + c for r in range(bh_n) for c in range(bw_n)]
         codes = ac_codes[i]
         chunk = restart_interval if restart_interval else len(rows)
@@ -1110,12 +1106,12 @@ def _scan_params(body: bytes, comp_ids: list[int]):
 
 
 def _noninterleaved_grid(
-    comp_info, idx: int, h: int, w: int, hmax: int, vmax: int, mcux: int
+    hc: int, vc: int, h: int, w: int, hmax: int, vmax: int, mcux: int
 ) -> tuple[int, int, int]:
-    """(block rows, block cols, raster row stride) of component idx's
+    """(block rows, block cols, raster row stride) of a component's
     NON-interleaved scan grid — ceil over the component's own dims
-    (T.81 A.2.2), a subset of the MCU-padded storage grid."""
-    hc, vc, _ = comp_info[idx]
+    (T.81 A.2.2), a subset of the MCU-padded storage grid. The ONE
+    grid derivation the decoder AND the fixture encoders share."""
     xc, yc = -(-w * hc // hmax), -(-h * vc // vmax)
     return -(-yc // 8), -(-xc // 8), mcux * hc
 
@@ -1169,8 +1165,9 @@ def _decode_sequential_scan(
     comps, _ss, _se, _ah, _al = _scan_params(body, st["ids"])
     (idx, dc_t, ac_t) = comps[0]
     dc_tbl, ac_tbl = huff[(0, dc_t)], huff[(1, ac_t)]
+    hc_, vc_, _ = comp_info[idx]
     bh_n, bw_n, stride = _noninterleaved_grid(
-        comp_info, idx, st["h"], st["w"], st["hmax"], st["vmax"], st["mcux"]
+        hc_, vc_, st["h"], st["w"], st["hmax"], st["vmax"], st["mcux"]
     )
     rows = [r * stride + c for r in range(bh_n) for c in range(bw_n)]
     coef = st["coefs"][idx]
@@ -1247,8 +1244,9 @@ def _decode_progressive_scan(
             )
         else:
             idx, dc_t, _ = comps[0]
+            hc_, vc_, _ = comp_info[idx]
             bh_n, bw_n, stride = _noninterleaved_grid(
-                comp_info, idx, h, w, hmax, vmax, mcux
+                hc_, vc_, h, w, hmax, vmax, mcux
             )
             units = [
                 (idx, r * stride + c, dc_t) for r in range(bh_n) for c in range(bw_n)
@@ -1284,7 +1282,8 @@ def _decode_progressive_scan(
         raise ValueError(f"bad spectral band {ss}..{se}")
     idx, _dc_t, ac_t = comps[0]
     ac_tbl = huff[(1, ac_t)]
-    bh_n, bw_n, stride = _noninterleaved_grid(comp_info, idx, h, w, hmax, vmax, mcux)
+    hc_, vc_, _ = comp_info[idx]
+    bh_n, bw_n, stride = _noninterleaved_grid(hc_, vc_, h, w, hmax, vmax, mcux)
     rows = [r * stride + c for r in range(bh_n) for c in range(bw_n)]
     coef = st["coefs"][idx]
     eobrun = 0

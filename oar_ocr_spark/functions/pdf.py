@@ -607,24 +607,31 @@ class PdfDocument:
             seen.add(pos)
             pos0 = _skip_ws(data, pos)
             if data.startswith(b"xref", pos0):
-                t = self._read_classic_xref(pos0)
+                t, entries = self._read_classic_xref(pos0)
+                if "XRefStm" in t:
+                    # hybrid-reference file (7.5.8.4): the stream's
+                    # entries take precedence over the SAME revision's
+                    # table — the table marks hidden objects FREE so
+                    # legacy readers skip them, while the XRefStm holds
+                    # their real (often type-2 ObjStm) locations
+                    self._read_xref_stream(_skip_ws(data, int(t["XRefStm"])))
+                for num, val in entries:
+                    self._offsets.setdefault(num, val)
             else:
                 t = self._read_xref_stream(pos0)
             if not trailer:
                 trailer = t  # first (newest) trailer wins
-            if "XRefStm" in t:
-                # hybrid-reference file (7.5.8.4): the classic section's
-                # entries win (processed first — setdefault), then the
-                # stream's fill in, then the /Prev revision
-                self._read_xref_stream(_skip_ws(data, int(t["XRefStm"])))
             if "Prev" in t:
                 pos = int(t["Prev"])  # earlier section: fills only missing objs
             else:
                 break
         return trailer
 
-    def _read_classic_xref(self, pos0: int) -> dict:
+    def _read_classic_xref(self, pos0: int) -> tuple[dict, list[tuple]]:
+        """→ (trailer, entries) with entries DEFERRED so the caller can
+        order them against a hybrid file's /XRefStm."""
         data = self._data
+        entries: list[tuple] = []
         p = _skip_ws(data, pos0 + 4)
         while not data.startswith(b"trailer", p):
             m2 = re.match(rb"(\d+)\s+(\d+)", data[p : p + 40])
@@ -636,17 +643,17 @@ class PdfDocument:
                 entry = data[p : p + 20]
                 off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
                 if kind == b"n":
-                    self._offsets.setdefault(start + i, int(off))
+                    entries.append((start + i, int(off)))
                 elif kind == b"f":
                     # a newer free entry must MASK an older in-use
                     # entry (incremental-update deletion); None means
                     # "absent" to _load, and setdefault keeps the
                     # newest revision's verdict
-                    self._offsets.setdefault(start + i, None)
+                    entries.append((start + i, None))
                 p += 20
             p = _skip_ws(data, p)
         t, _ = _parse_value(data, p + len(b"trailer"))
-        return t
+        return t, entries
 
     def _read_xref_stream(self, pos0: int) -> dict:
         """PDF 1.5+ cross-reference stream (/Type /XRef): the stream's
@@ -676,7 +683,13 @@ class PdfDocument:
             raw = data[p : p + length]
         else:
             end = data.index(b"endstream", p)
-            raw = data[p:end].rstrip(b"\r\n")
+            raw = data[p:end]
+            # strip at most ONE EOL before 'endstream' — a Flate
+            # payload may legitimately END in 0x0A/0x0D bytes
+            if raw.endswith(b"\r\n"):
+                raw = raw[:-2]
+            elif raw.endswith((b"\n", b"\r")):
+                raw = raw[:-1]
         content = _apply_stream_filters(d, raw)
         widths = [int(x) for x in d["W"]]
         if len(widths) != 3:
@@ -749,6 +762,21 @@ class PdfDocument:
         self._cache[num] = val
         return val
 
+    def _resolved_filter_dict(self, d: dict) -> dict:
+        """Copy of a stream dict with /Filter and /DecodeParms deep-
+        resolved one level (values may legally be indirect everywhere
+        except the xref stream itself)."""
+        out = dict(d)
+        for key in ("Filter", "DecodeParms"):
+            v = self.resolve(out.get(key))
+            if isinstance(v, list):
+                v = [self.resolve(x) for x in v]
+            if v is not None:
+                out[key] = v
+            else:
+                out.pop(key, None)
+        return out
+
     def _load_from_objstm(self, stm_num: int, idx: int, want_num: int):
         """Load one object from a /Type /ObjStm compressed object
         stream. Decoded content + header pairs are cached per stream so
@@ -761,7 +789,7 @@ class PdfDocument:
             d, raw = obj
             if d.get("Type") != "ObjStm":
                 raise ValueError(f"object {stm_num} is not /Type /ObjStm")
-            content = _apply_stream_filters(d, raw)
+            content = _apply_stream_filters(self._resolved_filter_dict(d), raw)
             n = int(self.resolve(d["N"]))
             first = int(self.resolve(d["First"]))
             ints = [int(x) for x in content[:first].split()]
@@ -811,7 +839,7 @@ class PdfDocument:
             d, raw = obj
             if d.get("Subtype") != "Image":
                 continue
-            filts, parms = _filter_chain(d)
+            filts, parms = _filter_chain(self._resolved_filter_dict(d))
             for f, pm in zip(filts, parms):
                 if f == "DCTDecode":
                     # JPEG-compressed image XObject — the common layout
@@ -821,7 +849,7 @@ class PdfDocument:
                     from .jpeg import decode_jpeg
 
                     return decode_jpeg(raw)
-                raw = _apply_one_filter(f, raw, self.resolve(pm))
+                raw = _apply_one_filter(f, raw, pm)
             w, h = int(self.resolve(d["Width"])), int(self.resolve(d["Height"]))
             bpc = int(self.resolve(d.get("BitsPerComponent", 8)))
             cs = str(self.resolve(d.get("ColorSpace", "DeviceGray")))

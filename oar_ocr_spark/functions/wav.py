@@ -103,10 +103,15 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             f = np.frombuffer(raw, dtype="<f8")
         else:
             raise NotImplementedError(f"float WAV bit depth {bits} not supported")
-        # NaN → 0 before the cast: nan.astype(int16) is C-undefined and
-        # would break determinism on corrupt/DSP-generated files
-        f = np.nan_to_num(f.astype(np.float64), nan=0.0)
-        samples = np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int16)
+        # NaN → 0 and clip BEFORE scaling: nan.astype(int16) is
+        # C-undefined, and inf/huge-finite × 32767 would overflow with
+        # per-batch RuntimeWarnings from every Spark worker. The lower
+        # clip bound is -32768/32767 so full-scale negatives still land
+        # exactly on -32768.
+        lo = -32768.0 / 32767.0  # full-scale negatives land on -32768
+        f = np.nan_to_num(f.astype(np.float64), nan=0.0, posinf=1.0, neginf=lo)
+        f = np.clip(f, lo, 1.0)
+        samples = np.round(f * 32767.0).astype(np.int16)
     elif tag != 1:
         raise NotImplementedError(
             f"compressed WAVE format tag {tag} not supported here (PCM/float only)"

@@ -150,6 +150,27 @@ class TestHeuristics:
         main, _, _ = extract_main_content(html)
         assert "leaked" not in main and main.startswith("real article")
 
+    def test_self_closing_drop_tag_does_not_desync_closer_count(self):
+        # <svg/> is an EMPTY subtree: it must not consume a pending
+        # </svg>, or a later real <svg> with a stray end tag leaks
+        html = (
+            "<div><svg/></div>"
+            "<div><svg><circle></p>MORE SVG JUNK</svg>"
+            "<p>real article body text long enough to win here</p></div>"
+        )
+        main, _, _ = extract_main_content(html)
+        assert "JUNK" not in main and main.startswith("real article")
+
+    def test_closer_inside_comment_does_not_inflate_count(self):
+        # '</template>' in a comment is DATA, not an end-tag event —
+        # the genuinely-unclosed template must still recover
+        html = (
+            "<!-- </template> --><div><template>x</div>"
+            "<div><p>article body text here long enough</p></div>"
+        )
+        main, _, _ = extract_main_content(html)
+        assert main == "article body text here long enough"
+
     def test_stray_end_tag_inside_drop_subtree_is_noop(self):
         html = "<div><template></p>junk</div><p>after text survives fine</p>"
         main, _, _ = extract_main_content(html)

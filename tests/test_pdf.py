@@ -453,6 +453,117 @@ class TestForeignPdfs:
         pages = decode_pdf(bytes(out))
         assert (pages[0] == img).all()
 
+    def test_hybrid_free_entry_does_not_mask_xrefstm_object(self):
+        # the REAL hybrid layout (7.5.8.4): the classic table marks a
+        # hidden object FREE (so legacy readers skip it) while the
+        # /XRefStm maps it into an /ObjStm — the stream entry must win
+        # over the same revision's free entry
+        img = np.full((4, 4), 9, dtype=np.uint8)
+        base = encode_pdf([img], ["refA"])
+        info_num = 6  # /Info dict in encode_pdf numbering
+        m = re.search(rb"startxref\s+(\d+)", base[-64:])
+        orig_xref_pos = int(m.group(1))
+        out = bytearray(base)
+        # ObjStm (object 7) holding the REPLACEMENT /Info dict
+        body = b"<< /Title (refB) >>"
+        header = b"%d %d" % (info_num, 0)
+        first = len(header) + 1
+        stm = zlib.compress(header + b"\n" + body)
+        objstm_at = len(out)
+        out += (
+            b"7 0 obj\n<< /Type /ObjStm /N 1 /First %d /Filter /FlateDecode"
+            b" /Length %d >>\nstream\n" % (first, len(stm))
+            + stm
+            + b"\nendstream\nendobj\n"
+        )
+        # xref STREAM (object 8): info_num -> type-2 (objstm 7, idx 0)
+        rows = (
+            bytes([2]) + struct.pack(">IH", 7, 0)
+            + bytes([1]) + struct.pack(">IH", objstm_at, 0)
+        )
+        xrefstm_at = len(out)
+        packed = zlib.compress(rows)
+        out += (
+            b"8 0 obj\n<< /Type /XRef /Size 9 /W [1 4 2] /Index [%d 1 7 1]"
+            b" /Root 1 0 R /Filter /FlateDecode /Length %d >>\nstream\n"
+            % (info_num, len(packed))
+            + packed
+            + b"\nendstream\nendobj\n"
+        )
+        # classic update: info_num marked FREE + /XRefStm pointer
+        xref_at = len(out)
+        out += b"xref\n%d 1\n0000000000 00001 f \n" % info_num
+        out += (
+            b"trailer\n<< /Size 9 /Root 1 0 R /Info %d 0 R /XRefStm %d"
+            b" /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+            % (info_num, xrefstm_at, orig_xref_pos, xref_at)
+        )
+        assert decode_pdf_refs(bytes(out)) == ["refB"]  # stream entry wins
+        assert decode_pdf_refs(base) == ["refA"]
+
+    def test_objstm_with_indirect_decodeparms_and_predictor(self):
+        # /DecodeParms may be an indirect ref anywhere except the xref
+        # stream itself — an ObjStm with '/DecodeParms 5 0 R' and
+        # Predictor 12 must resolve the ref and unfilter
+        img = np.full((3, 4), 50, dtype=np.uint8)
+        stream = zlib.compress(img.tobytes())
+        page_body = (
+            b"<< /Type /Page /Parent 2 0 R "
+            b"/Resources << /XObject << /Im0 4 0 R >> >> >>"
+        )
+        header = b"3 0"
+        first = len(header) + 1
+        content = header + b"\n" + page_body
+        cols = 16
+        pad = (-len(content)) % cols
+        content += b" " * pad  # trailing whitespace is harmless PDF syntax
+        mat = np.frombuffer(content, dtype=np.uint8).reshape(-1, cols)
+        pred = np.zeros((mat.shape[0], cols + 1), dtype=np.uint8)
+        pred[:, 0] = 2  # Up filter
+        pred[0, 1:] = mat[0]
+        pred[1:, 1:] = mat[1:] - mat[:-1]
+        packed_stm = zlib.compress(pred.tobytes())
+        bodies = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            4: b"<< /Type /XObject /Subtype /Image /Width 4 /Height 3"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+            b" /Filter /FlateDecode /Length %d >>\nstream\n" % len(stream)
+            + stream
+            + b"\nendstream",
+            5: b"<< /Predictor 12 /Columns %d >>" % cols,
+            6: b"<< /Type /ObjStm /N 1 /First %d /Filter /FlateDecode"
+            b" /DecodeParms 5 0 R /Length %d >>\nstream\n"
+            % (first, len(packed_stm))
+            + packed_stm
+            + b"\nendstream",
+        }
+        out = bytearray(b"%PDF-1.5\n")
+        offs = {}
+        for n in (1, 2, 4, 5, 6):
+            offs[n] = len(out)
+            out += b"%d 0 obj\n" % n + bodies[n] + b"\nendobj\n"
+        rows = bytearray(bytes([0, 0, 0, 0, 0, 0]))  # obj 0 free
+        for n in range(1, 8):
+            if n == 3:
+                rows += bytes([2]) + struct.pack(">IB", 6, 0)
+            elif n == 7:
+                rows += bytes([1]) + struct.pack(">IB", 0, 0)  # patched below
+            else:
+                rows += bytes([1]) + struct.pack(">IB", offs[n], 0)
+        xref_at = len(out)
+        rows[7 * 6 + 1 : 7 * 6 + 5] = struct.pack(">I", xref_at)
+        packed = zlib.compress(bytes(rows))
+        out += (
+            b"7 0 obj\n<< /Type /XRef /Size 8 /W [1 4 1] /Root 1 0 R"
+            b" /Filter /FlateDecode /Length %d >>\nstream\n" % len(packed)
+            + packed
+            + b"\nendstream\nendobj\n"
+        )
+        out += b"startxref\n%d\n%%%%EOF\n" % xref_at
+        pages = decode_pdf(bytes(out))
+        assert (pages[0] == img).all()
+
     def test_hybrid_xrefstm_update(self):
         # hybrid-reference incremental update: a classic trailer with
         # /XRefStm whose stream maps a REPLACEMENT image object — old
