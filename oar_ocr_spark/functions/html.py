@@ -86,17 +86,25 @@ class _Extractor(HTMLParser):
     reconciled through the one stack-unwind in handle_endtag, so
     unclosed tags — endemic in real HTML — cannot leak state."""
 
-    def __init__(self, pending_closers: dict[str, int] | None = None) -> None:
+    def __init__(self, tag_totals: dict[str, tuple[int, int]] | None = None) -> None:
         super().__init__(convert_charrefs=True)
         # (tag, container_id, negative, in_drop) — in_drop entries exist
         # only so end tags inside dropped subtrees unwind their own
         # element instead of matching an ancestor outside the subtree
         self.stack: list[tuple[str, int, bool, bool]] = [("#root", 0, False, False)]
-        # remaining </template>/</svg>/… occurrences in the document:
-        # an end tag may implicitly close an OPEN drop subtree only when
-        # its own closer is NOT coming later (recovery for truly
-        # unclosed subtrees, without leaking ones that do close)
-        self.pending_closers = dict(pending_closers or {})
+        # per-drop-tag (total start events, total end events) from the
+        # counting pre-pass, or None on the optimistic first parse. An
+        # end tag may implicitly close an OPEN drop subtree only when no
+        # remaining closer belongs to IT — i.e. every remaining closer
+        # pairs with a same-named element that hasn't OPENED yet
+        # (remaining_ends <= remaining_starts).
+        self.tag_totals = tag_totals
+        self.seen_starts: dict[str, int] = {}
+        self.seen_ends: dict[str, int] = {}
+        # optimistic-parse signal: an unwind crossed an open drop root,
+        # so only then is the count-aware rerun needed (hot-path rows
+        # with balanced markup pay a single parse)
+        self.crossed_drop_root = False
         self.drop_depth = 0
         self.link_depth = 0
         self.blocks: list[_Block] = []
@@ -118,6 +126,7 @@ class _Extractor(HTMLParser):
         if tag in _DROP_SUBTREES:
             # dropped subtrees ride the SAME stack so an unclosed
             # <template>/<script> is reconciled when an ancestor closes
+            self.seen_starts[tag] = self.seen_starts.get(tag, 0) + 1
             self.drop_depth += 1
             self.stack.append((tag, self.stack[-1][1], True, True))
             return
@@ -140,10 +149,18 @@ class _Extractor(HTMLParser):
             self.blocks.append(blk)
             self.open_blocks.append(blk)
 
+    def _closer_belongs_to_open(self, t: str) -> bool:
+        """Does some remaining </t> belong to an ALREADY-OPEN t element
+        (as opposed to pairing with a t that hasn't started yet)?"""
+        total_starts, total_ends = self.tag_totals.get(t, (0, 0))
+        remaining_ends = total_ends - self.seen_ends.get(t, 0)
+        remaining_starts = total_starts - self.seen_starts.get(t, 0)
+        return remaining_ends > remaining_starts
+
     def handle_endtag(self, tag):
         self.bare_block = None
-        if tag in self.pending_closers:
-            self.pending_closers[tag] -= 1
+        if tag in _DROP_SUBTREES:
+            self.seen_ends[tag] = self.seen_ends.get(tag, 0) + 1
         # no blanket drop_depth early-exit: an ancestor's end tag must be
         # able to implicitly close an UNCLOSED <template>/<svg>/… so the
         # rest of the document is not silently dropped (a tag not on the
@@ -151,13 +168,21 @@ class _Extractor(HTMLParser):
         for i in range(len(self.stack) - 1, 0, -1):
             if self.stack[i][0] == tag:
                 if tag not in _DROP_SUBTREES:
-                    # would this unwind cross a drop root whose own end
-                    # tag is still coming? Then it's a STRAY end tag
-                    # inside the subtree (wild unbalanced markup) — keep
-                    # dropping rather than leak the subtree's remainder
-                    for t, _c, _n, _d in self.stack[i:]:
-                        if t in _DROP_SUBTREES and self.pending_closers.get(t, 0) > 0:
-                            return
+                    crossing = [
+                        t
+                        for t, _c, _n, _d in self.stack[i:]
+                        if t in _DROP_SUBTREES
+                    ]
+                    if crossing and self.tag_totals is None:
+                        self.crossed_drop_root = True  # rerun with counts
+                    elif crossing and any(
+                        self._closer_belongs_to_open(t) for t in crossing
+                    ):
+                        # a remaining closer belongs to an open drop
+                        # root being crossed: this is a STRAY end tag
+                        # inside the subtree (wild unbalanced markup) —
+                        # keep dropping rather than leak its remainder
+                        return
                 closed = self.stack[i:]
                 del self.stack[i:]
                 # reconcile every counter for implicitly closed elements
@@ -208,21 +233,30 @@ class _Extractor(HTMLParser):
 
 
 class _CloserCounter(HTMLParser):
-    """Pre-pass counting drop-subtree END-TAG EVENTS (not raw text):
-    a '</template>' inside a comment or a self-closing <svg/> must not
-    skew the count, or the extractor's stray-end-tag heuristic desyncs
-    — the counter and _Extractor see the exact same event stream."""
+    """Pre-pass counting drop-subtree START and END TAG EVENTS (not
+    raw text): a '</template>' inside a comment or a self-closing
+    <svg/> must not skew the counts, or the extractor's stray-end-tag
+    heuristic desyncs — the counter and _Extractor see the exact same
+    event stream. Both counts are needed: whether a remaining closer
+    belongs to an OPEN element depends on how many same-named elements
+    are still to come."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.counts: dict[str, int] = {}
+        self.totals: dict[str, tuple[int, int]] = {}
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _DROP_SUBTREES:
+            s, e = self.totals.get(tag, (0, 0))
+            self.totals[tag] = (s + 1, e)
 
     def handle_endtag(self, tag):
         if tag in _DROP_SUBTREES:
-            self.counts[tag] = self.counts.get(tag, 0) + 1
+            s, e = self.totals.get(tag, (0, 0))
+            self.totals[tag] = (s, e + 1)
 
     def handle_startendtag(self, tag, attrs):
-        pass  # mirror _Extractor: self-closing tags fire no end event
+        pass  # mirror _Extractor: self-closing drop tags fire no events
 
 
 def extract_main_content(html: str) -> tuple[str, int, int]:
@@ -233,12 +267,20 @@ def extract_main_content(html: str) -> tuple[str, int, int]:
     boilerplate-marked); the container with the highest summed score
     wins and its non-negative blocks are emitted in document order,
     whitespace-normalized and joined with single spaces."""
-    counter = _CloserCounter()
-    counter.feed(html)
-    counter.close()
-    p = _Extractor(counter.counts)
+    # optimistic single parse; only when an unwind actually crossed an
+    # open drop root (rare malformed markup) does the count-aware
+    # second pass run — corpus-scale rows with balanced markup pay one
+    # parser walk
+    p = _Extractor()
     p.feed(html)
     p.close()
+    if p.crossed_drop_root:
+        counter = _CloserCounter()
+        counter.feed(html)
+        counter.close()
+        p = _Extractor(counter.totals)
+        p.feed(html)
+        p.close()
     scores: dict[int, float] = {}
     for blk in p.blocks:
         if blk.negative or blk.text_len == 0:

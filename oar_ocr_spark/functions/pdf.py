@@ -588,6 +588,7 @@ class PdfDocument:
         # num → byte offset | None (freed) | ("objstm", stream num, idx)
         self._offsets: dict[int, int | None | tuple] = {}
         self._objstm_cache: dict[int, tuple[list[tuple[int, int]], bytes, int]] = {}
+        self._objstm_loading: set[int] = set()  # circular-reference guard
         self.trailer = self._read_xref_chain()
 
     # -- xref / trailer ----------------------------------------------------
@@ -783,18 +784,15 @@ class PdfDocument:
         N sibling objects cost one inflate."""
         cached = self._objstm_cache.get(stm_num)
         if cached is None:
-            obj = self._load(stm_num)
-            if not (isinstance(obj, tuple) and len(obj) == 2):
-                raise ValueError(f"object stream {stm_num} is not a stream")
-            d, raw = obj
-            if d.get("Type") != "ObjStm":
-                raise ValueError(f"object {stm_num} is not /Type /ObjStm")
-            content = _apply_stream_filters(self._resolved_filter_dict(d), raw)
-            n = int(self.resolve(d["N"]))
-            first = int(self.resolve(d["First"]))
-            ints = [int(x) for x in content[:first].split()]
-            pairs = list(zip(ints[0::2], ints[1::2]))[:n]
-            cached = (pairs, content, first)
+            if stm_num in self._objstm_loading:
+                # e.g. an ObjStm whose /DecodeParms ref points INTO the
+                # same stream — fail loudly instead of recursing forever
+                raise ValueError(f"circular object stream reference {stm_num}")
+            self._objstm_loading.add(stm_num)
+            try:
+                cached = self._objstm_decode(stm_num)
+            finally:
+                self._objstm_loading.discard(stm_num)
             if len(self._objstm_cache) < 256:  # bound pathological files
                 self._objstm_cache[stm_num] = cached
         pairs, content, first = cached
@@ -810,6 +808,20 @@ class PdfDocument:
             )
         val, _ = _parse_value(content, first + ooff)
         return val
+
+    def _objstm_decode(self, stm_num: int) -> tuple[list[tuple[int, int]], bytes, int]:
+        obj = self._load(stm_num)
+        if not (isinstance(obj, tuple) and len(obj) == 2):
+            raise ValueError(f"object stream {stm_num} is not a stream")
+        d, raw = obj
+        if d.get("Type") != "ObjStm":
+            raise ValueError(f"object {stm_num} is not /Type /ObjStm")
+        content = _apply_stream_filters(self._resolved_filter_dict(d), raw)
+        n = int(self.resolve(d["N"]))
+        first = int(self.resolve(d["First"]))
+        ints = [int(x) for x in content[:first].split()]
+        pairs = list(zip(ints[0::2], ints[1::2]))[:n]
+        return pairs, content, first
 
     # -- pages -------------------------------------------------------------
     def pages(self) -> list[dict]:

@@ -252,13 +252,17 @@ def decode_png(data: bytes) -> np.ndarray:
     # tRNS on color types 0/2 marks ONE exact sample value (at native
     # depth) fully transparent → white, per the composite convention
     trns_mask = None
-    if trns is not None and len(trns) and color_type in (0, 2):
-        tv = np.frombuffer(trns, dtype=">u2")  # 2-byte samples (13.6)
+    if trns is not None and len(trns) >= 2 and color_type in (0, 2):
+        # 2-byte samples (spec 13.6); a malformed odd-length chunk is
+        # ignored (truncate) rather than crashing the decode
+        tv = np.frombuffer(trns[: len(trns) // 2 * 2], dtype=">u2")
         if color_type == 0 and len(tv) >= 1:
             trns_mask = samples.reshape(h, w) == tv[0]
         elif color_type == 2 and len(tv) >= 3:
+            # compare WITHOUT downcasting tv: an out-of-range 16-bit
+            # sample value must match nothing at depth 8, not wrap
             px = samples.reshape(h, w, 3)
-            trns_mask = (px == tv[:3].astype(px.dtype)).all(axis=2)
+            trns_mask = (px == tv[:3]).all(axis=2)
     if depth == 16:
         samples = (samples >> 8).astype(np.uint8)
     if color_type == 3:  # palette

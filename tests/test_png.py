@@ -277,6 +277,18 @@ class TestExtendedSubformats:
         got = decode_png(_build_png(c, 2, 8, trns=struct.pack(">HHH", 9, 8, 7)))
         assert got[0].tolist() == [[255, 255, 255], [9, 8, 6], [1, 2, 3]]
 
+    def test_trns_out_of_range_value_matches_nothing_at_depth8(self):
+        # a 16-bit tRNS sample > 255 cannot match any depth-8 pixel —
+        # it must NOT wrap mod 256 and whiten legitimate pixels
+        c = np.array([[[7, 8, 7], [1, 2, 3]]])
+        got = decode_png(_build_png(c, 2, 8, trns=struct.pack(">HHH", 0x107, 8, 7)))
+        assert got[0].tolist() == [[7, 8, 7], [1, 2, 3]]
+
+    def test_malformed_odd_length_trns_is_ignored(self):
+        g = np.array([[[5, 9]]]).reshape(1, 2, 1)
+        got = decode_png(_build_png(g, 0, 8, trns=b"\x05"))  # 1 byte: junk
+        assert got.tolist() == [[5, 9]]
+
     def test_palette_missing_plte_and_bad_index(self):
         pi = np.zeros((2, 2, 1), dtype=int)
         data = _build_png(pi, 3, 8, plte=None)
