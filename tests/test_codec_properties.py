@@ -134,3 +134,89 @@ def test_html_extractor_survives_tag_soup(parts):
     assert isinstance(main, str)
     assert kept >= 0 and dropped >= 0
     assert (kept == 0) == (main == "")
+
+
+# ---------------------------------------------------------------------------
+# round-4 decode surfaces: progressive JPEG, subsampled color, PNG subformats
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 24).flatmap(lambda h: st.integers(1, 24).flatmap(lambda w: _gray(h, w))),
+    st.integers(60, 100),
+    st.sampled_from([0, 2, 5]),
+)
+def test_jpeg_progressive_equals_baseline_random(img, quality, ri):
+    # the progressive encoder emits the SAME quantized coefficients as
+    # the baseline encoder, so decode equality must hold for ANY image,
+    # quality and restart interval — a sharp oracle over every scan type
+    from oar_ocr_spark.functions.jpeg import encode_jpeg_progressive
+
+    base = decode_jpeg(encode_jpeg(img, quality))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality, restart_interval=ri))
+    assert (base == prog).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(1, 16),
+    st.integers(1, 16),
+    st.sampled_from(["444", "422", "440", "420"]),
+    st.sampled_from([0, 3]),
+)
+def test_jpeg_color_flavors_roundtrip_random(h, w, sub, ri):
+    rng = np.random.RandomState(h * 31 + w)
+    img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    data = encode_jpeg(img, 90, subsampling=sub, restart_interval=ri)
+    out = decode_jpeg(data)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert encode_jpeg(img, 90, subsampling=sub, restart_interval=ri) == data
+    # progressive flavor decodes to the identical pixels of ITS baseline
+    from oar_ocr_spark.functions.jpeg import encode_jpeg_progressive
+
+    prog = decode_jpeg(encode_jpeg_progressive(img, 90, subsampling=sub))
+    assert (prog == out).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.sampled_from(
+        [(0, 1), (0, 2), (0, 4), (0, 8), (0, 16), (2, 8), (2, 16), (3, 4), (3, 8), (4, 8), (6, 8)]
+    ),
+    st.integers(1, 14),
+    st.integers(1, 14),
+    st.booleans(),
+)
+def test_png_every_subformat_decodes_random(ct_depth, h, w, interlace):
+    # every legal (color type, depth, interlace) combination must
+    # decode with the documented 8-bit output conventions — checked
+    # against the independent expectations computed here
+    from test_png import _build_png
+
+    ct, depth = ct_depth
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+    rng = np.random.RandomState(h * 131 + w * 7 + ct + depth)
+    hi = 16 if ct == 3 else (1 << depth)
+    arr = rng.randint(0, min(hi, 1 << depth), (h, w, channels))
+    plte = rng.randint(0, 256, (16, 3)) if ct == 3 else None
+    got = decode_png(_build_png(arr, ct, depth, interlace=int(interlace), plte=plte))
+    if ct == 0:
+        want = arr[..., 0]
+        if depth < 8:
+            want = want * (255 // ((1 << depth) - 1))
+        elif depth == 16:
+            want = want >> 8
+        assert (got == want).all()
+    elif ct == 2:
+        want = arr >> 8 if depth == 16 else arr
+        assert (got == want).all()
+    elif ct == 3:
+        assert (got == plte[arr[..., 0]]).all()
+    else:
+        a = arr[..., -1:].astype(np.uint16)
+        color = arr[..., :-1].astype(np.uint16)
+        want = ((color * a + 255 * (255 - a) + 127) // 255).astype(np.uint8)
+        if ct == 4:
+            want = want.reshape(h, w)
+        assert (got == want).all()
