@@ -198,7 +198,7 @@ def structure_page_truth(media_ref: str) -> StructurePageTruth:
                         _text_for(rng, int(rng.integers(1, 3))),
                     )
                     fh = REGION_H + FORMULA_SCRIPT_DY + 2 * FORMULA_INNER_PAD
-                elif p < 0.85:
+                elif p < 0.8:
                     spec = (
                         "frac",
                         _text_for(rng, int(rng.integers(2, 5))),
@@ -210,6 +210,18 @@ def structure_page_truth(media_ref: str) -> StructurePageTruth:
                         + FORMULA_BAR_H
                         + 2 * FORMULA_INNER_PAD
                     )
+                elif p < 0.92:
+                    # mixed sequence: base^{s} base_{s} — the recognizer
+                    # must attach each script to ITS preceding base, not
+                    # pattern-match a single-template layout
+                    spec = (
+                        "mix",
+                        _text_for(rng, int(rng.integers(2, 4))),
+                        _text_for(rng, int(rng.integers(1, 3))),
+                        _text_for(rng, int(rng.integers(2, 4))),
+                        _text_for(rng, int(rng.integers(1, 3))),
+                    )
+                    fh = REGION_H + 2 * FORMULA_SCRIPT_DY + 2 * FORMULA_INNER_PAD
                 else:
                     spec = ("plain", _text_for(rng, int(rng.integers(3, 7))))
                     fh = REGION_H + 2 * pad
@@ -276,6 +288,19 @@ def _render_formula(img: np.ndarray, el: ElementTruth, pad: int) -> None:
 
     if kind == "plain":
         put(el.formula_spec[1], x0, el.y1 + pad)
+    elif kind == "mix":
+        # base^{sup} base2_{sub}: two base strips on the middle line
+        # with a raised strip after the first and a lowered one after
+        # the second — exercises per-script attachment (full ±DY
+        # separation keeps centers clear of the classifier tolerance)
+        b1, s1, b2, s2 = el.formula_spec[1:]
+        top = el.y1 + FORMULA_INNER_PAD
+        by = top + FORMULA_SCRIPT_DY  # base line between the two levels
+        x = x0
+        x += put(b1, x, by) + FORMULA_SCRIPT_GAP
+        x += put(s1, x, top) + FORMULA_SCRIPT_GAP  # raised: superscript
+        x += put(b2, x, by) + FORMULA_SCRIPT_GAP
+        put(s2, x, top + 2 * FORMULA_SCRIPT_DY)  # lowered: subscript
     elif kind in ("sup", "sub"):
         base, script = el.formula_spec[1], el.formula_spec[2]
         top = el.y1 + FORMULA_INNER_PAD
