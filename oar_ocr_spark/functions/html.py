@@ -203,8 +203,9 @@ class _Extractor(HTMLParser):
     def handle_startendtag(self, tag, attrs):
         if tag in _DROP_SUBTREES:
             # a self-closing <svg/>/<template/> is an EMPTY subtree:
-            # nothing to drop — and it must not touch pending_closers
-            # (the counter pre-pass skips it identically)
+            # nothing to drop — and it must not touch seen_starts/
+            # seen_ends (the _CloserCounter pre-pass skips it
+            # identically, keeping both event streams in sync)
             self.bare_block = None
             return
         super().handle_startendtag(tag, attrs)

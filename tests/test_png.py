@@ -288,6 +288,10 @@ class TestExtendedSubformats:
         g = np.array([[[5, 9]]]).reshape(1, 2, 1)
         got = decode_png(_build_png(g, 0, 8, trns=b"\x05"))  # 1 byte: junk
         assert got.tolist() == [[5, 9]]
+        # 3-byte chunk: the truncating slice keeps the first sample —
+        # (0,5) matches pixel 5 → white — and must not crash frombuffer
+        got = decode_png(_build_png(g, 0, 8, trns=b"\x00\x05\x99"))
+        assert got.tolist() == [[255, 9]]
 
     def test_palette_missing_plte_and_bad_index(self):
         pi = np.zeros((2, 2, 1), dtype=int)
