@@ -35,7 +35,8 @@ unfilter), compressed object streams (/Type /ObjStm), hybrid-
 reference files (/XRefStm in a classic trailer), indirect /Length,
 nested /Pages trees, literal + hex strings, comments, /DeviceGray and
 /DeviceRGB FlateDecode or uncompressed image XObjects. JPXDecode
-(JPEG 2000) images and TIFF predictors raise NotImplementedError;
+(JPEG 2000) images raise NotImplementedError; PNG (10-15) and TIFF
+(2) predictors both decode;
 DCTDecode images — the layout real scanned PDFs use — decode through
 the engine's own baseline JPEG codec (functions/jpeg.py, including
 4:2:0-subsampled camera JPEGs).
@@ -557,16 +558,26 @@ def _apply_predictor(data: bytes, pm: dict) -> bytes:
     pred = int(pm.get("Predictor", 1))
     if pred == 1:
         return data
-    if pred == 2:
-        raise NotImplementedError("TIFF predictor 2 not supported here")
-    if not 10 <= pred <= 15:
-        raise ValueError(f"unknown stream predictor {pred}")
     colors = int(pm.get("Colors", 1))
     bpc = int(pm.get("BitsPerComponent", 8))
     if bpc != 8:
         raise NotImplementedError("predictor BitsPerComponent != 8 not supported")
     columns = int(pm.get("Columns", 1))
     stride = columns * colors
+    if pred == 2:  # TIFF horizontal differencing (spec 7.4.4.4)
+        if stride <= 0 or len(data) % stride:
+            raise ValueError("TIFF-predicted stream length not a whole row count")
+        rows = (
+            np.frombuffer(data, dtype=np.uint8)
+            .reshape(-1, columns, colors)
+            .astype(np.int64)
+        )
+        # per-channel prefix sum along the row; deferred mod-256 equals
+        # per-step wraparound
+        acc = np.cumsum(rows, axis=1)
+        return (acc & 0xFF).astype(np.uint8).tobytes()
+    if not 10 <= pred <= 15:
+        raise ValueError(f"unknown stream predictor {pred}")
     if stride <= 0 or len(data) % (stride + 1):
         raise ValueError("predicted stream length not a whole number of rows")
     from .png import _unfilter

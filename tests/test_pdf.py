@@ -344,6 +344,22 @@ class TestForeignPdfs:
             pages = decode_pdf(self._wrap(objs))
             assert (pages[0] == img).all(), spec
 
+    def test_tiff_predictor_2(self):
+        # TIFF horizontal differencing: each sample delta'd against the
+        # previous SAME-CHANNEL sample in the row, wrapping mod 256
+        from oar_ocr_spark.functions.pdf import _apply_stream_filters
+
+        rng = np.random.RandomState(11)
+        rows = rng.randint(0, 256, (3, 5, 2)).astype(np.uint8)  # 2 "colors"
+        diff = rows.astype(np.int16)
+        diff[:, 1:, :] = (rows[:, 1:, :].astype(np.int16) - rows[:, :-1, :]) % 256
+        d = {
+            "Filter": "FlateDecode",
+            "DecodeParms": {"Predictor": 2, "Columns": 5, "Colors": 2},
+        }
+        out = _apply_stream_filters(d, zlib.compress(diff.astype(np.uint8).tobytes()))
+        assert out == rows.tobytes()
+
     def test_lzw_with_png_predictor_stream(self):
         # LZW + /Predictor 12: the pre-Flate layout old PDF writers used
         from oar_ocr_spark.functions.pdf import _apply_stream_filters, _lzw_decode
