@@ -77,14 +77,16 @@ def _decode_payload(
     oar-ocr-core/src/utils/image.rs:65-88).
 
     With a binary payload, real PNG bytes decode through the pure-numpy
-    codec (functions/png.py — lossless) and real baseline JPEG bytes
-    through functions/jpeg.py (lossy; q=100 measured span-preserving,
-    test_jpeg.py). Audio/video payloads have their own real-format
+    codec (functions/png.py — lossless), real JPEG bytes through
+    functions/jpeg.py (lossy; q=100 measured span-preserving,
+    test_jpeg.py), and real GIF bytes through functions/gif.py
+    (old-web crawl images). Audio/video payloads have their own real-format
     operators (functions/wav.py PCM WAV, functions/avi.py AVI-MJPEG);
     byte formats none of these cover raise the declared
     NotImplementedError. Without a payload, synthetic refs decode via
     the deterministic renderer (the media-store stand-in)."""
     if payload is not None:
+        from .gif import GIF_MAGIC, decode_gif
         from .jpeg import JPEG_SOI, decode_jpeg
         from .png import PNG_SIGNATURE, decode_png
 
@@ -92,6 +94,8 @@ def _decode_payload(
             return _to_grey(decode_png(bytes(payload)))
         if bytes(payload[:2]) == JPEG_SOI:
             return _to_grey(decode_jpeg(bytes(payload)))
+        if bytes(payload[:4]) == GIF_MAGIC:
+            return _to_grey(decode_gif(bytes(payload)))
         raise NotImplementedError(
             "codec for this media payload format not available in this environment"
         )
