@@ -89,6 +89,7 @@ def _decode_payload(
         from .gif import GIF_MAGIC, decode_gif
         from .jpeg import JPEG_SOI, decode_jpeg
         from .png import PNG_SIGNATURE, decode_png
+        from .tiff import TIFF_MAGICS
 
         if bytes(payload[:8]) == PNG_SIGNATURE:
             return _to_grey(decode_png(bytes(payload)))
@@ -96,6 +97,10 @@ def _decode_payload(
             return _to_grey(decode_jpeg(bytes(payload)))
         if bytes(payload[:4]) == GIF_MAGIC:
             return _to_grey(decode_gif(bytes(payload)))
+        if bytes(payload[:4]) in TIFF_MAGICS:
+            from .tiff import decode_tiff
+
+            return _to_grey(decode_tiff(bytes(payload)))
         raise NotImplementedError(
             "codec for this media payload format not available in this environment"
         )

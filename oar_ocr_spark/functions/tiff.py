@@ -1,0 +1,294 @@
+"""Pure-python TIFF decoder (+ minimal fixture encoder).
+
+Fourth image format behind the media seam: TIFF is THE archival
+scanned-document container (fax, flatbed scanners, institutional
+archives), so an OCR engine's crawl column must read it. Written
+against the public TIFF 6.0 specification:
+
+- decoder: both byte orders (II/MM), the IFD chain (multi-page files
+  via `decode_tiff_pages`; `decode_tiff` returns the first page),
+  strip layout (any RowsPerStrip), compressions none (1), LZW (5 —
+  TIFF LZW is the same MSB-first early-change scheme PDF uses, so the
+  decoder is functions/pdf._lzw_decode), and PackBits (32773, where
+  0x80 is a NO-OP rather than PDF's EOD), horizontal-differencing
+  Predictor 2, and the sample layouts scanned documents use:
+  1-bit bilevel (both photometric polarities — WhiteIsZero is the fax
+  default), 8-bit greyscale, 8-bit RGB (extra samples dropped), and
+  palette color (16-bit ColorMap, high byte).
+- encoder (`encode_tiff`): single-strip fixture writer for bilevel /
+  grey / RGB with compression none or PackBits, so the decoder is
+  roundtrip-tested without any image library; LZW/predictor paths are
+  pinned by hand-built IFD fixtures in the tests.
+
+Scope (declared, fails loudly outside it): tiled TIFFs, CCITT fax
+compressions (2/3/4), JPEG-in-TIFF, planar configuration 2, and
+bit depths other than 1/8 raise NotImplementedError.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["encode_tiff", "decode_tiff", "decode_tiff_pages", "TIFF_MAGICS"]
+
+TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
+
+# tag ids
+_W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
+_STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
+_PREDICTOR, _COLORMAP = 317, 320
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i"}
+
+
+def _read_ifd(data: bytes, pos: int, bo: str) -> tuple[dict[int, list[int]], int]:
+    """One IFD → ({tag: values}, next IFD offset)."""
+    (n,) = struct.unpack(bo + "H", data[pos : pos + 2])
+    tags: dict[int, list[int]] = {}
+    at = pos + 2
+    for _ in range(n):
+        tag, typ, count = struct.unpack(bo + "HHI", data[at : at + 8])
+        size = _TYPE_SIZE.get(typ, 1) * count
+        if size <= 4:
+            raw = data[at + 8 : at + 8 + size]
+        else:
+            (off,) = struct.unpack(bo + "I", data[at + 8 : at + 12])
+            raw = data[off : off + size]
+        fmt = _TYPE_FMT.get(typ)
+        if fmt is not None:
+            tags[tag] = list(struct.unpack(bo + fmt * count, raw))
+        at += 12
+    (nxt,) = struct.unpack(bo + "I", data[at : at + 4])
+    return tags, nxt
+
+
+def _packbits_decode_tiff(data: bytes) -> bytes:
+    """TIFF PackBits: n<128 copy n+1, n>128 repeat 257-n, n==128 NO-OP
+    (unlike PDF RunLengthDecode where 128 is EOD)."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i]
+        if n == 128:
+            i += 1
+            continue
+        if n < 128:
+            out += data[i + 1 : i + 2 + n]
+            i += 2 + n
+        else:
+            out += bytes([data[i + 1]]) * (257 - n)
+            i += 2
+    return bytes(out)
+
+
+def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray:
+    w = tags[_W][0]
+    h = tags[_H][0]
+    spp = tags.get(_SPP, [1])[0]
+    bits = tags.get(_BITS, [1])
+    comp = tags.get(_COMP, [1])[0]
+    photo = tags.get(_PHOTO, [1])[0]
+    rows_per_strip = tags.get(_ROWS_PER_STRIP, [h])[0] or h
+    offs = tags[_STRIP_OFF]
+    cnts = tags.get(_STRIP_CNT)
+    if cnts is None:
+        raise ValueError("TIFF missing StripByteCounts")
+    if len(set(bits)) != 1:
+        raise NotImplementedError(f"mixed TIFF bit depths {bits} not supported")
+    depth = bits[0]
+    if depth not in (1, 8):
+        raise NotImplementedError(f"TIFF bit depth {depth} not supported here")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {comp} not supported here (none/LZW/PackBits)"
+        )
+
+    rowbytes = (w * spp * depth + 7) // 8
+    raw = bytearray()
+    for i, (off, cnt) in enumerate(zip(offs, cnts)):
+        strip = data[off : off + cnt]
+        if comp == 5:
+            from .pdf import _lzw_decode  # TIFF LZW == PDF LZW (MSB-first)
+
+            strip = _lzw_decode(strip)
+        elif comp == 32773:
+            strip = _packbits_decode_tiff(strip)
+        nrows = min(rows_per_strip, h - i * rows_per_strip)
+        strip = strip[: nrows * rowbytes]  # strips may carry padding
+        if len(strip) < nrows * rowbytes:
+            raise ValueError(f"TIFF strip {i} shorter than its rows")
+        raw += strip
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, rowbytes)
+
+    if tags.get(_PREDICTOR, [1])[0] == 2:  # horizontal differencing
+        if depth != 8:
+            raise NotImplementedError("TIFF predictor on sub-byte samples")
+        acc = np.cumsum(arr.reshape(h, w, spp).astype(np.int64), axis=1)
+        arr = (acc & 0xFF).astype(np.uint8).reshape(h, w * spp)
+
+    if depth == 1:
+        bitsarr = np.unpackbits(arr, axis=1)[:, :w]
+        img = (bitsarr * 255).astype(np.uint8)
+        if photo == 0:  # WhiteIsZero (the fax default): 0 bit = white
+            img = 255 - img
+        return np.ascontiguousarray(img)
+    px = arr.reshape(h, w, spp)
+    if photo == 3:  # palette: 16-bit ColorMap R[],G[],B[] planes
+        cmap = tags.get(_COLORMAP)
+        if cmap is None:
+            raise ValueError("palette TIFF missing ColorMap")
+        n = len(cmap) // 3
+        cm = (np.asarray(cmap, dtype=np.uint32).reshape(3, n).T >> 8).astype(np.uint8)
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= n:
+            raise ValueError("TIFF palette index out of range")
+        return np.ascontiguousarray(cm[idx])
+    if photo == 2:  # RGB (extra samples, e.g. alpha, dropped)
+        if spp < 3:
+            raise ValueError("RGB TIFF with fewer than 3 samples")
+        return np.ascontiguousarray(px[..., :3])
+    if photo in (0, 1):  # greyscale
+        g = px[..., 0]
+        if photo == 0:
+            g = 255 - g
+        return np.ascontiguousarray(g)
+    raise NotImplementedError(f"TIFF photometric {photo} not supported here")
+
+
+def decode_tiff_pages(data: bytes) -> list[np.ndarray]:
+    """TIFF bytes → list of page images ((H,W) grey / (H,W,3) RGB
+    uint8) following the IFD chain (multi-page scanned documents)."""
+    if data[:4] not in TIFF_MAGICS:
+        raise ValueError("not a TIFF (bad byte-order/magic header)")
+    bo = "<" if data[:2] == b"II" else ">"
+    (pos,) = struct.unpack(bo + "I", data[4:8])
+    pages = []
+    seen: set[int] = set()
+    while pos and pos not in seen:
+        seen.add(pos)
+        tags, pos = _read_ifd(data, pos, bo)
+        pages.append(_decode_page(data, tags, bo))
+    if not pages:
+        raise ValueError("TIFF has no IFD")
+    return pages
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """First page (the image-seam contract; decode_tiff_pages for
+    multi-page files)."""
+    return decode_tiff_pages(data)[0]
+
+
+# ---------------------------------------------------------------------------
+# fixture encoder
+# ---------------------------------------------------------------------------
+
+def encode_tiff(
+    img: np.ndarray,
+    compression: str = "none",
+    bilevel: bool = False,
+    photometric_zero_is_white: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """(H,W) grey / (H,W,3) RGB uint8 → little-endian TIFF bytes.
+    bilevel=True packs a 0/255 grey image to 1 bit/sample (the scanned
+    fax layout); compression "none" or "packbits"."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("encode_tiff expects uint8 (H,W) or (H,W,3)")
+    if compression not in ("none", "packbits"):
+        raise ValueError("compression must be 'none' or 'packbits'")
+    h, w = img.shape[0], img.shape[1]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    if bilevel:
+        if img.ndim != 2 or not np.isin(img, (0, 255)).all():
+            raise ValueError("bilevel needs a 0/255 (H,W) image")
+        bitsrows = (img == 255).astype(np.uint8)
+        if photometric_zero_is_white:
+            bitsrows = 1 - bitsrows
+        rows = [np.packbits(bitsrows[y]).tobytes() for y in range(h)]
+        depth, photo = 1, (0 if photometric_zero_is_white else 1)
+    else:
+        rows = [img[y].tobytes() for y in range(h)]
+        depth, photo = 8, (1 if spp == 1 else 2)
+    rps = rows_per_strip or h
+    strips = []
+    for s in range(0, h, rps):
+        body = b"".join(rows[s : s + rps])
+        if compression == "packbits":
+            # simple literal PackBits: runs of ≤128 literal bytes
+            enc = bytearray()
+            for i in range(0, len(body), 128):
+                chunk = body[i : i + 128]
+                enc += bytes([len(chunk) - 1]) + chunk
+            body = bytes(enc)
+        strips.append(body)
+
+    entries = []  # (tag, type, count, value-or-bytes)
+    def tag_short(t, v):
+        entries.append((t, 3, 1, struct.pack("<H", v) + b"\x00\x00"))
+
+    def tag_long(t, v):
+        entries.append((t, 4, 1, struct.pack("<I", v)))
+
+    tag_long(_W, w)
+    tag_long(_H, h)
+    if spp == 1:
+        tag_short(_BITS, depth)
+    else:
+        entries.append((_BITS, 3, 3, struct.pack("<HHH", 8, 8, 8)))
+    tag_short(_COMP, 1 if compression == "none" else 32773)
+    tag_short(_PHOTO, photo)
+    entries.append((_STRIP_OFF, 4, len(strips), None))  # patched below
+    tag_short(_SPP, spp)
+    tag_long(_ROWS_PER_STRIP, rps)
+    entries.append(
+        (_STRIP_CNT, 4, len(strips), b"".join(struct.pack("<I", len(s)) for s in strips))
+    )
+    entries.sort(key=lambda e: e[0])
+
+    header = b"II*\x00" + struct.pack("<I", 8)
+    ifd_size = 2 + 12 * len(entries) + 4
+    # layout: header | IFD | out-of-line tag data | strip data
+    extra_at = 8 + ifd_size
+    extra = bytearray()
+    fixed = []
+    for t, typ, count, val in entries:
+        if val is None:  # strip offsets, patched after layout
+            fixed.append([t, typ, count, None])
+            if count * 4 > 4:
+                extra_at_here = extra_at + len(extra)
+                extra += b"\x00" * (4 * count)
+                fixed[-1].append(extra_at_here)
+            continue
+        if len(val) <= 4:
+            fixed.append([t, typ, count, val.ljust(4, b"\x00")])
+        else:
+            fixed.append([t, typ, count, struct.pack("<I", extra_at + len(extra))])
+            extra += val
+    strips_at = extra_at + len(extra)
+    offs = []
+    at = strips_at
+    for s in strips:
+        offs.append(at)
+        at += len(s)
+    for f in fixed:
+        if f[3] is None:
+            if len(offs) == 1:
+                f[3] = struct.pack("<I", offs[0])
+            else:
+                packed = b"".join(struct.pack("<I", o) for o in offs)
+                pos_in_extra = f[4] - extra_at
+                extra[pos_in_extra : pos_in_extra + len(packed)] = packed
+                f[3] = struct.pack("<I", f[4])
+    out = bytearray(header)
+    out += struct.pack("<H", len(fixed))
+    for t, typ, count, val, *_ in fixed:
+        out += struct.pack("<HHI", t, typ, count) + val
+    out += struct.pack("<I", 0)  # no next IFD
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)

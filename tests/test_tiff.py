@@ -1,0 +1,232 @@
+"""TIFF codec (functions/tiff.py): the archival scanned-document
+container — strips, both byte orders, LZW/PackBits, predictor,
+bilevel fax polarity, palette, multi-page IFD chains."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from oar_ocr_spark.functions.tiff import (
+    decode_tiff,
+    decode_tiff_pages,
+    encode_tiff,
+)
+
+
+def _rng():
+    return np.random.default_rng(5)
+
+
+class TestRoundtrip:
+    def test_grey_rgb_all_compressions_and_strips(self):
+        rng = _rng()
+        g = rng.integers(0, 256, (17, 23)).astype(np.uint8)
+        c = rng.integers(0, 256, (9, 7, 3)).astype(np.uint8)
+        for img in (g, c):
+            for comp in ("none", "packbits"):
+                for rps in (None, 4):
+                    out = decode_tiff(
+                        encode_tiff(img, compression=comp, rows_per_strip=rps)
+                    )
+                    assert (out == img).all(), (img.shape, comp, rps)
+
+    def test_bilevel_both_polarities(self):
+        # 1-bit scanned-fax layout; photometric 0 (WhiteIsZero) is the
+        # fax default and must invert
+        rng = _rng()
+        b = (rng.integers(0, 2, (13, 30)) * 255).astype(np.uint8)
+        assert (decode_tiff(encode_tiff(b, bilevel=True)) == b).all()
+        assert (
+            decode_tiff(encode_tiff(b, bilevel=True, photometric_zero_is_white=True))
+            == b
+        ).all()
+
+    def test_deterministic(self):
+        g = _rng().integers(0, 256, (5, 6)).astype(np.uint8)
+        assert encode_tiff(g) == encode_tiff(g)
+
+
+def _ifd_le(tags, strips, extra=b""):
+    """Hand-build a little-endian single-IFD TIFF for foreign layouts."""
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    n = len(tags)
+    ifd_size = 2 + 12 * n + 4
+    extra_at = 8 + ifd_size
+    blob = bytearray(extra)
+    fixed = []
+    for t, typ, count, val in sorted(tags):
+        if len(val) <= 4:
+            fixed.append((t, typ, count, val.ljust(4, b"\x00")))
+        else:
+            fixed.append((t, typ, count, struct.pack("<I", extra_at + len(blob))))
+            blob += val
+    strips_at = extra_at + len(blob)
+    out += struct.pack("<H", n)
+    for t, typ, count, val in fixed:
+        out += struct.pack("<HHI", t, typ, count) + val
+    out += struct.pack("<I", 0)
+    out += blob
+    for s in strips:
+        out += s
+    return bytes(out), strips_at
+
+
+class TestForeignLayouts:
+    def test_lzw_with_predictor(self):
+        # the classic scanner combo: LZW + horizontal differencing
+        rng = _rng()
+        img = rng.integers(0, 256, (6, 10)).astype(np.uint8)
+        diff = img.astype(np.int16)
+        diff[:, 1:] = (img[:, 1:].astype(np.int16) - img[:, :-1]) % 256
+        raw = diff.astype(np.uint8).tobytes()
+        # test-side MSB-first LZW encoder (shared scheme with PDF)
+        table = {bytes([i]): i for i in range(256)}
+        nxt, width = 258, 9
+        codes = [(256, 9)]
+        wbuf = raw[:1]
+        for byte in raw[1:]:
+            t = wbuf + bytes([byte])
+            if t in table:
+                wbuf = t
+            else:
+                codes.append((table[wbuf], width))
+                table[t] = nxt
+                nxt += 1
+                if nxt + 1 >= (1 << width):
+                    width += 1
+                wbuf = bytes([byte])
+        codes.append((table[wbuf], width))
+        codes.append((257, width))
+        acc = nbits = 0
+        enc = bytearray()
+        for c, wdt in codes:
+            acc = (acc << wdt) | c
+            nbits += wdt
+            while nbits >= 8:
+                enc.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        if nbits:
+            enc.append((acc << (8 - nbits)) & 0xFF)
+        strip = bytes(enc)
+        tags = [
+            (256, 4, 1, struct.pack("<I", 10)),
+            (257, 4, 1, struct.pack("<I", 6)),
+            (258, 3, 1, struct.pack("<H", 8)),
+            (259, 3, 1, struct.pack("<H", 5)),  # LZW
+            (262, 3, 1, struct.pack("<H", 1)),
+            (273, 4, 1, None),  # patched
+            (277, 3, 1, struct.pack("<H", 1)),
+            (278, 4, 1, struct.pack("<I", 6)),
+            (279, 4, 1, struct.pack("<I", len(strip))),
+            (317, 3, 1, struct.pack("<H", 2)),  # predictor 2
+        ]
+        # two-pass: compute strip offset, then build
+        probe = [(t, ty, c, v if v is not None else b"\x00\x00\x00\x00") for t, ty, c, v in tags]
+        _, strips_at = _ifd_le(probe, [strip])
+        final = [
+            (t, ty, c, struct.pack("<I", strips_at) if v is None else v)
+            for t, ty, c, v in tags
+        ]
+        data, _ = _ifd_le(final, [strip])
+        assert (decode_tiff(data) == img).all()
+
+    def test_palette_tiff(self):
+        rng = _rng()
+        n = 8
+        cmap16 = rng.integers(0, 65536, (3, n)).astype(np.uint16)
+        idx = rng.integers(0, n, (4, 5)).astype(np.uint8)
+        strip = idx.tobytes()
+        tags = [
+            (256, 4, 1, struct.pack("<I", 5)),
+            (257, 4, 1, struct.pack("<I", 4)),
+            (258, 3, 1, struct.pack("<H", 8)),
+            (259, 3, 1, struct.pack("<H", 1)),
+            (262, 3, 1, struct.pack("<H", 3)),  # palette
+            (273, 4, 1, None),
+            (277, 3, 1, struct.pack("<H", 1)),
+            (278, 4, 1, struct.pack("<I", 4)),
+            (279, 4, 1, struct.pack("<I", len(strip))),
+            (320, 3, 3 * n, cmap16.astype("<u2").tobytes()),
+        ]
+        probe = [(t, ty, c, v if v is not None else b"\x00\x00\x00\x00") for t, ty, c, v in tags]
+        _, strips_at = _ifd_le(probe, [strip])
+        final = [
+            (t, ty, c, struct.pack("<I", strips_at) if v is None else v)
+            for t, ty, c, v in tags
+        ]
+        data, _ = _ifd_le(final, [strip])
+        want = (cmap16.T >> 8).astype(np.uint8)[idx]
+        assert (decode_tiff(data) == want).all()
+
+    def test_big_endian(self):
+        # tiny hand-built MM file: 2x2 grey, uncompressed
+        img = np.array([[1, 200], [30, 99]], dtype=np.uint8)
+        strip = img.tobytes()
+        out = bytearray(b"MM\x00*" + struct.pack(">I", 8))
+        tags = [
+            (256, 3, 1, 2), (257, 3, 1, 2), (258, 3, 1, 8), (259, 3, 1, 1),
+            (262, 3, 1, 1), (273, 4, 1, None), (277, 3, 1, 1),
+            (278, 4, 1, 2), (279, 4, 1, 4),
+        ]
+        strips_at = 8 + 2 + 12 * len(tags) + 4
+        out += struct.pack(">H", len(tags))
+        for t, typ, count, val in tags:
+            v = strips_at if val is None else val
+            if typ == 3:
+                out += struct.pack(">HHIH", t, typ, count, v) + b"\x00\x00"
+            else:
+                out += struct.pack(">HHII", t, typ, count, v)
+        out += struct.pack(">I", 0)
+        out += strip
+        assert (decode_tiff(bytes(out)) == img).all()
+
+    def test_multipage_chain(self):
+        # merge two single-page files: append B's bytes AFTER A's
+        # (keeping B's 8-byte header as dead padding, so every absolute
+        # offset inside B shifts by exactly len(A)), then point A's
+        # next-IFD at B's shifted IFD
+        rng = _rng()
+        a = rng.integers(0, 256, (3, 4)).astype(np.uint8)
+        b = rng.integers(0, 256, (2, 2)).astype(np.uint8)
+        da, db = encode_tiff(a), encode_tiff(b)
+        shift = len(da)
+        bo = "<"
+        dbb = bytearray(db)
+        (ifd_b,) = struct.unpack(bo + "I", dbb[4:8])
+        (nb,) = struct.unpack(bo + "H", dbb[ifd_b : ifd_b + 2])
+        for k in range(nb):
+            at = ifd_b + 2 + 12 * k
+            tag, typ, count = struct.unpack(bo + "HHI", dbb[at : at + 8])
+            size = {1: 1, 3: 2, 4: 4}[typ] * count
+            if size > 4 or tag == 273:  # out-of-line data / strip offset
+                (v,) = struct.unpack(bo + "I", dbb[at + 8 : at + 12])
+                dbb[at + 8 : at + 12] = struct.pack(bo + "I", v + shift)
+        combined = bytearray(da) + dbb
+        (ifd_a,) = struct.unpack(bo + "I", combined[4:8])
+        (na,) = struct.unpack(bo + "H", combined[ifd_a : ifd_a + 2])
+        next_at = ifd_a + 2 + 12 * na
+        combined[next_at : next_at + 4] = struct.pack(bo + "I", ifd_b + shift)
+        pages = decode_tiff_pages(bytes(combined))
+        assert len(pages) == 2
+        assert (pages[0] == a).all() and (pages[1] == b).all()
+
+    def test_declared_unsupported(self):
+        g = np.zeros((2, 2), dtype=np.uint8)
+        data = bytearray(encode_tiff(g))
+        # patch compression tag to CCITT G4 (4)
+        i = data.index(struct.pack("<HHI", 259, 3, 1))
+        data[i + 8 : i + 10] = struct.pack("<H", 4)
+        with pytest.raises(NotImplementedError, match="compression 4"):
+            decode_tiff(bytes(data))
+        with pytest.raises(ValueError, match="magic"):
+            decode_tiff(b"NOPE" + bytes(16))
+
+
+class TestMediaSeam:
+    def test_tiff_payload_greyscales_at_seam(self):
+        from oar_ocr_spark.functions.multimodal import _decode_payload
+
+        g = _rng().integers(0, 256, (11, 9)).astype(np.uint8)
+        out = _decode_payload("x", "image", encode_tiff(g))
+        assert out.ndim == 2 and (out == g).all()
