@@ -1,0 +1,167 @@
+"""Pure-python BMP decoder (+ minimal fixture encoder).
+
+Fifth image format behind the media seam: Windows bitmaps turn up in
+legacy document dumps and old-web crawls. Written against the public
+BITMAPINFOHEADER layout:
+
+- decoder: BM header, BITMAPINFOHEADER (40+ byte info headers),
+  bottom-up AND top-down (negative height) row order, 4-byte row
+  padding, 24/32-bit BGR(A) truecolor (alpha ignored — BMP alpha is
+  rarely meaningful), 8-bit and 4-bit paletted, 1-bit bilevel, and
+  RLE8 compression (runs, literals, EOL/EOF/delta escapes).
+- encoder (`encode_bmp`): 24-bit truecolor or 8-bit paletted
+  (optionally RLE8) fixture writer.
+
+Scope (declared, fails loudly outside it): 16-bit / bitfield
+formats, RLE4, and embedded PNG/JPEG raise NotImplementedError.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["encode_bmp", "decode_bmp", "BMP_MAGIC"]
+
+BMP_MAGIC = b"BM"
+
+
+def encode_bmp(
+    img: np.ndarray, palette: np.ndarray | None = None, rle: bool = False
+) -> bytes:
+    """(H,W,3) uint8 RGB → 24-bit BMP, or (H,W) uint8 indices +
+    (N,3) palette → 8-bit paletted BMP (rle=True → RLE8)."""
+    if img.dtype != np.uint8:
+        raise ValueError("encode_bmp expects uint8")
+    if img.ndim == 3 and img.shape[2] == 3:
+        if palette is not None or rle:
+            raise ValueError("palette/rle apply to 8-bit images only")
+        h, w = img.shape[:2]
+        row = w * 3
+        pad = (-row) % 4
+        body = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up
+            body += img[y, :, ::-1].tobytes() + b"\x00" * pad
+        bpp, ncolors, comp, pal_bytes = 24, 0, 0, b""
+    elif img.ndim == 2 and palette is not None:
+        if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
+            raise ValueError("palette must be (N<=256,3)")
+        if int(img.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        h, w = img.shape
+        pal = np.zeros((len(palette), 4), dtype=np.uint8)
+        pal[:, :3] = palette[:, ::-1]  # BGR0 quads
+        pal_bytes = pal.tobytes()
+        ncolors = len(palette)
+        if rle:
+            body = bytearray()
+            for y in range(h - 1, -1, -1):
+                x = 0
+                rowv = img[y]
+                while x < w:
+                    run = 1
+                    while x + run < w and rowv[x + run] == rowv[x] and run < 255:
+                        run += 1
+                    body += bytes([run, int(rowv[x])])
+                    x += run
+                body += b"\x00\x00"  # end of line
+            body += b"\x00\x01"  # end of bitmap
+            bpp, comp = 8, 1
+        else:
+            pad = (-w) % 4
+            body = bytearray()
+            for y in range(h - 1, -1, -1):
+                body += img[y].tobytes() + b"\x00" * pad
+            bpp, comp = 8, 0
+    else:
+        raise ValueError("encode_bmp expects (H,W,3) RGB or (H,W)+palette")
+    off = 14 + 40 + len(pal_bytes)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, comp, len(body), 2835, 2835, ncolors, 0
+    )
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    return header + info + pal_bytes + bytes(body)
+
+
+def _rle8_decode(data: bytes, h: int, w: int) -> np.ndarray:
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i = 0
+    while i + 1 < len(data):
+        a, b = data[i], data[i + 1]
+        i += 2
+        if a:  # run of b
+            out[y, x : x + a] = b
+            x += a
+        elif b == 0:  # end of line
+            x, y = 0, y + 1
+        elif b == 1:  # end of bitmap
+            return out
+        elif b == 2:  # delta
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+        else:  # literal run of b pixels, word-aligned
+            out[y, x : x + b] = np.frombuffer(data[i : i + b], dtype=np.uint8)
+            x += b
+            i += b + (b & 1)
+    return out
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes → (H,W,3) uint8 RGB (palettes resolved; the media
+    seam converts to grey downstream)."""
+    if data[:2] != BMP_MAGIC:
+        raise ValueError("not a BMP (missing BM magic)")
+    (pix_off,) = struct.unpack("<I", data[10:14])
+    (info_size,) = struct.unpack("<I", data[14:18])
+    if info_size < 40:
+        raise NotImplementedError(f"BMP info header size {info_size} not supported")
+    w, h_signed, _planes, bpp, comp = struct.unpack("<iiHHI", data[18:34])
+    (ncolors,) = struct.unpack("<I", data[46:50])
+    top_down = h_signed < 0
+    h = abs(h_signed)
+    if w <= 0 or h == 0:
+        raise ValueError("empty BMP")
+    if comp not in (0, 1):
+        raise NotImplementedError(f"BMP compression {comp} not supported here")
+    if comp == 1 and bpp != 8:
+        raise NotImplementedError("RLE is only supported for 8-bit BMPs (RLE8)")
+    pal = None
+    if bpp <= 8:
+        n = ncolors or (1 << bpp)
+        pal_at = 14 + info_size
+        quads = np.frombuffer(data[pal_at : pal_at + 4 * n], dtype=np.uint8)
+        pal = quads.reshape(-1, 4)[:, 2::-1]  # BGR0 → RGB
+    if comp == 1:
+        idx = _rle8_decode(data[pix_off:], h, w)
+        rows = idx if top_down else idx[::-1]
+        return np.ascontiguousarray(pal[rows])
+    rowbytes = (w * bpp + 7) // 8
+    stride = rowbytes + ((-rowbytes) % 4)
+    need = h * stride
+    raw = np.frombuffer(data[pix_off : pix_off + need], dtype=np.uint8)
+    if raw.size < need:
+        raise ValueError("BMP pixel data truncated")
+    rows = raw.reshape(h, stride)[:, :rowbytes]
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 24:
+        return np.ascontiguousarray(rows.reshape(h, rowbytes // 3 * 3)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1])
+    if bpp == 32:
+        return np.ascontiguousarray(rows.reshape(h, w, 4)[:, :, 2::-1])
+    if bpp == 8:
+        idx = rows[:, :w]
+    elif bpp == 4:
+        nib = np.zeros((h, rowbytes * 2), dtype=np.uint8)
+        nib[:, 0::2] = rows >> 4
+        nib[:, 1::2] = rows & 0x0F
+        idx = nib[:, :w]
+    elif bpp == 1:
+        idx = np.unpackbits(rows, axis=1)[:, :w]
+    else:
+        raise NotImplementedError(f"BMP bit depth {bpp} not supported here")
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("BMP palette index out of range")
+    return np.ascontiguousarray(pal[idx])

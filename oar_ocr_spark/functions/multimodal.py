@@ -101,6 +101,10 @@ def _decode_payload(
             from .tiff import decode_tiff
 
             return _to_grey(decode_tiff(bytes(payload)))
+        if bytes(payload[:2]) == b"BM":
+            from .bmp import decode_bmp
+
+            return _to_grey(decode_bmp(bytes(payload)))
         raise NotImplementedError(
             "codec for this media payload format not available in this environment"
         )

@@ -1,0 +1,111 @@
+"""BMP codec (functions/bmp.py): legacy-dump bitmaps — truecolor,
+palettes down to 1-bit, RLE8, both row orders, 4-byte padding."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from oar_ocr_spark.functions.bmp import decode_bmp, encode_bmp
+
+
+def _rng():
+    return np.random.default_rng(3)
+
+
+class TestRoundtrip:
+    def test_24bit_truecolor_with_padding(self):
+        rng = _rng()
+        for h, w in [(5, 7), (3, 4), (1, 1), (9, 6)]:  # odd widths pad
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            assert (decode_bmp(encode_bmp(img)) == img).all(), (h, w)
+
+    def test_8bit_paletted_and_rle8(self):
+        rng = _rng()
+        pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+        idx = rng.integers(0, 16, (11, 13)).astype(np.uint8)
+        assert (decode_bmp(encode_bmp(idx, pal)) == pal[idx]).all()
+        assert (decode_bmp(encode_bmp(idx, pal, rle=True)) == pal[idx]).all()
+        # long runs compress into multiple run records
+        runs = np.repeat(rng.integers(0, 4, 7), 60)[: 13 * 11].reshape(11, 13).astype(np.uint8)
+        assert (decode_bmp(encode_bmp(runs, pal, rle=True)) == pal[runs]).all()
+
+    def test_deterministic(self):
+        img = _rng().integers(0, 256, (4, 4, 3)).astype(np.uint8)
+        assert encode_bmp(img) == encode_bmp(img)
+
+
+class TestForeignLayouts:
+    def test_top_down_negative_height(self):
+        img = _rng().integers(0, 256, (4, 5, 3)).astype(np.uint8)
+        data = bytearray(encode_bmp(img))
+        # flip to top-down: negate height and reverse the stored rows
+        (h,) = struct.unpack("<i", data[22:26])
+        data[22:26] = struct.pack("<i", -h)
+        (off,) = struct.unpack("<I", data[10:14])
+        stride = (5 * 3 + 3) // 4 * 4
+        rows = [bytes(data[off + y * stride : off + (y + 1) * stride]) for y in range(4)]
+        data[off:] = b"".join(reversed(rows))
+        assert (decode_bmp(bytes(data)) == img).all()
+
+    def test_4bit_and_1bit_palette(self):
+        # hand-built sub-byte paletted files
+        pal4 = _rng().integers(0, 256, (16, 3)).astype(np.uint8)
+        idx = _rng().integers(0, 16, (3, 5)).astype(np.uint8)
+        rows = []
+        for y in range(2, -1, -1):  # bottom-up
+            nib = bytearray()
+            r = idx[y]
+            for i in range(0, 5, 2):
+                hi = r[i] << 4
+                lo = r[i + 1] if i + 1 < 5 else 0
+                nib.append(hi | lo)
+            rows.append(bytes(nib).ljust(4, b"\x00"))
+        body = b"".join(rows)
+        pal_bytes = np.hstack([pal4[:, ::-1], np.zeros((16, 1), np.uint8)]).tobytes()
+        off = 14 + 40 + len(pal_bytes)
+        info = struct.pack("<IiiHHIIiiII", 40, 5, 3, 1, 4, 0, len(body), 0, 0, 16, 0)
+        data = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off) + info + pal_bytes + body
+        assert (decode_bmp(data) == pal4[idx]).all()
+        # 1-bit bilevel
+        pal1 = np.array([[255, 255, 255], [0, 0, 0]], np.uint8)
+        bits = _rng().integers(0, 2, (2, 10)).astype(np.uint8)
+        rows = []
+        for y in (1, 0):
+            packed = np.packbits(bits[y]).tobytes()
+            rows.append(packed.ljust(4, b"\x00"))
+        body = b"".join(rows)
+        pal_bytes = np.hstack([pal1[:, ::-1], np.zeros((2, 1), np.uint8)]).tobytes()
+        off = 14 + 40 + len(pal_bytes)
+        info = struct.pack("<IiiHHIIiiII", 40, 10, 2, 1, 1, 0, len(body), 0, 0, 2, 0)
+        data = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off) + info + pal_bytes + body
+        assert (decode_bmp(data) == pal1[bits]).all()
+
+    def test_32bit_drops_alpha(self):
+        img = _rng().integers(0, 256, (2, 3, 3)).astype(np.uint8)
+        # hand-build BGRA bottom-up
+        body = b"".join(
+            bytes(np.hstack([img[y, :, ::-1], np.full((3, 1), 77, np.uint8)]).tobytes())
+            for y in (1, 0)
+        )
+        info = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 32, 0, len(body), 0, 0, 0, 0)
+        data = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54) + info + body
+        assert (decode_bmp(data) == img).all()
+
+    def test_declared_unsupported(self):
+        img = _rng().integers(0, 256, (2, 2, 3)).astype(np.uint8)
+        data = bytearray(encode_bmp(img))
+        data[30:34] = struct.pack("<I", 3)  # BI_BITFIELDS
+        with pytest.raises(NotImplementedError, match="compression 3"):
+            decode_bmp(bytes(data))
+        with pytest.raises(ValueError, match="magic"):
+            decode_bmp(b"PNG" + bytes(60))
+
+
+class TestMediaSeam:
+    def test_bmp_payload_greyscales_at_seam(self):
+        from oar_ocr_spark.functions.multimodal import _decode_payload
+
+        img = _rng().integers(0, 256, (6, 8, 3)).astype(np.uint8)
+        out = _decode_payload("x", "image", encode_bmp(img))
+        assert out.ndim == 2 and out.shape == (6, 8)
