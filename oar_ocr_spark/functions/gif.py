@@ -11,9 +11,11 @@ the public GIF89a specification:
   codes, per-image minimum code size, clear/EOI codes, deferred-clear
   streams), Graphic Control Extension transparency (composited over
   WHITE — the document-background convention shared with png.py), and
-  frame disposal none/keep for multi-frame files (frames composite
-  onto the logical screen; `decode_gif` returns the FIRST fully
-  composited frame — the image-seam contract — and
+  all four frame disposal methods (none/keep composite onto the
+  logical screen, restore-to-background clears the frame's region to
+  WHITE, restore-previous rewinds to the pre-frame composite;
+  `decode_gif` returns the FIRST fully composited frame without
+  decoding the rest — the image-seam contract — and
   `decode_gif_frames` returns all of them).
 - encoder (`encode_gif`): single-frame fixture writer emitting
   literal LZW codes with periodic clear codes (the classic
@@ -65,8 +67,8 @@ def encode_gif(
     decoder builds its table from this stream like any other."""
     if indices.dtype != np.uint8 or indices.ndim != 2:
         raise ValueError("encode_gif expects (H,W) uint8 indices")
-    if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) < 1:
-        raise ValueError("palette must be (N,3)")
+    if palette.ndim != 2 or palette.shape[1] != 3 or not 1 <= len(palette) <= 256:
+        raise ValueError("palette must be (N,3) with 1 <= N <= 256")
     if int(indices.max(initial=0)) >= len(palette):
         raise ValueError("palette index out of range")
     h, w = indices.shape
@@ -187,10 +189,13 @@ def _lzw_decode_gif(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
     return out
 
 
-def decode_gif_frames(data: bytes) -> list[np.ndarray]:
+def decode_gif_frames(data: bytes, limit: int | None = None) -> list[np.ndarray]:
     """GIF bytes → list of (H,W,3) uint8 frames composited onto the
     logical screen (background = WHITE, the shared document
-    convention; transparency keeps the underlying composite)."""
+    convention; transparency keeps the underlying composite; disposal
+    2 restores the region to white, disposal 3 to the pre-frame
+    composite). `limit` stops after that many frames — the media seam
+    only needs the first."""
     if data[:4] != GIF_MAGIC or data[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF (bad signature)")
     w, h, flags, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
@@ -203,6 +208,7 @@ def decode_gif_frames(data: bytes) -> list[np.ndarray]:
     screen = np.full((h, w, 3), 255, dtype=np.uint8)
     frames: list[np.ndarray] = []
     transparent: int | None = None
+    disposal = 0
     while pos < len(data):
         b = data[pos]
         if b == 0x3B:  # trailer
@@ -214,6 +220,7 @@ def decode_gif_frames(data: bytes) -> list[np.ndarray]:
                 size = data[pos]
                 body = data[pos + 1 : pos + 1 + size]
                 transparent = body[3] if body[0] & 0x01 else None
+                disposal = (body[0] >> 2) & 0x07
             # skip sub-blocks (any extension)
             while True:
                 n = data[pos]
@@ -251,6 +258,7 @@ def decode_gif_frames(data: bytes) -> list[np.ndarray]:
         if int(idx.max(initial=0)) >= len(ct):
             raise ValueError("GIF pixel index outside color table")
         region = screen[iy : iy + ih, ix : ix + iw]
+        before = screen.copy() if disposal == 3 else None
         rgb = ct[idx]
         if transparent is not None:
             mask = idx != transparent
@@ -258,13 +266,22 @@ def decode_gif_frames(data: bytes) -> list[np.ndarray]:
         else:
             region[:] = rgb
         frames.append(screen.copy())
+        if limit is not None and len(frames) >= limit:
+            return frames
+        # disposal AFTER the frame is shown (GIF89a GCE semantics)
+        if disposal == 2:  # restore to background → white convention
+            region[:] = 255
+        elif disposal == 3 and before is not None:  # restore previous
+            screen = before
         transparent = None  # GCE applies to one image only
+        disposal = 0
     if not frames:
         raise ValueError("GIF has no image data")
     return frames
 
 
 def decode_gif(data: bytes) -> np.ndarray:
-    """GIF bytes → first composited (H,W,3) uint8 frame (the
-    image-seam contract; use decode_gif_frames for animations)."""
-    return decode_gif_frames(data)[0]
+    """GIF bytes → first composited (H,W,3) uint8 frame, decoded
+    without touching later frames (the image-seam contract; use
+    decode_gif_frames for animations)."""
+    return decode_gif_frames(data, limit=1)[0]

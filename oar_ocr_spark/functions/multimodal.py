@@ -86,10 +86,11 @@ def _decode_payload(
     NotImplementedError. Without a payload, synthetic refs decode via
     the deterministic renderer (the media-store stand-in)."""
     if payload is not None:
+        from .bmp import BMP_MAGIC, decode_bmp
         from .gif import GIF_MAGIC, decode_gif
         from .jpeg import JPEG_SOI, decode_jpeg
         from .png import PNG_SIGNATURE, decode_png
-        from .tiff import TIFF_MAGICS
+        from .tiff import TIFF_MAGICS, decode_tiff
 
         if bytes(payload[:8]) == PNG_SIGNATURE:
             return _to_grey(decode_png(bytes(payload)))
@@ -98,12 +99,8 @@ def _decode_payload(
         if bytes(payload[:4]) == GIF_MAGIC:
             return _to_grey(decode_gif(bytes(payload)))
         if bytes(payload[:4]) in TIFF_MAGICS:
-            from .tiff import decode_tiff
-
             return _to_grey(decode_tiff(bytes(payload)))
-        if bytes(payload[:2]) == b"BM":
-            from .bmp import decode_bmp
-
+        if bytes(payload[:2]) == BMP_MAGIC:
             return _to_grey(decode_bmp(bytes(payload)))
         raise NotImplementedError(
             "codec for this media payload format not available in this environment"

@@ -85,6 +85,11 @@ def _packbits_decode_tiff(data: bytes) -> bytes:
 
 
 def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray:
+    if 322 in tags or 324 in tags:  # TileWidth / TileOffsets
+        raise NotImplementedError("tiled TIFF layout not supported here (strips only)")
+    for req, name in ((_W, "ImageWidth"), (_H, "ImageLength"), (_STRIP_OFF, "StripOffsets")):
+        if req not in tags:
+            raise ValueError(f"TIFF missing required tag {name}")
     w = tags[_W][0]
     h = tags[_H][0]
     spp = tags.get(_SPP, [1])[0]
@@ -158,9 +163,11 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
     raise NotImplementedError(f"TIFF photometric {photo} not supported here")
 
 
-def decode_tiff_pages(data: bytes) -> list[np.ndarray]:
+def decode_tiff_pages(data: bytes, limit: int | None = None) -> list[np.ndarray]:
     """TIFF bytes → list of page images ((H,W) grey / (H,W,3) RGB
-    uint8) following the IFD chain (multi-page scanned documents)."""
+    uint8) following the IFD chain (multi-page scanned documents).
+    `limit` stops after that many pages — the media seam only needs
+    the first, so a 100-page archive costs O(one page)."""
     if data[:4] not in TIFF_MAGICS:
         raise ValueError("not a TIFF (bad byte-order/magic header)")
     bo = "<" if data[:2] == b"II" else ">"
@@ -171,15 +178,17 @@ def decode_tiff_pages(data: bytes) -> list[np.ndarray]:
         seen.add(pos)
         tags, pos = _read_ifd(data, pos, bo)
         pages.append(_decode_page(data, tags, bo))
+        if limit is not None and len(pages) >= limit:
+            break
     if not pages:
         raise ValueError("TIFF has no IFD")
     return pages
 
 
 def decode_tiff(data: bytes) -> np.ndarray:
-    """First page (the image-seam contract; decode_tiff_pages for
-    multi-page files)."""
-    return decode_tiff_pages(data)[0]
+    """First page only — decoded without touching later IFDs (the
+    image-seam contract; decode_tiff_pages for multi-page files)."""
+    return decode_tiff_pages(data, limit=1)[0]
 
 
 # ---------------------------------------------------------------------------

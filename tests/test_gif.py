@@ -99,6 +99,42 @@ class TestForeignStreams:
         assert (frames[1] == want).all()
         assert (decode_gif(combined) == frames[0]).all()  # first frame
 
+    def test_disposal_restore_to_background_and_previous(self):
+        # disposal 2 clears the frame's region to WHITE before the next
+        # frame; disposal 3 rewinds to the pre-frame composite
+        pal = np.array([[10, 10, 10], [200, 200, 200]], np.uint8)
+        base = encode_gif(np.zeros((4, 4), np.uint8), pal)
+        patch = encode_gif(np.ones((2, 2), np.uint8), pal)
+        blk = bytearray(patch[patch.index(b"\x2c") : -1])
+        blk[1:9] = struct.pack("<HHHH", 1, 1, 2, 2)  # at (1,1)
+        blk3 = bytearray(patch[patch.index(b"\x2c") : -1])
+        blk3[1:9] = struct.pack("<HHHH", 0, 0, 2, 2)  # at (0,0)
+        for disposal, mid_expect in ((2, 255), (3, 10)):
+            gce = b"\x21\xf9\x04" + bytes([disposal << 2]) + b"\x00\x00\x00\x00"
+            data = base[:-1] + gce + bytes(blk) + bytes(blk3) + b"\x3b"
+            frames = decode_gif_frames(data)
+            assert len(frames) == 3
+            # frame 2 shows the patch regardless of its disposal method
+            assert (frames[1][1:3, 1:3] == 200).all()
+            # frame 3: frame 2's region was disposed (white / original),
+            # EXCEPT where frame 3's own patch at (0,0) redraws
+            assert (frames[2][2, 2] == mid_expect).all()
+            assert (frames[2][1, 2] == mid_expect).all()
+            assert (frames[2][0:2, 0:2] == 200).all()
+
+    def test_decode_gif_stops_at_first_frame(self):
+        pal = np.array([[10, 10, 10], [200, 200, 200]], np.uint8)
+        base = encode_gif(np.zeros((3, 3), np.uint8), pal)
+        # second image block is TRUNCATED garbage — must not matter,
+        # decode_gif returns after compositing frame 1
+        data = base[:-1] + b"\x2c" + b"\x00" * 9
+        assert (decode_gif(data) == pal[0]).all()
+        assert len(decode_gif_frames(data, limit=1)) == 1
+
+    def test_palette_over_256_rejected(self):
+        with pytest.raises(ValueError, match="N <= 256"):
+            encode_gif(np.zeros((2, 2), np.uint8), np.zeros((300, 3), np.uint8))
+
     def test_bad_inputs(self):
         with pytest.raises(ValueError, match="signature"):
             decode_gif(b"PNG....")

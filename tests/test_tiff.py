@@ -211,6 +211,24 @@ class TestForeignLayouts:
         assert len(pages) == 2
         assert (pages[0] == a).all() and (pages[1] == b).all()
 
+    def test_tiled_tiff_raises_declared(self):
+        data = bytearray(encode_tiff(np.zeros((2, 2), np.uint8)))
+        i = data.index(struct.pack("<HHI", 273, 4, 1))
+        data[i : i + 2] = struct.pack("<H", 324)  # StripOffsets -> TileOffsets
+        with pytest.raises(NotImplementedError, match="tiled"):
+            decode_tiff(bytes(data))
+
+    def test_decode_tiff_reads_only_first_ifd(self):
+        # point the first IFD's next pointer at garbage: decode_tiff
+        # (limit=1) must still return page 1
+        g = _rng().integers(0, 256, (3, 3)).astype(np.uint8)
+        data = bytearray(encode_tiff(g))
+        (ifd_at,) = struct.unpack("<I", data[4:8])
+        (n,) = struct.unpack("<H", data[ifd_at : ifd_at + 2])
+        next_at = ifd_at + 2 + 12 * n
+        data[next_at : next_at + 4] = struct.pack("<I", len(data) - 2)
+        assert (decode_tiff(bytes(data)) == g).all()
+
     def test_declared_unsupported(self):
         g = np.zeros((2, 2), dtype=np.uint8)
         data = bytearray(encode_tiff(g))
