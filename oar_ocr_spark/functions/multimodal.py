@@ -3,11 +3,12 @@
 Images/audio/video are carried as `binary` columns with typed metadata
 structs; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas UDFs over mapInPandas. The codec seam
-(``_decode_payload``) decodes REAL bytes for both image formats —
-PNG via the pure-numpy codec in functions/png.py (lossless) and
-baseline JPEG via functions/jpeg.py (lossy, q=100 measured
-span-preserving). Audio and video are real formats too, in their own
-modules: PCM WAV (functions/wav.py) and AVI-MJPEG (functions/avi.py).
+(``_decode_payload``) decodes REAL bytes for FIVE image formats —
+PNG (functions/png.py, lossless, every legal subformat), JPEG
+(functions/jpeg.py: baseline/progressive/restart/multi-scan, lossy,
+q=100 measured span-preserving), GIF, TIFF and BMP — dispatched by
+magic bytes. Audio and video are real formats too, in their own
+modules: WAV (functions/wav.py) and AVI-MJPEG (functions/avi.py).
 Formats none of these cover raise the declared
 ``NotImplementedError``. Synthetic refs without a payload decode via
 the deterministic renderer. Everything Spark-side (schema, batching,
