@@ -220,3 +220,69 @@ def test_png_every_subformat_decodes_random(ct_depth, h, w, interlace):
         if ct == 4:
             want = want.reshape(h, w)
         assert (got == want).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 20),
+    st.integers(1, 20),
+    st.sampled_from([2, 5, 16, 64]),
+    st.booleans(),
+    st.booleans(),
+)
+def test_gif_roundtrip_random(h, w, ncolors, interlace, transparent):
+    from oar_ocr_spark.functions.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(h * 37 + w + ncolors)
+    pal = rng.randint(0, 256, (ncolors, 3)).astype(np.uint8)
+    idx = rng.randint(0, ncolors, (h, w)).astype(np.uint8)
+    ti = 0 if transparent else None
+    out = decode_gif(encode_gif(idx, pal, interlace=interlace, transparent_index=ti))
+    want = pal[idx].copy()
+    if transparent:
+        want[idx == 0] = 255
+    assert (out == want).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 16),
+    st.integers(1, 16),
+    st.sampled_from(["grey", "rgb", "bilevel"]),
+    st.sampled_from(["none", "packbits"]),
+    st.sampled_from([None, 3]),
+)
+def test_tiff_roundtrip_random(h, w, kind, comp, rps):
+    from oar_ocr_spark.functions.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(h * 61 + w)
+    if kind == "rgb":
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        data = encode_tiff(img, compression=comp, rows_per_strip=rps)
+    elif kind == "bilevel":
+        img = (rng.randint(0, 2, (h, w)) * 255).astype(np.uint8)
+        data = encode_tiff(img, compression=comp, bilevel=True, rows_per_strip=rps)
+    else:
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        data = encode_tiff(img, compression=comp, rows_per_strip=rps)
+    assert (decode_tiff(data) == img).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(1, 16),
+    st.integers(1, 16),
+    st.sampled_from(["true", "pal", "rle"]),
+)
+def test_bmp_roundtrip_random(h, w, kind):
+    from oar_ocr_spark.functions.bmp import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(h * 53 + w)
+    if kind == "true":
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        assert (decode_bmp(encode_bmp(img)) == img).all()
+    else:
+        pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+        idx = rng.randint(0, 16, (h, w)).astype(np.uint8)
+        data = encode_bmp(idx, pal, rle=(kind == "rle"))
+        assert (decode_bmp(data) == pal[idx]).all()
