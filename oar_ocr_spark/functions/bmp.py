@@ -92,6 +92,8 @@ def _rle8_decode(data: bytes, h: int, w: int) -> np.ndarray:
         a, b = data[i], data[i + 1]
         i += 2
         if a:  # run of b
+            if y >= h or x + a > w:
+                raise ValueError("BMP RLE8 run overflows bitmap bounds")
             out[y, x : x + a] = b
             x += a
         elif b == 0:  # end of line
@@ -99,10 +101,18 @@ def _rle8_decode(data: bytes, h: int, w: int) -> np.ndarray:
         elif b == 1:  # end of bitmap
             return out
         elif b == 2:  # delta
+            if i + 2 > len(data):
+                raise ValueError("BMP RLE8 delta escape truncated")
             x += data[i]
             y += data[i + 1]
             i += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE8 delta escape overflows bitmap bounds")
         else:  # literal run of b pixels, word-aligned
+            if y >= h or x + b > w:
+                raise ValueError("BMP RLE8 literal run overflows bitmap bounds")
+            if i + b > len(data):
+                raise ValueError("BMP RLE8 literal run truncated")
             out[y, x : x + b] = np.frombuffer(data[i : i + b], dtype=np.uint8)
             x += b
             i += b + (b & 1)

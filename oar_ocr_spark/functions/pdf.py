@@ -533,7 +533,25 @@ def _filter_chain(d: dict):
     filt = d.get("Filter")
     filts = filt if isinstance(filt, list) else ([] if filt is None else [filt])
     parms = d.get("DecodeParms")
-    parms_list = parms if isinstance(parms, list) else [parms] * len(filts)
+    if isinstance(parms, list):
+        parms_list = list(parms)
+    elif parms is None or len(filts) <= 1:
+        parms_list = [parms] * len(filts)
+    else:
+        # Malformed per spec 7.4.4.4 (array /Filter with a scalar
+        # /DecodeParms): attach the dict to the LAST predictor-capable
+        # stage only — replicating it would re-apply a predictor after
+        # every Flate/LZW stage and silently corrupt the data.
+        parms_list = [None] * len(filts)
+        for i in range(len(filts) - 1, -1, -1):
+            if str(filts[i]) in ("FlateDecode", "LZWDecode"):
+                parms_list[i] = parms
+                break
+        else:
+            raise ValueError(
+                "scalar /DecodeParms with an array /Filter containing no "
+                "predictor-capable (Flate/LZW) stage"
+            )
     return [str(f) for f in filts], list(parms_list) + [None] * (
         len(filts) - len(parms_list)
     )

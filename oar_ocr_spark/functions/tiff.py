@@ -46,9 +46,13 @@ _TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i"}
 
 def _read_ifd(data: bytes, pos: int, bo: str) -> tuple[dict[int, list[int]], int]:
     """One IFD → ({tag: values}, next IFD offset)."""
+    if pos + 2 > len(data):
+        raise ValueError("TIFF IFD offset past end of file")
     (n,) = struct.unpack(bo + "H", data[pos : pos + 2])
     tags: dict[int, list[int]] = {}
     at = pos + 2
+    if at + 12 * n + 4 > len(data):
+        raise ValueError("TIFF IFD entry table truncated")
     for _ in range(n):
         tag, typ, count = struct.unpack(bo + "HHI", data[at : at + 8])
         size = _TYPE_SIZE.get(typ, 1) * count
@@ -56,6 +60,8 @@ def _read_ifd(data: bytes, pos: int, bo: str) -> tuple[dict[int, list[int]], int
             raw = data[at + 8 : at + 8 + size]
         else:
             (off,) = struct.unpack(bo + "I", data[at + 8 : at + 12])
+            if off + size > len(data):
+                raise ValueError("TIFF tag data truncated")
             raw = data[off : off + size]
         fmt = _TYPE_FMT.get(typ)
         if fmt is not None:

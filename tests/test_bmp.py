@@ -102,6 +102,55 @@ class TestForeignLayouts:
             decode_bmp(b"PNG" + bytes(60))
 
 
+def _rle8_bmp(body: bytes, w: int = 4, h: int = 3) -> bytes:
+    """Hand-built 8-bit RLE8 BMP with an identity palette and an
+    arbitrary (possibly corrupt) RLE stream — for foreign-input tests."""
+    pal = np.zeros((256, 4), np.uint8)
+    pal[:, 0] = pal[:, 1] = pal[:, 2] = np.arange(256)
+    pal_bytes = pal.tobytes()
+    off = 14 + 40 + len(pal_bytes)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(body), 0, 0, 256, 0)
+    return b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off) + info + pal_bytes + body
+
+
+class TestCorruptRLE8:
+    # foreign/corrupt RLE streams must fail loudly (the module's
+    # declared ValueError convention), never IndexError or silent clip
+    def test_run_overflows_row(self):
+        with pytest.raises(ValueError, match="run overflows"):
+            decode_bmp(_rle8_bmp(bytes([8, 7]) + b"\x00\x01", w=4))
+
+    def test_run_past_last_row(self):
+        # three EOLs walk y to h, then a run on the nonexistent row
+        body = b"\x00\x00" * 3 + bytes([2, 9]) + b"\x00\x01"
+        with pytest.raises(ValueError, match="run overflows"):
+            decode_bmp(_rle8_bmp(body, h=3))
+
+    def test_truncated_delta(self):
+        with pytest.raises(ValueError, match="delta escape truncated"):
+            decode_bmp(_rle8_bmp(b"\x00\x02"))
+
+    def test_delta_overflow(self):
+        with pytest.raises(ValueError, match="delta escape overflows"):
+            decode_bmp(_rle8_bmp(b"\x00\x02\x00\x09", h=3))
+
+    def test_truncated_literal(self):
+        with pytest.raises(ValueError, match="literal run truncated"):
+            decode_bmp(_rle8_bmp(b"\x00\x04\x01\x02"))
+
+    def test_literal_overflow(self):
+        body = b"\x00\x06" + bytes(range(6)) + b"\x00\x01"
+        with pytest.raises(ValueError, match="literal run overflows"):
+            decode_bmp(_rle8_bmp(body, w=4))
+
+    def test_valid_delta_still_decodes(self):
+        # delta (2,1) then a run: pixels land where the escape points
+        body = bytes([1, 5]) + b"\x00\x02\x02\x01" + bytes([2, 9]) + b"\x00\x01"
+        out = decode_bmp(_rle8_bmp(body, w=6, h=3))
+        assert out[2, 0, 0] == 5  # bottom-up: y=0 is the last row
+        assert out[1, 3, 0] == 9 and out[1, 4, 0] == 9
+
+
 class TestMediaSeam:
     def test_bmp_payload_greyscales_at_seam(self):
         from oar_ocr_spark.functions.multimodal import _decode_payload

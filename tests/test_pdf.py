@@ -360,6 +360,33 @@ class TestForeignPdfs:
         out = _apply_stream_filters(d, zlib.compress(diff.astype(np.uint8).tobytes()))
         assert out == rows.tobytes()
 
+    def test_scalar_decodeparms_with_filter_array(self):
+        # Malformed per spec 7.4.4.4: array /Filter with a single (non-
+        # array) /DecodeParms dict. The predictor must be applied once —
+        # to the last predictor-capable stage — not after every stage.
+        from oar_ocr_spark.functions.pdf import _apply_stream_filters
+
+        rows = np.arange(14, dtype=np.uint8).reshape(2, 7)
+        pred = np.zeros((2, 8), dtype=np.uint8)
+        pred[:, 0] = 1  # Sub filter
+        pred[:, 1] = rows[:, 0]
+        pred[:, 2:] = rows[:, 1:] - rows[:, :-1]
+        import base64
+
+        raw = base64.a85encode(zlib.compress(pred.tobytes())) + b"~>"
+        d = {
+            "Filter": ["ASCII85Decode", "FlateDecode"],
+            "DecodeParms": {"Predictor": 11, "Columns": 7},
+        }
+        assert _apply_stream_filters(d, raw) == rows.tobytes()
+        # no predictor-capable stage at all → loud error, not silent guess
+        d2 = {
+            "Filter": ["ASCII85Decode", "RunLengthDecode"],
+            "DecodeParms": {"Predictor": 11, "Columns": 7},
+        }
+        with pytest.raises(ValueError, match="predictor-capable"):
+            _apply_stream_filters(d2, raw)
+
     def test_lzw_with_png_predictor_stream(self):
         # LZW + /Predictor 12: the pre-Flate layout old PDF writers used
         from oar_ocr_spark.functions.pdf import _apply_stream_filters, _lzw_decode

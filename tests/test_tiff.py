@@ -240,6 +240,40 @@ class TestForeignLayouts:
         with pytest.raises(ValueError, match="magic"):
             decode_tiff(b"NOPE" + bytes(16))
 
+    def test_truncated_ifd_and_tag_data_fail_loudly(self):
+        # corrupt/truncated files must raise the declared ValueError,
+        # never a raw struct.error from a short slice
+        g = _rng().integers(0, 256, (3, 4)).astype(np.uint8)
+        data = encode_tiff(g)
+        # IFD offset past end of file
+        bad = bytearray(data)
+        bad[4:8] = struct.pack("<I", len(data) + 100)
+        with pytest.raises(ValueError, match="IFD offset past end"):
+            decode_tiff(bytes(bad))
+        # entry table cut short
+        with pytest.raises(ValueError, match="IFD entry table truncated"):
+            decode_tiff(data[:20])
+        # out-of-line tag data pointing past the end: a >4-byte BitsPerSample
+        strip = g.tobytes()
+        tags = [
+            (256, 4, 1, struct.pack("<I", 4)),
+            (257, 4, 1, struct.pack("<I", 3)),
+            (258, 3, 3, struct.pack("<HHH", 8, 8, 8)),
+            (273, 4, 1, None),
+            (279, 4, 1, struct.pack("<I", len(strip))),
+        ]
+        built, strips_at = _ifd_le(
+            [(t, ty, c, v) for t, ty, c, v in tags if v is not None]
+            + [(273, 4, 1, struct.pack("<I", 0))],
+            [strip],
+        )
+        bad = bytearray(built)
+        # point the BitsPerSample out-of-line data past EOF
+        i = bad.index(struct.pack("<HHI", 258, 3, 3))
+        bad[i + 8 : i + 12] = struct.pack("<I", len(built) + 50)
+        with pytest.raises(ValueError, match="tag data truncated"):
+            decode_tiff(bytes(bad))
+
 
 class TestMediaSeam:
     def test_tiff_payload_greyscales_at_seam(self):
