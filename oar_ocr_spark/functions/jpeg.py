@@ -550,6 +550,60 @@ def _encode_jpeg_color(
     return bytes(out)
 
 
+def encode_jpeg_cmyk(
+    cmyk: np.ndarray, quality: int = 90, ycck: bool = False, adobe: bool = True
+) -> bytes:
+    """(H,W,4) uint8 TRUE CMYK → 4-component baseline JPEG fixture
+    bytes (4:4:4, one interleaved scan, Annex-K luminance tables for
+    all components). `adobe=True` writes what Adobe tooling writes —
+    INVERTED samples + an APP14 marker (transform 0, or 2 with
+    `ycck=True`, where the inverted CMY further goes through the
+    YCbCr matrix); `adobe=False` stores true CMYK with no APP14 (the
+    bare print-workflow layout). Exists to roundtrip-test the
+    decoder's three 4-component flavors without any image library."""
+    if cmyk.dtype != np.uint8 or cmyk.ndim != 3 or cmyk.shape[2] != 4:
+        raise ValueError(f"encode_jpeg_cmyk expects (H,W,4) uint8, got {cmyk.dtype} {cmyk.shape}")
+    if ycck and not adobe:
+        raise ValueError("YCCK requires the Adobe APP14 marker")
+    h, w = cmyk.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if adobe:
+        stored = 255 - cmyk  # Adobe stores inverted CMYK
+        if ycck:
+            stored = np.concatenate(
+                [_rgb_to_ycbcr(stored[..., :3]), stored[..., 3:]], axis=-1
+            )
+    else:
+        stored = cmyk
+    q = _scaled_qtable(quality)
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    comps = []
+    for c in range(4):
+        zz = _plane_zz(stored[..., c], q, grid=(mcuy, mcux))  # 1 block/MCU
+        comps.append((zz, 1, _DC_CODE, _DC_LEN, _AC_CODE, _AC_LEN))
+    scan = _interleaved_scan(comps, mcux * mcuy, 0)
+
+    out = bytearray(JPEG_SOI)
+    if adobe:
+        transform = 2 if ycck else 0
+        out += _seg(
+            0xFFEE, b"Adobe" + struct.pack(">HHHB", 0x65, 0, 0, transform)
+        )
+    out += _seg(0xFFDB, b"\x00" + bytes(q.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 4)
+    for cid in (1, 2, 3, 4):
+        sof += bytes([cid, 0x11, 0x00])
+    out += _seg(0xFFC0, sof)
+    out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    sos = bytes([4]) + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3, 4))
+    out += _seg(0xFFDA, sos + b"\x00\x3f\x00")
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg_multiscan(
     img: np.ndarray,
     quality: int = 90,
@@ -1052,12 +1106,15 @@ def _planes_from_raster(
     mcux: int,
     mcuy: int,
     rgb_direct: bool = False,
+    adobe: int | None = None,
 ) -> np.ndarray:
     """Raster-ordered dequantizable zigzag coefficient arrays → final
     image (dequantize → IDCT → assemble → crop → box-upsample →
     grey/RGB). Shared by the baseline and progressive paths.
     rgb_direct skips the YCbCr→RGB conversion (RGB-colorspace JPEGs:
-    'R'/'G'/'B' component IDs or an Adobe APP14 transform of 0)."""
+    'R'/'G'/'B' component IDs or an Adobe APP14 transform of 0).
+    `adobe` is the APP14 transform byte (None = no Adobe marker) and
+    selects the 4-component CMYK flavor — see _cmyk_to_rgb."""
     planes = []
     for c, (hc, vc, qtid) in enumerate(comp_info):
         q = qtables[qtid]
@@ -1080,9 +1137,38 @@ def _planes_from_raster(
         planes.append(full[:h, :w])
     if len(planes) == 1:
         return planes[0]
+    if len(planes) == 4:
+        return _cmyk_to_rgb(np.stack(planes, axis=-1), adobe)
     if rgb_direct:
         return np.ascontiguousarray(np.stack(planes, axis=-1))
     return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+
+
+def _cmyk_to_rgb(p4: np.ndarray, adobe: int | None) -> np.ndarray:
+    """(H,W,4) decoded 4-component planes → (H,W,3) uint8 RGB.
+
+    The three wild flavors (reference decodes them via the `image` /
+    `jpeg-decoder` crates, oar-ocr-core/src/utils/image.rs:65-88):
+
+    - no Adobe APP14 (`adobe is None`): samples are TRUE CMYK —
+      R = (255-C)·(255-K)/255 (multiplicative ink model), etc.
+    - Adobe transform 0: Adobe writers store CMYK INVERTED, so the
+      same model collapses to R = C·K/255 on the stored samples.
+    - Adobe transform 2 (YCCK): channels 0-2 are YCbCr over the
+      INVERTED CMY; undo the YCbCr matrix first, then as transform 0.
+    """
+    if adobe == 2:  # YCCK → inverted CMY
+        inv_cmy = _ycbcr_to_rgb(p4[..., :3]).astype(np.float64)
+    elif adobe in (0, None):
+        inv = p4[..., :3].astype(np.float64)
+        inv_cmy = inv if adobe == 0 else 255.0 - inv
+    else:
+        raise ValueError(f"illegal Adobe APP14 transform {adobe} for 4-component JPEG")
+    k = p4[..., 3].astype(np.float64)
+    if adobe is None:
+        k = 255.0 - k
+    rgb = inv_cmy * k[..., None] / 255.0
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _scan_params(body: bytes, comp_ids: list[int]):
@@ -1378,6 +1464,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     restart_interval = 0
     progressive = False
     rgb_direct = False  # 'R','G','B' component IDs / Adobe transform 0
+    adobe_transform: int | None = None  # APP14 byte; None = no Adobe marker
     comp_ids: list[int] = []  # SOF component ids, scan-header matching
     prog: dict | None = None  # progressive coefficient state
     comp_info: list[tuple[int, int, int]] = []  # (h_samp, v_samp, qtable id)
@@ -1398,9 +1485,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         body = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
         if marker == 0xEE and body[:5] == b"Adobe":  # APP14
-            # transform byte: 0 = RGB (3-comp) / CMYK, 1/2 = YCbCr(K)
-            if len(body) >= 12 and body[11] == 0:
-                rgb_direct = True
+            # transform byte: 0 = RGB (3-comp) / inverted CMYK (4-comp),
+            # 1 = YCbCr, 2 = YCCK (4-comp)
+            if len(body) >= 12:
+                adobe_transform = body[11]
+                if adobe_transform == 0:
+                    rgb_direct = True
         elif marker == 0xDB:  # DQT (possibly several tables per segment)
             b = 0
             while b < len(body):
@@ -1426,9 +1516,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if depth != 8:
                 raise NotImplementedError(f"JPEG depth {depth} not supported")
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 raise NotImplementedError(
-                    f"JPEG with {ncomp} components not supported (grey or 4:4:4 color)"
+                    f"JPEG with {ncomp} components not supported "
+                    "(grey, YCbCr/RGB color, or CMYK/YCCK)"
                 )
             comp_info = []
             ids = [body[6 + 3 * c] for c in range(ncomp)]
@@ -1441,6 +1532,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise NotImplementedError(
                     f"JPEG component IDs {ids} not supported (YCbCr 1/2/3 or RGB)"
                 )
+            elif ncomp == 4 and len(set(ids)) != 4:
+                raise ValueError(f"JPEG 4-component ids {ids} not distinct")
             for c in range(ncomp):
                 samp = body[6 + 3 * c + 1]
                 hc, vc = samp >> 4, samp & 0x0F
@@ -1556,13 +1649,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 rasters.append(raster)
             return _planes_from_raster(
                 rasters, comp_info, qtables, h, w, hmax, vmax, mcux, mcuy,
-                rgb_direct=rgb_direct,
+                rgb_direct=rgb_direct, adobe=adobe_transform,
             )
         # other segments (APPn, COM) are skipped
     if prog is not None:  # progressive: reconstruct at EOI
         return _planes_from_raster(
             prog["coefs"], comp_info, qtables, prog["h"], prog["w"],
             prog["hmax"], prog["vmax"], prog["mcux"], prog["mcuy"],
-            rgb_direct=rgb_direct,
+            rgb_direct=rgb_direct, adobe=adobe_transform,
         )
     raise ValueError("JPEG has no SOS scan")

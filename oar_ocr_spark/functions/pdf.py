@@ -41,6 +41,16 @@ DCTDecode images — the layout real scanned PDFs use — decode through
 the engine's own baseline JPEG codec (functions/jpeg.py, including
 4:2:0-subsampled camera JPEGs).
 
+Encrypted PDFs (standard security handler, §7.6): files encrypted
+with an EMPTY user password — the overwhelmingly common "encrypted
+but not password-protected" case — decrypt transparently for RC4
+(40–128 bit, /V 1/2/4) and AES-128-CBC (/V 4 /AESV2), primitives in
+functions/pdf_crypt.py. Password-protected files, AES-256 (/V 5),
+and non-/Standard handlers raise NotImplementedError at parse time,
+BEFORE any stream decode, so the failure is the declared loud kind.
+The writer's ``encrypt=`` flag produces all three supported layouts
+for roundtrip tests.
+
 The writer emits classic xref by default; ``xref_format="stream"``
 writes the PDF 1.5 layout real tools produce — non-stream objects
 packed in an /ObjStm, a /Type /XRef stream with /W [1 4 2] rows
@@ -93,6 +103,7 @@ def encode_pdf(
     image_format: str = "flate",
     quality: int = 100,
     xref_format: str = "classic",
+    encrypt: str | None = None,
 ) -> bytes:
     """Greyscale (H,W) uint8 pages → real PDF bytes.
 
@@ -105,7 +116,12 @@ def encode_pdf(
     newline-joined in the /Info /Title string so the container names
     its own pages. xref_format="classic" writes a PDF 1.4 xref table;
     "stream" writes the PDF 1.5 layout (cross-reference stream with
-    Up-predicted rows + /ObjStm holding the non-stream objects)."""
+    Up-predicted rows + /ObjStm holding the non-stream objects).
+    `encrypt` ("rc4-40" | "rc4-128" | "aes-128") writes the standard
+    security handler with EMPTY user/owner passwords (§7.6.3) —
+    streams encrypted per object, the /Title string individually in
+    the classic layout, and inside the (whole-stream-encrypted)
+    /ObjStm in the 1.5 layout, per §7.5.7."""
     if page_refs is not None and len(page_refs) != len(pages):
         raise ValueError("page_refs length must match pages")
     if image_format not in ("flate", "jpeg"):
@@ -116,8 +132,61 @@ def encode_pdf(
         if p.dtype != np.uint8 or p.ndim != 2:
             raise ValueError(f"encode_pdf expects (H,W) uint8 pages, got {p.dtype} {p.shape}")
 
+    crypt = None  # (file key, method, /Encrypt body, id0)
+    if encrypt is not None:
+        import hashlib
+
+        from . import pdf_crypt
+
+        variants = {
+            "rc4-40": (1, 2, 40, "rc4"),
+            "rc4-128": (2, 3, 128, "rc4"),
+            "aes-128": (4, 4, 128, "aes"),
+        }
+        if encrypt not in variants:
+            raise ValueError(f"encrypt must be one of {sorted(variants)}, got {encrypt!r}")
+        v, r, bits, method = variants[encrypt]
+        # deterministic /ID: content-derived, no randomness (fixture contract)
+        id0 = hashlib.md5(
+            b"oar-ocr-spark-pdf-id" + str((len(pages), page_refs, encrypt)).encode()
+        ).digest()
+        p_perm = -44  # typical permission bits (print+extract denied-ish)
+        o_val = pdf_crypt.compute_o_value(b"", b"", r, bits)
+        file_key = pdf_crypt.compute_encryption_key(b"", o_val, p_perm, id0, r, bits)
+        u_val = pdf_crypt.compute_u_value(file_key, id0, r)
+
+        def hexs(b: bytes) -> bytes:
+            return b"<" + b.hex().encode("ascii") + b">"
+
+        enc_body = b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O %s /U %s" % (
+            v, r, bits, p_perm, hexs(o_val), hexs(u_val.ljust(32, b"\x00")[:32]),
+        )
+        if v == 4:
+            enc_body += (
+                b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                b" /StmF /StdCF /StrF /StdCF"
+            )
+        enc_body += b" >>"
+        crypt = (file_key, method, enc_body, id0)
+
+    def enc_bytes(num: int, data: bytes) -> bytes:
+        """Encrypt stream/string bytes for object `num` (identity when
+        the file is plaintext)."""
+        if crypt is None:
+            return data
+        from . import pdf_crypt
+
+        key = pdf_crypt.object_key(crypt[0], num, 0, aes=crypt[1] == "aes")
+        if crypt[1] == "aes":
+            import hashlib
+
+            iv = hashlib.md5(b"oar-ocr-spark-iv%d" % num).digest()
+            return pdf_crypt.aes_cbc_encrypt(key, iv, data)
+        return pdf_crypt.rc4(key, data)
+
     objs: list[bytes] = []  # objs[i] is object number i+1
-    is_stream: list[bool] = []  # streams can't live inside an /ObjStm
+    is_stream: list[bool] = []  # must-be-direct objects (streams can't
+    # live inside an /ObjStm; neither can the /Encrypt dict, §7.5.7)
 
     def add(body: bytes, stream: bool = False) -> int:
         objs.append(body)
@@ -137,6 +206,7 @@ def encode_pdf(
         else:
             data = zlib.compress(page.tobytes(), 6)
             filter_name = b"FlateDecode"
+        data = enc_bytes(len(objs) + 1, data)
         img_num = add(
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
             b" /ColorSpace /DeviceGray /BitsPerComponent 8"
@@ -145,7 +215,7 @@ def encode_pdf(
             + b"\nendstream",
             stream=True,
         )
-        content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
+        content = enc_bytes(len(objs) + 1, b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h))
         content_num = add(
             b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
             stream=True,
@@ -166,8 +236,27 @@ def encode_pdf(
     info_num = None
     if page_refs is not None:
         info_num = add(b"<< /Title " + _pdf_string("\n".join(page_refs)) + b" >>")
+    encrypt_num = None
+    if crypt is not None:
+        # must be a direct object: the /Encrypt dict may not live in an
+        # /ObjStm (§7.5.7) and is itself never encrypted
+        encrypt_num = add(crypt[2], stream=True)
+
+    def trailer_extras() -> bytes:
+        if crypt is None:
+            return b""
+        idhex = b"<" + crypt[3].hex().encode("ascii") + b">"
+        return b" /Encrypt %d 0 R /ID [%s %s]" % (encrypt_num, idhex, idhex)
 
     if xref_format == "classic":
+        if crypt is not None and info_num is not None:
+            # strings are encrypted individually in the classic layout;
+            # hex form avoids escaping arbitrary ciphertext bytes
+            title = "\n".join(page_refs).encode("latin-1")
+            enc_title = enc_bytes(info_num, title)
+            objs[info_num - 1] = (
+                b"<< /Title <" + enc_title.hex().encode("ascii") + b"> >>"
+            )
         out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
         offsets = [0]  # object 0 is the free head
         for num, body in enumerate(objs, start=1):
@@ -181,6 +270,7 @@ def encode_pdf(
         trailer = b"<< /Size %d /Root %d 0 R" % (len(objs) + 1, catalog_num)
         if info_num is not None:
             trailer += b" /Info %d 0 R" % info_num
+        trailer += trailer_extras()
         trailer += b" >>"
         out += b"trailer\n" + trailer + b"\nstartxref\n%d\n%%%%EOF\n" % xref_pos
         return bytes(out)
@@ -192,7 +282,9 @@ def encode_pdf(
     header = b" ".join(b"%d %d" % (n, off) for n, off in _running_offsets(objs, members))
     first = len(header) + 1
     stm_body = header + b"\n" + b"\n".join(objs[n - 1] for n in members)
-    packed = zlib.compress(stm_body, 6)
+    # encryption wraps the FILTERED bytes (decode order: decrypt, then
+    # inflate); member strings are covered by this, not individually
+    packed = enc_bytes(objstm_num, zlib.compress(stm_body, 6))
     objstm_obj = (
         b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode /Length %d >>"
         b"\nstream\n" % (len(members), first, len(packed)) + packed + b"\nendstream"
@@ -229,6 +321,7 @@ def encode_pdf(
     xref_dict = (
         b"<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R" % (size, catalog_num)
         + (b" /Info %d 0 R" % info_num if info_num is not None else b"")
+        + trailer_extras()  # xref stream itself stays unencrypted (§7.5.8.2)
         + b" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 7 >>"
         + b" /Length %d >>" % len(xref_data)
     )
@@ -618,7 +711,106 @@ class PdfDocument:
         self._offsets: dict[int, int | None | tuple] = {}
         self._objstm_cache: dict[int, tuple[list[tuple[int, int]], bytes, int]] = {}
         self._objstm_loading: set[int] = set()  # circular-reference guard
+        # (file key, stream method, string method) when /Encrypt is
+        # present and supported; None for plaintext files
+        self._crypt: tuple[bytes, str, str] | None = None
+        self._encrypt_num: int | None = None
         self.trailer = self._read_xref_chain()
+        if "Encrypt" in self.trailer:
+            self._setup_encryption()
+
+    # -- encryption (standard security handler, §7.6) -----------------------
+    def _setup_encryption(self) -> None:
+        """Detect /Encrypt BEFORE any stream decode and either set up
+        the standard-handler decryption state (empty user password,
+        RC4 or AES-128) or raise the declared loud NotImplementedError —
+        never an opaque zlib error mid-stream. Reference reads
+        encrypted PDFs via hayro (oar-ocr Cargo.toml:20)."""
+        from . import pdf_crypt
+
+        ref = self.trailer["Encrypt"]
+        if isinstance(ref, _Ref):
+            self._encrypt_num = ref.num
+        enc = self.resolve(ref)  # loads undecrypted: _crypt is still None
+        if not isinstance(enc, dict):
+            raise ValueError("/Encrypt entry is not a dictionary")
+        filt = str(enc.get("Filter", ""))
+        if filt != "Standard":
+            raise NotImplementedError(
+                f"encrypted PDF: security handler /{filt} not supported"
+            )
+        v = int(self.resolve(enc.get("V", 0)))
+        r = int(self.resolve(enc.get("R", 0)))
+        if v not in (1, 2, 4) or r not in (2, 3, 4):
+            raise NotImplementedError(
+                f"encrypted PDF: /V {v} /R {r} not supported "
+                "(RC4/AES-128 standard handler only; AES-256 /V 5 is out of scope)"
+            )
+        stm_m = str_m = "rc4"
+        if v == 4:
+            cf = self.resolve(enc.get("CF", {})) or {}
+            stdcf = self.resolve(cf.get("StdCF", {})) or {}
+            cfm = str(self.resolve(stdcf.get("CFM", "None")))
+            methods = {"V2": "rc4", "AESV2": "aes", "None": "identity"}
+            if cfm not in methods:
+                raise NotImplementedError(
+                    f"encrypted PDF: crypt filter method /{cfm} not supported"
+                )
+
+            def cls_method(key: str) -> str:
+                name = str(self.resolve(enc.get(key, "Identity")))
+                if name == "Identity":
+                    return "identity"
+                if name == "StdCF":
+                    return methods[cfm]
+                raise NotImplementedError(
+                    f"encrypted PDF: named crypt filter /{name} not supported"
+                )
+
+            stm_m, str_m = cls_method("StmF"), cls_method("StrF")
+        length = int(self.resolve(enc.get("Length", 40)))
+        o_val = self.resolve(enc["O"]).encode("latin-1")
+        u_val = self.resolve(enc["U"]).encode("latin-1")
+        p = int(self.resolve(enc["P"]))
+        enc_meta = bool(self.resolve(enc.get("EncryptMetadata", True)))
+        ids = self.resolve(self.trailer.get("ID"))
+        id0 = ids[0].encode("latin-1") if isinstance(ids, list) and ids else b""
+        key = pdf_crypt.compute_encryption_key(
+            b"", o_val, p, id0, r, length, enc_meta
+        )
+        expect_u = pdf_crypt.compute_u_value(key, id0, r)
+        ok = expect_u == u_val[:32] if r == 2 else expect_u[:16] == u_val[:16]
+        if not ok:
+            raise NotImplementedError(
+                "encrypted PDF: non-empty user password (password-protected)"
+            )
+        self._crypt = (key, stm_m, str_m)
+
+    def _decrypt_bytes(self, raw: bytes, num: int, gen: int, method: str) -> bytes:
+        from . import pdf_crypt
+
+        if method == "identity" or not raw:
+            return raw
+        key = pdf_crypt.object_key(self._crypt[0], num, gen, aes=method == "aes")
+        if method == "aes":
+            return pdf_crypt.aes_cbc_decrypt(key, raw)
+        return pdf_crypt.rc4(key, raw)
+
+    def _decrypt_strings(self, val, num: int, gen: int):
+        """Recursively decrypt literal strings in a direct object
+        (names are str subclasses and stay untouched; strings inside
+        /ObjStm members are NOT individually encrypted, §7.5.7)."""
+        if isinstance(val, _Name):
+            return val
+        if isinstance(val, str):
+            return self._decrypt_bytes(
+                val.encode("latin-1"), num, gen, self._crypt[2]
+            ).decode("latin-1")
+        if isinstance(val, list):
+            return [self._decrypt_strings(x, num, gen) for x in val]
+        if isinstance(val, dict):
+            return {k: self._decrypt_strings(x, num, gen) for k, x in val.items()}
+        return val
 
     # -- xref / trailer ----------------------------------------------------
     def _read_xref_chain(self) -> dict:
@@ -789,6 +981,18 @@ class PdfDocument:
                 pos += 1
             length = self.resolve(val["Length"])  # /Length may be indirect
             val = (val, data[pos : pos + int(length)])  # (dict, raw stream)
+        if self._crypt is not None and num != self._encrypt_num:
+            gen = int(m.group(2))
+            if isinstance(val, tuple):
+                d, raw = val
+                # xref streams are never encrypted (§7.5.8.2); they are
+                # normally parsed before _crypt exists, but guard the
+                # referenced-object path too
+                if d.get("Type") != "XRef":
+                    raw = self._decrypt_bytes(raw, num, gen, self._crypt[1])
+                val = (self._decrypt_strings(d, num, gen), raw)
+            else:
+                val = self._decrypt_strings(val, num, gen)
         self._cache[num] = val
         return val
 

@@ -427,18 +427,120 @@ class TestDeclaredSubset:
         rng = np.random.RandomState(3)
         return rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
 
-    def test_four_component_raises(self):
+    def test_five_component_raises(self):
         data = encode_jpeg(render_page("40_m0"))
         i = data.index(b"\xff\xc0")
         (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
-        sof4 = (
+        sof5 = (
             b"\xff\xc0"
-            + struct.pack(">HBHHB", 8 + 3 * 4 + 2, 8, 98, 126, 4)
-            + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01\x04\x11\x01"
+            + struct.pack(">HBHHB", 8 + 3 * 5 + 2, 8, 98, 126, 5)
+            + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01\x04\x11\x01\x05\x11\x01"
         )
-        patched = data[:i] + sof4 + data[i + 2 + seglen :]
+        patched = data[:i] + sof5 + data[i + 2 + seglen :]
         with pytest.raises(NotImplementedError, match="components"):
             decode_jpeg(patched)
+
+
+class TestCmyk:
+    """4-component JPEG (print-workflow scans, PDF DCTDecode images):
+    bare CMYK, Adobe inverted-CMYK (APP14 transform 0) and YCCK
+    (transform 2). Reference decodes via the image/jpeg-decoder crates
+    (utils/image.rs:65-88)."""
+
+    @staticmethod
+    def _cmyk_img(h=17, w=25, seed=5):
+        rng = np.random.RandomState(seed)
+        small = rng.randint(0, 256, (h // 4 + 1, w // 4 + 1, 4)).astype(np.uint8)
+        return np.kron(small, np.ones((4, 4, 1), dtype=np.uint8))[:h, :w, :]
+
+    @staticmethod
+    def _expected_rgb(cmyk):
+        c = cmyk.astype(np.float64)
+        inv = 255.0 - c[..., :3]
+        k = 255.0 - c[..., 3]
+        return np.clip(np.round(inv * k[..., None] / 255.0), 0, 255).astype(np.uint8)
+
+    @pytest.mark.parametrize(
+        "kwargs", [dict(adobe=False), dict(adobe=True), dict(adobe=True, ycck=True)]
+    )
+    def test_roundtrip_all_flavors(self, kwargs):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_cmyk
+
+        cmyk = self._cmyk_img()
+        data = encode_jpeg_cmyk(cmyk, quality=100, **kwargs)
+        assert data == encode_jpeg_cmyk(cmyk, quality=100, **kwargs)
+        out = decode_jpeg(data)
+        assert out.shape == (17, 25, 3) and out.dtype == np.uint8
+        exp = self._expected_rgb(cmyk)
+        # DCT round-off, plus YCbCr matrix rounding for YCCK
+        bound = 3 if kwargs.get("ycck") else 2
+        assert np.abs(out.astype(int) - exp.astype(int)).max() <= bound
+
+    def test_adobe_flavors_differ_on_the_wire_but_agree_decoded(self):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_cmyk
+
+        cmyk = self._cmyk_img(seed=9)
+        d_bare = encode_jpeg_cmyk(cmyk, 100, adobe=False)
+        d_adobe = encode_jpeg_cmyk(cmyk, 100, adobe=True)
+        assert b"Adobe" not in d_bare and b"Adobe" in d_adobe
+        assert d_bare != d_adobe  # inverted samples ⇒ different entropy stream
+        a, b = decode_jpeg(d_bare), decode_jpeg(d_adobe)
+        assert np.abs(a.astype(int) - b.astype(int)).max() <= 2
+
+    def test_transform_1_with_four_components_raises(self):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_cmyk
+
+        data = encode_jpeg_cmyk(self._cmyk_img(), 90, adobe=True)
+        i = data.index(b"Adobe")
+        patched = bytearray(data)
+        patched[i + 11] = 1  # YCbCr transform is a 3-component flavor
+        with pytest.raises(ValueError, match="transform 1"):
+            decode_jpeg(bytes(patched))
+
+    def test_cmyk_payload_greyscales_at_media_seam(self):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_cmyk
+        from oar_ocr_spark.functions.multimodal import _decode_payload
+
+        cmyk = self._cmyk_img()
+        out = _decode_payload("x", "image", encode_jpeg_cmyk(cmyk, 100, ycck=True))
+        assert out.ndim == 2 and out.shape == (17, 25)
+
+    def test_dctdecode_cmyk_page_in_pdf(self):
+        # a PDF whose image XObject is a CMYK DCTDecode stream — the
+        # print-workflow layout — must decode through decode_pdf
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_cmyk
+        from oar_ocr_spark.functions.pdf import decode_pdf
+
+        cmyk = self._cmyk_img()
+        jp = encode_jpeg_cmyk(cmyk, 100, ycck=True)
+        objs = [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 25 17]"
+            b" /Resources << /XObject << /Im0 4 0 R >> >> >>",
+            b"<< /Type /XObject /Subtype /Image /Width 25 /Height 17"
+            b" /ColorSpace /DeviceCMYK /BitsPerComponent 8"
+            b" /Filter /DCTDecode /Length %d >>\nstream\n" % len(jp)
+            + jp
+            + b"\nendstream",
+        ]
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        for num, body in enumerate(objs, start=1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+        xref_pos = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+        for off in offsets:
+            out += b"%010d 00000 n \n" % off
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, xref_pos)
+        )
+        pages = decode_pdf(bytes(out))
+        exp = self._expected_rgb(cmyk)
+        assert pages[0].shape == (17, 25, 3)
+        assert np.abs(pages[0].astype(int) - exp.astype(int)).max() <= 3
 
     def test_restart_interval_roundtrip(self):
         # DRI/RSTn is the camera layout: pixel output must equal the

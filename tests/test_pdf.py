@@ -656,6 +656,86 @@ class TestForeignPdfs:
             PdfDocument(b"GIF89a...")
 
 
+class TestEncryptedPdfs:
+    """Standard security handler (§7.6): empty-user-password RC4/AES
+    files decode; everything else fails with the declared loud
+    NotImplementedError, never an opaque zlib error mid-stream."""
+
+    def _pages(self):
+        rng = np.random.RandomState(7)
+        return [
+            rng.randint(0, 256, (12, 9)).astype(np.uint8),
+            rng.randint(0, 256, (8, 15)).astype(np.uint8),
+        ]
+
+    @pytest.mark.parametrize("variant", ["rc4-40", "rc4-128", "aes-128"])
+    @pytest.mark.parametrize("xref_format", ["classic", "stream"])
+    def test_empty_password_roundtrip(self, variant, xref_format):
+        pages = self._pages()
+        refs = ["ref:a", "ref:b"]
+        data = encode_pdf(pages, refs, xref_format=xref_format, encrypt=variant)
+        out = decode_pdf(data)
+        assert len(out) == 2
+        assert all((a == b).all() for a, b in zip(out, pages))
+        # /Info /Title string decryption (individually in classic,
+        # via the ObjStm stream in the 1.5 layout)
+        assert decode_pdf_refs(data) == refs
+
+    def test_encrypted_dctdecode_page(self):
+        # DCTDecode raw bytes are decrypted before the JPEG codec sees them
+        pages = self._pages()
+        data = encode_pdf(pages, image_format="jpeg", quality=100, encrypt="aes-128")
+        out = decode_pdf(data)
+        assert out[0].shape == pages[0].shape
+
+    def test_nonempty_user_password_guard(self):
+        # corrupting /U makes the empty-password check fail — the
+        # declared "password-protected" guard, before any stream decode
+        data = bytearray(encode_pdf(self._pages(), encrypt="rc4-128"))
+        at = data.index(b"/U <") + 4
+        data[at : at + 2] = b"00" if data[at : at + 2] != b"00" else b"ff"
+        with pytest.raises(NotImplementedError, match="password-protected"):
+            PdfDocument(bytes(data))
+
+    def test_aes256_v5_guard(self):
+        data = encode_pdf(self._pages(), encrypt="aes-128")
+        data = data.replace(b"/V 4 /R 4", b"/V 5 /R 6")
+        with pytest.raises(NotImplementedError, match=r"/V 5 /R 6"):
+            PdfDocument(data)
+
+    def test_foreign_security_handler_guard(self):
+        data = encode_pdf(self._pages(), encrypt="rc4-128")
+        data = data.replace(b"/Filter /Standard", b"/Filter /FooSec85")
+        with pytest.raises(NotImplementedError, match="FooSec85"):
+            PdfDocument(data)
+
+    def test_unknown_crypt_filter_method_guard(self):
+        data = encode_pdf(self._pages(), encrypt="aes-128")
+        data = data.replace(b"/CFM /AESV2", b"/CFM /AESV3")
+        with pytest.raises(NotImplementedError, match="AESV3"):
+            PdfDocument(data)
+
+    def test_wrong_aes_padding_fails_loudly(self):
+        from oar_ocr_spark.functions.pdf_crypt import aes_cbc_decrypt
+
+        with pytest.raises(ValueError, match="padding invalid"):
+            aes_cbc_decrypt(b"k" * 16, b"\x00" * 48)
+        with pytest.raises(ValueError, match="whole number of blocks"):
+            aes_cbc_decrypt(b"k" * 16, b"\x00" * 20)
+
+    def test_primitive_public_vectors(self):
+        from oar_ocr_spark.functions.pdf_crypt import aes_ecb_encrypt_block, rc4
+
+        # FIPS-197 appendix C.1
+        key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+        pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+        assert aes_ecb_encrypt_block(key, pt).hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+        # the classic RC4 vector
+        assert rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
+        # RC4 is an involution with a fixed key
+        assert rc4(b"Key", rc4(b"Key", b"round trip")) == b"round trip"
+
+
 class TestSparkUnpack:
     def test_pdf_path_spans_equal_renderer_path(self, spark):
         docs_raw = generate_documents(12, seed=9)
