@@ -55,6 +55,7 @@ STRUCT_MOD = 25
 FEATURES_MOD = 10
 PNG_MOD = 20
 JPEG_MOD = 20
+LEGACY_MOD = 20
 PDF_MOD = 20
 AUDIO_MOD = 10
 VIDEO_MOD = 20
@@ -472,6 +473,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             jpeg_store_df(refs, parallelism=spark.sparkContext.defaultParallelism)
         )
 
+    def q_media_legacy_roundtrip(spark):
+        # the legacy-format seam: render → encode REAL GIF / TIFF /
+        # BMP bytes (format + encoder options crc32-derived per ref —
+        # interlaced GIF, packbits TIFF, RLE8 BMP all exercised) →
+        # magic-byte dispatch decode → features. Every flavor is
+        # lossless on grey pages (identity grey palettes), so the
+        # oracle is the same golden feature table as the PNG query.
+        from oar_ocr_spark.functions.multimodal import (
+            image_features_from_bytes_df,
+            legacy_store_df,
+        )
+
+        refs = media_refs_df(spark, LEGACY_MOD)
+        return image_features_from_bytes_df(
+            legacy_store_df(refs, parallelism=spark.sparkContext.defaultParallelism)
+        )
+
     def q_pdf_extract(spark):
         # PDF container input (ref: hayro dep, Cargo.toml:20; the
         # north-rule's "PDF/layout parse"): pack each doc's pages into
@@ -735,6 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_stats": with_views(q_media_decode),
         "media_png_roundtrip": with_views(q_media_png_roundtrip),
         "media_jpeg_roundtrip": with_views(q_media_jpeg_roundtrip),
+        "media_gif_tiff_bmp_roundtrip": with_views(q_media_legacy_roundtrip),
         "pdf_extract": with_views(q_pdf_extract),
         "audio_wav_features": with_views(q_audio_wav_features),
         "video_frame_stats": with_views(q_video_frame_stats),
@@ -1408,6 +1427,17 @@ refs as (
 select g.media_ref, g.width, g.height, g.mean_intensity, g.ink_ratio,
        g.n_regions
 from read_parquet('{golden_dir}/media_features_jpeg.parquet') g
+join refs using (media_ref)
+""",
+        "media_gif_tiff_bmp_roundtrip": f"""
+with spans as ({span_cte}),
+refs as (
+  select distinct media_ref from spans
+  where kind = 'media' and cast(doc_id as bigint) % {LEGACY_MOD} = 0
+)
+select g.media_ref, g.width, g.height, g.mean_intensity, g.ink_ratio,
+       g.n_regions
+from read_parquet('{golden_dir}/media_features.parquet') g
 join refs using (media_ref)
 """,
         "pdf_extract": _extraction_oracle(PDF_MOD, ""),

@@ -176,6 +176,7 @@ def main() -> None:
         "ivf_ann",
         "media_png_roundtrip",
         "media_jpeg_roundtrip",
+        "media_gif_tiff_bmp_roundtrip",
         "pdf_extract",
         "audio_wav_features",
         "video_frame_stats",

@@ -33,6 +33,7 @@ __all__ = [
     "payload_store_df",
     "png_store_df",
     "jpeg_store_df",
+    "legacy_store_df",
     "frame_sample_df",
 ]
 
@@ -186,6 +187,50 @@ def jpeg_store_df(
         from .jpeg import encode_jpeg
 
         return (ref, encode_jpeg(render_page(ref), quality))
+
+    return payload_store_df(refs, row, ref_col=ref_col, parallelism=parallelism)
+
+
+def legacy_store_df(
+    refs: DataFrame, ref_col: str = "media_ref", parallelism: int | None = None
+) -> DataFrame:
+    """(media_ref) → (media_ref, payload) media store with REAL
+    GIF/TIFF/BMP bytes — the legacy-format third of the write seam
+    (png_store_df / jpeg_store_df are the other two). Per ref the
+    format AND its encoder options (GIF interlace, TIFF packbits, BMP
+    RLE8) are chosen by crc32 of the ref — deterministic across
+    processes, so the oracle can recompute the set — and every flavor
+    is LOSSLESS on grey pages (GIF/BMP use an identity grey palette),
+    so features through these bytes equal the golden feature table
+    exactly, like PNG. Decode side is the same magic-byte dispatch in
+    ``_decode_payload``."""
+
+    def row(ref: str) -> tuple:
+        import zlib
+
+        from ..fixtures.render import render_page
+        from .bmp import encode_bmp
+        from .gif import encode_gif
+        from .tiff import encode_tiff
+
+        page = render_page(ref)
+        h = zlib.crc32(ref.encode("utf-8"))
+        fmt = h % 3
+        if fmt == 0:
+            grey_palette = np.repeat(
+                np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+            )
+            data = encode_gif(page, grey_palette, interlace=bool(h & 4))
+        elif fmt == 1:
+            data = encode_tiff(
+                page, compression="packbits" if h & 4 else "none"
+            )
+        else:
+            grey_palette = np.repeat(
+                np.arange(256, dtype=np.uint8)[:, None], 3, axis=1
+            )
+            data = encode_bmp(page, palette=grey_palette, rle=bool(h & 4))
+        return (ref, data)
 
     return payload_store_df(refs, row, ref_col=ref_col, parallelism=parallelism)
 

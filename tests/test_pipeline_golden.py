@@ -179,6 +179,36 @@ def test_media_store_png_matches_golden(spark, corpus):
     assert result == {d["doc_id"]: expected[d["doc_id"]] for d in docs}
 
 
+def test_media_store_gif_tiff_bmp_matches_golden(spark, corpus):
+    """Legacy-format source: pages arrive as REAL GIF / TIFF / BMP
+    bytes (format + encoder options crc32-chosen per ref, so all three
+    decoders run) — output must equal the render-path golden exactly
+    (all three are lossless on grey pages)."""
+    from pyspark.sql import functions as F
+
+    from oar_ocr_spark.functions.multimodal import legacy_store_df
+
+    docs = corpus[:30]
+    df = docs_df(spark, docs)
+    refs = (
+        df.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+    store = legacy_store_df(refs)
+    # the crc32 format split must actually cover all three decoders
+    import zlib
+
+    fmts = {zlib.crc32(r["media_ref"].encode("utf-8")) % 3 for r in refs.collect()}
+    assert fmts == {0, 1, 2}
+    result = collect_spans(
+        extract_spans(spark, df, num_partitions=4, media_store=store)
+    )
+    expected = golden(docs)
+    assert result == {d["doc_id"]: expected[d["doc_id"]] for d in docs}
+
+
 def test_media_store_missing_ref_dropped(spark):
     """A media span whose ref is absent from the store is dropped (the
     malformed-row policy), not a task failure."""
