@@ -57,6 +57,7 @@ PNG_MOD = 20
 JPEG_MOD = 20
 LEGACY_MOD = 20
 PDF_MOD = 20
+TIFF_MOD = 20
 AUDIO_MOD = 10
 VIDEO_MOD = 20
 HTML_MOD = 10
@@ -510,6 +511,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _exploded_results(extract_spans(spark, docs, media_store=store))
 
+    def q_tiff_extract(spark):
+        # archival multi-page TIFF container input: pack each doc's
+        # pages into ONE real multi-page TIFF (IFD chain, page refs in
+        # ImageDescription), unpack via the real parser into the
+        # (media_ref, payload) page store, then run the FULL extraction
+        # DAG from those bytes. Both container steps are lossless, so
+        # the oracle is exact span-sequence equality against the same
+        # golden as extraction_e2e (the pdf_extract pattern).
+        from oar_ocr_spark.functions.tiff import tiff_media_store_df, tiff_store_df
+        from oar_ocr_spark.pipeline import extract_spans
+
+        docs = interleaved_docs_df(spark).where(
+            (F.col("doc_id").cast("bigint") % TIFF_MOD) == 0
+        )
+        store = tiff_media_store_df(
+            tiff_store_df(docs, parallelism=spark.sparkContext.defaultParallelism)
+        )
+        return _exploded_results(extract_spans(spark, docs, media_store=store))
+
     def q_audio_wav_features(spark):
         # audio modality through REAL PCM WAV bytes (functions/wav.py):
         # deterministic waveform fixture → encode → decode → clip
@@ -755,6 +775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_roundtrip": with_views(q_media_jpeg_roundtrip),
         "media_gif_tiff_bmp_roundtrip": with_views(q_media_legacy_roundtrip),
         "pdf_extract": with_views(q_pdf_extract),
+        "tiff_extract": with_views(q_tiff_extract),
         "audio_wav_features": with_views(q_audio_wav_features),
         "video_frame_stats": with_views(q_video_frame_stats),
         "html_extract": with_views(q_html_extract),
@@ -1441,6 +1462,7 @@ from read_parquet('{golden_dir}/media_features.parquet') g
 join refs using (media_ref)
 """,
         "pdf_extract": _extraction_oracle(PDF_MOD, ""),
+        "tiff_extract": _extraction_oracle(TIFF_MOD, ""),
         "audio_wav_features": f"""
 with spans as ({span_cte}),
 refs as (

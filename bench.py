@@ -178,6 +178,7 @@ def main() -> None:
         "media_jpeg_roundtrip",
         "media_gif_tiff_bmp_roundtrip",
         "pdf_extract",
+        "tiff_extract",
         "audio_wav_features",
         "video_frame_stats",
         "html_extract",

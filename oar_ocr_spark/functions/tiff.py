@@ -31,12 +31,22 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_tiff", "decode_tiff", "decode_tiff_pages", "TIFF_MAGICS"]
+__all__ = [
+    "encode_tiff",
+    "encode_tiff_multipage",
+    "decode_tiff",
+    "decode_tiff_pages",
+    "decode_tiff_refs",
+    "tiff_store_df",
+    "tiff_media_store_df",
+    "TIFF_MAGICS",
+]
 
 TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
 
 # tag ids
 _W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
+_DESCRIPTION = 270  # ImageDescription (ASCII) — carries the media_ref
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
 _PREDICTOR, _COLORMAP = 317, 320
 
@@ -44,7 +54,7 @@ _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i"}
 
 
-def _read_ifd(data: bytes, pos: int, bo: str) -> tuple[dict[int, list[int]], int]:
+def _read_ifd(data: bytes, pos: int, bo: str) -> tuple[dict[int, list[int] | bytes], int]:
     """One IFD → ({tag: values}, next IFD offset)."""
     if pos + 2 > len(data):
         raise ValueError("TIFF IFD offset past end of file")
@@ -66,6 +76,8 @@ def _read_ifd(data: bytes, pos: int, bo: str) -> tuple[dict[int, list[int]], int
         fmt = _TYPE_FMT.get(typ)
         if fmt is not None:
             tags[tag] = list(struct.unpack(bo + fmt * count, raw))
+        elif typ == 2:  # ASCII (ImageDescription et al.): keep raw bytes
+            tags[tag] = raw
         at += 12
     (nxt,) = struct.unpack(bo + "I", data[at : at + 4])
     return tags, nxt
@@ -197,6 +209,27 @@ def decode_tiff(data: bytes) -> np.ndarray:
     return decode_tiff_pages(data, limit=1)[0]
 
 
+def decode_tiff_refs(data: bytes) -> list[str] | None:
+    """Per-page ImageDescription strings from the IFD chain — the
+    container's own page naming (the TIFF twin of the PDF /Info
+    /Title contract). Returns None unless EVERY page carries one.
+    Walks only IFD tables, never strip data: O(pages), not O(pixels)."""
+    if data[:4] not in TIFF_MAGICS:
+        raise ValueError("not a TIFF (bad byte-order/magic header)")
+    bo = "<" if data[:2] == b"II" else ">"
+    (pos,) = struct.unpack(bo + "I", data[4:8])
+    refs: list[str] = []
+    seen: set[int] = set()
+    while pos and pos not in seen:
+        seen.add(pos)
+        tags, pos = _read_ifd(data, pos, bo)
+        desc = tags.get(_DESCRIPTION)
+        if not isinstance(desc, bytes):
+            return None
+        refs.append(desc.rstrip(b"\x00").decode("utf-8", errors="replace"))
+    return refs or None
+
+
 # ---------------------------------------------------------------------------
 # fixture encoder
 # ---------------------------------------------------------------------------
@@ -307,3 +340,185 @@ def encode_tiff(
     for s in strips:
         out += s
     return bytes(out)
+
+
+def encode_tiff_multipage(
+    pages: list[np.ndarray],
+    page_refs: list[str] | None = None,
+    compression: str = "none",
+) -> bytes:
+    """Grey (H,W) uint8 pages → ONE little-endian multi-page TIFF
+    (chained IFDs — the archival scanned-document container layout).
+    `page_refs` are written per page as ImageDescription (tag 270,
+    ASCII), the container naming its own pages the way the PDF writer
+    uses /Info /Title; decode_tiff_refs is the read side. Single strip
+    per page, compression "none" or "packbits"."""
+    if not pages:
+        raise ValueError("encode_tiff_multipage needs at least one page")
+    if page_refs is not None and len(page_refs) != len(pages):
+        raise ValueError("page_refs length must match pages")
+    if compression not in ("none", "packbits"):
+        raise ValueError("compression must be 'none' or 'packbits'")
+    for p in pages:
+        if p.dtype != np.uint8 or p.ndim != 2:
+            raise ValueError(
+                f"encode_tiff_multipage expects (H,W) uint8 pages, got {p.dtype} {p.shape}"
+            )
+
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")  # first-IFD offset patched
+    ifd_positions: list[int] = []
+    for i, img in enumerate(pages):
+        h, w = img.shape
+        body = img.tobytes()
+        if compression == "packbits":
+            enc = bytearray()
+            for j in range(0, len(body), 128):
+                chunk = body[j : j + 128]
+                enc += bytes([len(chunk) - 1]) + chunk
+            body = bytes(enc)
+        desc = None
+        if page_refs is not None:
+            desc = page_refs[i].encode("utf-8") + b"\x00"
+
+        # data region first (description, then the strip), IFD after —
+        # every offset is known before the IFD is emitted
+        desc_off = len(out)
+        if desc is not None and len(desc) > 4:
+            out += desc
+            if len(out) % 2:
+                out += b"\x00"
+        strip_off = len(out)
+        out += body
+        if len(out) % 2:
+            out += b"\x00"
+        ifd_positions.append(len(out))
+
+        def long_val(v: int) -> bytes:
+            return struct.pack("<I", v)
+
+        def short_val(v: int) -> bytes:
+            return struct.pack("<H", v) + b"\x00\x00"
+
+        entries: list[tuple[int, int, int, bytes]] = [
+            (_W, 4, 1, long_val(w)),
+            (_H, 4, 1, long_val(h)),
+            (_BITS, 3, 1, short_val(8)),
+            (_COMP, 3, 1, short_val(1 if compression == "none" else 32773)),
+            (_PHOTO, 3, 1, short_val(1)),  # BlackIsZero grey
+            (_STRIP_OFF, 4, 1, long_val(strip_off)),
+            (_SPP, 3, 1, short_val(1)),
+            (_ROWS_PER_STRIP, 4, 1, long_val(h)),
+            (_STRIP_CNT, 4, 1, long_val(len(body))),
+        ]
+        if desc is not None:
+            val = desc.ljust(4, b"\x00") if len(desc) <= 4 else long_val(desc_off)
+            entries.append((_DESCRIPTION, 2, len(desc), val))
+        entries.sort(key=lambda e: e[0])
+        out += struct.pack("<H", len(entries))
+        for t, typ, count, val in entries:
+            out += struct.pack("<HHI", t, typ, count) + val
+        out += b"\x00\x00\x00\x00"  # next-IFD pointer, patched below
+
+    out[4:8] = struct.pack("<I", ifd_positions[0])
+    for prev, nxt in zip(ifd_positions, ifd_positions[1:]):
+        # next pointer sits after the entry table of the IFD at `prev`
+        (n,) = struct.unpack_from("<H", out, prev)
+        out[prev + 2 + 12 * n : prev + 6 + 12 * n] = struct.pack("<I", nxt)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# distributed container operators (the pdf_store_df / pdf_media_store_df
+# twins for archival multi-page TIFFs)
+# ---------------------------------------------------------------------------
+
+_TIFF_STORE_SCHEMA = None  # built lazily: keep pyspark optional at import
+
+
+def _tiff_schemas():
+    from pyspark.sql import types as T
+
+    store = T.StructType(
+        [
+            T.StructField("tiff_ref", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+            T.StructField("n_pages", T.IntegerType(), False),
+        ]
+    )
+    page = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+    return store, page
+
+
+def tiff_store_df(docs, parallelism: int | None = None):
+    """input_hint documents → (tiff_ref, payload, n_pages): ONE real
+    multi-page TIFF per document packing its media spans' rendered
+    pages in span order (the archival-scan twin of pdf_store_df; same
+    JVM-side ref selection, same single Arrow-batched boundary)."""
+    from pyspark.sql import functions as F
+
+    if parallelism:
+        docs = docs.repartition(parallelism, "doc_id")
+    refs = (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "transform(filter(spans, s -> s.kind = 'media' and s.media_ref is not null),"
+                " s -> s.media_ref)"
+            ).alias("refs"),
+        )
+        .where(F.size("refs") > 0)
+    )
+    store_schema, _ = _tiff_schemas()
+
+    def it(batches):
+        import pandas as pd
+
+        from ..fixtures.render import render_page
+
+        for pdf in batches:
+            rows = []
+            for doc_id, media_refs in zip(pdf["doc_id"], pdf["refs"]):
+                media_refs = list(media_refs)
+                pages = [render_page(r) for r in media_refs]
+                rows.append(
+                    (doc_id, encode_tiff_multipage(pages, media_refs), len(pages))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in store_schema.fields])
+
+    return refs.mapInPandas(it, schema=store_schema)
+
+
+def tiff_media_store_df(tiffs):
+    """(tiff_ref, payload) → (media_ref, payload:PNG bytes) page store.
+
+    Container-unpack for multi-page TIFFs: walk the IFD chain once,
+    re-encode each page as lossless PNG keyed by its ImageDescription
+    media_ref (fallback '<tiff_ref>#page<i>'). Same output shape as
+    pdf_media_store_df — archival TIFFs, PDFs and loose images all
+    meet in one page-store seam feeding extract_spans(media_store=...)."""
+    _, page_schema = _tiff_schemas()
+
+    def it(batches):
+        import pandas as pd
+
+        from .multimodal import _to_grey
+        from .png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for tiff_ref, payload in zip(pdf["tiff_ref"], pdf["payload"]):
+                data = bytes(payload)
+                refs = decode_tiff_refs(data)
+                pages = decode_tiff_pages(data)
+                if refs is None or len(refs) != len(pages):
+                    refs = [f"{tiff_ref}#page{i}" for i in range(len(pages))]
+                for ref, page in zip(refs, pages):
+                    rows.append((ref, encode_png(_to_grey(page))))
+            yield pd.DataFrame(rows, columns=[f.name for f in page_schema.fields])
+
+    return tiffs.select("tiff_ref", "payload").mapInPandas(it, schema=page_schema)

@@ -282,3 +282,106 @@ class TestMediaSeam:
         g = _rng().integers(0, 256, (11, 9)).astype(np.uint8)
         out = _decode_payload("x", "image", encode_tiff(g))
         assert out.ndim == 2 and (out == g).all()
+
+
+class TestMultipageContainer:
+    """encode_tiff_multipage / decode_tiff_refs — the archival
+    container write/read pair (ImageDescription carries the media_ref,
+    the TIFF twin of the PDF /Info /Title contract)."""
+
+    def test_roundtrip_pages_and_refs(self):
+        from oar_ocr_spark.functions.tiff import (
+            decode_tiff_refs,
+            encode_tiff_multipage,
+        )
+
+        rng = _rng()
+        pages = [
+            rng.integers(0, 256, (11, 17)).astype(np.uint8),
+            rng.integers(0, 256, (23, 5)).astype(np.uint8),
+            rng.integers(0, 256, (4, 4)).astype(np.uint8),
+        ]
+        refs = ["doc:1#a", "x", "a-much-longer-media-ref-0123456789"]
+        for comp in ("none", "packbits"):
+            data = encode_tiff_multipage(pages, refs, compression=comp)
+            # deterministic bytes
+            assert data == encode_tiff_multipage(pages, refs, compression=comp)
+            out = decode_tiff_pages(data)
+            assert len(out) == 3
+            assert all((a == b).all() for a, b in zip(out, pages))
+            assert decode_tiff_refs(data) == refs
+            # first-page laziness contract still holds on the chain
+            assert (decode_tiff(data) == pages[0]).all()
+
+    def test_refs_none_when_any_page_unnamed(self):
+        from oar_ocr_spark.functions.tiff import (
+            decode_tiff_refs,
+            encode_tiff_multipage,
+        )
+
+        pages = [_rng().integers(0, 256, (6, 6)).astype(np.uint8)] * 2
+        assert decode_tiff_refs(encode_tiff_multipage(pages)) is None
+        assert decode_tiff_refs(encode_tiff(pages[0])) is None
+
+    def test_validation(self):
+        from oar_ocr_spark.functions.tiff import encode_tiff_multipage
+
+        g = _rng().integers(0, 256, (4, 4)).astype(np.uint8)
+        with pytest.raises(ValueError, match="at least one page"):
+            encode_tiff_multipage([])
+        with pytest.raises(ValueError, match="length must match"):
+            encode_tiff_multipage([g], ["a", "b"])
+        with pytest.raises(ValueError, match="uint8"):
+            encode_tiff_multipage([g.astype(np.int32)], ["a"])
+
+
+class TestSparkUnpack:
+    def test_tiff_path_spans_equal_renderer_path(self, spark):
+        from oar_ocr_spark.fixtures.corpus import generate_documents
+        from oar_ocr_spark.fixtures.render import render_page
+        from oar_ocr_spark.functions.png import decode_png
+        from oar_ocr_spark.functions.tiff import tiff_media_store_df, tiff_store_df
+        from oar_ocr_spark.pipeline import extract_spans
+        from oar_ocr_spark.schemas import DOCUMENTS_SCHEMA
+
+        docs_raw = generate_documents(12, seed=9)
+        rows = [
+            (d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in docs_raw
+        ]
+        docs = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+
+        tiffs = tiff_store_df(docs)
+        got = {r["tiff_ref"]: r for r in tiffs.collect()}
+        for d in docs_raw:
+            n_media = sum(
+                1 for s in d["spans"] if s["kind"] == "media" and s["media_ref"]
+            )
+            if n_media:
+                assert got[d["doc_id"]]["n_pages"] == n_media
+            else:
+                assert d["doc_id"] not in got
+
+        store = tiff_media_store_df(tiffs)
+        sample = store.limit(3).collect()
+        for r in sample:
+            assert (decode_png(bytes(r["payload"])) == render_page(r["media_ref"])).all()
+
+        via_tiff = extract_spans(spark, docs, media_store=store)
+        direct = extract_spans(spark, docs)
+        a = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in via_tiff.collect()}
+        b = {r["doc_id"]: [tuple(s) for s in r["spans"]] for r in direct.collect()}
+        assert a == b
+
+    def test_unpack_falls_back_to_positional_refs(self, spark):
+        from oar_ocr_spark.functions.tiff import (
+            encode_tiff_multipage,
+            tiff_media_store_df,
+        )
+
+        pages = [_rng().integers(0, 256, (5, 7)).astype(np.uint8)] * 2
+        data = encode_tiff_multipage(pages)  # no embedded refs
+        tiffs = spark.createDataFrame(
+            [("t0", bytearray(data))], "tiff_ref string, payload binary"
+        )
+        refs = sorted(r["media_ref"] for r in tiff_media_store_df(tiffs).collect())
+        assert refs == ["t0#page0", "t0#page1"]
