@@ -159,6 +159,73 @@ def test_get_rotate_crop_image_bilinear_flag():
     assert ((bl > 0) & (bl < 200)).any()  # bilinear: blended seam
 
 
+def test_warp_bicubic_exact_on_quadratic_patch():
+    # the Keys a=-0.5 kernel reproduces polynomials up to degree 2
+    # EXACTLY (Keys 1981) — a closed-form oracle bilinear provably
+    # fails (it is only affine-exact): a fractional translation of
+    # f(x,y)=a+bx+cy+dx²+exy+gy² must equal f at the shifted points
+    from oar_ocr_spark.operators.rotated_geometry import (
+        warp_perspective,
+        warp_perspective_nn,
+    )
+
+    a, b, c, d, e, g = 40.0, 1.5, -2.0, 0.25, 0.1, 0.2
+
+    def f(x, y):
+        return a + b * x + c * y + d * x * x + e * x * y + g * y * y
+
+    xs, ys = np.meshgrid(
+        np.arange(14, dtype=np.float64), np.arange(11, dtype=np.float64)
+    )
+    img = f(xs, ys)
+    tx, ty = 0.375, 0.625
+    m = np.array([[1.0, 0.0, -tx], [0.0, 1.0, -ty], [0.0, 0.0, 1.0]])
+    out = warp_perspective(img, m, 14, 11, interpolation="bicubic")
+    want = f(xs + tx, ys + ty)
+    # interior only: the 4×4 stencil needs 1 real pixel left/up and 2
+    # right/down before border replication bends the patch
+    np.testing.assert_allclose(out[1:-3, 1:-3], want[1:-3, 1:-3], atol=1e-9)
+    # bilinear at the same shift is NOT quadratic-exact
+    bl = warp_perspective(img, m, 14, 11, interpolation="bilinear")
+    assert not np.allclose(bl[1:-3, 1:-3], want[1:-3, 1:-3], atol=1e-6)
+    nn = warp_perspective_nn(img, m, 14, 11)
+    assert not np.allclose(nn[1:-3, 1:-3], want[1:-3, 1:-3], atol=1e-6)
+
+
+def test_warp_bicubic_identity_partition_of_unity_and_clip():
+    from oar_ocr_spark.operators.rotated_geometry import warp_perspective
+
+    img = (np.arange(48).reshape(6, 8) * 5 % 256).astype(np.uint8)
+    out = warp_perspective(img, np.eye(3), 8, 6, interpolation="bicubic")
+    np.testing.assert_array_equal(out, img)  # integer grid → exact taps
+    assert out.dtype == np.uint8
+    # constant image stays constant at any sub-pixel shift (weights sum 1)
+    const = np.full((7, 9), 113.0)
+    m = np.array([[1.0, 0.0, -0.3], [0.0, 1.0, -0.7], [0.0, 0.0, 1.0]])
+    np.testing.assert_allclose(
+        warp_perspective(const, m, 9, 7, interpolation="bicubic"), 113.0, atol=1e-9
+    )
+    # cubic kernels OVERSHOOT at hard edges: uint8 must clip, not wrap
+    step = np.zeros((8, 12), dtype=np.uint8)
+    step[:, 6:] = 255
+    shifted = warp_perspective(step, m, 12, 8, interpolation="bicubic")
+    assert shifted.min() >= 0 and shifted.max() <= 255
+    f64 = warp_perspective(step.astype(np.float64), m, 12, 8, interpolation="bicubic")
+    assert f64.max() > 255.0 or f64.min() < 0.0  # the overshoot is real
+
+
+def test_get_rotate_crop_image_bicubic_flag():
+    img = np.zeros((20, 20), dtype=np.uint8)
+    img[:, 10:] = 200
+    quad = np.asarray(
+        [(4.5, 4.0), (15.5, 4.0), (15.5, 12.0), (4.5, 12.0)], dtype=float
+    )
+    bc = get_rotate_crop_image(img, quad, interpolation="bicubic")
+    nn = get_rotate_crop_image(img, quad)
+    assert bc.shape == nn.shape
+    assert ((bc > 0) & (bc < 200)).any()  # blended seam reaches the crop
+
+
 def test_get_rotate_crop_image_axis_aligned():
     img = np.full((40, 60), 255, dtype=np.uint8)
     img[10:20, 5:45] = 7
