@@ -68,8 +68,10 @@ class ElementTruth:
     # recognition (the fallback-block-OCR fixture)
     thin: bool = False
     # formulas only: ("plain", text) | ("sup"/"sub", base, script) |
-    # ("frac", numerator, denominator) — drives the structured layout
-    # the geometry-aware recognizer must decode back into latex
+    # ("frac", num, den) | ("mix", b1, s1, b2, s2) |
+    # ("nest", base, s1, s2) | ("sqrt", operand) — drives the
+    # structured layout the geometry-aware recognizer must decode
+    # back into latex
     formula_spec: tuple | None = None
 
 
@@ -184,21 +186,21 @@ def structure_page_truth(media_ref: str) -> StructurePageTruth:
                 # strip or a fraction bar) IS the content — the
                 # recognizer derives ^{}/_{}/\frac from glyph geometry
                 p = rng.random()
-                if p < 0.3:
+                if p < 0.18:
                     spec = (
                         "sup",
                         _text_for(rng, int(rng.integers(2, 5))),
                         _text_for(rng, int(rng.integers(1, 3))),
                     )
                     fh = REGION_H + FORMULA_SCRIPT_DY + 2 * FORMULA_INNER_PAD
-                elif p < 0.6:
+                elif p < 0.36:
                     spec = (
                         "sub",
                         _text_for(rng, int(rng.integers(2, 5))),
                         _text_for(rng, int(rng.integers(1, 3))),
                     )
                     fh = REGION_H + FORMULA_SCRIPT_DY + 2 * FORMULA_INNER_PAD
-                elif p < 0.8:
+                elif p < 0.54:
                     spec = (
                         "frac",
                         _text_for(rng, int(rng.integers(2, 5))),
@@ -210,7 +212,7 @@ def structure_page_truth(media_ref: str) -> StructurePageTruth:
                         + FORMULA_BAR_H
                         + 2 * FORMULA_INNER_PAD
                     )
-                elif p < 0.92:
+                elif p < 0.70:
                     # mixed sequence: base^{s} base_{s} — the recognizer
                     # must attach each script to ITS preceding base, not
                     # pattern-match a single-template layout
@@ -222,6 +224,27 @@ def structure_page_truth(media_ref: str) -> StructurePageTruth:
                         _text_for(rng, int(rng.integers(1, 3))),
                     )
                     fh = REGION_H + 2 * FORMULA_SCRIPT_DY + 2 * FORMULA_INNER_PAD
+                elif p < 0.84:
+                    # nested scripts x^{y^{z}}: three strips climbing one
+                    # FORMULA_SCRIPT_DY per level — the recognizer must
+                    # nest the deeper script inside the shallower one
+                    spec = (
+                        "nest",
+                        _text_for(rng, int(rng.integers(2, 4))),
+                        _text_for(rng, int(rng.integers(1, 3))),
+                        _text_for(rng, int(rng.integers(1, 3))),
+                    )
+                    fh = REGION_H + 2 * FORMULA_SCRIPT_DY + 2 * FORMULA_INNER_PAD
+                elif p < 0.94:
+                    # radical: a vinculum bar with the operand ONLY below
+                    # it (a fraction bar has glyphs on both sides)
+                    spec = ("sqrt", _text_for(rng, int(rng.integers(2, 5))))
+                    fh = (
+                        REGION_H
+                        + FORMULA_FRAC_GAP
+                        + FORMULA_BAR_H
+                        + 2 * FORMULA_INNER_PAD
+                    )
                 else:
                     spec = ("plain", _text_for(rng, int(rng.integers(3, 7))))
                     fh = REGION_H + 2 * pad
@@ -301,6 +324,22 @@ def _render_formula(img: np.ndarray, el: ElementTruth, pad: int) -> None:
         x += put(s1, x, top) + FORMULA_SCRIPT_GAP  # raised: superscript
         x += put(b2, x, by) + FORMULA_SCRIPT_GAP
         put(s2, x, top + 2 * FORMULA_SCRIPT_DY)  # lowered: subscript
+    elif kind == "nest":
+        # base^{s1^{s2}}: strips climbing one DY per nesting level
+        base, s1, s2 = el.formula_spec[1:]
+        top = el.y1 + FORMULA_INNER_PAD
+        x = x0
+        x += put(base, x, top + 2 * FORMULA_SCRIPT_DY) + FORMULA_SCRIPT_GAP
+        x += put(s1, x, top + FORMULA_SCRIPT_DY) + FORMULA_SCRIPT_GAP
+        put(s2, x, top)
+    elif kind == "sqrt":
+        # vinculum bar with the operand ONLY below it
+        operand = el.formula_spec[1]
+        bar_y = el.y1 + FORMULA_INNER_PAD
+        oy = bar_y + FORMULA_BAR_H + FORMULA_FRAC_GAP
+        ow = put(operand, x0 + 8, oy)
+        bar_w = min(max(ow + 16, 56), max_w)
+        img[bar_y : bar_y + FORMULA_BAR_H, x0 : x0 + bar_w] = FORMULA_BAR_INK
     elif kind in ("sup", "sub"):
         base, script = el.formula_spec[1], el.formula_spec[2]
         top = el.y1 + FORMULA_INNER_PAD

@@ -96,11 +96,13 @@ def _formula_latex(fcrop: np.ndarray, boxes: np.ndarray, cfg: ExtractConfig) -> 
     fixtures/render_structure._render_formula — the two sides share
     FORMULA_* constants):
     - a box ≥3× wider than tall AND shorter than 60% of the tallest
-      box is a fraction BAR: glyph boxes above it are the numerator,
-      below the denominator → ``\\frac{num}{den}``
-    - otherwise glyph boxes sort by x; a box whose center sits more
-      than ~FORMULA_SCRIPT_DY/2 above/below the leading base box's
-      center attaches to the previous token as ``^{}`` / ``_{}``
+      box is a BAR: glyphs on both sides → ``\\frac{num}{den}``;
+      glyphs ONLY below it → the bar is a vinculum, ``\\sqrt{…}``
+    - otherwise glyph boxes sort by x; script LEVELS are quantized
+      from each box's center offset vs the leading base box (step =
+      the smallest above-tolerance offset), and a run of non-zero
+      levels nests right-to-left onto its base token — one level deep
+      gives ``^{}`` / ``_{}``, deeper runs nest (``x^{y^{z}}``)
     - a flat single-level sequence keeps the legacy ``\\mathrm{…}``
       wrapper (plain formulas, and any foreign layout the rules above
       don't recognize, degrade to that instead of guessing)."""
@@ -136,29 +138,51 @@ def _formula_latex(fcrop: np.ndarray, boxes: np.ndarray, cfg: ExtractConfig) -> 
         dtxt = " ".join(filter(None, (rec(g) for g in den)))
         if ntxt and dtxt:
             return "\\frac{%s}{%s}" % (ntxt, dtxt)
-        flat = " ".join(filter(None, [ntxt, dtxt]))
-        return "\\mathrm{" + flat + "}" if flat else ""
+        if dtxt and not ntxt:  # operand only below the bar: a vinculum
+            return "\\sqrt{%s}" % dtxt
+        return "\\mathrm{" + ntxt + "}" if ntxt else ""
 
     glyphs.sort(key=lambda it: it[0])
     base_cy = cy(glyphs[0])
     tol = 4.0
+    texts = [(g, rec(g)) for g in glyphs]
+    texts = [(g, t) for g, t in texts if t]
+    if not texts:
+        return ""
+    # quantize vertical offsets into script LEVELS: step = the
+    # smallest above-tolerance offset (one FORMULA_SCRIPT_DY in the
+    # fixture geometry), negative = raised
+    dys = [cy(g) - base_cy for g, _t in texts]
+    offs = [abs(d) for d in dys if abs(d) > tol]
+    step = min(offs) if offs else 1.0
+    levels = [0 if abs(d) <= tol else int(round(d / step)) for d in dys]
     parts: list[str] = []
     structured = False
-    for g in glyphs:
-        t = rec(g)
-        if not t:
+    i = 0
+    while i < len(texts):
+        if levels[i] == 0:
+            parts.append(texts[i][1])
+            i += 1
             continue
-        dy = cy(g) - base_cy
-        if parts and dy < -tol:
-            parts[-1] += "^{%s}" % t
-            structured = True
-        elif parts and dy > tol:
-            parts[-1] += "_{%s}" % t
-            structured = True
-        else:
-            parts.append(t)
-    if not parts:
-        return ""
+        if not parts:  # leading script with no base: foreign layout
+            return "\\mathrm{" + " ".join(t for _g, t in texts) + "}"
+        # consume the maximal run of script glyphs after this base;
+        # equal consecutive levels join into one script group
+        chain: list[tuple[int, str]] = []
+        while i < len(texts) and levels[i] != 0:
+            if chain and levels[i] == chain[-1][0]:
+                chain[-1] = (chain[-1][0], chain[-1][1] + " " + texts[i][1])
+            else:
+                chain.append((levels[i], texts[i][1]))
+            i += 1
+        # nest right-to-left: each group is a script OF the previous
+        # (shallower) group — raised relative to it ⇒ ^, lowered ⇒ _
+        s = chain[-1][1]
+        for k in range(len(chain) - 2, -1, -1):
+            op = "^" if chain[k + 1][0] < chain[k][0] else "_"
+            s = "%s%s{%s}" % (chain[k][1], op, s)
+        parts[-1] += "%s{%s}" % ("^" if chain[0][0] < 0 else "_", s)
+        structured = True
     if structured:
         return " ".join(parts)
     return "\\mathrm{" + " ".join(parts) + "}"

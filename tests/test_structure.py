@@ -74,10 +74,14 @@ def test_formula_latex_derives_from_glyph_geometry():
         "frac": lambda s: "\\frac{%s}{%s}" % (s[1], s[2]),
         # mixed sequence: each script attaches to ITS preceding base
         "mix": lambda s: "%s^{%s} %s_{%s}" % (s[1], s[2], s[3], s[4]),
+        # nested: the deeper script nests INSIDE the shallower one
+        "nest": lambda s: "%s^{%s^{%s}}" % (s[1], s[2], s[3]),
+        # radical: operand only below the vinculum (vs frac both sides)
+        "sqrt": lambda s: "\\sqrt{%s}" % s[1],
     }
     seen: set[str] = set()
     i = 0
-    while len(seen) < 5 and i < 500:
+    while len(seen) < len(want_of) and i < 500:
         ref = f"{i}_m0"
         i += 1
         truth = structure_page_truth(ref)
@@ -91,7 +95,7 @@ def test_formula_latex_derives_from_glyph_geometry():
             assert gel.text == want_of[tel.formula_spec[0]](tel.formula_spec)
             assert gel.score == 1.0  # conf-1.0 injection (structure.rs:2765)
             seen.add(tel.formula_spec[0])
-    assert seen == {"plain", "sup", "sub", "frac", "mix"}
+    assert seen == set(want_of)
 
 
 def test_markdown_rules():
