@@ -223,7 +223,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_reading_order(spark):
         # reading-order key sort as a SQL slice (SURVEY.md §2.5):
-        # y-bucket (same-line tolerance 10px) then x then unique id
+        # y-bucket (same-line tolerance 10px) then x then id, then y.
+        # box_id is NOT unique in this synthetic mapping ((l_orderkey,
+        # l_linenumber) repeats in the driver's TPC-H-ish generator), so
+        # the trailing y makes the sort total over the OUTPUT columns:
+        # any rows still tied are byte-identical except rank, and a
+        # contiguous rank block over identical rows yields the same row
+        # multiset in every engine (sf1 exposed this; sf0.1 had 2 latent
+        # ambiguous ties that both engines happened to break alike).
         return spark.sql(
             """
             with boxes as (
@@ -234,7 +241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             select box_id, x, y,
                    cast(row_number() over (
-                     order by cast(floor(y/10) as int), x, box_id
+                     order by cast(floor(y/10) as int), x, box_id, y
                    ) as int) as reading_rank
             from boxes
             """
@@ -939,7 +946,7 @@ with boxes as (
 )
 select box_id, x, y,
        cast(row_number() over (
-         order by cast(floor(y/10) as int), x, box_id
+         order by cast(floor(y/10) as int), x, box_id, y
        ) as int) as reading_rank
 from boxes
 """,
