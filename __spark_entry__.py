@@ -248,11 +248,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_overlap_join(spark):
-        # spatial theta-join on IoU/IoA (SURVEY.md §2.4) in pure arithmetic
+        # spatial theta-join on IoU/IoA (SURVEY.md §2.4) in pure arithmetic.
+        # Plan shape: the supplier side is a small broadcastable dim, so
+        # Catalyst picks BroadcastNestedLoopJoin — the right 100 TB shape
+        # for big-probe x small-dim theta joins — but the probe side is a
+        # single parquet file (one partition), which at sf1 serialized 2G
+        # pair evaluations onto ONE task. The REPARTITION hint spreads the
+        # probe scan so the codegen'd pair loop parallelizes. (A grid-cell
+        # equi-join does NOT help here: the synthetic box space is a fixed
+        # ~130px square whose density grows with sf, so cell candidate
+        # sets exceed the broadcast loop's 2G pairs; for two genuinely
+        # large sides the engine's spatial joins key by page instead —
+        # structure.py's OCR<->layout matching.)
         return spark.sql(
             """
             with a as (
-              select p_partkey as a_id,
+              select /*+ REPARTITION(32) */ p_partkey as a_id,
                      cast(p_partkey % 100 as double) as x1,
                      cast((p_size * 3) % 100 as double) as y1,
                      cast(p_partkey % 100 + 10 + p_size % 20 as double) as x2,

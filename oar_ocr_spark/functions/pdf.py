@@ -21,8 +21,9 @@ container for every page-level retry; at corpus scale the materialized
 page store wins.)
 
 Writer scope: 8-bit greyscale pages (the engine's page type) embedded
-as /DeviceGray image XObjects — FlateDecode (lossless, default) or
-DCTDecode baseline JPEG (the scanned-PDF layout) — one per page, plus an
+as /DeviceGray image XObjects — FlateDecode (lossless, default),
+DCTDecode baseline JPEG (the scanned-PDF layout), or CCITTFaxDecode
+Group 4 for bilevel pages (the archival-fax layout) — one per page, plus an
 /Info dict whose /Title carries the newline-joined page media_refs so
 the container is self-describing. Everything is real PDF syntax: object
 table, xref, trailer, startxref.
@@ -39,7 +40,9 @@ nested /Pages trees, literal + hex strings, comments, /DeviceGray and
 (2) predictors both decode;
 DCTDecode images — the layout real scanned PDFs use — decode through
 the engine's own baseline JPEG codec (functions/jpeg.py, including
-4:2:0-subsampled camera JPEGs).
+4:2:0-subsampled camera JPEGs); CCITTFaxDecode images (K<0/0/>0,
+Columns/Rows/BlackIs1/EncodedByteAlign) through the T.4/T.6 codec in
+functions/ccitt.py.
 
 Encrypted PDFs (standard security handler, §7.6): files encrypted
 with an EMPTY user password — the overwhelmingly common "encrypted
@@ -112,7 +115,9 @@ def encode_pdf(
     (default) stores zlib-compressed raw samples — lossless, the oracle
     path; image_format="jpeg" stores baseline-JPEG bytes under
     /DCTDecode (the layout real scanned PDFs use; lossy per
-    functions/jpeg.py's contract). `page_refs` (one per page) lands
+    functions/jpeg.py's contract); image_format="ccitt" stores 0/255
+    bilevel pages as 1-bit Group 4 fax under /CCITTFaxDecode (the
+    archival-scan layout; lossless). `page_refs` (one per page) lands
     newline-joined in the /Info /Title string so the container names
     its own pages. xref_format="classic" writes a PDF 1.4 xref table;
     "stream" writes the PDF 1.5 layout (cross-reference stream with
@@ -124,8 +129,10 @@ def encode_pdf(
     /ObjStm in the 1.5 layout, per §7.5.7."""
     if page_refs is not None and len(page_refs) != len(pages):
         raise ValueError("page_refs length must match pages")
-    if image_format not in ("flate", "jpeg"):
-        raise ValueError(f"image_format must be 'flate' or 'jpeg', got {image_format!r}")
+    if image_format not in ("flate", "jpeg", "ccitt"):
+        raise ValueError(
+            f"image_format must be 'flate'/'jpeg'/'ccitt', got {image_format!r}"
+        )
     if xref_format not in ("classic", "stream"):
         raise ValueError(f"xref_format must be 'classic' or 'stream', got {xref_format!r}")
     for p in pages:
@@ -198,19 +205,33 @@ def encode_pdf(
     kid_nums = []
     for page in pages:
         h, w = page.shape
+        bpc, parms = 8, b""
         if image_format == "jpeg":
             from .jpeg import encode_jpeg
 
             data = encode_jpeg(page, quality)
             filter_name = b"DCTDecode"
+        elif image_format == "ccitt":
+            from .ccitt import ccitt_encode_g4
+
+            if not np.isin(page, (0, 255)).all():
+                raise ValueError("image_format='ccitt' needs a 0/255 bilevel page")
+            data = ccitt_encode_g4((page == 0).astype(np.uint8))  # 1 = black
+            filter_name = b"CCITTFaxDecode"
+            bpc = 1
+            parms = (
+                b" /DecodeParms << /K -1 /Columns %d /Rows %d /BlackIs1 false >>"
+                % (w, h)
+            )
         else:
             data = zlib.compress(page.tobytes(), 6)
             filter_name = b"FlateDecode"
         data = enc_bytes(len(objs) + 1, data)
         img_num = add(
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
-            b" /ColorSpace /DeviceGray /BitsPerComponent 8"
-            b" /Filter /%s /Length %d >>\nstream\n" % (w, h, filter_name, len(data))
+            b" /ColorSpace /DeviceGray /BitsPerComponent %d"
+            b" /Filter /%s%s /Length %d >>\nstream\n"
+            % (w, h, bpc, filter_name, parms, len(data))
             + data
             + b"\nendstream",
             stream=True,
@@ -1094,6 +1115,29 @@ class PdfDocument:
                     from .jpeg import decode_jpeg
 
                     return decode_jpeg(raw)
+                if f == "CCITTFaxDecode":
+                    # Group 3/4 fax image XObject — the archival-scan
+                    # layout (functions/ccitt.py). BlackIs1 picks the
+                    # sample polarity of the decoded stream; with the
+                    # default Decode array, sample 0 renders black.
+                    from .ccitt import ccitt_decode
+
+                    pmr = {
+                        str(k): self.resolve(v) for k, v in pm.items()
+                    } if isinstance(pm, dict) else {}
+                    cols = int(pmr.get("Columns", 1728))
+                    nrows = int(pmr.get("Rows", 0)) or int(
+                        self.resolve(d["Height"])
+                    )
+                    fax = ccitt_decode(
+                        raw,
+                        cols,
+                        nrows,
+                        k=int(pmr.get("K", 0)),
+                        byte_align=bool(pmr.get("EncodedByteAlign", False)),
+                    )
+                    samples = fax if pmr.get("BlackIs1") else 1 - fax
+                    return (samples * 255).astype(np.uint8)
                 raw = _apply_one_filter(f, raw, pm)
             w, h = int(self.resolve(d["Width"])), int(self.resolve(d["Height"]))
             bpc = int(self.resolve(d.get("BitsPerComponent", 8)))

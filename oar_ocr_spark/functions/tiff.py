@@ -9,20 +9,25 @@ against the public TIFF 6.0 specification:
   via `decode_tiff_pages`; `decode_tiff` returns the first page),
   strip layout (any RowsPerStrip), compressions none (1), LZW (5 —
   TIFF LZW is the same MSB-first early-change scheme PDF uses, so the
-  decoder is functions/pdf._lzw_decode), and PackBits (32773, where
-  0x80 is a NO-OP rather than PDF's EOD), horizontal-differencing
-  Predictor 2, and the sample layouts scanned documents use:
-  1-bit bilevel (both photometric polarities — WhiteIsZero is the fax
-  default), 8-bit greyscale, 8-bit RGB (extra samples dropped), and
-  palette color (16-bit ColorMap, high byte).
-- encoder (`encode_tiff`): single-strip fixture writer for bilevel /
-  grey / RGB with compression none or PackBits, so the decoder is
-  roundtrip-tested without any image library; LZW/predictor paths are
-  pinned by hand-built IFD fixtures in the tests.
+  decoder is functions/pdf._lzw_decode), PackBits (32773, where
+  0x80 is a NO-OP rather than PDF's EOD), and the CCITT fax family —
+  2 (Modified Huffman), 3 (Group 3 per T4Options: 1D/2D, byte-aligned
+  EOLs) and 4 (Group 4 / MMR), each strip independently coded, with
+  FillOrder 2 bit reversal (functions/ccitt.py holds the T.4/T.6
+  codec) — plus horizontal-differencing Predictor 2, and the sample
+  layouts scanned documents use: 1-bit bilevel (both photometric
+  polarities — WhiteIsZero is the fax default), 8-bit greyscale,
+  8-bit RGB (extra samples dropped), palette color (16-bit ColorMap,
+  high byte).
+- encoder (`encode_tiff`): strip fixture writer for bilevel / grey /
+  RGB with compression none, PackBits, or the fax family ("mh" /
+  "g3" / "g4", bilevel only), so the decoder is roundtrip-tested
+  without any image library; LZW/predictor paths are pinned by
+  hand-built IFD fixtures in the tests.
 
-Scope (declared, fails loudly outside it): tiled TIFFs, CCITT fax
-compressions (2/3/4), JPEG-in-TIFF, planar configuration 2, and
-bit depths other than 1/8 raise NotImplementedError.
+Scope (declared, fails loudly outside it): tiled TIFFs, the T.4
+uncompressed-mode option bit, JPEG-in-TIFF, planar configuration 2,
+and bit depths other than 1/8 raise NotImplementedError.
 """
 
 from __future__ import annotations
@@ -47,8 +52,18 @@ TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
 # tag ids
 _W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
 _DESCRIPTION = 270  # ImageDescription (ASCII) — carries the media_ref
+_FILL_ORDER = 266
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
+_T4_OPTIONS, _T6_OPTIONS = 292, 293
 _PREDICTOR, _COLORMAP = 317, 320
+
+# FillOrder 2: bits within a byte arrive LSB-first (old scanner
+# hardware); reverse each byte before the MSB-first CCITT reader
+_BITREV = np.packbits(
+    np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1),
+    axis=1,
+    bitorder="little",
+).ravel()
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i"}
@@ -124,22 +139,47 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
     depth = bits[0]
     if depth not in (1, 8):
         raise NotImplementedError(f"TIFF bit depth {depth} not supported here")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 2, 3, 4, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {comp} not supported here (none/LZW/PackBits)"
+            f"TIFF compression {comp} not supported here "
+            "(none/CCITT 2/3/4/LZW/PackBits)"
         )
+    if comp in (2, 3, 4):
+        if depth != 1 or spp != 1:
+            raise ValueError("CCITT TIFF requires 1-bit single-sample data")
+        if comp == 3 and tags.get(_T4_OPTIONS, [0])[0] & 2:
+            raise NotImplementedError("T.4 uncompressed mode not supported")
+        if comp == 4 and tags.get(_T6_OPTIONS, [0])[0] & 2:
+            raise NotImplementedError("T.6 uncompressed mode not supported")
 
     rowbytes = (w * spp * depth + 7) // 8
     raw = bytearray()
     for i, (off, cnt) in enumerate(zip(offs, cnts)):
         strip = data[off : off + cnt]
+        nrows = min(rows_per_strip, h - i * rows_per_strip)
         if comp == 5:
             from .pdf import _lzw_decode  # TIFF LZW == PDF LZW (MSB-first)
 
             strip = _lzw_decode(strip)
         elif comp == 32773:
             strip = _packbits_decode_tiff(strip)
-        nrows = min(rows_per_strip, h - i * rows_per_strip)
+        elif comp in (2, 3, 4):
+            from .ccitt import ccitt_decode
+
+            if tags.get(_FILL_ORDER, [1])[0] == 2:
+                strip = _BITREV[np.frombuffer(strip, dtype=np.uint8)].tobytes()
+            if comp == 2:  # Modified Huffman: byte-aligned 1D rows
+                k, aligned = 0, True
+            elif comp == 3:
+                t4 = tags.get(_T4_OPTIONS, [0])[0]
+                k, aligned = (1 if t4 & 1 else 0), bool(t4 & 4)
+            else:
+                k, aligned = -1, False
+            fax = ccitt_decode(strip, w, nrows, k=k, byte_align=aligned)
+            # fax domain 1 = black; photometric declares which sample
+            # value is white (0 = WhiteIsZero, the fax default)
+            samples = fax if photo == 0 else 1 - fax
+            strip = np.packbits(samples, axis=1).tobytes()
         strip = strip[: nrows * rowbytes]  # strips may carry padding
         if len(strip) < nrows * rowbytes:
             raise ValueError(f"TIFF strip {i} shorter than its rows")
@@ -234,28 +274,43 @@ def decode_tiff_refs(data: bytes) -> list[str] | None:
 # fixture encoder
 # ---------------------------------------------------------------------------
 
+_FAX_COMPRESSIONS = {"mh": 2, "g3": 3, "g4": 4}
+
+
 def encode_tiff(
     img: np.ndarray,
     compression: str = "none",
     bilevel: bool = False,
     photometric_zero_is_white: bool = False,
     rows_per_strip: int | None = None,
+    fill_order: int = 1,
 ) -> bytes:
     """(H,W) grey / (H,W,3) RGB uint8 → little-endian TIFF bytes.
     bilevel=True packs a 0/255 grey image to 1 bit/sample (the scanned
-    fax layout); compression "none" or "packbits"."""
+    fax layout); compression "none", "packbits", or — bilevel only —
+    the CCITT family "mh" (2), "g3" (Group 3 2D, T4Options=1) or "g4"
+    (Group 4 MMR), each strip independently coded; fill_order=2 writes
+    LSB-first fax bytes (old scanner hardware)."""
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("encode_tiff expects uint8 (H,W) or (H,W,3)")
-    if compression not in ("none", "packbits"):
-        raise ValueError("compression must be 'none' or 'packbits'")
+    if compression not in ("none", "packbits", *_FAX_COMPRESSIONS):
+        raise ValueError("compression must be 'none'/'packbits'/'mh'/'g3'/'g4'")
+    if compression in _FAX_COMPRESSIONS and not bilevel:
+        raise ValueError("CCITT compressions need bilevel=True")
+    if fill_order not in (1, 2):
+        raise ValueError("fill_order must be 1 or 2")
+    if fill_order == 2 and compression not in _FAX_COMPRESSIONS:
+        raise ValueError("fill_order=2 only written for CCITT strips here")
     h, w = img.shape[0], img.shape[1]
     spp = 1 if img.ndim == 2 else img.shape[2]
+    bitmat = None
     if bilevel:
         if img.ndim != 2 or not np.isin(img, (0, 255)).all():
             raise ValueError("bilevel needs a 0/255 (H,W) image")
         bitsrows = (img == 255).astype(np.uint8)
         if photometric_zero_is_white:
             bitsrows = 1 - bitsrows
+        bitmat = bitsrows
         rows = [np.packbits(bitsrows[y]).tobytes() for y in range(h)]
         depth, photo = 1, (0 if photometric_zero_is_white else 1)
     else:
@@ -264,14 +319,35 @@ def encode_tiff(
     rps = rows_per_strip or h
     strips = []
     for s in range(0, h, rps):
-        body = b"".join(rows[s : s + rps])
-        if compression == "packbits":
-            # simple literal PackBits: runs of ≤128 literal bytes
-            enc = bytearray()
-            for i in range(0, len(body), 128):
-                chunk = body[i : i + 128]
-                enc += bytes([len(chunk) - 1]) + chunk
-            body = bytes(enc)
+        if compression in _FAX_COMPRESSIONS:
+            from .ccitt import (
+                ccitt_encode_g3_1d,
+                ccitt_encode_g3_2d,
+                ccitt_encode_g4,
+            )
+
+            # coding domain is 1 = black; photo 0 stores 1 = black
+            # already, photo 1 stores 1 = white
+            fax_bits = bitmat[s : s + rps]
+            if photo == 1:
+                fax_bits = 1 - fax_bits
+            if compression == "mh":
+                body = ccitt_encode_g3_1d(fax_bits, byte_align=True)
+            elif compression == "g3":
+                body = ccitt_encode_g3_2d(fax_bits)
+            else:
+                body = ccitt_encode_g4(fax_bits)
+            if fill_order == 2:
+                body = _BITREV[np.frombuffer(body, dtype=np.uint8)].tobytes()
+        else:
+            body = b"".join(rows[s : s + rps])
+            if compression == "packbits":
+                # simple literal PackBits: runs of ≤128 literal bytes
+                enc = bytearray()
+                for i in range(0, len(body), 128):
+                    chunk = body[i : i + 128]
+                    enc += bytes([len(chunk) - 1]) + chunk
+                body = bytes(enc)
         strips.append(body)
 
     entries = []  # (tag, type, count, value-or-bytes)
@@ -287,8 +363,15 @@ def encode_tiff(
         tag_short(_BITS, depth)
     else:
         entries.append((_BITS, 3, 3, struct.pack("<HHH", 8, 8, 8)))
-    tag_short(_COMP, 1 if compression == "none" else 32773)
+    tag_short(
+        _COMP,
+        _FAX_COMPRESSIONS.get(compression, 1 if compression == "none" else 32773),
+    )
     tag_short(_PHOTO, photo)
+    if compression == "g3":
+        tag_long(_T4_OPTIONS, 1)  # 2D coding, no uncompressed, no align
+    if fill_order == 2:
+        tag_short(_FILL_ORDER, 2)
     entries.append((_STRIP_OFF, 4, len(strips), None))  # patched below
     tag_short(_SPP, spp)
     tag_long(_ROWS_PER_STRIP, rps)

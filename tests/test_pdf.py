@@ -75,6 +75,31 @@ class TestCodecRoundtrip:
             assert re.match(rb"%d\s+0\s+obj" % num, data[off : off + 20])
 
 
+class TestCcittPdfs:
+    def test_ccitt_g4_page_roundtrip_both_xref_layouts(self):
+        # archival-scan layout: 1-bit /CCITTFaxDecode image XObjects
+        rng = np.random.default_rng(17)
+        pages = [
+            (rng.integers(0, 2, (40, 70)) * 255).astype(np.uint8),
+            (rng.integers(0, 2, (25, 31)) * 255).astype(np.uint8),
+        ]
+        for xf in ("classic", "stream"):
+            out = decode_pdf(encode_pdf(pages, image_format="ccitt", xref_format=xf))
+            assert len(out) == 2
+            for got, want in zip(out, pages):
+                assert (got == want).all(), xf  # G4 is lossless
+
+    def test_ccitt_encrypted_page(self):
+        rng = np.random.default_rng(18)
+        page = (rng.integers(0, 2, (16, 22)) * 255).astype(np.uint8)
+        out = decode_pdf(encode_pdf([page], image_format="ccitt", encrypt="aes-128"))
+        assert (out[0] == page).all()
+
+    def test_ccitt_rejects_non_bilevel(self):
+        with pytest.raises(ValueError):
+            encode_pdf([np.full((4, 4), 90, np.uint8)], image_format="ccitt")
+
+
 class TestForeignPdfs:
     """Hand-built PDFs exercising parser paths our writer never emits."""
 

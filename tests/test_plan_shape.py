@@ -107,3 +107,21 @@ def test_heavy_doc_crops_spread_across_partitions(spark):
     total = sum(counts.values())
     assert len(counts) >= 6, counts  # spread over most of the 8 partitions
     assert max(counts.values()) / total < 0.4, counts  # no single-task hotspot
+
+
+def test_overlap_join_probe_side_is_spread(spark, tmp_path):
+    # the spatial theta-join broadcasts the small dim side (the right
+    # 100 TB shape), but its probe side arrives as a single parquet
+    # file = one partition — at sf1 that serialized 2G pair
+    # evaluations onto one task. The REPARTITION hint must survive
+    # into the physical plan so the codegen'd pair loop parallelizes.
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+
+    df = em.queries()["overlap_join"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "RoundRobinPartitioning(32)" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -46,6 +46,39 @@ class TestRoundtrip:
         g = _rng().integers(0, 256, (5, 6)).astype(np.uint8)
         assert encode_tiff(g) == encode_tiff(g)
 
+    def test_ccitt_fax_all_modes_polarities_strips(self):
+        # compressions 2 (MH) / 3 (G3 2D) / 4 (G4 MMR), both
+        # photometric polarities, strip-independent coding
+        img = (_rng().integers(0, 2, (37, 83)) * 255).astype(np.uint8)
+        for comp in ("mh", "g3", "g4"):
+            for pzw in (False, True):
+                for rps in (None, 10):
+                    out = decode_tiff(
+                        encode_tiff(
+                            img,
+                            compression=comp,
+                            bilevel=True,
+                            photometric_zero_is_white=pzw,
+                            rows_per_strip=rps,
+                        )
+                    )
+                    assert (out == img).all(), (comp, pzw, rps)
+
+    def test_ccitt_fill_order_2(self):
+        # LSB-first fax bytes from old scanner hardware: FillOrder 2
+        # must bit-reverse each byte before the MSB-first reader
+        img = (_rng().integers(0, 2, (12, 40)) * 255).astype(np.uint8)
+        data = encode_tiff(img, compression="g4", bilevel=True, fill_order=2)
+        assert (decode_tiff(data) == img).all()
+        # and the tag is really written: flipping it off breaks decode
+        plain = encode_tiff(img, compression="g4", bilevel=True)
+        assert data != plain
+
+    def test_ccitt_requires_bilevel(self):
+        g = _rng().integers(0, 256, (6, 6)).astype(np.uint8)
+        with pytest.raises(ValueError):
+            encode_tiff(g, compression="g4")
+
 
 def _ifd_le(tags, strips, extra=b""):
     """Hand-build a little-endian single-IFD TIFF for foreign layouts."""
@@ -232,10 +265,14 @@ class TestForeignLayouts:
     def test_declared_unsupported(self):
         g = np.zeros((2, 2), dtype=np.uint8)
         data = bytearray(encode_tiff(g))
-        # patch compression tag to CCITT G4 (4)
+        # patch compression tag to JPEG-in-TIFF (7) — still out of scope
         i = data.index(struct.pack("<HHI", 259, 3, 1))
+        data[i + 8 : i + 10] = struct.pack("<H", 7)
+        with pytest.raises(NotImplementedError, match="compression 7"):
+            decode_tiff(bytes(data))
+        # CCITT (4) on 8-bit data is a malformed file, not a scope gap
         data[i + 8 : i + 10] = struct.pack("<H", 4)
-        with pytest.raises(NotImplementedError, match="compression 4"):
+        with pytest.raises(ValueError, match="1-bit"):
             decode_tiff(bytes(data))
         with pytest.raises(ValueError, match="magic"):
             decode_tiff(b"NOPE" + bytes(16))
