@@ -56,6 +56,7 @@ FEATURES_MOD = 10
 PNG_MOD = 20
 JPEG_MOD = 20
 LEGACY_MOD = 20
+FAX_MOD = 20
 PDF_MOD = 20
 TIFF_MOD = 20
 AUDIO_MOD = 10
@@ -509,6 +510,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             legacy_store_df(refs, parallelism=spark.sparkContext.defaultParallelism)
         )
 
+    def q_media_fax_roundtrip(spark):
+        # the scanned-fax seam: render → threshold to bilevel → encode
+        # REAL CCITT TIFF bytes (G4/G3-2D/G3-1D MH, both photometric
+        # polarities, FillOrder 1/2, single- and multi-strip — all
+        # crc32-chosen per ref) → magic-byte dispatch decode →
+        # features. CCITT is lossless on bilevel input, so the oracle
+        # is the fax golden table computed through the same threshold
+        # twin (tools/make_goldens._fax_feature_row).
+        from oar_ocr_spark.functions.multimodal import (
+            fax_store_df,
+            image_features_from_bytes_df,
+        )
+
+        refs = media_refs_df(spark, FAX_MOD)
+        return image_features_from_bytes_df(
+            fax_store_df(refs, parallelism=spark.sparkContext.defaultParallelism)
+        )
+
     def q_pdf_extract(spark):
         # PDF container input (ref: hayro dep, Cargo.toml:20; the
         # north-rule's "PDF/layout parse"): pack each doc's pages into
@@ -792,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_roundtrip": with_views(q_media_png_roundtrip),
         "media_jpeg_roundtrip": with_views(q_media_jpeg_roundtrip),
         "media_gif_tiff_bmp_roundtrip": with_views(q_media_legacy_roundtrip),
+        "media_fax_roundtrip": with_views(q_media_fax_roundtrip),
         "pdf_extract": with_views(q_pdf_extract),
         "tiff_extract": with_views(q_tiff_extract),
         "audio_wav_features": with_views(q_audio_wav_features),
@@ -1477,6 +1497,17 @@ refs as (
 select g.media_ref, g.width, g.height, g.mean_intensity, g.ink_ratio,
        g.n_regions
 from read_parquet('{golden_dir}/media_features.parquet') g
+join refs using (media_ref)
+""",
+        "media_fax_roundtrip": f"""
+with spans as ({span_cte}),
+refs as (
+  select distinct media_ref from spans
+  where kind = 'media' and cast(doc_id as bigint) % {FAX_MOD} = 0
+)
+select g.media_ref, g.width, g.height, g.mean_intensity, g.ink_ratio,
+       g.n_regions
+from read_parquet('{golden_dir}/media_features_fax.parquet') g
 join refs using (media_ref)
 """,
         "pdf_extract": _extraction_oracle(PDF_MOD, ""),

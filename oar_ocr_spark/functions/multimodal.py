@@ -235,6 +235,42 @@ def legacy_store_df(
     return payload_store_df(refs, row, ref_col=ref_col, parallelism=parallelism)
 
 
+def fax_store_df(
+    refs: DataFrame, ref_col: str = "media_ref", parallelism: int | None = None
+) -> DataFrame:
+    """(media_ref) → (media_ref, payload) media store of SCANNED-FAX
+    TIFF bytes: the page is thresholded to bilevel (>=128 → 255) and
+    CCITT-compressed (functions/ccitt.py, ITU-T T.4/T.6). Per ref the
+    compression family (G4 MMR / G3 2D / G3 1D MH), the photometric
+    polarity, the FillOrder and single- vs multi-strip layout are
+    crc32-chosen — deterministic across processes — so every fax decode
+    path in functions/tiff.py runs inside the gate. CCITT is lossless
+    on bilevel input, so features through these bytes equal the fax
+    golden table computed through the same threshold twin
+    (tools/make_goldens._fax_feature_row)."""
+
+    def row(ref: str) -> tuple:
+        import zlib
+
+        from ..fixtures.render import render_page
+        from .tiff import encode_tiff
+
+        page = render_page(ref)
+        bilevel = np.where(page >= 128, 255, 0).astype(np.uint8)
+        h = zlib.crc32(("fax:" + ref).encode("utf-8"))
+        data = encode_tiff(
+            bilevel,
+            compression=("g4", "g3", "mh")[h % 3],
+            bilevel=True,
+            photometric_zero_is_white=bool(h & 4),
+            fill_order=2 if h & 8 else 1,
+            rows_per_strip=max(1, bilevel.shape[0] // 3) if h & 16 else None,
+        )
+        return (ref, data)
+
+    return payload_store_df(refs, row, ref_col=ref_col, parallelism=parallelism)
+
+
 def decode_media_df(refs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
     """(media_ref) → decoded metadata row per media item."""
 

@@ -14,20 +14,24 @@ against the public TIFF 6.0 specification:
   2 (Modified Huffman), 3 (Group 3 per T4Options: 1D/2D, byte-aligned
   EOLs) and 4 (Group 4 / MMR), each strip independently coded, with
   FillOrder 2 bit reversal (functions/ccitt.py holds the T.4/T.6
-  codec) — plus horizontal-differencing Predictor 2, and the sample
-  layouts scanned documents use: 1-bit bilevel (both photometric
-  polarities — WhiteIsZero is the fax default), 8-bit greyscale,
-  8-bit RGB (extra samples dropped), palette color (16-bit ColorMap,
-  high byte).
+  codec) — plus new-style JPEG-in-TIFF (7, TIFF-EP: each strip is a
+  complete or abbreviated JPEG interchange stream, shared tables
+  spliced in from the JPEGTables tag 347; functions/jpeg.py decodes),
+  horizontal-differencing Predictor 2, and the sample layouts scanned
+  documents use: 1-bit bilevel (both photometric polarities —
+  WhiteIsZero is the fax default), 8-bit greyscale, 8-bit RGB (extra
+  samples dropped), palette color (16-bit ColorMap, high byte).
 - encoder (`encode_tiff`): strip fixture writer for bilevel / grey /
-  RGB with compression none, PackBits, or the fax family ("mh" /
-  "g3" / "g4", bilevel only), so the decoder is roundtrip-tested
-  without any image library; LZW/predictor paths are pinned by
-  hand-built IFD fixtures in the tests.
+  RGB with compression none, PackBits, the fax family ("mh" / "g3" /
+  "g4", bilevel only) or "jpeg" (q100 baseline per strip, optionally
+  with shared tables hoisted into JPEGTables), so the decoder is
+  roundtrip-tested without any image library; LZW/predictor paths are
+  pinned by hand-built IFD fixtures in the tests.
 
 Scope (declared, fails loudly outside it): tiled TIFFs, the T.4
-uncompressed-mode option bit, JPEG-in-TIFF, planar configuration 2,
-and bit depths other than 1/8 raise NotImplementedError.
+uncompressed-mode option bit, old-style JPEG (compression 6), planar
+configuration 2, and bit depths other than 1/8 raise
+NotImplementedError.
 """
 
 from __future__ import annotations
@@ -56,6 +60,7 @@ _FILL_ORDER = 266
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
 _T4_OPTIONS, _T6_OPTIONS = 292, 293
 _PREDICTOR, _COLORMAP = 317, 320
+_JPEG_TABLES = 347  # TIFF-EP: shared abbreviated JPEG table stream
 
 # FillOrder 2: bits within a byte arrive LSB-first (old scanner
 # hardware); reverse each byte before the MSB-first CCITT reader
@@ -91,7 +96,7 @@ def _read_ifd(data: bytes, pos: int, bo: str) -> tuple[dict[int, list[int] | byt
         fmt = _TYPE_FMT.get(typ)
         if fmt is not None:
             tags[tag] = list(struct.unpack(bo + fmt * count, raw))
-        elif typ == 2:  # ASCII (ImageDescription et al.): keep raw bytes
+        elif typ in (2, 7):  # ASCII / UNDEFINED (JPEGTables): raw bytes
             tags[tag] = raw
         at += 12
     (nxt,) = struct.unpack(bo + "I", data[at : at + 4])
@@ -139,11 +144,48 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
     depth = bits[0]
     if depth not in (1, 8):
         raise NotImplementedError(f"TIFF bit depth {depth} not supported here")
-    if comp not in (1, 2, 3, 4, 5, 32773):
+    if comp == 6:
+        raise NotImplementedError(
+            "old-style JPEG-in-TIFF (compression 6) not supported here "
+            "(deprecated by TIFF TechNote 2; new-style 7 is)"
+        )
+    if comp not in (1, 2, 3, 4, 5, 7, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} not supported here "
-            "(none/CCITT 2/3/4/LZW/PackBits)"
+            "(none/CCITT 2/3/4/LZW/JPEG 7/PackBits)"
         )
+    if comp == 7:
+        # new-style JPEG (TIFF-EP): every strip is its own JPEG
+        # interchange stream; a JPEGTables tag holds shared DQT/DHT
+        # segments as an abbreviated SOI..EOI stream to splice in
+        from .jpeg import decode_jpeg
+
+        if depth != 8:
+            raise NotImplementedError("JPEG-in-TIFF requires 8-bit samples")
+        tables = tags.get(_JPEG_TABLES)
+        if tables is not None:
+            tables = bytes(tables)
+            if len(tables) < 4 or tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9":
+                raise ValueError("TIFF JPEGTables is not an SOI..EOI stream")
+        parts = []
+        for i, (off, cnt) in enumerate(zip(offs, cnts)):
+            strip = data[off : off + cnt]
+            if strip[:2] != b"\xff\xd8":
+                raise ValueError(f"TIFF JPEG strip {i} missing SOI")
+            if tables is not None:
+                strip = strip[:2] + tables[2:-2] + strip[2:]
+            img = decode_jpeg(strip)
+            nrows = min(rows_per_strip, h - i * rows_per_strip)
+            if img.shape[0] < nrows or img.shape[1] != w:
+                raise ValueError(
+                    f"TIFF JPEG strip {i} decodes to {img.shape[:2]}, "
+                    f"want >= ({nrows}, {w})"
+                )
+            parts.append(img[:nrows])
+        out = parts[0] if len(parts) == 1 else np.vstack(parts)
+        if out.ndim == 2 and photo == 0:  # WhiteIsZero greyscale
+            out = 255 - out
+        return np.ascontiguousarray(out)
     if comp in (2, 3, 4):
         if depth != 1 or spp != 1:
             raise ValueError("CCITT TIFF requires 1-bit single-sample data")
@@ -277,6 +319,33 @@ def decode_tiff_refs(data: bytes) -> list[str] | None:
 _FAX_COMPRESSIONS = {"mh": 2, "g3": 3, "g4": 4}
 
 
+def _jpeg_split_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Full JPEG interchange stream → (shared-tables stream, abbreviated
+    stream): DQT/DHT segments move into an SOI..EOI tables blob (the
+    JPEGTables tag payload per TIFF-EP), everything else — headers, SOS
+    and entropy data — stays. The decoder's splice is the inverse."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tables = bytearray(b"\xff\xd8")
+    out = bytearray(b"\xff\xd8")
+    i = 2
+    while i + 4 <= len(stream):
+        if stream[i] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = stream[i + 1]
+        if marker == 0xDA:  # SOS: entropy data + EOI follow verbatim
+            out += stream[i:]
+            break
+        seglen = int.from_bytes(stream[i + 2 : i + 4], "big")
+        seg = stream[i : i + 2 + seglen]
+        (tables if marker in (0xDB, 0xC4) else out).extend(seg)
+        i += 2 + seglen
+    else:
+        raise ValueError("JPEG stream ended before SOS")
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(out)
+
+
 def encode_tiff(
     img: np.ndarray,
     compression: str = "none",
@@ -284,19 +353,29 @@ def encode_tiff(
     photometric_zero_is_white: bool = False,
     rows_per_strip: int | None = None,
     fill_order: int = 1,
+    jpeg_tables: bool = False,
 ) -> bytes:
     """(H,W) grey / (H,W,3) RGB uint8 → little-endian TIFF bytes.
     bilevel=True packs a 0/255 grey image to 1 bit/sample (the scanned
-    fax layout); compression "none", "packbits", or — bilevel only —
-    the CCITT family "mh" (2), "g3" (Group 3 2D, T4Options=1) or "g4"
-    (Group 4 MMR), each strip independently coded; fill_order=2 writes
-    LSB-first fax bytes (old scanner hardware)."""
+    fax layout); compression "none", "packbits", "jpeg" (new-style 7:
+    a q100 baseline JPEG stream per strip; jpeg_tables=True hoists the
+    shared DQT/DHT segments into the JPEGTables tag and writes
+    abbreviated strip streams), or — bilevel only — the CCITT family
+    "mh" (2), "g3" (Group 3 2D, T4Options=1) or "g4" (Group 4 MMR),
+    each strip independently coded; fill_order=2 writes LSB-first fax
+    bytes (old scanner hardware)."""
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("encode_tiff expects uint8 (H,W) or (H,W,3)")
-    if compression not in ("none", "packbits", *_FAX_COMPRESSIONS):
-        raise ValueError("compression must be 'none'/'packbits'/'mh'/'g3'/'g4'")
+    if compression not in ("none", "packbits", "jpeg", *_FAX_COMPRESSIONS):
+        raise ValueError(
+            "compression must be 'none'/'packbits'/'jpeg'/'mh'/'g3'/'g4'"
+        )
     if compression in _FAX_COMPRESSIONS and not bilevel:
         raise ValueError("CCITT compressions need bilevel=True")
+    if compression == "jpeg" and bilevel:
+        raise ValueError("JPEG-in-TIFF requires 8-bit samples, not bilevel")
+    if jpeg_tables and compression != "jpeg":
+        raise ValueError("jpeg_tables only applies to compression='jpeg'")
     if fill_order not in (1, 2):
         raise ValueError("fill_order must be 1 or 2")
     if fill_order == 2 and compression not in _FAX_COMPRESSIONS:
@@ -316,10 +395,16 @@ def encode_tiff(
     else:
         rows = [img[y].tobytes() for y in range(h)]
         depth, photo = 8, (1 if spp == 1 else 2)
+        if compression == "jpeg" and spp == 3:
+            photo = 6  # our JPEG encoder stores color as YCbCr
     rps = rows_per_strip or h
     strips = []
     for s in range(0, h, rps):
-        if compression in _FAX_COMPRESSIONS:
+        if compression == "jpeg":
+            from .jpeg import encode_jpeg
+
+            body = encode_jpeg(np.ascontiguousarray(img[s : s + rps]), quality=100)
+        elif compression in _FAX_COMPRESSIONS:
             from .ccitt import (
                 ccitt_encode_g3_1d,
                 ccitt_encode_g3_2d,
@@ -350,6 +435,16 @@ def encode_tiff(
                 body = bytes(enc)
         strips.append(body)
 
+    tables_blob = None
+    if jpeg_tables:
+        # hoist the (identical, fixed-q100) DQT/DHT segments out of
+        # every strip into one shared JPEGTables stream
+        split = [_jpeg_split_tables(s) for s in strips]
+        tables_blob = split[0][0]
+        if any(t != tables_blob for t, _ in split):
+            raise ValueError("JPEG strips disagree on tables")
+        strips = [abbrev for _, abbrev in split]
+
     entries = []  # (tag, type, count, value-or-bytes)
     def tag_short(t, v):
         entries.append((t, 3, 1, struct.pack("<H", v) + b"\x00\x00"))
@@ -365,9 +460,14 @@ def encode_tiff(
         entries.append((_BITS, 3, 3, struct.pack("<HHH", 8, 8, 8)))
     tag_short(
         _COMP,
-        _FAX_COMPRESSIONS.get(compression, 1 if compression == "none" else 32773),
+        _FAX_COMPRESSIONS.get(
+            compression,
+            {"none": 1, "jpeg": 7}.get(compression, 32773),
+        ),
     )
     tag_short(_PHOTO, photo)
+    if tables_blob is not None:
+        entries.append((_JPEG_TABLES, 7, len(tables_blob), tables_blob))
     if compression == "g3":
         tag_long(_T4_OPTIONS, 1)  # 2D coding, no uncompressed, no align
     if fill_order == 2:

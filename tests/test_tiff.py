@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from oar_ocr_spark.functions.tiff import (
+    _read_ifd,
     decode_tiff,
     decode_tiff_pages,
     encode_tiff,
@@ -265,10 +266,10 @@ class TestForeignLayouts:
     def test_declared_unsupported(self):
         g = np.zeros((2, 2), dtype=np.uint8)
         data = bytearray(encode_tiff(g))
-        # patch compression tag to JPEG-in-TIFF (7) — still out of scope
+        # patch compression tag to Adobe Deflate (8) — still out of scope
         i = data.index(struct.pack("<HHI", 259, 3, 1))
-        data[i + 8 : i + 10] = struct.pack("<H", 7)
-        with pytest.raises(NotImplementedError, match="compression 7"):
+        data[i + 8 : i + 10] = struct.pack("<H", 8)
+        with pytest.raises(NotImplementedError, match="compression 8"):
             decode_tiff(bytes(data))
         # CCITT (4) on 8-bit data is a malformed file, not a scope gap
         data[i + 8 : i + 10] = struct.pack("<H", 4)
@@ -422,3 +423,137 @@ class TestSparkUnpack:
         )
         refs = sorted(r["media_ref"] for r in tiff_media_store_df(tiffs).collect())
         assert refs == ["t0#page0", "t0#page1"]
+
+
+class TestFaxStore:
+    """fax_store_df: the scanned-fax write seam (bilevel CCITT TIFF)."""
+
+    def test_flavors_roundtrip_thresholded_page(self, spark):
+        import zlib
+
+        from pyspark.sql import functions as F
+
+        from oar_ocr_spark.fixtures.corpus import generate_documents
+        from oar_ocr_spark.fixtures.render import render_page
+        from oar_ocr_spark.functions.multimodal import fax_store_df
+        from oar_ocr_spark.functions.tiff import decode_tiff
+        from oar_ocr_spark.schemas import DOCUMENTS_SCHEMA
+
+        docs_raw = generate_documents(30, seed=13)
+        rows = [
+            (d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in docs_raw
+        ]
+        docs = spark.createDataFrame(rows, schema=DOCUMENTS_SCHEMA)
+        refs = (
+            docs.select(F.explode("spans").alias("s"))
+            .where(F.col("s.kind") == "media")
+            .select(F.col("s.media_ref").alias("media_ref"))
+            .distinct()
+        )
+        store = {r["media_ref"]: bytes(r["payload"]) for r in fax_store_df(refs).collect()}
+
+        # the crc32 flavor split must exercise every CCITT family and
+        # both fill orders across the corpus
+        hs = [zlib.crc32(("fax:" + r).encode("utf-8")) for r in store]
+        assert {h % 3 for h in hs} == {0, 1, 2}
+        assert {bool(h & 8) for h in hs} == {False, True}
+
+        for ref, payload in store.items():
+            bilevel = np.where(render_page(ref) >= 128, 255, 0).astype(np.uint8)
+            assert (decode_tiff(payload) == bilevel).all(), ref
+
+
+class TestJpegInTiff:
+    """New-style JPEG-in-TIFF (compression 7, TIFF-EP)."""
+
+    def _grey(self):
+        return _rng().integers(0, 256, (40, 56)).astype(np.uint8)
+
+    def test_grey_roundtrip_equals_jpeg_twin(self):
+        from oar_ocr_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        img = self._grey()
+        want = decode_jpeg(encode_jpeg(img, quality=100))
+        got = decode_tiff(encode_tiff(img, compression="jpeg"))
+        assert (got == want).all()
+
+    def test_rgb_roundtrip_photometric_ycbcr(self):
+        from oar_ocr_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        img = _rng().integers(0, 256, (24, 32, 3)).astype(np.uint8)
+        want = decode_jpeg(encode_jpeg(img, quality=100))
+        data = encode_tiff(img, compression="jpeg")
+        assert (decode_tiff(data) == want).all()
+        # photometric must say YCbCr (6): that is what the stream holds
+        tags, _ = _read_ifd(data, 8, "<")
+        assert tags[262] == [6]
+
+    def test_multi_strip_stacks_independent_streams(self):
+        from oar_ocr_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        img = self._grey()
+        got = decode_tiff(encode_tiff(img, compression="jpeg", rows_per_strip=13))
+        want = np.vstack(
+            [
+                decode_jpeg(encode_jpeg(img[s : s + 13], quality=100))
+                for s in range(0, img.shape[0], 13)
+            ]
+        )
+        assert (got == want).all()
+
+    def test_jpeg_tables_hoist_roundtrips_and_shrinks_strips(self):
+        img = self._grey()
+        plain = encode_tiff(img, compression="jpeg", rows_per_strip=8)
+        hoisted = encode_tiff(
+            img, compression="jpeg", rows_per_strip=8, jpeg_tables=True
+        )
+        assert (decode_tiff(hoisted) == decode_tiff(plain)).all()
+        tags, _ = _read_ifd(hoisted, 8, "<")
+        blob = bytes(tags[347])
+        assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+        assert b"\xff\xdb" in blob and b"\xff\xc4" in blob  # DQT + DHT
+        # abbreviated strips must not carry their own tables
+        for off, cnt in zip(tags[273], tags[279]):
+            strip = hoisted[off : off + cnt]
+            assert b"\xff\xdb" not in strip[:200]
+        assert sum(tags[279]) < sum(_read_ifd(plain, 8, "<")[0][279])
+
+    def test_whiteiszero_grey_inverts(self):
+        # foreign fixture: patch photometric to 0 on a grey JPEG TIFF
+        img = self._grey()
+        data = bytearray(encode_tiff(img, compression="jpeg"))
+        tags, _ = _read_ifd(bytes(data), 8, "<")
+        assert tags[262] == [1]
+        # IFD entries start at 10; find the photometric entry and flip it
+        (n,) = struct.unpack("<H", data[8:10])
+        for e in range(n):
+            at = 10 + 12 * e
+            tag, typ, cnt = struct.unpack("<HHI", data[at : at + 8])
+            if tag == 262:
+                data[at + 8 : at + 10] = struct.pack("<H", 0)
+        inv = decode_tiff(bytes(data))
+        assert (inv == 255 - decode_tiff(encode_tiff(img, compression="jpeg"))).all()
+
+    def test_declared_failures(self):
+        img = self._grey()
+        with pytest.raises(ValueError, match="bilevel"):
+            encode_tiff((img > 127).astype(np.uint8) * 255, compression="jpeg", bilevel=True)
+        with pytest.raises(ValueError, match="jpeg_tables"):
+            encode_tiff(img, jpeg_tables=True)
+        # corrupt strip: SOI stripped → declared loud failure
+        data = bytearray(encode_tiff(img, compression="jpeg"))
+        tags, _ = _read_ifd(bytes(data), 8, "<")
+        off = tags[273][0]
+        data[off : off + 2] = b"\x00\x00"
+        with pytest.raises(ValueError, match="missing SOI"):
+            decode_tiff(bytes(data))
+        # old-style JPEG (compression 6) is a declared boundary
+        data = bytearray(encode_tiff(img, compression="jpeg"))
+        (n,) = struct.unpack("<H", data[8:10])
+        for e in range(n):
+            at = 10 + 12 * e
+            tag, typ, cnt = struct.unpack("<HHI", data[at : at + 8])
+            if tag == 259:
+                data[at + 8 : at + 10] = struct.pack("<H", 6)
+        with pytest.raises(NotImplementedError, match="old-style"):
+            decode_tiff(bytes(data))

@@ -114,6 +114,11 @@ def main() -> int:
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("oracle_parity")
+        # local mode = ONE JVM for driver + executors; the 1g default
+        # heap OOMs the sf1 aggregations (8 tasks × 128 MB), so size it
+        # like a real executor (2g/task) — the gate semantics are
+        # config-independent (order-insensitive streamed hash)
+        .config("spark.driver.memory", "16g")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -26,6 +26,11 @@ Golden tables (all keyed by content, so they are sf-independent):
                             (render → encode_jpeg(q100) → decode →
                             features), so the JPEG oracle never
                             assumes losslessness
+- media_features_fax.parquet — features through the scanned-fax byte
+                            path (render → threshold to bilevel →
+                            CCITT-TIFF encode → decode → features);
+                            CCITT is lossless on bilevel input, so the
+                            twin reduces to the threshold
 - audio_features.parquet    — WAV roundtrip clip features (twin of
                             wav.audio_features_from_bytes_df)
 - video_frames.parquet      — AVI-MJPEG sampled-frame features (twin
@@ -58,6 +63,7 @@ GOLDEN_DIR = os.path.join(
 from __spark_entry__ import (  # noqa: E402
     AUDIO_MOD,
     E2E_MOD,
+    FAX_MOD,
     FEATURES_MOD,
     JPEG_MOD,
     ROTWARP_MOD,
@@ -195,6 +201,31 @@ def _structure_page(ref: str) -> tuple[list[tuple], str, bool, bool]:
     return rows, markdown, p_start, p_end
 
 
+def _fax_feature_row(ref: str) -> tuple:
+    """Features through the scanned-fax byte path: render → threshold
+    to bilevel (>=128 → 255) → the same feature function. CCITT G3/G4
+    is lossless on bilevel input (pinned by test_ccitt/test_tiff
+    roundtrips), so the byte path reduces to the threshold (the twin of
+    multimodal.image_features_from_bytes_df over fax_store_df)."""
+    import numpy as np
+
+    from oar_ocr_spark.fixtures.render import render_page
+    from oar_ocr_spark.local_ref import ExtractConfig, detect_page, preprocess_page
+
+    cfg = ExtractConfig()
+    img = np.where(render_page(ref) >= 128, 255, 0).astype(np.uint8)
+    upright, _ = preprocess_page(img, cfg)
+    boxes, _ = detect_page(upright, cfg)
+    return (
+        ref,
+        int(img.shape[1]),
+        int(img.shape[0]),
+        np.float32(img.mean()),
+        np.float32((img < 200).mean()),
+        int(len(boxes)),
+    )
+
+
 def main() -> int:
     import duckdb
     import pandas as pd
@@ -212,6 +243,7 @@ def main() -> int:
     feat_refs: set[str] = set()
     struct_refs: set[str] = set()
     jpeg_refs: set[str] = set()
+    fax_refs: set[str] = set()
     audio_refs: set[str] = set()
     video_refs: set[str] = set()
     # doc markdown work: (doc_id, seq_hash) -> ordered ref list
@@ -241,6 +273,8 @@ def main() -> int:
                 struct_refs.add(ref)
             if did % JPEG_MOD == 0:
                 jpeg_refs.add(ref)
+            if did % FAX_MOD == 0:
+                fax_refs.add(ref)
             if did % AUDIO_MOD == 0:
                 audio_refs.add(ref)
             if did % VIDEO_MOD == 0:
@@ -262,6 +296,7 @@ def main() -> int:
         feat_rows = pool.map(_feature_row, sorted(feat_refs), 32)
         struct_results = pool.map(_structure_page, sorted(struct_refs), 16)
         jpeg_rows = pool.map(_jpeg_feature_row, sorted(jpeg_refs), 32)
+        fax_rows = pool.map(_fax_feature_row, sorted(fax_refs), 32)
         audio_rows = pool.map(_audio_feature_row, sorted(audio_refs), 32)
         video_rows = [
             row
@@ -351,6 +386,23 @@ def main() -> int:
         "media_features_jpeg.parquet",
         pd.DataFrame(
             jpeg_rows,
+            columns=["media_ref", "width", "height", "mean_intensity", "ink_ratio", "n_regions"],
+        ),
+        pa.schema(
+            [
+                ("media_ref", pa.string()),
+                ("width", pa.int32()),
+                ("height", pa.int32()),
+                ("mean_intensity", pa.float32()),
+                ("ink_ratio", pa.float32()),
+                ("n_regions", pa.int32()),
+            ]
+        ),
+    )
+    write(
+        "media_features_fax.parquet",
+        pd.DataFrame(
+            fax_rows,
             columns=["media_ref", "width", "height", "mean_intensity", "ink_ratio", "n_regions"],
         ),
         pa.schema(
