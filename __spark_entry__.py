@@ -582,6 +582,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             wav_store_df(refs, parallelism=spark.sparkContext.defaultParallelism)
         )
 
+    def q_audio_telephony_roundtrip(spark):
+        # the COMPRESSED voice seam: waveform fixture → G.711 mu-law /
+        # A-law / IMA ADPCM bytes (crc32-chosen per ref, multi-block
+        # ADPCM included) → decode → clip features. All three are
+        # lossy, so the golden is computed through the same
+        # encode-then-decode twin (audio_features_telephony.parquet) —
+        # the media_jpeg_roundtrip pattern for audio.
+        from oar_ocr_spark.functions.wav import (
+            audio_features_from_bytes_df,
+            telephony_store_df,
+        )
+
+        refs = media_refs_df(spark, AUDIO_MOD)
+        return audio_features_from_bytes_df(
+            telephony_store_df(refs, parallelism=spark.sparkContext.defaultParallelism)
+        )
+
     def q_video_frame_stats(spark):
         # video modality through a REAL container: AVI-MJPEG
         # (functions/avi.py) with 8 frames per ref; the sampler seeks
@@ -815,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_extract": with_views(q_pdf_extract),
         "tiff_extract": with_views(q_tiff_extract),
         "audio_wav_features": with_views(q_audio_wav_features),
+        "audio_telephony_roundtrip": with_views(q_audio_telephony_roundtrip),
         "video_frame_stats": with_views(q_video_frame_stats),
         "html_extract": with_views(q_html_extract),
         "extraction_text_only": with_views(q_extraction_text_only),
@@ -1521,6 +1539,17 @@ refs as (
 select g.media_ref, g.n_samples, g.sample_rate, g.duration_ms, g.rms,
        g.peak, g.zero_crossings
 from read_parquet('{golden_dir}/audio_features.parquet') g
+join refs using (media_ref)
+""",
+        "audio_telephony_roundtrip": f"""
+with spans as ({span_cte}),
+refs as (
+  select distinct media_ref from spans
+  where kind = 'media' and cast(doc_id as bigint) % {AUDIO_MOD} = 0
+)
+select g.media_ref, g.n_samples, g.sample_rate, g.duration_ms, g.rms,
+       g.peak, g.zero_crossings
+from read_parquet('{golden_dir}/audio_features_telephony.parquet') g
 join refs using (media_ref)
 """,
         "video_frame_stats": f"""

@@ -181,6 +181,7 @@ def main() -> None:
         "pdf_extract",
         "tiff_extract",
         "audio_wav_features",
+        "audio_telephony_roundtrip",
         "video_frame_stats",
         "html_extract",
         "doc_text_stats",

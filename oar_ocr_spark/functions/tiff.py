@@ -122,10 +122,83 @@ def _packbits_decode_tiff(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _block_to_packed(
+    block: bytes,
+    comp: int,
+    tags: dict,
+    nrows: int,
+    width: int,
+    spp: int,
+    depth: int,
+    photo: int,
+    label: str,
+) -> bytes:
+    """One compressed strip/tile → exactly nrows × rowbytes packed
+    sample bytes (the codec switch shared by the strip and tile
+    layouts; CCITT blocks are each an independent fax coding of
+    width × nrows pixels)."""
+    rowbytes = (width * spp * depth + 7) // 8
+    if comp == 5:
+        from .pdf import _lzw_decode  # TIFF LZW == PDF LZW (MSB-first)
+
+        block = _lzw_decode(block)
+    elif comp == 32773:
+        block = _packbits_decode_tiff(block)
+    elif comp in (2, 3, 4):
+        from .ccitt import ccitt_decode
+
+        if tags.get(_FILL_ORDER, [1])[0] == 2:
+            block = _BITREV[np.frombuffer(block, dtype=np.uint8)].tobytes()
+        if comp == 2:  # Modified Huffman: byte-aligned 1D rows
+            k, aligned = 0, True
+        elif comp == 3:
+            t4 = tags.get(_T4_OPTIONS, [0])[0]
+            k, aligned = (1 if t4 & 1 else 0), bool(t4 & 4)
+        else:
+            k, aligned = -1, False
+        fax = ccitt_decode(block, width, nrows, k=k, byte_align=aligned)
+        # fax domain 1 = black; photometric declares which sample
+        # value is white (0 = WhiteIsZero, the fax default)
+        samples = fax if photo == 0 else 1 - fax
+        block = np.packbits(samples, axis=1).tobytes()
+    block = block[: nrows * rowbytes]  # blocks may carry padding
+    if len(block) < nrows * rowbytes:
+        raise ValueError(f"TIFF {label} shorter than its rows")
+    return block
+
+
+def _jpeg_block(
+    block: bytes, tables: bytes | None, nrows: int, width: int, label: str
+) -> np.ndarray:
+    """One compression-7 strip/tile → its decoded pixels, cropped to
+    (nrows, width). Each block is a complete JPEG interchange stream;
+    shared DQT/DHT from the JPEGTables tag are spliced in after SOI."""
+    from .jpeg import decode_jpeg
+
+    if block[:2] != b"\xff\xd8":
+        raise ValueError(f"TIFF {label} missing SOI")
+    if tables is not None:
+        block = block[:2] + tables[2:-2] + block[2:]
+    img = decode_jpeg(block)
+    if img.shape[0] < nrows or img.shape[1] < width:
+        raise ValueError(
+            f"TIFF {label} decodes to {img.shape[:2]}, want >= ({nrows}, {width})"
+        )
+    return img[:nrows, :width]
+
+
+def _jpeg_tables_of(tags: dict) -> bytes | None:
+    tables = tags.get(_JPEG_TABLES)
+    if tables is None:
+        return None
+    tables = bytes(tables)
+    if len(tables) < 4 or tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9":
+        raise ValueError("TIFF JPEGTables is not an SOI..EOI stream")
+    return tables
+
+
 def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray:
-    if 322 in tags or 324 in tags:  # TileWidth / TileOffsets
-        raise NotImplementedError("tiled TIFF layout not supported here (strips only)")
-    for req, name in ((_W, "ImageWidth"), (_H, "ImageLength"), (_STRIP_OFF, "StripOffsets")):
+    for req, name in ((_W, "ImageWidth"), (_H, "ImageLength")):
         if req not in tags:
             raise ValueError(f"TIFF missing required tag {name}")
     w = tags[_W][0]
@@ -134,16 +207,13 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
     bits = tags.get(_BITS, [1])
     comp = tags.get(_COMP, [1])[0]
     photo = tags.get(_PHOTO, [1])[0]
-    rows_per_strip = tags.get(_ROWS_PER_STRIP, [h])[0] or h
-    offs = tags[_STRIP_OFF]
-    cnts = tags.get(_STRIP_CNT)
-    if cnts is None:
-        raise ValueError("TIFF missing StripByteCounts")
     if len(set(bits)) != 1:
         raise NotImplementedError(f"mixed TIFF bit depths {bits} not supported")
     depth = bits[0]
     if depth not in (1, 8):
         raise NotImplementedError(f"TIFF bit depth {depth} not supported here")
+    if tags.get(284, [1])[0] == 2:
+        raise NotImplementedError("TIFF planar configuration 2 not supported here")
     if comp == 6:
         raise NotImplementedError(
             "old-style JPEG-in-TIFF (compression 6) not supported here "
@@ -154,38 +224,6 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
             f"TIFF compression {comp} not supported here "
             "(none/CCITT 2/3/4/LZW/JPEG 7/PackBits)"
         )
-    if comp == 7:
-        # new-style JPEG (TIFF-EP): every strip is its own JPEG
-        # interchange stream; a JPEGTables tag holds shared DQT/DHT
-        # segments as an abbreviated SOI..EOI stream to splice in
-        from .jpeg import decode_jpeg
-
-        if depth != 8:
-            raise NotImplementedError("JPEG-in-TIFF requires 8-bit samples")
-        tables = tags.get(_JPEG_TABLES)
-        if tables is not None:
-            tables = bytes(tables)
-            if len(tables) < 4 or tables[:2] != b"\xff\xd8" or tables[-2:] != b"\xff\xd9":
-                raise ValueError("TIFF JPEGTables is not an SOI..EOI stream")
-        parts = []
-        for i, (off, cnt) in enumerate(zip(offs, cnts)):
-            strip = data[off : off + cnt]
-            if strip[:2] != b"\xff\xd8":
-                raise ValueError(f"TIFF JPEG strip {i} missing SOI")
-            if tables is not None:
-                strip = strip[:2] + tables[2:-2] + strip[2:]
-            img = decode_jpeg(strip)
-            nrows = min(rows_per_strip, h - i * rows_per_strip)
-            if img.shape[0] < nrows or img.shape[1] != w:
-                raise ValueError(
-                    f"TIFF JPEG strip {i} decodes to {img.shape[:2]}, "
-                    f"want >= ({nrows}, {w})"
-                )
-            parts.append(img[:nrows])
-        out = parts[0] if len(parts) == 1 else np.vstack(parts)
-        if out.ndim == 2 and photo == 0:  # WhiteIsZero greyscale
-            out = 255 - out
-        return np.ascontiguousarray(out)
     if comp in (2, 3, 4):
         if depth != 1 or spp != 1:
             raise ValueError("CCITT TIFF requires 1-bit single-sample data")
@@ -193,39 +231,96 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
             raise NotImplementedError("T.4 uncompressed mode not supported")
         if comp == 4 and tags.get(_T6_OPTIONS, [0])[0] & 2:
             raise NotImplementedError("T.6 uncompressed mode not supported")
+    if comp == 7 and depth != 8:
+        raise NotImplementedError("JPEG-in-TIFF requires 8-bit samples")
+
+    tiled = 322 in tags or 324 in tags
+    if tiled:
+        if tags.get(_PREDICTOR, [1])[0] == 2:
+            raise NotImplementedError("TIFF predictor on tiled layout not supported")
+        for req, name in ((322, "TileWidth"), (323, "TileLength"), (324, "TileOffsets")):
+            if req not in tags:
+                raise ValueError(f"tiled TIFF missing required tag {name}")
+        tw, tl = tags[322][0], tags[323][0]
+        offs, cnts = tags[324], tags.get(325)
+        if cnts is None:
+            raise ValueError("tiled TIFF missing TileByteCounts")
+        if tw <= 0 or tl <= 0:
+            raise ValueError("tiled TIFF with non-positive tile dims")
+        across, down = -(-w // tw), -(-h // tl)
+        if len(offs) < across * down or len(cnts) < across * down:
+            raise ValueError(
+                f"tiled TIFF has {len(offs)} tiles, grid wants {across * down}"
+            )
+        if comp == 7:
+            tables = _jpeg_tables_of(tags)
+            canvas = np.zeros(
+                (down * tl, across * tw) if spp == 1 else (down * tl, across * tw, 3),
+                dtype=np.uint8,
+            )
+            for i in range(across * down):
+                px = _jpeg_block(
+                    data[offs[i] : offs[i] + cnts[i]], tables, tl, tw, f"tile {i}"
+                )
+                r, c = (i // across) * tl, (i % across) * tw
+                canvas[r : r + tl, c : c + tw] = px
+            out = canvas[:h, :w]
+            if out.ndim == 2 and photo == 0:
+                out = 255 - out
+            return np.ascontiguousarray(out)
+        tile_rowbytes = (tw * spp * depth + 7) // 8
+        canvas = np.zeros((down * tl, across * tile_rowbytes), dtype=np.uint8)
+        for i in range(across * down):
+            packed = _block_to_packed(
+                data[offs[i] : offs[i] + cnts[i]],
+                comp, tags, tl, tw, spp, depth, photo, f"tile {i}",
+            )
+            tarr = np.frombuffer(packed, dtype=np.uint8).reshape(tl, tile_rowbytes)
+            r, c = (i // across) * tl, (i % across) * tile_rowbytes
+            canvas[r : r + tl, c : c + tile_rowbytes] = tarr
+        if depth == 1:
+            # per-tile bit rows are byte-padded; unpack per tile column
+            bitsarr = np.unpackbits(
+                canvas.reshape(down * tl, across, tile_rowbytes), axis=2
+            )[:, :, :tw].reshape(down * tl, across * tw)[:h, :w]
+            img = (bitsarr * 255).astype(np.uint8)
+            if photo == 0:
+                img = 255 - img
+            return np.ascontiguousarray(img)
+        px = canvas.reshape(down * tl, across, tw, spp)
+        px = px.reshape(down * tl, across * tw, spp)[:h, :w]
+        return _px_to_image(np.ascontiguousarray(px), photo, tags)
+
+    if _STRIP_OFF not in tags:
+        raise ValueError("TIFF missing required tag StripOffsets")
+    rows_per_strip = tags.get(_ROWS_PER_STRIP, [h])[0] or h
+    offs = tags[_STRIP_OFF]
+    cnts = tags.get(_STRIP_CNT)
+    if cnts is None:
+        raise ValueError("TIFF missing StripByteCounts")
+    if comp == 7:
+        # new-style JPEG (TIFF-EP): every strip is its own JPEG
+        # interchange stream
+        tables = _jpeg_tables_of(tags)
+        parts = []
+        for i, (off, cnt) in enumerate(zip(offs, cnts)):
+            nrows = min(rows_per_strip, h - i * rows_per_strip)
+            img = _jpeg_block(data[off : off + cnt], tables, nrows, w, f"strip {i}")
+            if img.shape[1] != w:
+                raise ValueError(f"TIFF JPEG strip {i} width {img.shape[1]} != {w}")
+            parts.append(img)
+        out = parts[0] if len(parts) == 1 else np.vstack(parts)
+        if out.ndim == 2 and photo == 0:  # WhiteIsZero greyscale
+            out = 255 - out
+        return np.ascontiguousarray(out)
 
     rowbytes = (w * spp * depth + 7) // 8
     raw = bytearray()
     for i, (off, cnt) in enumerate(zip(offs, cnts)):
-        strip = data[off : off + cnt]
         nrows = min(rows_per_strip, h - i * rows_per_strip)
-        if comp == 5:
-            from .pdf import _lzw_decode  # TIFF LZW == PDF LZW (MSB-first)
-
-            strip = _lzw_decode(strip)
-        elif comp == 32773:
-            strip = _packbits_decode_tiff(strip)
-        elif comp in (2, 3, 4):
-            from .ccitt import ccitt_decode
-
-            if tags.get(_FILL_ORDER, [1])[0] == 2:
-                strip = _BITREV[np.frombuffer(strip, dtype=np.uint8)].tobytes()
-            if comp == 2:  # Modified Huffman: byte-aligned 1D rows
-                k, aligned = 0, True
-            elif comp == 3:
-                t4 = tags.get(_T4_OPTIONS, [0])[0]
-                k, aligned = (1 if t4 & 1 else 0), bool(t4 & 4)
-            else:
-                k, aligned = -1, False
-            fax = ccitt_decode(strip, w, nrows, k=k, byte_align=aligned)
-            # fax domain 1 = black; photometric declares which sample
-            # value is white (0 = WhiteIsZero, the fax default)
-            samples = fax if photo == 0 else 1 - fax
-            strip = np.packbits(samples, axis=1).tobytes()
-        strip = strip[: nrows * rowbytes]  # strips may carry padding
-        if len(strip) < nrows * rowbytes:
-            raise ValueError(f"TIFF strip {i} shorter than its rows")
-        raw += strip
+        raw += _block_to_packed(
+            data[off : off + cnt], comp, tags, nrows, w, spp, depth, photo, f"strip {i}"
+        )
     arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, rowbytes)
 
     if tags.get(_PREDICTOR, [1])[0] == 2:  # horizontal differencing
@@ -240,7 +335,11 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
         if photo == 0:  # WhiteIsZero (the fax default): 0 bit = white
             img = 255 - img
         return np.ascontiguousarray(img)
-    px = arr.reshape(h, w, spp)
+    return _px_to_image(arr.reshape(h, w, spp), photo, tags)
+
+
+def _px_to_image(px: np.ndarray, photo: int, tags: dict) -> np.ndarray:
+    """(h, w, spp) uint8 samples → final image per photometric."""
     if photo == 3:  # palette: 16-bit ColorMap R[],G[],B[] planes
         cmap = tags.get(_COLORMAP)
         if cmap is None:
@@ -252,7 +351,7 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
             raise ValueError("TIFF palette index out of range")
         return np.ascontiguousarray(cm[idx])
     if photo == 2:  # RGB (extra samples, e.g. alpha, dropped)
-        if spp < 3:
+        if px.shape[2] < 3:
             raise ValueError("RGB TIFF with fewer than 3 samples")
         return np.ascontiguousarray(px[..., :3])
     if photo in (0, 1):  # greyscale

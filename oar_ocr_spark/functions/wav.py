@@ -9,13 +9,19 @@ WAVE taxonomy) — so the audio modality gets the same treatment PNG
 gave images: a real, lossless, deterministic byte format.
 
 Scope (declared): integer PCM (format tag 1) at 8/16/24/32 bits,
-IEEE float (tag 3) at 32/64 bits, and WAVE_FORMAT_EXTENSIBLE (tag
+IEEE float (tag 3) at 32/64 bits, WAVE_FORMAT_EXTENSIBLE (tag
 0xFFFE — the >2-channel / >16-bit layout, SubFormat GUID resolved to
-PCM or float), any channel count / sample rate. Decode output is
-always int16 (wider samples keep their top 16 bits; floats scale by
-32767 and clip — the standard downconversions). Compressed WAVE
-formats (ADPCM, mu-law, MP3-in-WAV) raise NotImplementedError — the
-codec-seam contract.
+PCM or float), any channel count / sample rate — plus the telephony /
+voice-archive compressions: G.711 A-law (tag 6) and mu-law (tag 7)
+via 256-entry expansion LUTs, and IMA/DVI ADPCM (tag 0x11, mono) with
+the standard 89-step table, decoded LOCKSTEP across blocks (the
+per-sample loop is vectorized over all blocks at once — blocks are
+independent by construction, so the hot path stays O(samples_per_block)
+numpy steps regardless of clip length). Decode output is always int16
+(wider samples keep their top 16 bits; floats scale by 32767 and clip
+— the standard downconversions). Other compressed WAVE formats
+(MS-ADPCM, MP3-in-WAV) raise NotImplementedError — the codec-seam
+contract.
 
 The deterministic audio fixture (`render_audio`) synthesizes each
 ref's waveform as a closed-form function of its hash (sum of 3
@@ -37,9 +43,12 @@ from pyspark.sql import types as T
 
 __all__ = [
     "encode_wav",
+    "encode_wav_g711",
+    "encode_wav_adpcm",
     "decode_wav",
     "render_audio",
     "wav_store_df",
+    "telephony_store_df",
     "audio_features_from_bytes_df",
     "WAV_MAGIC",
 ]
@@ -69,6 +78,236 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# ---------------------------------------------------------------------------
+# G.711 (A-law / mu-law) — ITU-T G.711 companding, 8-bit log PCM
+# ---------------------------------------------------------------------------
+
+
+def _g711_mulaw_decode_table() -> np.ndarray:
+    """256-entry mu-law code → int16 expansion LUT (G.711 table 2a/2b:
+    magnitude = ((mantissa·8 + 0x84) << exponent) − 0x84, code bits
+    inverted on the wire)."""
+    u = (~np.arange(256, dtype=np.int32)) & 0xFF
+    exp = (u >> 4) & 7
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def _g711_alaw_decode_table() -> np.ndarray:
+    """256-entry A-law code → int16 expansion LUT (G.711 table 1a/1b,
+    even bits inverted on the wire; sign bit SET means positive)."""
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    seg = (a >> 4) & 7
+    mant = a & 0x0F
+    mag = np.where(
+        seg == 0,
+        (mant << 4) + 8,
+        ((mant << 4) + 0x108) << np.maximum(seg - 1, 0),
+    )
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)
+
+
+_MULAW_DEC = _g711_mulaw_decode_table()
+_ALAW_DEC = _g711_alaw_decode_table()
+
+
+def _g711_mulaw_encode(x: np.ndarray) -> np.ndarray:
+    """int16 samples → mu-law codes. Exact inverse of the expansion
+    table on its own outputs (encode(decode(c)) == c for all 256)."""
+    x = x.astype(np.int32)
+    sign = (x < 0).astype(np.int32)
+    mag = np.minimum(np.abs(x), 32635) + 0x84
+    # exponent = index of the highest set bit above bit 7 (mag >= 0x84)
+    exp = np.frexp(mag.astype(np.float64))[1].astype(np.int32) - 8
+    mant = (mag >> (exp + 3)) & 0x0F
+    return ((~((sign << 7) | (exp << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def _g711_alaw_encode(x: np.ndarray) -> np.ndarray:
+    """int16 samples → A-law codes (same identity contract as mu-law)."""
+    x = x.astype(np.int32)
+    sign_pos = x >= 0
+    a = np.minimum(np.abs(x), 32767) >> 4
+    with np.errstate(divide="ignore"):
+        seg = np.where(a < 16, 0, np.frexp(a.astype(np.float64))[1] - 4)
+    seg = np.minimum(seg, 7).astype(np.int32)
+    mant = np.where(seg == 0, a, (a >> np.maximum(seg - 1, 0)) - 16)
+    raw = (np.where(sign_pos, 0x80, 0) | (seg << 4) | mant) & 0xFF
+    return (raw ^ 0x55).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# IMA / DVI ADPCM (WAVE format tag 0x11) — 4-bit differential PCM
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int32)
+
+
+def _ima_diff(nib: np.ndarray, step: np.ndarray) -> np.ndarray:
+    """The IMA reconstruction delta for a nibble's 3 magnitude bits:
+    diff = step/8 + (b2?step) + (b1?step/2) + (b0?step/4)."""
+    return (
+        (step >> 3)
+        + np.where(nib & 4, step, 0)
+        + np.where(nib & 2, step >> 1, 0)
+        + np.where(nib & 1, step >> 2, 0)
+    )
+
+
+def _ima_decode(raw: bytes, block_align: int, n_samples: int) -> np.ndarray:
+    """IMA ADPCM data chunk → (n_samples,) int16, decoded lockstep: the
+    per-sample loop runs once per in-block position, vectorized over
+    every block simultaneously."""
+    nb = len(raw) // block_align
+    if nb == 0 or block_align < 5:
+        raise ValueError("IMA ADPCM data shorter than one block")
+    blocks = np.frombuffer(raw[: nb * block_align], dtype=np.uint8).reshape(
+        nb, block_align
+    )
+    pred = (
+        blocks[:, :2].copy().view("<i2").reshape(nb).astype(np.int32)
+    )
+    idx = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
+    body = blocks[:, 4:]
+    nibs = np.empty((nb, body.shape[1] * 2), dtype=np.uint8)
+    nibs[:, 0::2] = body & 0x0F  # low nibble first (RFC 2361 / IMA spec)
+    nibs[:, 1::2] = body >> 4
+    out = np.empty((nb, 1 + nibs.shape[1]), dtype=np.int16)
+    out[:, 0] = pred
+    for j in range(nibs.shape[1]):
+        n = nibs[:, j].astype(np.int32)
+        step = _IMA_STEPS[idx]
+        diff = _ima_diff(n, step)
+        pred = np.clip(pred + np.where(n & 8, -diff, diff), -32768, 32767)
+        idx = np.clip(idx + _IMA_INDEX[n], 0, 88)
+        out[:, j + 1] = pred
+    flat = out.reshape(-1)
+    if n_samples > len(flat):
+        raise ValueError("IMA ADPCM fact chunk claims more samples than blocks hold")
+    return flat[:n_samples]
+
+
+def encode_wav_g711(samples: np.ndarray, sample_rate: int, law: str = "mu") -> bytes:
+    """(N,) or (N, channels) int16 → G.711 companded WAV bytes (format
+    tag 7 mu-law / 6 A-law, 8 bits per sample). Lossy by design: the
+    decode twin is the 256-entry expansion LUT."""
+    if samples.dtype != np.int16:
+        raise ValueError(f"encode_wav_g711 expects int16, got {samples.dtype}")
+    if law not in ("mu", "a"):
+        raise ValueError("law must be 'mu' or 'a'")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.ndim != 2:
+        raise ValueError(f"encode_wav_g711 expects (N,) or (N,C), got {samples.shape}")
+    n, ch = samples.shape
+    codes = (_g711_mulaw_encode if law == "mu" else _g711_alaw_encode)(
+        samples.reshape(-1)
+    )
+    data = codes.tobytes()
+    tag = 7 if law == "mu" else 6
+    fmt = struct.pack("<HHIIHHH", tag, ch, sample_rate, sample_rate * ch, ch, 8, 0)
+    fact = struct.pack("<I", n)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, sample_rate: int, samples_per_block: int = 505
+) -> bytes:
+    """(N,) or (N,1) int16 mono → IMA ADPCM WAV bytes (format tag 0x11).
+    The encoder is the decoder's exact mirror (same step/index updates),
+    run lockstep across blocks; the final partial block is padded by
+    repeating the last sample and trimmed at decode via the fact chunk."""
+    if samples.dtype != np.int16:
+        raise ValueError(f"encode_wav_adpcm expects int16, got {samples.dtype}")
+    if samples.ndim == 2:
+        if samples.shape[1] != 1:
+            raise NotImplementedError("IMA ADPCM encoder is mono-only here")
+        samples = samples[:, 0]
+    if samples.ndim != 1:
+        raise ValueError(f"encode_wav_adpcm expects (N,) or (N,1), got {samples.shape}")
+    if (samples_per_block - 1) % 2 or samples_per_block < 3:
+        raise ValueError("samples_per_block must be odd and >= 3")
+    n = len(samples)
+    if n == 0:
+        raise ValueError("empty clip")
+    nb = max(1, -(-n // samples_per_block))
+    padded = np.full(nb * samples_per_block, samples[-1], dtype=np.int16)
+    padded[:n] = samples
+    grid = padded.reshape(nb, samples_per_block).astype(np.int32)
+
+    pred = grid[:, 0].copy()
+    # per-block initial step index: smallest step >= the first delta
+    # (stored in the block header, so blocks stay self-contained and
+    # the slew-limited ramp-up from step 7 is avoided on hot signals)
+    idx0 = np.searchsorted(_IMA_STEPS, np.abs(grid[:, 1] - grid[:, 0])).clip(0, 88)
+    idx = idx0.astype(np.int32).copy()
+    nibs = np.empty((nb, samples_per_block - 1), dtype=np.uint8)
+    for j in range(samples_per_block - 1):
+        x = grid[:, j + 1]
+        step = _IMA_STEPS[idx]
+        delta = x - pred
+        sign = delta < 0
+        mag = np.abs(delta)
+        b2 = mag >= step
+        mag -= np.where(b2, step, 0)
+        b1 = mag >= (step >> 1)
+        mag -= np.where(b1, step >> 1, 0)
+        b0 = mag >= (step >> 2)
+        nib = (
+            np.where(sign, 8, 0)
+            + np.where(b2, 4, 0)
+            + np.where(b1, 2, 0)
+            + np.where(b0, 1, 0)
+        ).astype(np.int32)
+        diff = _ima_diff(nib, step)
+        pred = np.clip(pred + np.where(sign, -diff, diff), -32768, 32767)
+        idx = np.clip(idx + _IMA_INDEX[nib], 0, 88)
+        nibs[:, j] = nib.astype(np.uint8)
+
+    block_align = 4 + (samples_per_block - 1) // 2
+    blocks = np.empty((nb, block_align), dtype=np.uint8)
+    blocks[:, :2] = grid[:, 0].astype("<i2")[:, None].view(np.uint8)
+    blocks[:, 2] = idx0.astype(np.uint8)
+    blocks[:, 3] = 0
+    blocks[:, 4:] = nibs[:, 0::2] | (nibs[:, 1::2] << 4)
+    data = blocks.tobytes()
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11, 1, sample_rate,
+        sample_rate * block_align // samples_per_block,
+        block_align, 4, 2, samples_per_block,
+    )
+    fact = struct.pack("<I", n)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → ((N, channels) int16, sample_rate)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -77,6 +316,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     fmt = None
     fmt_body = None
     raw = None
+    fact_samples = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -86,6 +326,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             fmt_body = body
         elif cid == b"data":
             raw = body
+        elif cid == b"fact" and clen >= 4:
+            (fact_samples,) = struct.unpack("<I", body[:4])
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if fmt is None or raw is None:
         raise ValueError("WAV missing fmt/data chunk")
@@ -112,9 +354,32 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         f = np.nan_to_num(f.astype(np.float64), nan=0.0, posinf=1.0, neginf=lo)
         f = np.clip(f, lo, 1.0)
         samples = np.round(f * 32767.0).astype(np.int16)
+    elif tag in (6, 7):  # G.711 A-law / mu-law: 8-bit log PCM via LUT
+        if bits != 8:
+            raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
+        codes = np.frombuffer(raw, dtype=np.uint8)
+        samples = (_ALAW_DEC if tag == 6 else _MULAW_DEC)[codes]
+    elif tag == 0x11:  # IMA / DVI ADPCM
+        if ch != 1:
+            raise NotImplementedError("IMA ADPCM decode is mono-only here")
+        if bits != 4:
+            raise ValueError(f"IMA ADPCM WAV must be 4-bit, got {bits}")
+        block_align = fmt[4]
+        if fmt_body is None or len(fmt_body) < 20:
+            raise ValueError("IMA ADPCM fmt chunk missing wSamplesPerBlock")
+        (spb,) = struct.unpack("<H", fmt_body[18:20])
+        if spb != (block_align - 4) * 2 + 1:
+            raise ValueError(
+                f"IMA ADPCM wSamplesPerBlock {spb} inconsistent with "
+                f"nBlockAlign {block_align}"
+            )
+        nb = len(raw) // block_align
+        n_out = fact_samples if fact_samples is not None else nb * spb
+        samples = _ima_decode(raw, block_align, n_out)
     elif tag != 1:
         raise NotImplementedError(
-            f"compressed WAVE format tag {tag} not supported here (PCM/float only)"
+            f"compressed WAVE format tag {tag} not supported here "
+            "(PCM/float/G.711/IMA-ADPCM)"
         )
     elif bits == 16:
         samples = np.frombuffer(raw, dtype="<i2")
@@ -187,6 +452,38 @@ def wav_store_df(
     def row(ref: str) -> tuple:
         samples, rate = render_audio(ref)
         return (ref, encode_wav(samples, rate))
+
+    return payload_store_df(refs, row, ref_col=ref_col, parallelism=parallelism)
+
+
+def telephony_store_df(
+    refs: DataFrame, ref_col: str = "media_ref", parallelism: int | None = None
+) -> DataFrame:
+    """(media_ref) → (media_ref, payload) media store of COMPRESSED
+    voice WAV bytes: per ref, crc32 picks G.711 mu-law, G.711 A-law, or
+    IMA ADPCM (with a small-block flavor so multi-block decode runs) —
+    the telephony/voice-archive third of the audio seam. All three are
+    lossy; the oracle golden is computed through the same
+    encode-then-decode twin (tools/make_goldens._telephony_feature_row),
+    the media_jpeg_roundtrip pattern."""
+
+    def row(ref: str) -> tuple:
+        import zlib
+
+        samples, rate = render_audio(ref)
+        h = zlib.crc32(("g711:" + ref).encode("utf-8"))
+        flavor = h % 3
+        if flavor == 0:
+            data = encode_wav_g711(samples, rate, law="mu")
+        elif flavor == 1:
+            data = encode_wav_g711(samples, rate, law="a")
+        else:
+            data = encode_wav_adpcm(
+                samples, rate, samples_per_block=129 if h & 4 else 505
+            )
+        return (ref, data)
+
+    from .multimodal import payload_store_df
 
     return payload_store_df(refs, row, ref_col=ref_col, parallelism=parallelism)
 

@@ -201,3 +201,174 @@ class TestSparkOps:
                 assert (f["height"], f["width"]) == page.shape
                 # cyclic shift conserves the histogram → mean within JPEG ±1
                 assert abs(f["mean_intensity"] - float(page.mean())) <= 1.0
+
+
+class TestG711:
+    """G.711 companding (format tags 6/7) — ITU-T G.711."""
+
+    def test_code_value_identity_both_laws(self):
+        from oar_ocr_spark.functions.wav import (
+            _ALAW_DEC,
+            _MULAW_DEC,
+            _g711_alaw_encode,
+            _g711_mulaw_encode,
+        )
+
+        codes = np.arange(256, dtype=np.uint8)
+        # A-law: encode(decode(c)) == c for every code
+        assert (_g711_alaw_encode(_ALAW_DEC[codes]) == codes).all()
+        # mu-law: same, except the standard -0 degeneracy (0x7F and
+        # 0xFF both decode to 0; 0 re-encodes to the positive code)
+        back = _g711_mulaw_encode(_MULAW_DEC[codes])
+        assert (back[codes != 0x7F] == codes[codes != 0x7F]).all()
+        assert back[0x7F] == 0xFF and _MULAW_DEC[0x7F] == 0
+        # value-level identity is exact for both
+        assert (_MULAW_DEC[back] == _MULAW_DEC[codes]).all()
+
+    def test_published_anchor_values(self):
+        from oar_ocr_spark.functions.wav import _ALAW_DEC, _MULAW_DEC
+
+        # G.711 extrema: mu-law full scale is +/-32124, A-law +/-32256;
+        # mu code 0xFF is zero, A code 0xD5 is the smallest positive (8)
+        assert _MULAW_DEC[0x80] == 32124 and _MULAW_DEC[0x00] == -32124
+        assert _MULAW_DEC[0xFF] == 0
+        assert _ALAW_DEC[0xAA] == 32256 and _ALAW_DEC[0x2A] == -32256
+        assert _ALAW_DEC[0xD5] == 8 and _ALAW_DEC[0x55] == -8
+
+    @pytest.mark.parametrize("law", ["mu", "a"])
+    def test_roundtrip_within_segment_quantization(self, law):
+        from oar_ocr_spark.functions.wav import encode_wav_g711
+
+        samples, rate = render_audio("g711-ref")
+        dec, rate2 = decode_wav(encode_wav_g711(samples, rate, law=law))
+        assert rate2 == rate and dec.shape == (len(samples), 1)
+        err = np.abs(dec[:, 0].astype(np.int32) - samples.astype(np.int32))
+        # largest G.711 segment step is 256 -> max quantization error 255
+        assert err.max() <= 255
+
+    def test_stereo_and_determinism(self):
+        from oar_ocr_spark.functions.wav import encode_wav_g711
+
+        s, r = render_audio("g711-st")
+        st = np.stack([s, (-s.astype(np.int32)).clip(-32768, 32767).astype(np.int16)], axis=1)
+        a = encode_wav_g711(st, r, law="a")
+        assert a == encode_wav_g711(st, r, law="a")
+        dec, _ = decode_wav(a)
+        assert dec.shape == (len(s), 2)
+
+    def test_bad_inputs_raise(self):
+        from oar_ocr_spark.functions.wav import encode_wav_g711
+
+        s, r = render_audio("g711-bad")
+        with pytest.raises(ValueError, match="law"):
+            encode_wav_g711(s, r, law="ulaw")
+        with pytest.raises(ValueError, match="int16"):
+            encode_wav_g711(s.astype(np.int32), r)
+
+
+class TestImaAdpcm:
+    """IMA / DVI ADPCM (format tag 0x11)."""
+
+    def test_roundtrip_tracks_waveform(self):
+        from oar_ocr_spark.functions.wav import encode_wav_adpcm
+
+        # smooth (voice-band) content: 4-bit ADPCM must reach > 20 dB
+        t = np.arange(4000, dtype=np.float64)
+        x = np.round(
+            9000 * np.sin(2 * np.pi * 300 * t / 8000)
+            + 3000 * np.sin(2 * np.pi * 700 * t / 8000)
+        ).astype(np.int16)
+        dec, rate2 = decode_wav(encode_wav_adpcm(x, 8000))
+        assert rate2 == 8000 and len(dec) == len(x)
+        err = dec[:, 0].astype(np.float64) - x.astype(np.float64)
+        rms_sig = np.sqrt(np.mean(x.astype(np.float64) ** 2))
+        assert np.sqrt(np.mean(err**2)) < 0.1 * rms_sig  # > 20 dB SNR
+
+        # the hash fixture has near-Nyquist components (slew-limited by
+        # design of 4-bit DPCM): still bounded, still length-exact
+        samples, rate = render_audio("adpcm-ref")
+        dec, _ = decode_wav(encode_wav_adpcm(samples, rate))
+        assert len(dec) == len(samples)
+        err = dec[:, 0].astype(np.float64) - samples.astype(np.float64)
+        assert np.sqrt(np.mean(err**2)) < 0.25 * np.sqrt(
+            np.mean(samples.astype(np.float64) ** 2)
+        )
+
+    def test_multi_block_and_fact_trim(self):
+        from oar_ocr_spark.functions.wav import encode_wav_adpcm
+
+        x = np.round(3000 * np.sin(np.arange(1000) / 7.0)).astype(np.int16)
+        data = encode_wav_adpcm(x, 8000, samples_per_block=129)
+        dec, _ = decode_wav(data)
+        assert len(dec) == 1000  # fact chunk trims the padded tail
+        # block independence: decoding only the first block's bytes
+        # (patched lengths) must equal the first 129 samples
+        err = dec[:, 0].astype(np.float64) - x.astype(np.float64)
+        assert np.sqrt(np.mean(err**2)) < 0.1 * np.sqrt(np.mean(x.astype(np.float64) ** 2))
+
+    def test_tiny_clips_all_lengths(self):
+        from oar_ocr_spark.functions.wav import encode_wav_adpcm
+
+        for n in (1, 2, 3, 4, 9):
+            x = (np.arange(n, dtype=np.int32) * 900 - 1800).astype(np.int16)
+            dec, _ = decode_wav(encode_wav_adpcm(x, 8000, samples_per_block=5))
+            assert len(dec) == n
+            assert dec[0, 0] == x[0]  # block header carries sample 0 verbatim
+
+    def test_declared_failures(self):
+        from oar_ocr_spark.functions.wav import encode_wav_adpcm
+
+        s, r = render_audio("adpcm-bad")
+        st = np.stack([s, s], axis=1)
+        with pytest.raises(NotImplementedError, match="mono"):
+            encode_wav_adpcm(st, r)
+        with pytest.raises(ValueError, match="odd"):
+            encode_wav_adpcm(s, r, samples_per_block=4)
+        with pytest.raises(ValueError, match="empty"):
+            encode_wav_adpcm(np.zeros(0, dtype=np.int16), r)
+
+    def test_inconsistent_samples_per_block_raises(self):
+        from oar_ocr_spark.functions.wav import encode_wav_adpcm
+
+        s, _ = render_audio("adpcm-hdr")
+        data = bytearray(encode_wav_adpcm(s, 8000, samples_per_block=129))
+        i = data.index(b"fmt ") + 8
+        # fmt body: tag(2) ch(2) rate(4) byterate(4) align(2) bits(2)
+        # cbSize(2) wSamplesPerBlock(2) -> patch wSamplesPerBlock
+        data[i + 18 : i + 20] = struct.pack("<H", 77)
+        with pytest.raises(ValueError, match="inconsistent"):
+            decode_wav(bytes(data))
+
+
+class TestTelephonyStore:
+    def test_flavor_split_covers_all_three(self, spark):
+        import zlib
+
+        from oar_ocr_spark.functions.wav import telephony_store_df
+
+        refs_rows = [f"tel-{i}" for i in range(12)]
+        assert {zlib.crc32(("g711:" + r).encode()) % 3 for r in refs_rows} == {0, 1, 2}
+        refs = spark.createDataFrame([(r,) for r in refs_rows], "media_ref string")
+        feats = {
+            r["media_ref"]: r
+            for r in audio_features_from_bytes_df(telephony_store_df(refs)).collect()
+        }
+        from oar_ocr_spark.functions.wav import (
+            encode_wav_adpcm,
+            encode_wav_g711,
+        )
+
+        for ref in refs_rows:
+            samples, rate = render_audio(ref)
+            h = zlib.crc32(("g711:" + ref).encode())
+            if h % 3 == 0:
+                data = encode_wav_g711(samples, rate, law="mu")
+            elif h % 3 == 1:
+                data = encode_wav_g711(samples, rate, law="a")
+            else:
+                data = encode_wav_adpcm(samples, rate, samples_per_block=129 if h & 4 else 505)
+            dec, _ = decode_wav(data)
+            mono = dec[:, 0].astype(np.int64)
+            want_rms = round(float(np.sqrt(np.sum(mono * mono) / len(mono))), 6)
+            assert feats[ref]["rms"] == want_rms, ref
+            assert feats[ref]["n_samples"] == len(mono)

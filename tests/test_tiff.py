@@ -245,11 +245,14 @@ class TestForeignLayouts:
         assert len(pages) == 2
         assert (pages[0] == a).all() and (pages[1] == b).all()
 
-    def test_tiled_tiff_raises_declared(self):
+    def test_tiled_tiff_missing_dims_fails_loudly(self):
+        # TileOffsets without TileWidth is a malformed tiled file — the
+        # declared ValueError, not a crash (tiled layout itself decodes;
+        # see TestTiledTiff)
         data = bytearray(encode_tiff(np.zeros((2, 2), np.uint8)))
         i = data.index(struct.pack("<HHI", 273, 4, 1))
         data[i : i + 2] = struct.pack("<H", 324)  # StripOffsets -> TileOffsets
-        with pytest.raises(NotImplementedError, match="tiled"):
+        with pytest.raises(ValueError, match="TileWidth"):
             decode_tiff(bytes(data))
 
     def test_decode_tiff_reads_only_first_ifd(self):
@@ -557,3 +560,130 @@ class TestJpegInTiff:
                 data[at + 8 : at + 10] = struct.pack("<H", 6)
         with pytest.raises(NotImplementedError, match="old-style"):
             decode_tiff(bytes(data))
+
+
+def _tiled_le(w, h, tw, tl, tiles, comp=1, photo=1, bits=(8,), extra_tags=()):
+    """Hand-build a tiled little-endian TIFF (two passes to learn tile
+    offsets — _ifd_le keeps layout stable across passes)."""
+    n = len(tiles)
+
+    def build(offs):
+        tags = [
+            (256, 4, 1, struct.pack("<I", w)),
+            (257, 4, 1, struct.pack("<I", h)),
+            (258, 3, len(bits), struct.pack("<" + "H" * len(bits), *bits)),
+            (259, 3, 1, struct.pack("<H", comp)),
+            (262, 3, 1, struct.pack("<H", photo)),
+            (277, 3, 1, struct.pack("<H", len(bits))),
+            (322, 4, 1, struct.pack("<I", tw)),
+            (323, 4, 1, struct.pack("<I", tl)),
+            (324, 4, n, b"".join(struct.pack("<I", o) for o in offs)),
+            (325, 4, n, b"".join(struct.pack("<I", len(t)) for t in tiles)),
+            *extra_tags,
+        ]
+        return _ifd_le(tags, tiles)
+
+    _, strips_at = build([0] * n)
+    offs, at = [], strips_at
+    for t in tiles:
+        offs.append(at)
+        at += len(t)
+    data, _ = build(offs)
+    return data
+
+
+def _tile_grid(img, tw, tl):
+    """(padded tile bodies in row-major tile order, across, down)."""
+    h, w = img.shape[:2]
+    across, down = -(-w // tw), -(-h // tl)
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    pad = np.zeros(
+        (down * tl, across * tw) if spp == 1 else (down * tl, across * tw, spp),
+        dtype=np.uint8,
+    )
+    pad[:h, :w] = img
+    tiles = []
+    for r in range(down):
+        for c in range(across):
+            tiles.append(pad[r * tl : (r + 1) * tl, c * tw : (c + 1) * tw])
+    return tiles, across, down
+
+
+class TestTiledTiff:
+    """Tile layout (tags 322-325): the GeoTIFF / large-scan organization."""
+
+    def test_grey_uncompressed_roundtrip(self):
+        img = _rng().integers(0, 256, (10, 13)).astype(np.uint8)
+        tiles, _, _ = _tile_grid(img, 8, 4)
+        data = _tiled_le(13, 10, 8, 4, [t.tobytes() for t in tiles])
+        assert (decode_tiff(data) == img).all()
+
+    def test_rgb_tiles_roundtrip(self):
+        img = _rng().integers(0, 256, (6, 9, 3)).astype(np.uint8)
+        tiles, _, _ = _tile_grid(img, 4, 4)
+        data = _tiled_le(
+            9, 6, 4, 4, [t.tobytes() for t in tiles], photo=2, bits=(8, 8, 8)
+        )
+        assert (decode_tiff(data) == img).all()
+
+    def test_packbits_tiles(self):
+        img = _rng().integers(0, 256, (5, 7)).astype(np.uint8)
+        tiles, _, _ = _tile_grid(img, 4, 3)
+
+        def pb(body):
+            enc = bytearray()
+            for i in range(0, len(body), 128):
+                chunk = body[i : i + 128]
+                enc += bytes([len(chunk) - 1]) + chunk
+            return bytes(enc)
+
+        data = _tiled_le(7, 5, 4, 3, [pb(t.tobytes()) for t in tiles], comp=32773)
+        assert (decode_tiff(data) == img).all()
+
+    def test_ccitt_g4_tiles_bilevel(self):
+        from oar_ocr_spark.functions.ccitt import ccitt_encode_g4
+
+        rng = _rng()
+        img = (rng.integers(0, 2, (9, 20)) * 255).astype(np.uint8)
+        bits1 = (img == 255).astype(np.uint8)
+        tiles_px, _, _ = _tile_grid(img, 8, 5)
+        # photometric 1 (BlackIsZero): fax coding domain 1 = black
+        bodies = [ccitt_encode_g4(1 - (t == 255).astype(np.uint8)) for t in tiles_px]
+        data = _tiled_le(20, 9, 8, 5, bodies, comp=4, photo=1, bits=(1,))
+        assert (decode_tiff(data) == img).all()
+        del bits1
+
+    def test_jpeg_tiles_with_shared_tables(self):
+        from oar_ocr_spark.functions.jpeg import decode_jpeg, encode_jpeg
+        from oar_ocr_spark.functions.tiff import _jpeg_split_tables
+
+        img = _rng().integers(0, 256, (20, 28)).astype(np.uint8)
+        tiles_px, across, down = _tile_grid(img, 16, 12)
+        streams = [encode_jpeg(t, quality=100) for t in tiles_px]
+        split = [_jpeg_split_tables(s) for s in streams]
+        tables = split[0][0]
+        data = _tiled_le(
+            28, 20, 16, 12,
+            [abbrev for _, abbrev in split],
+            comp=7,
+            extra_tags=[(347, 7, len(tables), tables)],
+        )
+        want = np.zeros((down * 12, across * 16), dtype=np.uint8)
+        for i, s in enumerate(streams):
+            r, c = (i // across) * 12, (i % across) * 16
+            want[r : r + 12, c : c + 16] = decode_jpeg(s)
+        assert (decode_tiff(data) == want[:20, :28]).all()
+
+    def test_grid_mismatch_and_predictor_fail_loudly(self):
+        img = _rng().integers(0, 256, (5, 7)).astype(np.uint8)
+        tiles, _, _ = _tile_grid(img, 4, 3)
+        bodies = [t.tobytes() for t in tiles]
+        with pytest.raises(ValueError, match="grid wants"):
+            decode_tiff(_tiled_le(7, 5, 4, 3, bodies[:1]))
+        with pytest.raises(NotImplementedError, match="predictor on tiled"):
+            decode_tiff(
+                _tiled_le(
+                    7, 5, 4, 3, bodies,
+                    extra_tags=[(317, 3, 1, struct.pack("<H", 2))],
+                )
+            )

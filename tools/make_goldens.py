@@ -33,6 +33,9 @@ Golden tables (all keyed by content, so they are sf-independent):
                             twin reduces to the threshold
 - audio_features.parquet    — WAV roundtrip clip features (twin of
                             wav.audio_features_from_bytes_df)
+- audio_features_telephony.parquet — features through the lossy G.711
+                            mu-law / A-law / IMA ADPCM byte path (same
+                            crc32 flavor pick as wav.telephony_store_df)
 - video_frames.parquet      — AVI-MJPEG sampled-frame features (twin
                             of avi.frame_sample_from_bytes_df)
 
@@ -143,6 +146,47 @@ def _audio_feature_row(ref: str) -> tuple:
 
     samples, rate = render_audio(ref)
     out, rate2 = decode_wav(encode_wav(samples, rate))
+    mono = out[:, 0].astype(np.int64)
+    n = len(mono)
+    rms = float(np.sqrt(np.sum(mono * mono) / n)) if n else 0.0
+    sign = np.sign(mono)
+    compact = sign[sign != 0]
+    zc = int(np.count_nonzero(np.diff(compact) != 0))
+    return (
+        ref,
+        n,
+        rate2,
+        int(n * 1000 // rate2),
+        round(rms, 6),
+        int(np.max(np.abs(mono))) if n else 0,
+        zc,
+    )
+
+
+def _telephony_feature_row(ref: str) -> tuple:
+    """Twin of wav.audio_features_from_bytes_df over telephony_store_df
+    (same crc32 flavor pick, same lossy encode-then-decode path)."""
+    import zlib
+
+    import numpy as np
+
+    from oar_ocr_spark.functions.wav import (
+        decode_wav,
+        encode_wav_adpcm,
+        encode_wav_g711,
+        render_audio,
+    )
+
+    samples, rate = render_audio(ref)
+    h = zlib.crc32(("g711:" + ref).encode("utf-8"))
+    flavor = h % 3
+    if flavor == 0:
+        data = encode_wav_g711(samples, rate, law="mu")
+    elif flavor == 1:
+        data = encode_wav_g711(samples, rate, law="a")
+    else:
+        data = encode_wav_adpcm(samples, rate, samples_per_block=129 if h & 4 else 505)
+    out, rate2 = decode_wav(data)
     mono = out[:, 0].astype(np.int64)
     n = len(mono)
     rms = float(np.sqrt(np.sum(mono * mono) / n)) if n else 0.0
@@ -298,6 +342,7 @@ def main() -> int:
         jpeg_rows = pool.map(_jpeg_feature_row, sorted(jpeg_refs), 32)
         fax_rows = pool.map(_fax_feature_row, sorted(fax_refs), 32)
         audio_rows = pool.map(_audio_feature_row, sorted(audio_refs), 32)
+        tel_rows = pool.map(_telephony_feature_row, sorted(audio_refs), 32)
         video_rows = [
             row
             for rows in pool.map(_video_frame_rows, sorted(video_refs), 16)
@@ -420,6 +465,32 @@ def main() -> int:
         "audio_features.parquet",
         pd.DataFrame(
             audio_rows,
+            columns=[
+                "media_ref",
+                "n_samples",
+                "sample_rate",
+                "duration_ms",
+                "rms",
+                "peak",
+                "zero_crossings",
+            ],
+        ),
+        pa.schema(
+            [
+                ("media_ref", pa.string()),
+                ("n_samples", pa.int32()),
+                ("sample_rate", pa.int32()),
+                ("duration_ms", pa.int32()),
+                ("rms", pa.float64()),
+                ("peak", pa.int32()),
+                ("zero_crossings", pa.int32()),
+            ]
+        ),
+    )
+    write(
+        "audio_features_telephony.parquet",
+        pd.DataFrame(
+            tel_rows,
             columns=[
                 "media_ref",
                 "n_samples",
