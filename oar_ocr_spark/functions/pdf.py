@@ -45,14 +45,16 @@ Columns/Rows/BlackIs1/EncodedByteAlign) through the T.4/T.6 codec in
 functions/ccitt.py.
 
 Encrypted PDFs (standard security handler, §7.6): files encrypted
-with an EMPTY user password — the overwhelmingly common "encrypted
-but not password-protected" case — decrypt transparently for RC4
-(40–128 bit, /V 1/2/4) and AES-128-CBC (/V 4 /AESV2), primitives in
-functions/pdf_crypt.py. Password-protected files, AES-256 (/V 5),
-and non-/Standard handlers raise NotImplementedError at parse time,
-BEFORE any stream decode, so the failure is the declared loud kind.
-The writer's ``encrypt=`` flag produces all three supported layouts
-for roundtrip tests.
+with an EMPTY user (or owner) password — the overwhelmingly common
+"encrypted but not password-protected" case — decrypt transparently
+for RC4 (40–128 bit, /V 1/2/4), AES-128-CBC (/V 4 /AESV2) and
+AES-256-CBC (/V 5 /AESV3, revisions 5 and 6 — the PDF 2.0 handler,
+ISO 32000-2 §7.6.4, including the iterated hash 2.B and the /Perms
+integrity check), primitives in functions/pdf_crypt.py.
+Password-protected files and non-/Standard handlers raise
+NotImplementedError at parse time, BEFORE any stream decode, so the
+failure is the declared loud kind. The writer's ``encrypt=`` flag
+produces all four supported layouts for roundtrip tests.
 
 The writer emits classic xref by default; ``xref_format="stream"``
 writes the PDF 1.5 layout real tools produce — non-stream objects
@@ -122,8 +124,10 @@ def encode_pdf(
     its own pages. xref_format="classic" writes a PDF 1.4 xref table;
     "stream" writes the PDF 1.5 layout (cross-reference stream with
     Up-predicted rows + /ObjStm holding the non-stream objects).
-    `encrypt` ("rc4-40" | "rc4-128" | "aes-128") writes the standard
-    security handler with EMPTY user/owner passwords (§7.6.3) —
+    `encrypt` ("rc4-40" | "rc4-128" | "aes-128" | "aes-256") writes
+    the standard security handler with EMPTY user/owner passwords
+    (§7.6.3; "aes-256" is the PDF 2.0 /V 5 /R 6 layout with /UE /OE
+    /Perms, ISO 32000-2 §7.6.4) —
     streams encrypted per object, the /Title string individually in
     the classic layout, and inside the (whole-stream-encrypted)
     /ObjStm in the 1.5 layout, per §7.5.7."""
@@ -149,6 +153,7 @@ def encode_pdf(
             "rc4-40": (1, 2, 40, "rc4"),
             "rc4-128": (2, 3, 128, "rc4"),
             "aes-128": (4, 4, 128, "aes"),
+            "aes-256": (5, 6, 256, "aes256"),
         }
         if encrypt not in variants:
             raise ValueError(f"encrypt must be one of {sorted(variants)}, got {encrypt!r}")
@@ -158,22 +163,43 @@ def encode_pdf(
             b"oar-ocr-spark-pdf-id" + str((len(pages), page_refs, encrypt)).encode()
         ).digest()
         p_perm = -44  # typical permission bits (print+extract denied-ish)
-        o_val = pdf_crypt.compute_o_value(b"", b"", r, bits)
-        file_key = pdf_crypt.compute_encryption_key(b"", o_val, p_perm, id0, r, bits)
-        u_val = pdf_crypt.compute_u_value(file_key, id0, r)
 
         def hexs(b: bytes) -> bytes:
             return b"<" + b.hex().encode("ascii") + b">"
 
-        enc_body = b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O %s /U %s" % (
-            v, r, bits, p_perm, hexs(o_val), hexs(u_val.ljust(32, b"\x00")[:32]),
-        )
-        if v == 4:
-            enc_body += (
-                b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
-                b" /StmF /StdCF /StrF /StdCF"
+        if v == 5:
+            # AES-256 handler (ISO 32000-2 §7.6.4): the file key is an
+            # arbitrary 32-byte value; deterministic from the /ID seed
+            file_key = hashlib.sha256(b"oar-ocr-spark-v5-key" + id0).digest()
+            u_val, ue_val, o_val, oe_val, perms = pdf_crypt.make_v5_entries(
+                file_key, p_perm, r=r, seed=id0
             )
-        enc_body += b" >>"
+            enc_body = (
+                b"<< /Filter /Standard /V 5 /R %d /Length 256 /P %d"
+                b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+                b" /StmF /StdCF /StrF /StdCF"
+                b" /O %s /U %s /OE %s /UE %s /Perms %s >>"
+            ) % (
+                r, p_perm, hexs(o_val), hexs(u_val),
+                hexs(oe_val), hexs(ue_val), hexs(perms),
+            )
+        else:
+            o_val = pdf_crypt.compute_o_value(b"", b"", r, bits)
+            file_key = pdf_crypt.compute_encryption_key(
+                b"", o_val, p_perm, id0, r, bits
+            )
+            u_val = pdf_crypt.compute_u_value(file_key, id0, r)
+            enc_body = (
+                b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O %s /U %s"
+            ) % (
+                v, r, bits, p_perm, hexs(o_val), hexs(u_val.ljust(32, b"\x00")[:32]),
+            )
+            if v == 4:
+                enc_body += (
+                    b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                    b" /StmF /StdCF /StrF /StdCF"
+                )
+            enc_body += b" >>"
         crypt = (file_key, method, enc_body, id0)
 
     def enc_bytes(num: int, data: bytes) -> bytes:
@@ -183,6 +209,13 @@ def encode_pdf(
             return data
         from . import pdf_crypt
 
+        if crypt[1] == "aes256":
+            import hashlib
+
+            # V5: the file key encrypts every object directly (no
+            # per-object salting, algorithm 1.A); deterministic IV
+            iv = hashlib.md5(b"oar-ocr-spark-iv%d" % num).digest()
+            return pdf_crypt.aes_cbc_encrypt(crypt[0], iv, data)
         key = pdf_crypt.object_key(crypt[0], num, 0, aes=crypt[1] == "aes")
         if crypt[1] == "aes":
             import hashlib
@@ -743,10 +776,11 @@ class PdfDocument:
     # -- encryption (standard security handler, §7.6) -----------------------
     def _setup_encryption(self) -> None:
         """Detect /Encrypt BEFORE any stream decode and either set up
-        the standard-handler decryption state (empty user password,
-        RC4 or AES-128) or raise the declared loud NotImplementedError —
-        never an opaque zlib error mid-stream. Reference reads
-        encrypted PDFs via hayro (oar-ocr Cargo.toml:20)."""
+        the standard-handler decryption state (empty user/owner
+        password; RC4, AES-128 or AES-256) or raise the declared loud
+        NotImplementedError — never an opaque zlib error mid-stream.
+        Reference reads encrypted PDFs via hayro (oar-ocr
+        Cargo.toml:20)."""
         from . import pdf_crypt
 
         ref = self.trailer["Encrypt"]
@@ -762,20 +796,28 @@ class PdfDocument:
             )
         v = int(self.resolve(enc.get("V", 0)))
         r = int(self.resolve(enc.get("R", 0)))
-        if v not in (1, 2, 4) or r not in (2, 3, 4):
+        v5 = v == 5 and r in (5, 6)
+        if not v5 and (v not in (1, 2, 4) or r not in (2, 3, 4)):
             raise NotImplementedError(
                 f"encrypted PDF: /V {v} /R {r} not supported "
-                "(RC4/AES-128 standard handler only; AES-256 /V 5 is out of scope)"
+                "(RC4/AES-128/AES-256 standard handler only)"
             )
         stm_m = str_m = "rc4"
-        if v == 4:
+        if v in (4, 5):
             cf = self.resolve(enc.get("CF", {})) or {}
             stdcf = self.resolve(cf.get("StdCF", {})) or {}
             cfm = str(self.resolve(stdcf.get("CFM", "None")))
-            methods = {"V2": "rc4", "AESV2": "aes", "None": "identity"}
+            # AESV3 is only legal under /V 5 (32-byte key), AESV2/V2
+            # only under /V 4 — a mismatch is a malformed dictionary
+            methods = (
+                {"AESV3": "aes256", "None": "identity"}
+                if v5
+                else {"V2": "rc4", "AESV2": "aes", "None": "identity"}
+            )
             if cfm not in methods:
                 raise NotImplementedError(
                     f"encrypted PDF: crypt filter method /{cfm} not supported"
+                    f" under /V {v}"
                 )
 
             def cls_method(key: str) -> str:
@@ -789,9 +831,33 @@ class PdfDocument:
                 )
 
             stm_m, str_m = cls_method("StmF"), cls_method("StrF")
-        length = int(self.resolve(enc.get("Length", 40)))
         o_val = self.resolve(enc["O"]).encode("latin-1")
         u_val = self.resolve(enc["U"]).encode("latin-1")
+        if v5:
+            # AES-256 (ISO 32000-2 §7.6.4): authenticate the EMPTY
+            # password as user then owner; /UE//OE hold the file key
+            ue_val = self.resolve(enc.get("UE", "")).encode("latin-1")
+            oe_val = self.resolve(enc.get("OE", "")).encode("latin-1")
+            if len(u_val) < 48 or len(ue_val) < 32:
+                raise ValueError("encrypted PDF: /V 5 requires 48-byte /U and /UE")
+            key = pdf_crypt.authenticate_v5(b"", r, u_val, ue_val, o_val, oe_val)
+            if key is None:
+                raise NotImplementedError(
+                    "encrypted PDF: non-empty user password (password-protected)"
+                )
+            perms_s = self.resolve(enc.get("Perms", ""))
+            if perms_s:
+                dec = pdf_crypt.aes_ecb_decrypt_block(
+                    key, perms_s.encode("latin-1")[:16]
+                )
+                if dec[9:12] != b"adb":
+                    raise ValueError(
+                        "encrypted PDF: /Perms check failed (corrupt "
+                        "encryption dictionary or wrong file key)"
+                    )
+            self._crypt = (key, stm_m, str_m)
+            return
+        length = int(self.resolve(enc.get("Length", 40)))
         p = int(self.resolve(enc["P"]))
         enc_meta = bool(self.resolve(enc.get("EncryptMetadata", True)))
         ids = self.resolve(self.trailer.get("ID"))
@@ -812,6 +878,9 @@ class PdfDocument:
 
         if method == "identity" or not raw:
             return raw
+        if method == "aes256":
+            # V5: file key directly, no per-object derivation (§7.6.4)
+            return pdf_crypt.aes_cbc_decrypt(self._crypt[0], raw)
         key = pdf_crypt.object_key(self._crypt[0], num, gen, aes=method == "aes")
         if method == "aes":
             return pdf_crypt.aes_cbc_decrypt(key, raw)
@@ -1199,7 +1268,11 @@ _PAGE_STORE_SCHEMA = T.StructType(
 )
 
 
-def pdf_store_df(docs: DataFrame, parallelism: int | None = None) -> DataFrame:
+def pdf_store_df(
+    docs: DataFrame,
+    parallelism: int | None = None,
+    encrypt: str | None = None,
+) -> DataFrame:
     """input_hint documents → (pdf_ref, payload, n_pages): ONE real PDF
     per document packing its media spans' rendered pages in span order.
 
@@ -1208,7 +1281,9 @@ def pdf_store_df(docs: DataFrame, parallelism: int | None = None) -> DataFrame:
     encode runs in the Arrow-batched UDF. Docs with no media spans are
     pruned before the Python boundary. `parallelism` hash-spreads a
     single-partition docs scan across workers before the UDF (the
-    multimodal.png_store_df discipline)."""
+    multimodal.png_store_df discipline). `encrypt` forwards to
+    encode_pdf (e.g. "aes-256") so the downstream parser's transparent
+    empty-password decryption is exercised through the same seam."""
     if parallelism:
         docs = docs.repartition(parallelism, "doc_id")
     refs = (
@@ -1230,7 +1305,9 @@ def pdf_store_df(docs: DataFrame, parallelism: int | None = None) -> DataFrame:
             for doc_id, media_refs in zip(pdf["doc_id"], pdf["refs"]):
                 media_refs = list(media_refs)
                 pages = [render_page(r) for r in media_refs]
-                rows.append((doc_id, encode_pdf(pages, media_refs), len(pages)))
+                rows.append(
+                    (doc_id, encode_pdf(pages, media_refs, encrypt=encrypt), len(pages))
+                )
             yield pd.DataFrame(rows, columns=[f.name for f in _PDF_STORE_SCHEMA.fields])
 
     return refs.mapInPandas(it, schema=_PDF_STORE_SCHEMA)

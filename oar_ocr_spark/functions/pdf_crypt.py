@@ -3,19 +3,24 @@ python + numpy, no crypto library.
 
 Scope (declared, fails loudly outside it): the /Standard handler with
 revisions R=2/3/4 — RC4 (40–128 bit, /V 1/2 and /V 4 /CFM /V2) and
-AES-128-CBC (/V 4 /CFM /AESV2) — opened with an EMPTY user password
-(the overwhelmingly common "encrypted but not password-protected"
-case). Non-empty passwords and the AES-256 /V 5 handler raise
-NotImplementedError from the caller (functions/pdf.py) so the failure
-is the loud declared kind, never an opaque zlib error mid-stream.
+AES-128-CBC (/V 4 /CFM /AESV2) — plus the AES-256 handler /V 5 with
+R=5 (the deprecated Adobe ExtensionLevel 3 single-SHA-256 variant)
+and R=6 (PDF 2.0, ISO 32000-2 §7.6.4 with the iterated hash 2.B) —
+opened with an EMPTY user OR owner password (the overwhelmingly
+common "encrypted but not password-protected" case). Non-empty
+passwords raise NotImplementedError from the caller (functions/
+pdf.py) so the failure is the loud declared kind, never an opaque
+zlib error mid-stream.
 
 Primitives are written against the public specs: RC4 (the well-known
-KSA/PRGA), AES (FIPS-197; vectorized over blocks with numpy so
-CBC-decrypt of a long stream is table lookups over an (n,16) array,
-not a per-byte python loop), and the MD5-based key algorithms 2/4/5
-of §7.6.3 (hashlib supplies MD5). Reference handles encrypted PDFs
-via `hayro` (oar-ocr Cargo.toml:20); this module is the from-scratch
-equivalent for the standard handler subset.
+KSA/PRGA), AES-128/256 (FIPS-197; vectorized over blocks with numpy
+so CBC-decrypt of a long stream is table lookups over an (n,16)
+array, not a per-byte python loop), the MD5-based key algorithms
+2/4/5 of §7.6.3 (hashlib supplies MD5), and the SHA-2-based V5
+algorithms 2.A/2.B/8/9/10 of ISO 32000-2 §7.6.4 (hashlib supplies
+SHA-256/384/512). Reference handles encrypted PDFs via `hayro`
+(oar-ocr Cargo.toml:20); this module is the from-scratch equivalent
+for the standard handler subset.
 """
 
 from __future__ import annotations
@@ -29,10 +34,15 @@ __all__ = [
     "rc4",
     "aes_cbc_decrypt",
     "aes_cbc_encrypt",
+    "aes_cbc_decrypt_raw",
+    "aes_cbc_encrypt_raw",
     "compute_encryption_key",
     "compute_o_value",
     "compute_u_value",
     "object_key",
+    "hash_2b",
+    "authenticate_v5",
+    "make_v5_entries",
     "PAD",
 ]
 
@@ -72,7 +82,7 @@ def rc4(key: bytes, data: bytes) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# AES-128 (FIPS-197), vectorized over blocks
+# AES-128/256 (FIPS-197), vectorized over blocks
 # ---------------------------------------------------------------------------
 
 def _build_tables():
@@ -131,21 +141,26 @@ _INV_SHIFT = np.argsort(_SHIFT)
 
 
 def _expand_key(key: bytes) -> np.ndarray:
-    """AES-128 key schedule → (11, 16) uint8 round keys."""
-    if len(key) != 16:
-        raise ValueError("AES-128 key must be 16 bytes")
+    """AES key schedule (FIPS-197 §5.2) → (Nr+1, 16) uint8 round keys.
+    Nk=4 (AES-128, Nr=10) and Nk=8 (AES-256, Nr=14); AES-256 adds the
+    extra SubWord at i % Nk == 4."""
+    if len(key) not in (16, 32):
+        raise ValueError("AES key must be 16 or 32 bytes")
+    nk = len(key) // 4
+    nr = nk + 6
     rcon = 1
-    words = [list(key[i : i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    words = [list(key[i : i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(words[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [int(_SBOX[b]) for b in t]
             t[0] ^= rcon
             rcon = ((rcon << 1) ^ 0x1B) & 0xFF if rcon & 0x80 else rcon << 1
-        words.append([a ^ b for a, b in zip(words[i - 4], t)])
-    flat = np.array(words, dtype=np.uint8).reshape(11, 16)
-    return flat
+        elif nk == 8 and i % nk == 4:
+            t = [int(_SBOX[b]) for b in t]
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
+    return np.array(words, dtype=np.uint8).reshape(nr + 1, 16)
 
 
 def _mix_columns(st: np.ndarray) -> np.ndarray:
@@ -171,17 +186,19 @@ def _inv_mix_columns(st: np.ndarray) -> np.ndarray:
 
 
 def _ecb_encrypt_blocks(blocks: np.ndarray, rk: np.ndarray) -> np.ndarray:
+    nr = rk.shape[0] - 1
     st = blocks ^ rk[0]
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         st = _SBOX[st][:, _SHIFT]
         st = _mix_columns(st) ^ rk[rnd]
     st = _SBOX[st][:, _SHIFT]
-    return st ^ rk[10]
+    return st ^ rk[nr]
 
 
 def _ecb_decrypt_blocks(blocks: np.ndarray, rk: np.ndarray) -> np.ndarray:
-    st = blocks ^ rk[10]
-    for rnd in range(9, 0, -1):
+    nr = rk.shape[0] - 1
+    st = blocks ^ rk[nr]
+    for rnd in range(nr - 1, 0, -1):
         st = _INV_SBOX[st[:, _INV_SHIFT]]
         st = _inv_mix_columns(st ^ rk[rnd])
     st = _INV_SBOX[st[:, _INV_SHIFT]]
@@ -189,15 +206,24 @@ def _ecb_decrypt_blocks(blocks: np.ndarray, rk: np.ndarray) -> np.ndarray:
 
 
 def aes_ecb_encrypt_block(key: bytes, block: bytes) -> bytes:
-    """Single-block ECB (FIPS-197 test-vector surface)."""
+    """Single-block ECB, 128- or 256-bit key (FIPS-197 test-vector
+    surface; also the /Perms entry layout, ISO 32000-2 §7.6.4.4.9)."""
     rk = _expand_key(key)
     arr = np.frombuffer(block, dtype=np.uint8).reshape(1, 16)
     return _ecb_encrypt_blocks(arr, rk).tobytes()
 
 
+def aes_ecb_decrypt_block(key: bytes, block: bytes) -> bytes:
+    """Single-block ECB decrypt (the /Perms verification direction)."""
+    rk = _expand_key(key)
+    arr = np.frombuffer(block, dtype=np.uint8).reshape(1, 16)
+    return _ecb_decrypt_blocks(arr, rk).tobytes()
+
+
 def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """AES-128-CBC with PKCS#5 padding; returns iv + ciphertext (the
-    PDF AESV2 stream layout). Sequential over blocks (CBC chaining)."""
+    """AES-CBC (128- or 256-bit key) with PKCS#5 padding; returns
+    iv + ciphertext (the PDF AESV2/AESV3 stream layout). Sequential
+    over blocks (CBC chaining)."""
     if len(iv) != 16:
         raise ValueError("AES IV must be 16 bytes")
     rk = _expand_key(key)
@@ -213,8 +239,9 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
 
 
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """PDF AESV2 layout: first 16 bytes IV, PKCS#5 padding stripped.
-    Block-parallel: one vectorized ECB pass + a shifted XOR."""
+    """PDF AESV2/AESV3 layout: first 16 bytes IV, PKCS#5 padding
+    stripped. Block-parallel: one vectorized ECB pass + a shifted
+    XOR. Key length picks AES-128 vs AES-256."""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("AES-CBC data must be iv + a whole number of blocks")
     arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, 16)
@@ -225,6 +252,38 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     if not 1 <= padlen <= 16 or raw[-padlen:] != bytes([padlen]) * padlen:
         raise ValueError("AES-CBC padding invalid (wrong key or corrupt data)")
     return raw[:-padlen]
+
+
+def aes_cbc_encrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC without padding or IV prefix (ISO 32000-2 intermediate-key
+    encryption of the file key, and the hash-2B inner step). `data`
+    must already be a whole number of blocks."""
+    if len(iv) != 16:
+        raise ValueError("AES IV must be 16 bytes")
+    if not data or len(data) % 16:
+        raise ValueError("raw CBC data must be a whole number of blocks")
+    rk = _expand_key(key)
+    prev = np.frombuffer(iv, dtype=np.uint8)
+    out = bytearray()
+    for i in range(0, len(data), 16):
+        blk = np.frombuffer(data[i : i + 16], dtype=np.uint8) ^ prev
+        prev = _ecb_encrypt_blocks(blk.reshape(1, 16), rk)[0]
+        out += prev.tobytes()
+    return bytes(out)
+
+
+def aes_cbc_decrypt_raw(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC decrypt without padding or IV prefix (the /UE and /OE
+    entries decrypt to the 32-byte file key this way, zero IV).
+    Block-parallel like aes_cbc_decrypt."""
+    if len(iv) != 16:
+        raise ValueError("AES IV must be 16 bytes")
+    if not data or len(data) % 16:
+        raise ValueError("raw CBC data must be a whole number of blocks")
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(-1, 16)
+    rk = _expand_key(key)
+    prior = np.vstack([np.frombuffer(iv, dtype=np.uint8).reshape(1, 16), arr[:-1]])
+    return (_ecb_decrypt_blocks(arr, rk) ^ prior).tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -288,7 +347,8 @@ def compute_u_value(enc_key: bytes, id0: bytes, r: int) -> bytes:
 
 def object_key(enc_key: bytes, num: int, gen: int, aes: bool) -> bytes:
     """Algorithm 1: the per-object key (num/gen salted MD5; AESV2 adds
-    the 'sAlT' bytes)."""
+    the 'sAlT' bytes). V5/AESV3 does NOT use this — the file key is
+    applied to every object directly (algorithm 1.A)."""
     h = hashlib.md5()
     h.update(enc_key)
     h.update(struct.pack("<I", num)[:3])
@@ -296,3 +356,149 @@ def object_key(enc_key: bytes, num: int, gen: int, aes: bool) -> bytes:
     if aes:
         h.update(b"sAlT")
     return h.digest()[: min(len(enc_key) + 5, 16)]
+
+
+# ---------------------------------------------------------------------------
+# AES-256 handler (/V 5, R=5/6) key algorithms (ISO 32000-2 §7.6.4)
+# ---------------------------------------------------------------------------
+
+def _build_ttables():
+    """Classic 32-bit T-tables for the ENCRYPT direction (big-endian
+    words): T0[x] packs (2·S, S, S, 3·S). A CBC chain is inherently
+    sequential, so the numpy block-parallel core above gains nothing
+    there; plain-int table lookups are ~25× faster per block, which is
+    what the hash-2B KDF (64+ rounds × hundreds of chained blocks)
+    needs."""
+    m2, m3 = _MUL[2], _MUL[3]
+    t0 = [
+        (int(m2[s]) << 24) | (int(s) << 16) | (int(s) << 8) | int(m3[s])
+        for s in (int(_SBOX[x]) for x in range(256))
+    ]
+    t1 = [((v >> 8) | ((v & 0xFF) << 24)) & 0xFFFFFFFF for v in t0]
+    t2 = [((v >> 8) | ((v & 0xFF) << 24)) & 0xFFFFFFFF for v in t1]
+    t3 = [((v >> 8) | ((v & 0xFF) << 24)) & 0xFFFFFFFF for v in t2]
+    return t0, t1, t2, t3
+
+
+_T0, _T1, _T2, _T3 = _build_ttables()
+_SBOX_INT = [int(b) for b in _SBOX]
+
+
+def _cbc_encrypt_chain_128(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """AES-128-CBC encrypt of a whole-block buffer as one tight
+    plain-int loop (the hash-2B hot path; equality with the numpy
+    core is pinned in tests)."""
+    rkw = [
+        int.from_bytes(rk_bytes, "big")
+        for round_key in _expand_key(key)
+        for rk_bytes in (round_key.tobytes()[i : i + 4] for i in (0, 4, 8, 12))
+    ]
+    t0, t1, t2, t3, sb = _T0, _T1, _T2, _T3, _SBOX_INT
+    prev = int.from_bytes(iv, "big")
+    out = bytearray()
+    for off in range(0, len(data), 16):
+        blk = int.from_bytes(data[off : off + 16], "big") ^ prev
+        s0 = (blk >> 96) ^ rkw[0]
+        s1 = ((blk >> 64) & 0xFFFFFFFF) ^ rkw[1]
+        s2 = ((blk >> 32) & 0xFFFFFFFF) ^ rkw[2]
+        s3 = (blk & 0xFFFFFFFF) ^ rkw[3]
+        for r in range(1, 10):
+            k = 4 * r
+            u0 = t0[s0 >> 24] ^ t1[(s1 >> 16) & 255] ^ t2[(s2 >> 8) & 255] ^ t3[s3 & 255] ^ rkw[k]
+            u1 = t0[s1 >> 24] ^ t1[(s2 >> 16) & 255] ^ t2[(s3 >> 8) & 255] ^ t3[s0 & 255] ^ rkw[k + 1]
+            u2 = t0[s2 >> 24] ^ t1[(s3 >> 16) & 255] ^ t2[(s0 >> 8) & 255] ^ t3[s1 & 255] ^ rkw[k + 2]
+            u3 = t0[s3 >> 24] ^ t1[(s0 >> 16) & 255] ^ t2[(s1 >> 8) & 255] ^ t3[s2 & 255] ^ rkw[k + 3]
+            s0, s1, s2, s3 = u0, u1, u2, u3
+        v0 = ((sb[s0 >> 24] << 24) | (sb[(s1 >> 16) & 255] << 16) | (sb[(s2 >> 8) & 255] << 8) | sb[s3 & 255]) ^ rkw[40]
+        v1 = ((sb[s1 >> 24] << 24) | (sb[(s2 >> 16) & 255] << 16) | (sb[(s3 >> 8) & 255] << 8) | sb[s0 & 255]) ^ rkw[41]
+        v2 = ((sb[s2 >> 24] << 24) | (sb[(s3 >> 16) & 255] << 16) | (sb[(s0 >> 8) & 255] << 8) | sb[s1 & 255]) ^ rkw[42]
+        v3 = ((sb[s3 >> 24] << 24) | (sb[(s0 >> 16) & 255] << 16) | (sb[(s1 >> 8) & 255] << 8) | sb[s2 & 255]) ^ rkw[43]
+        prev = (v0 << 96) | (v1 << 64) | (v2 << 32) | v3
+        out += prev.to_bytes(16, "big")
+    return bytes(out)
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 §7.6.4.3.4 algorithm 2.B (the R=6 iterated hash):
+    SHA-256 seed, then rounds of AES-128-CBC over 64 copies of
+    (password + K + udata) with the next digest family chosen by the
+    first 16 ciphertext bytes mod 3, until round >= 64 and the last
+    ciphertext byte <= round - 32. (A KDF — deliberately expensive;
+    the T-table chain keeps it ~0.1 s instead of seconds.)"""
+    k = hashlib.sha256(password + salt + udata).digest()
+    families = (hashlib.sha256, hashlib.sha384, hashlib.sha512)
+    rnd = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _cbc_encrypt_chain_128(k[:16], k[16:32], k1)
+        k = families[sum(e[:16]) % 3](e).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def _v5_hash(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    # R=5 (the deprecated Adobe ExtensionLevel 3 handler) hashes once
+    # with SHA-256; R=6 (PDF 2.0) runs the iterated hash 2.B
+    if r == 5:
+        return hashlib.sha256(password + salt + udata).digest()
+    return hash_2b(password, salt, udata)
+
+
+def authenticate_v5(
+    password: bytes,
+    r: int,
+    u_value: bytes,
+    ue_value: bytes,
+    o_value: bytes = b"",
+    oe_value: bytes = b"",
+) -> bytes | None:
+    """Algorithms 2.A / 8 / 9 (ISO 32000-2 §7.6.4): validate `password`
+    as the user then the owner password and return the 32-byte file
+    encryption key, or None if neither validates. /U and /O are 48
+    bytes: 32-byte verification hash + 8-byte validation salt + 8-byte
+    key salt; /UE and /OE hold the file key AES-256-CBC-encrypted
+    (zero IV, no padding) under the password's intermediate key."""
+    u = u_value[:48]
+    if len(u) < 48 or len(ue_value) < 32:
+        raise ValueError("V5 /U must be 48 bytes and /UE 32 bytes")
+    if _v5_hash(password, u[32:40], b"", r) == u[:32]:
+        ik = _v5_hash(password, u[40:48], b"", r)
+        return aes_cbc_decrypt_raw(ik, b"\x00" * 16, ue_value[:32])
+    o = o_value[:48]
+    if len(o) == 48 and len(oe_value) >= 32:
+        if _v5_hash(password, o[32:40], u, r) == o[:32]:
+            ik = _v5_hash(password, o[40:48], u, r)
+            return aes_cbc_decrypt_raw(ik, b"\x00" * 16, oe_value[:32])
+    return None
+
+
+def make_v5_entries(
+    file_key: bytes,
+    p: int,
+    r: int = 6,
+    user_pw: bytes = b"",
+    owner_pw: bytes = b"",
+    seed: bytes = b"",
+) -> tuple[bytes, bytes, bytes, bytes, bytes]:
+    """Writer side of §7.6.4 (algorithms 8/9/10): deterministic
+    (/U, /UE, /O, /OE, /Perms) for a chosen 32-byte file key. Salts
+    derive from SHA-256 of `seed` — the fixture determinism contract
+    forbids RNG; the spec only asks that salts vary per file, which a
+    content-derived seed provides."""
+    if len(file_key) != 32:
+        raise ValueError("V5 file key must be 32 bytes")
+    s = hashlib.sha256(b"oar-ocr-spark-v5-salts" + seed).digest()
+    uvs, uks, ovs, oks = s[0:8], s[8:16], s[16:24], s[24:32]
+    u = _v5_hash(user_pw, uvs, b"", r) + uvs + uks
+    ue = aes_cbc_encrypt_raw(_v5_hash(user_pw, uks, b"", r), b"\x00" * 16, file_key)
+    o = _v5_hash(owner_pw, ovs, u, r) + ovs + oks
+    oe = aes_cbc_encrypt_raw(_v5_hash(owner_pw, oks, u, r), b"\x00" * 16, file_key)
+    # /Perms (algorithm 10): P as LE int32, 0xFF filler, 'T' for
+    # EncryptMetadata=true, the 'adb' sentinel, 4 arbitrary bytes
+    perms = bytearray(16)
+    struct.pack_into("<i", perms, 0, p)
+    perms[4:8] = b"\xff\xff\xff\xff"
+    perms[8:12] = b"Tadb"
+    perms[12:16] = hashlib.sha256(b"oar-ocr-spark-v5-perms" + seed).digest()[:4]
+    return u, ue, o, oe, aes_ecb_encrypt_block(file_key, bytes(perms))

@@ -693,7 +693,7 @@ class TestEncryptedPdfs:
             rng.randint(0, 256, (8, 15)).astype(np.uint8),
         ]
 
-    @pytest.mark.parametrize("variant", ["rc4-40", "rc4-128", "aes-128"])
+    @pytest.mark.parametrize("variant", ["rc4-40", "rc4-128", "aes-128", "aes-256"])
     @pytest.mark.parametrize("xref_format", ["classic", "stream"])
     def test_empty_password_roundtrip(self, variant, xref_format):
         pages = self._pages()
@@ -722,11 +722,60 @@ class TestEncryptedPdfs:
         with pytest.raises(NotImplementedError, match="password-protected"):
             PdfDocument(bytes(data))
 
-    def test_aes256_v5_guard(self):
-        data = encode_pdf(self._pages(), encrypt="aes-128")
-        data = data.replace(b"/V 4 /R 4", b"/V 5 /R 6")
-        with pytest.raises(NotImplementedError, match=r"/V 5 /R 6"):
-            PdfDocument(data)
+    def test_aes256_wrong_password_guard(self):
+        # corrupting the /U verification hash fails the empty-password
+        # check for user AND owner (the owner hash binds the full /U) —
+        # the declared "password-protected" guard, before stream decode
+        data = bytearray(encode_pdf(self._pages(), encrypt="aes-256"))
+        at = data.index(b"/U <") + 4
+        data[at : at + 2] = b"00" if data[at : at + 2] != b"00" else b"ff"
+        with pytest.raises(NotImplementedError, match="password-protected"):
+            PdfDocument(bytes(data))
+
+    def test_aes256_owner_password_fallback(self):
+        # algorithm 9: a file whose USER password is non-empty still
+        # opens when the OWNER password is empty (and vice versa)
+        from oar_ocr_spark.functions import pdf_crypt
+
+        fk = bytes(range(32))
+        for r in (5, 6):
+            u, ue, o, oe, _ = pdf_crypt.make_v5_entries(
+                fk, -44, r=r, user_pw=b"secret", owner_pw=b"", seed=b"t"
+            )
+            assert pdf_crypt.authenticate_v5(b"", r, u, ue, o, oe) == fk  # owner
+            assert pdf_crypt.authenticate_v5(b"secret", r, u, ue) == fk  # user
+            assert pdf_crypt.authenticate_v5(b"nope", r, u, ue, o, oe) is None
+
+    def test_aes256_perms_tamper_fails_loudly(self):
+        # algorithm 13: the decrypted /Perms must carry the 'adb'
+        # sentinel — tampering is detected at parse time
+        data = encode_pdf(self._pages(), encrypt="aes-256")
+        at = data.index(b"/Perms <") + 8
+        bad = bytearray(data)
+        bad[at : at + 2] = b"00" if data[at : at + 2] != b"00" else b"ff"
+        with pytest.raises(ValueError, match="Perms"):
+            PdfDocument(bytes(bad))
+
+    def test_v5_primitives(self):
+        from oar_ocr_spark.functions.pdf_crypt import (
+            _cbc_encrypt_chain_128,
+            aes_cbc_decrypt_raw,
+            aes_cbc_encrypt_raw,
+            hash_2b,
+        )
+
+        key, iv = bytes(range(32)), bytes(range(16))
+        data = bytes(range(48))
+        assert aes_cbc_decrypt_raw(key, iv, aes_cbc_encrypt_raw(key, iv, data)) == data
+        # the T-table fast chain (hash-2B hot path) equals the numpy core
+        assert _cbc_encrypt_chain_128(key[:16], iv, data) == aes_cbc_encrypt_raw(
+            key[:16], iv, data
+        )
+        # hash_2b: deterministic, password/salt/udata-sensitive, 32 bytes
+        h = hash_2b(b"", b"salt8byt")
+        assert len(h) == 32 and h == hash_2b(b"", b"salt8byt")
+        assert h != hash_2b(b"x", b"salt8byt")
+        assert hash_2b(b"x", b"salt8byt") != hash_2b(b"x", b"salt8byt", b"u")
 
     def test_foreign_security_handler_guard(self):
         data = encode_pdf(self._pages(), encrypt="rc4-128")
@@ -749,12 +798,23 @@ class TestEncryptedPdfs:
             aes_cbc_decrypt(b"k" * 16, b"\x00" * 20)
 
     def test_primitive_public_vectors(self):
-        from oar_ocr_spark.functions.pdf_crypt import aes_ecb_encrypt_block, rc4
+        from oar_ocr_spark.functions.pdf_crypt import (
+            aes_ecb_decrypt_block,
+            aes_ecb_encrypt_block,
+            rc4,
+        )
 
         # FIPS-197 appendix C.1
         key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
         pt = bytes.fromhex("00112233445566778899aabbccddeeff")
         assert aes_ecb_encrypt_block(key, pt).hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+        # FIPS-197 appendix C.3 (AES-256)
+        key256 = bytes.fromhex(
+            "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+        )
+        ct = aes_ecb_encrypt_block(key256, pt)
+        assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+        assert aes_ecb_decrypt_block(key256, ct) == pt
         # the classic RC4 vector
         assert rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
         # RC4 is an involution with a fixed key
