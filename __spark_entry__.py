@@ -56,6 +56,7 @@ FEATURES_MOD = 10
 PNG_MOD = 20
 JPEG_MOD = 20
 LEGACY_MOD = 20
+LOSSLESS_MOD = 20
 FAX_MOD = 20
 PDF_MOD = 20
 TIFF_MOD = 20
@@ -510,6 +511,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             legacy_store_df(refs, parallelism=spark.sparkContext.defaultParallelism)
         )
 
+    def q_media_lossless_roundtrip(spark):
+        # the predictive-coding seam: render → encode REAL lossless
+        # JPEG bytes (SOF3, T.81 Annex H; predictor 1-7 and restart
+        # flavor crc32-chosen per ref) → magic-byte dispatch decode →
+        # features. SOF3 is lossless by construction, so the oracle is
+        # the same golden feature table as the PNG query.
+        from oar_ocr_spark.functions.multimodal import (
+            image_features_from_bytes_df,
+            lossless_jpeg_store_df,
+        )
+
+        refs = media_refs_df(spark, LOSSLESS_MOD)
+        return image_features_from_bytes_df(
+            lossless_jpeg_store_df(refs, parallelism=spark.sparkContext.defaultParallelism)
+        )
+
     def q_media_fax_roundtrip(spark):
         # the scanned-fax seam: render → threshold to bilevel → encode
         # REAL CCITT TIFF bytes (G4/G3-2D/G3-1D MH, both photometric
@@ -828,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_png_roundtrip": with_views(q_media_png_roundtrip),
         "media_jpeg_roundtrip": with_views(q_media_jpeg_roundtrip),
         "media_gif_tiff_bmp_roundtrip": with_views(q_media_legacy_roundtrip),
+        "media_lossless_roundtrip": with_views(q_media_lossless_roundtrip),
         "media_fax_roundtrip": with_views(q_media_fax_roundtrip),
         "pdf_extract": with_views(q_pdf_extract),
         "tiff_extract": with_views(q_tiff_extract),
@@ -1511,6 +1529,17 @@ with spans as ({span_cte}),
 refs as (
   select distinct media_ref from spans
   where kind = 'media' and cast(doc_id as bigint) % {LEGACY_MOD} = 0
+)
+select g.media_ref, g.width, g.height, g.mean_intensity, g.ink_ratio,
+       g.n_regions
+from read_parquet('{golden_dir}/media_features.parquet') g
+join refs using (media_ref)
+""",
+        "media_lossless_roundtrip": f"""
+with spans as ({span_cte}),
+refs as (
+  select distinct media_ref from spans
+  where kind = 'media' and cast(doc_id as bigint) % {LOSSLESS_MOD} = 0
 )
 select g.media_ref, g.width, g.height, g.mean_intensity, g.ink_ratio,
        g.n_regions

@@ -34,9 +34,14 @@ cross-block runs, per-scan restart resync — and a progressive ENCODER
 fixtures, with decode(progressive) == decode(baseline) exactly (same
 quantized coefficients). NON-interleaved baseline (one scan per
 component, the multi-scan scanner layout) decodes too, with its own
-fixture writer (`encode_jpeg_multiscan`). Arithmetic coding and
-extended/lossless SOF processes raise NotImplementedError (the
-codec-seam contract, functions/multimodal.py).
+fixture writer (`encode_jpeg_multiscan`). LOSSLESS (SOF3, T.81 Annex
+H — the DICOM / raw-scanner process) decodes and encodes
+(`encode_jpeg_lossless`): all seven predictors, point transform,
+restart intervals, grey + 3-component; bit-exact roundtrip since no
+DCT is involved. SOF1 (extended sequential) decodes through the
+baseline path at 8-bit precision. Arithmetic-coded and differential
+SOF processes raise NotImplementedError (the codec-seam contract,
+functions/multimodal.py).
 
 JPEG is lossy: the round-trip contract here is NOT bit equality (PNG's
 contract) but (a) byte-level determinism of the encoder, (b) a tested
@@ -57,6 +62,7 @@ __all__ = [
     "decode_jpeg",
     "encode_jpeg_progressive",
     "encode_jpeg_multiscan",
+    "encode_jpeg_lossless",
     "JPEG_SOI",
 ]
 
@@ -786,6 +792,242 @@ def encode_jpeg_progressive(
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# lossless JPEG (T.81 Annex H, process SOF3)
+# ---------------------------------------------------------------------------
+
+def _lossless_predict(ra: int, rb: int, rc: int, sel: int) -> int:
+    """The seven Annex-H predictors (H.1.2.1); shifts are arithmetic
+    (python's >> on ints), i.e. floor division by 2."""
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1
+
+
+def encode_jpeg_lossless(
+    img: np.ndarray,
+    predictor: int = 1,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H,W) grey / (H,W,3) RGB uint8 → LOSSLESS JPEG (T.81 Annex H,
+    process SOF3: Huffman-coded prediction differences, no DCT — the
+    DICOM / raw-scanner layout). Bit-exact roundtrip with decode_jpeg
+    for point_transform=0; with Pt>0 the low Pt bits are discarded by
+    definition (H.1.1). 3-component frames hold the planes verbatim
+    (Annex H defines no colour transform). `restart_interval` counts
+    samples (the lossless MCU); at each boundary prediction resets to
+    the scan-start default, the convention decode side shares.
+    Predictor selection value 1-7 per H.1.2.1."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("encode_jpeg_lossless expects (H,W)/(H,W,3) uint8")
+    if img.ndim == 3 and img.shape[2] != 3:
+        raise ValueError(f"expected 3 colour channels, got {img.shape[2]}")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless predictor must be 1..7, got {predictor}")
+    if not 0 <= point_transform <= 7:
+        raise ValueError(f"point transform must be 0..7, got {point_transform}")
+    h, w = img.shape[:2]
+    pt = point_transform
+    planes = (
+        [img.astype(np.int64) >> pt]
+        if img.ndim == 2
+        else [img[:, :, c].astype(np.int64) >> pt for c in range(3)]
+    )
+    default = 1 << (8 - 1 - pt)
+
+    diffs = []
+    for p in planes:
+        pred = np.empty((h, w), dtype=np.int64)
+        pred[0, 0] = default
+        if w > 1:
+            pred[0, 1:] = p[0, :-1]  # first line: Ra (H.1.2.2)
+        if h > 1:
+            pred[1:, 0] = p[:-1, 0]  # first column: Rb
+        if h > 1 and w > 1:
+            ra, rb, rc = p[1:, :-1], p[:-1, 1:], p[:-1, :-1]
+            pred[1:, 1:] = {
+                1: ra,
+                2: rb,
+                3: rc,
+                4: ra + rb - rc,
+                5: ra + ((rb - rc) >> 1),
+                6: rb + ((ra - rc) >> 1),
+                7: (ra + rb) >> 1,
+            }[predictor]
+        d = p - pred
+        if restart_interval:
+            # boundary samples predict from the default, like scan start
+            k = np.arange(h * w).reshape(h, w)
+            at = (k > 0) & (k % restart_interval == 0)
+            d[at] = p[at] - default
+        diffs.append(d.reshape(-1))
+
+    codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    entropy = bytearray()
+    bw = _BitWriter()
+    seg_i = 0
+    n = h * w
+    for k in range(n):
+        if restart_interval and k and k % restart_interval == 0:
+            entropy += bw.flush()
+            entropy += bytes([0xFF, 0xD0 + (seg_i % 8)])
+            seg_i += 1
+            bw = _BitWriter()
+        for f in diffs:
+            d = int(f[k])
+            ssss = abs(d).bit_length()
+            code, ln = codes[ssss]
+            bw.bits(code, ln)
+            if ssss:
+                amp = d if d >= 0 else d + (1 << ssss) - 1
+                bw.bits(amp & ((1 << ssss) - 1), ssss)
+    entropy += bw.flush()
+
+    ncomp = len(planes)
+    out = bytearray(JPEG_SOI)
+    out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])  # 1x1 sampling, Tq unused (H.2)
+    out += _seg(0xFFC3, sof)
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])  # DC table 0, no AC table
+    sos += bytes([predictor, 0, pt])  # Ss=predictor, Se=0, Ah=0, Al=Pt
+    out += _seg(0xFFDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _reconstruct_lossless(
+    d: np.ndarray, sel: int, default: int, restart_interval: int
+) -> np.ndarray:
+    """Difference plane → sample plane. Predictors 1/2/4 telescope into
+    pure cumsums (restart-free streams), predictor 3 vectorizes per
+    row; 5-7 carry a floor-shift non-linearity, so they (and any
+    restart-interval stream) take the per-sample reference loop.
+    Addition commutes with mod 2^16, so the vector paths mask once at
+    the end (H.1.2.1's modulo-65536 arithmetic)."""
+    h, w = d.shape
+    if not restart_interval:
+        if sel == 1:
+            col0 = np.cumsum(d[:, 0]) + default
+            return np.cumsum(np.concatenate([col0[:, None], d[:, 1:]], axis=1), axis=1) & 0xFFFF
+        if sel == 2:
+            row0 = np.cumsum(d[0]) + default
+            return np.cumsum(np.vstack([row0, d[1:]]), axis=0) & 0xFFFF
+        if sel == 4:
+            row0 = np.cumsum(d[0]) + default
+            if h == 1:
+                return row0[None, :] & 0xFFFF
+            g = np.cumsum(np.cumsum(d[1:], axis=1), axis=0)
+            return np.vstack([row0, row0[None, :] + g]) & 0xFFFF
+        if sel == 3:
+            v = np.empty((h, w), dtype=np.int64)
+            v[0] = (np.cumsum(d[0]) + default) & 0xFFFF
+            for y in range(1, h):
+                v[y, 0] = (v[y - 1, 0] + d[y, 0]) & 0xFFFF
+                if w > 1:
+                    v[y, 1:] = (v[y - 1, :-1] + d[y, 1:]) & 0xFFFF
+            return v
+    v = np.empty((h, w), dtype=np.int64)
+    k = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and k and k % restart_interval == 0:
+                pred = default
+            elif y == 0 and x == 0:
+                pred = default
+            elif y == 0:
+                pred = int(v[0, x - 1])
+            elif x == 0:
+                pred = int(v[y - 1, 0])
+            else:
+                pred = _lossless_predict(
+                    int(v[y, x - 1]), int(v[y - 1, x]), int(v[y - 1, x - 1]), sel
+                )
+            v[y, x] = (pred + int(d[y, x])) & 0xFFFF
+            k += 1
+    return v
+
+
+def _decode_lossless_scan(
+    data: bytes,
+    pos: int,
+    body: bytes,
+    comp_ids: list[int],
+    huff: dict,
+    h: int,
+    w: int,
+    restart_interval: int,
+) -> np.ndarray:
+    """One interleaved lossless scan (all components, 1x1 sampling) →
+    final (H,W)/(H,W,3) uint8 image. Phase 1 Huffman-decodes the
+    difference streams sequentially (SSSS categories through the same
+    16-bit-LUT tables as the DCT paths; SSSS=16 means diff=32768 with
+    no extra bits, H.2.2); phase 2 reconstructs via
+    _reconstruct_lossless."""
+    ncomp = body[0]
+    if ncomp != len(comp_ids):
+        raise NotImplementedError(
+            "lossless JPEG with non-interleaved multi-scan layout not supported"
+        )
+    order = []
+    tbls = []
+    for c in range(ncomp):
+        cid, tbl_byte = body[1 + 2 * c], body[2 + 2 * c]
+        if cid not in comp_ids:
+            raise ValueError(f"lossless scan names unknown component id {cid}")
+        order.append(comp_ids.index(cid))
+        tbls.append(huff[(0, tbl_byte >> 4)])
+    sel = body[1 + 2 * ncomp]
+    pt = body[3 + 2 * ncomp] & 0x0F
+    if not 1 <= sel <= 7:
+        raise ValueError(f"illegal lossless predictor selection {sel}")
+
+    n = h * w
+    diffs = [np.empty(n, dtype=np.int64) for _ in range(ncomp)]
+    reader = _BitReader(data, pos)
+    seg_i = 0
+    k = 0
+    while k < n:
+        limit = min(n, k + restart_interval) if restart_interval else n
+        while k < limit:
+            for c in range(ncomp):
+                s = _decode_huffman(reader, tbls[c])
+                diffs[c][k] = 32768 if s == 16 else _extend(reader.read_bits(s), s)
+            k += 1
+        if k < n:
+            reader = _expect_rst(data, reader, seg_i)
+            seg_i += 1
+
+    default = 1 << (8 - 1 - pt)
+    planes: list[np.ndarray | None] = [None] * ncomp
+    for j in range(ncomp):  # j-th component IN SCAN ORDER → SOF slot order[j]
+        v = _reconstruct_lossless(diffs[j].reshape(h, w), sel, default, restart_interval)
+        v <<= pt
+        if v.max(initial=0) > 255:
+            raise ValueError("lossless JPEG sample exceeds the 8-bit range")
+        planes[order[j]] = v.astype(np.uint8)
+    if ncomp == 1:
+        return planes[0]
+    return np.stack(planes, axis=-1)
+
+
 def _emit_progressive_scan(
     zz, samp, comps, ss, se, ah, al, mcux, mcuy, dc_codes, ac_codes,
     h, w, restart_interval,
@@ -1463,6 +1705,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     h = w = None
     restart_interval = 0
     progressive = False
+    lossless = False
     rgb_direct = False  # 'R','G','B' component IDs / Adobe transform 0
     adobe_transform: int | None = None  # APP14 byte; None = no Adobe marker
     comp_ids: list[int] = []  # SOF component ids, scan-header matching
@@ -1511,7 +1754,31 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 nvals = sum(body[b + 1 : b + 17])
                 huff[(tclass, tid)] = _decode_lut(bytes(body[b + 1 : b + 17 + nvals]))
                 b += 17 + nvals
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker == 0xC3:  # SOF3: lossless (T.81 Annex H)
+            lossless = True
+            depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if depth != 8:
+                raise NotImplementedError(
+                    f"lossless JPEG precision {depth} not supported (8-bit only)"
+                )
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"lossless JPEG with {ncomp} components not supported"
+                )
+            comp_ids = [body[6 + 3 * c] for c in range(ncomp)]
+            if len(set(comp_ids)) != ncomp:
+                raise ValueError(f"lossless JPEG component ids {comp_ids} not distinct")
+            for c in range(ncomp):
+                samp = body[6 + 3 * c + 1]
+                if ncomp > 1 and samp != 0x11:
+                    raise NotImplementedError(
+                        "lossless JPEG with subsampled components not supported"
+                    )
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF2 progressive; SOF1 (extended
+            # sequential) at 8-bit precision is bit-identical to
+            # baseline apart from relaxed table-count limits (T.81
+            # table B.2), so it decodes through the baseline path
             progressive = marker == 0xC2
             depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if depth != 8:
@@ -1545,16 +1812,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     # sampling factors are irrelevant (T.81 A.2.2)
                     hc = vc = 1
                 comp_info.append((hc, vc, body[6 + 3 * c + 2]))
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"JPEG process SOF{marker - 0xC0} (extended/lossless/"
-                "arithmetic) not supported"
+                f"JPEG process SOF{marker - 0xC0} (differential/"
+                "arithmetic-coded) not supported"
             )
         elif marker == 0xDD:  # DRI: MCUs per restart segment (0 = off)
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if h is None:
                 raise ValueError("JPEG SOS before SOF")
+            if lossless:
+                # single interleaved scan produces the image directly
+                return _decode_lossless_scan(
+                    data, pos, body, comp_ids, huff, h, w, restart_interval
+                )
             if progressive:
                 if prog is None:
                     prog = _init_coef_state(comp_info, comp_ids, h, w)

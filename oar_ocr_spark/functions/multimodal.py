@@ -191,6 +191,40 @@ def jpeg_store_df(
     return payload_store_df(refs, row, ref_col=ref_col, parallelism=parallelism)
 
 
+def lossless_jpeg_store_df(
+    refs: DataFrame, ref_col: str = "media_ref", parallelism: int | None = None
+) -> DataFrame:
+    """(media_ref) → (media_ref, payload) media store with REAL
+    LOSSLESS JPEG bytes (SOF3, T.81 Annex H — the DICOM / raw-scanner
+    process; functions/jpeg.py encode_jpeg_lossless). Per ref the
+    predictor (1-7) and a restart-interval flavor are crc32-chosen —
+    deterministic across processes, so the oracle can recompute the
+    set — and the process is LOSSLESS by construction, so features
+    through these bytes equal the golden feature table exactly, like
+    PNG. Decode side is the same magic-byte dispatch in
+    ``_decode_payload`` (SOI routes to decode_jpeg, which dispatches
+    on the SOF marker)."""
+
+    def row(ref: str) -> tuple:
+        import zlib
+
+        from ..fixtures.render import render_page
+        from .jpeg import encode_jpeg_lossless
+
+        page = render_page(ref)
+        h = zlib.crc32(("lossless:" + ref).encode("utf-8"))
+        return (
+            ref,
+            encode_jpeg_lossless(
+                page,
+                predictor=1 + h % 7,
+                restart_interval=(page.shape[1] * 3 + 1) if h & 8 else 0,
+            ),
+        )
+
+    return payload_store_df(refs, row, ref_col=ref_col, parallelism=parallelism)
+
+
 def legacy_store_df(
     refs: DataFrame, ref_col: str = "media_ref", parallelism: int | None = None
 ) -> DataFrame:

@@ -387,10 +387,18 @@ class TestDeclaredSubset:
         i = data.index(bytes([0xFF, old]))
         return data[:i] + bytes([0xFF, new]) + data[i + 2 :]
 
-    def test_extended_sof_raises(self):
-        # SOF1 (extended sequential) stays outside the declared subset
-        data = self._swap_marker(encode_jpeg(render_page("40_m0")), 0xC0, 0xC1)
-        with pytest.raises(NotImplementedError, match="extended"):
+    def test_extended_sof_decodes_as_baseline(self):
+        # SOF1 (extended sequential) at 8-bit precision is
+        # bit-identical to baseline apart from relaxed table limits
+        # (T.81 table B.2) — the same stream must decode identically
+        base = encode_jpeg(render_page("40_m0"))
+        swapped = self._swap_marker(base, 0xC0, 0xC1)
+        assert (decode_jpeg(swapped) == decode_jpeg(base)).all()
+
+    def test_arithmetic_sof_raises(self):
+        # SOF9 (arithmetic-coded sequential) stays outside the subset
+        data = self._swap_marker(encode_jpeg(render_page("40_m0")), 0xC0, 0xC9)
+        with pytest.raises(NotImplementedError, match="arithmetic"):
             decode_jpeg(data)
 
     def test_baseline_stream_mislabeled_progressive_fails_loudly(self):
@@ -578,3 +586,86 @@ class TestCmyk:
         for q in (60, 85):
             out = decode_jpeg(encode_jpeg(img, q))
             assert np.abs(out.astype(int) - img.astype(int)).max() <= 40
+
+
+class TestLossless:
+    """SOF3 (T.81 Annex H): Huffman-coded prediction differences, no
+    DCT — bit-exact roundtrip is the contract (unlike the lossy DCT
+    paths), matching the engine's PNG-style lossless guarantees."""
+
+    def _img(self, shape, seed=5):
+        return np.random.RandomState(seed).randint(0, 256, shape).astype(np.uint8)
+
+    def test_all_predictors_roundtrip_exactly(self):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_lossless
+
+        for shape in [(13, 9), (32, 24, 3), (1, 7), (7, 1), (1, 1)]:
+            img = self._img(shape)
+            for pred in range(1, 8):
+                data = encode_jpeg_lossless(img, predictor=pred)
+                assert data == encode_jpeg_lossless(img, predictor=pred)
+                out = decode_jpeg(data)
+                assert out.shape == img.shape and out.dtype == np.uint8
+                assert (out == img).all(), (shape, pred)
+
+    def test_rendered_page_roundtrip(self):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_lossless
+
+        img = render_page("40_m0")
+        for pred in (1, 2, 4, 7):
+            assert (decode_jpeg(encode_jpeg_lossless(img, predictor=pred)) == img).all()
+
+    def test_point_transform_truncates_low_bits(self):
+        # H.1.1: samples are divided by 2^Pt before prediction and the
+        # decoder scales back — inputs with zero low bits roundtrip
+        # exactly; arbitrary inputs lose exactly the low Pt bits
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_lossless
+
+        img = self._img((9, 11))
+        out = decode_jpeg(encode_jpeg_lossless(img, predictor=5, point_transform=3))
+        assert (out == (img >> 3) << 3).all()
+        pre = (self._img((9, 11), seed=7) >> 2) << 2
+        assert (decode_jpeg(encode_jpeg_lossless(pre, predictor=4, point_transform=2)) == pre).all()
+
+    def test_restart_interval_roundtrip(self):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_lossless
+
+        img = self._img((16, 10))
+        for pred in (1, 4, 7):
+            data = encode_jpeg_lossless(img, predictor=pred, restart_interval=23)
+            assert b"\xff\xd0" in data  # restarts actually emitted
+            assert (decode_jpeg(data) == img).all()
+        rgb = self._img((8, 9, 3), seed=9)
+        assert (decode_jpeg(encode_jpeg_lossless(rgb, predictor=6, restart_interval=11)) == rgb).all()
+
+    def test_smooth_content_compresses(self):
+        # the point of predictive coding: a gradient page shrinks well
+        # below raw size while roundtripping exactly
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_lossless
+
+        grad = np.add.outer(np.arange(64), np.arange(64)).astype(np.uint8)
+        data = encode_jpeg_lossless(grad, predictor=4)
+        assert len(data) < grad.size // 2
+        assert (decode_jpeg(data) == grad).all()
+
+    def test_guards(self):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_lossless
+
+        img = self._img((6, 6))
+        with pytest.raises(ValueError, match="predictor"):
+            encode_jpeg_lossless(img, predictor=0)
+        with pytest.raises(ValueError, match="point transform"):
+            encode_jpeg_lossless(img, point_transform=8)
+        # 16-bit lossless precision stays outside the declared subset
+        data = bytearray(encode_jpeg_lossless(img))
+        i = data.index(b"\xff\xc3")
+        data[i + 4] = 16
+        with pytest.raises(NotImplementedError, match="precision 16"):
+            decode_jpeg(bytes(data))
+        # subsampled multi-component lossless is out of scope
+        rgb = encode_jpeg_lossless(self._img((8, 8, 3)))
+        j = rgb.index(b"\xff\xc3")
+        patched = bytearray(rgb)
+        patched[j + 11] = 0x21  # comp 1 sampling 2x1
+        with pytest.raises(NotImplementedError, match="subsampled"):
+            decode_jpeg(bytes(patched))
