@@ -601,8 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_audio_telephony_roundtrip(spark):
         # the COMPRESSED voice seam: waveform fixture → G.711 mu-law /
-        # A-law / IMA ADPCM bytes (crc32-chosen per ref, multi-block
-        # ADPCM included) → decode → clip features. All three are
+        # A-law / IMA ADPCM / MS-ADPCM bytes (crc32-chosen per ref,
+        # multi-block ADPCM included) → decode → clip features. All are
         # lossy, so the golden is computed through the same
         # encode-then-decode twin (audio_features_telephony.parquet) —
         # the media_jpeg_roundtrip pattern for audio.

@@ -17,11 +17,15 @@ via 256-entry expansion LUTs, and IMA/DVI ADPCM (tag 0x11, mono) with
 the standard 89-step table, decoded LOCKSTEP across blocks (the
 per-sample loop is vectorized over all blocks at once — blocks are
 independent by construction, so the hot path stays O(samples_per_block)
-numpy steps regardless of clip length). Decode output is always int16
-(wider samples keep their top 16 bits; floats scale by 32767 and clip
-— the standard downconversions). Other compressed WAVE formats
-(MS-ADPCM, MP3-in-WAV) raise NotImplementedError — the codec-seam
-contract.
+numpy steps regardless of clip length), and MS-ADPCM (tag 2, mono) —
+the classic Windows voice-archive codec: per-block predictor choice
+from the coefficient pairs carried in the fmt chunk (custom tables
+honored), adaptive iDelta quantizer per the published adaptation
+table, first two samples verbatim, decoded with the same lockstep
+vectorization. Decode output is always int16 (wider samples keep
+their top 16 bits; floats scale by 32767 and clip — the standard
+downconversions). Other compressed WAVE formats (MP3-in-WAV, GSM)
+raise NotImplementedError — the codec-seam contract.
 
 The deterministic audio fixture (`render_audio`) synthesizes each
 ref's waveform as a closed-form function of its hash (sum of 3
@@ -45,6 +49,7 @@ __all__ = [
     "encode_wav",
     "encode_wav_g711",
     "encode_wav_adpcm",
+    "encode_wav_msadpcm",
     "decode_wav",
     "render_audio",
     "wav_store_df",
@@ -198,6 +203,174 @@ def _ima_decode(raw: bytes, block_align: int, n_samples: int) -> np.ndarray:
     if n_samples > len(flat):
         raise ValueError("IMA ADPCM fact chunk claims more samples than blocks hold")
     return flat[:n_samples]
+
+
+# ---------------------------------------------------------------------------
+# MS-ADPCM (WAVE format tag 2) — per-block linear predictor + adaptive iDelta
+# ---------------------------------------------------------------------------
+
+# The seven standard coefficient pairs and the 16-entry iDelta
+# adaptation table from the published Microsoft ADPCM algorithm
+# (RIFF/WAVE multimedia spec; also RFC 2361 §Appendix). Coefficients
+# are fixed-point ×256; files may carry custom pairs in the fmt chunk
+# and the decoder honors whatever the file declares.
+_MS_COEF = np.array(
+    [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208), (392, -232)],
+    dtype=np.int32,
+)
+_MS_ADAPT = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230],
+    dtype=np.int32,
+)
+
+
+def _trunc_div256(x: np.ndarray) -> np.ndarray:
+    """C-style `/ 256` (truncation toward zero, not floor) — the
+    division the published algorithm specifies for the predictor and
+    iDelta updates; they differ on negative products."""
+    return np.where(x >= 0, x >> 8, -((-x) >> 8))
+
+
+def _ms_decode(
+    raw: bytes, block_align: int, n_samples: int, coef: np.ndarray
+) -> np.ndarray:
+    """MS-ADPCM data chunk (mono) → (n_samples,) int16, lockstep across
+    blocks. Block layout: bPredictor(1) iDelta(2) iSamp1(2) iSamp2(2)
+    then 4-bit codes packed HIGH nibble first; playback order is
+    iSamp2, iSamp1, decoded codes."""
+    nb = len(raw) // block_align
+    if nb == 0 or block_align < 7:
+        raise ValueError("MS-ADPCM data shorter than one block")
+    blocks = np.frombuffer(raw[: nb * block_align], dtype=np.uint8).reshape(
+        nb, block_align
+    )
+    pred_idx = blocks[:, 0].astype(np.int64)
+    if (pred_idx >= len(coef)).any():
+        raise ValueError(
+            f"MS-ADPCM block predictor index exceeds the file's "
+            f"{len(coef)} declared coefficient pairs"
+        )
+    c1 = coef[pred_idx, 0]
+    c2 = coef[pred_idx, 1]
+    delta = blocks[:, 1:3].copy().view("<i2").reshape(nb).astype(np.int64)
+    samp1 = blocks[:, 3:5].copy().view("<i2").reshape(nb).astype(np.int64)
+    samp2 = blocks[:, 5:7].copy().view("<i2").reshape(nb).astype(np.int64)
+    if (delta <= 0).any():
+        raise ValueError("MS-ADPCM block header iDelta must be positive")
+    body = blocks[:, 7:]
+    nibs = np.empty((nb, body.shape[1] * 2), dtype=np.uint8)
+    nibs[:, 0::2] = body >> 4  # HIGH nibble first (unlike IMA)
+    nibs[:, 1::2] = body & 0x0F
+    out = np.empty((nb, 2 + nibs.shape[1]), dtype=np.int16)
+    out[:, 0] = samp2
+    out[:, 1] = samp1
+    for j in range(nibs.shape[1]):
+        n = nibs[:, j].astype(np.int64)
+        signed = np.where(n & 8, n - 16, n)  # 4-bit two's complement
+        pred = _trunc_div256(samp1 * c1 + samp2 * c2)
+        sample = np.clip(pred + signed * delta, -32768, 32767)
+        samp2 = samp1
+        samp1 = sample
+        delta = np.maximum(_MS_ADAPT[n] * delta >> 8, 16)  # delta > 0: >>8 == /256
+        out[:, j + 2] = sample
+    flat = out.reshape(-1)
+    if n_samples > len(flat):
+        raise ValueError("MS-ADPCM fact chunk claims more samples than blocks hold")
+    return flat[:n_samples]
+
+
+def encode_wav_msadpcm(
+    samples: np.ndarray, sample_rate: int, samples_per_block: int = 500
+) -> bytes:
+    """(N,) or (N,1) int16 mono → MS-ADPCM WAV bytes (format tag 2).
+    Per block the encoder scores all seven standard coefficient pairs
+    on raw prediction error (vectorized) and keeps the best, seeds
+    iDelta from the mean residual, stores the first two samples
+    verbatim, then quantizes with the decoder's exact mirror — so
+    decode reproduces the encoder's reconstruction bit-for-bit. The
+    final partial block repeats the last sample and the fact chunk
+    trims it at decode, like the IMA twin."""
+    if samples.dtype != np.int16:
+        raise ValueError(f"encode_wav_msadpcm expects int16, got {samples.dtype}")
+    if samples.ndim == 2:
+        if samples.shape[1] != 1:
+            raise NotImplementedError("MS-ADPCM encoder is mono-only here")
+        samples = samples[:, 0]
+    if samples.ndim != 1:
+        raise ValueError(
+            f"encode_wav_msadpcm expects (N,) or (N,1), got {samples.shape}"
+        )
+    if samples_per_block % 2 or samples_per_block < 4:
+        raise ValueError("samples_per_block must be even and >= 4")
+    n = len(samples)
+    if n == 0:
+        raise ValueError("empty clip")
+    spb = samples_per_block
+    nb = max(1, -(-n // spb))
+    padded = np.full(nb * spb, samples[-1], dtype=np.int16)
+    padded[:n] = samples
+    grid = padded.reshape(nb, spb).astype(np.int64)
+
+    # predictor choice: raw prediction error of each of the 7 pairs
+    # over the whole block (encoder freedom; one vectorized pass each)
+    errs = np.empty((len(_MS_COEF), nb), dtype=np.int64)
+    for p, (c1, c2) in enumerate(_MS_COEF):
+        pred = _trunc_div256(grid[:, 1:-1] * c1 + grid[:, :-2] * c2)
+        errs[p] = np.abs(grid[:, 2:] - pred).sum(axis=1)
+    pred_idx = errs.argmin(axis=0)
+    c1 = _MS_COEF[pred_idx, 0].astype(np.int64)
+    c2 = _MS_COEF[pred_idx, 1].astype(np.int64)
+
+    # iDelta seed: mean absolute residual of the chosen predictor,
+    # scaled down to leave quantizer headroom (stored per block, so any
+    # seed decodes exactly; this one just starts near the signal)
+    mean_err = errs[pred_idx, np.arange(nb)] // max(spb - 2, 1)
+    delta = np.clip(mean_err // 4, 16, 32767).astype(np.int64)
+    delta0 = delta.copy()
+    samp2 = grid[:, 0].copy()
+    samp1 = grid[:, 1].copy()
+
+    nibs = np.empty((nb, spb - 2), dtype=np.uint8)
+    for j in range(spb - 2):
+        x = grid[:, j + 2]
+        pred = _trunc_div256(samp1 * c1 + samp2 * c2)
+        err = x - pred
+        # symmetric round-to-nearest (trunc toward zero after biasing)
+        biased = np.abs(err) + (delta >> 1)
+        code = np.clip(
+            np.where(err >= 0, biased // delta, -(biased // delta)), -8, 7
+        ).astype(np.int64)
+        sample = np.clip(pred + code * delta, -32768, 32767)
+        samp2 = samp1
+        samp1 = sample
+        nib = (code & 0x0F).astype(np.int64)
+        delta = np.maximum(_MS_ADAPT[nib] * delta >> 8, 16)
+        nibs[:, j] = nib.astype(np.uint8)
+
+    block_align = 7 + (spb - 2) // 2
+    blocks = np.empty((nb, block_align), dtype=np.uint8)
+    blocks[:, 0] = pred_idx.astype(np.uint8)
+    blocks[:, 1:3] = delta0.astype("<i2")[:, None].view(np.uint8)
+    blocks[:, 3:5] = grid[:, 1].astype("<i2")[:, None].view(np.uint8)  # iSamp1
+    blocks[:, 5:7] = grid[:, 0].astype("<i2")[:, None].view(np.uint8)  # iSamp2
+    blocks[:, 7:] = (nibs[:, 0::2] << 4) | nibs[:, 1::2]
+    data = blocks.tobytes()
+    coef_blob = b"".join(struct.pack("<hh", a, b) for a, b in _MS_COEF)
+    fmt = struct.pack(
+        "<HHIIHHHHH",
+        2, 1, sample_rate,
+        sample_rate * block_align // spb,
+        block_align, 4, 4 + len(coef_blob), spb, len(_MS_COEF),
+    ) + coef_blob
+    fact = struct.pack("<I", n)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_wav_g711(samples: np.ndarray, sample_rate: int, law: str = "mu") -> bytes:
@@ -376,10 +549,38 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         nb = len(raw) // block_align
         n_out = fact_samples if fact_samples is not None else nb * spb
         samples = _ima_decode(raw, block_align, n_out)
+    elif tag == 2:  # MS-ADPCM
+        if ch != 1:
+            raise NotImplementedError("MS-ADPCM decode is mono-only here")
+        if bits != 4:
+            raise ValueError(f"MS-ADPCM WAV must be 4-bit, got {bits}")
+        block_align = fmt[4]
+        # fmt extension: cbSize(2) wSamplesPerBlock(2) wNumCoef(2) then
+        # wNumCoef (iCoef1, iCoef2) int16 pairs — the decoder uses the
+        # FILE's coefficient table, so custom predictor sets decode too
+        if fmt_body is None or len(fmt_body) < 22:
+            raise ValueError("MS-ADPCM fmt chunk missing the coefficient table")
+        (spb,) = struct.unpack("<H", fmt_body[18:20])
+        (ncoef,) = struct.unpack("<H", fmt_body[20:22])
+        if ncoef < 1 or len(fmt_body) < 22 + 4 * ncoef:
+            raise ValueError("MS-ADPCM coefficient table truncated")
+        coef = (
+            np.frombuffer(fmt_body[22 : 22 + 4 * ncoef], dtype="<i2")
+            .astype(np.int64)
+            .reshape(ncoef, 2)
+        )
+        if spb != (block_align - 7) * 2 + 2:
+            raise ValueError(
+                f"MS-ADPCM wSamplesPerBlock {spb} inconsistent with "
+                f"nBlockAlign {block_align}"
+            )
+        nb = len(raw) // block_align
+        n_out = fact_samples if fact_samples is not None else nb * spb
+        samples = _ms_decode(raw, block_align, n_out, coef)
     elif tag != 1:
         raise NotImplementedError(
             f"compressed WAVE format tag {tag} not supported here "
-            "(PCM/float/G.711/IMA-ADPCM)"
+            "(PCM/float/G.711/IMA-ADPCM/MS-ADPCM)"
         )
     elif bits == 16:
         samples = np.frombuffer(raw, dtype="<i2")
@@ -460,26 +661,31 @@ def telephony_store_df(
     refs: DataFrame, ref_col: str = "media_ref", parallelism: int | None = None
 ) -> DataFrame:
     """(media_ref) → (media_ref, payload) media store of COMPRESSED
-    voice WAV bytes: per ref, crc32 picks G.711 mu-law, G.711 A-law, or
-    IMA ADPCM (with a small-block flavor so multi-block decode runs) —
-    the telephony/voice-archive third of the audio seam. All three are
-    lossy; the oracle golden is computed through the same
-    encode-then-decode twin (tools/make_goldens._telephony_feature_row),
-    the media_jpeg_roundtrip pattern."""
+    voice WAV bytes: per ref, crc32 picks G.711 mu-law, G.711 A-law,
+    IMA ADPCM, or MS-ADPCM (each ADPCM with a small-block flavor so
+    multi-block decode runs) — the telephony/voice-archive quarter of
+    the audio seam. All four are lossy; the oracle golden is computed
+    through the same encode-then-decode twin
+    (tools/make_goldens._telephony_feature_row), the
+    media_jpeg_roundtrip pattern."""
 
     def row(ref: str) -> tuple:
         import zlib
 
         samples, rate = render_audio(ref)
         h = zlib.crc32(("g711:" + ref).encode("utf-8"))
-        flavor = h % 3
+        flavor = h % 4
         if flavor == 0:
             data = encode_wav_g711(samples, rate, law="mu")
         elif flavor == 1:
             data = encode_wav_g711(samples, rate, law="a")
-        else:
+        elif flavor == 2:
             data = encode_wav_adpcm(
                 samples, rate, samples_per_block=129 if h & 4 else 505
+            )
+        else:
+            data = encode_wav_msadpcm(
+                samples, rate, samples_per_block=128 if h & 4 else 500
             )
         return (ref, data)
 

@@ -110,7 +110,7 @@ class TestWav:
         assert rate == 44100 and (out == samples).all()
 
     def test_compressed_raises_declared(self):
-        fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # ADPCM tag
+        fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 8000, 1, 0)  # MP3-in-WAV
         body = (
             b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", 0)
@@ -340,14 +340,115 @@ class TestImaAdpcm:
             decode_wav(bytes(data))
 
 
+class TestMsAdpcm:
+    """MS-ADPCM (format tag 2): per-block linear predictor pairs from
+    the fmt chunk + adaptive iDelta quantizer."""
+
+    def test_roundtrip_tracks_waveform(self):
+        from oar_ocr_spark.functions.wav import encode_wav_msadpcm
+
+        t = np.arange(4000, dtype=np.float64)
+        x = np.round(
+            9000 * np.sin(2 * np.pi * 300 * t / 8000)
+            + 3000 * np.sin(2 * np.pi * 700 * t / 8000)
+        ).astype(np.int16)
+        data = encode_wav_msadpcm(x, 8000)
+        assert data == encode_wav_msadpcm(x, 8000)  # deterministic
+        dec, rate2 = decode_wav(data)
+        assert rate2 == 8000 and len(dec) == len(x)
+        err = dec[:, 0].astype(np.float64) - x.astype(np.float64)
+        rms_sig = np.sqrt(np.mean(x.astype(np.float64) ** 2))
+        assert np.sqrt(np.mean(err**2)) < 0.1 * rms_sig  # > 20 dB SNR
+
+        samples, rate = render_audio("msadpcm-ref")
+        dec, _ = decode_wav(encode_wav_msadpcm(samples, rate))
+        assert len(dec) == len(samples)
+        err = dec[:, 0].astype(np.float64) - samples.astype(np.float64)
+        assert np.sqrt(np.mean(err**2)) < 0.25 * np.sqrt(
+            np.mean(samples.astype(np.float64) ** 2)
+        )
+
+    def test_first_two_samples_verbatim_and_fact_trim(self):
+        from oar_ocr_spark.functions.wav import encode_wav_msadpcm
+
+        x = np.round(3000 * np.sin(np.arange(1001) / 7.0)).astype(np.int16)
+        dec, _ = decode_wav(encode_wav_msadpcm(x, 8000, samples_per_block=128))
+        assert len(dec) == 1001  # fact chunk trims the padded tail
+        assert dec[0, 0] == x[0] and dec[1, 0] == x[1]  # header samples
+        err = dec[:, 0].astype(np.float64) - x.astype(np.float64)
+        assert np.sqrt(np.mean(err**2)) < 0.1 * np.sqrt(
+            np.mean(x.astype(np.float64) ** 2)
+        )
+
+    def test_predictor_choice_adapts_to_content(self):
+        # a pure ramp is exactly predicted by pair 1 (512, -256): the
+        # encoder must pick it and the residual stream decodes exactly
+        from oar_ocr_spark.functions.wav import encode_wav_msadpcm
+
+        x = (np.arange(400, dtype=np.int32) * 7 - 1400).astype(np.int16)
+        data = encode_wav_msadpcm(x, 8000, samples_per_block=400)
+        i = data.index(b"data") + 8
+        assert data[i] == 1  # bPredictor = (512,-256)
+        dec, _ = decode_wav(data)
+        assert (dec[:, 0] == x).all()  # linear content: lossless
+
+    def test_tiny_clips_all_lengths(self):
+        from oar_ocr_spark.functions.wav import encode_wav_msadpcm
+
+        for n in (1, 2, 3, 4, 9):
+            x = (np.arange(n, dtype=np.int32) * 900 - 1800).astype(np.int16)
+            dec, _ = decode_wav(encode_wav_msadpcm(x, 8000, samples_per_block=6))
+            assert len(dec) == n
+            assert dec[0, 0] == x[0]
+
+    def test_custom_coefficient_table_honored(self):
+        # decode must use the FILE's pairs: patch pair 0 to the
+        # identity predictor's double and re-point every block at it —
+        # a spec-valid custom-table file our own encoder never writes
+        from oar_ocr_spark.functions.wav import encode_wav_msadpcm
+
+        x = np.round(2000 * np.sin(np.arange(200) / 5.0)).astype(np.int16)
+        data = bytearray(encode_wav_msadpcm(x, 8000, samples_per_block=200))
+        i = data.index(b"fmt ") + 8
+        # fmt: base(16) cbSize(2) spb(2) ncoef(2) then pairs
+        data[i + 22 : i + 26] = struct.pack("<hh", 256, 0)  # already pair 0
+        dec_std, _ = decode_wav(bytes(data))
+        data[i + 22 : i + 26] = struct.pack("<hh", 0, 0)  # kill predictor
+        j = bytes(data).index(b"data") + 8
+        data[j] = 0  # block uses pair 0
+        dec_null, _ = decode_wav(bytes(data))
+        assert not (dec_null[:, 0] == dec_std[:, 0]).all()
+
+    def test_declared_failures(self):
+        from oar_ocr_spark.functions.wav import encode_wav_msadpcm
+
+        s, r = render_audio("msadpcm-bad")
+        with pytest.raises(NotImplementedError, match="mono"):
+            encode_wav_msadpcm(np.stack([s, s], axis=1), r)
+        with pytest.raises(ValueError, match="even"):
+            encode_wav_msadpcm(s, r, samples_per_block=5)
+        with pytest.raises(ValueError, match="empty"):
+            encode_wav_msadpcm(np.zeros(0, dtype=np.int16), r)
+        data = bytearray(encode_wav_msadpcm(s, r))
+        i = data.index(b"fmt ") + 8
+        data[i + 18 : i + 20] = struct.pack("<H", 99)
+        with pytest.raises(ValueError, match="inconsistent"):
+            decode_wav(bytes(data))
+        data[i + 18 : i + 20] = struct.pack("<H", 500)
+        j = bytes(data).index(b"data") + 8
+        data[j] = 9  # predictor index past the 7 declared pairs
+        with pytest.raises(ValueError, match="coefficient pairs"):
+            decode_wav(bytes(data))
+
+
 class TestTelephonyStore:
-    def test_flavor_split_covers_all_three(self, spark):
+    def test_flavor_split_covers_all_four(self, spark):
         import zlib
 
         from oar_ocr_spark.functions.wav import telephony_store_df
 
-        refs_rows = [f"tel-{i}" for i in range(12)]
-        assert {zlib.crc32(("g711:" + r).encode()) % 3 for r in refs_rows} == {0, 1, 2}
+        refs_rows = [f"tel-{i}" for i in range(16)]
+        assert {zlib.crc32(("g711:" + r).encode()) % 4 for r in refs_rows} == {0, 1, 2, 3}
         refs = spark.createDataFrame([(r,) for r in refs_rows], "media_ref string")
         feats = {
             r["media_ref"]: r
@@ -356,17 +457,20 @@ class TestTelephonyStore:
         from oar_ocr_spark.functions.wav import (
             encode_wav_adpcm,
             encode_wav_g711,
+            encode_wav_msadpcm,
         )
 
         for ref in refs_rows:
             samples, rate = render_audio(ref)
             h = zlib.crc32(("g711:" + ref).encode())
-            if h % 3 == 0:
+            if h % 4 == 0:
                 data = encode_wav_g711(samples, rate, law="mu")
-            elif h % 3 == 1:
+            elif h % 4 == 1:
                 data = encode_wav_g711(samples, rate, law="a")
-            else:
+            elif h % 4 == 2:
                 data = encode_wav_adpcm(samples, rate, samples_per_block=129 if h & 4 else 505)
+            else:
+                data = encode_wav_msadpcm(samples, rate, samples_per_block=128 if h & 4 else 500)
             dec, _ = decode_wav(data)
             mono = dec[:, 0].astype(np.int64)
             want_rms = round(float(np.sqrt(np.sum(mono * mono) / len(mono))), 6)

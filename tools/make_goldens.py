@@ -34,8 +34,9 @@ Golden tables (all keyed by content, so they are sf-independent):
 - audio_features.parquet    — WAV roundtrip clip features (twin of
                             wav.audio_features_from_bytes_df)
 - audio_features_telephony.parquet — features through the lossy G.711
-                            mu-law / A-law / IMA ADPCM byte path (same
-                            crc32 flavor pick as wav.telephony_store_df)
+                            mu-law / A-law / IMA ADPCM / MS-ADPCM byte
+                            path (same crc32 flavor pick as
+                            wav.telephony_store_df)
 - video_frames.parquet      — AVI-MJPEG sampled-frame features (twin
                             of avi.frame_sample_from_bytes_df)
 
@@ -174,18 +175,21 @@ def _telephony_feature_row(ref: str) -> tuple:
         decode_wav,
         encode_wav_adpcm,
         encode_wav_g711,
+        encode_wav_msadpcm,
         render_audio,
     )
 
     samples, rate = render_audio(ref)
     h = zlib.crc32(("g711:" + ref).encode("utf-8"))
-    flavor = h % 3
+    flavor = h % 4
     if flavor == 0:
         data = encode_wav_g711(samples, rate, law="mu")
     elif flavor == 1:
         data = encode_wav_g711(samples, rate, law="a")
-    else:
+    elif flavor == 2:
         data = encode_wav_adpcm(samples, rate, samples_per_block=129 if h & 4 else 505)
+    else:
+        data = encode_wav_msadpcm(samples, rate, samples_per_block=128 if h & 4 else 500)
     out, rate2 = decode_wav(data)
     mono = out[:, 0].astype(np.int64)
     n = len(mono)
