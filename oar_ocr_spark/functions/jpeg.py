@@ -39,9 +39,12 @@ H — the DICOM / raw-scanner process) decodes and encodes
 (`encode_jpeg_lossless`): all seven predictors, point transform,
 restart intervals, grey + 3-component; bit-exact roundtrip since no
 DCT is involved. SOF1 (extended sequential) decodes through the
-baseline path at 8-bit precision. Arithmetic-coded and differential
-SOF processes raise NotImplementedError (the codec-seam contract,
-functions/multimodal.py).
+baseline path at 8-bit precision. ARITHMETIC-CODED sequential (SOF9)
+decodes and encodes through the QM-coder module
+(functions/jpeg_arith.py — T.81 Annex D/F, DAC conditioning honored),
+with decode(arith) == decode(baseline) exactly. Differential and
+progressive-arithmetic SOF processes raise NotImplementedError (the
+codec-seam contract, functions/multimodal.py).
 
 JPEG is lossy: the round-trip contract here is NOT bit equality (PNG's
 contract) but (a) byte-level determinism of the encoder, (b) a tested
@@ -1706,6 +1709,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     restart_interval = 0
     progressive = False
     lossless = False
+    arith = False
+    arith_cond: dict = {}  # DAC conditioning: (Tc, Tb) → (L,U) / Kx
     rgb_direct = False  # 'R','G','B' component IDs / Adobe transform 0
     adobe_transform: int | None = None  # APP14 byte; None = no Adobe marker
     comp_ids: list[int] = []  # SOF component ids, scan-header matching
@@ -1774,12 +1779,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise NotImplementedError(
                         "lossless JPEG with subsampled components not supported"
                     )
-        elif marker in (0xC0, 0xC1, 0xC2):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
             # SOF0 baseline / SOF2 progressive; SOF1 (extended
             # sequential) at 8-bit precision is bit-identical to
             # baseline apart from relaxed table-count limits (T.81
-            # table B.2), so it decodes through the baseline path
+            # table B.2), so it decodes through the baseline path;
+            # SOF9 (arithmetic-coded sequential) shares the frame
+            # layout and swaps the entropy layer (functions/jpeg_arith)
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if depth != 8:
                 raise NotImplementedError(f"JPEG depth {depth} not supported")
@@ -1812,11 +1820,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     # sampling factors are irrelevant (T.81 A.2.2)
                     hc = vc = 1
                 comp_info.append((hc, vc, body[6 + 3 * c + 2]))
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"JPEG process SOF{marker - 0xC0} (differential/"
-                "arithmetic-coded) not supported"
+                "progressive-arithmetic) not supported"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            b = 0
+            while b + 1 < len(body):
+                tc, tb = body[b] >> 4, body[b] & 0x0F
+                cs = body[b + 1]
+                if tc == 0:
+                    lo, hi = cs & 0x0F, cs >> 4
+                    if lo > hi:
+                        raise ValueError(f"illegal DC conditioning L={lo} > U={hi}")
+                    arith_cond[(0, tb)] = (lo, hi)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ValueError(f"illegal AC conditioning Kx={cs}")
+                    arith_cond[(1, tb)] = cs
+                b += 2
         elif marker == 0xDD:  # DRI: MCUs per restart segment (0 = off)
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
@@ -1834,6 +1857,31 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     data, pos, body, prog, comp_info, huff, restart_interval
                 )
                 continue
+            if arith:
+                from .jpeg_arith import decode_arith_scan
+
+                hmax = max(ci[0] for ci in comp_info)
+                vmax = max(ci[1] for ci in comp_info)
+                for hc, vc, _ in comp_info:
+                    if hmax % hc or vmax % vc:
+                        raise NotImplementedError(
+                            "JPEG sampling factors requiring fractional upsampling"
+                        )
+                mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+                outs = decode_arith_scan(
+                    data, pos, body, comp_info, comp_ids, arith_cond,
+                    restart_interval, mcux, mcuy,
+                )
+                rasters = []
+                for c in range(len(comp_info)):
+                    hc, vc, _ = comp_info[c]
+                    raster = np.empty_like(outs[c])
+                    raster[_mcu_perm(mcuy, mcux, vc, hc)] = outs[c]
+                    rasters.append(raster)
+                return _planes_from_raster(
+                    rasters, comp_info, qtables, h, w, hmax, vmax, mcux, mcuy,
+                    rgb_direct=rgb_direct, adobe=adobe_transform,
+                )
             ncomp = body[0]
             if ncomp < len(comp_info):
                 if ncomp != 1:

@@ -174,19 +174,34 @@ def jpeg_store_df(
     quality: int = 100,
     parallelism: int | None = None,
 ) -> DataFrame:
-    """(media_ref) → (media_ref, payload) media store with REAL baseline
-    JPEG bytes per page (functions/jpeg.py). The lossy sibling of
-    png_store_df: at quality=100 the reconstruction error is ±1 on the
-    synthetic pages (measured; provable worst case <8 on adversarial
-    blocks — test_codec_properties) and the span pipeline is measured
-    unchanged (test_jpeg.py); features through these bytes are goldened
-    via the same codec twin (tools/make_goldens.py media_features_jpeg)."""
+    """(media_ref) → (media_ref, payload) media store with REAL JPEG
+    bytes per page (functions/jpeg.py), the entropy layout crc32-chosen
+    per ref — baseline SOF0, progressive SOF2, or arithmetic-coded SOF9
+    — so the gate drives all three sequential-DCT decode paths through
+    the distributed seam. The three fixture writers share one
+    DCT/quantization pipeline, so their decodes are IDENTICAL at equal
+    quality (pinned in test_jpeg) and the golden twin
+    (tools/make_goldens.py media_features_jpeg) stays layout-agnostic.
+    The lossy sibling of png_store_df: at quality=100 the
+    reconstruction error is ±1 on the synthetic pages (measured;
+    provable worst case <8 on adversarial blocks —
+    test_codec_properties) and the span pipeline is measured unchanged
+    (test_jpeg.py)."""
 
     def row(ref: str) -> tuple:
-        from ..fixtures.render import render_page
-        from .jpeg import encode_jpeg
+        import zlib
 
-        return (ref, encode_jpeg(render_page(ref), quality))
+        from ..fixtures.render import render_page
+        from .jpeg import encode_jpeg, encode_jpeg_progressive
+        from .jpeg_arith import encode_jpeg_arith
+
+        page = render_page(ref)
+        flavor = zlib.crc32(("jpeglayout:" + ref).encode("utf-8")) % 3
+        if flavor == 1:
+            return (ref, encode_jpeg_progressive(page, quality))
+        if flavor == 2:
+            return (ref, encode_jpeg_arith(page, quality))
+        return (ref, encode_jpeg(page, quality))
 
     return payload_store_df(refs, row, ref_col=ref_col, parallelism=parallelism)
 

@@ -395,9 +395,10 @@ class TestDeclaredSubset:
         swapped = self._swap_marker(base, 0xC0, 0xC1)
         assert (decode_jpeg(swapped) == decode_jpeg(base)).all()
 
-    def test_arithmetic_sof_raises(self):
-        # SOF9 (arithmetic-coded sequential) stays outside the subset
-        data = self._swap_marker(encode_jpeg(render_page("40_m0")), 0xC0, 0xC9)
+    def test_progressive_arithmetic_sof_raises(self):
+        # SOF10 (progressive arithmetic) stays outside the subset
+        # (sequential SOF9 decodes — TestArithmetic)
+        data = self._swap_marker(encode_jpeg(render_page("40_m0")), 0xC0, 0xCA)
         with pytest.raises(NotImplementedError, match="arithmetic"):
             decode_jpeg(data)
 
@@ -586,6 +587,122 @@ class TestCmyk:
         for q in (60, 85):
             out = decode_jpeg(encode_jpeg(img, q))
             assert np.abs(out.astype(int) - img.astype(int)).max() <= 40
+
+
+class TestArithmetic:
+    """SOF9 (T.81 Annex D/F): QM-coded sequential DCT. Contract: same
+    quantized coefficients as the baseline encoder, so decode equals
+    the baseline stream's decode EXACTLY; the entropy layer is just
+    smaller."""
+
+    def _rgb(self):
+        img = render_page("40_m0")
+        return np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], axis=-1)
+
+    def test_qm_coder_random_streams_roundtrip(self):
+        # the binary layer in isolation: adaptive multi-bin streams
+        # (skewed per-bin probabilities) mixed with fixed decisions
+        import random
+
+        from oar_ocr_spark.functions.jpeg_arith import (
+            _QMDecoder,
+            _QMEncoder,
+            _Stats,
+        )
+
+        rng = random.Random(11)
+        for _ in range(25):
+            nbins, n = 6, rng.randrange(1, 3000)
+            p = [rng.random() for _ in range(nbins)]
+            seq = []
+            for _ in range(n):
+                b = rng.randrange(nbins + 1)
+                if b == nbins:
+                    seq.append((None, rng.randrange(2)))
+                else:
+                    seq.append((b, 1 if rng.random() < p[b] else 0))
+            enc, st = _QMEncoder(), _Stats(nbins)
+            for b, bit in seq:
+                enc.encode_fixed(bit) if b is None else enc.encode(st, b, bit)
+            data = enc.flush() + b"\xff\xd9"
+            dec, st2 = _QMDecoder(data, 0), _Stats(nbins)
+            for b, bit in seq:
+                got = dec.decode_fixed() if b is None else dec.decode(st2, b)
+                assert got == bit
+
+    def test_qm_coder_compresses_skewed_stream(self):
+        from oar_ocr_spark.functions.jpeg_arith import _QMEncoder, _Stats
+
+        enc, st = _QMEncoder(), _Stats(1)
+        n = 50_000
+        for k in range(n):
+            enc.encode(st, 0, 1 if k % 97 == 0 else 0)
+        assert len(enc.flush()) < n // 80  # ~6250 B raw → well under
+
+    def test_decode_equals_baseline_exactly(self):
+        from oar_ocr_spark.functions.jpeg_arith import encode_jpeg_arith
+
+        img = render_page("40_m0")
+        for q in (60, 90, 100):
+            a = encode_jpeg_arith(img, q)
+            assert a == encode_jpeg_arith(img, q)  # deterministic
+            assert (decode_jpeg(a) == decode_jpeg(encode_jpeg(img, q))).all()
+
+    def test_smaller_than_huffman(self):
+        from oar_ocr_spark.functions.jpeg_arith import encode_jpeg_arith
+
+        img = render_page("40_m0")
+        assert len(encode_jpeg_arith(img, 90)) < 0.85 * len(encode_jpeg(img, 90))
+
+    def test_color_and_subsampling(self):
+        from oar_ocr_spark.functions.jpeg_arith import encode_jpeg_arith
+
+        rgb = self._rgb()
+        for sub in ("444", "420", "422"):
+            a = encode_jpeg_arith(rgb, 85, subsampling=sub)
+            b = encode_jpeg(rgb, 85, subsampling=sub)
+            assert (decode_jpeg(a) == decode_jpeg(b)).all(), sub
+
+    def test_restart_intervals(self):
+        from oar_ocr_spark.functions.jpeg_arith import encode_jpeg_arith
+
+        img = render_page("40_m0")
+        a = encode_jpeg_arith(img, 90, restart_interval=7)
+        assert b"\xff\xd0" in a  # restarts actually emitted
+        assert (decode_jpeg(a) == decode_jpeg(encode_jpeg(img, 90))).all()
+        rgb = self._rgb()
+        a = encode_jpeg_arith(rgb, 85, subsampling="420", restart_interval=3)
+        assert (
+            decode_jpeg(a) == decode_jpeg(encode_jpeg(rgb, 85, subsampling="420"))
+        ).all()
+
+    def test_adversarial_noise_roundtrips(self):
+        # full-range noise exercises deep magnitude chains + carries
+        from oar_ocr_spark.functions.jpeg_arith import encode_jpeg_arith
+
+        img = np.random.RandomState(3).randint(0, 256, (41, 53)).astype(np.uint8)
+        a = encode_jpeg_arith(img, 100)
+        assert (decode_jpeg(a) == decode_jpeg(encode_jpeg(img, 100))).all()
+
+    def test_declared_failures_and_dac_validation(self):
+        from oar_ocr_spark.functions.jpeg_arith import encode_jpeg_arith
+
+        img = render_page("40_m0")
+        data = encode_jpeg_arith(img, 90)
+        i = data.index(b"\xff\xc9")
+        # SOF10 (progressive arithmetic) stays outside the subset
+        with pytest.raises(NotImplementedError, match="SOF10"):
+            decode_jpeg(data[:i] + b"\xff\xca" + data[i + 2 :])
+        # DAC validation: Kx=0 and L>U are illegal conditioning
+        j = data.index(b"\xff\xcc")
+        bad = bytearray(data)
+        bad[j + 7] = 0  # AC Kx byte
+        with pytest.raises(ValueError, match="Kx"):
+            decode_jpeg(bytes(bad))
+        bad = bytearray(data)
+        bad[j + 5] = 0x02  # DC Cs: L=2, U=0
+        with pytest.raises(ValueError, match="L=2"):
+            decode_jpeg(bytes(bad))
 
 
 class TestLossless:
