@@ -817,29 +817,49 @@ def _lossless_predict(ra: int, rb: int, rc: int, sel: int) -> int:
     return (ra + rb) >> 1
 
 
+# canonical Huffman table covering the full lossless SSSS range 0..16
+# (the DCT tables stop at 11; H.2.2 needs 16 for deep-precision diffs)
+_DC_BITS_LL = [0, 1, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1]
+_DC_VALS_LL = list(range(17))
+
+
 def encode_jpeg_lossless(
     img: np.ndarray,
     predictor: int = 1,
     point_transform: int = 0,
     restart_interval: int = 0,
+    precision: int | None = None,
 ) -> bytes:
-    """(H,W) grey / (H,W,3) RGB uint8 → LOSSLESS JPEG (T.81 Annex H,
-    process SOF3: Huffman-coded prediction differences, no DCT — the
-    DICOM / raw-scanner layout). Bit-exact roundtrip with decode_jpeg
-    for point_transform=0; with Pt>0 the low Pt bits are discarded by
-    definition (H.1.1). 3-component frames hold the planes verbatim
-    (Annex H defines no colour transform). `restart_interval` counts
-    samples (the lossless MCU); at each boundary prediction resets to
-    the scan-start default, the convention decode side shares.
-    Predictor selection value 1-7 per H.1.2.1."""
-    if img.dtype != np.uint8 or img.ndim not in (2, 3):
-        raise ValueError("encode_jpeg_lossless expects (H,W)/(H,W,3) uint8")
+    """(H,W) grey / (H,W,3) RGB, uint8 or uint16 → LOSSLESS JPEG (T.81
+    Annex H, process SOF3: Huffman-coded prediction differences, no
+    DCT — the DICOM / raw-scanner layout). Bit-exact roundtrip with
+    decode_jpeg(deep=True) for point_transform=0; with Pt>0 the low Pt
+    bits are discarded by definition (H.1.1). `precision` is the
+    sample depth P (2..16; defaults to 8 for uint8 input, 16 for
+    uint16 — the 12-bit DICOM layout is precision=12 on uint16 data);
+    samples must fit P bits. 3-component frames hold the planes
+    verbatim (Annex H defines no colour transform). `restart_interval`
+    counts samples (the lossless MCU); at each boundary prediction
+    resets to the scan-start default, the convention decode side
+    shares. Predictor selection value 1-7 per H.1.2.1. Differences are
+    coded modulo 65536 into the SSSS window with 32768 ↔ SSSS=16
+    (H.1.2.1 / H.2.2)."""
+    if img.dtype not in (np.uint8, np.uint16) or img.ndim not in (2, 3):
+        raise ValueError("encode_jpeg_lossless expects (H,W)/(H,W,3) uint8/uint16")
     if img.ndim == 3 and img.shape[2] != 3:
         raise ValueError(f"expected 3 colour channels, got {img.shape[2]}")
     if not 1 <= predictor <= 7:
         raise ValueError(f"lossless predictor must be 1..7, got {predictor}")
-    if not 0 <= point_transform <= 7:
-        raise ValueError(f"point transform must be 0..7, got {point_transform}")
+    if precision is None:
+        precision = 8 if img.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError(f"lossless precision must be 2..16, got {precision}")
+    if int(img.max(initial=0)) >> precision:
+        raise ValueError(f"sample exceeds the declared {precision}-bit precision")
+    if not 0 <= point_transform <= precision - 1:
+        raise ValueError(
+            f"point transform must be 0..{precision - 1}, got {point_transform}"
+        )
     h, w = img.shape[:2]
     pt = point_transform
     planes = (
@@ -847,7 +867,7 @@ def encode_jpeg_lossless(
         if img.ndim == 2
         else [img[:, :, c].astype(np.int64) >> pt for c in range(3)]
     )
-    default = 1 << (8 - 1 - pt)
+    default = 1 << (precision - 1 - pt)
 
     diffs = []
     for p in planes:
@@ -874,9 +894,11 @@ def encode_jpeg_lossless(
             k = np.arange(h * w).reshape(h, w)
             at = (k > 0) & (k % restart_interval == 0)
             d[at] = p[at] - default
-        diffs.append(d.reshape(-1))
+        # modulo-65536 window (H.1.2.1): diffs land in [-32767, 32768],
+        # with 32768 carried as -32768 and coded as SSSS=16, no bits
+        diffs.append((((d + 32768) & 0xFFFF) - 32768).reshape(-1))
 
-    codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    codes = _canonical_codes(_DC_BITS_LL, _DC_VALS_LL)
     entropy = bytearray()
     bw = _BitWriter()
     seg_i = 0
@@ -889,6 +911,10 @@ def encode_jpeg_lossless(
             bw = _BitWriter()
         for f in diffs:
             d = int(f[k])
+            if d == -32768:  # the 32768 point: SSSS=16, no extra bits
+                code, ln = codes[16]
+                bw.bits(code, ln)
+                continue
             ssss = abs(d).bit_length()
             code, ln = codes[ssss]
             bw.bits(code, ln)
@@ -899,8 +925,8 @@ def encode_jpeg_lossless(
 
     ncomp = len(planes)
     out = bytearray(JPEG_SOI)
-    out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS_LL) + bytes(_DC_VALS_LL))
+    sof = struct.pack(">BHHB", precision, h, w, ncomp)
     for c in range(ncomp):
         sof += bytes([c + 1, 0x11, 0])  # 1x1 sampling, Tq unused (H.2)
     out += _seg(0xFFC3, sof)
@@ -977,18 +1003,25 @@ def _decode_lossless_scan(
     h: int,
     w: int,
     restart_interval: int,
+    precision: int = 8,
+    deep: bool = False,
 ) -> np.ndarray:
     """One interleaved lossless scan (all components, 1x1 sampling) →
-    final (H,W)/(H,W,3) uint8 image. Phase 1 Huffman-decodes the
-    difference streams sequentially (SSSS categories through the same
-    16-bit-LUT tables as the DCT paths; SSSS=16 means diff=32768 with
-    no extra bits, H.2.2); phase 2 reconstructs via
-    _reconstruct_lossless."""
+    final (H,W)/(H,W,3) image. Phase 1 Huffman-decodes the difference
+    streams sequentially (SSSS categories through the same 16-bit-LUT
+    tables as the DCT paths; SSSS=16 means diff=32768 with no extra
+    bits, H.2.2); phase 2 reconstructs via _reconstruct_lossless.
+    `precision` is the SOF3 sample depth P (2..16). `deep=True`
+    returns the full-precision samples (uint16 for P>8); otherwise the
+    image seam's uint8 projection: top 8 bits for P>8, left-aligned
+    for P<8 (the PNG-16 convention)."""
     ncomp = body[0]
     if ncomp != len(comp_ids):
         raise NotImplementedError(
             "lossless JPEG with non-interleaved multi-scan layout not supported"
         )
+    if not 2 <= precision <= 16:
+        raise ValueError(f"illegal lossless JPEG precision {precision}")
     order = []
     tbls = []
     for c in range(ncomp):
@@ -1001,6 +1034,10 @@ def _decode_lossless_scan(
     pt = body[3 + 2 * ncomp] & 0x0F
     if not 1 <= sel <= 7:
         raise ValueError(f"illegal lossless predictor selection {sel}")
+    if pt >= precision:
+        raise ValueError(
+            f"lossless point transform {pt} >= precision {precision}"
+        )
 
     n = h * w
     diffs = [np.empty(n, dtype=np.int64) for _ in range(ncomp)]
@@ -1018,14 +1055,23 @@ def _decode_lossless_scan(
             reader = _expect_rst(data, reader, seg_i)
             seg_i += 1
 
-    default = 1 << (8 - 1 - pt)
+    default = 1 << (precision - 1 - pt)
+    full_dtype = np.uint16 if precision > 8 else np.uint8
     planes: list[np.ndarray | None] = [None] * ncomp
     for j in range(ncomp):  # j-th component IN SCAN ORDER → SOF slot order[j]
         v = _reconstruct_lossless(diffs[j].reshape(h, w), sel, default, restart_interval)
         v <<= pt
-        if v.max(initial=0) > 255:
-            raise ValueError("lossless JPEG sample exceeds the 8-bit range")
-        planes[order[j]] = v.astype(np.uint8)
+        if v.max(initial=0) > (1 << precision) - 1:
+            raise ValueError(
+                f"lossless JPEG sample exceeds the {precision}-bit range"
+            )
+        if deep:
+            v = v.astype(full_dtype)
+        elif precision > 8:  # uint8 projection: top 8 bits (PNG-16 style)
+            v = (v >> (precision - 8)).astype(np.uint8)
+        else:  # left-align shallow samples into the 8-bit range
+            v = (v << (8 - precision)).astype(np.uint8)
+        planes[order[j]] = v
     if ncomp == 1:
         return planes[0]
     return np.stack(planes, axis=-1)
@@ -1693,13 +1739,17 @@ def _decode_progressive_scan(
     return reader.end
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+def decode_jpeg(data: bytes, deep: bool = False) -> np.ndarray:
     """Baseline OR progressive JPEG bytes → (H,W) uint8 greyscale or
     (H,W,3) uint8 RGB (deterministic). Any interleaved sampling-factor
     combination with integer chroma ratios decodes (4:4:4, 4:2:2,
     4:4:0, 4:2:0 …) via box chroma upsampling; progressive (SOF2)
     streams accumulate spectral-selection / successive-approximation
-    scans and reconstruct at EOI."""
+    scans and reconstruct at EOI. `deep=True` returns full-precision
+    samples for >8-bit LOSSLESS (SOF3) streams (uint16 — the 12/16-bit
+    DICOM layouts); otherwise deep streams project to uint8 via their
+    top 8 bits (the PNG-16 convention of this engine's image seam).
+    The DCT processes are 8-bit-only and ignore `deep`."""
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -1709,6 +1759,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     restart_interval = 0
     progressive = False
     lossless = False
+    lossless_precision = 8
     arith = False
     arith_cond: dict = {}  # DAC conditioning: (Tc, Tb) → (L,U) / Kx
     rgb_direct = False  # 'R','G','B' component IDs / Adobe transform 0
@@ -1762,10 +1813,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xC3:  # SOF3: lossless (T.81 Annex H)
             lossless = True
             depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if depth != 8:
-                raise NotImplementedError(
-                    f"lossless JPEG precision {depth} not supported (8-bit only)"
-                )
+            if not 2 <= depth <= 16:
+                raise ValueError(f"illegal lossless JPEG precision {depth}")
+            lossless_precision = depth
             if ncomp not in (1, 3):
                 raise NotImplementedError(
                     f"lossless JPEG with {ncomp} components not supported"
@@ -1848,7 +1898,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if lossless:
                 # single interleaved scan produces the image directly
                 return _decode_lossless_scan(
-                    data, pos, body, comp_ids, huff, h, w, restart_interval
+                    data, pos, body, comp_ids, huff, h, w, restart_interval,
+                    lossless_precision, deep,
                 )
             if progressive:
                 if prog is None:

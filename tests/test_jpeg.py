@@ -589,6 +589,72 @@ class TestCmyk:
             assert np.abs(out.astype(int) - img.astype(int)).max() <= 40
 
 
+class TestLosslessDeepPrecision:
+    """SOF3 at 2..16-bit sample depth — the 12/16-bit DICOM layouts.
+    deep=True returns full-precision uint16; the default projection is
+    the image seam's PNG-16 convention (top 8 bits)."""
+
+    def _x(self, hi, shape, seed=5):
+        return np.random.RandomState(seed).randint(0, hi, shape).astype(np.uint16)
+
+    def test_12bit_roundtrip_and_projection(self):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_lossless
+
+        x = self._x(4096, (23, 17))
+        for pred in (1, 2, 4, 5, 7):
+            d = encode_jpeg_lossless(x, predictor=pred, precision=12)
+            out = decode_jpeg(d, deep=True)
+            assert out.dtype == np.uint16 and (out == x).all()
+            proj = decode_jpeg(d)
+            assert proj.dtype == np.uint8
+            assert (proj == (x >> 4).astype(np.uint8)).all()
+
+    def test_16bit_full_range_with_restarts(self):
+        # full-range diffs exercise the modulo-65536 window incl. the
+        # SSSS=16 (diff 32768) point
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_lossless
+
+        x = self._x(65536, (9, 31), seed=7)
+        d = encode_jpeg_lossless(x, predictor=4, restart_interval=37)
+        assert (decode_jpeg(d, deep=True) == x).all()
+
+    def test_shallow_precision_left_aligns(self):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_lossless
+
+        x = self._x(16, (11, 8)).astype(np.uint8)
+        d = encode_jpeg_lossless(x, predictor=6, precision=4)
+        assert (decode_jpeg(d, deep=True) == x).all()
+        assert (decode_jpeg(d) == (x << 4)).all()
+
+    def test_rgb_and_point_transform(self):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_lossless
+
+        rgb = self._x(4096, (7, 9, 3), seed=9)
+        d = encode_jpeg_lossless(rgb, predictor=3, precision=12)
+        assert (decode_jpeg(d, deep=True) == rgb).all()
+        x = self._x(4096, (12, 6), seed=3)
+        d = encode_jpeg_lossless(x, predictor=5, point_transform=3, precision=12)
+        assert (decode_jpeg(d, deep=True) == (x >> 3) << 3).all()
+
+    def test_guards(self):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_lossless
+
+        x = self._x(4096, (6, 6))
+        with pytest.raises(ValueError, match="precision"):
+            encode_jpeg_lossless(x, precision=17)
+        with pytest.raises(ValueError, match="exceeds the declared"):
+            encode_jpeg_lossless(x, precision=10)  # samples up to 4095
+        with pytest.raises(ValueError, match="point transform"):
+            encode_jpeg_lossless(x, precision=12, point_transform=12)
+        # Pt >= P in the scan header fails loudly at decode
+        d = bytearray(encode_jpeg_lossless(x, precision=12, point_transform=3))
+        i = d.index(b"\xff\xda")
+        # SOS: FF DA len(2) ncomp(1) comp(2) Ss(1) Se(1) AhAl(1)
+        d[i + 9] = 12
+        with pytest.raises(ValueError, match="point transform 12"):
+            decode_jpeg(bytes(d))
+
+
 class TestArithmetic:
     """SOF9 (T.81 Annex D/F): QM-coded sequential DCT. Contract: same
     quantized coefficients as the baseline encoder, so decode equals
@@ -773,11 +839,11 @@ class TestLossless:
             encode_jpeg_lossless(img, predictor=0)
         with pytest.raises(ValueError, match="point transform"):
             encode_jpeg_lossless(img, point_transform=8)
-        # 16-bit lossless precision stays outside the declared subset
+        # precision outside the legal 2..16 range fails loudly
         data = bytearray(encode_jpeg_lossless(img))
         i = data.index(b"\xff\xc3")
-        data[i + 4] = 16
-        with pytest.raises(NotImplementedError, match="precision 16"):
+        data[i + 4] = 17
+        with pytest.raises(ValueError, match="precision 17"):
             decode_jpeg(bytes(data))
         # subsampled multi-component lossless is out of scope
         rgb = encode_jpeg_lossless(self._img((8, 8, 3)))
