@@ -57,6 +57,7 @@ PNG_MOD = 20
 JPEG_MOD = 20
 LEGACY_MOD = 20
 LOSSLESS_MOD = 20
+JP2_MOD = 60  # EBCOT Tier-1 is the priciest codec — a thinner slice
 FAX_MOD = 20
 PDF_MOD = 20
 TIFF_MOD = 20
@@ -527,6 +528,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lossless_jpeg_store_df(refs, parallelism=spark.sparkContext.defaultParallelism)
         )
 
+    def q_media_jp2_roundtrip(spark):
+        # the archival JPEG 2000 seam: render → encode REAL lossless
+        # J2K/JP2 bytes (5/3 DWT + EBCOT; depth and container flavor
+        # crc32-chosen per ref) → magic-byte dispatch decode →
+        # features. Lossless by construction, so the oracle is the
+        # same golden feature table as the PNG query. EBCOT Tier-1 is
+        # the engine's priciest per-page codec, so the gate drives a
+        # DETERMINISTIC 48-ref slice (first by ref order) — cost stays
+        # flat at every sf; the codec itself is unbounded.
+        from oar_ocr_spark.functions.multimodal import (
+            image_features_from_bytes_df,
+            jp2_store_df,
+        )
+
+        refs = media_refs_df(spark, JP2_MOD).orderBy("media_ref").limit(48)
+        return image_features_from_bytes_df(
+            jp2_store_df(refs, parallelism=spark.sparkContext.defaultParallelism)
+        )
+
     def q_media_fax_roundtrip(spark):
         # the scanned-fax seam: render → threshold to bilevel → encode
         # REAL CCITT TIFF bytes (G4/G3-2D/G3-1D MH, both photometric
@@ -846,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_jpeg_roundtrip": with_views(q_media_jpeg_roundtrip),
         "media_gif_tiff_bmp_roundtrip": with_views(q_media_legacy_roundtrip),
         "media_lossless_roundtrip": with_views(q_media_lossless_roundtrip),
+        "media_jp2_roundtrip": with_views(q_media_jp2_roundtrip),
         "media_fax_roundtrip": with_views(q_media_fax_roundtrip),
         "pdf_extract": with_views(q_pdf_extract),
         "tiff_extract": with_views(q_tiff_extract),
@@ -1540,6 +1561,18 @@ with spans as ({span_cte}),
 refs as (
   select distinct media_ref from spans
   where kind = 'media' and cast(doc_id as bigint) % {LOSSLESS_MOD} = 0
+)
+select g.media_ref, g.width, g.height, g.mean_intensity, g.ink_ratio,
+       g.n_regions
+from read_parquet('{golden_dir}/media_features.parquet') g
+join refs using (media_ref)
+""",
+        "media_jp2_roundtrip": f"""
+with spans as ({span_cte}),
+refs as (
+  select distinct media_ref from spans
+  where kind = 'media' and cast(doc_id as bigint) % {JP2_MOD} = 0
+  order by media_ref limit 48
 )
 select g.media_ref, g.width, g.height, g.mean_intensity, g.ink_ratio,
        g.n_regions

@@ -1,0 +1,1154 @@
+"""JPEG 2000 (ISO/IEC 15444-1) — lossless subset, pure python/numpy.
+
+The reference's PDF path hands /JPXDecode images to a codec library;
+this engine previously raised the declared NotImplementedError at that
+seam (functions/pdf.py). This module closes the boundary with a real
+J2K implementation of the LOSSLESS profile slice that archival/medical
+pipelines actually use:
+
+- reversible 5/3 integer wavelet (Annex F), any number of
+  decomposition levels, symmetric boundary extension;
+- reversible color transform (RCT) for 3-component images;
+- EBCOT Tier-1 code-block coding (Annex D): the MQ arithmetic coder
+  (Table C.2 state machine, BYTEOUT/BYTEIN with 0xFF bit-stuffing,
+  marker-terminated 1-fill) driving the three coding passes —
+  significance propagation, magnitude refinement, cleanup with
+  run-length mode — over 4-row stripes with the standard 19 contexts
+  (zero-coding tables per subband orientation, sign contexts with XOR
+  bits, refinement contexts, run-length + UNIFORM);
+- Tier-2 packet headers (Annex B): tag-tree coded inclusion and
+  zero-bitplane counts over the code-block grid, pass-count codes,
+  Lblock length signalling; single quality layer, LRCP progression,
+  default (whole-subband) precincts;
+- codestream framing: SOC/SIZ/COD/QCD/SOT/SOD/EOC, plus the minimal
+  JP2 box container (signature/ftyp/jp2h/jp2c).
+
+Scope (declared): lossless 5/3 only, one tile, one layer, 8-bit
+samples at the image seam (the deep-precision story lives in the
+lossless-JPEG path), grey or RGB. Irreversible 9/7, quantization,
+multiple tiles/layers, and progression orders other than LRCP raise
+NotImplementedError. Encoder and decoder share every table and are
+exercised as exact-roundtrip twins (test_jp2), like the engine's other
+codec seams.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["encode_j2k", "decode_j2k", "encode_jp2", "decode_jp2", "JP2_SIG"]
+
+JP2_SIG = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+_SOC = 0xFF4F
+
+# ISO 15444-1 Table C.2 — the MQ-coder probability state machine:
+# (Qe, next-index after MPS, next-index after LPS, MPS switch flag).
+# Index 46 is the non-adapting UNIFORM state.
+_MQ_TABLE = (
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+)
+
+# Tier-1 context numbering (Annex D): 0-8 zero coding, 9-13 sign,
+# 14-16 magnitude refinement, 17 run-length, 18 UNIFORM.
+_CTX_RL = 17
+_CTX_UNI = 18
+_N_CTX = 19
+
+
+class _MQEncoder:
+    """MQ arithmetic encoder (C.2): A interval, C code register with
+    byte at bits 19-26 (or 20-27 after a 0xFF — the 7-bit stuffing
+    row), CT countdown. Carry propagates into the last buffered byte,
+    which the BYTEOUT flowchart guarantees is not 0xFF."""
+
+    def __init__(self):
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 12
+        self.out = bytearray()
+        self.ctx_idx = [0] * _N_CTX
+        self.ctx_mps = [0] * _N_CTX
+        # Annex D initial states: ZC context 0 → 4, RL → 3, UNIFORM → 46
+        self.ctx_idx[0] = 4
+        self.ctx_idx[_CTX_RL] = 3
+        self.ctx_idx[_CTX_UNI] = 46
+
+    def encode(self, cx: int, d: int) -> None:
+        qe, nmps, nlps, switch = _MQ_TABLE[self.ctx_idx[cx]]
+        if d == self.ctx_mps[cx]:
+            self.a -= qe
+            if self.a & 0x8000:
+                self.c += qe
+                return
+            if self.a < qe:  # conditional exchange: MPS keeps bottom
+                self.a = qe
+            else:
+                self.c += qe
+            self.ctx_idx[cx] = nmps
+        else:
+            self.a -= qe
+            if self.a < qe:  # exchange: LPS takes the top piece
+                self.c += qe
+            else:
+                self.a = qe
+            if switch:
+                self.ctx_mps[cx] = 1 - self.ctx_mps[cx]
+            self.ctx_idx[cx] = nlps
+        while self.a & 0x8000 == 0:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+
+    def _byteout(self) -> None:
+        # C.2.9 BYTEOUT: after a 0xFF only 7 bits fit the next byte
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(self.c >> 20)
+            self.c &= 0xFFFFF
+            self.ct = 7
+            return
+        if self.c >= 0x8000000:  # carry into the previous byte
+            if not self.out:
+                raise ValueError("MQ carry with no buffered byte")
+            self.out[-1] += 1  # BYTEOUT invariant: previous byte != 0xFF
+            self.c &= 0x7FFFFFF
+            if self.out[-1] == 0xFF:
+                self.out.append(self.c >> 20)
+                self.c &= 0xFFFFF
+                self.ct = 7
+                return
+        self.out.append(self.c >> 19)
+        self.c &= 0x7FFFF
+        self.ct = 8
+
+    def flush(self) -> bytes:
+        """C.2.9 FLUSH: set as many C bits to 1 as the interval allows,
+        push out the remaining two bytes, drop a trailing 0xFF (the
+        decoder 1-fills past the terminating marker)."""
+        tempc = self.c + self.a
+        self.c |= 0xFFFF
+        if self.c >= tempc:
+            self.c -= 0x8000
+        self.c <<= self.ct
+        self._byteout()
+        self.c <<= self.ct
+        self._byteout()
+        if self.out and self.out[-1] == 0xFF:
+            self.out.pop()
+        return bytes(self.out)
+
+
+class _MQDecoder:
+    """MQ arithmetic decoder (C.3): C high half compared against Qe;
+    BYTEIN honors the 7-bit row after 0xFF and 1-fills once a byte
+    > 0x8F follows 0xFF (the in-bitstream marker convention)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.c = self._byte_at(0) << 16
+        self._bytein()
+        self.c <<= 7
+        self.ct -= 7
+        self.a = 0x8000
+        self.ctx_idx = [0] * _N_CTX
+        self.ctx_mps = [0] * _N_CTX
+        self.ctx_idx[0] = 4
+        self.ctx_idx[_CTX_RL] = 3
+        self.ctx_idx[_CTX_UNI] = 46
+
+    def _byte_at(self, i: int) -> int:
+        return self.data[i] if i < len(self.data) else 0xFF
+
+    def _bytein(self) -> None:
+        b = self._byte_at(self.pos)
+        if b == 0xFF:
+            if self._byte_at(self.pos + 1) > 0x8F:
+                self.c += 0xFF00  # marker reached: feed 1-bits
+                self.ct = 8
+            else:
+                self.pos += 1
+                self.c += self._byte_at(self.pos) << 9
+                self.ct = 7
+        else:
+            self.pos += 1
+            self.c += self._byte_at(self.pos) << 8
+            self.ct = 8
+
+    def decode(self, cx: int) -> int:
+        qe, nmps, nlps, switch = _MQ_TABLE[self.ctx_idx[cx]]
+        mps = self.ctx_mps[cx]
+        self.a -= qe
+        if (self.c >> 16) < qe:
+            # bottom interval (size qe)
+            if self.a < qe:  # exchange: bottom is the MPS
+                d = mps
+                self.ctx_idx[cx] = nmps
+            else:
+                d = 1 - mps
+                if switch:
+                    self.ctx_mps[cx] = d
+                self.ctx_idx[cx] = nlps
+            self.a = qe
+        else:
+            self.c -= qe << 16
+            if self.a & 0x8000:
+                return mps
+            if self.a < qe:  # exchange: top is the LPS
+                d = 1 - mps
+                if switch:
+                    self.ctx_mps[cx] = d
+                self.ctx_idx[cx] = nlps
+            else:
+                d = mps
+                self.ctx_idx[cx] = nmps
+        while self.a & 0x8000 == 0:
+            if self.ct == 0:
+                self._bytein()
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+        return d
+
+
+# ---------------------------------------------------------------------------
+# reversible 5/3 wavelet (Annex F)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_53_1d(x: np.ndarray, axis: int) -> tuple[np.ndarray, np.ndarray]:
+    """1D forward 5/3 lifting along `axis` with symmetric extension →
+    (low, high). Works on any length >= 1 (length-1 signals carry the
+    sample through as the low band)."""
+    x = np.moveaxis(x, axis, 0).astype(np.int64)
+    n = x.shape[0]
+    if n == 1:
+        return np.moveaxis(x, 0, axis), np.moveaxis(x[:0], 0, axis)
+    even, odd = x[0::2], x[1::2]
+    left = even[: len(odd)]
+    right = even[1 : len(odd) + 1]
+    if len(right) < len(odd):  # odd-length tail: mirror the last even
+        right = np.concatenate([right, even[-1:]], axis=0)
+    high = odd - ((left + right) >> 1)
+    hl = np.concatenate([high[:1], high], axis=0)[: len(even)]
+    hr = high[: len(even)] if len(high) >= len(even) else np.concatenate(
+        [high, high[-1:]], axis=0
+    )
+    low = even + ((hl + hr + 2) >> 2)
+    return np.moveaxis(low, 0, axis), np.moveaxis(high, 0, axis)
+
+
+def _inv_53_1d(low: np.ndarray, high: np.ndarray, axis: int, n: int) -> np.ndarray:
+    """Inverse of _fwd_53_1d (exact)."""
+    low = np.moveaxis(low, axis, 0).astype(np.int64)
+    high = np.moveaxis(high, axis, 0).astype(np.int64)
+    if n == 1:
+        return np.moveaxis(low, 0, axis)
+    hl = np.concatenate([high[:1], high], axis=0)[: len(low)]
+    hr = high[: len(low)] if len(high) >= len(low) else np.concatenate(
+        [high, high[-1:]], axis=0
+    )
+    even = low - ((hl + hr + 2) >> 2)
+    left = even[: len(high)]
+    right = even[1 : len(high) + 1]
+    if len(right) < len(high):
+        right = np.concatenate([right, even[-1:]], axis=0)
+    odd = high + ((left + right) >> 1)
+    out = np.empty((n,) + low.shape[1:], dtype=np.int64)
+    out[0::2] = even
+    out[1::2] = odd
+    return np.moveaxis(out, 0, axis)
+
+
+def _fwd_dwt(plane: np.ndarray, levels: int) -> list:
+    """(H,W) int64 → [LL_n, (HL_n, LH_n, HH_n), ..., (HL_1, LH_1, HH_1)]
+    with per-level row-then-column lifting."""
+    bands = []
+    ll = plane.astype(np.int64)
+    for _ in range(levels):
+        lo, hi = _fwd_53_1d(ll, axis=1)
+        ll_, lh = _fwd_53_1d(lo, axis=0)
+        hl, hh = _fwd_53_1d(hi, axis=0)
+        bands.append((hl, lh, hh))
+        ll = ll_
+    return [ll] + bands[::-1]
+
+
+def _inv_dwt(bands: list, shape: tuple[int, int]) -> np.ndarray:
+    """Inverse of _fwd_dwt; `shape` is the full-resolution (H, W)."""
+    levels = len(bands) - 1
+    dims = [shape]
+    for _ in range(levels):
+        h, w = dims[-1]
+        dims.append(((h + 1) // 2, (w + 1) // 2))
+    ll = bands[0].astype(np.int64)
+    for lev in range(levels, 0, -1):
+        h, w = dims[lev - 1]
+        hl, lh, hh = bands[levels - lev + 1]
+        lo = _inv_53_1d(ll, lh, axis=0, n=h)
+        hi = _inv_53_1d(hl, hh, axis=0, n=h)
+        ll = _inv_53_1d(lo, hi, axis=1, n=w)
+    return ll
+
+
+# ---------------------------------------------------------------------------
+# Tier-1: EBCOT code-block coding (Annex D)
+# ---------------------------------------------------------------------------
+
+# zero-coding context from (sumH, sumV, sumD) per subband orientation
+# (Table D.1); orientations: 0=LL, 1=HL, 2=LH, 3=HH
+
+
+def _zc_context(h: int, v: int, d: int, orient: int) -> int:
+    if orient == 1:  # HL: the spec swaps the H/V roles
+        h, v = v, h
+    if orient != 3:  # LL, LH, HL
+        if h == 2:
+            return 8
+        if h == 1:
+            return 7 if v >= 1 else (6 if d >= 1 else 5)
+        if v == 2:
+            return 4
+        if v == 1:
+            return 3
+        return 2 if d >= 2 else d  # d>=2 → 2, d==1 → 1, d==0 → 0
+    if d >= 3:
+        return 8
+    hv = h + v
+    if d == 2:
+        return 7 if hv >= 1 else 6
+    if d == 1:
+        return 5 if hv >= 2 else (4 if hv == 1 else 3)
+    return 2 if hv >= 2 else hv
+
+
+# sign-coding context + XOR bit from clipped neighbor contributions
+# (Table D.3): index by (hc+1, vc+1)
+_SC_TABLE = (
+    ((13, 1), (12, 1), (11, 1)),  # hc = -1
+    ((10, 1), (9, 0), (10, 0)),   # hc = 0
+    ((11, 0), (12, 0), (13, 0)),  # hc = +1
+)
+
+
+class _BlockCoder:
+    """Shared Tier-1 scan state: 4-row stripes, column-major within a
+    stripe. State planes are FLAT python bytearrays over a padded
+    (h+2)x(w+2) grid — byte indexing is ~20x cheaper than numpy scalar
+    reads in this per-sample hot path (measured; the MQ coder itself
+    is a minority of the cost). Encoder and decoder run the SAME
+    control flow with mirrored decisions — one implementation, two
+    directions (the engine-wide golden-twin pattern)."""
+
+    def __init__(self, h: int, w: int, orient: int):
+        self.h, self.w, self.orient = h, w, orient
+        self.stride = w + 2
+        n = (h + 2) * (w + 2)
+        self.sig = bytearray(n)
+        self.sgn = bytearray(n)
+        self.visited = bytearray(n)
+        self.refined = bytearray(n)
+
+    def _sign_ctx(self, i: int) -> tuple[int, int]:
+        s, g, st = self.sig, self.sgn, self.stride
+        hc = 0
+        if s[i - 1]:
+            hc += -1 if g[i - 1] else 1
+        if s[i + 1]:
+            hc += -1 if g[i + 1] else 1
+        vc = 0
+        if s[i - st]:
+            vc += -1 if g[i - st] else 1
+        if s[i + st]:
+            vc += -1 if g[i + st] else 1
+        hc = -1 if hc < -1 else (1 if hc > 1 else hc)
+        vc = -1 if vc < -1 else (1 if vc > 1 else vc)
+        return _SC_TABLE[hc + 1][vc + 1]
+
+
+def _t1_encode_block(
+    mags: "np.ndarray", signs: "np.ndarray", orient: int, nbps: int
+) -> tuple[bytes, int]:
+    """(h,w) magnitudes + signs (0/1) → (codeword bytes, n passes).
+    Pass sequence per D.4: cleanup for the MSB plane, then
+    SPP/MRP/CUP per lower plane, all in one MQ codeword segment."""
+    h, w = mags.shape
+    st = _BlockCoder(h, w, orient)
+    mlist = [int(v) for v in mags.reshape(-1)]
+    slist = [int(v) for v in signs.reshape(-1)]
+    enc = _MQEncoder()
+    n_passes = 0
+    for p in range(nbps - 1, -1, -1):
+        if n_passes:  # planes below the MSB get all three passes
+            _t1_spp(st, enc, mlist, slist, p, True)
+            _t1_mrp(st, enc, mlist, p, True)
+            n_passes += 2
+        _t1_cup(st, enc, mlist, slist, p, True)
+        n_passes += 1
+        st.visited = bytearray(len(st.visited))
+    return enc.flush(), n_passes
+
+
+def _t1_decode_block(
+    data: bytes, h: int, w: int, orient: int, nbps: int, n_passes: int
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Inverse of _t1_encode_block → (magnitudes, signs)."""
+    st = _BlockCoder(h, w, orient)
+    dec = _MQDecoder(data)
+    mlist = [0] * (h * w)
+    done = 0
+    for p in range(nbps - 1, -1, -1):
+        if done:
+            if done >= n_passes:
+                break
+            _t1_spp(st, dec, mlist, None, p, False)
+            done += 1
+            if done >= n_passes:
+                break
+            _t1_mrp(st, dec, mlist, p, False)
+            done += 1
+        if done >= n_passes:
+            break
+        _t1_cup(st, dec, mlist, None, p, False)
+        done += 1
+        st.visited = bytearray(len(st.visited))
+    mags = np.array(mlist, dtype=np.int64).reshape(h, w)
+    sgn = np.frombuffer(bytes(st.sgn), dtype=np.uint8).reshape(h + 2, w + 2)
+    return mags, sgn[1 : h + 1, 1 : w + 1].copy()
+
+
+def _t1_spp(st, coder, mlist, slist, p, encode):
+    """Significance propagation pass (D.4.1): insignificant samples
+    with at least one significant neighbor."""
+    h, w = st.h, st.w
+    stride = st.stride
+    sig, visited, orient = st.sig, st.visited, st.orient
+    bitmask = 1 << p
+    for y0 in range(1, h + 1, 4):
+        y1 = min(y0 + 4, h + 1)
+        for x in range(1, w + 1):
+            i = y0 * stride + x
+            for y in range(y0, y1):
+                if not sig[i]:
+                    hs = sig[i - 1] + sig[i + 1]
+                    vs = sig[i - stride] + sig[i + stride]
+                    ds = (
+                        sig[i - stride - 1] + sig[i - stride + 1]
+                        + sig[i + stride - 1] + sig[i + stride + 1]
+                    )
+                    if hs + vs + ds:
+                        cx = _zc_context(hs, vs, ds, orient)
+                        if encode:
+                            bit = 1 if mlist[(y - 1) * w + x - 1] & bitmask else 0
+                            coder.encode(cx, bit)
+                        else:
+                            bit = coder.decode(cx)
+                        visited[i] = 1
+                        if bit:
+                            _code_sign(st, coder, mlist, slist, y, x, p, encode)
+                i += stride
+
+
+def _t1_mrp(st, coder, mlist, p, encode):
+    """Magnitude refinement pass (D.4.2): already-significant samples
+    not visited by this plane's SPP."""
+    h, w = st.h, st.w
+    stride = st.stride
+    sig, visited, refined = st.sig, st.visited, st.refined
+    bitmask = 1 << p
+    for y0 in range(1, h + 1, 4):
+        y1 = min(y0 + 4, h + 1)
+        for x in range(1, w + 1):
+            i = y0 * stride + x
+            for y in range(y0, y1):
+                if sig[i] and not visited[i]:
+                    if refined[i]:
+                        cx = 16
+                    else:
+                        nb = (
+                            sig[i - 1] + sig[i + 1]
+                            + sig[i - stride] + sig[i + stride]
+                            + sig[i - stride - 1] + sig[i - stride + 1]
+                            + sig[i + stride - 1] + sig[i + stride + 1]
+                        )
+                        cx = 15 if nb else 14
+                    if encode:
+                        coder.encode(
+                            cx, 1 if mlist[(y - 1) * w + x - 1] & bitmask else 0
+                        )
+                    else:
+                        if coder.decode(cx):
+                            mlist[(y - 1) * w + x - 1] |= bitmask
+                    refined[i] = 1
+                i += stride
+
+
+def _t1_cup(st, coder, mlist, slist, p, encode):
+    """Cleanup pass (D.4.3): everything left, with the 4-row run-length
+    shortcut on fully-quiet columns."""
+    h, w = st.h, st.w
+    stride = st.stride
+    sig, visited, orient = st.sig, st.visited, st.orient
+    bitmask = 1 << p
+    for y0 in range(1, h + 1, 4):
+        y1 = min(y0 + 4, h + 1)
+        full = y1 - y0 == 4
+        for x in range(1, w + 1):
+            y = y0
+            if full:
+                quiet = True
+                i = y0 * stride + x
+                for yy in range(y0, y1):
+                    if (
+                        sig[i] or visited[i]
+                        or sig[i - 1] or sig[i + 1]
+                        or sig[i - stride] or sig[i + stride]
+                        or sig[i - stride - 1] or sig[i - stride + 1]
+                        or sig[i + stride - 1] or sig[i + stride + 1]
+                    ):
+                        quiet = False
+                        break
+                    i += stride
+                if quiet:
+                    if encode:
+                        first = -1
+                        k = (y0 - 1) * w + x - 1
+                        for idx in range(4):
+                            if mlist[k] & bitmask:
+                                first = idx
+                                break
+                            k += w
+                        if first < 0:
+                            coder.encode(_CTX_RL, 0)
+                            continue
+                        coder.encode(_CTX_RL, 1)
+                        coder.encode(_CTX_UNI, (first >> 1) & 1)
+                        coder.encode(_CTX_UNI, first & 1)
+                    else:
+                        if coder.decode(_CTX_RL) == 0:
+                            continue
+                        first = (coder.decode(_CTX_UNI) << 1) | coder.decode(
+                            _CTX_UNI
+                        )
+                    y = y0 + first
+                    # the run-interrupting sample is significant by
+                    # construction: sign only, no ZC decision
+                    _code_sign(st, coder, mlist, slist, y, x, p, encode)
+                    y += 1
+            i = y * stride + x
+            for yy in range(y, y1):
+                if not sig[i] and not visited[i]:
+                    hs = sig[i - 1] + sig[i + 1]
+                    vs = sig[i - stride] + sig[i + stride]
+                    ds = (
+                        sig[i - stride - 1] + sig[i - stride + 1]
+                        + sig[i + stride - 1] + sig[i + stride + 1]
+                    )
+                    cx = _zc_context(hs, vs, ds, orient)
+                    if encode:
+                        bit = 1 if mlist[(yy - 1) * w + x - 1] & bitmask else 0
+                        coder.encode(cx, bit)
+                    else:
+                        bit = coder.decode(cx)
+                    if bit:
+                        _code_sign(st, coder, mlist, slist, yy, x, p, encode)
+                i += stride
+
+
+def _code_sign(st, coder, mlist, slist, y, x, p, encode):
+    """Newly-significant sample: sign decision + state update (shared
+    by all three passes)."""
+    i = y * st.stride + x
+    cx, xor = st._sign_ctx(i)
+    if encode:
+        sbit = slist[(y - 1) * st.w + x - 1]
+        coder.encode(cx, sbit ^ xor)
+        st.sgn[i] = sbit
+    else:
+        st.sgn[i] = coder.decode(cx) ^ xor
+        mlist[(y - 1) * st.w + x - 1] |= 1 << p
+    st.sig[i] = 1
+
+
+# ---------------------------------------------------------------------------
+# Tier-2: tag trees + packet headers (Annex B)
+# ---------------------------------------------------------------------------
+
+
+class _HeaderBitWriter:
+    """Packet-header bit packing (B.10.1): MSB-first; after emitting a
+    full 0xFF byte the next byte carries only 7 bits (its MSB is a
+    stuffed 0)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def _cap(self) -> int:
+        return 7 if self.out and self.out[-1] == 0xFF else 8
+
+    def write(self, bit: int) -> None:
+        self.acc = (self.acc << 1) | bit
+        self.nbits += 1
+        if self.nbits == self._cap():
+            self.out.append(self.acc)
+            self.acc = 0
+            self.nbits = 0
+
+    def write_bits(self, val: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            self.write((val >> k) & 1)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc << (self._cap() - self.nbits))
+            self.acc = 0
+            self.nbits = 0
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0x00)  # a header may not end on 0xFF
+        return bytes(self.out)
+
+
+class _HeaderBitReader:
+    """Mirror of _HeaderBitWriter over a codestream slice."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.prev_ff = False
+
+    def read(self) -> int:
+        if self.nbits == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if self.prev_ff:
+                if b & 0x80:
+                    raise ValueError("JPEG 2000 packet header stuffing violation")
+                self.nbits = 7
+            else:
+                self.nbits = 8
+            self.prev_ff = b == 0xFF
+            self.acc = b
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read()
+        return v
+
+    def align(self) -> int:
+        """Byte-align past the header (consuming the stuffed 0x00 a
+        0xFF-final header carries) → next byte position."""
+        if self.prev_ff:
+            if self.data[self.pos] != 0x00:
+                raise ValueError("JPEG 2000 packet header missing stuffed 0x00")
+            self.pos += 1
+        self.nbits = 0
+        self.prev_ff = False
+        return self.pos
+
+
+class _TagTree:
+    """Tag tree (B.10.2) over a (rows, cols) leaf grid; used for both
+    code-block inclusion and zero-bitplane counts."""
+
+    def __init__(self, rows: int, cols: int):
+        self.dims = []
+        r, c = rows, cols
+        while True:
+            self.dims.append((r, c))
+            if r == 1 and c == 1:
+                break
+            r, c = (r + 1) // 2, (c + 1) // 2
+        self.value = [np.full(d, 1 << 30, dtype=np.int64) for d in self.dims]
+        self.low = [np.zeros(d, dtype=np.int64) for d in self.dims]
+        self.known = [np.zeros(d, dtype=np.uint8) for d in self.dims]
+
+    def set_values(self, leaves: np.ndarray) -> None:
+        self.value[0][:, :] = leaves
+        for lev in range(1, len(self.dims)):
+            below = self.value[lev - 1]
+            r, c = self.dims[lev]
+            for i in range(r):
+                for j in range(c):
+                    self.value[lev][i, j] = below[
+                        2 * i : 2 * i + 2, 2 * j : 2 * j + 2
+                    ].min()
+
+    def _path(self, i: int, j: int):
+        path = []
+        for lev in range(len(self.dims) - 1, -1, -1):
+            path.append((lev, i >> lev, j >> lev))
+        return path
+
+    def encode(self, bw: _HeaderBitWriter, i: int, j: int, threshold: int) -> None:
+        low = 0
+        for lev, r, c in self._path(i, j):
+            if self.low[lev][r, c] < low:
+                self.low[lev][r, c] = low
+            else:
+                low = int(self.low[lev][r, c])
+            while low < threshold:
+                if low >= self.value[lev][r, c]:
+                    if not self.known[lev][r, c]:
+                        bw.write(1)
+                        self.known[lev][r, c] = 1
+                    break
+                bw.write(0)
+                low += 1
+            self.low[lev][r, c] = low
+
+    def decode(self, br: _HeaderBitReader, i: int, j: int, threshold: int) -> bool:
+        """Read decisions up to `threshold`; True iff leaf value proven
+        < threshold."""
+        low = 0
+        for lev, r, c in self._path(i, j):
+            if self.low[lev][r, c] < low:
+                self.low[lev][r, c] = low
+            else:
+                low = int(self.low[lev][r, c])
+            while low < threshold and low < self.value[lev][r, c]:
+                if br.read():
+                    self.value[lev][r, c] = low
+                else:
+                    low += 1
+            self.low[lev][r, c] = low
+        return bool(self.value[0][i, j] < threshold)
+
+
+def _write_npasses(bw: _HeaderBitWriter, n: int) -> None:
+    """Pass-count code (Table B.4)."""
+    if n == 1:
+        bw.write(0)
+    elif n == 2:
+        bw.write_bits(0b10, 2)
+    elif n <= 5:
+        bw.write_bits(0b11, 2)
+        bw.write_bits(n - 3, 2)
+    elif n <= 36:
+        bw.write_bits(0b1111, 4)
+        bw.write_bits(n - 6, 5)
+    elif n <= 164:
+        bw.write_bits(0b111111111, 9)
+        bw.write_bits(n - 37, 7)
+    else:
+        raise ValueError(f"illegal coding-pass count {n}")
+
+
+def _read_npasses(br: _HeaderBitReader) -> int:
+    if br.read() == 0:
+        return 1
+    if br.read() == 0:
+        return 2
+    v = br.read_bits(2)
+    if v < 3:
+        return 3 + v
+    v = br.read_bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + br.read_bits(7)
+
+
+# ---------------------------------------------------------------------------
+# codestream assembly / parsing
+# ---------------------------------------------------------------------------
+
+_CBLK = 64  # code-block side (2^6 — the spec default)
+_GUARD = 3  # guard bits in Sqcd (headroom for 5/3 growth on deep trees)
+_GAIN = {0: 0, 1: 1, 2: 1, 3: 2}  # subband log2 gain: LL, HL, LH, HH
+
+
+def _band_layout(h: int, w: int, levels: int) -> list:
+    """Per-resolution band list mirroring _fwd_dwt's output:
+    [[(orient, bh, bw)]], resolution 0 = LL, then (HL, LH, HH) from the
+    deepest level outward."""
+    dims = [(h, w)]
+    for _ in range(levels):
+        ph, pw = dims[-1]
+        dims.append(((ph + 1) // 2, (pw + 1) // 2))
+    out = [[(0, dims[levels][0], dims[levels][1])]]
+    for r in range(1, levels + 1):
+        ph, pw = dims[levels - r]  # the level's input dims
+        lh_, ll_ = ph - (ph + 1) // 2, (ph + 1) // 2
+        hw_, lw_ = pw - (pw + 1) // 2, (pw + 1) // 2
+        out.append([(1, ll_, hw_), (2, lh_, lw_), (3, lh_, hw_)])
+    return out
+
+
+def _cblk_grid(bh: int, bw: int) -> tuple[int, int]:
+    return -(-bh // _CBLK) if bh else 0, -(-bw // _CBLK) if bw else 0
+
+
+def _write_packet(out: bytearray, band_blocks: list) -> None:
+    """One layer-0 packet. `band_blocks`: [(grid_rows, grid_cols,
+    [(incl, zbp, npasses, data)])] per subband in packet order."""
+    if not any(blk[0] for _, _, blks in band_blocks for blk in blks):
+        bw = _HeaderBitWriter()
+        bw.write(0)  # empty packet
+        out += bw.flush()
+        return
+    bw = _HeaderBitWriter()
+    bw.write(1)
+    bodies = []
+    for rows, cols, blks in band_blocks:
+        if not blks:
+            continue
+        incl_tree = _TagTree(rows, cols)
+        zbp_tree = _TagTree(rows, cols)
+        incl_tree.set_values(
+            np.array([0 if b[0] else 1 for b in blks], dtype=np.int64).reshape(
+                rows, cols
+            )
+        )
+        zbp_tree.set_values(
+            np.array([b[1] for b in blks], dtype=np.int64).reshape(rows, cols)
+        )
+        for i in range(rows):
+            for j in range(cols):
+                incl, zbp, npasses, data = blks[i * cols + j]
+                incl_tree.encode(bw, i, j, 1)
+                if not incl:
+                    continue
+                k = 1
+                while True:  # zero-bitplane count, threshold ramp
+                    zbp_tree.encode(bw, i, j, k)
+                    if zbp < k:
+                        break
+                    k += 1
+                _write_npasses(bw, npasses)
+                lbits = npasses.bit_length() - 1  # floor(log2)
+                need = max(len(data).bit_length(), 1)
+                extra = max(0, need - (3 + lbits))
+                bw.write_bits((1 << extra) - 1, extra)  # Lblock += extra
+                bw.write(0)
+                bw.write_bits(len(data), 3 + extra + lbits)
+                bodies.append(data)
+    out += bw.flush()
+    for b in bodies:
+        out += b
+
+
+def _read_packet(data: bytes, pos: int, grids: list) -> tuple[list, int]:
+    """Mirror of _write_packet → ([(included, zbp, npasses, bytes)] per
+    band, next position)."""
+    br = _HeaderBitReader(data, pos)
+    if br.read() == 0:
+        return [[] for _ in grids], br.align()
+    per_band = []
+    lengths = []
+    for rows, cols in grids:
+        blks = []
+        if rows and cols:
+            incl_tree = _TagTree(rows, cols)
+            zbp_tree = _TagTree(rows, cols)
+            for i in range(rows):
+                for j in range(cols):
+                    if not incl_tree.decode(br, i, j, 1):
+                        blks.append((False, 0, 0, None))
+                        continue
+                    k = 1
+                    while not zbp_tree.decode(br, i, j, k):
+                        k += 1
+                    zbp = k - 1
+                    npasses = _read_npasses(br)
+                    extra = 0
+                    while br.read():
+                        extra += 1
+                    lbits = npasses.bit_length() - 1
+                    ln = br.read_bits(3 + extra + lbits)
+                    blks.append((True, zbp, npasses, ln))
+                    lengths.append((len(per_band), len(blks) - 1, ln))
+        per_band.append(blks)
+    pos = br.align()
+    for bi, ki, ln in lengths:
+        incl, zbp, npasses, _ = per_band[bi][ki]
+        per_band[bi][ki] = (incl, zbp, npasses, data[pos : pos + ln])
+        pos += ln
+    return per_band, pos
+
+
+def _marker_seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _rct_forward(r, g, b):
+    return (r + 2 * g + b) >> 2, b - g, r - g
+
+
+def _rct_inverse(y, cb, cr):
+    g = y - ((cb + cr) >> 2)
+    return cr + g, g, cb + g
+
+
+def encode_j2k(img: np.ndarray, levels: int = 2) -> bytes:
+    """(H,W) grey / (H,W,3) RGB uint8 → lossless JPEG 2000 codestream
+    (SOC..EOC): 5/3 reversible DWT, RCT for color, EBCOT Tier-1/2,
+    one tile, one layer, LRCP."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("encode_j2k expects (H,W)/(H,W,3) uint8")
+    if img.ndim == 3 and img.shape[2] != 3:
+        raise ValueError(f"expected 3 colour channels, got {img.shape[2]}")
+    if not 0 <= levels <= 32:
+        raise ValueError(f"decomposition levels must be 0..32, got {levels}")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    shifted = img.astype(np.int64) - 128  # DC level shift (P=8)
+    if img.ndim == 2:
+        comps = [shifted]
+        mct = 0
+    else:
+        comps = list(_rct_forward(shifted[..., 0], shifted[..., 1], shifted[..., 2]))
+        mct = 1
+
+    # transform once per component, then emit packets in LRCP order
+    comp_bands = [_fwd_dwt(c, levels) for c in comps]
+    packets = bytearray()
+    for r in range(levels + 1):
+        for ci in range(len(comps)):
+            bands = (
+                [comp_bands[ci][0]] if r == 0 else list(comp_bands[ci][r])
+            )
+            orients = [0] if r == 0 else [1, 2, 3]
+            band_blocks = []
+            for band, orient in zip(bands, orients):
+                bh, bw_ = band.shape
+                rows, cols = _cblk_grid(bh, bw_)
+                mb = 8 + _GAIN[orient] + _GUARD - 1
+                blks = []
+                for i in range(rows):
+                    for j in range(cols):
+                        blk = band[
+                            i * _CBLK : (i + 1) * _CBLK, j * _CBLK : (j + 1) * _CBLK
+                        ]
+                        mags = np.abs(blk)
+                        nbps = int(mags.max()).bit_length()
+                        if nbps == 0:
+                            blks.append((False, 0, 0, b""))
+                            continue
+                        if nbps > mb:
+                            raise ValueError(
+                                f"5/3 coefficient needs {nbps} bits > Mb={mb}"
+                            )
+                        signs = (blk < 0).astype(np.uint8)
+                        data, npasses = _t1_encode_block(mags, signs, orient, nbps)
+                        blks.append((True, mb - nbps, npasses, data))
+                band_blocks.append((rows, cols, blks))
+            _write_packet(packets, band_blocks)
+
+    ncomp = len(comps)
+    out = bytearray(struct.pack(">H", _SOC))
+    siz = struct.pack(
+        ">HIIIIIIII H", 0, w, h, 0, 0, w, h, 0, 0, ncomp
+    ) + b"\x07\x01\x01" * ncomp  # Ssiz=7 (8-bit unsigned), 1x1 subsampling
+    out += _marker_seg(0xFF51, siz)
+    cod = bytes([0]) + bytes([0]) + struct.pack(">H", 1) + bytes([mct]) + bytes(
+        [levels, _CBLK.bit_length() - 3, _CBLK.bit_length() - 3, 0, 1]
+    )
+    out += _marker_seg(0xFF52, cod)
+    sqcd = bytes([_GUARD << 5])  # no quantization, guard bits
+    for r in range(levels + 1):
+        for orient in ([0] if r == 0 else [1, 2, 3]):
+            sqcd += bytes([(8 + _GAIN[orient]) << 3])
+    out += _marker_seg(0xFF5C, sqcd)
+    psot = 12 + 2 + len(packets)  # SOT seg + SOD marker + data
+    out += _marker_seg(0xFF90, struct.pack(">HIBB", 0, psot, 0, 1))
+    out += struct.pack(">H", 0xFF93)
+    out += packets
+    out += struct.pack(">H", 0xFFD9)
+    return bytes(out)
+
+
+def decode_j2k(data: bytes) -> np.ndarray:
+    """Lossless J2K codestream → (H,W)/(H,W,3) uint8, bit-exact inverse
+    of encode_j2k. Fails loudly (NotImplementedError) on the declared
+    out-of-scope features: multiple tiles/layers, custom precincts,
+    non-LRCP progressions, quantized/9-7 streams, coder bypass modes,
+    subsampled or deep components."""
+    if data[:2] != struct.pack(">H", _SOC):
+        raise ValueError("not a JPEG 2000 codestream (missing SOC)")
+    pos = 2
+    siz = cod = qcd = None
+    while pos + 4 <= len(data):
+        (marker,) = struct.unpack(">H", data[pos : pos + 2])
+        if marker == 0xFF93:  # SOD
+            pos += 2
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xFF51:
+            siz = body
+        elif marker == 0xFF52:
+            cod = body
+        elif marker == 0xFF5C:
+            qcd = body
+        elif marker == 0xFF90:
+            pass  # single-tile: Psot redundant (data runs to EOC)
+    else:
+        raise ValueError("JPEG 2000 codestream has no SOD")
+    if siz is None or cod is None or qcd is None:
+        raise ValueError("JPEG 2000 missing SIZ/COD/QCD")
+
+    rsiz, xs, ys, xo, yo, xt, yt, xto, yto, ncomp = struct.unpack(">HIIIIIIIIH", siz[:36])
+    if xo or yo or xto or yto or xt < xs or yt < ys:
+        raise NotImplementedError("JPEG 2000 multi-tile / offset grids not supported")
+    if ncomp not in (1, 3):
+        raise NotImplementedError(f"JPEG 2000 with {ncomp} components not supported")
+    for c in range(ncomp):
+        ssiz, xr, yr = siz[36 + 3 * c], siz[37 + 3 * c], siz[38 + 3 * c]
+        if ssiz != 7:
+            raise NotImplementedError(
+                "JPEG 2000 non-8-bit/signed components not supported"
+            )
+        if xr != 1 or yr != 1:
+            raise NotImplementedError("JPEG 2000 subsampled components not supported")
+    h, w = ys, xs
+
+    scod = cod[0]
+    if scod & 0x07:
+        raise NotImplementedError(
+            "JPEG 2000 custom precincts / SOP / EPH not supported"
+        )
+    prog, layers, mct = cod[1], struct.unpack(">H", cod[2:4])[0], cod[4]
+    if prog != 0:
+        raise NotImplementedError(f"JPEG 2000 progression order {prog} not supported")
+    if layers != 1:
+        raise NotImplementedError("JPEG 2000 multi-layer streams not supported")
+    levels, cbw, cbh, cbstyle, transform = cod[5], cod[6], cod[7], cod[8], cod[9]
+    if cbstyle:
+        raise NotImplementedError("JPEG 2000 code-block style modes not supported")
+    if transform != 1:
+        raise NotImplementedError(
+            "JPEG 2000 irreversible 9/7 wavelet not supported (lossless 5/3 only)"
+        )
+    if (1 << (cbw + 2)) != _CBLK or (1 << (cbh + 2)) != _CBLK:
+        raise NotImplementedError("JPEG 2000 non-64x64 code-blocks not supported")
+    if qcd[0] & 0x1F:
+        raise NotImplementedError("JPEG 2000 quantized streams not supported")
+    guard = qcd[0] >> 5
+    exps = [b >> 3 for b in qcd[1:]]
+
+    layout = _band_layout(h, w, levels)
+    comp_bands = [
+        [None] * (levels + 1) for _ in range(ncomp)
+    ]
+    bi = 0
+    band_exp = {}
+    for r in range(levels + 1):
+        for k, (orient, _, _) in enumerate(layout[r]):
+            band_exp[(r, k)] = exps[bi]
+            bi += 1
+    for r in range(levels + 1):
+        for ci in range(ncomp):
+            grids = [_cblk_grid(bh, bw_) for _, bh, bw_ in layout[r]]
+            per_band, pos = _read_packet(data, pos, grids)
+            bands_here = []
+            for k, ((orient, bh, bw_), blks) in enumerate(zip(layout[r], per_band)):
+                band = np.zeros((bh, bw_), dtype=np.int64)
+                rows, cols = _cblk_grid(bh, bw_)
+                mb = band_exp[(r, k)] + guard - 1
+                for i in range(rows):
+                    for j in range(cols):
+                        incl, zbp, npasses, blkdata = blks[i * cols + j]
+                        if not incl:
+                            continue
+                        y0, x0 = i * _CBLK, j * _CBLK
+                        bh_b = min(_CBLK, bh - y0)
+                        bw_b = min(_CBLK, bw_ - x0)
+                        mags, signs = _t1_decode_block(
+                            blkdata, bh_b, bw_b, orient, mb - zbp, npasses
+                        )
+                        vals = np.where(signs == 1, -mags, mags)
+                        band[y0 : y0 + bh_b, x0 : x0 + bw_b] = vals
+                bands_here.append(band)
+            if r == 0:
+                comp_bands[ci][0] = bands_here[0]
+            else:
+                comp_bands[ci][r] = tuple(bands_here)
+
+    planes = [_inv_dwt(cb, (h, w)) for cb in comp_bands]
+    if ncomp == 1:
+        out = planes[0]
+    else:
+        if mct:
+            rp, gp, bp = _rct_inverse(planes[0], planes[1], planes[2])
+        else:
+            rp, gp, bp = planes
+        out = np.stack([rp, gp, bp], axis=-1)
+    return np.clip(out + 128, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# JP2 box container
+# ---------------------------------------------------------------------------
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def encode_jp2(img: np.ndarray, levels: int = 2) -> bytes:
+    """uint8 image → minimal JP2 file (signature / ftyp / jp2h / jp2c
+    boxes around the encode_j2k codestream)."""
+    code = encode_j2k(img, levels)
+    h, w = img.shape[:2]
+    ncomp = 1 if img.ndim == 2 else 3
+    ihdr = struct.pack(">IIHBBBB", h, w, ncomp, 7, 7, 0, 0)
+    colr = struct.pack(">BBBI", 1, 0, 0, 17 if ncomp == 1 else 16)
+    jp2h = _box(b"ihdr", ihdr) + _box(b"colr", colr)
+    return (
+        JP2_SIG
+        + _box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
+        + _box(b"jp2h", jp2h)
+        + _box(b"jp2c", code)
+    )
+
+
+def decode_jp2(data: bytes) -> np.ndarray:
+    """JP2 container OR raw codestream → uint8 image (the PDF
+    /JPXDecode seam accepts both layouts)."""
+    if data[:2] == struct.pack(">H", _SOC):
+        return decode_j2k(data)
+    if data[:12] != JP2_SIG:
+        raise ValueError("not a JP2 file (missing signature box)")
+    pos = 12
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8]
+        if ln == 0:
+            body = data[pos + 8 :]
+            pos = len(data)
+        elif ln == 1:
+            (xln,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body = data[pos + 16 : pos + xln]
+            pos += xln
+        else:
+            body = data[pos + 8 : pos + ln]
+            pos += ln
+        if btype == b"jp2c":
+            return decode_j2k(body)
+    raise ValueError("JP2 file has no jp2c codestream box")

@@ -90,6 +90,7 @@ def _decode_payload(
     if payload is not None:
         from .bmp import BMP_MAGIC, decode_bmp
         from .gif import GIF_MAGIC, decode_gif
+        from .jp2 import JP2_SIG, decode_jp2
         from .jpeg import JPEG_SOI, decode_jpeg
         from .png import PNG_SIGNATURE, decode_png
         from .tiff import TIFF_MAGICS, decode_tiff
@@ -104,6 +105,9 @@ def _decode_payload(
             return _to_grey(decode_tiff(bytes(payload)))
         if bytes(payload[:2]) == BMP_MAGIC:
             return _to_grey(decode_bmp(bytes(payload)))
+        if bytes(payload[:12]) == JP2_SIG or bytes(payload[:2]) == b"\xffO":
+            # JPEG 2000: JP2 box container or raw J2K codestream (SOC)
+            return _to_grey(decode_jp2(bytes(payload)))
         raise NotImplementedError(
             "codec for this media payload format not available in this environment"
         )
@@ -236,6 +240,32 @@ def lossless_jpeg_store_df(
                 restart_interval=(page.shape[1] * 3 + 1) if h & 8 else 0,
             ),
         )
+
+    return payload_store_df(refs, row, ref_col=ref_col, parallelism=parallelism)
+
+
+def jp2_store_df(
+    refs: DataFrame, ref_col: str = "media_ref", parallelism: int | None = None
+) -> DataFrame:
+    """(media_ref) → (media_ref, payload) media store with REAL
+    lossless JPEG 2000 bytes (functions/jp2.py: 5/3 reversible DWT +
+    EBCOT — the PDF/A archival-scan layout). Per ref the decomposition
+    depth (1-3) and container flavor (JP2 box vs raw J2K codestream)
+    are crc32-chosen; the process is LOSSLESS, so features through
+    these bytes equal the golden feature table exactly, like PNG.
+    Decode is the same magic-byte dispatch in ``_decode_payload``
+    (JP2 signature box or SOC)."""
+
+    def row(ref: str) -> tuple:
+        import zlib
+
+        from ..fixtures.render import render_page
+        from .jp2 import encode_j2k, encode_jp2
+
+        page = render_page(ref)
+        h = zlib.crc32(("jp2:" + ref).encode("utf-8"))
+        enc = encode_jp2 if h & 4 else encode_j2k
+        return (ref, enc(page, levels=1 + h % 3))
 
     return payload_store_df(refs, row, ref_col=ref_col, parallelism=parallelism)
 

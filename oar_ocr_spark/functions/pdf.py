@@ -35,8 +35,9 @@ FlateDecode with PNG predictors 10–15 via the shared png.py
 unfilter), compressed object streams (/Type /ObjStm), hybrid-
 reference files (/XRefStm in a classic trailer), indirect /Length,
 nested /Pages trees, literal + hex strings, comments, /DeviceGray and
-/DeviceRGB FlateDecode or uncompressed image XObjects. JPXDecode
-(JPEG 2000) images raise NotImplementedError; PNG (10-15) and TIFF
+/DeviceRGB FlateDecode or uncompressed image XObjects, and JPXDecode
+(JPEG 2000) images via the in-house lossless J2K codec
+(functions/jp2.py — JP2 container or raw codestream); PNG (10-15) and TIFF
 (2) predictors both decode;
 DCTDecode images — the layout real scanned PDFs use — decode through
 the engine's own baseline JPEG codec (functions/jpeg.py, including
@@ -119,7 +120,9 @@ def encode_pdf(
     /DCTDecode (the layout real scanned PDFs use; lossy per
     functions/jpeg.py's contract); image_format="ccitt" stores 0/255
     bilevel pages as 1-bit Group 4 fax under /CCITTFaxDecode (the
-    archival-scan layout; lossless). `page_refs` (one per page) lands
+    archival-scan layout; lossless); image_format="jpx" stores a
+    lossless JPEG 2000 JP2 container under /JPXDecode (the PDF/A
+    archival layout; functions/jp2.py). `page_refs` (one per page) lands
     newline-joined in the /Info /Title string so the container names
     its own pages. xref_format="classic" writes a PDF 1.4 xref table;
     "stream" writes the PDF 1.5 layout (cross-reference stream with
@@ -133,9 +136,9 @@ def encode_pdf(
     /ObjStm in the 1.5 layout, per §7.5.7."""
     if page_refs is not None and len(page_refs) != len(pages):
         raise ValueError("page_refs length must match pages")
-    if image_format not in ("flate", "jpeg", "ccitt"):
+    if image_format not in ("flate", "jpeg", "ccitt", "jpx"):
         raise ValueError(
-            f"image_format must be 'flate'/'jpeg'/'ccitt', got {image_format!r}"
+            f"image_format must be 'flate'/'jpeg'/'ccitt'/'jpx', got {image_format!r}"
         )
     if xref_format not in ("classic", "stream"):
         raise ValueError(f"xref_format must be 'classic' or 'stream', got {xref_format!r}")
@@ -244,6 +247,11 @@ def encode_pdf(
 
             data = encode_jpeg(page, quality)
             filter_name = b"DCTDecode"
+        elif image_format == "jpx":
+            from .jp2 import encode_jp2
+
+            data = encode_jp2(page)
+            filter_name = b"JPXDecode"
         elif image_format == "ccitt":
             from .ccitt import ccitt_encode_g4
 
@@ -1184,6 +1192,13 @@ class PdfDocument:
                     from .jpeg import decode_jpeg
 
                     return decode_jpeg(raw)
+                if f == "JPXDecode":
+                    # JPEG 2000 image XObject (PDF/A archival scans) —
+                    # decoded by the engine's own lossless J2K codec
+                    # (functions/jp2.py; JP2 box or raw codestream)
+                    from .jp2 import decode_jp2
+
+                    return decode_jp2(raw)
                 if f == "CCITTFaxDecode":
                     # Group 3/4 fax image XObject — the archival-scan
                     # layout (functions/ccitt.py). BlackIs1 picks the

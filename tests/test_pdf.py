@@ -177,7 +177,10 @@ class TestForeignPdfs:
         pages = decode_pdf(self._wrap(objs))
         assert np.abs(pages[0].astype(int) - img.astype(int)).max() <= 1
 
-    def test_jpx_raises_declared(self):
+    def test_jpx_garbage_fails_loudly(self):
+        # JPXDecode streams now DECODE (functions/jp2.py; valid-stream
+        # roundtrip pinned in test_jp2.TestPdfJpxSeam) — corrupt bytes
+        # must still fail loudly, not crash opaquely
         objs = [
             b"<< /Type /Catalog /Pages 2 0 R >>",
             b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -187,7 +190,7 @@ class TestForeignPdfs:
             b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /JPXDecode "
             b"/Length 4 >> stream\nabcd\nendstream",
         ]
-        with pytest.raises(NotImplementedError, match="JPXDecode"):
+        with pytest.raises(ValueError, match="JP2|signature"):
             decode_pdf(self._wrap(objs))
 
     def test_scanned_pdf_roundtrip_jpeg_pages(self):
