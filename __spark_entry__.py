@@ -529,14 +529,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_media_jp2_roundtrip(spark):
-        # the archival JPEG 2000 seam: render → encode REAL lossless
-        # J2K/JP2 bytes (5/3 DWT + EBCOT; depth and container flavor
-        # crc32-chosen per ref) → magic-byte dispatch decode →
-        # features. Lossless by construction, so the oracle is the
-        # same golden feature table as the PNG query. EBCOT Tier-1 is
-        # the engine's priciest per-page codec, so the gate drives a
-        # DETERMINISTIC 48-ref slice (first by ref order) — cost stays
-        # flat at every sf; the codec itself is unbounded.
+        # the JPEG 2000 seam: render → encode REAL J2K/JP2 bytes
+        # (EBCOT Tier-1/2; depth, container, and transform flavor
+        # crc32-chosen per ref — half lossless 5/3 archival, half the
+        # irreversible 9/7 + scalar-quantization profile real scanners
+        # emit) → magic-byte dispatch decode → features. The 9/7
+        # flavors are LOSSY, so the oracle golden is computed through
+        # the SAME codec twin (media_features_jp2.parquet, the
+        # JPEG-q100 pattern). EBCOT Tier-1 is the engine's priciest
+        # per-page codec, so the gate drives a DETERMINISTIC 48-ref
+        # slice (first by ref order) — cost stays flat at every sf;
+        # the codec itself is unbounded.
         from oar_ocr_spark.functions.multimodal import (
             image_features_from_bytes_df,
             jp2_store_df,
@@ -1576,7 +1579,7 @@ refs as (
 )
 select g.media_ref, g.width, g.height, g.mean_intensity, g.ink_ratio,
        g.n_regions
-from read_parquet('{golden_dir}/media_features.parquet') g
+from read_parquet('{golden_dir}/media_features_jp2.parquet') g
 join refs using (media_ref)
 """,
         "media_fax_roundtrip": f"""

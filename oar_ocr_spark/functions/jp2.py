@@ -23,13 +23,24 @@ pipelines actually use:
 - codestream framing: SOC/SIZ/COD/QCD/SOT/SOD/EOC, plus the minimal
   JP2 box container (signature/ftyp/jp2h/jp2c).
 
-Scope (declared): lossless 5/3 only, one tile, one layer, 8-bit
-samples at the image seam (the deep-precision story lives in the
-lossless-JPEG path), grey or RGB. Irreversible 9/7, quantization,
-multiple tiles/layers, and progression orders other than LRCP raise
-NotImplementedError. Encoder and decoder share every table and are
-exercised as exact-roundtrip twins (test_jp2), like the engine's other
-codec seams.
+Round 5 adds the IRREVERSIBLE path most real-world JP2/JPX content
+uses (Part-1 lossy profile):
+
+- CDF 9/7 wavelet (Annex F.4.8 lifting: alpha/beta/gamma/delta steps,
+  K normalization high*K / low/K), symmetric extension, float64;
+- irreversible color transform (ICT, the 601 YCbCr float matrix);
+- scalar quantization (Annex E): expounded (Sqcd style 2, per-band
+  16-bit (eps, mu) pairs) and derived (style 1, LL pair + per-
+  resolution doubling eps_b = eps0 - NL + n_b) on BOTH encode and
+  decode, midpoint (r=0.5) dequantization, Mb = eps_b + guard - 1.
+
+Scope (declared): one tile, one layer, 8-bit samples at the image
+seam (the deep-precision story lives in the lossless-JPEG path), grey
+or RGB. Multiple tiles/layers, custom precincts, coder bypass modes,
+and progression orders other than LRCP raise NotImplementedError.
+Encoder and decoder share every table; the 5/3 path is exercised as
+exact-roundtrip twins, the 9/7 path as error-bounded twins (test_jp2),
+like the engine's other codec seams.
 """
 
 from __future__ import annotations
@@ -278,35 +289,145 @@ def _inv_53_1d(low: np.ndarray, high: np.ndarray, axis: int, n: int) -> np.ndarr
     return np.moveaxis(out, 0, axis)
 
 
-def _fwd_dwt(plane: np.ndarray, levels: int) -> list:
-    """(H,W) int64 → [LL_n, (HL_n, LH_n, HH_n), ..., (HL_1, LH_1, HH_1)]
-    with per-level row-then-column lifting."""
+def _fwd_dwt(plane: np.ndarray, levels: int, fwd1d=None) -> list:
+    """(H,W) → [LL_n, (HL_n, LH_n, HH_n), ..., (HL_1, LH_1, HH_1)]
+    with per-level row-then-column lifting (`fwd1d` picks the kernel:
+    5/3 integer default, 9/7 float)."""
+    fwd1d = fwd1d or _fwd_53_1d
     bands = []
-    ll = plane.astype(np.int64)
+    ll = plane if fwd1d is _fwd_97_1d else plane.astype(np.int64)
     for _ in range(levels):
-        lo, hi = _fwd_53_1d(ll, axis=1)
-        ll_, lh = _fwd_53_1d(lo, axis=0)
-        hl, hh = _fwd_53_1d(hi, axis=0)
+        lo, hi = fwd1d(ll, axis=1)
+        ll_, lh = fwd1d(lo, axis=0)
+        hl, hh = fwd1d(hi, axis=0)
         bands.append((hl, lh, hh))
         ll = ll_
     return [ll] + bands[::-1]
 
 
-def _inv_dwt(bands: list, shape: tuple[int, int]) -> np.ndarray:
+def _inv_dwt(bands: list, shape: tuple[int, int], inv1d=None) -> np.ndarray:
     """Inverse of _fwd_dwt; `shape` is the full-resolution (H, W)."""
+    inv1d = inv1d or _inv_53_1d
     levels = len(bands) - 1
     dims = [shape]
     for _ in range(levels):
         h, w = dims[-1]
         dims.append(((h + 1) // 2, (w + 1) // 2))
-    ll = bands[0].astype(np.int64)
+    ll = bands[0]
     for lev in range(levels, 0, -1):
         h, w = dims[lev - 1]
         hl, lh, hh = bands[levels - lev + 1]
-        lo = _inv_53_1d(ll, lh, axis=0, n=h)
-        hi = _inv_53_1d(hl, hh, axis=0, n=h)
-        ll = _inv_53_1d(lo, hi, axis=1, n=w)
+        lo = inv1d(ll, lh, axis=0, n=h)
+        hi = inv1d(hl, hh, axis=0, n=h)
+        ll = inv1d(lo, hi, axis=1, n=w)
     return ll
+
+
+# ---------------------------------------------------------------------------
+# irreversible 9/7 wavelet (Annex F.4.8) + scalar quantization (Annex E)
+# ---------------------------------------------------------------------------
+
+# Table F.4 lifting parameters and the K normalization constant.
+_ALPHA = -1.586134342059924
+_BETA = -0.052980118572961
+_GAMMA = 0.882911075530934
+_DELTA = 0.443506852043971
+_KNORM = 1.230174104914001
+
+
+def _nbr_even(e: np.ndarray, no: int) -> tuple[np.ndarray, np.ndarray]:
+    """(X(2n), X(2n+2)) for each of `no` odd slots, whole-sample
+    symmetric extension at the tail (same pattern the 5/3 uses)."""
+    left = e[:no]
+    right = e[1 : no + 1]
+    if len(right) < no:
+        right = np.concatenate([right, e[-1:]], axis=0)
+    return left, right
+
+
+def _nbr_odd(d: np.ndarray, ne: int) -> tuple[np.ndarray, np.ndarray]:
+    """(Y(2n-1), Y(2n+1)) for each of `ne` even slots, mirrored at both
+    boundaries."""
+    hl = np.concatenate([d[:1], d], axis=0)[:ne]
+    hr = d[:ne] if len(d) >= ne else np.concatenate([d, d[-1:]], axis=0)
+    return hl, hr
+
+
+def _fwd_97_1d(x: np.ndarray, axis: int) -> tuple[np.ndarray, np.ndarray]:
+    """1D forward CDF 9/7 lifting along `axis` → (low, high), float64.
+    Length-1 signals carry the sample through as the low band."""
+    x = np.moveaxis(x, axis, 0).astype(np.float64)
+    n = x.shape[0]
+    if n == 1:
+        return np.moveaxis(x, 0, axis), np.moveaxis(x[:0], 0, axis)
+    even, odd = x[0::2], x[1::2]
+    el, er = _nbr_even(even, len(odd))
+    d = odd + _ALPHA * (el + er)
+    hl, hr = _nbr_odd(d, len(even))
+    s = even + _BETA * (hl + hr)
+    el, er = _nbr_even(s, len(d))
+    d = d + _GAMMA * (el + er)
+    hl, hr = _nbr_odd(d, len(s))
+    s = s + _DELTA * (hl + hr)
+    return np.moveaxis(s / _KNORM, 0, axis), np.moveaxis(d * _KNORM, 0, axis)
+
+
+def _inv_97_1d(low: np.ndarray, high: np.ndarray, axis: int, n: int) -> np.ndarray:
+    """Inverse of _fwd_97_1d (exact up to float64 rounding)."""
+    low = np.moveaxis(low, axis, 0).astype(np.float64)
+    high = np.moveaxis(high, axis, 0).astype(np.float64)
+    if n == 1:
+        return np.moveaxis(low, 0, axis)
+    s = low * _KNORM
+    d = high / _KNORM
+    hl, hr = _nbr_odd(d, len(s))
+    s = s - _DELTA * (hl + hr)
+    el, er = _nbr_even(s, len(d))
+    d = d - _GAMMA * (el + er)
+    hl, hr = _nbr_odd(d, len(s))
+    even = s - _BETA * (hl + hr)
+    el, er = _nbr_even(even, len(d))
+    odd = d - _ALPHA * (el + er)
+    out = np.empty((n,) + low.shape[1:], dtype=np.float64)
+    out[0::2] = even
+    out[1::2] = odd
+    return np.moveaxis(out, 0, axis)
+
+
+def _ict_forward(r, g, b):
+    """Irreversible color transform (601 YCbCr, float)."""
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def _ict_inverse(y, cb, cr):
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return r, g, b
+
+
+def _qparams(delta: float, rb: int) -> tuple[int, int, float]:
+    """Target step size → (eps, mu, signalled Δ) under E-3:
+    Δ_b = 2^(R_b - eps) * (1 + mu/2048). The SIGNALLED value (after
+    eps/mu rounding) is what both twins quantize with."""
+    if not delta > 0:
+        raise ValueError(f"quantization step must be positive, got {delta}")
+    e = int(np.floor(np.log2(delta)))
+    mu = int(round((delta / (2.0**e) - 1.0) * 2048))
+    if mu == 2048:  # rounding crossed into the next octave
+        mu = 0
+        e += 1
+    eps = rb - e
+    if not 0 <= eps <= 31:
+        raise ValueError(f"quantization step {delta} outside the signalable range")
+    return eps, mu, (2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+
+
+def _qdelta(eps: int, mu: int, rb: int) -> float:
+    return (2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
 
 
 # ---------------------------------------------------------------------------
@@ -903,29 +1024,83 @@ def _rct_inverse(y, cb, cr):
     return cr + g, g, cb + g
 
 
-def encode_j2k(img: np.ndarray, levels: int = 2) -> bytes:
-    """(H,W) grey / (H,W,3) RGB uint8 → lossless JPEG 2000 codestream
-    (SOC..EOC): 5/3 reversible DWT, RCT for color, EBCOT Tier-1/2,
-    one tile, one layer, LRCP."""
+def _band_quant(levels: int, irreversible: bool, delta: float, derived: bool):
+    """Per-band quantization in codestream order → ({(r, k): (eps, mu,
+    Δ or None)}, QCD body). Style 0 (reversible): Δ is None, eps is the
+    ranging exponent 8+gain. Style 2 (expounded): every band signals
+    its own (eps, mu) for the target step `delta`. Style 1 (derived):
+    the LL pair is signalled and eps_b = eps0 - NL + n_b (E-5) doubles
+    the step each finer resolution."""
+    q = {}
+    if not irreversible:
+        sqcd = bytearray([_GUARD << 5])
+        for r in range(levels + 1):
+            for k, orient in enumerate([0] if r == 0 else [1, 2, 3]):
+                q[(r, k)] = (8 + _GAIN[orient], 0, None)
+                sqcd.append((8 + _GAIN[orient]) << 3)
+        return q, bytes(sqcd)
+    if derived:
+        eps0, mu0, _ = _qparams(delta, 8)
+        sqcd = bytearray([(_GUARD << 5) | 1])
+        sqcd += struct.pack(">H", (eps0 << 11) | mu0)
+        for r in range(levels + 1):
+            for k, orient in enumerate([0] if r == 0 else [1, 2, 3]):
+                nb = levels if r == 0 else levels - r + 1
+                eps = eps0 - levels + nb
+                if not 0 <= eps <= 31:
+                    raise ValueError(
+                        f"derived step for resolution {r} leaves eps={eps}"
+                    )
+                q[(r, k)] = (eps, mu0, _qdelta(eps, mu0, 8 + _GAIN[orient]))
+        return q, bytes(sqcd)
+    sqcd = bytearray([(_GUARD << 5) | 2])
+    for r in range(levels + 1):
+        for k, orient in enumerate([0] if r == 0 else [1, 2, 3]):
+            eps, mu, d = _qparams(delta, 8 + _GAIN[orient])
+            q[(r, k)] = (eps, mu, d)
+            sqcd += struct.pack(">H", (eps << 11) | mu)
+    return q, bytes(sqcd)
+
+
+def encode_j2k(
+    img: np.ndarray,
+    levels: int = 2,
+    irreversible: bool = False,
+    delta: float = 0.5,
+    derived: bool = False,
+) -> bytes:
+    """(H,W) grey / (H,W,3) RGB uint8 → JPEG 2000 codestream
+    (SOC..EOC), one tile, one layer, LRCP, EBCOT Tier-1/2.
+
+    Default: lossless (5/3 reversible DWT + RCT, bit-exact decode).
+    `irreversible=True` switches to the lossy Part-1 path: 9/7 CDF
+    wavelet + ICT with scalar quantization at step `delta` (expounded
+    by default; `derived=True` signals the LL pair and doubles the
+    step per resolution). Smaller `delta` = finer quality."""
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("encode_j2k expects (H,W)/(H,W,3) uint8")
     if img.ndim == 3 and img.shape[2] != 3:
         raise ValueError(f"expected 3 colour channels, got {img.shape[2]}")
     if not 0 <= levels <= 32:
         raise ValueError(f"decomposition levels must be 0..32, got {levels}")
+    if not irreversible and (derived or delta != 0.5):
+        raise ValueError("delta/derived apply to the irreversible path only")
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    shifted = img.astype(np.int64) - 128  # DC level shift (P=8)
+    shifted = img.astype(np.float64 if irreversible else np.int64) - 128
     if img.ndim == 2:
         comps = [shifted]
         mct = 0
     else:
-        comps = list(_rct_forward(shifted[..., 0], shifted[..., 1], shifted[..., 2]))
+        xform = _ict_forward if irreversible else _rct_forward
+        comps = list(xform(shifted[..., 0], shifted[..., 1], shifted[..., 2]))
         mct = 1
 
     # transform once per component, then emit packets in LRCP order
-    comp_bands = [_fwd_dwt(c, levels) for c in comps]
+    fwd1d = _fwd_97_1d if irreversible else None
+    comp_bands = [_fwd_dwt(c, levels, fwd1d) for c in comps]
+    bandq, sqcd = _band_quant(levels, irreversible, delta, derived)
     packets = bytearray()
     for r in range(levels + 1):
         for ci in range(len(comps)):
@@ -934,10 +1109,15 @@ def encode_j2k(img: np.ndarray, levels: int = 2) -> bytes:
             )
             orients = [0] if r == 0 else [1, 2, 3]
             band_blocks = []
-            for band, orient in zip(bands, orients):
+            for k, (band, orient) in enumerate(zip(bands, orients)):
                 bh, bw_ = band.shape
                 rows, cols = _cblk_grid(bh, bw_)
-                mb = 8 + _GAIN[orient] + _GUARD - 1
+                eps, _, d = bandq[(r, k)]
+                mb = eps + _GUARD - 1
+                if d is not None:  # quantize to indices
+                    band = np.floor(np.abs(band) / d).astype(np.int64) * np.where(
+                        band < 0, -1, 1
+                    )
                 blks = []
                 for i in range(rows):
                     for j in range(cols):
@@ -951,7 +1131,7 @@ def encode_j2k(img: np.ndarray, levels: int = 2) -> bytes:
                             continue
                         if nbps > mb:
                             raise ValueError(
-                                f"5/3 coefficient needs {nbps} bits > Mb={mb}"
+                                f"coefficient needs {nbps} bits > Mb={mb}"
                             )
                         signs = (blk < 0).astype(np.uint8)
                         data, npasses = _t1_encode_block(mags, signs, orient, nbps)
@@ -966,13 +1146,9 @@ def encode_j2k(img: np.ndarray, levels: int = 2) -> bytes:
     ) + b"\x07\x01\x01" * ncomp  # Ssiz=7 (8-bit unsigned), 1x1 subsampling
     out += _marker_seg(0xFF51, siz)
     cod = bytes([0]) + bytes([0]) + struct.pack(">H", 1) + bytes([mct]) + bytes(
-        [levels, _CBLK.bit_length() - 3, _CBLK.bit_length() - 3, 0, 1]
-    )
+        [levels, _CBLK.bit_length() - 3, _CBLK.bit_length() - 3, 0]
+    ) + bytes([0 if irreversible else 1])
     out += _marker_seg(0xFF52, cod)
-    sqcd = bytes([_GUARD << 5])  # no quantization, guard bits
-    for r in range(levels + 1):
-        for orient in ([0] if r == 0 else [1, 2, 3]):
-            sqcd += bytes([(8 + _GAIN[orient]) << 3])
     out += _marker_seg(0xFF5C, sqcd)
     psot = 12 + 2 + len(packets)  # SOT seg + SOD marker + data
     out += _marker_seg(0xFF90, struct.pack(">HIBB", 0, psot, 0, 1))
@@ -983,11 +1159,13 @@ def encode_j2k(img: np.ndarray, levels: int = 2) -> bytes:
 
 
 def decode_j2k(data: bytes) -> np.ndarray:
-    """Lossless J2K codestream → (H,W)/(H,W,3) uint8, bit-exact inverse
-    of encode_j2k. Fails loudly (NotImplementedError) on the declared
-    out-of-scope features: multiple tiles/layers, custom precincts,
-    non-LRCP progressions, quantized/9-7 streams, coder bypass modes,
-    subsampled or deep components."""
+    """J2K codestream → (H,W)/(H,W,3) uint8. Bit-exact inverse of
+    encode_j2k on the lossless 5/3 path; midpoint-dequantized (error
+    <= Δ/2 per coefficient) on the irreversible 9/7 path, scalar
+    derived or expounded. Fails loudly (NotImplementedError) on the
+    declared out-of-scope features: multiple tiles/layers, custom
+    precincts, non-LRCP progressions, coder bypass modes, subsampled
+    or deep components."""
     if data[:2] != struct.pack(">H", _SOC):
         raise ValueError("not a JPEG 2000 codestream (missing SOC)")
     pos = 2
@@ -1041,36 +1219,67 @@ def decode_j2k(data: bytes) -> np.ndarray:
     levels, cbw, cbh, cbstyle, transform = cod[5], cod[6], cod[7], cod[8], cod[9]
     if cbstyle:
         raise NotImplementedError("JPEG 2000 code-block style modes not supported")
-    if transform != 1:
-        raise NotImplementedError(
-            "JPEG 2000 irreversible 9/7 wavelet not supported (lossless 5/3 only)"
-        )
+    if transform not in (0, 1):
+        raise ValueError(f"JPEG 2000 transform byte {transform} is illegal")
+    irreversible = transform == 0
     if (1 << (cbw + 2)) != _CBLK or (1 << (cbh + 2)) != _CBLK:
         raise NotImplementedError("JPEG 2000 non-64x64 code-blocks not supported")
-    if qcd[0] & 0x1F:
-        raise NotImplementedError("JPEG 2000 quantized streams not supported")
+    qstyle = qcd[0] & 0x1F
     guard = qcd[0] >> 5
-    exps = [b >> 3 for b in qcd[1:]]
+    if not irreversible and qstyle != 0:
+        raise ValueError("reversible 5/3 stream signals a quantized QCD style")
+    if irreversible and qstyle not in (1, 2):
+        raise ValueError("irreversible 9/7 stream without quantization parameters")
 
     layout = _band_layout(h, w, levels)
+    # per-band (Mb, Δ or None) from the QCD style (Annex E)
+    band_q = {}
+    if qstyle == 0:
+        exps = [b >> 3 for b in qcd[1:]]
+        bi = 0
+        for r in range(levels + 1):
+            for k, (orient, _, _) in enumerate(layout[r]):
+                band_q[(r, k)] = (exps[bi] + guard - 1, None)
+                bi += 1
+    elif qstyle == 1:  # scalar derived: LL pair, steps double per resolution
+        (v0,) = struct.unpack(">H", qcd[1:3])
+        eps0, mu0 = v0 >> 11, v0 & 0x7FF
+        for r in range(levels + 1):
+            for k, (orient, _, _) in enumerate(layout[r]):
+                nb = levels if r == 0 else levels - r + 1
+                eps = eps0 - levels + nb
+                if eps < 0:
+                    raise ValueError(f"derived quantization leaves eps={eps} < 0")
+                band_q[(r, k)] = (
+                    eps + guard - 1,
+                    _qdelta(eps, mu0, 8 + _GAIN[orient]),
+                )
+    else:  # scalar expounded: one pair per band
+        bi = 1
+        for r in range(levels + 1):
+            for k, (orient, _, _) in enumerate(layout[r]):
+                (v,) = struct.unpack(">H", qcd[bi : bi + 2])
+                bi += 2
+                eps, mu = v >> 11, v & 0x7FF
+                band_q[(r, k)] = (
+                    eps + guard - 1,
+                    _qdelta(eps, mu, 8 + _GAIN[orient]),
+                )
+
     comp_bands = [
         [None] * (levels + 1) for _ in range(ncomp)
     ]
-    bi = 0
-    band_exp = {}
-    for r in range(levels + 1):
-        for k, (orient, _, _) in enumerate(layout[r]):
-            band_exp[(r, k)] = exps[bi]
-            bi += 1
     for r in range(levels + 1):
         for ci in range(ncomp):
             grids = [_cblk_grid(bh, bw_) for _, bh, bw_ in layout[r]]
             per_band, pos = _read_packet(data, pos, grids)
             bands_here = []
             for k, ((orient, bh, bw_), blks) in enumerate(zip(layout[r], per_band)):
-                band = np.zeros((bh, bw_), dtype=np.int64)
+                mb, d = band_q[(r, k)]
+                band = np.zeros(
+                    (bh, bw_), dtype=np.float64 if irreversible else np.int64
+                )
                 rows, cols = _cblk_grid(bh, bw_)
-                mb = band_exp[(r, k)] + guard - 1
                 for i in range(rows):
                     for j in range(cols):
                         incl, zbp, npasses, blkdata = blks[i * cols + j]
@@ -1082,7 +1291,11 @@ def decode_j2k(data: bytes) -> np.ndarray:
                         mags, signs = _t1_decode_block(
                             blkdata, bh_b, bw_b, orient, mb - zbp, npasses
                         )
-                        vals = np.where(signs == 1, -mags, mags)
+                        if d is not None:  # midpoint dequantization (r=0.5)
+                            vals = np.where(mags > 0, (mags + 0.5) * d, 0.0)
+                            vals = np.where(signs == 1, -vals, vals)
+                        else:
+                            vals = np.where(signs == 1, -mags, mags)
                         band[y0 : y0 + bh_b, x0 : x0 + bw_b] = vals
                 bands_here.append(band)
             if r == 0:
@@ -1090,15 +1303,19 @@ def decode_j2k(data: bytes) -> np.ndarray:
             else:
                 comp_bands[ci][r] = tuple(bands_here)
 
-    planes = [_inv_dwt(cb, (h, w)) for cb in comp_bands]
+    inv1d = _inv_97_1d if irreversible else None
+    planes = [_inv_dwt(cb, (h, w), inv1d) for cb in comp_bands]
     if ncomp == 1:
         out = planes[0]
     else:
         if mct:
-            rp, gp, bp = _rct_inverse(planes[0], planes[1], planes[2])
+            inv = _ict_inverse if irreversible else _rct_inverse
+            rp, gp, bp = inv(planes[0], planes[1], planes[2])
         else:
             rp, gp, bp = planes
         out = np.stack([rp, gp, bp], axis=-1)
+    if irreversible:
+        out = np.round(out)
     return np.clip(out + 128, 0, 255).astype(np.uint8)
 
 
@@ -1111,10 +1328,16 @@ def _box(btype: bytes, body: bytes) -> bytes:
     return struct.pack(">I", 8 + len(body)) + btype + body
 
 
-def encode_jp2(img: np.ndarray, levels: int = 2) -> bytes:
+def encode_jp2(
+    img: np.ndarray,
+    levels: int = 2,
+    irreversible: bool = False,
+    delta: float = 0.5,
+    derived: bool = False,
+) -> bytes:
     """uint8 image → minimal JP2 file (signature / ftyp / jp2h / jp2c
-    boxes around the encode_j2k codestream)."""
-    code = encode_j2k(img, levels)
+    boxes around the encode_j2k codestream); kwargs as encode_j2k."""
+    code = encode_j2k(img, levels, irreversible, delta, derived)
     h, w = img.shape[:2]
     ncomp = 1 if img.ndim == 2 else 3
     ihdr = struct.pack(">IIHBBBB", h, w, ncomp, 7, 7, 0, 0)

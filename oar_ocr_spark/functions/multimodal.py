@@ -244,28 +244,53 @@ def lossless_jpeg_store_df(
     return payload_store_df(refs, row, ref_col=ref_col, parallelism=parallelism)
 
 
+def jp2_payload_for_ref(ref: str, page=None) -> bytes:
+    """Render `ref` (or take `page`) and encode it as the crc32-chosen
+    JPEG 2000 flavor: decomposition depth (1-3), container (JP2 box vs
+    raw J2K codestream), and transform — half the refs take the
+    LOSSLESS 5/3 archival path, half the IRREVERSIBLE 9/7 path real
+    scanners emit (expounded or derived quantization, step 0.5 or
+    0.25). ONE implementation, two call sites: jp2_store_df's worker
+    rows and the golden generator (tools/make_goldens._jp2_feature_row)
+    both call this, so the driver-gate oracle never assumes the lossy
+    flavors are lossless — the same contract as the JPEG-q100 and
+    telephony goldens."""
+    import zlib
+
+    from ..fixtures.render import render_page
+    from .jp2 import encode_j2k, encode_jp2
+
+    if page is None:
+        page = render_page(ref)
+    h = zlib.crc32(("jp2:" + ref).encode("utf-8"))
+    enc = encode_jp2 if h & 4 else encode_j2k
+    if h & 8:
+        return enc(
+            page,
+            levels=1 + h % 3,
+            irreversible=True,
+            derived=bool(h & 16),
+            delta=0.5 if h & 32 else 0.25,
+        )
+    return enc(page, levels=1 + h % 3)
+
+
 def jp2_store_df(
     refs: DataFrame, ref_col: str = "media_ref", parallelism: int | None = None
 ) -> DataFrame:
     """(media_ref) → (media_ref, payload) media store with REAL
-    lossless JPEG 2000 bytes (functions/jp2.py: 5/3 reversible DWT +
-    EBCOT — the PDF/A archival-scan layout). Per ref the decomposition
-    depth (1-3) and container flavor (JP2 box vs raw J2K codestream)
-    are crc32-chosen; the process is LOSSLESS, so features through
-    these bytes equal the golden feature table exactly, like PNG.
-    Decode is the same magic-byte dispatch in ``_decode_payload``
-    (JP2 signature box or SOC)."""
+    JPEG 2000 bytes (functions/jp2.py: EBCOT Tier-1/2 with the
+    lossless 5/3 DWT — the PDF/A archival-scan layout — or the
+    irreversible 9/7 + scalar-quantization profile real scanners
+    emit; flavor per ref via ``jp2_payload_for_ref``). Features
+    through these bytes are checked against the JP2-specific golden
+    computed through the SAME codec twin (media_features_jp2.parquet),
+    so the gate never assumes the 9/7 flavors are lossless. Decode is
+    the same magic-byte dispatch in ``_decode_payload`` (JP2 signature
+    box or SOC)."""
 
     def row(ref: str) -> tuple:
-        import zlib
-
-        from ..fixtures.render import render_page
-        from .jp2 import encode_j2k, encode_jp2
-
-        page = render_page(ref)
-        h = zlib.crc32(("jp2:" + ref).encode("utf-8"))
-        enc = encode_jp2 if h & 4 else encode_j2k
-        return (ref, enc(page, levels=1 + h % 3))
+        return (ref, jp2_payload_for_ref(ref))
 
     return payload_store_df(refs, row, ref_col=ref_col, parallelism=parallelism)
 

@@ -122,7 +122,9 @@ def encode_pdf(
     bilevel pages as 1-bit Group 4 fax under /CCITTFaxDecode (the
     archival-scan layout; lossless); image_format="jpx" stores a
     lossless JPEG 2000 JP2 container under /JPXDecode (the PDF/A
-    archival layout; functions/jp2.py). `page_refs` (one per page) lands
+    archival layout; functions/jp2.py) and "jpx97" its lossy 9/7
+    flavor (the profile real scanners emit; near-lossless per jp2.py's
+    default step). `page_refs` (one per page) lands
     newline-joined in the /Info /Title string so the container names
     its own pages. xref_format="classic" writes a PDF 1.4 xref table;
     "stream" writes the PDF 1.5 layout (cross-reference stream with
@@ -136,9 +138,10 @@ def encode_pdf(
     /ObjStm in the 1.5 layout, per §7.5.7."""
     if page_refs is not None and len(page_refs) != len(pages):
         raise ValueError("page_refs length must match pages")
-    if image_format not in ("flate", "jpeg", "ccitt", "jpx"):
+    if image_format not in ("flate", "jpeg", "ccitt", "jpx", "jpx97"):
         raise ValueError(
-            f"image_format must be 'flate'/'jpeg'/'ccitt'/'jpx', got {image_format!r}"
+            "image_format must be 'flate'/'jpeg'/'ccitt'/'jpx'/'jpx97', "
+            f"got {image_format!r}"
         )
     if xref_format not in ("classic", "stream"):
         raise ValueError(f"xref_format must be 'classic' or 'stream', got {xref_format!r}")
@@ -247,10 +250,12 @@ def encode_pdf(
 
             data = encode_jpeg(page, quality)
             filter_name = b"DCTDecode"
-        elif image_format == "jpx":
+        elif image_format in ("jpx", "jpx97"):
             from .jp2 import encode_jp2
 
-            data = encode_jp2(page)
+            # jpx = lossless 5/3 (archival); jpx97 = the lossy 9/7
+            # profile real-world scanners emit
+            data = encode_jp2(page, irreversible=image_format == "jpx97")
             filter_name = b"JPXDecode"
         elif image_format == "ccitt":
             from .ccitt import ccitt_encode_g4

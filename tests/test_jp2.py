@@ -133,9 +133,9 @@ class TestDeclaredFailures:
         with pytest.raises(ValueError, match="signature"):
             decode_jp2(b"also nope")
 
-    def test_irreversible_97_raises(self):
-        # COD SPcod transform byte 0 = 9/7 irreversible
-        with pytest.raises(NotImplementedError, match="9/7"):
+    def test_97_without_quantization_raises(self):
+        # COD transform byte patched to 9/7 while QCD stays style 0
+        with pytest.raises(ValueError, match="without quantization"):
             decode_j2k(self._patch_cod(self._code(), 9, 0))
 
     def test_multi_layer_raises(self):
@@ -150,11 +150,11 @@ class TestDeclaredFailures:
         with pytest.raises(NotImplementedError, match="style"):
             decode_j2k(self._patch_cod(self._code(), 8, 1))
 
-    def test_quantized_stream_raises(self):
+    def test_quantized_53_stream_raises(self):
         data = self._code()
         i = data.index(struct.pack(">H", 0xFF5C))
-        data[i + 4] |= 0x02  # Sqcd style: scalar derived
-        with pytest.raises(NotImplementedError, match="quantized"):
+        data[i + 4] |= 0x02  # Sqcd style: scalar expounded on a 5/3 stream
+        with pytest.raises(ValueError, match="5/3"):
             decode_j2k(bytes(data))
 
     def test_encoder_guards(self):
@@ -162,6 +162,101 @@ class TestDeclaredFailures:
             encode_j2k(np.zeros((4, 4), dtype=np.int16))
         with pytest.raises(ValueError, match="empty"):
             encode_j2k(np.zeros((0, 4), dtype=np.uint8))
+
+
+class TestIrreversible97:
+    def test_97_dwt_inverts_to_float_precision(self):
+        from oar_ocr_spark.functions.jp2 import _fwd_97_1d, _inv_97_1d
+
+        rng = np.random.RandomState(7)
+        for shape in [(8, 8), (13, 9), (1, 1), (1, 7), (7, 1), (98, 126)]:
+            x = rng.randint(-128, 128, shape).astype(np.float64)
+            for lev in (0, 1, 2, 3):
+                y = _inv_dwt(
+                    _fwd_dwt(x, lev, _fwd_97_1d), shape, _inv_97_1d
+                )
+                assert np.abs(y - x).max() < 1e-9, (shape, lev)
+
+    def test_97_unit_dc_gain_and_vanishing_high_bands(self):
+        from oar_ocr_spark.functions.jp2 import _fwd_97_1d
+
+        # K-normalized analysis: constant input keeps its value in LL
+        # (gain 1 per level) and the detail bands are numerically zero
+        c = np.full((64, 64), 50.0)
+        bands = _fwd_dwt(c, 3, _fwd_97_1d)
+        assert abs(bands[0].mean() - 50.0) < 1e-9
+        assert np.abs(bands[-1][2]).max() < 1e-12
+
+    def test_default_step_near_lossless(self):
+        img = render_page("40_m0")
+        code = encode_j2k(img, irreversible=True)
+        assert code == encode_j2k(img, irreversible=True)  # deterministic
+        err = np.abs(decode_j2k(code).astype(int) - img.astype(int))
+        assert err.max() <= 2 and err.mean() < 0.05
+
+    def test_rgb_ict_near_lossless(self):
+        img = render_page("41_m1")
+        rgb = np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], axis=-1)
+        out = decode_j2k(encode_j2k(rgb, irreversible=True))
+        err = np.abs(out.astype(int) - rgb.astype(int))
+        assert err.max() <= 4 and err.mean() < 0.3
+
+    def test_quality_knob_trades_size_for_error(self):
+        img = render_page("40_m0")
+        sizes, errs = [], []
+        for delta in (0.5, 2.0, 8.0):
+            code = encode_j2k(img, irreversible=True, delta=delta)
+            sizes.append(len(code))
+            errs.append(
+                np.abs(decode_j2k(code).astype(int) - img.astype(int)).mean()
+            )
+        assert sizes[0] > sizes[1] > sizes[2]
+        assert errs[0] < errs[1] < errs[2]
+
+    def test_scalar_derived_roundtrip(self):
+        img = render_page("40_m0")
+        code = encode_j2k(img, irreversible=True, derived=True, delta=0.25)
+        # QCD signals style 1 with a single (eps, mu) pair
+        i = code.index(struct.pack(">H", 0xFF5C))
+        assert code[i + 4] & 0x1F == 1
+        assert struct.unpack(">H", code[i + 2 : i + 4])[0] == 2 + 1 + 2
+        err = np.abs(decode_j2k(code).astype(int) - img.astype(int))
+        assert err.max() <= 2
+
+    def test_odd_shapes_and_levels(self):
+        rng = np.random.RandomState(13)
+        for shape in [(5, 5), (65, 67), (1, 1), (3, 130)]:
+            x = rng.randint(0, 256, shape).astype(np.uint8)
+            for lev in (0, 1, 3):
+                out = decode_j2k(encode_j2k(x, irreversible=True, levels=lev))
+                err = np.abs(out.astype(int) - x.astype(int))
+                assert err.max() <= 4, (shape, lev, err.max())
+
+    def test_lossy_beats_lossless_on_noise(self):
+        # quantization is what buys compression on incompressible
+        # content — the whole point of the 9/7 profile
+        rng = np.random.RandomState(3)
+        x = rng.randint(0, 256, (128, 128)).astype(np.uint8)
+        lossless = len(encode_j2k(x))
+        assert len(encode_j2k(x, irreversible=True, delta=8.0)) < 0.7 * lossless
+        assert len(encode_j2k(x, irreversible=True, delta=32.0)) < 0.4 * lossless
+
+    def test_jp2_container_97(self):
+        img = render_page("40_m0")
+        data = encode_jp2(img, irreversible=True)
+        err = np.abs(decode_jp2(data).astype(int) - img.astype(int))
+        assert err.max() <= 2
+
+    def test_encoder_guards(self):
+        img = render_page("40_m0")
+        with pytest.raises(ValueError, match="irreversible path"):
+            encode_j2k(img, delta=2.0)
+        with pytest.raises(ValueError, match="irreversible path"):
+            encode_j2k(img, derived=True)
+        with pytest.raises(ValueError, match="positive"):
+            encode_j2k(img, irreversible=True, delta=0.0)
+        with pytest.raises(ValueError, match="signalable"):
+            encode_j2k(img, irreversible=True, delta=2.0**-30)
 
 
 class TestPdfJpxSeam:
@@ -175,3 +270,77 @@ class TestPdfJpxSeam:
         assert len(out) == 2
         for got, want in zip(out, pages):
             assert np.array_equal(got, want)  # lossless end-to-end
+
+    def test_pdf_jpx97_pages_near_lossless(self):
+        from oar_ocr_spark.functions.pdf import decode_pdf, encode_pdf
+
+        pages = [render_page("40_m0"), render_page("41_m1")]
+        data = encode_pdf(pages, image_format="jpx97")
+        assert b"/JPXDecode" in data
+        out = decode_pdf(data)
+        assert len(out) == 2
+        for got, want in zip(out, pages):
+            err = np.abs(got.astype(int) - want.astype(int))
+            assert err.max() <= 2
+
+
+class TestStoreFlavor:
+    def test_payload_flavor_mix_and_twin_decode(self):
+        """jp2_payload_for_ref is the ONE implementation behind both the
+        media store rows and the golden twin: the crc32 pick must cover
+        lossless AND 9/7 flavors over the gate's ref population, decode
+        deterministically, and be exact on the lossless half /
+        error-bounded on the lossy half."""
+        import zlib
+
+        from oar_ocr_spark.functions.jp2 import JP2_SIG
+        from oar_ocr_spark.functions.multimodal import jp2_payload_for_ref
+
+        refs = [f"{40 + i}_m{i % 4}" for i in range(12)]
+        modes = set()
+        for ref in refs:
+            page = render_page(ref)
+            data = jp2_payload_for_ref(ref, page)
+            assert data == jp2_payload_for_ref(ref, page)  # deterministic
+            h = zlib.crc32(("jp2:" + ref).encode("utf-8"))
+            # container flavor honored
+            if h & 4:
+                assert data[:12] == JP2_SIG
+            else:
+                assert data[:2] == b"\xffO"
+            out = decode_jp2(data)
+            if h & 8:
+                modes.add("97")
+                # worst flavor: derived + delta 0.5 + 3 levels (the
+                # finest-band step doubles per level to 2.0); measured
+                # max error 5 over the gate population
+                assert np.abs(out.astype(int) - page.astype(int)).max() <= 8
+            else:
+                modes.add("53")
+                assert np.array_equal(out, page)
+        assert modes == {"53", "97"}  # both transforms exercised
+
+    def test_golden_table_matches_twin(self):
+        """The shipped media_features_jp2.parquet golden rows reproduce
+        through the twin for a sample — guards against a stale golden
+        after a flavor/codec change (content-keyed contract)."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        from tools.make_goldens import GOLDEN_DIR, _jp2_feature_row
+
+        tbl = pq.read_table(
+            os.path.join(GOLDEN_DIR, "media_features_jp2.parquet")
+        ).to_pylist()
+        assert len(tbl) >= 48
+        for row in tbl[:4] + tbl[-4:]:
+            got = _jp2_feature_row(row["media_ref"])
+            assert got == (
+                row["media_ref"],
+                row["width"],
+                row["height"],
+                np.float32(row["mean_intensity"]),
+                np.float32(row["ink_ratio"]),
+                row["n_regions"],
+            )

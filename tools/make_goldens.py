@@ -26,6 +26,12 @@ Golden tables (all keyed by content, so they are sf-independent):
                             (render → encode_jpeg(q100) → decode →
                             features), so the JPEG oracle never
                             assumes losslessness
+- media_features_jp2.parquet — features through the JPEG 2000 byte
+                            path (render → jp2_payload_for_ref, the
+                            same crc32 flavor pick as the media store:
+                            lossless 5/3 or irreversible 9/7 → decode
+                            → features), so the jp2 oracle never
+                            assumes the lossy flavors are lossless
 - media_features_fax.parquet — features through the scanned-fax byte
                             path (render → threshold to bilevel →
                             CCITT-TIFF encode → decode → features);
@@ -69,6 +75,7 @@ from __spark_entry__ import (  # noqa: E402
     E2E_MOD,
     FAX_MOD,
     FEATURES_MOD,
+    JP2_MOD,
     JPEG_MOD,
     ROTWARP_MOD,
     STRUCT_MOD,
@@ -249,6 +256,34 @@ def _structure_page(ref: str) -> tuple[list[tuple], str, bool, bool]:
     return rows, markdown, p_start, p_end
 
 
+def _jp2_feature_row(ref: str) -> tuple:
+    """Features through the JPEG 2000 byte path: render →
+    jp2_payload_for_ref (the SAME crc32-flavored encoder the media
+    store runs — lossless 5/3 or irreversible 9/7, shared
+    implementation) → decode_jp2 → the same feature function, so the
+    oracle never assumes the 9/7 flavors are lossless (the twin of
+    multimodal.image_features_from_bytes_df over jp2_store_df)."""
+    import numpy as np
+
+    from oar_ocr_spark.fixtures.render import render_page
+    from oar_ocr_spark.functions.jp2 import decode_jp2
+    from oar_ocr_spark.functions.multimodal import jp2_payload_for_ref
+    from oar_ocr_spark.local_ref import ExtractConfig, detect_page, preprocess_page
+
+    cfg = ExtractConfig()
+    img = decode_jp2(jp2_payload_for_ref(ref, render_page(ref)))
+    upright, _ = preprocess_page(img, cfg)
+    boxes, _ = detect_page(upright, cfg)
+    return (
+        ref,
+        int(img.shape[1]),
+        int(img.shape[0]),
+        np.float32(img.mean()),
+        np.float32((img < 200).mean()),
+        int(len(boxes)),
+    )
+
+
 def _fax_feature_row(ref: str) -> tuple:
     """Features through the scanned-fax byte path: render → threshold
     to bilevel (>=128 → 255) → the same feature function. CCITT G3/G4
@@ -291,6 +326,7 @@ def main() -> int:
     feat_refs: set[str] = set()
     struct_refs: set[str] = set()
     jpeg_refs: set[str] = set()
+    jp2_refs: set[str] = set()
     fax_refs: set[str] = set()
     audio_refs: set[str] = set()
     video_refs: set[str] = set()
@@ -327,6 +363,11 @@ def main() -> int:
                 audio_refs.add(ref)
             if did % VIDEO_MOD == 0:
                 video_refs.add(ref)
+        # the jp2 gate query drives a deterministic 48-ref slice per sf
+        # (order by media_ref limit 48) — mirror that cap here
+        jp2_refs.update(
+            sorted(set(media.loc[media["did"] % JP2_MOD == 0, "media_ref"]))[:48]
+        )
         sub = media[media["did"] % STRUCT_MOD == 0]
         for doc_id, grp in sub.groupby("doc_id"):
             refs = list(grp.sort_values("span_offset")["media_ref"])
@@ -344,6 +385,7 @@ def main() -> int:
         feat_rows = pool.map(_feature_row, sorted(feat_refs), 32)
         struct_results = pool.map(_structure_page, sorted(struct_refs), 16)
         jpeg_rows = pool.map(_jpeg_feature_row, sorted(jpeg_refs), 32)
+        jp2_rows = pool.map(_jp2_feature_row, sorted(jp2_refs), 4)
         fax_rows = pool.map(_fax_feature_row, sorted(fax_refs), 32)
         audio_rows = pool.map(_audio_feature_row, sorted(audio_refs), 32)
         tel_rows = pool.map(_telephony_feature_row, sorted(audio_refs), 32)
@@ -435,6 +477,23 @@ def main() -> int:
         "media_features_jpeg.parquet",
         pd.DataFrame(
             jpeg_rows,
+            columns=["media_ref", "width", "height", "mean_intensity", "ink_ratio", "n_regions"],
+        ),
+        pa.schema(
+            [
+                ("media_ref", pa.string()),
+                ("width", pa.int32()),
+                ("height", pa.int32()),
+                ("mean_intensity", pa.float32()),
+                ("ink_ratio", pa.float32()),
+                ("n_regions", pa.int32()),
+            ]
+        ),
+    )
+    write(
+        "media_features_jp2.parquet",
+        pd.DataFrame(
+            jp2_rows,
             columns=["media_ref", "width", "height", "mean_intensity", "ink_ratio", "n_regions"],
         ),
         pa.schema(
