@@ -40,11 +40,11 @@ H — the DICOM / raw-scanner process) decodes and encodes
 restart intervals, grey + 3-component; bit-exact roundtrip since no
 DCT is involved. SOF1 (extended sequential) decodes through the
 baseline path at 8-bit precision. ARITHMETIC-CODED sequential (SOF9)
-decodes and encodes through the QM-coder module
-(functions/jpeg_arith.py — T.81 Annex D/F, DAC conditioning honored),
-with decode(arith) == decode(baseline) exactly. Differential and
-progressive-arithmetic SOF processes raise NotImplementedError (the
-codec-seam contract, functions/multimodal.py).
+AND progressive (SOF10) decode and encode through the QM-coder module
+(functions/jpeg_arith.py — T.81 Annex D/F/G.2, DAC conditioning
+honored), with decode(arith) == decode(baseline) exactly for both.
+Differential and arithmetic-lossless SOF processes raise
+NotImplementedError (the codec-seam contract, functions/multimodal.py).
 
 JPEG is lossy: the round-trip contract here is NOT bit equality (PNG's
 contract) but (a) byte-level determinism of the encoder, (b) a tested
@@ -1829,15 +1829,16 @@ def decode_jpeg(data: bytes, deep: bool = False) -> np.ndarray:
                     raise NotImplementedError(
                         "lossless JPEG with subsampled components not supported"
                     )
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
             # SOF0 baseline / SOF2 progressive; SOF1 (extended
             # sequential) at 8-bit precision is bit-identical to
             # baseline apart from relaxed table-count limits (T.81
             # table B.2), so it decodes through the baseline path;
-            # SOF9 (arithmetic-coded sequential) shares the frame
-            # layout and swaps the entropy layer (functions/jpeg_arith)
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+            # SOF9 (arithmetic-coded sequential) and SOF10 (arithmetic
+            # progressive) share the frame layout and swap the entropy
+            # layer (functions/jpeg_arith)
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if depth != 8:
                 raise NotImplementedError(f"JPEG depth {depth} not supported")
@@ -1870,10 +1871,10 @@ def decode_jpeg(data: bytes, deep: bool = False) -> np.ndarray:
                     # sampling factors are irrelevant (T.81 A.2.2)
                     hc = vc = 1
                 comp_info.append((hc, vc, body[6 + 3 * c + 2]))
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB):
             raise NotImplementedError(
                 f"JPEG process SOF{marker - 0xC0} (differential/"
-                "progressive-arithmetic) not supported"
+                "arithmetic-lossless) not supported"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             b = 0
@@ -1904,9 +1905,17 @@ def decode_jpeg(data: bytes, deep: bool = False) -> np.ndarray:
             if progressive:
                 if prog is None:
                     prog = _init_coef_state(comp_info, comp_ids, h, w)
-                pos = _decode_progressive_scan(
-                    data, pos, body, prog, comp_info, huff, restart_interval
-                )
+                if arith:  # SOF10: same coefficient state, QM entropy
+                    from .jpeg_arith import decode_arith_progressive_scan
+
+                    pos = decode_arith_progressive_scan(
+                        data, pos, body, prog, comp_info, arith_cond,
+                        restart_interval,
+                    )
+                else:
+                    pos = _decode_progressive_scan(
+                        data, pos, body, prog, comp_info, huff, restart_interval
+                    )
                 continue
             if arith:
                 from .jpeg_arith import decode_arith_scan

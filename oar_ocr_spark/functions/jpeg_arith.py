@@ -33,8 +33,22 @@ encode_jpeg_arith writes SOF9 streams (grey or YCbCr with any of the
 quantized coefficients as encode_jpeg, so
 decode(encode_jpeg_arith(img, q)) == decode(encode_jpeg(img, q))
 EXACTLY — the contract the progressive and multi-scan fixture writers
-also uphold. Progressive-arithmetic (SOF10) and differential processes
-stay declared NotImplementedError in decode_jpeg.
+also uphold.
+
+PROGRESSIVE-arithmetic (SOF10, T.81 Annex G.2) is the fourth corner of
+the (Huffman|arithmetic) × (sequential|progressive) entropy matrix:
+the same spectral-selection + successive-approximation scan scripts as
+the SOF2 encoder, with the QM coder underneath — DC first scans code
+point-transformed diffs through the Annex-F DC model, DC refinements
+code one fixed-estimate bit per block, AC first scans run the
+sequential AC model band-limited with the value scaled by 2^Al, and AC
+refinement scans follow figure G.10's three-way decision per
+coefficient (EOB beyond the previous scan's band end, correction bit
+for previously-nonzero coefficients via the k-th +2 bin, newly-nonzero
+via the +1 bin with a fixed-estimate sign). encode_jpeg_arith_
+progressive mirrors encode_jpeg_progressive's scan script, so
+decode(SOF10) == decode(baseline) EXACTLY. Differential processes stay
+declared NotImplementedError in decode_jpeg.
 """
 
 from __future__ import annotations
@@ -43,7 +57,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg_arith"]
+__all__ = ["encode_jpeg_arith", "encode_jpeg_arith_progressive"]
 
 # ITU-T T.81 Table D.3 — Qe values and the probability-estimation state
 # machine: (Qe, next index after LPS, next index after MPS, MPS switch
@@ -520,6 +534,182 @@ def decode_arith_scan(
     return outs
 
 
+def _dc_units(comps, comp_info, st, restart_interval):
+    """Progressive DC scan unit list [(comp idx, raster row, dc tbl)]
+    plus units-per-restart — the same enumeration the Huffman
+    progressive path uses (interleaved MCU order for multi-component
+    scans, the component's own grid otherwise)."""
+    from .jpeg import _mcu_perm, _noninterleaved_grid
+
+    mcux, mcuy = st["mcux"], st["mcuy"]
+    if len(comps) > 1:
+        perms = {
+            idx: _mcu_perm(mcuy, mcux, comp_info[idx][1], comp_info[idx][0])
+            for idx, _d, _a in comps
+        }
+        units = []
+        for m in range(mcux * mcuy):
+            for idx, dc_t, _ in comps:
+                bpm = comp_info[idx][0] * comp_info[idx][1]
+                for r in range(bpm):
+                    units.append((idx, int(perms[idx][m * bpm + r]), dc_t))
+        per_ri = restart_interval * sum(
+            comp_info[idx][0] * comp_info[idx][1] for idx, _d, _a in comps
+        )
+    else:
+        idx, dc_t, _ = comps[0]
+        hc_, vc_, _ = comp_info[idx]
+        bh_n, bw_n, stride = _noninterleaved_grid(
+            hc_, vc_, st["h"], st["w"], st["hmax"], st["vmax"], st["mcux"]
+        )
+        units = [
+            (idx, r * stride + c, dc_t) for r in range(bh_n) for c in range(bw_n)
+        ]
+        per_ri = restart_interval
+    return units, per_ri
+
+
+def _expect_arith_rst(data: bytes, pos: int, seg_i: int) -> int:
+    """Skip to the next marker, require RST(seg_i%8), return the offset
+    just past it (F.2.1.3.1: fresh coder + statistics follow)."""
+    mpos = _skip_to_marker(data, pos)
+    want = 0xD0 + (seg_i % 8)
+    if data[mpos + 1] != want:
+        raise ValueError(f"expected RST{seg_i % 8} marker at offset {mpos}")
+    return mpos + 2
+
+
+def decode_arith_progressive_scan(
+    data: bytes,
+    pos: int,
+    body: bytes,
+    st: dict,
+    comp_info: list,
+    conditioning: dict,
+    restart_interval: int,
+) -> int:
+    """Decode one progressive-ARITHMETIC (SOF10) scan into st['coefs']
+    (the raster block layout shared with the Huffman progressive path)
+    per T.81 G.2: DC first/refinement scans, band-limited AC first
+    scans, figure-G.10 AC refinement. Statistics reset per scan and at
+    every restart marker. Returns the offset of the marker that ends
+    the scan's entropy data."""
+    from .jpeg import _noninterleaved_grid, _scan_params
+
+    comps, ss, se, ah, al = _scan_params(body, st["ids"])
+
+    if ss == 0:  # ---- DC scan ------------------------------------------
+        if se != 0:
+            raise ValueError("JPEG DC scan with Se != 0")
+        units, per_ri = _dc_units(comps, comp_info, st, restart_interval)
+        dc_ids = sorted({dc_t for _i, dc_t, _a in comps})
+        stats = {t: _Stats(_DC_STATS_SIZE) for t in dc_ids}
+        preds: dict[int, int] = {}
+        ctx: dict[int, int] = {}
+        dec = _QMDecoder(data, pos)
+        i = 0
+        seg_i = 0
+        while i < len(units):
+            limit = min(len(units), i + per_ri) if restart_interval else len(units)
+            while i < limit:
+                idx, row, dc_t = units[i]
+                coef = st["coefs"][idx]
+                if ah == 0:  # first DC scan: QM-coded diff of (DC >> Al)
+                    lo, hi = conditioning.get((0, dc_t), (0, 1))
+                    diff, ctx[idx] = _decode_dc(
+                        dec, stats[dc_t], ctx.get(idx, 0), lo, hi
+                    )
+                    preds[idx] = preds.get(idx, 0) + diff
+                    coef[row, 0] = preds[idx] << al
+                else:  # refinement: one fixed-estimate bit at bit Al
+                    if dec.decode_fixed():
+                        coef[row, 0] |= 1 << al
+                i += 1
+            if i < len(units):
+                dec = _QMDecoder(data, _expect_arith_rst(data, dec.pos, seg_i))
+                seg_i += 1
+                for s in stats.values():
+                    s.reset()
+                preds = {}
+                ctx = {}
+        return _skip_to_marker(data, dec.pos)
+
+    # ---- AC scan (single component, T.81 G.2.3/G.2.4) -------------------
+    if len(comps) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not 1 <= ss <= se <= 63:
+        raise ValueError(f"bad spectral band {ss}..{se}")
+    idx, _dc_t, ac_t = comps[0]
+    kx = conditioning.get((1, ac_t), 5)
+    hc_, vc_, _ = comp_info[idx]
+    bh_n, bw_n, stride = _noninterleaved_grid(
+        hc_, vc_, st["h"], st["w"], st["hmax"], st["vmax"], st["mcux"]
+    )
+    rows = [r * stride + c for r in range(bh_n) for c in range(bw_n)]
+    coef = st["coefs"][idx]
+    stats = _Stats(_AC_STATS_SIZE)
+    dec = _QMDecoder(data, pos)
+    p1, m1 = 1 << al, -1 << al
+    i = 0
+    seg_i = 0
+    while i < len(rows):
+        limit = min(len(rows), i + restart_interval) if restart_interval else len(rows)
+        while i < limit:
+            row = rows[i]
+            if ah == 0:  # first scan for this band (G.2.3): sequential
+                # AC model band-limited, decoded value scaled by 2^Al
+                k = ss
+                while k <= se:
+                    b3 = 3 * (k - 1)
+                    if dec.decode(stats, b3):
+                        break  # EOB
+                    while dec.decode(stats, b3 + 1) == 0:
+                        k += 1
+                        if k > se:
+                            raise ValueError(
+                                "arithmetic JPEG AC run overflows band"
+                            )
+                        b3 += 3
+                    sign = dec.decode_fixed()
+                    chain = 189 if k <= kx else 217
+                    v = _decode_magnitude(
+                        dec, stats, b3 + 2, chain, double_at_sp=True
+                    ) + 1
+                    coef[row, k] = (-v << al) if sign else (v << al)
+                    k += 1
+            else:  # refinement scan (figure G.10)
+                kex = se  # band end of the PREVIOUS scan (nonzero state)
+                while kex >= ss and coef[row, kex] == 0:
+                    kex -= 1
+                k = ss
+                while k <= se:
+                    b3 = 3 * (k - 1)
+                    if k > kex and dec.decode(stats, b3):
+                        break  # EOB
+                    while True:
+                        cur = int(coef[row, k])
+                        if cur != 0:  # previously nonzero: correction bit
+                            if dec.decode(stats, b3 + 2):
+                                coef[row, k] = cur + (p1 if cur > 0 else m1)
+                            break
+                        if dec.decode(stats, b3 + 1):  # newly nonzero
+                            coef[row, k] = m1 if dec.decode_fixed() else p1
+                            break
+                        b3 += 3
+                        k += 1
+                        if k > se:
+                            raise ValueError(
+                                "arithmetic JPEG AC refinement overflows band"
+                            )
+                    k += 1
+            i += 1
+        if i < len(rows):
+            dec = _QMDecoder(data, _expect_arith_rst(data, dec.pos, seg_i))
+            seg_i += 1
+            stats.reset()
+    return _skip_to_marker(data, dec.pos)
+
+
 # ---------------------------------------------------------------------------
 # encoder (fixture writer — the contract twin of encode_jpeg)
 # ---------------------------------------------------------------------------
@@ -650,5 +840,258 @@ def encode_jpeg_arith(
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, b"\x03\x01\x00\x02\x11\x03\x11\x00\x3f\x00")
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (fixture writer — twin of decode_arith_progressive_scan)
+# ---------------------------------------------------------------------------
+
+
+def _emit_arith_ac_first(enc, st, coefv, ss, se, al, kx):
+    """One block's band Ss..Se in an AC FIRST scan (G.2.3): the
+    sequential AC decision tree on the point-transformed magnitudes."""
+    ke = se
+    while ke >= ss and (abs(int(coefv[ke])) >> al) == 0:
+        ke -= 1
+    k = ss
+    while k <= ke:
+        b3 = 3 * (k - 1)
+        enc.encode(st, b3, 0)  # not EOB
+        while (abs(int(coefv[k])) >> al) == 0:
+            enc.encode(st, b3 + 1, 0)
+            k += 1
+            b3 += 3
+        enc.encode(st, b3 + 1, 1)
+        val = int(coefv[k])
+        enc.encode_fixed(1 if val < 0 else 0)
+        chain = 189 if k <= kx else 217
+        _encode_magnitude(
+            enc, st, b3 + 2, chain, (abs(val) >> al) - 1, double_at_sp=True
+        )
+        k += 1
+    if ke < se:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _emit_arith_ac_refine(enc, st, coefv, ss, se, al):
+    """One block's band in an AC REFINEMENT scan (figure G.10): EOB
+    decisions beyond the previous scan's band end (kex), correction
+    bits for previously-nonzero coefficients, fixed-estimate signs for
+    newly-nonzero ones."""
+    ke = se  # band end at THIS precision
+    while ke >= ss and (abs(int(coefv[ke])) >> al) == 0:
+        ke -= 1
+    kex = ke  # band end at the PREVIOUS precision
+    while kex >= ss and (abs(int(coefv[kex])) >> (al + 1)) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        b3 = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st, b3, 0)  # not EOB yet
+        while True:
+            val = int(coefv[k])
+            mag = abs(val) >> al
+            if mag:
+                if mag >> 1:  # previously nonzero: correction bit
+                    enc.encode(st, b3 + 2, mag & 1)
+                else:  # newly nonzero at this precision
+                    enc.encode(st, b3 + 1, 1)
+                    enc.encode_fixed(1 if val < 0 else 0)
+                break
+            enc.encode(st, b3 + 1, 0)
+            b3 += 3
+            k += 1
+        k += 1
+    if ke < se:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _emit_arith_progressive_scan(
+    zz, samp, comps, ss, se, ah, al, mcux, mcuy, h, w, restart_interval
+):
+    """One SOF10 scan's entropy bytes (RSTn-separated segments when
+    restart_interval > 0). Mirrors decode_arith_progressive_scan; DC
+    table id is 0 for luma / 1 for chroma (the DAC layout the frame
+    writer emits), default conditioning (L=0, U=1, Kx=5)."""
+    from .jpeg import _mcu_perm, _noninterleaved_grid
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    segments: list[bytes] = []
+    if ss == 0:  # DC scan
+        if len(comps) > 1:
+            perms = {
+                i: _mcu_perm(mcuy, mcux, samp[i][1], samp[i][0]) for i in comps
+            }
+            units = []
+            for m in range(mcux * mcuy):
+                for i in comps:
+                    bpm = samp[i][0] * samp[i][1]
+                    for r in range(bpm):
+                        units.append((i, int(perms[i][m * bpm + r])))
+            per_ri = restart_interval * sum(
+                samp[i][0] * samp[i][1] for i in comps
+            )
+        else:
+            i = comps[0]
+            hc, vc = samp[i]
+            bh_n, bw_n, stride = _noninterleaved_grid(hc, vc, h, w, hmax, vmax, mcux)
+            units = [(i, r * stride + c) for r in range(bh_n) for c in range(bw_n)]
+            per_ri = restart_interval
+        chunk = per_ri if restart_interval else len(units)
+        for start in range(0, len(units), max(chunk, 1)):
+            enc = _QMEncoder()
+            stats = {t: _Stats(_DC_STATS_SIZE) for t in {0, 1} if t <= max(comps)}
+            preds: dict[int, int] = {}
+            ctx: dict[int, int] = {}
+            for i, row in units[start : start + chunk]:
+                v = int(zz[i][row, 0]) >> al  # arithmetic shift (G.1.2.1)
+                if ah == 0:
+                    tbl = 0 if i == 0 else 1
+                    diff = v - preds.get(i, 0)
+                    preds[i] = v
+                    ctx[i] = _encode_dc(
+                        enc, stats[tbl], ctx.get(i, 0), diff, 0, 1
+                    )
+                else:
+                    enc.encode_fixed(v & 1)
+            segments.append(enc.flush())
+    else:  # AC scan: single component
+        i = comps[0]
+        hc, vc = samp[i]
+        bh_n, bw_n, stride = _noninterleaved_grid(hc, vc, h, w, hmax, vmax, mcux)
+        rows = [r * stride + c for r in range(bh_n) for c in range(bw_n)]
+        chunk = restart_interval if restart_interval else len(rows)
+        for start in range(0, len(rows), max(chunk, 1)):
+            enc = _QMEncoder()
+            stats = _Stats(_AC_STATS_SIZE)
+            for row in rows[start : start + chunk]:
+                if ah == 0:
+                    _emit_arith_ac_first(enc, stats, zz[i][row], ss, se, al, 5)
+                else:
+                    _emit_arith_ac_refine(enc, stats, zz[i][row], ss, se, al)
+            segments.append(enc.flush())
+    out = bytearray()
+    for k, s in enumerate(segments):
+        if k:
+            out += bytes([0xFF, 0xD0 + ((k - 1) % 8)])
+        out += s
+    return bytes(out)
+
+
+def encode_jpeg_arith_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """(H,W) grey / (H,W,3) RGB → PROGRESSIVE arithmetic-coded JPEG
+    (SOF10) — the fourth corner of the entropy matrix. Same scan
+    script, quantized coefficients and grids as encode_jpeg_progressive
+    (DC first at Al=1 + refinement, banded AC first scans at Al=2/1 +
+    refinement scans to Al=0), same QM conditioning layout as
+    encode_jpeg_arith, so decode(SOF10) == decode(baseline) EXACTLY."""
+    from .jpeg import (
+        JPEG_SOI,
+        _box_downsample,
+        _plane_zz,
+        _rgb_to_ycbcr,
+        _scaled_qtable,
+        _seg,
+        _SUBSAMPLING_FACTORS,
+        _QTABLE_K2,
+        _ZIGZAG,
+    )
+
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError(
+            f"encode_jpeg_arith_progressive expects uint8 (H,W) or (H,W,3), "
+            f"got {img.dtype} {img.shape}"
+        )
+    grey = img.ndim == 2
+    h, w = img.shape[0], img.shape[1]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q_lum = _scaled_qtable(quality)
+    if grey:
+        if subsampling != "444":
+            raise ValueError("subsampling applies to color images only")
+        mcux, mcuy = -(-w // 8), -(-h // 8)
+        zz = [_plane_zz(img, q_lum, grid=(mcuy, mcux))]  # raster order
+        samp = [(1, 1)]
+    else:
+        if img.shape[2] != 3:
+            raise ValueError(
+                f"encode_jpeg_arith_progressive expects 3 channels, got {img.shape}"
+            )
+        if subsampling not in _SUBSAMPLING_FACTORS:
+            raise ValueError(
+                f"subsampling must be one of {sorted(_SUBSAMPLING_FACTORS)}"
+            )
+        hY, vY = _SUBSAMPLING_FACTORS[subsampling]
+        q_chr = _scaled_qtable(quality, _QTABLE_K2)
+        ycc = _rgb_to_ycbcr(img)
+        mcux, mcuy = -(-w // (8 * hY)), -(-h // (8 * vY))
+        zz = [_plane_zz(ycc[..., 0], q_lum, grid=(mcuy * vY, mcux * hY))]
+        for comp in (1, 2):
+            sub = _box_downsample(ycc[..., comp], hY, vY)
+            zz.append(_plane_zz(sub, q_chr, grid=(mcuy, mcux)))
+        samp = [(hY, vY), (1, 1), (1, 1)]
+
+    if grey:
+        script = [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([1], 1, 63, 0, 1),
+            ([2], 1, 63, 0, 1),
+            ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+            ([1], 1, 63, 1, 0),
+            ([2], 1, 63, 1, 0),
+        ]
+
+    seg = _seg
+    out = bytearray(JPEG_SOI)
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(q_lum.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    if not grey:
+        out += seg(
+            0xFFDB, b"\x01" + bytes(q_chr.reshape(-1)[_ZIGZAG].astype(np.uint8))
+        )
+    sof = struct.pack(">BHHB", 8, h, w, 1 if grey else 3)
+    for c, (hc, vc) in enumerate(samp):
+        sof += bytes([c + 1, (hc << 4) | vc, 0 if c == 0 else 1])
+    out += seg(0xFFCA, sof)  # SOF10: progressive DCT, arithmetic coding
+    if grey:
+        out += seg(0xFFCC, bytes([0x00, 0x10, 0x10, 5]))
+    else:
+        out += seg(0xFFCC, bytes([0x00, 0x10, 0x01, 0x10, 0x10, 5, 0x11, 5]))
+    if restart_interval > 0:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+
+    for comps, ss, se, ah, al in script:
+        hdr = bytes([len(comps)])
+        for idx in comps:
+            tblc = 0 if idx == 0 else 1
+            hdr += bytes([idx + 1, (tblc << 4) | tblc])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, hdr)
+        out += _emit_arith_progressive_scan(
+            zz, samp, comps, ss, se, ah, al, mcux, mcuy, h, w, restart_interval
+        )
     out += b"\xff\xd9"
     return bytes(out)

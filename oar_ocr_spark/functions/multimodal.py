@@ -180,11 +180,12 @@ def jpeg_store_df(
 ) -> DataFrame:
     """(media_ref) → (media_ref, payload) media store with REAL JPEG
     bytes per page (functions/jpeg.py), the entropy layout crc32-chosen
-    per ref — baseline SOF0, progressive SOF2, or arithmetic-coded SOF9
-    — so the gate drives all three sequential-DCT decode paths through
-    the distributed seam. The three fixture writers share one
-    DCT/quantization pipeline, so their decodes are IDENTICAL at equal
-    quality (pinned in test_jpeg) and the golden twin
+    per ref — baseline SOF0, progressive SOF2, arithmetic SOF9, or
+    progressive-arithmetic SOF10 — so the gate drives all four corners
+    of the (Huffman|arithmetic) × (sequential|progressive) DCT entropy
+    matrix through the distributed seam. The four fixture writers share
+    one DCT/quantization pipeline, so their decodes are IDENTICAL at
+    equal quality (pinned in test_jpeg) and the golden twin
     (tools/make_goldens.py media_features_jpeg) stays layout-agnostic.
     The lossy sibling of png_store_df: at quality=100 the
     reconstruction error is ±1 on the synthetic pages (measured;
@@ -197,14 +198,16 @@ def jpeg_store_df(
 
         from ..fixtures.render import render_page
         from .jpeg import encode_jpeg, encode_jpeg_progressive
-        from .jpeg_arith import encode_jpeg_arith
+        from .jpeg_arith import encode_jpeg_arith, encode_jpeg_arith_progressive
 
         page = render_page(ref)
-        flavor = zlib.crc32(("jpeglayout:" + ref).encode("utf-8")) % 3
+        flavor = zlib.crc32(("jpeglayout:" + ref).encode("utf-8")) % 4
         if flavor == 1:
             return (ref, encode_jpeg_progressive(page, quality))
         if flavor == 2:
             return (ref, encode_jpeg_arith(page, quality))
+        if flavor == 3:
+            return (ref, encode_jpeg_arith_progressive(page, quality))
         return (ref, encode_jpeg(page, quality))
 
     return payload_store_df(refs, row, ref_col=ref_col, parallelism=parallelism)

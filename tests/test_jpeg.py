@@ -395,11 +395,18 @@ class TestDeclaredSubset:
         swapped = self._swap_marker(base, 0xC0, 0xC1)
         assert (decode_jpeg(swapped) == decode_jpeg(base)).all()
 
-    def test_progressive_arithmetic_sof_raises(self):
-        # SOF10 (progressive arithmetic) stays outside the subset
-        # (sequential SOF9 decodes — TestArithmetic)
+    def test_baseline_stream_mislabeled_sof10_fails_loudly(self):
+        # SOF10 decodes (TestArithmeticProgressive) — but a baseline
+        # stream mislabeled as it is malformed (full-band DC scan) and
+        # must not decode as garbage
         data = self._swap_marker(encode_jpeg(render_page("40_m0")), 0xC0, 0xCA)
-        with pytest.raises(NotImplementedError, match="arithmetic"):
+        with pytest.raises(ValueError, match="DC scan"):
+            decode_jpeg(data)
+
+    def test_arithmetic_lossless_sof_raises(self):
+        # SOF11 (arithmetic lossless) stays outside the subset
+        data = self._swap_marker(encode_jpeg(render_page("40_m0")), 0xC0, 0xCB)
+        with pytest.raises(NotImplementedError, match="SOF11"):
             decode_jpeg(data)
 
     def test_baseline_stream_mislabeled_progressive_fails_loudly(self):
@@ -756,8 +763,9 @@ class TestArithmetic:
         img = render_page("40_m0")
         data = encode_jpeg_arith(img, 90)
         i = data.index(b"\xff\xc9")
-        # SOF10 (progressive arithmetic) stays outside the subset
-        with pytest.raises(NotImplementedError, match="SOF10"):
+        # a sequential stream mislabeled SOF10 is malformed (full-band
+        # DC scan) and must fail loudly, not decode as garbage
+        with pytest.raises(ValueError, match="DC scan"):
             decode_jpeg(data[:i] + b"\xff\xca" + data[i + 2 :])
         # DAC validation: Kx=0 and L>U are illegal conditioning
         j = data.index(b"\xff\xcc")
@@ -769,6 +777,105 @@ class TestArithmetic:
         bad[j + 5] = 0x02  # DC Cs: L=2, U=0
         with pytest.raises(ValueError, match="L=2"):
             decode_jpeg(bytes(bad))
+
+
+class TestArithmeticProgressive:
+    """SOF10 (T.81 Annex G.2): the fourth corner of the entropy matrix.
+    Contract: same quantized coefficients and scan script as the SOF2
+    encoder with the QM coder underneath, so decode equals the baseline
+    stream's decode EXACTLY."""
+
+    def _rgb(self):
+        img = render_page("40_m0")
+        return np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], axis=-1)
+
+    def test_decode_equals_baseline_exactly(self):
+        from oar_ocr_spark.functions.jpeg_arith import encode_jpeg_arith_progressive
+
+        img = render_page("40_m0")
+        for q in (60, 90, 100):
+            a = encode_jpeg_arith_progressive(img, q)
+            assert a == encode_jpeg_arith_progressive(img, q)  # deterministic
+            assert (decode_jpeg(a) == decode_jpeg(encode_jpeg(img, q))).all()
+
+    def test_smaller_than_huffman_baseline(self):
+        from oar_ocr_spark.functions.jpeg_arith import encode_jpeg_arith_progressive
+
+        img = render_page("40_m0")
+        assert len(encode_jpeg_arith_progressive(img, 90)) < 0.85 * len(
+            encode_jpeg(img, 90)
+        )
+
+    def test_color_and_subsampling(self):
+        from oar_ocr_spark.functions.jpeg_arith import encode_jpeg_arith_progressive
+
+        rgb = self._rgb()
+        for sub in ("444", "420", "422", "440"):
+            a = encode_jpeg_arith_progressive(rgb, 85, subsampling=sub)
+            b = encode_jpeg(rgb, 85, subsampling=sub)
+            assert (decode_jpeg(a) == decode_jpeg(b)).all(), sub
+
+    def test_restart_intervals(self):
+        # per-scan restart resync: fresh QM coder + statistics +
+        # predictors at every RSTn, in DC first/refine AND AC
+        # first/refine scans
+        from oar_ocr_spark.functions.jpeg_arith import encode_jpeg_arith_progressive
+
+        img = render_page("40_m0")
+        for ri in (1, 7):
+            a = encode_jpeg_arith_progressive(img, 90, restart_interval=ri)
+            assert b"\xff\xd0" in a
+            assert (decode_jpeg(a) == decode_jpeg(encode_jpeg(img, 90))).all()
+        rgb = self._rgb()
+        a = encode_jpeg_arith_progressive(rgb, 85, subsampling="420", restart_interval=3)
+        assert (
+            decode_jpeg(a) == decode_jpeg(encode_jpeg(rgb, 85, subsampling="420"))
+        ).all()
+
+    def test_adversarial_noise_roundtrips(self):
+        # full-range noise exercises deep magnitude chains in the AC
+        # first scans and dense correction bits in the refinements
+        from oar_ocr_spark.functions.jpeg_arith import encode_jpeg_arith_progressive
+
+        img = np.random.RandomState(3).randint(0, 256, (41, 53)).astype(np.uint8)
+        a = encode_jpeg_arith_progressive(img, 100)
+        assert (decode_jpeg(a) == decode_jpeg(encode_jpeg(img, 100))).all()
+
+    def test_flat_image_eob_paths(self):
+        # constant image: every AC band is all-zero — the EOB-decision
+        # edge (emitted at 3*(Ss-1)) in both first and refine scans
+        from oar_ocr_spark.functions.jpeg_arith import encode_jpeg_arith_progressive
+
+        img = np.full((24, 40), 137, dtype=np.uint8)
+        a = encode_jpeg_arith_progressive(img, 90)
+        assert (decode_jpeg(a) == decode_jpeg(encode_jpeg(img, 90))).all()
+
+    def test_all_four_layouts_decode_identically(self):
+        # the jpeg_store_df contract: one DCT/quantization pipeline
+        # behind four entropy layouts
+        from oar_ocr_spark.functions.jpeg_arith import (
+            encode_jpeg_arith,
+            encode_jpeg_arith_progressive,
+        )
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_progressive
+
+        img = render_page("41_m1")
+        want = decode_jpeg(encode_jpeg(img, 100))
+        for enc in (encode_jpeg_progressive, encode_jpeg_arith,
+                    encode_jpeg_arith_progressive):
+            assert (decode_jpeg(enc(img, 100)) == want).all(), enc.__name__
+
+    def test_encoder_guards(self):
+        from oar_ocr_spark.functions.jpeg_arith import encode_jpeg_arith_progressive
+
+        with pytest.raises(ValueError, match="uint8"):
+            encode_jpeg_arith_progressive(np.zeros((4, 4), dtype=np.int32))
+        with pytest.raises(ValueError, match="empty"):
+            encode_jpeg_arith_progressive(np.zeros((0, 4), dtype=np.uint8))
+        with pytest.raises(ValueError, match="color images only"):
+            encode_jpeg_arith_progressive(
+                render_page("40_m0"), subsampling="420"
+            )
 
 
 class TestLossless:
