@@ -34,10 +34,16 @@ uses (Part-1 lossy profile):
   resolution doubling eps_b = eps0 - NL + n_b) on BOTH encode and
   decode, midpoint (r=0.5) dequantization, Mb = eps_b + guard - 1.
 
-Scope (declared): one tile, one layer, 8-bit samples at the image
-seam (the deep-precision story lives in the lossless-JPEG path), grey
-or RGB. Multiple tiles/layers, custom precincts, coder bypass modes,
-and progression orders other than LRCP raise NotImplementedError.
+TILED images (the layout big archival scans ship in) encode and
+decode: any square tile grid at offset (0,0), each tile an
+independently-coded SOT..SOD tile-part in raster order, per-tile DWT
+and code-block grids (A.4.1).
+
+Scope (declared): one layer, one tile-part per tile, 8-bit samples at
+the image seam (the deep-precision story lives in the lossless-JPEG
+path), grey or RGB. Multiple tile-parts, per-tile coding overrides,
+offset grids, multi-layer, custom precincts, coder bypass modes, and
+progression orders other than LRCP raise NotImplementedError.
 Encoder and decoder share every table; the 5/3 path is exercised as
 exact-roundtrip twins, the 9/7 path as error-bounded twins (test_jp2),
 like the engine's other codec seams.
@@ -977,7 +983,11 @@ def _read_packet(data: bytes, pos: int, grids: list) -> tuple[list, int]:
     band, next position)."""
     br = _HeaderBitReader(data, pos)
     if br.read() == 0:
-        return [[] for _ in grids], br.align()
+        # empty packet: every code-block of every band is not included
+        # (an all-zero resolution — constant tiles hit this)
+        return [
+            [(False, 0, 0, None)] * (rows * cols) for rows, cols in grids
+        ], br.align()
     per_band = []
     lengths = []
     for rows, cols in grids:
@@ -1062,45 +1072,12 @@ def _band_quant(levels: int, irreversible: bool, delta: float, derived: bool):
     return q, bytes(sqcd)
 
 
-def encode_j2k(
-    img: np.ndarray,
-    levels: int = 2,
-    irreversible: bool = False,
-    delta: float = 0.5,
-    derived: bool = False,
-) -> bytes:
-    """(H,W) grey / (H,W,3) RGB uint8 → JPEG 2000 codestream
-    (SOC..EOC), one tile, one layer, LRCP, EBCOT Tier-1/2.
-
-    Default: lossless (5/3 reversible DWT + RCT, bit-exact decode).
-    `irreversible=True` switches to the lossy Part-1 path: 9/7 CDF
-    wavelet + ICT with scalar quantization at step `delta` (expounded
-    by default; `derived=True` signals the LL pair and doubles the
-    step per resolution). Smaller `delta` = finer quality."""
-    if img.dtype != np.uint8 or img.ndim not in (2, 3):
-        raise ValueError("encode_j2k expects (H,W)/(H,W,3) uint8")
-    if img.ndim == 3 and img.shape[2] != 3:
-        raise ValueError(f"expected 3 colour channels, got {img.shape[2]}")
-    if not 0 <= levels <= 32:
-        raise ValueError(f"decomposition levels must be 0..32, got {levels}")
-    if not irreversible and (derived or delta != 0.5):
-        raise ValueError("delta/derived apply to the irreversible path only")
-    h, w = img.shape[:2]
-    if h == 0 or w == 0:
-        raise ValueError("empty image")
-    shifted = img.astype(np.float64 if irreversible else np.int64) - 128
-    if img.ndim == 2:
-        comps = [shifted]
-        mct = 0
-    else:
-        xform = _ict_forward if irreversible else _rct_forward
-        comps = list(xform(shifted[..., 0], shifted[..., 1], shifted[..., 2]))
-        mct = 1
-
-    # transform once per component, then emit packets in LRCP order
-    fwd1d = _fwd_97_1d if irreversible else None
+def _encode_tile_packets(comps: list, levels: int, bandq: dict, fwd1d) -> bytearray:
+    """One tile's component planes (already level-shifted and
+    color-transformed) → the tile's layer-0 packets in LRCP order:
+    per-component DWT, per-band quantization (when `bandq` carries a
+    step), Tier-1 block coding, Tier-2 packet headers."""
     comp_bands = [_fwd_dwt(c, levels, fwd1d) for c in comps]
-    bandq, sqcd = _band_quant(levels, irreversible, delta, derived)
     packets = bytearray()
     for r in range(levels + 1):
         for ci in range(len(comps)):
@@ -1138,11 +1115,63 @@ def encode_j2k(
                         blks.append((True, mb - nbps, npasses, data))
                 band_blocks.append((rows, cols, blks))
             _write_packet(packets, band_blocks)
+    return packets
+
+
+def encode_j2k(
+    img: np.ndarray,
+    levels: int = 2,
+    irreversible: bool = False,
+    delta: float = 0.5,
+    derived: bool = False,
+    tile_size: int | None = None,
+) -> bytes:
+    """(H,W) grey / (H,W,3) RGB uint8 → JPEG 2000 codestream
+    (SOC..EOC), one layer, LRCP, EBCOT Tier-1/2.
+
+    Default: lossless (5/3 reversible DWT + RCT, bit-exact decode).
+    `irreversible=True` switches to the lossy Part-1 path: 9/7 CDF
+    wavelet + ICT with scalar quantization at step `delta` (expounded
+    by default; `derived=True` signals the LL pair and doubles the
+    step per resolution). Smaller `delta` = finer quality.
+
+    `tile_size` partitions the image into square tiles (A.4.1 grid at
+    offset 0,0; edge tiles clipped) — the layout big archival scans
+    ship in, each tile an independently-coded SOT..SOD tile-part so a
+    reader can decode regions without the whole image. Default: one
+    tile covering the image."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("encode_j2k expects (H,W)/(H,W,3) uint8")
+    if img.ndim == 3 and img.shape[2] != 3:
+        raise ValueError(f"expected 3 colour channels, got {img.shape[2]}")
+    if not 0 <= levels <= 32:
+        raise ValueError(f"decomposition levels must be 0..32, got {levels}")
+    if not irreversible and (derived or delta != 0.5):
+        raise ValueError("delta/derived apply to the irreversible path only")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if tile_size is not None and tile_size < 16:
+        raise ValueError(f"tile_size must be >= 16, got {tile_size}")
+    shifted = img.astype(np.float64 if irreversible else np.int64) - 128
+    if img.ndim == 2:
+        comps = [shifted]
+        mct = 0
+    else:
+        xform = _ict_forward if irreversible else _rct_forward
+        comps = list(xform(shifted[..., 0], shifted[..., 1], shifted[..., 2]))
+        mct = 1
+
+    fwd1d = _fwd_97_1d if irreversible else None
+    bandq, sqcd = _band_quant(levels, irreversible, delta, derived)
+    xt = min(tile_size, w) if tile_size else w
+    yt = min(tile_size, h) if tile_size else h
+    ntx, nty = -(-w // xt), -(-h // yt)
 
     ncomp = len(comps)
     out = bytearray(struct.pack(">H", _SOC))
     siz = struct.pack(
-        ">HIIIIIIII H", 0, w, h, 0, 0, w, h, 0, 0, ncomp
+        ">HIIIIIIII H", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp
     ) + b"\x07\x01\x01" * ncomp  # Ssiz=7 (8-bit unsigned), 1x1 subsampling
     out += _marker_seg(0xFF51, siz)
     cod = bytes([0]) + bytes([0]) + struct.pack(">H", 1) + bytes([mct]) + bytes(
@@ -1150,10 +1179,15 @@ def encode_j2k(
     ) + bytes([0 if irreversible else 1])
     out += _marker_seg(0xFF52, cod)
     out += _marker_seg(0xFF5C, sqcd)
-    psot = 12 + 2 + len(packets)  # SOT seg + SOD marker + data
-    out += _marker_seg(0xFF90, struct.pack(">HIBB", 0, psot, 0, 1))
-    out += struct.pack(">H", 0xFF93)
-    out += packets
+    for t in range(ntx * nty):
+        ty, tx = divmod(t, ntx)
+        y0, x0 = ty * yt, tx * xt
+        tile_comps = [c[y0 : min(y0 + yt, h), x0 : min(x0 + xt, w)] for c in comps]
+        packets = _encode_tile_packets(tile_comps, levels, bandq, fwd1d)
+        psot = 12 + 2 + len(packets)  # SOT seg + SOD marker + data
+        out += _marker_seg(0xFF90, struct.pack(">HIBB", t, psot, 0, 1))
+        out += struct.pack(">H", 0xFF93)
+        out += packets
     out += struct.pack(">H", 0xFFD9)
     return bytes(out)
 
@@ -1162,19 +1196,24 @@ def decode_j2k(data: bytes) -> np.ndarray:
     """J2K codestream → (H,W)/(H,W,3) uint8. Bit-exact inverse of
     encode_j2k on the lossless 5/3 path; midpoint-dequantized (error
     <= Δ/2 per coefficient) on the irreversible 9/7 path, scalar
-    derived or expounded. Fails loudly (NotImplementedError) on the
-    declared out-of-scope features: multiple tiles/layers, custom
-    precincts, non-LRCP progressions, coder bypass modes, subsampled
-    or deep components."""
+    derived or expounded. Tiled streams (any A.4.1 grid at offset 0,0,
+    one tile-part per tile in raster order) decode tile by tile. Fails
+    loudly (NotImplementedError) on the declared out-of-scope
+    features: multiple tile-parts per tile, per-tile coding overrides,
+    offset grids, multi-layer, custom precincts, non-LRCP
+    progressions, coder bypass modes, subsampled or deep components."""
     if data[:2] != struct.pack(">H", _SOC):
         raise ValueError("not a JPEG 2000 codestream (missing SOC)")
     pos = 2
     siz = cod = qcd = None
+    first_sot = None
     while pos + 4 <= len(data):
         (marker,) = struct.unpack(">H", data[pos : pos + 2])
-        if marker == 0xFF93:  # SOD
-            pos += 2
+        if marker == 0xFF90:  # first SOT: the main header ends here
+            first_sot = pos
             break
+        if marker == 0xFF93:
+            raise ValueError("JPEG 2000 SOD before any SOT")
         (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
@@ -1184,16 +1223,14 @@ def decode_j2k(data: bytes) -> np.ndarray:
             cod = body
         elif marker == 0xFF5C:
             qcd = body
-        elif marker == 0xFF90:
-            pass  # single-tile: Psot redundant (data runs to EOC)
-    else:
-        raise ValueError("JPEG 2000 codestream has no SOD")
+    if first_sot is None:
+        raise ValueError("JPEG 2000 codestream has no tile-part (SOT)")
     if siz is None or cod is None or qcd is None:
         raise ValueError("JPEG 2000 missing SIZ/COD/QCD")
 
     rsiz, xs, ys, xo, yo, xt, yt, xto, yto, ncomp = struct.unpack(">HIIIIIIIIH", siz[:36])
-    if xo or yo or xto or yto or xt < xs or yt < ys:
-        raise NotImplementedError("JPEG 2000 multi-tile / offset grids not supported")
+    if xo or yo or xto or yto:
+        raise NotImplementedError("JPEG 2000 offset grids not supported")
     if ncomp not in (1, 3):
         raise NotImplementedError(f"JPEG 2000 with {ncomp} components not supported")
     for c in range(ncomp):
@@ -1205,6 +1242,10 @@ def decode_j2k(data: bytes) -> np.ndarray:
         if xr != 1 or yr != 1:
             raise NotImplementedError("JPEG 2000 subsampled components not supported")
     h, w = ys, xs
+    xt, yt = min(xt, w), min(yt, h)
+    if xt == 0 or yt == 0:
+        raise ValueError("JPEG 2000 zero tile dimensions")
+    ntx, nty = -(-w // xt), -(-h // yt)
 
     scod = cod[0]
     if scod & 0x07:
@@ -1266,45 +1307,94 @@ def decode_j2k(data: bytes) -> np.ndarray:
                     _qdelta(eps, mu, 8 + _GAIN[orient]),
                 )
 
-    comp_bands = [
-        [None] * (levels + 1) for _ in range(ncomp)
-    ]
-    for r in range(levels + 1):
-        for ci in range(ncomp):
-            grids = [_cblk_grid(bh, bw_) for _, bh, bw_ in layout[r]]
-            per_band, pos = _read_packet(data, pos, grids)
-            bands_here = []
-            for k, ((orient, bh, bw_), blks) in enumerate(zip(layout[r], per_band)):
-                mb, d = band_q[(r, k)]
-                band = np.zeros(
-                    (bh, bw_), dtype=np.float64 if irreversible else np.int64
-                )
-                rows, cols = _cblk_grid(bh, bw_)
-                for i in range(rows):
-                    for j in range(cols):
-                        incl, zbp, npasses, blkdata = blks[i * cols + j]
-                        if not incl:
-                            continue
-                        y0, x0 = i * _CBLK, j * _CBLK
-                        bh_b = min(_CBLK, bh - y0)
-                        bw_b = min(_CBLK, bw_ - x0)
-                        mags, signs = _t1_decode_block(
-                            blkdata, bh_b, bw_b, orient, mb - zbp, npasses
-                        )
-                        if d is not None:  # midpoint dequantization (r=0.5)
-                            vals = np.where(mags > 0, (mags + 0.5) * d, 0.0)
-                            vals = np.where(signs == 1, -vals, vals)
-                        else:
-                            vals = np.where(signs == 1, -mags, mags)
-                        band[y0 : y0 + bh_b, x0 : x0 + bw_b] = vals
-                bands_here.append(band)
-            if r == 0:
-                comp_bands[ci][0] = bands_here[0]
-            else:
-                comp_bands[ci][r] = tuple(bands_here)
-
     inv1d = _inv_97_1d if irreversible else None
-    planes = [_inv_dwt(cb, (h, w), inv1d) for cb in comp_bands]
+    planes = [
+        np.zeros((h, w), dtype=np.float64 if irreversible else np.int64)
+        for _ in range(ncomp)
+    ]
+    pos = first_sot
+    seen = 0
+    while pos + 2 <= len(data):
+        (marker,) = struct.unpack(">H", data[pos : pos + 2])
+        if marker == 0xFFD9:  # EOC
+            break
+        if marker != 0xFF90:
+            raise ValueError(f"expected SOT or EOC marker, got {marker:#06x}")
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        isot, _psot, tpsot, tnsot = struct.unpack(
+            ">HIBB", data[pos + 4 : pos + 12]
+        )
+        pos += 2 + ln
+        if tpsot != 0 or tnsot not in (0, 1):
+            raise NotImplementedError(
+                "JPEG 2000 multiple tile-parts per tile not supported"
+            )
+        if isot != seen:
+            raise NotImplementedError(
+                f"JPEG 2000 out-of-order tile-part {isot} (expected {seen})"
+            )
+        if isot >= ntx * nty:
+            raise ValueError(f"tile index {isot} outside the {ntx}x{nty} grid")
+        while True:  # tile-part header: markers until SOD
+            (m2,) = struct.unpack(">H", data[pos : pos + 2])
+            if m2 == 0xFF93:
+                pos += 2
+                break
+            if m2 in (0xFF52, 0xFF53, 0xFF5C, 0xFF5D):
+                raise NotImplementedError(
+                    "JPEG 2000 per-tile coding/quantization overrides not supported"
+                )
+            (l2,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            pos += 2 + l2
+        ty_, tx_ = divmod(isot, ntx)
+        th = min(yt, h - ty_ * yt)
+        tw = min(xt, w - tx_ * xt)
+        layout_t = _band_layout(th, tw, levels)
+        comp_bands = [[None] * (levels + 1) for _ in range(ncomp)]
+        for r in range(levels + 1):
+            for ci in range(ncomp):
+                grids = [_cblk_grid(bh, bw_) for _, bh, bw_ in layout_t[r]]
+                per_band, pos = _read_packet(data, pos, grids)
+                bands_here = []
+                for k, ((orient, bh, bw_), blks) in enumerate(
+                    zip(layout_t[r], per_band)
+                ):
+                    mb, d = band_q[(r, k)]
+                    band = np.zeros(
+                        (bh, bw_), dtype=np.float64 if irreversible else np.int64
+                    )
+                    rows, cols = _cblk_grid(bh, bw_)
+                    for i in range(rows):
+                        for j in range(cols):
+                            incl, zbp, npasses, blkdata = blks[i * cols + j]
+                            if not incl:
+                                continue
+                            y0, x0 = i * _CBLK, j * _CBLK
+                            bh_b = min(_CBLK, bh - y0)
+                            bw_b = min(_CBLK, bw_ - x0)
+                            mags, signs = _t1_decode_block(
+                                blkdata, bh_b, bw_b, orient, mb - zbp, npasses
+                            )
+                            if d is not None:  # midpoint dequantization (r=0.5)
+                                vals = np.where(mags > 0, (mags + 0.5) * d, 0.0)
+                                vals = np.where(signs == 1, -vals, vals)
+                            else:
+                                vals = np.where(signs == 1, -mags, mags)
+                            band[y0 : y0 + bh_b, x0 : x0 + bw_b] = vals
+                    bands_here.append(band)
+                if r == 0:
+                    comp_bands[ci][0] = bands_here[0]
+                else:
+                    comp_bands[ci][r] = tuple(bands_here)
+        for ci in range(ncomp):
+            planes[ci][
+                ty_ * yt : ty_ * yt + th, tx_ * xt : tx_ * xt + tw
+            ] = _inv_dwt(comp_bands[ci], (th, tw), inv1d)
+        seen += 1
+    if seen != ntx * nty:
+        raise ValueError(
+            f"JPEG 2000 stream carries {seen} tiles, expected {ntx * nty}"
+        )
     if ncomp == 1:
         out = planes[0]
     else:
@@ -1334,10 +1424,11 @@ def encode_jp2(
     irreversible: bool = False,
     delta: float = 0.5,
     derived: bool = False,
+    tile_size: int | None = None,
 ) -> bytes:
     """uint8 image → minimal JP2 file (signature / ftyp / jp2h / jp2c
     boxes around the encode_j2k codestream); kwargs as encode_j2k."""
-    code = encode_j2k(img, levels, irreversible, delta, derived)
+    code = encode_j2k(img, levels, irreversible, delta, derived, tile_size)
     h, w = img.shape[:2]
     ncomp = 1 if img.ndim == 2 else 3
     ihdr = struct.pack(">IIHBBBB", h, w, ncomp, 7, 7, 0, 0)

@@ -250,14 +250,15 @@ def lossless_jpeg_store_df(
 def jp2_payload_for_ref(ref: str, page=None) -> bytes:
     """Render `ref` (or take `page`) and encode it as the crc32-chosen
     JPEG 2000 flavor: decomposition depth (1-3), container (JP2 box vs
-    raw J2K codestream), and transform — half the refs take the
-    LOSSLESS 5/3 archival path, half the IRREVERSIBLE 9/7 path real
-    scanners emit (expounded or derived quantization, step 0.5 or
-    0.25). ONE implementation, two call sites: jp2_store_df's worker
-    rows and the golden generator (tools/make_goldens._jp2_feature_row)
-    both call this, so the driver-gate oracle never assumes the lossy
-    flavors are lossless — the same contract as the JPEG-q100 and
-    telephony goldens."""
+    raw J2K codestream), TILING (half the refs write a 96px tile grid —
+    the layout big archival scans ship in), and transform — half the
+    refs take the LOSSLESS 5/3 archival path, half the IRREVERSIBLE
+    9/7 path real scanners emit (expounded or derived quantization,
+    step 0.5 or 0.25). ONE implementation, two call sites:
+    jp2_store_df's worker rows and the golden generator
+    (tools/make_goldens._jp2_feature_row) both call this, so the
+    driver-gate oracle never assumes the lossy flavors are lossless —
+    the same contract as the JPEG-q100 and telephony goldens."""
     import zlib
 
     from ..fixtures.render import render_page
@@ -267,6 +268,7 @@ def jp2_payload_for_ref(ref: str, page=None) -> bytes:
         page = render_page(ref)
     h = zlib.crc32(("jp2:" + ref).encode("utf-8"))
     enc = encode_jp2 if h & 4 else encode_j2k
+    ts = 96 if h & 64 else None
     if h & 8:
         return enc(
             page,
@@ -274,8 +276,9 @@ def jp2_payload_for_ref(ref: str, page=None) -> bytes:
             irreversible=True,
             derived=bool(h & 16),
             delta=0.5 if h & 32 else 0.25,
+            tile_size=ts,
         )
-    return enc(page, levels=1 + h % 3)
+    return enc(page, levels=1 + h % 3, tile_size=ts)
 
 
 def jp2_store_df(

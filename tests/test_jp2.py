@@ -344,3 +344,68 @@ class TestStoreFlavor:
                 np.float32(row["ink_ratio"]),
                 row["n_regions"],
             )
+
+
+class TestMultiTile:
+    def test_tiled_lossless_roundtrips_all_grids(self):
+        # edge tiles clipped, tile dims not dividing the image, tile
+        # bigger than one dimension — all exact
+        img = render_page("7_m2")  # 229x172
+        for ts in (64, 100, 128):
+            for lev in (1, 3):
+                code = encode_j2k(img, levels=lev, tile_size=ts)
+                assert np.array_equal(decode_j2k(code), img), (ts, lev)
+        # SIZ signals the tile grid
+        code = encode_j2k(img, tile_size=64)
+        i = code.index(struct.pack(">H", 0xFF51))
+        xt, yt = struct.unpack(">II", code[i + 22 : i + 30])
+        assert (xt, yt) == (64, 64)
+        assert code.count(struct.pack(">H", 0xFF90)) == 12  # 4x3 tiles
+
+    def test_tiled_rgb_and_container(self):
+        img = render_page("40_m0")
+        rgb = np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], axis=-1)
+        assert np.array_equal(decode_j2k(encode_j2k(rgb, tile_size=96)), rgb)
+        assert np.array_equal(decode_jp2(encode_jp2(img, tile_size=64)), img)
+
+    def test_tiled_97_error_bounded(self):
+        img = render_page("41_m1")
+        out = decode_j2k(encode_j2k(img, irreversible=True, tile_size=96))
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+    def test_flat_image_empty_packets(self):
+        # regression: an all-zero resolution emits an EMPTY packet; the
+        # reader must materialize not-included blocks for every band
+        # (previously IndexError deep in band assembly)
+        flat = np.full((50, 70), 200, dtype=np.uint8)
+        assert np.array_equal(decode_j2k(encode_j2k(flat)), flat)
+        assert np.array_equal(
+            decode_j2k(encode_j2k(flat, tile_size=32 * 2)), flat
+        )
+
+    def test_declared_failures(self):
+        img = render_page("40_m0")
+        code = bytearray(encode_j2k(img, tile_size=64))
+        i = code.index(struct.pack(">H", 0xFF90))
+        # TPsot != 0: multiple tile-parts per tile
+        bad = bytearray(code)
+        bad[i + 10] = 1
+        with pytest.raises(NotImplementedError, match="tile-part"):
+            decode_j2k(bytes(bad))
+        # out-of-order tile index
+        bad = bytearray(code)
+        bad[i + 5] = 2  # Isot low byte of the FIRST tile
+        with pytest.raises(NotImplementedError, match="out-of-order"):
+            decode_j2k(bytes(bad))
+        with pytest.raises(ValueError, match="tile_size"):
+            encode_j2k(img, tile_size=8)
+
+    def test_missing_tiles_fail_loudly(self):
+        img = render_page("40_m0")
+        code = encode_j2k(img, tile_size=96)
+        # truncate after the first tile: splice EOC right before the
+        # second SOT
+        first = code.index(struct.pack(">H", 0xFF90))
+        second = code.index(struct.pack(">H", 0xFF90), first + 2)
+        with pytest.raises(ValueError, match="tiles"):
+            decode_j2k(code[:second] + struct.pack(">H", 0xFFD9))
