@@ -39,11 +39,18 @@ decode: any square tile grid at offset (0,0), each tile an
 independently-coded SOT..SOD tile-part in raster order, per-tile DWT
 and code-block grids (A.4.1).
 
-Scope (declared): one layer, one tile-part per tile, 8-bit samples at
-the image seam (the deep-precision story lives in the lossless-JPEG
-path), grey or RGB. Multiple tile-parts, per-tile coding overrides,
-offset grids, multi-layer, custom precincts, coder bypass modes, and
-progression orders other than LRCP raise NotImplementedError.
+DEEP PRECISION: any 2-16-bit unsigned sample depth encodes and
+decodes (the 12/16-bit DICOM layouts, mirroring the lossless-JPEG
+path's API: `precision=` on encode, `deep=True` for full-precision
+uint16 decode, top-8/left-aligned uint8 projection at the image seam
+otherwise).
+
+Scope (declared): one layer, one tile-part per tile, grey or RGB,
+unsigned samples. Multiple tile-parts, per-tile coding overrides,
+offset grids, multi-layer, custom precincts, coder bypass modes,
+signed or mixed-depth components, and progression orders whose packet
+sequence differs from LRCP's (PCRL/CPRL; RLCP/RPCL collapse to LRCP
+at one layer/one precinct and decode) raise NotImplementedError.
 Encoder and decoder share every table; the 5/3 path is exercised as
 exact-roundtrip twins, the 9/7 path as error-bounded twins (test_jp2),
 like the engine's other codec seams.
@@ -1034,10 +1041,12 @@ def _rct_inverse(y, cb, cr):
     return cr + g, g, cb + g
 
 
-def _band_quant(levels: int, irreversible: bool, delta: float, derived: bool):
+def _band_quant(
+    levels: int, irreversible: bool, delta: float, derived: bool, precision: int = 8
+):
     """Per-band quantization in codestream order → ({(r, k): (eps, mu,
     Δ or None)}, QCD body). Style 0 (reversible): Δ is None, eps is the
-    ranging exponent 8+gain. Style 2 (expounded): every band signals
+    ranging exponent P+gain. Style 2 (expounded): every band signals
     its own (eps, mu) for the target step `delta`. Style 1 (derived):
     the LL pair is signalled and eps_b = eps0 - NL + n_b (E-5) doubles
     the step each finer resolution."""
@@ -1046,11 +1055,11 @@ def _band_quant(levels: int, irreversible: bool, delta: float, derived: bool):
         sqcd = bytearray([_GUARD << 5])
         for r in range(levels + 1):
             for k, orient in enumerate([0] if r == 0 else [1, 2, 3]):
-                q[(r, k)] = (8 + _GAIN[orient], 0, None)
-                sqcd.append((8 + _GAIN[orient]) << 3)
+                q[(r, k)] = (precision + _GAIN[orient], 0, None)
+                sqcd.append((precision + _GAIN[orient]) << 3)
         return q, bytes(sqcd)
     if derived:
-        eps0, mu0, _ = _qparams(delta, 8)
+        eps0, mu0, _ = _qparams(delta, precision)
         sqcd = bytearray([(_GUARD << 5) | 1])
         sqcd += struct.pack(">H", (eps0 << 11) | mu0)
         for r in range(levels + 1):
@@ -1061,12 +1070,14 @@ def _band_quant(levels: int, irreversible: bool, delta: float, derived: bool):
                     raise ValueError(
                         f"derived step for resolution {r} leaves eps={eps}"
                     )
-                q[(r, k)] = (eps, mu0, _qdelta(eps, mu0, 8 + _GAIN[orient]))
+                q[(r, k)] = (
+                    eps, mu0, _qdelta(eps, mu0, precision + _GAIN[orient])
+                )
         return q, bytes(sqcd)
     sqcd = bytearray([(_GUARD << 5) | 2])
     for r in range(levels + 1):
         for k, orient in enumerate([0] if r == 0 else [1, 2, 3]):
-            eps, mu, d = _qparams(delta, 8 + _GAIN[orient])
+            eps, mu, d = _qparams(delta, precision + _GAIN[orient])
             q[(r, k)] = (eps, mu, d)
             sqcd += struct.pack(">H", (eps << 11) | mu)
     return q, bytes(sqcd)
@@ -1125,9 +1136,13 @@ def encode_j2k(
     delta: float = 0.5,
     derived: bool = False,
     tile_size: int | None = None,
+    precision: int | None = None,
 ) -> bytes:
-    """(H,W) grey / (H,W,3) RGB uint8 → JPEG 2000 codestream
-    (SOC..EOC), one layer, LRCP, EBCOT Tier-1/2.
+    """(H,W) grey / (H,W,3) RGB, uint8 or uint16 → JPEG 2000
+    codestream (SOC..EOC), one layer, LRCP, EBCOT Tier-1/2.
+    `precision` is the sample depth P (2..16; default 8 for uint8 /
+    16 for uint16 — precision=12 on uint16 data is the 12-bit DICOM
+    layout, mirroring encode_jpeg_lossless).
 
     Default: lossless (5/3 reversible DWT + RCT, bit-exact decode).
     `irreversible=True` switches to the lossy Part-1 path: 9/7 CDF
@@ -1140,8 +1155,14 @@ def encode_j2k(
     ship in, each tile an independently-coded SOT..SOD tile-part so a
     reader can decode regions without the whole image. Default: one
     tile covering the image."""
-    if img.dtype != np.uint8 or img.ndim not in (2, 3):
-        raise ValueError("encode_j2k expects (H,W)/(H,W,3) uint8")
+    if img.dtype not in (np.uint8, np.uint16) or img.ndim not in (2, 3):
+        raise ValueError("encode_j2k expects (H,W)/(H,W,3) uint8 or uint16")
+    if precision is None:
+        precision = 8 if img.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision must be 2..16, got {precision}")
+    if int(img.max(initial=0)) >> precision:
+        raise ValueError(f"sample exceeds the declared {precision}-bit precision")
     if img.ndim == 3 and img.shape[2] != 3:
         raise ValueError(f"expected 3 colour channels, got {img.shape[2]}")
     if not 0 <= levels <= 32:
@@ -1153,7 +1174,9 @@ def encode_j2k(
         raise ValueError("empty image")
     if tile_size is not None and tile_size < 16:
         raise ValueError(f"tile_size must be >= 16, got {tile_size}")
-    shifted = img.astype(np.float64 if irreversible else np.int64) - 128
+    shifted = img.astype(np.float64 if irreversible else np.int64) - (
+        1 << (precision - 1)
+    )
     if img.ndim == 2:
         comps = [shifted]
         mct = 0
@@ -1163,7 +1186,7 @@ def encode_j2k(
         mct = 1
 
     fwd1d = _fwd_97_1d if irreversible else None
-    bandq, sqcd = _band_quant(levels, irreversible, delta, derived)
+    bandq, sqcd = _band_quant(levels, irreversible, delta, derived, precision)
     xt = min(tile_size, w) if tile_size else w
     yt = min(tile_size, h) if tile_size else h
     ntx, nty = -(-w // xt), -(-h // yt)
@@ -1172,7 +1195,7 @@ def encode_j2k(
     out = bytearray(struct.pack(">H", _SOC))
     siz = struct.pack(
         ">HIIIIIIII H", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp
-    ) + b"\x07\x01\x01" * ncomp  # Ssiz=7 (8-bit unsigned), 1x1 subsampling
+    ) + bytes([precision - 1, 1, 1]) * ncomp  # Ssiz=P-1 unsigned, 1x1 sampling
     out += _marker_seg(0xFF51, siz)
     cod = bytes([0]) + bytes([0]) + struct.pack(">H", 1) + bytes([mct]) + bytes(
         [levels, _CBLK.bit_length() - 3, _CBLK.bit_length() - 3, 0]
@@ -1192,16 +1215,21 @@ def encode_j2k(
     return bytes(out)
 
 
-def decode_j2k(data: bytes) -> np.ndarray:
-    """J2K codestream → (H,W)/(H,W,3) uint8. Bit-exact inverse of
+def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
+    """J2K codestream → (H,W)/(H,W,3) image. Bit-exact inverse of
     encode_j2k on the lossless 5/3 path; midpoint-dequantized (error
     <= Δ/2 per coefficient) on the irreversible 9/7 path, scalar
     derived or expounded. Tiled streams (any A.4.1 grid at offset 0,0,
-    one tile-part per tile in raster order) decode tile by tile. Fails
+    one tile-part per tile in raster order) decode tile by tile. Any
+    2-16-bit unsigned sample depth decodes; `deep=True` returns
+    full-precision samples (uint16 for P>8), otherwise the image
+    seam's uint8 projection applies: top 8 bits for P>8, left-aligned
+    for P<8 (the same convention as decode_jpeg's SOF3 path). Fails
     loudly (NotImplementedError) on the declared out-of-scope
     features: multiple tile-parts per tile, per-tile coding overrides,
-    offset grids, multi-layer, custom precincts, non-LRCP
-    progressions, coder bypass modes, subsampled or deep components."""
+    offset grids, multi-layer, custom precincts, progression orders
+    whose packet sequence differs from LRCP's, coder bypass modes,
+    subsampled or signed components."""
     if data[:2] != struct.pack(">H", _SOC):
         raise ValueError("not a JPEG 2000 codestream (missing SOC)")
     pos = 2
@@ -1233,11 +1261,19 @@ def decode_j2k(data: bytes) -> np.ndarray:
         raise NotImplementedError("JPEG 2000 offset grids not supported")
     if ncomp not in (1, 3):
         raise NotImplementedError(f"JPEG 2000 with {ncomp} components not supported")
+    precision = None
     for c in range(ncomp):
         ssiz, xr, yr = siz[36 + 3 * c], siz[37 + 3 * c], siz[38 + 3 * c]
-        if ssiz != 7:
+        if ssiz & 0x80:
+            raise NotImplementedError("JPEG 2000 signed components not supported")
+        p = (ssiz & 0x7F) + 1
+        if not 2 <= p <= 16:
+            raise NotImplementedError(f"JPEG 2000 {p}-bit components not supported")
+        if precision is None:
+            precision = p
+        elif p != precision:
             raise NotImplementedError(
-                "JPEG 2000 non-8-bit/signed components not supported"
+                "JPEG 2000 mixed-depth components not supported"
             )
         if xr != 1 or yr != 1:
             raise NotImplementedError("JPEG 2000 subsampled components not supported")
@@ -1253,7 +1289,12 @@ def decode_j2k(data: bytes) -> np.ndarray:
             "JPEG 2000 custom precincts / SOP / EPH not supported"
         )
     prog, layers, mct = cod[1], struct.unpack(">H", cod[2:4])[0], cod[4]
-    if prog != 0:
+    if prog not in (0, 1, 2):
+        # with ONE layer and ONE precinct per band (the only shapes this
+        # decoder accepts) the LRCP/RLCP/RPCL nestings all collapse to
+        # the same resolution-then-component packet sequence, so streams
+        # signalling 1/2 decode identically; PCRL/CPRL (3/4) are
+        # component-major — a genuinely different order
         raise NotImplementedError(f"JPEG 2000 progression order {prog} not supported")
     if layers != 1:
         raise NotImplementedError("JPEG 2000 multi-layer streams not supported")
@@ -1293,7 +1334,7 @@ def decode_j2k(data: bytes) -> np.ndarray:
                     raise ValueError(f"derived quantization leaves eps={eps} < 0")
                 band_q[(r, k)] = (
                     eps + guard - 1,
-                    _qdelta(eps, mu0, 8 + _GAIN[orient]),
+                    _qdelta(eps, mu0, precision + _GAIN[orient]),
                 )
     else:  # scalar expounded: one pair per band
         bi = 1
@@ -1304,7 +1345,7 @@ def decode_j2k(data: bytes) -> np.ndarray:
                 eps, mu = v >> 11, v & 0x7FF
                 band_q[(r, k)] = (
                     eps + guard - 1,
-                    _qdelta(eps, mu, 8 + _GAIN[orient]),
+                    _qdelta(eps, mu, precision + _GAIN[orient]),
                 )
 
     inv1d = _inv_97_1d if irreversible else None
@@ -1406,7 +1447,15 @@ def decode_j2k(data: bytes) -> np.ndarray:
         out = np.stack([rp, gp, bp], axis=-1)
     if irreversible:
         out = np.round(out)
-    return np.clip(out + 128, 0, 255).astype(np.uint8)
+    out = np.clip(out + (1 << (precision - 1)), 0, (1 << precision) - 1)
+    if deep:
+        return out.astype(np.uint16 if precision > 8 else np.uint8)
+    out = out.astype(np.int64)
+    if precision > 8:  # uint8 projection: top 8 bits (PNG-16 style)
+        return (out >> (precision - 8)).astype(np.uint8)
+    if precision < 8:  # left-aligned, like sub-8 lossless JPEG
+        return (out << (8 - precision)).astype(np.uint8)
+    return out.astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -1425,13 +1474,16 @@ def encode_jp2(
     delta: float = 0.5,
     derived: bool = False,
     tile_size: int | None = None,
+    precision: int | None = None,
 ) -> bytes:
-    """uint8 image → minimal JP2 file (signature / ftyp / jp2h / jp2c
-    boxes around the encode_j2k codestream); kwargs as encode_j2k."""
-    code = encode_j2k(img, levels, irreversible, delta, derived, tile_size)
+    """uint8/uint16 image → minimal JP2 file (signature / ftyp / jp2h /
+    jp2c boxes around the encode_j2k codestream); kwargs as encode_j2k."""
+    code = encode_j2k(img, levels, irreversible, delta, derived, tile_size, precision)
+    if precision is None:
+        precision = 8 if img.dtype == np.uint8 else 16
     h, w = img.shape[:2]
     ncomp = 1 if img.ndim == 2 else 3
-    ihdr = struct.pack(">IIHBBBB", h, w, ncomp, 7, 7, 0, 0)
+    ihdr = struct.pack(">IIHBBBB", h, w, ncomp, precision - 1, 7, 0, 0)
     colr = struct.pack(">BBBI", 1, 0, 0, 17 if ncomp == 1 else 16)
     jp2h = _box(b"ihdr", ihdr) + _box(b"colr", colr)
     return (
@@ -1442,11 +1494,11 @@ def encode_jp2(
     )
 
 
-def decode_jp2(data: bytes) -> np.ndarray:
-    """JP2 container OR raw codestream → uint8 image (the PDF
-    /JPXDecode seam accepts both layouts)."""
+def decode_jp2(data: bytes, deep: bool = False) -> np.ndarray:
+    """JP2 container OR raw codestream → image (the PDF /JPXDecode
+    seam accepts both layouts); `deep` as decode_j2k."""
     if data[:2] == struct.pack(">H", _SOC):
-        return decode_j2k(data)
+        return decode_j2k(data, deep)
     if data[:12] != JP2_SIG:
         raise ValueError("not a JP2 file (missing signature box)")
     pos = 12
@@ -1464,5 +1516,5 @@ def decode_jp2(data: bytes) -> np.ndarray:
             body = data[pos + 8 : pos + ln]
             pos += ln
         if btype == b"jp2c":
-            return decode_j2k(body)
+            return decode_j2k(body, deep)
     raise ValueError("JP2 file has no jp2c codestream box")

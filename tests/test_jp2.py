@@ -142,9 +142,12 @@ class TestDeclaredFailures:
         with pytest.raises(NotImplementedError, match="multi-layer"):
             decode_j2k(self._patch_cod(self._code(), 3, 2))
 
-    def test_non_lrcp_progression_raises(self):
+    def test_component_major_progression_raises(self):
+        # PCRL (3) is genuinely a different packet order; RLCP/RPCL
+        # (1/2) collapse to LRCP at one layer/one precinct and decode
+        # (TestProgressionCollapse)
         with pytest.raises(NotImplementedError, match="progression"):
-            decode_j2k(self._patch_cod(self._code(), 1, 2))
+            decode_j2k(self._patch_cod(self._code(), 1, 3))
 
     def test_codeblock_style_raises(self):
         with pytest.raises(NotImplementedError, match="style"):
@@ -409,3 +412,91 @@ class TestMultiTile:
         second = code.index(struct.pack(">H", 0xFF90), first + 2)
         with pytest.raises(ValueError, match="tiles"):
             decode_j2k(code[:second] + struct.pack(">H", 0xFFD9))
+
+
+class TestDeepPrecision:
+    """2-16-bit unsigned samples (the 12/16-bit DICOM layouts),
+    mirroring the lossless-JPEG API: precision= on encode, deep=True
+    for full-precision decode, top-8/left-aligned projection at the
+    image seam otherwise."""
+
+    def test_16bit_roundtrip_and_projection(self):
+        rng = np.random.RandomState(5)
+        x = rng.randint(0, 65536, (40, 56)).astype(np.uint16)
+        code = encode_j2k(x)  # precision defaults to 16 on uint16
+        assert np.array_equal(decode_j2k(code, deep=True), x)
+        assert np.array_equal(decode_j2k(code), (x >> 8).astype(np.uint8))
+        # SIZ signals Ssiz = P-1
+        i = code.index(struct.pack(">H", 0xFF51))
+        assert code[i + 40] == 15
+
+    def test_12bit_dicom_layout(self):
+        rng = np.random.RandomState(6)
+        x = rng.randint(0, 4096, (33, 47)).astype(np.uint16)
+        code = encode_j2k(x, precision=12)
+        assert np.array_equal(decode_j2k(code, deep=True), x)
+        assert np.array_equal(decode_j2k(code), (x >> 4).astype(np.uint8))
+
+    def test_sub8_left_aligned(self):
+        rng = np.random.RandomState(7)
+        x = rng.randint(0, 16, (20, 20)).astype(np.uint8)
+        code = encode_j2k(x, precision=4)
+        assert np.array_equal(decode_j2k(code, deep=True), x)
+        assert np.array_equal(decode_j2k(code), (x << 4).astype(np.uint8))
+
+    def test_deep_rgb_tiled(self):
+        rng = np.random.RandomState(8)
+        rgb = rng.randint(0, 65536, (70, 90, 3)).astype(np.uint16)
+        code = encode_j2k(rgb, tile_size=64)
+        assert np.array_equal(decode_j2k(code, deep=True), rgb)
+
+    def test_deep_jp2_container_and_97(self):
+        rng = np.random.RandomState(9)
+        x = rng.randint(0, 4096, (30, 42)).astype(np.uint16)
+        data = encode_jp2(x, precision=12)
+        bpc_at = data.index(b"ihdr") + 4 + 10  # body: H(4) W(4) NC(2) BPC
+        assert data[bpc_at] == 11  # ihdr BPC byte = P-1
+        assert np.array_equal(decode_jp2(data, deep=True), x)
+        out = decode_j2k(
+            encode_j2k(x, precision=12, irreversible=True, delta=0.25),
+            deep=True,
+        )
+        assert np.abs(out.astype(int) - x.astype(int)).max() <= 2
+
+    def test_guards(self):
+        x = np.full((8, 8), 300, dtype=np.uint16)
+        with pytest.raises(ValueError, match="precision"):
+            encode_j2k(x, precision=1)
+        with pytest.raises(ValueError, match="exceeds"):
+            encode_j2k(x, precision=8)
+        with pytest.raises(ValueError, match="uint8 or uint16"):
+            encode_j2k(x.astype(np.int32))
+        # signed components stay declared out of scope
+        code = bytearray(encode_j2k(np.zeros((8, 8), dtype=np.uint8)))
+        i = code.index(struct.pack(">H", 0xFF51))
+        code[i + 40] |= 0x80
+        with pytest.raises(NotImplementedError, match="signed"):
+            decode_j2k(bytes(code))
+
+
+class TestProgressionCollapse:
+    def test_rlcp_rpcl_decode_as_lrcp(self):
+        # one layer + one precinct: the R/L/C nestings collapse to the
+        # same packet sequence, so streams signalling 1/2 decode
+        img = render_page("40_m0")
+        code = bytearray(encode_j2k(img))
+        i = code.index(struct.pack(">H", 0xFF52))
+        for prog in (1, 2):
+            c2 = bytearray(code)
+            c2[i + 5] = prog
+            assert np.array_equal(decode_j2k(bytes(c2)), img), prog
+
+    def test_component_major_orders_raise(self):
+        img = render_page("40_m0")
+        code = bytearray(encode_j2k(img))
+        i = code.index(struct.pack(">H", 0xFF52))
+        for prog in (3, 4):
+            c2 = bytearray(code)
+            c2[i + 5] = prog
+            with pytest.raises(NotImplementedError, match="progression"):
+                decode_j2k(bytes(c2))
