@@ -201,14 +201,22 @@ def jpeg_store_df(
         from .jpeg_arith import encode_jpeg_arith, encode_jpeg_arith_progressive
 
         page = render_page(ref)
-        flavor = zlib.crc32(("jpeglayout:" + ref).encode("utf-8")) % 4
+        h = zlib.crc32(("jpeglayout:" + ref).encode("utf-8"))
+        # every layout also exercises its restart-marker resync path on
+        # a slice of refs (RSTn cadence crc32-chosen); restarts don't
+        # change the decode, so the golden twin is unaffected
+        ri = 7 if h & 4 else 0
+        flavor = h % 4
         if flavor == 1:
-            return (ref, encode_jpeg_progressive(page, quality))
+            return (ref, encode_jpeg_progressive(page, quality, restart_interval=ri))
         if flavor == 2:
-            return (ref, encode_jpeg_arith(page, quality))
+            return (ref, encode_jpeg_arith(page, quality, restart_interval=ri))
         if flavor == 3:
-            return (ref, encode_jpeg_arith_progressive(page, quality))
-        return (ref, encode_jpeg(page, quality))
+            return (
+                ref,
+                encode_jpeg_arith_progressive(page, quality, restart_interval=ri),
+            )
+        return (ref, encode_jpeg(page, quality, restart_interval=ri))
 
     return payload_store_df(refs, row, ref_col=ref_col, parallelism=parallelism)
 
