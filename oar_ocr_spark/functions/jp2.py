@@ -936,13 +936,22 @@ def _cblk_grid(bh: int, bw: int) -> tuple[int, int]:
     return -(-bh // _CBLK) if bh else 0, -(-bw // _CBLK) if bw else 0
 
 
-def _write_packet(out: bytearray, band_blocks: list) -> None:
+def _write_packet(
+    out: bytearray, band_blocks: list, sop_n: int | None = None, eph: bool = False
+) -> None:
     """One layer-0 packet. `band_blocks`: [(grid_rows, grid_cols,
-    [(incl, zbp, npasses, data)])] per subband in packet order."""
+    [(incl, zbp, npasses, data)])] per subband in packet order.
+    `sop_n` prepends an SOP resync marker with that sequence number
+    (A.8.1); `eph` terminates the packet header with EPH (A.8.2) —
+    the COD-signalled resync layout real encoders emit."""
+    if sop_n is not None:
+        out += struct.pack(">HHH", 0xFF91, 4, sop_n & 0xFFFF)
     if not any(blk[0] for _, _, blks in band_blocks for blk in blks):
         bw = _HeaderBitWriter()
         bw.write(0)  # empty packet
         out += bw.flush()
+        if eph:
+            out += struct.pack(">H", 0xFF92)
         return
     bw = _HeaderBitWriter()
     bw.write(1)
@@ -981,20 +990,36 @@ def _write_packet(out: bytearray, band_blocks: list) -> None:
                 bw.write_bits(len(data), 3 + extra + lbits)
                 bodies.append(data)
     out += bw.flush()
+    if eph:
+        out += struct.pack(">H", 0xFF92)
     for b in bodies:
         out += b
 
 
-def _read_packet(data: bytes, pos: int, grids: list) -> tuple[list, int]:
+def _read_packet(
+    data: bytes, pos: int, grids: list, sop: bool = False, eph: bool = False
+) -> tuple[list, int]:
     """Mirror of _write_packet → ([(included, zbp, npasses, bytes)] per
-    band, next position)."""
+    band, next position). `sop`/`eph` consume the COD-signalled resync
+    markers (the SOP sequence number is not validated — encoders
+    disagree on per-tile vs per-codestream numbering)."""
+    if sop:
+        marker, lsop = struct.unpack(">HH", data[pos : pos + 4])
+        if marker != 0xFF91 or lsop != 4:
+            raise ValueError(f"expected SOP marker before packet at {pos}")
+        pos += 6
     br = _HeaderBitReader(data, pos)
     if br.read() == 0:
         # empty packet: every code-block of every band is not included
         # (an all-zero resolution — constant tiles hit this)
+        pos = br.align()
+        if eph:
+            if data[pos : pos + 2] != struct.pack(">H", 0xFF92):
+                raise ValueError(f"expected EPH marker after packet header at {pos}")
+            pos += 2
         return [
             [(False, 0, 0, None)] * (rows * cols) for rows, cols in grids
-        ], br.align()
+        ], pos
     per_band = []
     lengths = []
     for rows, cols in grids:
@@ -1021,6 +1046,10 @@ def _read_packet(data: bytes, pos: int, grids: list) -> tuple[list, int]:
                     lengths.append((len(per_band), len(blks) - 1, ln))
         per_band.append(blks)
     pos = br.align()
+    if eph:
+        if data[pos : pos + 2] != struct.pack(">H", 0xFF92):
+            raise ValueError(f"expected EPH marker after packet header at {pos}")
+        pos += 2
     for bi, ki, ln in lengths:
         incl, zbp, npasses, _ = per_band[bi][ki]
         per_band[bi][ki] = (incl, zbp, npasses, data[pos : pos + ln])
@@ -1083,13 +1112,18 @@ def _band_quant(
     return q, bytes(sqcd)
 
 
-def _encode_tile_packets(comps: list, levels: int, bandq: dict, fwd1d) -> bytearray:
+def _encode_tile_packets(
+    comps: list, levels: int, bandq: dict, fwd1d, sop: bool = False, eph: bool = False
+) -> bytearray:
     """One tile's component planes (already level-shifted and
     color-transformed) → the tile's layer-0 packets in LRCP order:
     per-component DWT, per-band quantization (when `bandq` carries a
-    step), Tier-1 block coding, Tier-2 packet headers."""
+    step), Tier-1 block coding, Tier-2 packet headers. `sop`/`eph`
+    emit the COD-signalled resync markers (SOP numbered per tile from
+    0, the OpenJPEG convention)."""
     comp_bands = [_fwd_dwt(c, levels, fwd1d) for c in comps]
     packets = bytearray()
+    pkt_n = 0
     for r in range(levels + 1):
         for ci in range(len(comps)):
             bands = (
@@ -1125,7 +1159,10 @@ def _encode_tile_packets(comps: list, levels: int, bandq: dict, fwd1d) -> bytear
                         data, npasses = _t1_encode_block(mags, signs, orient, nbps)
                         blks.append((True, mb - nbps, npasses, data))
                 band_blocks.append((rows, cols, blks))
-            _write_packet(packets, band_blocks)
+            _write_packet(
+                packets, band_blocks, sop_n=pkt_n if sop else None, eph=eph
+            )
+            pkt_n += 1
     return packets
 
 
@@ -1137,12 +1174,16 @@ def encode_j2k(
     derived: bool = False,
     tile_size: int | None = None,
     precision: int | None = None,
+    sop: bool = False,
+    eph: bool = False,
 ) -> bytes:
     """(H,W) grey / (H,W,3) RGB, uint8 or uint16 → JPEG 2000
     codestream (SOC..EOC), one layer, LRCP, EBCOT Tier-1/2.
     `precision` is the sample depth P (2..16; default 8 for uint8 /
     16 for uint16 — precision=12 on uint16 data is the 12-bit DICOM
-    layout, mirroring encode_jpeg_lossless).
+    layout, mirroring encode_jpeg_lossless). `sop`/`eph` emit the
+    COD-signalled resync markers (SOP before each packet, EPH after
+    each packet header) that error-resilient encoder profiles use.
 
     Default: lossless (5/3 reversible DWT + RCT, bit-exact decode).
     `irreversible=True` switches to the lossy Part-1 path: 9/7 CDF
@@ -1197,7 +1238,8 @@ def encode_j2k(
         ">HIIIIIIII H", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp
     ) + bytes([precision - 1, 1, 1]) * ncomp  # Ssiz=P-1 unsigned, 1x1 sampling
     out += _marker_seg(0xFF51, siz)
-    cod = bytes([0]) + bytes([0]) + struct.pack(">H", 1) + bytes([mct]) + bytes(
+    scod = (2 if sop else 0) | (4 if eph else 0)
+    cod = bytes([scod]) + bytes([0]) + struct.pack(">H", 1) + bytes([mct]) + bytes(
         [levels, _CBLK.bit_length() - 3, _CBLK.bit_length() - 3, 0]
     ) + bytes([0 if irreversible else 1])
     out += _marker_seg(0xFF52, cod)
@@ -1206,7 +1248,7 @@ def encode_j2k(
         ty, tx = divmod(t, ntx)
         y0, x0 = ty * yt, tx * xt
         tile_comps = [c[y0 : min(y0 + yt, h), x0 : min(x0 + xt, w)] for c in comps]
-        packets = _encode_tile_packets(tile_comps, levels, bandq, fwd1d)
+        packets = _encode_tile_packets(tile_comps, levels, bandq, fwd1d, sop, eph)
         psot = 12 + 2 + len(packets)  # SOT seg + SOD marker + data
         out += _marker_seg(0xFF90, struct.pack(">HIBB", t, psot, 0, 1))
         out += struct.pack(">H", 0xFF93)
@@ -1284,10 +1326,9 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
     ntx, nty = -(-w // xt), -(-h // yt)
 
     scod = cod[0]
-    if scod & 0x07:
-        raise NotImplementedError(
-            "JPEG 2000 custom precincts / SOP / EPH not supported"
-        )
+    if scod & 0x01:
+        raise NotImplementedError("JPEG 2000 custom precincts not supported")
+    sop, eph = bool(scod & 0x02), bool(scod & 0x04)
     prog, layers, mct = cod[1], struct.unpack(">H", cod[2:4])[0], cod[4]
     if prog not in (0, 1, 2):
         # with ONE layer and ONE precinct per band (the only shapes this
@@ -1395,7 +1436,7 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
         for r in range(levels + 1):
             for ci in range(ncomp):
                 grids = [_cblk_grid(bh, bw_) for _, bh, bw_ in layout_t[r]]
-                per_band, pos = _read_packet(data, pos, grids)
+                per_band, pos = _read_packet(data, pos, grids, sop, eph)
                 bands_here = []
                 for k, ((orient, bh, bw_), blks) in enumerate(
                     zip(layout_t[r], per_band)
@@ -1475,10 +1516,14 @@ def encode_jp2(
     derived: bool = False,
     tile_size: int | None = None,
     precision: int | None = None,
+    sop: bool = False,
+    eph: bool = False,
 ) -> bytes:
     """uint8/uint16 image → minimal JP2 file (signature / ftyp / jp2h /
     jp2c boxes around the encode_j2k codestream); kwargs as encode_j2k."""
-    code = encode_j2k(img, levels, irreversible, delta, derived, tile_size, precision)
+    code = encode_j2k(
+        img, levels, irreversible, delta, derived, tile_size, precision, sop, eph
+    )
     if precision is None:
         precision = 8 if img.dtype == np.uint8 else 16
     h, w = img.shape[:2]

@@ -277,6 +277,7 @@ def jp2_payload_for_ref(ref: str, page=None) -> bytes:
     h = zlib.crc32(("jp2:" + ref).encode("utf-8"))
     enc = encode_jp2 if h & 4 else encode_j2k
     ts = 96 if h & 64 else None
+    resync = {"sop": bool(h & 256), "eph": bool(h & 512)}
     if h & 8:
         return enc(
             page,
@@ -285,8 +286,9 @@ def jp2_payload_for_ref(ref: str, page=None) -> bytes:
             derived=bool(h & 16),
             delta=0.5 if h & 32 else 0.25,
             tile_size=ts,
+            **resync,
         )
-    return enc(page, levels=1 + h % 3, tile_size=ts)
+    return enc(page, levels=1 + h % 3, tile_size=ts, **resync)
 
 
 def jp2_store_df(

@@ -500,3 +500,55 @@ class TestProgressionCollapse:
             c2[i + 5] = prog
             with pytest.raises(NotImplementedError, match="progression"):
                 decode_j2k(bytes(c2))
+
+
+class TestResyncMarkers:
+    """SOP/EPH (A.8): the COD-signalled packet resync layout
+    error-resilient encoder profiles emit."""
+
+    def test_sop_eph_roundtrip_all_paths(self):
+        img = render_page("40_m0")
+        rgb = np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], axis=-1)
+        for kw in ({"sop": True}, {"eph": True}, {"sop": True, "eph": True}):
+            assert np.array_equal(decode_j2k(encode_j2k(img, **kw)), img), kw
+            assert np.array_equal(
+                decode_j2k(encode_j2k(rgb, tile_size=96, **kw)), rgb
+            ), kw
+            err = np.abs(
+                decode_j2k(encode_j2k(img, irreversible=True, **kw)).astype(int)
+                - img.astype(int)
+            )
+            assert err.max() <= 2, kw
+        # one marker pair per packet (levels=2 grey -> 3 packets), and
+        # the COD Scod byte signals both
+        code = encode_j2k(img, sop=True, eph=True)
+        assert code.count(struct.pack(">H", 0xFF91)) == 3
+        assert code.count(struct.pack(">H", 0xFF92)) == 3
+        i = code.index(struct.pack(">H", 0xFF52))
+        assert code[i + 4] == 0x06
+
+    def test_empty_packets_carry_markers(self):
+        flat = np.full((40, 40), 77, dtype=np.uint8)
+        code = encode_j2k(flat, sop=True, eph=True)
+        assert np.array_equal(decode_j2k(code), flat)
+
+    def test_container_passthrough(self):
+        img = render_page("41_m1")
+        assert np.array_equal(
+            decode_jp2(encode_jp2(img, sop=True, eph=True)), img
+        )
+
+    def test_missing_markers_fail_loudly(self):
+        img = render_page("40_m0")
+        code = bytearray(encode_j2k(img))
+        i = code.index(struct.pack(">H", 0xFF52))
+        code[i + 4] = 0x02  # claim SOP without emitting it
+        with pytest.raises(ValueError, match="SOP"):
+            decode_j2k(bytes(code))
+        code[i + 4] = 0x04  # claim EPH without emitting it
+        with pytest.raises(ValueError, match="EPH"):
+            decode_j2k(bytes(code))
+        # custom precincts stay declared out of scope
+        code[i + 4] = 0x01
+        with pytest.raises(NotImplementedError, match="precinct"):
+            decode_j2k(bytes(code))
