@@ -45,12 +45,15 @@ path's API: `precision=` on encode, `deep=True` for full-precision
 uint16 decode, top-8/left-aligned uint8 projection at the image seam
 otherwise).
 
+All FIVE Part-1 progression orders (A.6.1) encode and decode — at one
+layer/one precinct they collapse to two packet sequences, resolution-
+major (LRCP/RLCP/RPCL) and component-major (PCRL/CPRL) — as do the
+SOP/EPH resync marker layouts (A.8).
+
 Scope (declared): one layer, one tile-part per tile, grey or RGB,
 unsigned samples. Multiple tile-parts, per-tile coding overrides,
-offset grids, multi-layer, custom precincts, coder bypass modes,
-signed or mixed-depth components, and progression orders whose packet
-sequence differs from LRCP's (PCRL/CPRL; RLCP/RPCL collapse to LRCP
-at one layer/one precinct and decode) raise NotImplementedError.
+offset grids, multi-layer, custom precincts, coder bypass modes, and
+signed or mixed-depth components raise NotImplementedError.
 Encoder and decoder share every table; the 5/3 path is exercised as
 exact-roundtrip twins, the 9/7 path as error-bounded twins (test_jp2),
 like the engine's other codec seams.
@@ -1112,8 +1115,24 @@ def _band_quant(
     return q, bytes(sqcd)
 
 
+def _packet_order(levels: int, ncomp: int, comp_major: bool) -> list:
+    """One tile's packet sequence as (resolution, component) pairs.
+    At one layer and one precinct per band the five Part-1 progression
+    orders (A.6.1) collapse to exactly two sequences: resolution-major
+    (LRCP/RLCP/RPCL) and component-major (PCRL/CPRL)."""
+    if comp_major:
+        return [(r, ci) for ci in range(ncomp) for r in range(levels + 1)]
+    return [(r, ci) for r in range(levels + 1) for ci in range(ncomp)]
+
+
 def _encode_tile_packets(
-    comps: list, levels: int, bandq: dict, fwd1d, sop: bool = False, eph: bool = False
+    comps: list,
+    levels: int,
+    bandq: dict,
+    fwd1d,
+    sop: bool = False,
+    eph: bool = False,
+    comp_major: bool = False,
 ) -> bytearray:
     """One tile's component planes (already level-shifted and
     color-transformed) → the tile's layer-0 packets in LRCP order:
@@ -1124,45 +1143,42 @@ def _encode_tile_packets(
     comp_bands = [_fwd_dwt(c, levels, fwd1d) for c in comps]
     packets = bytearray()
     pkt_n = 0
-    for r in range(levels + 1):
-        for ci in range(len(comps)):
-            bands = (
-                [comp_bands[ci][0]] if r == 0 else list(comp_bands[ci][r])
-            )
-            orients = [0] if r == 0 else [1, 2, 3]
-            band_blocks = []
-            for k, (band, orient) in enumerate(zip(bands, orients)):
-                bh, bw_ = band.shape
-                rows, cols = _cblk_grid(bh, bw_)
-                eps, _, d = bandq[(r, k)]
-                mb = eps + _GUARD - 1
-                if d is not None:  # quantize to indices
-                    band = np.floor(np.abs(band) / d).astype(np.int64) * np.where(
-                        band < 0, -1, 1
-                    )
-                blks = []
-                for i in range(rows):
-                    for j in range(cols):
-                        blk = band[
-                            i * _CBLK : (i + 1) * _CBLK, j * _CBLK : (j + 1) * _CBLK
-                        ]
-                        mags = np.abs(blk)
-                        nbps = int(mags.max()).bit_length()
-                        if nbps == 0:
-                            blks.append((False, 0, 0, b""))
-                            continue
-                        if nbps > mb:
-                            raise ValueError(
-                                f"coefficient needs {nbps} bits > Mb={mb}"
-                            )
-                        signs = (blk < 0).astype(np.uint8)
-                        data, npasses = _t1_encode_block(mags, signs, orient, nbps)
-                        blks.append((True, mb - nbps, npasses, data))
-                band_blocks.append((rows, cols, blks))
-            _write_packet(
-                packets, band_blocks, sop_n=pkt_n if sop else None, eph=eph
-            )
-            pkt_n += 1
+    for r, ci in _packet_order(levels, len(comps), comp_major):
+        bands = [comp_bands[ci][0]] if r == 0 else list(comp_bands[ci][r])
+        orients = [0] if r == 0 else [1, 2, 3]
+        band_blocks = []
+        for k, (band, orient) in enumerate(zip(bands, orients)):
+            bh, bw_ = band.shape
+            rows, cols = _cblk_grid(bh, bw_)
+            eps, _, d = bandq[(r, k)]
+            mb = eps + _GUARD - 1
+            if d is not None:  # quantize to indices
+                band = np.floor(np.abs(band) / d).astype(np.int64) * np.where(
+                    band < 0, -1, 1
+                )
+            blks = []
+            for i in range(rows):
+                for j in range(cols):
+                    blk = band[
+                        i * _CBLK : (i + 1) * _CBLK, j * _CBLK : (j + 1) * _CBLK
+                    ]
+                    mags = np.abs(blk)
+                    nbps = int(mags.max()).bit_length()
+                    if nbps == 0:
+                        blks.append((False, 0, 0, b""))
+                        continue
+                    if nbps > mb:
+                        raise ValueError(
+                            f"coefficient needs {nbps} bits > Mb={mb}"
+                        )
+                    signs = (blk < 0).astype(np.uint8)
+                    data, npasses = _t1_encode_block(mags, signs, orient, nbps)
+                    blks.append((True, mb - nbps, npasses, data))
+            band_blocks.append((rows, cols, blks))
+        _write_packet(
+            packets, band_blocks, sop_n=pkt_n if sop else None, eph=eph
+        )
+        pkt_n += 1
     return packets
 
 
@@ -1176,9 +1192,14 @@ def encode_j2k(
     precision: int | None = None,
     sop: bool = False,
     eph: bool = False,
+    prog: str = "lrcp",
 ) -> bytes:
     """(H,W) grey / (H,W,3) RGB, uint8 or uint16 → JPEG 2000
-    codestream (SOC..EOC), one layer, LRCP, EBCOT Tier-1/2.
+    codestream (SOC..EOC), one layer, EBCOT Tier-1/2. `prog` is any
+    of the five Part-1 progression orders — at one layer/one precinct
+    lrcp/rlcp/rpcl share the resolution-major packet sequence and
+    pcrl/cprl the component-major one; the signalled byte matches the
+    name.
     `precision` is the sample depth P (2..16; default 8 for uint8 /
     16 for uint16 — precision=12 on uint16 data is the 12-bit DICOM
     layout, mirroring encode_jpeg_lossless). `sop`/`eph` emit the
@@ -1238,8 +1259,14 @@ def encode_j2k(
         ">HIIIIIIII H", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp
     ) + bytes([precision - 1, 1, 1]) * ncomp  # Ssiz=P-1 unsigned, 1x1 sampling
     out += _marker_seg(0xFF51, siz)
+    progs = {"lrcp": 0, "rlcp": 1, "rpcl": 2, "pcrl": 3, "cprl": 4}
+    if prog not in progs:
+        raise ValueError(f"prog must be one of {sorted(progs)}, got {prog!r}")
+    comp_major = progs[prog] >= 3
     scod = (2 if sop else 0) | (4 if eph else 0)
-    cod = bytes([scod]) + bytes([0]) + struct.pack(">H", 1) + bytes([mct]) + bytes(
+    cod = bytes([scod]) + bytes([progs[prog]]) + struct.pack(">H", 1) + bytes(
+        [mct]
+    ) + bytes(
         [levels, _CBLK.bit_length() - 3, _CBLK.bit_length() - 3, 0]
     ) + bytes([0 if irreversible else 1])
     out += _marker_seg(0xFF52, cod)
@@ -1248,7 +1275,9 @@ def encode_j2k(
         ty, tx = divmod(t, ntx)
         y0, x0 = ty * yt, tx * xt
         tile_comps = [c[y0 : min(y0 + yt, h), x0 : min(x0 + xt, w)] for c in comps]
-        packets = _encode_tile_packets(tile_comps, levels, bandq, fwd1d, sop, eph)
+        packets = _encode_tile_packets(
+            tile_comps, levels, bandq, fwd1d, sop, eph, comp_major
+        )
         psot = 12 + 2 + len(packets)  # SOT seg + SOD marker + data
         out += _marker_seg(0xFF90, struct.pack(">HIBB", t, psot, 0, 1))
         out += struct.pack(">H", 0xFF93)
@@ -1269,9 +1298,9 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
     for P<8 (the same convention as decode_jpeg's SOF3 path). Fails
     loudly (NotImplementedError) on the declared out-of-scope
     features: multiple tile-parts per tile, per-tile coding overrides,
-    offset grids, multi-layer, custom precincts, progression orders
-    whose packet sequence differs from LRCP's, coder bypass modes,
-    subsampled or signed components."""
+    offset grids, multi-layer, custom precincts, coder bypass modes,
+    subsampled or signed components. All five progression orders and
+    the SOP/EPH resync layouts decode."""
     if data[:2] != struct.pack(">H", _SOC):
         raise ValueError("not a JPEG 2000 codestream (missing SOC)")
     pos = 2
@@ -1330,13 +1359,13 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
         raise NotImplementedError("JPEG 2000 custom precincts not supported")
     sop, eph = bool(scod & 0x02), bool(scod & 0x04)
     prog, layers, mct = cod[1], struct.unpack(">H", cod[2:4])[0], cod[4]
-    if prog not in (0, 1, 2):
-        # with ONE layer and ONE precinct per band (the only shapes this
-        # decoder accepts) the LRCP/RLCP/RPCL nestings all collapse to
-        # the same resolution-then-component packet sequence, so streams
-        # signalling 1/2 decode identically; PCRL/CPRL (3/4) are
-        # component-major — a genuinely different order
-        raise NotImplementedError(f"JPEG 2000 progression order {prog} not supported")
+    if prog > 4:
+        raise ValueError(f"JPEG 2000 progression order {prog} is illegal")
+    # with ONE layer and ONE precinct per band (the only shapes this
+    # decoder accepts) the five A.6.1 orders collapse to two packet
+    # sequences: resolution-major (LRCP/RLCP/RPCL) and component-major
+    # (PCRL/CPRL) — _packet_order picks the right one
+    comp_major = prog >= 3
     if layers != 1:
         raise NotImplementedError("JPEG 2000 multi-layer streams not supported")
     levels, cbw, cbh, cbstyle, transform = cod[5], cod[6], cod[7], cod[8], cod[9]
@@ -1433,41 +1462,40 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
         tw = min(xt, w - tx_ * xt)
         layout_t = _band_layout(th, tw, levels)
         comp_bands = [[None] * (levels + 1) for _ in range(ncomp)]
-        for r in range(levels + 1):
-            for ci in range(ncomp):
-                grids = [_cblk_grid(bh, bw_) for _, bh, bw_ in layout_t[r]]
-                per_band, pos = _read_packet(data, pos, grids, sop, eph)
-                bands_here = []
-                for k, ((orient, bh, bw_), blks) in enumerate(
-                    zip(layout_t[r], per_band)
-                ):
-                    mb, d = band_q[(r, k)]
-                    band = np.zeros(
-                        (bh, bw_), dtype=np.float64 if irreversible else np.int64
-                    )
-                    rows, cols = _cblk_grid(bh, bw_)
-                    for i in range(rows):
-                        for j in range(cols):
-                            incl, zbp, npasses, blkdata = blks[i * cols + j]
-                            if not incl:
-                                continue
-                            y0, x0 = i * _CBLK, j * _CBLK
-                            bh_b = min(_CBLK, bh - y0)
-                            bw_b = min(_CBLK, bw_ - x0)
-                            mags, signs = _t1_decode_block(
-                                blkdata, bh_b, bw_b, orient, mb - zbp, npasses
-                            )
-                            if d is not None:  # midpoint dequantization (r=0.5)
-                                vals = np.where(mags > 0, (mags + 0.5) * d, 0.0)
-                                vals = np.where(signs == 1, -vals, vals)
-                            else:
-                                vals = np.where(signs == 1, -mags, mags)
-                            band[y0 : y0 + bh_b, x0 : x0 + bw_b] = vals
-                    bands_here.append(band)
-                if r == 0:
-                    comp_bands[ci][0] = bands_here[0]
-                else:
-                    comp_bands[ci][r] = tuple(bands_here)
+        for r, ci in _packet_order(levels, ncomp, comp_major):
+            grids = [_cblk_grid(bh, bw_) for _, bh, bw_ in layout_t[r]]
+            per_band, pos = _read_packet(data, pos, grids, sop, eph)
+            bands_here = []
+            for k, ((orient, bh, bw_), blks) in enumerate(
+                zip(layout_t[r], per_band)
+            ):
+                mb, d = band_q[(r, k)]
+                band = np.zeros(
+                    (bh, bw_), dtype=np.float64 if irreversible else np.int64
+                )
+                rows, cols = _cblk_grid(bh, bw_)
+                for i in range(rows):
+                    for j in range(cols):
+                        incl, zbp, npasses, blkdata = blks[i * cols + j]
+                        if not incl:
+                            continue
+                        y0, x0 = i * _CBLK, j * _CBLK
+                        bh_b = min(_CBLK, bh - y0)
+                        bw_b = min(_CBLK, bw_ - x0)
+                        mags, signs = _t1_decode_block(
+                            blkdata, bh_b, bw_b, orient, mb - zbp, npasses
+                        )
+                        if d is not None:  # midpoint dequantization (r=0.5)
+                            vals = np.where(mags > 0, (mags + 0.5) * d, 0.0)
+                            vals = np.where(signs == 1, -vals, vals)
+                        else:
+                            vals = np.where(signs == 1, -mags, mags)
+                        band[y0 : y0 + bh_b, x0 : x0 + bw_b] = vals
+                bands_here.append(band)
+            if r == 0:
+                comp_bands[ci][0] = bands_here[0]
+            else:
+                comp_bands[ci][r] = tuple(bands_here)
         for ci in range(ncomp):
             planes[ci][
                 ty_ * yt : ty_ * yt + th, tx_ * xt : tx_ * xt + tw
@@ -1518,11 +1546,13 @@ def encode_jp2(
     precision: int | None = None,
     sop: bool = False,
     eph: bool = False,
+    prog: str = "lrcp",
 ) -> bytes:
     """uint8/uint16 image → minimal JP2 file (signature / ftyp / jp2h /
     jp2c boxes around the encode_j2k codestream); kwargs as encode_j2k."""
     code = encode_j2k(
-        img, levels, irreversible, delta, derived, tile_size, precision, sop, eph
+        img, levels, irreversible, delta, derived, tile_size, precision, sop, eph,
+        prog,
     )
     if precision is None:
         precision = 8 if img.dtype == np.uint8 else 16

@@ -277,7 +277,11 @@ def jp2_payload_for_ref(ref: str, page=None) -> bytes:
     h = zlib.crc32(("jp2:" + ref).encode("utf-8"))
     enc = encode_jp2 if h & 4 else encode_j2k
     ts = 96 if h & 64 else None
-    resync = {"sop": bool(h & 256), "eph": bool(h & 512)}
+    resync = {
+        "sop": bool(h & 256),
+        "eph": bool(h & 512),
+        "prog": ("lrcp", "rlcp", "rpcl", "pcrl", "cprl")[(h >> 10) % 5],
+    }
     if h & 8:
         return enc(
             page,

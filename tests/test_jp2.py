@@ -142,12 +142,11 @@ class TestDeclaredFailures:
         with pytest.raises(NotImplementedError, match="multi-layer"):
             decode_j2k(self._patch_cod(self._code(), 3, 2))
 
-    def test_component_major_progression_raises(self):
-        # PCRL (3) is genuinely a different packet order; RLCP/RPCL
-        # (1/2) collapse to LRCP at one layer/one precinct and decode
-        # (TestProgressionCollapse)
-        with pytest.raises(NotImplementedError, match="progression"):
-            decode_j2k(self._patch_cod(self._code(), 1, 3))
+    def test_illegal_progression_byte_raises(self):
+        # all five A.6.1 orders decode (TestProgressionCollapse);
+        # bytes past 4 are illegal
+        with pytest.raises(ValueError, match="progression"):
+            decode_j2k(self._patch_cod(self._code(), 1, 5))
 
     def test_codeblock_style_raises(self):
         with pytest.raises(NotImplementedError, match="style"):
@@ -480,9 +479,22 @@ class TestDeepPrecision:
 
 
 class TestProgressionCollapse:
+    """All five A.6.1 progression orders encode and decode: at one
+    layer/one precinct they collapse to exactly two packet sequences —
+    resolution-major (LRCP/RLCP/RPCL) and component-major (PCRL/CPRL)."""
+
+    def test_all_five_orders_roundtrip(self):
+        img = render_page("40_m0")
+        rgb = np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], axis=-1)
+        for prog in ("lrcp", "rlcp", "rpcl", "pcrl", "cprl"):
+            assert np.array_equal(decode_j2k(encode_j2k(img, prog=prog)), img)
+            assert np.array_equal(decode_j2k(encode_j2k(rgb, prog=prog)), rgb)
+            assert np.array_equal(
+                decode_j2k(encode_j2k(rgb, prog=prog, tile_size=96)), rgb
+            ), prog
+
     def test_rlcp_rpcl_decode_as_lrcp(self):
-        # one layer + one precinct: the R/L/C nestings collapse to the
-        # same packet sequence, so streams signalling 1/2 decode
+        # within the resolution-major family a relabel is a no-op
         img = render_page("40_m0")
         code = bytearray(encode_j2k(img))
         i = code.index(struct.pack(">H", 0xFF52))
@@ -491,15 +503,13 @@ class TestProgressionCollapse:
             c2[i + 5] = prog
             assert np.array_equal(decode_j2k(bytes(c2)), img), prog
 
-    def test_component_major_orders_raise(self):
+    def test_families_differ_on_color(self):
+        # the two families are genuinely different byte sequences
         img = render_page("40_m0")
-        code = bytearray(encode_j2k(img))
-        i = code.index(struct.pack(">H", 0xFF52))
-        for prog in (3, 4):
-            c2 = bytearray(code)
-            c2[i + 5] = prog
-            with pytest.raises(NotImplementedError, match="progression"):
-                decode_j2k(bytes(c2))
+        rgb = np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], axis=-1)
+        assert encode_j2k(rgb, prog="lrcp") != encode_j2k(rgb, prog="pcrl")
+        with pytest.raises(ValueError, match="prog"):
+            encode_j2k(img, prog="nope")
 
 
 class TestResyncMarkers:
