@@ -1322,6 +1322,16 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
             cod = body
         elif marker == 0xFF5C:
             qcd = body
+        elif marker in (0xFF53, 0xFF5D, 0xFF5F, 0xFF60):
+            # silently skipping these would decode WRONG rather than
+            # fail: COC/QCC override coding/quantization per component,
+            # POC changes the progression mid-stream, PPM moves the
+            # packet headers out of the bitstream
+            raise NotImplementedError(
+                "JPEG 2000 COC/QCC/POC/PPM main-header overrides not supported"
+            )
+        # other main-header segments (COM/TLM/PLM/CRG) are advisory
+        # and skipped
     if first_sot is None:
         raise ValueError("JPEG 2000 codestream has no tile-part (SOT)")
     if siz is None or cod is None or qcd is None:
@@ -1451,9 +1461,12 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
             if m2 == 0xFF93:
                 pos += 2
                 break
-            if m2 in (0xFF52, 0xFF53, 0xFF5C, 0xFF5D):
+            if m2 in (0xFF52, 0xFF53, 0xFF5C, 0xFF5D, 0xFF5F, 0xFF61):
+                # per-tile COD/COC/QCD/QCC/POC overrides and PPT packed
+                # packet headers would silently misparse the packets
                 raise NotImplementedError(
-                    "JPEG 2000 per-tile coding/quantization overrides not supported"
+                    "JPEG 2000 per-tile coding/quantization/progression "
+                    "overrides not supported"
                 )
             (l2,) = struct.unpack(">H", data[pos + 2 : pos + 4])
             pos += 2 + l2

@@ -562,3 +562,39 @@ class TestResyncMarkers:
         code[i + 4] = 0x01
         with pytest.raises(NotImplementedError, match="precinct"):
             decode_j2k(bytes(code))
+
+
+class TestSilentMisparseGuards:
+    """Markers whose silent skip would decode WRONG must fail loudly:
+    COC/QCC/POC/PPM in the main header, COD/COC/QCD/QCC/POC/PPT in a
+    tile-part header."""
+
+    def _with_main_marker(self, marker):
+        code = bytearray(encode_j2k(render_page("40_m0")))
+        i = code.index(struct.pack(">H", 0xFF5C))  # before QCD
+        return bytes(code[:i]) + struct.pack(">HH", marker, 4) + b"\x00\x00" + bytes(
+            code[i:]
+        )
+
+    def test_main_header_overrides_raise(self):
+        for marker in (0xFF53, 0xFF5D, 0xFF5F, 0xFF60):
+            with pytest.raises(NotImplementedError, match="not supported"):
+                decode_j2k(self._with_main_marker(marker))
+
+    def test_tile_header_overrides_raise(self):
+        code = bytearray(encode_j2k(render_page("40_m0")))
+        i = code.index(struct.pack(">H", 0xFF93))  # SOD: inject before
+        patched = bytes(code[:i]) + struct.pack(">HH", 0xFF61, 4) + b"\x00\x00" + bytes(
+            code[i:]
+        )
+        with pytest.raises(NotImplementedError, match="not supported"):
+            decode_j2k(patched)
+
+    def test_advisory_markers_skipped(self):
+        # COM (main) is advisory — a stream carrying one still decodes
+        img = render_page("40_m0")
+        code = bytearray(encode_j2k(img))
+        i = code.index(struct.pack(">H", 0xFF5C))
+        com = struct.pack(">HHH", 0xFF64, 6, 1) + b"hi"
+        patched = bytes(code[:i]) + com + bytes(code[i:])
+        assert np.array_equal(decode_j2k(patched), img)
