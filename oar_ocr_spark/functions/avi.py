@@ -32,6 +32,8 @@ from pyspark.sql import types as T
 
 from .jpeg import decode_jpeg, encode_jpeg
 
+from .codec_guard import loud_decode
+
 __all__ = [
     "encode_avi_mjpeg",
     "decode_avi_frames",
@@ -131,10 +133,12 @@ def _movi_frames(data: bytes) -> list[tuple[int, int]]:
     return frames
 
 
+@loud_decode("AVI")
 def avi_frame_count(data: bytes) -> int:
     return len(_movi_frames(data))
 
 
+@loud_decode("AVI")
 def decode_avi_frames(data: bytes, indices: list[int] | None = None) -> list[np.ndarray]:
     """Decode all frames, or just `indices` (random access via the
     chunk table — only the requested JPEGs are decoded)."""

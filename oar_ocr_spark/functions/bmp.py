@@ -22,6 +22,8 @@ import struct
 
 import numpy as np
 
+from .codec_guard import loud_decode
+
 __all__ = ["encode_bmp", "decode_bmp", "BMP_MAGIC"]
 
 BMP_MAGIC = b"BM"
@@ -119,6 +121,7 @@ def _rle8_decode(data: bytes, h: int, w: int) -> np.ndarray:
     return out
 
 
+@loud_decode("BMP")
 def decode_bmp(data: bytes) -> np.ndarray:
     """BMP bytes → (H,W,3) uint8 RGB (palettes resolved; the media
     seam converts to grey downstream)."""

@@ -30,6 +30,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .codec_guard import loud_decode
+
 __all__ = [
     "ccitt_decode",
     "ccitt_encode_g4",
@@ -294,6 +296,7 @@ def _changes_to_bits(changes: list[int], columns: int) -> np.ndarray:
     return row
 
 
+@loud_decode("CCITT")
 def ccitt_decode(
     data: bytes,
     columns: int,

@@ -34,6 +34,8 @@ import struct
 
 import numpy as np
 
+from .codec_guard import loud_decode
+
 __all__ = ["encode_gif", "decode_gif", "decode_gif_frames", "GIF_MAGIC"]
 
 GIF_MAGIC = b"GIF8"
@@ -189,6 +191,7 @@ def _lzw_decode_gif(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
     return out
 
 
+@loud_decode("GIF")
 def decode_gif_frames(data: bytes, limit: int | None = None) -> list[np.ndarray]:
     """GIF bytes → list of (H,W,3) uint8 frames composited onto the
     logical screen (background = WHITE, the shared document
@@ -280,6 +283,7 @@ def decode_gif_frames(data: bytes, limit: int | None = None) -> list[np.ndarray]
     return frames
 
 
+@loud_decode("GIF")
 def decode_gif(data: bytes) -> np.ndarray:
     """GIF bytes → first composited (H,W,3) uint8 frame, decoded
     without touching later frames (the image-seam contract; use

@@ -65,6 +65,8 @@ import struct
 
 import numpy as np
 
+from .codec_guard import loud_decode
+
 __all__ = ["encode_j2k", "decode_j2k", "encode_jp2", "decode_jp2", "JP2_SIG"]
 
 JP2_SIG = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
@@ -1286,6 +1288,7 @@ def encode_j2k(
     return bytes(out)
 
 
+@loud_decode("JPEG 2000")
 def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
     """J2K codestream → (H,W)/(H,W,3) image. Bit-exact inverse of
     encode_j2k on the lossless 5/3 path; midpoint-dequantized (error
@@ -1359,6 +1362,10 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
         if xr != 1 or yr != 1:
             raise NotImplementedError("JPEG 2000 subsampled components not supported")
     h, w = ys, xs
+    if h == 0 or w == 0 or int(h) * int(w) > 1 << 30:
+        # sanity cap (1 gigapixel) — a corrupt SIZ otherwise reaches
+        # the allocator before any bounds check can
+        raise ValueError(f"implausible JPEG 2000 dimensions {w}x{h}")
     xt, yt = min(xt, w), min(yt, h)
     if xt == 0 or yt == 0:
         raise ValueError("JPEG 2000 zero tile dimensions")
@@ -1582,6 +1589,7 @@ def encode_jp2(
     )
 
 
+@loud_decode("JPEG 2000")
 def decode_jp2(data: bytes, deep: bool = False) -> np.ndarray:
     """JP2 container OR raw codestream → image (the PDF /JPXDecode
     seam accepts both layouts); `deep` as decode_j2k."""

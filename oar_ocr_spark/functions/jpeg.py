@@ -60,6 +60,8 @@ import struct
 
 import numpy as np
 
+from .codec_guard import loud_decode
+
 __all__ = [
     "encode_jpeg",
     "decode_jpeg",
@@ -1739,6 +1741,7 @@ def _decode_progressive_scan(
     return reader.end
 
 
+@loud_decode("JPEG")
 def decode_jpeg(data: bytes, deep: bool = False) -> np.ndarray:
     """Baseline OR progressive JPEG bytes → (H,W) uint8 greyscale or
     (H,W,3) uint8 RGB (deterministic). Any interleaved sampling-factor

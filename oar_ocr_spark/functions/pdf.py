@@ -83,6 +83,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .codec_guard import loud_decode
+
 __all__ = [
     "encode_pdf",
     "decode_pdf",
@@ -1249,6 +1251,7 @@ class PdfDocument:
         return None
 
 
+@loud_decode("PDF")
 def decode_pdf(data: bytes) -> list[np.ndarray]:
     """PDF bytes → list of page images in document order."""
     doc = PdfDocument(data)
@@ -1263,6 +1266,7 @@ def _split_refs(title: str | None) -> list[str] | None:
     return title.split("\n") if title else []
 
 
+@loud_decode("PDF")
 def decode_pdf_refs(data: bytes) -> list[str] | None:
     """Embedded page media_refs (newline-joined /Info /Title), if any."""
     return _split_refs(PdfDocument(data).info_title())

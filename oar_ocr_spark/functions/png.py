@@ -33,6 +33,8 @@ import zlib
 
 import numpy as np
 
+from .codec_guard import loud_decode
+
 __all__ = ["encode_png", "decode_png", "PNG_SIGNATURE"]
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
@@ -184,6 +186,7 @@ def _decode_subimage(
     return _rows_to_samples(rows, w, channels, depth), at + need
 
 
+@loud_decode("PNG")
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → (H,W) uint8 greyscale or (H,W,3) uint8 RGB.
 

@@ -40,6 +40,8 @@ import struct
 
 import numpy as np
 
+from .codec_guard import loud_decode
+
 __all__ = [
     "encode_tiff",
     "encode_tiff_multipage",
@@ -362,6 +364,7 @@ def _px_to_image(px: np.ndarray, photo: int, tags: dict) -> np.ndarray:
     raise NotImplementedError(f"TIFF photometric {photo} not supported here")
 
 
+@loud_decode("TIFF")
 def decode_tiff_pages(data: bytes, limit: int | None = None) -> list[np.ndarray]:
     """TIFF bytes → list of page images ((H,W) grey / (H,W,3) RGB
     uint8) following the IFD chain (multi-page scanned documents).
@@ -384,12 +387,14 @@ def decode_tiff_pages(data: bytes, limit: int | None = None) -> list[np.ndarray]
     return pages
 
 
+@loud_decode("TIFF")
 def decode_tiff(data: bytes) -> np.ndarray:
     """First page only — decoded without touching later IFDs (the
     image-seam contract; decode_tiff_pages for multi-page files)."""
     return decode_tiff_pages(data, limit=1)[0]
 
 
+@loud_decode("TIFF")
 def decode_tiff_refs(data: bytes) -> list[str] | None:
     """Per-page ImageDescription strings from the IFD chain — the
     container's own page naming (the TIFF twin of the PDF /Info

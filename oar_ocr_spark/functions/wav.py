@@ -45,6 +45,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .codec_guard import loud_decode
+
 __all__ = [
     "encode_wav",
     "encode_wav_g711",
@@ -481,6 +483,7 @@ def encode_wav_adpcm(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@loud_decode("WAV")
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → ((N, channels) int16, sample_rate)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
