@@ -48,12 +48,16 @@ otherwise).
 All FIVE Part-1 progression orders (A.6.1) encode and decode — at one
 layer/one precinct they collapse to two packet sequences, resolution-
 major (LRCP/RLCP/RPCL) and component-major (PCRL/CPRL) — as do the
-SOP/EPH resync marker layouts (A.8).
+SOP/EPH resync marker layouts (A.8) and MULTI-LAYER quality-
+progressive streams (the archival profile: per-block coding passes
+spread across layers, persistent tag-tree/Lblock packet state,
+decoded by accumulating every layer's chunks into the block's single
+MQ codeword segment; LRCP order).
 
-Scope (declared): one layer, one tile-part per tile, grey or RGB,
-unsigned samples. Multiple tile-parts, per-tile coding overrides,
-offset grids, multi-layer, custom precincts, coder bypass modes, and
-signed or mixed-depth components raise NotImplementedError.
+Scope (declared): one tile-part per tile, grey or RGB, unsigned
+samples. Multiple tile-parts, per-tile coding overrides, offset
+grids, multi-layer in non-LRCP orders, custom precincts, coder bypass
+modes, and signed or mixed-depth components raise NotImplementedError.
 Encoder and decoder share every table; the 5/3 path is exercised as
 exact-roundtrip twins, the 9/7 path as error-bounded twins (test_jp2),
 like the engine's other codec seams.
@@ -1001,6 +1005,137 @@ def _write_packet(
         out += b
 
 
+def _write_layer_packet(
+    out: bytearray,
+    band_states: list,
+    layer: int,
+    sop_n: int | None = None,
+    eph: bool = False,
+) -> None:
+    """One packet of a MULTI-LAYER stream (layer >= 0) for one
+    (resolution, component). `band_states`: per band a dict with
+    'rows'/'cols', persistent 'incl'/'zbp' tag-trees, and 'blocks' —
+    per block a dict carrying 'first' (first-inclusion layer, or the
+    layer count if never included), 'zbp', and 'contrib': per-layer
+    (npasses, chunk) pairs. Tag-tree and Lblock state persist across
+    the layers' packets (B.10.8), which is what distinguishes this
+    from the single-layer `_write_packet` fast path."""
+    if sop_n is not None:
+        out += struct.pack(">HHH", 0xFF91, 4, sop_n & 0xFFFF)
+    any_contrib = any(
+        blk["contrib"][layer][0] > 0
+        for bs in band_states
+        for blk in bs["blocks"]
+    )
+    bw = _HeaderBitWriter()
+    if not any_contrib:
+        bw.write(0)  # empty packet: inclusion state does not advance
+        out += bw.flush()
+        if eph:
+            out += struct.pack(">H", 0xFF92)
+        return
+    bw.write(1)
+    bodies = []
+    for bs in band_states:
+        rows, cols = bs["rows"], bs["cols"]
+        if not rows or not cols:
+            continue
+        for i in range(rows):
+            for j in range(cols):
+                blk = bs["blocks"][i * cols + j]
+                npasses, chunk = blk["contrib"][layer]
+                if blk["first"] >= layer:  # not included in an earlier layer
+                    bs["incl"].encode(bw, i, j, layer + 1)
+                    if blk["first"] != layer:
+                        continue  # still not included this layer
+                    k = 1  # first inclusion: signal zero-bitplanes
+                    while True:
+                        bs["zbp"].encode(bw, i, j, k)
+                        if blk["zbp"] < k:
+                            break
+                        k += 1
+                else:
+                    bw.write(1 if npasses else 0)
+                    if not npasses:
+                        continue
+                _write_npasses(bw, npasses)
+                lbits = npasses.bit_length() - 1
+                need = max(len(chunk).bit_length(), 1)
+                extra = max(0, need - (blk["lblock"] + lbits))
+                bw.write_bits((1 << extra) - 1, extra)
+                bw.write(0)
+                blk["lblock"] += extra  # Lblock persists across layers
+                bw.write_bits(len(chunk), blk["lblock"] + lbits)
+                bodies.append(chunk)
+    out += bw.flush()
+    if eph:
+        out += struct.pack(">H", 0xFF92)
+    for b in bodies:
+        out += b
+
+
+def _read_layer_packet(
+    data: bytes,
+    pos: int,
+    band_states: list,
+    layer: int,
+    sop: bool = False,
+    eph: bool = False,
+) -> int:
+    """Mirror of _write_layer_packet: advances each band's persistent
+    tag-tree / Lblock / accumulation state ('chunks' byte list and
+    'npasses' total per block) and returns the next position."""
+    if sop:
+        marker, lsop = struct.unpack(">HH", data[pos : pos + 4])
+        if marker != 0xFF91 or lsop != 4:
+            raise ValueError(f"expected SOP marker before packet at {pos}")
+        pos += 6
+    br = _HeaderBitReader(data, pos)
+    if br.read() == 0:
+        pos = br.align()
+        if eph:
+            if data[pos : pos + 2] != struct.pack(">H", 0xFF92):
+                raise ValueError(f"expected EPH marker after packet header at {pos}")
+            pos += 2
+        return pos
+    lengths = []  # (block dict, byte length)
+    for bs in band_states:
+        rows, cols = bs["rows"], bs["cols"]
+        if not rows or not cols:
+            continue
+        for i in range(rows):
+            for j in range(cols):
+                blk = bs["blocks"][i * cols + j]
+                if blk["first"] is None:  # not yet included
+                    if not bs["incl"].decode(br, i, j, layer + 1):
+                        continue
+                    blk["first"] = layer
+                    k = 1
+                    while not bs["zbp"].decode(br, i, j, k):
+                        k += 1
+                    blk["zbp"] = k - 1
+                elif br.read() == 0:  # included before, no contribution
+                    continue
+                npasses = _read_npasses(br)
+                extra = 0
+                while br.read():
+                    extra += 1
+                blk["lblock"] += extra
+                lbits = npasses.bit_length() - 1
+                ln = br.read_bits(blk["lblock"] + lbits)
+                blk["npasses"] += npasses
+                lengths.append((blk, ln))
+    pos = br.align()
+    if eph:
+        if data[pos : pos + 2] != struct.pack(">H", 0xFF92):
+            raise ValueError(f"expected EPH marker after packet header at {pos}")
+        pos += 2
+    for blk, ln in lengths:
+        blk["chunks"].append(data[pos : pos + ln])
+        pos += ln
+    return pos
+
+
 def _read_packet(
     data: bytes, pos: int, grids: list, sop: bool = False, eph: bool = False
 ) -> tuple[list, int]:
@@ -1127,6 +1262,105 @@ def _packet_order(levels: int, ncomp: int, comp_major: bool) -> list:
     return [(r, ci) for r in range(levels + 1) for ci in range(ncomp)]
 
 
+def _layer_contrib(data: bytes, npasses: int, layers: int, first: int) -> list:
+    """Split one block's Tier-1 stream across quality layers
+    [first..layers-1]: passes distributed earliest-heavy, bytes cut
+    proportionally to the cumulative pass count. Our decoder (like any
+    decoder reading ALL layers) concatenates the chunks back into the
+    single MQ codeword segment, so the cut positions are free."""
+    nslots = layers - first
+    base, rem = divmod(npasses, nslots)
+    counts = [0] * first + [base + (1 if k < rem else 0) for k in range(nslots)]
+    out = []
+    cum = 0
+    cut = 0
+    for c in counts:
+        cum += c
+        nxt = round(len(data) * cum / npasses)
+        out.append((c, data[cut:nxt]))
+        cut = nxt
+    return out
+
+
+def _encode_tile_layer_packets(
+    comps: list,
+    levels: int,
+    bandq: dict,
+    fwd1d,
+    layers: int,
+    sop: bool,
+    eph: bool,
+) -> bytearray:
+    """Multi-layer (quality-progressive) twin of _encode_tile_packets:
+    LRCP order — for each layer, one packet per (resolution,
+    component) with persistent tag-tree / Lblock state. Each block's
+    first-inclusion layer is zbp % layers (deterministic, exercises
+    late inclusion); its passes and bytes spread over the remaining
+    layers via _layer_contrib."""
+    comp_bands = [_fwd_dwt(c, levels, fwd1d) for c in comps]
+    states = {}
+    for r, ci in _packet_order(levels, len(comps), False):
+        bands = [comp_bands[ci][0]] if r == 0 else list(comp_bands[ci][r])
+        band_states = []
+        for k, band in enumerate(bands):
+            orient = 0 if r == 0 else (1, 2, 3)[k]
+            bh, bw_ = band.shape
+            rows, cols = _cblk_grid(bh, bw_)
+            eps, _, d = bandq[(r, k)]
+            mb = eps + _GUARD - 1
+            if d is not None:
+                band = np.floor(np.abs(band) / d).astype(np.int64) * np.where(
+                    band < 0, -1, 1
+                )
+            blocks = []
+            incl_leaves = np.full((rows, cols), layers, dtype=np.int64)
+            zbp_leaves = np.zeros((rows, cols), dtype=np.int64)
+            for i in range(rows):
+                for j in range(cols):
+                    blk = band[
+                        i * _CBLK : (i + 1) * _CBLK, j * _CBLK : (j + 1) * _CBLK
+                    ]
+                    mags = np.abs(blk)
+                    nbps = int(mags.max()).bit_length()
+                    if nbps == 0:
+                        blocks.append(
+                            {"first": layers, "zbp": 0, "lblock": 3,
+                             "contrib": [(0, b"")] * layers}
+                        )
+                        continue
+                    if nbps > mb:
+                        raise ValueError(f"coefficient needs {nbps} bits > Mb={mb}")
+                    signs = (blk < 0).astype(np.uint8)
+                    data, npasses = _t1_encode_block(mags, signs, orient, nbps)
+                    first = (mb - nbps) % layers
+                    blocks.append(
+                        {"first": first, "zbp": mb - nbps, "lblock": 3,
+                         "contrib": _layer_contrib(data, npasses, layers, first)}
+                    )
+                    incl_leaves[i, j] = first
+                    zbp_leaves[i, j] = mb - nbps
+            incl = _TagTree(rows, cols) if rows and cols else None
+            zbp = _TagTree(rows, cols) if rows and cols else None
+            if incl is not None:
+                incl.set_values(incl_leaves)
+                zbp.set_values(zbp_leaves)
+            band_states.append(
+                {"rows": rows, "cols": cols, "incl": incl, "zbp": zbp,
+                 "blocks": blocks}
+            )
+        states[(r, ci)] = band_states
+    packets = bytearray()
+    pkt_n = 0
+    for layer in range(layers):
+        for r, ci in _packet_order(levels, len(comps), False):
+            _write_layer_packet(
+                packets, states[(r, ci)], layer,
+                sop_n=pkt_n if sop else None, eph=eph,
+            )
+            pkt_n += 1
+    return packets
+
+
 def _encode_tile_packets(
     comps: list,
     levels: int,
@@ -1195,13 +1429,16 @@ def encode_j2k(
     sop: bool = False,
     eph: bool = False,
     prog: str = "lrcp",
+    layers: int = 1,
 ) -> bytes:
     """(H,W) grey / (H,W,3) RGB, uint8 or uint16 → JPEG 2000
-    codestream (SOC..EOC), one layer, EBCOT Tier-1/2. `prog` is any
-    of the five Part-1 progression orders — at one layer/one precinct
-    lrcp/rlcp/rpcl share the resolution-major packet sequence and
-    pcrl/cprl the component-major one; the signalled byte matches the
-    name.
+    codestream (SOC..EOC), EBCOT Tier-1/2. `prog` is any of the five
+    Part-1 progression orders — at one layer/one precinct lrcp/rlcp/
+    rpcl share the resolution-major packet sequence and pcrl/cprl the
+    component-major one; the signalled byte matches the name.
+    `layers` > 1 writes a QUALITY-PROGRESSIVE stream (the archival
+    multi-layer profile): each block's coding passes spread across
+    layers with persistent tag-tree/Lblock packet state (LRCP only).
     `precision` is the sample depth P (2..16; default 8 for uint8 /
     16 for uint16 — precision=12 on uint16 data is the 12-bit DICOM
     layout, mirroring encode_jpeg_lossless). `sop`/`eph` emit the
@@ -1264,9 +1501,13 @@ def encode_j2k(
     progs = {"lrcp": 0, "rlcp": 1, "rpcl": 2, "pcrl": 3, "cprl": 4}
     if prog not in progs:
         raise ValueError(f"prog must be one of {sorted(progs)}, got {prog!r}")
+    if not 1 <= layers <= 65535:
+        raise ValueError(f"layers must be 1..65535, got {layers}")
+    if layers > 1 and prog != "lrcp":
+        raise ValueError("multi-layer streams are written in LRCP order only")
     comp_major = progs[prog] >= 3
     scod = (2 if sop else 0) | (4 if eph else 0)
-    cod = bytes([scod]) + bytes([progs[prog]]) + struct.pack(">H", 1) + bytes(
+    cod = bytes([scod]) + bytes([progs[prog]]) + struct.pack(">H", layers) + bytes(
         [mct]
     ) + bytes(
         [levels, _CBLK.bit_length() - 3, _CBLK.bit_length() - 3, 0]
@@ -1277,9 +1518,14 @@ def encode_j2k(
         ty, tx = divmod(t, ntx)
         y0, x0 = ty * yt, tx * xt
         tile_comps = [c[y0 : min(y0 + yt, h), x0 : min(x0 + xt, w)] for c in comps]
-        packets = _encode_tile_packets(
-            tile_comps, levels, bandq, fwd1d, sop, eph, comp_major
-        )
+        if layers > 1:
+            packets = _encode_tile_layer_packets(
+                tile_comps, levels, bandq, fwd1d, layers, sop, eph
+            )
+        else:
+            packets = _encode_tile_packets(
+                tile_comps, levels, bandq, fwd1d, sop, eph, comp_major
+            )
         psot = 12 + 2 + len(packets)  # SOT seg + SOD marker + data
         out += _marker_seg(0xFF90, struct.pack(">HIBB", t, psot, 0, 1))
         out += struct.pack(">H", 0xFF93)
@@ -1378,13 +1624,18 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
     prog, layers, mct = cod[1], struct.unpack(">H", cod[2:4])[0], cod[4]
     if prog > 4:
         raise ValueError(f"JPEG 2000 progression order {prog} is illegal")
-    # with ONE layer and ONE precinct per band (the only shapes this
-    # decoder accepts) the five A.6.1 orders collapse to two packet
-    # sequences: resolution-major (LRCP/RLCP/RPCL) and component-major
-    # (PCRL/CPRL) — _packet_order picks the right one
+    if layers < 1:
+        raise ValueError("JPEG 2000 stream declares zero layers")
+    # with ONE layer and ONE precinct per band the five A.6.1 orders
+    # collapse to two packet sequences: resolution-major (LRCP/RLCP/
+    # RPCL) and component-major (PCRL/CPRL) — _packet_order picks the
+    # right one. Multi-LAYER streams decode in LRCP (the order the
+    # archival quality-progressive profiles use).
     comp_major = prog >= 3
-    if layers != 1:
-        raise NotImplementedError("JPEG 2000 multi-layer streams not supported")
+    if layers > 1 and prog != 0:
+        raise NotImplementedError(
+            "JPEG 2000 multi-layer streams decode in LRCP order only"
+        )
     levels, cbw, cbh, cbstyle, transform = cod[5], cod[6], cod[7], cod[8], cod[9]
     if cbstyle:
         raise NotImplementedError("JPEG 2000 code-block style modes not supported")
@@ -1482,6 +1733,74 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
         tw = min(xt, w - tx_ * xt)
         layout_t = _band_layout(th, tw, levels)
         comp_bands = [[None] * (levels + 1) for _ in range(ncomp)]
+        if layers > 1:
+            # quality-progressive: accumulate every block's per-layer
+            # chunks and pass counts with persistent tag-tree / Lblock
+            # state, then Tier-1-decode each block ONCE from the
+            # concatenated codeword segment
+            states = {}
+            for r, ci in _packet_order(levels, ncomp, False):
+                band_states = []
+                for orient, bh, bw_ in layout_t[r]:
+                    rows, cols = _cblk_grid(bh, bw_)
+                    band_states.append(
+                        {
+                            "rows": rows,
+                            "cols": cols,
+                            "incl": _TagTree(rows, cols) if rows and cols else None,
+                            "zbp": _TagTree(rows, cols) if rows and cols else None,
+                            "blocks": [
+                                {"first": None, "zbp": 0, "npasses": 0,
+                                 "chunks": [], "lblock": 3}
+                                for _ in range(rows * cols)
+                            ],
+                        }
+                    )
+                states[(r, ci)] = band_states
+            for layer in range(layers):
+                for r, ci in _packet_order(levels, ncomp, False):
+                    pos = _read_layer_packet(
+                        data, pos, states[(r, ci)], layer, sop, eph
+                    )
+            for r, ci in _packet_order(levels, ncomp, False):
+                bands_here = []
+                for k, ((orient, bh, bw_), bs) in enumerate(
+                    zip(layout_t[r], states[(r, ci)])
+                ):
+                    mb, d = band_q[(r, k)]
+                    band = np.zeros(
+                        (bh, bw_), dtype=np.float64 if irreversible else np.int64
+                    )
+                    rows, cols = bs["rows"], bs["cols"]
+                    for i in range(rows):
+                        for j in range(cols):
+                            blk = bs["blocks"][i * cols + j]
+                            if blk["first"] is None or blk["npasses"] == 0:
+                                continue
+                            y0, x0 = i * _CBLK, j * _CBLK
+                            bh_b = min(_CBLK, bh - y0)
+                            bw_b = min(_CBLK, bw_ - x0)
+                            mags, signs = _t1_decode_block(
+                                b"".join(blk["chunks"]), bh_b, bw_b, orient,
+                                mb - blk["zbp"], blk["npasses"],
+                            )
+                            if d is not None:
+                                vals = np.where(mags > 0, (mags + 0.5) * d, 0.0)
+                                vals = np.where(signs == 1, -vals, vals)
+                            else:
+                                vals = np.where(signs == 1, -mags, mags)
+                            band[y0 : y0 + bh_b, x0 : x0 + bw_b] = vals
+                    bands_here.append(band)
+                if r == 0:
+                    comp_bands[ci][0] = bands_here[0]
+                else:
+                    comp_bands[ci][r] = tuple(bands_here)
+            for ci in range(ncomp):
+                planes[ci][
+                    ty_ * yt : ty_ * yt + th, tx_ * xt : tx_ * xt + tw
+                ] = _inv_dwt(comp_bands[ci], (th, tw), inv1d)
+            seen += 1
+            continue
         for r, ci in _packet_order(levels, ncomp, comp_major):
             grids = [_cblk_grid(bh, bw_) for _, bh, bw_ in layout_t[r]]
             per_band, pos = _read_packet(data, pos, grids, sop, eph)
@@ -1567,12 +1886,13 @@ def encode_jp2(
     sop: bool = False,
     eph: bool = False,
     prog: str = "lrcp",
+    layers: int = 1,
 ) -> bytes:
     """uint8/uint16 image → minimal JP2 file (signature / ftyp / jp2h /
     jp2c boxes around the encode_j2k codestream); kwargs as encode_j2k."""
     code = encode_j2k(
         img, levels, irreversible, delta, derived, tile_size, precision, sop, eph,
-        prog,
+        prog, layers,
     )
     if precision is None:
         precision = 8 if img.dtype == np.uint8 else 16

@@ -282,6 +282,8 @@ def jp2_payload_for_ref(ref: str, page=None) -> bytes:
         "eph": bool(h & 512),
         "prog": ("lrcp", "rlcp", "rpcl", "pcrl", "cprl")[(h >> 10) % 5],
     }
+    if resync["prog"] == "lrcp":  # quality layers ride LRCP only
+        resync["layers"] = 1 + (h >> 13) % 8
     if h & 8:
         return enc(
             page,

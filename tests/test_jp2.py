@@ -138,8 +138,11 @@ class TestDeclaredFailures:
         with pytest.raises(ValueError, match="without quantization"):
             decode_j2k(self._patch_cod(self._code(), 9, 0))
 
-    def test_multi_layer_raises(self):
-        with pytest.raises(NotImplementedError, match="multi-layer"):
+    def test_single_layer_stream_relabeled_multilayer_fails_loudly(self):
+        # multi-layer streams decode (TestMultiLayer); a SINGLE-layer
+        # stream whose COD merely claims 2 layers is malformed and
+        # must not decode as garbage
+        with pytest.raises((ValueError, NotImplementedError)):
             decode_j2k(self._patch_cod(self._code(), 3, 2))
 
     def test_illegal_progression_byte_raises(self):
@@ -598,3 +601,69 @@ class TestSilentMisparseGuards:
         com = struct.pack(">HHH", 0xFF64, 6, 1) + b"hi"
         patched = bytes(code[:i]) + com + bytes(code[i:])
         assert np.array_equal(decode_j2k(patched), img)
+
+
+class TestMultiLayer:
+    """Quality-progressive streams (the archival multi-layer profile):
+    per-block coding passes spread across layers with persistent
+    tag-tree / Lblock packet state; the decoder accumulates every
+    layer's chunks and Tier-1-decodes each block once."""
+
+    def test_layer_counts_roundtrip_exactly(self):
+        img = render_page("40_m0")
+        sizes = []
+        for L in (2, 3, 8):
+            code = encode_j2k(img, layers=L)
+            assert np.array_equal(decode_j2k(code), img), L
+            i = code.index(struct.pack(">H", 0xFF52))
+            assert struct.unpack(">H", code[i + 6 : i + 8])[0] == L
+            sizes.append(len(code))
+        # more layers = more packet-header overhead, same payload
+        assert sizes[0] < sizes[-1]
+
+    def test_composes_with_every_other_flavor(self):
+        img = render_page("41_m1")
+        rgb = np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], axis=-1)
+        assert np.array_equal(decode_j2k(encode_j2k(rgb, layers=4)), rgb)
+        assert np.array_equal(
+            decode_j2k(encode_j2k(img, layers=3, tile_size=96)), img
+        )
+        assert np.array_equal(
+            decode_j2k(encode_j2k(img, layers=2, sop=True, eph=True)), img
+        )
+        err = np.abs(
+            decode_j2k(encode_j2k(img, layers=3, irreversible=True)).astype(int)
+            - img.astype(int)
+        )
+        assert err.max() <= 2
+        rng = np.random.RandomState(5)
+        x16 = rng.randint(0, 65536, (33, 47)).astype(np.uint16)
+        assert np.array_equal(
+            decode_j2k(encode_j2k(x16, layers=4), deep=True), x16
+        )
+        noise = rng.randint(0, 256, (130, 200)).astype(np.uint8)
+        assert np.array_equal(
+            decode_j2k(encode_j2k(noise, levels=1, layers=5)), noise
+        )
+
+    def test_flat_image_multilayer(self):
+        # every block all-zero: inclusion never resolves across any of
+        # the 8 layers' packets (tag-tree threshold climbs to the end)
+        flat = np.full((40, 40), 77, dtype=np.uint8)
+        assert np.array_equal(decode_j2k(encode_j2k(flat, layers=8)), flat)
+
+    def test_jp2_container_multilayer(self):
+        img = render_page("40_m0")
+        assert np.array_equal(decode_jp2(encode_jp2(img, layers=3)), img)
+
+    def test_guards(self):
+        img = render_page("40_m0")
+        with pytest.raises(ValueError, match="layers"):
+            encode_j2k(img, layers=0)
+        with pytest.raises(ValueError, match="LRCP"):
+            encode_j2k(img, layers=2, prog="cprl")
+        code = bytearray(encode_j2k(img, layers=2))
+        i = code.index(struct.pack(">H", 0xFF52))
+        code[i + 5] = 4  # relabel a multi-layer stream CPRL
+        with pytest.raises(NotImplementedError, match="LRCP"):
+            decode_j2k(bytes(code))
