@@ -49,15 +49,15 @@ All FIVE Part-1 progression orders (A.6.1) encode and decode — at one
 layer/one precinct they collapse to two packet sequences, resolution-
 major (LRCP/RLCP/RPCL) and component-major (PCRL/CPRL) — as do the
 SOP/EPH resync marker layouts (A.8) and MULTI-LAYER quality-
-progressive streams (the archival profile: per-block coding passes
-spread across layers, persistent tag-tree/Lblock packet state,
-decoded by accumulating every layer's chunks into the block's single
-MQ codeword segment; LRCP order).
+progressive streams in ANY of the five orders (the archival profile:
+per-block coding passes spread across layers, persistent tag-tree/
+Lblock packet state, decoded by accumulating every layer's chunks
+into the block's single MQ codeword segment).
 
 Scope (declared): one tile-part per tile, grey or RGB, unsigned
 samples. Multiple tile-parts, per-tile coding overrides, offset
-grids, multi-layer in non-LRCP orders, custom precincts, coder bypass
-modes, and signed or mixed-depth components raise NotImplementedError.
+grids, custom precincts, coder bypass modes, and signed or
+mixed-depth components raise NotImplementedError.
 Encoder and decoder share every table; the 5/3 path is exercised as
 exact-roundtrip twins, the 9/7 path as error-bounded twins (test_jp2),
 like the engine's other codec seams.
@@ -1262,6 +1262,21 @@ def _packet_order(levels: int, ncomp: int, comp_major: bool) -> list:
     return [(r, ci) for r in range(levels + 1) for ci in range(ncomp)]
 
 
+def _packet_order_layers(levels: int, ncomp: int, layers: int, prog: int) -> list:
+    """One tile's MULTI-LAYER packet sequence as (layer, resolution,
+    component) triples per the A.6.1 nesting of the signalled order
+    (position collapses at one precinct per band): LRCP l→r→c,
+    RLCP r→l→c, RPCL r→(p)→c→l, PCRL/CPRL (p)→c→r→l / c→(p)→r→l."""
+    L, R, C = range(layers), range(levels + 1), range(ncomp)
+    if prog == 0:
+        return [(l, r, c) for l in L for r in R for c in C]
+    if prog == 1:
+        return [(l, r, c) for r in R for l in L for c in C]
+    if prog == 2:
+        return [(l, r, c) for r in R for c in C for l in L]
+    return [(l, r, c) for c in C for r in R for l in L]  # PCRL / CPRL
+
+
 def _layer_contrib(data: bytes, npasses: int, layers: int, first: int) -> list:
     """Split one block's Tier-1 stream across quality layers
     [first..layers-1]: passes distributed earliest-heavy, bytes cut
@@ -1290,13 +1305,14 @@ def _encode_tile_layer_packets(
     layers: int,
     sop: bool,
     eph: bool,
+    prog: int = 0,
 ) -> bytearray:
     """Multi-layer (quality-progressive) twin of _encode_tile_packets:
-    LRCP order — for each layer, one packet per (resolution,
-    component) with persistent tag-tree / Lblock state. Each block's
-    first-inclusion layer is zbp % layers (deterministic, exercises
-    late inclusion); its passes and bytes spread over the remaining
-    layers via _layer_contrib."""
+    one packet per (layer, resolution, component) in the signalled
+    progression's nesting, with persistent tag-tree / Lblock state.
+    Each block's first-inclusion layer is zbp % layers (deterministic,
+    exercises late inclusion); its passes and bytes spread over the
+    remaining layers via _layer_contrib."""
     comp_bands = [_fwd_dwt(c, levels, fwd1d) for c in comps]
     states = {}
     for r, ci in _packet_order(levels, len(comps), False):
@@ -1351,13 +1367,12 @@ def _encode_tile_layer_packets(
         states[(r, ci)] = band_states
     packets = bytearray()
     pkt_n = 0
-    for layer in range(layers):
-        for r, ci in _packet_order(levels, len(comps), False):
-            _write_layer_packet(
-                packets, states[(r, ci)], layer,
-                sop_n=pkt_n if sop else None, eph=eph,
-            )
-            pkt_n += 1
+    for layer, r, ci in _packet_order_layers(levels, len(comps), layers, prog):
+        _write_layer_packet(
+            packets, states[(r, ci)], layer,
+            sop_n=pkt_n if sop else None, eph=eph,
+        )
+        pkt_n += 1
     return packets
 
 
@@ -1438,7 +1453,8 @@ def encode_j2k(
     component-major one; the signalled byte matches the name.
     `layers` > 1 writes a QUALITY-PROGRESSIVE stream (the archival
     multi-layer profile): each block's coding passes spread across
-    layers with persistent tag-tree/Lblock packet state (LRCP only).
+    layers with persistent tag-tree/Lblock packet state, packets
+    nested per the signalled progression.
     `precision` is the sample depth P (2..16; default 8 for uint8 /
     16 for uint16 — precision=12 on uint16 data is the 12-bit DICOM
     layout, mirroring encode_jpeg_lossless). `sop`/`eph` emit the
@@ -1503,8 +1519,6 @@ def encode_j2k(
         raise ValueError(f"prog must be one of {sorted(progs)}, got {prog!r}")
     if not 1 <= layers <= 65535:
         raise ValueError(f"layers must be 1..65535, got {layers}")
-    if layers > 1 and prog != "lrcp":
-        raise ValueError("multi-layer streams are written in LRCP order only")
     comp_major = progs[prog] >= 3
     scod = (2 if sop else 0) | (4 if eph else 0)
     cod = bytes([scod]) + bytes([progs[prog]]) + struct.pack(">H", layers) + bytes(
@@ -1520,7 +1534,7 @@ def encode_j2k(
         tile_comps = [c[y0 : min(y0 + yt, h), x0 : min(x0 + xt, w)] for c in comps]
         if layers > 1:
             packets = _encode_tile_layer_packets(
-                tile_comps, levels, bandq, fwd1d, layers, sop, eph
+                tile_comps, levels, bandq, fwd1d, layers, sop, eph, progs[prog]
             )
         else:
             packets = _encode_tile_packets(
@@ -1629,13 +1643,9 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
     # with ONE layer and ONE precinct per band the five A.6.1 orders
     # collapse to two packet sequences: resolution-major (LRCP/RLCP/
     # RPCL) and component-major (PCRL/CPRL) — _packet_order picks the
-    # right one. Multi-LAYER streams decode in LRCP (the order the
-    # archival quality-progressive profiles use).
+    # right one; multi-layer streams iterate the full (layer, res,
+    # comp) nesting via _packet_order_layers
     comp_major = prog >= 3
-    if layers > 1 and prog != 0:
-        raise NotImplementedError(
-            "JPEG 2000 multi-layer streams decode in LRCP order only"
-        )
     levels, cbw, cbh, cbstyle, transform = cod[5], cod[6], cod[7], cod[8], cod[9]
     if cbstyle:
         raise NotImplementedError("JPEG 2000 code-block style modes not supported")
@@ -1757,11 +1767,10 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
                         }
                     )
                 states[(r, ci)] = band_states
-            for layer in range(layers):
-                for r, ci in _packet_order(levels, ncomp, False):
-                    pos = _read_layer_packet(
-                        data, pos, states[(r, ci)], layer, sop, eph
-                    )
+            for layer, r, ci in _packet_order_layers(levels, ncomp, layers, prog):
+                pos = _read_layer_packet(
+                    data, pos, states[(r, ci)], layer, sop, eph
+                )
             for r, ci in _packet_order(levels, ncomp, False):
                 bands_here = []
                 for k, ((orient, bh, bw_), bs) in enumerate(

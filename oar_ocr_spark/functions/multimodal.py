@@ -281,9 +281,8 @@ def jp2_payload_for_ref(ref: str, page=None) -> bytes:
         "sop": bool(h & 256),
         "eph": bool(h & 512),
         "prog": ("lrcp", "rlcp", "rpcl", "pcrl", "cprl")[(h >> 10) % 5],
+        "layers": 1 + (h >> 13) % 8,
     }
-    if resync["prog"] == "lrcp":  # quality layers ride LRCP only
-        resync["layers"] = 1 + (h >> 13) % 8
     if h & 8:
         return enc(
             page,

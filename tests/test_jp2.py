@@ -656,14 +656,19 @@ class TestMultiLayer:
         img = render_page("40_m0")
         assert np.array_equal(decode_jp2(encode_jp2(img, layers=3)), img)
 
+    def test_all_progressions_with_layers(self):
+        # the (layer, res, comp) nesting differs per order — all five
+        # roundtrip, and the nestings genuinely reorder the packets
+        img = render_page("40_m0")
+        rgb = np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], axis=-1)
+        codes = {}
+        for prog in ("lrcp", "rlcp", "rpcl", "pcrl", "cprl"):
+            code = encode_j2k(rgb, layers=3, prog=prog)
+            assert np.array_equal(decode_j2k(code), rgb), prog
+            codes[prog] = code
+        assert codes["lrcp"] != codes["rlcp"] != codes["rpcl"]
+
     def test_guards(self):
         img = render_page("40_m0")
         with pytest.raises(ValueError, match="layers"):
             encode_j2k(img, layers=0)
-        with pytest.raises(ValueError, match="LRCP"):
-            encode_j2k(img, layers=2, prog="cprl")
-        code = bytearray(encode_j2k(img, layers=2))
-        i = code.index(struct.pack(">H", 0xFF52))
-        code[i + 5] = 4  # relabel a multi-layer stream CPRL
-        with pytest.raises(NotImplementedError, match="LRCP"):
-            decode_j2k(bytes(code))
