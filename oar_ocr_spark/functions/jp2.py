@@ -48,16 +48,19 @@ otherwise).
 All FIVE Part-1 progression orders (A.6.1) encode and decode — at one
 layer/one precinct they collapse to two packet sequences, resolution-
 major (LRCP/RLCP/RPCL) and component-major (PCRL/CPRL) — as do the
-SOP/EPH resync marker layouts (A.8) and MULTI-LAYER quality-
-progressive streams in ANY of the five orders (the archival profile:
-per-block coding passes spread across layers, persistent tag-tree/
-Lblock packet state, decoded by accumulating every layer's chunks
-into the block's single MQ codeword segment).
+SOP/EPH resync marker layouts (A.8), MULTI-LAYER quality-progressive
+streams in ANY of the five orders (the archival profile: per-block
+coding passes spread across layers, persistent tag-tree/Lblock packet
+state, decoded by accumulating every layer's chunks into the block's
+single MQ codeword segment), and PRECINCT partitions (B.6: square
+>=128px block-grid-aligned precincts, each its own packet chain with
+its own tag-trees — the region-access layout big-scan profiles pair
+with tiling; LRCP/RLCP).
 
 Scope (declared): one tile-part per tile, grey or RGB, unsigned
 samples. Multiple tile-parts, per-tile coding overrides, offset
-grids, custom precincts, coder bypass modes, and signed or
-mixed-depth components raise NotImplementedError.
+grids, sub-128px or rectangular precincts, coder bypass modes, and
+signed or mixed-depth components raise NotImplementedError.
 Encoder and decoder share every table; the 5/3 path is exercised as
 exact-roundtrip twins, the 9/7 path as error-bounded twins (test_jp2),
 like the engine's other codec seams.
@@ -1262,6 +1265,30 @@ def _packet_order(levels: int, ncomp: int, comp_major: bool) -> list:
     return [(r, ci) for r in range(levels + 1) for ci in range(ncomp)]
 
 
+def _res_dims(th: int, tw: int, levels: int, r: int) -> tuple[int, int]:
+    """Tile dims at resolution r (the ceil-halving chain: resolution 0
+    is the deepest LL)."""
+    k = levels - r
+    return -(-th // (1 << k)), -(-tw // (1 << k))
+
+
+def _precinct_blocks(
+    r: int, bh: int, bw: int, pp: int, pi: int, pj: int
+) -> tuple[int, int, int, int]:
+    """Block-grid sub-range [(i0, i1), (j0, j1)) of precinct (pi, pj)
+    inside a band of dims (bh, bw) at resolution r. Precinct side on
+    the band is 2^pp at r=0 and 2^(pp-1) otherwise (B.6); with pp >= 7
+    it is a multiple of the 64px block side, so precinct boundaries
+    align with the band's global code-block grid."""
+    s = 1 << (pp if r == 0 else pp - 1)
+    rows, cols = _cblk_grid(bh, bw)
+    i0 = min(rows, pi * s // _CBLK)
+    i1 = min(rows, (pi + 1) * s // _CBLK)
+    j0 = min(cols, pj * s // _CBLK)
+    j1 = min(cols, (pj + 1) * s // _CBLK)
+    return i0, i1, j0, j1
+
+
 def _packet_order_layers(levels: int, ncomp: int, layers: int, prog: int) -> list:
     """One tile's MULTI-LAYER packet sequence as (layer, resolution,
     component) triples per the A.6.1 nesting of the signalled order
@@ -1306,18 +1333,37 @@ def _encode_tile_layer_packets(
     sop: bool,
     eph: bool,
     prog: int = 0,
+    pp: int | None = None,
 ) -> bytearray:
-    """Multi-layer (quality-progressive) twin of _encode_tile_packets:
-    one packet per (layer, resolution, component) in the signalled
-    progression's nesting, with persistent tag-tree / Lblock state.
-    Each block's first-inclusion layer is zbp % layers (deterministic,
-    exercises late inclusion); its passes and bytes spread over the
-    remaining layers via _layer_contrib."""
+    """Multi-layer / precinct-partitioned twin of _encode_tile_packets:
+    one packet per (layer, resolution, component, precinct) in the
+    signalled progression's nesting, with persistent tag-tree / Lblock
+    state (tag-trees are PER PRECINCT over that precinct's block
+    subgrid). Each block's first-inclusion layer is zbp % layers
+    (deterministic, exercises late inclusion); its passes and bytes
+    spread over the remaining layers via _layer_contrib. `pp` is the
+    precinct size exponent (square, >= 7 so precinct boundaries align
+    with the 64px block grid); None = one precinct per resolution."""
+    if pp is not None and prog >= 2:
+        raise ValueError(
+            "precinct-partitioned streams are written in LRCP/RLCP order only"
+        )
+    th, tw = comps[0].shape
     comp_bands = [_fwd_dwt(c, levels, fwd1d) for c in comps]
     states = {}
+    precincts = {}  # r -> [(pi, pj)] raster order
     for r, ci in _packet_order(levels, len(comps), False):
+        if r not in precincts:
+            if pp is None:
+                precincts[r] = [(0, 0)]
+            else:
+                rh, rw = _res_dims(th, tw, levels, r)
+                npy, npx = -(-rh // (1 << pp)), -(-rw // (1 << pp))
+                precincts[r] = [
+                    (pi, pj) for pi in range(max(npy, 1)) for pj in range(max(npx, 1))
+                ]
         bands = [comp_bands[ci][0]] if r == 0 else list(comp_bands[ci][r])
-        band_states = []
+        band_blocks = []  # per band: (dims, global block-dict grid)
         for k, band in enumerate(bands):
             orient = 0 if r == 0 else (1, 2, 3)[k]
             bh, bw_ = band.shape
@@ -1329,8 +1375,8 @@ def _encode_tile_layer_packets(
                     band < 0, -1, 1
                 )
             blocks = []
-            incl_leaves = np.full((rows, cols), layers, dtype=np.int64)
-            zbp_leaves = np.zeros((rows, cols), dtype=np.int64)
+            firsts = np.full((rows, cols), layers, dtype=np.int64)
+            zbps = np.zeros((rows, cols), dtype=np.int64)
             for i in range(rows):
                 for j in range(cols):
                     blk = band[
@@ -1353,26 +1399,41 @@ def _encode_tile_layer_packets(
                         {"first": first, "zbp": mb - nbps, "lblock": 3,
                          "contrib": _layer_contrib(data, npasses, layers, first)}
                     )
-                    incl_leaves[i, j] = first
-                    zbp_leaves[i, j] = mb - nbps
-            incl = _TagTree(rows, cols) if rows and cols else None
-            zbp = _TagTree(rows, cols) if rows and cols else None
-            if incl is not None:
-                incl.set_values(incl_leaves)
-                zbp.set_values(zbp_leaves)
-            band_states.append(
-                {"rows": rows, "cols": cols, "incl": incl, "zbp": zbp,
-                 "blocks": blocks}
-            )
-        states[(r, ci)] = band_states
+                    firsts[i, j] = first
+                    zbps[i, j] = mb - nbps
+            band_blocks.append(((bh, bw_, rows, cols), blocks, firsts, zbps))
+        for pi, pj in precincts[r]:
+            band_states = []
+            for (bh, bw_, rows, cols), blocks, firsts, zbps in band_blocks:
+                if pp is None:
+                    i0, i1, j0, j1 = 0, rows, 0, cols
+                else:
+                    i0, i1, j0, j1 = _precinct_blocks(r, bh, bw_, pp, pi, pj)
+                sub = [
+                    blocks[i * cols + j]
+                    for i in range(i0, i1)
+                    for j in range(j0, j1)
+                ]
+                pr, pc = i1 - i0, j1 - j0
+                incl = _TagTree(pr, pc) if pr and pc else None
+                zbp_t = _TagTree(pr, pc) if pr and pc else None
+                if incl is not None:
+                    incl.set_values(firsts[i0:i1, j0:j1])
+                    zbp_t.set_values(zbps[i0:i1, j0:j1])
+                band_states.append(
+                    {"rows": pr, "cols": pc, "incl": incl, "zbp": zbp_t,
+                     "blocks": sub}
+                )
+            states[(r, ci, pi, pj)] = band_states
     packets = bytearray()
     pkt_n = 0
     for layer, r, ci in _packet_order_layers(levels, len(comps), layers, prog):
-        _write_layer_packet(
-            packets, states[(r, ci)], layer,
-            sop_n=pkt_n if sop else None, eph=eph,
-        )
-        pkt_n += 1
+        for pi, pj in precincts[r]:
+            _write_layer_packet(
+                packets, states[(r, ci, pi, pj)], layer,
+                sop_n=pkt_n if sop else None, eph=eph,
+            )
+            pkt_n += 1
     return packets
 
 
@@ -1445,6 +1506,7 @@ def encode_j2k(
     eph: bool = False,
     prog: str = "lrcp",
     layers: int = 1,
+    precinct: int | None = None,
 ) -> bytes:
     """(H,W) grey / (H,W,3) RGB, uint8 or uint16 → JPEG 2000
     codestream (SOC..EOC), EBCOT Tier-1/2. `prog` is any of the five
@@ -1454,7 +1516,11 @@ def encode_j2k(
     `layers` > 1 writes a QUALITY-PROGRESSIVE stream (the archival
     multi-layer profile): each block's coding passes spread across
     layers with persistent tag-tree/Lblock packet state, packets
-    nested per the signalled progression.
+    nested per the signalled progression. `precinct` partitions every
+    resolution into square 2^precinct precincts (the region-access
+    layout big-scan profiles pair with tiling; >= 7 so precinct
+    boundaries align with the code-block grid; LRCP/RLCP), each
+    precinct its own packet chain with its own tag-trees.
     `precision` is the sample depth P (2..16; default 8 for uint8 /
     16 for uint16 — precision=12 on uint16 data is the 12-bit DICOM
     layout, mirroring encode_jpeg_lossless). `sop`/`eph` emit the
@@ -1519,22 +1585,32 @@ def encode_j2k(
         raise ValueError(f"prog must be one of {sorted(progs)}, got {prog!r}")
     if not 1 <= layers <= 65535:
         raise ValueError(f"layers must be 1..65535, got {layers}")
+    if precinct is not None and not 7 <= precinct <= 15:
+        raise ValueError(
+            f"precinct exponent must be 7..15 (>=128px, block-aligned), "
+            f"got {precinct}"
+        )
     comp_major = progs[prog] >= 3
-    scod = (2 if sop else 0) | (4 if eph else 0)
+    scod = (
+        (1 if precinct is not None else 0) | (2 if sop else 0) | (4 if eph else 0)
+    )
     cod = bytes([scod]) + bytes([progs[prog]]) + struct.pack(">H", layers) + bytes(
         [mct]
     ) + bytes(
         [levels, _CBLK.bit_length() - 3, _CBLK.bit_length() - 3, 0]
     ) + bytes([0 if irreversible else 1])
+    if precinct is not None:
+        cod += bytes([precinct | (precinct << 4)]) * (levels + 1)
     out += _marker_seg(0xFF52, cod)
     out += _marker_seg(0xFF5C, sqcd)
     for t in range(ntx * nty):
         ty, tx = divmod(t, ntx)
         y0, x0 = ty * yt, tx * xt
         tile_comps = [c[y0 : min(y0 + yt, h), x0 : min(x0 + xt, w)] for c in comps]
-        if layers > 1:
+        if layers > 1 or precinct is not None:
             packets = _encode_tile_layer_packets(
-                tile_comps, levels, bandq, fwd1d, layers, sop, eph, progs[prog]
+                tile_comps, levels, bandq, fwd1d, layers, sop, eph,
+                progs[prog], precinct,
             )
         else:
             packets = _encode_tile_packets(
@@ -1632,8 +1708,6 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
     ntx, nty = -(-w // xt), -(-h // yt)
 
     scod = cod[0]
-    if scod & 0x01:
-        raise NotImplementedError("JPEG 2000 custom precincts not supported")
     sop, eph = bool(scod & 0x02), bool(scod & 0x04)
     prog, layers, mct = cod[1], struct.unpack(">H", cod[2:4])[0], cod[4]
     if prog > 4:
@@ -1654,6 +1728,23 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
     irreversible = transform == 0
     if (1 << (cbw + 2)) != _CBLK or (1 << (cbh + 2)) != _CBLK:
         raise NotImplementedError("JPEG 2000 non-64x64 code-blocks not supported")
+    pp = None
+    if scod & 0x01:  # per-resolution precinct sizes follow SPcod
+        psizes = cod[10 : 10 + levels + 1]
+        if len(psizes) != levels + 1:
+            raise ValueError("JPEG 2000 COD missing precinct sizes")
+        ppx, ppy = psizes[0] & 0x0F, psizes[0] >> 4
+        if ppx != ppy or any(b != psizes[0] for b in psizes) or ppx < 7:
+            raise NotImplementedError(
+                "JPEG 2000 precincts supported only square, uniform across "
+                "resolutions and >= 128px (block-grid aligned)"
+            )
+        if prog >= 2:
+            raise NotImplementedError(
+                "JPEG 2000 precinct-partitioned streams decode in "
+                "LRCP/RLCP order only"
+            )
+        pp = ppx
     qstyle = qcd[0] & 0x1F
     guard = qcd[0] >> 5
     if not irreversible and qstyle != 0:
@@ -1743,47 +1834,79 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
         tw = min(xt, w - tx_ * xt)
         layout_t = _band_layout(th, tw, levels)
         comp_bands = [[None] * (levels + 1) for _ in range(ncomp)]
-        if layers > 1:
-            # quality-progressive: accumulate every block's per-layer
-            # chunks and pass counts with persistent tag-tree / Lblock
-            # state, then Tier-1-decode each block ONCE from the
-            # concatenated codeword segment
+        if layers > 1 or pp is not None:
+            # quality-progressive and/or precinct-partitioned:
+            # accumulate every block's per-layer chunks and pass counts
+            # with persistent tag-tree / Lblock state (tag-trees per
+            # precinct over that precinct's block subgrid), then
+            # Tier-1-decode each block ONCE from the concatenated
+            # codeword segment
             states = {}
+            grids_by = {}
+            precincts = {}
             for r, ci in _packet_order(levels, ncomp, False):
-                band_states = []
+                if r not in precincts:
+                    if pp is None:
+                        precincts[r] = [(0, 0)]
+                    else:
+                        rh, rw = _res_dims(th, tw, levels, r)
+                        npy = max(-(-rh // (1 << pp)), 1)
+                        npx = max(-(-rw // (1 << pp)), 1)
+                        precincts[r] = [
+                            (pi, pj) for pi in range(npy) for pj in range(npx)
+                        ]
+                band_blocks = []
                 for orient, bh, bw_ in layout_t[r]:
                     rows, cols = _cblk_grid(bh, bw_)
-                    band_states.append(
-                        {
-                            "rows": rows,
-                            "cols": cols,
-                            "incl": _TagTree(rows, cols) if rows and cols else None,
-                            "zbp": _TagTree(rows, cols) if rows and cols else None,
-                            "blocks": [
-                                {"first": None, "zbp": 0, "npasses": 0,
-                                 "chunks": [], "lblock": 3}
-                                for _ in range(rows * cols)
-                            ],
-                        }
-                    )
-                states[(r, ci)] = band_states
+                    blocks = [
+                        {"first": None, "zbp": 0, "npasses": 0,
+                         "chunks": [], "lblock": 3}
+                        for _ in range(rows * cols)
+                    ]
+                    band_blocks.append((bh, bw_, rows, cols, blocks))
+                grids_by[(r, ci)] = band_blocks
+                for pi, pj in precincts[r]:
+                    band_states = []
+                    for bh, bw_, rows, cols, blocks in band_blocks:
+                        if pp is None:
+                            i0, i1, j0, j1 = 0, rows, 0, cols
+                        else:
+                            i0, i1, j0, j1 = _precinct_blocks(
+                                r, bh, bw_, pp, pi, pj
+                            )
+                        pr, pc = i1 - i0, j1 - j0
+                        band_states.append(
+                            {
+                                "rows": pr,
+                                "cols": pc,
+                                "incl": _TagTree(pr, pc) if pr and pc else None,
+                                "zbp": _TagTree(pr, pc) if pr and pc else None,
+                                "blocks": [
+                                    blocks[i * cols + j]
+                                    for i in range(i0, i1)
+                                    for j in range(j0, j1)
+                                ],
+                            }
+                        )
+                    states[(r, ci, pi, pj)] = band_states
             for layer, r, ci in _packet_order_layers(levels, ncomp, layers, prog):
-                pos = _read_layer_packet(
-                    data, pos, states[(r, ci)], layer, sop, eph
-                )
+                for pi, pj in precincts[r]:
+                    pos = _read_layer_packet(
+                        data, pos, states[(r, ci, pi, pj)], layer, sop, eph
+                    )
             for r, ci in _packet_order(levels, ncomp, False):
                 bands_here = []
-                for k, ((orient, bh, bw_), bs) in enumerate(
-                    zip(layout_t[r], states[(r, ci)])
+                for k, ((orient, bh, bw_), bb) in enumerate(
+                    zip(layout_t[r], grids_by[(r, ci)])
                 ):
                     mb, d = band_q[(r, k)]
                     band = np.zeros(
                         (bh, bw_), dtype=np.float64 if irreversible else np.int64
                     )
-                    rows, cols = bs["rows"], bs["cols"]
+                    _, _, rows, cols, blocks = bb
                     for i in range(rows):
                         for j in range(cols):
-                            blk = bs["blocks"][i * cols + j]
+                            blk = blocks[i * cols + j]
                             if blk["first"] is None or blk["npasses"] == 0:
                                 continue
                             y0, x0 = i * _CBLK, j * _CBLK
@@ -1896,12 +2019,13 @@ def encode_jp2(
     eph: bool = False,
     prog: str = "lrcp",
     layers: int = 1,
+    precinct: int | None = None,
 ) -> bytes:
     """uint8/uint16 image → minimal JP2 file (signature / ftyp / jp2h /
     jp2c boxes around the encode_j2k codestream); kwargs as encode_j2k."""
     code = encode_j2k(
         img, levels, irreversible, delta, derived, tile_size, precision, sop, eph,
-        prog, layers,
+        prog, layers, precinct,
     )
     if precision is None:
         precision = 8 if img.dtype == np.uint8 else 16

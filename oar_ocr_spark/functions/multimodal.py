@@ -283,6 +283,8 @@ def jp2_payload_for_ref(ref: str, page=None) -> bytes:
         "prog": ("lrcp", "rlcp", "rpcl", "pcrl", "cprl")[(h >> 10) % 5],
         "layers": 1 + (h >> 13) % 8,
     }
+    if (h >> 16) & 1 and resync["prog"] in ("lrcp", "rlcp"):
+        resync["precinct"] = 7  # 128px precinct grid (B.6)
     if h & 8:
         return enc(
             page,

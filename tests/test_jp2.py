@@ -561,9 +561,11 @@ class TestResyncMarkers:
         code[i + 4] = 0x04  # claim EPH without emitting it
         with pytest.raises(ValueError, match="EPH"):
             decode_j2k(bytes(code))
-        # custom precincts stay declared out of scope
+        # Scod claiming precincts without the per-resolution size bytes
+        # is malformed (precinct-partitioned streams decode —
+        # TestPrecincts)
         code[i + 4] = 0x01
-        with pytest.raises(NotImplementedError, match="precinct"):
+        with pytest.raises(ValueError, match="precinct"):
             decode_j2k(bytes(code))
 
 
@@ -672,3 +674,64 @@ class TestMultiLayer:
         img = render_page("40_m0")
         with pytest.raises(ValueError, match="layers"):
             encode_j2k(img, layers=0)
+
+
+class TestPrecincts:
+    """Precinct partitions (B.6): square >=128px precincts (block-grid
+    aligned) — each precinct its own packet chain with its own
+    tag-trees; the region-access layout big-scan profiles pair with
+    tiling."""
+
+    def test_precinct_roundtrip_and_signalling(self):
+        img = render_page("7_m2")  # 229x172: 2x2 precincts at 128
+        for pc in (7, 8):
+            code = encode_j2k(img, precinct=pc)
+            assert np.array_equal(decode_j2k(code), img), pc
+        code = encode_j2k(img, precinct=7)
+        i = code.index(struct.pack(">H", 0xFF52))
+        assert code[i + 4] & 0x01  # Scod signals precincts
+        assert code[i + 14] == 0x77  # PPx=PPy=7 per resolution
+
+    def test_composes_with_everything(self):
+        img = render_page("7_m2")
+        rgb = np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], axis=-1)
+        assert np.array_equal(
+            decode_j2k(encode_j2k(rgb, precinct=7, layers=3)), rgb
+        )
+        assert np.array_equal(
+            decode_j2k(encode_j2k(img, precinct=7, prog="rlcp", layers=2)), img
+        )
+        assert np.array_equal(
+            decode_j2k(encode_j2k(img, precinct=7, tile_size=150)), img
+        )
+        assert np.array_equal(
+            decode_j2k(encode_j2k(img, precinct=7, sop=True, eph=True)), img
+        )
+        err = np.abs(
+            decode_j2k(encode_j2k(img, precinct=7, irreversible=True)).astype(int)
+            - img.astype(int)
+        )
+        assert err.max() <= 2
+        big = np.random.RandomState(3).randint(0, 256, (300, 280)).astype(np.uint8)
+        assert np.array_equal(
+            decode_j2k(encode_j2k(big, precinct=7, layers=4)), big
+        )
+
+    def test_guards(self):
+        img = render_page("40_m0")
+        with pytest.raises(ValueError, match="precinct"):
+            encode_j2k(img, precinct=6)  # below block alignment
+        with pytest.raises(ValueError, match="LRCP/RLCP"):
+            encode_j2k(img, precinct=7, prog="rpcl")
+        # foreign stream with sub-block or rectangular precincts stays
+        # declared out of scope
+        code = bytearray(encode_j2k(img, precinct=7))
+        i = code.index(struct.pack(">H", 0xFF52))
+        bad = bytearray(code)
+        bad[i + 14] = 0x66  # 64px precincts
+        with pytest.raises(NotImplementedError, match="precinct"):
+            decode_j2k(bytes(bad))
+        bad = bytearray(code)
+        bad[i + 14] = 0x87  # rectangular
+        with pytest.raises(NotImplementedError, match="precinct"):
+            decode_j2k(bytes(bad))
