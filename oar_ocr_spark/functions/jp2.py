@@ -57,10 +57,15 @@ single MQ codeword segment), and PRECINCT partitions (B.6: square
 its own tag-trees — the region-access layout big-scan profiles pair
 with tiling; LRCP/RLCP).
 
-Scope (declared): one tile-part per tile, grey or RGB, unsigned
-samples. Multiple tile-parts, per-tile coding overrides, offset
-grids, sub-128px or rectangular precincts, coder bypass modes, and
-signed or mixed-depth components raise NotImplementedError.
+Tiles may arrive split across MULTIPLE TILE-PARTS (A.4.2), in-order
+per tile but interleaved across tiles — the progressive-delivery
+layout streamed scans use; each part advances the tile's packet
+cursor to its Psot boundary.
+
+Scope (declared): grey or RGB, unsigned samples. Per-tile coding
+overrides, offset grids, sub-128px or rectangular precincts, coder
+bypass modes, and signed or mixed-depth components raise
+NotImplementedError.
 Encoder and decoder share every table; the 5/3 path is exercised as
 exact-roundtrip twins, the 9/7 path as error-bounded twins (test_jp2),
 like the engine's other codec seams.
@@ -1426,6 +1431,7 @@ def _encode_tile_layer_packets(
                 )
             states[(r, ci, pi, pj)] = band_states
     packets = bytearray()
+    bounds = []  # byte offset after each packet (tile-part split points)
     pkt_n = 0
     for layer, r, ci in _packet_order_layers(levels, len(comps), layers, prog):
         for pi, pj in precincts[r]:
@@ -1433,8 +1439,9 @@ def _encode_tile_layer_packets(
                 packets, states[(r, ci, pi, pj)], layer,
                 sop_n=pkt_n if sop else None, eph=eph,
             )
+            bounds.append(len(packets))
             pkt_n += 1
-    return packets
+    return packets, bounds
 
 
 def _encode_tile_packets(
@@ -1454,6 +1461,7 @@ def _encode_tile_packets(
     0, the OpenJPEG convention)."""
     comp_bands = [_fwd_dwt(c, levels, fwd1d) for c in comps]
     packets = bytearray()
+    bounds = []  # byte offset after each packet (tile-part split points)
     pkt_n = 0
     for r, ci in _packet_order(levels, len(comps), comp_major):
         bands = [comp_bands[ci][0]] if r == 0 else list(comp_bands[ci][r])
@@ -1490,8 +1498,9 @@ def _encode_tile_packets(
         _write_packet(
             packets, band_blocks, sop_n=pkt_n if sop else None, eph=eph
         )
+        bounds.append(len(packets))
         pkt_n += 1
-    return packets
+    return packets, bounds
 
 
 def encode_j2k(
@@ -1507,9 +1516,13 @@ def encode_j2k(
     prog: str = "lrcp",
     layers: int = 1,
     precinct: int | None = None,
+    tile_parts: int = 1,
 ) -> bytes:
     """(H,W) grey / (H,W,3) RGB, uint8 or uint16 → JPEG 2000
-    codestream (SOC..EOC), EBCOT Tier-1/2. `prog` is any of the five
+    codestream (SOC..EOC), EBCOT Tier-1/2. `tile_parts` > 1 splits
+    every tile's packet stream into that many SOT..SOD tile-parts at
+    packet boundaries, INTERLEAVED across tiles (TPsot/TNsot
+    signalled) — the progressive-delivery layout streamed scans use. `prog` is any of the five
     Part-1 progression orders — at one layer/one precinct lrcp/rlcp/
     rpcl share the resolution-major packet sequence and pcrl/cprl the
     component-major one; the signalled byte matches the name.
@@ -1590,6 +1603,8 @@ def encode_j2k(
             f"precinct exponent must be 7..15 (>=128px, block-aligned), "
             f"got {precinct}"
         )
+    if not 1 <= tile_parts <= 254:  # TNsot is one byte; 255 reserved
+        raise ValueError(f"tile_parts must be 1..254, got {tile_parts}")
     comp_major = progs[prog] >= 3
     scod = (
         (1 if precinct is not None else 0) | (2 if sop else 0) | (4 if eph else 0)
@@ -1603,23 +1618,43 @@ def encode_j2k(
         cod += bytes([precinct | (precinct << 4)]) * (levels + 1)
     out += _marker_seg(0xFF52, cod)
     out += _marker_seg(0xFF5C, sqcd)
+    tile_payloads = []
     for t in range(ntx * nty):
         ty, tx = divmod(t, ntx)
         y0, x0 = ty * yt, tx * xt
         tile_comps = [c[y0 : min(y0 + yt, h), x0 : min(x0 + xt, w)] for c in comps]
         if layers > 1 or precinct is not None:
-            packets = _encode_tile_layer_packets(
+            packets, bounds = _encode_tile_layer_packets(
                 tile_comps, levels, bandq, fwd1d, layers, sop, eph,
                 progs[prog], precinct,
             )
         else:
-            packets = _encode_tile_packets(
+            packets, bounds = _encode_tile_packets(
                 tile_comps, levels, bandq, fwd1d, sop, eph, comp_major
             )
-        psot = 12 + 2 + len(packets)  # SOT seg + SOD marker + data
-        out += _marker_seg(0xFF90, struct.pack(">HIBB", t, psot, 0, 1))
-        out += struct.pack(">H", 0xFF93)
-        out += packets
+        tile_payloads.append((packets, bounds))
+    if tile_parts == 1:
+        for t, (packets, _bounds) in enumerate(tile_payloads):
+            psot = 12 + 2 + len(packets)  # SOT seg + SOD marker + data
+            out += _marker_seg(0xFF90, struct.pack(">HIBB", t, psot, 0, 1))
+            out += struct.pack(">H", 0xFF93)
+            out += packets
+    else:
+        # split each tile's packet stream into tile_parts slices at
+        # packet boundaries and INTERLEAVE the parts across tiles —
+        # the progressive-delivery layout multi-part streams exist for
+        for part in range(tile_parts):
+            for t, (packets, bounds) in enumerate(tile_payloads):
+                n = len(bounds)
+                lo = bounds[(part * n) // tile_parts - 1] if (part * n) // tile_parts else 0
+                hi = bounds[((part + 1) * n) // tile_parts - 1] if ((part + 1) * n) // tile_parts else 0
+                chunk = packets[lo:hi]
+                psot = 12 + 2 + len(chunk)
+                out += _marker_seg(
+                    0xFF90, struct.pack(">HIBB", t, psot, part, tile_parts)
+                )
+                out += struct.pack(">H", 0xFF93)
+                out += chunk
     out += struct.pack(">H", 0xFFD9)
     return bytes(out)
 
@@ -1629,17 +1664,18 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
     """J2K codestream → (H,W)/(H,W,3) image. Bit-exact inverse of
     encode_j2k on the lossless 5/3 path; midpoint-dequantized (error
     <= Δ/2 per coefficient) on the irreversible 9/7 path, scalar
-    derived or expounded. Tiled streams (any A.4.1 grid at offset 0,0,
-    one tile-part per tile in raster order) decode tile by tile. Any
-    2-16-bit unsigned sample depth decodes; `deep=True` returns
-    full-precision samples (uint16 for P>8), otherwise the image
-    seam's uint8 projection applies: top 8 bits for P>8, left-aligned
-    for P<8 (the same convention as decode_jpeg's SOF3 path). Fails
-    loudly (NotImplementedError) on the declared out-of-scope
-    features: multiple tile-parts per tile, per-tile coding overrides,
-    offset grids, multi-layer, custom precincts, coder bypass modes,
-    subsampled or signed components. All five progression orders and
-    the SOP/EPH resync layouts decode."""
+    derived or expounded. Tiled streams (any A.4.1 grid at offset
+    0,0) decode tile by tile, with each tile's packets allowed to
+    arrive split across multiple in-order tile-parts interleaved with
+    other tiles'. Any 2-16-bit unsigned sample depth decodes;
+    `deep=True` returns full-precision samples (uint16 for P>8),
+    otherwise the image seam's uint8 projection applies: top 8 bits
+    for P>8, left-aligned for P<8 (the same convention as
+    decode_jpeg's SOF3 path). Fails loudly (NotImplementedError) on
+    the declared out-of-scope features: per-tile coding overrides,
+    offset grids, coder bypass modes, subsampled or signed
+    components. All five progression orders, multi-layer, precinct
+    partitions and the SOP/EPH resync layouts decode."""
     if data[:2] != struct.pack(">H", _SOC):
         raise ValueError("not a JPEG 2000 codestream (missing SOC)")
     pos = 2
@@ -1792,27 +1828,88 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
         np.zeros((h, w), dtype=np.float64 if irreversible else np.int64)
         for _ in range(ncomp)
     ]
+    def new_tile(isot: int) -> dict:
+        """Lazy per-tile decode state: band layout, per-precinct
+        tag-tree/block accumulation state, and the tile's full packet
+        key sequence with a cursor — tile-parts advance the cursor
+        until their Psot boundary, so a tile's packets may arrive
+        split across any number of (in-order) parts, interleaved with
+        other tiles' parts (the streamed-scan layout)."""
+        ty_, tx_ = divmod(isot, ntx)
+        th = min(yt, h - ty_ * yt)
+        tw = min(xt, w - tx_ * xt)
+        layout_t = _band_layout(th, tw, levels)
+        states = {}
+        grids_by = {}
+        precincts = {}
+        for r in range(levels + 1):
+            if pp is None:
+                precincts[r] = [(0, 0)]
+            else:
+                rh, rw = _res_dims(th, tw, levels, r)
+                npy = max(-(-rh // (1 << pp)), 1)
+                npx = max(-(-rw // (1 << pp)), 1)
+                precincts[r] = [
+                    (pi, pj) for pi in range(npy) for pj in range(npx)
+                ]
+        for r, ci in _packet_order(levels, ncomp, False):
+            band_blocks = []
+            for orient, bh, bw_ in layout_t[r]:
+                rows, cols = _cblk_grid(bh, bw_)
+                blocks = [
+                    {"first": None, "zbp": 0, "npasses": 0,
+                     "chunks": [], "lblock": 3}
+                    for _ in range(rows * cols)
+                ]
+                band_blocks.append((bh, bw_, rows, cols, blocks))
+            grids_by[(r, ci)] = band_blocks
+            for pi, pj in precincts[r]:
+                band_states = []
+                for bh, bw_, rows, cols, blocks in band_blocks:
+                    if pp is None:
+                        i0, i1, j0, j1 = 0, rows, 0, cols
+                    else:
+                        i0, i1, j0, j1 = _precinct_blocks(r, bh, bw_, pp, pi, pj)
+                    pr, pc = i1 - i0, j1 - j0
+                    band_states.append(
+                        {
+                            "rows": pr,
+                            "cols": pc,
+                            "incl": _TagTree(pr, pc) if pr and pc else None,
+                            "zbp": _TagTree(pr, pc) if pr and pc else None,
+                            "blocks": [
+                                blocks[i * cols + j]
+                                for i in range(i0, i1)
+                                for j in range(j0, j1)
+                            ],
+                        }
+                    )
+                states[(r, ci, pi, pj)] = band_states
+        keys = [
+            (layer, r, ci, pi, pj)
+            for layer, r, ci in _packet_order_layers(levels, ncomp, layers, prog)
+            for pi, pj in precincts[r]
+        ]
+        return {
+            "pos": (ty_, tx_), "dims": (th, tw), "layout": layout_t,
+            "states": states, "grids": grids_by, "keys": keys,
+            "cursor": 0, "parts": 0,
+        }
+
     pos = first_sot
-    seen = 0
+    tiles: dict = {}
     while pos + 2 <= len(data):
         (marker,) = struct.unpack(">H", data[pos : pos + 2])
         if marker == 0xFFD9:  # EOC
             break
         if marker != 0xFF90:
             raise ValueError(f"expected SOT or EOC marker, got {marker:#06x}")
+        sot_start = pos
         (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
-        isot, _psot, tpsot, tnsot = struct.unpack(
+        isot, psot, tpsot, tnsot = struct.unpack(
             ">HIBB", data[pos + 4 : pos + 12]
         )
         pos += 2 + ln
-        if tpsot != 0 or tnsot not in (0, 1):
-            raise NotImplementedError(
-                "JPEG 2000 multiple tile-parts per tile not supported"
-            )
-        if isot != seen:
-            raise NotImplementedError(
-                f"JPEG 2000 out-of-order tile-part {isot} (expected {seen})"
-            )
         if isot >= ntx * nty:
             raise ValueError(f"tile index {isot} outside the {ntx}x{nty} grid")
         while True:  # tile-part header: markers until SOD
@@ -1829,132 +1926,65 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
                 )
             (l2,) = struct.unpack(">H", data[pos + 2 : pos + 4])
             pos += 2 + l2
-        ty_, tx_ = divmod(isot, ntx)
-        th = min(yt, h - ty_ * yt)
-        tw = min(xt, w - tx_ * xt)
-        layout_t = _band_layout(th, tw, levels)
+        t = tiles.get(isot)
+        if t is None:
+            t = tiles[isot] = new_tile(isot)
+        if tpsot != t["parts"]:
+            raise ValueError(
+                f"tile {isot} part {tpsot} arrived, expected part {t['parts']}"
+            )
+        if tnsot and tpsot >= tnsot:
+            raise ValueError(
+                f"tile {isot} part index {tpsot} >= declared count {tnsot}"
+            )
+        end = sot_start + psot if psot else None  # Psot=0: runs to EOC
+        keys = t["keys"]
+        while t["cursor"] < len(keys) and (end is None or pos < end):
+            layer, r, ci, pi, pj = keys[t["cursor"]]
+            pos = _read_layer_packet(
+                data, pos, t["states"][(r, ci, pi, pj)], layer, sop, eph
+            )
+            t["cursor"] += 1
+        if end is not None and pos != end:
+            raise ValueError(
+                f"tile {isot} part {tpsot} length mismatch (Psot={psot})"
+            )
+        t["parts"] += 1
+
+    if len(tiles) != ntx * nty:
+        raise ValueError(
+            f"JPEG 2000 stream carries {len(tiles)} tiles, expected {ntx * nty}"
+        )
+    for isot, t in tiles.items():
+        if t["cursor"] != len(t["keys"]):
+            raise ValueError(
+                f"tile {isot} is missing packets ({t['cursor']}/{len(t['keys'])})"
+            )
+        ty_, tx_ = t["pos"]
+        th, tw = t["dims"]
+        layout_t = t["layout"]
         comp_bands = [[None] * (levels + 1) for _ in range(ncomp)]
-        if layers > 1 or pp is not None:
-            # quality-progressive and/or precinct-partitioned:
-            # accumulate every block's per-layer chunks and pass counts
-            # with persistent tag-tree / Lblock state (tag-trees per
-            # precinct over that precinct's block subgrid), then
-            # Tier-1-decode each block ONCE from the concatenated
-            # codeword segment
-            states = {}
-            grids_by = {}
-            precincts = {}
-            for r, ci in _packet_order(levels, ncomp, False):
-                if r not in precincts:
-                    if pp is None:
-                        precincts[r] = [(0, 0)]
-                    else:
-                        rh, rw = _res_dims(th, tw, levels, r)
-                        npy = max(-(-rh // (1 << pp)), 1)
-                        npx = max(-(-rw // (1 << pp)), 1)
-                        precincts[r] = [
-                            (pi, pj) for pi in range(npy) for pj in range(npx)
-                        ]
-                band_blocks = []
-                for orient, bh, bw_ in layout_t[r]:
-                    rows, cols = _cblk_grid(bh, bw_)
-                    blocks = [
-                        {"first": None, "zbp": 0, "npasses": 0,
-                         "chunks": [], "lblock": 3}
-                        for _ in range(rows * cols)
-                    ]
-                    band_blocks.append((bh, bw_, rows, cols, blocks))
-                grids_by[(r, ci)] = band_blocks
-                for pi, pj in precincts[r]:
-                    band_states = []
-                    for bh, bw_, rows, cols, blocks in band_blocks:
-                        if pp is None:
-                            i0, i1, j0, j1 = 0, rows, 0, cols
-                        else:
-                            i0, i1, j0, j1 = _precinct_blocks(
-                                r, bh, bw_, pp, pi, pj
-                            )
-                        pr, pc = i1 - i0, j1 - j0
-                        band_states.append(
-                            {
-                                "rows": pr,
-                                "cols": pc,
-                                "incl": _TagTree(pr, pc) if pr and pc else None,
-                                "zbp": _TagTree(pr, pc) if pr and pc else None,
-                                "blocks": [
-                                    blocks[i * cols + j]
-                                    for i in range(i0, i1)
-                                    for j in range(j0, j1)
-                                ],
-                            }
-                        )
-                    states[(r, ci, pi, pj)] = band_states
-            for layer, r, ci in _packet_order_layers(levels, ncomp, layers, prog):
-                for pi, pj in precincts[r]:
-                    pos = _read_layer_packet(
-                        data, pos, states[(r, ci, pi, pj)], layer, sop, eph
-                    )
-            for r, ci in _packet_order(levels, ncomp, False):
-                bands_here = []
-                for k, ((orient, bh, bw_), bb) in enumerate(
-                    zip(layout_t[r], grids_by[(r, ci)])
-                ):
-                    mb, d = band_q[(r, k)]
-                    band = np.zeros(
-                        (bh, bw_), dtype=np.float64 if irreversible else np.int64
-                    )
-                    _, _, rows, cols, blocks = bb
-                    for i in range(rows):
-                        for j in range(cols):
-                            blk = blocks[i * cols + j]
-                            if blk["first"] is None or blk["npasses"] == 0:
-                                continue
-                            y0, x0 = i * _CBLK, j * _CBLK
-                            bh_b = min(_CBLK, bh - y0)
-                            bw_b = min(_CBLK, bw_ - x0)
-                            mags, signs = _t1_decode_block(
-                                b"".join(blk["chunks"]), bh_b, bw_b, orient,
-                                mb - blk["zbp"], blk["npasses"],
-                            )
-                            if d is not None:
-                                vals = np.where(mags > 0, (mags + 0.5) * d, 0.0)
-                                vals = np.where(signs == 1, -vals, vals)
-                            else:
-                                vals = np.where(signs == 1, -mags, mags)
-                            band[y0 : y0 + bh_b, x0 : x0 + bw_b] = vals
-                    bands_here.append(band)
-                if r == 0:
-                    comp_bands[ci][0] = bands_here[0]
-                else:
-                    comp_bands[ci][r] = tuple(bands_here)
-            for ci in range(ncomp):
-                planes[ci][
-                    ty_ * yt : ty_ * yt + th, tx_ * xt : tx_ * xt + tw
-                ] = _inv_dwt(comp_bands[ci], (th, tw), inv1d)
-            seen += 1
-            continue
-        for r, ci in _packet_order(levels, ncomp, comp_major):
-            grids = [_cblk_grid(bh, bw_) for _, bh, bw_ in layout_t[r]]
-            per_band, pos = _read_packet(data, pos, grids, sop, eph)
+        for r, ci in _packet_order(levels, ncomp, False):
             bands_here = []
-            for k, ((orient, bh, bw_), blks) in enumerate(
-                zip(layout_t[r], per_band)
+            for k, ((orient, bh, bw_), bb) in enumerate(
+                zip(layout_t[r], t["grids"][(r, ci)])
             ):
                 mb, d = band_q[(r, k)]
                 band = np.zeros(
                     (bh, bw_), dtype=np.float64 if irreversible else np.int64
                 )
-                rows, cols = _cblk_grid(bh, bw_)
+                _, _, rows, cols, blocks = bb
                 for i in range(rows):
                     for j in range(cols):
-                        incl, zbp, npasses, blkdata = blks[i * cols + j]
-                        if not incl:
+                        blk = blocks[i * cols + j]
+                        if blk["first"] is None or blk["npasses"] == 0:
                             continue
                         y0, x0 = i * _CBLK, j * _CBLK
                         bh_b = min(_CBLK, bh - y0)
                         bw_b = min(_CBLK, bw_ - x0)
                         mags, signs = _t1_decode_block(
-                            blkdata, bh_b, bw_b, orient, mb - zbp, npasses
+                            b"".join(blk["chunks"]), bh_b, bw_b, orient,
+                            mb - blk["zbp"], blk["npasses"],
                         )
                         if d is not None:  # midpoint dequantization (r=0.5)
                             vals = np.where(mags > 0, (mags + 0.5) * d, 0.0)
@@ -1971,11 +2001,6 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
             planes[ci][
                 ty_ * yt : ty_ * yt + th, tx_ * xt : tx_ * xt + tw
             ] = _inv_dwt(comp_bands[ci], (th, tw), inv1d)
-        seen += 1
-    if seen != ntx * nty:
-        raise ValueError(
-            f"JPEG 2000 stream carries {seen} tiles, expected {ntx * nty}"
-        )
     if ncomp == 1:
         out = planes[0]
     else:
