@@ -62,10 +62,12 @@ per tile but interleaved across tiles — the progressive-delivery
 layout streamed scans use; each part advances the tile's packet
 cursor to its Psot boundary.
 
-Scope (declared): grey or RGB, unsigned samples. Per-tile coding
-overrides, offset grids, sub-128px or rectangular precincts, coder
-bypass modes, and signed or mixed-depth components raise
-NotImplementedError.
+Samples may be unsigned or SIGNED (Ssiz sign bit, A.5.1: the DC level
+shift is skipped both ways — signed-pixel medical layouts).
+
+Scope (declared): grey or RGB. Per-tile coding overrides, offset
+grids, sub-128px or rectangular precincts, coder bypass modes, and
+mixed-depth or mixed-sign components raise NotImplementedError.
 Encoder and decoder share every table; the 5/3 path is exercised as
 exact-roundtrip twins, the 9/7 path as error-bounded twins (test_jp2),
 like the engine's other codec seams.
@@ -1517,6 +1519,7 @@ def encode_j2k(
     layers: int = 1,
     precinct: int | None = None,
     tile_parts: int = 1,
+    signed: bool = False,
 ) -> bytes:
     """(H,W) grey / (H,W,3) RGB, uint8 or uint16 → JPEG 2000
     codestream (SOC..EOC), EBCOT Tier-1/2. `tile_parts` > 1 splits
@@ -1550,14 +1553,33 @@ def encode_j2k(
     offset 0,0; edge tiles clipped) — the layout big archival scans
     ship in, each tile an independently-coded SOT..SOD tile-part so a
     reader can decode regions without the whole image. Default: one
-    tile covering the image."""
-    if img.dtype not in (np.uint8, np.uint16) or img.ndim not in (2, 3):
-        raise ValueError("encode_j2k expects (H,W)/(H,W,3) uint8 or uint16")
-    if precision is None:
-        precision = 8 if img.dtype == np.uint8 else 16
+    tile covering the image.
+
+    `signed=True` takes int8/int16 samples and writes SIGNED
+    components (Ssiz sign bit, A.5.1): the DC level shift is skipped
+    in both directions — the layout signed-pixel medical data (CT
+    Hounsfield-style) ships in."""
+    if signed:
+        if img.dtype not in (np.int8, np.int16) or img.ndim not in (2, 3):
+            raise ValueError(
+                "encode_j2k(signed=True) expects (H,W)/(H,W,3) int8 or int16"
+            )
+        if precision is None:
+            precision = 8 if img.dtype == np.int8 else 16
+    else:
+        if img.dtype not in (np.uint8, np.uint16) or img.ndim not in (2, 3):
+            raise ValueError("encode_j2k expects (H,W)/(H,W,3) uint8 or uint16")
+        if precision is None:
+            precision = 8 if img.dtype == np.uint8 else 16
     if not 2 <= precision <= 16:
         raise ValueError(f"precision must be 2..16, got {precision}")
-    if int(img.max(initial=0)) >> precision:
+    if signed:
+        half = 1 << (precision - 1)
+        if int(img.min(initial=0)) < -half or int(img.max(initial=0)) >= half:
+            raise ValueError(
+                f"sample exceeds the declared signed {precision}-bit range"
+            )
+    elif int(img.max(initial=0)) >> precision:
         raise ValueError(f"sample exceeds the declared {precision}-bit precision")
     if img.ndim == 3 and img.shape[2] != 3:
         raise ValueError(f"expected 3 colour channels, got {img.shape[2]}")
@@ -1570,9 +1592,9 @@ def encode_j2k(
         raise ValueError("empty image")
     if tile_size is not None and tile_size < 16:
         raise ValueError(f"tile_size must be >= 16, got {tile_size}")
-    shifted = img.astype(np.float64 if irreversible else np.int64) - (
-        1 << (precision - 1)
-    )
+    shifted = img.astype(np.float64 if irreversible else np.int64)
+    if not signed:  # DC level shift (B.1.1) applies to unsigned data only
+        shifted = shifted - (1 << (precision - 1))
     if img.ndim == 2:
         comps = [shifted]
         mct = 0
@@ -1591,7 +1613,9 @@ def encode_j2k(
     out = bytearray(struct.pack(">H", _SOC))
     siz = struct.pack(
         ">HIIIIIIII H", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp
-    ) + bytes([precision - 1, 1, 1]) * ncomp  # Ssiz=P-1 unsigned, 1x1 sampling
+    ) + bytes(
+        [(precision - 1) | (0x80 if signed else 0), 1, 1]
+    ) * ncomp  # Ssiz = P-1 (+sign bit), 1x1 sampling
     out += _marker_seg(0xFF51, siz)
     progs = {"lrcp": 0, "rlcp": 1, "rpcl": 2, "pcrl": 3, "cprl": 4}
     if prog not in progs:
@@ -1667,15 +1691,17 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
     derived or expounded. Tiled streams (any A.4.1 grid at offset
     0,0) decode tile by tile, with each tile's packets allowed to
     arrive split across multiple in-order tile-parts interleaved with
-    other tiles'. Any 2-16-bit unsigned sample depth decodes;
-    `deep=True` returns full-precision samples (uint16 for P>8),
-    otherwise the image seam's uint8 projection applies: top 8 bits
-    for P>8, left-aligned for P<8 (the same convention as
-    decode_jpeg's SOF3 path). Fails loudly (NotImplementedError) on
-    the declared out-of-scope features: per-tile coding overrides,
-    offset grids, coder bypass modes, subsampled or signed
-    components. All five progression orders, multi-layer, precinct
-    partitions and the SOP/EPH resync layouts decode."""
+    other tiles'. Any 2-16-bit unsigned OR signed sample depth
+    decodes (signed skips the DC level shift; A.5.1); `deep=True`
+    returns full-precision samples (uint16/int16 for P>8), otherwise
+    the image seam's uint8 projection applies: signed shifts up by
+    2^(P-1), then top 8 bits for P>8, left-aligned for P<8 (the same
+    convention as decode_jpeg's SOF3 path). Fails loudly
+    (NotImplementedError) on the declared out-of-scope features:
+    per-tile coding overrides, offset grids, coder bypass modes,
+    subsampled or mixed-sign components. All five progression orders,
+    multi-layer, precinct partitions and the SOP/EPH resync layouts
+    decode."""
     if data[:2] != struct.pack(">H", _SOC):
         raise ValueError("not a JPEG 2000 codestream (missing SOC)")
     pos = 2
@@ -1718,18 +1744,17 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
     if ncomp not in (1, 3):
         raise NotImplementedError(f"JPEG 2000 with {ncomp} components not supported")
     precision = None
+    signed = None
     for c in range(ncomp):
         ssiz, xr, yr = siz[36 + 3 * c], siz[37 + 3 * c], siz[38 + 3 * c]
-        if ssiz & 0x80:
-            raise NotImplementedError("JPEG 2000 signed components not supported")
         p = (ssiz & 0x7F) + 1
         if not 2 <= p <= 16:
             raise NotImplementedError(f"JPEG 2000 {p}-bit components not supported")
         if precision is None:
-            precision = p
-        elif p != precision:
+            precision, signed = p, bool(ssiz & 0x80)
+        elif p != precision or bool(ssiz & 0x80) != signed:
             raise NotImplementedError(
-                "JPEG 2000 mixed-depth components not supported"
+                "JPEG 2000 mixed-depth or mixed-sign components not supported"
             )
         if xr != 1 or yr != 1:
             raise NotImplementedError("JPEG 2000 subsampled components not supported")
@@ -2012,10 +2037,17 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
         out = np.stack([rp, gp, bp], axis=-1)
     if irreversible:
         out = np.round(out)
-    out = np.clip(out + (1 << (precision - 1)), 0, (1 << precision) - 1)
-    if deep:
-        return out.astype(np.uint16 if precision > 8 else np.uint8)
-    out = out.astype(np.int64)
+    half = 1 << (precision - 1)
+    if signed:  # no DC level shift: samples are two's-complement P-bit
+        out = np.clip(out, -half, half - 1)
+        if deep:
+            return out.astype(np.int16 if precision > 8 else np.int8)
+        out = out.astype(np.int64) + half  # unsigned projection for the seam
+    else:
+        out = np.clip(out + half, 0, (1 << precision) - 1)
+        if deep:
+            return out.astype(np.uint16 if precision > 8 else np.uint8)
+        out = out.astype(np.int64)
     if precision > 8:  # uint8 projection: top 8 bits (PNG-16 style)
         return (out >> (precision - 8)).astype(np.uint8)
     if precision < 8:  # left-aligned, like sub-8 lossless JPEG
@@ -2045,18 +2077,23 @@ def encode_jp2(
     prog: str = "lrcp",
     layers: int = 1,
     precinct: int | None = None,
+    signed: bool = False,
 ) -> bytes:
-    """uint8/uint16 image → minimal JP2 file (signature / ftyp / jp2h /
-    jp2c boxes around the encode_j2k codestream); kwargs as encode_j2k."""
+    """uint8/uint16 (or int8/int16 with signed=True) image → minimal
+    JP2 file (signature / ftyp / jp2h / jp2c boxes around the
+    encode_j2k codestream); kwargs as encode_j2k."""
     code = encode_j2k(
         img, levels, irreversible, delta, derived, tile_size, precision, sop, eph,
-        prog, layers, precinct,
+        prog, layers, precinct, signed=signed,
     )
     if precision is None:
-        precision = 8 if img.dtype == np.uint8 else 16
+        precision = 8 if img.dtype.itemsize == 1 else 16
     h, w = img.shape[:2]
     ncomp = 1 if img.ndim == 2 else 3
-    ihdr = struct.pack(">IIHBBBB", h, w, ncomp, precision - 1, 7, 0, 0)
+    ihdr = struct.pack(
+        ">IIHBBBB",
+        h, w, ncomp, (precision - 1) | (0x80 if signed else 0), 7, 0, 0,
+    )
     colr = struct.pack(">BBBI", 1, 0, 0, 17 if ncomp == 1 else 16)
     jp2h = _box(b"ihdr", ihdr) + _box(b"colr", colr)
     return (

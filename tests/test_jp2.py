@@ -475,12 +475,14 @@ class TestDeepPrecision:
             encode_j2k(x, precision=8)
         with pytest.raises(ValueError, match="uint8 or uint16"):
             encode_j2k(x.astype(np.int32))
-        # signed components stay declared out of scope
+        # a stream relabeled signed decodes as signed (TestSignedComponents)
         code = bytearray(encode_j2k(np.zeros((8, 8), dtype=np.uint8)))
         i = code.index(struct.pack(">H", 0xFF51))
         code[i + 40] |= 0x80
-        with pytest.raises(NotImplementedError, match="signed"):
-            decode_j2k(bytes(code))
+        # (the unsigned encoder level-shifted 0 -> -128; a signed
+        # relabel keeps the -128 because signed data has no DC shift)
+        got = decode_j2k(bytes(code), deep=True)
+        assert got.dtype == np.int8 and (got == -128).all()
 
 
 class TestProgressionCollapse:
@@ -792,3 +794,77 @@ class TestTileParts:
         swapped = bytes(code[:first]) + part1 + part0 + code[-2:]
         with pytest.raises(ValueError, match="part"):
             decode_j2k(swapped)
+
+
+class TestSignedComponents:
+    """Signed samples (Ssiz sign bit, A.5.1): the DC level shift is
+    skipped in both directions — the signed-pixel medical layout (CT
+    Hounsfield-style int16)."""
+
+    def test_int16_roundtrip_and_projection(self):
+        rng = np.random.RandomState(21)
+        x = rng.randint(-32768, 32768, (40, 56)).astype(np.int16)
+        code = encode_j2k(x, signed=True)
+        assert np.array_equal(decode_j2k(code, deep=True), x)
+        # seam projection: shift to unsigned, then top 8 bits
+        want = ((x.astype(np.int64) + 32768) >> 8).astype(np.uint8)
+        assert np.array_equal(decode_j2k(code), want)
+        # SIZ signals Ssiz = (P-1) | 0x80
+        i = code.index(struct.pack(">H", 0xFF51))
+        assert code[i + 40] == 0x8F
+
+    def test_int8_and_hounsfield_12bit(self):
+        rng = np.random.RandomState(22)
+        x8 = rng.randint(-128, 128, (24, 31)).astype(np.int8)
+        code = encode_j2k(x8, signed=True)
+        got = decode_j2k(code, deep=True)
+        assert got.dtype == np.int8 and np.array_equal(got, x8)
+        assert np.array_equal(
+            decode_j2k(code), (x8.astype(np.int16) + 128).astype(np.uint8)
+        )
+        # 12-bit signed (CT Hounsfield range lives in [-1024, 3071])
+        hu = rng.randint(-1024, 2048, (33, 47)).astype(np.int16)
+        code = encode_j2k(hu, signed=True, precision=12)
+        assert np.array_equal(decode_j2k(code, deep=True), hu)
+        want = ((hu.astype(np.int64) + 2048) >> 4).astype(np.uint8)
+        assert np.array_equal(decode_j2k(code), want)
+
+    def test_composes_with_tiles_layers_97_and_container(self):
+        rng = np.random.RandomState(23)
+        x = rng.randint(-2048, 2048, (70, 90)).astype(np.int16)
+        code = encode_j2k(x, signed=True, precision=12, tile_size=48, layers=3)
+        assert np.array_equal(decode_j2k(code, deep=True), x)
+        # irreversible 9/7: error bounded as on the unsigned path
+        code = encode_j2k(x, signed=True, precision=12, irreversible=True)
+        got = decode_j2k(code, deep=True).astype(np.int64)
+        assert got.dtype != np.uint16
+        assert np.abs(got - x.astype(np.int64)).max() <= 24
+        # JP2 box container: ihdr BPC carries the sign bit
+        jp2 = encode_jp2(x, signed=True, precision=12)
+        assert np.array_equal(decode_jp2(jp2, deep=True), x)
+        ih = jp2.index(b"ihdr")
+        assert jp2[ih + 4 + 10] == 0x8B  # (12-1) | 0x80
+
+    def test_signed_rgb(self):
+        rng = np.random.RandomState(24)
+        x = rng.randint(-128, 128, (30, 30, 3)).astype(np.int8)
+        code = encode_j2k(x, signed=True)
+        assert np.array_equal(decode_j2k(code, deep=True), x)
+
+    def test_guards(self):
+        x = np.zeros((8, 8), dtype=np.int16)
+        with pytest.raises(ValueError, match="int8 or int16"):
+            encode_j2k(np.zeros((8, 8), dtype=np.uint8), signed=True)
+        with pytest.raises(ValueError, match="signed"):
+            encode_j2k(np.full((8, 8), -2049, dtype=np.int16), signed=True,
+                       precision=12)
+        with pytest.raises(ValueError, match="signed"):
+            encode_j2k(np.full((8, 8), 2048, dtype=np.int16), signed=True,
+                       precision=12)
+        # mixed-sign components fail loudly
+        code = bytearray(encode_j2k(np.zeros((8, 8, 3), dtype=np.int8),
+                                    signed=True))
+        i = code.index(struct.pack(">H", 0xFF51))
+        code[i + 40] &= 0x7F  # clear component 0's sign bit only
+        with pytest.raises(NotImplementedError, match="mixed"):
+            decode_j2k(bytes(code))
