@@ -65,9 +65,19 @@ cursor to its Psot boundary.
 Samples may be unsigned or SIGNED (Ssiz sign bit, A.5.1: the DC level
 shift is skipped both ways — signed-pixel medical layouts).
 
+CODE-BLOCK STYLES (Table A.23) encode and decode, composed freely
+with each other and with every layout above (single quality layer):
+selective MQ BYPASS (D.6: raw bit-stuffed SPP/MRP segments from pass
+10, the speed mode hardware encoders default to, with per-segment
+lengths in the packet headers per B.10.7.5), per-pass TERMINATION,
+context RESET on pass boundaries, VERTICALLY-CAUSAL context formation
+(D.7.2), and SEGMENTATION SYMBOLS after each cleanup (D.5 — decode
+verifies the 1010 and fails loudly on corruption).
+
 Scope (declared): grey or RGB. Per-tile coding overrides, offset
-grids, sub-128px or rectangular precincts, coder bypass modes, and
-mixed-depth or mixed-sign components raise NotImplementedError.
+grids, sub-128px or rectangular precincts, predictable-termination
+style, styled multi-layer streams, and mixed-depth or mixed-sign
+components raise NotImplementedError.
 Encoder and decoder share every table; the 5/3 path is exercised as
 exact-roundtrip twins, the 9/7 path as error-bounded twins (test_jp2),
 like the engine's other codec seams.
@@ -115,23 +125,44 @@ _CTX_UNI = 18
 _N_CTX = 19
 
 
+def _fresh_ctx() -> tuple[list, list]:
+    """(index, MPS) context state at the Annex D initial values:
+    ZC context 0 → 4, RL → 3, UNIFORM → 46, everything else 0."""
+    idx = [0] * _N_CTX
+    idx[0] = 4
+    idx[_CTX_RL] = 3
+    idx[_CTX_UNI] = 46
+    return idx, [0] * _N_CTX
+
+
+def _reset_ctx(ctx: tuple[list, list]) -> None:
+    """In-place context reset (the RESET code-block style, D.7.1) —
+    in place because live coders alias these lists."""
+    idx, mps = ctx
+    for i in range(_N_CTX):
+        idx[i] = 0
+        mps[i] = 0
+    idx[0] = 4
+    idx[_CTX_RL] = 3
+    idx[_CTX_UNI] = 46
+
+
 class _MQEncoder:
     """MQ arithmetic encoder (C.2): A interval, C code register with
     byte at bits 19-26 (or 20-27 after a 0xFF — the 7-bit stuffing
     row), CT countdown. Carry propagates into the last buffered byte,
-    which the BYTEOUT flowchart guarantees is not 0xFF."""
+    which the BYTEOUT flowchart guarantees is not 0xFF. `ctx` shares
+    (index, MPS) lists ACROSS codeword segments — termination restarts
+    the interval registers but not the probability contexts."""
 
-    def __init__(self):
+    raw = False
+
+    def __init__(self, ctx: tuple[list, list] | None = None):
         self.a = 0x8000
         self.c = 0
         self.ct = 12
         self.out = bytearray()
-        self.ctx_idx = [0] * _N_CTX
-        self.ctx_mps = [0] * _N_CTX
-        # Annex D initial states: ZC context 0 → 4, RL → 3, UNIFORM → 46
-        self.ctx_idx[0] = 4
-        self.ctx_idx[_CTX_RL] = 3
-        self.ctx_idx[_CTX_UNI] = 46
+        self.ctx_idx, self.ctx_mps = ctx if ctx is not None else _fresh_ctx()
 
     def encode(self, cx: int, d: int) -> None:
         qe, nmps, nlps, switch = _MQ_TABLE[self.ctx_idx[cx]]
@@ -202,9 +233,13 @@ class _MQEncoder:
 class _MQDecoder:
     """MQ arithmetic decoder (C.3): C high half compared against Qe;
     BYTEIN honors the 7-bit row after 0xFF and 1-fills once a byte
-    > 0x8F follows 0xFF (the in-bitstream marker convention)."""
+    > 0x8F follows 0xFF (the in-bitstream marker convention). `ctx`
+    shares probability contexts across codeword segments, mirroring
+    _MQEncoder."""
 
-    def __init__(self, data: bytes):
+    raw = False
+
+    def __init__(self, data: bytes, ctx: tuple[list, list] | None = None):
         self.data = data
         self.pos = 0
         self.c = self._byte_at(0) << 16
@@ -212,11 +247,7 @@ class _MQDecoder:
         self.c <<= 7
         self.ct -= 7
         self.a = 0x8000
-        self.ctx_idx = [0] * _N_CTX
-        self.ctx_mps = [0] * _N_CTX
-        self.ctx_idx[0] = 4
-        self.ctx_idx[_CTX_RL] = 3
-        self.ctx_idx[_CTX_UNI] = 46
+        self.ctx_idx, self.ctx_mps = ctx if ctx is not None else _fresh_ctx()
 
     def _byte_at(self, i: int) -> int:
         return self.data[i] if i < len(self.data) else 0xFF
@@ -270,6 +301,70 @@ class _MQDecoder:
             self.c <<= 1
             self.ct -= 1
         return d
+
+
+class _RawEncoder:
+    """Raw codeword segment for the selective-bypass style (D.6): bits
+    packed MSB-first with the single-bit stuffing rule (after an 0xFF
+    byte the next byte carries 7 bits, its MSB a stuffed 0). The `cx`
+    argument is accepted and ignored so the three coding passes drive
+    MQ and raw coders through one interface."""
+
+    raw = True
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def encode(self, cx: int, d: int) -> None:
+        self.acc = (self.acc << 1) | d
+        self.nbits += 1
+        if self.nbits == (7 if self.out and self.out[-1] == 0xFF else 8):
+            self.out.append(self.acc)
+            self.acc = 0
+            self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            cap = 7 if self.out and self.out[-1] == 0xFF else 8
+            self.out.append(self.acc << (cap - self.nbits))
+            self.acc = 0
+            self.nbits = 0
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0x00)  # a segment may not end on 0xFF
+        return bytes(self.out)
+
+
+class _RawDecoder:
+    """Mirror of _RawEncoder; feeds 1-bits past the end of the segment
+    (the MQ decoder's past-the-marker convention) so a truncated
+    foreign stream decodes bounded garbage instead of crashing — the
+    packet-level length bookkeeping is what fails loudly."""
+
+    raw = True
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+        self.prev_ff = False
+
+    def decode(self, cx: int) -> int:
+        if self.nbits == 0:
+            b = self.data[self.pos] if self.pos < len(self.data) else 0xFF
+            self.pos += 1
+            if self.prev_ff:
+                if b & 0x80 and self.pos <= len(self.data):
+                    raise ValueError("JPEG 2000 raw segment stuffing violation")
+                self.nbits = 7
+            else:
+                self.nbits = 8
+            self.prev_ff = b == 0xFF
+            self.acc = b
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
 
 
 # ---------------------------------------------------------------------------
@@ -509,10 +604,15 @@ class _BlockCoder:
     reads in this per-sample hot path (measured; the MQ coder itself
     is a minority of the cost). Encoder and decoder run the SAME
     control flow with mirrored decisions — one implementation, two
-    directions (the engine-wide golden-twin pattern)."""
+    directions (the engine-wide golden-twin pattern). `causal` is the
+    vertically-causal style (D.7.2): context formation ignores the
+    stripe below — for samples on a stripe's last row (1-based y with
+    y % 4 == 0) the three down-neighbors count as insignificant, in
+    all three passes and in the sign context."""
 
-    def __init__(self, h: int, w: int, orient: int):
+    def __init__(self, h: int, w: int, orient: int, causal: bool = False):
         self.h, self.w, self.orient = h, w, orient
+        self.causal = causal
         self.stride = w + 2
         n = (h + 2) * (w + 2)
         self.sig = bytearray(n)
@@ -530,19 +630,66 @@ class _BlockCoder:
         vc = 0
         if s[i - st]:
             vc += -1 if g[i - st] else 1
-        if s[i + st]:
+        if s[i + st] and not (self.causal and (i // st) % 4 == 0):
             vc += -1 if g[i + st] else 1
         hc = -1 if hc < -1 else (1 if hc > 1 else hc)
         vc = -1 if vc < -1 else (1 if vc > 1 else vc)
         return _SC_TABLE[hc + 1][vc + 1]
 
 
+# code-block style bits (COD SPcod byte 8, Table A.23)
+_ST_BYPASS = 0x01   # selective arithmetic coding bypass (D.6)
+_ST_RESET = 0x02    # reset context probabilities on pass boundaries
+_ST_TERMALL = 0x04  # termination on each coding pass
+_ST_CAUSAL = 0x08   # vertically causal context (D.7.2)
+_ST_PREDTERM = 0x10  # predictable termination — NOT supported
+_ST_SEGSYM = 0x20   # segmentation symbols after each cleanup (D.5)
+_ST_SUPPORTED = _ST_BYPASS | _ST_RESET | _ST_TERMALL | _ST_CAUSAL | _ST_SEGSYM
+
+
+def _pass_raw(k: int, style: int) -> bool:
+    """Is global pass k (0 = the MSB plane's cleanup) a RAW pass? With
+    the bypass style the first 10 passes (four most significant
+    planes) stay MQ-coded; thereafter SPP and MRP bypass, cleanup
+    never does (D.6)."""
+    if not style & _ST_BYPASS or k < 10:
+        return False
+    return (k - 1) % 3 != 2  # pass type: k==0 CUP, else (k-1)%3 → SPP/MRP/CUP
+
+
+def _terminate_after(k: int, style: int) -> bool:
+    """Codeword-segment boundary between passes k and k+1 (the last
+    pass always terminates — callers handle that case)."""
+    if style & _ST_TERMALL:
+        return True
+    if style & _ST_BYPASS:
+        return _pass_raw(k, style) != _pass_raw(k + 1, style)
+    return False
+
+
+def _seg_partition(npasses: int, style: int) -> list[int]:
+    """Passes per codeword segment for a block coded with `style`
+    (single quality layer: contributions always start at pass 0)."""
+    segs = []
+    cur = 0
+    for k in range(npasses):
+        cur += 1
+        if k == npasses - 1 or _terminate_after(k, style):
+            segs.append(cur)
+            cur = 0
+    return segs
+
+
 def _t1_encode_block(
-    mags: "np.ndarray", signs: "np.ndarray", orient: int, nbps: int
+    mags: "np.ndarray", signs: "np.ndarray", orient: int, nbps: int,
+    style: int = 0,
 ) -> tuple[bytes, int]:
     """(h,w) magnitudes + signs (0/1) → (codeword bytes, n passes).
     Pass sequence per D.4: cleanup for the MSB plane, then
-    SPP/MRP/CUP per lower plane, all in one MQ codeword segment."""
+    SPP/MRP/CUP per lower plane, all in one MQ codeword segment.
+    With a non-zero code-block `style`, use _t1_encode_block_styled."""
+    if style:
+        raise ValueError("styled blocks go through _t1_encode_block_styled")
     h, w = mags.shape
     st = _BlockCoder(h, w, orient)
     mlist = [int(v) for v in mags.reshape(-1)]
@@ -560,29 +707,125 @@ def _t1_encode_block(
     return enc.flush(), n_passes
 
 
+def _t1_encode_block_styled(
+    mags: "np.ndarray", signs: "np.ndarray", orient: int, nbps: int, style: int
+) -> tuple[list, int]:
+    """Styled twin of _t1_encode_block → ([(segment bytes, passes in
+    segment)], total passes). Handles bypass (raw SPP/MRP segments
+    from pass 10, MQ terminated around them), per-pass termination,
+    context reset, vertical causality and segmentation symbols; MQ
+    probability contexts persist across MQ segments via the shared
+    ctx lists unless RESET."""
+    h, w = mags.shape
+    st = _BlockCoder(h, w, orient, causal=bool(style & _ST_CAUSAL))
+    mlist = [int(v) for v in mags.reshape(-1)]
+    slist = [int(v) for v in signs.reshape(-1)]
+    ctx = _fresh_ctx()
+    total = 3 * nbps - 2
+    segs = []
+    coder = None
+    cur_passes = 0
+    k = 0
+    for p in range(nbps - 1, -1, -1):
+        for ptype in ((2,) if p == nbps - 1 else (0, 1, 2)):
+            if coder is None:
+                coder = (
+                    _RawEncoder() if _pass_raw(k, style) else _MQEncoder(ctx=ctx)
+                )
+            if ptype == 0:
+                _t1_spp(st, coder, mlist, slist, p, True)
+            elif ptype == 1:
+                _t1_mrp(st, coder, mlist, p, True)
+            else:
+                _t1_cup(st, coder, mlist, slist, p, True)
+                if style & _ST_SEGSYM:  # cleanup is never raw
+                    for b in (1, 0, 1, 0):
+                        coder.encode(_CTX_UNI, b)
+                st.visited = bytearray(len(st.visited))
+            cur_passes += 1
+            if k == total - 1 or _terminate_after(k, style):
+                segs.append((coder.flush(), cur_passes))
+                coder = None
+                cur_passes = 0
+            if style & _ST_RESET:
+                _reset_ctx(ctx)
+            k += 1
+    return segs, total
+
+
 def _t1_decode_block(
-    data: bytes, h: int, w: int, orient: int, nbps: int, n_passes: int
+    data: bytes, h: int, w: int, orient: int, nbps: int, n_passes: int,
+    style: int = 0, segs: list | None = None,
 ) -> tuple["np.ndarray", "np.ndarray"]:
-    """Inverse of _t1_encode_block → (magnitudes, signs)."""
-    st = _BlockCoder(h, w, orient)
-    dec = _MQDecoder(data)
+    """Inverse of _t1_encode_block → (magnitudes, signs). For styled
+    blocks pass `style` and `segs` = [(segment bytes, passes)] and
+    leave `data` None — coder selection, termination points, context
+    persistence/reset, causality and segmentation-symbol checks all
+    mirror the styled encoder."""
+    st = _BlockCoder(h, w, orient, causal=bool(style & _ST_CAUSAL))
     mlist = [0] * (h * w)
     done = 0
-    for p in range(nbps - 1, -1, -1):
-        if done:
+    if style:
+        ctx = _fresh_ctx()
+        queue = list(segs or [])
+        dec = None
+        left = 0
+        k = 0
+        for p in range(nbps - 1, -1, -1):
             if done >= n_passes:
                 break
-            _t1_spp(st, dec, mlist, None, p, False)
-            done += 1
+            for ptype in ((2,) if p == nbps - 1 else (0, 1, 2)):
+                if done >= n_passes:
+                    break
+                if dec is None or left == 0:
+                    if not queue:
+                        raise ValueError(
+                            "JPEG 2000 styled block is missing a codeword segment"
+                        )
+                    seg_bytes, left = queue.pop(0)
+                    dec = (
+                        _RawDecoder(seg_bytes)
+                        if _pass_raw(k, style)
+                        else _MQDecoder(seg_bytes, ctx=ctx)
+                    )
+                if ptype == 0:
+                    _t1_spp(st, dec, mlist, None, p, False)
+                elif ptype == 1:
+                    _t1_mrp(st, dec, mlist, p, False)
+                else:
+                    _t1_cup(st, dec, mlist, None, p, False)
+                    if style & _ST_SEGSYM:
+                        sym = 0
+                        for _ in range(4):
+                            sym = (sym << 1) | dec.decode(_CTX_UNI)
+                        if sym != 0b1010:
+                            raise ValueError(
+                                "JPEG 2000 segmentation symbol mismatch "
+                                "(corrupt cleanup pass)"
+                            )
+                    st.visited = bytearray(len(st.visited))
+                done += 1
+                left -= 1
+                if style & _ST_RESET:
+                    _reset_ctx(ctx)
+                k += 1
+    else:
+        dec = _MQDecoder(data)
+        for p in range(nbps - 1, -1, -1):
+            if done:
+                if done >= n_passes:
+                    break
+                _t1_spp(st, dec, mlist, None, p, False)
+                done += 1
+                if done >= n_passes:
+                    break
+                _t1_mrp(st, dec, mlist, p, False)
+                done += 1
             if done >= n_passes:
                 break
-            _t1_mrp(st, dec, mlist, p, False)
+            _t1_cup(st, dec, mlist, None, p, False)
             done += 1
-        if done >= n_passes:
-            break
-        _t1_cup(st, dec, mlist, None, p, False)
-        done += 1
-        st.visited = bytearray(len(st.visited))
+            st.visited = bytearray(len(st.visited))
     mags = np.array(mlist, dtype=np.int64).reshape(h, w)
     sgn = np.frombuffer(bytes(st.sgn), dtype=np.uint8).reshape(h + 2, w + 2)
     return mags, sgn[1 : h + 1, 1 : w + 1].copy()
@@ -594,6 +837,7 @@ def _t1_spp(st, coder, mlist, slist, p, encode):
     h, w = st.h, st.w
     stride = st.stride
     sig, visited, orient = st.sig, st.visited, st.orient
+    causal = st.causal
     bitmask = 1 << p
     for y0 in range(1, h + 1, 4):
         y1 = min(y0 + 4, h + 1)
@@ -602,11 +846,15 @@ def _t1_spp(st, coder, mlist, slist, p, encode):
             for y in range(y0, y1):
                 if not sig[i]:
                     hs = sig[i - 1] + sig[i + 1]
-                    vs = sig[i - stride] + sig[i + stride]
-                    ds = (
-                        sig[i - stride - 1] + sig[i - stride + 1]
-                        + sig[i + stride - 1] + sig[i + stride + 1]
-                    )
+                    if causal and y - y0 == 3:  # stripe below is unseen
+                        vs = sig[i - stride]
+                        ds = sig[i - stride - 1] + sig[i - stride + 1]
+                    else:
+                        vs = sig[i - stride] + sig[i + stride]
+                        ds = (
+                            sig[i - stride - 1] + sig[i - stride + 1]
+                            + sig[i + stride - 1] + sig[i + stride + 1]
+                        )
                     if hs + vs + ds:
                         cx = _zc_context(hs, vs, ds, orient)
                         if encode:
@@ -626,6 +874,7 @@ def _t1_mrp(st, coder, mlist, p, encode):
     h, w = st.h, st.w
     stride = st.stride
     sig, visited, refined = st.sig, st.visited, st.refined
+    causal = st.causal
     bitmask = 1 << p
     for y0 in range(1, h + 1, 4):
         y1 = min(y0 + 4, h + 1)
@@ -638,10 +887,14 @@ def _t1_mrp(st, coder, mlist, p, encode):
                     else:
                         nb = (
                             sig[i - 1] + sig[i + 1]
-                            + sig[i - stride] + sig[i + stride]
+                            + sig[i - stride]
                             + sig[i - stride - 1] + sig[i - stride + 1]
-                            + sig[i + stride - 1] + sig[i + stride + 1]
                         )
+                        if not (causal and y - y0 == 3):
+                            nb += (
+                                sig[i + stride]
+                                + sig[i + stride - 1] + sig[i + stride + 1]
+                            )
                         cx = 15 if nb else 14
                     if encode:
                         coder.encode(
@@ -660,6 +913,7 @@ def _t1_cup(st, coder, mlist, slist, p, encode):
     h, w = st.h, st.w
     stride = st.stride
     sig, visited, orient = st.sig, st.visited, st.orient
+    causal = st.causal
     bitmask = 1 << p
     for y0 in range(1, h + 1, 4):
         y1 = min(y0 + 4, h + 1)
@@ -673,9 +927,16 @@ def _t1_cup(st, coder, mlist, slist, p, encode):
                     if (
                         sig[i] or visited[i]
                         or sig[i - 1] or sig[i + 1]
-                        or sig[i - stride] or sig[i + stride]
+                        or sig[i - stride]
                         or sig[i - stride - 1] or sig[i - stride + 1]
-                        or sig[i + stride - 1] or sig[i + stride + 1]
+                        or (
+                            not (causal and yy - y0 == 3)
+                            and (
+                                sig[i + stride]
+                                or sig[i + stride - 1]
+                                or sig[i + stride + 1]
+                            )
+                        )
                     ):
                         quiet = False
                         break
@@ -710,11 +971,15 @@ def _t1_cup(st, coder, mlist, slist, p, encode):
             for yy in range(y, y1):
                 if not sig[i] and not visited[i]:
                     hs = sig[i - 1] + sig[i + 1]
-                    vs = sig[i - stride] + sig[i + stride]
-                    ds = (
-                        sig[i - stride - 1] + sig[i - stride + 1]
-                        + sig[i + stride - 1] + sig[i + stride + 1]
-                    )
+                    if causal and yy - y0 == 3:  # stripe below is unseen
+                        vs = sig[i - stride]
+                        ds = sig[i - stride - 1] + sig[i - stride + 1]
+                    else:
+                        vs = sig[i - stride] + sig[i + stride]
+                        ds = (
+                            sig[i - stride - 1] + sig[i - stride + 1]
+                            + sig[i + stride - 1] + sig[i + stride + 1]
+                        )
                     cx = _zc_context(hs, vs, ds, orient)
                     if encode:
                         bit = 1 if mlist[(yy - 1) * w + x - 1] & bitmask else 0
@@ -728,9 +993,13 @@ def _t1_cup(st, coder, mlist, slist, p, encode):
 
 def _code_sign(st, coder, mlist, slist, y, x, p, encode):
     """Newly-significant sample: sign decision + state update (shared
-    by all three passes)."""
+    by all three passes). In a RAW (bypass) pass the sign goes out as
+    a raw bit — no context, no XOR prediction (D.6)."""
     i = y * st.stride + x
-    cx, xor = st._sign_ctx(i)
+    if coder.raw:
+        cx, xor = 0, 0
+    else:
+        cx, xor = st._sign_ctx(i)
     if encode:
         sbit = slist[(y - 1) * st.w + x - 1]
         coder.encode(cx, sbit ^ xor)
@@ -1037,6 +1306,11 @@ def _write_layer_packet(
         for bs in band_states
         for blk in bs["blocks"]
     )
+    # (docstring note: each contribution is (npasses, [(chunk, passes)
+    # per codeword segment]) — one segment on the style-0 path, many
+    # under the bypass / term-all code-block styles; every segment's
+    # length is signalled with Lblock + floor(log2(its passes)) bits
+    # after a single Lblock update sized for the largest (B.10.7.5))
     bw = _HeaderBitWriter()
     if not any_contrib:
         bw.write(0)  # empty packet: inclusion state does not advance
@@ -1053,7 +1327,7 @@ def _write_layer_packet(
         for i in range(rows):
             for j in range(cols):
                 blk = bs["blocks"][i * cols + j]
-                npasses, chunk = blk["contrib"][layer]
+                npasses, chunks = blk["contrib"][layer]
                 if blk["first"] >= layer:  # not included in an earlier layer
                     bs["incl"].encode(bw, i, j, layer + 1)
                     if blk["first"] != layer:
@@ -1069,14 +1343,18 @@ def _write_layer_packet(
                     if not npasses:
                         continue
                 _write_npasses(bw, npasses)
-                lbits = npasses.bit_length() - 1
-                need = max(len(chunk).bit_length(), 1)
-                extra = max(0, need - (blk["lblock"] + lbits))
+                extra = 0
+                for chunk, cp in chunks:
+                    lbits = cp.bit_length() - 1
+                    need = max(len(chunk).bit_length(), 1)
+                    extra = max(extra, need - (blk["lblock"] + lbits))
+                extra = max(0, extra)
                 bw.write_bits((1 << extra) - 1, extra)
                 bw.write(0)
                 blk["lblock"] += extra  # Lblock persists across layers
-                bw.write_bits(len(chunk), blk["lblock"] + lbits)
-                bodies.append(chunk)
+                for chunk, cp in chunks:
+                    bw.write_bits(len(chunk), blk["lblock"] + cp.bit_length() - 1)
+                    bodies.append(chunk)
     out += bw.flush()
     if eph:
         out += struct.pack(">H", 0xFF92)
@@ -1091,10 +1369,14 @@ def _read_layer_packet(
     layer: int,
     sop: bool = False,
     eph: bool = False,
+    style: int = 0,
 ) -> int:
     """Mirror of _write_layer_packet: advances each band's persistent
-    tag-tree / Lblock / accumulation state ('chunks' byte list and
-    'npasses' total per block) and returns the next position."""
+    tag-tree / Lblock / accumulation state ('chunks' byte list with
+    parallel 'seg_passes', and 'npasses' total per block) and returns
+    the next position. A non-zero code-block `style` determines how a
+    contribution's passes split into codeword segments — one length
+    field per segment (B.10.7.5)."""
     if sop:
         marker, lsop = struct.unpack(">HH", data[pos : pos + 4])
         if marker != 0xFF91 or lsop != 4:
@@ -1131,17 +1413,18 @@ def _read_layer_packet(
                 while br.read():
                     extra += 1
                 blk["lblock"] += extra
-                lbits = npasses.bit_length() - 1
-                ln = br.read_bits(blk["lblock"] + lbits)
+                for sp in _seg_partition(npasses, style):
+                    ln = br.read_bits(blk["lblock"] + sp.bit_length() - 1)
+                    lengths.append((blk, ln, sp))
                 blk["npasses"] += npasses
-                lengths.append((blk, ln))
     pos = br.align()
     if eph:
         if data[pos : pos + 2] != struct.pack(">H", 0xFF92):
             raise ValueError(f"expected EPH marker after packet header at {pos}")
         pos += 2
-    for blk, ln in lengths:
+    for blk, ln, sp in lengths:
         blk["chunks"].append(data[pos : pos + ln])
+        blk["seg_passes"].append(sp)
         pos += ln
     return pos
 
@@ -1316,7 +1599,10 @@ def _layer_contrib(data: bytes, npasses: int, layers: int, first: int) -> list:
     [first..layers-1]: passes distributed earliest-heavy, bytes cut
     proportionally to the cumulative pass count. Our decoder (like any
     decoder reading ALL layers) concatenates the chunks back into the
-    single MQ codeword segment, so the cut positions are free."""
+    single MQ codeword segment, so the cut positions are free. Each
+    contribution is (passes, [(chunk bytes, passes)]) — the inner list
+    is the packet writer's per-codeword-segment shape (one segment per
+    layer contribution on the style-0 path)."""
     nslots = layers - first
     base, rem = divmod(npasses, nslots)
     counts = [0] * first + [base + (1 if k < rem else 0) for k in range(nslots)]
@@ -1326,7 +1612,7 @@ def _layer_contrib(data: bytes, npasses: int, layers: int, first: int) -> list:
     for c in counts:
         cum += c
         nxt = round(len(data) * cum / npasses)
-        out.append((c, data[cut:nxt]))
+        out.append((c, [(data[cut:nxt], c)] if c else []))
         cut = nxt
     return out
 
@@ -1341,6 +1627,7 @@ def _encode_tile_layer_packets(
     eph: bool,
     prog: int = 0,
     pp: int | None = None,
+    style: int = 0,
 ) -> bytearray:
     """Multi-layer / precinct-partitioned twin of _encode_tile_packets:
     one packet per (layer, resolution, component, precinct) in the
@@ -1350,11 +1637,15 @@ def _encode_tile_layer_packets(
     (deterministic, exercises late inclusion); its passes and bytes
     spread over the remaining layers via _layer_contrib. `pp` is the
     precinct size exponent (square, >= 7 so precinct boundaries align
-    with the 64px block grid); None = one precinct per resolution."""
+    with the 64px block grid); None = one precinct per resolution.
+    `style` routes blocks through the styled Tier-1 coder (single
+    layer only — enforced by encode_j2k)."""
     if pp is not None and prog >= 2:
         raise ValueError(
             "precinct-partitioned streams are written in LRCP/RLCP order only"
         )
+    if style and layers > 1:
+        raise ValueError("code-block styles compose with single-layer streams only")
     th, tw = comps[0].shape
     comp_bands = [_fwd_dwt(c, levels, fwd1d) for c in comps]
     states = {}
@@ -1394,17 +1685,25 @@ def _encode_tile_layer_packets(
                     if nbps == 0:
                         blocks.append(
                             {"first": layers, "zbp": 0, "lblock": 3,
-                             "contrib": [(0, b"")] * layers}
+                             "contrib": [(0, [])] * layers}
                         )
                         continue
                     if nbps > mb:
                         raise ValueError(f"coefficient needs {nbps} bits > Mb={mb}")
                     signs = (blk < 0).astype(np.uint8)
-                    data, npasses = _t1_encode_block(mags, signs, orient, nbps)
-                    first = (mb - nbps) % layers
+                    if style:
+                        segs, npasses = _t1_encode_block_styled(
+                            mags, signs, orient, nbps, style
+                        )
+                        first = 0
+                        contrib = [(npasses, segs)]
+                    else:
+                        data, npasses = _t1_encode_block(mags, signs, orient, nbps)
+                        first = (mb - nbps) % layers
+                        contrib = _layer_contrib(data, npasses, layers, first)
                     blocks.append(
                         {"first": first, "zbp": mb - nbps, "lblock": 3,
-                         "contrib": _layer_contrib(data, npasses, layers, first)}
+                         "contrib": contrib}
                     )
                     firsts[i, j] = first
                     zbps[i, j] = mb - nbps
@@ -1520,6 +1819,11 @@ def encode_j2k(
     precinct: int | None = None,
     tile_parts: int = 1,
     signed: bool = False,
+    bypass: bool = False,
+    reset: bool = False,
+    termall: bool = False,
+    causal: bool = False,
+    segsym: bool = False,
 ) -> bytes:
     """(H,W) grey / (H,W,3) RGB, uint8 or uint16 → JPEG 2000
     codestream (SOC..EOC), EBCOT Tier-1/2. `tile_parts` > 1 splits
@@ -1558,7 +1862,17 @@ def encode_j2k(
     `signed=True` takes int8/int16 samples and writes SIGNED
     components (Ssiz sign bit, A.5.1): the DC level shift is skipped
     in both directions — the layout signed-pixel medical data (CT
-    Hounsfield-style) ships in."""
+    Hounsfield-style) ships in.
+
+    `bypass`/`reset`/`termall`/`causal`/`segsym` are the Part-1
+    code-block styles (Table A.23): selective MQ bypass (raw SPP/MRP
+    segments from pass 10 — the speed mode hardware encoders default
+    to), context reset on every pass, a codeword-segment termination
+    per pass, vertically-causal context formation, and segmentation
+    symbols after each cleanup (error detection). They compose with
+    each other and with tiles/precincts/progressions/tile-parts, but
+    with a SINGLE quality layer only (styled segments spanning layer
+    boundaries are out of scope)."""
     if signed:
         if img.dtype not in (np.int8, np.int16) or img.ndim not in (2, 3):
             raise ValueError(
@@ -1629,6 +1943,15 @@ def encode_j2k(
         )
     if not 1 <= tile_parts <= 254:  # TNsot is one byte; 255 reserved
         raise ValueError(f"tile_parts must be 1..254, got {tile_parts}")
+    style = (
+        (_ST_BYPASS if bypass else 0)
+        | (_ST_RESET if reset else 0)
+        | (_ST_TERMALL if termall else 0)
+        | (_ST_CAUSAL if causal else 0)
+        | (_ST_SEGSYM if segsym else 0)
+    )
+    if style and layers > 1:
+        raise ValueError("code-block styles compose with single-layer streams only")
     comp_major = progs[prog] >= 3
     scod = (
         (1 if precinct is not None else 0) | (2 if sop else 0) | (4 if eph else 0)
@@ -1636,7 +1959,7 @@ def encode_j2k(
     cod = bytes([scod]) + bytes([progs[prog]]) + struct.pack(">H", layers) + bytes(
         [mct]
     ) + bytes(
-        [levels, _CBLK.bit_length() - 3, _CBLK.bit_length() - 3, 0]
+        [levels, _CBLK.bit_length() - 3, _CBLK.bit_length() - 3, style]
     ) + bytes([0 if irreversible else 1])
     if precinct is not None:
         cod += bytes([precinct | (precinct << 4)]) * (levels + 1)
@@ -1647,10 +1970,10 @@ def encode_j2k(
         ty, tx = divmod(t, ntx)
         y0, x0 = ty * yt, tx * xt
         tile_comps = [c[y0 : min(y0 + yt, h), x0 : min(x0 + xt, w)] for c in comps]
-        if layers > 1 or precinct is not None:
+        if layers > 1 or precinct is not None or style:
             packets, bounds = _encode_tile_layer_packets(
                 tile_comps, levels, bandq, fwd1d, layers, sop, eph,
-                progs[prog], precinct,
+                progs[prog], precinct, style,
             )
         else:
             packets, bounds = _encode_tile_packets(
@@ -1698,10 +2021,11 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
     2^(P-1), then top 8 bits for P>8, left-aligned for P<8 (the same
     convention as decode_jpeg's SOF3 path). Fails loudly
     (NotImplementedError) on the declared out-of-scope features:
-    per-tile coding overrides, offset grids, coder bypass modes,
-    subsampled or mixed-sign components. All five progression orders,
-    multi-layer, precinct partitions and the SOP/EPH resync layouts
-    decode."""
+    per-tile coding overrides, offset grids, predictable-termination
+    style, styled multi-layer streams, subsampled or mixed-sign
+    components. All five progression orders, multi-layer, precinct
+    partitions, the SOP/EPH resync layouts and the bypass/termall/
+    reset/causal/segsym code-block styles decode."""
     if data[:2] != struct.pack(">H", _SOC):
         raise ValueError("not a JPEG 2000 codestream (missing SOC)")
     pos = 2
@@ -1782,8 +2106,17 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
     # comp) nesting via _packet_order_layers
     comp_major = prog >= 3
     levels, cbw, cbh, cbstyle, transform = cod[5], cod[6], cod[7], cod[8], cod[9]
-    if cbstyle:
-        raise NotImplementedError("JPEG 2000 code-block style modes not supported")
+    if cbstyle & ~_ST_SUPPORTED:
+        raise NotImplementedError(
+            f"JPEG 2000 code-block style {cbstyle:#04x} not supported "
+            "(predictable termination / reserved bits)"
+        )
+    if cbstyle and layers > 1:
+        raise NotImplementedError(
+            "JPEG 2000 code-block styles with multiple quality layers "
+            "not supported"
+        )
+    style = cbstyle
     if transform not in (0, 1):
         raise ValueError(f"JPEG 2000 transform byte {transform} is illegal")
     irreversible = transform == 0
@@ -1883,7 +2216,7 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
                 rows, cols = _cblk_grid(bh, bw_)
                 blocks = [
                     {"first": None, "zbp": 0, "npasses": 0,
-                     "chunks": [], "lblock": 3}
+                     "chunks": [], "seg_passes": [], "lblock": 3}
                     for _ in range(rows * cols)
                 ]
                 band_blocks.append((bh, bw_, rows, cols, blocks))
@@ -1967,7 +2300,7 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
         while t["cursor"] < len(keys) and (end is None or pos < end):
             layer, r, ci, pi, pj = keys[t["cursor"]]
             pos = _read_layer_packet(
-                data, pos, t["states"][(r, ci, pi, pj)], layer, sop, eph
+                data, pos, t["states"][(r, ci, pi, pj)], layer, sop, eph, style
             )
             t["cursor"] += 1
         if end is not None and pos != end:
@@ -2007,10 +2340,17 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
                         y0, x0 = i * _CBLK, j * _CBLK
                         bh_b = min(_CBLK, bh - y0)
                         bw_b = min(_CBLK, bw_ - x0)
-                        mags, signs = _t1_decode_block(
-                            b"".join(blk["chunks"]), bh_b, bw_b, orient,
-                            mb - blk["zbp"], blk["npasses"],
-                        )
+                        if style:
+                            mags, signs = _t1_decode_block(
+                                None, bh_b, bw_b, orient,
+                                mb - blk["zbp"], blk["npasses"], style,
+                                list(zip(blk["chunks"], blk["seg_passes"])),
+                            )
+                        else:
+                            mags, signs = _t1_decode_block(
+                                b"".join(blk["chunks"]), bh_b, bw_b, orient,
+                                mb - blk["zbp"], blk["npasses"],
+                            )
                         if d is not None:  # midpoint dequantization (r=0.5)
                             vals = np.where(mags > 0, (mags + 0.5) * d, 0.0)
                             vals = np.where(signs == 1, -vals, vals)
@@ -2078,13 +2418,19 @@ def encode_jp2(
     layers: int = 1,
     precinct: int | None = None,
     signed: bool = False,
+    bypass: bool = False,
+    reset: bool = False,
+    termall: bool = False,
+    causal: bool = False,
+    segsym: bool = False,
 ) -> bytes:
     """uint8/uint16 (or int8/int16 with signed=True) image → minimal
     JP2 file (signature / ftyp / jp2h / jp2c boxes around the
     encode_j2k codestream); kwargs as encode_j2k."""
     code = encode_j2k(
         img, levels, irreversible, delta, derived, tile_size, precision, sop, eph,
-        prog, layers, precinct, signed=signed,
+        prog, layers, precinct, signed=signed, bypass=bypass, reset=reset,
+        termall=termall, causal=causal, segsym=segsym,
     )
     if precision is None:
         precision = 8 if img.dtype.itemsize == 1 else 16

@@ -285,6 +285,17 @@ def jp2_payload_for_ref(ref: str, page=None) -> bytes:
     }
     if (h >> 16) & 1 and resync["prog"] in ("lrcp", "rlcp"):
         resync["precinct"] = 7  # 128px precinct grid (B.6)
+    if (h >> 17) & 1:
+        # CODE-BLOCK STYLES (Table A.23): half the refs carry a styled
+        # stream — selective MQ bypass, per-pass termination, context
+        # reset, vertical causality, segmentation symbols — which
+        # compose with a single quality layer only
+        resync["layers"] = 1
+        resync["bypass"] = bool(h & (1 << 18))
+        resync["termall"] = bool(h & (1 << 19))
+        resync["causal"] = bool(h & (1 << 20))
+        resync["segsym"] = bool(h & (1 << 21))
+        resync["reset"] = bool(h & (1 << 22))
     if h & 8:
         return enc(
             page,

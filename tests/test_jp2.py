@@ -152,8 +152,10 @@ class TestDeclaredFailures:
             decode_j2k(self._patch_cod(self._code(), 1, 5))
 
     def test_codeblock_style_raises(self):
+        # bypass/reset/termall/causal/segsym decode (TestCodeBlockStyles);
+        # predictable termination (0x10) and reserved bits stay out of scope
         with pytest.raises(NotImplementedError, match="style"):
-            decode_j2k(self._patch_cod(self._code(), 8, 1))
+            decode_j2k(self._patch_cod(self._code(), 8, 0x10))
 
     def test_quantized_53_stream_raises(self):
         data = self._code()
@@ -868,3 +870,113 @@ class TestSignedComponents:
         code[i + 40] &= 0x7F  # clear component 0's sign bit only
         with pytest.raises(NotImplementedError, match="mixed"):
             decode_j2k(bytes(code))
+
+
+class TestCodeBlockStyles:
+    """Code-block styles (Table A.23): selective MQ bypass with raw
+    bit-stuffed SPP/MRP segments from pass 10 (D.6), per-pass
+    termination, context reset on pass boundaries, vertically-causal
+    context formation (D.7.2), and segmentation symbols (D.5) — each
+    an exact-roundtrip twin, composing with every other layout at one
+    quality layer."""
+
+    def test_each_style_roundtrips(self):
+        img = render_page("7_m2")
+        for kw in (
+            {"bypass": True}, {"termall": True}, {"reset": True},
+            {"causal": True}, {"segsym": True},
+        ):
+            code = encode_j2k(img, **kw)
+            assert np.array_equal(decode_j2k(code), img), kw
+            # COD byte 8 signals the style bit
+            i = code.index(struct.pack(">H", 0xFF52))
+            assert code[i + 12] != 0, kw
+
+    def test_all_styles_combined(self):
+        img = render_page("12_m0")
+        code = encode_j2k(
+            img, bypass=True, reset=True, termall=True, causal=True,
+            segsym=True,
+        )
+        assert np.array_equal(decode_j2k(code), img)
+        i = code.index(struct.pack(">H", 0xFF52))
+        assert code[i + 12] == 0x2F
+
+    def test_composes_with_other_layouts(self):
+        img = render_page("7_m2")
+        rng = np.random.RandomState(9)
+        deep = rng.randint(0, 4096, (70, 90)).astype(np.uint16)
+        sgn = rng.randint(-2048, 2048, (70, 90)).astype(np.int16)
+        rgb = np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], axis=-1)
+        cases = [
+            (dict(tile_size=64, bypass=True, segsym=True), img, False),
+            (dict(precinct=7, termall=True, causal=True), img, False),
+            (dict(prog="cprl", bypass=True, reset=True), img, False),
+            (dict(prog="rpcl", termall=True), img, False),
+            (dict(tile_size=96, tile_parts=3, bypass=True), img, False),
+            (dict(bypass=True, causal=True, segsym=True), rgb, False),
+            (dict(precision=12, bypass=True, termall=True), deep, True),
+            (dict(signed=True, precision=12, bypass=True, causal=True),
+             sgn, True),
+            (dict(sop=True, eph=True, bypass=True, segsym=True), img, False),
+        ]
+        for kw, x, dp in cases:
+            assert np.array_equal(decode_j2k(encode_j2k(x, **kw), deep=dp), x), kw
+
+    def test_97_error_bounded_with_styles(self):
+        img = render_page("3_m1")
+        code = encode_j2k(
+            img, irreversible=True, bypass=True, termall=True, segsym=True
+        )
+        got = decode_j2k(code).astype(np.int64)
+        assert np.abs(got - img.astype(np.int64)).max() <= 8
+
+    def test_bypass_emits_multiple_segments(self):
+        # a deep random block guarantees > 4 bit-planes, so raw
+        # segments exist and the stream grows vs the MQ-only twin
+        rng = np.random.RandomState(10)
+        x = rng.randint(0, 65536, (64, 64)).astype(np.uint16)
+        plain = encode_j2k(x, levels=0)
+        lazy = encode_j2k(x, levels=0, bypass=True)
+        assert len(lazy) != len(plain)
+        assert np.array_equal(decode_j2k(lazy, deep=True), x)
+
+    def test_segsym_detects_corruption(self):
+        # flip a bit deep inside the codeword payload: the 1010 check
+        # fails loudly instead of decoding garbage
+        img = render_page("5_m1")
+        code = bytearray(encode_j2k(img, segsym=True))
+        sod = code.index(struct.pack(">H", 0xFF93))
+        hits = 0
+        for off in range(60, 200, 7):
+            bad = bytearray(code)
+            bad[sod + 2 + off] ^= 0x10
+            try:
+                got = decode_j2k(bytes(bad))
+                if not np.array_equal(got, img):
+                    hits += 0  # undetected but wrong — segsym is per-CUP only
+            except (ValueError, NotImplementedError):
+                hits += 1
+        assert hits > 0  # at least some corruptions are caught by 1010
+
+    def test_guards(self):
+        img = render_page("40_m0")
+        with pytest.raises(ValueError, match="single-layer"):
+            encode_j2k(img, layers=2, bypass=True)
+        # predictable termination (0x10) and reserved bits stay out of
+        # scope; styled multi-layer streams too
+        code = bytearray(encode_j2k(img, bypass=True))
+        i = code.index(struct.pack(">H", 0xFF52))
+        bad = bytearray(code)
+        bad[i + 12] = 0x10
+        with pytest.raises(NotImplementedError, match="style"):
+            decode_j2k(bytes(bad))
+        bad = bytearray(code)
+        bad[i + 12] = 0x40
+        with pytest.raises(NotImplementedError, match="style"):
+            decode_j2k(bytes(bad))
+        ml = bytearray(encode_j2k(img, layers=2))
+        i = ml.index(struct.pack(">H", 0xFF52))
+        ml[i + 12] = 0x01  # claim bypass on a 2-layer stream
+        with pytest.raises(NotImplementedError, match="layers"):
+            decode_j2k(bytes(ml))
