@@ -53,9 +53,15 @@ streams in ANY of the five orders (the archival profile: per-block
 coding passes spread across layers, persistent tag-tree/Lblock packet
 state, decoded by accumulating every layer's chunks into the block's
 single MQ codeword segment), and PRECINCT partitions (B.6: square
->=128px block-grid-aligned precincts, each its own packet chain with
-its own tag-trees — the region-access layout big-scan profiles pair
-with tiling; LRCP/RLCP).
+block-grid-aligned precincts — down to 2x the block side, e.g. 32px
+precincts over 16px blocks — each its own packet chain with its own
+tag-trees; the region-access layout big-scan profiles pair with
+tiling; LRCP/RLCP).
+
+CODE-BLOCK SIZES are general (A.6.1): any power-of-two (h, w) with
+sides 4..1024 and area <= 4096 — the spec-default 64x64, the 32x32
+digital-cinema profiles mandate, and rectangular low-latency
+layouts — via encode_j2k(cblk=...) / the SPcod exponents on decode.
 
 Tiles may arrive split across MULTIPLE TILE-PARTS (A.4.2), in-order
 per tile but interleaved across tiles — the progressive-delivery
@@ -75,7 +81,7 @@ context RESET on pass boundaries, VERTICALLY-CAUSAL context formation
 verifies the 1010 and fails loudly on corruption).
 
 Scope (declared): grey or RGB. Per-tile coding overrides, offset
-grids, sub-128px or rectangular precincts, predictable-termination
+grids, non-uniform or rectangular precincts, predictable-termination
 style, styled multi-layer streams, and mixed-depth or mixed-sign
 components raise NotImplementedError.
 Encoder and decoder share every table; the 5/3 path is exercised as
@@ -1198,7 +1204,9 @@ def _read_npasses(br: _HeaderBitReader) -> int:
 # codestream assembly / parsing
 # ---------------------------------------------------------------------------
 
-_CBLK = 64  # code-block side (2^6 — the spec default)
+_CBLK = 64  # default code-block side (2^6 — the spec default; any
+# power-of-two (h, w) with sides 4..1024 and xcb + ycb <= 12 encodes
+# and decodes via the cb= parameter / SPcod exponents)
 _GUARD = 3  # guard bits in Sqcd (headroom for 5/3 growth on deep trees)
 _GAIN = {0: 0, 1: 1, 2: 1, 3: 2}  # subband log2 gain: LL, HL, LH, HH
 
@@ -1220,8 +1228,10 @@ def _band_layout(h: int, w: int, levels: int) -> list:
     return out
 
 
-def _cblk_grid(bh: int, bw: int) -> tuple[int, int]:
-    return -(-bh // _CBLK) if bh else 0, -(-bw // _CBLK) if bw else 0
+def _cblk_grid(
+    bh: int, bw: int, cb: tuple[int, int] = (_CBLK, _CBLK)
+) -> tuple[int, int]:
+    return -(-bh // cb[0]) if bh else 0, -(-bw // cb[1]) if bw else 0
 
 
 def _write_packet(
@@ -1563,19 +1573,21 @@ def _res_dims(th: int, tw: int, levels: int, r: int) -> tuple[int, int]:
 
 
 def _precinct_blocks(
-    r: int, bh: int, bw: int, pp: int, pi: int, pj: int
+    r: int, bh: int, bw: int, pp: int, pi: int, pj: int,
+    cb: tuple[int, int] = (_CBLK, _CBLK),
 ) -> tuple[int, int, int, int]:
     """Block-grid sub-range [(i0, i1), (j0, j1)) of precinct (pi, pj)
     inside a band of dims (bh, bw) at resolution r. Precinct side on
-    the band is 2^pp at r=0 and 2^(pp-1) otherwise (B.6); with pp >= 7
-    it is a multiple of the 64px block side, so precinct boundaries
-    align with the band's global code-block grid."""
+    the band is 2^pp at r=0 and 2^(pp-1) otherwise (B.6); with
+    2^(pp-1) >= the block sides it is a multiple of both, so precinct
+    boundaries align with the band's global code-block grid (the
+    constraint encode_j2k/decode_j2k enforce)."""
     s = 1 << (pp if r == 0 else pp - 1)
-    rows, cols = _cblk_grid(bh, bw)
-    i0 = min(rows, pi * s // _CBLK)
-    i1 = min(rows, (pi + 1) * s // _CBLK)
-    j0 = min(cols, pj * s // _CBLK)
-    j1 = min(cols, (pj + 1) * s // _CBLK)
+    rows, cols = _cblk_grid(bh, bw, cb)
+    i0 = min(rows, pi * s // cb[0])
+    i1 = min(rows, (pi + 1) * s // cb[0])
+    j0 = min(cols, pj * s // cb[1])
+    j1 = min(cols, (pj + 1) * s // cb[1])
     return i0, i1, j0, j1
 
 
@@ -1628,6 +1640,7 @@ def _encode_tile_layer_packets(
     prog: int = 0,
     pp: int | None = None,
     style: int = 0,
+    cb: tuple[int, int] = (_CBLK, _CBLK),
 ) -> bytearray:
     """Multi-layer / precinct-partitioned twin of _encode_tile_packets:
     one packet per (layer, resolution, component, precinct) in the
@@ -1636,8 +1649,9 @@ def _encode_tile_layer_packets(
     subgrid). Each block's first-inclusion layer is zbp % layers
     (deterministic, exercises late inclusion); its passes and bytes
     spread over the remaining layers via _layer_contrib. `pp` is the
-    precinct size exponent (square, >= 7 so precinct boundaries align
-    with the 64px block grid); None = one precinct per resolution.
+    precinct size exponent (square; 2^(pp-1) >= both block sides so
+    precinct boundaries align with the block grid); None = one
+    precinct per resolution. `cb` is the (height, width) block size.
     `style` routes blocks through the styled Tier-1 coder (single
     layer only — enforced by encode_j2k)."""
     if pp is not None and prog >= 2:
@@ -1665,7 +1679,7 @@ def _encode_tile_layer_packets(
         for k, band in enumerate(bands):
             orient = 0 if r == 0 else (1, 2, 3)[k]
             bh, bw_ = band.shape
-            rows, cols = _cblk_grid(bh, bw_)
+            rows, cols = _cblk_grid(bh, bw_, cb)
             eps, _, d = bandq[(r, k)]
             mb = eps + _GUARD - 1
             if d is not None:
@@ -1678,7 +1692,7 @@ def _encode_tile_layer_packets(
             for i in range(rows):
                 for j in range(cols):
                     blk = band[
-                        i * _CBLK : (i + 1) * _CBLK, j * _CBLK : (j + 1) * _CBLK
+                        i * cb[0] : (i + 1) * cb[0], j * cb[1] : (j + 1) * cb[1]
                     ]
                     mags = np.abs(blk)
                     nbps = int(mags.max()).bit_length()
@@ -1714,7 +1728,7 @@ def _encode_tile_layer_packets(
                 if pp is None:
                     i0, i1, j0, j1 = 0, rows, 0, cols
                 else:
-                    i0, i1, j0, j1 = _precinct_blocks(r, bh, bw_, pp, pi, pj)
+                    i0, i1, j0, j1 = _precinct_blocks(r, bh, bw_, pp, pi, pj, cb)
                 sub = [
                     blocks[i * cols + j]
                     for i in range(i0, i1)
@@ -1753,13 +1767,15 @@ def _encode_tile_packets(
     sop: bool = False,
     eph: bool = False,
     comp_major: bool = False,
+    cb: tuple[int, int] = (_CBLK, _CBLK),
 ) -> bytearray:
     """One tile's component planes (already level-shifted and
     color-transformed) → the tile's layer-0 packets in LRCP order:
     per-component DWT, per-band quantization (when `bandq` carries a
     step), Tier-1 block coding, Tier-2 packet headers. `sop`/`eph`
     emit the COD-signalled resync markers (SOP numbered per tile from
-    0, the OpenJPEG convention)."""
+    0, the OpenJPEG convention). `cb` is the (height, width)
+    code-block size."""
     comp_bands = [_fwd_dwt(c, levels, fwd1d) for c in comps]
     packets = bytearray()
     bounds = []  # byte offset after each packet (tile-part split points)
@@ -1770,7 +1786,7 @@ def _encode_tile_packets(
         band_blocks = []
         for k, (band, orient) in enumerate(zip(bands, orients)):
             bh, bw_ = band.shape
-            rows, cols = _cblk_grid(bh, bw_)
+            rows, cols = _cblk_grid(bh, bw_, cb)
             eps, _, d = bandq[(r, k)]
             mb = eps + _GUARD - 1
             if d is not None:  # quantize to indices
@@ -1781,7 +1797,7 @@ def _encode_tile_packets(
             for i in range(rows):
                 for j in range(cols):
                     blk = band[
-                        i * _CBLK : (i + 1) * _CBLK, j * _CBLK : (j + 1) * _CBLK
+                        i * cb[0] : (i + 1) * cb[0], j * cb[1] : (j + 1) * cb[1]
                     ]
                     mags = np.abs(blk)
                     nbps = int(mags.max()).bit_length()
@@ -1824,6 +1840,7 @@ def encode_j2k(
     termall: bool = False,
     causal: bool = False,
     segsym: bool = False,
+    cblk: int | tuple[int, int] = _CBLK,
 ) -> bytes:
     """(H,W) grey / (H,W,3) RGB, uint8 or uint16 → JPEG 2000
     codestream (SOC..EOC), EBCOT Tier-1/2. `tile_parts` > 1 splits
@@ -1838,8 +1855,8 @@ def encode_j2k(
     layers with persistent tag-tree/Lblock packet state, packets
     nested per the signalled progression. `precinct` partitions every
     resolution into square 2^precinct precincts (the region-access
-    layout big-scan profiles pair with tiling; >= 7 so precinct
-    boundaries align with the code-block grid; LRCP/RLCP), each
+    layout big-scan profiles pair with tiling; 2^(precinct-1) must
+    cover the code-block grid; LRCP/RLCP), each
     precinct its own packet chain with its own tag-trees.
     `precision` is the sample depth P (2..16; default 8 for uint8 /
     16 for uint16 — precision=12 on uint16 data is the 12-bit DICOM
@@ -1872,7 +1889,14 @@ def encode_j2k(
     symbols after each cleanup (error detection). They compose with
     each other and with tiles/precincts/progressions/tile-parts, but
     with a SINGLE quality layer only (styled segments spanning layer
-    boundaries are out of scope)."""
+    boundaries are out of scope).
+
+    `cblk` is the code-block size — a side or an (h, w) pair, each a
+    power of two in 4..1024 with the A.6.1 area bound
+    log2(h) + log2(w) <= 12 (the spec default 64x64; digital-cinema
+    profiles mandate 32x32; rectangular blocks are the low-latency
+    layout). Precincts must cover at least one block at every
+    resolution: 2^(precinct-1) >= both block sides."""
     if signed:
         if img.dtype not in (np.int8, np.int16) or img.ndim not in (2, 3):
             raise ValueError(
@@ -1936,9 +1960,20 @@ def encode_j2k(
         raise ValueError(f"prog must be one of {sorted(progs)}, got {prog!r}")
     if not 1 <= layers <= 65535:
         raise ValueError(f"layers must be 1..65535, got {layers}")
-    if precinct is not None and not 7 <= precinct <= 15:
+    cb = (cblk, cblk) if isinstance(cblk, int) else (int(cblk[0]), int(cblk[1]))
+    ycb, xcb = cb[0].bit_length() - 1, cb[1].bit_length() - 1
+    if (
+        (1 << ycb) != cb[0] or (1 << xcb) != cb[1]
+        or not (2 <= ycb <= 10 and 2 <= xcb <= 10) or xcb + ycb > 12
+    ):
         raise ValueError(
-            f"precinct exponent must be 7..15 (>=128px, block-aligned), "
+            f"code-block size must be power-of-two sides 4..1024 with "
+            f"area <= 4096, got {cb}"
+        )
+    if precinct is not None and not max(xcb, ycb) + 1 <= precinct <= 15:
+        raise ValueError(
+            f"precinct exponent must be {max(xcb, ycb) + 1}..15 "
+            f"(covering a {cb[0]}x{cb[1]} block grid at every resolution), "
             f"got {precinct}"
         )
     if not 1 <= tile_parts <= 254:  # TNsot is one byte; 255 reserved
@@ -1959,7 +1994,7 @@ def encode_j2k(
     cod = bytes([scod]) + bytes([progs[prog]]) + struct.pack(">H", layers) + bytes(
         [mct]
     ) + bytes(
-        [levels, _CBLK.bit_length() - 3, _CBLK.bit_length() - 3, style]
+        [levels, xcb - 2, ycb - 2, style]
     ) + bytes([0 if irreversible else 1])
     if precinct is not None:
         cod += bytes([precinct | (precinct << 4)]) * (levels + 1)
@@ -1973,11 +2008,11 @@ def encode_j2k(
         if layers > 1 or precinct is not None or style:
             packets, bounds = _encode_tile_layer_packets(
                 tile_comps, levels, bandq, fwd1d, layers, sop, eph,
-                progs[prog], precinct, style,
+                progs[prog], precinct, style, cb,
             )
         else:
             packets, bounds = _encode_tile_packets(
-                tile_comps, levels, bandq, fwd1d, sop, eph, comp_major
+                tile_comps, levels, bandq, fwd1d, sop, eph, comp_major, cb
             )
         tile_payloads.append((packets, bounds))
     if tile_parts == 1:
@@ -2120,18 +2155,25 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
     if transform not in (0, 1):
         raise ValueError(f"JPEG 2000 transform byte {transform} is illegal")
     irreversible = transform == 0
-    if (1 << (cbw + 2)) != _CBLK or (1 << (cbh + 2)) != _CBLK:
-        raise NotImplementedError("JPEG 2000 non-64x64 code-blocks not supported")
+    xcb, ycb = cbw + 2, cbh + 2
+    if not (2 <= xcb <= 10 and 2 <= ycb <= 10) or xcb + ycb > 12:
+        raise ValueError(
+            f"JPEG 2000 code-block exponents ({xcb}, {ycb}) are illegal"
+        )
+    cb = (1 << ycb, 1 << xcb)  # (height, width)
     pp = None
     if scod & 0x01:  # per-resolution precinct sizes follow SPcod
         psizes = cod[10 : 10 + levels + 1]
         if len(psizes) != levels + 1:
             raise ValueError("JPEG 2000 COD missing precinct sizes")
         ppx, ppy = psizes[0] & 0x0F, psizes[0] >> 4
-        if ppx != ppy or any(b != psizes[0] for b in psizes) or ppx < 7:
+        if (
+            ppx != ppy or any(b != psizes[0] for b in psizes)
+            or ppx < max(xcb, ycb) + 1
+        ):
             raise NotImplementedError(
                 "JPEG 2000 precincts supported only square, uniform across "
-                "resolutions and >= 128px (block-grid aligned)"
+                "resolutions and covering the code-block grid"
             )
         if prog >= 2:
             raise NotImplementedError(
@@ -2213,7 +2255,7 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
         for r, ci in _packet_order(levels, ncomp, False):
             band_blocks = []
             for orient, bh, bw_ in layout_t[r]:
-                rows, cols = _cblk_grid(bh, bw_)
+                rows, cols = _cblk_grid(bh, bw_, cb)
                 blocks = [
                     {"first": None, "zbp": 0, "npasses": 0,
                      "chunks": [], "seg_passes": [], "lblock": 3}
@@ -2227,7 +2269,9 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
                     if pp is None:
                         i0, i1, j0, j1 = 0, rows, 0, cols
                     else:
-                        i0, i1, j0, j1 = _precinct_blocks(r, bh, bw_, pp, pi, pj)
+                        i0, i1, j0, j1 = _precinct_blocks(
+                            r, bh, bw_, pp, pi, pj, cb
+                        )
                     pr, pc = i1 - i0, j1 - j0
                     band_states.append(
                         {
@@ -2337,9 +2381,9 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
                         blk = blocks[i * cols + j]
                         if blk["first"] is None or blk["npasses"] == 0:
                             continue
-                        y0, x0 = i * _CBLK, j * _CBLK
-                        bh_b = min(_CBLK, bh - y0)
-                        bw_b = min(_CBLK, bw_ - x0)
+                        y0, x0 = i * cb[0], j * cb[1]
+                        bh_b = min(cb[0], bh - y0)
+                        bw_b = min(cb[1], bw_ - x0)
                         if style:
                             mags, signs = _t1_decode_block(
                                 None, bh_b, bw_b, orient,
@@ -2423,6 +2467,7 @@ def encode_jp2(
     termall: bool = False,
     causal: bool = False,
     segsym: bool = False,
+    cblk: int | tuple[int, int] = _CBLK,
 ) -> bytes:
     """uint8/uint16 (or int8/int16 with signed=True) image → minimal
     JP2 file (signature / ftyp / jp2h / jp2c boxes around the
@@ -2430,7 +2475,7 @@ def encode_jp2(
     code = encode_j2k(
         img, levels, irreversible, delta, derived, tile_size, precision, sop, eph,
         prog, layers, precinct, signed=signed, bypass=bypass, reset=reset,
-        termall=termall, causal=causal, segsym=segsym,
+        termall=termall, causal=causal, segsym=segsym, cblk=cblk,
     )
     if precision is None:
         precision = 8 if img.dtype.itemsize == 1 else 16

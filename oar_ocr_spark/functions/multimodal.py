@@ -296,6 +296,10 @@ def jp2_payload_for_ref(ref: str, page=None) -> bytes:
         resync["causal"] = bool(h & (1 << 20))
         resync["segsym"] = bool(h & (1 << 21))
         resync["reset"] = bool(h & (1 << 22))
+    # code-block geometry (A.6.1): spec-default 64x64 for half the
+    # refs, the digital-cinema 32x32 and a rectangular low-latency
+    # layout for a quarter each (all compose with every flavor above)
+    resync["cblk"] = (64, 64, 32, (32, 64))[(h >> 23) & 3]
     if h & 8:
         return enc(
             page,

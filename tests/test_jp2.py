@@ -980,3 +980,50 @@ class TestCodeBlockStyles:
         ml[i + 12] = 0x01  # claim bypass on a 2-layer stream
         with pytest.raises(NotImplementedError, match="layers"):
             decode_j2k(bytes(ml))
+
+
+class TestCodeBlockSizes:
+    """General code-block geometry (A.6.1): any power-of-two (h, w)
+    with sides 4..1024 and log2-area <= 12 — the 32x32 digital-cinema
+    layout, rectangular low-latency blocks — and, with it, precincts
+    down to 2x the block side."""
+
+    def test_sizes_roundtrip_and_signal(self):
+        img = render_page("7_m2")
+        base = encode_j2k(img)
+        assert encode_j2k(img, cblk=64) == base  # default unchanged
+        for cblk in (32, 16, 4, (64, 32), (16, 128), (4, 1024)):
+            code = encode_j2k(img, cblk=cblk)
+            assert np.array_equal(decode_j2k(code), img), cblk
+            ch, cw = (cblk, cblk) if isinstance(cblk, int) else cblk
+            i = code.index(struct.pack(">H", 0xFF52))
+            assert code[i + 10] == cw.bit_length() - 3  # xcb - 2
+            assert code[i + 11] == ch.bit_length() - 3  # ycb - 2
+
+    def test_composes_with_tiles_styles_precincts_layers(self):
+        img = render_page("12_m0")
+        cases = [
+            dict(cblk=32, tile_size=64, bypass=True, segsym=True),
+            dict(cblk=32, precinct=6, termall=True),
+            dict(cblk=(16, 32), layers=4, prog="rpcl"),
+            dict(cblk=16, precinct=5, causal=True),  # 32px precincts
+        ]
+        for kw in cases:
+            assert np.array_equal(decode_j2k(encode_j2k(img, **kw)), img), kw
+        code = encode_j2k(img, cblk=32, irreversible=True)
+        got = decode_j2k(code).astype(np.int64)
+        assert np.abs(got - img.astype(np.int64)).max() <= 8
+
+    def test_guards(self):
+        img = render_page("40_m0")
+        for bad in (48, 3, 2048, (64, 128), 128):  # 128x128 breaks area bound
+            with pytest.raises(ValueError, match="code-block"):
+                encode_j2k(img, cblk=bad)
+        with pytest.raises(ValueError, match="precinct"):
+            encode_j2k(img, cblk=32, precinct=5)  # precinct < block grid
+        # decode guard: illegal SPcod exponents fail loudly
+        code = bytearray(encode_j2k(img, cblk=(4, 1024)))
+        i = code.index(struct.pack(">H", 0xFF52))
+        code[i + 11] = 2  # ycb 4 -> 16: area bound now violated
+        with pytest.raises(ValueError, match="exponent"):
+            decode_j2k(bytes(code))
