@@ -56,7 +56,8 @@ single MQ codeword segment), and PRECINCT partitions (B.6: square
 block-grid-aligned precincts — down to 2x the block side, e.g. 32px
 precincts over 16px blocks — each its own packet chain with its own
 tag-trees; the region-access layout big-scan profiles pair with
-tiling; LRCP/RLCP).
+tiling; in ALL FIVE progression orders, including the position-major
+RPCL/PCRL/CPRL interleavings streamed region access uses).
 
 CODE-BLOCK SIZES are general (A.6.1): any power-of-two (h, w) with
 sides 4..1024 and area <= 4096 — the spec-default 64x64, the 32x32
@@ -1606,6 +1607,74 @@ def _packet_order_layers(levels: int, ncomp: int, layers: int, prog: int) -> lis
     return [(l, r, c) for c in C for r in R for l in L]  # PCRL / CPRL
 
 
+def _packet_sequence(
+    levels: int,
+    ncomp: int,
+    layers: int,
+    prog: int,
+    precincts: dict,
+    pp: int | None,
+) -> list:
+    """One tile's FULL packet sequence as (layer, r, comp, pi, pj)
+    per the signalled A.6.1 progression, including the position-major
+    orders over a precinct grid: LRCP l→r→c→p, RLCP r→l→c→p,
+    RPCL r→p→c→l, PCRL p→c→r→l, CPRL c→p→r→l. Positions step the
+    finest projected precinct grid (2^pp at full resolution) in
+    raster order; a resolution emits where the position is its own
+    projected precinct corner (proj side 2^(pp + levels - r) — every
+    coarser corner coincides with a finest-grid corner, so the finest
+    grid enumerates all positions). ONE implementation, two call
+    sites: the tile encoder and the tile decoder walk the same list."""
+    L, R, C = range(layers), range(levels + 1), range(ncomp)
+    if pp is None or prog <= 1:
+        return [
+            (l, r, c, pi, pj)
+            for l, r, c in _packet_order_layers(levels, ncomp, layers, prog)
+            for pi, pj in precincts[r]
+        ]
+    if prog == 2:  # RPCL
+        return [
+            (l, r, c, pi, pj)
+            for r in R
+            for pi, pj in precincts[r]
+            for c in C
+            for l in L
+        ]
+    ny = max(pi for pi, _ in precincts[levels]) + 1
+    nx = max(pj for _, pj in precincts[levels]) + 1
+    dims = {
+        r: (
+            max(pi for pi, _ in precincts[r]) + 1,
+            max(pj for _, pj in precincts[r]) + 1,
+        )
+        for r in R
+    }
+    seq = []
+
+    def emit_position(y: int, x: int, c: int) -> None:
+        for r in R:
+            proj = 1 << (pp + levels - r)
+            if y % proj or x % proj:
+                continue
+            pi, pj = y // proj, x // proj
+            if pi >= dims[r][0] or pj >= dims[r][1]:
+                continue
+            for l in L:
+                seq.append((l, r, c, pi, pj))
+
+    if prog == 3:  # PCRL
+        for y in range(0, ny << pp, 1 << pp):
+            for x in range(0, nx << pp, 1 << pp):
+                for c in C:
+                    emit_position(y, x, c)
+    else:  # CPRL
+        for c in C:
+            for y in range(0, ny << pp, 1 << pp):
+                for x in range(0, nx << pp, 1 << pp):
+                    emit_position(y, x, c)
+    return seq
+
+
 def _layer_contrib(data: bytes, npasses: int, layers: int, first: int) -> list:
     """Split one block's Tier-1 stream across quality layers
     [first..layers-1]: passes distributed earliest-heavy, bytes cut
@@ -1654,10 +1723,6 @@ def _encode_tile_layer_packets(
     precinct per resolution. `cb` is the (height, width) block size.
     `style` routes blocks through the styled Tier-1 coder (single
     layer only — enforced by encode_j2k)."""
-    if pp is not None and prog >= 2:
-        raise ValueError(
-            "precinct-partitioned streams are written in LRCP/RLCP order only"
-        )
     if style and layers > 1:
         raise ValueError("code-block styles compose with single-layer streams only")
     th, tw = comps[0].shape
@@ -1748,14 +1813,15 @@ def _encode_tile_layer_packets(
     packets = bytearray()
     bounds = []  # byte offset after each packet (tile-part split points)
     pkt_n = 0
-    for layer, r, ci in _packet_order_layers(levels, len(comps), layers, prog):
-        for pi, pj in precincts[r]:
-            _write_layer_packet(
-                packets, states[(r, ci, pi, pj)], layer,
-                sop_n=pkt_n if sop else None, eph=eph,
-            )
-            bounds.append(len(packets))
-            pkt_n += 1
+    for layer, r, ci, pi, pj in _packet_sequence(
+        levels, len(comps), layers, prog, precincts, pp
+    ):
+        _write_layer_packet(
+            packets, states[(r, ci, pi, pj)], layer,
+            sop_n=pkt_n if sop else None, eph=eph,
+        )
+        bounds.append(len(packets))
+        pkt_n += 1
     return packets, bounds
 
 
@@ -1856,7 +1922,7 @@ def encode_j2k(
     nested per the signalled progression. `precinct` partitions every
     resolution into square 2^precinct precincts (the region-access
     layout big-scan profiles pair with tiling; 2^(precinct-1) must
-    cover the code-block grid; LRCP/RLCP), each
+    cover the code-block grid; any progression order), each
     precinct its own packet chain with its own tag-trees.
     `precision` is the sample depth P (2..16; default 8 for uint8 /
     16 for uint16 — precision=12 on uint16 data is the 12-bit DICOM
@@ -2175,11 +2241,6 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
                 "JPEG 2000 precincts supported only square, uniform across "
                 "resolutions and covering the code-block grid"
             )
-        if prog >= 2:
-            raise NotImplementedError(
-                "JPEG 2000 precinct-partitioned streams decode in "
-                "LRCP/RLCP order only"
-            )
         pp = ppx
     qstyle = qcd[0] & 0x1F
     guard = qcd[0] >> 5
@@ -2287,11 +2348,7 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
                         }
                     )
                 states[(r, ci, pi, pj)] = band_states
-        keys = [
-            (layer, r, ci, pi, pj)
-            for layer, r, ci in _packet_order_layers(levels, ncomp, layers, prog)
-            for pi, pj in precincts[r]
-        ]
+        keys = _packet_sequence(levels, ncomp, layers, prog, precincts, pp)
         return {
             "pos": (ty_, tx_), "dims": (th, tw), "layout": layout_t,
             "states": states, "grids": grids_by, "keys": keys,

@@ -283,8 +283,10 @@ def jp2_payload_for_ref(ref: str, page=None) -> bytes:
         "prog": ("lrcp", "rlcp", "rpcl", "pcrl", "cprl")[(h >> 10) % 5],
         "layers": 1 + (h >> 13) % 8,
     }
-    if (h >> 16) & 1 and resync["prog"] in ("lrcp", "rlcp"):
-        resync["precinct"] = 7  # 128px precinct grid (B.6)
+    if (h >> 16) & 1:
+        # 128px precinct grid (B.6) — composes with all five
+        # progression orders, incl. the position-major interleavings
+        resync["precinct"] = 7
     if (h >> 17) & 1:
         # CODE-BLOCK STYLES (Table A.23): half the refs carry a styled
         # stream — selective MQ bypass, per-pass termination, context

@@ -727,8 +727,8 @@ class TestPrecincts:
         img = render_page("40_m0")
         with pytest.raises(ValueError, match="precinct"):
             encode_j2k(img, precinct=6)  # below block alignment
-        with pytest.raises(ValueError, match="LRCP/RLCP"):
-            encode_j2k(img, precinct=7, prog="rpcl")
+        # (precincts in the positional orders RPCL/PCRL/CPRL decode —
+        # TestPositionalPrecincts)
         # foreign stream with sub-block or rectangular precincts stays
         # declared out of scope
         code = bytearray(encode_j2k(img, precinct=7))
@@ -1027,3 +1027,44 @@ class TestCodeBlockSizes:
         code[i + 11] = 2  # ycb 4 -> 16: area bound now violated
         with pytest.raises(ValueError, match="exponent"):
             decode_j2k(bytes(code))
+
+
+class TestPositionalPrecincts:
+    """Precinct partitions in the position-major progression orders
+    (A.6.3 RPCL / PCRL / CPRL): positions step the finest projected
+    precinct grid; a resolution's packet is emitted where the position
+    is its own projected precinct corner — the streamed region-access
+    interleaving. Encoder and decoder walk the SAME _packet_sequence."""
+
+    def test_all_five_orders_with_precincts(self):
+        img = render_page("7_m2")
+        big = np.tile(img, (2, 2))
+        for prog in ("lrcp", "rlcp", "rpcl", "pcrl", "cprl"):
+            for kw in ({}, {"layers": 3}, {"tile_size": 160},
+                       {"bypass": True, "termall": True}):
+                code = encode_j2k(big, prog=prog, precinct=7, **kw)
+                assert np.array_equal(decode_j2k(code), big), (prog, kw)
+
+    def test_positional_rgb_and_small_grids(self):
+        img = render_page("12_m0")
+        rgb = np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], axis=-1)
+        for prog in ("rpcl", "pcrl", "cprl"):
+            code = encode_j2k(rgb, prog=prog, precinct=7, layers=2)
+            assert np.array_equal(decode_j2k(code), rgb), prog
+        big = np.tile(img, (2, 2))
+        code = encode_j2k(big, prog="pcrl", precinct=6, cblk=32)
+        assert np.array_equal(decode_j2k(code), big)
+
+    def test_order_signalled_and_streams_differ(self):
+        # the five orders write genuinely different byte streams over
+        # a multi-precinct grid yet all decode to the same image
+        img = np.tile(render_page("7_m2"), (2, 2))
+        streams = {}
+        for prog in ("lrcp", "rlcp", "rpcl", "pcrl", "cprl"):
+            code = encode_j2k(img, prog=prog, precinct=7, layers=2)
+            i = code.index(struct.pack(">H", 0xFF52))
+            assert code[i + 5] == ("lrcp", "rlcp", "rpcl", "pcrl", "cprl").index(prog)
+            streams[prog] = code
+        assert len({len(s) for s in streams.values()}) > 1 or len(
+            set(streams.values())
+        ) == 5
