@@ -551,13 +551,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_media_fax_roundtrip(spark):
-        # the scanned-fax seam: render → threshold to bilevel → encode
-        # REAL CCITT TIFF bytes (G4/G3-2D/G3-1D MH, both photometric
-        # polarities, FillOrder 1/2, single- and multi-strip — all
-        # crc32-chosen per ref) → magic-byte dispatch decode →
-        # features. CCITT is lossless on bilevel input, so the oracle
-        # is the fax golden table computed through the same threshold
-        # twin (tools/make_goldens._fax_feature_row).
+        # the scanned-bilevel seam: render → threshold to bilevel →
+        # encode REAL CCITT TIFF bytes (G4/G3-2D/G3-1D MH, both
+        # photometric polarities, FillOrder 1/2, single- and
+        # multi-strip) or REAL JBIG2 files (T.88 arithmetic generic
+        # regions, all templates/TPGDON/MMR — functions/jbig2.py) —
+        # all crc32-chosen per ref → magic-byte dispatch decode →
+        # features. Both codecs are lossless on bilevel input, so the
+        # oracle is the fax golden table computed through the same
+        # threshold twin (tools/make_goldens._fax_feature_row).
         from oar_ocr_spark.functions.multimodal import (
             fax_store_df,
             image_features_from_bytes_df,

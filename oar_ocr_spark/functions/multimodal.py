@@ -108,6 +108,11 @@ def _decode_payload(
         if bytes(payload[:12]) == JP2_SIG or bytes(payload[:2]) == b"\xffO":
             # JPEG 2000: JP2 box container or raw J2K codestream (SOC)
             return _to_grey(decode_jp2(bytes(payload)))
+        from .jbig2 import JBIG2_MAGIC, decode_jbig2
+
+        if bytes(payload[:8]) == JBIG2_MAGIC:
+            # standalone JBIG2 (T.88 Annex D): 1 = black → grey
+            return ((1 - decode_jbig2(bytes(payload))) * 255).astype(np.uint8)
         raise NotImplementedError(
             "codec for this media payload format not available in this environment"
         )
@@ -382,15 +387,17 @@ def legacy_store_df(
 def fax_store_df(
     refs: DataFrame, ref_col: str = "media_ref", parallelism: int | None = None
 ) -> DataFrame:
-    """(media_ref) → (media_ref, payload) media store of SCANNED-FAX
-    TIFF bytes: the page is thresholded to bilevel (>=128 → 255) and
-    CCITT-compressed (functions/ccitt.py, ITU-T T.4/T.6). Per ref the
-    compression family (G4 MMR / G3 2D / G3 1D MH), the photometric
-    polarity, the FillOrder and single- vs multi-strip layout are
-    crc32-chosen — deterministic across processes — so every fax decode
-    path in functions/tiff.py runs inside the gate. CCITT is lossless
-    on bilevel input, so features through these bytes equal the fax
-    golden table computed through the same threshold twin
+    """(media_ref) → (media_ref, payload) media store of SCANNED
+    BILEVEL bytes: the page is thresholded to bilevel (>=128 → 255)
+    and stored either as a CCITT-compressed TIFF (functions/ccitt.py,
+    ITU-T T.4/T.6; 3/4 of refs) or as a standalone JBIG2 file
+    (functions/jbig2.py, ITU-T T.88 arithmetic generic region — the
+    born-scanned codec; 1/4 of refs, mixing templates, TPGDON and
+    MMR). Per ref every encoder option is crc32-chosen —
+    deterministic across processes — so every bilevel decode path
+    runs inside the gate. Both codecs are lossless on bilevel input,
+    so features through these bytes equal the fax golden table
+    computed through the same threshold twin
     (tools/make_goldens._fax_feature_row)."""
 
     def row(ref: str) -> tuple:
@@ -402,6 +409,17 @@ def fax_store_df(
         page = render_page(ref)
         bilevel = np.where(page >= 128, 255, 0).astype(np.uint8)
         h = zlib.crc32(("fax:" + ref).encode("utf-8"))
+        if h & 32:
+            from .jbig2 import encode_jbig2
+
+            data = encode_jbig2(
+                (bilevel == 0).astype(np.uint8),  # 1 = black
+                template=(h >> 6) & 3,
+                tpgdon=bool(h & 1024),
+                mmr=(h >> 6) & 3 == 0 and bool(h & 2048),
+                file_header=True,
+            )
+            return (ref, data)
         data = encode_tiff(
             bilevel,
             compression=("g4", "g3", "mh")[h % 3],

@@ -22,8 +22,9 @@ page store wins.)
 
 Writer scope: 8-bit greyscale pages (the engine's page type) embedded
 as /DeviceGray image XObjects — FlateDecode (lossless, default),
-DCTDecode baseline JPEG (the scanned-PDF layout), or CCITTFaxDecode
-Group 4 for bilevel pages (the archival-fax layout) — one per page, plus an
+DCTDecode baseline JPEG (the scanned-PDF layout), CCITTFaxDecode
+Group 4 or JBIG2Decode (the born-scanned bilevel layouts) — one per
+page, plus an
 /Info dict whose /Title carries the newline-joined page media_refs so
 the container is self-describing. Everything is real PDF syntax: object
 table, xref, trailer, startxref.
@@ -43,7 +44,8 @@ DCTDecode images — the layout real scanned PDFs use — decode through
 the engine's own baseline JPEG codec (functions/jpeg.py, including
 4:2:0-subsampled camera JPEGs); CCITTFaxDecode images (K<0/0/>0,
 Columns/Rows/BlackIs1/EncodedByteAlign) through the T.4/T.6 codec in
-functions/ccitt.py.
+functions/ccitt.py; JBIG2Decode images (embedded T.88 generic-region
+streams incl. /JBIG2Globals) through functions/jbig2.py.
 
 Encrypted PDFs (standard security handler, §7.6): files encrypted
 with an EMPTY user (or owner) password — the overwhelmingly common
@@ -140,10 +142,10 @@ def encode_pdf(
     /ObjStm in the 1.5 layout, per §7.5.7."""
     if page_refs is not None and len(page_refs) != len(pages):
         raise ValueError("page_refs length must match pages")
-    if image_format not in ("flate", "jpeg", "ccitt", "jpx", "jpx97"):
+    if image_format not in ("flate", "jpeg", "ccitt", "jbig2", "jpx", "jpx97"):
         raise ValueError(
-            "image_format must be 'flate'/'jpeg'/'ccitt'/'jpx'/'jpx97', "
-            f"got {image_format!r}"
+            "image_format must be 'flate'/'jpeg'/'ccitt'/'jbig2'/'jpx'/"
+            f"'jpx97', got {image_format!r}"
         )
     if xref_format not in ("classic", "stream"):
         raise ValueError(f"xref_format must be 'classic' or 'stream', got {xref_format!r}")
@@ -271,6 +273,16 @@ def encode_pdf(
                 b" /DecodeParms << /K -1 /Columns %d /Rows %d /BlackIs1 false >>"
                 % (w, h)
             )
+        elif image_format == "jbig2":
+            from .jbig2 import encode_jbig2
+
+            if not np.isin(page, (0, 255)).all():
+                raise ValueError("image_format='jbig2' needs a 0/255 bilevel page")
+            # embedded T.88 stream (1 = black), TPGDON on — the layout
+            # born-scanned PDFs carry under /JBIG2Decode
+            data = encode_jbig2((page == 0).astype(np.uint8), tpgdon=True)
+            filter_name = b"JBIG2Decode"
+            bpc = 1
         else:
             data = zlib.compress(page.tobytes(), 6)
             filter_name = b"FlateDecode"
@@ -1206,6 +1218,24 @@ class PdfDocument:
                     from .jp2 import decode_jp2
 
                     return decode_jp2(raw)
+                if f == "JBIG2Decode":
+                    # JBIG2 image XObject — the born-scanned-PDF
+                    # bilevel layout (functions/jbig2.py: arithmetic
+                    # generic regions, all templates + TPGDON, or
+                    # MMR). /JBIG2Globals carries shared segments,
+                    # prepended per PDF 32000 7.4.7. Decoded 1-bits
+                    # are black, like CCITT with BlackIs1.
+                    from .jbig2 import decode_jbig2
+
+                    g = b""
+                    if isinstance(pm, dict) and pm.get("JBIG2Globals") is not None:
+                        gobj = self.resolve(pm["JBIG2Globals"])
+                        if not (isinstance(gobj, tuple) and len(gobj) == 2):
+                            raise ValueError("JBIG2Globals is not a stream")
+                        gd, graw = gobj
+                        g = _apply_stream_filters(gd, graw)
+                    bits = decode_jbig2(raw, g)
+                    return ((1 - bits) * 255).astype(np.uint8)
                 if f == "CCITTFaxDecode":
                     # Group 3/4 fax image XObject — the archival-scan
                     # layout (functions/ccitt.py). BlackIs1 picks the

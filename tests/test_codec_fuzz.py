@@ -110,3 +110,19 @@ def test_audio_video_fuzz():
         decode_avi_frames,
         trials=100,
     )
+
+
+def test_jbig2_fuzz(page):
+    import numpy as np
+
+    from oar_ocr_spark.functions.jbig2 import decode_jbig2, encode_jbig2
+
+    bits = (np.asarray(page) < 200).astype(np.uint8)
+    _fuzz(
+        [
+            encode_jbig2(bits, file_header=True),
+            encode_jbig2(bits, template=2, tpgdon=True),
+            encode_jbig2(bits, mmr=True),
+        ],
+        decode_jbig2,
+    )

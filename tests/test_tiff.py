@@ -429,7 +429,8 @@ class TestSparkUnpack:
 
 
 class TestFaxStore:
-    """fax_store_df: the scanned-fax write seam (bilevel CCITT TIFF)."""
+    """fax_store_df: the scanned-bilevel write seam (CCITT TIFF and
+    standalone JBIG2, crc32-split)."""
 
     def test_flavors_roundtrip_thresholded_page(self, spark):
         import zlib
@@ -455,15 +456,22 @@ class TestFaxStore:
         )
         store = {r["media_ref"]: bytes(r["payload"]) for r in fax_store_df(refs).collect()}
 
-        # the crc32 flavor split must exercise every CCITT family and
-        # both fill orders across the corpus
+        # the crc32 flavor split must exercise every CCITT family,
+        # both fill orders, AND the JBIG2 quarter across the corpus
         hs = [zlib.crc32(("fax:" + r).encode("utf-8")) for r in store]
         assert {h % 3 for h in hs} == {0, 1, 2}
         assert {bool(h & 8) for h in hs} == {False, True}
+        assert {bool(h & 32) for h in hs} == {False, True}
+
+        from oar_ocr_spark.functions.jbig2 import JBIG2_MAGIC, decode_jbig2
 
         for ref, payload in store.items():
             bilevel = np.where(render_page(ref) >= 128, 255, 0).astype(np.uint8)
-            assert (decode_tiff(payload) == bilevel).all(), ref
+            if payload[:8] == JBIG2_MAGIC:
+                got = ((1 - decode_jbig2(payload)) * 255).astype(np.uint8)
+            else:
+                got = decode_tiff(payload)
+            assert (got == bilevel).all(), ref
 
 
 class TestJpegInTiff:
