@@ -19,16 +19,27 @@ Implemented (encode AND decode, the repo-wide twin contract):
   context spaces and the spec's SLTP pseudo-contexts;
 - MMR-coded generic regions delegate to the engine's T.6 codec
   (functions/ccitt.ccitt_decode, k < 0);
-- region composition onto the page bitmap (OR/AND/XOR/XNOR/REPLACE).
+- SYMBOL DICTIONARIES (6.5) and TEXT REGIONS (6.4) — the layout
+  born-scanned PDFs actually carry (jbig2enc's default): arithmetic
+  integer decoding (Annex A: the IADH/IADW/IAEX/IADT/IAFS/IADS/IAIT
+  procedures with 512-state PREV tracking, and the IAID tree code),
+  height-class symbol decode with shared generic contexts, export
+  runs, strip-based instance placement with all four reference
+  corners and per-instance combination ops; plus a SYMBOL-MODE
+  ENCODER twin (connected components -> deduplicated dictionary ->
+  text region);
+- region composition onto the page bitmap (OR/AND/XOR/XNOR/REPLACE);
+- the standalone .jb2 file header (Annex D, sequential organization).
 
 Decoder model mirrors functions/ccitt: the page is a (rows, columns)
 uint8 bit matrix with **1 = black** (T.88 codes foreground = 1); the
 PDF adapter maps polarity exactly like CCITTFaxDecode.
 
-Scope (fails loudly): symbol dictionaries / text regions, halftone,
-refinement, huffman-tabled regions, striped pages with unknown
-length, and intermediate generic regions raise NotImplementedError;
-damaged streams raise ValueError.
+Scope (fails loudly): halftone regions, refinement (both standalone
+and aggregate/refined symbol coding), huffman-tabled dictionaries and
+regions, transposed text regions, segments of unknown length, and
+intermediate regions raise NotImplementedError; damaged streams raise
+ValueError.
 """
 
 from __future__ import annotations
@@ -40,7 +51,7 @@ import numpy as np
 from .codec_guard import loud_decode
 from .jp2 import _MQDecoder, _MQEncoder
 
-__all__ = ["encode_jbig2", "decode_jbig2", "JBIG2_MAGIC"]
+__all__ = ["encode_jbig2", "encode_jbig2_symbols", "decode_jbig2", "JBIG2_MAGIC"]
 
 # standalone .jb2 file header ID string (T.88 Annex D.4.1)
 JBIG2_MAGIC = b"\x97JB2\r\n\x1a\n"
@@ -375,7 +386,8 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     prepended per PDF 32000 7.4.7) → (rows, columns) uint8 bit matrix
     with 1 = black, the functions/ccitt convention. Supports page
     info + generic region streams (arithmetic all four templates,
-    TPGDON, custom AT; or MMR); symbol/text/halftone/refinement
+    TPGDON, custom AT; or MMR) AND symbol-dictionary + text-region
+    streams (the born-scanned layout); halftone/refinement/huffman
     segments fail loudly. A standalone .jb2 file header (Annex D) is
     recognized and stripped; random-access organization is out of
     scope."""
@@ -394,6 +406,7 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     page: np.ndarray | None = None
     page_h_unknown = False
     regions = 0
+    sym_exports: dict[int, list] = {}
     while pos < len(data):
         seg, pos = _parse_seg_header(data, pos)
         body = data[pos : pos + seg["length"]]
@@ -428,13 +441,33 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             window = page[y : y + bh, x : x + bw]
             page[y : y + bh, x : x + bw] = _COMBINE[op](window, bm)
             regions += 1
-        elif t == 36:
+        elif t == 0:  # symbol dictionary
+            inputs = []
+            for rn in seg["referred"]:
+                inputs.extend(sym_exports.get(rn, []))
+            sym_exports[seg["number"]] = _decode_symbol_dict(body, inputs)
+        elif t in (6, 7):  # immediate (lossless) text region
+            if page is None:
+                raise ValueError("JBIG2 region before page information")
+            syms = []
+            for rn in seg["referred"]:
+                syms.extend(sym_exports.get(rn, []))
+            bm, x, y, op = _decode_text_region(body, syms)
+            bh, bw = bm.shape
+            if y + bh > page.shape[0]:
+                if not page_h_unknown and op != 4:
+                    raise ValueError("JBIG2 region exceeds the page height")
+                grown = np.zeros((y + bh, page.shape[1]), dtype=np.uint8)
+                grown[: page.shape[0]] = page
+                page = grown
+            if x + bw > page.shape[1]:
+                raise ValueError("JBIG2 region exceeds the page width")
+            window = page[y : y + bh, x : x + bw]
+            page[y : y + bh, x : x + bw] = _COMBINE[op](window, bm)
+            regions += 1
+        elif t in (4, 36):
             raise NotImplementedError(
-                "JBIG2 intermediate generic regions not supported"
-            )
-        elif t in (0, 4, 6, 7):
-            raise NotImplementedError(
-                "JBIG2 symbol-dictionary / text-region segments not supported"
+                "JBIG2 intermediate regions not supported"
             )
         elif t in (16, 20, 22, 23):
             raise NotImplementedError("JBIG2 halftone segments not supported")
@@ -449,3 +482,428 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     if page is None or not regions:
         raise ValueError("JBIG2 stream carries no decodable page region")
     return page
+
+
+# ---------------------------------------------------------------------------
+# arithmetic integer / symbol-ID decoding (Annex A) — the entropy layer
+# symbol dictionaries and text regions share one MQ decoder with
+# per-procedure context spaces, swapped onto the coder per decision
+# ---------------------------------------------------------------------------
+
+
+class _CtxSet:
+    __slots__ = ("idx", "mps")
+
+    def __init__(self, nbits: int):
+        self.idx = [0] * (1 << nbits)
+        self.mps = [0] * (1 << nbits)
+
+    def bind(self, coder) -> None:
+        coder.ctx_idx, coder.ctx_mps = self.idx, self.mps
+
+
+def _int_arith(coder, ctx: _CtxSet, value: int | None, encode: bool):
+    """A.2 arithmetic integer procedure, one body for both directions:
+    encode `value` (None = OOB) into `coder`, or decode and return the
+    value (None on OOB). The 512-state PREV tracking and the 2/4/6/8/
+    12/32-bit ladder per Table A.1."""
+    ctx.bind(coder)
+    prev = 1
+
+    def bit(b: int | None = None) -> int:
+        nonlocal prev
+        if encode:
+            coder.encode(prev, b)
+        else:
+            b = coder.decode(prev)
+        prev = ((prev << 1) | b) if prev < 256 else ((((prev << 1) | b) & 511) | 256)
+        return b
+
+    ladder = ((2, 0), (4, 4), (6, 20), (8, 84), (12, 340), (32, 4436))
+    if encode:
+        if value is None:  # OOB: negative zero
+            s, v = 1, 0
+        else:
+            s, v = (1, -value) if value < 0 else (0, value)
+        bit(s)
+        for k, (nbits, lo) in enumerate(ladder):
+            hi = lo + (1 << nbits) - 1
+            last = k == len(ladder) - 1
+            if v <= hi or last:
+                for _ in range(k):
+                    pass  # selector bits emitted below
+                break
+        # selector: k ones then (a zero unless the 32-bit bucket)
+        for _ in range(k):
+            bit(1)
+        if k < len(ladder) - 1:
+            bit(0)
+        nbits, lo = ladder[k]
+        rem = v - lo
+        if rem < 0 or rem >= (1 << nbits):
+            raise ValueError(f"arithmetic integer {value} out of range")
+        for sh in range(nbits - 1, -1, -1):
+            bit((rem >> sh) & 1)
+        return value
+    s = bit()
+    k = 0
+    while k < len(ladder) - 1 and bit():
+        k += 1
+    nbits, lo = ladder[k]
+    v = 0
+    for _ in range(nbits):
+        v = (v << 1) | bit()
+    v += lo
+    if s and v == 0:
+        return None  # OOB
+    return -v if s else v
+
+
+def _iaid_arith(coder, ctx: _CtxSet, codelen: int, value: int | None, encode: bool):
+    """A.3 symbol-ID procedure: `codelen` tree-coded bits."""
+    ctx.bind(coder)
+    prev = 1
+    if encode:
+        code = value + (1 << codelen)
+        for sh in range(codelen - 1, -1, -1):
+            b = (code >> sh) & 1
+            coder.encode(prev, b)
+            prev = (prev << 1) | b
+        return value
+    for _ in range(codelen):
+        prev = (prev << 1) | coder.decode(prev)
+    return prev - (1 << codelen)
+
+
+def _generic_with_ctx(coder, gbctx: _CtxSet, bits, h, w, template, at):
+    """Run the generic procedure with an explicit GB context space
+    (symbol bitmaps share contexts across a whole dictionary)."""
+    gbctx.bind(coder)
+    return _generic_region(coder, bits, h, w, template, at, False)
+
+
+# ---------------------------------------------------------------------------
+# symbol dictionary (6.5 / 7.4.3) + text region (6.4 / 7.4.4)
+# ---------------------------------------------------------------------------
+
+
+def _connected_components(bits: np.ndarray) -> list:
+    """8-connected black components → [(top, left, bitmap)] in raster
+    order of their top-left corners (plain BFS; pages are small and the
+    encoder is a fixture/test twin, not the hot path)."""
+    h, w = bits.shape
+    seen = np.zeros_like(bits)
+    comps = []
+    for y0 in range(h):
+        row = bits[y0]
+        for x0 in range(w):
+            if not row[x0] or seen[y0, x0]:
+                continue
+            stack = [(y0, x0)]
+            seen[y0, x0] = 1
+            pix = []
+            while stack:
+                y, x = stack.pop()
+                pix.append((y, x))
+                for dy in (-1, 0, 1):
+                    yy = y + dy
+                    if not 0 <= yy < h:
+                        continue
+                    for dx in (-1, 0, 1):
+                        xx = x + dx
+                        if 0 <= xx < w and bits[yy, xx] and not seen[yy, xx]:
+                            seen[yy, xx] = 1
+                            stack.append((yy, xx))
+            ys = [p[0] for p in pix]
+            xs = [p[1] for p in pix]
+            t, b_, l, r = min(ys), max(ys), min(xs), max(xs)
+            bm = np.zeros((b_ - t + 1, r - l + 1), dtype=np.uint8)
+            for y, x in pix:
+                bm[y - t, x - l] = 1
+            comps.append((t, l, bm))
+    comps.sort(key=lambda c: (c[0], c[1]))
+    return comps
+
+
+def encode_jbig2_symbols(
+    bits: np.ndarray,
+    template: int = 0,
+    file_header: bool = False,
+    refcorner: str = "tl",
+    strips: int = 1,
+) -> bytes:
+    """(rows, columns) {0,1} bit matrix → embedded JBIG2 stream in
+    SYMBOL MODE — the layout born-scanned PDFs actually carry
+    (jbig2enc's default): the page's 8-connected components are
+    deduplicated into a SYMBOL DICTIONARY (6.5: height classes, IADH/
+    IADW deltas, generic-coded symbol bitmaps with shared contexts,
+    IAEX export runs) and placed by an immediate TEXT REGION (6.4:
+    one-row strips, IADT/IAFS/IADS deltas, IAID tree-coded symbol
+    IDs). `refcorner` picks the reference corner ('tl'/'bl'/'tr'/
+    'br' — bottom corners strip-group by the glyph BASELINE, the
+    typographic layout); `strips` (1/2/4/8) emits multi-row strips
+    with per-instance IAIT offsets. Falls back to a generic-region
+    stream when the page has no black pixels. Lossless: the
+    components partition the ink exactly."""
+    if bits.ndim != 2 or bits.dtype != np.uint8 or int(bits.max(initial=0)) > 1:
+        raise ValueError("encode_jbig2_symbols expects a (rows, cols) uint8 {0,1} matrix")
+    h, w = bits.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty bitmap")
+    comps = _connected_components(bits)
+    if not comps:
+        return encode_jbig2(bits, template=template, file_header=file_header)
+    at = _NOMINAL_AT[template]
+
+    # ---- dictionary: unique symbol bitmaps, height-class order
+    uniq: dict[bytes, int] = {}
+    symbols = []
+    for _, _, bm in comps:
+        key = bm.shape + (bm.tobytes(),)
+        if key not in uniq:
+            uniq[key] = len(symbols)
+            symbols.append(bm)
+    order = sorted(range(len(symbols)), key=lambda i: symbols[i].shape)
+    symbols = [symbols[i] for i in order]
+    remap = {old: new for new, old in enumerate(order)}
+    uniq = {k: remap[v] for k, v in uniq.items()}
+
+    enc = _MQEncoder(ctx=([0], [0]))  # ctx spaces bound per decision
+    iadh, iadw, iaex = _CtxSet(9), _CtxSet(9), _CtxSet(9)
+    gb = _CtxSet(len(_sorted_template(template, at)))
+    hcheight = 0
+    i = 0
+    while i < len(symbols):
+        hh = symbols[i].shape[0]
+        _int_arith(enc, iadh, hh - hcheight, True)
+        hcheight = hh
+        symwidth = 0
+        while i < len(symbols) and symbols[i].shape[0] == hcheight:
+            ww = symbols[i].shape[1]
+            _int_arith(enc, iadw, ww - symwidth, True)
+            symwidth = ww
+            _generic_with_ctx(enc, gb, symbols[i], hcheight, ww, template, at)
+            i += 1
+        _int_arith(enc, iadw, None, True)  # OOB ends the height class
+    # export all symbols: run of 0 unexported, then all exported
+    _int_arith(enc, iaex, 0, True)
+    _int_arith(enc, iaex, len(symbols), True)
+    dict_payload = enc.flush()
+    sdflags = template << 10
+    dict_data = (
+        struct.pack(">H", sdflags)
+        + b"".join(struct.pack(">bb", dx, dy) for dx, dy in at)
+        + struct.pack(">II", len(symbols), len(symbols))
+        + dict_payload
+    )
+
+    # ---- text region: one instance per component
+    corners = {"bl": 0, "tl": 1, "br": 2, "tr": 3}
+    if refcorner not in corners:
+        raise ValueError(f"refcorner must be one of {sorted(corners)}")
+    if strips not in (1, 2, 4, 8):
+        raise ValueError(f"strips must be 1/2/4/8, got {strips}")
+    codelen = max((len(symbols) - 1).bit_length(), 0)
+    enc = _MQEncoder(ctx=([0], [0]))
+    iadt, iafs, iads, iait = (_CtxSet(9) for _ in range(4))
+    iaid = _CtxSet(codelen + 1)
+    _int_arith(enc, iadt, 0, True)  # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    bottom = refcorner in ("bl", "br")
+    by_strip: dict[int, list] = {}
+    for t, l, bm in comps:
+        # the coded T is the reference corner's row
+        ti = t + bm.shape[0] - 1 if bottom else t
+        base = (ti // strips) * strips
+        by_strip.setdefault(base, []).append((l, ti - base, bm))
+    for base in sorted(by_strip):
+        _int_arith(enc, iadt, (base - stript) // strips, True)
+        stript = base
+        curs = None
+        for l, curt, bm in sorted(by_strip[base], key=lambda e: (e[0], e[1])):
+            if curs is None:
+                _int_arith(enc, iafs, l - firsts, True)
+                firsts = l
+                curs = l
+            else:
+                _int_arith(enc, iads, l - curs, True)
+                curs = l
+            if strips > 1:
+                _int_arith(enc, iait, curt, True)
+            _iaid_arith(enc, iaid, codelen, uniq[bm.shape + (bm.tobytes(),)], True)
+            curs += bm.shape[1] - 1
+        _int_arith(enc, iads, None, True)  # OOB ends the strip
+    text_payload = enc.flush()
+    # SBHUFF=0, LOGSBSTRIPS, REFCORNER
+    tflags = (strips.bit_length() - 1) << 2 | corners[refcorner] << 4
+    region_info = struct.pack(">IIIIB", w, h, 0, 0, 0)
+    text_data = (
+        region_info
+        + struct.pack(">H", tflags)
+        + struct.pack(">I", len(comps))
+        + text_payload
+    )
+
+    page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0x01, 0)
+    out = _seg_header(1, 48, 1, len(page_info)) + page_info
+    out += _seg_header(2, 0, 1, len(dict_data)) + dict_data
+    out += _seg_header(3, 6, 1, len(text_data), referred=[2]) + text_data
+    out += _seg_header(4, 49, 1, 0)
+    if file_header:
+        out = JBIG2_MAGIC + bytes([0x01]) + struct.pack(">I", 1) + out
+    return out
+
+
+def _decode_symbol_dict(body: bytes, input_syms: list) -> list:
+    """7.4.3 symbol dictionary segment → exported symbol list."""
+    if len(body) < 2:
+        raise ValueError("JBIG2 symbol dictionary truncated")
+    (flags,) = struct.unpack(">H", body[:2])
+    if flags & 0x01:
+        raise NotImplementedError("JBIG2 huffman-coded symbol dictionaries not supported")
+    if flags & 0x02:
+        raise NotImplementedError("JBIG2 refinement/aggregate symbol coding not supported")
+    template = (flags >> 10) & 0x03
+    pos = 2
+    n_at = 4 if template == 0 else 1
+    at = [
+        struct.unpack(">bb", body[pos + 2 * k : pos + 2 * k + 2])
+        for k in range(n_at)
+    ]
+    pos += 2 * n_at
+    numex, numnew = struct.unpack(">II", body[pos : pos + 8])
+    pos += 8
+    if numnew > 1 << 20 or numex > (len(input_syms) + numnew):
+        raise ValueError("implausible JBIG2 symbol dictionary counts")
+    dec = _MQDecoder(body[pos:], ctx=([0], [0]))
+    iadh, iadw, iaex = _CtxSet(9), _CtxSet(9), _CtxSet(9)
+    gb = _CtxSet(len(_sorted_template(template, at)))
+    new_syms: list = []
+    hcheight = 0
+    while len(new_syms) < numnew:
+        dh = _int_arith(dec, iadh, None, False)
+        if dh is None:
+            raise ValueError("JBIG2 symbol dictionary: OOB height delta")
+        hcheight += dh
+        if hcheight <= 0 or hcheight > 1 << 14:
+            raise ValueError(f"JBIG2 symbol height {hcheight} out of range")
+        symwidth = 0
+        while True:
+            dw = _int_arith(dec, iadw, None, False)
+            if dw is None:
+                break  # end of height class
+            symwidth += dw
+            if symwidth <= 0 or symwidth > 1 << 14:
+                raise ValueError(f"JBIG2 symbol width {symwidth} out of range")
+            if len(new_syms) >= numnew:
+                raise ValueError("JBIG2 symbol dictionary: too many symbols")
+            new_syms.append(
+                _generic_with_ctx(dec, gb, None, hcheight, symwidth, template, at)
+            )
+    # export flags over input + new symbols (6.5.10)
+    all_syms = list(input_syms) + new_syms
+    exported = []
+    cur = 0
+    i = 0
+    while i < len(all_syms):
+        run = _int_arith(dec, iaex, None, False)
+        if run is None or run < 0:
+            raise ValueError("JBIG2 symbol dictionary: bad export run")
+        if cur:
+            exported.extend(all_syms[i : i + run])
+        i += run
+        cur ^= 1
+    if len(exported) != numex:
+        raise ValueError(
+            f"JBIG2 symbol dictionary exports {len(exported)}, declared {numex}"
+        )
+    return exported
+
+
+def _decode_text_region(body: bytes, syms: list) -> tuple[np.ndarray, int, int, int]:
+    """7.4.4 text region segment → (bitmap, x, y, combine op)."""
+    if len(body) < 23:
+        raise ValueError("JBIG2 text region truncated")
+    w, h, x, y, rflags = struct.unpack(">IIIIB", body[:17])
+    if int(w) * int(h) > 1 << 28:
+        raise ValueError(f"implausible JBIG2 region dimensions {w}x{h}")
+    op = rflags & 0x07
+    if op not in _COMBINE:
+        raise ValueError(f"JBIG2 region combination operator {op} is illegal")
+    (tflags,) = struct.unpack(">H", body[17:19])
+    if tflags & 0x01:
+        raise NotImplementedError("JBIG2 huffman-coded text regions not supported")
+    if tflags & 0x02:
+        raise NotImplementedError("JBIG2 refined text regions not supported")
+    if tflags & 0x40:
+        raise NotImplementedError("JBIG2 transposed text regions not supported")
+    logsbstrips = (tflags >> 2) & 0x03
+    sbstrips = 1 << logsbstrips
+    refcorner = (tflags >> 4) & 0x03  # 0 BL, 1 TL, 2 BR, 3 TR
+    sbcombop = (tflags >> 7) & 0x03
+    defpixel = (tflags >> 9) & 0x01
+    dsoffset = (tflags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32  # signed 5-bit
+    (numinst,) = struct.unpack(">I", body[19:23])
+    if not syms:
+        raise ValueError("JBIG2 text region with no referred symbols")
+    if numinst > 1 << 24:
+        raise ValueError(f"implausible JBIG2 instance count {numinst}")
+    codelen = max((len(syms) - 1).bit_length(), 0)
+    dec = _MQDecoder(body[23:], ctx=([0], [0]))
+    iadt, iafs, iads, iait = (_CtxSet(9) for _ in range(4))
+    iaid = _CtxSet(codelen + 1)
+    region = np.full((int(h), int(w)), defpixel, dtype=np.uint8)
+    dt0 = _int_arith(dec, iadt, None, False)
+    if dt0 is None:
+        raise ValueError("JBIG2 text region: OOB initial strip delta")
+    stript = -dt0 * sbstrips
+    firsts = 0
+    inst = 0
+    while inst < numinst:
+        dt = _int_arith(dec, iadt, None, False)
+        if dt is None:
+            raise ValueError("JBIG2 text region: OOB strip delta")
+        stript += dt * sbstrips
+        curs = None
+        while True:
+            if curs is None:
+                dfs = _int_arith(dec, iafs, None, False)
+                if dfs is None:
+                    raise ValueError("JBIG2 text region: OOB first-symbol delta")
+                firsts += dfs
+                curs = firsts
+            else:
+                ids = _int_arith(dec, iads, None, False)
+                if ids is None:
+                    break  # end of strip
+                curs += ids + dsoffset
+            curt = (
+                _int_arith(dec, iait, None, False) if sbstrips > 1 else 0
+            )
+            if curt is None:
+                raise ValueError("JBIG2 text region: OOB T offset")
+            ti = stript + curt
+            sid = _iaid_arith(dec, iaid, codelen, None, False)
+            if not 0 <= sid < len(syms):
+                raise ValueError(f"JBIG2 symbol id {sid} out of range")
+            bm = syms[sid]
+            hs, ws = bm.shape
+            if refcorner in (2, 3):  # right corners advance first
+                curs += ws - 1
+                px = curs - ws + 1
+            else:
+                px = curs
+            py = ti if refcorner in (1, 3) else ti - hs + 1  # TOP vs BOTTOM
+            if not (0 <= px and px + ws <= int(w) and 0 <= py and py + hs <= int(h)):
+                raise ValueError("JBIG2 symbol instance outside its region")
+            window = region[py : py + hs, px : px + ws]
+            region[py : py + hs, px : px + ws] = _COMBINE[sbcombop](window, bm)
+            if refcorner in (0, 1):  # left corners advance after
+                curs += ws - 1
+            inst += 1
+            if inst >= numinst:
+                break
+    return region, int(x), int(y), op

@@ -410,15 +410,27 @@ def fax_store_df(
         bilevel = np.where(page >= 128, 255, 0).astype(np.uint8)
         h = zlib.crc32(("fax:" + ref).encode("utf-8"))
         if h & 32:
-            from .jbig2 import encode_jbig2
+            from .jbig2 import encode_jbig2, encode_jbig2_symbols
 
-            data = encode_jbig2(
-                (bilevel == 0).astype(np.uint8),  # 1 = black
-                template=(h >> 6) & 3,
-                tpgdon=bool(h & 1024),
-                mmr=(h >> 6) & 3 == 0 and bool(h & 2048),
-                file_header=True,
-            )
+            ink = (bilevel == 0).astype(np.uint8)  # 1 = black
+            if h & 4096:
+                # symbol mode: dictionary + text region, the layout
+                # born-scanned PDFs actually carry
+                data = encode_jbig2_symbols(
+                    ink,
+                    template=(h >> 6) & 3,
+                    refcorner=("tl", "bl", "tr", "br")[(h >> 13) & 3],
+                    strips=1 << ((h >> 15) & 3),
+                    file_header=True,
+                )
+            else:
+                data = encode_jbig2(
+                    ink,
+                    template=(h >> 6) & 3,
+                    tpgdon=bool(h & 1024),
+                    mmr=(h >> 6) & 3 == 0 and bool(h & 2048),
+                    file_header=True,
+                )
             return (ref, data)
         data = encode_tiff(
             bilevel,

@@ -274,13 +274,18 @@ def encode_pdf(
                 % (w, h)
             )
         elif image_format == "jbig2":
-            from .jbig2 import encode_jbig2
+            from .jbig2 import encode_jbig2, encode_jbig2_symbols
 
             if not np.isin(page, (0, 255)).all():
                 raise ValueError("image_format='jbig2' needs a 0/255 bilevel page")
-            # embedded T.88 stream (1 = black), TPGDON on — the layout
-            # born-scanned PDFs carry under /JBIG2Decode
-            data = encode_jbig2((page == 0).astype(np.uint8), tpgdon=True)
+            # embedded T.88 stream (1 = black) — SYMBOL MODE (the
+            # layout born-scanned PDFs actually carry: dictionary +
+            # text region) on even pages, TPGDON generic region on odd
+            bilevel_bits = (page == 0).astype(np.uint8)
+            if len(kid_nums) % 2 == 0:
+                data = encode_jbig2_symbols(bilevel_bits)
+            else:
+                data = encode_jbig2(bilevel_bits, tpgdon=True)
             filter_name = b"JBIG2Decode"
             bpc = 1
         else:

@@ -115,7 +115,11 @@ def test_audio_video_fuzz():
 def test_jbig2_fuzz(page):
     import numpy as np
 
-    from oar_ocr_spark.functions.jbig2 import decode_jbig2, encode_jbig2
+    from oar_ocr_spark.functions.jbig2 import (
+        decode_jbig2,
+        encode_jbig2,
+        encode_jbig2_symbols,
+    )
 
     bits = (np.asarray(page) < 200).astype(np.uint8)
     _fuzz(
@@ -123,6 +127,7 @@ def test_jbig2_fuzz(page):
             encode_jbig2(bits, file_header=True),
             encode_jbig2(bits, template=2, tpgdon=True),
             encode_jbig2(bits, mmr=True),
+            encode_jbig2_symbols(bits),
         ],
         decode_jbig2,
     )

@@ -100,12 +100,21 @@ class TestDeclaredFailures:
         with pytest.raises(ValueError):
             decode_jbig2(b"short")
 
-    def test_symbol_text_halftone_refinement_raise(self):
+    def test_halftone_refinement_huffman_raise(self):
+        # (symbol dictionaries and text regions DECODE — TestSymbolMode)
         for stype, match in (
-            (0, "symbol"), (6, "symbol"), (22, "halftone"), (40, "refinement"),
-            (53, "huffman"), (36, "intermediate"),
+            (22, "halftone"), (40, "refinement"),
+            (53, "huffman"), (36, "intermediate"), (4, "intermediate"),
         ):
             seg = struct.pack(">IB", 1, stype) + bytes([0, 1]) + struct.pack(">I", 0)
+            with pytest.raises(NotImplementedError, match=match):
+                decode_jbig2(seg)
+        # huffman-coded / refined symbol dictionaries stay out of scope
+        for flags, match in ((0x01, "huffman"), (0x02, "refinement")):
+            body = struct.pack(">H", flags) + b"\x00" * 16
+            seg = struct.pack(">IB", 1, 0) + bytes([0, 1]) + struct.pack(
+                ">I", len(body)
+            ) + body
             with pytest.raises(NotImplementedError, match=match):
                 decode_jbig2(seg)
 
@@ -155,3 +164,103 @@ class TestDeclaredFailures:
                 np.zeros((4, 4), dtype=np.uint8),
                 at=[(1, 0), (-3, -1), (2, -2), (-2, -2)],
             )
+
+
+class TestSymbolMode:
+    """Symbol dictionary (6.5) + text region (6.4): the layout
+    born-scanned PDFs actually carry. Connected components are
+    deduplicated into a dictionary (IADH/IADW height classes, shared
+    generic contexts, IAEX export runs) and placed by IADT/IAFS/IADS
+    strips with IAID tree-coded symbol IDs."""
+
+    def test_pages_roundtrip(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_symbols
+
+        for ref in ("7_m2", "12_m0", "3_m1"):
+            bits = (render_page(ref) < 200).astype(np.uint8)
+            code = encode_jbig2_symbols(bits)
+            assert np.array_equal(decode_jbig2(code), bits), ref
+
+    def test_all_corners_and_strips(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_symbols
+
+        bits = (render_page("7_m2") < 200).astype(np.uint8)
+        for rc in ("tl", "bl", "tr", "br"):
+            for st in (1, 2, 4, 8):
+                code = encode_jbig2_symbols(bits, refcorner=rc, strips=st)
+                assert np.array_equal(decode_jbig2(code), bits), (rc, st)
+
+    def test_dedup_and_repeats(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_symbols
+
+        # a page of repeated glyphs: the dictionary holds each shape
+        # once, so symbol mode beats generic coding on repetition
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2
+
+        glyph = np.array(
+            [[1, 1, 1, 0], [1, 0, 1, 0], [1, 1, 1, 1]], dtype=np.uint8
+        )
+        page = np.zeros((60, 200), dtype=np.uint8)
+        for r in range(0, 54, 6):
+            for c in range(0, 192, 8):
+                page[r : r + 3, c : c + 4] = glyph
+        code = encode_jbig2_symbols(page)
+        assert np.array_equal(decode_jbig2(code), page)
+        assert len(code) < len(encode_jbig2(page))
+
+    def test_single_symbol_codelen_zero(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_symbols
+
+        page = np.zeros((10, 30), dtype=np.uint8)
+        page[2:5, 3:7] = 1  # exactly one component → SBSYMCODELEN 0
+        code = encode_jbig2_symbols(page)
+        assert np.array_equal(decode_jbig2(code), page)
+
+    def test_multiple_height_classes_and_templates(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_symbols
+
+        rng = np.random.RandomState(8)
+        page = np.zeros((80, 120), dtype=np.uint8)
+        y = 2
+        for hgt in (2, 3, 5, 8):
+            x = 2
+            while x + hgt + 2 < 118:
+                blob = (rng.rand(hgt, hgt) < 0.7).astype(np.uint8)
+                blob[0, 0] = 1
+                page[y : y + hgt, x : x + hgt] = blob
+                x += hgt + 3
+            y += hgt + 3
+        for template in (0, 2):
+            code = encode_jbig2_symbols(page, template=template)
+            assert np.array_equal(decode_jbig2(code), page), template
+
+    def test_pdf_symbol_mode_pages(self):
+        from oar_ocr_spark.functions.pdf import decode_pdf, encode_pdf
+
+        img = render_page("7_m2")
+        bilevel = np.where(img >= 128, 255, 0).astype(np.uint8)
+        # page 0 = symbol mode, page 1 = generic (the writer alternates)
+        pdf = encode_pdf([bilevel, bilevel], image_format="jbig2")
+        pages = decode_pdf(pdf)
+        assert len(pages) == 2
+        assert np.array_equal(pages[0], bilevel)
+        assert np.array_equal(pages[1], bilevel)
+
+    def test_empty_page_falls_back_to_generic(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_symbols
+
+        z = np.zeros((20, 30), dtype=np.uint8)
+        code = encode_jbig2_symbols(z, file_header=True)
+        assert np.array_equal(decode_jbig2(code), z)
+
+    def test_symbol_stream_guards(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_symbols
+
+        bits = (render_page("5_m1") < 200).astype(np.uint8)
+        code = encode_jbig2_symbols(bits)
+        # a text region whose referred dictionary is missing
+        # (drop segment 2 = the dict): loud failure
+        # layout: seg1 hdr 11 + page info 19, then dict, then text
+        # find the text-region header (type 6) by scanning segments
+        with pytest.raises(ValueError):
+            decode_jbig2(code[:30] + code[len(code) - 15 :])
