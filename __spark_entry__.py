@@ -57,6 +57,7 @@ PNG_MOD = 20
 JPEG_MOD = 20
 LEGACY_MOD = 20
 LOSSLESS_MOD = 20
+DEEPJPEG_MOD = 20
 JP2_MOD = 60  # EBCOT Tier-1 is the priciest codec — a thinner slice
 FAX_MOD = 20
 PDF_MOD = 20
@@ -528,6 +529,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lossless_jpeg_store_df(refs, parallelism=spark.sparkContext.defaultParallelism)
         )
 
+    def q_media_deep_jpeg_roundtrip(spark):
+        # the deep-DCT seam: render → lift to 12-bit (p8<<4|p8>>4) →
+        # encode REAL 12-bit EXTENDED SEQUENTIAL JPEG bytes (SOF1, the
+        # lossy DCT layout 12-bit DICOM uses; quality/restart flavor
+        # crc32-chosen per ref) → magic-byte dispatch decode (top-8
+        # projection at the seam) → features. The DCT is LOSSY, so the
+        # oracle golden is computed through the SAME codec twin
+        # (media_features_deepjpeg.parquet, the jp2/JPEG-q100 pattern).
+        from oar_ocr_spark.functions.multimodal import (
+            deep_jpeg_store_df,
+            image_features_from_bytes_df,
+        )
+
+        refs = media_refs_df(spark, DEEPJPEG_MOD)
+        return image_features_from_bytes_df(
+            deep_jpeg_store_df(refs, parallelism=spark.sparkContext.defaultParallelism)
+        )
+
     def q_media_jp2_roundtrip(spark):
         # the JPEG 2000 seam: render → encode REAL J2K/JP2 bytes
         # (EBCOT Tier-1/2; depth, container, and transform flavor
@@ -872,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_gif_tiff_bmp_roundtrip": with_views(q_media_legacy_roundtrip),
         "media_lossless_roundtrip": with_views(q_media_lossless_roundtrip),
         "media_jp2_roundtrip": with_views(q_media_jp2_roundtrip),
+        "media_deep_jpeg_roundtrip": with_views(q_media_deep_jpeg_roundtrip),
         "media_fax_roundtrip": with_views(q_media_fax_roundtrip),
         "pdf_extract": with_views(q_pdf_extract),
         "tiff_extract": with_views(q_tiff_extract),
@@ -1582,6 +1602,17 @@ refs as (
 select g.media_ref, g.width, g.height, g.mean_intensity, g.ink_ratio,
        g.n_regions
 from read_parquet('{golden_dir}/media_features_jp2.parquet') g
+join refs using (media_ref)
+""",
+        "media_deep_jpeg_roundtrip": f"""
+with spans as ({span_cte}),
+refs as (
+  select distinct media_ref from spans
+  where kind = 'media' and cast(doc_id as bigint) % {DEEPJPEG_MOD} = 0
+)
+select g.media_ref, g.width, g.height, g.mean_intensity, g.ink_ratio,
+       g.n_regions
+from read_parquet('{golden_dir}/media_features_deepjpeg.parquet') g
 join refs using (media_ref)
 """,
         "media_fax_roundtrip": f"""

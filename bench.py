@@ -178,6 +178,7 @@ def main() -> None:
         "media_jpeg_roundtrip",
         "media_gif_tiff_bmp_roundtrip",
         "media_lossless_roundtrip",
+        "media_deep_jpeg_roundtrip",
         "media_jp2_roundtrip",
         "media_fax_roundtrip",
         "pdf_extract",

@@ -207,9 +207,10 @@ def _idct2(coefs: np.ndarray) -> np.ndarray:
     return e.reshape(n, 8, 8).transpose(0, 2, 1)  # [n,x,y]
 
 
-# amplitude-category lookup: _CAT_LUT[|v|] = bit_length(|v|); covers the
-# full baseline coefficient range (|DC diff| <= 2·255·8 < 4096)
-_CAT_LUT = np.array([int(i).bit_length() for i in range(4096)], dtype=np.int64)
+# amplitude-category lookup: _CAT_LUT[|v|] = bit_length(|v|); covers
+# the full baseline range (|DC diff| <= 2*255*8 < 4096) AND the
+# 12-bit extended-sequential range (|DC diff| < 2^15)
+_CAT_LUT = np.array([int(i).bit_length() for i in range(1 << 15)], dtype=np.int64)
 
 
 def _code_arrays(bits: list[int], vals: list[int], n: int):
@@ -225,6 +226,20 @@ _DC_CODE, _DC_LEN = _code_arrays(_DC_BITS, _DC_VALS, 12)
 _AC_CODE, _AC_LEN = _code_arrays(_AC_BITS, _AC_VALS, 256)
 _DCC_CODE, _DCC_LEN = _code_arrays(_DC_BITS_C, _DC_VALS_C, 12)
 _ACC_CODE, _ACC_LEN = _code_arrays(_AC_BITS_C, _AC_VALS_C, 256)
+
+# 12-bit extended-sequential tables (T.81 allows any canonical DHT;
+# Annex K publishes none for 12-bit, so these are flat deterministic
+# sets: 16 five-bit DC categories 0..15 and 226 eight-bit AC symbols —
+# EOB, ZRL and every (run 0..15, size 1..14) pair; canonical
+# assignment keeps the all-ones code unused in both)
+_DC12_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC12_VALS = list(range(16))
+_AC12_VALS = [0x00, 0xF0] + [
+    (r << 4) | sz for sz in range(1, 15) for r in range(16) if sz != 0
+]
+_AC12_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC12_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+_DC12_CODE, _DC12_LEN = _code_arrays(_DC12_BITS, _DC12_VALS, 16)
+_AC12_CODE, _AC12_LEN = _code_arrays(_AC12_BITS, _AC12_VALS, 256)
 
 
 def _mcu_perm(mcuy: int, mcux: int, vc: int, hc: int) -> np.ndarray:
@@ -287,12 +302,14 @@ def _component_symbols(
     asize = _CAT_LUT[np.abs(avals)]
     aamps = np.where(avals >= 0, avals, avals + (1 << asize) - 1)
     sym = (rem << 4) | asize
-    if (len(sym) and int(np.max(asize)) > 10) or int(np.max(dsize, initial=0)) > 11:
-        # baseline Annex-K tables stop at AC size 10 / DC size 11;
-        # uint8 input provably stays inside (|AC quant| <= 1020), so
-        # reaching here means a scope change — fail loudly rather than
-        # emit a zero-length code into the bitstream
-        raise ValueError("JPEG coefficient category outside baseline Annex-K tables")
+    if (len(sym) and int(np.min(ac_len[sym])) == 0) or (
+        len(dsize) and int(np.min(dc_len[dsize])) == 0
+    ):
+        # the component's Huffman table has no code for this symbol
+        # (Annex-K tables stop at AC size 10 / DC size 11; the 12-bit
+        # tables cover 14/15) — fail loudly rather than emit a
+        # zero-length code into the bitstream
+        raise ValueError("JPEG coefficient category outside the Huffman table")
     ac_keys = mcu_base[bid] + kz * 4
 
     # ZRL fillers precede their item's code at the same position
@@ -416,7 +433,10 @@ def _ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
 
 
 def _plane_zz(
-    plane: np.ndarray, q: np.ndarray, grid: tuple[int, int] | None = None
+    plane: np.ndarray,
+    q: np.ndarray,
+    grid: tuple[int, int] | None = None,
+    shift: float = 128.0,
 ) -> np.ndarray:
     """(H,W) uint8 plane → (nb, 64) quantized zigzag coefficients, in
     raster block order. `grid` = (block_rows, block_cols) pads beyond
@@ -433,7 +453,7 @@ def _plane_zz(
         .transpose(0, 2, 1, 3)
         .reshape(-1, 8, 8)
         .astype(np.float64)
-        - 128.0
+        - shift
     )
     quant = np.round(_dct2(blocks) / q).astype(np.int64)
     return quant.reshape(-1, 64)[:, _ZIGZAG]
@@ -487,6 +507,49 @@ def encode_jpeg(
     out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
     out += scan
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_extended(
+    img: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """(H,W) uint16 12-bit greyscale → EXTENDED SEQUENTIAL (SOF1)
+    12-bit JPEG — the lossy DCT layout 12-bit DICOM transfer syntaxes
+    use. The Annex-K luminance table scales by 16 to keep the 8-bit
+    relative step (written as a 16-bit Pq=1 DQT); Huffman tables are
+    the flat deterministic 12-bit sets (_DC12/_AC12: DC categories to
+    15, AC sizes to 14). decode_jpeg returns uint16 with deep=True,
+    else the top-8-bit projection."""
+    if img.dtype != np.uint16 or img.ndim != 2:
+        raise ValueError(
+            f"encode_jpeg_extended expects uint16 (H,W), got {img.dtype} {img.shape}"
+        )
+    if int(img.max(initial=0)) >> 12:
+        raise ValueError("sample exceeds the 12-bit range")
+    h, w = img.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = _scaled_qtable(quality) * 16
+    zz = _plane_zz(img, q, shift=2048.0)
+    scan = _interleaved_scan(
+        [(zz, 1, _DC12_CODE, _DC12_LEN, _AC12_CODE, _AC12_LEN)],
+        zz.shape[0],
+        restart_interval,
+    )
+    seg = _seg
+    out = bytearray(JPEG_SOI)
+    out += seg(
+        0xFFDB,
+        b"\x10" + struct.pack(">64H", *q.reshape(-1)[_ZIGZAG]),  # Pq=1
+    )
+    out += seg(0xFFC1, struct.pack(">BHHB", 12, h, w, 1) + b"\x01\x11\x00")
+    out += seg(0xFFC4, b"\x00" + bytes(_DC12_BITS) + bytes(_DC12_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(_AC12_BITS) + bytes(_AC12_VALS))
+    if restart_interval > 0:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    out += scan
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -1400,6 +1463,7 @@ def _planes_from_raster(
     mcuy: int,
     rgb_direct: bool = False,
     adobe: int | None = None,
+    precision: int = 8,
 ) -> np.ndarray:
     """Raster-ordered dequantizable zigzag coefficient arrays → final
     image (dequantize → IDCT → assemble → crop → box-upsample →
@@ -1413,7 +1477,11 @@ def _planes_from_raster(
         q = qtables[qtid]
         coefs = (raster_coefs[c][:, _UNZIGZAG].reshape(-1, 8, 8)) * q
         blocks = _idct2(coefs.astype(np.float64))
-        pixels = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
+        pixels = np.clip(
+            np.round(blocks + float(1 << (precision - 1))),
+            0,
+            (1 << precision) - 1,
+        ).astype(np.uint8 if precision <= 8 else np.uint16)
         bh_c, bw_c = mcuy * vc, mcux * hc
         full = (
             pixels.reshape(bh_c, bw_c, 8, 8)
@@ -1749,10 +1817,12 @@ def decode_jpeg(data: bytes, deep: bool = False) -> np.ndarray:
     4:4:0, 4:2:0 …) via box chroma upsampling; progressive (SOF2)
     streams accumulate spectral-selection / successive-approximation
     scans and reconstruct at EOI. `deep=True` returns full-precision
-    samples for >8-bit LOSSLESS (SOF3) streams (uint16 — the 12/16-bit
-    DICOM layouts); otherwise deep streams project to uint8 via their
-    top 8 bits (the PNG-16 convention of this engine's image seam).
-    The DCT processes are 8-bit-only and ignore `deep`."""
+    samples for >8-bit streams (uint16 — the 12/16-bit LOSSLESS SOF3
+    DICOM layouts AND 12-bit extended-sequential SOF1 DCT frames);
+    otherwise deep streams project to uint8 via their top 8 bits (the
+    PNG-16 convention of this engine's image seam). 12-bit DCT decode
+    is greyscale sequential Huffman only — 12-bit color/progressive/
+    arithmetic stay declared out of scope."""
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -1763,6 +1833,7 @@ def decode_jpeg(data: bytes, deep: bool = False) -> np.ndarray:
     progressive = False
     lossless = False
     lossless_precision = 8
+    dct_precision = 8
     arith = False
     arith_cond: dict = {}  # DAC conditioning: (Tc, Tb) → (L,U) / Kx
     rgb_direct = False  # 'R','G','B' component IDs / Adobe transform 0
@@ -1843,8 +1914,21 @@ def decode_jpeg(data: bytes, deep: bool = False) -> np.ndarray:
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
             depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if depth != 8:
+            if depth not in (8, 12):
                 raise NotImplementedError(f"JPEG depth {depth} not supported")
+            if depth == 12:
+                # 12-bit DCT: extended-sequential greyscale only (the
+                # DICOM layout); 12-bit color / progressive /
+                # arithmetic stay declared out of scope
+                if ncomp != 1:
+                    raise NotImplementedError(
+                        "12-bit JPEG with color components not supported"
+                    )
+                if progressive or arith:
+                    raise NotImplementedError(
+                        "12-bit progressive/arithmetic JPEG not supported"
+                    )
+            dct_precision = depth
             if ncomp not in (1, 3, 4):
                 raise NotImplementedError(
                     f"JPEG with {ncomp} components not supported "
@@ -2030,10 +2114,15 @@ def decode_jpeg(data: bytes, deep: bool = False) -> np.ndarray:
                 raster = np.empty_like(outs[c])
                 raster[_mcu_perm(mcuy, mcux, vc, hc)] = outs[c]
                 rasters.append(raster)
-            return _planes_from_raster(
+            img = _planes_from_raster(
                 rasters, comp_info, qtables, h, w, hmax, vmax, mcux, mcuy,
                 rgb_direct=rgb_direct, adobe=adobe_transform,
+                precision=dct_precision,
             )
+            if dct_precision > 8 and not deep:
+                # the image seam's uint8 projection: top 8 bits
+                img = (img >> (dct_precision - 8)).astype(np.uint8)
+            return img
         # other segments (APPn, COM) are skipped
     if prog is not None:  # progressive: reconstruct at EOI
         return _planes_from_raster(

@@ -260,6 +260,51 @@ def lossless_jpeg_store_df(
     return payload_store_df(refs, row, ref_col=ref_col, parallelism=parallelism)
 
 
+def deep_jpeg_payload_for_ref(ref: str, page=None) -> bytes:
+    """Render `ref` (or take `page`), lift it to deterministic 12-bit
+    content (`p12 = p8 << 4 | p8 >> 4`, the PNG-16 bit-replication
+    convention) and encode it as 12-bit EXTENDED SEQUENTIAL JPEG
+    (SOF1, the lossy DCT layout 12-bit DICOM transfer syntaxes use) —
+    quality and restart flavor crc32-chosen per ref. ONE
+    implementation, two call sites: deep_jpeg_store_df's worker rows
+    and the golden generator (tools/make_goldens._deepjpeg_feature_row)
+    both call this, so the driver-gate oracle never assumes the lossy
+    DCT is lossless — the jp2/JPEG-q100 golden contract."""
+    import zlib
+
+    from ..fixtures.render import render_page
+    from .jpeg import encode_jpeg_extended
+
+    if page is None:
+        page = render_page(ref)
+    p12 = (page.astype(np.uint16) << 4) | (page.astype(np.uint16) >> 4)
+    h = zlib.crc32(("deepjpeg:" + ref).encode("utf-8"))
+    return encode_jpeg_extended(
+        p12,
+        quality=(90, 95, 100)[h % 3],
+        restart_interval=(page.shape[1] // 8 + 1) if h & 8 else 0,
+    )
+
+
+def deep_jpeg_store_df(
+    refs: DataFrame, ref_col: str = "media_ref", parallelism: int | None = None
+) -> DataFrame:
+    """(media_ref) → (media_ref, payload) media store with REAL 12-bit
+    extended-sequential JPEG bytes (SOF1 — the DICOM DCT layout;
+    flavor per ref via ``deep_jpeg_payload_for_ref``). Features
+    through these bytes are checked against the deep-JPEG-specific
+    golden computed through the SAME codec twin
+    (media_features_deepjpeg.parquet), so the gate never assumes the
+    lossy 12-bit DCT is lossless. Decode is the same magic-byte
+    dispatch in ``_decode_payload`` (SOI → decode_jpeg, which
+    projects >8-bit DCT frames to their top 8 bits at the seam)."""
+
+    def row(ref: str) -> tuple:
+        return (ref, deep_jpeg_payload_for_ref(ref))
+
+    return payload_store_df(refs, row, ref_col=ref_col, parallelism=parallelism)
+
+
 def jp2_payload_for_ref(ref: str, page=None) -> bytes:
     """Render `ref` (or take `page`) and encode it as the crc32-chosen
     JPEG 2000 flavor: decomposition depth (1-3), container (JP2 box vs

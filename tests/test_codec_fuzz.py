@@ -57,6 +57,15 @@ def test_jp2_fuzz(page):
     )
 
 
+def test_deep_jpeg_fuzz(page):
+    import numpy as np
+
+    from oar_ocr_spark.functions.jpeg import decode_jpeg, encode_jpeg_extended
+
+    p12 = (np.asarray(page).astype(np.uint16) << 4) | (np.asarray(page) >> 4)
+    _fuzz([encode_jpeg_extended(p12, quality=95)], decode_jpeg)
+
+
 def test_jpeg_fuzz(page):
     from oar_ocr_spark.functions.jpeg import decode_jpeg, encode_jpeg
     from oar_ocr_spark.functions.jpeg_arith import encode_jpeg_arith_progressive

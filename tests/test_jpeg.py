@@ -959,3 +959,88 @@ class TestLossless:
         patched[j + 11] = 0x21  # comp 1 sampling 2x1
         with pytest.raises(NotImplementedError, match="subsampled"):
             decode_jpeg(bytes(patched))
+
+
+class TestExtendedSequential12Bit:
+    """12-bit extended sequential (SOF1) — the lossy DCT layout
+    12-bit DICOM transfer syntaxes use: 16-bit Pq=1 DQT (Annex-K
+    scaled x16), flat deterministic 12-bit Huffman tables (DC
+    categories to 15, AC sizes to 14), deep=True uint16 decode and
+    the top-8 seam projection."""
+
+    def _page12(self):
+        from oar_ocr_spark.fixtures.render import render_page
+
+        p8 = render_page("7_m2")
+        return ((p8.astype(np.uint16) << 4) | (p8 >> 4)), p8
+
+    def test_roundtrip_error_bounded_and_projection(self):
+        from oar_ocr_spark.functions.jpeg import decode_jpeg, encode_jpeg_extended
+
+        img, _ = self._page12()
+        prev_err = None
+        for q in (90, 95, 100):
+            code = encode_jpeg_extended(img, quality=q)
+            got = decode_jpeg(code, deep=True)
+            assert got.dtype == np.uint16 and got.shape == img.shape
+            err = int(np.abs(got.astype(int) - img.astype(int)).max())
+            assert err <= (256 if q < 100 else 32), (q, err)
+            if prev_err is not None:
+                assert err <= prev_err  # quality knob monotone
+            prev_err = err
+            # the seam's uint8 projection is exactly the top 8 bits
+            assert np.array_equal(decode_jpeg(code), (got >> 4).astype(np.uint8))
+            # SOF1 with precision 12 signalled
+            i = code.index(b"\xff\xc1")
+            assert code[i + 4] == 12
+
+    def test_deep_categories_and_restarts(self):
+        from oar_ocr_spark.functions.jpeg import decode_jpeg, encode_jpeg_extended
+
+        rng = np.random.RandomState(3)
+        x = rng.randint(0, 4096, (40, 56)).astype(np.uint16)  # worst case
+        code = encode_jpeg_extended(x, quality=100)
+        err = np.abs(decode_jpeg(code, deep=True).astype(int) - x.astype(int))
+        assert err.max() <= 32
+        img, _ = self._page12()
+        code = encode_jpeg_extended(img, quality=95, restart_interval=3)
+        assert b"\xff\xdd" in code
+        err = np.abs(decode_jpeg(code, deep=True).astype(int) - img.astype(int))
+        assert err.max() <= 256
+
+    def test_smooth_gradient_near_exact(self):
+        from oar_ocr_spark.functions.jpeg import decode_jpeg, encode_jpeg_extended
+
+        g = np.clip(
+            np.add.outer(np.arange(80), np.arange(100)) * 20, 0, 4095
+        ).astype(np.uint16)
+        err = np.abs(
+            decode_jpeg(encode_jpeg_extended(g, quality=100), deep=True).astype(int)
+            - g.astype(int)
+        )
+        assert err.max() <= 8
+
+    def test_guards(self):
+        from oar_ocr_spark.functions.jpeg import decode_jpeg, encode_jpeg_extended
+
+        with pytest.raises(ValueError, match="uint16"):
+            encode_jpeg_extended(np.zeros((8, 8), dtype=np.uint8))
+        with pytest.raises(ValueError, match="12-bit"):
+            encode_jpeg_extended(np.full((8, 8), 4096, dtype=np.uint16))
+        # 12-bit color / progressive stay declared out of scope: craft
+        # by patching the precision byte of real frames
+        from oar_ocr_spark.fixtures.render import render_page
+        from oar_ocr_spark.functions.jpeg import encode_jpeg, encode_jpeg_progressive
+
+        p8 = render_page("5_m1")
+        rgb = np.stack([p8] * 3, axis=-1)
+        code = bytearray(encode_jpeg(rgb))
+        i = code.index(b"\xff\xc0")
+        code[i + 4] = 12
+        with pytest.raises(NotImplementedError, match="color"):
+            decode_jpeg(bytes(code))
+        code = bytearray(encode_jpeg_progressive(p8))
+        i = code.index(b"\xff\xc2")
+        code[i + 4] = 12
+        with pytest.raises(NotImplementedError, match="progressive"):
+            decode_jpeg(bytes(code))

@@ -76,6 +76,7 @@ from __spark_entry__ import (  # noqa: E402
     FAX_MOD,
     FEATURES_MOD,
     JP2_MOD,
+    DEEPJPEG_MOD,
     JPEG_MOD,
     ROTWARP_MOD,
     STRUCT_MOD,
@@ -256,6 +257,34 @@ def _structure_page(ref: str) -> tuple[list[tuple], str, bool, bool]:
     return rows, markdown, p_start, p_end
 
 
+def _deepjpeg_feature_row(ref: str) -> tuple:
+    """Features through the 12-bit extended-sequential DCT byte path:
+    render → deep_jpeg_payload_for_ref (the SAME crc32-flavored
+    encoder the media store runs) → decode_jpeg (top-8 projection at
+    the seam) → the same feature function, so the oracle never
+    assumes the lossy 12-bit DCT is lossless (the twin of
+    multimodal.image_features_from_bytes_df over deep_jpeg_store_df)."""
+    import numpy as np
+
+    from oar_ocr_spark.fixtures.render import render_page
+    from oar_ocr_spark.functions.jpeg import decode_jpeg
+    from oar_ocr_spark.functions.multimodal import deep_jpeg_payload_for_ref
+    from oar_ocr_spark.local_ref import ExtractConfig, detect_page, preprocess_page
+
+    cfg = ExtractConfig()
+    img = decode_jpeg(deep_jpeg_payload_for_ref(ref, render_page(ref)))
+    upright, _ = preprocess_page(img, cfg)
+    boxes, _ = detect_page(upright, cfg)
+    return (
+        ref,
+        int(img.shape[1]),
+        int(img.shape[0]),
+        np.float32(img.mean()),
+        np.float32((img < 200).mean()),
+        int(len(boxes)),
+    )
+
+
 def _jp2_feature_row(ref: str) -> tuple:
     """Features through the JPEG 2000 byte path: render →
     jp2_payload_for_ref (the SAME crc32-flavored encoder the media
@@ -326,6 +355,7 @@ def main() -> int:
     feat_refs: set[str] = set()
     struct_refs: set[str] = set()
     jpeg_refs: set[str] = set()
+    deepjpeg_refs: set[str] = set()
     jp2_refs: set[str] = set()
     fax_refs: set[str] = set()
     audio_refs: set[str] = set()
@@ -357,6 +387,8 @@ def main() -> int:
                 struct_refs.add(ref)
             if did % JPEG_MOD == 0:
                 jpeg_refs.add(ref)
+            if did % DEEPJPEG_MOD == 0:
+                deepjpeg_refs.add(ref)
             if did % FAX_MOD == 0:
                 fax_refs.add(ref)
             if did % AUDIO_MOD == 0:
@@ -385,6 +417,7 @@ def main() -> int:
         feat_rows = pool.map(_feature_row, sorted(feat_refs), 32)
         struct_results = pool.map(_structure_page, sorted(struct_refs), 16)
         jpeg_rows = pool.map(_jpeg_feature_row, sorted(jpeg_refs), 32)
+        deepjpeg_rows = pool.map(_deepjpeg_feature_row, sorted(deepjpeg_refs), 32)
         jp2_rows = pool.map(_jp2_feature_row, sorted(jp2_refs), 4)
         fax_rows = pool.map(_fax_feature_row, sorted(fax_refs), 32)
         audio_rows = pool.map(_audio_feature_row, sorted(audio_refs), 32)
@@ -477,6 +510,23 @@ def main() -> int:
         "media_features_jpeg.parquet",
         pd.DataFrame(
             jpeg_rows,
+            columns=["media_ref", "width", "height", "mean_intensity", "ink_ratio", "n_regions"],
+        ),
+        pa.schema(
+            [
+                ("media_ref", pa.string()),
+                ("width", pa.int32()),
+                ("height", pa.int32()),
+                ("mean_intensity", pa.float32()),
+                ("ink_ratio", pa.float32()),
+                ("n_regions", pa.int32()),
+            ]
+        ),
+    )
+    write(
+        "media_features_deepjpeg.parquet",
+        pd.DataFrame(
+            deepjpeg_rows,
             columns=["media_ref", "width", "height", "mean_intensity", "ink_ratio", "n_regions"],
         ),
         pa.schema(
