@@ -1745,7 +1745,7 @@ def _encode_tile_layer_packets(
             orient = 0 if r == 0 else (1, 2, 3)[k]
             bh, bw_ = band.shape
             rows, cols = _cblk_grid(bh, bw_, cb)
-            eps, _, d = bandq[(r, k)]
+            eps, _, d = bandq[ci][(r, k)]
             mb = eps + _GUARD - 1
             if d is not None:
                 band = np.floor(np.abs(band) / d).astype(np.int64) * np.where(
@@ -1837,8 +1837,9 @@ def _encode_tile_packets(
 ) -> bytearray:
     """One tile's component planes (already level-shifted and
     color-transformed) → the tile's layer-0 packets in LRCP order:
-    per-component DWT, per-band quantization (when `bandq` carries a
-    step), Tier-1 block coding, Tier-2 packet headers. `sop`/`eph`
+    per-component DWT, per-band quantization (`bandq` is one quant
+    dict PER COMPONENT — QCC/per-tile overrides make them differ),
+    Tier-1 block coding, Tier-2 packet headers. `sop`/`eph`
     emit the COD-signalled resync markers (SOP numbered per tile from
     0, the OpenJPEG convention). `cb` is the (height, width)
     code-block size."""
@@ -1853,7 +1854,7 @@ def _encode_tile_packets(
         for k, (band, orient) in enumerate(zip(bands, orients)):
             bh, bw_ = band.shape
             rows, cols = _cblk_grid(bh, bw_, cb)
-            eps, _, d = bandq[(r, k)]
+            eps, _, d = bandq[ci][(r, k)]
             mb = eps + _GUARD - 1
             if d is not None:  # quantize to indices
                 band = np.floor(np.abs(band) / d).astype(np.int64) * np.where(
@@ -1907,6 +1908,8 @@ def encode_j2k(
     causal: bool = False,
     segsym: bool = False,
     cblk: int | tuple[int, int] = _CBLK,
+    chroma_delta: float | None = None,
+    tile_quant: dict | None = None,
 ) -> bytes:
     """(H,W) grey / (H,W,3) RGB, uint8 or uint16 → JPEG 2000
     codestream (SOC..EOC), EBCOT Tier-1/2. `tile_parts` > 1 splits
@@ -1962,7 +1965,19 @@ def encode_j2k(
     log2(h) + log2(w) <= 12 (the spec default 64x64; digital-cinema
     profiles mandate 32x32; rectangular blocks are the low-latency
     layout). Precincts must cover at least one block at every
-    resolution: 2^(precinct-1) >= both block sides."""
+    resolution: 2^(precinct-1) >= both block sides.
+
+    `chroma_delta` (irreversible RGB only) quantizes components 1-2
+    at its own step, signalled by main-header QCC marker segments
+    (A.6.5) — the coarser-chroma layout real colour encoders emit by
+    default. `tile_quant` maps tile index → per-tile quantization
+    override written into that tile's FIRST tile-part header: a float
+    writes a tile QCD at that step (taking precedence over the main
+    QCD *and* main QCC for every component of the tile, per the
+    A.6.4/A.6.5 precedence chain tile-QCC > tile-QCD > main-QCC >
+    main-QCD); an (L, C) tuple adds tile QCCs quantizing chroma at
+    step C — the region-of-interest layout geospatial encoders use to
+    spend bits where the detail is."""
     if signed:
         if img.dtype not in (np.int8, np.int16) or img.ndim not in (2, 3):
             raise ValueError(
@@ -1996,6 +2011,16 @@ def encode_j2k(
         raise ValueError("empty image")
     if tile_size is not None and tile_size < 16:
         raise ValueError(f"tile_size must be >= 16, got {tile_size}")
+    if chroma_delta is not None:
+        if not irreversible:
+            raise ValueError("chroma_delta applies to the irreversible path only")
+        if img.ndim != 3:
+            raise ValueError("chroma_delta needs 3 colour components")
+    if tile_quant:
+        if not irreversible:
+            raise ValueError("tile_quant applies to the irreversible path only")
+        if tile_size is None:
+            raise ValueError("tile_quant needs a tile grid (tile_size)")
     shifted = img.astype(np.float64 if irreversible else np.int64)
     if not signed:  # DC level shift (B.1.1) applies to unsigned data only
         shifted = shifted - (1 << (precision - 1))
@@ -2014,6 +2039,40 @@ def encode_j2k(
     ntx, nty = -(-w // xt), -(-h // yt)
 
     ncomp = len(comps)
+    sqcc_body = None
+    if chroma_delta is not None:
+        cq, sqcc_body = _band_quant(levels, True, chroma_delta, derived, precision)
+        main_q = [bandq, cq, cq]
+    else:
+        main_q = [bandq] * ncomp
+    tile_hdrs: dict = {}
+    tile_bandqs: dict = {}
+    if tile_quant:
+        for t, spec in sorted(tile_quant.items()):
+            if not 0 <= int(t) < ntx * nty:
+                raise ValueError(
+                    f"tile_quant index {t} outside the {ntx}x{nty} tile grid"
+                )
+            if isinstance(spec, tuple):
+                if ncomp != 3:
+                    raise ValueError(
+                        "per-tile chroma step needs 3 colour components"
+                    )
+                dl, dc = spec
+            else:
+                dl, dc = spec, None
+            tq, tqcd_body = _band_quant(levels, True, float(dl), derived, precision)
+            hdr = _marker_seg(0xFF5C, tqcd_body)
+            eff = [tq] * ncomp
+            if dc is not None:
+                tcq, tqcc_body = _band_quant(
+                    levels, True, float(dc), derived, precision
+                )
+                for ci in (1, 2):
+                    hdr += _marker_seg(0xFF5D, bytes([ci]) + tqcc_body)
+                eff[1] = eff[2] = tcq
+            tile_hdrs[int(t)] = hdr
+            tile_bandqs[int(t)] = eff
     out = bytearray(struct.pack(">H", _SOC))
     siz = struct.pack(
         ">HIIIIIIII H", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp
@@ -2066,25 +2125,31 @@ def encode_j2k(
         cod += bytes([precinct | (precinct << 4)]) * (levels + 1)
     out += _marker_seg(0xFF52, cod)
     out += _marker_seg(0xFF5C, sqcd)
+    if sqcc_body is not None:
+        for ci in (1, 2):
+            out += _marker_seg(0xFF5D, bytes([ci]) + sqcc_body)
     tile_payloads = []
     for t in range(ntx * nty):
         ty, tx = divmod(t, ntx)
         y0, x0 = ty * yt, tx * xt
         tile_comps = [c[y0 : min(y0 + yt, h), x0 : min(x0 + xt, w)] for c in comps]
+        tile_q = tile_bandqs.get(t, main_q)
         if layers > 1 or precinct is not None or style:
             packets, bounds = _encode_tile_layer_packets(
-                tile_comps, levels, bandq, fwd1d, layers, sop, eph,
+                tile_comps, levels, tile_q, fwd1d, layers, sop, eph,
                 progs[prog], precinct, style, cb,
             )
         else:
             packets, bounds = _encode_tile_packets(
-                tile_comps, levels, bandq, fwd1d, sop, eph, comp_major, cb
+                tile_comps, levels, tile_q, fwd1d, sop, eph, comp_major, cb
             )
         tile_payloads.append((packets, bounds))
     if tile_parts == 1:
         for t, (packets, _bounds) in enumerate(tile_payloads):
-            psot = 12 + 2 + len(packets)  # SOT seg + SOD marker + data
+            hdr = tile_hdrs.get(t, b"")
+            psot = 12 + len(hdr) + 2 + len(packets)  # SOT + overrides + SOD + data
             out += _marker_seg(0xFF90, struct.pack(">HIBB", t, psot, 0, 1))
+            out += hdr
             out += struct.pack(">H", 0xFF93)
             out += packets
     else:
@@ -2097,14 +2162,70 @@ def encode_j2k(
                 lo = bounds[(part * n) // tile_parts - 1] if (part * n) // tile_parts else 0
                 hi = bounds[((part + 1) * n) // tile_parts - 1] if ((part + 1) * n) // tile_parts else 0
                 chunk = packets[lo:hi]
-                psot = 12 + 2 + len(chunk)
+                hdr = tile_hdrs.get(t, b"") if part == 0 else b""
+                psot = 12 + len(hdr) + 2 + len(chunk)
                 out += _marker_seg(
                     0xFF90, struct.pack(">HIBB", t, psot, part, tile_parts)
                 )
+                out += hdr
                 out += struct.pack(">H", 0xFF93)
                 out += chunk
     out += struct.pack(">H", 0xFFD9)
     return bytes(out)
+
+
+def _parse_quant(body: bytes, irreversible: bool, levels: int, precision: int) -> dict:
+    """QCD/QCC marker-segment body (Sq + SPq, A.6.4/A.6.5) →
+    {(r, k): (Mb, Δ or None)} per Annex E. Style 0 (no quantization)
+    is only legal on the reversible 5/3 path and styles 1/2 (scalar
+    derived/expounded) only on the irreversible 9/7 path — the
+    transform is signalled globally in COD, so a mismatched style is
+    a stream inconsistency, not a supported layout."""
+    qstyle = body[0] & 0x1F
+    guard = body[0] >> 5
+    if not irreversible and qstyle != 0:
+        raise ValueError("reversible 5/3 stream signals a quantized QCD style")
+    if irreversible and qstyle not in (1, 2):
+        raise ValueError("irreversible 9/7 stream without quantization parameters")
+    q = {}
+    if qstyle == 0:
+        exps = [b >> 3 for b in body[1:]]
+        bi = 0
+        for r in range(levels + 1):
+            for k in range(1 if r == 0 else 3):
+                if bi >= len(exps):
+                    raise ValueError("quantization marker body truncated")
+                q[(r, k)] = (exps[bi] + guard - 1, None)
+                bi += 1
+    elif qstyle == 1:  # scalar derived: LL pair, steps double per resolution
+        if len(body) < 3:
+            raise ValueError("quantization marker body truncated")
+        (v0,) = struct.unpack(">H", body[1:3])
+        eps0, mu0 = v0 >> 11, v0 & 0x7FF
+        for r in range(levels + 1):
+            for k, orient in enumerate([0] if r == 0 else [1, 2, 3]):
+                nb = levels if r == 0 else levels - r + 1
+                eps = eps0 - levels + nb
+                if eps < 0:
+                    raise ValueError(f"derived quantization leaves eps={eps} < 0")
+                q[(r, k)] = (
+                    eps + guard - 1,
+                    _qdelta(eps, mu0, precision + _GAIN[orient]),
+                )
+    else:  # scalar expounded: one (eps, mu) pair per band
+        bi = 1
+        for r in range(levels + 1):
+            for k, orient in enumerate([0] if r == 0 else [1, 2, 3]):
+                if bi + 2 > len(body):
+                    raise ValueError("quantization marker body truncated")
+                (v,) = struct.unpack(">H", body[bi : bi + 2])
+                bi += 2
+                eps, mu = v >> 11, v & 0x7FF
+                q[(r, k)] = (
+                    eps + guard - 1,
+                    _qdelta(eps, mu, precision + _GAIN[orient]),
+                )
+    return q
 
 
 @loud_decode("JPEG 2000")
@@ -2122,15 +2243,19 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
     2^(P-1), then top 8 bits for P>8, left-aligned for P<8 (the same
     convention as decode_jpeg's SOF3 path). Fails loudly
     (NotImplementedError) on the declared out-of-scope features:
-    per-tile coding overrides, offset grids, predictable-termination
-    style, styled multi-layer streams, subsampled or mixed-sign
-    components. All five progression orders, multi-layer, precinct
-    partitions, the SOP/EPH resync layouts and the bypass/termall/
-    reset/causal/segsym code-block styles decode."""
+    per-tile/component CODING overrides (COD/COC/POC), offset grids,
+    predictable-termination style, styled multi-layer streams,
+    subsampled or mixed-sign components. All five progression orders,
+    multi-layer, precinct partitions, the SOP/EPH resync layouts, the
+    bypass/termall/reset/causal/segsym code-block styles, and
+    QUANTIZATION overrides — main-header QCC and per-tile QCD/QCC,
+    honoring the A.6.4/A.6.5 precedence chain tile-QCC > tile-QCD >
+    main-QCC > main-QCD — decode."""
     if data[:2] != struct.pack(">H", _SOC):
         raise ValueError("not a JPEG 2000 codestream (missing SOC)")
     pos = 2
     siz = cod = qcd = None
+    qcc_main: dict = {}  # component index → QCC body (Sqcc + SPqcc)
     first_sot = None
     while pos + 4 <= len(data):
         (marker,) = struct.unpack(">H", data[pos : pos + 2])
@@ -2148,13 +2273,19 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
             cod = body
         elif marker == 0xFF5C:
             qcd = body
-        elif marker in (0xFF53, 0xFF5D, 0xFF5F, 0xFF60):
+        elif marker == 0xFF5D:
+            # QCC (A.6.5): per-component quantization override. Csiz
+            # is capped at 3 here, so Cqcc is always one byte.
+            if len(body) < 2:
+                raise ValueError("JPEG 2000 QCC marker body truncated")
+            qcc_main[body[0]] = body[1:]
+        elif marker in (0xFF53, 0xFF5F, 0xFF60):
             # silently skipping these would decode WRONG rather than
-            # fail: COC/QCC override coding/quantization per component,
+            # fail: COC overrides coding parameters per component,
             # POC changes the progression mid-stream, PPM moves the
             # packet headers out of the bitstream
             raise NotImplementedError(
-                "JPEG 2000 COC/QCC/POC/PPM main-header overrides not supported"
+                "JPEG 2000 COC/POC/PPM main-header overrides not supported"
             )
         # other main-header segments (COM/TLM/PLM/CRG) are advisory
         # and skipped
@@ -2242,47 +2373,20 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
                 "resolutions and covering the code-block grid"
             )
         pp = ppx
-    qstyle = qcd[0] & 0x1F
-    guard = qcd[0] >> 5
-    if not irreversible and qstyle != 0:
-        raise ValueError("reversible 5/3 stream signals a quantized QCD style")
-    if irreversible and qstyle not in (1, 2):
-        raise ValueError("irreversible 9/7 stream without quantization parameters")
-
-    layout = _band_layout(h, w, levels)
-    # per-band (Mb, Δ or None) from the QCD style (Annex E)
-    band_q = {}
-    if qstyle == 0:
-        exps = [b >> 3 for b in qcd[1:]]
-        bi = 0
-        for r in range(levels + 1):
-            for k, (orient, _, _) in enumerate(layout[r]):
-                band_q[(r, k)] = (exps[bi] + guard - 1, None)
-                bi += 1
-    elif qstyle == 1:  # scalar derived: LL pair, steps double per resolution
-        (v0,) = struct.unpack(">H", qcd[1:3])
-        eps0, mu0 = v0 >> 11, v0 & 0x7FF
-        for r in range(levels + 1):
-            for k, (orient, _, _) in enumerate(layout[r]):
-                nb = levels if r == 0 else levels - r + 1
-                eps = eps0 - levels + nb
-                if eps < 0:
-                    raise ValueError(f"derived quantization leaves eps={eps} < 0")
-                band_q[(r, k)] = (
-                    eps + guard - 1,
-                    _qdelta(eps, mu0, precision + _GAIN[orient]),
-                )
-    else:  # scalar expounded: one pair per band
-        bi = 1
-        for r in range(levels + 1):
-            for k, (orient, _, _) in enumerate(layout[r]):
-                (v,) = struct.unpack(">H", qcd[bi : bi + 2])
-                bi += 2
-                eps, mu = v >> 11, v & 0x7FF
-                band_q[(r, k)] = (
-                    eps + guard - 1,
-                    _qdelta(eps, mu, precision + _GAIN[orient]),
-                )
+    # per-component {(r, k): (Mb, Δ or None)}: QCD for every component,
+    # overridden where a main-header QCC names one (A.6.5 precedence)
+    q_main = _parse_quant(qcd, irreversible, levels, precision)
+    for ci in qcc_main:
+        if ci >= ncomp:
+            raise ValueError(
+                f"JPEG 2000 QCC names component {ci} of {ncomp}"
+            )
+    band_q = [
+        _parse_quant(qcc_main[ci], irreversible, levels, precision)
+        if ci in qcc_main
+        else q_main
+        for ci in range(ncomp)
+    ]
 
     inv1d = _inv_97_1d if irreversible else None
     planes = [
@@ -2352,7 +2456,7 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
         return {
             "pos": (ty_, tx_), "dims": (th, tw), "layout": layout_t,
             "states": states, "grids": grids_by, "keys": keys,
-            "cursor": 0, "parts": 0,
+            "cursor": 0, "parts": 0, "band_q": band_q,
         }
 
     pos = first_sot
@@ -2371,23 +2475,57 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
         pos += 2 + ln
         if isot >= ntx * nty:
             raise ValueError(f"tile index {isot} outside the {ntx}x{nty} grid")
+        tqcd = None
+        tqcc: dict = {}
         while True:  # tile-part header: markers until SOD
             (m2,) = struct.unpack(">H", data[pos : pos + 2])
             if m2 == 0xFF93:
                 pos += 2
                 break
-            if m2 in (0xFF52, 0xFF53, 0xFF5C, 0xFF5D, 0xFF5F, 0xFF61):
-                # per-tile COD/COC/QCD/QCC/POC overrides and PPT packed
-                # packet headers would silently misparse the packets
+            if m2 in (0xFF52, 0xFF53, 0xFF5F, 0xFF61):
+                # per-tile COD/COC/POC overrides and PPT packed packet
+                # headers would silently misparse the packets
                 raise NotImplementedError(
-                    "JPEG 2000 per-tile coding/quantization/progression "
-                    "overrides not supported"
+                    "JPEG 2000 per-tile coding/progression overrides "
+                    "not supported"
                 )
             (l2,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            if m2 == 0xFF5C:  # tile QCD (A.6.4)
+                tqcd = data[pos + 4 : pos + 2 + l2]
+            elif m2 == 0xFF5D:  # tile QCC
+                body2 = data[pos + 4 : pos + 2 + l2]
+                if len(body2) < 2:
+                    raise ValueError("JPEG 2000 QCC marker body truncated")
+                tqcc[body2[0]] = body2[1:]
             pos += 2 + l2
+        if (tqcd is not None or tqcc) and tpsot != 0:
+            # A.6.4/A.6.5: quantization overrides are first-part-only
+            raise ValueError(
+                f"tile {isot} signals quantization overrides in part {tpsot}"
+            )
         t = tiles.get(isot)
         if t is None:
             t = tiles[isot] = new_tile(isot)
+        if tqcd is not None or tqcc:
+            # precedence (A.6.4/A.6.5): tile QCC > tile QCD > main
+            # QCC > main QCD — a tile QCD covers even components the
+            # MAIN header names in a QCC
+            for ci in tqcc:
+                if ci >= ncomp:
+                    raise ValueError(
+                        f"JPEG 2000 tile QCC names component {ci} of {ncomp}"
+                    )
+            q_tile = (
+                _parse_quant(tqcd, irreversible, levels, precision)
+                if tqcd is not None
+                else None
+            )
+            t["band_q"] = [
+                _parse_quant(tqcc[ci], irreversible, levels, precision)
+                if ci in tqcc
+                else (q_tile if q_tile is not None else band_q[ci])
+                for ci in range(ncomp)
+            ]
         if tpsot != t["parts"]:
             raise ValueError(
                 f"tile {isot} part {tpsot} arrived, expected part {t['parts']}"
@@ -2428,7 +2566,7 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
             for k, ((orient, bh, bw_), bb) in enumerate(
                 zip(layout_t[r], t["grids"][(r, ci)])
             ):
-                mb, d = band_q[(r, k)]
+                mb, d = t["band_q"][ci][(r, k)]
                 band = np.zeros(
                     (bh, bw_), dtype=np.float64 if irreversible else np.int64
                 )
@@ -2525,6 +2663,8 @@ def encode_jp2(
     causal: bool = False,
     segsym: bool = False,
     cblk: int | tuple[int, int] = _CBLK,
+    chroma_delta: float | None = None,
+    tile_quant: dict | None = None,
 ) -> bytes:
     """uint8/uint16 (or int8/int16 with signed=True) image → minimal
     JP2 file (signature / ftyp / jp2h / jp2c boxes around the
@@ -2533,6 +2673,7 @@ def encode_jp2(
         img, levels, irreversible, delta, derived, tile_size, precision, sop, eph,
         prog, layers, precinct, signed=signed, bypass=bypass, reset=reset,
         termall=termall, causal=causal, segsym=segsym, cblk=cblk,
+        chroma_delta=chroma_delta, tile_quant=tile_quant,
     )
     if precision is None:
         precision = 8 if img.dtype.itemsize == 1 else 16

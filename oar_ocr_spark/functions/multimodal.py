@@ -312,7 +312,8 @@ def jp2_payload_for_ref(ref: str, page=None) -> bytes:
     the layout big archival scans ship in), and transform — half the
     refs take the LOSSLESS 5/3 archival path, half the IRREVERSIBLE
     9/7 path real scanners emit (expounded or derived quantization,
-    step 0.5 or 0.25). ONE implementation, two call sites:
+    step 0.5 or 0.25; half the TILED 9/7 refs add a per-tile QCD
+    quantization override — the A.6.4 first-part-only segment). ONE implementation, two call sites:
     jp2_store_df's worker rows and the golden generator
     (tools/make_goldens._jp2_feature_row) both call this, so the
     driver-gate oracle never assumes the lossy flavors are lossless —
@@ -353,6 +354,11 @@ def jp2_payload_for_ref(ref: str, page=None) -> bytes:
     # layout for a quarter each (all compose with every flavor above)
     resync["cblk"] = (64, 64, 32, (32, 64))[(h >> 23) & 3]
     if h & 8:
+        if ts and (h >> 25) & 1:
+            # per-tile QCD override (A.6.4 precedence, first-part-only
+            # segment): tile 0 quantized coarser than the main QCD —
+            # the region-of-interest layout geospatial encoders emit
+            resync["tile_quant"] = {0: 1.0}
         return enc(
             page,
             levels=1 + h % 3,

@@ -577,8 +577,9 @@ class TestResyncMarkers:
 
 class TestSilentMisparseGuards:
     """Markers whose silent skip would decode WRONG must fail loudly:
-    COC/QCC/POC/PPM in the main header, COD/COC/QCD/QCC/POC/PPT in a
-    tile-part header."""
+    COC/POC/PPM in the main header, COD/COC/POC/PPT in a tile-part
+    header (QCD/QCC quantization overrides DECODE —
+    TestQuantizationOverrides)."""
 
     def _with_main_marker(self, marker):
         code = bytearray(encode_j2k(render_page("40_m0")))
@@ -588,9 +589,18 @@ class TestSilentMisparseGuards:
         )
 
     def test_main_header_overrides_raise(self):
-        for marker in (0xFF53, 0xFF5D, 0xFF5F, 0xFF60):
+        for marker in (0xFF53, 0xFF5F, 0xFF60):
             with pytest.raises(NotImplementedError, match="not supported"):
                 decode_j2k(self._with_main_marker(marker))
+
+    def test_quantized_qcc_in_reversible_stream_raises(self):
+        # a QCC is parsed now, so a style-1 body contradicting the
+        # reversible COD transform must still fail loudly
+        code = bytearray(encode_j2k(render_page("40_m0")))
+        i = code.index(struct.pack(">H", 0xFF5C))
+        qcc = struct.pack(">HH", 0xFF5D, 6) + bytes([0, 0x61]) + b"\x10\x00"
+        with pytest.raises(ValueError, match="quantized QCD style"):
+            decode_j2k(bytes(code[:i]) + qcc + bytes(code[i:]))
 
     def test_tile_header_overrides_raise(self):
         code = bytearray(encode_j2k(render_page("40_m0")))
@@ -1068,3 +1078,115 @@ class TestPositionalPrecincts:
         assert len({len(s) for s in streams.values()}) > 1 or len(
             set(streams.values())
         ) == 5
+
+
+class TestQuantizationOverrides:
+    """Main-header QCC and per-tile QCD/QCC (A.6.4/A.6.5): the
+    coarser-chroma layout real colour encoders emit and the
+    region-of-interest per-tile override geospatial encoders use,
+    honoring the precedence chain tile-QCC > tile-QCD > main-QCC >
+    main-QCD."""
+
+    def _rgb(self):
+        img = render_page("12_m0")
+        return np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], axis=-1)
+
+    def test_chroma_qcc_roundtrip_and_signalling(self):
+        rgb = self._rgb()
+        code = encode_j2k(rgb, irreversible=True, chroma_delta=2.0)
+        # one QCC marker segment per chroma component
+        assert code.count(struct.pack(">H", 0xFF5D)) == 2
+        err = np.abs(decode_j2k(code).astype(int) - rgb.astype(int))
+        assert err.max() <= 16  # coarse chroma step through the ICT
+        # a finer chroma step must not decode worse
+        fine = decode_j2k(encode_j2k(rgb, irreversible=True, chroma_delta=0.25))
+        assert np.abs(fine.astype(int) - rgb.astype(int)).max() <= err.max()
+
+    def test_qcc_composes_with_derived_layers_and_container(self):
+        rgb = self._rgb()
+        code = encode_jp2(
+            rgb, irreversible=True, derived=True, chroma_delta=1.0,
+            layers=3, prog="cprl",
+        )
+        err = np.abs(decode_jp2(code).astype(int) - rgb.astype(int))
+        assert err.max() <= 16
+
+    def test_tile_qcd_override(self):
+        img = np.tile(render_page("7_m2"), (2, 2))
+        base = encode_j2k(img, irreversible=True, tile_size=160)
+        code = encode_j2k(
+            img, irreversible=True, tile_size=160, tile_quant={0: 2.0, 3: 0.125}
+        )
+        assert code != base
+        # main QCD + two tile QCDs, each in its tile's first part
+        assert code.count(struct.pack(">H", 0xFF5C)) == 3
+        err = np.abs(decode_j2k(code).astype(int) - img.astype(int))
+        assert err.max() <= 8
+
+    def test_tile_qcd_takes_precedence_over_main_qcc(self):
+        # A.6.4/A.6.5: a tile QCD covers every component of its tile,
+        # even ones the MAIN header names in a QCC — so spelling the
+        # chroma step out in tile QCCs must decode identically
+        rgb = self._rgb()
+        a = encode_j2k(
+            rgb, irreversible=True, tile_size=96, chroma_delta=4.0,
+            tile_quant={0: 0.125},
+        )
+        b = encode_j2k(
+            rgb, irreversible=True, tile_size=96, chroma_delta=4.0,
+            tile_quant={0: (0.125, 0.125)},
+        )
+        assert a != b  # b carries two extra tile QCC segments
+        assert np.array_equal(decode_j2k(a), decode_j2k(b))
+
+    def test_tile_qcc_tuple(self):
+        rgb = self._rgb()
+        code = encode_j2k(
+            rgb, irreversible=True, tile_size=96, tile_quant={0: (1.0, 4.0)}
+        )
+        assert code.count(struct.pack(">H", 0xFF5D)) == 2  # tile QCCs only
+        err = np.abs(decode_j2k(code).astype(int) - rgb.astype(int))
+        assert err.max() <= 24
+
+    def test_composes_with_styles_precincts_and_tile_parts(self):
+        img = np.tile(render_page("7_m2"), (2, 2))
+        code = encode_j2k(
+            img, irreversible=True, tile_size=160, precinct=7,
+            bypass=True, termall=True, tile_parts=2, tile_quant={1: 1.0},
+        )
+        err = np.abs(decode_j2k(code).astype(int) - img.astype(int))
+        assert err.max() <= 8
+        code = encode_j2k(
+            img, irreversible=True, tile_size=160, layers=3, prog="rpcl",
+            precinct=7, tile_quant={0: 1.0, 2: (2.0 ** -2)},
+        )
+        err = np.abs(decode_j2k(code).astype(int) - img.astype(int))
+        assert err.max() <= 8
+
+    def test_guards(self):
+        img = render_page("7_m2")
+        rgb = self._rgb()
+        with pytest.raises(ValueError, match="irreversible path"):
+            encode_j2k(rgb, chroma_delta=2.0)
+        with pytest.raises(ValueError, match="3 colour components"):
+            encode_j2k(img, irreversible=True, chroma_delta=2.0)
+        with pytest.raises(ValueError, match="irreversible path"):
+            encode_j2k(img, tile_size=96, tile_quant={0: 1.0})
+        with pytest.raises(ValueError, match="tile grid"):
+            encode_j2k(img, irreversible=True, tile_quant={0: 1.0})
+        with pytest.raises(ValueError, match="outside"):
+            encode_j2k(
+                img, irreversible=True, tile_size=96, tile_quant={99: 1.0}
+            )
+        with pytest.raises(ValueError, match="3 colour components"):
+            encode_j2k(
+                img, irreversible=True, tile_size=96, tile_quant={0: (1.0, 2.0)}
+            )
+
+    def test_decode_rejects_qcc_for_missing_component(self):
+        rgb = self._rgb()
+        code = bytearray(encode_j2k(rgb, irreversible=True, chroma_delta=2.0))
+        i = code.index(struct.pack(">H", 0xFF5D))
+        code[i + 4] = 7  # Cqcc names component 7 of 3
+        with pytest.raises(ValueError, match="names component"):
+            decode_j2k(bytes(code))
