@@ -73,7 +73,9 @@ Samples may be unsigned or SIGNED (Ssiz sign bit, A.5.1: the DC level
 shift is skipped both ways — signed-pixel medical layouts).
 
 CODE-BLOCK STYLES (Table A.23) encode and decode, composed freely
-with each other and with every layout above (single quality layer):
+with each other and with every layout above, including MULTI-LAYER
+streams (styled codeword segments split across layer contributions,
+one length field per segment portion, B.10.7.5):
 selective MQ BYPASS (D.6: raw bit-stuffed SPP/MRP segments from pass
 10, the speed mode hardware encoders default to, with per-segment
 lengths in the packet headers per B.10.7.5), per-pass TERMINATION,
@@ -83,8 +85,8 @@ verifies the 1010 and fails loudly on corruption).
 
 Scope (declared): grey or RGB. Per-tile coding overrides, offset
 grids, non-uniform or rectangular precincts, predictable-termination
-style, styled multi-layer streams, and mixed-depth or mixed-sign
-components raise NotImplementedError.
+style, and mixed-depth or mixed-sign components raise
+NotImplementedError.
 Encoder and decoder share every table; the 5/3 path is exercised as
 exact-roundtrip twins, the 9/7 path as error-bounded twins (test_jp2),
 like the engine's other codec seams.
@@ -674,16 +676,43 @@ def _terminate_after(k: int, style: int) -> bool:
     return False
 
 
-def _seg_partition(npasses: int, style: int) -> list[int]:
-    """Passes per codeword segment for a block coded with `style`
-    (single quality layer: contributions always start at pass 0)."""
+def _seg_partition(npasses: int, style: int, start: int = 0) -> list[int]:
+    """Passes per length field (B.10.7.5) for a layer contribution of
+    `npasses` passes starting at absolute pass `start` in a block
+    coded with `style`. Pieces end at every termination boundary
+    inside the contribution; a trailing piece that does NOT end at a
+    termination is the leading portion of a codeword segment that
+    continues into a later layer's contribution (its remaining bytes
+    arrive there, each portion with its own length field)."""
     segs = []
     cur = 0
-    for k in range(npasses):
+    for k in range(start, start + npasses):
         cur += 1
-        if k == npasses - 1 or _terminate_after(k, style):
+        if k == start + npasses - 1 or _terminate_after(k, style):
             segs.append(cur)
             cur = 0
+    return segs
+
+
+def _merge_seg_pieces(chunks: list, seg_passes: list, style: int) -> list:
+    """Per-layer contribution pieces (parallel `chunks` bytes and
+    `seg_passes` pass counts, accumulated across packets in layer
+    order) → the block's full codeword segments [(bytes, passes)]:
+    consecutive pieces up to each termination boundary belong to one
+    segment and concatenate (MQ/raw coder state spans them)."""
+    segs = []
+    buf: list = []
+    bufp = 0
+    k = 0
+    for c, p in zip(chunks, seg_passes):
+        buf.append(c)
+        bufp += p
+        k += p
+        if _terminate_after(k - 1, style):
+            segs.append((b"".join(buf), bufp))
+            buf, bufp = [], 0
+    if buf:
+        segs.append((b"".join(buf), bufp))
     return segs
 
 
@@ -1424,7 +1453,7 @@ def _read_layer_packet(
                 while br.read():
                     extra += 1
                 blk["lblock"] += extra
-                for sp in _seg_partition(npasses, style):
+                for sp in _seg_partition(npasses, style, blk["npasses"]):
                     ln = br.read_bits(blk["lblock"] + sp.bit_length() - 1)
                     lengths.append((blk, ln, sp))
                 blk["npasses"] += npasses
@@ -1698,6 +1727,47 @@ def _layer_contrib(data: bytes, npasses: int, layers: int, first: int) -> list:
     return out
 
 
+def _layer_contrib_styled(
+    segs: list, npasses: int, layers: int, first: int, style: int
+) -> list:
+    """Styled twin of _layer_contrib: split one block's codeword
+    segments [(bytes, passes)] across quality layers. Pass counts
+    distribute earliest-heavy like the style-0 path; each layer's
+    contribution is then cut into length-field pieces by
+    _seg_partition at the layer's absolute start pass — a piece
+    ending at a termination closes its segment, a trailing piece
+    carries the leading bytes of a segment that continues into the
+    next layer (the byte cut inside a segment is proportional to
+    passes; any cut decodes, since segment portions concatenate
+    before MQ/raw decoding)."""
+    nslots = layers - first
+    base, rem = divmod(npasses, nslots)
+    counts = [0] * first + [base + (1 if k < rem else 0) for k in range(nslots)]
+    out = []
+    k0 = 0
+    si = 0  # current segment index
+    soff = 0  # bytes of it already shipped
+    sk = 0  # passes of it already shipped
+    for c in counts:
+        pieces = []
+        for sp in _seg_partition(c, style, k0) if c else []:
+            data, ptot = segs[si]
+            if sk + sp < ptot:  # partial: segment continues next layer
+                nxt = round(len(data) * (sk + sp) / ptot)
+                pieces.append((data[soff:nxt], sp))
+                soff, sk = nxt, sk + sp
+            else:  # piece closes the segment at its termination
+                if sk + sp != ptot:
+                    raise ValueError(
+                        "layer boundary crosses a codeword segment boundary"
+                    )
+                pieces.append((data[soff:], sp))
+                si, soff, sk = si + 1, 0, 0
+        k0 += c
+        out.append((c, pieces))
+    return out
+
+
 def _encode_tile_layer_packets(
     comps: list,
     levels: int,
@@ -1721,10 +1791,9 @@ def _encode_tile_layer_packets(
     precinct size exponent (square; 2^(pp-1) >= both block sides so
     precinct boundaries align with the block grid); None = one
     precinct per resolution. `cb` is the (height, width) block size.
-    `style` routes blocks through the styled Tier-1 coder (single
-    layer only — enforced by encode_j2k)."""
-    if style and layers > 1:
-        raise ValueError("code-block styles compose with single-layer streams only")
+    `style` routes blocks through the styled Tier-1 coder; with
+    multiple layers its codeword segments split across layers via
+    _layer_contrib_styled."""
     th, tw = comps[0].shape
     comp_bands = [_fwd_dwt(c, levels, fwd1d) for c in comps]
     states = {}
@@ -1770,15 +1839,16 @@ def _encode_tile_layer_packets(
                     if nbps > mb:
                         raise ValueError(f"coefficient needs {nbps} bits > Mb={mb}")
                     signs = (blk < 0).astype(np.uint8)
+                    first = (mb - nbps) % layers
                     if style:
                         segs, npasses = _t1_encode_block_styled(
                             mags, signs, orient, nbps, style
                         )
-                        first = 0
-                        contrib = [(npasses, segs)]
+                        contrib = _layer_contrib_styled(
+                            segs, npasses, layers, first, style
+                        )
                     else:
                         data, npasses = _t1_encode_block(mags, signs, orient, nbps)
-                        first = (mb - nbps) % layers
                         contrib = _layer_contrib(data, npasses, layers, first)
                     blocks.append(
                         {"first": first, "zbp": mb - nbps, "lblock": 3,
@@ -1956,9 +2026,9 @@ def encode_j2k(
     to), context reset on every pass, a codeword-segment termination
     per pass, vertically-causal context formation, and segmentation
     symbols after each cleanup (error detection). They compose with
-    each other and with tiles/precincts/progressions/tile-parts, but
-    with a SINGLE quality layer only (styled segments spanning layer
-    boundaries are out of scope).
+    each other and with tiles/precincts/progressions/tile-parts and
+    with multiple quality layers (styled codeword segments split
+    across layer contributions, one length field per portion).
 
     `cblk` is the code-block size — a side or an (h, w) pair, each a
     power of two in 4..1024 with the A.6.1 area bound
@@ -2110,8 +2180,6 @@ def encode_j2k(
         | (_ST_CAUSAL if causal else 0)
         | (_ST_SEGSYM if segsym else 0)
     )
-    if style and layers > 1:
-        raise ValueError("code-block styles compose with single-layer streams only")
     comp_major = progs[prog] >= 3
     scod = (
         (1 if precinct is not None else 0) | (2 if sop else 0) | (4 if eph else 0)
@@ -2244,9 +2312,11 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
     convention as decode_jpeg's SOF3 path). Fails loudly
     (NotImplementedError) on the declared out-of-scope features:
     per-tile/component CODING overrides (COD/COC/POC), offset grids,
-    predictable-termination style, styled multi-layer streams,
-    subsampled or mixed-sign components. All five progression orders,
-    multi-layer, precinct partitions, the SOP/EPH resync layouts, the
+    predictable-termination style, subsampled or mixed-sign
+    components. All five progression orders, multi-layer (including
+    STYLED multi-layer: segment portions split across layer
+    contributions reassemble before Tier-1 decode), precinct
+    partitions, the SOP/EPH resync layouts, the
     bypass/termall/reset/causal/segsym code-block styles, and
     QUANTIZATION overrides — main-header QCC and per-tile QCD/QCC,
     honoring the A.6.4/A.6.5 precedence chain tile-QCC > tile-QCD >
@@ -2342,11 +2412,6 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
         raise NotImplementedError(
             f"JPEG 2000 code-block style {cbstyle:#04x} not supported "
             "(predictable termination / reserved bits)"
-        )
-    if cbstyle and layers > 1:
-        raise NotImplementedError(
-            "JPEG 2000 code-block styles with multiple quality layers "
-            "not supported"
         )
     style = cbstyle
     if transform not in (0, 1):
@@ -2583,7 +2648,9 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
                             mags, signs = _t1_decode_block(
                                 None, bh_b, bw_b, orient,
                                 mb - blk["zbp"], blk["npasses"], style,
-                                list(zip(blk["chunks"], blk["seg_passes"])),
+                                _merge_seg_pieces(
+                                    blk["chunks"], blk["seg_passes"], style
+                                ),
                             )
                         else:
                             mags, signs = _t1_decode_block(

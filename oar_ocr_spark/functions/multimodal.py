@@ -341,9 +341,9 @@ def jp2_payload_for_ref(ref: str, page=None) -> bytes:
     if (h >> 17) & 1:
         # CODE-BLOCK STYLES (Table A.23): half the refs carry a styled
         # stream — selective MQ bypass, per-pass termination, context
-        # reset, vertical causality, segmentation symbols — which
-        # compose with a single quality layer only
-        resync["layers"] = 1
+        # reset, vertical causality, segmentation symbols — composed
+        # with whatever layer count the ref already drew (styled
+        # multi-layer: segment portions split across contributions)
         resync["bypass"] = bool(h & (1 << 18))
         resync["termall"] = bool(h & (1 << 19))
         resync["causal"] = bool(h & (1 << 20))

@@ -971,10 +971,8 @@ class TestCodeBlockStyles:
 
     def test_guards(self):
         img = render_page("40_m0")
-        with pytest.raises(ValueError, match="single-layer"):
-            encode_j2k(img, layers=2, bypass=True)
         # predictable termination (0x10) and reserved bits stay out of
-        # scope; styled multi-layer streams too
+        # scope
         code = bytearray(encode_j2k(img, bypass=True))
         i = code.index(struct.pack(">H", 0xFF52))
         bad = bytearray(code)
@@ -985,11 +983,6 @@ class TestCodeBlockStyles:
         bad[i + 12] = 0x40
         with pytest.raises(NotImplementedError, match="style"):
             decode_j2k(bytes(bad))
-        ml = bytearray(encode_j2k(img, layers=2))
-        i = ml.index(struct.pack(">H", 0xFF52))
-        ml[i + 12] = 0x01  # claim bypass on a 2-layer stream
-        with pytest.raises(NotImplementedError, match="layers"):
-            decode_j2k(bytes(ml))
 
 
 class TestCodeBlockSizes:
@@ -1190,3 +1183,106 @@ class TestQuantizationOverrides:
         code[i + 4] = 7  # Cqcc names component 7 of 3
         with pytest.raises(ValueError, match="names component"):
             decode_j2k(bytes(code))
+
+
+class TestStyledMultiLayer:
+    """Code-block styles composed with multiple quality layers: a
+    styled block's codeword segments split across layer contributions
+    (one length field per segment portion, B.10.7.5) and the decoder
+    reassembles the portions before Tier-1 decoding."""
+
+    def _rgb(self):
+        img = render_page("12_m0")
+        return np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], axis=-1)
+
+    def test_each_style_roundtrips_across_layer_counts(self):
+        img = render_page("7_m2")
+        for kw in (
+            {"bypass": True}, {"termall": True}, {"reset": True},
+            {"causal": True}, {"segsym": True},
+        ):
+            for layers in (2, 4, 7):
+                code = encode_j2k(img, layers=layers, **kw)
+                assert np.array_equal(decode_j2k(code), img), (kw, layers)
+                # COD signals both the layer count and the style bit
+                i = code.index(struct.pack(">H", 0xFF52))
+                assert struct.unpack(">H", code[i + 6 : i + 8])[0] == layers
+                assert code[i + 12] != 0, kw
+
+    def test_all_styles_all_layers(self):
+        img = render_page("12_m0")
+        code = encode_j2k(
+            img, layers=5, bypass=True, reset=True, termall=True,
+            causal=True, segsym=True,
+        )
+        assert np.array_equal(decode_j2k(code), img)
+
+    def test_bypass_segments_span_layer_boundaries(self):
+        # a deep random block guarantees raw segments long enough that
+        # the 6-layer split cuts INSIDE a segment — the continuation
+        # pieces must reassemble bit-exactly
+        rng = np.random.RandomState(10)
+        x = rng.randint(0, 65536, (64, 64)).astype(np.uint16)
+        code = encode_j2k(x, levels=0, bypass=True, layers=6)
+        assert np.array_equal(decode_j2k(code, deep=True), x)
+        # more layers than coding passes: trailing layers contribute
+        # empty packets
+        code = encode_j2k(x, levels=0, termall=True, layers=8)
+        assert np.array_equal(decode_j2k(code, deep=True), x)
+
+    def test_composes_with_other_layouts(self):
+        img = render_page("7_m2")
+        rgb = self._rgb()
+        big = np.tile(render_page("7_m2"), (2, 2))
+        cases = [
+            (dict(tile_size=64, layers=3, bypass=True, segsym=True), img),
+            (dict(precinct=7, layers=2, termall=True, causal=True), img),
+            (dict(prog="cprl", layers=4, bypass=True, reset=True), img),
+            (dict(prog="rpcl", precinct=7, layers=3, termall=True), img),
+            (dict(tile_size=96, tile_parts=3, layers=2, bypass=True), img),
+            (dict(layers=3, bypass=True, causal=True, segsym=True), rgb),
+            (dict(sop=True, eph=True, layers=2, bypass=True), img),
+            (dict(tile_size=160, prog="pcrl", precinct=7, layers=3,
+                  bypass=True, termall=True, tile_parts=2), big),
+        ]
+        for kw, x in cases:
+            assert np.array_equal(decode_j2k(encode_j2k(x, **kw)), x), kw
+
+    def test_97_error_bounded_with_styles_and_layers(self):
+        rgb = self._rgb()
+        code = encode_jp2(
+            rgb, irreversible=True, derived=True, layers=3, prog="cprl",
+            reset=True, causal=True, segsym=True,
+        )
+        err = np.abs(decode_jp2(code).astype(int) - rgb.astype(int))
+        assert err.max() <= 16
+        code = encode_j2k(
+            rgb, irreversible=True, layers=4, bypass=True, segsym=True,
+            chroma_delta=1.0,
+        )
+        err = np.abs(decode_j2k(code).astype(int) - rgb.astype(int))
+        assert err.max() <= 16
+
+    def test_late_inclusion_with_styles(self):
+        # blocks first included in a later layer (first = zbp % layers)
+        # must still partition their segments from absolute pass 0
+        img = render_page("3_m1")
+        for layers in (3, 6):
+            code = encode_j2k(img, layers=layers, bypass=True, termall=True)
+            assert np.array_equal(decode_j2k(code), img), layers
+
+    def test_segsym_still_detects_corruption(self):
+        img = render_page("5_m1")
+        code = bytearray(encode_j2k(img, segsym=True, layers=3))
+        sod = code.index(struct.pack(">H", 0xFF93))
+        hits = 0
+        for off in range(60, 200, 7):
+            bad = bytearray(code)
+            bad[sod + 2 + off] ^= 0x10
+            try:
+                got = decode_j2k(bytes(bad))
+                if not np.array_equal(got, img):
+                    hits += 0
+            except (ValueError, NotImplementedError):
+                hits += 1
+        assert hits > 0
