@@ -52,12 +52,14 @@ SOP/EPH resync marker layouts (A.8), MULTI-LAYER quality-progressive
 streams in ANY of the five orders (the archival profile: per-block
 coding passes spread across layers, persistent tag-tree/Lblock packet
 state, decoded by accumulating every layer's chunks into the block's
-single MQ codeword segment), and PRECINCT partitions (B.6: square
+single MQ codeword segment), and PRECINCT partitions (B.6:
 block-grid-aligned precincts — down to 2x the block side, e.g. 32px
 precincts over 16px blocks — each its own packet chain with its own
 tag-trees; the region-access layout big-scan profiles pair with
 tiling; in ALL FIVE progression orders, including the position-major
-RPCL/PCRL/CPRL interleavings streamed region access uses).
+RPCL/PCRL/CPRL interleavings streamed region access uses; sizes may
+differ PER RESOLUTION and PER AXIS — the shrinking-pyramid layout
+archival encoders signal by default).
 
 CODE-BLOCK SIZES are general (A.6.1): any power-of-two (h, w) with
 sides 4..1024 and area <= 4096 — the spec-default 64x64, the 32x32
@@ -84,9 +86,9 @@ context RESET on pass boundaries, VERTICALLY-CAUSAL context formation
 verifies the 1010 and fails loudly on corruption).
 
 Scope (declared): grey or RGB. Per-tile coding overrides, offset
-grids, non-uniform or rectangular precincts, predictable-termination
-style, and mixed-depth or mixed-sign components raise
-NotImplementedError.
+grids, precincts smaller than the code-block grid,
+predictable-termination style, and mixed-depth or mixed-sign
+components raise NotImplementedError.
 Encoder and decoder share every table; the 5/3 path is exercised as
 exact-roundtrip twins, the 9/7 path as error-bounded twins (test_jp2),
 like the engine's other codec seams.
@@ -1603,21 +1605,24 @@ def _res_dims(th: int, tw: int, levels: int, r: int) -> tuple[int, int]:
 
 
 def _precinct_blocks(
-    r: int, bh: int, bw: int, pp: int, pi: int, pj: int,
+    r: int, bh: int, bw: int, pp: tuple, pi: int, pj: int,
     cb: tuple[int, int] = (_CBLK, _CBLK),
 ) -> tuple[int, int, int, int]:
     """Block-grid sub-range [(i0, i1), (j0, j1)) of precinct (pi, pj)
-    inside a band of dims (bh, bw) at resolution r. Precinct side on
-    the band is 2^pp at r=0 and 2^(pp-1) otherwise (B.6); with
-    2^(pp-1) >= the block sides it is a multiple of both, so precinct
-    boundaries align with the band's global code-block grid (the
-    constraint encode_j2k/decode_j2k enforce)."""
-    s = 1 << (pp if r == 0 else pp - 1)
+    inside a band of dims (bh, bw) at resolution r. `pp` is THIS
+    resolution's (PPy, PPx) exponent pair; the precinct side on the
+    band is 2^PP at r=0 and 2^(PP-1) otherwise (B.6); with the
+    band-side precinct >= the block sides it is a multiple of both,
+    so precinct boundaries align with the band's global code-block
+    grid (the constraint encode_j2k/decode_j2k enforce)."""
+    ppy, ppx = pp
+    sy = 1 << (ppy if r == 0 else ppy - 1)
+    sx = 1 << (ppx if r == 0 else ppx - 1)
     rows, cols = _cblk_grid(bh, bw, cb)
-    i0 = min(rows, pi * s // cb[0])
-    i1 = min(rows, (pi + 1) * s // cb[0])
-    j0 = min(cols, pj * s // cb[1])
-    j1 = min(cols, (pj + 1) * s // cb[1])
+    i0 = min(rows, pi * sy // cb[0])
+    i1 = min(rows, (pi + 1) * sy // cb[0])
+    j0 = min(cols, pj * sx // cb[1])
+    j1 = min(cols, (pj + 1) * sx // cb[1])
     return i0, i1, j0, j1
 
 
@@ -1642,18 +1647,20 @@ def _packet_sequence(
     layers: int,
     prog: int,
     precincts: dict,
-    pp: int | None,
+    pp: list | None,
 ) -> list:
     """One tile's FULL packet sequence as (layer, r, comp, pi, pj)
     per the signalled A.6.1 progression, including the position-major
     orders over a precinct grid: LRCP l→r→c→p, RLCP r→l→c→p,
-    RPCL r→p→c→l, PCRL p→c→r→l, CPRL c→p→r→l. Positions step the
-    finest projected precinct grid (2^pp at full resolution) in
-    raster order; a resolution emits where the position is its own
-    projected precinct corner (proj side 2^(pp + levels - r) — every
-    coarser corner coincides with a finest-grid corner, so the finest
-    grid enumerates all positions). ONE implementation, two call
-    sites: the tile encoder and the tile decoder walk the same list."""
+    RPCL r→p→c→l, PCRL p→c→r→l, CPRL c→p→r→l. `pp` is the
+    per-resolution [(PPy, PPx)] exponent list (B.12.1.3-5 sizes may
+    differ per resolution and per axis). Positions step the finest
+    projected precinct pitch over all resolutions (projected pitch of
+    r is 2^(PP_r + levels - r); all are powers of two, so every
+    coarser corner lands on a finest-pitch step) in raster order; a
+    resolution emits where the position is its own projected precinct
+    corner. ONE implementation, two call sites: the tile encoder and
+    the tile decoder walk the same list."""
     L, R, C = range(layers), range(levels + 1), range(ncomp)
     if pp is None or prog <= 1:
         return [
@@ -1669,8 +1676,6 @@ def _packet_sequence(
             for c in C
             for l in L
         ]
-    ny = max(pi for pi, _ in precincts[levels]) + 1
-    nx = max(pj for _, pj in precincts[levels]) + 1
     dims = {
         r: (
             max(pi for pi, _ in precincts[r]) + 1,
@@ -1678,28 +1683,32 @@ def _packet_sequence(
         )
         for r in R
     }
+    proj_y = {r: 1 << (pp[r][0] + levels - r) for r in R}
+    proj_x = {r: 1 << (pp[r][1] + levels - r) for r in R}
+    step_y, step_x = min(proj_y.values()), min(proj_x.values())
+    ext_y = max(dims[r][0] * proj_y[r] for r in R)
+    ext_x = max(dims[r][1] * proj_x[r] for r in R)
     seq = []
 
     def emit_position(y: int, x: int, c: int) -> None:
         for r in R:
-            proj = 1 << (pp + levels - r)
-            if y % proj or x % proj:
+            if y % proj_y[r] or x % proj_x[r]:
                 continue
-            pi, pj = y // proj, x // proj
+            pi, pj = y // proj_y[r], x // proj_x[r]
             if pi >= dims[r][0] or pj >= dims[r][1]:
                 continue
             for l in L:
                 seq.append((l, r, c, pi, pj))
 
     if prog == 3:  # PCRL
-        for y in range(0, ny << pp, 1 << pp):
-            for x in range(0, nx << pp, 1 << pp):
+        for y in range(0, ext_y, step_y):
+            for x in range(0, ext_x, step_x):
                 for c in C:
                     emit_position(y, x, c)
     else:  # CPRL
         for c in C:
-            for y in range(0, ny << pp, 1 << pp):
-                for x in range(0, nx << pp, 1 << pp):
+            for y in range(0, ext_y, step_y):
+                for x in range(0, ext_x, step_x):
                     emit_position(y, x, c)
     return seq
 
@@ -1788,9 +1797,10 @@ def _encode_tile_layer_packets(
     subgrid). Each block's first-inclusion layer is zbp % layers
     (deterministic, exercises late inclusion); its passes and bytes
     spread over the remaining layers via _layer_contrib. `pp` is the
-    precinct size exponent (square; 2^(pp-1) >= both block sides so
-    precinct boundaries align with the block grid); None = one
-    precinct per resolution. `cb` is the (height, width) block size.
+    per-resolution [(PPy, PPx)] precinct exponent list (band-side
+    precinct >= both block sides so precinct boundaries align with
+    the block grid); None = one precinct per resolution. `cb` is the
+    (height, width) block size.
     `style` routes blocks through the styled Tier-1 coder; with
     multiple layers its codeword segments split across layers via
     _layer_contrib_styled."""
@@ -1804,7 +1814,8 @@ def _encode_tile_layer_packets(
                 precincts[r] = [(0, 0)]
             else:
                 rh, rw = _res_dims(th, tw, levels, r)
-                npy, npx = -(-rh // (1 << pp)), -(-rw // (1 << pp))
+                npy = -(-rh // (1 << pp[r][0]))
+                npx = -(-rw // (1 << pp[r][1]))
                 precincts[r] = [
                     (pi, pj) for pi in range(max(npy, 1)) for pj in range(max(npx, 1))
                 ]
@@ -1863,7 +1874,9 @@ def _encode_tile_layer_packets(
                 if pp is None:
                     i0, i1, j0, j1 = 0, rows, 0, cols
                 else:
-                    i0, i1, j0, j1 = _precinct_blocks(r, bh, bw_, pp, pi, pj, cb)
+                    i0, i1, j0, j1 = _precinct_blocks(
+                        r, bh, bw_, pp[r], pi, pj, cb
+                    )
                 sub = [
                     blocks[i * cols + j]
                     for i in range(i0, i1)
@@ -1969,7 +1982,7 @@ def encode_j2k(
     eph: bool = False,
     prog: str = "lrcp",
     layers: int = 1,
-    precinct: int | None = None,
+    precinct: int | list | None = None,
     tile_parts: int = 1,
     signed: bool = False,
     bypass: bool = False,
@@ -1993,10 +2006,16 @@ def encode_j2k(
     multi-layer profile): each block's coding passes spread across
     layers with persistent tag-tree/Lblock packet state, packets
     nested per the signalled progression. `precinct` partitions every
-    resolution into square 2^precinct precincts (the region-access
-    layout big-scan profiles pair with tiling; 2^(precinct-1) must
-    cover the code-block grid; any progression order), each
-    precinct its own packet chain with its own tag-trees.
+    resolution into precincts (the region-access layout big-scan
+    profiles pair with tiling; any progression order), each precinct
+    its own packet chain with its own tag-trees. It is an int
+    exponent (square 2^precinct at every resolution), or a list
+    indexed by resolution level (0 = the deepest LL) whose entries
+    are an int or a (PPy, PPx) pair — rectangular and per-resolution
+    sizes, the layout archival encoders emit by default (e.g.
+    Kakadu's Cprecincts) — with the LAST entry repeating for any
+    remaining finer resolutions; every band-side precinct must cover
+    the code-block grid.
     `precision` is the sample depth P (2..16; default 8 for uint8 /
     16 for uint16 — precision=12 on uint16 data is the 12-bit DICOM
     layout, mirroring encode_jpeg_lossless). `sop`/`eph` emit the
@@ -2035,7 +2054,8 @@ def encode_j2k(
     log2(h) + log2(w) <= 12 (the spec default 64x64; digital-cinema
     profiles mandate 32x32; rectangular blocks are the low-latency
     layout). Precincts must cover at least one block at every
-    resolution: 2^(precinct-1) >= both block sides.
+    resolution: the band-side precinct (2^PP at resolution 0,
+    2^(PP-1) above) >= the block side on each axis.
 
     `chroma_delta` (irreversible RGB only) quantizes components 1-2
     at its own step, signalled by main-header QCC marker segments
@@ -2165,12 +2185,29 @@ def encode_j2k(
             f"code-block size must be power-of-two sides 4..1024 with "
             f"area <= 4096, got {cb}"
         )
-    if precinct is not None and not max(xcb, ycb) + 1 <= precinct <= 15:
-        raise ValueError(
-            f"precinct exponent must be {max(xcb, ycb) + 1}..15 "
-            f"(covering a {cb[0]}x{cb[1]} block grid at every resolution), "
-            f"got {precinct}"
-        )
+    plist = None
+    if precinct is not None:
+        specs = [precinct] if isinstance(precinct, int) else list(precinct)
+        if not specs:
+            raise ValueError("precinct list is empty")
+        norm = [
+            (s, s) if isinstance(s, int) else (int(s[0]), int(s[1]))
+            for s in specs
+        ]
+        if len(norm) > levels + 1:
+            raise ValueError(
+                f"precinct list has {len(norm)} entries for "
+                f"{levels + 1} resolutions"
+            )
+        plist = norm + [norm[-1]] * (levels + 1 - len(norm))
+        for r, (ppy, ppx) in enumerate(plist):
+            band = 0 if r == 0 else 1
+            if not (ycb + band <= ppy <= 15 and xcb + band <= ppx <= 15):
+                raise ValueError(
+                    f"precinct exponents {(ppy, ppx)} at resolution {r} "
+                    f"must be {(ycb + band, xcb + band)}..15 (band-side "
+                    f"precinct covering a {cb[0]}x{cb[1]} block grid)"
+                )
     if not 1 <= tile_parts <= 254:  # TNsot is one byte; 255 reserved
         raise ValueError(f"tile_parts must be 1..254, got {tile_parts}")
     style = (
@@ -2189,8 +2226,8 @@ def encode_j2k(
     ) + bytes(
         [levels, xcb - 2, ycb - 2, style]
     ) + bytes([0 if irreversible else 1])
-    if precinct is not None:
-        cod += bytes([precinct | (precinct << 4)]) * (levels + 1)
+    if plist is not None:
+        cod += bytes([ppx | (ppy << 4) for ppy, ppx in plist])
     out += _marker_seg(0xFF52, cod)
     out += _marker_seg(0xFF5C, sqcd)
     if sqcc_body is not None:
@@ -2202,10 +2239,10 @@ def encode_j2k(
         y0, x0 = ty * yt, tx * xt
         tile_comps = [c[y0 : min(y0 + yt, h), x0 : min(x0 + xt, w)] for c in comps]
         tile_q = tile_bandqs.get(t, main_q)
-        if layers > 1 or precinct is not None or style:
+        if layers > 1 or plist is not None or style:
             packets, bounds = _encode_tile_layer_packets(
                 tile_comps, levels, tile_q, fwd1d, layers, sop, eph,
-                progs[prog], precinct, style, cb,
+                progs[prog], plist, style, cb,
             )
         else:
             packets, bounds = _encode_tile_packets(
@@ -2312,11 +2349,13 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
     convention as decode_jpeg's SOF3 path). Fails loudly
     (NotImplementedError) on the declared out-of-scope features:
     per-tile/component CODING overrides (COD/COC/POC), offset grids,
+    precincts smaller than the code-block grid,
     predictable-termination style, subsampled or mixed-sign
     components. All five progression orders, multi-layer (including
     STYLED multi-layer: segment portions split across layer
     contributions reassemble before Tier-1 decode), precinct
-    partitions, the SOP/EPH resync layouts, the
+    partitions (per-resolution and rectangular sizes included),
+    the SOP/EPH resync layouts, the
     bypass/termall/reset/causal/segsym code-block styles, and
     QUANTIZATION overrides — main-header QCC and per-tile QCD/QCC,
     honoring the A.6.4/A.6.5 precedence chain tile-QCC > tile-QCD >
@@ -2428,16 +2467,19 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
         psizes = cod[10 : 10 + levels + 1]
         if len(psizes) != levels + 1:
             raise ValueError("JPEG 2000 COD missing precinct sizes")
-        ppx, ppy = psizes[0] & 0x0F, psizes[0] >> 4
-        if (
-            ppx != ppy or any(b != psizes[0] for b in psizes)
-            or ppx < max(xcb, ycb) + 1
-        ):
-            raise NotImplementedError(
-                "JPEG 2000 precincts supported only square, uniform across "
-                "resolutions and covering the code-block grid"
-            )
-        pp = ppx
+        pp = []
+        for r, b in enumerate(psizes):
+            ppx, ppy = b & 0x0F, b >> 4
+            band = 0 if r == 0 else 1
+            if ppy - band < ycb or ppx - band < xcb:
+                # a precinct smaller than the code block shrinks the
+                # EFFECTIVE block size (B.7) — a different block grid,
+                # out of scope; skipping would misparse every packet
+                raise NotImplementedError(
+                    "JPEG 2000 precincts smaller than the code-block "
+                    "grid not supported"
+                )
+            pp.append((ppy, ppx))
     # per-component {(r, k): (Mb, Δ or None)}: QCD for every component,
     # overridden where a main-header QCC names one (A.6.5 precedence)
     q_main = _parse_quant(qcd, irreversible, levels, precision)
@@ -2477,8 +2519,8 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
                 precincts[r] = [(0, 0)]
             else:
                 rh, rw = _res_dims(th, tw, levels, r)
-                npy = max(-(-rh // (1 << pp)), 1)
-                npx = max(-(-rw // (1 << pp)), 1)
+                npy = max(-(-rh // (1 << pp[r][0])), 1)
+                npx = max(-(-rw // (1 << pp[r][1])), 1)
                 precincts[r] = [
                     (pi, pj) for pi in range(npy) for pj in range(npx)
                 ]
@@ -2500,7 +2542,7 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
                         i0, i1, j0, j1 = 0, rows, 0, cols
                     else:
                         i0, i1, j0, j1 = _precinct_blocks(
-                            r, bh, bw_, pp, pi, pj, cb
+                            r, bh, bw_, pp[r], pi, pj, cb
                         )
                     pr, pc = i1 - i0, j1 - j0
                     band_states.append(
@@ -2722,7 +2764,7 @@ def encode_jp2(
     eph: bool = False,
     prog: str = "lrcp",
     layers: int = 1,
-    precinct: int | None = None,
+    precinct: int | list | None = None,
     signed: bool = False,
     bypass: bool = False,
     reset: bool = False,

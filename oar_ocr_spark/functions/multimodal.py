@@ -335,9 +335,13 @@ def jp2_payload_for_ref(ref: str, page=None) -> bytes:
         "layers": 1 + (h >> 13) % 8,
     }
     if (h >> 16) & 1:
-        # 128px precinct grid (B.6) — composes with all five
-        # progression orders, incl. the position-major interleavings
-        resync["precinct"] = 7
+        # precinct grid (B.6) — composes with all five progression
+        # orders, incl. the position-major interleavings; half the
+        # precinct refs take the uniform 128px grid, half the
+        # shrinking per-resolution pyramid archival encoders signal
+        # (coarse resolutions small, finest large — Kakadu's default
+        # Cprecincts shape), rectangular at the finest level
+        resync["precinct"] = 7 if (h >> 26) & 1 else [7, (8, 7)]
     if (h >> 17) & 1:
         # CODE-BLOCK STYLES (Table A.23): half the refs carry a styled
         # stream — selective MQ bypass, per-pass termination, context

@@ -738,17 +738,13 @@ class TestPrecincts:
         with pytest.raises(ValueError, match="precinct"):
             encode_j2k(img, precinct=6)  # below block alignment
         # (precincts in the positional orders RPCL/PCRL/CPRL decode —
-        # TestPositionalPrecincts)
-        # foreign stream with sub-block or rectangular precincts stays
-        # declared out of scope
+        # TestPositionalPrecincts; per-resolution and rectangular
+        # sizes decode — TestNonUniformPrecincts)
+        # a sub-block precinct byte stays declared out of scope
         code = bytearray(encode_j2k(img, precinct=7))
         i = code.index(struct.pack(">H", 0xFF52))
         bad = bytearray(code)
-        bad[i + 14] = 0x66  # 64px precincts
-        with pytest.raises(NotImplementedError, match="precinct"):
-            decode_j2k(bytes(bad))
-        bad = bytearray(code)
-        bad[i + 14] = 0x87  # rectangular
+        bad[i + 15] = 0x66  # 2^(6-1)=32 < the 64px block at r=1
         with pytest.raises(NotImplementedError, match="precinct"):
             decode_j2k(bytes(bad))
 
@@ -1286,3 +1282,76 @@ class TestStyledMultiLayer:
             except (ValueError, NotImplementedError):
                 hits += 1
         assert hits > 0
+
+
+class TestNonUniformPrecincts:
+    """Per-resolution and rectangular precinct sizes (B.6: one
+    (PPy, PPx) pair per resolution in COD) — the shrinking-pyramid
+    layout archival encoders signal by default (e.g. Kakadu's
+    Cprecincts), composed with every progression order."""
+
+    def _big(self):
+        return np.tile(render_page("7_m2"), (2, 2))
+
+    def test_per_resolution_sizes_all_progressions(self):
+        big = self._big()
+        for prec in ([7, 8], [8, 7, 7], [(7, 8), (8, 7)]):
+            for prog in ("lrcp", "rlcp", "rpcl", "pcrl", "cprl"):
+                code = encode_j2k(big, levels=2, precinct=prec, prog=prog)
+                assert np.array_equal(decode_j2k(code), big), (prec, prog)
+
+    def test_cod_signals_per_resolution_bytes(self):
+        big = self._big()
+        code = encode_j2k(big, levels=2, precinct=[7, (8, 7), 9])
+        i = code.index(struct.pack(">H", 0xFF52))
+        # SPcod precinct bytes: PPx low nibble, PPy high nibble,
+        # ordered from resolution 0 (deepest LL) up
+        assert code[i + 14 : i + 17] == bytes([0x77, 0x87, 0x99])
+
+    def test_short_list_repeats_last_entry(self):
+        big = self._big()
+        a = encode_j2k(big, levels=3, precinct=[7, 8])
+        b = encode_j2k(big, levels=3, precinct=[7, 8, 8, 8])
+        assert a == b
+        assert np.array_equal(decode_j2k(a), big)
+
+    def test_uniform_int_unchanged(self):
+        img = render_page("12_m0")
+        a = encode_j2k(img, precinct=7)
+        b = encode_j2k(img, precinct=[7, 7])
+        assert a == b  # int exponent is the uniform-square shorthand
+
+    def test_composes_with_other_layouts(self):
+        big = self._big()
+        img = render_page("12_m0")
+        rgb = np.stack([img, np.roll(img, 3, 0), np.roll(img, 5, 1)], axis=-1)
+        code = encode_j2k(
+            big, tile_size=160, levels=2, precinct=[(7, 8), (8, 7), (7, 7)],
+            prog="rpcl", bypass=True, layers=3, tile_parts=2, cblk=(32, 64),
+        )
+        assert np.array_equal(decode_j2k(code), big)
+        code = encode_jp2(
+            rgb, irreversible=True, precinct=[7, 8], prog="pcrl",
+            segsym=True, layers=2, sop=True, eph=True,
+        )
+        err = np.abs(decode_jp2(code).astype(int) - rgb.astype(int))
+        assert err.max() <= 8
+
+    def test_guards(self):
+        img = render_page("12_m0")
+        # band-side precinct must cover the code-block grid at every
+        # resolution (2^(PP-1) above resolution 0)
+        with pytest.raises(ValueError, match="resolution 1"):
+            encode_j2k(img, precinct=[6], cblk=64)
+        with pytest.raises(ValueError, match="resolution 0"):
+            encode_j2k(img, precinct=[(5, 7), 8], cblk=64)
+        with pytest.raises(ValueError, match="empty"):
+            encode_j2k(img, precinct=[])
+        with pytest.raises(ValueError, match="entries"):
+            encode_j2k(img, levels=1, precinct=[7, 7, 7])
+        # decode guard: a sub-block precinct byte must fail loudly
+        code = bytearray(encode_j2k(img, precinct=7, cblk=64))
+        i = code.index(struct.pack(">H", 0xFF52))
+        code[i + 15] = 0x66  # 2^(6-1)=32 < 64 block at resolution 1
+        with pytest.raises(NotImplementedError, match="smaller than"):
+            decode_j2k(bytes(code))
