@@ -784,6 +784,38 @@ def _apply_predictor(data: bytes, pm: dict) -> bytes:
     return _unfilter(arr, h, columns, colors).tobytes()
 
 
+def _unpack_samples(raw: bytes, w: int, h: int, bpc: int, ncomp: int) -> np.ndarray:
+    """Packed image samples → (h, w, ncomp) int64 array of RAW sample
+    values (unscaled). Rows are padded to a byte boundary (8.9.3);
+    1/2/4-bit samples pack big-endian within each byte, 16-bit
+    samples are big-endian words."""
+    spr = w * ncomp  # samples per row
+    if bpc == 16:
+        stride = spr * 2
+        if len(raw) < stride * h:
+            raise ValueError("PDF image data truncated")
+        a = np.frombuffer(raw[: stride * h], dtype=">u2").reshape(h, spr)
+        return a.astype(np.int64).reshape(h, w, ncomp)
+    if bpc == 8:
+        if len(raw) < spr * h:
+            raise ValueError("PDF image data truncated")
+        a = np.frombuffer(raw[: spr * h], dtype=np.uint8).reshape(h, spr)
+        return a.astype(np.int64).reshape(h, w, ncomp)
+    if bpc in (1, 2, 4):
+        stride = (spr * bpc + 7) // 8
+        if len(raw) < stride * h:
+            raise ValueError("PDF image data truncated")
+        rows = np.frombuffer(raw[: stride * h], dtype=np.uint8).reshape(h, stride)
+        bits = np.unpackbits(rows, axis=1)
+        if bpc == 1:
+            vals = bits[:, :spr]
+        else:
+            weights = 1 << np.arange(bpc - 1, -1, -1)
+            vals = (bits.reshape(h, -1, bpc) * weights).sum(axis=2)[:, :spr]
+        return vals.astype(np.int64).reshape(h, w, ncomp)
+    raise NotImplementedError(f"PDF image depth {bpc} not supported")
+
+
 class PdfDocument:
     """Parsed PDF (classic xref tables OR 1.5+ xref streams with
     /ObjStm compressed objects). Objects load lazily by number."""
@@ -1266,18 +1298,111 @@ class PdfDocument:
                     return (samples * 255).astype(np.uint8)
                 raw = _apply_one_filter(f, raw, pm)
             w, h = int(self.resolve(d["Width"])), int(self.resolve(d["Height"]))
+            decode = self.resolve(d.get("Decode"))
+            if decode is not None:
+                decode = [float(self.resolve(x)) for x in decode]
+            if self.resolve(d.get("ImageMask")):
+                # stencil mask (8.9.6.7): 1-bit, default Decode [0 1]
+                # paints where the sample is 0 → black on the page
+                vals = _unpack_samples(raw, w, h, 1, 1)[..., 0]
+                if decode == [1, 0]:
+                    vals = 1 - vals
+                return (vals * 255).astype(np.uint8)
             bpc = int(self.resolve(d.get("BitsPerComponent", 8)))
-            cs = str(self.resolve(d.get("ColorSpace", "DeviceGray")))
-            if bpc != 8:
-                raise NotImplementedError(f"PDF image depth {bpc} not supported")
-            if cs == "DeviceGray":
-                return np.frombuffer(raw, dtype=np.uint8, count=h * w).reshape(h, w)
-            if cs == "DeviceRGB":
-                return np.frombuffer(raw, dtype=np.uint8, count=h * w * 3).reshape(
-                    h, w, 3
-                )
-            raise NotImplementedError(f"PDF color space {cs} not supported")
+            spec = self._image_colorspace(d.get("ColorSpace", _Name("DeviceGray")))
+            if spec[0] == "indexed":
+                _, base, hival, lookup = spec
+                idx = _unpack_samples(raw, w, h, bpc, 1)[..., 0]
+                if decode is not None and decode != [0, (1 << bpc) - 1]:
+                    raise NotImplementedError(
+                        "PDF /Decode remap on an /Indexed image not supported"
+                    )
+                nc = {"gray": 1, "rgb": 3, "cmyk": 4}[base]
+                if len(lookup) < (hival + 1) * nc:
+                    raise ValueError("PDF /Indexed lookup table truncated")
+                pal = np.frombuffer(
+                    lookup[: (hival + 1) * nc], dtype=np.uint8
+                ).reshape(hival + 1, nc)
+                # out-of-range indices clamp to the nearest valid value
+                # (8.9.6.3), the spec-sanctioned reading
+                comps = pal[np.clip(idx, 0, hival)].astype(np.float64)
+            else:
+                nc = {"gray": 1, "rgb": 3, "cmyk": 4}[spec[0]]
+                vals = _unpack_samples(raw, w, h, bpc, nc)
+                maxv = (1 << bpc) - 1
+                if decode is None:
+                    decode = [0.0, 1.0] * nc
+                if len(decode) != 2 * nc:
+                    raise ValueError("PDF /Decode length mismatches the color space")
+                comps = np.empty((h, w, nc), dtype=np.float64)
+                for c in range(nc):
+                    dmin, dmax = decode[2 * c], decode[2 * c + 1]
+                    comps[..., c] = (
+                        dmin + vals[..., c] * ((dmax - dmin) / maxv)
+                    ) * 255.0
+                base = spec[0]
+            comps = np.clip(np.round(comps), 0, 255).astype(np.uint8)
+            if base == "gray":
+                return comps[..., 0]
+            if base == "rgb":
+                return comps
+            from .jpeg import _cmyk_to_rgb  # true (non-inverted) CMYK
+
+            return _cmyk_to_rgb(comps, adobe=None)
         raise ValueError("PDF page has no image XObject")
+
+    def _image_colorspace(self, v):
+        """Image /ColorSpace entry → ("gray"|"rgb"|"cmyk",) or
+        ("indexed", base, hival, lookup bytes). Names resolve by
+        family; [/ICCBased stream] resolves by the stream's /N
+        component count (the profile itself is advisory — the
+        device-space reading every lightweight renderer uses);
+        /CalGray and /CalRGB map to their device twins (samples
+        taken as device values, the same approximation)."""
+        v = self.resolve(v)
+        if isinstance(v, str):
+            fam = {
+                "DeviceGray": "gray", "CalGray": "gray", "G": "gray",
+                "DeviceRGB": "rgb", "CalRGB": "rgb", "RGB": "rgb",
+                "DeviceCMYK": "cmyk", "CMYK": "cmyk",
+            }.get(str(v))
+            if fam is None:
+                raise NotImplementedError(f"PDF color space /{v} not supported")
+            return (fam,)
+        if isinstance(v, list) and v:
+            kind = str(self.resolve(v[0]))
+            if kind in ("CalGray", "CalRGB"):
+                return ("gray" if kind == "CalGray" else "rgb",)
+            if kind == "ICCBased":
+                strm = self.resolve(v[1]) if len(v) > 1 else None
+                if not (isinstance(strm, tuple) and len(strm) == 2):
+                    raise ValueError("PDF /ICCBased color space is not a stream")
+                n = int(self.resolve(strm[0].get("N", 0)))
+                fam = {1: "gray", 3: "rgb", 4: "cmyk"}.get(n)
+                if fam is None:
+                    raise NotImplementedError(
+                        f"PDF /ICCBased color space with N={n} not supported"
+                    )
+                return (fam,)
+            if kind in ("Indexed", "I") and len(v) == 4:
+                base = self._image_colorspace(v[1])
+                if base[0] == "indexed":
+                    raise ValueError("PDF /Indexed base cannot be /Indexed")
+                hival = int(self.resolve(v[2]))
+                lut = self.resolve(v[3])
+                if isinstance(lut, tuple) and len(lut) == 2:
+                    lut = _apply_stream_filters(
+                        self._resolved_filter_dict(lut[0]), lut[1]
+                    )
+                elif isinstance(lut, str):
+                    lut = lut.encode("latin-1")
+                if not isinstance(lut, (bytes, bytearray)):
+                    raise ValueError("PDF /Indexed lookup is not string or stream")
+                return ("indexed", base[0], hival, bytes(lut))
+            raise NotImplementedError(
+                f"PDF color space family /{kind} not supported"
+            )
+        raise ValueError(f"PDF /ColorSpace entry {type(v).__name__} is malformed")
 
     def info_title(self) -> str | None:
         info = self.resolve(self.trailer.get("Info"))

@@ -873,3 +873,197 @@ class TestSparkUnpack:
         pdfs = spark.createDataFrame([("p1", bytearray(data))], "pdf_ref string, payload binary")
         refs = [r["media_ref"] for r in pdf_media_store_df(pdfs).collect()]
         assert refs == ["p1#page0", "p1#page1"]
+
+
+def _mini_pdf(image_dict: bytes, stream: bytes, extra_objs=()) -> bytes:
+    """Minimal single-image classic-xref PDF around a hand-built image
+    XObject dict — the foreign-layout fixture pattern, for image
+    flavors our writer never emits."""
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R "
+        b"/Resources << /XObject << /Im0 4 0 R >> >> >>",
+        4: image_dict + b" /Length %d >>\nstream\n" % len(stream)
+        + stream + b"\nendstream",
+    }
+    for i, body in enumerate(extra_objs, start=5):
+        bodies[i] = body
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for n in sorted(bodies):
+        offs[n] = len(out)
+        out += b"%d 0 obj\n" % n + bodies[n] + b"\nendobj\n"
+    xref_at = len(out)
+    n = max(bodies) + 1
+    out += b"xref\n0 %d\n" % n + b"0000000000 65535 f \n"
+    for k in sorted(bodies):
+        out += b"%010d 00000 n \n" % offs[k]
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n, xref_at)
+    )
+    return bytes(out)
+
+
+def _pack_subbyte(arr: np.ndarray, bpc: int) -> bytes:
+    """Row-aligned big-endian packing of sub-byte samples (8.9.3)."""
+    rows = []
+    for r in arr:
+        bits = np.unpackbits(r.astype(np.uint8).reshape(-1, 1), axis=1)[
+            :, 8 - bpc :
+        ].flatten()
+        rows.append(np.packbits(bits).tobytes())
+    return b"".join(rows)
+
+
+class TestImageColorSpacesAndDepths:
+    """Foreign image XObject flavors: sub-byte and 16-bit sample
+    depths, /Indexed palettes, /ICCBased and /Cal* spaces resolved to
+    their device families, /ImageMask stencils, /Decode remaps, and
+    raw /DeviceCMYK samples — the layouts real (non-scanner) PDF
+    writers emit."""
+
+    def test_subbyte_gray_depths(self):
+        for bpc in (1, 2, 4):
+            maxv = (1 << bpc) - 1
+            img = (np.arange(33).reshape(3, 11) % (maxv + 1)).astype(np.uint8)
+            pdf = _mini_pdf(
+                b"<< /Type /XObject /Subtype /Image /Width 11 /Height 3"
+                b" /ColorSpace /DeviceGray /BitsPerComponent %d" % bpc,
+                _pack_subbyte(img, bpc),
+            )
+            got = decode_pdf(pdf)[0]
+            want = np.round(img / maxv * 255).astype(np.uint8)
+            assert np.array_equal(got, want), bpc
+
+    def test_16bit_gray_projects_to_top_byte_range(self):
+        img16 = (np.arange(12).reshape(3, 4) * 5000).astype(">u2")
+        pdf = _mini_pdf(
+            b"<< /Type /XObject /Subtype /Image /Width 4 /Height 3"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 16",
+            img16.tobytes(),
+        )
+        want = np.round(img16.astype(np.float64) / 65535 * 255).astype(np.uint8)
+        assert np.array_equal(decode_pdf(pdf)[0], want)
+
+    def test_decode_array_inverts_gray(self):
+        img = (np.arange(15).reshape(3, 5) % 16).astype(np.uint8)
+        pdf = _mini_pdf(
+            b"<< /Type /XObject /Subtype /Image /Width 5 /Height 3"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 4 /Decode [1 0]",
+            _pack_subbyte(img, 4),
+        )
+        want = np.round((1 - img / 15.0) * 255).astype(np.uint8)
+        assert np.array_equal(decode_pdf(pdf)[0], want)
+
+    def test_indexed_palette_rgb(self):
+        pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+        idx = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 1]], dtype=np.uint8)
+        pdf = _mini_pdf(
+            b"<< /Type /XObject /Subtype /Image /Width 5 /Height 2"
+            b" /ColorSpace [/Indexed /DeviceRGB 3 <"
+            + pal.hex().encode() + b">] /BitsPerComponent 2",
+            _pack_subbyte(idx, 2),
+        )
+        want = np.frombuffer(pal, np.uint8).reshape(4, 3)[idx]
+        assert np.array_equal(decode_pdf(pdf)[0], want)
+
+    def test_indexed_lookup_stream_and_clamping(self):
+        # lookup as a Flate stream object; an out-of-range index
+        # clamps to hival (8.9.6.3)
+        pal = bytes([0, 100, 200])
+        packed = zlib.compress(pal)
+        extra = (
+            b"<< /Filter /FlateDecode /Length %d >>\nstream\n" % len(packed)
+            + packed + b"\nendstream",
+        )
+        idx = np.array([[0, 1, 2, 3]], dtype=np.uint8)  # 3 > hival=2
+        pdf = _mini_pdf(
+            b"<< /Type /XObject /Subtype /Image /Width 4 /Height 1"
+            b" /ColorSpace [/Indexed /DeviceGray 2 5 0 R]"
+            b" /BitsPerComponent 8",
+            idx.tobytes(),
+            extra,
+        )
+        assert np.array_equal(
+            decode_pdf(pdf)[0], np.array([[0, 100, 200, 200]], np.uint8)
+        )
+
+    def test_iccbased_resolves_by_component_count(self):
+        icc = zlib.compress(b"\x00" * 16)
+        extra = (
+            b"<< /N 3 /Filter /FlateDecode /Length %d >>\nstream\n" % len(icc)
+            + icc + b"\nendstream",
+        )
+        rgb = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+        pdf = _mini_pdf(
+            b"<< /Type /XObject /Subtype /Image /Width 4 /Height 3"
+            b" /ColorSpace [/ICCBased 5 0 R] /BitsPerComponent 8",
+            rgb.tobytes(),
+            extra,
+        )
+        assert np.array_equal(decode_pdf(pdf)[0], rgb)
+
+    def test_calrgb_maps_to_device_twin(self):
+        rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+        pdf = _mini_pdf(
+            b"<< /Type /XObject /Subtype /Image /Width 4 /Height 2"
+            b" /ColorSpace [/CalRGB << /WhitePoint [1 1 1] >>]"
+            b" /BitsPerComponent 8",
+            rgb.tobytes(),
+        )
+        assert np.array_equal(decode_pdf(pdf)[0], rgb)
+
+    def test_imagemask_stencil(self):
+        img1 = (np.arange(30).reshape(3, 10) % 2).astype(np.uint8)
+        packed = np.packbits(img1, axis=1).tobytes()
+        pdf = _mini_pdf(
+            b"<< /Type /XObject /Subtype /Image /Width 10 /Height 3"
+            b" /ImageMask true",
+            packed,
+        )
+        assert np.array_equal(decode_pdf(pdf)[0], img1 * 255)
+        pdf = _mini_pdf(
+            b"<< /Type /XObject /Subtype /Image /Width 10 /Height 3"
+            b" /ImageMask true /Decode [1 0]",
+            packed,
+        )
+        assert np.array_equal(decode_pdf(pdf)[0], (1 - img1) * 255)
+
+    def test_devicecmyk_true_ink_model(self):
+        cmyk = np.zeros((2, 2, 4), dtype=np.uint8)
+        cmyk[..., 3] = [[0, 255], [128, 0]]
+        pdf = _mini_pdf(
+            b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2"
+            b" /ColorSpace /DeviceCMYK /BitsPerComponent 8",
+            cmyk.tobytes(),
+        )
+        got = decode_pdf(pdf)[0]
+        # K=0 -> white, K=255 -> black (true, non-inverted samples)
+        assert got[0, 0].tolist() == [255, 255, 255]
+        assert got[0, 1].tolist() == [0, 0, 0]
+
+    def test_guards(self):
+        img = np.zeros((2, 2), dtype=np.uint8)
+        pdf = _mini_pdf(
+            b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2"
+            b" /ColorSpace /Separation /BitsPerComponent 8",
+            img.tobytes(),
+        )
+        with pytest.raises(NotImplementedError, match="Separation"):
+            decode_pdf(pdf)
+        pdf = _mini_pdf(
+            b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 3",
+            img.tobytes(),
+        )
+        with pytest.raises(NotImplementedError, match="depth 3"):
+            decode_pdf(pdf)
+        pdf = _mini_pdf(
+            b"<< /Type /XObject /Subtype /Image /Width 9 /Height 9"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8",
+            img.tobytes(),
+        )
+        with pytest.raises(ValueError, match="truncated"):
+            decode_pdf(pdf)
