@@ -17,10 +17,15 @@ against the public TIFF 6.0 specification:
   codec) — plus new-style JPEG-in-TIFF (7, TIFF-EP: each strip is a
   complete or abbreviated JPEG interchange stream, shared tables
   spliced in from the JPEGTables tag 347; functions/jpeg.py decodes),
-  horizontal-differencing Predictor 2, and the sample layouts scanned
-  documents use: 1-bit bilevel (both photometric polarities —
-  WhiteIsZero is the fax default), 8-bit greyscale, 8-bit RGB (extra
-  samples dropped), palette color (16-bit ColorMap, high byte).
+  horizontal-differencing Predictor 2 (strip AND tiled layouts — the
+  differencing restarts on every tile row), PlanarConfiguration 2
+  (plane-major strips, the layout scientific writers emit), and the
+  sample layouts scanned documents use: 1-bit bilevel (both
+  photometric polarities — WhiteIsZero is the fax default), 8-bit
+  greyscale, 8-bit RGB (extra samples dropped), 16-bit greyscale/RGB
+  (either byte order, projected to the top 8 bits at the image seam,
+  the same convention as the deep JPEG/J2K paths), palette color
+  (16-bit ColorMap, high byte).
 - encoder (`encode_tiff`): strip fixture writer for bilevel / grey /
   RGB with compression none, PackBits, the fax family ("mh" / "g3" /
   "g4", bilevel only) or "jpeg" (q100 baseline per strip, optionally
@@ -28,10 +33,10 @@ against the public TIFF 6.0 specification:
   roundtrip-tested without any image library; LZW/predictor paths are
   pinned by hand-built IFD fixtures in the tests.
 
-Scope (declared, fails loudly outside it): tiled TIFFs, the T.4
-uncompressed-mode option bit, old-style JPEG (compression 6), planar
-configuration 2, and bit depths other than 1/8 raise
-NotImplementedError.
+Scope (declared, fails loudly outside it): the T.4 uncompressed-mode
+option bit, old-style JPEG (compression 6), planar configuration 2 on
+the tiled layout, 16-bit palette, and bit depths other than 1/8/16
+raise NotImplementedError.
 """
 
 from __future__ import annotations
@@ -212,10 +217,12 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
     if len(set(bits)) != 1:
         raise NotImplementedError(f"mixed TIFF bit depths {bits} not supported")
     depth = bits[0]
-    if depth not in (1, 8):
+    if depth not in (1, 8, 16):
         raise NotImplementedError(f"TIFF bit depth {depth} not supported here")
-    if tags.get(284, [1])[0] == 2:
-        raise NotImplementedError("TIFF planar configuration 2 not supported here")
+    planar = tags.get(284, [1])[0]
+    if planar not in (1, 2):
+        raise ValueError(f"TIFF planar configuration {planar} is illegal")
+    planar = 1 if spp == 1 else planar
     if comp == 6:
         raise NotImplementedError(
             "old-style JPEG-in-TIFF (compression 6) not supported here "
@@ -235,11 +242,19 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
             raise NotImplementedError("T.6 uncompressed mode not supported")
     if comp == 7 and depth != 8:
         raise NotImplementedError("JPEG-in-TIFF requires 8-bit samples")
+    if depth == 16 and photo == 3:
+        raise NotImplementedError("16-bit palette TIFF not supported here")
+    pred2 = tags.get(_PREDICTOR, [1])[0] == 2
+    if pred2 and depth == 1:
+        raise NotImplementedError("TIFF predictor on sub-byte samples")
+    pmask = 0xFF if depth == 8 else 0xFFFF
 
     tiled = 322 in tags or 324 in tags
     if tiled:
-        if tags.get(_PREDICTOR, [1])[0] == 2:
-            raise NotImplementedError("TIFF predictor on tiled layout not supported")
+        if planar == 2:
+            raise NotImplementedError(
+                "TIFF planar configuration 2 on tiled layout not supported"
+            )
         for req, name in ((322, "TileWidth"), (323, "TileLength"), (324, "TileOffsets")):
             if req not in tags:
                 raise ValueError(f"tiled TIFF missing required tag {name}")
@@ -270,17 +285,19 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
             if out.ndim == 2 and photo == 0:
                 out = 255 - out
             return np.ascontiguousarray(out)
-        tile_rowbytes = (tw * spp * depth + 7) // 8
-        canvas = np.zeros((down * tl, across * tile_rowbytes), dtype=np.uint8)
-        for i in range(across * down):
-            packed = _block_to_packed(
-                data[offs[i] : offs[i] + cnts[i]],
-                comp, tags, tl, tw, spp, depth, photo, f"tile {i}",
-            )
-            tarr = np.frombuffer(packed, dtype=np.uint8).reshape(tl, tile_rowbytes)
-            r, c = (i // across) * tl, (i % across) * tile_rowbytes
-            canvas[r : r + tl, c : c + tile_rowbytes] = tarr
         if depth == 1:
+            tile_rowbytes = (tw + 7) // 8
+            canvas = np.zeros((down * tl, across * tile_rowbytes), dtype=np.uint8)
+            for i in range(across * down):
+                packed = _block_to_packed(
+                    data[offs[i] : offs[i] + cnts[i]],
+                    comp, tags, tl, tw, spp, depth, photo, f"tile {i}",
+                )
+                tarr = np.frombuffer(packed, dtype=np.uint8).reshape(
+                    tl, tile_rowbytes
+                )
+                r, c = (i // across) * tl, (i % across) * tile_rowbytes
+                canvas[r : r + tl, c : c + tile_rowbytes] = tarr
             # per-tile bit rows are byte-padded; unpack per tile column
             bitsarr = np.unpackbits(
                 canvas.reshape(down * tl, across, tile_rowbytes), axis=2
@@ -289,8 +306,21 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
             if photo == 0:
                 img = 255 - img
             return np.ascontiguousarray(img)
-        px = canvas.reshape(down * tl, across, tw, spp)
-        px = px.reshape(down * tl, across * tw, spp)[:h, :w]
+        sam = np.zeros((down * tl, across * tw, spp), dtype=np.int64)
+        for i in range(across * down):
+            packed = _block_to_packed(
+                data[offs[i] : offs[i] + cnts[i]],
+                comp, tags, tl, tw, spp, depth, photo, f"tile {i}",
+            )
+            t = np.frombuffer(
+                packed, dtype=np.uint8 if depth == 8 else bo + "u2"
+            ).reshape(tl, tw, spp).astype(np.int64)
+            if pred2:  # horizontal differencing restarts per tile row
+                t = np.cumsum(t, axis=1) & pmask
+            r, c = (i // across) * tl, (i % across) * tw
+            sam[r : r + tl, c : c + tw] = t
+        px = sam[:h, :w]
+        px = (px >> 8 if depth == 16 else px).astype(np.uint8)
         return _px_to_image(np.ascontiguousarray(px), photo, tags)
 
     if _STRIP_OFF not in tags:
@@ -316,28 +346,58 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
             out = 255 - out
         return np.ascontiguousarray(out)
 
-    rowbytes = (w * spp * depth + 7) // 8
+    if planar == 2:
+        # plane-major strips (PlanarConfiguration 2): all of component
+        # 0's strips, then component 1's, ... — spp × ceil(h/rps)
+        # strips, each holding ONE component's samples
+        nstrips = -(-h // rows_per_strip)
+        if len(offs) < nstrips * spp or len(cnts) < nstrips * spp:
+            raise ValueError(
+                f"planar TIFF has {len(offs)} strips, "
+                f"wants {nstrips * spp} ({spp} planes)"
+            )
+        planes = []
+        for ci in range(spp):
+            praw = bytearray()
+            for i in range(nstrips):
+                j = ci * nstrips + i
+                nrows = min(rows_per_strip, h - i * rows_per_strip)
+                praw += _block_to_packed(
+                    data[offs[j] : offs[j] + cnts[j]],
+                    comp, tags, nrows, w, 1, depth, photo, f"strip {j}",
+                )
+            planes.append(
+                np.frombuffer(
+                    bytes(praw), dtype=np.uint8 if depth == 8 else bo + "u2"
+                ).reshape(h, w).astype(np.int64)
+            )
+        sam = np.stack(planes, axis=-1)
+        if pred2:  # differencing runs within each plane's rows
+            sam = np.cumsum(sam, axis=1) & pmask
+        px = (sam >> 8 if depth == 16 else sam).astype(np.uint8)
+        return _px_to_image(np.ascontiguousarray(px), photo, tags)
+
     raw = bytearray()
     for i, (off, cnt) in enumerate(zip(offs, cnts)):
         nrows = min(rows_per_strip, h - i * rows_per_strip)
         raw += _block_to_packed(
             data[off : off + cnt], comp, tags, nrows, w, spp, depth, photo, f"strip {i}"
         )
-    arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, rowbytes)
-
-    if tags.get(_PREDICTOR, [1])[0] == 2:  # horizontal differencing
-        if depth != 8:
-            raise NotImplementedError("TIFF predictor on sub-byte samples")
-        acc = np.cumsum(arr.reshape(h, w, spp).astype(np.int64), axis=1)
-        arr = (acc & 0xFF).astype(np.uint8).reshape(h, w * spp)
-
     if depth == 1:
+        rowbytes = (w + 7) // 8
+        arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, rowbytes)
         bitsarr = np.unpackbits(arr, axis=1)[:, :w]
         img = (bitsarr * 255).astype(np.uint8)
         if photo == 0:  # WhiteIsZero (the fax default): 0 bit = white
             img = 255 - img
         return np.ascontiguousarray(img)
-    return _px_to_image(arr.reshape(h, w, spp), photo, tags)
+    sam = np.frombuffer(
+        bytes(raw), dtype=np.uint8 if depth == 8 else bo + "u2"
+    ).reshape(h, w, spp).astype(np.int64)
+    if pred2:  # horizontal differencing
+        sam = np.cumsum(sam, axis=1) & pmask
+    px = (sam >> 8 if depth == 16 else sam).astype(np.uint8)
+    return _px_to_image(np.ascontiguousarray(px), photo, tags)
 
 
 def _px_to_image(px: np.ndarray, photo: int, tags: dict) -> np.ndarray:

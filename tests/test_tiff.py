@@ -682,16 +682,136 @@ class TestTiledTiff:
             want[r : r + 12, c : c + 16] = decode_jpeg(s)
         assert (decode_tiff(data) == want[:20, :28]).all()
 
-    def test_grid_mismatch_and_predictor_fail_loudly(self):
+    def test_grid_mismatch_fails_loudly(self):
         img = _rng().integers(0, 256, (5, 7)).astype(np.uint8)
         tiles, _, _ = _tile_grid(img, 4, 3)
         bodies = [t.tobytes() for t in tiles]
         with pytest.raises(ValueError, match="grid wants"):
             decode_tiff(_tiled_le(7, 5, 4, 3, bodies[:1]))
-        with pytest.raises(NotImplementedError, match="predictor on tiled"):
-            decode_tiff(
-                _tiled_le(
-                    7, 5, 4, 3, bodies,
-                    extra_tags=[(317, 3, 1, struct.pack("<H", 2))],
-                )
-            )
+
+    def test_predictor_on_tiles_restarts_per_tile_row(self):
+        # horizontal differencing runs WITHIN each tile's rows (the
+        # GeoTIFF layout); cross-tile reconstruction must not leak
+        img = _rng().integers(0, 256, (5, 7)).astype(np.uint8)
+        tiles, _, _ = _tile_grid(img, 4, 3)
+        bodies = []
+        for t in tiles:
+            d = t.astype(np.int16)
+            d[:, 1:] = (t[:, 1:].astype(np.int16) - t[:, :-1]) % 256
+            bodies.append(d.astype(np.uint8).tobytes())
+        data = _tiled_le(
+            7, 5, 4, 3, bodies,
+            extra_tags=[(317, 3, 1, struct.pack("<H", 2))],
+        )
+        assert (decode_tiff(data) == img).all()
+
+
+def _strip_tiff_le(w, h, strips, bits, spp, photo=1, extra_tags=(), rps=None):
+    """Hand-build a little-endian strip TIFF with arbitrary depth /
+    sample layout (two passes to learn strip offsets)."""
+    n = len(strips)
+    base = [
+        (256, 4, 1, struct.pack("<I", w)),
+        (257, 4, 1, struct.pack("<I", h)),
+        (258, 3, spp, struct.pack("<%dH" % spp, *([bits] * spp))),
+        (259, 3, 1, struct.pack("<H", 1)),
+        (262, 3, 1, struct.pack("<H", photo)),
+        (277, 3, 1, struct.pack("<H", spp)),
+        (278, 4, 1, struct.pack("<I", rps if rps else h)),
+        (279, 4, n, b"".join(struct.pack("<I", len(s)) for s in strips)),
+        *extra_tags,
+    ]
+
+    def build(strips_at):
+        offs = []
+        at = strips_at
+        for s in strips:
+            offs.append(at)
+            at += len(s)
+        tags = base + [
+            (273, 4, n, b"".join(struct.pack("<I", o) for o in offs))
+        ]
+        return _ifd_le(tags, strips)
+
+    _, strips_at = build(0)
+    data, _ = build(strips_at)
+    return data
+
+
+class TestDeepAndPlanarSamples:
+    """16-bit samples (either byte order, top-byte projection at the
+    image seam) and PlanarConfiguration 2 (plane-major strips)."""
+
+    def test_16bit_gray_le(self):
+        img16 = (_rng().integers(0, 65536, (6, 9))).astype(np.uint16)
+        data = _strip_tiff_le(9, 6, [img16.astype("<u2").tobytes()], 16, 1)
+        assert (decode_tiff(data) == (img16 >> 8).astype(np.uint8)).all()
+
+    def test_16bit_rgb_and_predictor(self):
+        rgb16 = (_rng().integers(0, 65536, (4, 5, 3))).astype(np.uint16)
+        data = _strip_tiff_le(
+            5, 4, [rgb16.astype("<u2").tobytes()], 16, 3, photo=2
+        )
+        assert (decode_tiff(data) == (rgb16 >> 8).astype(np.uint8)).all()
+        # predictor 2 differencing runs mod 65536 on the 16-bit samples
+        diff = rgb16.astype(np.int64)
+        diff[:, 1:] = (diff[:, 1:] - rgb16[:, :-1].astype(np.int64)) % 65536
+        data = _strip_tiff_le(
+            5, 4, [diff.astype("<u2").tobytes()], 16, 3, photo=2,
+            extra_tags=[(317, 3, 1, struct.pack("<H", 2))],
+        )
+        assert (decode_tiff(data) == (rgb16 >> 8).astype(np.uint8)).all()
+
+    def test_16bit_samples_read_in_container_byte_order(self):
+        # the decoder reads 16-bit words in the container's byte
+        # order: big-endian sample bytes inside an II container must
+        # NOT reconstruct the image (they would if the order were
+        # ignored or guessed)
+        img16 = (_rng().integers(256, 65536, (3, 7))).astype(np.uint16)
+        le = _strip_tiff_le(7, 3, [img16.astype("<u2").tobytes()], 16, 1)
+        want = (img16 >> 8).astype(np.uint8)
+        assert (decode_tiff(le) == want).all()
+        swapped = _strip_tiff_le(7, 3, [img16.astype(">u2").tobytes()], 16, 1)
+        assert not (decode_tiff(swapped) == want).all()
+
+    def test_planar_rgb_strips(self):
+        rgb = _rng().integers(0, 256, (6, 5, 3)).astype(np.uint8)
+        strips = [rgb[..., c].tobytes() for c in range(3)]
+        data = _strip_tiff_le(
+            5, 6, strips, 8, 3, photo=2,
+            extra_tags=[(284, 3, 1, struct.pack("<H", 2))],
+        )
+        assert (decode_tiff(data) == rgb).all()
+
+    def test_planar_rgb_multi_strip_with_predictor(self):
+        rgb = _rng().integers(0, 256, (7, 4, 3)).astype(np.uint8)
+        diff = rgb.astype(np.int16)
+        diff[:, 1:] = (rgb[:, 1:].astype(np.int16) - rgb[:, :-1]) % 256
+        d8 = diff.astype(np.uint8)
+        strips = []
+        for c in range(3):  # plane-major: all of R's strips, then G's…
+            for y0 in (0, 4):
+                strips.append(d8[y0 : y0 + 4, :, c].tobytes())
+        data = _strip_tiff_le(
+            4, 7, strips, 8, 3, photo=2, rps=4,
+            extra_tags=[
+                (284, 3, 1, struct.pack("<H", 2)),
+                (317, 3, 1, struct.pack("<H", 2)),
+            ],
+        )
+        assert (decode_tiff(data) == rgb).all()
+
+    def test_guards(self):
+        rgb = _rng().integers(0, 256, (4, 4, 3)).astype(np.uint8)
+        # planar strips short of spp * ceil(h/rps)
+        data = _strip_tiff_le(
+            4, 4, [rgb[..., 0].tobytes()], 8, 3, photo=2,
+            extra_tags=[(284, 3, 1, struct.pack("<H", 2))],
+        )
+        with pytest.raises(ValueError, match="planar"):
+            decode_tiff(data)
+        # depth 32 stays declared out of scope
+        img = _rng().integers(0, 256, (3, 3)).astype(np.uint8)
+        data = _strip_tiff_le(3, 3, [img.tobytes()], 32, 1)
+        with pytest.raises(NotImplementedError, match="depth 32"):
+            decode_tiff(data)
