@@ -13,11 +13,14 @@ IEEE float (tag 3) at 32/64 bits, WAVE_FORMAT_EXTENSIBLE (tag
 0xFFFE — the >2-channel / >16-bit layout, SubFormat GUID resolved to
 PCM or float), any channel count / sample rate — plus the telephony /
 voice-archive compressions: G.711 A-law (tag 6) and mu-law (tag 7)
-via 256-entry expansion LUTs, and IMA/DVI ADPCM (tag 0x11, mono) with
-the standard 89-step table, decoded LOCKSTEP across blocks (the
-per-sample loop is vectorized over all blocks at once — blocks are
-independent by construction, so the hot path stays O(samples_per_block)
-numpy steps regardless of clip length), and MS-ADPCM (tag 2, mono) —
+via 256-entry expansion LUTs, and IMA/DVI ADPCM (tag 0x11, mono or
+multichannel — blocks carry one header per channel and interleave
+4-byte/8-sample channel words) with the standard 89-step table,
+decoded LOCKSTEP across blocks (the per-sample loop is vectorized
+over all (block, channel) pairs at once — blocks are independent by
+construction, so the hot path stays O(samples_per_block)
+numpy steps regardless of clip length), and MS-ADPCM (tag 2, mono or
+multichannel — header fields and nibbles channel-interleaved) —
 the classic Windows voice-archive codec: per-block predictor choice
 from the coefficient pairs carried in the fmt chunk (custom tables
 honored), adaptive iDelta quantizer per the published adaptation
@@ -174,37 +177,55 @@ def _ima_diff(nib: np.ndarray, step: np.ndarray) -> np.ndarray:
     )
 
 
-def _ima_decode(raw: bytes, block_align: int, n_samples: int) -> np.ndarray:
-    """IMA ADPCM data chunk → (n_samples,) int16, decoded lockstep: the
-    per-sample loop runs once per in-block position, vectorized over
-    every block simultaneously."""
+def _ima_decode(raw: bytes, block_align: int, n_frames: int, ch: int = 1) -> np.ndarray:
+    """IMA ADPCM data chunk → flat interleaved (n_frames × ch,) int16,
+    decoded lockstep: the per-sample loop runs once per in-block
+    position, vectorized over every (block, channel) simultaneously.
+    Multichannel blocks carry one 4-byte header per channel followed
+    by 4-byte (8-sample) data words interleaved channel by channel
+    (the IMA/DVI layout); mono data may be any byte length."""
     nb = len(raw) // block_align
-    if nb == 0 or block_align < 5:
+    if nb == 0 or block_align < 4 * ch + 1:
         raise ValueError("IMA ADPCM data shorter than one block")
     blocks = np.frombuffer(raw[: nb * block_align], dtype=np.uint8).reshape(
         nb, block_align
     )
-    pred = (
-        blocks[:, :2].copy().view("<i2").reshape(nb).astype(np.int32)
-    )
-    idx = np.clip(blocks[:, 2].astype(np.int32), 0, 88)
-    body = blocks[:, 4:]
-    nibs = np.empty((nb, body.shape[1] * 2), dtype=np.uint8)
-    nibs[:, 0::2] = body & 0x0F  # low nibble first (RFC 2361 / IMA spec)
-    nibs[:, 1::2] = body >> 4
-    out = np.empty((nb, 1 + nibs.shape[1]), dtype=np.int16)
-    out[:, 0] = pred
-    for j in range(nibs.shape[1]):
-        n = nibs[:, j].astype(np.int32)
+    hdr = blocks[:, : 4 * ch].reshape(nb, ch, 4)
+    pred = hdr[:, :, :2].copy().view("<i2").reshape(nb, ch).astype(np.int32)
+    idx = np.clip(hdr[:, :, 2].astype(np.int32), 0, 88)
+    body = blocks[:, 4 * ch :]
+    if ch == 1:
+        by = body[:, None, :]  # (nb, 1, bytes)
+    else:
+        if body.shape[1] % (4 * ch):
+            raise ValueError(
+                "IMA ADPCM multichannel block body is not whole "
+                "4-byte channel words"
+            )
+        ngroups = body.shape[1] // (4 * ch)
+        by = (
+            body.reshape(nb, ngroups, ch, 4)
+            .transpose(0, 2, 1, 3)
+            .reshape(nb, ch, ngroups * 4)
+        )
+    nibs = np.empty((nb, ch, by.shape[2] * 2), dtype=np.uint8)
+    nibs[:, :, 0::2] = by & 0x0F  # low nibble first (RFC 2361 / IMA spec)
+    nibs[:, :, 1::2] = by >> 4
+    nibs = nibs.transpose(0, 2, 1)  # (nb, nsam, ch)
+    nsam = nibs.shape[1]
+    out = np.empty((nb, 1 + nsam, ch), dtype=np.int16)
+    out[:, 0, :] = pred
+    for j in range(nsam):
+        n = nibs[:, j, :].astype(np.int32)
         step = _IMA_STEPS[idx]
         diff = _ima_diff(n, step)
         pred = np.clip(pred + np.where(n & 8, -diff, diff), -32768, 32767)
         idx = np.clip(idx + _IMA_INDEX[n], 0, 88)
-        out[:, j + 1] = pred
+        out[:, j + 1, :] = pred
     flat = out.reshape(-1)
-    if n_samples > len(flat):
+    if n_frames * ch > len(flat):
         raise ValueError("IMA ADPCM fact chunk claims more samples than blocks hold")
-    return flat[:n_samples]
+    return flat[: n_frames * ch]
 
 
 # ---------------------------------------------------------------------------
@@ -234,19 +255,20 @@ def _trunc_div256(x: np.ndarray) -> np.ndarray:
 
 
 def _ms_decode(
-    raw: bytes, block_align: int, n_samples: int, coef: np.ndarray
+    raw: bytes, block_align: int, n_frames: int, coef: np.ndarray, ch: int = 1
 ) -> np.ndarray:
-    """MS-ADPCM data chunk (mono) → (n_samples,) int16, lockstep across
-    blocks. Block layout: bPredictor(1) iDelta(2) iSamp1(2) iSamp2(2)
-    then 4-bit codes packed HIGH nibble first; playback order is
-    iSamp2, iSamp1, decoded codes."""
+    """MS-ADPCM data chunk → flat interleaved (n_frames × ch,) int16,
+    lockstep across (block, channel). Block layout: bPredictor[ch]
+    iDelta[ch] iSamp1[ch] iSamp2[ch] then 4-bit codes packed HIGH
+    nibble first, alternating channels sample by sample; playback
+    order is the iSamp2 frame, the iSamp1 frame, decoded codes."""
     nb = len(raw) // block_align
-    if nb == 0 or block_align < 7:
+    if nb == 0 or block_align < 7 * ch:
         raise ValueError("MS-ADPCM data shorter than one block")
     blocks = np.frombuffer(raw[: nb * block_align], dtype=np.uint8).reshape(
         nb, block_align
     )
-    pred_idx = blocks[:, 0].astype(np.int64)
+    pred_idx = blocks[:, :ch].astype(np.int64)  # (nb, ch)
     if (pred_idx >= len(coef)).any():
         raise ValueError(
             f"MS-ADPCM block predictor index exceeds the file's "
@@ -254,37 +276,49 @@ def _ms_decode(
         )
     c1 = coef[pred_idx, 0]
     c2 = coef[pred_idx, 1]
-    delta = blocks[:, 1:3].copy().view("<i2").reshape(nb).astype(np.int64)
-    samp1 = blocks[:, 3:5].copy().view("<i2").reshape(nb).astype(np.int64)
-    samp2 = blocks[:, 5:7].copy().view("<i2").reshape(nb).astype(np.int64)
+    delta = (
+        blocks[:, ch : 3 * ch].copy().view("<i2").reshape(nb, ch).astype(np.int64)
+    )
+    samp1 = (
+        blocks[:, 3 * ch : 5 * ch].copy().view("<i2").reshape(nb, ch).astype(np.int64)
+    )
+    samp2 = (
+        blocks[:, 5 * ch : 7 * ch].copy().view("<i2").reshape(nb, ch).astype(np.int64)
+    )
     if (delta <= 0).any():
         raise ValueError("MS-ADPCM block header iDelta must be positive")
-    body = blocks[:, 7:]
-    nibs = np.empty((nb, body.shape[1] * 2), dtype=np.uint8)
-    nibs[:, 0::2] = body >> 4  # HIGH nibble first (unlike IMA)
-    nibs[:, 1::2] = body & 0x0F
-    out = np.empty((nb, 2 + nibs.shape[1]), dtype=np.int16)
-    out[:, 0] = samp2
-    out[:, 1] = samp1
-    for j in range(nibs.shape[1]):
-        n = nibs[:, j].astype(np.int64)
+    body = blocks[:, 7 * ch :]
+    seq = np.empty((nb, body.shape[1] * 2), dtype=np.uint8)
+    seq[:, 0::2] = body >> 4  # HIGH nibble first (unlike IMA)
+    seq[:, 1::2] = body & 0x0F
+    if seq.shape[1] % ch:
+        raise ValueError("MS-ADPCM block body is not whole channel frames")
+    nibs = seq.reshape(nb, -1, ch)
+    nsam = nibs.shape[1]
+    out = np.empty((nb, 2 + nsam, ch), dtype=np.int16)
+    out[:, 0, :] = samp2
+    out[:, 1, :] = samp1
+    for j in range(nsam):
+        n = nibs[:, j, :].astype(np.int64)
         signed = np.where(n & 8, n - 16, n)  # 4-bit two's complement
         pred = _trunc_div256(samp1 * c1 + samp2 * c2)
         sample = np.clip(pred + signed * delta, -32768, 32767)
         samp2 = samp1
         samp1 = sample
         delta = np.maximum(_MS_ADAPT[n] * delta >> 8, 16)  # delta > 0: >>8 == /256
-        out[:, j + 2] = sample
+        out[:, j + 2, :] = sample
     flat = out.reshape(-1)
-    if n_samples > len(flat):
+    if n_frames * ch > len(flat):
         raise ValueError("MS-ADPCM fact chunk claims more samples than blocks hold")
-    return flat[:n_samples]
+    return flat[: n_frames * ch]
 
 
 def encode_wav_msadpcm(
     samples: np.ndarray, sample_rate: int, samples_per_block: int = 500
 ) -> bytes:
-    """(N,) or (N,1) int16 mono → MS-ADPCM WAV bytes (format tag 2).
+    """(N,) / (N,1) mono or (N,ch) multichannel int16 → MS-ADPCM WAV
+    bytes (format tag 2, channel-interleaved header fields and
+    nibbles, each channel predicted independently).
     Per block the encoder scores all seven standard coefficient pairs
     on raw prediction error (vectorized) and keeps the best, seeds
     iDelta from the mean residual, stores the first two samples
@@ -294,14 +328,13 @@ def encode_wav_msadpcm(
     trims it at decode, like the IMA twin."""
     if samples.dtype != np.int16:
         raise ValueError(f"encode_wav_msadpcm expects int16, got {samples.dtype}")
-    if samples.ndim == 2:
-        if samples.shape[1] != 1:
-            raise NotImplementedError("MS-ADPCM encoder is mono-only here")
-        samples = samples[:, 0]
-    if samples.ndim != 1:
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.ndim != 2 or samples.shape[1] < 1:
         raise ValueError(
-            f"encode_wav_msadpcm expects (N,) or (N,1), got {samples.shape}"
+            f"encode_wav_msadpcm expects (N,) or (N,ch), got {samples.shape}"
         )
+    ch = samples.shape[1]
     if samples_per_block % 2 or samples_per_block < 4:
         raise ValueError("samples_per_block must be even and >= 4")
     n = len(samples)
@@ -309,32 +342,35 @@ def encode_wav_msadpcm(
         raise ValueError("empty clip")
     spb = samples_per_block
     nb = max(1, -(-n // spb))
-    padded = np.full(nb * spb, samples[-1], dtype=np.int16)
+    padded = np.tile(samples[-1], (nb * spb, 1)).astype(np.int16)
     padded[:n] = samples
-    grid = padded.reshape(nb, spb).astype(np.int64)
+    grid = padded.reshape(nb, spb, ch).astype(np.int64)
 
     # predictor choice: raw prediction error of each of the 7 pairs
-    # over the whole block (encoder freedom; one vectorized pass each)
-    errs = np.empty((len(_MS_COEF), nb), dtype=np.int64)
+    # over the whole block, independently per channel (encoder
+    # freedom; one vectorized pass each)
+    errs = np.empty((len(_MS_COEF), nb, ch), dtype=np.int64)
     for p, (c1, c2) in enumerate(_MS_COEF):
-        pred = _trunc_div256(grid[:, 1:-1] * c1 + grid[:, :-2] * c2)
-        errs[p] = np.abs(grid[:, 2:] - pred).sum(axis=1)
-    pred_idx = errs.argmin(axis=0)
+        pred = _trunc_div256(grid[:, 1:-1, :] * c1 + grid[:, :-2, :] * c2)
+        errs[p] = np.abs(grid[:, 2:, :] - pred).sum(axis=1)
+    pred_idx = errs.argmin(axis=0)  # (nb, ch)
     c1 = _MS_COEF[pred_idx, 0].astype(np.int64)
     c2 = _MS_COEF[pred_idx, 1].astype(np.int64)
 
     # iDelta seed: mean absolute residual of the chosen predictor,
     # scaled down to leave quantizer headroom (stored per block, so any
     # seed decodes exactly; this one just starts near the signal)
-    mean_err = errs[pred_idx, np.arange(nb)] // max(spb - 2, 1)
+    mean_err = np.take_along_axis(errs, pred_idx[None], axis=0)[0] // max(
+        spb - 2, 1
+    )
     delta = np.clip(mean_err // 4, 16, 32767).astype(np.int64)
     delta0 = delta.copy()
-    samp2 = grid[:, 0].copy()
-    samp1 = grid[:, 1].copy()
+    samp2 = grid[:, 0, :].copy()
+    samp1 = grid[:, 1, :].copy()
 
-    nibs = np.empty((nb, spb - 2), dtype=np.uint8)
+    nibs = np.empty((nb, spb - 2, ch), dtype=np.uint8)
     for j in range(spb - 2):
-        x = grid[:, j + 2]
+        x = grid[:, j + 2, :]
         pred = _trunc_div256(samp1 * c1 + samp2 * c2)
         err = x - pred
         # symmetric round-to-nearest (trunc toward zero after biasing)
@@ -347,20 +383,25 @@ def encode_wav_msadpcm(
         samp1 = sample
         nib = (code & 0x0F).astype(np.int64)
         delta = np.maximum(_MS_ADAPT[nib] * delta >> 8, 16)
-        nibs[:, j] = nib.astype(np.uint8)
+        nibs[:, j, :] = nib.astype(np.uint8)
 
-    block_align = 7 + (spb - 2) // 2
+    block_align = 7 * ch + (spb - 2) * ch // 2
     blocks = np.empty((nb, block_align), dtype=np.uint8)
-    blocks[:, 0] = pred_idx.astype(np.uint8)
-    blocks[:, 1:3] = delta0.astype("<i2")[:, None].view(np.uint8)
-    blocks[:, 3:5] = grid[:, 1].astype("<i2")[:, None].view(np.uint8)  # iSamp1
-    blocks[:, 5:7] = grid[:, 0].astype("<i2")[:, None].view(np.uint8)  # iSamp2
-    blocks[:, 7:] = (nibs[:, 0::2] << 4) | nibs[:, 1::2]
+    blocks[:, :ch] = pred_idx.astype(np.uint8)
+    blocks[:, ch : 3 * ch] = delta0.astype("<i2").view(np.uint8).reshape(nb, 2 * ch)
+    blocks[:, 3 * ch : 5 * ch] = (
+        grid[:, 1, :].astype("<i2").view(np.uint8).reshape(nb, 2 * ch)
+    )  # iSamp1
+    blocks[:, 5 * ch : 7 * ch] = (
+        grid[:, 0, :].astype("<i2").view(np.uint8).reshape(nb, 2 * ch)
+    )  # iSamp2
+    seq = nibs.reshape(nb, (spb - 2) * ch)  # channels alternate per sample
+    blocks[:, 7 * ch :] = (seq[:, 0::2] << 4) | seq[:, 1::2]
     data = blocks.tobytes()
     coef_blob = b"".join(struct.pack("<hh", a, b) for a, b in _MS_COEF)
     fmt = struct.pack(
         "<HHIIHHHHH",
-        2, 1, sample_rate,
+        2, ch, sample_rate,
         sample_rate * block_align // spb,
         block_align, 4, 4 + len(coef_blob), spb, len(_MS_COEF),
     ) + coef_blob
@@ -408,37 +449,49 @@ def encode_wav_g711(samples: np.ndarray, sample_rate: int, law: str = "mu") -> b
 def encode_wav_adpcm(
     samples: np.ndarray, sample_rate: int, samples_per_block: int = 505
 ) -> bytes:
-    """(N,) or (N,1) int16 mono → IMA ADPCM WAV bytes (format tag 0x11).
-    The encoder is the decoder's exact mirror (same step/index updates),
-    run lockstep across blocks; the final partial block is padded by
-    repeating the last sample and trimmed at decode via the fact chunk."""
+    """(N,) / (N,1) mono or (N,ch) multichannel int16 → IMA ADPCM WAV
+    bytes (format tag 0x11). The encoder is the decoder's exact mirror
+    (same step/index updates), run lockstep across (block, channel);
+    the final partial block is padded by repeating the last frame and
+    trimmed at decode via the fact chunk. Multichannel blocks carry
+    one header per channel and interleave 4-byte (8-sample) channel
+    words, so samples_per_block - 1 must then be a multiple of 8."""
     if samples.dtype != np.int16:
         raise ValueError(f"encode_wav_adpcm expects int16, got {samples.dtype}")
-    if samples.ndim == 2:
-        if samples.shape[1] != 1:
-            raise NotImplementedError("IMA ADPCM encoder is mono-only here")
-        samples = samples[:, 0]
-    if samples.ndim != 1:
-        raise ValueError(f"encode_wav_adpcm expects (N,) or (N,1), got {samples.shape}")
-    if (samples_per_block - 1) % 2 or samples_per_block < 3:
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.ndim != 2 or samples.shape[1] < 1:
+        raise ValueError(
+            f"encode_wav_adpcm expects (N,) or (N,ch), got {samples.shape}"
+        )
+    ch = samples.shape[1]
+    spb = samples_per_block
+    if (spb - 1) % 2 or spb < 3:
         raise ValueError("samples_per_block must be odd and >= 3")
+    if ch > 1 and (spb - 1) % 8:
+        raise ValueError(
+            "multichannel IMA ADPCM needs samples_per_block - 1 "
+            "divisible by 8 (whole 4-byte channel words)"
+        )
     n = len(samples)
     if n == 0:
         raise ValueError("empty clip")
-    nb = max(1, -(-n // samples_per_block))
-    padded = np.full(nb * samples_per_block, samples[-1], dtype=np.int16)
+    nb = max(1, -(-n // spb))
+    padded = np.tile(samples[-1], (nb * spb, 1)).astype(np.int16)
     padded[:n] = samples
-    grid = padded.reshape(nb, samples_per_block).astype(np.int32)
+    grid = padded.reshape(nb, spb, ch).astype(np.int32)
 
-    pred = grid[:, 0].copy()
+    pred = grid[:, 0, :].copy()
     # per-block initial step index: smallest step >= the first delta
     # (stored in the block header, so blocks stay self-contained and
     # the slew-limited ramp-up from step 7 is avoided on hot signals)
-    idx0 = np.searchsorted(_IMA_STEPS, np.abs(grid[:, 1] - grid[:, 0])).clip(0, 88)
+    idx0 = np.searchsorted(
+        _IMA_STEPS, np.abs(grid[:, 1, :] - grid[:, 0, :])
+    ).clip(0, 88)
     idx = idx0.astype(np.int32).copy()
-    nibs = np.empty((nb, samples_per_block - 1), dtype=np.uint8)
-    for j in range(samples_per_block - 1):
-        x = grid[:, j + 1]
+    nibs = np.empty((nb, spb - 1, ch), dtype=np.uint8)
+    for j in range(spb - 1):
+        x = grid[:, j + 1, :]
         step = _IMA_STEPS[idx]
         delta = x - pred
         sign = delta < 0
@@ -457,20 +510,31 @@ def encode_wav_adpcm(
         diff = _ima_diff(nib, step)
         pred = np.clip(pred + np.where(sign, -diff, diff), -32768, 32767)
         idx = np.clip(idx + _IMA_INDEX[nib], 0, 88)
-        nibs[:, j] = nib.astype(np.uint8)
+        nibs[:, j, :] = nib.astype(np.uint8)
 
-    block_align = 4 + (samples_per_block - 1) // 2
+    bpc = (spb - 1) // 2  # data bytes per channel
+    block_align = ch * (4 + bpc)
     blocks = np.empty((nb, block_align), dtype=np.uint8)
-    blocks[:, :2] = grid[:, 0].astype("<i2")[:, None].view(np.uint8)
-    blocks[:, 2] = idx0.astype(np.uint8)
-    blocks[:, 3] = 0
-    blocks[:, 4:] = nibs[:, 0::2] | (nibs[:, 1::2] << 4)
+    hdr = np.empty((nb, ch, 4), dtype=np.uint8)
+    hdr[:, :, :2] = grid[:, 0, :].astype("<i2")[:, :, None].view(np.uint8)
+    hdr[:, :, 2] = idx0.astype(np.uint8)
+    hdr[:, :, 3] = 0
+    blocks[:, : 4 * ch] = hdr.reshape(nb, 4 * ch)
+    by = (nibs[:, 0::2, :] | (nibs[:, 1::2, :] << 4)).transpose(0, 2, 1)
+    if ch == 1:
+        blocks[:, 4:] = by[:, 0, :]
+    else:
+        blocks[:, 4 * ch :] = (
+            by.reshape(nb, ch, bpc // 4, 4)
+            .transpose(0, 2, 1, 3)
+            .reshape(nb, ch * bpc)
+        )
     data = blocks.tobytes()
     fmt = struct.pack(
         "<HHIIHHHH",
-        0x11, 1, sample_rate,
-        sample_rate * block_align // samples_per_block,
-        block_align, 4, 2, samples_per_block,
+        0x11, ch, sample_rate,
+        sample_rate * block_align // spb,
+        block_align, 4, 2, spb,
     )
     fact = struct.pack("<I", n)
     body = (
@@ -535,26 +599,26 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             raise ValueError(f"G.711 WAV must be 8-bit, got {bits}")
         codes = np.frombuffer(raw, dtype=np.uint8)
         samples = (_ALAW_DEC if tag == 6 else _MULAW_DEC)[codes]
-    elif tag == 0x11:  # IMA / DVI ADPCM
-        if ch != 1:
-            raise NotImplementedError("IMA ADPCM decode is mono-only here")
+    elif tag == 0x11:  # IMA / DVI ADPCM (mono or channel-word stereo+)
+        if ch < 1:
+            raise ValueError("IMA ADPCM WAV declares zero channels")
         if bits != 4:
             raise ValueError(f"IMA ADPCM WAV must be 4-bit, got {bits}")
         block_align = fmt[4]
         if fmt_body is None or len(fmt_body) < 20:
             raise ValueError("IMA ADPCM fmt chunk missing wSamplesPerBlock")
         (spb,) = struct.unpack("<H", fmt_body[18:20])
-        if spb != (block_align - 4) * 2 + 1:
+        if spb != (block_align - 4 * ch) * 2 // ch + 1:
             raise ValueError(
                 f"IMA ADPCM wSamplesPerBlock {spb} inconsistent with "
-                f"nBlockAlign {block_align}"
+                f"nBlockAlign {block_align} at {ch} channels"
             )
         nb = len(raw) // block_align
         n_out = fact_samples if fact_samples is not None else nb * spb
-        samples = _ima_decode(raw, block_align, n_out)
-    elif tag == 2:  # MS-ADPCM
-        if ch != 1:
-            raise NotImplementedError("MS-ADPCM decode is mono-only here")
+        samples = _ima_decode(raw, block_align, n_out, ch)
+    elif tag == 2:  # MS-ADPCM (mono or sample-interleaved stereo+)
+        if ch < 1:
+            raise ValueError("MS-ADPCM WAV declares zero channels")
         if bits != 4:
             raise ValueError(f"MS-ADPCM WAV must be 4-bit, got {bits}")
         block_align = fmt[4]
@@ -572,14 +636,14 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             .astype(np.int64)
             .reshape(ncoef, 2)
         )
-        if spb != (block_align - 7) * 2 + 2:
+        if spb != (block_align - 7 * ch) * 2 // ch + 2:
             raise ValueError(
                 f"MS-ADPCM wSamplesPerBlock {spb} inconsistent with "
-                f"nBlockAlign {block_align}"
+                f"nBlockAlign {block_align} at {ch} channels"
             )
         nb = len(raw) // block_align
         n_out = fact_samples if fact_samples is not None else nb * spb
-        samples = _ms_decode(raw, block_align, n_out, coef)
+        samples = _ms_decode(raw, block_align, n_out, coef, ch)
     elif tag != 1:
         raise NotImplementedError(
             f"compressed WAVE format tag {tag} not supported here "

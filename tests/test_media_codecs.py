@@ -320,8 +320,10 @@ class TestImaAdpcm:
 
         s, r = render_audio("adpcm-bad")
         st = np.stack([s, s], axis=1)
-        with pytest.raises(NotImplementedError, match="mono"):
-            encode_wav_adpcm(st, r)
+        # multichannel encodes (TestStereoAdpcm), but needs whole
+        # 4-byte channel words: (spb - 1) % 8 == 0
+        with pytest.raises(ValueError, match="divisible by 8"):
+            encode_wav_adpcm(st, r, samples_per_block=5)
         with pytest.raises(ValueError, match="odd"):
             encode_wav_adpcm(s, r, samples_per_block=4)
         with pytest.raises(ValueError, match="empty"):
@@ -423,8 +425,6 @@ class TestMsAdpcm:
         from oar_ocr_spark.functions.wav import encode_wav_msadpcm
 
         s, r = render_audio("msadpcm-bad")
-        with pytest.raises(NotImplementedError, match="mono"):
-            encode_wav_msadpcm(np.stack([s, s], axis=1), r)
         with pytest.raises(ValueError, match="even"):
             encode_wav_msadpcm(s, r, samples_per_block=5)
         with pytest.raises(ValueError, match="empty"):
@@ -476,3 +476,85 @@ class TestTelephonyStore:
             want_rms = round(float(np.sqrt(np.sum(mono * mono) / len(mono))), 6)
             assert feats[ref]["rms"] == want_rms, ref
             assert feats[ref]["n_samples"] == len(mono)
+
+
+class TestStereoAdpcm:
+    """Multichannel IMA and MS ADPCM: IMA interleaves 4-byte
+    (8-sample) channel words after per-channel headers; MS interleaves
+    header fields and nibbles channel by channel. Channels predict
+    independently, so a stereo decode must equal the two mono decodes
+    side by side."""
+
+    def _stereo(self):
+        t = np.arange(3000, dtype=np.float64)
+        left = np.round(9000 * np.sin(2 * np.pi * 300 * t / 8000)).astype(
+            np.int16
+        )
+        right = np.round(
+            7000 * np.sin(2 * np.pi * 440 * t / 8000 + 1.0)
+        ).astype(np.int16)
+        return left, right, np.stack([left, right], axis=1)
+
+    def test_ima_stereo_equals_per_channel_mono(self):
+        from oar_ocr_spark.functions.wav import encode_wav_adpcm
+
+        left, right, st = self._stereo()
+        dec, rate = decode_wav(encode_wav_adpcm(st, 8000, samples_per_block=505))
+        assert rate == 8000 and dec.shape == (3000, 2)
+        mono_l, _ = decode_wav(encode_wav_adpcm(left, 8000, samples_per_block=505))
+        mono_r, _ = decode_wav(encode_wav_adpcm(right, 8000, samples_per_block=505))
+        assert np.array_equal(dec[:, 0], mono_l[:, 0])
+        assert np.array_equal(dec[:, 1], mono_r[:, 0])
+
+    def test_ms_stereo_equals_per_channel_mono(self):
+        from oar_ocr_spark.functions.wav import encode_wav_msadpcm
+
+        left, right, st = self._stereo()
+        dec, rate = decode_wav(encode_wav_msadpcm(st, 8000, samples_per_block=500))
+        assert rate == 8000 and dec.shape == (3000, 2)
+        mono_l, _ = decode_wav(encode_wav_msadpcm(left, 8000, samples_per_block=500))
+        mono_r, _ = decode_wav(encode_wav_msadpcm(right, 8000, samples_per_block=500))
+        assert np.array_equal(dec[:, 0], mono_l[:, 0])
+        assert np.array_equal(dec[:, 1], mono_r[:, 0])
+
+    def test_stereo_snr_and_fact_trim(self):
+        from oar_ocr_spark.functions.wav import (
+            encode_wav_adpcm,
+            encode_wav_msadpcm,
+        )
+
+        left, right, st = self._stereo()
+        for enc, spb in ((encode_wav_adpcm, 129), (encode_wav_msadpcm, 128)):
+            dec, _ = decode_wav(enc(st, 8000, samples_per_block=spb))
+            assert dec.shape == (3000, 2)  # fact chunk trims frames
+            for c, x in ((0, left), (1, right)):
+                err = dec[:, c].astype(np.float64) - x.astype(np.float64)
+                rms = np.sqrt(np.mean(x.astype(np.float64) ** 2))
+                assert np.sqrt(np.mean(err**2)) < 0.1 * rms, (enc, c)
+
+    def test_four_channels(self):
+        from oar_ocr_spark.functions.wav import (
+            encode_wav_adpcm,
+            encode_wav_msadpcm,
+        )
+
+        left, right, _ = self._stereo()
+        q = np.stack(
+            [left, right, (left // 2).astype(np.int16),
+             (right // 3).astype(np.int16)],
+            axis=1,
+        )
+        dec, _ = decode_wav(encode_wav_adpcm(q, 8000, samples_per_block=97))
+        assert dec.shape == (3000, 4)
+        dec, _ = decode_wav(encode_wav_msadpcm(q, 8000, samples_per_block=100))
+        assert dec.shape == (3000, 4)
+
+    def test_inconsistent_stereo_block_align_raises(self):
+        from oar_ocr_spark.functions.wav import encode_wav_adpcm
+
+        _, _, st = self._stereo()
+        data = bytearray(encode_wav_adpcm(st, 8000, samples_per_block=505))
+        i = data.index(b"fmt ") + 8
+        data[i + 18 : i + 20] = struct.pack("<H", 505 + 8)  # wSamplesPerBlock
+        with pytest.raises(ValueError, match="inconsistent"):
+            decode_wav(bytes(data))
