@@ -1228,7 +1228,10 @@ class PdfDocument:
         return out
 
     def page_image(self, page: dict) -> np.ndarray:
-        """First image XObject of a page → ndarray ((H,W) grey or (H,W,3))."""
+        """First image of a page → ndarray ((H,W) grey or (H,W,3)):
+        the first image XObject, else the first INLINE image (BI..ID
+        ..EI in the content stream — the layout small born-digital
+        writers emit)."""
         res = self.resolve(page.get("Resources", {}))
         xobjects = self.resolve(res.get("XObject", {}))
         for _name, ref in xobjects.items():
@@ -1238,6 +1241,16 @@ class PdfDocument:
             d, raw = obj
             if d.get("Subtype") != "Image":
                 continue
+            return self._image_from_dict(d, raw)
+        inline = self._inline_image(page)
+        if inline is not None:
+            return inline
+        raise ValueError("PDF page has no image XObject")
+
+    def _image_from_dict(self, d: dict, raw: bytes) -> np.ndarray:
+        """Image dict + encoded stream bytes → ndarray (shared by
+        image XObjects and inline images)."""
+        if True:
             filts, parms = _filter_chain(self._resolved_filter_dict(d))
             for f, pm in zip(filts, parms):
                 if f == "DCTDecode":
@@ -1349,7 +1362,112 @@ class PdfDocument:
             from .jpeg import _cmyk_to_rgb  # true (non-inverted) CMYK
 
             return _cmyk_to_rgb(comps, adobe=None)
-        raise ValueError("PDF page has no image XObject")
+
+    _INLINE_KEYS = {
+        "W": "Width", "H": "Height", "BPC": "BitsPerComponent",
+        "CS": "ColorSpace", "F": "Filter", "D": "Decode",
+        "DP": "DecodeParms", "IM": "ImageMask", "I": "Interpolate",
+    }
+    _INLINE_NAMES = {
+        "G": "DeviceGray", "RGB": "DeviceRGB", "CMYK": "DeviceCMYK",
+        "I": "Indexed",
+        "AHx": "ASCIIHexDecode", "A85": "ASCII85Decode",
+        "LZW": "LZWDecode", "Fl": "FlateDecode", "RL": "RunLengthDecode",
+        "CCF": "CCITTFaxDecode", "DCT": "DCTDecode",
+    }
+
+    def _inline_expand(self, v):
+        """Expand the 8.9.7 inline-image abbreviations inside a parsed
+        value (names in color spaces and filter lists)."""
+        if isinstance(v, _Name):
+            return _Name(self._INLINE_NAMES.get(str(v), str(v)))
+        if isinstance(v, list):
+            return [self._inline_expand(x) for x in v]
+        if isinstance(v, dict):
+            return {k: self._inline_expand(x) for k, x in v.items()}
+        return v
+
+    def _inline_image(self, page: dict) -> np.ndarray | None:
+        """First inline image (BI .. ID <data> EI, 8.9.7) of the
+        page's content stream(s) → ndarray, or None if there is none.
+        Abbreviated keys and names expand to their long twins and the
+        image decodes through the same dict seam as an XObject.
+        Unfiltered data length is computed from the image dict; for
+        filtered data every whitespace-delimited EI candidate is tried
+        until one decodes."""
+        content = self.resolve(page.get("Contents"))
+        chunks = []
+        for c in content if isinstance(content, list) else [content]:
+            c = self.resolve(c)
+            if isinstance(c, tuple) and len(c) == 2:
+                chunks.append(
+                    _apply_stream_filters(self._resolved_filter_dict(c[0]), c[1])
+                )
+        if not chunks:
+            return None
+        data = b"\n".join(chunks)
+        ws = b"\x00\t\n\x0c\r "
+        start = 0
+        while True:
+            i = data.find(b"BI", start)
+            if i < 0:
+                return None
+            start = i + 2
+            if i and data[i - 1 : i] not in (
+                b"\x00", b"\t", b"\n", b"\x0c", b"\r", b" ", b">", b"]",
+            ):
+                continue
+            try:
+                d: dict = {}
+                pos = i + 2
+                while True:
+                    pos = _skip_ws(data, pos)
+                    if data[pos : pos + 2] == b"ID" and (
+                        pos + 2 >= len(data) or data[pos + 2] in ws
+                    ):
+                        pos += 3  # ID + the single whitespace byte
+                        break
+                    key, pos = _parse_value(data, pos)
+                    if not isinstance(key, _Name):
+                        raise ValueError("inline image dict key is not a name")
+                    val, pos = _parse_value(data, pos)
+                    d[self._INLINE_KEYS.get(str(key), str(key))] = (
+                        self._inline_expand(val)
+                    )
+                if "Width" not in d or "Height" not in d:
+                    raise ValueError("inline image missing W/H")
+                if not d.get("Filter"):
+                    # raw samples: exact byte length from the dict
+                    if d.get("ImageMask"):
+                        nc, bpc = 1, 1
+                    else:
+                        spec = self._image_colorspace(
+                            d.get("ColorSpace", _Name("DeviceGray"))
+                        )
+                        nc = (
+                            1 if spec[0] == "indexed"
+                            else {"gray": 1, "rgb": 3, "cmyk": 4}[spec[0]]
+                        )
+                        bpc = int(d.get("BitsPerComponent", 8))
+                    rowbytes = (int(d["Width"]) * nc * bpc + 7) // 8
+                    end = pos + rowbytes * int(d["Height"])
+                    return self._image_from_dict(d, data[pos:end])
+                j = pos
+                while True:  # filtered: try each plausible EI
+                    j = data.find(b"EI", j)
+                    if j < 0:
+                        raise ValueError("inline image data missing EI")
+                    if (
+                        data[j - 1] in ws
+                        and (j + 2 >= len(data) or data[j + 2] in ws)
+                    ):
+                        try:
+                            return self._image_from_dict(d, data[pos : j - 1])
+                        except Exception:
+                            pass
+                    j += 2
+            except ValueError:
+                continue
 
     def _image_colorspace(self, v):
         """Image /ColorSpace entry → ("gray"|"rgb"|"cmyk",) or

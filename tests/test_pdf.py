@@ -1067,3 +1067,108 @@ class TestImageColorSpacesAndDepths:
         )
         with pytest.raises(ValueError, match="truncated"):
             decode_pdf(pdf)
+
+
+def _inline_pdf(content: bytes) -> bytes:
+    """Minimal PDF whose only image is INLINE in the content stream."""
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length %d >>\nstream\n" % len(content)
+        + content + b"\nendstream",
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for n in sorted(bodies):
+        offs[n] = len(out)
+        out += b"%d 0 obj\n" % n + bodies[n] + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 5\n" + b"0000000000 65535 f \n"
+    for k in sorted(bodies):
+        out += b"%010d 00000 n \n" % offs[k]
+    out += (
+        b"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % xref_at
+    )
+    return bytes(out)
+
+
+class TestInlineImages:
+    """Inline images (BI .. ID .. EI, 8.9.7): abbreviated keys/names,
+    raw and filtered data, decoded through the same dict seam as
+    image XObjects when the page has no XObject."""
+
+    def test_raw_gray_with_operators_around(self):
+        img = (np.arange(24).reshape(4, 6) * 10).astype(np.uint8)
+        content = (
+            b"q 6 0 0 4 0 0 cm BI /W 6 /H 4 /BPC 8 /CS /G ID "
+            + img.tobytes() + b" EI Q"
+        )
+        assert np.array_equal(decode_pdf(_inline_pdf(content))[0], img)
+
+    def test_flate_rgb_abbreviated_filter(self):
+        rgb = np.arange(72, dtype=np.uint8).reshape(4, 6, 3)
+        content = (
+            b"BI /W 6 /H 4 /BPC 8 /CS /RGB /F /Fl ID "
+            + zlib.compress(rgb.tobytes()) + b" EI"
+        )
+        assert np.array_equal(decode_pdf(_inline_pdf(content))[0], rgb)
+
+    def test_asciihex_imagemask(self):
+        bits = (np.arange(24).reshape(4, 6) % 2).astype(np.uint8)
+        hexed = np.packbits(bits, axis=1).tobytes().hex().encode() + b">"
+        content = b"BI /IM true /W 6 /H 4 /F [/AHx] ID " + hexed + b" EI"
+        assert np.array_equal(
+            decode_pdf(_inline_pdf(content))[0], bits * 255
+        )
+
+    def test_indexed_abbreviation_in_colorspace_array(self):
+        # /I is Indexed inside a color space but Interpolate as a key
+        pal = bytes([255, 0, 0, 0, 255, 0])
+        idx = np.array([[0, 1, 1, 0, 1, 0]], dtype=np.uint8)
+        content = (
+            b"BI /I false /W 6 /H 1 /BPC 8 /CS [/I /RGB 1 <"
+            + pal.hex().encode() + b">] ID " + idx.tobytes() + b" EI"
+        )
+        want = np.frombuffer(pal, np.uint8).reshape(2, 3)[idx[0]][None]
+        assert np.array_equal(decode_pdf(_inline_pdf(content))[0], want)
+
+    def test_ei_bytes_inside_filtered_data(self):
+        # compressed payloads may contain the EI byte pair: every
+        # whitespace-delimited candidate is tried until one decodes
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (20, 30)).astype(np.uint8)
+        img.reshape(-1)[100:104] = [0x20, 0x45, 0x49, 0x20]  # " EI "
+        z = zlib.compress(img.tobytes(), 0)  # stored: raw bytes inside
+        assert b" EI " in z  # a false candidate exists mid-stream
+        content = b"BI /W 30 /H 20 /BPC 8 /CS /G /F /Fl ID " + z + b" EI"
+        assert np.array_equal(decode_pdf(_inline_pdf(content))[0], img)
+
+    def test_xobject_wins_over_inline(self):
+        # a page with BOTH takes the XObject (the full-bleed scan path)
+        imgx = np.full((3, 5), 77, dtype=np.uint8)
+        stream = zlib.compress(imgx.tobytes())
+        inline = (np.arange(6, dtype=np.uint8) * 7).reshape(2, 3)
+        content = b"BI /W 3 /H 2 /BPC 8 /CS /G ID " + inline.tobytes() + b" EI"
+        bodies_extra = (
+            b"<< /Type /XObject /Subtype /Image /Width 5 /Height 3"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+            b" /Filter /FlateDecode /Length %d >>\nstream\n" % len(stream)
+            + stream + b"\nendstream",
+            b"<< /Length %d >>\nstream\n" % len(content)
+            + content + b"\nendstream",
+        )
+        pdf = _mini_pdf(
+            b"<< /Type /XObject /Subtype /Image /Width 5 /Height 3"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+            b" /Filter /FlateDecode /Length %d >>\nstream\n" % len(stream)
+            + stream + b"\nendstream",
+            b"",
+        )
+        assert np.array_equal(decode_pdf(pdf)[0], imgx)
+
+    def test_no_image_anywhere_still_fails_loudly(self):
+        content = b"q 1 0 0 1 0 0 cm BT ET Q"
+        with pytest.raises(ValueError, match="no image"):
+            decode_pdf(_inline_pdf(content))
