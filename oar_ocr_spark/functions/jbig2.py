@@ -35,11 +35,13 @@ Decoder model mirrors functions/ccitt: the page is a (rows, columns)
 uint8 bit matrix with **1 = black** (T.88 codes foreground = 1); the
 PDF adapter maps polarity exactly like CCITTFaxDecode.
 
+Text regions decode in all four reference corners, multi-row strips,
+and TRANSPOSED orientation (6.4.5 3c — the vertical-text layout).
+
 Scope (fails loudly): halftone regions, refinement (both standalone
 and aggregate/refined symbol coding), huffman-tabled dictionaries and
-regions, transposed text regions, segments of unknown length, and
-intermediate regions raise NotImplementedError; damaged streams raise
-ValueError.
+regions, segments of unknown length, and intermediate regions raise
+NotImplementedError; damaged streams raise ValueError.
 """
 
 from __future__ import annotations
@@ -631,6 +633,7 @@ def encode_jbig2_symbols(
     file_header: bool = False,
     refcorner: str = "tl",
     strips: int = 1,
+    transposed: bool = False,
 ) -> bytes:
     """(rows, columns) {0,1} bit matrix → embedded JBIG2 stream in
     SYMBOL MODE — the layout born-scanned PDFs actually carry
@@ -642,7 +645,9 @@ def encode_jbig2_symbols(
     IDs). `refcorner` picks the reference corner ('tl'/'bl'/'tr'/
     'br' — bottom corners strip-group by the glyph BASELINE, the
     typographic layout); `strips` (1/2/4/8) emits multi-row strips
-    with per-instance IAIT offsets. Falls back to a generic-region
+    with per-instance IAIT offsets; `transposed=True` writes a
+    TRANSPOSED region (6.4.5 3c: S runs down the page, strips are
+    COLUMN bands — the vertical-text layout). Falls back to a generic-region
     stream when the page has no black pixels. Lossless: the
     components partition the ink exactly."""
     if bits.ndim != 2 or bits.dtype != np.uint8 or int(bits.max(initial=0)) > 1:
@@ -711,32 +716,44 @@ def encode_jbig2_symbols(
     stript = 0
     firsts = 0
     bottom = refcorner in ("bl", "br")
+    right = refcorner in ("tr", "br")
     by_strip: dict[int, list] = {}
     for t, l, bm in comps:
-        # the coded T is the reference corner's row
-        ti = t + bm.shape[0] - 1 if bottom else t
+        if transposed:
+            # strips are COLUMN bands; the coded T is the reference
+            # corner's column, the coded S the instance's TOP row
+            ti = l + bm.shape[1] - 1 if right else l
+            si, adv = t, bm.shape[0] - 1
+        else:
+            # the coded T is the reference corner's row
+            ti = t + bm.shape[0] - 1 if bottom else t
+            si, adv = l, bm.shape[1] - 1
         base = (ti // strips) * strips
-        by_strip.setdefault(base, []).append((l, ti - base, bm))
+        by_strip.setdefault(base, []).append((si, ti - base, adv, bm))
     for base in sorted(by_strip):
         _int_arith(enc, iadt, (base - stript) // strips, True)
         stript = base
         curs = None
-        for l, curt, bm in sorted(by_strip[base], key=lambda e: (e[0], e[1])):
+        for si, curt, adv, bm in sorted(by_strip[base], key=lambda e: (e[0], e[1])):
             if curs is None:
-                _int_arith(enc, iafs, l - firsts, True)
-                firsts = l
-                curs = l
+                _int_arith(enc, iafs, si - firsts, True)
+                firsts = si
+                curs = si
             else:
-                _int_arith(enc, iads, l - curs, True)
-                curs = l
+                _int_arith(enc, iads, si - curs, True)
+                curs = si
             if strips > 1:
                 _int_arith(enc, iait, curt, True)
             _iaid_arith(enc, iaid, codelen, uniq[bm.shape + (bm.tobytes(),)], True)
-            curs += bm.shape[1] - 1
+            curs += adv
         _int_arith(enc, iads, None, True)  # OOB ends the strip
     text_payload = enc.flush()
-    # SBHUFF=0, LOGSBSTRIPS, REFCORNER
-    tflags = (strips.bit_length() - 1) << 2 | corners[refcorner] << 4
+    # SBHUFF=0, LOGSBSTRIPS, REFCORNER, TRANSPOSED
+    tflags = (
+        (strips.bit_length() - 1) << 2
+        | corners[refcorner] << 4
+        | (0x40 if transposed else 0)
+    )
     region_info = struct.pack(">IIIIB", w, h, 0, 0, 0)
     text_data = (
         region_info
@@ -836,8 +853,7 @@ def _decode_text_region(body: bytes, syms: list) -> tuple[np.ndarray, int, int, 
         raise NotImplementedError("JBIG2 huffman-coded text regions not supported")
     if tflags & 0x02:
         raise NotImplementedError("JBIG2 refined text regions not supported")
-    if tflags & 0x40:
-        raise NotImplementedError("JBIG2 transposed text regions not supported")
+    transposed = bool(tflags & 0x40)
     logsbstrips = (tflags >> 2) & 0x03
     sbstrips = 1 << logsbstrips
     refcorner = (tflags >> 4) & 0x03  # 0 BL, 1 TL, 2 BR, 3 TR
@@ -891,17 +907,31 @@ def _decode_text_region(body: bytes, syms: list) -> tuple[np.ndarray, int, int, 
                 raise ValueError(f"JBIG2 symbol id {sid} out of range")
             bm = syms[sid]
             hs, ws = bm.shape
-            if refcorner in (2, 3):  # right corners advance first
-                curs += ws - 1
-                px = curs - ws + 1
+            if transposed:
+                # S runs down the page, T across (6.4.5 3c: vertical
+                # text): after each instance CURS sits on its BOTTOM
+                # row; bottom corners pre-advance, top corners post
+                if refcorner in (0, 2):  # bottom corners advance first
+                    curs += hs - 1
+                    py = curs - hs + 1
+                else:
+                    py = curs
+                px = ti if refcorner in (0, 1) else ti - ws + 1  # L vs R
             else:
-                px = curs
-            py = ti if refcorner in (1, 3) else ti - hs + 1  # TOP vs BOTTOM
+                if refcorner in (2, 3):  # right corners advance first
+                    curs += ws - 1
+                    px = curs - ws + 1
+                else:
+                    px = curs
+                py = ti if refcorner in (1, 3) else ti - hs + 1  # T vs B
             if not (0 <= px and px + ws <= int(w) and 0 <= py and py + hs <= int(h)):
                 raise ValueError("JBIG2 symbol instance outside its region")
             window = region[py : py + hs, px : px + ws]
             region[py : py + hs, px : px + ws] = _COMBINE[sbcombop](window, bm)
-            if refcorner in (0, 1):  # left corners advance after
+            if transposed:
+                if refcorner in (1, 3):  # top corners advance after
+                    curs += hs - 1
+            elif refcorner in (0, 1):  # left corners advance after
                 curs += ws - 1
             inst += 1
             if inst >= numinst:

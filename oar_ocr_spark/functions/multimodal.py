@@ -476,6 +476,7 @@ def fax_store_df(
                     template=(h >> 6) & 3,
                     refcorner=("tl", "bl", "tr", "br")[(h >> 13) & 3],
                     strips=1 << ((h >> 15) & 3),
+                    transposed=bool(h & (1 << 17)),
                     file_header=True,
                 )
             else:

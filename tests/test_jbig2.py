@@ -190,6 +190,23 @@ class TestSymbolMode:
                 code = encode_jbig2_symbols(bits, refcorner=rc, strips=st)
                 assert np.array_equal(decode_jbig2(code), bits), (rc, st)
 
+    def test_transposed_all_corners_and_strips(self):
+        # TRANSPOSED regions (6.4.5 3c): S runs down the page, strips
+        # are column bands — the vertical-text layout
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_symbols
+
+        bits = (render_page("7_m2") < 200).astype(np.uint8)
+        for rc in ("tl", "bl", "tr", "br"):
+            for st in (1, 4):
+                code = encode_jbig2_symbols(
+                    bits, refcorner=rc, strips=st, transposed=True
+                )
+                assert np.array_equal(decode_jbig2(code), bits), (rc, st)
+        # the flag really lands in the stream (different packet walk)
+        assert encode_jbig2_symbols(bits, transposed=True) != (
+            encode_jbig2_symbols(bits)
+        )
+
     def test_dedup_and_repeats(self):
         from oar_ocr_spark.functions.jbig2 import encode_jbig2_symbols
 
