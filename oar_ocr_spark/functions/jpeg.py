@@ -410,26 +410,34 @@ def _encode_scan(zz: np.ndarray, restart_interval: int = 0) -> bytes:
     )
 
 
-def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
-    """(H,W,3) uint8 RGB → (H,W,3) uint8 YCbCr (JFIF full-range)."""
+def _rgb_to_ycbcr(img: np.ndarray, precision: int = 8) -> np.ndarray:
+    """(H,W,3) RGB → (H,W,3) YCbCr (JFIF full-range; chroma centered
+    at 2^(P-1) for deep precisions)."""
+    half, top = float(1 << (precision - 1)), (1 << precision) - 1
     r = img[..., 0].astype(np.float64)
     g = img[..., 1].astype(np.float64)
     b = img[..., 2].astype(np.float64)
     y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, 255).astype(np.uint8)
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + half
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + half
+    return np.clip(np.round(np.stack([y, cb, cr], axis=-1)), 0, top).astype(
+        np.uint8 if precision <= 8 else np.uint16
+    )
 
 
-def _ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
-    """(H,W,3) uint8 YCbCr → (H,W,3) uint8 RGB (JFIF full-range)."""
+def _ycbcr_to_rgb(planes: np.ndarray, precision: int = 8) -> np.ndarray:
+    """(H,W,3) YCbCr → (H,W,3) RGB (JFIF full-range; chroma centered
+    at 2^(P-1) for deep precisions)."""
+    half, top = float(1 << (precision - 1)), (1 << precision) - 1
     y = planes[..., 0].astype(np.float64)
-    cb = planes[..., 1].astype(np.float64) - 128.0
-    cr = planes[..., 2].astype(np.float64) - 128.0
+    cb = planes[..., 1].astype(np.float64) - half
+    cr = planes[..., 2].astype(np.float64) - half
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, top).astype(
+        np.uint8 if precision <= 8 else np.uint16
+    )
 
 
 def _plane_zz(
@@ -513,41 +521,66 @@ def encode_jpeg(
 def encode_jpeg_extended(
     img: np.ndarray, quality: int = 90, restart_interval: int = 0
 ) -> bytes:
-    """(H,W) uint16 12-bit greyscale → EXTENDED SEQUENTIAL (SOF1)
-    12-bit JPEG — the lossy DCT layout 12-bit DICOM transfer syntaxes
-    use. The Annex-K luminance table scales by 16 to keep the 8-bit
-    relative step (written as a 16-bit Pq=1 DQT); Huffman tables are
-    the flat deterministic 12-bit sets (_DC12/_AC12: DC categories to
-    15, AC sizes to 14). decode_jpeg returns uint16 with deep=True,
-    else the top-8-bit projection."""
-    if img.dtype != np.uint16 or img.ndim != 2:
+    """(H,W) grey or (H,W,3) RGB uint16 12-bit → EXTENDED SEQUENTIAL
+    (SOF1) 12-bit JPEG — the lossy DCT layouts 12-bit DICOM transfer
+    syntaxes and print masters use (color is 4:4:4 YCbCr with 12-bit
+    chroma centering). The Annex-K tables scale by 16 to keep the
+    8-bit relative step (written as 16-bit Pq=1 DQTs); Huffman tables
+    are the flat deterministic 12-bit sets (_DC12/_AC12: DC categories
+    to 15, AC sizes to 14) for every component. decode_jpeg returns
+    uint16 with deep=True, else the top-8-bit projection."""
+    if img.dtype != np.uint16 or img.ndim not in (2, 3):
         raise ValueError(
-            f"encode_jpeg_extended expects uint16 (H,W), got {img.dtype} {img.shape}"
+            f"encode_jpeg_extended expects uint16 (H,W) or (H,W,3), "
+            f"got {img.dtype} {img.shape}"
         )
     if int(img.max(initial=0)) >> 12:
         raise ValueError("sample exceeds the 12-bit range")
-    h, w = img.shape
+    grey = img.ndim == 2
+    h, w = img.shape[0], img.shape[1]
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    q = _scaled_qtable(quality) * 16
-    zz = _plane_zz(img, q, shift=2048.0)
-    scan = _interleaved_scan(
-        [(zz, 1, _DC12_CODE, _DC12_LEN, _AC12_CODE, _AC12_LEN)],
-        zz.shape[0],
-        restart_interval,
-    )
+    q_lum = _scaled_qtable(quality) * 16
+    tbls = (_DC12_CODE, _DC12_LEN, _AC12_CODE, _AC12_LEN)
+    if grey:
+        comps = [(_plane_zz(img, q_lum, shift=2048.0), 1, *tbls)]
+        nmcu = comps[0][0].shape[0]
+    else:
+        q_chr = _scaled_qtable(quality, _QTABLE_K2) * 16
+        ycc = _rgb_to_ycbcr(img, precision=12)
+        comps = [(_plane_zz(ycc[..., 0], q_lum, shift=2048.0), 1, *tbls)]
+        for c in (1, 2):
+            comps.append(
+                (_plane_zz(ycc[..., c], q_chr, shift=2048.0), 1, *tbls)
+            )
+        nmcu = comps[0][0].shape[0]
+    scan = _interleaved_scan(comps, nmcu, restart_interval)
     seg = _seg
     out = bytearray(JPEG_SOI)
     out += seg(
         0xFFDB,
-        b"\x10" + struct.pack(">64H", *q.reshape(-1)[_ZIGZAG]),  # Pq=1
+        b"\x10" + struct.pack(">64H", *q_lum.reshape(-1)[_ZIGZAG]),  # Pq=1
     )
-    out += seg(0xFFC1, struct.pack(">BHHB", 12, h, w, 1) + b"\x01\x11\x00")
+    if not grey:
+        out += seg(
+            0xFFDB, b"\x11" + struct.pack(">64H", *q_chr.reshape(-1)[_ZIGZAG])
+        )
+    sof = struct.pack(">BHHB", 12, h, w, 1 if grey else 3)
+    for c in range(1 if grey else 3):
+        sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    out += seg(0xFFC1, sof)
     out += seg(0xFFC4, b"\x00" + bytes(_DC12_BITS) + bytes(_DC12_VALS))
     out += seg(0xFFC4, b"\x10" + bytes(_AC12_BITS) + bytes(_AC12_VALS))
+    if not grey:
+        out += seg(0xFFC4, b"\x01" + bytes(_DC12_BITS) + bytes(_DC12_VALS))
+        out += seg(0xFFC4, b"\x11" + bytes(_AC12_BITS) + bytes(_AC12_VALS))
     if restart_interval > 0:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
-    out += seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    sos = bytes([1 if grey else 3])
+    for c in range(1 if grey else 3):
+        tb = 0 if c == 0 else 1
+        sos += bytes([c + 1, (tb << 4) | tb])
+    out += seg(0xFFDA, sos + b"\x00\x3f\x00")
     out += scan
     out += b"\xff\xd9"
     return bytes(out)
@@ -759,37 +792,48 @@ def encode_jpeg_progressive(
     refinement scans down to Al=0 — so every decoder branch (EOB runs,
     ZRL-in-refinement, correction bits, per-scan restart resync) is
     exercised. Quantized coefficients are identical to the baseline
-    encoder's, so decode(progressive) == decode(baseline) EXACTLY."""
-    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+    encoder's, so decode(progressive) == decode(baseline) EXACTLY.
+    uint16 input writes the 12-bit flavor (SOF2 precision 12, 16-bit
+    Pq=1 DQTs scaled by 16, shift 2048) — quantized coefficients stay
+    in the 8-bit tables' range because sample and step scale cancel."""
+    if img.dtype not in (np.uint8, np.uint16) or img.ndim not in (2, 3):
         raise ValueError(
-            f"encode_jpeg_progressive expects uint8 (H,W) or (H,W,3), "
+            f"encode_jpeg_progressive expects uint8/uint16 (H,W) or (H,W,3), "
             f"got {img.dtype} {img.shape}"
         )
+    deep = img.dtype == np.uint16
+    if deep and int(img.max(initial=0)) >> 12:
+        raise ValueError("sample exceeds the 12-bit range")
+    qscale, shift, prec = (16, 2048.0, 12) if deep else (1, 128.0, 8)
     grey = img.ndim == 2
     h, w = img.shape[0], img.shape[1]
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    q_lum = _scaled_qtable(quality)
+    q_lum = _scaled_qtable(quality) * qscale
     if grey:
         if subsampling != "444":
             raise ValueError("subsampling applies to color images only")
         hY = vY = 1
         mcux, mcuy = -(-w // 8), -(-h // 8)
-        zz = [_plane_zz(img, q_lum, grid=(mcuy, mcux))]  # raster order
+        zz = [_plane_zz(img, q_lum, grid=(mcuy, mcux), shift=shift)]
         samp = [(1, 1)]
     else:
         if subsampling not in _SUBSAMPLING_FACTORS:
             raise ValueError(
                 f"subsampling must be one of {sorted(_SUBSAMPLING_FACTORS)}"
             )
+        if deep and subsampling != "444":
+            raise ValueError("12-bit progressive color is written 4:4:4 here")
         hY, vY = _SUBSAMPLING_FACTORS[subsampling]
-        q_chr = _scaled_qtable(quality, _QTABLE_K2)
-        ycc = _rgb_to_ycbcr(img)
+        q_chr = _scaled_qtable(quality, _QTABLE_K2) * qscale
+        ycc = _rgb_to_ycbcr(img, precision=prec)
         mcux, mcuy = -(-w // (8 * hY)), -(-h // (8 * vY))
-        zz = [_plane_zz(ycc[..., 0], q_lum, grid=(mcuy * vY, mcux * hY))]
+        zz = [
+            _plane_zz(ycc[..., 0], q_lum, grid=(mcuy * vY, mcux * hY), shift=shift)
+        ]
         for comp in (1, 2):
             sub = _box_downsample(ycc[..., comp], hY, vY)
-            zz.append(_plane_zz(sub, q_chr, grid=(mcuy, mcux)))
+            zz.append(_plane_zz(sub, q_chr, grid=(mcuy, mcux), shift=shift))
         samp = [(hY, vY), (1, 1), (1, 1)]
 
     dc_codes = [_canonical_codes(_DC_BITS, _DC_VALS)] + [
@@ -828,12 +872,19 @@ def encode_jpeg_progressive(
     seg = _seg
     out = bytearray(JPEG_SOI)
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + bytes(q_lum.reshape(-1)[_ZIGZAG].astype(np.uint8)))
-    if not grey:
-        out += seg(
-            0xFFDB, b"\x01" + bytes(q_chr.reshape(-1)[_ZIGZAG].astype(np.uint8))
-        )
-    sof = struct.pack(">BHHB", 8, h, w, 1 if grey else 3)
+    if deep:
+        out += seg(0xFFDB, b"\x10" + struct.pack(">64H", *q_lum.reshape(-1)[_ZIGZAG]))
+        if not grey:
+            out += seg(
+                0xFFDB, b"\x11" + struct.pack(">64H", *q_chr.reshape(-1)[_ZIGZAG])
+            )
+    else:
+        out += seg(0xFFDB, b"\x00" + bytes(q_lum.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+        if not grey:
+            out += seg(
+                0xFFDB, b"\x01" + bytes(q_chr.reshape(-1)[_ZIGZAG].astype(np.uint8))
+            )
+    sof = struct.pack(">BHHB", prec, h, w, 1 if grey else 3)
     for c, (hc, vc) in enumerate(samp):
         sof += bytes([c + 1, (hc << 4) | vc, 0 if c == 0 else 1])
     out += seg(0xFFC2, sof)  # SOF2: progressive DCT
@@ -1499,10 +1550,14 @@ def _planes_from_raster(
     if len(planes) == 1:
         return planes[0]
     if len(planes) == 4:
+        if precision != 8:
+            raise NotImplementedError(
+                f"{precision}-bit CMYK JPEG not supported"
+            )
         return _cmyk_to_rgb(np.stack(planes, axis=-1), adobe)
     if rgb_direct:
         return np.ascontiguousarray(np.stack(planes, axis=-1))
-    return _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    return _ycbcr_to_rgb(np.stack(planes, axis=-1), precision)
 
 
 def _cmyk_to_rgb(p4: np.ndarray, adobe: int | None) -> np.ndarray:
@@ -1818,11 +1873,11 @@ def decode_jpeg(data: bytes, deep: bool = False) -> np.ndarray:
     streams accumulate spectral-selection / successive-approximation
     scans and reconstruct at EOI. `deep=True` returns full-precision
     samples for >8-bit streams (uint16 — the 12/16-bit LOSSLESS SOF3
-    DICOM layouts AND 12-bit extended-sequential SOF1 DCT frames);
-    otherwise deep streams project to uint8 via their top 8 bits (the
-    PNG-16 convention of this engine's image seam). 12-bit DCT decode
-    is greyscale sequential Huffman only — 12-bit color/progressive/
-    arithmetic stay declared out of scope."""
+    DICOM layouts AND 12-bit DCT frames: extended-sequential SOF1 and
+    progressive SOF2, grey or YCbCr color with 12-bit chroma
+    centering); otherwise deep streams project to uint8 via their top
+    8 bits (the PNG-16 convention of this engine's image seam).
+    12-bit CMYK and 12-bit arithmetic stay declared out of scope."""
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -1916,17 +1971,18 @@ def decode_jpeg(data: bytes, deep: bool = False) -> np.ndarray:
             depth, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if depth not in (8, 12):
                 raise NotImplementedError(f"JPEG depth {depth} not supported")
+            if depth == 12 and marker == 0xC0:
+                raise ValueError("baseline SOF0 must be 8-bit (B.2.2)")
             if depth == 12:
-                # 12-bit DCT: extended-sequential greyscale only (the
-                # DICOM layout); 12-bit color / progressive /
-                # arithmetic stay declared out of scope
-                if ncomp != 1:
+                # 12-bit DCT (the DICOM / print-master layouts):
+                # grey and YCbCr color, sequential and progressive;
+                # 12-bit CMYK and arithmetic stay declared out of
+                # scope
+                if ncomp == 4:
+                    raise NotImplementedError("12-bit CMYK JPEG not supported")
+                if arith:
                     raise NotImplementedError(
-                        "12-bit JPEG with color components not supported"
-                    )
-                if progressive or arith:
-                    raise NotImplementedError(
-                        "12-bit progressive/arithmetic JPEG not supported"
+                        "12-bit arithmetic JPEG not supported"
                     )
             dct_precision = depth
             if ncomp not in (1, 3, 4):
@@ -2125,9 +2181,13 @@ def decode_jpeg(data: bytes, deep: bool = False) -> np.ndarray:
             return img
         # other segments (APPn, COM) are skipped
     if prog is not None:  # progressive: reconstruct at EOI
-        return _planes_from_raster(
+        img = _planes_from_raster(
             prog["coefs"], comp_info, qtables, prog["h"], prog["w"],
             prog["hmax"], prog["vmax"], prog["mcux"], prog["mcuy"],
             rgb_direct=rgb_direct, adobe=adobe_transform,
+            precision=dct_precision,
         )
+        if dct_precision > 8 and not deep:
+            img = (img >> (dct_precision - 8)).astype(np.uint8)
+        return img
     raise ValueError("JPEG has no SOS scan")

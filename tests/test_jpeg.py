@@ -1027,20 +1027,96 @@ class TestExtendedSequential12Bit:
             encode_jpeg_extended(np.zeros((8, 8), dtype=np.uint8))
         with pytest.raises(ValueError, match="12-bit"):
             encode_jpeg_extended(np.full((8, 8), 4096, dtype=np.uint16))
-        # 12-bit color / progressive stay declared out of scope: craft
-        # by patching the precision byte of real frames
+        # a 12-bit BASELINE frame is illegal per B.2.2 (SOF0 is 8-bit
+        # only); 12-bit CMYK and arithmetic stay declared out of scope
         from oar_ocr_spark.fixtures.render import render_page
-        from oar_ocr_spark.functions.jpeg import encode_jpeg, encode_jpeg_progressive
+        from oar_ocr_spark.functions.jpeg import encode_jpeg, encode_jpeg_cmyk
 
         p8 = render_page("5_m1")
         rgb = np.stack([p8] * 3, axis=-1)
         code = bytearray(encode_jpeg(rgb))
         i = code.index(b"\xff\xc0")
         code[i + 4] = 12
-        with pytest.raises(NotImplementedError, match="color"):
+        with pytest.raises(ValueError, match="SOF0"):
             decode_jpeg(bytes(code))
-        code = bytearray(encode_jpeg_progressive(p8))
-        i = code.index(b"\xff\xc2")
+        cmyk = np.zeros((16, 16, 4), dtype=np.uint8)
+        code = bytearray(encode_jpeg_cmyk(cmyk))
+        i = code.index(b"\xff\xc0")
+        code[i + 1] = 0xC1  # relabel as extended sequential
         code[i + 4] = 12
-        with pytest.raises(NotImplementedError, match="progressive"):
+        with pytest.raises(NotImplementedError, match="CMYK"):
+            decode_jpeg(bytes(code))
+
+
+class TestDeep12BitColorAndProgressive:
+    """12-bit DCT beyond greyscale sequential: 4:4:4 YCbCr color
+    (SOF1) and progressive (SOF2) frames, grey and color — the print-
+    master layouts — with 12-bit chroma centering and the top-8 seam
+    projection."""
+
+    def _pages12(self):
+        from oar_ocr_spark.fixtures.render import render_page
+
+        p8 = render_page("7_m2")
+        g12 = (p8.astype(np.uint16) << 4) | (p8 >> 4)
+        rgb12 = np.stack(
+            [g12, np.roll(g12, 3, 0), np.roll(g12, 5, 1)], axis=-1
+        )
+        return g12, rgb12
+
+    def test_color_sof1_roundtrip_and_projection(self):
+        from oar_ocr_spark.functions.jpeg import decode_jpeg, encode_jpeg_extended
+
+        _, rgb12 = self._pages12()
+        code = encode_jpeg_extended(rgb12, quality=95)
+        got = decode_jpeg(code, deep=True)
+        assert got.dtype == np.uint16 and got.shape == rgb12.shape
+        err = int(np.abs(got.astype(int) - rgb12.astype(int)).max())
+        assert err <= 512  # chroma table through the 12-bit ICT
+        assert np.array_equal(decode_jpeg(code), (got >> 4).astype(np.uint8))
+        i = code.index(b"\xff\xc1")
+        assert code[i + 4] == 12 and code[i + 9] == 3
+
+    def test_progressive_equals_sequential_coefficients(self):
+        from oar_ocr_spark.functions.jpeg import (
+            decode_jpeg,
+            encode_jpeg_extended,
+            encode_jpeg_progressive,
+        )
+
+        g12, rgb12 = self._pages12()
+        for img in (g12, rgb12):
+            seq = decode_jpeg(encode_jpeg_extended(img, quality=95), deep=True)
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, quality=95), deep=True
+            )
+            assert np.array_equal(seq, prog), img.shape
+
+    def test_progressive_sof2_signalled_and_restarts(self):
+        from oar_ocr_spark.functions.jpeg import decode_jpeg, encode_jpeg_progressive
+
+        g12, rgb12 = self._pages12()
+        code = encode_jpeg_progressive(rgb12, quality=95, restart_interval=2)
+        i = code.index(b"\xff\xc2")
+        assert code[i + 4] == 12
+        assert b"\xff\xdd" in code
+        err = np.abs(
+            decode_jpeg(code, deep=True).astype(int) - rgb12.astype(int)
+        )
+        assert err.max() <= 512
+        assert decode_jpeg(code).dtype == np.uint8
+
+    def test_guards(self):
+        from oar_ocr_spark.functions.jpeg import decode_jpeg, encode_jpeg_progressive
+        from oar_ocr_spark.functions.jpeg_arith import encode_jpeg_arith
+        from oar_ocr_spark.fixtures.render import render_page
+
+        g12, rgb12 = self._pages12()
+        with pytest.raises(ValueError, match="4:4:4"):
+            encode_jpeg_progressive(rgb12, subsampling="420")
+        # 12-bit arithmetic stays declared out of scope
+        code = bytearray(encode_jpeg_arith(render_page("5_m1")))
+        i = code.index(b"\xff\xc9")
+        code[i + 4] = 12
+        with pytest.raises(NotImplementedError, match="arithmetic"):
             decode_jpeg(bytes(code))
