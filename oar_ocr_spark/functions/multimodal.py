@@ -264,8 +264,10 @@ def deep_jpeg_payload_for_ref(ref: str, page=None) -> bytes:
     """Render `ref` (or take `page`), lift it to deterministic 12-bit
     content (`p12 = p8 << 4 | p8 >> 4`, the PNG-16 bit-replication
     convention) and encode it as 12-bit EXTENDED SEQUENTIAL JPEG
-    (SOF1, the lossy DCT layout 12-bit DICOM transfer syntaxes use) —
-    quality and restart flavor crc32-chosen per ref. ONE
+    (SOF1, the lossy DCT layout 12-bit DICOM transfer syntaxes use) or
+    — for half the refs — 12-bit PROGRESSIVE (SOF2, which quantizes
+    identically, so features match SOF1's exactly); quality and
+    restart flavor crc32-chosen per ref. ONE
     implementation, two call sites: deep_jpeg_store_df's worker rows
     and the golden generator (tools/make_goldens._deepjpeg_feature_row)
     both call this, so the driver-gate oracle never assumes the lossy
@@ -273,13 +275,14 @@ def deep_jpeg_payload_for_ref(ref: str, page=None) -> bytes:
     import zlib
 
     from ..fixtures.render import render_page
-    from .jpeg import encode_jpeg_extended
+    from .jpeg import encode_jpeg_extended, encode_jpeg_progressive
 
     if page is None:
         page = render_page(ref)
     p12 = (page.astype(np.uint16) << 4) | (page.astype(np.uint16) >> 4)
     h = zlib.crc32(("deepjpeg:" + ref).encode("utf-8"))
-    return encode_jpeg_extended(
+    enc = encode_jpeg_progressive if h & 16 else encode_jpeg_extended
+    return enc(
         p12,
         quality=(90, 95, 100)[h % 3],
         restart_interval=(page.shape[1] // 8 + 1) if h & 8 else 0,
