@@ -1212,26 +1212,36 @@ class PdfDocument:
 
     # -- pages -------------------------------------------------------------
     def pages(self) -> list[dict]:
-        """Page dicts in document order (walks nested /Pages trees)."""
+        """Page dicts in document order (walks nested /Pages trees).
+        The inheritable /Rotate attribute (7.7.3.4) flows down from
+        /Pages nodes into each page dict unless the page overrides
+        it."""
         root = self.resolve(self.trailer["Root"])
         out: list[dict] = []
 
-        def walk(node_ref):
+        def walk(node_ref, rotate):
             node = self.resolve(node_ref)
+            if "Rotate" in node:
+                rotate = self.resolve(node["Rotate"])
             if node.get("Type") == "Pages" or "Kids" in node:
                 for kid in self.resolve(node["Kids"]):
-                    walk(kid)
+                    walk(kid, rotate)
             else:
+                if rotate is not None and "Rotate" not in node:
+                    node = dict(node, Rotate=rotate)
                 out.append(node)
 
-        walk(root["Pages"])
+        walk(root["Pages"], None)
         return out
 
     def page_image(self, page: dict) -> np.ndarray:
         """First image of a page → ndarray ((H,W) grey or (H,W,3)):
         the first image XObject, else the first INLINE image (BI..ID
         ..EI in the content stream — the layout small born-digital
-        writers emit)."""
+        writers emit). The page's /Rotate attribute (90-degree
+        multiples, clockwise on display; the scanned-sideways layout)
+        is applied, so the array is the page AS DISPLAYED."""
+        img = None
         res = self.resolve(page.get("Resources", {}))
         xobjects = self.resolve(res.get("XObject", {}))
         for _name, ref in xobjects.items():
@@ -1241,11 +1251,18 @@ class PdfDocument:
             d, raw = obj
             if d.get("Subtype") != "Image":
                 continue
-            return self._image_from_dict(d, raw)
-        inline = self._inline_image(page)
-        if inline is not None:
-            return inline
-        raise ValueError("PDF page has no image XObject")
+            img = self._image_from_dict(d, raw)
+            break
+        if img is None:
+            img = self._inline_image(page)
+        if img is None:
+            raise ValueError("PDF page has no image XObject")
+        rot = self.resolve(page.get("Rotate", 0)) or 0
+        if rot % 90:
+            raise ValueError(f"PDF /Rotate {rot} is not a multiple of 90")
+        if rot % 360:
+            img = np.ascontiguousarray(np.rot90(img, k=-(rot // 90)))
+        return img
 
     def _image_from_dict(self, d: dict, raw: bytes) -> np.ndarray:
         """Image dict + encoded stream bytes → ndarray (shared by
@@ -1525,7 +1542,15 @@ class PdfDocument:
     def info_title(self) -> str | None:
         info = self.resolve(self.trailer.get("Info"))
         if isinstance(info, dict) and isinstance(info.get("Title"), str):
-            return info["Title"]
+            t = info["Title"]
+            # text strings (7.9.2.2): UTF-16BE with BOM (the standard
+            # non-ASCII layout) or UTF-8 with BOM; else PDFDocEncoding
+            # (parsed as latin-1 bytes)
+            if t[:2] == "\xfe\xff":
+                return t.encode("latin-1").decode("utf-16-be")[1:]
+            if t[:3] == "\xef\xbb\xbf":
+                return t.encode("latin-1").decode("utf-8")[1:]
+            return t
         return None
 
 

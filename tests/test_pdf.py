@@ -1172,3 +1172,76 @@ class TestInlineImages:
         content = b"q 1 0 0 1 0 0 cm BT ET Q"
         with pytest.raises(ValueError, match="no image"):
             decode_pdf(_inline_pdf(content))
+
+
+class TestRotateAndTextStrings:
+    """Page /Rotate (7.7.3.4, inheritable, clockwise-on-display) and
+    UTF-16BE/UTF-8 BOM text strings (7.9.2.2) — the scanned-sideways
+    and non-ASCII-title layouts."""
+
+    @staticmethod
+    def _build(page_extra=b"", pages_extra=b"", info=None):
+        img = np.arange(15, dtype=np.uint8).reshape(3, 5)
+        stream = zlib.compress(img.tobytes())
+        bodies = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+            + pages_extra + b">>",
+            3: b"<< /Type /Page /Parent 2 0 R " + page_extra
+            + b"/Resources << /XObject << /Im0 4 0 R >> >> >>",
+            4: b"<< /Type /XObject /Subtype /Image /Width 5 /Height 3"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+            b" /Filter /FlateDecode /Length %d >>\nstream\n" % len(stream)
+            + stream + b"\nendstream",
+        }
+        if info:
+            bodies[5] = info
+        out = bytearray(b"%PDF-1.4\n")
+        offs = {}
+        for n in sorted(bodies):
+            offs[n] = len(out)
+            out += b"%d 0 obj\n" % n + bodies[n] + b"\nendobj\n"
+        xref_at = len(out)
+        n = max(bodies) + 1
+        out += b"xref\n0 %d\n" % n + b"0000000000 65535 f \n"
+        for k in sorted(bodies):
+            out += b"%010d 00000 n \n" % offs[k]
+        tr = b"<< /Size %d /Root 1 0 R" % n
+        if info:
+            tr += b" /Info 5 0 R"
+        tr += b" >>"
+        out += b"trailer\n" + tr + b"\nstartxref\n%d\n%%%%EOF\n" % xref_at
+        return bytes(out), img
+
+    def test_rotate_all_quadrants(self):
+        for rot, k in ((90, -1), (180, 2), (270, 1), (360, 0), (0, 0)):
+            pdf, img = self._build(page_extra=b"/Rotate %d " % rot)
+            got = decode_pdf(pdf)[0]
+            assert np.array_equal(got, np.rot90(img, k)), rot
+
+    def test_rotate_inherits_and_page_overrides(self):
+        pdf, img = self._build(pages_extra=b"/Rotate 270 ")
+        assert np.array_equal(decode_pdf(pdf)[0], np.rot90(img, 1))
+        pdf, img = self._build(
+            page_extra=b"/Rotate 0 ", pages_extra=b"/Rotate 90 "
+        )
+        assert np.array_equal(decode_pdf(pdf)[0], img)
+
+    def test_rotate_non_multiple_fails_loudly(self):
+        pdf, _ = self._build(page_extra=b"/Rotate 45 ")
+        with pytest.raises(ValueError, match="multiple of 90"):
+            decode_pdf(pdf)
+
+    def test_utf16_and_utf8_titles(self):
+        from oar_ocr_spark.functions.pdf import PdfDocument
+
+        title = "naïve—ページ"
+        hexs = ("feff" + title.encode("utf-16-be").hex()).encode()
+        pdf, _ = self._build(info=b"<< /Title <" + hexs + b"> >>")
+        assert PdfDocument(pdf).info_title() == title
+        u8 = (b"efbbbf" + title.encode("utf-8").hex().encode())
+        pdf, _ = self._build(info=b"<< /Title <" + u8 + b"> >>")
+        assert PdfDocument(pdf).info_title() == title
+        # plain PDFDocEncoding strings pass through unchanged
+        pdf, _ = self._build(info=b"<< /Title (plain) >>")
+        assert PdfDocument(pdf).info_title() == "plain"
