@@ -37,11 +37,14 @@ PDF adapter maps polarity exactly like CCITTFaxDecode.
 
 Text regions decode in all four reference corners, multi-row strips,
 and TRANSPOSED orientation (6.4.5 3c — the vertical-text layout).
+Immediate REFINEMENT regions (6.3: both templates, TPGRON typical
+prediction, nominal GRAT) decode against the page content and an
+encoder twin writes the lossy-then-lossless two-pass layout.
 
-Scope (fails loudly): halftone regions, refinement (both standalone
-and aggregate/refined symbol coding), huffman-tabled dictionaries and
-regions, segments of unknown length, and intermediate regions raise
-NotImplementedError; damaged streams raise ValueError.
+Scope (fails loudly): halftone regions, aggregate/refined SYMBOL
+coding, custom refinement GRAT pixels, huffman-tabled dictionaries
+and regions, segments of unknown length, and intermediate regions
+raise NotImplementedError; damaged streams raise ValueError.
 """
 
 from __future__ import annotations
@@ -53,7 +56,13 @@ import numpy as np
 from .codec_guard import loud_decode
 from .jp2 import _MQDecoder, _MQEncoder
 
-__all__ = ["encode_jbig2", "encode_jbig2_symbols", "decode_jbig2", "JBIG2_MAGIC"]
+__all__ = [
+    "encode_jbig2",
+    "encode_jbig2_symbols",
+    "encode_jbig2_refinement",
+    "decode_jbig2",
+    "JBIG2_MAGIC",
+]
 
 # standalone .jb2 file header ID string (T.88 Annex D.4.1)
 JBIG2_MAGIC = b"\x97JB2\r\n\x1a\n"
@@ -226,6 +235,113 @@ def _fresh_jbig2_ctx(nbits: int) -> tuple[list, list]:
     return [0] * n, [0] * n
 
 
+# generic REFINEMENT templates (6.3.5.3, figures 12/13): per context
+# bit (source, dx, dy) with source 0 = the bitmap being refined and
+# source 1 = the reference bitmap; the bit's weight is its list
+# position (LSB first, the published layout). The adaptive pixels A1
+# (current) and A2 (reference) of template 0 are fixed at their
+# nominal (-1, -1) locations — a segment signalling custom GRAT fails
+# loudly (real encoders emit nominal).
+_REFINE_TEMPLATES = {
+    0: [(0, -1, 0), (0, 1, -1), (0, 0, -1), (0, -1, -1),
+        (1, 1, 1), (1, 0, 1), (1, -1, 1), (1, -1, -1),
+        (1, 1, 0), (1, 0, 0), (1, -1, 0), (1, 1, -1), (1, 0, -1)],
+    1: [(0, -1, 0), (0, 1, -1), (0, 0, -1), (0, -1, -1),
+        (1, 1, 1), (1, 0, 1), (1, 1, 0), (1, 0, 0), (1, -1, 0),
+        (1, 0, -1)],
+}
+# the TPGRON typical-prediction pseudo-contexts (6.3.5.6)
+_SLTP_REFINE_CTX = {0: 0x0100, 1: 0x0080}
+
+
+def _refine_region(
+    coder,
+    bits: np.ndarray | None,
+    ref: np.ndarray,
+    h: int,
+    w: int,
+    template: int,
+    tpgron: bool,
+) -> np.ndarray:
+    """The 6.3 generic refinement procedure over a same-position
+    reference (GRREFERENCEDX/DY = 0, the region-segment case), one
+    body for both directions: with `bits` it ENCODES into `coder` (an
+    _MQEncoder), else it DECODES. With TPGRON, rows under an active
+    LTP flag take the reference value wherever the 3x3 reference
+    neighborhood is uniform (those pixels are never coded; they still
+    feed the one-bit current-row register)."""
+    if template not in _REFINE_TEMPLATES:
+        raise ValueError(f"JBIG2 refinement template {template} is illegal")
+    encode = bits is not None
+    pix = _REFINE_TEMPLATES[template]
+
+    def ref_vec(yy: int, dx: int) -> np.ndarray:
+        out = np.zeros(w, dtype=np.int64)
+        if 0 <= yy < ref.shape[0]:
+            row = ref[yy]
+            lo, hi = max(0, -dx), min(w, len(row) - dx)
+            if hi > lo:
+                out[lo:hi] = row[lo + dx : hi + dx]
+        return out
+
+    rows: list = []
+    ltp = 0
+    for y in range(h):
+        cur_rows = bits if encode else rows
+        above = np.zeros(w, dtype=np.int64)
+        for k, (src, dx, dy) in enumerate(pix):
+            if k == 0:
+                continue  # the current row's x-1 pixel: the register
+            if src == 0:
+                if y + dy >= 0:
+                    above += _shifted(
+                        np.asarray(cur_rows[y + dy], dtype=np.int64), dx, w
+                    ) << k
+            else:
+                above += ref_vec(y + dy, dx) << k
+        skip = None
+        typ = None
+        if tpgron:
+            s9 = np.zeros(w, dtype=np.int64)
+            for ddy in (-1, 0, 1):
+                for ddx in (-1, 0, 1):
+                    s9 += ref_vec(y + ddy, ddx)
+            uni = (s9 == 0) | (s9 == 9)
+            typ = ref_vec(y, 0).astype(np.uint8)
+            if encode:
+                can = bool((bits[y][uni] == typ[uni]).all())
+                coder.encode(_SLTP_REFINE_CTX[template], can ^ ltp)
+                ltp = int(can)
+            else:
+                ltp ^= coder.decode(_SLTP_REFINE_CTX[template])
+            if ltp:
+                skip = uni
+        cur = bits[y] if encode else np.zeros(w, dtype=np.uint8)
+        if not encode and skip is not None:
+            cur[skip] = typ[skip]
+        reg = 0
+        if encode:
+            enc = coder.encode
+            for x in range(w):
+                b = int(cur[x])
+                if skip is None or not skip[x]:
+                    enc(int(above[x]) | reg, b)
+                reg = b
+        else:
+            dec = coder.decode
+            for x in range(w):
+                if skip is not None and skip[x]:
+                    reg = int(cur[x])
+                    continue
+                b = dec(int(above[x]) | reg)
+                cur[x] = b
+                reg = b
+        rows.append(cur)
+    return bits if encode else (
+        np.stack(rows) if rows else np.zeros((0, w), dtype=np.uint8)
+    )
+
+
 # ---------------------------------------------------------------------------
 # segment layer (7.2): embedded stream, no file header
 # ---------------------------------------------------------------------------
@@ -292,6 +408,63 @@ def encode_jbig2(
     out += _seg_header(3, 49, 1, 0)
     if file_header:
         # sequential organization (bit 0), known page count of 1
+        out = JBIG2_MAGIC + bytes([0x01]) + struct.pack(">I", 1) + out
+    return out
+
+
+def encode_jbig2_refinement(
+    bits: np.ndarray,
+    base: np.ndarray,
+    template: int = 0,
+    tpgron: bool = False,
+    base_template: int = 0,
+    file_header: bool = False,
+) -> bytes:
+    """(rows, cols) {0,1} target + same-shape coarse `base` → embedded
+    JBIG2 stream in REFINEMENT MODE — the lossy-then-lossless layout
+    scanners emit: the page first receives `base` as an immediate
+    generic region, then an immediate lossless REFINEMENT region
+    (6.3) codes `bits` against the page content and REPLACES it.
+    `template` picks the 13-bit (0) or 10-bit (1) refinement context;
+    `tpgron` enables typical prediction (uniform-reference pixels are
+    never coded). Lossless end-to-end by construction."""
+    if (
+        bits.ndim != 2 or bits.dtype != np.uint8
+        or int(bits.max(initial=0)) > 1
+    ):
+        raise ValueError(
+            "encode_jbig2_refinement expects a (rows, cols) uint8 {0,1} matrix"
+        )
+    if base.shape != bits.shape or base.dtype != np.uint8:
+        raise ValueError("base must be a same-shape uint8 {0,1} matrix")
+    if template not in _REFINE_TEMPLATES:
+        raise ValueError(f"refinement template must be 0 or 1, got {template}")
+    h, w = bits.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty bitmap")
+    at = _NOMINAL_AT[base_template]
+    enc = _MQEncoder(ctx=_fresh_jbig2_ctx(len(_sorted_template(base_template, at))))
+    _generic_region(enc, base, h, w, base_template, at, False)
+    base_region = (
+        struct.pack(">IIIIB", w, h, 0, 0, 0)
+        + bytes([base_template << 1])
+        + b"".join(struct.pack(">bb", dx, dy) for dx, dy in at)
+        + enc.flush()
+    )
+    enc = _MQEncoder(ctx=_fresh_jbig2_ctx(13 if template == 0 else 10))
+    _refine_region(enc, bits, base, h, w, template, tpgron)
+    refine_region = (
+        struct.pack(">IIIIB", w, h, 0, 0, 4)  # REPLACE onto the page
+        + bytes([template | (0x02 if tpgron else 0)])
+        + (struct.pack(">bbbb", -1, -1, -1, -1) if template == 0 else b"")
+        + enc.flush()
+    )
+    page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0x01, 0)
+    out = _seg_header(1, 48, 1, len(page_info)) + page_info
+    out += _seg_header(2, 39, 1, len(base_region)) + base_region
+    out += _seg_header(3, 43, 1, len(refine_region)) + refine_region
+    out += _seg_header(4, 49, 1, 0)
+    if file_header:
         out = JBIG2_MAGIC + bytes([0x01]) + struct.pack(">I", 1) + out
     return out
 
@@ -388,9 +561,10 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     prepended per PDF 32000 7.4.7) → (rows, columns) uint8 bit matrix
     with 1 = black, the functions/ccitt convention. Supports page
     info + generic region streams (arithmetic all four templates,
-    TPGDON, custom AT; or MMR) AND symbol-dictionary + text-region
-    streams (the born-scanned layout); halftone/refinement/huffman
-    segments fail loudly. A standalone .jb2 file header (Annex D) is
+    TPGDON, custom AT; or MMR), symbol-dictionary + text-region
+    streams (the born-scanned layout) AND immediate refinement
+    regions (the lossy-then-lossless two-pass layout);
+    halftone/huffman segments fail loudly. A standalone .jb2 file header (Annex D) is
     recognized and stripped; random-access organization is out of
     scope."""
     data = bytes(data)
@@ -473,8 +647,56 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             )
         elif t in (16, 20, 22, 23):
             raise NotImplementedError("JBIG2 halftone segments not supported")
-        elif t in (40, 42, 43):
-            raise NotImplementedError("JBIG2 refinement segments not supported")
+        elif t == 40:
+            raise NotImplementedError(
+                "JBIG2 intermediate refinement regions not supported"
+            )
+        elif t in (42, 43):  # immediate refinement region (7.4.7)
+            if page is None:
+                raise ValueError("JBIG2 region before page information")
+            if len(body) < 18:
+                raise ValueError("JBIG2 refinement region data truncated")
+            w, h, x, y, rflags = struct.unpack(">IIIIB", body[:17])
+            if int(w) * int(h) > 1 << 28:
+                raise ValueError(
+                    f"implausible JBIG2 region dimensions {w}x{h}"
+                )
+            op = rflags & 0x07
+            rfl = body[17]
+            template = rfl & 0x01
+            tpgron = bool(rfl & 0x02)
+            bpos = 18
+            if template == 0:
+                if bpos + 4 > len(body):
+                    raise ValueError("JBIG2 refinement AT pixels truncated")
+                grat = [
+                    struct.unpack(">bb", body[bpos + 2 * k : bpos + 2 * k + 2])
+                    for k in range(2)
+                ]
+                bpos += 4
+                if grat != [(-1, -1), (-1, -1)]:
+                    raise NotImplementedError(
+                        "JBIG2 refinement with custom GRAT pixels "
+                        "not supported (nominal (-1,-1) only)"
+                    )
+            if y + int(h) > page.shape[0] or x + int(w) > page.shape[1]:
+                raise ValueError("JBIG2 refinement region exceeds the page")
+            # with no referred intermediate region, the reference is
+            # the page's current content under the region (6.3.2)
+            reference = page[y : y + int(h), x : x + int(w)].copy()
+            dec = _MQDecoder(
+                body[bpos:], ctx=_fresh_jbig2_ctx(13 if template == 0 else 10)
+            )
+            bm = _refine_region(
+                dec, None, reference, int(h), int(w), template, tpgron
+            )
+            if op not in _COMBINE:
+                raise ValueError(
+                    f"JBIG2 region combination operator {op} is illegal"
+                )
+            window = page[y : y + int(h), x : x + int(w)]
+            page[y : y + int(h), x : x + int(w)] = _COMBINE[op](window, bm)
+            regions += 1
         elif t == 53:
             raise NotImplementedError("JBIG2 custom huffman tables not supported")
         elif t in (49, 50, 51, 52, 62):

@@ -468,9 +468,29 @@ def fax_store_df(
         bilevel = np.where(page >= 128, 255, 0).astype(np.uint8)
         h = zlib.crc32(("fax:" + ref).encode("utf-8"))
         if h & 32:
-            from .jbig2 import encode_jbig2, encode_jbig2_symbols
+            from .jbig2 import (
+                encode_jbig2,
+                encode_jbig2_refinement,
+                encode_jbig2_symbols,
+            )
 
             ink = (bilevel == 0).astype(np.uint8)  # 1 = black
+            if not (h & 4096) and (h >> 18) & 1:
+                # refinement mode (6.3): a deterministic lossy first
+                # pass (every 97th pixel flipped) refined losslessly
+                # against the page — the two-pass scanner layout
+                base = ink.copy().reshape(-1)
+                base[:: 97] ^= 1
+                return (
+                    ref,
+                    encode_jbig2_refinement(
+                        ink,
+                        base.reshape(ink.shape),
+                        template=(h >> 19) & 1,
+                        tpgron=bool(h & (1 << 20)),
+                        file_header=True,
+                    ),
+                )
             if h & 4096:
                 # symbol mode: dictionary + text region, the layout
                 # born-scanned PDFs actually carry

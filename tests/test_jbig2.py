@@ -281,3 +281,72 @@ class TestSymbolMode:
         # find the text-region header (type 6) by scanning segments
         with pytest.raises(ValueError):
             decode_jbig2(code[:30] + code[len(code) - 15 :])
+
+
+class TestRefinementRegions:
+    """Immediate refinement regions (6.3): a lossy first pass refined
+    losslessly against the page content — both templates, TPGRON
+    typical prediction, REPLACE composition."""
+
+    def _pair(self):
+        ink = (render_page("40_m0") < 128).astype(np.uint8)
+        rng = np.random.RandomState(7)
+        base = ink.copy()
+        base[rng.rand(*ink.shape) < 0.02] ^= 1  # a 2% lossy first pass
+        return ink, base
+
+    def test_lossless_both_templates_and_tpgron(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_refinement
+
+        ink, base = self._pair()
+        for tmpl in (0, 1):
+            for tp in (False, True):
+                code = encode_jbig2_refinement(
+                    ink, base, template=tmpl, tpgron=tp, file_header=True
+                )
+                assert np.array_equal(decode_jbig2(code), ink), (tmpl, tp)
+
+    def test_identity_and_wild_references(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_refinement
+
+        ink, _ = self._pair()
+        # identical reference: TPGRON skips every uniform pixel
+        code = encode_jbig2_refinement(ink, ink, tpgron=True)
+        assert np.array_equal(decode_jbig2(code), ink)
+        # uncorrelated reference still reconstructs losslessly
+        wild = np.random.RandomState(3).randint(0, 2, ink.shape).astype(np.uint8)
+        code = encode_jbig2_refinement(ink, wild, template=1)
+        assert np.array_equal(decode_jbig2(code), ink)
+
+    def test_better_reference_compresses_better(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_refinement
+
+        ink, base = self._pair()
+        wild = np.random.RandomState(3).randint(0, 2, ink.shape).astype(np.uint8)
+        near = len(encode_jbig2_refinement(ink, base))
+        far = len(encode_jbig2_refinement(ink, wild))
+        assert near < far  # the refinement context earns its keep
+
+    def test_guards(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_refinement
+
+        ink, base = self._pair()
+        with pytest.raises(ValueError, match="same-shape"):
+            encode_jbig2_refinement(ink, base[:-1])
+        with pytest.raises(ValueError, match="template"):
+            encode_jbig2_refinement(ink, base, template=2)
+        # custom GRAT stays declared out of scope
+        code = bytearray(encode_jbig2_refinement(ink, base))
+        i = code.index(struct.pack(">bbbb", -1, -1, -1, -1))
+        code[i] = 0xFE  # A1 x -> -2
+        with pytest.raises(NotImplementedError, match="GRAT"):
+            decode_jbig2(bytes(code))
+        # intermediate refinement regions stay out of scope: relabel
+        # the type-43 segment header as type 40
+        code = bytearray(encode_jbig2_refinement(ink, base))
+        # segment 3's header starts after page-info and base segments;
+        # find the 4-byte number 3 followed by a flags byte with type 43
+        j = code.index(struct.pack(">IB", 3, 43))
+        code[j + 4] = 40
+        with pytest.raises(NotImplementedError, match="intermediate"):
+            decode_jbig2(bytes(code))
