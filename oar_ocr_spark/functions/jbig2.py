@@ -40,11 +40,16 @@ and TRANSPOSED orientation (6.4.5 3c — the vertical-text layout).
 Immediate REFINEMENT regions (6.3: both templates, TPGRON typical
 prediction, nominal GRAT) decode against the page content and an
 encoder twin writes the lossy-then-lossless two-pass layout.
+PATTERN DICTIONARIES (6.7) + immediate HALFTONE regions (6.6: Annex-C
+gray-coded bitplanes through one shared context, skewed 8.8
+fixed-point grids) decode, with an encoder twin writing the
+dithered-photograph layout (square density-ramp patterns).
 
-Scope (fails loudly): halftone regions, aggregate/refined SYMBOL
-coding, custom refinement GRAT pixels, huffman-tabled dictionaries
-and regions, segments of unknown length, and intermediate regions
-raise NotImplementedError; damaged streams raise ValueError.
+Scope (fails loudly): aggregate/refined SYMBOL coding, custom
+refinement GRAT pixels, halftone skip bitmaps and MMR-coded
+halftones, huffman-tabled dictionaries and regions, segments of
+unknown length, and intermediate regions raise NotImplementedError;
+damaged streams raise ValueError.
 """
 
 from __future__ import annotations
@@ -60,6 +65,7 @@ __all__ = [
     "encode_jbig2",
     "encode_jbig2_symbols",
     "encode_jbig2_refinement",
+    "encode_jbig2_halftone",
     "decode_jbig2",
     "JBIG2_MAGIC",
 ]
@@ -412,6 +418,210 @@ def encode_jbig2(
     return out
 
 
+def _decode_pattern_dict(body: bytes) -> list:
+    """7.4.4 pattern dictionary segment → [HDPW x HDPH patterns]: one
+    collective generic-region bitmap of width (GRAYMAX+1) x HDPW,
+    coded with the 6.7.5 AT layout (A1 = (-HDPW, 0)), split into the
+    GRAYMAX+1 patterns."""
+    if len(body) < 7:
+        raise ValueError("JBIG2 pattern dictionary truncated")
+    flags, hdpw, hdph = body[0], body[1], body[2]
+    if flags & 0x01:
+        raise NotImplementedError(
+            "JBIG2 MMR-coded pattern dictionaries not supported"
+        )
+    template = (flags >> 1) & 0x03
+    (graymax,) = struct.unpack(">I", body[3:7])
+    if hdpw == 0 or hdph == 0 or graymax > 1 << 16:
+        raise ValueError("implausible JBIG2 pattern dictionary geometry")
+    at = [(-int(hdpw), 0), (-3, -1), (2, -2), (-2, -2)][
+        : 4 if template == 0 else 1
+    ]
+    ctxbits = len(_sorted_template(template, at))
+    dec = _MQDecoder(body[7:], ctx=_fresh_jbig2_ctx(ctxbits))
+    wide = _generic_region(
+        dec, None, int(hdph), (int(graymax) + 1) * int(hdpw), template, at,
+        False,
+    )
+    return [
+        wide[:, k * hdpw : (k + 1) * hdpw].copy() for k in range(graymax + 1)
+    ]
+
+
+def _gray_planes(
+    coder, values: np.ndarray | None, h: int, w: int, nbits: int,
+    template: int,
+) -> np.ndarray:
+    """Annex C gray-scale image: `nbits` bitplanes coded most
+    significant first through ONE shared generic context, gray-coded
+    (each decoded plane XORs the plane above it). One body for both
+    directions, like _generic_region."""
+    at = _NOMINAL_AT[template]
+    encode = values is not None
+    if encode:
+        planes = np.zeros((nbits, h, w), dtype=np.uint8)
+        prev = np.zeros((h, w), dtype=np.uint8)
+        for j in range(nbits - 1, -1, -1):
+            bit = (values >> j) & 1
+            planes[j] = bit.astype(np.uint8) ^ prev
+            prev = bit.astype(np.uint8)
+        for j in range(nbits - 1, -1, -1):
+            _generic_region(coder, planes[j], h, w, template, at, False)
+        return values
+    prev = np.zeros((h, w), dtype=np.uint8)
+    out = np.zeros((h, w), dtype=np.int64)
+    for j in range(nbits - 1, -1, -1):
+        plane = _generic_region(coder, None, h, w, template, at, False)
+        bit = plane ^ prev
+        out |= bit.astype(np.int64) << j
+        prev = bit
+    return out
+
+
+def _decode_halftone_region(
+    body: bytes, patterns: list
+) -> tuple[np.ndarray, int, int, int]:
+    """7.4.5 halftone region segment → (bitmap, x, y, combine op):
+    a gray-scale image over the halftone grid, each cell stamping its
+    pattern at the (possibly skewed) 8.8 fixed-point grid position."""
+    if len(body) < 38:
+        raise ValueError("JBIG2 halftone region data truncated")
+    w, h, x, y, rflags = struct.unpack(">IIIIB", body[:17])
+    if int(w) * int(h) > 1 << 28:
+        raise ValueError(f"implausible JBIG2 region dimensions {w}x{h}")
+    op = rflags & 0x07
+    hflags = body[17]
+    if hflags & 0x01:
+        raise NotImplementedError("JBIG2 MMR-coded halftone regions not supported")
+    template = (hflags >> 1) & 0x03
+    if hflags & 0x08:
+        raise NotImplementedError("JBIG2 halftone skip bitmaps not supported")
+    hcombop = (hflags >> 4) & 0x07
+    defpix = (hflags >> 7) & 0x01
+    hgw, hgh, hgx, hgy = struct.unpack(">IIii", body[18:34])
+    hrx, hry = struct.unpack(">HH", body[34:38])
+    if not patterns:
+        raise ValueError("JBIG2 halftone region with no pattern dictionary")
+    if int(hgw) * int(hgh) > 1 << 26:
+        raise ValueError("implausible JBIG2 halftone grid")
+    nbits = max((len(patterns) - 1).bit_length(), 1)
+    dec = _MQDecoder(
+        body[38:],
+        ctx=_fresh_jbig2_ctx(
+            len(_sorted_template(template, _NOMINAL_AT[template]))
+        ),
+    )
+    gi = _gray_planes(dec, None, int(hgh), int(hgw), nbits, template)
+    if int(gi.max(initial=0)) >= len(patterns):
+        raise ValueError("JBIG2 halftone gray value exceeds the dictionary")
+    hph, hpw = patterns[0].shape
+    region = np.full((int(h), int(w)), defpix, dtype=np.uint8)
+    if hcombop not in _COMBINE:
+        raise ValueError(f"JBIG2 halftone combine op {hcombop} is illegal")
+    comb = _COMBINE[hcombop]
+    for m in range(int(hgh)):
+        for n in range(int(hgw)):
+            px = (hgx + m * hry + n * hrx) >> 8
+            py = (hgy + m * hrx - n * hry) >> 8
+            pat = patterns[int(gi[m, n])]
+            x0, y0 = max(0, -px), max(0, -py)
+            x1 = min(hpw, int(w) - px)
+            y1 = min(hph, int(h) - py)
+            if x1 <= x0 or y1 <= y0:
+                continue
+            win = region[py + y0 : py + y1, px + x0 : px + x1]
+            region[py + y0 : py + y1, px + x0 : px + x1] = comb(
+                win, pat[y0:y1, x0:x1]
+            )
+    return region, int(x), int(y), op
+
+
+def encode_jbig2_halftone(
+    grey: np.ndarray,
+    hp: int = 4,
+    levels: int | None = None,
+    template: int = 0,
+    file_header: bool = False,
+) -> bytes:
+    """(H,W) uint8 greyscale → embedded JBIG2 stream in HALFTONE MODE
+    (6.6: pattern dictionary + immediate lossless halftone region) —
+    the dithered-photograph layout. Each hp x hp cell quantizes its
+    mean DARKNESS to one of `levels` density patterns (a deterministic
+    raster-fill ramp; default hp*hp+1 levels); the gray-scale image
+    is coded as gray-coded bitplanes through one shared context
+    (Annex C). Patterns are SQUARE because the 6.6.5.1 grid is a
+    single rotation vector (HRX, HRY) — the pitch is the same on both
+    axes. The decode twin reproduces the halftoned bitmap exactly —
+    halftoning itself is lossy by construction, like any screening
+    pass."""
+    if grey.ndim != 2 or grey.dtype != np.uint8:
+        raise ValueError("encode_jbig2_halftone expects a (H,W) uint8 image")
+    h, w = grey.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    if not 1 <= hp <= 255:
+        raise ValueError("pattern side must be 1..255")
+    hpw = hph = hp
+    if levels is None:
+        levels = hpw * hph + 1
+    if not 2 <= levels <= 256:
+        raise ValueError("levels must be 2..256")
+    # density ramp patterns: pattern k fills the first round(k/(L-1)
+    # * hpw*hph) cells of a fixed raster order with ink
+    area = hpw * hph
+    pats = np.zeros((levels, hph, hpw), dtype=np.uint8)
+    for k in range(levels):
+        fill = int(round(k * area / (levels - 1)))
+        pats[k].reshape(-1)[:fill] = 1
+    # gray image: per-cell mean darkness quantized to a level
+    hgw, hgh = -(-w // hpw), -(-h // hph)
+    padded = np.zeros((hgh * hph, hgw * hpw), dtype=np.float64)
+    padded[:h, :w] = 255.0 - grey
+    cells = padded.reshape(hgh, hph, hgw, hpw).mean(axis=(1, 3))
+    # edge cells average their covered part only
+    cover = np.zeros((hgh * hph, hgw * hpw), dtype=np.float64)
+    cover[:h, :w] = 1.0
+    frac = cover.reshape(hgh, hph, hgw, hpw).mean(axis=(1, 3))
+    cells = np.where(frac > 0, cells / np.maximum(frac, 1e-9), 0.0)
+    gi = np.clip(
+        np.round(cells / 255.0 * (levels - 1)), 0, levels - 1
+    ).astype(np.int64)
+
+    # pattern dictionary segment (7.4.4): one collective bitmap
+    at = [(-hpw, 0), (-3, -1), (2, -2), (-2, -2)][: 4 if template == 0 else 1]
+    wide = np.concatenate(list(pats), axis=1)
+    enc = _MQEncoder(ctx=_fresh_jbig2_ctx(len(_sorted_template(template, at))))
+    _generic_region(enc, wide, hph, levels * hpw, template, at, False)
+    dict_body = (
+        bytes([template << 1, hpw, hph])
+        + struct.pack(">I", levels - 1)
+        + enc.flush()
+    )
+    # halftone region segment (7.4.5): axis-aligned grid at (0,0)
+    nbits = max((levels - 1).bit_length(), 1)
+    enc = _MQEncoder(
+        ctx=_fresh_jbig2_ctx(
+            len(_sorted_template(template, _NOMINAL_AT[template]))
+        )
+    )
+    _gray_planes(enc, gi, hgh, hgw, nbits, template)
+    region_body = (
+        struct.pack(">IIIIB", w, h, 0, 0, 0)
+        + bytes([template << 1])  # OR combine, defpixel 0, no skip
+        + struct.pack(">IIii", hgw, hgh, 0, 0)
+        + struct.pack(">HH", hpw << 8, 0)
+        + enc.flush()
+    )
+    page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0x01, 0)
+    out = _seg_header(1, 48, 1, len(page_info)) + page_info
+    out += _seg_header(2, 16, 1, len(dict_body)) + dict_body
+    out += _seg_header(3, 23, 1, len(region_body), referred=[2]) + region_body
+    out += _seg_header(4, 49, 1, 0)
+    if file_header:
+        out = JBIG2_MAGIC + bytes([0x01]) + struct.pack(">I", 1) + out
+    return out
+
+
 def encode_jbig2_refinement(
     bits: np.ndarray,
     base: np.ndarray,
@@ -562,9 +772,11 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     with 1 = black, the functions/ccitt convention. Supports page
     info + generic region streams (arithmetic all four templates,
     TPGDON, custom AT; or MMR), symbol-dictionary + text-region
-    streams (the born-scanned layout) AND immediate refinement
-    regions (the lossy-then-lossless two-pass layout);
-    halftone/huffman segments fail loudly. A standalone .jb2 file header (Annex D) is
+    streams (the born-scanned layout), immediate refinement
+    regions (the lossy-then-lossless two-pass layout), and pattern
+    dictionaries + halftone regions (the dithered-photograph
+    layout); huffman-tabled segments fail loudly. A standalone .jb2
+    file header (Annex D) is
     recognized and stripped; random-access organization is out of
     scope."""
     data = bytes(data)
@@ -583,6 +795,7 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     page_h_unknown = False
     regions = 0
     sym_exports: dict[int, list] = {}
+    pat_exports: dict[int, list] = {}
     while pos < len(data):
         seg, pos = _parse_seg_header(data, pos)
         body = data[pos : pos + seg["length"]]
@@ -645,8 +858,25 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             raise NotImplementedError(
                 "JBIG2 intermediate regions not supported"
             )
-        elif t in (16, 20, 22, 23):
-            raise NotImplementedError("JBIG2 halftone segments not supported")
+        elif t == 16:  # pattern dictionary
+            pat_exports[seg["number"]] = _decode_pattern_dict(body)
+        elif t == 20:
+            raise NotImplementedError(
+                "JBIG2 intermediate halftone regions not supported"
+            )
+        elif t in (22, 23):  # immediate (lossless) halftone region
+            if page is None:
+                raise ValueError("JBIG2 region before page information")
+            patterns: list = []
+            for rn in seg["referred"]:
+                patterns.extend(pat_exports.get(rn, []))
+            bm, x, y, op = _decode_halftone_region(body, patterns)
+            bh, bw = bm.shape
+            if y + bh > page.shape[0] or x + bw > page.shape[1]:
+                raise ValueError("JBIG2 halftone region exceeds the page")
+            window = page[y : y + bh, x : x + bw]
+            page[y : y + bh, x : x + bw] = _COMBINE[op](window, bm)
+            regions += 1
         elif t == 40:
             raise NotImplementedError(
                 "JBIG2 intermediate refinement regions not supported"

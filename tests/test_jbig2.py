@@ -100,10 +100,12 @@ class TestDeclaredFailures:
         with pytest.raises(ValueError):
             decode_jbig2(b"short")
 
-    def test_halftone_refinement_huffman_raise(self):
-        # (symbol dictionaries and text regions DECODE — TestSymbolMode)
+    def test_declared_segment_types_raise(self):
+        # (symbol dictionaries, text regions, refinement and halftone
+        # regions DECODE — TestSymbolMode/TestRefinementRegions/
+        # TestHalftoneRegions)
         for stype, match in (
-            (22, "halftone"), (40, "refinement"),
+            (20, "halftone"), (40, "refinement"),
             (53, "huffman"), (36, "intermediate"), (4, "intermediate"),
         ):
             seg = struct.pack(">IB", 1, stype) + bytes([0, 1]) + struct.pack(">I", 0)
@@ -350,3 +352,108 @@ class TestRefinementRegions:
         code[j + 4] = 40
         with pytest.raises(NotImplementedError, match="intermediate"):
             decode_jbig2(bytes(code))
+
+
+class TestHalftoneRegions:
+    """Pattern dictionaries (6.7) + halftone regions (6.6): each grid
+    cell's gray value (Annex-C gray-coded bitplanes, one shared
+    context) stamps a dictionary pattern — the dithered-photograph
+    layout. The decode twin is checked against an independent numpy
+    rendering of the same screening."""
+
+    @staticmethod
+    def _expected(grey, hp):
+        h, w = grey.shape
+        levels = hp * hp + 1
+        pats = np.zeros((levels, hp, hp), dtype=np.uint8)
+        for k in range(levels):
+            fill = int(round(k * hp * hp / (levels - 1)))
+            pats[k].reshape(-1)[:fill] = 1
+        hgw, hgh = -(-w // hp), -(-h // hp)
+        padded = np.zeros((hgh * hp, hgw * hp))
+        padded[:h, :w] = 255.0 - grey
+        cells = padded.reshape(hgh, hp, hgw, hp).mean(axis=(1, 3))
+        cover = np.zeros((hgh * hp, hgw * hp))
+        cover[:h, :w] = 1.0
+        frac = cover.reshape(hgh, hp, hgw, hp).mean(axis=(1, 3))
+        cells = np.where(frac > 0, cells / np.maximum(frac, 1e-9), 0.0)
+        gi = np.clip(
+            np.round(cells / 255.0 * (levels - 1)), 0, levels - 1
+        ).astype(int)
+        want = np.zeros((h, w), dtype=np.uint8)
+        for m in range(hgh):
+            for n in range(hgw):
+                y0, x0 = m * hp, n * hp
+                y1, x1 = min(y0 + hp, h), min(x0 + hp, w)
+                want[y0:y1, x0:x1] |= pats[gi[m, n]][: y1 - y0, : x1 - x0]
+        return want
+
+    def test_matches_independent_rendering(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_halftone
+
+        grey = render_page("40_m0")
+        for tmpl in (0, 1):
+            for hp in (2, 4, 5):
+                code = encode_jbig2_halftone(
+                    grey, hp=hp, template=tmpl, file_header=True
+                )
+                got = decode_jbig2(code)
+                assert np.array_equal(got, self._expected(grey, hp)), (tmpl, hp)
+
+    def test_screening_tracks_darkness(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_halftone
+
+        # a gradient: decoded ink density must be monotone with source
+        # darkness when averaged per band
+        g = np.tile(
+            np.linspace(255, 0, 160).astype(np.uint8), (40, 1)
+        )
+        out = decode_jbig2(encode_jbig2_halftone(g, hp=4))
+        bands = [out[:, k * 40 : (k + 1) * 40].mean() for k in range(4)]
+        assert all(b0 < b1 for b0, b1 in zip(bands, bands[1:]))
+        assert bands[0] < 0.2 and bands[-1] > 0.8
+
+    def test_level_cap_and_determinism(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_halftone
+
+        grey = render_page("7_m2")
+        a = encode_jbig2_halftone(grey, hp=4, levels=5)
+        assert a == encode_jbig2_halftone(grey, hp=4, levels=5)
+        out = decode_jbig2(a)
+        assert out.shape == grey.shape
+
+    def test_guards(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_halftone
+
+        grey = render_page("7_m2")
+        with pytest.raises(ValueError, match="uint8"):
+            encode_jbig2_halftone(grey.astype(np.int32))
+        with pytest.raises(ValueError, match="levels"):
+            encode_jbig2_halftone(grey, levels=1)
+        # MMR halftones, skip bitmaps and intermediate halftone
+        # regions stay declared out of scope
+        code = bytearray(encode_jbig2_halftone(grey, hp=4))
+        # walk the headers to the halftone region's body (its header
+        # carries a referred-segment list, so it is not fixed-size)
+        from oar_ocr_spark.functions.jbig2 import _parse_seg_header
+
+        pos = 0
+        while True:
+            seg, body_at = _parse_seg_header(bytes(code), pos)
+            if seg["type"] == 23:
+                break
+            pos = body_at + seg["length"]
+        j = pos  # header start of the halftone segment
+        flags_at = body_at + 17
+        bad = bytearray(code)
+        bad[flags_at] |= 0x01  # HMMR
+        with pytest.raises(NotImplementedError, match="MMR"):
+            decode_jbig2(bytes(bad))
+        bad = bytearray(code)
+        bad[flags_at] |= 0x08  # HENABLESKIP
+        with pytest.raises(NotImplementedError, match="skip"):
+            decode_jbig2(bytes(bad))
+        bad = bytearray(code)
+        bad[j + 4] = 20  # relabel as intermediate halftone
+        with pytest.raises(NotImplementedError, match="halftone"):
+            decode_jbig2(bytes(bad))
