@@ -43,10 +43,13 @@ encoder twin writes the lossy-then-lossless two-pass layout.
 PATTERN DICTIONARIES (6.7) + immediate HALFTONE regions (6.6: Annex-C
 gray-coded bitplanes through one shared context, skewed 8.8
 fixed-point grids) decode, with an encoder twin writing the
-dithered-photograph layout (square density-ramp patterns).
+dithered-photograph layout (square density-ramp patterns). REFINED
+SYMBOL dictionaries (SDREFAGG=1, 6.5.8.2: each symbol a displaced
+single-instance refinement of an earlier one) decode, with an
+encoder twin coding repeated-shape glyphs against their exemplars.
 
-Scope (fails loudly): aggregate/refined SYMBOL coding, custom
-refinement GRAT pixels, halftone skip bitmaps and MMR-coded
+Scope (fails loudly): aggregate symbol coding (REFAGGNINST != 1),
+custom refinement GRAT pixels, halftone skip bitmaps and MMR-coded
 halftones, huffman-tabled dictionaries and regions, segments of
 unknown length, and intermediate regions raise NotImplementedError;
 damaged streams raise ValueError.
@@ -64,6 +67,7 @@ from .jp2 import _MQDecoder, _MQEncoder
 __all__ = [
     "encode_jbig2",
     "encode_jbig2_symbols",
+    "encode_jbig2_symbols_refined",
     "encode_jbig2_refinement",
     "encode_jbig2_halftone",
     "decode_jbig2",
@@ -268,20 +272,26 @@ def _refine_region(
     w: int,
     template: int,
     tpgron: bool,
+    refdx: int = 0,
+    refdy: int = 0,
 ) -> np.ndarray:
-    """The 6.3 generic refinement procedure over a same-position
-    reference (GRREFERENCEDX/DY = 0, the region-segment case), one
-    body for both directions: with `bits` it ENCODES into `coder` (an
-    _MQEncoder), else it DECODES. With TPGRON, rows under an active
-    LTP flag take the reference value wherever the 3x3 reference
-    neighborhood is uniform (those pixels are never coded; they still
-    feed the one-bit current-row register)."""
+    """The 6.3 generic refinement procedure, one body for both
+    directions: with `bits` it ENCODES into `coder` (an _MQEncoder),
+    else it DECODES. `refdx`/`refdy` are GRREFERENCEDX/DY — the
+    reference displacement refined-symbol coding uses (0 for region
+    segments): reference pixel (x - refdx + dx, y - refdy + dy) feeds
+    the context. With TPGRON, rows under an active LTP flag take the
+    reference value wherever the 3x3 reference neighborhood is
+    uniform (those pixels are never coded; they still feed the
+    one-bit current-row register)."""
     if template not in _REFINE_TEMPLATES:
         raise ValueError(f"JBIG2 refinement template {template} is illegal")
     encode = bits is not None
     pix = _REFINE_TEMPLATES[template]
 
     def ref_vec(yy: int, dx: int) -> np.ndarray:
+        yy -= refdy
+        dx -= refdx
         out = np.zeros(w, dtype=np.int64)
         if 0 <= yy < ref.shape[0]:
             row = ref[yy]
@@ -1224,6 +1234,183 @@ def encode_jbig2_symbols(
     return out
 
 
+def encode_jbig2_symbols_refined(
+    bits: np.ndarray,
+    template: int = 0,
+    rtemplate: int = 0,
+    file_header: bool = False,
+) -> bytes:
+    """(rows, columns) {0,1} bit matrix → embedded JBIG2 stream in
+    REFINED SYMBOL MODE (6.5.8.2): dictionary A carries one generic-
+    coded EXEMPLAR per glyph shape class, dictionary B (SDREFAGG=1,
+    referring A) codes every other unique glyph as a single-instance
+    REFINEMENT of its shape-class exemplar, and a text region places
+    instances from both — the layout refinement-capable encoders emit
+    to share coding work across similar glyphs. Lossless: refinement
+    coding is exact."""
+    if bits.ndim != 2 or bits.dtype != np.uint8 or int(bits.max(initial=0)) > 1:
+        raise ValueError(
+            "encode_jbig2_symbols_refined expects a (rows, cols) uint8 {0,1} matrix"
+        )
+    h, w = bits.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty bitmap")
+    if rtemplate not in (0, 1):
+        raise ValueError(f"rtemplate must be 0 or 1, got {rtemplate}")
+    comps = _connected_components(bits)
+    if not comps:
+        return encode_jbig2(bits, template=template, file_header=file_header)
+    at = _NOMINAL_AT[template]
+
+    uniq: dict[tuple, int] = {}
+    symbols = []
+    for _, _, bm in comps:
+        key = bm.shape + (bm.tobytes(),)
+        if key not in uniq:
+            uniq[key] = len(symbols)
+            symbols.append(bm)
+    order = sorted(range(len(symbols)), key=lambda i: symbols[i].shape)
+    symbols = [symbols[i] for i in order]
+    remap = {old: new for new, old in enumerate(order)}
+    uniq = {k: remap[v] for k, v in uniq.items()}
+
+    # exemplar per shape class → A; repeated-shape glyphs → B
+    a_idx: list[int] = []
+    b_idx: list[int] = []
+    shape_to_a: dict[tuple, int] = {}
+    for i, bm in enumerate(symbols):
+        if bm.shape in shape_to_a:
+            b_idx.append(i)
+        else:
+            shape_to_a[bm.shape] = len(a_idx)
+            a_idx.append(i)
+    identity_pad = not b_idx
+    if identity_pad:
+        # no repeated shapes: still exercise the layout by re-coding
+        # the first exemplar as an identity refinement (unused by the
+        # text region)
+        b_idx = [a_idx[0]]
+    a_syms = [symbols[i] for i in a_idx]
+    b_syms = [symbols[i] for i in b_idx]
+    b_ref = [shape_to_a[symbols[i].shape] for i in b_idx]
+    pos_of = {i: j for j, i in enumerate(a_idx)}
+    for j, i in enumerate(b_idx):
+        if i not in pos_of:
+            pos_of[i] = len(a_idx) + j
+    uniq = {k: pos_of[v] for k, v in uniq.items()}
+
+    # ---- dictionary A: generic-coded exemplars
+    enc = _MQEncoder(ctx=([0], [0]))
+    iadh, iadw, iaex = _CtxSet(9), _CtxSet(9), _CtxSet(9)
+    gb = _CtxSet(len(_sorted_template(template, at)))
+    hcheight = 0
+    i = 0
+    while i < len(a_syms):
+        hh = a_syms[i].shape[0]
+        _int_arith(enc, iadh, hh - hcheight, True)
+        hcheight = hh
+        symwidth = 0
+        while i < len(a_syms) and a_syms[i].shape[0] == hcheight:
+            ww = a_syms[i].shape[1]
+            _int_arith(enc, iadw, ww - symwidth, True)
+            symwidth = ww
+            _generic_with_ctx(enc, gb, a_syms[i], hcheight, ww, template, at)
+            i += 1
+        _int_arith(enc, iadw, None, True)
+    _int_arith(enc, iaex, 0, True)
+    _int_arith(enc, iaex, len(a_syms), True)
+    dict_a = (
+        struct.pack(">H", template << 10)
+        + b"".join(struct.pack(">bb", dx, dy) for dx, dy in at)
+        + struct.pack(">II", len(a_syms), len(a_syms))
+        + enc.flush()
+    )
+
+    # ---- dictionary B: SDREFAGG=1, refining A's exemplars
+    enc = _MQEncoder(ctx=([0], [0]))
+    iadh, iadw, iaex = _CtxSet(9), _CtxSet(9), _CtxSet(9)
+    iaai, iardx, iardy = _CtxSet(9), _CtxSet(9), _CtxSet(9)
+    total = len(a_syms) + len(b_syms)
+    codelen = max((total - 1).bit_length(), 0)
+    iaid_ref = _CtxSet(codelen + 1)
+    gr = _CtxSet(13 if rtemplate == 0 else 10)
+    hcheight = 0
+    i = 0
+    while i < len(b_syms):
+        hh = b_syms[i].shape[0]
+        _int_arith(enc, iadh, hh - hcheight, True)
+        hcheight = hh
+        symwidth = 0
+        while i < len(b_syms) and b_syms[i].shape[0] == hcheight:
+            ww = b_syms[i].shape[1]
+            _int_arith(enc, iadw, ww - symwidth, True)
+            symwidth = ww
+            _int_arith(enc, iaai, 1, True)  # REFAGGNINST
+            _iaid_arith(enc, iaid_ref, codelen, b_ref[i], True)
+            _int_arith(enc, iardx, 0, True)
+            _int_arith(enc, iardy, 0, True)
+            gr.bind(enc)
+            _refine_region(
+                enc, b_syms[i], a_syms[b_ref[i]], hcheight, ww,
+                rtemplate, False, 0, 0,
+            )
+            i += 1
+        _int_arith(enc, iadw, None, True)
+    _int_arith(enc, iaex, len(a_syms), True)  # inputs stay unexported
+    _int_arith(enc, iaex, len(b_syms), True)
+    dict_b = (
+        struct.pack(">H", 0x02 | (template << 10) | (rtemplate << 12))
+        + b"".join(struct.pack(">bb", dx, dy) for dx, dy in at)
+        + (struct.pack(">bbbb", -1, -1, -1, -1) if rtemplate == 0 else b"")
+        + struct.pack(">II", len(b_syms), len(b_syms))
+        + enc.flush()
+    )
+
+    # ---- text region over A + B exports (one-row strips, TL corner)
+    syms = a_syms + b_syms
+    codelen = max((len(syms) - 1).bit_length(), 0)
+    enc = _MQEncoder(ctx=([0], [0]))
+    iadt, iafs, iads = _CtxSet(9), _CtxSet(9), _CtxSet(9)
+    iaid = _CtxSet(codelen + 1)
+    _int_arith(enc, iadt, 0, True)
+    stript = 0
+    firsts = 0
+    by_strip: dict[int, list] = {}
+    for t, l, bm in comps:
+        by_strip.setdefault(t, []).append((l, bm))
+    for base in sorted(by_strip):
+        _int_arith(enc, iadt, base - stript, True)
+        stript = base
+        curs = None
+        for l, bm in sorted(by_strip[base], key=lambda e: e[0]):
+            if curs is None:
+                _int_arith(enc, iafs, l - firsts, True)
+                firsts = l
+                curs = l
+            else:
+                _int_arith(enc, iads, l - curs, True)
+                curs = l
+            _iaid_arith(enc, iaid, codelen, uniq[bm.shape + (bm.tobytes(),)], True)
+            curs += bm.shape[1] - 1
+        _int_arith(enc, iads, None, True)
+    text_data = (
+        struct.pack(">IIIIB", w, h, 0, 0, 0)
+        + struct.pack(">H", 1 << 4)  # SBHUFF=0, 1-row strips, TL corner
+        + struct.pack(">I", len(comps))
+        + enc.flush()
+    )
+
+    page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0x01, 0)
+    out = _seg_header(1, 48, 1, len(page_info)) + page_info
+    out += _seg_header(2, 0, 1, len(dict_a)) + dict_a
+    out += _seg_header(3, 0, 1, len(dict_b), referred=[2]) + dict_b
+    out += _seg_header(4, 6, 1, len(text_data), referred=[2, 3]) + text_data
+    out += _seg_header(5, 49, 1, 0)
+    if file_header:
+        out = JBIG2_MAGIC + bytes([0x01]) + struct.pack(">I", 1) + out
+    return out
+
+
 def _decode_symbol_dict(body: bytes, input_syms: list) -> list:
     """7.4.3 symbol dictionary segment → exported symbol list."""
     if len(body) < 2:
@@ -1231,9 +1418,9 @@ def _decode_symbol_dict(body: bytes, input_syms: list) -> list:
     (flags,) = struct.unpack(">H", body[:2])
     if flags & 0x01:
         raise NotImplementedError("JBIG2 huffman-coded symbol dictionaries not supported")
-    if flags & 0x02:
-        raise NotImplementedError("JBIG2 refinement/aggregate symbol coding not supported")
+    refagg = bool(flags & 0x02)
     template = (flags >> 10) & 0x03
+    rtemplate = (flags >> 12) & 0x01
     pos = 2
     n_at = 4 if template == 0 else 1
     at = [
@@ -1241,6 +1428,19 @@ def _decode_symbol_dict(body: bytes, input_syms: list) -> list:
         for k in range(n_at)
     ]
     pos += 2 * n_at
+    if refagg and rtemplate == 0:
+        if pos + 4 > len(body):
+            raise ValueError("JBIG2 symbol dictionary SDRAT truncated")
+        rat = [
+            struct.unpack(">bb", body[pos + 2 * k : pos + 2 * k + 2])
+            for k in range(2)
+        ]
+        pos += 4
+        if rat != [(-1, -1), (-1, -1)]:
+            raise NotImplementedError(
+                "JBIG2 refined symbols with custom GRAT pixels not "
+                "supported (nominal (-1,-1) only)"
+            )
     numex, numnew = struct.unpack(">II", body[pos : pos + 8])
     pos += 8
     if numnew > 1 << 20 or numex > (len(input_syms) + numnew):
@@ -1248,6 +1448,12 @@ def _decode_symbol_dict(body: bytes, input_syms: list) -> list:
     dec = _MQDecoder(body[pos:], ctx=([0], [0]))
     iadh, iadw, iaex = _CtxSet(9), _CtxSet(9), _CtxSet(9)
     gb = _CtxSet(len(_sorted_template(template, at)))
+    iaai, iardx, iardy = _CtxSet(9), _CtxSet(9), _CtxSet(9)
+    iaid_ref = _CtxSet(
+        max((len(input_syms) + numnew - 1).bit_length(), 0) + 1
+    )
+    gr = _CtxSet(13 if rtemplate == 0 else 10)
+    codelen = max((len(input_syms) + numnew - 1).bit_length(), 0)
     new_syms: list = []
     hcheight = 0
     while len(new_syms) < numnew:
@@ -1267,9 +1473,39 @@ def _decode_symbol_dict(body: bytes, input_syms: list) -> list:
                 raise ValueError(f"JBIG2 symbol width {symwidth} out of range")
             if len(new_syms) >= numnew:
                 raise ValueError("JBIG2 symbol dictionary: too many symbols")
-            new_syms.append(
-                _generic_with_ctx(dec, gb, None, hcheight, symwidth, template, at)
-            )
+            if refagg:
+                # refined symbol (6.5.8.2): a single-instance
+                # refinement of an already-available symbol, displaced
+                # by (RDX, RDY); multi-instance aggregates (an
+                # embedded text region) stay out of scope
+                nref = _int_arith(dec, iaai, None, False)
+                if nref != 1:
+                    raise NotImplementedError(
+                        "JBIG2 aggregate symbol coding (REFAGGNINST != 1) "
+                        "not supported"
+                    )
+                sid = _iaid_arith(dec, iaid_ref, codelen, None, False)
+                rdx = _int_arith(dec, iardx, None, False)
+                rdy = _int_arith(dec, iardy, None, False)
+                if rdx is None or rdy is None:
+                    raise ValueError("JBIG2 refined symbol: OOB displacement")
+                avail = input_syms + new_syms
+                if not 0 <= sid < len(avail):
+                    raise ValueError(
+                        f"JBIG2 refined symbol references id {sid} of "
+                        f"{len(avail)}"
+                    )
+                gr.bind(dec)
+                new_syms.append(
+                    _refine_region(
+                        dec, None, avail[sid], hcheight, symwidth,
+                        rtemplate, False, rdx, rdy,
+                    )
+                )
+            else:
+                new_syms.append(
+                    _generic_with_ctx(dec, gb, None, hcheight, symwidth, template, at)
+                )
     # export flags over input + new symbols (6.5.10)
     all_syms = list(input_syms) + new_syms
     exported = []

@@ -111,14 +111,14 @@ class TestDeclaredFailures:
             seg = struct.pack(">IB", 1, stype) + bytes([0, 1]) + struct.pack(">I", 0)
             with pytest.raises(NotImplementedError, match=match):
                 decode_jbig2(seg)
-        # huffman-coded / refined symbol dictionaries stay out of scope
-        for flags, match in ((0x01, "huffman"), (0x02, "refinement")):
-            body = struct.pack(">H", flags) + b"\x00" * 16
-            seg = struct.pack(">IB", 1, 0) + bytes([0, 1]) + struct.pack(
-                ">I", len(body)
-            ) + body
-            with pytest.raises(NotImplementedError, match=match):
-                decode_jbig2(seg)
+        # huffman-coded symbol dictionaries stay out of scope
+        # (refined dictionaries DECODE — TestRefinedSymbolDicts)
+        body = struct.pack(">H", 0x01) + b"\x00" * 16
+        seg = struct.pack(">IB", 1, 0) + bytes([0, 1]) + struct.pack(
+            ">I", len(body)
+        ) + body
+        with pytest.raises(NotImplementedError, match="huffman"):
+            decode_jbig2(seg)
 
     def test_unknown_length_and_truncation(self):
         seg = struct.pack(">IB", 1, 48) + bytes([0, 1]) + struct.pack(
@@ -457,3 +457,55 @@ class TestHalftoneRegions:
         bad[j + 4] = 20  # relabel as intermediate halftone
         with pytest.raises(NotImplementedError, match="halftone"):
             decode_jbig2(bytes(bad))
+
+
+class TestRefinedSymbolDicts:
+    """SDREFAGG=1 symbol dictionaries (6.5.8.2): an exemplar
+    dictionary plus a refining dictionary coding repeated-shape
+    glyphs as displaced single-instance refinements, placed by one
+    text region over both exports."""
+
+    def test_lossless_both_refinement_templates(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_symbols_refined
+
+        for ref in ("40_m0", "7_m2"):
+            ink = (render_page(ref) < 128).astype(np.uint8)
+            for rt in (0, 1):
+                code = encode_jbig2_symbols_refined(
+                    ink, rtemplate=rt, file_header=True
+                )
+                assert np.array_equal(decode_jbig2(code), ink), (ref, rt)
+
+    def test_single_glyph_identity_pad(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_symbols_refined
+
+        x = np.zeros((6, 6), np.uint8)
+        x[1, 1] = 1
+        assert np.array_equal(decode_jbig2(encode_jbig2_symbols_refined(x)), x)
+
+    def test_refining_dictionary_really_used(self):
+        from oar_ocr_spark.functions.jbig2 import (
+            encode_jbig2_symbols,
+            encode_jbig2_symbols_refined,
+        )
+
+        ink = (render_page("12_m0") < 128).astype(np.uint8)
+        a = encode_jbig2_symbols_refined(ink)
+        b = encode_jbig2_symbols(ink)
+        assert a != b  # the SDREFAGG stream is a genuinely new layout
+        # the refining dictionary signals flag bit 1
+        assert np.array_equal(decode_jbig2(a), ink)
+
+    def test_guards(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_symbols_refined
+
+        ink = (render_page("7_m2") < 128).astype(np.uint8)
+        with pytest.raises(ValueError, match="rtemplate"):
+            encode_jbig2_symbols_refined(ink, rtemplate=2)
+        # custom SDRAT stays declared out of scope: patch dict B's
+        # refinement AT pixels in a real stream
+        code = bytearray(encode_jbig2_symbols_refined(ink))
+        i = code.index(struct.pack(">bbbb", -1, -1, -1, -1))
+        code[i] = 0xFE
+        with pytest.raises(NotImplementedError, match="GRAT"):
+            decode_jbig2(bytes(code))
