@@ -492,6 +492,18 @@ def fax_store_df(
                     ),
                 )
             if h & 4096:
+                if (h >> 21) & 1:
+                    # refined symbol mode (SDREFAGG=1): exemplar
+                    # dictionary + refining dictionary + text region
+                    from .jbig2 import encode_jbig2_symbols_refined
+
+                    data = encode_jbig2_symbols_refined(
+                        ink,
+                        template=(h >> 6) & 3,
+                        rtemplate=(h >> 22) & 1,
+                        file_header=True,
+                    )
+                    return (ref, data)
                 # symbol mode: dictionary + text region, the layout
                 # born-scanned PDFs actually carry
                 data = encode_jbig2_symbols(
