@@ -1356,6 +1356,28 @@ class PdfDocument:
                 # out-of-range indices clamp to the nearest valid value
                 # (8.9.6.3), the spec-sanctioned reading
                 comps = pal[np.clip(idx, 0, hival)].astype(np.float64)
+            elif spec[0] == "tint":
+                # Separation / single-colorant DeviceN (8.6.6): tint
+                # samples feed the transform function into the
+                # alternate device space — evaluated ONCE per possible
+                # sample code (a LUT), not per pixel
+                _, base, fnobj = spec
+                vals = _unpack_samples(raw, w, h, bpc, 1)[..., 0]
+                maxv = (1 << bpc) - 1
+                if decode is not None and decode != [0.0, 1.0]:
+                    raise NotImplementedError(
+                        "PDF /Decode remap on a tint image not supported"
+                    )
+                lut = self._eval_tint(
+                    fnobj, np.arange(maxv + 1, dtype=np.float64) / maxv
+                )
+                nc = {"gray": 1, "rgb": 3, "cmyk": 4}[base]
+                if lut.shape[1] != nc:
+                    raise ValueError(
+                        f"PDF tint transform yields {lut.shape[1]} values "
+                        f"for a {nc}-component alternate space"
+                    )
+                comps = np.clip(lut, 0.0, 1.0)[vals] * 255.0
             else:
                 nc = {"gray": 1, "rgb": 3, "cmyk": 4}[spec[0]]
                 vals = _unpack_samples(raw, w, h, bpc, nc)
@@ -1486,6 +1508,100 @@ class PdfDocument:
             except ValueError:
                 continue
 
+    def _eval_tint(self, fn, t: np.ndarray) -> np.ndarray:
+        """Evaluate a ONE-input PDF function (7.10) on `t` (float
+        array) → (len(t), n_out) float outputs. Types 2 (exponential
+        interpolation — the common tint transform), 0 (1-D sampled,
+        8/16-bit, linear interpolation) and 3 (stitching over either)
+        are supported; type 4 (PostScript calculator) fails loudly."""
+        fn = self.resolve(fn)
+        raw = None
+        if isinstance(fn, tuple) and len(fn) == 2:
+            d, raw = fn
+            raw = _apply_stream_filters(self._resolved_filter_dict(d), raw)
+        elif isinstance(fn, dict):
+            d = fn
+        else:
+            raise ValueError("PDF tint transform is not a function")
+        ftype = int(self.resolve(d.get("FunctionType", -1)))
+        domain = [float(self.resolve(x)) for x in self.resolve(d.get("Domain", [0, 1]))]
+        if len(domain) != 2:
+            raise NotImplementedError(
+                "PDF tint function with more than one input not supported"
+            )
+        t = np.clip(t.astype(np.float64), domain[0], domain[1])
+        if ftype == 2:
+            c0 = np.array(
+                [float(self.resolve(x)) for x in self.resolve(d.get("C0", [0.0]))]
+            )
+            c1 = np.array(
+                [float(self.resolve(x)) for x in self.resolve(d.get("C1", [1.0]))]
+            )
+            n = float(self.resolve(d.get("N", 1)))
+            return c0 + (t**n)[:, None] * (c1 - c0)
+        if ftype == 0:
+            if raw is None:
+                raise ValueError("PDF sampled function without a stream")
+            size = [int(self.resolve(x)) for x in self.resolve(d["Size"])]
+            if len(size) != 1:
+                raise NotImplementedError(
+                    "PDF sampled function with more than one input not supported"
+                )
+            bps = int(self.resolve(d["BitsPerSample"]))
+            if bps not in (8, 16):
+                raise NotImplementedError(
+                    f"PDF sampled function at {bps} bits not supported"
+                )
+            rng = [float(self.resolve(x)) for x in self.resolve(d["Range"])]
+            nout = len(rng) // 2
+            need = size[0] * nout
+            arr = np.frombuffer(
+                raw, dtype=np.uint8 if bps == 8 else ">u2", count=need
+            ).reshape(size[0], nout).astype(np.float64) / ((1 << bps) - 1)
+            enc = [float(self.resolve(x)) for x in self.resolve(
+                d.get("Encode", [0, size[0] - 1])
+            )]
+            e = enc[0] + (t - domain[0]) * (
+                (enc[1] - enc[0]) / max(domain[1] - domain[0], 1e-12)
+            )
+            e = np.clip(e, 0, size[0] - 1)
+            out = np.empty((len(t), nout))
+            xs = np.arange(size[0], dtype=np.float64)
+            for c in range(nout):
+                col = np.interp(e, xs, arr[:, c])
+                dmin, dmax = rng[2 * c], rng[2 * c + 1]
+                out[:, c] = dmin + col * (dmax - dmin)
+            return out
+        if ftype == 3:
+            fns = self.resolve(d["Functions"])
+            bounds = [float(self.resolve(x)) for x in self.resolve(d.get("Bounds", []))]
+            enc = [float(self.resolve(x)) for x in self.resolve(
+                d.get("Encode", [0, 1] * len(fns))
+            )]
+            edges = [domain[0]] + bounds + [domain[1]]
+            idx = np.searchsorted(np.array(bounds), t, side="right")
+            out = None
+            for k in range(len(fns)):
+                mask = idx == k
+                if not mask.any():
+                    continue
+                lo, hi = edges[k], edges[k + 1]
+                tk = enc[2 * k] + (t[mask] - lo) * (
+                    (enc[2 * k + 1] - enc[2 * k]) / max(hi - lo, 1e-12)
+                )
+                sub = self._eval_tint(fns[k], tk)
+                if out is None:
+                    out = np.zeros((len(t), sub.shape[1]))
+                out[mask] = sub
+            if out is None:
+                raise ValueError("PDF stitching function with no subfunctions")
+            return out
+        if ftype == 4:
+            raise NotImplementedError(
+                "PDF type-4 (PostScript calculator) functions not supported"
+            )
+        raise ValueError(f"PDF function type {ftype} is illegal")
+
     def _image_colorspace(self, v):
         """Image /ColorSpace entry → ("gray"|"rgb"|"cmyk",) or
         ("indexed", base, hival, lookup bytes). Names resolve by
@@ -1519,6 +1635,20 @@ class PdfDocument:
                         f"PDF /ICCBased color space with N={n} not supported"
                     )
                 return (fam,)
+            if kind in ("Separation", "DeviceN") and len(v) >= 4:
+                names = self.resolve(v[1])
+                nin = 1 if isinstance(names, str) else len(names)
+                if nin != 1:
+                    raise NotImplementedError(
+                        f"PDF /DeviceN with {nin} colorants not supported "
+                        "(single-colorant tints only)"
+                    )
+                base = self._image_colorspace(v[2])
+                if base[0] not in ("gray", "rgb", "cmyk"):
+                    raise NotImplementedError(
+                        "PDF tint alternate space must be a device family"
+                    )
+                return ("tint", base[0], self.resolve(v[3]))
             if kind in ("Indexed", "I") and len(v) == 4:
                 base = self._image_colorspace(v[1])
                 if base[0] == "indexed":

@@ -1245,3 +1245,79 @@ class TestRotateAndTextStrings:
         # plain PDFDocEncoding strings pass through unchanged
         pdf, _ = self._build(info=b"<< /Title (plain) >>")
         assert PdfDocument(pdf).info_title() == "plain"
+
+
+class TestSeparationTints:
+    """Separation / single-colorant DeviceN images (8.6.6): tint
+    samples feed a 7.10 transform function into the alternate device
+    space — types 2 (exponential), 0 (1-D sampled) and 3 (stitching)
+    evaluate; type 4 (PostScript calculator) stays a loud failure."""
+
+    _TINT = bytes([0, 64, 128, 255])
+
+    def _pdf(self, colorspace: bytes, extra_objs=()):
+        return _mini_pdf(
+            b"<< /Type /XObject /Subtype /Image /Width 4 /Height 1"
+            b" /ColorSpace " + colorspace + b" /BitsPerComponent 8",
+            self._TINT,
+            extra_objs,
+        )
+
+    def test_exponential_tint_into_rgb(self):
+        pdf = self._pdf(
+            b"[/Separation /Spot /DeviceRGB << /FunctionType 2"
+            b" /Domain [0 1] /C0 [1 1 1] /C1 [1 0 0] /N 1 >>]"
+        )
+        got = decode_pdf(pdf)[0]
+        t = np.frombuffer(self._TINT, np.uint8) / 255.0
+        inv = np.round((1 - t) * 255)
+        want = np.stack([np.full(4, 255), inv, inv], -1).astype(np.uint8)
+        assert np.array_equal(got[0], want)
+
+    def test_sampled_tint_stream(self):
+        samples = bytes([255, 128, 0])
+        extra = (
+            b"<< /FunctionType 0 /Domain [0 1] /Range [0 1] /Size [3]"
+            b" /BitsPerSample 8 /Length %d >>\nstream\n" % len(samples)
+            + samples + b"\nendstream",
+        )
+        pdf = self._pdf(
+            b"[/Separation /Ink /DeviceGray 5 0 R]", extra
+        )
+        got = decode_pdf(pdf)[0]
+        t = np.frombuffer(self._TINT, np.uint8) / 255.0
+        want = np.round(
+            np.interp(t * 2, [0, 1, 2], [1.0, 128 / 255, 0.0]) * 255
+        ).astype(np.uint8)
+        assert np.array_equal(got[0], want)
+
+    def test_stitching_tint(self):
+        pdf = self._pdf(
+            b"[/Separation /S /DeviceGray"
+            b" << /FunctionType 3 /Domain [0 1] /Bounds [0.5]"
+            b" /Encode [0 1 0 1] /Functions ["
+            b" << /FunctionType 2 /Domain [0 1] /C0 [1] /C1 [0.5] /N 1 >>"
+            b" << /FunctionType 2 /Domain [0 1] /C0 [0.5] /C1 [0] /N 1 >>"
+            b" ] >>]"
+        )
+        assert decode_pdf(pdf)[0][0].tolist() == [255, 191, 127, 0]
+
+    def test_single_colorant_devicen(self):
+        pdf = self._pdf(
+            b"[/DeviceN [/Ink] /DeviceGray << /FunctionType 2"
+            b" /Domain [0 1] /C0 [1] /C1 [0] /N 1 >>]"
+        )
+        got = decode_pdf(pdf)[0]
+        want = 255 - np.frombuffer(self._TINT, np.uint8)
+        assert np.array_equal(got[0], want)
+
+    def test_guards(self):
+        with pytest.raises(NotImplementedError, match="PostScript"):
+            decode_pdf(self._pdf(
+                b"[/Separation /S /DeviceGray << /FunctionType 4 >>]"
+            ))
+        with pytest.raises(NotImplementedError, match="colorants"):
+            decode_pdf(self._pdf(
+                b"[/DeviceN [/A /B] /DeviceGray << /FunctionType 2"
+                b" /C0 [1] /C1 [0] /N 1 >>]"
+            ))
