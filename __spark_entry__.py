@@ -594,9 +594,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # north-rule's "PDF/layout parse"): pack each doc's pages into
         # ONE real PDF (functions/pdf.py writer), unpack via the real
         # parser into the (media_ref, payload) page store, then run the
-        # FULL extraction DAG from those bytes. Both container steps
-        # are lossless (FlateDecode), so the oracle is exact span-
-        # sequence equality against the same golden as extraction_e2e.
+        # FULL extraction DAG from those bytes. mix=True crc32-chooses
+        # LOSSLESS writer flavors per doc/page — classic xref table vs
+        # 1.5 xref stream + /ObjStm, plain vs rc4-128/aes-128 empty-
+        # password encryption, and flate vs Separation (type-4
+        # calculator tint) vs 2-colorant DeviceN (2-D sampled tint)
+        # images — so this one gate row drives the parser's whole
+        # structural surface. Every flavor roundtrips bit-exact, so
+        # the oracle stays exact span-sequence equality against the
+        # same golden as extraction_e2e.
         from oar_ocr_spark.functions.pdf import pdf_media_store_df, pdf_store_df
         from oar_ocr_spark.local_ref import ExtractConfig
         from oar_ocr_spark.pipeline import extract_spans
@@ -605,7 +611,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("doc_id").cast("bigint") % PDF_MOD) == 0
         )
         store = pdf_media_store_df(
-            pdf_store_df(docs, parallelism=spark.sparkContext.defaultParallelism)
+            pdf_store_df(
+                docs,
+                parallelism=spark.sparkContext.defaultParallelism,
+                mix=True,
+            )
         )
         return _exploded_results(extract_spans(spark, docs, media_store=store))
 

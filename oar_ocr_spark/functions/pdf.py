@@ -142,10 +142,12 @@ def encode_pdf(
     /ObjStm in the 1.5 layout, per §7.5.7."""
     if page_refs is not None and len(page_refs) != len(pages):
         raise ValueError("page_refs length must match pages")
-    if image_format not in ("flate", "jpeg", "ccitt", "jbig2", "jpx", "jpx97"):
+    if image_format not in (
+        "flate", "jpeg", "ccitt", "jbig2", "jpx", "jpx97", "sep", "devn", "mix",
+    ):
         raise ValueError(
             "image_format must be 'flate'/'jpeg'/'ccitt'/'jbig2'/'jpx'/"
-            f"'jpx97', got {image_format!r}"
+            f"'jpx97'/'sep'/'devn'/'mix', got {image_format!r}"
         )
     if xref_format not in ("classic", "stream"):
         raise ValueError(f"xref_format must be 'classic' or 'stream', got {xref_format!r}")
@@ -246,22 +248,33 @@ def encode_pdf(
     catalog_num = add(b"")  # placeholder, patched after pages tree exists
     pages_num = add(b"")
     kid_nums = []
-    for page in pages:
+    for page_i, page in enumerate(pages):
         h, w = page.shape
         bpc, parms = 8, b""
-        if image_format == "jpeg":
+        colorspace = b"/DeviceGray"
+        fmt = image_format
+        if fmt == "mix":
+            # lossless spot-color flavors mixed per page: half plain
+            # flate, a quarter Separation + type-4 calculator tint, a
+            # quarter 2-colorant DeviceN + 2-D sampled tint — all
+            # exact roundtrips, so container goldens are unchanged
+            ref = page_refs[page_i] if page_refs else str(page_i)
+            fmt = ("flate", "flate", "sep", "devn")[
+                zlib.crc32(b"pdf-img-flavor:" + ref.encode()) % 4
+            ]
+        if fmt == "jpeg":
             from .jpeg import encode_jpeg
 
             data = encode_jpeg(page, quality)
             filter_name = b"DCTDecode"
-        elif image_format in ("jpx", "jpx97"):
+        elif fmt in ("jpx", "jpx97"):
             from .jp2 import encode_jp2
 
             # jpx = lossless 5/3 (archival); jpx97 = the lossy 9/7
             # profile real-world scanners emit
-            data = encode_jp2(page, irreversible=image_format == "jpx97")
+            data = encode_jp2(page, irreversible=fmt == "jpx97")
             filter_name = b"JPXDecode"
-        elif image_format == "ccitt":
+        elif fmt == "ccitt":
             from .ccitt import ccitt_encode_g4
 
             if not np.isin(page, (0, 255)).all():
@@ -273,7 +286,7 @@ def encode_pdf(
                 b" /DecodeParms << /K -1 /Columns %d /Rows %d /BlackIs1 false >>"
                 % (w, h)
             )
-        elif image_format == "jbig2":
+        elif fmt == "jbig2":
             from .jbig2 import encode_jbig2, encode_jbig2_symbols
 
             if not np.isin(page, (0, 255)).all():
@@ -288,15 +301,50 @@ def encode_pdf(
                 data = encode_jbig2(bilevel_bits, tpgdon=True)
             filter_name = b"JBIG2Decode"
             bpc = 1
+        elif fmt == "sep":
+            # Separation spot color with a type-4 calculator tint
+            # transform t -> 1-t into /DeviceGray: stored samples are
+            # 255-G, so the decode roundtrip is exact. The program
+            # exercises dup/gt/ifelse/neg/add/exch/sub with a value-
+            # dependent mask (both branches compute 1-t).
+            prog = b"{ dup 0.5 gt { 1 exch sub } { neg 1 add } ifelse }"
+            pdata = enc_bytes(len(objs) + 1, prog)
+            fn_num = add(
+                b"<< /FunctionType 4 /Domain [0 1] /Range [0 1]"
+                b" /Length %d >>\nstream\n" % len(pdata)
+                + pdata + b"\nendstream",
+                stream=True,
+            )
+            colorspace = b"[/Separation /Ink /DeviceGray %d 0 R]" % fn_num
+            data = zlib.compress((255 - page).tobytes(), 6)
+            filter_name = b"FlateDecode"
+        elif fmt == "devn":
+            # 2-colorant DeviceN with a 2-D type-0 sampled tint
+            # transform f(a,b) = b (corner samples 0,0,255,255):
+            # bilinear interpolation reproduces it exactly, so the
+            # roundtrip through the multilinear path is exact; the
+            # first colorant carries 255-G as a decoy channel
+            sdata = enc_bytes(len(objs) + 1, bytes([0, 0, 255, 255]))
+            fn_num = add(
+                b"<< /FunctionType 0 /Domain [0 1 0 1] /Range [0 1]"
+                b" /Size [2 2] /BitsPerSample 8 /Length %d >>\nstream\n"
+                % len(sdata) + sdata + b"\nendstream",
+                stream=True,
+            )
+            colorspace = b"[/DeviceN [/Decoy /Ink] /DeviceGray %d 0 R]" % fn_num
+            data = zlib.compress(
+                np.stack([255 - page, page], axis=-1).tobytes(), 6
+            )
+            filter_name = b"FlateDecode"
         else:
             data = zlib.compress(page.tobytes(), 6)
             filter_name = b"FlateDecode"
         data = enc_bytes(len(objs) + 1, data)
         img_num = add(
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
-            b" /ColorSpace /DeviceGray /BitsPerComponent %d"
+            b" /ColorSpace %s /BitsPerComponent %d"
             b" /Filter /%s%s /Length %d >>\nstream\n"
-            % (w, h, bpc, filter_name, parms, len(data))
+            % (w, h, colorspace, bpc, filter_name, parms, len(data))
             + data
             + b"\nendstream",
             stream=True,
@@ -782,6 +830,24 @@ def _apply_predictor(data: bytes, pm: dict) -> bytes:
     h = len(data) // (stride + 1)
     arr = np.frombuffer(data, dtype=np.uint8).reshape(h, stride + 1)
     return _unfilter(arr, h, columns, colors).tobytes()
+
+
+def _unpack_bits_flat(raw: bytes, count: int, bps: int) -> np.ndarray:
+    """`count` big-endian samples of `bps` bits packed contiguously
+    (no row padding — the 7.10.2 sampled-function stream layout) →
+    float64 array of raw sample values."""
+    need = (count * bps + 7) // 8
+    if len(raw) < need:
+        raise ValueError("PDF sampled function stream truncated")
+    if bps == 8:
+        return np.frombuffer(raw, np.uint8, count).astype(np.float64)
+    if bps == 16:
+        return np.frombuffer(raw, ">u2", count).astype(np.float64)
+    if bps == 32:
+        return np.frombuffer(raw, ">u4", count).astype(np.float64)
+    bits = np.unpackbits(np.frombuffer(raw[:need], np.uint8))[: count * bps]
+    weights = (2.0 ** np.arange(bps - 1, -1, -1))
+    return bits.reshape(count, bps).astype(np.float64) @ weights
 
 
 def _unpack_samples(raw: bytes, w: int, h: int, bpc: int, ncomp: int) -> np.ndarray:
@@ -1347,37 +1413,56 @@ class PdfDocument:
                     raise NotImplementedError(
                         "PDF /Decode remap on an /Indexed image not supported"
                     )
-                nc = {"gray": 1, "rgb": 3, "cmyk": 4}[base]
-                if len(lookup) < (hival + 1) * nc:
-                    raise ValueError("PDF /Indexed lookup table truncated")
-                pal = np.frombuffer(
-                    lookup[: (hival + 1) * nc], dtype=np.uint8
-                ).reshape(hival + 1, nc)
+                if isinstance(base, tuple):
+                    # /Indexed over /Separation|/DeviceN: palette entries
+                    # are 8-bit tint codes fed through the transform
+                    _, alt, nin, fnobj = base
+                    if len(lookup) < (hival + 1) * nin:
+                        raise ValueError("PDF /Indexed lookup table truncated")
+                    codes = np.frombuffer(
+                        lookup[: (hival + 1) * nin], dtype=np.uint8
+                    ).reshape(hival + 1, nin)
+                    pal = self._tint_lut(
+                        fnobj, codes.astype(np.float64) / 255.0, alt
+                    )
+                    base = alt
+                else:
+                    nc = {"gray": 1, "rgb": 3, "cmyk": 4}[base]
+                    if len(lookup) < (hival + 1) * nc:
+                        raise ValueError("PDF /Indexed lookup table truncated")
+                    pal = np.frombuffer(
+                        lookup[: (hival + 1) * nc], dtype=np.uint8
+                    ).reshape(hival + 1, nc).astype(np.float64)
                 # out-of-range indices clamp to the nearest valid value
                 # (8.9.6.3), the spec-sanctioned reading
-                comps = pal[np.clip(idx, 0, hival)].astype(np.float64)
+                comps = pal[np.clip(idx, 0, hival)]
             elif spec[0] == "tint":
-                # Separation / single-colorant DeviceN (8.6.6): tint
-                # samples feed the transform function into the
-                # alternate device space — evaluated ONCE per possible
-                # sample code (a LUT), not per pixel
-                _, base, fnobj = spec
-                vals = _unpack_samples(raw, w, h, bpc, 1)[..., 0]
+                # Separation / DeviceN (8.6.6): tint samples feed the
+                # transform function into the alternate device space —
+                # evaluated once per possible sample code (1-colorant
+                # LUT) or once per UNIQUE colorant tuple (DeviceN),
+                # never per pixel
+                _, base, nin, fnobj = spec
+                vals = _unpack_samples(raw, w, h, bpc, nin)
                 maxv = (1 << bpc) - 1
-                if decode is not None and decode != [0.0, 1.0]:
+                if decode is not None and decode != [0.0, 1.0] * nin:
                     raise NotImplementedError(
                         "PDF /Decode remap on a tint image not supported"
                     )
-                lut = self._eval_tint(
-                    fnobj, np.arange(maxv + 1, dtype=np.float64) / maxv
-                )
-                nc = {"gray": 1, "rgb": 3, "cmyk": 4}[base]
-                if lut.shape[1] != nc:
-                    raise ValueError(
-                        f"PDF tint transform yields {lut.shape[1]} values "
-                        f"for a {nc}-component alternate space"
+                if nin == 1:
+                    lut = self._tint_lut(
+                        fnobj,
+                        (np.arange(maxv + 1, dtype=np.float64) / maxv)[:, None],
+                        base,
                     )
-                comps = np.clip(lut, 0.0, 1.0)[vals] * 255.0
+                    comps = lut[vals[..., 0]]
+                else:
+                    codes = vals.reshape(-1, nin)
+                    uniq, inv = np.unique(codes, axis=0, return_inverse=True)
+                    lut = self._tint_lut(
+                        fnobj, uniq.astype(np.float64) / maxv, base
+                    )
+                    comps = lut[inv].reshape(h, w, lut.shape[1])
             else:
                 nc = {"gray": 1, "rgb": 3, "cmyk": 4}[spec[0]]
                 vals = _unpack_samples(raw, w, h, bpc, nc)
@@ -1483,10 +1568,12 @@ class PdfDocument:
                         spec = self._image_colorspace(
                             d.get("ColorSpace", _Name("DeviceGray"))
                         )
-                        nc = (
-                            1 if spec[0] == "indexed"
-                            else {"gray": 1, "rgb": 3, "cmyk": 4}[spec[0]]
-                        )
+                        if spec[0] == "indexed":
+                            nc = 1
+                        elif spec[0] == "tint":
+                            nc = spec[2]
+                        else:
+                            nc = {"gray": 1, "rgb": 3, "cmyk": 4}[spec[0]]
                         bpc = int(d.get("BitsPerComponent", 8))
                     rowbytes = (int(d["Width"]) * nc * bpc + 7) // 8
                     end = pos + rowbytes * int(d["Height"])
@@ -1509,11 +1596,30 @@ class PdfDocument:
                 continue
 
     def _eval_tint(self, fn, t: np.ndarray) -> np.ndarray:
-        """Evaluate a ONE-input PDF function (7.10) on `t` (float
-        array) → (len(t), n_out) float outputs. Types 2 (exponential
-        interpolation — the common tint transform), 0 (1-D sampled,
-        8/16-bit, linear interpolation) and 3 (stitching over either)
-        are supported; type 4 (PostScript calculator) fails loudly."""
+        """One-input convenience wrapper over _eval_function."""
+        return self._eval_function(fn, t.astype(np.float64)[:, None])
+
+    def _tint_lut(self, fnobj, X: np.ndarray, base: str) -> np.ndarray:
+        """Tint tuples X (npts, nin) → (npts, nc) device components
+        scaled to 0..255, validating the transform's output arity
+        against the alternate space."""
+        nc = {"gray": 1, "rgb": 3, "cmyk": 4}[base]
+        out = self._eval_function(fnobj, X)
+        if out.shape[1] != nc:
+            raise ValueError(
+                f"PDF tint transform yields {out.shape[1]} values "
+                f"for a {nc}-component alternate space"
+            )
+        return np.clip(out, 0.0, 1.0) * 255.0
+
+    def _eval_function(self, fn, X: np.ndarray) -> np.ndarray:
+        """Evaluate a PDF function (7.10) on X of shape (npts, nin) →
+        (npts, n_out) float outputs. Types: 2 (exponential
+        interpolation — the common tint transform), 0 (m-D sampled
+        streams at 1–32 bits with multilinear interpolation), 3
+        (stitching over the others) and 4 (PostScript calculator,
+        vectorized — functions/pdf_function.py). Types 2/3 are
+        one-input by definition (7.10.3–4)."""
         fn = self.resolve(fn)
         raw = None
         if isinstance(fn, tuple) and len(fn) == 2:
@@ -1524,12 +1630,24 @@ class PdfDocument:
         else:
             raise ValueError("PDF tint transform is not a function")
         ftype = int(self.resolve(d.get("FunctionType", -1)))
-        domain = [float(self.resolve(x)) for x in self.resolve(d.get("Domain", [0, 1]))]
-        if len(domain) != 2:
-            raise NotImplementedError(
-                "PDF tint function with more than one input not supported"
+        domain = [
+            float(self.resolve(x))
+            for x in self.resolve(d.get("Domain", [0, 1]))
+        ]
+        nin = X.shape[1]
+        if len(domain) != 2 * nin:
+            raise ValueError(
+                f"PDF function /Domain has {len(domain)} numbers for "
+                f"{nin} inputs"
             )
-        t = np.clip(t.astype(np.float64), domain[0], domain[1])
+        X = X.astype(np.float64)
+        for i in range(nin):
+            X[:, i] = np.clip(X[:, i], domain[2 * i], domain[2 * i + 1])
+        if ftype in (2, 3) and nin != 1:
+            raise ValueError(
+                f"PDF type-{ftype} functions take exactly one input"
+            )
+        t = X[:, 0]
         if ftype == 2:
             c0 = np.array(
                 [float(self.resolve(x)) for x in self.resolve(d.get("C0", [0.0]))]
@@ -1538,40 +1656,78 @@ class PdfDocument:
                 [float(self.resolve(x)) for x in self.resolve(d.get("C1", [1.0]))]
             )
             n = float(self.resolve(d.get("N", 1)))
-            return c0 + (t**n)[:, None] * (c1 - c0)
+            out = c0 + (t**n)[:, None] * (c1 - c0)
+            return self._clip_to_range(out, d)
         if ftype == 0:
             if raw is None:
                 raise ValueError("PDF sampled function without a stream")
             size = [int(self.resolve(x)) for x in self.resolve(d["Size"])]
-            if len(size) != 1:
+            if len(size) != nin:
+                raise ValueError(
+                    "PDF sampled function /Size rank mismatches its /Domain"
+                )
+            if nin > 6:
                 raise NotImplementedError(
-                    "PDF sampled function with more than one input not supported"
+                    f"PDF sampled function with {nin} inputs not supported "
+                    "(max 6 — 64 interpolation corners)"
                 )
             bps = int(self.resolve(d["BitsPerSample"]))
-            if bps not in (8, 16):
-                raise NotImplementedError(
-                    f"PDF sampled function at {bps} bits not supported"
+            if bps not in (1, 2, 4, 8, 12, 16, 24, 32):
+                raise ValueError(
+                    f"PDF sampled function BitsPerSample {bps} is illegal"
                 )
             rng = [float(self.resolve(x)) for x in self.resolve(d["Range"])]
             nout = len(rng) // 2
-            need = size[0] * nout
-            arr = np.frombuffer(
-                raw, dtype=np.uint8 if bps == 8 else ">u2", count=need
-            ).reshape(size[0], nout).astype(np.float64) / ((1 << bps) - 1)
+            count = nout
+            for s in size:
+                if s < 1:
+                    raise ValueError("PDF sampled function /Size entry < 1")
+                count *= s
+            flat = _unpack_bits_flat(raw, count, bps) / float((1 << bps) - 1)
+            # first input varies fastest (7.10.2) → it is the LAST
+            # grid axis after this reshape
+            arr = flat.reshape(list(reversed(size)) + [nout])
             enc = [float(self.resolve(x)) for x in self.resolve(
-                d.get("Encode", [0, size[0] - 1])
+                d.get("Encode", [v for s in size for v in (0, s - 1)])
             )]
-            e = enc[0] + (t - domain[0]) * (
-                (enc[1] - enc[0]) / max(domain[1] - domain[0], 1e-12)
-            )
-            e = np.clip(e, 0, size[0] - 1)
-            out = np.empty((len(t), nout))
-            xs = np.arange(size[0], dtype=np.float64)
+            if len(enc) != 2 * nin:
+                raise ValueError("PDF sampled function /Encode length mismatch")
+            base = np.zeros((len(t), nin), dtype=np.int64)
+            frac = np.zeros((len(t), nin))
+            for i in range(nin):
+                lo, hi = domain[2 * i], domain[2 * i + 1]
+                e = enc[2 * i] + (X[:, i] - lo) * (
+                    (enc[2 * i + 1] - enc[2 * i]) / max(hi - lo, 1e-12)
+                )
+                e = np.clip(e, 0, size[i] - 1)
+                f = np.minimum(np.floor(e), max(size[i] - 2, 0))
+                base[:, i] = f.astype(np.int64)
+                frac[:, i] = e - f
+            out = np.zeros((len(t), nout))
+            for corner in range(1 << nin):
+                w = np.ones(len(t))
+                idx = []
+                for i in range(nin):
+                    bit = (corner >> i) & 1
+                    w = w * (frac[:, i] if bit else 1.0 - frac[:, i])
+                    idx.append(np.minimum(base[:, i] + bit, size[i] - 1))
+                out += w[:, None] * arr[tuple(reversed(idx))]
+            # /Decode maps samples into the output range (default =
+            # /Range); linear, so applying it after the (linear)
+            # interpolation is identical
+            dec = self.resolve(d.get("Decode"))
+            dec = rng if dec is None else [float(self.resolve(x)) for x in dec]
+            if len(dec) != 2 * nout:
+                raise ValueError("PDF sampled function /Decode length mismatch")
+            res = np.empty_like(out)
             for c in range(nout):
-                col = np.interp(e, xs, arr[:, c])
-                dmin, dmax = rng[2 * c], rng[2 * c + 1]
-                out[:, c] = dmin + col * (dmax - dmin)
-            return out
+                dmin, dmax = dec[2 * c], dec[2 * c + 1]
+                res[:, c] = np.clip(
+                    dmin + out[:, c] * (dmax - dmin),
+                    min(rng[2 * c], rng[2 * c + 1]),
+                    max(rng[2 * c], rng[2 * c + 1]),
+                )
+            return res
         if ftype == 3:
             fns = self.resolve(d["Functions"])
             bounds = [float(self.resolve(x)) for x in self.resolve(d.get("Bounds", []))]
@@ -1595,12 +1751,47 @@ class PdfDocument:
                 out[mask] = sub
             if out is None:
                 raise ValueError("PDF stitching function with no subfunctions")
-            return out
+            return self._clip_to_range(out, d)
         if ftype == 4:
-            raise NotImplementedError(
-                "PDF type-4 (PostScript calculator) functions not supported"
-            )
+            if raw is None:
+                raise ValueError("PDF calculator function without a stream")
+            from .pdf_function import eval_calculator, parse_calculator
+
+            rng = [float(self.resolve(x)) for x in self.resolve(d["Range"])]
+            nout = len(rng) // 2
+            st = eval_calculator(parse_calculator(raw), X)
+            if len(st) < nout:
+                raise ValueError(
+                    "PDF type-4 function leaves fewer stack values than "
+                    "its /Range declares"
+                )
+            out = np.empty((len(X), nout))
+            for c in range(nout):
+                a = st[len(st) - nout + c]
+                if isinstance(a, list):
+                    raise ValueError("PDF type-4 function returned a procedure")
+                out[:, c] = np.clip(
+                    a.astype(np.float64),
+                    min(rng[2 * c], rng[2 * c + 1]),
+                    max(rng[2 * c], rng[2 * c + 1]),
+                )
+            return out
         raise ValueError(f"PDF function type {ftype} is illegal")
+
+    def _clip_to_range(self, out: np.ndarray, d: dict) -> np.ndarray:
+        """Clip function outputs to /Range when present (7.10.1; types
+        2 and 3, where /Range is optional)."""
+        rng = self.resolve(d.get("Range"))
+        if rng is None:
+            return out
+        rng = [float(self.resolve(x)) for x in rng]
+        if len(rng) != 2 * out.shape[1]:
+            raise ValueError("PDF function /Range length mismatch")
+        for c in range(out.shape[1]):
+            lo = min(rng[2 * c], rng[2 * c + 1])
+            hi = max(rng[2 * c], rng[2 * c + 1])
+            out[:, c] = np.clip(out[:, c], lo, hi)
+        return out
 
     def _image_colorspace(self, v):
         """Image /ColorSpace entry → ("gray"|"rgb"|"cmyk",) or
@@ -1638,17 +1829,16 @@ class PdfDocument:
             if kind in ("Separation", "DeviceN") and len(v) >= 4:
                 names = self.resolve(v[1])
                 nin = 1 if isinstance(names, str) else len(names)
-                if nin != 1:
-                    raise NotImplementedError(
-                        f"PDF /DeviceN with {nin} colorants not supported "
-                        "(single-colorant tints only)"
+                if not 1 <= nin <= 32:
+                    raise ValueError(
+                        f"PDF /DeviceN with {nin} colorants is illegal"
                     )
                 base = self._image_colorspace(v[2])
                 if base[0] not in ("gray", "rgb", "cmyk"):
                     raise NotImplementedError(
                         "PDF tint alternate space must be a device family"
                     )
-                return ("tint", base[0], self.resolve(v[3]))
+                return ("tint", base[0], nin, self.resolve(v[3]))
             if kind in ("Indexed", "I") and len(v) == 4:
                 base = self._image_colorspace(v[1])
                 if base[0] == "indexed":
@@ -1663,7 +1853,15 @@ class PdfDocument:
                     lut = lut.encode("latin-1")
                 if not isinstance(lut, (bytes, bytearray)):
                     raise ValueError("PDF /Indexed lookup is not string or stream")
-                return ("indexed", base[0], hival, bytes(lut))
+                # tint bases keep their full spec tuple (the palette
+                # holds tint codes the decode path maps through the
+                # transform); device bases keep the family string
+                return (
+                    "indexed",
+                    base if base[0] == "tint" else base[0],
+                    hival,
+                    bytes(lut),
+                )
             raise NotImplementedError(
                 f"PDF color space family /{kind} not supported"
             )
@@ -1729,6 +1927,7 @@ def pdf_store_df(
     docs: DataFrame,
     parallelism: int | None = None,
     encrypt: str | None = None,
+    mix: bool = False,
 ) -> DataFrame:
     """input_hint documents → (pdf_ref, payload, n_pages): ONE real PDF
     per document packing its media spans' rendered pages in span order.
@@ -1740,7 +1939,12 @@ def pdf_store_df(
     single-partition docs scan across workers before the UDF (the
     multimodal.png_store_df discipline). `encrypt` forwards to
     encode_pdf (e.g. "aes-256") so the downstream parser's transparent
-    empty-password decryption is exercised through the same seam."""
+    empty-password decryption is exercised through the same seam.
+    `mix=True` crc32-chooses LOSSLESS writer flavors per document —
+    xref table vs 1.5 xref stream + /ObjStm, plain vs rc4-128/aes-128
+    encrypted (1/4 of docs), and the per-page flate|Separation|DeviceN
+    image mix — so a gate query drives the parser's whole structural
+    surface while keeping span goldens byte-identical."""
     if parallelism:
         docs = docs.repartition(parallelism, "doc_id")
     refs = (
@@ -1762,8 +1966,25 @@ def pdf_store_df(
             for doc_id, media_refs in zip(pdf["doc_id"], pdf["refs"]):
                 media_refs = list(media_refs)
                 pages = [render_page(r) for r in media_refs]
+                fmt, xref, enc = "flate", "classic", encrypt
+                if mix:
+                    hsh = zlib.crc32(b"pdf-doc-flavor:" + str(doc_id).encode())
+                    fmt = "mix"
+                    xref = "stream" if (hsh >> 4) & 1 else "classic"
+                    enc = (None, None, None, None, None, None,
+                           "rc4-128", "aes-128")[hsh % 8]
                 rows.append(
-                    (doc_id, encode_pdf(pages, media_refs, encrypt=encrypt), len(pages))
+                    (
+                        doc_id,
+                        encode_pdf(
+                            pages,
+                            media_refs,
+                            image_format=fmt,
+                            xref_format=xref,
+                            encrypt=enc,
+                        ),
+                        len(pages),
+                    )
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in _PDF_STORE_SCHEMA.fields])
 

@@ -1312,12 +1312,202 @@ class TestSeparationTints:
         assert np.array_equal(got[0], want)
 
     def test_guards(self):
-        with pytest.raises(NotImplementedError, match="PostScript"):
+        # type-4 must be a stream; type-2 is one-input by definition
+        with pytest.raises(ValueError, match="without a stream"):
             decode_pdf(self._pdf(
-                b"[/Separation /S /DeviceGray << /FunctionType 4 >>]"
+                b"[/Separation /S /DeviceGray << /FunctionType 4"
+                b" /Domain [0 1] /Range [0 1] >>]"
             ))
-        with pytest.raises(NotImplementedError, match="colorants"):
-            decode_pdf(self._pdf(
-                b"[/DeviceN [/A /B] /DeviceGray << /FunctionType 2"
-                b" /C0 [1] /C1 [0] /N 1 >>]"
+        with pytest.raises(ValueError, match="one input"):
+            decode_pdf(_mini_pdf(
+                b"<< /Type /XObject /Subtype /Image /Width 2 /Height 1"
+                b" /ColorSpace [/DeviceN [/A /B] /DeviceGray"
+                b" << /FunctionType 2 /Domain [0 1 0 1] /C0 [1] /C1 [0]"
+                b" /N 1 >>] /BitsPerComponent 8",
+                self._TINT,
             ))
+
+
+def _ps_fn(program: bytes, domain: bytes, rng: bytes) -> bytes:
+    """A type-4 function object body (stream) for _mini_pdf extras."""
+    return (
+        b"<< /FunctionType 4 /Domain " + domain + b" /Range " + rng
+        + b" /Length %d >>\nstream\n" % len(program)
+        + program + b"\nendstream"
+    )
+
+
+class TestCalculatorFunctions:
+    """Type-4 (PostScript calculator) tint transforms — PDF 32000
+    §7.10.5, evaluated vectorized (functions/pdf_function.py)."""
+
+    _TINT = bytes([0, 64, 128, 255])
+
+    def test_invert_program(self):
+        extra = (_ps_fn(b"{ 1 exch sub }", b"[0 1]", b"[0 1]"),)
+        pdf = _mini_pdf(
+            b"<< /Type /XObject /Subtype /Image /Width 4 /Height 1"
+            b" /ColorSpace [/Separation /Ink /DeviceGray 5 0 R]"
+            b" /BitsPerComponent 8",
+            self._TINT,
+            extra,
+        )
+        got = decode_pdf(pdf)[0]
+        assert got[0].tolist() == [255, 191, 127, 0]
+
+    def test_ifelse_mixed_mask(self):
+        # both branches compute 1-t via different operators, so the
+        # value-dependent mask exercises the np.where merge exactly
+        prog = b"{ dup 0.5 gt { 1 exch sub } { neg 1 add } ifelse }"
+        extra = (_ps_fn(prog, b"[0 1]", b"[0 1]"),)
+        pdf = _mini_pdf(
+            b"<< /Type /XObject /Subtype /Image /Width 4 /Height 1"
+            b" /ColorSpace [/Separation /Ink /DeviceGray 5 0 R]"
+            b" /BitsPerComponent 8",
+            self._TINT,
+            extra,
+        )
+        assert decode_pdf(pdf)[0][0].tolist() == [255, 191, 127, 0]
+
+    def test_multi_output_rgb(self):
+        # t → (1, 1-t, 1-t): a red ramp, exercising dup and roll
+        prog = b"{ 1 exch sub dup 1 3 1 roll }"
+        extra = (_ps_fn(prog, b"[0 1]", b"[0 1 0 1 0 1]"),)
+        pdf = _mini_pdf(
+            b"<< /Type /XObject /Subtype /Image /Width 4 /Height 1"
+            b" /ColorSpace [/Separation /Spot /DeviceRGB 5 0 R]"
+            b" /BitsPerComponent 8",
+            self._TINT,
+            extra,
+        )
+        got = decode_pdf(pdf)[0]
+        inv = [255, 191, 127, 0]
+        want = np.stack(
+            [np.full(4, 255), np.array(inv), np.array(inv)], -1
+        ).astype(np.uint8)
+        assert np.array_equal(got[0], want)
+
+
+class TestMultiColorantDeviceN:
+    """DeviceN images with n>1 colorants: per-pixel tuples map through
+    an n-input transform, evaluated on UNIQUE tuples only."""
+
+    def _pdf(self, colorspace: bytes, payload: bytes, extra_objs=(), w=4):
+        return _mini_pdf(
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height 1"
+            b" /ColorSpace " % w + colorspace + b" /BitsPerComponent 8",
+            payload,
+            extra_objs,
+        )
+
+    def test_two_colorant_type4(self):
+        # samples (a,b) = ((255-G)/255, G/255); f = (b - a + 1)/2 = G/255
+        g = np.array([0, 64, 128, 255], np.uint8)
+        payload = np.stack([255 - g, g], -1).tobytes()
+        prog = b"{ exch sub 1 add 2 div }"
+        extra = (_ps_fn(prog, b"[0 1 0 1]", b"[0 1]"),)
+        pdf = self._pdf(
+            b"[/DeviceN [/A /B] /DeviceGray 5 0 R]", payload, extra
+        )
+        assert decode_pdf(pdf)[0][0].tolist() == g.tolist()
+
+    def test_two_colorant_sampled_bilinear(self):
+        # 2-D type-0 grid of f(a,b) = (b - a + 1)/2 at the 4 corners;
+        # bilinear interpolation reproduces the affine function
+        g = np.array([0, 64, 128, 255], np.uint8)
+        payload = np.stack([255 - g, g], -1).tobytes()
+        # sample order: first input (a) varies fastest →
+        # (a,b) = (0,0),(1,0),(0,1),(1,1) → f = .5, 0, 1, .5
+        samples = bytes([128, 0, 255, 128])
+        extra = (
+            b"<< /FunctionType 0 /Domain [0 1 0 1] /Range [0 1]"
+            b" /Size [2 2] /BitsPerSample 8 /Length %d >>\nstream\n"
+            % len(samples) + samples + b"\nendstream",
+        )
+        pdf = self._pdf(
+            b"[/DeviceN [/A /B] /DeviceGray 5 0 R]", payload, extra
+        )
+        got = decode_pdf(pdf)[0][0]
+        # corners are exact; interior points go through the 128/255
+        # quantized corner value, so allow the 1-count quantization
+        want = np.round(
+            (g / 255.0 - (255 - g) / 255.0 + 1) / 2 * 255
+        ).astype(int)
+        assert np.abs(got.astype(int) - want).max() <= 1
+
+    def test_three_colorant_into_rgb(self):
+        # identity-ish: (r,g,b) tints → RGB via { } (3 in, 3 out)
+        rgb = np.arange(12, dtype=np.uint8).reshape(4, 3) * 20
+        extra = (_ps_fn(b"{ }", b"[0 1 0 1 0 1]", b"[0 1 0 1 0 1]"),)
+        pdf = self._pdf(
+            b"[/DeviceN [/R /G /B] /DeviceRGB 5 0 R]", rgb.tobytes(), extra
+        )
+        got = decode_pdf(pdf)[0]
+        assert np.array_equal(got[0], rgb)
+
+    def test_indexed_over_separation(self):
+        # palette entries are tint codes mapped through the transform
+        extra = (_ps_fn(b"{ 1 exch sub }", b"[0 1]", b"[0 1]"),)
+        idx = bytes([0, 1, 2, 3])
+        pdf = _mini_pdf(
+            b"<< /Type /XObject /Subtype /Image /Width 4 /Height 1"
+            b" /ColorSpace [/Indexed [/Separation /S /DeviceGray 5 0 R]"
+            b" 3 <00558BFF>] /BitsPerComponent 8",
+            idx,
+            extra,
+        )
+        got = decode_pdf(pdf)[0]
+        want = [255 - 0, 255 - 0x55, 255 - 0x8B, 0]
+        assert got[0].tolist() == want
+
+
+class TestSpotColorEncoderFlavors:
+    """encode_pdf's lossless spot-color writer flavors: 'sep' stores
+    255-G behind a Separation + type-4 calculator tint, 'devn' stores
+    (255-G, G) behind a 2-colorant DeviceN + 2-D sampled tint, 'mix'
+    crc32-chooses per page — all EXACT roundtrips, so container
+    goldens (pdf_extract) are unchanged when gate-mixed."""
+
+    def test_sep_roundtrip(self):
+        refs = ["11_m2", "40_m0"]
+        pages = _pages(refs)
+        out = decode_pdf(encode_pdf(pages, refs, image_format="sep"))
+        for got, want in zip(out, pages):
+            assert np.array_equal(got, want)
+
+    def test_devn_roundtrip(self):
+        refs = ["7_m1", "23_m0"]
+        pages = _pages(refs)
+        out = decode_pdf(encode_pdf(pages, refs, image_format="devn"))
+        for got, want in zip(out, pages):
+            assert np.array_equal(got, want)
+
+    def test_mix_roundtrip_all_flavors_and_layouts(self):
+        # enough refs that the crc32 choice hits flate, sep AND devn;
+        # exercise both xref layouts and an encrypted variant too
+        refs = [f"{i}_m0" for i in range(8)]
+        import zlib as _z
+
+        flavors = {
+            ("flate", "flate", "sep", "devn")[
+                _z.crc32(b"pdf-img-flavor:" + r.encode()) % 4
+            ]
+            for r in refs
+        }
+        assert flavors == {"flate", "sep", "devn"}
+        pages = _pages(refs)
+        for kw in (
+            {},
+            {"xref_format": "stream"},
+            {"encrypt": "aes-128"},
+        ):
+            out = decode_pdf(encode_pdf(pages, refs, image_format="mix", **kw))
+            assert len(out) == len(pages)
+            for got, want in zip(out, pages):
+                assert np.array_equal(got, want), kw
+
+    def test_mix_without_refs_uses_positional_key(self):
+        pages = [np.full((6, 5), v, np.uint8) for v in (0, 90, 200, 255)]
+        out = decode_pdf(encode_pdf(pages, image_format="mix"))
+        for got, want in zip(out, pages):
+            assert np.array_equal(got, want)
