@@ -61,6 +61,8 @@ DEEPJPEG_MOD = 20
 JP2_MOD = 60  # EBCOT Tier-1 is the priciest codec — a thinner slice
 FAX_MOD = 20
 PDF_MOD = 20
+PDFTXT_MOD = 10
+HYB_MOD = 20  # must divide by E2E_MOD: reuses the extraction golden
 TIFF_MOD = 20
 AUDIO_MOD = 10
 VIDEO_MOD = 20
@@ -619,6 +621,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _exploded_results(extract_spans(spark, docs, media_store=store))
 
+    def q_pdf_text_extract(spark):
+        # born-digital PDF text layer (ref: hayro text extraction,
+        # Cargo.toml:20): pack each doc's TEXT spans as real content-
+        # stream text pages (crc32-mixed literal/hex/TJ/positioned-
+        # words/CID layouts, xref layouts, encryption quarter), then
+        # read them back through the §9 text state machine
+        # (functions/pdf_text.py) — no rendering, no OCR. Every
+        # layout roundtrips the exact string, so the oracle is pure
+        # SQL over the span derivation.
+        from oar_ocr_spark.functions.pdf import (
+            pdf_text_spans_df,
+            pdf_text_store_df,
+        )
+
+        docs = interleaved_docs_df(spark).where(
+            (F.col("doc_id").cast("bigint") % PDFTXT_MOD) == 0
+        )
+        store = pdf_text_store_df(
+            docs, parallelism=spark.sparkContext.defaultParallelism
+        )
+        return pdf_text_spans_df(store)
+
+    def q_pdf_hybrid_extract(spark):
+        # the real-world document loop: each doc exists ONLY as one
+        # PDF mixing born-digital text pages with scanned image pages
+        # (every span a page). One parse splits them — text pages
+        # yield their embedded text layer directly (NO OCR), image
+        # pages flow the FULL extraction DAG — and the reassembled
+        # span sequence must equal the extraction_e2e golden. The
+        # unpack is repartitioned so the docs-shape and media-store
+        # consumers share one shuffle (ReusedExchange) instead of
+        # parsing twice.
+        from oar_ocr_spark.functions.pdf import (
+            pdf_hybrid_store_df,
+            pdf_hybrid_unpack_df,
+        )
+        from oar_ocr_spark.pipeline import extract_spans
+
+        docs = interleaved_docs_df(spark).where(
+            (F.col("doc_id").cast("bigint") % HYB_MOD) == 0
+        )
+        par = spark.sparkContext.defaultParallelism
+        unpacked = pdf_hybrid_unpack_df(
+            pdf_hybrid_store_df(docs, parallelism=par)
+        ).repartition(par, "doc_id")
+        docs2 = unpacked.groupBy("doc_id").agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("offset", "kind", "text", "media_ref")
+                    )
+                ),
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans")
+        )
+        media = unpacked.where(F.col("kind") == "media").select(
+            "media_ref", "payload"
+        )
+        return _exploded_results(
+            extract_spans(spark, docs2, media_store=media)
+        )
+
     def q_tiff_extract(spark):
         # archival multi-page TIFF container input: pack each doc's
         # pages into ONE real multi-page TIFF (IFD chain, page refs in
@@ -904,6 +973,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_deep_jpeg_roundtrip": with_views(q_media_deep_jpeg_roundtrip),
         "media_fax_roundtrip": with_views(q_media_fax_roundtrip),
         "pdf_extract": with_views(q_pdf_extract),
+        "pdf_text_extract": with_views(q_pdf_text_extract),
+        "pdf_hybrid_extract": with_views(q_pdf_hybrid_extract),
         "tiff_extract": with_views(q_tiff_extract),
         "audio_wav_features": with_views(q_audio_wav_features),
         "audio_telephony_roundtrip": with_views(q_audio_telephony_roundtrip),
@@ -1637,6 +1708,13 @@ from read_parquet('{golden_dir}/media_features_fax.parquet') g
 join refs using (media_ref)
 """,
         "pdf_extract": _extraction_oracle(PDF_MOD, ""),
+        "pdf_text_extract": f"""
+with spans as ({span_cte})
+select doc_id, span_offset, span_text
+from spans
+where kind = 'text' and cast(doc_id as bigint) % {PDFTXT_MOD} = 0
+""",
+        "pdf_hybrid_extract": _extraction_oracle(HYB_MOD, ""),
         "tiff_extract": _extraction_oracle(TIFF_MOD, ""),
         "audio_wav_features": f"""
 with spans as ({span_cte}),

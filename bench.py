@@ -182,6 +182,8 @@ def main() -> None:
         "media_jp2_roundtrip",
         "media_fax_roundtrip",
         "pdf_extract",
+        "pdf_text_extract",
+        "pdf_hybrid_extract",
         "tiff_extract",
         "audio_wav_features",
         "audio_telephony_roundtrip",

@@ -93,6 +93,10 @@ __all__ = [
     "decode_pdf_refs",
     "pdf_store_df",
     "pdf_media_store_df",
+    "pdf_text_store_df",
+    "pdf_text_spans_df",
+    "pdf_hybrid_store_df",
+    "pdf_hybrid_unpack_df",
 ]
 
 
@@ -107,15 +111,206 @@ def _pdf_string(s: str) -> bytes:
     return b"(" + out.encode("latin-1") + b")"
 
 
+# --- text-layer page content (born-digital pages) ----------------------
+
+def _pdf_string_raw(b: bytes) -> bytes:
+    """Literal PDF string around already-encoded bytes."""
+    out = b.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+    out = out.replace(b"\n", b"\\n").replace(b"\r", b"\\r")
+    return b"(" + out + b")"
+
+
+def _enc_simple(s: str) -> bytes:
+    """Text → simple-font code bytes. The writer's simple-font pages
+    declare /WinAnsiEncoding whenever a high code appears, so the
+    byte encoding is cp1252 (ISO 32000-1 annex D.2); characters
+    outside it need the 'cid' text_format."""
+    try:
+        return s.encode("cp1252")
+    except UnicodeEncodeError as e:
+        raise ValueError(
+            f"text {s!r} has characters outside WinAnsi; use"
+            " text_format='cid'"
+        ) from e
+
+
+# All text pages use 12 pt Courier (base-14 fixed pitch: every glyph
+# 600/1000 em), so advances are exact decimal arithmetic the extractor
+# (functions/pdf_text.py) can reproduce: 7.2 pt per glyph, US-letter
+# page, 72 pt margins, 14.4 pt leading.
+_TXT_SIZE = 12.0
+_TXT_ADV = 7.2
+_TXT_X0, _TXT_Y0, _TXT_X1 = 72.0, 720.0, 540.0
+_TXT_LEAD = 14.4
+
+
+def _fmt_num(x: float) -> bytes:
+    s = ("%.4f" % x).rstrip("0").rstrip(".")
+    return (s or "0").encode("ascii")
+
+
+def _lcg(state: int) -> int:
+    return (state * 1103515245 + 12345) & 0x7FFFFFFF
+
+
+def _tj_content(text: str) -> bytes:
+    """One [ ... ] TJ array: the text split at crc32-seeded points into
+    literal- and hex-string chunks separated by small kern numbers
+    (|kern| <= 80 milli-em = 0.96 pt at 12 pt — far below the 4.32 pt
+    space advance, so the extractor's gap test sees zero spaces)."""
+    state = zlib.crc32(b"pdf-tj:" + text.encode("utf-8"))
+    chunks, i = [], 0
+    while i < len(text):
+        state = _lcg(state)
+        n = state % 5 + 1
+        chunks.append(text[i : i + n])
+        i += n
+    parts: list[bytes] = []
+    for j, c in enumerate(chunks):
+        if j:
+            state = _lcg(state)
+            parts.append(b"%d" % (state % 161 - 80))
+        if j % 2:
+            parts.append(b"<" + _enc_simple(c).hex().encode("ascii") + b">")
+        else:
+            parts.append(_pdf_string_raw(_enc_simple(c)))
+    return (
+        b"BT /F0 12 Tf %s %s Td [" % (_fmt_num(_TXT_X0), _fmt_num(_TXT_Y0))
+        + b" ".join(parts)
+        + b"] TJ ET"
+    )
+
+
+def _words_content(text: str) -> bytes:
+    """Positioned-words layout: spaces are NOT encoded — each word is
+    its own show op placed by exact Courier metrics (Tm absolute for
+    even words, Td relative for odd), wrapping at the right margin
+    (the wrap consumes exactly one inter-word space). The extractor
+    reconstructs spacing purely from geometry, the way real text
+    extractors (pdftotext) recover born-digital layout."""
+    if text != text.strip(" ") or "\n" in text or "\r" in text:
+        raise ValueError(
+            "text_format='words' needs space-trimmed single-line text"
+        )
+    ops = [b"BT /F0 12 Tf"]
+    x = y = None
+    origin = (0.0, 0.0)  # current line-matrix origin (last Td/Tm target)
+    widx = 0
+    for m in re.finditer(r"( *)([^ ]+)", text):
+        k, word = len(m.group(1)), m.group(2)
+        if x is None:
+            nx, ny = _TXT_X0, _TXT_Y0
+        else:
+            nx, ny = x + k * _TXT_ADV, y
+            if nx + len(word) * _TXT_ADV > _TXT_X1:
+                ny -= _TXT_LEAD  # wrap consumes one space
+                nx = _TXT_X0 + (k - 1) * _TXT_ADV
+        if widx % 2 == 0 or ny != origin[1]:
+            ops.append(
+                b"1 0 0 1 %s %s Tm" % (_fmt_num(nx), _fmt_num(ny))
+            )
+        else:
+            ops.append(
+                b"%s %s Td" % (_fmt_num(nx - origin[0]), _fmt_num(ny - origin[1]))
+            )
+        origin = (nx, ny)
+        ops.append(_pdf_string_raw(_enc_simple(word)) + b" Tj")
+        x, y = nx + len(word) * _TXT_ADV, ny
+        widx += 1
+    ops.append(b"ET")
+    return b" ".join(ops)
+
+
+def _cid_page(text: str) -> tuple[bytes, bytes, bytes]:
+    """(cmap stream raw bytes, /W or /DW entry, content ops) for an
+    Identity-H CID text page: unique chars get sequential 2-byte codes,
+    the ToUnicode CMap maps them back (bfchar entries for the first
+    half, an array-form bfrange for the rest — both §9.10.3 layouts),
+    and shows are 2-byte-code hex strings (split into a kerned TJ when
+    the crc32 bit says so)."""
+    uniq = sorted(set(text))
+    if not uniq or len(uniq) > 0xFFFF:
+        raise ValueError("cid text page needs 1..65535 unique characters")
+    code_of = {c: i + 1 for i, c in enumerate(uniq)}
+
+    def u16(c: str) -> bytes:
+        return b"<" + c.encode("utf-16-be").hex().encode("ascii") + b">"
+
+    n_char = (len(uniq) + 1) // 2
+    lines = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS)"
+        b" /Supplement 0 >> def",
+        b"/CMapName /Adobe-Identity-UCS def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<0000> <ffff>",
+        b"endcodespacerange",
+        b"%d beginbfchar" % n_char,
+    ]
+    for i in range(n_char):
+        lines.append(b"<%04x> %s" % (i + 1, u16(uniq[i])))
+    lines.append(b"endbfchar")
+    if n_char < len(uniq):
+        lines.append(b"1 beginbfrange")
+        dsts = b" ".join(u16(c) for c in uniq[n_char:])
+        lines.append(b"<%04x> <%04x> [%s]" % (n_char + 1, len(uniq), dsts))
+        lines.append(b"endbfrange")
+    lines += [
+        b"endcmap",
+        b"CMap currentdict /CMap defineresource pop",
+        b"end",
+        b"end",
+    ]
+    cmap = b"\n".join(lines)
+
+    h = zlib.crc32(b"pdf-cid:" + text.encode("utf-8"))
+    if h & 1:
+        wents = b" ".join(b"600" for _ in uniq)
+        w_entry = b"/W [1 [%s]]" % wents
+    else:
+        w_entry = b"/DW 600"
+    codes = b"".join(struct.pack(">H", code_of[c]) for c in text)
+    hexs = codes.hex().encode("ascii")
+    if h & 2 and len(text) >= 4:
+        cut = (len(text) // 2) * 4  # hex digits; 2-byte-code boundary
+        show = b"[<%s> -44 <%s>] TJ" % (hexs[:cut], hexs[cut:])
+    else:
+        show = b"<%s> Tj" % hexs
+    content = (
+        b"BT /F0 12 Tf %s %s Td " % (_fmt_num(_TXT_X0), _fmt_num(_TXT_Y0))
+        + show
+        + b" ET"
+    )
+    return cmap, w_entry, content
+
+
 def encode_pdf(
-    pages: list[np.ndarray],
+    pages: list[np.ndarray | str],
     page_refs: list[str] | None = None,
     image_format: str = "flate",
     quality: int = 100,
     xref_format: str = "classic",
     encrypt: str | None = None,
+    text_format: str = "literal",
 ) -> bytes:
-    """Greyscale (H,W) uint8 pages → real PDF bytes.
+    """Greyscale (H,W) uint8 pages and/or `str` text pages → real PDF.
+
+    A `str` page becomes a BORN-DIGITAL text page: the string drawn
+    with real content-stream text operators on a US-letter page in
+    12 pt Courier. `text_format` picks the layout real writers emit:
+    "literal" one (escaped) Tj show; "hex" one hex-string show; "tj"
+    a TJ array of literal+hex chunks with small kern numbers; "words"
+    spaces dropped entirely — each word its own show op positioned by
+    exact Courier metrics with margin wrapping (spacing must be
+    reconstructed from geometry, the pdftotext problem); "cid" an
+    Identity-H Type0 font with sequential 2-byte codes and a
+    /ToUnicode CMap (bfchar + bfrange); "mix" crc32-chooses per page.
+    The extractor twin is functions/pdf_text.py; every flavor
+    roundtrips the exact string (words: for space-trimmed single-line
+    text).
 
     Each page is a /DeviceGray 8-bit image XObject drawn full-bleed on
     a page whose MediaBox matches the pixel dims. image_format="flate"
@@ -151,7 +346,14 @@ def encode_pdf(
         )
     if xref_format not in ("classic", "stream"):
         raise ValueError(f"xref_format must be 'classic' or 'stream', got {xref_format!r}")
+    if text_format not in ("literal", "hex", "tj", "words", "cid", "mix"):
+        raise ValueError(
+            "text_format must be 'literal'/'hex'/'tj'/'words'/'cid'/'mix',"
+            f" got {text_format!r}"
+        )
     for p in pages:
+        if isinstance(p, str):
+            continue
         if p.dtype != np.uint8 or p.ndim != 2:
             raise ValueError(f"encode_pdf expects (H,W) uint8 pages, got {p.dtype} {p.shape}")
 
@@ -249,6 +451,96 @@ def encode_pdf(
     pages_num = add(b"")
     kid_nums = []
     for page_i, page in enumerate(pages):
+        if isinstance(page, str):
+            tfmt = text_format
+            if tfmt == "mix":
+                ref = page_refs[page_i] if page_refs else str(page_i)
+                tfmt = ("literal", "hex", "tj", "words", "cid")[
+                    zlib.crc32(b"pdf-text-flavor:" + ref.encode()) % 5
+                ]
+            if tfmt == "cid":
+                cmap_raw, w_entry, ops = _cid_page(page)
+                cdata = enc_bytes(len(objs) + 1, zlib.compress(cmap_raw, 6))
+                cmap_num = add(
+                    b"<< /Filter /FlateDecode /Length %d >>\nstream\n"
+                    % len(cdata) + cdata + b"\nendstream",
+                    stream=True,
+                )
+                # classic layout: strings are encrypted individually
+                # (hex form); in the 1.5 layout the whole /ObjStm is
+                def enc_str(s: str) -> bytes:
+                    if crypt is None or xref_format != "classic":
+                        return _pdf_string(s)
+                    return (
+                        b"<"
+                        + enc_bytes(len(objs) + 1, s.encode("latin-1"))
+                        .hex().encode("ascii")
+                        + b">"
+                    )
+
+                desc_num = add(
+                    b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont"
+                    b" /OarCID /CIDSystemInfo << /Registry " + enc_str("Adobe")
+                    + b" /Ordering " + enc_str("Identity")
+                    + b" /Supplement 0 >> " + w_entry + b" >>"
+                )
+                font_num = add(
+                    b"<< /Type /Font /Subtype /Type0 /BaseFont /OarCID"
+                    b" /Encoding /Identity-H /DescendantFonts [%d 0 R]"
+                    b" /ToUnicode %d 0 R >>" % (desc_num, cmap_num)
+                )
+            else:
+                if tfmt == "literal":
+                    ops = (
+                        b"BT /F0 12 Tf %s %s Td "
+                        % (_fmt_num(_TXT_X0), _fmt_num(_TXT_Y0))
+                        + _pdf_string_raw(_enc_simple(page))
+                        + b" Tj ET"
+                    )
+                elif tfmt == "hex":
+                    ops = (
+                        b"BT /F0 12 Tf %s %s Td <"
+                        % (_fmt_num(_TXT_X0), _fmt_num(_TXT_Y0))
+                        + _enc_simple(page).hex().encode("ascii")
+                        + b"> Tj ET"
+                    )
+                elif tfmt == "tj":
+                    ops = _tj_content(page)
+                else:
+                    ops = _words_content(page)
+                # three real simple-font dict layouts: explicit
+                # WinAnsi, default (Standard) encoding, and a /Widths
+                # array the extractor must honor
+                fh = zlib.crc32(b"pdf-font-flavor:" + page.encode("utf-8")) % 3
+                if any(b >= 0x80 for b in _enc_simple(page)):
+                    # high codes decode via cp1252 ONLY under an
+                    # explicit /WinAnsiEncoding entry
+                    fh = 0
+                fbody = b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+                if fh == 0:
+                    fbody += b" /Encoding /WinAnsiEncoding"
+                elif fh == 2:
+                    fbody += (
+                        b" /FirstChar 32 /LastChar 126 /Widths ["
+                        + b" ".join(b"600" for _ in range(95))
+                        + b"]"
+                    )
+                font_num = add(fbody + b" >>")
+            content = enc_bytes(len(objs) + 1, ops)
+            content_num = add(
+                b"<< /Length %d >>\nstream\n" % len(content)
+                + content + b"\nendstream",
+                stream=True,
+            )
+            kid_nums.append(
+                add(
+                    b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+                    b" /Resources << /Font << /F0 %d 0 R >> >>"
+                    b" /Contents %d 0 R >>"
+                    % (pages_num, font_num, content_num)
+                )
+            )
+            continue
         h, w = page.shape
         bpc, parms = 8, b""
         colorspace = b"/DeviceGray"
@@ -2017,3 +2309,233 @@ def pdf_media_store_df(pdfs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in _PAGE_STORE_SCHEMA.fields])
 
     return pdfs.select("pdf_ref", "payload").mapInPandas(it, schema=_PAGE_STORE_SCHEMA)
+
+
+_PDF_TEXT_SPANS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("span_offset", T.IntegerType(), False),
+        T.StructField("span_text", T.StringType(), False),
+    ]
+)
+
+
+def pdf_text_store_df(
+    docs: DataFrame, parallelism: int | None = None, mix: bool = True
+) -> DataFrame:
+    """input_hint documents → (pdf_ref, payload, n_pages): ONE
+    born-digital PDF per document, each TEXT span a real text page
+    (content-stream show operators, functions/pdf.py writer) whose
+    page ref carries the span offset. `mix=True` crc32-chooses the
+    text layout per page (literal/hex/TJ/positioned-words/CID) plus
+    the xref layout and an encryption quarter per document — the
+    whole §9 text surface behind one operator. Span selection runs
+    JVM-side (filter/transform HOFs); only the writer runs in the
+    Arrow-batched UDF."""
+    if parallelism:
+        docs = docs.repartition(parallelism, "doc_id")
+    refs = (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "transform(filter(spans, s -> s.kind = 'text' and s.text is not null),"
+                " s -> struct(s.offset as offset, s.text as text))"
+            ).alias("tspans"),
+        )
+        .where(F.size("tspans") > 0)
+    )
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, tspans in zip(pdf["doc_id"], pdf["tspans"]):
+                texts = [s["text"] for s in tspans]
+                prefs = [str(s["offset"]) for s in tspans]
+                tfmt, xref, enc = "literal", "classic", None
+                if mix:
+                    hsh = zlib.crc32(
+                        b"pdf-textdoc-flavor:" + str(doc_id).encode()
+                    )
+                    tfmt = "mix"
+                    xref = "stream" if (hsh >> 4) & 1 else "classic"
+                    enc = (None, None, None, None, None, None,
+                           "rc4-128", "aes-128")[hsh % 8]
+                rows.append(
+                    (
+                        doc_id,
+                        encode_pdf(
+                            texts,
+                            prefs,
+                            text_format=tfmt,
+                            xref_format=xref,
+                            encrypt=enc,
+                        ),
+                        len(texts),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _PDF_STORE_SCHEMA.fields])
+
+    return refs.mapInPandas(it, schema=_PDF_STORE_SCHEMA)
+
+
+def pdf_text_spans_df(pdfs: DataFrame) -> DataFrame:
+    """(pdf_ref, payload) → (doc_id, span_offset, span_text): extract
+    the embedded text layer of born-digital PDFs WITHOUT rendering or
+    OCR (functions/pdf_text.py state machine). Page refs carry the
+    span offsets (the pdf_text_store_df convention); a page with no
+    text layer fails loudly — this operator is the text side of the
+    hybrid split, image pages belong to pdf_media_store_df."""
+    from .pdf_text import page_text
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pdf_ref, payload in zip(pdf["pdf_ref"], pdf["payload"]):
+                doc = PdfDocument(bytes(payload))
+                refs = _split_refs(doc.info_title())
+                pages = doc.pages()
+                if refs is None or len(refs) != len(pages):
+                    raise ValueError(
+                        f"text-store PDF {pdf_ref} lacks page-offset refs"
+                    )
+                for ref, page in zip(refs, pages):
+                    text = page_text(doc, page)
+                    if text is None:
+                        raise ValueError(
+                            f"page {ref} of {pdf_ref} has no text layer"
+                        )
+                    rows.append((pdf_ref, int(ref), text))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _PDF_TEXT_SPANS_SCHEMA.fields]
+            )
+
+    return pdfs.select("pdf_ref", "payload").mapInPandas(
+        it, schema=_PDF_TEXT_SPANS_SCHEMA
+    )
+
+
+_HYBRID_UNPACK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("offset", T.IntegerType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def pdf_hybrid_store_df(
+    docs: DataFrame, parallelism: int | None = None
+) -> DataFrame:
+    """input_hint documents → (pdf_ref, payload, n_pages): ONE PDF per
+    document packing EVERY span as a page — text spans as born-digital
+    text pages (text_format='mix'), media spans as rendered image
+    pages (lossless image_format='mix') — in span order, page refs
+    '<offset>:' / '<offset>:<media_ref>'. With the unpack twin
+    (pdf_hybrid_unpack_df) this closes the real-world loop: a document
+    exists ONLY as its PDF, and the engine recovers text pages from
+    the embedded layer (no OCR) while scanned pages flow the full
+    extraction DAG."""
+    if parallelism:
+        docs = docs.repartition(parallelism, "doc_id")
+    refs = (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "transform(filter(spans, s -> (s.kind = 'text' and s.text is not null)"
+                " or (s.kind = 'media' and s.media_ref is not null)),"
+                " s -> struct(s.offset as offset, s.kind as kind,"
+                " s.text as text, s.media_ref as media_ref))"
+            ).alias("pspans"),
+        )
+        .where(F.size("pspans") > 0)
+    )
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..fixtures.render import render_page
+
+        for pdf in batches:
+            rows = []
+            for doc_id, pspans in zip(pdf["doc_id"], pdf["pspans"]):
+                pages: list = []
+                prefs: list[str] = []
+                for s in pspans:
+                    if s["kind"] == "text":
+                        pages.append(s["text"])
+                        prefs.append(f"{s['offset']}:")
+                    else:
+                        pages.append(render_page(s["media_ref"]))
+                        prefs.append(f"{s['offset']}:{s['media_ref']}")
+                hsh = zlib.crc32(b"pdf-hybrid-flavor:" + str(doc_id).encode())
+                rows.append(
+                    (
+                        doc_id,
+                        encode_pdf(
+                            pages,
+                            prefs,
+                            image_format="mix",
+                            text_format="mix",
+                            xref_format="stream" if (hsh >> 4) & 1 else "classic",
+                            encrypt=(None, None, None, None, None, None,
+                                     "rc4-128", "aes-128")[hsh % 8],
+                        ),
+                        len(pages),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in _PDF_STORE_SCHEMA.fields])
+
+    return refs.mapInPandas(it, schema=_PDF_STORE_SCHEMA)
+
+
+def pdf_hybrid_unpack_df(pdfs: DataFrame) -> DataFrame:
+    """(pdf_ref, payload) → (doc_id, offset, kind, text, media_ref,
+    payload): ONE parse per PDF splitting pages by what they carry —
+    text pages yield their extracted embedded text (functions/
+    pdf_text.py, NO rendering), image pages their lossless PNG
+    re-encode for the page store. Downstream, group text+media rows
+    into the input_hint docs shape and filter the media rows into
+    extract_spans(media_store=...); repartition this frame first so
+    both consumers share one shuffle (ReusedExchange) instead of
+    recomputing the parse."""
+    from .png import encode_png
+    from .pdf_text import page_text
+
+    def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for pdf_ref, payload in zip(pdf["pdf_ref"], pdf["payload"]):
+                doc = PdfDocument(bytes(payload))
+                refs = _split_refs(doc.info_title())
+                pages = doc.pages()
+                if refs is None or len(refs) != len(pages):
+                    raise ValueError(
+                        f"hybrid PDF {pdf_ref} lacks page refs"
+                    )
+                for ref, page in zip(refs, pages):
+                    off_s, _, mref = ref.partition(":")
+                    if mref:
+                        img = doc.page_image(page)
+                        if img.ndim == 3:
+                            img = img[:, :, 0]
+                        rows.append(
+                            (pdf_ref, int(off_s), "media", None, mref,
+                             encode_png(img))
+                        )
+                    else:
+                        text = page_text(doc, page)
+                        if text is None:
+                            raise ValueError(
+                                f"text page {ref} of {pdf_ref} has no text"
+                            )
+                        rows.append(
+                            (pdf_ref, int(off_s), "text", text, None, None)
+                        )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _HYBRID_UNPACK_SCHEMA.fields]
+            )
+
+    return pdfs.select("pdf_ref", "payload").mapInPandas(
+        it, schema=_HYBRID_UNPACK_SCHEMA
+    )

@@ -1,0 +1,534 @@
+"""PDF embedded-text-layer extraction — ISO 32000-1 §9 text objects.
+
+Born-digital PDFs carry their text as content-stream show operators
+(Tj / TJ / ' / ") positioned by the text-matrix machinery, not as
+pixels: a 100 TB document pipeline wants that text read DIRECTLY,
+reserving the render→OCR path for scanned pages. This module is the
+extractor twin of the text-page writer in functions/pdf.py
+(`encode_pdf` with `str` pages): it runs the full §9.4 text state
+machine over the content stream — q/Q/cm CTM stack, BT/ET, Tf, Td/TD/
+Tm/T*/TL, Tc/Tw/Tz/Ts, Tj/TJ/'/" — decodes string bytes through the
+font machinery (simple-font encodings, /Widths arrays, Identity-H
+Type0 CID fonts with /ToUnicode CMaps, §9.10.3 bfchar + both bfrange
+layouts), and reconstructs inter-word spacing GEOMETRICALLY from glyph
+metrics (the pdftotext problem): a horizontal gap of ≥ 0.6 space
+advances between runs on one line becomes round(gap/space) spaces, and
+line breaks join with a single separator plus the indent relative to
+the page's left text edge.
+
+Scope (declared, fails loudly outside it — the codec-seam contract):
+horizontal unrotated unmirrored text only; simple fonts with standard
+encodings (codes ≥ 128 via cp1252 for /WinAnsiEncoding) or /ToUnicode;
+/Differences encoding arrays, Type3 fonts, vertical/Identity-V CID
+fonts, Type0 fonts without /ToUnicode, and non-fixed-pitch base-14
+metrics (no /Widths) are NotImplementedError. Reference handles PDF
+text through `hayro` (oar-ocr Cargo.toml:20); this is the from-scratch
+vectorless twin.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .pdf import (
+    PdfDocument,
+    _apply_stream_filters,
+    _parse_value,
+    _skip_ws,
+    _Name,
+)
+
+__all__ = ["page_text", "decode_pdf_text"]
+
+_OP_RE = re.compile(rb"[^\x00\t\n\x0c\r \[\]<>(){}/%]+")
+_WSB = b"\x00\t\n\x0c\r "
+
+_ID = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mult(m1, m2):
+    """Row-vector composition: apply m1, then m2."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2,
+        a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2,
+        c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2,
+        e1 * b2 + f1 * d2 + f2,
+    )
+
+
+def _trans(tx, ty):
+    return (1.0, 0.0, 0.0, 1.0, float(tx), float(ty))
+
+
+# ---------------------------------------------------------------------------
+# fonts
+# ---------------------------------------------------------------------------
+
+_FIXED_PITCH_BASE14 = re.compile(r"(?:^|\+)Courier")
+
+
+class _Font:
+    """Resolved font attributes for extraction: code size, glyph
+    widths (glyph units, /1000 em), and the code→unicode map."""
+
+    def __init__(self, two_byte, widths, default_w, tounicode, cp1252):
+        self.two_byte = two_byte
+        self.widths = widths  # dict[int, float] | None
+        self.default_w = default_w
+        self.tounicode = tounicode  # dict[int, str] | None
+        self.cp1252 = cp1252
+
+    def width(self, code: int) -> float:
+        if self.widths is not None and code in self.widths:
+            return self.widths[code]
+        return self.default_w
+
+    def space_advance_units(self) -> float:
+        return self.width(32) if not self.two_byte else self.default_w
+
+    def codes(self, raw: bytes) -> list[int]:
+        if not self.two_byte:
+            return list(raw)
+        if len(raw) % 2:
+            raise ValueError("odd-length string for a 2-byte CID font")
+        return [
+            (raw[i] << 8) | raw[i + 1] for i in range(0, len(raw), 2)
+        ]
+
+    def text(self, codes: list[int]) -> str:
+        if self.tounicode is not None:
+            out = []
+            for c in codes:
+                u = self.tounicode.get(c)
+                if u is None:
+                    raise ValueError(
+                        f"code {c} missing from the font's /ToUnicode CMap"
+                    )
+                out.append(u)
+            return "".join(out)
+        if self.two_byte:
+            raise NotImplementedError(
+                "Type0 font without /ToUnicode not supported"
+            )
+        b = bytes(codes)
+        if self.cp1252:
+            return b.decode("cp1252", errors="strict")
+        if any(c >= 128 for c in codes):
+            raise NotImplementedError(
+                "simple-font codes >= 128 without /WinAnsiEncoding or"
+                " /ToUnicode not supported"
+            )
+        return b.decode("latin-1")
+
+
+def _u16_str(hexdigits: bytes) -> str:
+    return bytes.fromhex(hexdigits.decode("ascii")).decode("utf-16-be")
+
+
+def _parse_tounicode(raw: bytes) -> dict[int, str]:
+    """ToUnicode CMap stream → code→unicode map. Handles §9.10.3
+    bfchar sections and bfrange in both the increment-destination and
+    bracketed-array forms."""
+    out: dict[int, str] = {}
+    for sect in re.finditer(rb"beginbfchar(.*?)endbfchar", raw, re.S):
+        for m in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", sect.group(1)
+        ):
+            out[int(m.group(1), 16)] = _u16_str(m.group(2))
+    pair = re.compile(rb"\s*<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*")
+    single = re.compile(rb"<([0-9A-Fa-f]+)>\s*")
+    for sect in re.finditer(rb"beginbfrange(.*?)endbfrange", raw, re.S):
+        body, pos = sect.group(1), 0
+        while True:
+            m = pair.match(body, pos)
+            if not m:
+                break
+            lo, hi = int(m.group(1), 16), int(m.group(2), 16)
+            pos = m.end()
+            if hi < lo:
+                raise ValueError("bfrange high code below low code")
+            if pos < len(body) and body[pos : pos + 1] == b"[":
+                pos += 1
+                dsts = []
+                while True:
+                    pos = _skip_ws(body, pos)
+                    if pos < len(body) and body[pos : pos + 1] == b"]":
+                        pos += 1
+                        break
+                    dm = single.match(body, pos)
+                    if not dm:
+                        raise ValueError("malformed bfrange array entry")
+                    dsts.append(_u16_str(dm.group(1)))
+                    pos = dm.end()
+                if len(dsts) != hi - lo + 1:
+                    raise ValueError(
+                        "bfrange array length does not match code range"
+                    )
+                for i, d in enumerate(dsts):
+                    out[lo + i] = d
+            else:
+                dm = single.match(body, pos)
+                if not dm:
+                    raise ValueError("malformed bfrange destination")
+                pos = dm.end()
+                base = _u16_str(dm.group(1))
+                # increment applies to the LAST UTF-16 code unit (§9.10.3)
+                head, last = base[:-1], ord(base[-1])
+                for i in range(hi - lo + 1):
+                    out[lo + i] = head + chr(last + i)
+    return out
+
+
+def _load_font(doc: PdfDocument, fdict) -> _Font:
+    fdict = doc.resolve(fdict)
+    if isinstance(fdict, tuple):
+        fdict = fdict[0]
+    sub = str(doc.resolve(fdict.get("Subtype", "")))
+    tounicode = None
+    if "ToUnicode" in fdict:
+        obj = doc.resolve(fdict["ToUnicode"])
+        if not (isinstance(obj, tuple) and len(obj) == 2):
+            raise ValueError("/ToUnicode is not a stream")
+        raw = _apply_stream_filters(doc._resolved_filter_dict(obj[0]), obj[1])
+        tounicode = _parse_tounicode(raw)
+
+    if sub == "Type0":
+        enc = doc.resolve(fdict.get("Encoding"))
+        if str(enc) != "Identity-H":
+            raise NotImplementedError(
+                f"Type0 /Encoding {enc} not supported (Identity-H only)"
+            )
+        desc = doc.resolve(fdict.get("DescendantFonts"))
+        if not desc:
+            raise ValueError("Type0 font without /DescendantFonts")
+        d0 = doc.resolve(desc[0])
+        if isinstance(d0, tuple):
+            d0 = d0[0]
+        default_w = float(doc.resolve(d0.get("DW", 1000)))
+        widths: dict[int, float] = {}
+        warr = doc.resolve(d0.get("W"))
+        if warr:
+            i = 0
+            warr = [doc.resolve(x) for x in warr]
+            while i < len(warr):
+                c = int(warr[i])
+                nxt = doc.resolve(warr[i + 1])
+                if isinstance(nxt, list):
+                    for j, wv in enumerate(nxt):
+                        widths[c + j] = float(doc.resolve(wv))
+                    i += 2
+                else:
+                    c2, wv = int(nxt), float(doc.resolve(warr[i + 2]))
+                    for code in range(c, c2 + 1):
+                        widths[code] = wv
+                    i += 3
+        return _Font(True, widths or None, default_w, tounicode, False)
+
+    if sub == "Type3":
+        raise NotImplementedError("Type3 fonts not supported")
+
+    # simple font (Type1 / TrueType)
+    enc = fdict.get("Encoding")
+    cp1252 = False
+    if enc is not None:
+        enc = doc.resolve(enc)
+        if isinstance(enc, dict):
+            if "Differences" in enc:
+                raise NotImplementedError(
+                    "/Differences encoding arrays not supported"
+                )
+            enc = enc.get("BaseEncoding")
+        if enc is not None and not isinstance(enc, _Name):
+            raise ValueError("font /Encoding is not a name or dict")
+        cp1252 = str(enc) == "WinAnsiEncoding"
+    widths = None
+    default_w = None
+    if "Widths" in fdict:
+        first = int(doc.resolve(fdict.get("FirstChar", 0)))
+        warr = doc.resolve(fdict["Widths"])
+        widths = {
+            first + i: float(doc.resolve(w)) for i, w in enumerate(warr)
+        }
+        fd = doc.resolve(fdict.get("FontDescriptor", {}))
+        if isinstance(fd, tuple):
+            fd = fd[0]
+        default_w = float(doc.resolve(fd.get("MissingWidth", 0)))
+    else:
+        base = str(doc.resolve(fdict.get("BaseFont", "")))
+        if not _FIXED_PITCH_BASE14.search(base):
+            raise NotImplementedError(
+                f"base-14 metrics for {base or '<unnamed>'} not built in"
+                " (fixed-pitch Courier only without /Widths)"
+            )
+        default_w = 600.0
+    return _Font(False, widths, default_w, tounicode, cp1252)
+
+
+# ---------------------------------------------------------------------------
+# content-stream scanning
+# ---------------------------------------------------------------------------
+
+def _skip_inline_image(data: bytes, pos: int) -> int:
+    """Position just past the EI of a BI..ID..EI inline image (binary
+    data would derail the token scanner)."""
+    j = data.find(b"ID", pos)
+    if j < 0:
+        raise ValueError("inline image missing ID")
+    j += 3
+    while True:
+        j = data.find(b"EI", j)
+        if j < 0:
+            raise ValueError("inline image missing EI")
+        if data[j - 1] in _WSB and (
+            j + 2 >= len(data) or data[j + 2] in _WSB
+        ):
+            return j + 2
+        j += 2
+
+
+def _tokens(data: bytes):
+    """Yield ("val", value) operands and ("op", name-bytes) operators
+    over a content stream, skipping inline-image binary data."""
+    pos = 0
+    n = len(data)
+    while True:
+        pos = _skip_ws(data, pos)
+        if pos >= n:
+            return
+        c = data[pos]
+        if c in b"(<[/" or c in b"+-." or 0x30 <= c <= 0x39:
+            v, pos = _parse_value(data, pos)
+            yield ("val", v)
+            continue
+        m = _OP_RE.match(data, pos)
+        if not m:
+            raise ValueError(
+                f"cannot scan content stream at offset {pos}:"
+                f" {data[pos:pos+20]!r}"
+            )
+        op = m.group(0)
+        pos = m.end()
+        if op == b"BI":
+            pos = _skip_inline_image(data, pos)
+            continue
+        yield ("op", op)
+
+
+class _Run:
+    __slots__ = ("y", "x0", "x1", "text", "space_adv")
+
+    def __init__(self, y, x0, x1, text, space_adv):
+        self.y, self.x0, self.x1 = y, x0, x1
+        self.text, self.space_adv = text, space_adv
+
+
+def _page_runs(doc: PdfDocument, page: dict) -> list[_Run]:
+    content = doc.resolve(page.get("Contents"))
+    chunks = []
+    for c in content if isinstance(content, list) else [content]:
+        c = doc.resolve(c)
+        if isinstance(c, tuple) and len(c) == 2:
+            chunks.append(
+                _apply_stream_filters(doc._resolved_filter_dict(c[0]), c[1])
+            )
+    if not chunks:
+        return []
+    data = b"\n".join(chunks)
+    res = doc.resolve(page.get("Resources", {}))
+    font_res = doc.resolve(res.get("Font", {})) if isinstance(res, dict) else {}
+    font_cache: dict[str, _Font] = {}
+
+    ctm = _ID
+    gstack: list = []
+    tm = tlm = None
+    font: _Font | None = None
+    tfs = 0.0
+    tc = tw = ts = 0.0
+    tz = 100.0
+    tl = 0.0
+    runs: list[_Run] = []
+    operands: list = []
+
+    def num(v) -> float:
+        if not isinstance(v, (int, float)) or isinstance(v, bool):
+            raise ValueError(f"numeric operand expected, got {v!r}")
+        return float(v)
+
+    def do_td(tx, ty):
+        nonlocal tm, tlm
+        if tlm is None:
+            raise ValueError("Td outside BT/ET")
+        tlm = _mult(_trans(tx, ty), tlm)
+        tm = tlm
+
+    def show(s):
+        nonlocal tm
+        if not isinstance(s, str):
+            raise ValueError("show operand is not a string")
+        if font is None:
+            raise ValueError("text show without a Tf font selection")
+        if tm is None:
+            raise ValueError("text show outside BT/ET")
+        raw = s.encode("latin-1")
+        codes = font.codes(raw)
+        if not codes:
+            return
+        rm = _mult(tm, ctm)
+        if abs(rm[1]) > 1e-9 or abs(rm[2]) > 1e-9:
+            raise NotImplementedError(
+                "rotated/skewed text matrices not supported"
+            )
+        if rm[0] <= 0 or rm[3] <= 0:
+            raise NotImplementedError("mirrored/degenerate text matrices")
+        text = font.text(codes)
+        tx_total = 0.0
+        for code in codes:
+            adv = font.width(code) / 1000.0 * tfs + tc
+            if code == 32 and not font.two_byte:
+                adv += tw
+            tx_total += adv * tz / 100.0
+        x0 = rm[4]
+        y = rm[5] + ts * rm[3]
+        space = (
+            font.space_advance_units() / 1000.0 * tfs + tc + tw
+        ) * tz / 100.0 * rm[0]
+        runs.append(_Run(y, x0, x0 + tx_total * rm[0], text, space))
+        tm = _mult(_trans(tx_total, 0.0), tm)
+
+    for kind, v in _tokens(data):
+        if kind == "val":
+            operands.append(v)
+            continue
+        op = v
+        if op == b"q":
+            gstack.append(ctm)
+        elif op == b"Q":
+            if gstack:
+                ctm = gstack.pop()
+        elif op == b"cm":
+            ctm = _mult(tuple(num(x) for x in operands[-6:]), ctm)
+        elif op == b"BT":
+            tm = tlm = _ID
+        elif op == b"ET":
+            tm = tlm = None
+        elif op == b"Tf":
+            if len(operands) < 2 or not isinstance(operands[-2], _Name):
+                raise ValueError("Tf needs a font name and a size")
+            name = str(operands[-2])
+            if name not in font_cache:
+                fr = doc.resolve(font_res)
+                if name not in fr:
+                    raise ValueError(f"font {name} missing from /Resources")
+                font_cache[name] = _load_font(doc, fr[name])
+            font = font_cache[name]
+            tfs = num(operands[-1])
+        elif op == b"Td":
+            do_td(num(operands[-2]), num(operands[-1]))
+        elif op == b"TD":
+            tl = -num(operands[-1])
+            do_td(num(operands[-2]), num(operands[-1]))
+        elif op == b"Tm":
+            if tlm is None:
+                raise ValueError("Tm outside BT/ET")
+            tm = tlm = tuple(num(x) for x in operands[-6:])
+        elif op == b"T*":
+            do_td(0.0, -tl)
+        elif op == b"TL":
+            tl = num(operands[-1])
+        elif op == b"Tc":
+            tc = num(operands[-1])
+        elif op == b"Tw":
+            tw = num(operands[-1])
+        elif op == b"Tz":
+            tz = num(operands[-1])
+        elif op == b"Ts":
+            ts = num(operands[-1])
+        elif op == b"Tj":
+            show(operands[-1])
+        elif op == b"'":
+            do_td(0.0, -tl)
+            show(operands[-1])
+        elif op == b'"':
+            tw = num(operands[-3])
+            tc = num(operands[-2])
+            do_td(0.0, -tl)
+            show(operands[-1])
+        elif op == b"TJ":
+            arr = operands[-1]
+            if not isinstance(arr, list):
+                raise ValueError("TJ operand is not an array")
+            for el in arr:
+                if isinstance(el, str):
+                    show(el)
+                elif isinstance(el, (int, float)):
+                    if tm is None:
+                        raise ValueError("TJ outside BT/ET")
+                    tm = _mult(
+                        _trans(-float(el) / 1000.0 * tfs * tz / 100.0, 0.0),
+                        tm,
+                    )
+                else:
+                    raise ValueError(f"TJ element {el!r} not string/number")
+        # every other operator (paths, color, XObjects, marked
+        # content) carries no text; its operands just clear below
+        operands.clear()
+    return runs
+
+
+# ---------------------------------------------------------------------------
+# line assembly
+# ---------------------------------------------------------------------------
+
+def _spaces(gap: float, space_adv: float) -> int:
+    if space_adv <= 0 or gap < 0.6 * space_adv:
+        return 0
+    return int(gap / space_adv + 0.5)
+
+
+def page_text(
+    doc: PdfDocument, page: dict, line_sep: str = " "
+) -> str | None:
+    """Text of one page dict (from doc.pages()), or None when the page
+    draws no text (an image-only page). Runs sort into lines by
+    descending device y (tolerance 1 pt); within a line, horizontal
+    gaps of >= 0.6 space advances become round(gap/space) spaces; a
+    line break contributes `line_sep` plus the indent relative to the
+    leftmost line start on the page (the wrap convention of the writer
+    twin: one consumed space, any extra spacing kept as indent)."""
+    runs = _page_runs(doc, page)
+    if not runs:
+        return None
+    runs.sort(key=lambda r: (-r.y, r.x0))
+    lines: list[list[_Run]] = []
+    for r in runs:
+        if lines and abs(lines[-1][0].y - r.y) <= 1.0:
+            lines[-1].append(r)
+        else:
+            lines.append([r])
+    for line in lines:
+        line.sort(key=lambda r: r.x0)  # rise (Ts) can break x order
+    margin = min(line[0].x0 for line in lines)
+    parts: list[str] = []
+    for li, line in enumerate(lines):
+        if li:
+            parts.append(line_sep)
+        first = line[0]
+        parts.append(" " * _spaces(first.x0 - margin, first.space_adv))
+        parts.append(first.text)
+        prev_end = first.x1
+        for r in line[1:]:
+            parts.append(" " * _spaces(r.x0 - prev_end, r.space_adv))
+            parts.append(r.text)
+            prev_end = max(prev_end, r.x1)
+    return "".join(parts)
+
+
+def decode_pdf_text(data: bytes, line_sep: str = " ") -> list[str | None]:
+    """PDF bytes → per-page extracted text (None for image-only
+    pages), document page order."""
+    doc = PdfDocument(data)
+    return [page_text(doc, p, line_sep) for p in doc.pages()]

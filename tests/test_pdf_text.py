@@ -1,0 +1,446 @@
+"""PDF embedded-text-layer extraction (functions/pdf_text.py) and the
+text-page writer flavors (functions/pdf.py encode_pdf with str pages).
+
+The writer/extractor pair is the engine's born-digital seam: real
+content-stream text operators in, exact strings out. Reference
+handles PDF text via hayro (oar-ocr Cargo.toml:20)."""
+
+import numpy as np
+import pytest
+
+from oar_ocr_spark.functions.pdf import PdfDocument, decode_pdf, encode_pdf
+from oar_ocr_spark.functions.pdf_text import decode_pdf_text, page_text
+
+COURIER = b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier /Encoding /WinAnsiEncoding >>"
+
+
+def _text_pdf(content: bytes, font_body: bytes = COURIER, extra_objs=()) -> bytes:
+    """Minimal single-page classic-xref PDF around a hand-built content
+    stream + font dict — for §9 layouts our writer never emits."""
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /Font << /F0 4 0 R >> >> /Contents 5 0 R >>",
+        4: font_body,
+        5: b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+    }
+    for i, body in enumerate(extra_objs, start=6):
+        bodies[i] = body
+    out = bytearray(b"%PDF-1.4\n")
+    offs = {}
+    for n in sorted(bodies):
+        offs[n] = len(out)
+        out += b"%d 0 obj\n" % n + bodies[n] + b"\nendobj\n"
+    xref_at = len(out)
+    n = max(bodies) + 1
+    out += b"xref\n0 %d\n" % n + b"0000000000 65535 f \n"
+    for k in sorted(bodies):
+        out += b"%010d 00000 n \n" % offs[k]
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (n, xref_at)
+    )
+    return bytes(out)
+
+
+def _extract(content: bytes, **kw) -> str | None:
+    doc = PdfDocument(_text_pdf(content, **kw))
+    return page_text(doc, doc.pages()[0])
+
+
+class TestWriterRoundtrips:
+    TEXTS = [
+        "wcsfc wnztt wsund wvlnj",
+        "wqkvo wllfc woxbw wvhqe wtsjb wzlxr wutfj",
+        "a",
+        "x y",
+    ]
+
+    @pytest.mark.parametrize(
+        "fmt", ["literal", "hex", "tj", "words", "cid", "mix"]
+    )
+    def test_all_flavors(self, fmt):
+        data = encode_pdf(
+            self.TEXTS, [str(i) for i in range(len(self.TEXTS))],
+            text_format=fmt,
+        )
+        assert decode_pdf_text(data) == self.TEXTS
+
+    def test_long_text_wraps(self):
+        # > 65 Courier columns forces the words layout to wrap; every
+        # flavor still roundtrips exactly
+        long = " ".join(f"word{i:03d}" for i in range(40))
+        for fmt in ("literal", "tj", "words", "cid"):
+            got = decode_pdf_text(encode_pdf([long], ["0"], text_format=fmt))
+            assert got == [long], fmt
+
+    def test_multiple_consecutive_spaces_geometrically(self):
+        t = "a  double   triple gap"
+        for fmt in ("literal", "hex", "tj", "words", "cid"):
+            assert decode_pdf_text(encode_pdf([t], ["r"], text_format=fmt)) == [t], fmt
+
+    def test_special_characters_escape(self):
+        t = r"pa(ren)s \back\ slash% percent"
+        for fmt in ("literal", "tj", "cid"):
+            assert decode_pdf_text(encode_pdf([t], ["r"], text_format=fmt)) == [t], fmt
+
+    def test_unicode_through_cid(self):
+        t = "naïve café — Ünïcödé ∑ 日本語"
+        assert decode_pdf_text(encode_pdf([t], ["r"], text_format="cid")) == [t]
+
+    def test_cp1252_high_bytes_winansi(self):
+        # € (0x80) and — (0x97) live in the cp1252 corner where
+        # WinAnsi diverges from latin-1
+        t = "pre € post — end"
+        assert decode_pdf_text(encode_pdf([t], ["r"], text_format="literal")) == [t]
+
+    @pytest.mark.parametrize("enc", ["rc4-40", "rc4-128", "aes-128", "aes-256"])
+    @pytest.mark.parametrize("xf", ["classic", "stream"])
+    def test_encrypted_roundtrips(self, enc, xf):
+        data = encode_pdf(
+            self.TEXTS[:2], ["0", "3"],
+            text_format="mix", xref_format=xf, encrypt=enc,
+        )
+        assert decode_pdf_text(data) == self.TEXTS[:2]
+
+    def test_hybrid_text_and_image_pages(self):
+        img = (np.arange(48, dtype=np.uint8).reshape(6, 8) * 5)
+        pages = ["hello text page", img, "second text"]
+        data = encode_pdf(
+            pages, ["t0", "m0", "t1"],
+            text_format="mix", image_format="mix",
+        )
+        got = decode_pdf_text(data)
+        assert got == [pages[0], None, pages[2]]
+        doc = PdfDocument(data)
+        assert np.array_equal(doc.page_image(doc.pages()[1]), img)
+
+    def test_words_mode_rejects_untrimmed(self):
+        with pytest.raises(ValueError, match="space-trimmed"):
+            encode_pdf([" leading"], text_format="words")
+        with pytest.raises(ValueError, match="space-trimmed"):
+            encode_pdf(["multi\nline"], text_format="words")
+
+    def test_bad_text_format(self):
+        with pytest.raises(ValueError, match="text_format"):
+            encode_pdf(["x"], text_format="bogus")
+
+
+class TestStateMachine:
+    """Hand-built content streams for §9.4 operators the writer never
+    emits."""
+
+    def test_td_sequence_and_leading(self):
+        # TD sets leading; T* and ' reuse it
+        c = (
+            b"BT /F0 12 Tf 72 -14.4 TD (first) Tj"
+            b" T* (second) Tj 0 -14.4 Td (third) Tj ET"
+        )
+        assert _extract(c) == "first second third"
+
+    def test_quote_operators(self):
+        c = (
+            b"BT /F0 12 Tf 14.4 TL 72 720 Td (one) Tj"
+            b" (two) ' 0 0 (three) \" ET"
+        )
+        assert _extract(c) == "one two three"
+
+    def test_tw_word_spacing_affects_advance(self):
+        # Tw stretches the byte-32 advance; geometric inference must
+        # honor it: with Tw=7.2 a single encoded space advances 14.4pt
+        # but still reads as ONE space (gap is within the stretched
+        # space advance)
+        c = b"BT /F0 12 Tf 7.2 Tw 72 720 Td (a b) Tj ET"
+        assert _extract(c) == "a b"
+
+    def test_tz_horizontal_scaling(self):
+        # at Tz 200 every advance doubles; two shows placed by the
+        # scaled metrics stay gap-free
+        c = (
+            b"BT /F0 12 Tf 200 Tz 72 720 Td (ab) Tj ET"
+            b" BT /F0 12 Tf 200 Tz 100.8 720 Td (cd) Tj ET"
+        )
+        assert _extract(c) == "abcd"
+
+    def test_rise_keeps_line_membership(self):
+        # small Ts rise (sub/superscript) stays on the same line only
+        # if within tolerance; 0.5pt rise -> same line
+        c = (
+            b"BT /F0 12 Tf 72 720 Td (x) Tj"
+            b" 0.5 Ts (2) Tj 0 Ts (y) Tj ET"
+        )
+        assert _extract(c) == "x2y"
+
+    def test_ctm_translation_via_cm(self):
+        c = (
+            b"q 1 0 0 1 30 40 cm"
+            b" BT /F0 12 Tf 42 680 Td (moved) Tj ET Q"
+            b" BT /F0 12 Tf 72 705.6 Td (base) Tj ET"
+        )
+        # 40+680 = 720 vs 705.6: two lines, cm-translated first
+        assert _extract(c) == "moved base"
+
+    def test_tj_kern_below_threshold_no_space(self):
+        c = b"BT /F0 12 Tf 72 720 Td [(he) -80 (llo) 80 (world)] TJ ET"
+        assert _extract(c) == "helloworld"
+
+    def test_tj_kern_as_wide_as_space_inserts(self):
+        # -600 milli-em at 12pt = 7.2pt = exactly one Courier space
+        c = b"BT /F0 12 Tf 72 720 Td [(a) -600 (b)] TJ ET"
+        assert _extract(c) == "a b"
+
+    def test_multiple_content_chunks(self):
+        # /Contents as an ARRAY of streams: chunks join at a token
+        # boundary (§7.8.2) — even mid show-op operand list
+        c1 = b"BT /F0 12 Tf 72 720 Td (part)"
+        c2 = b"Tj (one) Tj ET"
+        bodies = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F0 4 0 R >> >>"
+            b" /Contents [5 0 R 6 0 R] >>",
+            4: COURIER,
+            5: b"<< /Length %d >>\nstream\n" % len(c1) + c1 + b"\nendstream",
+            6: b"<< /Length %d >>\nstream\n" % len(c2) + c2 + b"\nendstream",
+        }
+        out = bytearray(b"%PDF-1.4\n")
+        offs = {}
+        for n in sorted(bodies):
+            offs[n] = len(out)
+            out += b"%d 0 obj\n" % n + bodies[n] + b"\nendobj\n"
+        xref_at = len(out)
+        nmax = max(bodies) + 1
+        out += b"xref\n0 %d\n" % nmax + b"0000000000 65535 f \n"
+        for k in sorted(bodies):
+            out += b"%010d 00000 n \n" % offs[k]
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (nmax, xref_at)
+        )
+        doc = PdfDocument(bytes(out))
+        assert page_text(doc, doc.pages()[0]) == "partone"
+
+    def test_widths_array_honored(self):
+        # /Widths gives 'i' 300 units: two shows placed 3.6pt apart
+        # concatenate; placed 7.2pt apart gap = 3.6 = 0.5 space < 0.6
+        # threshold -> still no space; 10.8pt -> one space
+        wfont = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+            b" /FirstChar 105 /LastChar 105 /Widths [300]"
+            b" /FontDescriptor << /MissingWidth 600 >> >>"
+        )
+        c = (
+            b"BT /F0 12 Tf 72 720 Td (i) Tj ET"
+            b" BT /F0 12 Tf 75.6 720 Td (i) Tj ET"
+            b" BT /F0 12 Tf 86.4 720 Td (i) Tj ET"
+        )
+        assert _extract(c, font_body=wfont) == "ii i"
+
+    def test_comment_in_content_stream(self):
+        c = b"BT /F0 12 Tf % a comment\n72 720 Td (ok) Tj ET"
+        assert _extract(c) == "ok"
+
+    def test_unknown_operators_ignored(self):
+        c = (
+            b"0.5 g 1 0 0 RG 2 w 10 10 100 100 re f"
+            b" BT /F0 12 Tf 72 720 Td (kept) Tj ET"
+        )
+        assert _extract(c) == "kept"
+
+    def test_image_only_page_returns_none(self):
+        img = np.full((4, 4), 7, np.uint8)
+        data = encode_pdf([img])
+        doc = PdfDocument(data)
+        assert page_text(doc, doc.pages()[0]) is None
+
+
+class TestCMaps:
+    def _cid_pdf(self, content: bytes, cmap: bytes, w_entry: bytes = b"/DW 600") -> bytes:
+        font = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /X"
+            b" /Encoding /Identity-H /DescendantFonts [6 0 R]"
+            b" /ToUnicode 7 0 R >>"
+        )
+        desc = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /X"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> " + w_entry + b" >>"
+        )
+        cm = b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+        return _text_pdf(content, font_body=font, extra_objs=(desc, cm))
+
+    def test_bfrange_increment_form(self):
+        # <01> <03> <0061>: codes 1..3 -> a..c (the increment layout
+        # our writer never emits)
+        cmap = (
+            b"begincmap 1 beginbfrange <0001> <0003> <0061> endbfrange endcmap"
+        )
+        c = b"BT /F0 12 Tf 72 720 Td <000100020003> Tj ET"
+        pdf = self._cid_pdf(c, cmap)
+        doc = PdfDocument(pdf)
+        assert page_text(doc, doc.pages()[0]) == "abc"
+
+    def test_w_array_range_form(self):
+        # /W [1 3 600]: range form; codes map via bfchar
+        cmap = (
+            b"begincmap 2 beginbfchar <0001> <0078> <0002> <0079>"
+            b" endbfchar endcmap"
+        )
+        c = b"BT /F0 12 Tf 72 720 Td <00010002> Tj ET"
+        pdf = self._cid_pdf(c, cmap, w_entry=b"/W [1 3 600]")
+        doc = PdfDocument(pdf)
+        assert page_text(doc, doc.pages()[0]) == "xy"
+
+    def test_surrogate_pair_destination(self):
+        # a non-BMP destination is two UTF-16 units in one bfchar dst
+        cmap = (
+            b"begincmap 1 beginbfchar <0001> <D83DDE00> endbfchar endcmap"
+        )
+        c = b"BT /F0 12 Tf 72 720 Td <0001> Tj ET"
+        pdf = self._cid_pdf(c, cmap)
+        doc = PdfDocument(pdf)
+        assert page_text(doc, doc.pages()[0]) == "\U0001f600"
+
+    def test_code_missing_from_cmap_fails_loudly(self):
+        cmap = b"begincmap 1 beginbfchar <0001> <0061> endbfchar endcmap"
+        c = b"BT /F0 12 Tf 72 720 Td <0002> Tj ET"
+        pdf = self._cid_pdf(c, cmap)
+        doc = PdfDocument(pdf)
+        with pytest.raises(ValueError, match="ToUnicode"):
+            page_text(doc, doc.pages()[0])
+
+    def test_odd_length_cid_string_fails(self):
+        cmap = b"begincmap 1 beginbfchar <0001> <0061> endbfchar endcmap"
+        c = b"BT /F0 12 Tf 72 720 Td <000102> Tj ET"
+        pdf = self._cid_pdf(c, cmap)
+        doc = PdfDocument(pdf)
+        with pytest.raises(ValueError, match="odd-length"):
+            page_text(doc, doc.pages()[0])
+
+
+class TestDeclaredGuards:
+    def test_differences_encoding(self):
+        font = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+            b" /Encoding << /BaseEncoding /WinAnsiEncoding"
+            b" /Differences [65 /heart] >> >>"
+        )
+        c = b"BT /F0 12 Tf 72 720 Td (A) Tj ET"
+        with pytest.raises(NotImplementedError, match="Differences"):
+            _extract(c, font_body=font)
+
+    def test_type3_font(self):
+        font = b"<< /Type /Font /Subtype /Type3 /CharProcs << >> >>"
+        c = b"BT /F0 12 Tf 72 720 Td (A) Tj ET"
+        with pytest.raises(NotImplementedError, match="Type3"):
+            _extract(c, font_body=font)
+
+    def test_identity_v_vertical(self):
+        font = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /X"
+            b" /Encoding /Identity-V /DescendantFonts [6 0 R] >>"
+        )
+        c = b"BT /F0 12 Tf 72 720 Td <0001> Tj ET"
+        with pytest.raises(NotImplementedError, match="Identity-H"):
+            _extract(c, font_body=font, extra_objs=(b"<< >>",))
+
+    def test_type0_without_tounicode(self):
+        font = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /X"
+            b" /Encoding /Identity-H /DescendantFonts [6 0 R] >>"
+        )
+        desc = b"<< /Type /Font /Subtype /CIDFontType2 /DW 600 >>"
+        c = b"BT /F0 12 Tf 72 720 Td <0001> Tj ET"
+        with pytest.raises(NotImplementedError, match="ToUnicode"):
+            _extract(c, font_body=font, extra_objs=(desc,))
+
+    def test_proportional_base14_without_widths(self):
+        font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        c = b"BT /F0 12 Tf 72 720 Td (A) Tj ET"
+        with pytest.raises(NotImplementedError, match="base-14 metrics"):
+            _extract(c, font_body=font)
+
+    def test_rotated_text_matrix(self):
+        c = b"BT /F0 12 Tf 0 1 -1 0 72 720 Tm (A) Tj ET"
+        with pytest.raises(NotImplementedError, match="rotated"):
+            _extract(c)
+
+    def test_high_codes_without_winansi(self):
+        font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>"
+        c = b"BT /F0 12 Tf 72 720 Td <80> Tj ET"
+        with pytest.raises(NotImplementedError, match="codes >= 128"):
+            _extract(c, font_body=font)
+
+    def test_show_without_font(self):
+        c = b"BT 72 720 Td (A) Tj ET"
+        with pytest.raises(ValueError, match="Tf"):
+            _extract(c)
+
+    def test_td_outside_bt(self):
+        c = b"72 720 Td"
+        with pytest.raises(ValueError, match="outside BT"):
+            _extract(c)
+
+
+@pytest.mark.usefixtures("spark")
+class TestSparkOperators:
+    def test_text_store_roundtrip(self, spark):
+        import __spark_entry__ as E
+
+        E._register_views(spark, "/root/testdata/sf0.001")
+        docs = E.interleaved_docs_df(spark)
+        from oar_ocr_spark.functions.pdf import (
+            pdf_text_spans_df,
+            pdf_text_store_df,
+        )
+
+        got = (
+            pdf_text_spans_df(pdf_text_store_df(docs, parallelism=4))
+            .orderBy("doc_id", "span_offset")
+            .collect()
+        )
+        want = (
+            E.derived_spans_df(spark)
+            .where("kind = 'text'")
+            .orderBy("doc_id", "span_offset")
+            .collect()
+        )
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            assert (g["doc_id"], g["span_offset"], g["span_text"]) == (
+                w["doc_id"], w["span_offset"], w["span_text"]
+            )
+
+    def test_hybrid_unpack_matches_docs(self, spark):
+        import __spark_entry__ as E
+
+        E._register_views(spark, "/root/testdata/sf0.001")
+        docs = E.interleaved_docs_df(spark).limit(20)
+        from oar_ocr_spark.functions.pdf import (
+            pdf_hybrid_store_df,
+            pdf_hybrid_unpack_df,
+        )
+        from oar_ocr_spark.fixtures.render import render_page
+        from oar_ocr_spark.functions.png import decode_png
+
+        unpacked = pdf_hybrid_unpack_df(
+            pdf_hybrid_store_df(docs, parallelism=4)
+        ).collect()
+        want = {
+            (r["doc_id"], s["offset"]): s
+            for r in docs.collect()
+            for s in r["spans"]
+        }
+        assert len(unpacked) == len(want)
+        for row in unpacked:
+            s = want[(row["doc_id"], row["offset"])]
+            assert row["kind"] == s["kind"]
+            if s["kind"] == "text":
+                assert row["text"] == s["text"]
+                assert row["payload"] is None
+            else:
+                assert row["media_ref"] == s["media_ref"]
+                img = decode_png(bytes(row["payload"]))
+                assert np.array_equal(img, render_page(s["media_ref"]))
