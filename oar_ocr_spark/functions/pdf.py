@@ -526,18 +526,58 @@ def encode_pdf(
                         + b"]"
                     )
                 font_num = add(fbody + b" >>")
+            # structural flavors real writers emit, crc32-chosen: a
+            # quarter of pages route their text through a Form
+            # XObject (/Matrix translation undone by the invoking cm;
+            # own /Resources or inherited from the page — both
+            # layouts), and content/form streams are Flate-compressed
+            # half the time
+            wrap_h = zlib.crc32(b"pdf-textwrap-flavor:" + page.encode("utf-8"))
+            if wrap_h & 3 == 3:
+                own_res = bool(wrap_h & 16)
+                fdict = (
+                    b"<< /Type /XObject /Subtype /Form"
+                    b" /BBox [0 0 612 792] /Matrix [1 0 0 1 -30 -40]"
+                )
+                if own_res:
+                    fdict += b" /Resources << /Font << /F0 %d 0 R >> >>" % font_num
+                if wrap_h & 4:
+                    fbytes = zlib.compress(ops, 6)
+                    fdict += b" /Filter /FlateDecode"
+                else:
+                    fbytes = ops
+                fbytes = enc_bytes(len(objs) + 1, fbytes)
+                form_num = add(
+                    fdict + b" /Length %d >>\nstream\n" % len(fbytes)
+                    + fbytes + b"\nendstream",
+                    stream=True,
+                )
+                ops = b"q 1 0 0 1 30 40 cm /Fm0 Do Q"
+                resources = b"<< /XObject << /Fm0 %d 0 R >> >>" % form_num
+                if not own_res:
+                    resources = (
+                        b"<< /Font << /F0 %d 0 R >>"
+                        b" /XObject << /Fm0 %d 0 R >> >>"
+                        % (font_num, form_num)
+                    )
+            else:
+                resources = b"<< /Font << /F0 %d 0 R >> >>" % font_num
+            cfilt = b""
+            if wrap_h & 8:
+                ops = zlib.compress(ops, 6)
+                cfilt = b" /Filter /FlateDecode"
             content = enc_bytes(len(objs) + 1, ops)
             content_num = add(
-                b"<< /Length %d >>\nstream\n" % len(content)
+                b"<< /Length %d%s >>\nstream\n" % (len(content), cfilt)
                 + content + b"\nendstream",
                 stream=True,
             )
             kid_nums.append(
                 add(
                     b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
-                    b" /Resources << /Font << /F0 %d 0 R >> >>"
-                    b" /Contents %d 0 R >>"
-                    % (pages_num, font_num, content_num)
+                    % pages_num
+                    + b" /Resources " + resources
+                    + b" /Contents %d 0 R >>" % content_num
                 )
             )
             continue

@@ -339,8 +339,9 @@ def _page_runs(doc: PdfDocument, page: dict) -> list[_Run]:
         return []
     data = b"\n".join(chunks)
     res = doc.resolve(page.get("Resources", {}))
-    font_res = doc.resolve(res.get("Font", {})) if isinstance(res, dict) else {}
-    font_cache: dict[str, _Font] = {}
+    if not isinstance(res, dict):
+        res = {}
+    font_cache: dict[int, _Font] = {}
 
     ctm = _ID
     gstack: list = []
@@ -399,83 +400,127 @@ def _page_runs(doc: PdfDocument, page: dict) -> list[_Run]:
         runs.append(_Run(y, x0, x0 + tx_total * rm[0], text, space))
         tm = _mult(_trans(tx_total, 0.0), tm)
 
-    for kind, v in _tokens(data):
-        if kind == "val":
-            operands.append(v)
-            continue
-        op = v
-        if op == b"q":
-            gstack.append(ctm)
-        elif op == b"Q":
-            if gstack:
-                ctm = gstack.pop()
-        elif op == b"cm":
-            ctm = _mult(tuple(num(x) for x in operands[-6:]), ctm)
-        elif op == b"BT":
-            tm = tlm = _ID
-        elif op == b"ET":
-            tm = tlm = None
-        elif op == b"Tf":
-            if len(operands) < 2 or not isinstance(operands[-2], _Name):
-                raise ValueError("Tf needs a font name and a size")
-            name = str(operands[-2])
-            if name not in font_cache:
-                fr = doc.resolve(font_res)
-                if name not in fr:
-                    raise ValueError(f"font {name} missing from /Resources")
-                font_cache[name] = _load_font(doc, fr[name])
-            font = font_cache[name]
-            tfs = num(operands[-1])
-        elif op == b"Td":
-            do_td(num(operands[-2]), num(operands[-1]))
-        elif op == b"TD":
-            tl = -num(operands[-1])
-            do_td(num(operands[-2]), num(operands[-1]))
-        elif op == b"Tm":
-            if tlm is None:
-                raise ValueError("Tm outside BT/ET")
-            tm = tlm = tuple(num(x) for x in operands[-6:])
-        elif op == b"T*":
-            do_td(0.0, -tl)
-        elif op == b"TL":
-            tl = num(operands[-1])
-        elif op == b"Tc":
-            tc = num(operands[-1])
-        elif op == b"Tw":
-            tw = num(operands[-1])
-        elif op == b"Tz":
-            tz = num(operands[-1])
-        elif op == b"Ts":
-            ts = num(operands[-1])
-        elif op == b"Tj":
-            show(operands[-1])
-        elif op == b"'":
-            do_td(0.0, -tl)
-            show(operands[-1])
-        elif op == b'"':
-            tw = num(operands[-3])
-            tc = num(operands[-2])
-            do_td(0.0, -tl)
-            show(operands[-1])
-        elif op == b"TJ":
-            arr = operands[-1]
-            if not isinstance(arr, list):
-                raise ValueError("TJ operand is not an array")
-            for el in arr:
-                if isinstance(el, str):
-                    show(el)
-                elif isinstance(el, (int, float)):
-                    if tm is None:
-                        raise ValueError("TJ outside BT/ET")
-                    tm = _mult(
-                        _trans(-float(el) / 1000.0 * tfs * tz / 100.0, 0.0),
-                        tm,
-                    )
-                else:
-                    raise ValueError(f"TJ element {el!r} not string/number")
-        # every other operator (paths, color, XObjects, marked
-        # content) carries no text; its operands just clear below
-        operands.clear()
+    def run(data: bytes, res: dict, parent_res: dict | None) -> None:
+        """Execute one content stream against resource dict `res`
+        (falling back to `parent_res` — the inherited-resources form
+        layout). Recurses into /Form XObjects on Do with the §8.10.1
+        implicit gstate save/restore and CTM = /Matrix × CTM."""
+        nonlocal ctm, tm, tlm, font, tfs, tc, tw, tz, tl, ts
+
+        def lookup(category: str, name: str):
+            for r in (res, parent_res):
+                if r is None:
+                    continue
+                cat = doc.resolve(r.get(category, {}))
+                if isinstance(cat, dict) and name in cat:
+                    return cat[name]
+            raise ValueError(f"{category} {name} missing from /Resources")
+
+        for kind, v in _tokens(data):
+            if kind == "val":
+                operands.append(v)
+                continue
+            op = v
+            if op == b"q":
+                gstack.append(ctm)
+            elif op == b"Q":
+                if gstack:
+                    ctm = gstack.pop()
+            elif op == b"cm":
+                ctm = _mult(tuple(num(x) for x in operands[-6:]), ctm)
+            elif op == b"BT":
+                tm = tlm = _ID
+            elif op == b"ET":
+                tm = tlm = None
+            elif op == b"Do":
+                if not operands or not isinstance(operands[-1], _Name):
+                    raise ValueError("Do needs an XObject name")
+                obj = doc.resolve(lookup("XObject", str(operands[-1])))
+                if isinstance(obj, tuple) and len(obj) == 2:
+                    d, raw = obj
+                    if str(doc.resolve(d.get("Subtype", ""))) == "Form":
+                        body = _apply_stream_filters(
+                            doc._resolved_filter_dict(d), raw
+                        )
+                        mat = doc.resolve(d.get("Matrix"))
+                        saved = (ctm, font, tfs, tc, tw, tz, tl, ts,
+                                 len(gstack))
+                        if mat is not None:
+                            ctm = _mult(
+                                tuple(float(doc.resolve(x)) for x in mat),
+                                ctm,
+                            )
+                        fres = doc.resolve(d.get("Resources"))
+                        operands.clear()
+                        run(
+                            body,
+                            fres if isinstance(fres, dict) else {},
+                            res,
+                        )
+                        (ctm, font, tfs, tc, tw, tz, tl, ts, depth) = saved
+                        del gstack[depth:]
+                    # image XObjects carry no text: ignore
+            elif op == b"Tf":
+                if len(operands) < 2 or not isinstance(operands[-2], _Name):
+                    raise ValueError("Tf needs a font name and a size")
+                name = str(operands[-2])
+                fobj = lookup("Font", name)
+                key = id(doc.resolve(fobj))
+                if key not in font_cache:
+                    font_cache[key] = _load_font(doc, fobj)
+                font = font_cache[key]
+                tfs = num(operands[-1])
+            elif op == b"Td":
+                do_td(num(operands[-2]), num(operands[-1]))
+            elif op == b"TD":
+                tl = -num(operands[-1])
+                do_td(num(operands[-2]), num(operands[-1]))
+            elif op == b"Tm":
+                if tlm is None:
+                    raise ValueError("Tm outside BT/ET")
+                tm = tlm = tuple(num(x) for x in operands[-6:])
+            elif op == b"T*":
+                do_td(0.0, -tl)
+            elif op == b"TL":
+                tl = num(operands[-1])
+            elif op == b"Tc":
+                tc = num(operands[-1])
+            elif op == b"Tw":
+                tw = num(operands[-1])
+            elif op == b"Tz":
+                tz = num(operands[-1])
+            elif op == b"Ts":
+                ts = num(operands[-1])
+            elif op == b"Tj":
+                show(operands[-1])
+            elif op == b"'":
+                do_td(0.0, -tl)
+                show(operands[-1])
+            elif op == b'"':
+                tw = num(operands[-3])
+                tc = num(operands[-2])
+                do_td(0.0, -tl)
+                show(operands[-1])
+            elif op == b"TJ":
+                arr = operands[-1]
+                if not isinstance(arr, list):
+                    raise ValueError("TJ operand is not an array")
+                for el in arr:
+                    if isinstance(el, str):
+                        show(el)
+                    elif isinstance(el, (int, float)):
+                        if tm is None:
+                            raise ValueError("TJ outside BT/ET")
+                        tm = _mult(
+                            _trans(-float(el) / 1000.0 * tfs * tz / 100.0, 0.0),
+                            tm,
+                        )
+                    else:
+                        raise ValueError(f"TJ element {el!r} not string/number")
+            # every other operator (paths, color, XObjects, marked
+            # content) carries no text; its operands just clear below
+            operands.clear()
+    run(data, res, None)
     return runs
 
 

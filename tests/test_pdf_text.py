@@ -444,3 +444,90 @@ class TestSparkOperators:
                 assert row["media_ref"] == s["media_ref"]
                 img = decode_png(bytes(row["payload"]))
                 assert np.array_equal(img, render_page(s["media_ref"]))
+
+
+class TestStructuralFlavors:
+    """crc32-chosen structural layouts of text pages: Flate-compressed
+    content streams and Form-XObject indirection (own vs inherited
+    /Resources), all exact roundtrips."""
+
+    @staticmethod
+    def _find(pred, tag):
+        import zlib as _z
+
+        for i in range(5000):
+            t = f"w{i:05d} flavor probe {tag}"
+            h = _z.crc32(b"pdf-textwrap-flavor:" + t.encode())
+            if pred(h):
+                return t
+        raise AssertionError("no probe text found")
+
+    def test_each_structural_layout_roundtrips(self):
+        cases = {
+            "form-own": self._find(lambda h: h & 3 == 3 and h & 16, "a"),
+            "form-inherited": self._find(
+                lambda h: h & 3 == 3 and not h & 16, "b"
+            ),
+            "compressed": self._find(lambda h: h & 3 != 3 and h & 8, "c"),
+            "plain": self._find(lambda h: h & 3 != 3 and not h & 8, "d"),
+        }
+        for name, t in cases.items():
+            for fmt in ("literal", "tj", "words", "cid"):
+                got = decode_pdf_text(encode_pdf([t], ["r"], text_format=fmt))
+                assert got == [t], (name, fmt)
+
+    def test_form_xobject_bytes_really_present(self):
+        # h&8 clear keeps the page content stream uncompressed so the
+        # /Fm0 Do invocation is visible in clear bytes
+        t = self._find(lambda h: h & 3 == 3 and not h & 8, "e")
+        data = encode_pdf([t], ["r"], text_format="literal")
+        assert b"/Subtype /Form" in data and b"/Fm0 Do" in data
+        assert decode_pdf_text(data) == [t]
+
+    def test_compressed_content_stream_bytes(self):
+        t = self._find(lambda h: h & 3 != 3 and h & 8, "f")
+        data = encode_pdf([t], ["r"], text_format="literal")
+        # the show string must NOT appear in clear in the compressed body
+        assert t.split()[0].encode() not in data
+        assert decode_pdf_text(data) == [t]
+
+    def test_nested_form_via_handbuilt_stream(self):
+        # hand-built: page -> form A (matrix shift) -> text; exercises
+        # the recursion's gstate save/restore around Do
+        inner = b"BT /F0 12 Tf 42 680 Td (inner) Tj ET"
+        form = (
+            b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792]"
+            b" /Matrix [1 0 0 1 30 40]"
+            b" /Length %d >>\nstream\n" % len(inner) + inner + b"\nendstream"
+        )
+        content = (
+            b"q /Fm0 Do Q BT /F0 12 Tf 72 705.6 Td (outer) Tj ET"
+        )
+        bodies = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F0 4 0 R >>"
+            b" /XObject << /Fm0 6 0 R >> >> /Contents 5 0 R >>",
+            4: COURIER,
+            5: b"<< /Length %d >>\nstream\n" % len(content)
+            + content + b"\nendstream",
+            6: form,
+        }
+        out = bytearray(b"%PDF-1.4\n")
+        offs = {}
+        for n in sorted(bodies):
+            offs[n] = len(out)
+            out += b"%d 0 obj\n" % n + bodies[n] + b"\nendobj\n"
+        xref_at = len(out)
+        nmax = max(bodies) + 1
+        out += b"xref\n0 %d\n" % nmax + b"0000000000 65535 f \n"
+        for k in sorted(bodies):
+            out += b"%010d 00000 n \n" % offs[k]
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (nmax, xref_at)
+        )
+        doc = PdfDocument(bytes(out))
+        # inner lands at (72, 720): line above outer at 705.6
+        assert page_text(doc, doc.pages()[0]) == "inner outer"
