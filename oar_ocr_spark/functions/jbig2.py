@@ -48,11 +48,24 @@ SYMBOL dictionaries (SDREFAGG=1, 6.5.8.2: each symbol a displaced
 single-instance refinement of an earlier one) decode, with an
 encoder twin coding repeated-shape glyphs against their exemplars.
 
-Scope (fails loudly): aggregate symbol coding (REFAGGNINST != 1),
+HUFFMAN MODE (the fax-profile entropy layer): Annex B code tables —
+standard tables B.1-B.5 and CUSTOM type-53 table segments (B.2.4)
+with the B.3 canonical code assignment — drive huffman symbol
+dictionaries (SDHUFF=1: DH/DW deltas through B.4/B.2 or custom
+tables, height classes carried as COLLECTIVE bitmaps, uncompressed
+or MMR, exports as B.1 runlengths) and huffman text regions
+(SBHUFF=1: custom FS/DS/DT tables, CURT as raw bits, symbol IDs
+assigned through the 7.4.3.1.7 runcode mechanism including the
+repeat runcodes 32/33/34), with an encoder twin
+(encode_jbig2_symbols_huffman).
+
+Scope (fails loudly): aggregate symbol coding (REFAGGNINST != 1) and
+huffman+refinement symbol dictionaries (SDHUFF=1 with REFAGG=1),
 custom refinement GRAT pixels, halftone skip bitmaps and MMR-coded
-halftones, huffman-tabled dictionaries and regions, segments of
-unknown length, and intermediate regions raise NotImplementedError;
-damaged streams raise ValueError.
+halftones, the standard TEXT-REGION tables B.6-B.15 (custom type-53
+tables only), refined text regions, segments of unknown length, and
+intermediate regions raise NotImplementedError; damaged streams
+raise ValueError.
 """
 
 from __future__ import annotations
@@ -806,6 +819,7 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     regions = 0
     sym_exports: dict[int, list] = {}
     pat_exports: dict[int, list] = {}
+    table_exports: dict[int, "_HuffTable"] = {}
     while pos < len(data):
         seg, pos = _parse_seg_header(data, pos)
         body = data[pos : pos + seg["length"]]
@@ -842,16 +856,24 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             regions += 1
         elif t == 0:  # symbol dictionary
             inputs = []
+            tabs = []
             for rn in seg["referred"]:
                 inputs.extend(sym_exports.get(rn, []))
-            sym_exports[seg["number"]] = _decode_symbol_dict(body, inputs)
+                if rn in table_exports:
+                    tabs.append(table_exports[rn])
+            sym_exports[seg["number"]] = _decode_symbol_dict(
+                body, inputs, tabs
+            )
         elif t in (6, 7):  # immediate (lossless) text region
             if page is None:
                 raise ValueError("JBIG2 region before page information")
             syms = []
+            tabs = []
             for rn in seg["referred"]:
                 syms.extend(sym_exports.get(rn, []))
-            bm, x, y, op = _decode_text_region(body, syms)
+                if rn in table_exports:
+                    tabs.append(table_exports[rn])
+            bm, x, y, op = _decode_text_region(body, syms, tabs)
             bh, bw = bm.shape
             if y + bh > page.shape[0]:
                 if not page_h_unknown and op != 4:
@@ -937,8 +959,8 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             window = page[y : y + int(h), x : x + int(w)]
             page[y : y + int(h), x : x + int(w)] = _COMBINE[op](window, bm)
             regions += 1
-        elif t == 53:
-            raise NotImplementedError("JBIG2 custom huffman tables not supported")
+        elif t == 53:  # custom code table (Annex B.2.4)
+            table_exports[seg["number"]] = _parse_table_segment(body)
         elif t in (49, 50, 51, 52, 62):
             continue  # end-of-page/stripe/file, profiles, extension
         else:
@@ -1234,6 +1256,218 @@ def encode_jbig2_symbols(
     return out
 
 
+def encode_jbig2_symbols_huffman(
+    bits: np.ndarray,
+    collective: str = "raw",
+    refcorner: str = "tl",
+    strips: int = 1,
+    transposed: bool = False,
+    custom_bmsize: bool = False,
+    file_header: bool = False,
+) -> bytes:
+    """(rows, columns) {0,1} bit matrix → embedded JBIG2 stream in
+    HUFFMAN symbol mode (SDHUFF=1/SBHUFF=1) — the fax-profile entropy
+    layer: the symbol dictionary codes height/width deltas through
+    standard tables B.4/B.2 and carries each height class as a
+    COLLECTIVE bitmap (`collective`='raw' → BMSIZE 0 uncompressed
+    rows; 'mmr' → T.6-coded), BMSIZE through Table B.1 (or a referred
+    custom type-53 table when `custom_bmsize`); the text region
+    selects custom type-53 FS/DS/DT tables and assigns symbol ID
+    codes through the 7.4.3.1.7 runcode mechanism (runcode 32
+    repeats exercised). Decoder twin: _huffman_symbol_dict /
+    _decode_text_region(SBHUFF=1). Lossless."""
+    if bits.ndim != 2 or bits.dtype != np.uint8 or int(bits.max(initial=0)) > 1:
+        raise ValueError(
+            "encode_jbig2_symbols_huffman expects a (rows, cols) uint8 {0,1} matrix"
+        )
+    if collective not in ("raw", "mmr"):
+        raise ValueError(f"collective must be 'raw' or 'mmr', got {collective!r}")
+    h, w = bits.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty bitmap")
+    comps = _connected_components(bits)
+    if not comps:
+        return encode_jbig2(bits)
+
+    # ---- dictionary: unique symbols in height-class order
+    uniq: dict[tuple, int] = {}
+    symbols = []
+    for _, _, bm in comps:
+        key = bm.shape + (bm.tobytes(),)
+        if key not in uniq:
+            uniq[key] = len(symbols)
+            symbols.append(bm)
+    order = sorted(range(len(symbols)), key=lambda i: symbols[i].shape)
+    symbols = [symbols[i] for i in order]
+    remap = {old: new for new, old in enumerate(order)}
+    uniq = {k: remap[v] for k, v in uniq.items()}
+
+    bw = _HuffWriter()
+    t_dh, t_dw, t_b1 = _STD_TABLES[4], _STD_TABLES[2], _STD_TABLES[1]
+    if custom_bmsize:
+        # a wide-range single-line custom table: values 0..2^16-1
+        # direct, beyond via the upper line
+        bm_body, t_bm = _encode_table_segment(
+            [(1, 16, 0)], lower_pl=2, upper_pl=2, oob_pl=None
+        )
+    else:
+        t_bm = t_b1
+    hcheight = 0
+    i = 0
+    while i < len(symbols):
+        hh = symbols[i].shape[0]
+        t_dh.encode(bw, hh - hcheight)
+        hcheight = hh
+        cls = []
+        symwidth = 0
+        while i < len(symbols) and symbols[i].shape[0] == hcheight:
+            ww = symbols[i].shape[1]
+            t_dw.encode(bw, ww - symwidth)
+            symwidth = ww
+            cls.append(symbols[i])
+            i += 1
+        t_dw.encode(bw, None)  # OOB ends the height class
+        coll = np.concatenate(cls, axis=1)
+        if collective == "raw":
+            t_bm.encode(bw, 0)
+            bw.align()
+            bw.out += np.packbits(coll, axis=1).tobytes()
+        else:
+            from .ccitt import ccitt_encode_g4
+
+            mmr = ccitt_encode_g4(coll)
+            t_bm.encode(bw, len(mmr))
+            bw.align()
+            bw.out += mmr
+    t_b1.encode(bw, 0)  # export runs: none unexported, then all
+    t_b1.encode(bw, len(symbols))
+    bw.align()
+    sdflags = 0x01 | (0x40 if custom_bmsize else 0)  # SDHUFF; B.4/B.2 std
+    dict_data = (
+        struct.pack(">H", sdflags)
+        + struct.pack(">II", len(symbols), len(symbols))
+        + bw.getvalue()
+    )
+
+    # ---- custom FS/DS/DT tables (complete canonical codes)
+    fs_body, t_fs = _encode_table_segment(
+        [(2, 6, -64), (1, 6, 0), (3, 8, 64), (4, 10, 320)],
+        lower_pl=5, upper_pl=5, oob_pl=None,
+    )
+    ds_body, t_ds = _encode_table_segment(
+        [(2, 4, -16), (1, 4, 0), (3, 6, 16), (4, 8, 80)],
+        lower_pl=5, upper_pl=6, oob_pl=6,
+    )
+    dt_body, t_dt = _encode_table_segment(
+        [(1, 2, 0), (2, 4, 4), (3, 6, 20)],
+        lower_pl=4, upper_pl=4, oob_pl=None,
+    )
+
+    # ---- text region
+    corners = {"bl": 0, "tl": 1, "br": 2, "tr": 3}
+    if refcorner not in corners:
+        raise ValueError(f"refcorner must be one of {sorted(corners)}")
+    if strips not in (1, 2, 4, 8):
+        raise ValueError(f"strips must be 1/2/4/8, got {strips}")
+    nsyms = len(symbols)
+    idlen = max((nsyms - 1).bit_length(), 1)
+    bw = _HuffWriter()
+    # symbol ID code table (7.4.3.1.7): every symbol gets code length
+    # idlen; the runcode table codes {idlen, 32} in 1 bit each
+    runlens = [0] * 35
+    runlens[idlen] = 1
+    runlens[32] = 1
+    for rl in runlens:
+        bw.write(rl, 5)
+    runtab = _HuffTable([(pl, 0, v, 1) for v, pl in enumerate(runlens)])
+    runtab.encode(bw, idlen)
+    remaining = nsyms - 1
+    while remaining >= 3:
+        rep = min(6, remaining)
+        runtab.encode(bw, 32)
+        bw.write(rep - 3, 2)
+        remaining -= rep
+    for _ in range(remaining):
+        runtab.encode(bw, idlen)
+    bw.align()
+    symid = _HuffTable([(idlen, 0, v, 1) for v in range(nsyms)])
+
+    logsb = strips.bit_length() - 1
+    bottom = refcorner in ("bl", "br")
+    right = refcorner in ("tr", "br")
+    by_strip: dict[int, list] = {}
+    for t, l, bm in comps:
+        if transposed:
+            ti = l + bm.shape[1] - 1 if right else l
+            si, adv = t, bm.shape[0] - 1
+        else:
+            ti = t + bm.shape[0] - 1 if bottom else t
+            si, adv = l, bm.shape[1] - 1
+        base = (ti // strips) * strips
+        by_strip.setdefault(base, []).append((si, ti - base, adv, bm))
+    t_dt.encode(bw, 0)  # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    for base in sorted(by_strip):
+        t_dt.encode(bw, (base - stript) // strips)
+        stript = base
+        curs = None
+        for si, curt, adv, bm in sorted(
+            by_strip[base], key=lambda e: (e[0], e[1])
+        ):
+            if curs is None:
+                t_fs.encode(bw, si - firsts)
+                firsts = si
+                curs = si
+            else:
+                t_ds.encode(bw, si - curs)
+                curs = si
+            if strips > 1:
+                bw.write(curt, logsb)
+            symid.encode(bw, uniq[bm.shape + (bm.tobytes(),)])
+            curs += adv
+        t_ds.encode(bw, None)  # OOB ends the strip
+    bw.align()
+    tflags = (
+        0x01  # SBHUFF
+        | logsb << 2
+        | corners[refcorner] << 4
+        | (0x40 if transposed else 0)
+    )
+    hflags = 0x03 | 0x03 << 2 | 0x03 << 4  # custom FS/DS/DT
+    region_info = struct.pack(">IIIIB", w, h, 0, 0, 0)
+    text_data = (
+        region_info
+        + struct.pack(">H", tflags)
+        + struct.pack(">H", hflags)
+        + struct.pack(">I", len(comps))
+        + bw.getvalue()
+    )
+
+    page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0x01, 0)
+    out = _seg_header(1, 48, 1, len(page_info)) + page_info
+    nxt = 2
+    dict_ref = []
+    if custom_bmsize:
+        out += _seg_header(nxt, 53, 1, len(bm_body)) + bm_body
+        dict_ref = [nxt]
+        nxt += 1
+    fs_n, ds_n, dt_n = nxt, nxt + 1, nxt + 2
+    out += _seg_header(fs_n, 53, 1, len(fs_body)) + fs_body
+    out += _seg_header(ds_n, 53, 1, len(ds_body)) + ds_body
+    out += _seg_header(dt_n, 53, 1, len(dt_body)) + dt_body
+    dict_n = nxt + 3
+    out += _seg_header(dict_n, 0, 1, len(dict_data), referred=dict_ref) + dict_data
+    out += _seg_header(
+        dict_n + 1, 6, 1, len(text_data),
+        referred=[dict_n, fs_n, ds_n, dt_n],
+    ) + text_data
+    out += _seg_header(dict_n + 2, 49, 1, 0)
+    if file_header:
+        out = JBIG2_MAGIC + bytes([0x01]) + struct.pack(">I", 1) + out
+    return out
+
+
 def encode_jbig2_symbols_refined(
     bits: np.ndarray,
     template: int = 0,
@@ -1411,13 +1645,409 @@ def encode_jbig2_symbols_refined(
     return out
 
 
-def _decode_symbol_dict(body: bytes, input_syms: list) -> list:
+# ---------------------------------------------------------------------------
+# huffman mode (Annex B) — the fax-profile entropy layer: MSB-first
+# bit IO, Annex B code tables (standard B.1-B.5 + custom type-53
+# segments), and the 7.4.3.1.7 runcoded symbol-ID code assignment
+# ---------------------------------------------------------------------------
+
+
+class _HuffReader:
+    """MSB-first bit reader with the byte-align JBIG2 interleaves
+    around collective bitmaps (7.4.3.1.1 note / 6.5.9)."""
+
+    __slots__ = ("data", "byte", "bit")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.byte = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            if self.byte >= len(self.data):
+                raise ValueError("JBIG2 huffman bitstream truncated")
+            v = (v << 1) | ((self.data[self.byte] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.byte += 1
+        return v
+
+    def align(self) -> None:
+        if self.bit:
+            self.bit = 0
+            self.byte += 1
+
+
+class _HuffWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.nbits = 0
+
+    def align(self) -> None:
+        while self.nbits:
+            self.write(0, 1)
+
+    def getvalue(self) -> bytes:
+        if self.nbits:
+            raise ValueError("unaligned huffman writer")
+        return bytes(self.out)
+
+
+class _HuffTable:
+    """One Annex B code table: `lines` of (preflen, rangelen,
+    rangelow, sign) — sign -1 marks the lower range line whose offset
+    runs DOWNWARD from rangelow — plus an optional OOB prefix length.
+    Prefix codes are assigned per B.3: canonical by length, in line
+    order within a length; preflen-0 lines take no code."""
+
+    def __init__(self, lines, oob_preflen: int | None = None):
+        self.lines = [l for l in lines if l[0] > 0]
+        self.oob_preflen = oob_preflen
+        entries = [(l[0], ("line", i)) for i, l in enumerate(self.lines)]
+        if oob_preflen:
+            entries.append((oob_preflen, ("oob", None)))
+        if not entries:
+            raise ValueError("JBIG2 code table has no coded lines")
+        maxlen = max(e[0] for e in entries)
+        if maxlen > 32:
+            raise ValueError("JBIG2 code table prefix length exceeds 32")
+        count = [0] * (maxlen + 1)
+        for plen, _ in entries:
+            count[plen] += 1
+        firstcode = [0] * (maxlen + 1)
+        for ln in range(1, maxlen + 1):
+            firstcode[ln] = (firstcode[ln - 1] + count[ln - 1]) << 1
+        nxt = list(firstcode)
+        self.codes: dict[tuple[int, int], tuple[str, int | None]] = {}
+        self.enc: dict[tuple[str, int | None], tuple[int, int]] = {}
+        for plen, tgt in entries:
+            code = nxt[plen]
+            nxt[plen] += 1
+            if code >= 1 << plen:
+                raise ValueError("JBIG2 code table overflows its lengths")
+            self.codes[(code, plen)] = tgt
+            self.enc[tgt] = (code, plen)
+
+    def decode(self, br: _HuffReader) -> int | None:
+        code = length = 0
+        while True:
+            code = (code << 1) | br.read(1)
+            length += 1
+            if length > 32:
+                raise ValueError("JBIG2 huffman code longer than 32 bits")
+            tgt = self.codes.get((code, length))
+            if tgt is None:
+                continue
+            if tgt[0] == "oob":
+                return None
+            preflen, rangelen, rangelow, sign = self.lines[tgt[1]]
+            off = br.read(rangelen) if rangelen else 0
+            return rangelow + sign * off
+
+    def encode(self, bw: _HuffWriter, value: int | None) -> None:
+        if value is None:
+            if not self.oob_preflen:
+                raise ValueError("JBIG2 code table has no OOB code")
+            code, length = self.enc[("oob", None)]
+            bw.write(code, length)
+            return
+        pick = None
+        for i, (_pl, rangelen, rangelow, sign) in enumerate(self.lines):
+            if sign > 0 and rangelen < 32:
+                if rangelow <= value < rangelow + (1 << rangelen):
+                    pick = (i, value - rangelow)
+                    break
+        if pick is None:
+            for i, (_pl, rangelen, rangelow, sign) in enumerate(self.lines):
+                if rangelen == 32:
+                    if sign > 0 and value >= rangelow:
+                        pick = (i, value - rangelow)
+                        break
+                    if sign < 0 and value <= rangelow:
+                        pick = (i, rangelow - value)
+                        break
+        if pick is None:
+            raise ValueError(f"value {value} not codable by this JBIG2 table")
+        i, off = pick
+        code, length = self.enc[("line", i)]
+        bw.write(code, length)
+        rangelen = self.lines[i][1]
+        if rangelen:
+            bw.write(off, rangelen)
+
+
+# standard tables B.1-B.5 (Annex B.5) — the symbol-dictionary set:
+# B.1 BMSIZE/AGGINST/EX, B.2-B.3 DW, B.4-B.5 DH. The text-region
+# standard tables B.6-B.13 are not built in; text regions use custom
+# type-53 tables (the layout our encoder twin emits).
+_STD_TABLES = {
+    1: _HuffTable(
+        [(1, 4, 0, 1), (2, 8, 16, 1), (3, 16, 272, 1), (3, 32, 65808, 1)]
+    ),
+    2: _HuffTable(
+        [(1, 0, 0, 1), (2, 0, 1, 1), (3, 0, 2, 1), (4, 3, 3, 1),
+         (5, 6, 11, 1), (6, 32, 75, 1)],
+        oob_preflen=6,
+    ),
+    3: _HuffTable(
+        [(8, 8, -256, 1), (1, 0, 0, 1), (2, 0, 1, 1), (3, 0, 2, 1),
+         (4, 3, 3, 1), (5, 6, 11, 1), (8, 32, -257, -1), (7, 32, 75, 1)],
+        oob_preflen=6,
+    ),
+    4: _HuffTable(
+        [(1, 0, 1, 1), (2, 0, 2, 1), (3, 0, 3, 1), (4, 3, 4, 1),
+         (5, 6, 12, 1), (5, 32, 76, 1)]
+    ),
+    5: _HuffTable(
+        [(7, 8, -255, 1), (1, 0, 1, 1), (2, 0, 2, 1), (3, 0, 3, 1),
+         (4, 3, 4, 1), (5, 6, 12, 1), (7, 32, -256, -1), (6, 32, 76, 1)]
+    ),
+}
+
+
+def _parse_table_segment(body: bytes) -> _HuffTable:
+    """7.4.13 / B.2.4 custom code table segment → _HuffTable."""
+    if len(body) < 9:
+        raise ValueError("JBIG2 code table segment truncated")
+    flags = body[0]
+    htoob = flags & 0x01
+    htps = ((flags >> 1) & 0x07) + 1
+    htrs = ((flags >> 4) & 0x07) + 1
+    htlow, hthigh = struct.unpack(">ii", body[1:9])
+    if hthigh <= htlow:
+        raise ValueError("JBIG2 code table has an empty value range")
+    br = _HuffReader(body, 9)
+    lines = []
+    cur = htlow
+    while cur < hthigh:
+        preflen = br.read(htps)
+        rangelen = br.read(htrs)
+        if rangelen > 32:
+            raise ValueError("JBIG2 code table range length exceeds 32")
+        lines.append((preflen, rangelen, cur, 1))
+        if rangelen >= 32:
+            cur = hthigh
+        else:
+            cur += 1 << rangelen
+    lower_pl = br.read(htps)
+    upper_pl = br.read(htps)
+    lines.append((lower_pl, 32, htlow - 1, -1))
+    lines.append((upper_pl, 32, hthigh, 1))
+    oob_pl = br.read(htps) if htoob else None
+    return _HuffTable(lines, oob_preflen=oob_pl or None)
+
+
+def _encode_table_segment(
+    lines: list, lower_pl: int, upper_pl: int, oob_pl: int | None
+) -> tuple[bytes, _HuffTable]:
+    """(preflen, rangelen) custom-table lines spanning [low, high) →
+    (type-53 segment body, the equivalent _HuffTable). `lines` are
+    (preflen, rangelen, rangelow) with contiguous rangelows."""
+    htlow = lines[0][2]
+    hthigh = lines[-1][2] + (1 << lines[-1][1])
+    htps = max(
+        max(pl for pl, _rl, _lo in lines), lower_pl, upper_pl, oob_pl or 1
+    ).bit_length()
+    htrs = max(rl for _pl, rl, _lo in lines).bit_length()
+    htps, htrs = max(htps, 1), max(htrs, 1)
+    if htps > 8 or htrs > 8:
+        raise ValueError("JBIG2 custom table widths exceed 8 bits")
+    flags = (1 if oob_pl else 0) | (htps - 1) << 1 | (htrs - 1) << 4
+    bw = _HuffWriter()
+    for pl, rl, _lo in lines:
+        bw.write(pl, htps)
+        bw.write(rl, htrs)
+    bw.write(lower_pl, htps)
+    bw.write(upper_pl, htps)
+    if oob_pl:
+        bw.write(oob_pl, htps)
+    bw.align()
+    body = bytes([flags]) + struct.pack(">ii", htlow, hthigh) + bw.getvalue()
+    return body, _parse_table_segment(body)
+
+
+def _decode_symbol_id_codes(
+    br: _HuffReader, nsyms: int
+) -> _HuffTable:
+    """7.4.3.1.7 symbol ID code assignment: 35 five-bit runcode
+    lengths → runcode table → runcoded per-symbol code lengths →
+    canonical symbol ID code. Ends byte-aligned (step 7)."""
+    runlens = [br.read(5) for _ in range(35)]
+    runtab = _HuffTable(
+        [(pl, 0, v, 1) for v, pl in enumerate(runlens)]
+    )
+    lengths = [0] * nsyms
+    prev = 0
+    i = 0
+    while i < nsyms:
+        rc = runtab.decode(br)
+        if rc is None or rc > 34:
+            raise ValueError("JBIG2 symbol ID runcode out of range")
+        if rc < 32:
+            lengths[i] = prev = rc
+            i += 1
+        elif rc == 32:
+            rep = br.read(2) + 3
+            if i == 0:
+                raise ValueError("JBIG2 runcode 32 with no previous length")
+            for _ in range(rep):
+                if i >= nsyms:
+                    raise ValueError("JBIG2 runcode overruns the symbol count")
+                lengths[i] = prev
+                i += 1
+        elif rc == 33:
+            i += br.read(3) + 3
+        else:
+            i += br.read(7) + 11
+        if i > nsyms:
+            raise ValueError("JBIG2 runcode overruns the symbol count")
+    br.align()
+    return _HuffTable(
+        [(pl, 0, v, 1) for v, pl in enumerate(lengths)]
+    )
+
+
+def _pick_table(sel: int, std: tuple[int, ...], tables: list, used: list):
+    """Resolve a 2-bit table-selection field: standard table number
+    from `std` or (sel == 3) the next referred custom table."""
+    if sel == 3:
+        idx = used[0]
+        used[0] += 1
+        if idx >= len(tables):
+            raise ValueError(
+                "JBIG2 segment selects more custom tables than referred"
+            )
+        return tables[idx]
+    if sel >= len(std) or std[sel] == 0:
+        raise ValueError(f"JBIG2 table selection {sel} is illegal here")
+    return _STD_TABLES[std[sel]]
+
+
+def _huffman_symbol_dict(
+    body: bytes, flags: int, input_syms: list, tables: list
+) -> list:
+    """6.5 symbol dictionary with SDHUFF=1 (REFAGG=0): height-class
+    DH/DW deltas through Annex B tables, symbols carried as
+    COLLECTIVE bitmaps per height class (BMSIZE=0 → uncompressed
+    rows, else MMR), exports as Table B.1 runlengths."""
+    if flags & 0x02:
+        raise NotImplementedError(
+            "JBIG2 huffman symbol dictionaries with refinement/aggregate "
+            "coding (SDHUFF=1, REFAGG=1) not supported"
+        )
+    used = [0]
+    t_dh = _pick_table((flags >> 2) & 0x03, (4, 5), tables, used)
+    t_dw = _pick_table((flags >> 4) & 0x03, (2, 3), tables, used)
+    t_bm = _pick_table(3 if flags & 0x40 else 0, (1,), tables, used)
+    # SDHUFFAGGINST (bit 7) is only consulted when REFAGG=1
+    pos = 2
+    numex, numnew = struct.unpack(">II", body[pos : pos + 8])
+    pos += 8
+    if numnew > 1 << 20 or numex > (len(input_syms) + numnew):
+        raise ValueError("implausible JBIG2 symbol dictionary counts")
+    br = _HuffReader(body, pos)
+    new_syms: list = []
+    hcheight = 0
+    while len(new_syms) < numnew:
+        dh = t_dh.decode(br)
+        if dh is None:
+            raise ValueError("JBIG2 symbol dictionary: OOB height delta")
+        hcheight += dh
+        if hcheight <= 0 or hcheight > 1 << 14:
+            raise ValueError(f"JBIG2 symbol height {hcheight} out of range")
+        widths: list[int] = []
+        symwidth = totwidth = 0
+        while True:
+            dw = t_dw.decode(br)
+            if dw is None:
+                break
+            symwidth += dw
+            if symwidth <= 0 or symwidth > 1 << 14:
+                raise ValueError(
+                    f"JBIG2 symbol width {symwidth} out of range"
+                )
+            if len(new_syms) + len(widths) >= numnew:
+                raise ValueError("JBIG2 symbol dictionary: too many symbols")
+            widths.append(symwidth)
+            totwidth += symwidth
+        if not widths:
+            continue
+        bmsize = t_bm.decode(br)
+        if bmsize is None or bmsize < 0:
+            raise ValueError("JBIG2 symbol dictionary: bad BMSIZE")
+        br.align()
+        if bmsize == 0:
+            # uncompressed collective bitmap: row-padded to bytes
+            rowbytes = (totwidth + 7) // 8
+            need = rowbytes * hcheight
+            raw = body[br.byte : br.byte + need]
+            if len(raw) < need:
+                raise ValueError("JBIG2 collective bitmap truncated")
+            rows = np.unpackbits(
+                np.frombuffer(raw, dtype=np.uint8).reshape(
+                    hcheight, rowbytes
+                ),
+                axis=1,
+            )[:, :totwidth]
+            coll = np.ascontiguousarray(rows)
+            br.byte += need
+        else:
+            from .ccitt import ccitt_decode
+
+            coll = ccitt_decode(
+                body[br.byte : br.byte + bmsize], totwidth, hcheight, k=-1
+            )
+            br.byte += bmsize
+        x0 = 0
+        for wsym in widths:
+            new_syms.append(
+                np.ascontiguousarray(coll[:, x0 : x0 + wsym])
+            )
+            x0 += wsym
+    # export runs: Table B.1 runlengths over input + new (6.5.10)
+    all_syms = list(input_syms) + new_syms
+    exported = []
+    cur = 0
+    i = 0
+    while i < len(all_syms):
+        run = _STD_TABLES[1].decode(br)
+        if run is None or run < 0:
+            raise ValueError("JBIG2 symbol dictionary: bad export run")
+        if cur:
+            exported.extend(all_syms[i : i + run])
+        i += run
+        cur ^= 1
+    if len(exported) != numex:
+        raise ValueError(
+            f"JBIG2 symbol dictionary exports {len(exported)}, declared {numex}"
+        )
+    return exported
+
+
+def _decode_symbol_dict(
+    body: bytes, input_syms: list, tables: list = ()
+) -> list:
     """7.4.3 symbol dictionary segment → exported symbol list."""
     if len(body) < 2:
         raise ValueError("JBIG2 symbol dictionary truncated")
     (flags,) = struct.unpack(">H", body[:2])
     if flags & 0x01:
-        raise NotImplementedError("JBIG2 huffman-coded symbol dictionaries not supported")
+        return _huffman_symbol_dict(body, flags, input_syms, list(tables))
     refagg = bool(flags & 0x02)
     template = (flags >> 10) & 0x03
     rtemplate = (flags >> 12) & 0x01
@@ -1526,8 +2156,31 @@ def _decode_symbol_dict(body: bytes, input_syms: list) -> list:
     return exported
 
 
-def _decode_text_region(body: bytes, syms: list) -> tuple[np.ndarray, int, int, int]:
-    """7.4.4 text region segment → (bitmap, x, y, combine op)."""
+def _pick_text_table(sel: int, name: str, tables: list, used: list):
+    """Huffman text regions select FS/DS/DT tables: only the custom
+    (sel == 3) form is built in; the standard text tables B.6-B.13
+    fail loudly."""
+    if sel == 3:
+        idx = used[0]
+        used[0] += 1
+        if idx >= len(tables):
+            raise ValueError(
+                "JBIG2 text region selects more custom tables than referred"
+            )
+        return tables[idx]
+    raise NotImplementedError(
+        f"JBIG2 standard {name} text-region tables (B.6-B.13) not built"
+        " in; custom type-53 tables only"
+    )
+
+
+def _decode_text_region(
+    body: bytes, syms: list, tables: list = ()
+) -> tuple[np.ndarray, int, int, int]:
+    """7.4.4 text region segment → (bitmap, x, y, combine op).
+    Arithmetic (SBHUFF=0) or huffman (SBHUFF=1: custom FS/DS/DT
+    tables + the 7.4.3.1.7 runcoded symbol ID code, CURT as raw
+    bits)."""
     if len(body) < 23:
         raise ValueError("JBIG2 text region truncated")
     w, h, x, y, rflags = struct.unpack(">IIIIB", body[:17])
@@ -1537,8 +2190,7 @@ def _decode_text_region(body: bytes, syms: list) -> tuple[np.ndarray, int, int, 
     if op not in _COMBINE:
         raise ValueError(f"JBIG2 region combination operator {op} is illegal")
     (tflags,) = struct.unpack(">H", body[17:19])
-    if tflags & 0x01:
-        raise NotImplementedError("JBIG2 huffman-coded text regions not supported")
+    huff = bool(tflags & 0x01)
     if tflags & 0x02:
         raise NotImplementedError("JBIG2 refined text regions not supported")
     transposed = bool(tflags & 0x40)
@@ -1550,47 +2202,94 @@ def _decode_text_region(body: bytes, syms: list) -> tuple[np.ndarray, int, int, 
     dsoffset = (tflags >> 10) & 0x1F
     if dsoffset > 15:
         dsoffset -= 32  # signed 5-bit
-    (numinst,) = struct.unpack(">I", body[19:23])
     if not syms:
         raise ValueError("JBIG2 text region with no referred symbols")
+    if huff:
+        if len(body) < 25:
+            raise ValueError("JBIG2 huffman text region truncated")
+        (hflags,) = struct.unpack(">H", body[19:21])
+        (numinst,) = struct.unpack(">I", body[21:25])
+        used = [0]
+        tabs = list(tables)
+        t_fs = _pick_text_table(hflags & 0x03, "FS", tabs, used)
+        t_ds = _pick_text_table((hflags >> 2) & 0x03, "DS", tabs, used)
+        t_dt = _pick_text_table((hflags >> 4) & 0x03, "DT", tabs, used)
+        # RDW/RDH/RDX/RDY/RSIZE selections only apply when REFINE=1
+        br = _HuffReader(body, 25)
+        symid = _decode_symbol_id_codes(br, len(syms))
+
+        def dec_dt():
+            return t_dt.decode(br)
+
+        def dec_fs():
+            return t_fs.decode(br)
+
+        def dec_ds():
+            return t_ds.decode(br)
+
+        def dec_t():
+            return br.read(logsbstrips) if sbstrips > 1 else 0
+
+        def dec_id():
+            sid = symid.decode(br)
+            if sid is None:
+                raise ValueError("JBIG2 symbol ID decodes to OOB")
+            return sid
+    else:
+        (numinst,) = struct.unpack(">I", body[19:23])
+        codelen = max((len(syms) - 1).bit_length(), 0)
+        dec = _MQDecoder(body[23:], ctx=([0], [0]))
+        iadt, iafs, iads, iait = (_CtxSet(9) for _ in range(4))
+        iaid = _CtxSet(codelen + 1)
+
+        def dec_dt():
+            return _int_arith(dec, iadt, None, False)
+
+        def dec_fs():
+            return _int_arith(dec, iafs, None, False)
+
+        def dec_ds():
+            return _int_arith(dec, iads, None, False)
+
+        def dec_t():
+            v = _int_arith(dec, iait, None, False) if sbstrips > 1 else 0
+            return v
+
+        def dec_id():
+            return _iaid_arith(dec, iaid, codelen, None, False)
+
     if numinst > 1 << 24:
         raise ValueError(f"implausible JBIG2 instance count {numinst}")
-    codelen = max((len(syms) - 1).bit_length(), 0)
-    dec = _MQDecoder(body[23:], ctx=([0], [0]))
-    iadt, iafs, iads, iait = (_CtxSet(9) for _ in range(4))
-    iaid = _CtxSet(codelen + 1)
     region = np.full((int(h), int(w)), defpixel, dtype=np.uint8)
-    dt0 = _int_arith(dec, iadt, None, False)
+    dt0 = dec_dt()
     if dt0 is None:
         raise ValueError("JBIG2 text region: OOB initial strip delta")
     stript = -dt0 * sbstrips
     firsts = 0
     inst = 0
     while inst < numinst:
-        dt = _int_arith(dec, iadt, None, False)
+        dt = dec_dt()
         if dt is None:
             raise ValueError("JBIG2 text region: OOB strip delta")
         stript += dt * sbstrips
         curs = None
         while True:
             if curs is None:
-                dfs = _int_arith(dec, iafs, None, False)
+                dfs = dec_fs()
                 if dfs is None:
                     raise ValueError("JBIG2 text region: OOB first-symbol delta")
                 firsts += dfs
                 curs = firsts
             else:
-                ids = _int_arith(dec, iads, None, False)
+                ids = dec_ds()
                 if ids is None:
                     break  # end of strip
                 curs += ids + dsoffset
-            curt = (
-                _int_arith(dec, iait, None, False) if sbstrips > 1 else 0
-            )
+            curt = dec_t()
             if curt is None:
                 raise ValueError("JBIG2 text region: OOB T offset")
             ti = stript + curt
-            sid = _iaid_arith(dec, iaid, codelen, None, False)
+            sid = dec_id()
             if not 0 <= sid < len(syms):
                 raise ValueError(f"JBIG2 symbol id {sid} out of range")
             bm = syms[sid]

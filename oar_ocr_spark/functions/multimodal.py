@@ -449,9 +449,12 @@ def fax_store_df(
     BILEVEL bytes: the page is thresholded to bilevel (>=128 → 255)
     and stored either as a CCITT-compressed TIFF (functions/ccitt.py,
     ITU-T T.4/T.6; 3/4 of refs) or as a standalone JBIG2 file
-    (functions/jbig2.py, ITU-T T.88 arithmetic generic region — the
-    born-scanned codec; 1/4 of refs, mixing templates, TPGDON and
-    MMR). Per ref every encoder option is crc32-chosen —
+    (functions/jbig2.py, ITU-T T.88; 1/4 of refs, mixing arithmetic
+    generic regions — templates, TPGDON, MMR — symbol/text-region
+    streams in ARITHMETIC, REFINED (SDREFAGG=1) and HUFFMAN
+    (SDHUFF/SBHUFF=1: collective bitmaps raw or MMR, custom type-53
+    tables, runcoded symbol IDs) modes, and two-pass refinement
+    regions). Per ref every encoder option is crc32-chosen —
     deterministic across processes — so every bilevel decode path
     runs inside the gate. Both codecs are lossless on bilevel input,
     so features through these bytes equal the fax golden table
@@ -501,6 +504,23 @@ def fax_store_df(
                         ink,
                         template=(h >> 6) & 3,
                         rtemplate=(h >> 22) & 1,
+                        file_header=True,
+                    )
+                    return (ref, data)
+                if (h >> 23) & 1:
+                    # HUFFMAN symbol mode (SDHUFF/SBHUFF=1): the
+                    # fax-profile entropy layer — collective bitmaps
+                    # (raw or MMR), custom type-53 FS/DS/DT tables,
+                    # runcoded symbol ID assignment
+                    from .jbig2 import encode_jbig2_symbols_huffman
+
+                    data = encode_jbig2_symbols_huffman(
+                        ink,
+                        collective="mmr" if (h >> 24) & 1 else "raw",
+                        refcorner=("tl", "bl", "tr", "br")[(h >> 13) & 3],
+                        strips=1 << ((h >> 15) & 3),
+                        transposed=bool(h & (1 << 17)),
+                        custom_bmsize=bool((h >> 25) & 1),
                         file_header=True,
                     )
                     return (ref, data)

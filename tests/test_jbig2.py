@@ -106,18 +106,22 @@ class TestDeclaredFailures:
         # TestHalftoneRegions)
         for stype, match in (
             (20, "halftone"), (40, "refinement"),
-            (53, "huffman"), (36, "intermediate"), (4, "intermediate"),
+            (36, "intermediate"), (4, "intermediate"),
         ):
             seg = struct.pack(">IB", 1, stype) + bytes([0, 1]) + struct.pack(">I", 0)
             with pytest.raises(NotImplementedError, match=match):
                 decode_jbig2(seg)
-        # huffman-coded symbol dictionaries stay out of scope
-        # (refined dictionaries DECODE — TestRefinedSymbolDicts)
-        body = struct.pack(">H", 0x01) + b"\x00" * 16
+        # huffman symbol dictionaries DECODE (TestHuffmanMode); the
+        # huffman+refinement combination (SDHUFF=1, REFAGG=1) stays out
+        body = struct.pack(">H", 0x03) + b"\x00" * 16
         seg = struct.pack(">IB", 1, 0) + bytes([0, 1]) + struct.pack(
             ">I", len(body)
         ) + body
-        with pytest.raises(NotImplementedError, match="huffman"):
+        with pytest.raises(NotImplementedError, match="SDHUFF=1, REFAGG=1"):
+            decode_jbig2(seg)
+        # a truncated custom code table fails loudly
+        seg = struct.pack(">IB", 1, 53) + bytes([0, 1]) + struct.pack(">I", 0)
+        with pytest.raises(ValueError, match="code table"):
             decode_jbig2(seg)
 
     def test_unknown_length_and_truncation(self):
@@ -509,3 +513,139 @@ class TestRefinedSymbolDicts:
         code[i] = 0xFE
         with pytest.raises(NotImplementedError, match="GRAT"):
             decode_jbig2(bytes(code))
+
+
+class TestHuffmanMode:
+    """SDHUFF/SBHUFF=1 (Annex B): standard tables B.1-B.5, custom
+    type-53 tables, collective bitmaps, runcoded symbol IDs."""
+
+    def _page(self):
+        rng = np.random.default_rng(5)
+        page = np.zeros((60, 90), np.uint8)
+        glyphs = [
+            rng.integers(0, 2, (6, 5)).astype(np.uint8)
+            | np.eye(6, 5, dtype=np.uint8),
+            rng.integers(0, 2, (8, 7)).astype(np.uint8) | 1,
+            np.tri(5, 4, dtype=np.uint8),
+        ]
+        pos = [(3, 4), (3, 20), (3, 40), (20, 4), (20, 30), (40, 10),
+               (40, 50), (12, 70), (30, 70), (50, 30)]
+        for i, (y, x) in enumerate(pos):
+            g = glyphs[i % 3]
+            page[y : y + g.shape[0], x : x + g.shape[1]] |= g
+        return page
+
+    @pytest.mark.parametrize("collective", ["raw", "mmr"])
+    def test_roundtrip_both_collective_forms(self, collective):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_symbols_huffman
+
+        page = self._page()
+        for kw in (
+            {},
+            {"refcorner": "bl"},
+            {"strips": 4},
+            {"transposed": True},
+            {"custom_bmsize": True},
+            {"strips": 2, "refcorner": "br", "custom_bmsize": True},
+        ):
+            data = encode_jbig2_symbols_huffman(
+                page, collective=collective, **kw
+            )
+            assert np.array_equal(decode_jbig2(data), page), kw
+
+    def test_real_page_with_file_header(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_symbols_huffman
+
+        ink = _bits()
+        data = encode_jbig2_symbols_huffman(
+            ink, collective="mmr", file_header=True
+        )
+        assert data.startswith(JBIG2_MAGIC)
+        assert np.array_equal(decode_jbig2(data), ink)
+
+    def test_standard_table_vectors(self):
+        # hand-checked Annex B values: B.4 codes 1 -> '0',
+        # 2 -> '10', 4 -> '1110' + 3-bit offset 0; B.1 codes 0 ->
+        # '0' + 4-bit offset, 16 -> '10' + 8-bit offset 0
+        from oar_ocr_spark.functions.jbig2 import (
+            _HuffReader,
+            _HuffWriter,
+            _STD_TABLES,
+        )
+
+        bw = _HuffWriter()
+        for v in (1, 2, 4):
+            _STD_TABLES[4].encode(bw, v)
+        bw.align()
+        # 0 | 10 | 1110 000 -> 0101 1100 00...
+        assert bw.getvalue() == bytes([0b01011100, 0b00000000])
+        br = _HuffReader(bw.getvalue())
+        assert [_STD_TABLES[4].decode(br) for _ in range(3)] == [1, 2, 4]
+
+        bw = _HuffWriter()
+        _STD_TABLES[1].encode(bw, 5)
+        _STD_TABLES[1].encode(bw, 16 + 3)
+        bw.align()
+        # 0 0101 | 10 00000011
+        assert bw.getvalue() == bytes([0b00101100, 0b00000110])
+
+    def test_std_table_lower_upper_ranges(self):
+        from oar_ocr_spark.functions.jbig2 import (
+            _HuffReader,
+            _HuffWriter,
+            _STD_TABLES,
+        )
+
+        for n, vals in ((3, [-300, -257, 74, 75, 9999]),
+                        (5, [-400, -256, 75, 76, 12345])):
+            bw = _HuffWriter()
+            for v in vals:
+                _STD_TABLES[n].encode(bw, v)
+            bw.align()
+            br = _HuffReader(bw.getvalue())
+            assert [_STD_TABLES[n].decode(br) for _ in vals] == vals
+
+    def test_custom_table_segment_roundtrip(self):
+        from oar_ocr_spark.functions.jbig2 import (
+            _HuffReader,
+            _HuffWriter,
+            _encode_table_segment,
+            _parse_table_segment,
+        )
+
+        body, table = _encode_table_segment(
+            [(2, 4, -16), (1, 4, 0), (3, 6, 16), (4, 8, 80)],
+            lower_pl=5, upper_pl=6, oob_pl=6,
+        )
+        reparsed = _parse_table_segment(body)
+        vals = [-999, -17, -16, 0, 15, 16, 79, 80, 335, 336, 50000, None]
+        bw = _HuffWriter()
+        for v in vals:
+            table.encode(bw, v)
+        bw.align()
+        br = _HuffReader(bw.getvalue())
+        assert [reparsed.decode(br) for _ in vals] == vals
+
+    def test_runcode_32_repeats_exercised(self):
+        # >= 4 distinct symbols force the encoder's runcode-32 path;
+        # roundtrip proves the decoder's repeat handling
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_symbols_huffman
+
+        page = self._page()
+        data = encode_jbig2_symbols_huffman(page)
+        # symbol dict exports >= 3 symbols -> lengths emitted via
+        # one literal + runcode-32 repeats
+        assert np.array_equal(decode_jbig2(data), page)
+
+    def test_standard_text_tables_fail_loudly(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_symbols_huffman
+
+        page = self._page()
+        data = bytearray(encode_jbig2_symbols_huffman(page))
+        # flip the text region's huffman FS selection from custom (3)
+        # to standard B.6 (0): find the hflags word after tflags 0x01
+        hflags = struct.pack(">H", 0x03 | 0x03 << 2 | 0x03 << 4)
+        i = bytes(data).index(hflags)
+        data[i : i + 2] = struct.pack(">H", 0x03 << 2 | 0x03 << 4)
+        with pytest.raises(NotImplementedError, match="B.6-B.13"):
+            decode_jbig2(bytes(data))
