@@ -59,13 +59,20 @@ assigned through the 7.4.3.1.7 runcode mechanism including the
 repeat runcodes 32/33/34), with an encoder twin
 (encode_jbig2_symbols_huffman).
 
+REFINED TEXT REGIONS (6.4.11, SBREFINE=1) decode in arithmetic mode:
+a per-instance IARI flag selects refinement, IARDW/IARDH size deltas
+and IARDX/IARDY displacements feed the generic refinement procedure
+against the symbol bitmap — with an encoder twin
+(encode_jbig2_text_refined: exemplar-per-height dictionary, varying
+glyph impressions refined per instance).
+
 Scope (fails loudly): aggregate symbol coding (REFAGGNINST != 1) and
 huffman+refinement symbol dictionaries (SDHUFF=1 with REFAGG=1),
-custom refinement GRAT pixels, halftone skip bitmaps and MMR-coded
+huffman refined text regions (SBHUFF=1 with SBREFINE=1), custom
+refinement GRAT/SBRAT pixels, halftone skip bitmaps and MMR-coded
 halftones, the standard TEXT-REGION tables B.6-B.15 (custom type-53
-tables only), refined text regions, segments of unknown length, and
-intermediate regions raise NotImplementedError; damaged streams
-raise ValueError.
+tables only), segments of unknown length, and intermediate regions
+raise NotImplementedError; damaged streams raise ValueError.
 """
 
 from __future__ import annotations
@@ -1468,6 +1475,139 @@ def encode_jbig2_symbols_huffman(
     return out
 
 
+def encode_jbig2_text_refined(
+    bits: np.ndarray,
+    template: int = 0,
+    rtemplate: int = 0,
+    file_header: bool = False,
+) -> bytes:
+    """(rows, columns) {0,1} bit matrix → embedded JBIG2 stream with a
+    REFINED TEXT REGION (6.4.11, SBREFINE=1): the dictionary keeps ONE
+    exemplar per height class and every instance whose shape differs
+    is coded as a per-instance refinement of that exemplar (IARI flag,
+    IARDW/IARDH size deltas — nonzero when widths differ — IARDX/
+    IARDY, generic refinement against the symbol bitmap). The layout
+    scanners emit when glyph impressions vary around a shared shape.
+    Decoder twin: _decode_text_region's dec_refine path. Lossless."""
+    if bits.ndim != 2 or bits.dtype != np.uint8 or int(bits.max(initial=0)) > 1:
+        raise ValueError(
+            "encode_jbig2_text_refined expects a (rows, cols) uint8 {0,1} matrix"
+        )
+    h, w = bits.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty bitmap")
+    comps = _connected_components(bits)
+    if not comps:
+        return encode_jbig2(bits, template=template, file_header=file_header)
+    at = _NOMINAL_AT[template]
+
+    # ---- dictionary: one exemplar per component HEIGHT
+    exemplar: dict[int, int] = {}
+    symbols: list = []
+    for _, _, bm in comps:
+        hh = bm.shape[0]
+        if hh not in exemplar:
+            exemplar[hh] = len(symbols)
+            symbols.append(bm)
+    order = sorted(range(len(symbols)), key=lambda i: symbols[i].shape)
+    symbols = [symbols[i] for i in order]
+    remap = {old: new for new, old in enumerate(order)}
+    exemplar = {k: remap[v] for k, v in exemplar.items()}
+
+    enc = _MQEncoder(ctx=([0], [0]))
+    iadh, iadw, iaex = _CtxSet(9), _CtxSet(9), _CtxSet(9)
+    gb = _CtxSet(len(_sorted_template(template, at)))
+    hcheight = 0
+    i = 0
+    while i < len(symbols):
+        hh = symbols[i].shape[0]
+        _int_arith(enc, iadh, hh - hcheight, True)
+        hcheight = hh
+        symwidth = 0
+        while i < len(symbols) and symbols[i].shape[0] == hcheight:
+            ww = symbols[i].shape[1]
+            _int_arith(enc, iadw, ww - symwidth, True)
+            symwidth = ww
+            _generic_with_ctx(enc, gb, symbols[i], hcheight, ww, template, at)
+            i += 1
+        _int_arith(enc, iadw, None, True)
+    _int_arith(enc, iaex, 0, True)
+    _int_arith(enc, iaex, len(symbols), True)
+    dict_data = (
+        struct.pack(">H", template << 10)
+        + b"".join(struct.pack(">bb", dx, dy) for dx, dy in at)
+        + struct.pack(">II", len(symbols), len(symbols))
+        + enc.flush()
+    )
+
+    # ---- refined text region (one-row strips, TL corner)
+    codelen = max((len(symbols) - 1).bit_length(), 0)
+    enc = _MQEncoder(ctx=([0], [0]))
+    iadt, iafs, iads = (_CtxSet(9) for _ in range(3))
+    iaid = _CtxSet(codelen + 1)
+    iari, iardw, iardh = (_CtxSet(9) for _ in range(3))
+    iardx, iardy = _CtxSet(9), _CtxSet(9)
+    gr = _CtxSet(13 if rtemplate == 0 else 10)
+    _int_arith(enc, iadt, 0, True)
+    stript = 0
+    firsts = 0
+    by_strip: dict[int, list] = {}
+    for t, l, bm in comps:
+        by_strip.setdefault(t, []).append((l, bm))
+    for base in sorted(by_strip):
+        _int_arith(enc, iadt, base - stript, True)
+        stript = base
+        curs = None
+        for si, bm in sorted(by_strip[base], key=lambda e: e[0]):
+            if curs is None:
+                _int_arith(enc, iafs, si - firsts, True)
+                firsts = si
+                curs = si
+            else:
+                _int_arith(enc, iads, si - curs, True)
+                curs = si
+            sid = exemplar[bm.shape[0]]
+            ex = symbols[sid]
+            _iaid_arith(enc, iaid, codelen, sid, True)
+            if bm.shape == ex.shape and bm.tobytes() == ex.tobytes():
+                _int_arith(enc, iari, 0, True)
+            else:
+                rdw = bm.shape[1] - ex.shape[1]
+                _int_arith(enc, iari, 1, True)
+                _int_arith(enc, iardw, rdw, True)
+                _int_arith(enc, iardh, 0, True)
+                _int_arith(enc, iardx, 0, True)
+                _int_arith(enc, iardy, 0, True)
+                gr.bind(enc)
+                _refine_region(
+                    enc, bm, ex, bm.shape[0], bm.shape[1],
+                    rtemplate, False, rdw >> 1, 0,
+                )
+            curs += bm.shape[1] - 1
+        _int_arith(enc, iads, None, True)
+    text_payload = enc.flush()
+    tflags = 0x02 | (1 << 4) | (rtemplate << 15)  # SBREFINE, TL corner
+    region_info = struct.pack(">IIIIB", w, h, 0, 0, 0)
+    text_data = (
+        region_info
+        + struct.pack(">H", tflags)
+        + (
+            struct.pack(">bbbb", -1, -1, -1, -1) if rtemplate == 0 else b""
+        )
+        + struct.pack(">I", len(comps))
+        + text_payload
+    )
+
+    page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0x01, 0)
+    out = _seg_header(1, 48, 1, len(page_info)) + page_info
+    out += _seg_header(2, 0, 1, len(dict_data)) + dict_data
+    out += _seg_header(3, 6, 1, len(text_data), referred=[2]) + text_data
+    out += _seg_header(4, 49, 1, 0)
+    if file_header:
+        out = JBIG2_MAGIC + bytes([0x01]) + struct.pack(">I", 1) + out
+    return out
+
+
 def encode_jbig2_symbols_refined(
     bits: np.ndarray,
     template: int = 0,
@@ -2191,8 +2331,13 @@ def _decode_text_region(
         raise ValueError(f"JBIG2 region combination operator {op} is illegal")
     (tflags,) = struct.unpack(">H", body[17:19])
     huff = bool(tflags & 0x01)
-    if tflags & 0x02:
-        raise NotImplementedError("JBIG2 refined text regions not supported")
+    refine = bool(tflags & 0x02)
+    rtemplate = (tflags >> 15) & 0x01
+    if huff and refine:
+        raise NotImplementedError(
+            "JBIG2 huffman refined text regions (SBHUFF=1 with "
+            "SBREFINE=1) not supported"
+        )
     transposed = bool(tflags & 0x40)
     logsbstrips = (tflags >> 2) & 0x03
     sbstrips = 1 << logsbstrips
@@ -2235,12 +2380,60 @@ def _decode_text_region(
             if sid is None:
                 raise ValueError("JBIG2 symbol ID decodes to OOB")
             return sid
+
+        def dec_refine(bm):
+            return bm
     else:
-        (numinst,) = struct.unpack(">I", body[19:23])
+        pos = 19
+        if refine and rtemplate == 0:
+            if len(body) < pos + 4:
+                raise ValueError("JBIG2 text region SBRAT truncated")
+            sbrat = [
+                struct.unpack(">bb", body[pos + 2 * k : pos + 2 * k + 2])
+                for k in range(2)
+            ]
+            pos += 4
+            if sbrat != [(-1, -1), (-1, -1)]:
+                raise NotImplementedError(
+                    "JBIG2 refined text regions with custom SBRAT pixels"
+                    " not supported (nominal (-1,-1) only)"
+                )
+        (numinst,) = struct.unpack(">I", body[pos : pos + 4])
         codelen = max((len(syms) - 1).bit_length(), 0)
-        dec = _MQDecoder(body[23:], ctx=([0], [0]))
+        dec = _MQDecoder(body[pos + 4 :], ctx=([0], [0]))
         iadt, iafs, iads, iait = (_CtxSet(9) for _ in range(4))
         iaid = _CtxSet(codelen + 1)
+        iari, iardw, iardh = (_CtxSet(9) for _ in range(3))
+        iardx, iardy = _CtxSet(9), _CtxSet(9)
+        gr = _CtxSet(13 if rtemplate == 0 else 10)
+
+        def dec_refine(bm):
+            # 6.4.11: per-instance refinement — RI bit, then the
+            # RDW/RDH size deltas and RDX/RDY displacement feed the
+            # generic refinement procedure against the symbol bitmap
+            if not refine:
+                return bm
+            ri = _int_arith(dec, iari, None, False)
+            if ri is None:
+                raise ValueError("JBIG2 text region: OOB refinement flag")
+            if not ri:
+                return bm
+            rdw = _int_arith(dec, iardw, None, False)
+            rdh = _int_arith(dec, iardh, None, False)
+            rdx = _int_arith(dec, iardx, None, False)
+            rdy = _int_arith(dec, iardy, None, False)
+            if None in (rdw, rdh, rdx, rdy):
+                raise ValueError("JBIG2 text region: OOB refinement delta")
+            nh, nw = bm.shape[0] + rdh, bm.shape[1] + rdw
+            if nh <= 0 or nw <= 0 or nh > 1 << 14 or nw > 1 << 14:
+                raise ValueError(
+                    f"JBIG2 refined instance size {nh}x{nw} out of range"
+                )
+            gr.bind(dec)
+            return _refine_region(
+                dec, None, bm, nh, nw, rtemplate, False,
+                (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+            )
 
         def dec_dt():
             return _int_arith(dec, iadt, None, False)
@@ -2292,7 +2485,7 @@ def _decode_text_region(
             sid = dec_id()
             if not 0 <= sid < len(syms):
                 raise ValueError(f"JBIG2 symbol id {sid} out of range")
-            bm = syms[sid]
+            bm = dec_refine(syms[sid])
             hs, ws = bm.shape
             if transposed:
                 # S runs down the page, T across (6.4.5 3c: vertical

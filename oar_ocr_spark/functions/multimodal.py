@@ -507,6 +507,19 @@ def fax_store_df(
                         file_header=True,
                     )
                     return (ref, data)
+                if (h >> 26) & 1:
+                    # REFINED TEXT REGION (6.4.11, SBREFINE=1):
+                    # exemplar-per-height dictionary, per-instance
+                    # IARI/IARDW refinement against the exemplar
+                    from .jbig2 import encode_jbig2_text_refined
+
+                    data = encode_jbig2_text_refined(
+                        ink,
+                        template=(h >> 6) & 3,
+                        rtemplate=(h >> 22) & 1,
+                        file_header=True,
+                    )
+                    return (ref, data)
                 if (h >> 23) & 1:
                     # HUFFMAN symbol mode (SDHUFF/SBHUFF=1): the
                     # fax-profile entropy layer — collective bitmaps

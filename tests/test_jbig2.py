@@ -649,3 +649,86 @@ class TestHuffmanMode:
         data[i : i + 2] = struct.pack(">H", 0x03 << 2 | 0x03 << 4)
         with pytest.raises(NotImplementedError, match="B.6-B.13"):
             decode_jbig2(bytes(data))
+
+
+class TestRefinedTextRegions:
+    """SBREFINE=1 (6.4.11): per-instance refinement of dictionary
+    exemplars inside the text region."""
+
+    def _page(self):
+        rng = np.random.default_rng(9)
+        page = np.zeros((50, 100), np.uint8)
+        glyphs = [
+            np.tri(6, 5, dtype=np.uint8),
+            np.eye(6, 8, dtype=np.uint8),
+            (rng.integers(0, 2, (6, 4)) | np.eye(6, 4, dtype=int)).astype(
+                np.uint8
+            ),
+            np.ones((9, 3), np.uint8),
+            np.tri(9, 6, dtype=np.uint8),
+        ]
+        pos = [(2, 3), (2, 20), (2, 40), (2, 60), (15, 5), (15, 30),
+               (30, 10), (30, 50)]
+        for i, (y, x) in enumerate(pos):
+            g = glyphs[i % len(glyphs)]
+            page[y : y + g.shape[0], x : x + g.shape[1]] |= g
+        return page
+
+    @pytest.mark.parametrize("rtemplate", [0, 1])
+    @pytest.mark.parametrize("template", [0, 2])
+    def test_roundtrip(self, rtemplate, template):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_text_refined
+
+        page = self._page()
+        data = encode_jbig2_text_refined(
+            page, template=template, rtemplate=rtemplate
+        )
+        assert np.array_equal(decode_jbig2(data), page)
+
+    def test_real_page_with_file_header(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_text_refined
+
+        ink = _bits("12_m0")
+        data = encode_jbig2_text_refined(ink, file_header=True)
+        assert data.startswith(JBIG2_MAGIC)
+        assert np.array_equal(decode_jbig2(data), ink)
+
+    def test_refinement_bit_actually_exercised(self):
+        # same-height glyphs with DIFFERENT widths/content force RI=1
+        # instances with nonzero RDW; a page of identical glyphs
+        # yields RI=0 everywhere — both decode
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_text_refined
+
+        g = np.tri(5, 4, dtype=np.uint8)
+        same = np.zeros((20, 40), np.uint8)
+        for x in (2, 12, 22, 32):
+            same[3:8, x : x + 4] |= g
+        data_same = encode_jbig2_text_refined(same)
+        assert np.array_equal(decode_jbig2(data_same), same)
+        mixed = self._page()
+        data_mixed = encode_jbig2_text_refined(mixed)
+        assert np.array_equal(decode_jbig2(data_mixed), mixed)
+        # the mixed page pays for refinement data
+        assert len(data_mixed) > len(data_same)
+
+    def test_custom_sbrat_fails_loudly(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_text_refined
+
+        code = bytearray(encode_jbig2_text_refined(self._page()))
+        i = code.index(struct.pack(">bbbb", -1, -1, -1, -1))
+        code[i] = 0xFE
+        with pytest.raises(NotImplementedError, match="SBRAT"):
+            decode_jbig2(bytes(code))
+
+    def test_huffman_refined_fails_loudly(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_text_refined
+
+        code = bytearray(encode_jbig2_text_refined(self._page()))
+        # set SBHUFF on the text region's tflags (after 17-byte region
+        # info in segment 3's data); find tflags 0x0012 | 0x8000? —
+        # locate via the known tflags value
+        tflags = struct.pack(">H", 0x02 | (1 << 4))
+        i = bytes(code).index(tflags)
+        code[i : i + 2] = struct.pack(">H", 0x03 | (1 << 4))
+        with pytest.raises(NotImplementedError, match="SBHUFF=1 with"):
+            decode_jbig2(bytes(code))
