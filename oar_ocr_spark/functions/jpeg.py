@@ -660,35 +660,54 @@ def _encode_jpeg_color(
 def encode_jpeg_cmyk(
     cmyk: np.ndarray, quality: int = 90, ycck: bool = False, adobe: bool = True
 ) -> bytes:
-    """(H,W,4) uint8 TRUE CMYK → 4-component baseline JPEG fixture
-    bytes (4:4:4, one interleaved scan, Annex-K luminance tables for
-    all components). `adobe=True` writes what Adobe tooling writes —
-    INVERTED samples + an APP14 marker (transform 0, or 2 with
-    `ycck=True`, where the inverted CMY further goes through the
-    YCbCr matrix); `adobe=False` stores true CMYK with no APP14 (the
-    bare print-workflow layout). Exists to roundtrip-test the
-    decoder's three 4-component flavors without any image library."""
-    if cmyk.dtype != np.uint8 or cmyk.ndim != 3 or cmyk.shape[2] != 4:
-        raise ValueError(f"encode_jpeg_cmyk expects (H,W,4) uint8, got {cmyk.dtype} {cmyk.shape}")
+    """(H,W,4) TRUE CMYK → 4-component JPEG fixture bytes (4:4:4, one
+    interleaved scan). uint8 input writes baseline SOF0 with Annex-K
+    luminance tables for all components; uint16 input writes the
+    12-BIT print-master layout (extended-sequential SOF1, 16-bit
+    Pq=1 DQTs scaled by 16, the deterministic 12-bit huffman sets).
+    `adobe=True` writes what Adobe tooling writes — INVERTED samples
+    + an APP14 marker (transform 0, or 2 with `ycck=True`, where the
+    inverted CMY further goes through the YCbCr matrix);
+    `adobe=False` stores true CMYK with no APP14 (the bare
+    print-workflow layout). Exists to roundtrip-test the decoder's
+    4-component flavors without any image library."""
+    if cmyk.dtype not in (np.uint8, np.uint16) or cmyk.ndim != 3 or cmyk.shape[2] != 4:
+        raise ValueError(
+            f"encode_jpeg_cmyk expects (H,W,4) uint8/uint16, got {cmyk.dtype} {cmyk.shape}"
+        )
+    deep = cmyk.dtype == np.uint16
+    if deep and int(cmyk.max(initial=0)) >> 12:
+        raise ValueError("sample exceeds the 12-bit range")
     if ycck and not adobe:
         raise ValueError("YCCK requires the Adobe APP14 marker")
     h, w = cmyk.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    maxv = 4095 if deep else 255
     if adobe:
-        stored = 255 - cmyk  # Adobe stores inverted CMYK
+        stored = maxv - cmyk  # Adobe stores inverted CMYK
         if ycck:
             stored = np.concatenate(
-                [_rgb_to_ycbcr(stored[..., :3]), stored[..., 3:]], axis=-1
+                [
+                    _rgb_to_ycbcr(stored[..., :3], precision=12 if deep else 8),
+                    stored[..., 3:],
+                ],
+                axis=-1,
             )
     else:
         stored = cmyk
-    q = _scaled_qtable(quality)
+    qscale, shift = (16, 2048.0) if deep else (1, 128.0)
+    q = _scaled_qtable(quality) * qscale
+    tbls = (
+        (_DC12_CODE, _DC12_LEN, _AC12_CODE, _AC12_LEN)
+        if deep
+        else (_DC_CODE, _DC_LEN, _AC_CODE, _AC_LEN)
+    )
     mcux, mcuy = -(-w // 8), -(-h // 8)
     comps = []
     for c in range(4):
-        zz = _plane_zz(stored[..., c], q, grid=(mcuy, mcux))  # 1 block/MCU
-        comps.append((zz, 1, _DC_CODE, _DC_LEN, _AC_CODE, _AC_LEN))
+        zz = _plane_zz(stored[..., c], q, grid=(mcuy, mcux), shift=shift)
+        comps.append((zz, 1, *tbls))
     scan = _interleaved_scan(comps, mcux * mcuy, 0)
 
     out = bytearray(JPEG_SOI)
@@ -697,13 +716,24 @@ def encode_jpeg_cmyk(
         out += _seg(
             0xFFEE, b"Adobe" + struct.pack(">HHHB", 0x65, 0, 0, transform)
         )
-    out += _seg(0xFFDB, b"\x00" + bytes(q.reshape(-1)[_ZIGZAG].astype(np.uint8)))
-    sof = struct.pack(">BHHB", 8, h, w, 4)
+    if deep:
+        out += _seg(
+            0xFFDB, b"\x10" + struct.pack(">64H", *q.reshape(-1)[_ZIGZAG])
+        )
+    else:
+        out += _seg(
+            0xFFDB, b"\x00" + bytes(q.reshape(-1)[_ZIGZAG].astype(np.uint8))
+        )
+    sof = struct.pack(">BHHB", 12 if deep else 8, h, w, 4)
     for cid in (1, 2, 3, 4):
         sof += bytes([cid, 0x11, 0x00])
-    out += _seg(0xFFC0, sof)
-    out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
-    out += _seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+    out += _seg(0xFFC1 if deep else 0xFFC0, sof)
+    if deep:
+        out += _seg(0xFFC4, b"\x00" + bytes(_DC12_BITS) + bytes(_DC12_VALS))
+        out += _seg(0xFFC4, b"\x10" + bytes(_AC12_BITS) + bytes(_AC12_VALS))
+    else:
+        out += _seg(0xFFC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS))
+        out += _seg(0xFFC4, b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
     sos = bytes([4]) + b"".join(bytes([cid, 0x00]) for cid in (1, 2, 3, 4))
     out += _seg(0xFFDA, sos + b"\x00\x3f\x00")
     out += scan
@@ -1550,18 +1580,18 @@ def _planes_from_raster(
     if len(planes) == 1:
         return planes[0]
     if len(planes) == 4:
-        if precision != 8:
-            raise NotImplementedError(
-                f"{precision}-bit CMYK JPEG not supported"
-            )
-        return _cmyk_to_rgb(np.stack(planes, axis=-1), adobe)
+        return _cmyk_to_rgb(np.stack(planes, axis=-1), adobe, precision)
     if rgb_direct:
         return np.ascontiguousarray(np.stack(planes, axis=-1))
     return _ycbcr_to_rgb(np.stack(planes, axis=-1), precision)
 
 
-def _cmyk_to_rgb(p4: np.ndarray, adobe: int | None) -> np.ndarray:
-    """(H,W,4) decoded 4-component planes → (H,W,3) uint8 RGB.
+def _cmyk_to_rgb(
+    p4: np.ndarray, adobe: int | None, precision: int = 8
+) -> np.ndarray:
+    """(H,W,4) decoded 4-component planes → (H,W,3) RGB (uint8, or
+    uint16 full-precision for 12-bit print masters — the image seam's
+    top-8-bit projection happens downstream).
 
     The three wild flavors (reference decodes them via the `image` /
     `jpeg-decoder` crates, oar-ocr-core/src/utils/image.rs:65-88):
@@ -1573,18 +1603,21 @@ def _cmyk_to_rgb(p4: np.ndarray, adobe: int | None) -> np.ndarray:
     - Adobe transform 2 (YCCK): channels 0-2 are YCbCr over the
       INVERTED CMY; undo the YCbCr matrix first, then as transform 0.
     """
+    maxv = float((1 << precision) - 1)
     if adobe == 2:  # YCCK → inverted CMY
-        inv_cmy = _ycbcr_to_rgb(p4[..., :3]).astype(np.float64)
+        inv_cmy = _ycbcr_to_rgb(p4[..., :3], precision).astype(np.float64)
     elif adobe in (0, None):
         inv = p4[..., :3].astype(np.float64)
-        inv_cmy = inv if adobe == 0 else 255.0 - inv
+        inv_cmy = inv if adobe == 0 else maxv - inv
     else:
         raise ValueError(f"illegal Adobe APP14 transform {adobe} for 4-component JPEG")
     k = p4[..., 3].astype(np.float64)
     if adobe is None:
-        k = 255.0 - k
-    rgb = inv_cmy * k[..., None] / 255.0
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        k = maxv - k
+    rgb = inv_cmy * k[..., None] / maxv
+    return np.clip(np.round(rgb), 0, maxv).astype(
+        np.uint8 if precision <= 8 else np.uint16
+    )
 
 
 def _scan_params(body: bytes, comp_ids: list[int]):
@@ -1874,10 +1907,11 @@ def decode_jpeg(data: bytes, deep: bool = False) -> np.ndarray:
     scans and reconstruct at EOI. `deep=True` returns full-precision
     samples for >8-bit streams (uint16 — the 12/16-bit LOSSLESS SOF3
     DICOM layouts AND 12-bit DCT frames: extended-sequential SOF1 and
-    progressive SOF2, grey or YCbCr color with 12-bit chroma
-    centering); otherwise deep streams project to uint8 via their top
-    8 bits (the PNG-16 convention of this engine's image seam).
-    12-bit CMYK and 12-bit arithmetic stay declared out of scope."""
+    progressive SOF2, grey, YCbCr color with 12-bit chroma centering,
+    or CMYK/YCCK print masters); otherwise deep streams project to
+    uint8 via their top 8 bits (the PNG-16 convention of this
+    engine's image seam). 12-bit arithmetic stays declared out of
+    scope."""
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -1975,11 +2009,9 @@ def decode_jpeg(data: bytes, deep: bool = False) -> np.ndarray:
                 raise ValueError("baseline SOF0 must be 8-bit (B.2.2)")
             if depth == 12:
                 # 12-bit DCT (the DICOM / print-master layouts):
-                # grey and YCbCr color, sequential and progressive;
-                # 12-bit CMYK and arithmetic stay declared out of
-                # scope
-                if ncomp == 4:
-                    raise NotImplementedError("12-bit CMYK JPEG not supported")
+                # grey, YCbCr color and CMYK/YCCK, sequential and
+                # progressive; 12-bit arithmetic stays declared out
+                # of scope
                 if arith:
                     raise NotImplementedError(
                         "12-bit arithmetic JPEG not supported"

@@ -1028,9 +1028,10 @@ class TestExtendedSequential12Bit:
         with pytest.raises(ValueError, match="12-bit"):
             encode_jpeg_extended(np.full((8, 8), 4096, dtype=np.uint16))
         # a 12-bit BASELINE frame is illegal per B.2.2 (SOF0 is 8-bit
-        # only); 12-bit CMYK and arithmetic stay declared out of scope
+        # only); 12-bit CMYK now DECODES (TestDeepCmyk) and 12-bit
+        # arithmetic stays declared out of scope
         from oar_ocr_spark.fixtures.render import render_page
-        from oar_ocr_spark.functions.jpeg import encode_jpeg, encode_jpeg_cmyk
+        from oar_ocr_spark.functions.jpeg import encode_jpeg
 
         p8 = render_page("5_m1")
         rgb = np.stack([p8] * 3, axis=-1)
@@ -1039,12 +1040,11 @@ class TestExtendedSequential12Bit:
         code[i + 4] = 12
         with pytest.raises(ValueError, match="SOF0"):
             decode_jpeg(bytes(code))
-        cmyk = np.zeros((16, 16, 4), dtype=np.uint8)
-        code = bytearray(encode_jpeg_cmyk(cmyk))
+        code = bytearray(encode_jpeg(rgb))
         i = code.index(b"\xff\xc0")
-        code[i + 1] = 0xC1  # relabel as extended sequential
+        code[i + 1] = 0xC9  # relabel as arithmetic sequential
         code[i + 4] = 12
-        with pytest.raises(NotImplementedError, match="CMYK"):
+        with pytest.raises(NotImplementedError, match="arithmetic"):
             decode_jpeg(bytes(code))
 
 
@@ -1120,3 +1120,52 @@ class TestDeep12BitColorAndProgressive:
         code[i + 4] = 12
         with pytest.raises(NotImplementedError, match="arithmetic"):
             decode_jpeg(bytes(code))
+
+
+class TestDeepCmyk:
+    """12-bit 4-component JPEG (extended-sequential SOF1 print
+    masters): bare CMYK, Adobe inverted and YCCK, full-precision
+    uint16 with deep=True and the top-8-bit projection without."""
+
+    @staticmethod
+    def _cmyk12(h=20, w=28, seed=7):
+        rng = np.random.RandomState(seed)
+        small = rng.randint(0, 4096, (h // 4 + 1, w // 4 + 1, 4))
+        return np.kron(
+            small, np.ones((4, 4, 1), dtype=np.int64)
+        )[:h, :w, :].astype(np.uint16)
+
+    @pytest.mark.parametrize(
+        "kwargs",
+        [dict(adobe=False), dict(adobe=True), dict(adobe=True, ycck=True)],
+    )
+    def test_roundtrip_all_flavors(self, kwargs):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_cmyk
+
+        cmyk = self._cmyk12()
+        data = encode_jpeg_cmyk(cmyk, quality=100, **kwargs)
+        assert data == encode_jpeg_cmyk(cmyk, quality=100, **kwargs)
+        deep = decode_jpeg(data, deep=True)
+        assert deep.shape == (20, 28, 3) and deep.dtype == np.uint16
+        inv = 4095.0 - cmyk[..., :3].astype(np.float64)
+        k = 4095.0 - cmyk[..., 3].astype(np.float64)
+        exp = np.clip(np.round(inv * k[..., None] / 4095.0), 0, 4095)
+        bound = 40 if kwargs.get("ycck") else 26  # 12-bit DCT round-off
+        assert np.abs(deep.astype(float) - exp).max() <= bound
+        # uint8 path == top-8-bit projection of deep (the image seam)
+        assert np.array_equal(decode_jpeg(data), (deep >> 4).astype(np.uint8))
+
+    def test_sof1_and_16bit_dqt_on_the_wire(self):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_cmyk
+
+        data = encode_jpeg_cmyk(self._cmyk12(), 95, adobe=True)
+        assert b"\xff\xc1" in data and b"\xff\xc0" not in data[2:]
+        i = data.index(b"\xff\xdb")
+        assert data[i + 4] == 0x10  # Pq=1: 16-bit quantizer entries
+
+    def test_range_guard(self):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_cmyk
+
+        bad = np.full((8, 8, 4), 4096, np.uint16)
+        with pytest.raises(ValueError, match="12-bit range"):
+            encode_jpeg_cmyk(bad)
