@@ -66,7 +66,13 @@ against the symbol bitmap — with an encoder twin
 (encode_jbig2_text_refined: exemplar-per-height dictionary, varying
 glyph impressions refined per instance).
 
-Scope (fails loudly): aggregate symbol coding (REFAGGNINST != 1) and
+AGGREGATE SYMBOL CODING (6.5.8.2.1, REFAGGNINST > 1) decodes: the
+symbol runs the shared text-region placement procedure over the
+available symbols with the dictionary's own contexts (SBREFINE=1,
+one-row strips, TL corner, OR), with an encoder twin
+(encode_jbig2_symbols_aggregate: two refined instances per symbol).
+
+Scope (fails loudly):
 huffman+refinement symbol dictionaries (SDHUFF=1 with REFAGG=1),
 huffman refined text regions (SBHUFF=1 with SBREFINE=1), custom
 refinement GRAT/SBRAT pixels, halftone skip bitmaps and MMR-coded
@@ -1785,6 +1791,198 @@ def encode_jbig2_symbols_refined(
     return out
 
 
+def encode_jbig2_symbols_aggregate(
+    bits: np.ndarray,
+    template: int = 0,
+    rtemplate: int = 0,
+    file_header: bool = False,
+) -> bytes:
+    """(rows, columns) {0,1} bit matrix → embedded JBIG2 stream whose
+    refinement dictionary codes symbols by AGGREGATION (6.5.8.2.1,
+    REFAGGNINST=2): dictionary A carries one exemplar per glyph shape
+    class; dictionary B (SDREFAGG=1) codes every other unique glyph
+    as an embedded TEXT REGION of two refined instances of its
+    exemplar (both at the origin — OR-idempotent), driving the
+    aggregate decode path with the dictionary's own IADT/IAFS/IADS/
+    IARI/IARDW/IARDH contexts. Lossless."""
+    if bits.ndim != 2 or bits.dtype != np.uint8 or int(bits.max(initial=0)) > 1:
+        raise ValueError(
+            "encode_jbig2_symbols_aggregate expects a (rows, cols) uint8 {0,1} matrix"
+        )
+    h, w = bits.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty bitmap")
+    if rtemplate not in (0, 1):
+        raise ValueError(f"rtemplate must be 0 or 1, got {rtemplate}")
+    comps = _connected_components(bits)
+    if not comps:
+        return encode_jbig2(bits, template=template, file_header=file_header)
+    at = _NOMINAL_AT[template]
+
+    uniq: dict[tuple, int] = {}
+    symbols = []
+    for _, _, bm in comps:
+        key = bm.shape + (bm.tobytes(),)
+        if key not in uniq:
+            uniq[key] = len(symbols)
+            symbols.append(bm)
+    order = sorted(range(len(symbols)), key=lambda i: symbols[i].shape)
+    symbols = [symbols[i] for i in order]
+    remap = {old: new for new, old in enumerate(order)}
+    uniq = {k: remap[v] for k, v in uniq.items()}
+
+    a_idx: list[int] = []
+    b_idx: list[int] = []
+    shape_to_a: dict[tuple, int] = {}
+    for i, bm in enumerate(symbols):
+        if bm.shape in shape_to_a:
+            b_idx.append(i)
+        else:
+            shape_to_a[bm.shape] = len(a_idx)
+            a_idx.append(i)
+    if not b_idx:
+        # no repeated shapes: aggregate-code the first exemplar anyway
+        b_idx = [a_idx[0]]
+    a_syms = [symbols[i] for i in a_idx]
+    b_syms = [symbols[i] for i in b_idx]
+    b_ref = [shape_to_a[symbols[i].shape] for i in b_idx]
+    pos_of = {i: j for j, i in enumerate(a_idx)}
+    for j, i in enumerate(b_idx):
+        if i not in pos_of:
+            pos_of[i] = len(a_idx) + j
+    uniq = {k: pos_of[v] for k, v in uniq.items()}
+
+    # ---- dictionary A: generic-coded exemplars
+    enc = _MQEncoder(ctx=([0], [0]))
+    iadh, iadw, iaex = _CtxSet(9), _CtxSet(9), _CtxSet(9)
+    gb = _CtxSet(len(_sorted_template(template, at)))
+    hcheight = 0
+    i = 0
+    while i < len(a_syms):
+        hh = a_syms[i].shape[0]
+        _int_arith(enc, iadh, hh - hcheight, True)
+        hcheight = hh
+        symwidth = 0
+        while i < len(a_syms) and a_syms[i].shape[0] == hcheight:
+            ww = a_syms[i].shape[1]
+            _int_arith(enc, iadw, ww - symwidth, True)
+            symwidth = ww
+            _generic_with_ctx(enc, gb, a_syms[i], hcheight, ww, template, at)
+            i += 1
+        _int_arith(enc, iadw, None, True)
+    _int_arith(enc, iaex, 0, True)
+    _int_arith(enc, iaex, len(a_syms), True)
+    dict_a = (
+        struct.pack(">H", template << 10)
+        + b"".join(struct.pack(">bb", dx, dy) for dx, dy in at)
+        + struct.pack(">II", len(a_syms), len(a_syms))
+        + enc.flush()
+    )
+
+    # ---- dictionary B: SDREFAGG=1 with REFAGGNINST=2 aggregates
+    enc = _MQEncoder(ctx=([0], [0]))
+    iadh, iadw, iaex = _CtxSet(9), _CtxSet(9), _CtxSet(9)
+    iaai, iardx, iardy = _CtxSet(9), _CtxSet(9), _CtxSet(9)
+    total = len(a_syms) + len(b_syms)
+    codelen = max((total - 1).bit_length(), 0)
+    iaid_ref = _CtxSet(codelen + 1)
+    gr = _CtxSet(13 if rtemplate == 0 else 10)
+    iadt_agg, iafs_agg, iads_agg = (_CtxSet(9) for _ in range(3))
+    iari_agg, iardw_agg, iardh_agg = (_CtxSet(9) for _ in range(3))
+
+    def emit_instance(bm, ex, ex_id):
+        _iaid_arith(enc, iaid_ref, codelen, ex_id, True)
+        _int_arith(enc, iari_agg, 1, True)
+        rdw = bm.shape[1] - ex.shape[1]
+        rdh = bm.shape[0] - ex.shape[0]
+        _int_arith(enc, iardw_agg, rdw, True)
+        _int_arith(enc, iardh_agg, rdh, True)
+        _int_arith(enc, iardx, 0, True)
+        _int_arith(enc, iardy, 0, True)
+        gr.bind(enc)
+        _refine_region(
+            enc, bm, ex, bm.shape[0], bm.shape[1], rtemplate, False,
+            rdw >> 1, rdh >> 1,
+        )
+
+    hcheight = 0
+    i = 0
+    while i < len(b_syms):
+        hh = b_syms[i].shape[0]
+        _int_arith(enc, iadh, hh - hcheight, True)
+        hcheight = hh
+        symwidth = 0
+        while i < len(b_syms) and b_syms[i].shape[0] == hcheight:
+            ww = b_syms[i].shape[1]
+            _int_arith(enc, iadw, ww - symwidth, True)
+            symwidth = ww
+            bm, ex, ex_id = b_syms[i], a_syms[b_ref[i]], b_ref[i]
+            _int_arith(enc, iaai, 2, True)  # REFAGGNINST
+            # embedded text region: dt0, strip dt, first S, two
+            # instances at the origin (OR-idempotent)
+            _int_arith(enc, iadt_agg, 0, True)
+            _int_arith(enc, iadt_agg, 0, True)
+            _int_arith(enc, iafs_agg, 0, True)
+            emit_instance(bm, ex, ex_id)
+            _int_arith(enc, iads_agg, -(ww - 1), True)
+            emit_instance(bm, ex, ex_id)
+            i += 1
+        _int_arith(enc, iadw, None, True)
+    _int_arith(enc, iaex, len(a_syms), True)  # inputs stay unexported
+    _int_arith(enc, iaex, len(b_syms), True)
+    dict_b = (
+        struct.pack(">H", 0x02 | (template << 10) | (rtemplate << 12))
+        + b"".join(struct.pack(">bb", dx, dy) for dx, dy in at)
+        + (struct.pack(">bbbb", -1, -1, -1, -1) if rtemplate == 0 else b"")
+        + struct.pack(">II", len(b_syms), len(b_syms))
+        + enc.flush()
+    )
+
+    # ---- text region over A + B exports (one-row strips, TL corner)
+    syms = a_syms + b_syms
+    codelen = max((len(syms) - 1).bit_length(), 0)
+    enc = _MQEncoder(ctx=([0], [0]))
+    iadt, iafs, iads = _CtxSet(9), _CtxSet(9), _CtxSet(9)
+    iaid = _CtxSet(codelen + 1)
+    _int_arith(enc, iadt, 0, True)
+    stript = 0
+    firsts = 0
+    by_strip: dict[int, list] = {}
+    for t, l, bm in comps:
+        by_strip.setdefault(t, []).append((l, bm))
+    for base in sorted(by_strip):
+        _int_arith(enc, iadt, base - stript, True)
+        stript = base
+        curs = None
+        for l, bm in sorted(by_strip[base], key=lambda e: e[0]):
+            if curs is None:
+                _int_arith(enc, iafs, l - firsts, True)
+                firsts = l
+                curs = l
+            else:
+                _int_arith(enc, iads, l - curs, True)
+                curs = l
+            _iaid_arith(enc, iaid, codelen, uniq[bm.shape + (bm.tobytes(),)], True)
+            curs += bm.shape[1] - 1
+        _int_arith(enc, iads, None, True)
+    text_data = (
+        struct.pack(">IIIIB", w, h, 0, 0, 0)
+        + struct.pack(">H", 1 << 4)  # SBHUFF=0, 1-row strips, TL corner
+        + struct.pack(">I", len(comps))
+        + enc.flush()
+    )
+
+    page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0x01, 0)
+    out = _seg_header(1, 48, 1, len(page_info)) + page_info
+    out += _seg_header(2, 0, 1, len(dict_a)) + dict_a
+    out += _seg_header(3, 0, 1, len(dict_b), referred=[2]) + dict_b
+    out += _seg_header(4, 6, 1, len(text_data), referred=[2, 3]) + text_data
+    out += _seg_header(5, 49, 1, 0)
+    if file_header:
+        out = JBIG2_MAGIC + bytes([0x01]) + struct.pack(">I", 1) + out
+    return out
+
+
 # ---------------------------------------------------------------------------
 # huffman mode (Annex B) — the fax-profile entropy layer: MSB-first
 # bit IO, Annex B code tables (standard B.1-B.5 + custom type-53
@@ -2223,6 +2421,9 @@ def _decode_symbol_dict(
         max((len(input_syms) + numnew - 1).bit_length(), 0) + 1
     )
     gr = _CtxSet(13 if rtemplate == 0 else 10)
+    # aggregate-path (6.5.8.2.1) text-region contexts, owned by the dict
+    iadt_agg, iafs_agg, iads_agg = (_CtxSet(9) for _ in range(3))
+    iari_agg, iardw_agg, iardh_agg = (_CtxSet(9) for _ in range(3))
     codelen = max((len(input_syms) + numnew - 1).bit_length(), 0)
     new_syms: list = []
     hcheight = 0
@@ -2244,22 +2445,67 @@ def _decode_symbol_dict(
             if len(new_syms) >= numnew:
                 raise ValueError("JBIG2 symbol dictionary: too many symbols")
             if refagg:
-                # refined symbol (6.5.8.2): a single-instance
-                # refinement of an already-available symbol, displaced
-                # by (RDX, RDY); multi-instance aggregates (an
-                # embedded text region) stay out of scope
+                # refined/aggregate symbol (6.5.8.2): REFAGGNINST=1 is
+                # a single-instance refinement of an already-available
+                # symbol displaced by (RDX, RDY); REFAGGNINST>1 runs
+                # the TEXT REGION procedure (6.5.8.2.1) over the
+                # available symbols with the dictionary's own contexts
+                # (one-row strips, TL corner, OR, SBREFINE=1)
                 nref = _int_arith(dec, iaai, None, False)
-                if nref != 1:
-                    raise NotImplementedError(
-                        "JBIG2 aggregate symbol coding (REFAGGNINST != 1) "
-                        "not supported"
+                if nref is None or nref < 1:
+                    raise ValueError(
+                        f"JBIG2 aggregate instance count {nref} is illegal"
                     )
+                avail = input_syms + new_syms
+                if nref > 1:
+                    region = np.zeros((hcheight, symwidth), dtype=np.uint8)
+
+                    def agg_int(ctx):
+                        return lambda: _int_arith(dec, ctx, None, False)
+
+                    def agg_id():
+                        return _iaid_arith(dec, iaid_ref, codelen, None, False)
+
+                    def agg_refine(bm):
+                        ri = _int_arith(dec, iari_agg, None, False)
+                        if ri is None:
+                            raise ValueError(
+                                "JBIG2 aggregate: OOB refinement flag"
+                            )
+                        if not ri:
+                            return bm
+                        rdw = _int_arith(dec, iardw_agg, None, False)
+                        rdh = _int_arith(dec, iardh_agg, None, False)
+                        rdx2 = _int_arith(dec, iardx, None, False)
+                        rdy2 = _int_arith(dec, iardy, None, False)
+                        if None in (rdw, rdh, rdx2, rdy2):
+                            raise ValueError(
+                                "JBIG2 aggregate: OOB refinement delta"
+                            )
+                        nh, nw = bm.shape[0] + rdh, bm.shape[1] + rdw
+                        if nh <= 0 or nw <= 0 or nh > 1 << 14 or nw > 1 << 14:
+                            raise ValueError(
+                                f"JBIG2 aggregate instance size {nh}x{nw}"
+                                " out of range"
+                            )
+                        gr.bind(dec)
+                        return _refine_region(
+                            dec, None, bm, nh, nw, rtemplate, False,
+                            (rdw >> 1) + rdx2, (rdh >> 1) + rdy2,
+                        )
+
+                    _place_text_instances(
+                        region, nref, 1, 1, False, 0, 0, avail,
+                        agg_int(iadt_agg), agg_int(iafs_agg),
+                        agg_int(iads_agg), lambda: 0, agg_id, agg_refine,
+                    )
+                    new_syms.append(region)
+                    continue
                 sid = _iaid_arith(dec, iaid_ref, codelen, None, False)
                 rdx = _int_arith(dec, iardx, None, False)
                 rdy = _int_arith(dec, iardy, None, False)
                 if rdx is None or rdy is None:
                     raise ValueError("JBIG2 refined symbol: OOB displacement")
-                avail = input_syms + new_syms
                 if not 0 <= sid < len(avail):
                     raise ValueError(
                         f"JBIG2 refined symbol references id {sid} of "
@@ -2454,6 +2700,34 @@ def _decode_text_region(
     if numinst > 1 << 24:
         raise ValueError(f"implausible JBIG2 instance count {numinst}")
     region = np.full((int(h), int(w)), defpixel, dtype=np.uint8)
+    _place_text_instances(
+        region, numinst, sbstrips, refcorner, transposed, sbcombop,
+        dsoffset, syms, dec_dt, dec_fs, dec_ds, dec_t, dec_id, dec_refine,
+    )
+    return region, int(x), int(y), op
+
+
+def _place_text_instances(
+    region: np.ndarray,
+    numinst: int,
+    sbstrips: int,
+    refcorner: int,
+    transposed: bool,
+    sbcombop: int,
+    dsoffset: int,
+    syms: list,
+    dec_dt,
+    dec_fs,
+    dec_ds,
+    dec_t,
+    dec_id,
+    dec_refine,
+) -> None:
+    """The 6.4.5 strip/instance placement loop, decoupled from the
+    entropy layer through decode closures — shared by arithmetic and
+    huffman text regions AND the 6.5.8.2.1 aggregate symbol path
+    (which runs it with the symbol dictionary's own contexts)."""
+    h, w = region.shape
     dt0 = dec_dt()
     if dt0 is None:
         raise ValueError("JBIG2 text region: OOB initial strip delta")
@@ -2504,7 +2778,7 @@ def _decode_text_region(
                 else:
                     px = curs
                 py = ti if refcorner in (1, 3) else ti - hs + 1  # T vs B
-            if not (0 <= px and px + ws <= int(w) and 0 <= py and py + hs <= int(h)):
+            if not (0 <= px and px + ws <= w and 0 <= py and py + hs <= h):
                 raise ValueError("JBIG2 symbol instance outside its region")
             window = region[py : py + hs, px : px + ws]
             region[py : py + hs, px : px + ws] = _COMBINE[sbcombop](window, bm)
@@ -2516,4 +2790,3 @@ def _decode_text_region(
             inst += 1
             if inst >= numinst:
                 break
-    return region, int(x), int(y), op

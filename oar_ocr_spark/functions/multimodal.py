@@ -496,6 +496,18 @@ def fax_store_df(
                 )
             if h & 4096:
                 if (h >> 21) & 1:
+                    if (h >> 27) & 1:
+                        # aggregate mode (REFAGGNINST=2): symbols
+                        # coded as embedded two-instance text regions
+                        from .jbig2 import encode_jbig2_symbols_aggregate
+
+                        data = encode_jbig2_symbols_aggregate(
+                            ink,
+                            template=(h >> 6) & 3,
+                            rtemplate=(h >> 22) & 1,
+                            file_header=True,
+                        )
+                        return (ref, data)
                     # refined symbol mode (SDREFAGG=1): exemplar
                     # dictionary + refining dictionary + text region
                     from .jbig2 import encode_jbig2_symbols_refined
