@@ -42,8 +42,12 @@ prediction, nominal GRAT) decode against the page content and an
 encoder twin writes the lossy-then-lossless two-pass layout.
 PATTERN DICTIONARIES (6.7) + immediate HALFTONE regions (6.6: Annex-C
 gray-coded bitplanes through one shared context, skewed 8.8
-fixed-point grids) decode, with an encoder twin writing the
-dithered-photograph layout (square density-ramp patterns). REFINED
+fixed-point grids) decode — in ARITHMETIC and MMR modes (C.5: all
+bitplanes through one continuous T.6 stream) and with HENABLESKIP
+skip bitmaps (out-of-region grid cells uncoded, USESKIP through the
+generic procedure) — with an encoder twin writing the
+dithered-photograph layout (square density-ramp patterns, mmr/skip
+flavors). REFINED
 SYMBOL dictionaries (SDREFAGG=1, 6.5.8.2: each symbol a displaced
 single-instance refinement of an earlier one) decode, with an
 encoder twin coding repeated-shape glyphs against their exemplars.
@@ -75,10 +79,10 @@ one-row strips, TL corner, OR), with an encoder twin
 Scope (fails loudly):
 huffman+refinement symbol dictionaries (SDHUFF=1 with REFAGG=1),
 huffman refined text regions (SBHUFF=1 with SBREFINE=1), custom
-refinement GRAT/SBRAT pixels, halftone skip bitmaps and MMR-coded
-halftones, the standard TEXT-REGION tables B.6-B.15 (custom type-53
-tables only), segments of unknown length, and intermediate regions
-raise NotImplementedError; damaged streams raise ValueError.
+refinement GRAT/SBRAT pixels, the standard TEXT-REGION tables
+B.6-B.15 (custom type-53 tables only), segments of unknown length,
+and intermediate regions raise NotImplementedError; damaged streams
+raise ValueError.
 """
 
 from __future__ import annotations
@@ -208,10 +212,13 @@ def _generic_region(
     template: int,
     at: list,
     tpgdon: bool,
+    skip: np.ndarray | None = None,
 ) -> np.ndarray:
     """The 6.2.5.7 generic procedure, one body for both directions:
     with `bits` it ENCODES into `coder` (an _MQEncoder) and returns
-    `bits`; with bits=None it DECODES from `coder` (an _MQDecoder)."""
+    `bits`; with bits=None it DECODES from `coder` (an _MQDecoder).
+    `skip` (USESKIP, 6.2.5.7 step 3c iii) marks pixels that are NOT
+    coded and take value 0 — the halftone out-of-region cells."""
     ctx = _GenericCtx(template, at, w)
     encode = bits is not None
     rows: list = []
@@ -230,10 +237,32 @@ def _generic_region(
                 continue
         above = ctx.above_vector(rows if not encode else list(bits[:y]), y)
         cur = bits[y] if encode else np.zeros(w, dtype=np.uint8)
+        srow = skip[y] if skip is not None else None
         if ctx.fast:
             reg = 0
             mask0, n0 = ctx.mask0, ctx.n0
-            if encode:
+            if srow is not None:
+                # skip-aware path (halftone HSKIP): skipped pixels
+                # stay 0 and are never coded
+                if encode:
+                    enc = coder.encode
+                    for x in range(w):
+                        if srow[x]:
+                            reg = (reg << 1) & mask0
+                            continue
+                        b = int(cur[x])
+                        enc(int(above[x]) | reg, b)
+                        reg = ((reg << 1) | b) & mask0
+                else:
+                    dec = coder.decode
+                    for x in range(w):
+                        if srow[x]:
+                            reg = (reg << 1) & mask0
+                            continue
+                        b = dec(int(above[x]) | reg)
+                        cur[x] = b
+                        reg = ((reg << 1) | b) & mask0
+            elif encode:
                 enc = coder.encode
                 row = cur
                 for x in range(w):
@@ -250,6 +279,8 @@ def _generic_region(
             # slow gather: AT pixels on the current row at custom
             # offsets — correct over any causal layout
             for x in range(w):
+                if srow is not None and srow[x]:
+                    continue  # skipped pixels stay 0, uncoded
                 c = int(above[x])
                 for weight, dx in ctx.row0:
                     xx = x + dx
@@ -462,23 +493,27 @@ def _decode_pattern_dict(body: bytes) -> list:
     if len(body) < 7:
         raise ValueError("JBIG2 pattern dictionary truncated")
     flags, hdpw, hdph = body[0], body[1], body[2]
-    if flags & 0x01:
-        raise NotImplementedError(
-            "JBIG2 MMR-coded pattern dictionaries not supported"
-        )
+    mmr = flags & 0x01
     template = (flags >> 1) & 0x03
     (graymax,) = struct.unpack(">I", body[3:7])
     if hdpw == 0 or hdph == 0 or graymax > 1 << 16:
         raise ValueError("implausible JBIG2 pattern dictionary geometry")
-    at = [(-int(hdpw), 0), (-3, -1), (2, -2), (-2, -2)][
-        : 4 if template == 0 else 1
-    ]
-    ctxbits = len(_sorted_template(template, at))
-    dec = _MQDecoder(body[7:], ctx=_fresh_jbig2_ctx(ctxbits))
-    wide = _generic_region(
-        dec, None, int(hdph), (int(graymax) + 1) * int(hdpw), template, at,
-        False,
-    )
+    if mmr:
+        from .ccitt import ccitt_decode
+
+        wide = ccitt_decode(
+            body[7:], (int(graymax) + 1) * int(hdpw), int(hdph), k=-1
+        )
+    else:
+        at = [(-int(hdpw), 0), (-3, -1), (2, -2), (-2, -2)][
+            : 4 if template == 0 else 1
+        ]
+        ctxbits = len(_sorted_template(template, at))
+        dec = _MQDecoder(body[7:], ctx=_fresh_jbig2_ctx(ctxbits))
+        wide = _generic_region(
+            dec, None, int(hdph), (int(graymax) + 1) * int(hdpw), template,
+            at, False,
+        )
     return [
         wide[:, k * hdpw : (k + 1) * hdpw].copy() for k in range(graymax + 1)
     ]
@@ -486,7 +521,7 @@ def _decode_pattern_dict(body: bytes) -> list:
 
 def _gray_planes(
     coder, values: np.ndarray | None, h: int, w: int, nbits: int,
-    template: int,
+    template: int, skip: np.ndarray | None = None,
 ) -> np.ndarray:
     """Annex C gray-scale image: `nbits` bitplanes coded most
     significant first through ONE shared generic context, gray-coded
@@ -502,12 +537,14 @@ def _gray_planes(
             planes[j] = bit.astype(np.uint8) ^ prev
             prev = bit.astype(np.uint8)
         for j in range(nbits - 1, -1, -1):
-            _generic_region(coder, planes[j], h, w, template, at, False)
+            _generic_region(
+                coder, planes[j], h, w, template, at, False, skip
+            )
         return values
     prev = np.zeros((h, w), dtype=np.uint8)
     out = np.zeros((h, w), dtype=np.int64)
     for j in range(nbits - 1, -1, -1):
-        plane = _generic_region(coder, None, h, w, template, at, False)
+        plane = _generic_region(coder, None, h, w, template, at, False, skip)
         bit = plane ^ prev
         out |= bit.astype(np.int64) << j
         prev = bit
@@ -527,11 +564,9 @@ def _decode_halftone_region(
         raise ValueError(f"implausible JBIG2 region dimensions {w}x{h}")
     op = rflags & 0x07
     hflags = body[17]
-    if hflags & 0x01:
-        raise NotImplementedError("JBIG2 MMR-coded halftone regions not supported")
+    mmr = hflags & 0x01
     template = (hflags >> 1) & 0x03
-    if hflags & 0x08:
-        raise NotImplementedError("JBIG2 halftone skip bitmaps not supported")
+    enable_skip = hflags & 0x08
     hcombop = (hflags >> 4) & 0x07
     defpix = (hflags >> 7) & 0x01
     hgw, hgh, hgx, hgy = struct.unpack(">IIii", body[18:34])
@@ -541,13 +576,45 @@ def _decode_halftone_region(
     if int(hgw) * int(hgh) > 1 << 26:
         raise ValueError("implausible JBIG2 halftone grid")
     nbits = max((len(patterns) - 1).bit_length(), 1)
-    dec = _MQDecoder(
-        body[38:],
-        ctx=_fresh_jbig2_ctx(
-            len(_sorted_template(template, _NOMINAL_AT[template]))
-        ),
-    )
-    gi = _gray_planes(dec, None, int(hgh), int(hgw), nbits, template)
+    hph_, hpw_ = patterns[0].shape
+    skip = None
+    if enable_skip and not mmr:
+        # 6.6.5.1 HSKIP: grid cells whose pattern lands entirely
+        # outside the region are never coded
+        m_idx = np.arange(int(hgh))[:, None]
+        n_idx = np.arange(int(hgw))[None, :]
+        px_g = (hgx + m_idx * hry + n_idx * hrx) >> 8
+        py_g = (hgy + m_idx * hrx - n_idx * hry) >> 8
+        skip = (
+            (px_g + hpw_ <= 0) | (px_g >= int(w))
+            | (py_g + hph_ <= 0) | (py_g >= int(h))
+        ).astype(np.uint8)
+    if mmr:
+        # C.5: ALL bitplanes through ONE continuous MMR stream (the
+        # first row of each next plane references the previous
+        # plane's last row), one EOFB at the end
+        from .ccitt import ccitt_decode
+
+        stacked = ccitt_decode(
+            body[38:], int(hgw), int(hgh) * nbits, k=-1
+        )
+        prev = np.zeros((int(hgh), int(hgw)), dtype=np.uint8)
+        gi = np.zeros((int(hgh), int(hgw)), dtype=np.int64)
+        for k, j in enumerate(range(nbits - 1, -1, -1)):
+            plane = stacked[k * int(hgh) : (k + 1) * int(hgh)]
+            bit = plane ^ prev
+            gi |= bit.astype(np.int64) << j
+            prev = bit
+    else:
+        dec = _MQDecoder(
+            body[38:],
+            ctx=_fresh_jbig2_ctx(
+                len(_sorted_template(template, _NOMINAL_AT[template]))
+            ),
+        )
+        gi = _gray_planes(
+            dec, None, int(hgh), int(hgw), nbits, template, skip
+        )
     if int(gi.max(initial=0)) >= len(patterns):
         raise ValueError("JBIG2 halftone gray value exceeds the dictionary")
     hph, hpw = patterns[0].shape
@@ -578,6 +645,8 @@ def encode_jbig2_halftone(
     levels: int | None = None,
     template: int = 0,
     file_header: bool = False,
+    mmr: bool = False,
+    skip: bool = False,
 ) -> bytes:
     """(H,W) uint8 greyscale → embedded JBIG2 stream in HALFTONE MODE
     (6.6: pattern dictionary + immediate lossless halftone region) —
@@ -589,7 +658,13 @@ def encode_jbig2_halftone(
     single rotation vector (HRX, HRY) — the pitch is the same on both
     axes. The decode twin reproduces the halftoned bitmap exactly —
     halftoning itself is lossy by construction, like any screening
-    pass."""
+    pass. `mmr=True` codes the pattern dictionary and the gray
+    bitplanes through the T.6 coder (one continuous stream per C.5);
+    `skip=True` shifts the grid one full pattern column left so the
+    first grid column lands entirely outside the region and is
+    HSKIP-coded (HENABLESKIP, arithmetic only)."""
+    if mmr and skip:
+        raise ValueError("skip bitmaps apply to arithmetic halftones only")
     if grey.ndim != 2 or grey.dtype != np.uint8:
         raise ValueError("encode_jbig2_halftone expects a (H,W) uint8 image")
     h, w = grey.shape
@@ -623,30 +698,66 @@ def encode_jbig2_halftone(
         np.round(cells / 255.0 * (levels - 1)), 0, levels - 1
     ).astype(np.int64)
 
-    # pattern dictionary segment (7.4.4): one collective bitmap
-    at = [(-hpw, 0), (-3, -1), (2, -2), (-2, -2)][: 4 if template == 0 else 1]
-    wide = np.concatenate(list(pats), axis=1)
-    enc = _MQEncoder(ctx=_fresh_jbig2_ctx(len(_sorted_template(template, at))))
-    _generic_region(enc, wide, hph, levels * hpw, template, at, False)
-    dict_body = (
-        bytes([template << 1, hpw, hph])
-        + struct.pack(">I", levels - 1)
-        + enc.flush()
-    )
-    # halftone region segment (7.4.5): axis-aligned grid at (0,0)
-    nbits = max((levels - 1).bit_length(), 1)
-    enc = _MQEncoder(
-        ctx=_fresh_jbig2_ctx(
-            len(_sorted_template(template, _NOMINAL_AT[template]))
+    hgx = 0
+    skip_arr = None
+    if skip:
+        # prepend one entirely-out-of-region grid column
+        hgw += 1
+        hgx = -(hpw << 8)
+        gi = np.concatenate(
+            [np.zeros((hgh, 1), dtype=np.int64), gi], axis=1
         )
+        skip_arr = np.zeros((hgh, hgw), dtype=np.uint8)
+        skip_arr[:, 0] = 1
+    # pattern dictionary segment (7.4.4): one collective bitmap
+    wide = np.concatenate(list(pats), axis=1)
+    if mmr:
+        from .ccitt import ccitt_encode_g4
+
+        dict_payload = ccitt_encode_g4(wide)
+    else:
+        at = [(-hpw, 0), (-3, -1), (2, -2), (-2, -2)][
+            : 4 if template == 0 else 1
+        ]
+        enc = _MQEncoder(
+            ctx=_fresh_jbig2_ctx(len(_sorted_template(template, at)))
+        )
+        _generic_region(enc, wide, hph, levels * hpw, template, at, False)
+        dict_payload = enc.flush()
+    dict_body = (
+        bytes([(1 if mmr else 0) | template << 1, hpw, hph])
+        + struct.pack(">I", levels - 1)
+        + dict_payload
     )
-    _gray_planes(enc, gi, hgh, hgw, nbits, template)
+    # halftone region segment (7.4.5): axis-aligned grid
+    nbits = max((levels - 1).bit_length(), 1)
+    if mmr:
+        from .ccitt import ccitt_encode_g4
+
+        planes = np.zeros((nbits, hgh, hgw), dtype=np.uint8)
+        prev = np.zeros((hgh, hgw), dtype=np.uint8)
+        for j in range(nbits - 1, -1, -1):
+            bit = ((gi >> j) & 1).astype(np.uint8)
+            planes[j] = bit ^ prev
+            prev = bit
+        stacked = np.concatenate(
+            [planes[j] for j in range(nbits - 1, -1, -1)], axis=0
+        )
+        gray_payload = ccitt_encode_g4(stacked)
+    else:
+        enc = _MQEncoder(
+            ctx=_fresh_jbig2_ctx(
+                len(_sorted_template(template, _NOMINAL_AT[template]))
+            )
+        )
+        _gray_planes(enc, gi, hgh, hgw, nbits, template, skip_arr)
+        gray_payload = enc.flush()
     region_body = (
         struct.pack(">IIIIB", w, h, 0, 0, 0)
-        + bytes([template << 1])  # OR combine, defpixel 0, no skip
-        + struct.pack(">IIii", hgw, hgh, 0, 0)
+        + bytes([(1 if mmr else 0) | template << 1 | (8 if skip else 0)])
+        + struct.pack(">IIii", hgw, hgh, hgx, 0)
         + struct.pack(">HH", hpw << 8, 0)
-        + enc.flush()
+        + gray_payload
     )
     page_info = struct.pack(">IIIIBH", w, h, 0, 0, 0x01, 0)
     out = _seg_header(1, 48, 1, len(page_info)) + page_info

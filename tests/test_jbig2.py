@@ -434,8 +434,8 @@ class TestHalftoneRegions:
             encode_jbig2_halftone(grey.astype(np.int32))
         with pytest.raises(ValueError, match="levels"):
             encode_jbig2_halftone(grey, levels=1)
-        # MMR halftones, skip bitmaps and intermediate halftone
-        # regions stay declared out of scope
+        # MMR halftones and skip bitmaps DECODE (TestHalftoneMmrAndSkip);
+        # intermediate halftone regions stay declared out of scope
         code = bytearray(encode_jbig2_halftone(grey, hp=4))
         # walk the headers to the halftone region's body (its header
         # carries a referred-segment list, so it is not fixed-size)
@@ -448,15 +448,6 @@ class TestHalftoneRegions:
                 break
             pos = body_at + seg["length"]
         j = pos  # header start of the halftone segment
-        flags_at = body_at + 17
-        bad = bytearray(code)
-        bad[flags_at] |= 0x01  # HMMR
-        with pytest.raises(NotImplementedError, match="MMR"):
-            decode_jbig2(bytes(bad))
-        bad = bytearray(code)
-        bad[flags_at] |= 0x08  # HENABLESKIP
-        with pytest.raises(NotImplementedError, match="skip"):
-            decode_jbig2(bytes(bad))
         bad = bytearray(code)
         bad[j + 4] = 20  # relabel as intermediate halftone
         with pytest.raises(NotImplementedError, match="halftone"):
@@ -799,3 +790,47 @@ class TestAggregateSymbolCoding:
         ) + body
         with pytest.raises(NotImplementedError, match="SDHUFF=1, REFAGG=1"):
             decode_jbig2(seg)
+
+
+class TestHalftoneMmrAndSkip:
+    """Halftone flavor closure: MMR-coded pattern dictionaries and
+    gray bitplanes (one continuous T.6 stream, C.5) and HENABLESKIP
+    skip bitmaps (out-of-region cells uncoded)."""
+
+    def _grey(self):
+        return render_page("7_m2")
+
+    def test_mmr_halftone_matches_arithmetic(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_halftone
+
+        grey = self._grey()
+        ref = decode_jbig2(encode_jbig2_halftone(grey))
+        for kw in ({"mmr": True}, {"mmr": True, "template": 2}):
+            got = decode_jbig2(encode_jbig2_halftone(grey, **kw))
+            assert np.array_equal(got, ref), kw
+
+    def test_skip_bitmap_matches_unskipped(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_halftone
+
+        grey = self._grey()
+        for hp in (4, 6):
+            ref = decode_jbig2(encode_jbig2_halftone(grey, hp=hp))
+            got = decode_jbig2(encode_jbig2_halftone(grey, hp=hp, skip=True))
+            assert np.array_equal(got, ref), hp
+
+    def test_skip_stream_smaller(self):
+        # the skipped column costs nothing in the arithmetic stream
+        # beyond grid bookkeeping; the stream with one extra SKIPPED
+        # column stays within a few bytes of the unskipped one
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_halftone
+
+        grey = self._grey()
+        plain = encode_jbig2_halftone(grey)
+        skipped = encode_jbig2_halftone(grey, skip=True)
+        assert len(skipped) - len(plain) < 32
+
+    def test_mmr_plus_skip_guard(self):
+        from oar_ocr_spark.functions.jbig2 import encode_jbig2_halftone
+
+        with pytest.raises(ValueError, match="arithmetic"):
+            encode_jbig2_halftone(self._grey(), mmr=True, skip=True)
