@@ -221,6 +221,35 @@ def _words_content(text: str) -> bytes:
     return b" ".join(ops)
 
 
+def _para_content(text: str) -> bytes:
+    """Paragraph layout: '\\n'-separated lines drawn with the leading
+    machinery real writers emit — TL once, then T* line moves and the
+    ' (next-line show) operator on alternating lines. Lines are
+    preserved verbatim (no wrapping); the extractor twin reconstructs
+    them exactly with line_sep='\\n'. Empty lines draw no glyphs and
+    cannot be reconstructed (the pdftotext ambiguity), so they fail
+    loudly here."""
+    lines = text.split("\n")
+    if any(ln == "" for ln in lines):
+        raise ValueError(
+            "text_format='para' cannot represent empty lines"
+        )
+    ops = [
+        b"BT /F0 12 Tf %s TL %s %s Td"
+        % (_fmt_num(_TXT_LEAD), _fmt_num(_TXT_X0), _fmt_num(_TXT_Y0))
+    ]
+    for i, ln in enumerate(lines):
+        s = _pdf_string_raw(_enc_simple(ln))
+        if i == 0:
+            ops.append(s + b" Tj")
+        elif i % 2:
+            ops.append(s + b" '")
+        else:
+            ops.append(b"T* " + s + b" Tj")
+    ops.append(b"ET")
+    return b" ".join(ops)
+
+
 def _cid_page(text: str) -> tuple[bytes, bytes, bytes]:
     """(cmap stream raw bytes, /W or /DW entry, content ops) for an
     Identity-H CID text page: unique chars get sequential 2-byte codes,
@@ -295,6 +324,7 @@ def encode_pdf(
     xref_format: str = "classic",
     encrypt: str | None = None,
     text_format: str = "literal",
+    annotations: dict[int, list[dict]] | None = None,
 ) -> bytes:
     """Greyscale (H,W) uint8 pages and/or `str` text pages → real PDF.
 
@@ -302,7 +332,9 @@ def encode_pdf(
     with real content-stream text operators on a US-letter page in
     12 pt Courier. `text_format` picks the layout real writers emit:
     "literal" one (escaped) Tj show; "hex" one hex-string show; "tj"
-    a TJ array of literal+hex chunks with small kern numbers; "words"
+    a TJ array of literal+hex chunks with small kern numbers; "para"
+    '\n'-separated lines through the TL / T* / ' leading machinery
+    (exact with the extractor's line_sep='\n'); "words"
     spaces dropped entirely — each word its own show op positioned by
     exact Courier metrics with margin wrapping (spacing must be
     reconstructed from geometry, the pdftotext problem); "cid" an
@@ -346,10 +378,12 @@ def encode_pdf(
         )
     if xref_format not in ("classic", "stream"):
         raise ValueError(f"xref_format must be 'classic' or 'stream', got {xref_format!r}")
-    if text_format not in ("literal", "hex", "tj", "words", "cid", "mix"):
+    if text_format not in (
+        "literal", "hex", "tj", "words", "para", "cid", "mix",
+    ):
         raise ValueError(
-            "text_format must be 'literal'/'hex'/'tj'/'words'/'cid'/'mix',"
-            f" got {text_format!r}"
+            "text_format must be 'literal'/'hex'/'tj'/'words'/'para'/"
+            f"'cid'/'mix', got {text_format!r}"
         )
     for p in pages:
         if isinstance(p, str):
@@ -447,6 +481,57 @@ def encode_pdf(
         is_stream.append(stream)
         return len(objs)
 
+    def enc_text_str(s: str, objnum: int) -> bytes:
+        """A 7.9.2.2 text string value: UTF-16BE+BOM when non-latin1,
+        individually encrypted (hex form) in the classic layout."""
+        try:
+            raw = s.encode("latin-1")
+        except UnicodeEncodeError:
+            raw = b"\xfe\xff" + s.encode("utf-16-be")
+        if crypt is None or xref_format != "classic":
+            return _pdf_string_raw(raw)
+        return b"<" + enc_bytes(objnum, raw).hex().encode("ascii") + b">"
+
+    def page_annots(page_i: int) -> bytes:
+        """/Annots entry for one page: FreeText notes (/Contents) and
+        Widget text fields (/FT /Tx with /T name and /V value) — the
+        forms layout. Returns b"" when the page has none."""
+        if not annotations or page_i not in annotations:
+            return b""
+        anums = []
+        for a in annotations[page_i]:
+            num = len(objs) + 1
+            rect = a.get("rect", (36, 36, 200, 72))
+            rect_b = b"[%s %s %s %s]" % tuple(
+                _fmt_num(float(v)) for v in rect
+            )
+            if a["subtype"] == "freetext":
+                body = (
+                    b"<< /Type /Annot /Subtype /FreeText /Rect " + rect_b
+                    + b" /Contents " + enc_text_str(a["text"], num)
+                    + b" /DA " + enc_text_str("/Helv 12 Tf 0 g", num)
+                    + b" >>"
+                )
+            elif a["subtype"] == "widget":
+                body = (
+                    b"<< /Type /Annot /Subtype /Widget /FT /Tx /Rect "
+                    + rect_b
+                    + b" /T " + enc_text_str(a.get("name", "field"), num)
+                    + b" /V " + enc_text_str(a["text"], num)
+                    + b" >>"
+                )
+            else:
+                raise ValueError(
+                    f"annotation subtype {a['subtype']!r} not supported"
+                    " ('freetext'/'widget')"
+                )
+            anums.append(add(body))
+        return (
+            b" /Annots ["
+            + b" ".join(b"%d 0 R" % n for n in anums)
+            + b"]"
+        )
+
     catalog_num = add(b"")  # placeholder, patched after pages tree exists
     pages_num = add(b"")
     kid_nums = []
@@ -455,8 +540,8 @@ def encode_pdf(
             tfmt = text_format
             if tfmt == "mix":
                 ref = page_refs[page_i] if page_refs else str(page_i)
-                tfmt = ("literal", "hex", "tj", "words", "cid")[
-                    zlib.crc32(b"pdf-text-flavor:" + ref.encode()) % 5
+                tfmt = ("literal", "hex", "tj", "words", "para", "cid")[
+                    zlib.crc32(b"pdf-text-flavor:" + ref.encode()) % 6
                 ]
             if tfmt == "cid":
                 cmap_raw, w_entry, ops = _cid_page(page)
@@ -506,6 +591,8 @@ def encode_pdf(
                     )
                 elif tfmt == "tj":
                     ops = _tj_content(page)
+                elif tfmt == "para":
+                    ops = _para_content(page)
                 else:
                     ops = _words_content(page)
                 # three real simple-font dict layouts: explicit
@@ -577,7 +664,9 @@ def encode_pdf(
                     b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
                     % pages_num
                     + b" /Resources " + resources
-                    + b" /Contents %d 0 R >>" % content_num
+                    + b" /Contents %d 0 R" % content_num
+                    + page_annots(page_i)
+                    + b" >>"
                 )
             )
             continue
@@ -690,7 +779,10 @@ def encode_pdf(
             add(
                 b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 %d %d]"
                 b" /Resources << /XObject << /Im0 %d 0 R >> >>"
-                b" /Contents %d 0 R >>" % (pages_num, w, h, img_num, content_num)
+                b" /Contents %d 0 R"
+                % (pages_num, w, h, img_num, content_num)
+                + page_annots(page_i)
+                + b" >>"
             )
         )
     objs[catalog_num - 1] = b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num
@@ -2202,16 +2294,19 @@ class PdfDocument:
     def info_title(self) -> str | None:
         info = self.resolve(self.trailer.get("Info"))
         if isinstance(info, dict) and isinstance(info.get("Title"), str):
-            t = info["Title"]
-            # text strings (7.9.2.2): UTF-16BE with BOM (the standard
-            # non-ASCII layout) or UTF-8 with BOM; else PDFDocEncoding
-            # (parsed as latin-1 bytes)
-            if t[:2] == "\xfe\xff":
-                return t.encode("latin-1").decode("utf-16-be")[1:]
-            if t[:3] == "\xef\xbb\xbf":
-                return t.encode("latin-1").decode("utf-8")[1:]
-            return t
+            return _decode_text_string(info["Title"])
         return None
+
+
+def _decode_text_string(t: str) -> str:
+    """PDF text string (7.9.2.2) → unicode: UTF-16BE with BOM (the
+    standard non-ASCII layout) or UTF-8 with BOM; else PDFDocEncoding
+    (parsed as latin-1 bytes)."""
+    if t[:2] == "\xfe\xff":
+        return t.encode("latin-1").decode("utf-16-be")[1:]
+    if t[:3] == "\xef\xbb\xbf":
+        return t.encode("latin-1").decode("utf-8")[1:]
+    return t
 
 
 @loud_decode("PDF")

@@ -38,7 +38,12 @@ from .pdf import (
     _Name,
 )
 
-__all__ = ["page_text", "decode_pdf_text"]
+__all__ = [
+    "page_text",
+    "decode_pdf_text",
+    "page_annotations",
+    "decode_pdf_annotations",
+]
 
 _OP_RE = re.compile(rb"[^\x00\t\n\x0c\r \[\]<>(){}/%]+")
 _WSB = b"\x00\t\n\x0c\r "
@@ -577,3 +582,66 @@ def decode_pdf_text(data: bytes, line_sep: str = " ") -> list[str | None]:
     pages), document page order."""
     doc = PdfDocument(data)
     return [page_text(doc, p, line_sep) for p in doc.pages()]
+
+
+# ---------------------------------------------------------------------------
+# annotations — text living OUTSIDE content streams (the forms layout)
+# ---------------------------------------------------------------------------
+
+def page_annotations(doc: PdfDocument, page: dict) -> list[dict]:
+    """Extract the text carried by a page's /Annots (12.5): FreeText
+    notes (/Contents) and Widget text fields (/FT /Tx — AcroForm
+    entries with their /T name and /V value). Other subtypes (links,
+    popups, highlights without text payloads) are ignored. Text
+    strings decode per 7.9.2.2 (UTF-16BE/UTF-8 BOM or
+    PDFDocEncoding); encrypted documents arrive decrypted by the
+    object loader."""
+    from .pdf import _decode_text_string
+
+    out: list[dict] = []
+    annots = doc.resolve(page.get("Annots"))
+    if not annots:
+        return out
+    for ref in annots:
+        a = doc.resolve(ref)
+        if isinstance(a, tuple):
+            a = a[0]
+        if not isinstance(a, dict):
+            raise ValueError("PDF /Annots entry is not a dictionary")
+        sub = str(doc.resolve(a.get("Subtype", "")))
+        rect = [
+            float(doc.resolve(v)) for v in doc.resolve(a.get("Rect", []))
+        ]
+        if sub == "FreeText":
+            t = doc.resolve(a.get("Contents"))
+            if isinstance(t, str):
+                out.append(
+                    {
+                        "subtype": "FreeText",
+                        "text": _decode_text_string(t),
+                        "rect": rect,
+                    }
+                )
+        elif sub == "Widget":
+            if str(doc.resolve(a.get("FT", ""))) != "Tx":
+                continue  # non-text fields carry no extractable text
+            v = doc.resolve(a.get("V"))
+            if isinstance(v, str):
+                name = doc.resolve(a.get("T"))
+                out.append(
+                    {
+                        "subtype": "Widget",
+                        "name": _decode_text_string(name)
+                        if isinstance(name, str) else None,
+                        "text": _decode_text_string(v),
+                        "rect": rect,
+                    }
+                )
+    return out
+
+
+def decode_pdf_annotations(data: bytes) -> list[list[dict]]:
+    """PDF bytes → per-page annotation text entries, document page
+    order."""
+    doc = PdfDocument(data)
+    return [page_annotations(doc, p) for p in doc.pages()]

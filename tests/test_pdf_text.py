@@ -531,3 +531,120 @@ class TestStructuralFlavors:
         doc = PdfDocument(bytes(out))
         # inner lands at (72, 720): line above outer at 705.6
         assert page_text(doc, doc.pages()[0]) == "inner outer"
+
+
+class TestParagraphLayout:
+    """'para' text pages: '\\n'-separated lines through TL / T* / '
+    leading."""
+
+    def test_multiline_roundtrip_with_newline_sep(self):
+        t = "first line here\nsecond line\nthird one\nfourth"
+        data = encode_pdf([t], ["r"], text_format="para")
+        assert decode_pdf_text(data, line_sep="\n") == [t]
+        # default separator joins with spaces (the pdftotext view)
+        assert decode_pdf_text(data) == [t.replace("\n", " ")]
+
+    def test_single_line_exact_under_any_sep(self):
+        t = "wcsfc wnztt wsund"
+        assert decode_pdf_text(encode_pdf([t], ["r"], text_format="para")) == [t]
+
+    def test_empty_lines_fail_loudly(self):
+        with pytest.raises(ValueError, match="empty lines"):
+            encode_pdf(["a\n\nb"], text_format="para")
+
+    def test_mix_covers_para(self):
+        import zlib
+
+        flavors = {
+            ("literal", "hex", "tj", "words", "para", "cid")[
+                zlib.crc32(b"pdf-text-flavor:" + str(i).encode()) % 6
+            ]
+            for i in range(40)
+        }
+        assert flavors == {"literal", "hex", "tj", "words", "para", "cid"}
+
+
+class TestAnnotations:
+    """Text outside content streams: FreeText notes and Widget text
+    fields (the forms layout), per-object encrypted in the classic
+    layout and UTF-16BE for non-latin1."""
+
+    ANNOTS = {
+        0: [{"subtype": "freetext", "text": "margin note",
+             "rect": (10, 10, 100, 40)}],
+        1: [{"subtype": "widget", "name": "applicant",
+             "text": "Jane Q. Pùblic"},
+            {"subtype": "freetext", "text": "日本語 comment"}],
+    }
+
+    @pytest.mark.parametrize(
+        "kw",
+        [{}, {"xref_format": "stream"}, {"encrypt": "aes-128"},
+         {"encrypt": "rc4-40"}],
+    )
+    def test_roundtrip_all_layouts(self, kw):
+        from oar_ocr_spark.functions.pdf_text import decode_pdf_annotations
+
+        img = np.full((8, 6), 99, np.uint8)
+        data = encode_pdf(
+            ["page one text", img], ["0", "m"],
+            text_format="mix", annotations=self.ANNOTS, **kw,
+        )
+        got = decode_pdf_annotations(data)
+        assert got[0][0]["subtype"] == "FreeText"
+        assert got[0][0]["text"] == "margin note"
+        assert got[0][0]["rect"] == [10, 10, 100, 40]
+        assert got[1][0]["subtype"] == "Widget"
+        assert got[1][0]["name"] == "applicant"
+        assert got[1][0]["text"] == "Jane Q. Pùblic"
+        assert got[1][1]["text"] == "日本語 comment"
+        # content-stream text is unaffected
+        assert decode_pdf_text(data)[0] == "page one text"
+
+    def test_non_text_annotations_ignored(self):
+        from oar_ocr_spark.functions.pdf_text import decode_pdf_annotations
+
+        # hand-add a /Link annot: carries no text, must be skipped
+        content = b"BT /F0 12 Tf 72 720 Td (x) Tj ET"
+        link = (
+            b"<< /Type /Annot /Subtype /Link /Rect [0 0 10 10]"
+            b" /A << /S /URI >> >>"
+        )
+        pdf = _text_pdf(content, extra_objs=(link,))
+        pdf = pdf.replace(
+            b"/Contents 5 0 R", b"/Contents 5 0 R /Annots [6 0 R]"
+        )
+        # rebuild offsets by re-parsing is unnecessary: replace changed
+        # lengths, so construct properly instead
+        bodies = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Resources << /Font << /F0 4 0 R >> >>"
+            b" /Contents 5 0 R /Annots [6 0 R] >>",
+            4: COURIER,
+            5: b"<< /Length %d >>\nstream\n" % len(content)
+            + content + b"\nendstream",
+            6: link,
+        }
+        out = bytearray(b"%PDF-1.4\n")
+        offs = {}
+        for n in sorted(bodies):
+            offs[n] = len(out)
+            out += b"%d 0 obj\n" % n + bodies[n] + b"\nendobj\n"
+        xref_at = len(out)
+        nmax = max(bodies) + 1
+        out += b"xref\n0 %d\n" % nmax + b"0000000000 65535 f \n"
+        for k in sorted(bodies):
+            out += b"%010d 00000 n \n" % offs[k]
+        out += (
+            b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (nmax, xref_at)
+        )
+        assert decode_pdf_annotations(bytes(out)) == [[]]
+
+    def test_bad_subtype_guard(self):
+        with pytest.raises(ValueError, match="subtype"):
+            encode_pdf(
+                ["x"], annotations={0: [{"subtype": "stamp", "text": "y"}]}
+            )
