@@ -400,6 +400,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ngram_jaccard(spark):
         return D.ngram_jaccard_pairs(docs_tbl(spark), k=3, threshold=0.2, max_df=1000)
 
+    def q_decontaminate(spark):
+        # benchmark decontamination (training-data hygiene): the eval
+        # suite is the first-12-words prompt of every doc_id % 23 == 0
+        # document (the verbatim-leak model); docs sharing any word
+        # 8-gram with a prompt — leak sources and their duplicates —
+        # are flagged. Broadcast semi-join shape: benchmark gram sets
+        # are small by nature.
+        return D.decontaminate_df(docs_tbl(spark), bench_mod=23, k=8)
+
     def q_knn(spark):
         emb = spark.table("embeddings")
         q = emb.where(F.col("vec_id") % 50 == 0)
@@ -957,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": with_views(q_minhash_candidates),
         "dedup_clusters": with_views(q_dedup_clusters),
         "ngram_jaccard": with_views(q_ngram_jaccard),
+        "decontaminate": with_views(q_decontaminate),
         "knn_bruteforce": with_views(q_knn),
         "knn_self_join": with_views(q_knn_self_join),
         "embedding_near_dup": with_views(q_embedding_near_dup),
@@ -1402,6 +1412,25 @@ from inter
 join sizes sa on sa.doc_id = doc_a
 join sizes sb on sb.doc_id = doc_b
 where n_inter / cast(sa.n_sh + sb.n_sh - n_inter as double) >= 0.2
+""",
+        "decontaminate": """
+with words as (
+  select cast(doc_id as varchar) as doc_id, string_split(text, ' ') as w from documents
+),
+grams as (
+  select distinct doc_id, array_to_string(w[i+1 : i+8], ' ') as sh
+  from words, unnest(range(cast(greatest(len(w)-7, 1) as bigint))) as t(i)
+),
+bench_words as (
+  select doc_id, w[1:12] as w from words where cast(doc_id as bigint) % 23 = 0
+),
+bench as (
+  select distinct array_to_string(w[i+1 : i+8], ' ') as sh
+  from bench_words, unnest(range(cast(greatest(len(w)-7, 1) as bigint))) as t(i)
+)
+select g.doc_id, count(*) as hit_grams
+from grams g join bench using (sh)
+group by g.doc_id
 """,
         "knn_bruteforce": """
 with q as (select vec_id, embedding from embeddings where vec_id % 50 = 0),

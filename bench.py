@@ -164,6 +164,7 @@ def main() -> None:
         "dedup_exact",
         "minhash_bands",
         "ngram_jaccard",
+        "decontaminate",
         "simhash",
         "token_stats",
         "quality_score",

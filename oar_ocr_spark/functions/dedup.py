@@ -31,6 +31,7 @@ __all__ = [
     "minhash_band_hashes",
     "minhash_candidates",
     "ngram_jaccard_pairs",
+    "decontaminate_df",
     "simhash_df",
     "simhash_candidates",
     "duplicate_clusters",
@@ -164,6 +165,45 @@ _SIMHASH_SCHEMA = T.StructType(
         T.StructField("simhash", T.LongType()),
     ]
 )
+
+
+def decontaminate_df(
+    df: DataFrame,
+    bench_mod: int = 23,
+    text_col: str = "text",
+    k: int = 8,
+    prompt_words: int = 12,
+) -> DataFrame:
+    """Benchmark decontamination — the training-data hygiene pass: the
+    "eval suite" is the first `prompt_words` words of every
+    doc_id % bench_mod == 0 document (the verbatim-leak model: eval
+    prompts drawn from web text that also lives in the corpus); any
+    document sharing a word k-gram with a prompt is flagged. Output
+    (doc_id, hit_grams): contaminated docs — the leak sources
+    themselves and their near/exact duplicates — with the count of
+    distinct colliding grams.
+
+    100 TB shape: benchmark sets are SMALL by nature (an eval suite,
+    not a corpus), so their distinct gram set broadcasts and the
+    corpus side never shuffles for the join — one map-side broadcast
+    semi-join + a partial-aggregated count. Grams join as strings here
+    (exact, oracle-matched); at corpus scale you would hash them first
+    (xxhash64) to shrink the broadcast, which changes no semantics
+    because the count is over distinct grams per document."""
+    toks = F.split(F.col(text_col), " ")
+    bench_txt = df.where(
+        (F.col("doc_id").cast("bigint") % bench_mod) == 0
+    ).select(
+        "doc_id",
+        F.array_join(F.slice(toks, 1, prompt_words), " ").alias(text_col),
+    )
+    bench = shingle_df(bench_txt, text_col, k).select("sh").distinct()
+    corpus = shingle_df(df, text_col, k)
+    return (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("hit_grams"))
+    )
 
 
 def _simhash_batch(doc_ids: pd.Series, texts: pd.Series) -> pd.DataFrame:

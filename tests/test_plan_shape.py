@@ -125,3 +125,21 @@ def test_overlap_join_probe_side_is_spread(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "RoundRobinPartitioning(32)" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_the_benchmark_side(spark, tmp_path):
+    # BENCH claim: the benchmark gram set broadcasts (it is small by
+    # nature), so the corpus side joins map-side without a shuffle
+    from oar_ocr_spark.functions.dedup import decontaminate_df
+
+    rows = [(str(i), " ".join(f"w{i}x{j}" for j in range(20)))
+            for i in range(50)]
+    path = str(tmp_path / "docs_flat.parquet")
+    spark.createDataFrame(rows, "doc_id string, text string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    df = spark.read.parquet(path)
+    plan = _plan(decontaminate_df(df, bench_mod=23, k=8))
+    assert "BroadcastHashJoin" in plan, plan
+    # the count aggregation is map-side combinable
+    assert "partial_count" in plan, plan
