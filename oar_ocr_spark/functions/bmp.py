@@ -4,16 +4,22 @@ Fifth image format behind the media seam: Windows bitmaps turn up in
 legacy document dumps and old-web crawls. Written against the public
 BITMAPINFOHEADER layout:
 
-- decoder: BM header, BITMAPINFOHEADER (40+ byte info headers),
-  bottom-up AND top-down (negative height) row order, 4-byte row
-  padding, 24/32-bit BGR(A) truecolor (alpha ignored — BMP alpha is
-  rarely meaningful), 8-bit and 4-bit paletted, 1-bit bilevel, and
-  RLE8 compression (runs, literals, EOL/EOF/delta escapes).
+- decoder: BM header, BITMAPINFOHEADER (40+ byte info headers,
+  incl. the V4/V5 layouts whose mask words sit at the same file
+  offsets), bottom-up AND top-down (negative height) row order,
+  4-byte row padding, 24/32-bit BGR(A) truecolor (alpha ignored —
+  BMP alpha is rarely meaningful), 16-bit RGB555 and explicit
+  BI_BITFIELDS masks on 16/32-bit words (any contiguous masks,
+  channels rescaled to 8 bits), 8-bit and 4-bit paletted, 1-bit
+  bilevel, and RLE8 + RLE4 compression (runs, literals,
+  EOL/EOF/delta escapes; RLE4 runs alternate the value nibbles).
 - encoder (`encode_bmp`): 24-bit truecolor or 8-bit paletted
   (optionally RLE8) fixture writer.
 
-Scope (declared, fails loudly outside it): 16-bit / bitfield
-formats, RLE4, and embedded PNG/JPEG raise NotImplementedError.
+Scope (declared, fails loudly outside it): embedded PNG/JPEG
+(BI_JPEG/BI_PNG) and BI_ALPHABITFIELDS raise NotImplementedError;
+corrupt RLE streams and non-contiguous/empty bitfield masks raise
+ValueError.
 """
 
 from __future__ import annotations
@@ -86,6 +92,70 @@ def encode_bmp(
     return header + info + pal_bytes + bytes(body)
 
 
+def _bitfield_channels(words: np.ndarray, masks: tuple[int, int, int]) -> np.ndarray:
+    """(H,W) pixel words + three channel masks → (H,W,3) uint8 RGB.
+    Each mask must be non-empty and contiguous; channel values are
+    rescaled to 8 bits with exact integer floor division (the usual
+    round-to-nearest variants differ per renderer; floor is the
+    deterministic fixture-friendly choice)."""
+    chans = []
+    for mask in masks:
+        if mask == 0:
+            raise ValueError("BMP bitfield mask is empty")
+        shift = (mask & -mask).bit_length() - 1
+        m = mask >> shift
+        if m & (m + 1):
+            raise ValueError("BMP bitfield mask is non-contiguous")
+        vals = (words >> np.uint32(shift)) & np.uint32(m)
+        chans.append((vals.astype(np.uint32) * 255 // m).astype(np.uint8))
+    return np.stack(chans, axis=-1)
+
+
+def _rle4_decode(data: bytes, h: int, w: int) -> np.ndarray:
+    """RLE4: runs alternate the value byte's two nibbles; literal runs
+    pack nibbles MSB-first, each literal word-aligned (pad byte when the
+    nibble bytes are odd). Escapes (EOL/EOF/delta) are shared with RLE8."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i = 0
+    while i + 1 < len(data):
+        a, b = data[i], data[i + 1]
+        i += 2
+        if a:  # run of a pixels alternating b's nibbles
+            if y >= h or x + a > w:
+                raise ValueError("BMP RLE4 run overflows bitmap bounds")
+            pair = np.array([b >> 4, b & 0x0F], dtype=np.uint8)
+            out[y, x : x + a] = np.resize(pair, a)
+            x += a
+        elif b == 0:  # end of line
+            x, y = 0, y + 1
+        elif b == 1:  # end of bitmap
+            return out
+        elif b == 2:  # delta
+            if i + 2 > len(data):
+                raise ValueError("BMP RLE4 delta escape truncated")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise ValueError("BMP RLE4 delta escape overflows bitmap bounds")
+        else:  # literal run of b nibbles, word-aligned
+            if y >= h or x + b > w:
+                raise ValueError("BMP RLE4 literal run overflows bitmap bounds")
+            nbytes = (b + 1) // 2
+            adv = nbytes + (nbytes & 1)
+            if i + adv > len(data):
+                raise ValueError("BMP RLE4 literal run truncated")
+            byts = np.frombuffer(data[i : i + nbytes], dtype=np.uint8)
+            nibs = np.empty(nbytes * 2, dtype=np.uint8)
+            nibs[0::2] = byts >> 4
+            nibs[1::2] = byts & 0x0F
+            out[y, x : x + b] = nibs[:b]
+            x += b
+            i += adv
+    return out
+
+
 def _rle8_decode(data: bytes, h: int, w: int) -> np.ndarray:
     out = np.zeros((h, w), dtype=np.uint8)
     x = y = 0
@@ -137,19 +207,31 @@ def decode_bmp(data: bytes) -> np.ndarray:
     h = abs(h_signed)
     if w <= 0 or h == 0:
         raise ValueError("empty BMP")
-    if comp not in (0, 1):
+    if comp in (4, 5):
+        raise NotImplementedError(
+            "BMP with embedded JPEG/PNG stream (BI_JPEG/BI_PNG) not supported here"
+        )
+    if comp not in (0, 1, 2, 3):
         raise NotImplementedError(f"BMP compression {comp} not supported here")
     if comp == 1 and bpp != 8:
         raise NotImplementedError("RLE is only supported for 8-bit BMPs (RLE8)")
+    if comp == 2 and bpp != 4:
+        raise ValueError("BMP RLE4 compression requires a 4-bit image")
+    if comp == 3 and bpp not in (16, 32):
+        raise NotImplementedError(
+            f"BI_BITFIELDS on {bpp}-bit BMPs not supported (16/32-bit only)"
+        )
     pal = None
     if bpp <= 8:
         n = ncolors or (1 << bpp)
         pal_at = 14 + info_size
         quads = np.frombuffer(data[pal_at : pal_at + 4 * n], dtype=np.uint8)
         pal = quads.reshape(-1, 4)[:, 2::-1]  # BGR0 → RGB
-    if comp == 1:
-        idx = _rle8_decode(data[pix_off:], h, w)
+    if comp in (1, 2):
+        idx = (_rle8_decode if comp == 1 else _rle4_decode)(data[pix_off:], h, w)
         rows = idx if top_down else idx[::-1]
+        if int(rows.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
         return np.ascontiguousarray(pal[rows])
     rowbytes = (w * bpp + 7) // 8
     stride = rowbytes + ((-rowbytes) % 4)
@@ -162,6 +244,22 @@ def decode_bmp(data: bytes) -> np.ndarray:
         rows = rows[::-1]
     if bpp == 24:
         return np.ascontiguousarray(rows.reshape(h, rowbytes // 3 * 3)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1])
+    if bpp in (16, 32) and (comp == 3 or bpp == 16):
+        # explicit BI_BITFIELDS masks live right after the 40-byte info
+        # header (and at the very same file offsets inside V4/V5
+        # headers); 16-bpp without masks is implied RGB555
+        if comp == 3:
+            if len(data) < 66:
+                raise ValueError("BMP bitfield masks truncated")
+            masks = struct.unpack("<III", data[54:66])
+        else:
+            masks = (0x7C00, 0x03E0, 0x001F)
+        word = np.dtype("<u2") if bpp == 16 else np.dtype("<u4")
+        nbytes = w * (bpp // 8)
+        words = (
+            np.ascontiguousarray(rows[:, :nbytes]).view(word).reshape(h, w)
+        ).astype(np.uint32)
+        return np.ascontiguousarray(_bitfield_channels(words, masks))
     if bpp == 32:
         return np.ascontiguousarray(rows.reshape(h, w, 4)[:, :, 2::-1])
     if bpp == 8:

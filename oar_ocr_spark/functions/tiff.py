@@ -17,6 +17,9 @@ against the public TIFF 6.0 specification:
   codec) — plus new-style JPEG-in-TIFF (7, TIFF-EP: each strip is a
   complete or abbreviated JPEG interchange stream, shared tables
   spliced in from the JPEGTables tag 347; functions/jpeg.py decodes),
+  old-style JPEG (6, deprecated by TechNote 2) in its decodable
+  real-world flavor — one complete interchange stream behind
+  JPEGInterchangeFormat/-Length (tags 513/514) —
   horizontal-differencing Predictor 2 (strip AND tiled layouts — the
   differencing restarts on every tile row), PlanarConfiguration 2
   (plane-major strips, the layout scientific writers emit), and the
@@ -28,15 +31,17 @@ against the public TIFF 6.0 specification:
   (16-bit ColorMap, high byte).
 - encoder (`encode_tiff`): strip fixture writer for bilevel / grey /
   RGB with compression none, PackBits, the fax family ("mh" / "g3" /
-  "g4", bilevel only) or "jpeg" (q100 baseline per strip, optionally
-  with shared tables hoisted into JPEGTables), so the decoder is
+  "g4", bilevel only), "jpeg" (q100 baseline per strip, optionally
+  with shared tables hoisted into JPEGTables) or "ojpeg" (one
+  whole-image interchange stream + tags 513/514), so the decoder is
   roundtrip-tested without any image library; LZW/predictor paths are
   pinned by hand-built IFD fixtures in the tests.
 
 Scope (declared, fails loudly outside it): the T.4 uncompressed-mode
-option bit, old-style JPEG (compression 6), planar configuration 2 on
-the tiled layout, 16-bit palette, and bit depths other than 1/8/16
-raise NotImplementedError.
+option bit, old-style JPEG's fragmented per-strip layout (compression
+6 without tag 513), planar configuration 2 on the tiled layout,
+16-bit palette, and bit depths other than 1/8/16 raise
+NotImplementedError.
 """
 
 from __future__ import annotations
@@ -224,10 +229,39 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
         raise ValueError(f"TIFF planar configuration {planar} is illegal")
     planar = 1 if spp == 1 else planar
     if comp == 6:
-        raise NotImplementedError(
-            "old-style JPEG-in-TIFF (compression 6) not supported here "
-            "(deprecated by TIFF TechNote 2; new-style 7 is)"
-        )
+        # old-style JPEG-in-TIFF (deprecated by TechNote 2). The
+        # decodable real-world flavor carries ONE complete interchange
+        # stream behind JPEGInterchangeFormat/-Length (513/514); the
+        # fragmented per-strip layout (bare JPEGProc + QTables/ACTables
+        # pointer tags) was never implemented consistently by writers
+        # and is declared out of scope.
+        if 513 not in tags:
+            raise NotImplementedError(
+                "old-style JPEG-in-TIFF (compression 6) without a "
+                "JPEGInterchangeFormat tag: the fragmented per-strip "
+                "layout is not supported here"
+            )
+        if 514 not in tags:
+            raise ValueError(
+                "old-style JPEG TIFF missing JPEGInterchangeFormatLength"
+            )
+        off, ln = tags[513][0], tags[514][0]
+        if off + ln > len(data):
+            raise ValueError("TIFF JPEG interchange stream truncated")
+        blob = data[off : off + ln]
+        if blob[:2] != b"\xff\xd8":
+            raise ValueError("TIFF JPEGInterchangeFormat stream missing SOI")
+        from .jpeg import decode_jpeg
+
+        img = decode_jpeg(blob)
+        if img.shape[0] < h or img.shape[1] < w:
+            raise ValueError(
+                f"TIFF old-style JPEG decodes to {img.shape[:2]}, want >= ({h}, {w})"
+            )
+        out = img[:h, :w]
+        if out.ndim == 2 and photo == 0:
+            out = 255 - out
+        return np.ascontiguousarray(out)
     if comp not in (1, 2, 3, 4, 5, 7, 32773):
         raise NotImplementedError(
             f"TIFF compression {comp} not supported here "
@@ -530,14 +564,16 @@ def encode_tiff(
     bytes (old scanner hardware)."""
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("encode_tiff expects uint8 (H,W) or (H,W,3)")
-    if compression not in ("none", "packbits", "jpeg", *_FAX_COMPRESSIONS):
+    if compression not in ("none", "packbits", "jpeg", "ojpeg", *_FAX_COMPRESSIONS):
         raise ValueError(
-            "compression must be 'none'/'packbits'/'jpeg'/'mh'/'g3'/'g4'"
+            "compression must be 'none'/'packbits'/'jpeg'/'ojpeg'/'mh'/'g3'/'g4'"
         )
     if compression in _FAX_COMPRESSIONS and not bilevel:
         raise ValueError("CCITT compressions need bilevel=True")
-    if compression == "jpeg" and bilevel:
+    if compression in ("jpeg", "ojpeg") and bilevel:
         raise ValueError("JPEG-in-TIFF requires 8-bit samples, not bilevel")
+    if compression == "ojpeg" and rows_per_strip is not None:
+        raise ValueError("old-style JPEG writes one whole-image stream")
     if jpeg_tables and compression != "jpeg":
         raise ValueError("jpeg_tables only applies to compression='jpeg'")
     if fill_order not in (1, 2):
@@ -559,12 +595,12 @@ def encode_tiff(
     else:
         rows = [img[y].tobytes() for y in range(h)]
         depth, photo = 8, (1 if spp == 1 else 2)
-        if compression == "jpeg" and spp == 3:
+        if compression in ("jpeg", "ojpeg") and spp == 3:
             photo = 6  # our JPEG encoder stores color as YCbCr
     rps = rows_per_strip or h
     strips = []
     for s in range(0, h, rps):
-        if compression == "jpeg":
+        if compression in ("jpeg", "ojpeg"):
             from .jpeg import encode_jpeg
 
             body = encode_jpeg(np.ascontiguousarray(img[s : s + rps]), quality=100)
@@ -626,9 +662,14 @@ def encode_tiff(
         _COMP,
         _FAX_COMPRESSIONS.get(
             compression,
-            {"none": 1, "jpeg": 7}.get(compression, 32773),
+            {"none": 1, "jpeg": 7, "ojpeg": 6}.get(compression, 32773),
         ),
     )
+    if compression == "ojpeg":
+        # the interchange stream doubles as the (single) strip; tag 513
+        # is patched to the same offset as StripOffsets below
+        entries.append((513, 4, 1, None))
+        tag_long(514, len(strips[0]))
     tag_short(_PHOTO, photo)
     if tables_blob is not None:
         entries.append((_JPEG_TABLES, 7, len(tables_blob), tables_blob))

@@ -95,8 +95,11 @@ class TestForeignLayouts:
     def test_declared_unsupported(self):
         img = _rng().integers(0, 256, (2, 2, 3)).astype(np.uint8)
         data = bytearray(encode_bmp(img))
-        data[30:34] = struct.pack("<I", 3)  # BI_BITFIELDS
-        with pytest.raises(NotImplementedError, match="compression 3"):
+        data[30:34] = struct.pack("<I", 6)  # BI_ALPHABITFIELDS (CE only)
+        with pytest.raises(NotImplementedError, match="compression 6"):
+            decode_bmp(bytes(data))
+        data[30:34] = struct.pack("<I", 3)  # BI_BITFIELDS needs 16/32 bpp
+        with pytest.raises(NotImplementedError, match="BI_BITFIELDS"):
             decode_bmp(bytes(data))
         with pytest.raises(ValueError, match="magic"):
             decode_bmp(b"PNG" + bytes(60))
@@ -158,3 +161,137 @@ class TestMediaSeam:
         img = _rng().integers(0, 256, (6, 8, 3)).astype(np.uint8)
         out = _decode_payload("x", "image", encode_bmp(img))
         assert out.ndim == 2 and out.shape == (6, 8)
+
+
+def _bmp16(pix: "np.ndarray", comp: int = 0, masks: tuple | None = None) -> bytes:
+    """Hand-built 16-bpp BMP: `pix` is (H,W) uint16 raw pixel words,
+    stored bottom-up with 4-byte row padding. comp=3 writes the three
+    BI_BITFIELDS masks after the 40-byte header."""
+    h, w = pix.shape
+    mask_bytes = b"" if masks is None else struct.pack("<III", *masks)
+    off = 14 + 40 + len(mask_bytes)
+    rows = []
+    for y in range(h - 1, -1, -1):
+        rb = pix[y].astype("<u2").tobytes()
+        rows.append(rb + b"\x00" * ((-len(rb)) % 4))
+    body = b"".join(rows)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 16, comp, len(body), 0, 0, 0, 0)
+    return b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off) + info + mask_bytes + body
+
+
+class TestBitfields:
+    """16/32-bpp truecolor: implied RGB555 and explicit BI_BITFIELDS."""
+
+    def test_16bit_default_rgb555(self):
+        rng = _rng()
+        r5 = rng.integers(0, 32, (3, 5)).astype(np.uint16)
+        g5 = rng.integers(0, 32, (3, 5)).astype(np.uint16)
+        b5 = rng.integers(0, 32, (3, 5)).astype(np.uint16)
+        pix = (r5 << 10) | (g5 << 5) | b5
+        got = decode_bmp(_bmp16(pix))
+        want = np.stack([(c * 255 // 31).astype(np.uint8) for c in (r5, g5, b5)], axis=-1)
+        assert (got == want).all()
+
+    def test_16bit_bitfields_rgb565(self):
+        rng = _rng()
+        r5 = rng.integers(0, 32, (4, 3)).astype(np.uint16)
+        g6 = rng.integers(0, 64, (4, 3)).astype(np.uint16)
+        b5 = rng.integers(0, 32, (4, 3)).astype(np.uint16)
+        pix = (r5 << 11) | (g6 << 5) | b5
+        got = decode_bmp(_bmp16(pix, comp=3, masks=(0xF800, 0x07E0, 0x001F)))
+        want = np.stack(
+            [
+                (r5 * 255 // 31).astype(np.uint8),
+                (g6 * 255 // 63).astype(np.uint8),
+                (b5 * 255 // 31).astype(np.uint8),
+            ],
+            axis=-1,
+        )
+        assert (got == want).all()
+
+    def test_32bit_bitfields_nonstandard_order(self):
+        # ABGR-style masks: R in the low byte
+        img = _rng().integers(0, 256, (2, 3, 3)).astype(np.uint8)
+        words = (
+            img[:, :, 0].astype(np.uint32)
+            | (img[:, :, 1].astype(np.uint32) << 8)
+            | (img[:, :, 2].astype(np.uint32) << 16)
+        )
+        body = b"".join(words[y].astype("<u4").tobytes() for y in (1, 0))
+        masks = struct.pack("<III", 0x0000FF, 0x00FF00, 0xFF0000)
+        off = 14 + 40 + len(masks)
+        info = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 32, 3, len(body), 0, 0, 0, 0)
+        data = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off) + info + masks + body
+        assert (decode_bmp(data) == img).all()
+
+    def test_empty_mask_fails_loudly(self):
+        pix = np.zeros((2, 2), np.uint16)
+        with pytest.raises(ValueError, match="bitfield mask"):
+            decode_bmp(_bmp16(pix, comp=3, masks=(0xF800, 0x0000, 0x001F)))
+
+    def test_bitfields_on_8bit_fails_loudly(self):
+        img = _rng().integers(0, 16, (2, 2)).astype(np.uint8)
+        pal = _rng().integers(0, 256, (16, 3)).astype(np.uint8)
+        data = bytearray(encode_bmp(img, pal))
+        data[30:34] = struct.pack("<I", 3)
+        with pytest.raises(NotImplementedError, match="BI_BITFIELDS"):
+            decode_bmp(bytes(data))
+
+
+def _rle4_bmp(body: bytes, w: int = 6, h: int = 3, ncolors: int = 16) -> bytes:
+    pal = np.zeros((ncolors, 4), np.uint8)
+    pal[:, 0] = pal[:, 1] = pal[:, 2] = np.arange(ncolors) * 17
+    pal_bytes = pal.tobytes()
+    off = 14 + 40 + len(pal_bytes)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 4, 2, len(body), 0, 0, ncolors, 0)
+    return b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off) + info + pal_bytes + body
+
+
+class TestRLE4:
+    """4-bit RLE: runs alternate the two nibbles of the value byte;
+    literals pack nibbles, word-aligned."""
+
+    def test_runs_alternate_nibbles(self):
+        # run of 5 pixels of 0xA7 → A 7 A 7 A on the bottom row
+        body = bytes([5, 0xA7]) + b"\x00\x00" + b"\x00\x01"
+        out = decode_bmp(_rle4_bmp(body, w=6, h=2))
+        grey = out[1, :, 0]  # bottom-up: last row is y=0 of the stream
+        assert list(grey[:5]) == [0xA * 17, 0x7 * 17, 0xA * 17, 0x7 * 17, 0xA * 17]
+
+    def test_literal_run_and_padding(self):
+        # literal of 5 nibbles (3 bytes data + 1 pad byte), then EOL/EOF
+        body = bytes([0, 5, 0x12, 0x34, 0x50, 0x00]) + b"\x00\x00" + b"\x00\x01"
+        out = decode_bmp(_rle4_bmp(body, w=6, h=2))
+        assert list(out[1, :5, 0]) == [1 * 17, 2 * 17, 3 * 17, 4 * 17, 5 * 17]
+
+    def test_delta_and_bounds(self):
+        body = bytes([2, 0x33]) + b"\x00\x02\x01\x01" + bytes([2, 0x55]) + b"\x00\x01"
+        out = decode_bmp(_rle4_bmp(body, w=6, h=3))
+        assert out[2, 0, 0] == 0x3 * 17 and out[2, 1, 0] == 0x3 * 17
+        assert out[1, 3, 0] == 0x5 * 17 and out[1, 4, 0] == 0x5 * 17
+
+    def test_corrupt_streams_fail_loudly(self):
+        with pytest.raises(ValueError, match="run overflows"):
+            decode_bmp(_rle4_bmp(bytes([9, 0x11]) + b"\x00\x01", w=6))
+        with pytest.raises(ValueError, match="literal run truncated"):
+            decode_bmp(_rle4_bmp(bytes([0, 6, 0x12])))
+        with pytest.raises(ValueError, match="delta escape overflows"):
+            decode_bmp(_rle4_bmp(b"\x00\x02\x00\x09", h=3))
+
+    def test_rle4_on_8bit_fails_loudly(self):
+        img = _rng().integers(0, 16, (2, 2)).astype(np.uint8)
+        pal = _rng().integers(0, 256, (16, 3)).astype(np.uint8)
+        data = bytearray(encode_bmp(img, pal))
+        data[30:34] = struct.pack("<I", 2)  # RLE4 on an 8-bit image
+        with pytest.raises(ValueError, match="RLE4"):
+            decode_bmp(bytes(data))
+
+
+class TestEmbeddedCodecs:
+    def test_bi_jpeg_and_bi_png_fail_loudly(self):
+        img = _rng().integers(0, 256, (2, 2, 3)).astype(np.uint8)
+        for comp in (4, 5):
+            data = bytearray(encode_bmp(img))
+            data[30:34] = struct.pack("<I", comp)
+            with pytest.raises(NotImplementedError, match="embedded"):
+                decode_bmp(bytes(data))

@@ -815,3 +815,58 @@ class TestDeepAndPlanarSamples:
         data = _strip_tiff_le(3, 3, [img.tobytes()], 32, 1)
         with pytest.raises(NotImplementedError, match="depth 32"):
             decode_tiff(data)
+
+
+class TestOldStyleJpeg:
+    """Old-style JPEG-in-TIFF (compression 6, deprecated by TechNote 2):
+    the decodable real-world flavor carries one complete interchange
+    stream behind JPEGInterchangeFormat (513) / -Length (514)."""
+
+    def test_grey_roundtrip_equals_jpeg_twin(self):
+        from oar_ocr_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        img = _rng().integers(0, 256, (40, 56)).astype(np.uint8)
+        want = decode_jpeg(encode_jpeg(img, quality=100))
+        data = encode_tiff(img, compression="ojpeg")
+        tags, _ = _read_ifd(data, 8, "<")
+        assert tags[259] == [6] and 513 in tags and 514 in tags
+        assert (decode_tiff(data) == want).all()
+
+    def test_rgb_roundtrip(self):
+        from oar_ocr_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+        img = _rng().integers(0, 256, (24, 32, 3)).astype(np.uint8)
+        want = decode_jpeg(encode_jpeg(img, quality=100))
+        assert (decode_tiff(encode_tiff(img, compression="ojpeg")) == want).all()
+
+    def test_interchange_stream_is_a_plain_jpeg(self):
+        from oar_ocr_spark.functions.jpeg import decode_jpeg
+
+        img = _rng().integers(0, 256, (16, 16)).astype(np.uint8)
+        data = encode_tiff(img, compression="ojpeg")
+        tags, _ = _read_ifd(data, 8, "<")
+        off, ln = tags[513][0], tags[514][0]
+        blob = data[off : off + ln]
+        assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+        decode_jpeg(blob)  # standalone-decodable
+
+    def test_fragmented_old_style_fails_loudly(self):
+        # comp 6 WITHOUT tag 513: the per-strip fragmented layout
+        img = _rng().integers(0, 256, (8, 8)).astype(np.uint8)
+        data = bytearray(encode_tiff(img, compression="none"))
+        # patch the Compression tag value in place (tag 259, SHORT)
+        (n,) = struct.unpack("<H", data[8:10])
+        at = 10
+        for _ in range(n):
+            tag, typ, count = struct.unpack("<HHI", data[at : at + 8])
+            if tag == 259:
+                data[at + 8 : at + 10] = struct.pack("<H", 6)
+            at += 12
+        with pytest.raises(NotImplementedError, match="JPEGInterchangeFormat"):
+            decode_tiff(bytes(data))
+
+    def test_truncated_interchange_fails_loudly(self):
+        img = _rng().integers(0, 256, (8, 8)).astype(np.uint8)
+        data = encode_tiff(img, compression="ojpeg")
+        with pytest.raises(ValueError):
+            decode_tiff(data[:-10])
