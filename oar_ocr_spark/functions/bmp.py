@@ -13,13 +13,14 @@ BITMAPINFOHEADER layout:
   channels rescaled to 8 bits), 8-bit and 4-bit paletted, 1-bit
   bilevel, and RLE8 + RLE4 compression (runs, literals,
   EOL/EOF/delta escapes; RLE4 runs alternate the value nibbles).
+  BI_ALPHABITFIELDS (the Windows CE variant) decodes through the
+  same mask path with its fourth (alpha) mask ignored.
 - encoder (`encode_bmp`): 24-bit truecolor or 8-bit paletted
   (optionally RLE8) fixture writer.
 
 Scope (declared, fails loudly outside it): embedded PNG/JPEG
-(BI_JPEG/BI_PNG) and BI_ALPHABITFIELDS raise NotImplementedError;
-corrupt RLE streams and non-contiguous/empty bitfield masks raise
-ValueError.
+(BI_JPEG/BI_PNG) raises NotImplementedError; corrupt RLE streams
+and non-contiguous/empty bitfield masks raise ValueError.
 """
 
 from __future__ import annotations
@@ -211,13 +212,13 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise NotImplementedError(
             "BMP with embedded JPEG/PNG stream (BI_JPEG/BI_PNG) not supported here"
         )
-    if comp not in (0, 1, 2, 3):
+    if comp not in (0, 1, 2, 3, 6):
         raise NotImplementedError(f"BMP compression {comp} not supported here")
     if comp == 1 and bpp != 8:
         raise NotImplementedError("RLE is only supported for 8-bit BMPs (RLE8)")
     if comp == 2 and bpp != 4:
         raise ValueError("BMP RLE4 compression requires a 4-bit image")
-    if comp == 3 and bpp not in (16, 32):
+    if comp in (3, 6) and bpp not in (16, 32):
         raise NotImplementedError(
             f"BI_BITFIELDS on {bpp}-bit BMPs not supported (16/32-bit only)"
         )
@@ -244,12 +245,14 @@ def decode_bmp(data: bytes) -> np.ndarray:
         rows = rows[::-1]
     if bpp == 24:
         return np.ascontiguousarray(rows.reshape(h, rowbytes // 3 * 3)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1])
-    if bpp in (16, 32) and (comp == 3 or bpp == 16):
+    if bpp in (16, 32) and (comp in (3, 6) or bpp == 16):
         # explicit BI_BITFIELDS masks live right after the 40-byte info
         # header (and at the very same file offsets inside V4/V5
-        # headers); 16-bpp without masks is implied RGB555
-        if comp == 3:
-            if len(data) < 66:
+        # headers); BI_ALPHABITFIELDS (6, the CE variant) adds a fourth
+        # alpha mask we skip — BMP alpha is ignored throughout this
+        # decoder; 16-bpp without masks is implied RGB555
+        if comp in (3, 6):
+            if len(data) < (70 if comp == 6 else 66):
                 raise ValueError("BMP bitfield masks truncated")
             masks = struct.unpack("<III", data[54:66])
         else:

@@ -95,12 +95,13 @@ class TestForeignLayouts:
     def test_declared_unsupported(self):
         img = _rng().integers(0, 256, (2, 2, 3)).astype(np.uint8)
         data = bytearray(encode_bmp(img))
-        data[30:34] = struct.pack("<I", 6)  # BI_ALPHABITFIELDS (CE only)
-        with pytest.raises(NotImplementedError, match="compression 6"):
+        data[30:34] = struct.pack("<I", 11)  # BI_CMYK (printer DDB only)
+        with pytest.raises(NotImplementedError, match="compression 11"):
             decode_bmp(bytes(data))
-        data[30:34] = struct.pack("<I", 3)  # BI_BITFIELDS needs 16/32 bpp
-        with pytest.raises(NotImplementedError, match="BI_BITFIELDS"):
-            decode_bmp(bytes(data))
+        for comp in (3, 6):  # (ALPHA)BITFIELDS need 16/32 bpp
+            data[30:34] = struct.pack("<I", comp)
+            with pytest.raises(NotImplementedError, match="BI_BITFIELDS"):
+                decode_bmp(bytes(data))
         with pytest.raises(ValueError, match="magic"):
             decode_bmp(b"PNG" + bytes(60))
 
@@ -168,7 +169,7 @@ def _bmp16(pix: "np.ndarray", comp: int = 0, masks: tuple | None = None) -> byte
     stored bottom-up with 4-byte row padding. comp=3 writes the three
     BI_BITFIELDS masks after the 40-byte header."""
     h, w = pix.shape
-    mask_bytes = b"" if masks is None else struct.pack("<III", *masks)
+    mask_bytes = b"" if masks is None else struct.pack("<%dI" % len(masks), *masks)
     off = 14 + 40 + len(mask_bytes)
     rows = []
     for y in range(h - 1, -1, -1):
@@ -223,6 +224,30 @@ class TestBitfields:
         info = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 32, 3, len(body), 0, 0, 0, 0)
         data = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off) + info + masks + body
         assert (decode_bmp(data) == img).all()
+
+    def test_16bit_alphabitfields_argb4444(self):
+        # BI_ALPHABITFIELDS (comp 6): four masks, alpha ignored
+        rng = _rng()
+        r4 = rng.integers(0, 16, (3, 4)).astype(np.uint16)
+        g4 = rng.integers(0, 16, (3, 4)).astype(np.uint16)
+        b4 = rng.integers(0, 16, (3, 4)).astype(np.uint16)
+        a4 = rng.integers(0, 16, (3, 4)).astype(np.uint16)
+        pix = (a4 << 12) | (r4 << 8) | (g4 << 4) | b4
+        got = decode_bmp(
+            _bmp16(pix, comp=6, masks=(0x0F00, 0x00F0, 0x000F, 0xF000))
+        )
+        want = np.stack(
+            [(c * 255 // 15).astype(np.uint8) for c in (r4, g4, b4)], axis=-1
+        )
+        assert (got == want).all()
+
+    def test_alphabitfields_truncated_fails_loudly(self):
+        pix = np.zeros((2, 2), np.uint16)
+        data = _bmp16(pix, comp=6, masks=(0x0F00, 0x00F0, 0x000F, 0xF000))
+        # file cut inside the mask block: no pixel bytes survive either,
+        # so the loud failure is one of the two truncation guards
+        with pytest.raises(ValueError, match="truncated"):
+            decode_bmp(data[:68])
 
     def test_empty_mask_fails_loudly(self):
         pix = np.zeros((2, 2), np.uint16)
