@@ -22,13 +22,15 @@ against the public TIFF 6.0 specification:
   JPEGInterchangeFormat/-Length (tags 513/514) —
   horizontal-differencing Predictor 2 (strip AND tiled layouts — the
   differencing restarts on every tile row), PlanarConfiguration 2
-  (plane-major strips, the layout scientific writers emit), and the
-  sample layouts scanned documents use: 1-bit bilevel (both
-  photometric polarities — WhiteIsZero is the fax default), 8-bit
-  greyscale, 8-bit RGB (extra samples dropped), 16-bit greyscale/RGB
-  (either byte order, projected to the top 8 bits at the image seam,
-  the same convention as the deep JPEG/J2K paths), palette color
-  (16-bit ColorMap, high byte).
+  (plane-major strips AND plane-major tiles, the layouts scientific
+  writers emit), and the sample layouts scanned documents use: 1-bit
+  bilevel (both photometric polarities — WhiteIsZero is the fax
+  default), 8-bit greyscale, 8-bit RGB (extra samples dropped),
+  16-bit greyscale/RGB (either byte order, projected to the top 8
+  bits at the image seam, the same convention as the deep JPEG/J2K
+  paths), palette color (16-bit ColorMap, high byte) with 8-bit OR
+  16-bit indices (indices keep full precision — only continuous-tone
+  samples are narrowed).
 - encoder (`encode_tiff`): strip fixture writer for bilevel / grey /
   RGB with compression none, PackBits, the fax family ("mh" / "g3" /
   "g4", bilevel only), "jpeg" (q100 baseline per strip, optionally
@@ -39,9 +41,8 @@ against the public TIFF 6.0 specification:
 
 Scope (declared, fails loudly outside it): the T.4 uncompressed-mode
 option bit, old-style JPEG's fragmented per-strip layout (compression
-6 without tag 513), planar configuration 2 on the tiled layout,
-16-bit palette, and bit depths other than 1/8/16 raise
-NotImplementedError.
+6 without tag 513), planar configuration 2 on JPEG tiles, and bit
+depths other than 1/8/16 raise NotImplementedError.
 """
 
 from __future__ import annotations
@@ -276,8 +277,6 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
             raise NotImplementedError("T.6 uncompressed mode not supported")
     if comp == 7 and depth != 8:
         raise NotImplementedError("JPEG-in-TIFF requires 8-bit samples")
-    if depth == 16 and photo == 3:
-        raise NotImplementedError("16-bit palette TIFF not supported here")
     pred2 = tags.get(_PREDICTOR, [1])[0] == 2
     if pred2 and depth == 1:
         raise NotImplementedError("TIFF predictor on sub-byte samples")
@@ -285,9 +284,9 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
 
     tiled = 322 in tags or 324 in tags
     if tiled:
-        if planar == 2:
+        if planar == 2 and comp == 7:
             raise NotImplementedError(
-                "TIFF planar configuration 2 on tiled layout not supported"
+                "TIFF planar configuration 2 on JPEG tiles not supported"
             )
         for req, name in ((322, "TileWidth"), (323, "TileLength"), (324, "TileOffsets")):
             if req not in tags:
@@ -299,9 +298,10 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
         if tw <= 0 or tl <= 0:
             raise ValueError("tiled TIFF with non-positive tile dims")
         across, down = -(-w // tw), -(-h // tl)
-        if len(offs) < across * down or len(cnts) < across * down:
+        want_tiles = across * down * (spp if planar == 2 else 1)
+        if len(offs) < want_tiles or len(cnts) < want_tiles:
             raise ValueError(
-                f"tiled TIFF has {len(offs)} tiles, grid wants {across * down}"
+                f"tiled TIFF has {len(offs)} tiles, grid wants {want_tiles}"
             )
         if comp == 7:
             tables = _jpeg_tables_of(tags)
@@ -341,21 +341,27 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
                 img = 255 - img
             return np.ascontiguousarray(img)
         sam = np.zeros((down * tl, across * tw, spp), dtype=np.int64)
-        for i in range(across * down):
+        ntiles = across * down
+        # planar 2 tiles are plane-major: all of component 0's tiles,
+        # then component 1's, … — each tile holds ONE component's samples
+        tile_spp = 1 if planar == 2 else spp
+        for j in range(ntiles * (spp if planar == 2 else 1)):
+            ci, i = divmod(j, ntiles) if planar == 2 else (None, j)
             packed = _block_to_packed(
-                data[offs[i] : offs[i] + cnts[i]],
-                comp, tags, tl, tw, spp, depth, photo, f"tile {i}",
+                data[offs[j] : offs[j] + cnts[j]],
+                comp, tags, tl, tw, tile_spp, depth, photo, f"tile {j}",
             )
             t = np.frombuffer(
                 packed, dtype=np.uint8 if depth == 8 else bo + "u2"
-            ).reshape(tl, tw, spp).astype(np.int64)
+            ).reshape(tl, tw, tile_spp).astype(np.int64)
             if pred2:  # horizontal differencing restarts per tile row
                 t = np.cumsum(t, axis=1) & pmask
             r, c = (i // across) * tl, (i % across) * tw
-            sam[r : r + tl, c : c + tw] = t
-        px = sam[:h, :w]
-        px = (px >> 8 if depth == 16 else px).astype(np.uint8)
-        return _px_to_image(np.ascontiguousarray(px), photo, tags)
+            if planar == 2:
+                sam[r : r + tl, c : c + tw, ci] = t[..., 0]
+            else:
+                sam[r : r + tl, c : c + tw] = t
+        return _px_to_image(np.ascontiguousarray(sam[:h, :w]), depth, photo, tags)
 
     if _STRIP_OFF not in tags:
         raise ValueError("TIFF missing required tag StripOffsets")
@@ -408,8 +414,7 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
         sam = np.stack(planes, axis=-1)
         if pred2:  # differencing runs within each plane's rows
             sam = np.cumsum(sam, axis=1) & pmask
-        px = (sam >> 8 if depth == 16 else sam).astype(np.uint8)
-        return _px_to_image(np.ascontiguousarray(px), photo, tags)
+        return _px_to_image(np.ascontiguousarray(sam), depth, photo, tags)
 
     raw = bytearray()
     for i, (off, cnt) in enumerate(zip(offs, cnts)):
@@ -430,22 +435,25 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
     ).reshape(h, w, spp).astype(np.int64)
     if pred2:  # horizontal differencing
         sam = np.cumsum(sam, axis=1) & pmask
-    px = (sam >> 8 if depth == 16 else sam).astype(np.uint8)
-    return _px_to_image(np.ascontiguousarray(px), photo, tags)
+    return _px_to_image(np.ascontiguousarray(sam), depth, photo, tags)
 
 
-def _px_to_image(px: np.ndarray, photo: int, tags: dict) -> np.ndarray:
-    """(h, w, spp) uint8 samples → final image per photometric."""
+def _px_to_image(sam: np.ndarray, depth: int, photo: int, tags: dict) -> np.ndarray:
+    """(h, w, spp) full-precision samples → final image per photometric.
+    Continuous-tone 16-bit samples project to their top 8 bits (the
+    image-seam contract); palette indices must NOT be narrowed — a
+    16-bit palette image addresses up to 65,536 ColorMap entries."""
     if photo == 3:  # palette: 16-bit ColorMap R[],G[],B[] planes
         cmap = tags.get(_COLORMAP)
         if cmap is None:
             raise ValueError("palette TIFF missing ColorMap")
         n = len(cmap) // 3
         cm = (np.asarray(cmap, dtype=np.uint32).reshape(3, n).T >> 8).astype(np.uint8)
-        idx = px[..., 0]
+        idx = sam[..., 0]
         if int(idx.max(initial=0)) >= n:
             raise ValueError("TIFF palette index out of range")
         return np.ascontiguousarray(cm[idx])
+    px = (sam >> 8 if depth == 16 else sam).astype(np.uint8)
     if photo == 2:  # RGB (extra samples, e.g. alpha, dropped)
         if px.shape[2] < 3:
             raise ValueError("RGB TIFF with fewer than 3 samples")

@@ -870,3 +870,83 @@ class TestOldStyleJpeg:
         data = encode_tiff(img, compression="ojpeg")
         with pytest.raises(ValueError):
             decode_tiff(data[:-10])
+
+
+class TestDeepPaletteAndPlanarTiles:
+    """16-bit palette indices (full precision — never narrowed) and
+    PlanarConfiguration 2 on the tiled layout (plane-major tiles)."""
+
+    def test_16bit_palette_indices_keep_full_precision(self):
+        rng = _rng()
+        n = 300  # beyond any 8-bit index
+        cmap16 = rng.integers(0, 65536, (3, n)).astype(np.uint16)
+        idx = rng.integers(0, n, (4, 6)).astype(np.uint16)
+        idx[0, 0] = n - 1  # force an index no 8-bit projection could hit
+        data = _strip_tiff_le(
+            6, 4, [idx.astype("<u2").tobytes()], 16, 1, photo=3,
+            extra_tags=[(320, 3, 3 * n, cmap16.astype("<u2").tobytes())],
+        )
+        want = (cmap16.T >> 8).astype(np.uint8)[idx]
+        assert (decode_tiff(data) == want).all()
+
+    def test_16bit_palette_index_out_of_range_fails_loudly(self):
+        cmap16 = np.zeros((3, 4), np.uint16)
+        idx = np.full((2, 2), 7, dtype=np.uint16)
+        data = _strip_tiff_le(
+            2, 2, [idx.astype("<u2").tobytes()], 16, 1, photo=3,
+            extra_tags=[(320, 3, 12, cmap16.astype("<u2").tobytes())],
+        )
+        with pytest.raises(ValueError, match="palette index"):
+            decode_tiff(data)
+
+    def test_planar_tiled_rgb(self):
+        img = _rng().integers(0, 256, (5, 7, 3)).astype(np.uint8)
+        tiles = []
+        for ci in range(3):  # plane-major: all of one component's tiles
+            plane_tiles, across, down = _tile_grid(img[:, :, ci], 4, 3)
+            tiles += [t.tobytes() for t in plane_tiles]
+        data = _tiled_le(
+            7, 5, 4, 3, tiles, photo=2, bits=(8, 8, 8),
+            extra_tags=[(284, 3, 1, struct.pack("<H", 2))],
+        )
+        assert (decode_tiff(data) == img).all()
+
+    def test_planar_tiled_with_predictor(self):
+        img = _rng().integers(0, 256, (6, 8, 3)).astype(np.uint8)
+        tiles = []
+        for ci in range(3):
+            plane_tiles, _, _ = _tile_grid(img[:, :, ci], 4, 3)
+            for t in plane_tiles:
+                d = t.astype(np.int16)
+                d[:, 1:] = (t[:, 1:].astype(np.int16) - t[:, :-1]) % 256
+                tiles.append(d.astype(np.uint8).tobytes())
+        data = _tiled_le(
+            8, 6, 4, 3, tiles, photo=2, bits=(8, 8, 8),
+            extra_tags=[
+                (284, 3, 1, struct.pack("<H", 2)),
+                (317, 3, 1, struct.pack("<H", 2)),
+            ],
+        )
+        assert (decode_tiff(data) == img).all()
+
+    def test_planar_tiled_missing_plane_fails_loudly(self):
+        img = _rng().integers(0, 256, (5, 7, 3)).astype(np.uint8)
+        plane_tiles, _, _ = _tile_grid(img[:, :, 0], 4, 3)
+        tiles = [t.tobytes() for t in plane_tiles] * 2  # only 2 planes
+        data = _tiled_le(
+            7, 5, 4, 3, tiles, photo=2, bits=(8, 8, 8),
+            extra_tags=[(284, 3, 1, struct.pack("<H", 2))],
+        )
+        with pytest.raises(ValueError, match="grid wants"):
+            decode_tiff(data)
+
+    def test_planar_jpeg_tiles_fail_loudly(self):
+        img = _rng().integers(0, 256, (5, 7, 3)).astype(np.uint8)
+        plane_tiles, _, _ = _tile_grid(img[:, :, 0], 4, 3)
+        tiles = [t.tobytes() for t in plane_tiles] * 3
+        data = _tiled_le(
+            7, 5, 4, 3, tiles, comp=7, photo=2, bits=(8, 8, 8),
+            extra_tags=[(284, 3, 1, struct.pack("<H", 2))],
+        )
+        with pytest.raises(NotImplementedError, match="planar"):
+            decode_tiff(data)
