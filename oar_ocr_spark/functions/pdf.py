@@ -1229,31 +1229,60 @@ def _apply_predictor(data: bytes, pm: dict) -> bytes:
         return data
     colors = int(pm.get("Colors", 1))
     bpc = int(pm.get("BitsPerComponent", 8))
-    if bpc != 8:
-        raise NotImplementedError("predictor BitsPerComponent != 8 not supported")
+    if bpc not in (1, 2, 4, 8, 16):
+        raise ValueError(f"illegal predictor BitsPerComponent {bpc}")
     columns = int(pm.get("Columns", 1))
-    stride = columns * colors
+    spr = columns * colors  # samples per row
+    stride = (spr * bpc + 7) // 8  # row bytes (rows are byte-aligned)
     if pred == 2:  # TIFF horizontal differencing (spec 7.4.4.4)
         if stride <= 0 or len(data) % stride:
             raise ValueError("TIFF-predicted stream length not a whole row count")
-        rows = (
-            np.frombuffer(data, dtype=np.uint8)
-            .reshape(-1, columns, colors)
-            .astype(np.int64)
-        )
-        # per-channel prefix sum along the row; deferred mod-256 equals
+        h = len(data) // stride
+        # per-channel prefix sum along the row; deferred modulo equals
         # per-step wraparound
-        acc = np.cumsum(rows, axis=1)
-        return (acc & 0xFF).astype(np.uint8).tobytes()
+        if bpc == 8:
+            rows = (
+                np.frombuffer(data, dtype=np.uint8)
+                .reshape(h, columns, colors)
+                .astype(np.int64)
+            )
+            return (np.cumsum(rows, axis=1) & 0xFF).astype(np.uint8).tobytes()
+        if bpc == 16:
+            rows = (
+                np.frombuffer(data, dtype=">u2")
+                .reshape(h, columns, colors)
+                .astype(np.int64)
+            )
+            return (np.cumsum(rows, axis=1) & 0xFFFF).astype(">u2").tobytes()
+        # sub-byte samples: unpack big-endian within each byte,
+        # difference per channel mod 2^bpc, repack row-aligned
+        rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride)
+        bits = np.unpackbits(rows, axis=1)
+        weights = 1 << np.arange(bpc - 1, -1, -1)
+        vals = (bits.reshape(h, -1, bpc) * weights).sum(axis=2)[:, :spr]
+        acc = (
+            np.cumsum(vals.reshape(h, columns, colors).astype(np.int64), axis=1)
+            & ((1 << bpc) - 1)
+        ).reshape(h, spr)
+        slots = stride * 8 // bpc  # sample slots per row incl. pad bits
+        padded = np.zeros((h, slots), dtype=np.int64)
+        padded[:, :spr] = acc
+        outbits = (
+            (padded[:, :, None] >> np.arange(bpc - 1, -1, -1)) & 1
+        ).astype(np.uint8).reshape(h, -1)
+        return np.packbits(outbits, axis=1).tobytes()
     if not 10 <= pred <= 15:
         raise ValueError(f"unknown stream predictor {pred}")
     if stride <= 0 or len(data) % (stride + 1):
         raise ValueError("predicted stream length not a whole number of rows")
-    from .png import _unfilter
+    from .png import _unfilter_bytes
 
+    # PNG filters predict at byte distance bpp regardless of bit depth
+    # (PNG spec 6.2; sub-byte depths use bpp=1)
+    bpp = max(1, (colors * bpc) // 8)
     h = len(data) // (stride + 1)
     arr = np.frombuffer(data, dtype=np.uint8).reshape(h, stride + 1)
-    return _unfilter(arr, h, columns, colors).tobytes()
+    return _unfilter_bytes(arr, h, stride, bpp).tobytes()
 
 
 def _unpack_bits_flat(raw: bytes, count: int, bps: int) -> np.ndarray:

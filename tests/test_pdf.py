@@ -388,6 +388,102 @@ class TestForeignPdfs:
         out = _apply_stream_filters(d, zlib.compress(diff.astype(np.uint8).tobytes()))
         assert out == rows.tobytes()
 
+    def test_tiff_predictor_2_16bit(self):
+        # 16-bit samples difference mod 65536 as big-endian words
+        from oar_ocr_spark.functions.pdf import _apply_stream_filters
+
+        rng = np.random.RandomState(7)
+        rows = rng.randint(0, 65536, (2, 4, 3)).astype(np.int64)  # RGB16
+        diff = rows.copy()
+        diff[:, 1:, :] = (rows[:, 1:, :] - rows[:, :-1, :]) % 65536
+        d = {
+            "Filter": "FlateDecode",
+            "DecodeParms": {
+                "Predictor": 2, "Columns": 4, "Colors": 3,
+                "BitsPerComponent": 16,
+            },
+        }
+        out = _apply_stream_filters(d, zlib.compress(diff.astype(">u2").tobytes()))
+        assert out == rows.astype(">u2").tobytes()
+
+    def test_tiff_predictor_2_4bit(self):
+        # sub-byte samples: difference mod 16, rows byte-aligned (5
+        # nibbles → 3 bytes with a pad nibble)
+        from oar_ocr_spark.functions.pdf import _apply_stream_filters
+
+        rng = np.random.RandomState(9)
+        rows = rng.randint(0, 16, (3, 5)).astype(np.int64)
+        diff = rows.copy()
+        diff[:, 1:] = (rows[:, 1:] - rows[:, :-1]) % 16
+
+        def pack4(a):
+            h, spr = a.shape
+            slots = spr + (spr & 1)
+            pad = np.zeros((h, slots), np.uint8)
+            pad[:, :spr] = a
+            return (
+                ((pad[:, 0::2] << 4) | pad[:, 1::2]).astype(np.uint8).tobytes()
+            )
+
+        d = {
+            "Filter": "FlateDecode",
+            "DecodeParms": {
+                "Predictor": 2, "Columns": 5, "BitsPerComponent": 4,
+            },
+        }
+        out = _apply_stream_filters(d, zlib.compress(pack4(diff)))
+        assert out == pack4(rows)
+
+    def test_png_predictor_16bit_sub(self):
+        # PNG filters predict at byte distance bpp = colors*2 for 16-bit
+        from oar_ocr_spark.functions.pdf import _apply_stream_filters
+
+        rng = np.random.RandomState(13)
+        raw = rng.randint(0, 256, (2, 4 * 3 * 2)).astype(np.int64)  # row bytes
+        pred = np.zeros((2, raw.shape[1] + 1), dtype=np.uint8)
+        pred[:, 0] = 1  # Sub
+        bpp = 6
+        pred[:, 1 : bpp + 1] = raw[:, :bpp]
+        pred[:, bpp + 1 :] = (raw[:, bpp:] - raw[:, :-bpp]) % 256
+        d = {
+            "Filter": "FlateDecode",
+            "DecodeParms": {
+                "Predictor": 14, "Columns": 4, "Colors": 3,
+                "BitsPerComponent": 16,
+            },
+        }
+        out = _apply_stream_filters(d, zlib.compress(pred.tobytes()))
+        assert out == raw.astype(np.uint8).tobytes()
+
+    def test_png_predictor_1bit_up(self):
+        # bilevel xref-style rows: bpp=1, Up filter across byte rows
+        from oar_ocr_spark.functions.pdf import _apply_stream_filters
+
+        rng = np.random.RandomState(17)
+        raw = rng.randint(0, 256, (3, 2)).astype(np.int64)  # 16 1-bit cols
+        pred = np.zeros((3, 3), dtype=np.uint8)
+        pred[:, 0] = 2  # Up
+        pred[0, 1:] = raw[0]
+        pred[1:, 1:] = (raw[1:] - raw[:-1]) % 256
+        d = {
+            "Filter": "FlateDecode",
+            "DecodeParms": {
+                "Predictor": 12, "Columns": 16, "BitsPerComponent": 1,
+            },
+        }
+        out = _apply_stream_filters(d, zlib.compress(pred.tobytes()))
+        assert out == raw.astype(np.uint8).tobytes()
+
+    def test_illegal_predictor_bpc_fails_loudly(self):
+        from oar_ocr_spark.functions.pdf import _apply_stream_filters
+
+        d = {
+            "Filter": "FlateDecode",
+            "DecodeParms": {"Predictor": 2, "Columns": 4, "BitsPerComponent": 3},
+        }
+        with pytest.raises(ValueError, match="BitsPerComponent"):
+            _apply_stream_filters(d, zlib.compress(bytes(4)))
+
     def test_scalar_decodeparms_with_filter_array(self):
         # Malformed per spec 7.4.4.4: array /Filter with a single (non-
         # array) /DecodeParms dict. The predictor must be applied once —
