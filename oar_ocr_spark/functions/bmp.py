@@ -37,13 +37,33 @@ BMP_MAGIC = b"BM"
 
 
 def encode_bmp(
-    img: np.ndarray, palette: np.ndarray | None = None, rle: bool = False
+    img: np.ndarray,
+    palette: np.ndarray | None = None,
+    rle: bool = False,
+    bitfields: bool = False,
 ) -> bytes:
-    """(H,W,3) uint8 RGB → 24-bit BMP, or (H,W) uint8 indices +
-    (N,3) palette → 8-bit paletted BMP (rle=True → RLE8)."""
+    """(H,W,3) uint8 RGB → 24-bit BMP (bitfields=True → 32-bit
+    BI_BITFIELDS with byte-aligned 0xFF0000/0xFF00/0xFF masks —
+    lossless, exercises the explicit-mask decode path), or (H,W)
+    uint8 indices + (N,3) palette → 8-bit paletted BMP (rle=True →
+    RLE8)."""
     if img.dtype != np.uint8:
         raise ValueError("encode_bmp expects uint8")
-    if img.ndim == 3 and img.shape[2] == 3:
+    if bitfields:
+        if img.ndim != 3 or img.shape[2] != 3 or palette is not None or rle:
+            raise ValueError("bitfields encodes (H,W,3) RGB only")
+        h, w = img.shape[:2]
+        words = (
+            (img[:, :, 0].astype(np.uint32) << 16)
+            | (img[:, :, 1].astype(np.uint32) << 8)
+            | img[:, :, 2].astype(np.uint32)
+        )
+        body = bytearray()
+        for y in range(h - 1, -1, -1):  # bottom-up; 32-bit rows need no pad
+            body += words[y].astype("<u4").tobytes()
+        bpp, ncolors, comp = 32, 0, 3
+        pal_bytes = struct.pack("<III", 0x00FF0000, 0x0000FF00, 0x000000FF)
+    elif img.ndim == 3 and img.shape[2] == 3:
         if palette is not None or rle:
             raise ValueError("palette/rle apply to 8-bit images only")
         h, w = img.shape[:2]

@@ -405,7 +405,8 @@ def legacy_store_df(
     GIF/TIFF/BMP bytes — the legacy-format third of the write seam
     (png_store_df / jpeg_store_df are the other two). Per ref the
     format AND its encoder options (GIF interlace, TIFF packbits, BMP
-    RLE8) are chosen by crc32 of the ref — deterministic across
+    RLE8 or 32-bit BI_BITFIELDS) are chosen by crc32 of the ref —
+    deterministic across
     processes, so the oracle can recompute the set — and every flavor
     is LOSSLESS on grey pages (GIF/BMP use an identity grey palette),
     so features through these bytes equal the golden feature table
@@ -431,6 +432,13 @@ def legacy_store_df(
         elif fmt == 1:
             data = encode_tiff(
                 page, compression="packbits" if h & 4 else "none"
+            )
+        elif h & 8:
+            # 32-bit BI_BITFIELDS with byte-aligned masks: lossless on
+            # the grey page expanded to RGB; exercises the explicit
+            # mask decode path through the distributed seam
+            data = encode_bmp(
+                np.repeat(page[:, :, None], 3, axis=2), bitfields=True
             )
         else:
             grey_palette = np.repeat(

@@ -163,6 +163,29 @@ class TestMediaSeam:
         out = _decode_payload("x", "image", encode_bmp(img))
         assert out.ndim == 2 and out.shape == (6, 8)
 
+    def test_bitfields_encoder_roundtrip(self):
+        # the gate-store flavor: 32-bit BI_BITFIELDS, byte-aligned
+        # masks — lossless by construction
+        img = _rng().integers(0, 256, (5, 7, 3)).astype(np.uint8)
+        data = encode_bmp(img, bitfields=True)
+        (comp,) = struct.unpack("<I", data[30:34])
+        assert comp == 3
+        assert (decode_bmp(data) == img).all()
+
+    def test_bitfields_grey_page_lossless_at_seam(self):
+        # equal RGB channels → BT.601 luma is the channel value exactly
+        from oar_ocr_spark.functions.multimodal import _decode_payload
+
+        grey = _rng().integers(0, 256, (6, 8)).astype(np.uint8)
+        rgb = np.repeat(grey[:, :, None], 3, axis=2)
+        out = _decode_payload("x", "image", encode_bmp(rgb, bitfields=True))
+        assert (out == grey).all()
+
+    def test_bitfields_encoder_rejects_palette_input(self):
+        grey = _rng().integers(0, 256, (4, 4)).astype(np.uint8)
+        with pytest.raises(ValueError, match="bitfields"):
+            encode_bmp(grey, bitfields=True)
+
 
 def _bmp16(pix: "np.ndarray", comp: int = 0, masks: tuple | None = None) -> bytes:
     """Hand-built 16-bpp BMP: `pix` is (H,W) uint16 raw pixel words,
