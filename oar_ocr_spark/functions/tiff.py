@@ -748,13 +748,16 @@ def encode_tiff_multipage(
     `page_refs` are written per page as ImageDescription (tag 270,
     ASCII), the container naming its own pages the way the PDF writer
     uses /Info /Title; decode_tiff_refs is the read side. Single strip
-    per page, compression "none" or "packbits"."""
+    per page, compression "none", "packbits" or "palette16" (grey
+    values stored as 16-bit palette INDICES against an identity
+    16-bit ColorMap — lossless, exercises the full-precision palette
+    index path)."""
     if not pages:
         raise ValueError("encode_tiff_multipage needs at least one page")
     if page_refs is not None and len(page_refs) != len(pages):
         raise ValueError("page_refs length must match pages")
-    if compression not in ("none", "packbits"):
-        raise ValueError("compression must be 'none' or 'packbits'")
+    if compression not in ("none", "packbits", "palette16"):
+        raise ValueError("compression must be 'none', 'packbits' or 'palette16'")
     for p in pages:
         if p.dtype != np.uint8 or p.ndim != 2:
             raise ValueError(
@@ -765,7 +768,10 @@ def encode_tiff_multipage(
     ifd_positions: list[int] = []
     for i, img in enumerate(pages):
         h, w = img.shape
-        body = img.tobytes()
+        if compression == "palette16":
+            body = img.astype("<u2").tobytes()  # grey value = index
+        else:
+            body = img.tobytes()
         if compression == "packbits":
             enc = bytearray()
             for j in range(0, len(body), 128):
@@ -783,6 +789,12 @@ def encode_tiff_multipage(
             out += desc
             if len(out) % 2:
                 out += b"\x00"
+        cmap_off = len(out)
+        if compression == "palette16":
+            # identity 16-bit ColorMap: entry i = i<<8 in all three
+            # planes, so the decoder's top-byte projection returns i
+            ident = (np.arange(256, dtype="<u2") << 8).tobytes()
+            out += ident * 3  # R plane, G plane, B plane
         strip_off = len(out)
         out += body
         if len(out) % 2:
@@ -795,17 +807,20 @@ def encode_tiff_multipage(
         def short_val(v: int) -> bytes:
             return struct.pack("<H", v) + b"\x00\x00"
 
+        pal16 = compression == "palette16"
         entries: list[tuple[int, int, int, bytes]] = [
             (_W, 4, 1, long_val(w)),
             (_H, 4, 1, long_val(h)),
-            (_BITS, 3, 1, short_val(8)),
-            (_COMP, 3, 1, short_val(1 if compression == "none" else 32773)),
-            (_PHOTO, 3, 1, short_val(1)),  # BlackIsZero grey
+            (_BITS, 3, 1, short_val(16 if pal16 else 8)),
+            (_COMP, 3, 1, short_val(32773 if compression == "packbits" else 1)),
+            (_PHOTO, 3, 1, short_val(3 if pal16 else 1)),
             (_STRIP_OFF, 4, 1, long_val(strip_off)),
             (_SPP, 3, 1, short_val(1)),
             (_ROWS_PER_STRIP, 4, 1, long_val(h)),
             (_STRIP_CNT, 4, 1, long_val(len(body))),
         ]
+        if pal16:
+            entries.append((_COLORMAP, 3, 768, long_val(cmap_off)))
         if desc is not None:
             val = desc.ljust(4, b"\x00") if len(desc) <= 4 else long_val(desc_off)
             entries.append((_DESCRIPTION, 2, len(desc), val))
@@ -872,6 +887,8 @@ def tiff_store_df(docs, parallelism: int | None = None):
     store_schema, _ = _tiff_schemas()
 
     def it(batches):
+        import zlib
+
         import pandas as pd
 
         from ..fixtures.render import render_page
@@ -881,8 +898,18 @@ def tiff_store_df(docs, parallelism: int | None = None):
             for doc_id, media_refs in zip(pdf["doc_id"], pdf["refs"]):
                 media_refs = list(media_refs)
                 pages = [render_page(r) for r in media_refs]
+                # per-document container flavor, crc32-chosen like the
+                # image stores — every flavor lossless, so the span
+                # goldens are unaffected
+                comp = ("none", "packbits", "palette16")[
+                    zlib.crc32(str(doc_id).encode("utf-8")) % 3
+                ]
                 rows.append(
-                    (doc_id, encode_tiff_multipage(pages, media_refs), len(pages))
+                    (
+                        doc_id,
+                        encode_tiff_multipage(pages, media_refs, compression=comp),
+                        len(pages),
+                    )
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in store_schema.fields])
 

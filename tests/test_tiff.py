@@ -343,16 +343,27 @@ class TestMultipageContainer:
             rng.integers(0, 256, (4, 4)).astype(np.uint8),
         ]
         refs = ["doc:1#a", "x", "a-much-longer-media-ref-0123456789"]
-        for comp in ("none", "packbits"):
+        for comp in ("none", "packbits", "palette16"):
             data = encode_tiff_multipage(pages, refs, compression=comp)
             # deterministic bytes
             assert data == encode_tiff_multipage(pages, refs, compression=comp)
             out = decode_tiff_pages(data)
             assert len(out) == 3
+            if comp == "palette16":
+                # identity 16-bit ColorMap: pages come back as equal-
+                # channel RGB, exactly the grey values
+                out = [p[:, :, 0] for p in out]
+                assert all(
+                    (p == q[:, :, 0]).all() and (p == q[:, :, 2]).all()
+                    for p, q in zip(out, decode_tiff_pages(data))
+                )
             assert all((a == b).all() for a, b in zip(out, pages))
             assert decode_tiff_refs(data) == refs
             # first-page laziness contract still holds on the chain
-            assert (decode_tiff(data) == pages[0]).all()
+            first = decode_tiff(data)
+            assert (
+                (first if comp != "palette16" else first[:, :, 0]) == pages[0]
+            ).all()
 
     def test_refs_none_when_any_page_unnamed(self):
         from oar_ocr_spark.functions.tiff import (
