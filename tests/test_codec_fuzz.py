@@ -89,10 +89,28 @@ def test_legacy_image_fuzz(page):
     from oar_ocr_spark.functions.gif import decode_gif, encode_gif
     from oar_ocr_spark.functions.tiff import decode_tiff, encode_tiff
 
+    from oar_ocr_spark.functions.tiff import encode_tiff_multipage
+
     grey_pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=-1)
-    _fuzz([encode_bmp(page, palette=grey_pal, rle=True)], decode_bmp, trials=100)
+    rgb = np.repeat(np.asarray(page)[:, :, None], 3, axis=2)
+    _fuzz(
+        [
+            encode_bmp(page, palette=grey_pal, rle=True),
+            encode_bmp(rgb, bitfields=True),
+        ],
+        decode_bmp,
+        trials=100,
+    )
     _fuzz([encode_gif(page, grey_pal, interlace=True)], decode_gif, trials=100)
-    _fuzz([encode_tiff(page, compression="packbits")], decode_tiff, trials=100)
+    _fuzz(
+        [
+            encode_tiff(page, compression="packbits"),
+            encode_tiff(page, compression="ojpeg"),
+            encode_tiff_multipage([page], ["r"], compression="palette16"),
+        ],
+        decode_tiff,
+        trials=100,
+    )
 
 
 def test_pdf_fuzz(page):
