@@ -316,6 +316,133 @@ def _cid_page(text: str) -> tuple[bytes, bytes, bytes]:
     return cmap, w_entry, content
 
 
+def _hex_show(codes: list[int]) -> bytes:
+    return (
+        b"BT /F0 12 Tf %s %s Td <" % (_fmt_num(_TXT_X0), _fmt_num(_TXT_Y0))
+        + bytes(codes).hex().encode("ascii")
+        + b"> Tj ET"
+    )
+
+
+def _diff_page(text: str) -> tuple[bytes, bytes]:
+    """(font dict body, content ops) for a /Encoding /Differences
+    simple-font page — the layout subsetted real fonts emit. A
+    crc32-chosen subset of the text's unique characters (sometimes
+    all of them, always at least one; always every character cp1252
+    cannot encode) is remapped to free byte codes addressed by AGL
+    glyph names (algorithmic uniXXXX/uXXXXXX fallback), layered over
+    the base encoding; unmapped characters keep their cp1252 bytes.
+    The show is one hex string. Extractor twin:
+    pdf_text._parse_differences + glyph_names.glyph_to_unicode."""
+    from .glyph_names import unicode_to_glyph
+
+    uniq = sorted(set(text))
+    if not uniq:
+        raise ValueError("diff text page needs at least one character")
+    h = zlib.crc32(b"pdf-diff:" + text.encode("utf-8"))
+    full = bool(h & 1)
+    keep_bytes: dict[str, int] = {}
+    remap: list[str] = []
+    used: set[int] = set()
+    for i, c in enumerate(uniq):
+        try:
+            b = c.encode("cp1252")[0]
+        except UnicodeEncodeError:
+            b = None
+        if b is not None and not full and not ((h >> (i % 24 + 2)) & 1):
+            keep_bytes[c] = b
+            used.add(b)
+        else:
+            remap.append(c)
+    if not remap:  # the flavor must exercise at least one /Differences hit
+        c = uniq[h % len(uniq)]
+        remap.append(c)
+        used.discard(keep_bytes.pop(c))
+    code_of = dict(keep_bytes)
+    diffs: list[bytes] = []
+    nxt = 255
+    for c in remap:
+        while nxt >= 1 and nxt in used:
+            nxt -= 1
+        if nxt < 1:
+            raise ValueError(
+                "diff text page ran out of byte codes (too many unique"
+                " characters)"
+            )
+        code_of[c] = nxt
+        used.add(nxt)
+        diffs.append(b"%d /%s" % (nxt, unicode_to_glyph(c).encode("ascii")))
+        nxt -= 1
+    base_win = any(b >= 0x80 for b in keep_bytes.values()) or bool(h & 2)
+    encdict = b"<< /Type /Encoding"
+    if base_win:
+        encdict += b" /BaseEncoding /WinAnsiEncoding"
+    encdict += b" /Differences [" + b" ".join(diffs) + b"] >>"
+    fbody = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier /Encoding "
+        + encdict
+        + b" >>"
+    )
+    return fbody, _hex_show([code_of[c] for c in text])
+
+
+def _type3_page(
+    text: str,
+) -> tuple[bytes, float, int, list[str], bytes | None, bytes]:
+    """(FontMatrix scale as bytes, glyph-space width, FirstChar, glyph
+    names in code order, 1-byte ToUnicode CMap raw bytes or None,
+    content ops) for a Type3 font page. Unique characters get
+    sequential codes from a crc32-chosen FirstChar; widths live in
+    GLYPH space under a crc32-chosen /FontMatrix scale (the §9.6.5
+    machinery — effective advance is always the 600/1000-em Courier
+    metric). Half the pages map codes to text via AGL /Differences
+    names, half via a 1-byte /ToUnicode CMap (with opaque gN glyph
+    names, proving the extractor never needs the procedures).
+    Extractor twin: pdf_text._load_font's Type3 branch."""
+    from .glyph_names import unicode_to_glyph
+
+    uniq = sorted(set(text))
+    if not uniq:
+        raise ValueError("type3 text page needs at least one character")
+    h = zlib.crc32(b"pdf-type3:" + text.encode("utf-8"))
+    first = (1, 33, 65)[h % 3]
+    if first + len(uniq) - 1 > 255:
+        first = 1
+    if len(uniq) > 255:
+        raise ValueError(
+            "type3 text page needs <= 255 unique characters"
+        )
+    scale, width = ((b"0.001", 600.0), (b"0.01", 60.0), (b"0.05", 12.0))[
+        (h >> 2) % 3
+    ]
+    code_of = {c: first + i for i, c in enumerate(uniq)}
+    use_tounicode = bool((h >> 4) & 1)
+    if use_tounicode:
+        names = ["g%d" % i for i in range(len(uniq))]
+        lines = [
+            b"/CIDInit /ProcSet findresource begin",
+            b"12 dict begin",
+            b"begincmap",
+            b"1 begincodespacerange",
+            b"<00> <ff>",
+            b"endcodespacerange",
+            b"%d beginbfchar" % len(uniq),
+        ]
+        for i, c in enumerate(uniq):
+            lines.append(
+                b"<%02x> <%s>"
+                % (first + i, c.encode("utf-16-be").hex().encode("ascii"))
+            )
+        lines += [b"endbfchar", b"endcmap", b"end", b"end"]
+        cmap = b"\n".join(lines)
+    else:
+        names = [unicode_to_glyph(c) for c in uniq]
+        cmap = None
+    return scale, width, first, names, cmap, _hex_show(
+        [code_of[c] for c in text]
+    )
+
+
 def encode_pdf(
     pages: list[np.ndarray | str],
     page_refs: list[str] | None = None,
@@ -339,7 +466,13 @@ def encode_pdf(
     exact Courier metrics with margin wrapping (spacing must be
     reconstructed from geometry, the pdftotext problem); "cid" an
     Identity-H Type0 font with sequential 2-byte codes and a
-    /ToUnicode CMap (bfchar + bfrange); "mix" crc32-chooses per page.
+    /ToUnicode CMap (bfchar + bfrange); "diff" a simple font whose
+    /Encoding /Differences array remaps a subset (or all) of the
+    shown characters to free byte codes addressed by AGL glyph names
+    (the subsetted-font layout); "type3" a /Subtype /Type3 font with
+    /FontMatrix-scaled glyph-space /Widths, trivial d0 /CharProcs,
+    and either AGL /Differences names or a 1-byte /ToUnicode CMap;
+    "mix" crc32-chooses per page.
     The extractor twin is functions/pdf_text.py; every flavor
     roundtrips the exact string (words: for space-trimmed single-line
     text).
@@ -379,11 +512,12 @@ def encode_pdf(
     if xref_format not in ("classic", "stream"):
         raise ValueError(f"xref_format must be 'classic' or 'stream', got {xref_format!r}")
     if text_format not in (
-        "literal", "hex", "tj", "words", "para", "cid", "mix",
+        "literal", "hex", "tj", "words", "para", "cid", "diff", "type3",
+        "mix",
     ):
         raise ValueError(
             "text_format must be 'literal'/'hex'/'tj'/'words'/'para'/"
-            f"'cid'/'mix', got {text_format!r}"
+            f"'cid'/'diff'/'type3'/'mix', got {text_format!r}"
         )
     for p in pages:
         if isinstance(p, str):
@@ -540,9 +674,10 @@ def encode_pdf(
             tfmt = text_format
             if tfmt == "mix":
                 ref = page_refs[page_i] if page_refs else str(page_i)
-                tfmt = ("literal", "hex", "tj", "words", "para", "cid")[
-                    zlib.crc32(b"pdf-text-flavor:" + ref.encode()) % 6
-                ]
+                tfmt = (
+                    "literal", "hex", "tj", "words", "para", "cid",
+                    "diff", "type3",
+                )[zlib.crc32(b"pdf-text-flavor:" + ref.encode()) % 8]
             if tfmt == "cid":
                 cmap_raw, w_entry, ops = _cid_page(page)
                 cdata = enc_bytes(len(objs) + 1, zlib.compress(cmap_raw, 6))
@@ -574,6 +709,55 @@ def encode_pdf(
                     b" /Encoding /Identity-H /DescendantFonts [%d 0 R]"
                     b" /ToUnicode %d 0 R >>" % (desc_num, cmap_num)
                 )
+            elif tfmt == "diff":
+                fbody, ops = _diff_page(page)
+                font_num = add(fbody)
+            elif tfmt == "type3":
+                scale, gwidth, first, names, cmap_raw, ops = _type3_page(
+                    page
+                )
+                proc = b"%s 0 d0" % _fmt_num(gwidth)
+                proc_nums = []
+                for _ in names:
+                    pdata = enc_bytes(len(objs) + 1, proc)
+                    proc_nums.append(
+                        add(
+                            b"<< /Length %d >>\nstream\n" % len(pdata)
+                            + pdata + b"\nendstream",
+                            stream=True,
+                        )
+                    )
+                charprocs = b" ".join(
+                    b"/%s %d 0 R" % (nm.encode("ascii"), pn)
+                    for nm, pn in zip(names, proc_nums)
+                )
+                fbody = (
+                    b"<< /Type /Font /Subtype /Type3"
+                    b" /FontBBox [0 0 %s %s]"
+                    b" /FontMatrix [%s 0 0 %s 0 0]"
+                    b" /FirstChar %d /LastChar %d /Widths [%s]"
+                    b" /CharProcs << %s >>"
+                    b" /Encoding << /Type /Encoding /Differences [%d %s] >>"
+                ) % (
+                    _fmt_num(gwidth), _fmt_num(gwidth * 1.2),
+                    scale, scale,
+                    first, first + len(names) - 1,
+                    b" ".join(_fmt_num(gwidth) for _ in names),
+                    charprocs,
+                    first,
+                    b" ".join(b"/" + nm.encode("ascii") for nm in names),
+                )
+                if cmap_raw is not None:
+                    cdata = enc_bytes(
+                        len(objs) + 1, zlib.compress(cmap_raw, 6)
+                    )
+                    cmap_num = add(
+                        b"<< /Filter /FlateDecode /Length %d >>\nstream\n"
+                        % len(cdata) + cdata + b"\nendstream",
+                        stream=True,
+                    )
+                    fbody += b" /ToUnicode %d 0 R" % cmap_num
+                font_num = add(fbody + b" >>")
             else:
                 if tfmt == "literal":
                     ops = (
@@ -2491,7 +2675,8 @@ def pdf_text_store_df(
     born-digital PDF per document, each TEXT span a real text page
     (content-stream show operators, functions/pdf.py writer) whose
     page ref carries the span offset. `mix=True` crc32-chooses the
-    text layout per page (literal/hex/TJ/positioned-words/CID) plus
+    text layout per page (literal/hex/TJ/positioned-words/CID/
+    Differences-remapped/Type3) plus
     the xref layout and an encryption quarter per document — the
     whole §9 text surface behind one operator. Span selection runs
     JVM-side (filter/transform HOFs); only the writer runs in the

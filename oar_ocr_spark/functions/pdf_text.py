@@ -19,17 +19,23 @@ the page's left text edge.
 Scope (declared, fails loudly outside it — the codec-seam contract):
 horizontal unrotated unmirrored text only; simple fonts with standard
 encodings (codes ≥ 128 via cp1252 for /WinAnsiEncoding) or /ToUnicode;
-/Differences encoding arrays, Type3 fonts, vertical/Identity-V CID
-fonts, Type0 fonts without /ToUnicode, and non-fixed-pitch base-14
-metrics (no /Widths) are NotImplementedError. Reference handles PDF
-text through `hayro` (oar-ocr Cargo.toml:20); this is the from-scratch
-vectorless twin.
+/Encoding /Differences arrays resolve glyph names through the AGL
+subset (functions/glyph_names.py), layered over the base encoding;
+Type3 fonts extract via their /FontMatrix-scaled /Widths plus
+/Differences names (or /ToUnicode) — glyph procedures are never
+executed. Vertical/Identity-V CID fonts, Type0 fonts without
+/ToUnicode, glyph names outside the AGL subset, skewed/mirrored
+Type3 font matrices, and non-fixed-pitch base-14 metrics (no
+/Widths) are NotImplementedError. Reference handles PDF text through
+`hayro` (oar-ocr Cargo.toml:20); this is the from-scratch vectorless
+twin.
 """
 
 from __future__ import annotations
 
 import re
 
+from .glyph_names import glyph_to_unicode
 from .pdf import (
     PdfDocument,
     _apply_stream_filters,
@@ -78,14 +84,21 @@ _FIXED_PITCH_BASE14 = re.compile(r"(?:^|\+)Courier")
 
 class _Font:
     """Resolved font attributes for extraction: code size, glyph
-    widths (glyph units, /1000 em), and the code→unicode map."""
+    widths (glyph units, /1000 em), and the code→unicode map.
+    `diff_names` carries /Differences glyph names (code → name,
+    resolved lazily through the AGL subset so only SHOWN codes must
+    be mappable); `names_only` (Type3) forbids falling back to a
+    byte encoding — every shown code needs a name or /ToUnicode."""
 
-    def __init__(self, two_byte, widths, default_w, tounicode, cp1252):
+    def __init__(self, two_byte, widths, default_w, tounicode, cp1252,
+                 diff_names=None, names_only=False):
         self.two_byte = two_byte
         self.widths = widths  # dict[int, float] | None
         self.default_w = default_w
         self.tounicode = tounicode  # dict[int, str] | None
         self.cp1252 = cp1252
+        self.diff_names = diff_names  # dict[int, str] | None
+        self.names_only = names_only
 
     def width(self, code: int) -> float:
         if self.widths is not None and code in self.widths:
@@ -119,15 +132,32 @@ class _Font:
             raise NotImplementedError(
                 "Type0 font without /ToUnicode not supported"
             )
-        b = bytes(codes)
-        if self.cp1252:
-            return b.decode("cp1252", errors="strict")
-        if any(c >= 128 for c in codes):
-            raise NotImplementedError(
-                "simple-font codes >= 128 without /WinAnsiEncoding or"
-                " /ToUnicode not supported"
-            )
-        return b.decode("latin-1")
+        out = []
+        for c in codes:
+            nm = self.diff_names.get(c) if self.diff_names else None
+            if nm is not None:
+                try:
+                    out.append(glyph_to_unicode(nm))
+                except KeyError as e:
+                    raise NotImplementedError(
+                        f"/Differences glyph name /{nm} outside the AGL"
+                        " subset"
+                    ) from e
+            elif self.names_only:
+                raise ValueError(
+                    f"Type3 code {c} has no /Differences name or"
+                    " /ToUnicode entry"
+                )
+            elif self.cp1252:
+                out.append(bytes([c]).decode("cp1252", errors="strict"))
+            elif c >= 128:
+                raise NotImplementedError(
+                    "simple-font codes >= 128 without /WinAnsiEncoding,"
+                    " /Differences, or /ToUnicode not supported"
+                )
+            else:
+                out.append(chr(c))
+        return "".join(out)
 
 
 def _u16_str(hexdigits: bytes) -> str:
@@ -188,6 +218,34 @@ def _parse_tounicode(raw: bytes) -> dict[int, str]:
     return out
 
 
+def _parse_differences(doc: PdfDocument, arr) -> dict[int, str]:
+    """§9.6.6.3 /Differences array → code → glyph-name map: each
+    number restarts the code counter, each name takes the next code."""
+    arr = doc.resolve(arr)
+    if not isinstance(arr, list):
+        raise ValueError("/Differences is not an array")
+    names: dict[int, str] = {}
+    code = None
+    for el in arr:
+        el = doc.resolve(el)
+        if isinstance(el, bool):
+            raise ValueError("/Differences entry is not a number or name")
+        if isinstance(el, (int, float)):
+            code = int(el)
+            if not 0 <= code <= 255:
+                raise ValueError("/Differences code outside 0..255")
+        elif isinstance(el, _Name):
+            if code is None:
+                raise ValueError("/Differences name before any code")
+            if code > 255:
+                raise ValueError("/Differences run past code 255")
+            names[code] = str(el)
+            code += 1
+        else:
+            raise ValueError("/Differences entry is not a number or name")
+    return names
+
+
 def _load_font(doc: PdfDocument, fdict) -> _Font:
     fdict = doc.resolve(fdict)
     if isinstance(fdict, tuple):
@@ -234,19 +292,58 @@ def _load_font(doc: PdfDocument, fdict) -> _Font:
         return _Font(True, widths or None, default_w, tounicode, False)
 
     if sub == "Type3":
-        raise NotImplementedError("Type3 fonts not supported")
+        # §9.6.5: widths live in GLYPH space, carried to text space by
+        # /FontMatrix — normalize into the /1000-em convention the
+        # show machinery divides by. Glyph procedures are never run;
+        # text comes from /ToUnicode or the /Encoding /Differences
+        # names (required for Type3), so every shown code must have
+        # one.
+        fm = doc.resolve(fdict.get("FontMatrix"))
+        if not isinstance(fm, list) or len(fm) != 6:
+            raise ValueError("Type3 font without a valid /FontMatrix")
+        fm = [float(doc.resolve(x)) for x in fm]
+        if abs(fm[1]) > 1e-12 or abs(fm[2]) > 1e-12:
+            raise NotImplementedError(
+                "skewed/rotated Type3 /FontMatrix not supported"
+            )
+        if fm[0] <= 0:
+            raise NotImplementedError(
+                "mirrored/degenerate Type3 /FontMatrix not supported"
+            )
+        if "Widths" not in fdict or "FirstChar" not in fdict:
+            raise ValueError("Type3 font missing /Widths or /FirstChar")
+        scale = fm[0] * 1000.0
+        first = int(doc.resolve(fdict["FirstChar"]))
+        warr = doc.resolve(fdict["Widths"])
+        widths = {
+            first + i: float(doc.resolve(w)) * scale
+            for i, w in enumerate(warr)
+        }
+        enc = doc.resolve(fdict.get("Encoding"))
+        diff_names = None
+        if isinstance(enc, dict) and "Differences" in enc:
+            diff_names = _parse_differences(doc, enc["Differences"])
+        if tounicode is None and not diff_names:
+            raise ValueError(
+                "Type3 font without /ToUnicode or /Differences names"
+            )
+        return _Font(
+            False, widths, 0.0, tounicode, False,
+            diff_names=diff_names, names_only=True,
+        )
 
     # simple font (Type1 / TrueType)
     enc = fdict.get("Encoding")
     cp1252 = False
+    diff_names = None
     if enc is not None:
         enc = doc.resolve(enc)
         if isinstance(enc, dict):
             if "Differences" in enc:
-                raise NotImplementedError(
-                    "/Differences encoding arrays not supported"
-                )
+                diff_names = _parse_differences(doc, enc["Differences"])
             enc = enc.get("BaseEncoding")
+            if enc is not None:
+                enc = doc.resolve(enc)
         if enc is not None and not isinstance(enc, _Name):
             raise ValueError("font /Encoding is not a name or dict")
         cp1252 = str(enc) == "WinAnsiEncoding"
@@ -270,7 +367,9 @@ def _load_font(doc: PdfDocument, fdict) -> _Font:
                 " (fixed-pitch Courier only without /Widths)"
             )
         default_w = 600.0
-    return _Font(False, widths, default_w, tounicode, cp1252)
+    return _Font(
+        False, widths, default_w, tounicode, cp1252, diff_names=diff_names
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -58,7 +58,7 @@ class TestWriterRoundtrips:
     ]
 
     @pytest.mark.parametrize(
-        "fmt", ["literal", "hex", "tj", "words", "cid", "mix"]
+        "fmt", ["literal", "hex", "tj", "words", "cid", "diff", "type3", "mix"]
     )
     def test_all_flavors(self, fmt):
         data = encode_pdf(
@@ -115,6 +115,54 @@ class TestWriterRoundtrips:
         assert got == [pages[0], None, pages[2]]
         doc = PdfDocument(data)
         assert np.array_equal(doc.page_image(doc.pages()[1]), img)
+
+    def test_diff_flavor_roundtrips_beyond_cp1252(self):
+        # /Differences glyph names (uniXXXX fallback) carry characters
+        # the byte encodings cannot; Greek exercises the AGL quirks
+        # table (Delta→INCREMENT etc. live on the EXTRACT side only —
+        # the writer emits uniXXXX for codepoints without a table name)
+        t = "Δαβ mixed ∈ math — café"
+        assert decode_pdf_text(encode_pdf([t], ["r"], text_format="diff")) == [t]
+
+    def test_type3_flavor_roundtrips_beyond_cp1252(self):
+        t = "Δαβ mixed ∈ math — café"
+        assert decode_pdf_text(encode_pdf([t], ["r"], text_format="type3")) == [t]
+
+    def test_diff_and_type3_with_spaces_and_escapes(self):
+        t = r"pa(ren)s \back\  double  gap %"
+        for fmt in ("diff", "type3"):
+            assert decode_pdf_text(
+                encode_pdf([t], ["r"], text_format=fmt)
+            ) == [t], fmt
+
+    def test_diff_type3_encrypted_stream_xref(self):
+        for fmt in ("diff", "type3"):
+            data = encode_pdf(
+                self.TEXTS, [str(i) for i in range(len(self.TEXTS))],
+                text_format=fmt, xref_format="stream", encrypt="aes-128",
+            )
+            assert decode_pdf_text(data) == self.TEXTS, fmt
+
+    def test_mix_covers_diff_and_type3(self):
+        # refs chosen so the crc32 chooser lands on both new flavors
+        import zlib
+
+        flavors = {}
+        for i in range(64):
+            r = f"mixref{i}"
+            flavors.setdefault(
+                zlib.crc32(b"pdf-text-flavor:" + r.encode()) % 8, r
+            )
+        assert {6, 7} <= set(flavors), "chooser never picks diff/type3"
+        refs = [flavors[6], flavors[7]]
+        texts = ["first diff page", "second type3 page"]
+        data = encode_pdf(texts, refs, text_format="mix")
+        assert decode_pdf_text(data) == texts
+
+    def test_type3_unique_char_capacity_guard(self):
+        t = "".join(chr(0x4E00 + i) for i in range(256))
+        with pytest.raises(ValueError, match="255 unique"):
+            encode_pdf([t], ["r"], text_format="type3")
 
     def test_words_mode_rejects_untrimmed(self):
         with pytest.raises(ValueError, match="space-trimmed"):
@@ -320,21 +368,191 @@ class TestCMaps:
             page_text(doc, doc.pages()[0])
 
 
+class TestDifferencesEncoding:
+    """§9.6.6.3 /Differences arrays over the AGL subset
+    (functions/glyph_names.py)."""
+
+    def test_remapped_code(self):
+        font = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+            b" /Encoding << /BaseEncoding /WinAnsiEncoding"
+            b" /Differences [65 /zero] >> >>"
+        )
+        c = b"BT /F0 12 Tf 72 720 Td (A) Tj ET"
+        assert _extract(c, font_body=font) == "0"
+
+    def test_consecutive_names_take_consecutive_codes(self):
+        font = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+            b" /Encoding << /Differences [65 /one /two 97 /three] >> >>"
+        )
+        c = b"BT /F0 12 Tf 72 720 Td (ABa) Tj ET"
+        assert _extract(c, font_body=font) == "123"
+
+    def test_unmapped_codes_fall_through_to_base(self):
+        font = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+            b" /Encoding << /BaseEncoding /WinAnsiEncoding"
+            b" /Differences [161 /Euro] >> >>"
+        )
+        # 0xA1 remapped to Euro; 'h'/'i' and cp1252 0x92 (’) untouched
+        c = b"BT /F0 12 Tf 72 720 Td <68A16992> Tj ET"
+        assert _extract(c, font_body=font) == "h€i’"
+
+    def test_high_code_with_name_but_no_base_encoding(self):
+        font = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+            b" /Encoding << /Differences [200 /emdash] >> >>"
+        )
+        c = b"BT /F0 12 Tf 72 720 Td <61C862> Tj ET"
+        assert _extract(c, font_body=font) == "a—b"
+
+    def test_uni_and_ligature_names(self):
+        font = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+            b" /Encoding << /Differences [65 /uni0058 66 /f_i] >> >>"
+        )
+        c = b"BT /F0 12 Tf 72 720 Td (AB) Tj ET"
+        assert _extract(c, font_body=font) == "Xfi"
+
+    def test_tounicode_wins_over_differences(self):
+        cmap = (
+            b"beginbfchar\n<41> <0059>\nendbfchar"
+        )
+        stream = (
+            b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+        )
+        font = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+            b" /Encoding << /Differences [65 /zero] >>"
+            b" /ToUnicode 6 0 R >>"
+        )
+        c = b"BT /F0 12 Tf 72 720 Td (A) Tj ET"
+        assert _extract(c, font_body=font, extra_objs=(stream,)) == "Y"
+
+    def test_widths_still_keyed_by_code(self):
+        # remapped code keeps ITS OWN /Widths entry: code 65 is 1200
+        # glyph units (14.4 pt at 12 pt) so the next show 14.4 pt away
+        # abuts with no space
+        font = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+            b" /Encoding << /Differences [65 /plus] >>"
+            b" /FirstChar 65 /LastChar 65 /Widths [1200] >>"
+        )
+        c = (
+            b"BT /F0 12 Tf 72 720 Td (A) Tj ET"
+            b" BT /F0 12 Tf 86.4 720 Td (A) Tj ET"
+        )
+        assert _extract(c, font_body=font) == "++"
+
+
+class TestType3Fonts:
+    """Type3 extraction: /FontMatrix-scaled widths + name-driven
+    text, glyph procedures never executed."""
+
+    FONT = (
+        b"<< /Type /Font /Subtype /Type3"
+        b" /FontBBox [0 0 500 600]"
+        b" /FontMatrix [0.002 0 0 0.002 0 0]"
+        b" /CharProcs << >>"
+        b" /FirstChar 32 /Widths [300 300 300]"
+        b" /Encoding << /Differences [32 /space /h /i] >> >>"
+    )
+
+    def test_basic_show(self):
+        c = b"BT /F0 12 Tf 72 720 Td (!\") Tj ET"
+        assert _extract(c, font_body=self.FONT) == "hi"
+
+    def test_fontmatrix_scales_widths(self):
+        # width 300 glyph units x 0.002 = 0.6 em = 7.2 pt at 12 pt:
+        # two shows 7.2 pt apart abut; 14.4 pt apart gap = one space
+        c = (
+            b"BT /F0 12 Tf 72 720 Td (!) Tj ET"
+            b" BT /F0 12 Tf 79.2 720 Td (\") Tj ET"
+            b" BT /F0 12 Tf 93.6 720 Td (!) Tj ET"
+        )
+        assert _extract(c, font_body=self.FONT) == "hi h"
+
+    def test_space_metrics_from_code_32(self):
+        # the geometric space reconstruction uses width(32) through
+        # the FontMatrix scaling
+        c = b"BT /F0 12 Tf 72 720 Td (! !) Tj ET"
+        assert _extract(c, font_body=self.FONT) == "h h"
+
+    def test_tounicode_suffices_without_differences(self):
+        cmap = b"beginbfchar\n<21> <0041>\nendbfchar"
+        stream = (
+            b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+        )
+        font = (
+            b"<< /Type /Font /Subtype /Type3"
+            b" /FontMatrix [0.001 0 0 0.001 0 0]"
+            b" /CharProcs << >>"
+            b" /FirstChar 33 /Widths [600]"
+            b" /ToUnicode 6 0 R >>"
+        )
+        c = b"BT /F0 12 Tf 72 720 Td (!) Tj ET"
+        assert _extract(c, font_body=font, extra_objs=(stream,)) == "A"
+
+
 class TestDeclaredGuards:
-    def test_differences_encoding(self):
+    def test_differences_glyph_outside_agl(self):
         font = (
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
             b" /Encoding << /BaseEncoding /WinAnsiEncoding"
             b" /Differences [65 /heart] >> >>"
         )
         c = b"BT /F0 12 Tf 72 720 Td (A) Tj ET"
-        with pytest.raises(NotImplementedError, match="Differences"):
+        with pytest.raises(NotImplementedError, match="AGL"):
             _extract(c, font_body=font)
 
-    def test_type3_font(self):
+    def test_type3_without_fontmatrix(self):
         font = b"<< /Type /Font /Subtype /Type3 /CharProcs << >> >>"
         c = b"BT /F0 12 Tf 72 720 Td (A) Tj ET"
-        with pytest.raises(NotImplementedError, match="Type3"):
+        with pytest.raises(ValueError, match="FontMatrix"):
+            _extract(c, font_body=font)
+
+    def test_type3_skewed_fontmatrix(self):
+        font = (
+            b"<< /Type /Font /Subtype /Type3 /CharProcs << >>"
+            b" /FontMatrix [0.001 0.0002 0 0.001 0 0]"
+            b" /FirstChar 65 /Widths [600]"
+            b" /Encoding << /Differences [65 /A] >> >>"
+        )
+        c = b"BT /F0 12 Tf 72 720 Td (A) Tj ET"
+        with pytest.raises(NotImplementedError, match="skewed"):
+            _extract(c, font_body=font)
+
+    def test_type3_mirrored_fontmatrix(self):
+        font = (
+            b"<< /Type /Font /Subtype /Type3 /CharProcs << >>"
+            b" /FontMatrix [-0.001 0 0 0.001 0 0]"
+            b" /FirstChar 65 /Widths [600]"
+            b" /Encoding << /Differences [65 /A] >> >>"
+        )
+        c = b"BT /F0 12 Tf 72 720 Td (A) Tj ET"
+        with pytest.raises(NotImplementedError, match="mirrored"):
+            _extract(c, font_body=font)
+
+    def test_type3_without_names_or_tounicode(self):
+        font = (
+            b"<< /Type /Font /Subtype /Type3 /CharProcs << >>"
+            b" /FontMatrix [0.001 0 0 0.001 0 0]"
+            b" /FirstChar 65 /Widths [600] >>"
+        )
+        c = b"BT /F0 12 Tf 72 720 Td (A) Tj ET"
+        with pytest.raises(ValueError, match="Differences"):
+            _extract(c, font_body=font)
+
+    def test_type3_shown_code_without_name(self):
+        font = (
+            b"<< /Type /Font /Subtype /Type3 /CharProcs << >>"
+            b" /FontMatrix [0.001 0 0 0.001 0 0]"
+            b" /FirstChar 65 /Widths [600 600]"
+            b" /Encoding << /Differences [65 /A] >> >>"
+        )
+        c = b"BT /F0 12 Tf 72 720 Td (AB) Tj ET"
+        with pytest.raises(ValueError, match="no /Differences name"):
             _extract(c, font_body=font)
 
     def test_identity_v_vertical(self):
