@@ -16,23 +16,37 @@ advances between runs on one line becomes round(gap/space) spaces, and
 line breaks join with a single separator plus the indent relative to
 the page's left text edge.
 
+Rotated text is real data, not an edge: landscape pages are commonly
+written under a rotated CTM (`0 1 -1 0 … cm`), and deskewed scans
+carry small arbitrary-angle rotations. The machinery therefore
+accepts ANY positive-determinant similarity text-rendering matrix
+(pure rotation × uniform scale): each run is projected into its
+reading frame — u along the text advance direction e_u=(a,b)/s, line
+coordinate w along −e_v — so line grouping, ordering, and geometric
+space reconstruction work identically at every angle (the horizontal
+case reduces exactly to u=x, w=−y). Pages mixing orientations
+(rotated marginalia beside a horizontal body) assemble each
+orientation group separately, ordered by rotation angle in [0, 2π)
+— horizontal body first — and joined by `line_sep`.
+
 Scope (declared, fails loudly outside it — the codec-seam contract):
-horizontal unrotated unmirrored text only; simple fonts with standard
-encodings (codes ≥ 128 via cp1252 for /WinAnsiEncoding) or /ToUnicode;
-/Encoding /Differences arrays resolve glyph names through the AGL
-subset (functions/glyph_names.py), layered over the base encoding;
-Type3 fonts extract via their /FontMatrix-scaled /Widths plus
-/Differences names (or /ToUnicode) — glyph procedures are never
-executed. Vertical/Identity-V CID fonts, Type0 fonts without
-/ToUnicode, glyph names outside the AGL subset, skewed/mirrored
-Type3 font matrices, and non-fixed-pitch base-14 metrics (no
-/Widths) are NotImplementedError. Reference handles PDF text through
-`hayro` (oar-ocr Cargo.toml:20); this is the from-scratch vectorless
-twin.
+similarity (unskewed, unmirrored) text matrices only; simple fonts
+with standard encodings (codes ≥ 128 via cp1252 for /WinAnsiEncoding)
+or /ToUnicode; /Encoding /Differences arrays resolve glyph names
+through the AGL subset (functions/glyph_names.py), layered over the
+base encoding; Type3 fonts extract via their /FontMatrix-scaled
+/Widths plus /Differences names (or /ToUnicode) — glyph procedures
+are never executed. Vertical/Identity-V CID fonts, Type0 fonts
+without /ToUnicode, glyph names outside the AGL subset,
+skewed/mirrored matrices (text or Type3 /FontMatrix), and
+non-fixed-pitch base-14 metrics (no /Widths) are NotImplementedError.
+Reference handles PDF text through `hayro` (oar-ocr Cargo.toml:20);
+this is the from-scratch vectorless twin.
 """
 
 from __future__ import annotations
 
+import math
 import re
 
 from .glyph_names import glyph_to_unicode
@@ -423,11 +437,17 @@ def _tokens(data: bytes):
 
 
 class _Run:
-    __slots__ = ("y", "x0", "x1", "text", "space_adv")
+    """One show-operator run in its READING frame: `u0`/`u1` along the
+    text advance direction e_u, `w` along −e_v (larger w = later
+    line), `okey` the 9-dp-quantized e_u grouping orientation. For
+    horizontal text u=x, w=−y — the classic pdftotext frame."""
 
-    def __init__(self, y, x0, x1, text, space_adv):
-        self.y, self.x0, self.x1 = y, x0, x1
+    __slots__ = ("w", "u0", "u1", "text", "space_adv", "okey")
+
+    def __init__(self, w, u0, u1, text, space_adv, okey):
+        self.w, self.u0, self.u1 = w, u0, u1
         self.text, self.space_adv = text, space_adv
+        self.okey = okey
 
 
 def _page_runs(doc: PdfDocument, page: dict) -> list[_Run]:
@@ -483,12 +503,20 @@ def _page_runs(doc: PdfDocument, page: dict) -> list[_Run]:
         if not codes:
             return
         rm = _mult(tm, ctm)
-        if abs(rm[1]) > 1e-9 or abs(rm[2]) > 1e-9:
-            raise NotImplementedError(
-                "rotated/skewed text matrices not supported"
-            )
-        if rm[0] <= 0 or rm[3] <= 0:
+        a, b, c, d = rm[0], rm[1], rm[2], rm[3]
+        # Accept any positive-determinant SIMILARITY (rotation ×
+        # uniform scale): (a b; c d) = s·(cosθ sinθ; −sinθ cosθ).
+        # Landscape pages and deskewed scans land here; shears /
+        # anisotropic scales / mirrors stay declared boundaries.
+        scale = math.hypot(a, b)
+        if a * d - b * c <= 1e-12 or scale <= 1e-12:
             raise NotImplementedError("mirrored/degenerate text matrices")
+        tol = 1e-9 * max(1.0, scale)
+        if abs(a - d) > tol or abs(b + c) > tol:
+            raise NotImplementedError(
+                "skewed/anisotropic text matrices not supported"
+            )
+        ux, uy = a / scale, b / scale  # e_u; e_v = (−uy, ux)
         text = font.text(codes)
         tx_total = 0.0
         for code in codes:
@@ -496,12 +524,17 @@ def _page_runs(doc: PdfDocument, page: dict) -> list[_Run]:
             if code == 32 and not font.two_byte:
                 adv += tw
             tx_total += adv * tz / 100.0
-        x0 = rm[4]
-        y = rm[5] + ts * rm[3]
+        px = rm[4] + ts * c  # rise moves along text-space up: (0,ts)·M
+        py = rm[5] + ts * d
+        u0 = px * ux + py * uy
+        w = px * uy - py * ux  # −p·e_v: larger w = later line
         space = (
             font.space_advance_units() / 1000.0 * tfs + tc + tw
-        ) * tz / 100.0 * rm[0]
-        runs.append(_Run(y, x0, x0 + tx_total * rm[0], text, space))
+        ) * tz / 100.0 * scale
+        okey = (round(ux, 9), round(uy, 9))
+        runs.append(
+            _Run(w, u0, u0 + tx_total * scale, text, space, okey)
+        )
         tm = _mult(_trans(tx_total, 0.0), tm)
 
     def run(data: bytes, res: dict, parent_res: dict | None) -> None:
@@ -638,42 +671,63 @@ def _spaces(gap: float, space_adv: float) -> int:
     return int(gap / space_adv + 0.5)
 
 
-def page_text(
-    doc: PdfDocument, page: dict, line_sep: str = " "
-) -> str | None:
-    """Text of one page dict (from doc.pages()), or None when the page
-    draws no text (an image-only page). Runs sort into lines by
-    descending device y (tolerance 1 pt); within a line, horizontal
-    gaps of >= 0.6 space advances become round(gap/space) spaces; a
-    line break contributes `line_sep` plus the indent relative to the
-    leftmost line start on the page (the wrap convention of the writer
-    twin: one consumed space, any extra spacing kept as indent)."""
-    runs = _page_runs(doc, page)
-    if not runs:
-        return None
-    runs.sort(key=lambda r: (-r.y, r.x0))
+def _assemble_runs(runs: list[_Run], line_sep: str) -> str:
+    """Line assembly for one orientation group, in its reading frame:
+    runs sort into lines by ascending w (tolerance 1 pt — for
+    horizontal text w=−y, i.e. descending device y); within a line,
+    gaps of >= 0.6 space advances along e_u become round(gap/space)
+    spaces; a line break contributes `line_sep` plus the indent
+    relative to the group's leftmost line start (the wrap convention
+    of the writer twin: one consumed space, extra spacing kept as
+    indent)."""
+    runs.sort(key=lambda r: (r.w, r.u0))
     lines: list[list[_Run]] = []
     for r in runs:
-        if lines and abs(lines[-1][0].y - r.y) <= 1.0:
+        if lines and abs(lines[-1][0].w - r.w) <= 1.0:
             lines[-1].append(r)
         else:
             lines.append([r])
     for line in lines:
-        line.sort(key=lambda r: r.x0)  # rise (Ts) can break x order
-    margin = min(line[0].x0 for line in lines)
+        line.sort(key=lambda r: r.u0)  # rise (Ts) can break u order
+    margin = min(line[0].u0 for line in lines)
     parts: list[str] = []
     for li, line in enumerate(lines):
         if li:
             parts.append(line_sep)
         first = line[0]
-        parts.append(" " * _spaces(first.x0 - margin, first.space_adv))
+        parts.append(" " * _spaces(first.u0 - margin, first.space_adv))
         parts.append(first.text)
-        prev_end = first.x1
+        prev_end = first.u1
         for r in line[1:]:
-            parts.append(" " * _spaces(r.x0 - prev_end, r.space_adv))
+            parts.append(" " * _spaces(r.u0 - prev_end, r.space_adv))
             parts.append(r.text)
-            prev_end = max(prev_end, r.x1)
+            prev_end = max(prev_end, r.u1)
     return "".join(parts)
+
+
+def page_text(
+    doc: PdfDocument, page: dict, line_sep: str = " "
+) -> str | None:
+    """Text of one page dict (from doc.pages()), or None when the page
+    draws no text (an image-only page). Runs group by orientation
+    (9-dp-quantized text advance direction); groups assemble
+    independently in their own reading frames (`_assemble_runs`) and
+    join in ascending rotation-angle order in [0, 2π) — the horizontal
+    body first, then rotated marginalia — separated by `line_sep`."""
+    runs = _page_runs(doc, page)
+    if not runs:
+        return None
+    groups: dict[tuple, list[_Run]] = {}
+    for r in runs:
+        groups.setdefault(r.okey, []).append(r)
+
+    def angle(okey: tuple) -> float:
+        return math.atan2(okey[1], okey[0]) % (2.0 * math.pi)
+
+    return line_sep.join(
+        _assemble_runs(groups[k], line_sep)
+        for k in sorted(groups, key=angle)
+    )
 
 
 def decode_pdf_text(data: bytes, line_sep: str = " ") -> list[str | None]:

@@ -580,10 +580,11 @@ class TestDeclaredGuards:
         with pytest.raises(NotImplementedError, match="base-14 metrics"):
             _extract(c, font_body=font)
 
-    def test_rotated_text_matrix(self):
+    def test_rotated_text_matrix_now_extracts(self):
+        # Pure rotations graduated from declared boundary to supported
+        # input (TestRotatedText); only shears/mirrors remain guarded.
         c = b"BT /F0 12 Tf 0 1 -1 0 72 720 Tm (A) Tj ET"
-        with pytest.raises(NotImplementedError, match="rotated"):
-            _extract(c)
+        assert _extract(c) == "A"
 
     def test_high_codes_without_winansi(self):
         font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>"
@@ -866,3 +867,94 @@ class TestAnnotations:
             encode_pdf(
                 ["x"], annotations={0: [{"subtype": "stamp", "text": "y"}]}
             )
+
+
+class TestRotatedText:
+    """Similarity (rotation × uniform scale) text matrices: landscape
+    pages under a rotated CTM, deskewed arbitrary-angle scans, mixed
+    orientations, and the declared skew/mirror boundaries."""
+
+    def test_landscape_90ccw_line_order(self):
+        c = (
+            b"q 0 1 -1 0 612 0 cm BT /F0 12 Tf 72 700 Td"
+            b" (first line) Tj 0 -20 Td (second line) Tj ET Q"
+        )
+        assert _extract(c) == "first line second line"
+
+    def test_rotation_via_tm(self):
+        c = (
+            b"BT /F0 12 Tf 0 1 -1 0 612 100 Tm (via tm) Tj ET"
+        )
+        assert _extract(c) == "via tm"
+
+    def test_upside_down_180(self):
+        c = (
+            b"q -1 0 0 -1 612 792 cm BT /F0 12 Tf 72 700 Td"
+            b" (upside) Tj 0 -20 Td (down) Tj ET Q"
+        )
+        assert _extract(c) == "upside down"
+
+    def test_geometric_space_at_90(self):
+        # TJ kern of -600 glyph units = exactly one Courier space
+        # advance; the gap must reconstruct geometrically at 90deg
+        # just as it does horizontally.
+        c = (
+            b"q 0 1 -1 0 612 0 cm BT /F0 12 Tf 72 700 Td"
+            b" [(AB) -600 (CD)] TJ ET Q"
+        )
+        assert _extract(c) == "AB CD"
+
+    def test_arbitrary_angle_30deg(self):
+        c = (
+            b"q 0.866025404 0.5 -0.5 0.866025404 0 0 cm"
+            b" BT /F0 12 Tf 72 300 Td (tilt one) Tj"
+            b" 0 -20 Td (tilt two) Tj ET Q"
+        )
+        assert _extract(c) == "tilt one tilt two"
+
+    def test_rotated_scale_spacing(self):
+        # Uniform scale 2 at 90deg: advances and space thresholds all
+        # scale together, so the same kern still reads as one space.
+        c = (
+            b"q 0 2 -2 0 612 0 cm BT /F0 12 Tf 36 200 Td"
+            b" [(AB) -600 (CD)] TJ ET Q"
+        )
+        assert _extract(c) == "AB CD"
+
+    def test_mixed_orientation_groups(self):
+        # Horizontal body assembles first (angle 0), then the 90deg
+        # marginalia group, joined by the line separator.
+        c = (
+            b"BT /F0 12 Tf 72 700 Td (body text) Tj ET"
+            b" q 0 1 -1 0 612 0 cm BT /F0 12 Tf 72 60 Td (margin) Tj ET Q"
+        )
+        assert _extract(c) == "body text margin"
+
+    def test_horizontal_unchanged(self):
+        # The rotated machinery must reduce exactly to the historical
+        # horizontal frame (u=x, w=-y): indent + two lines.
+        c = (
+            b"BT /F0 12 Tf 72 700 Td (alpha beta) Tj"
+            b" 14.4 -20 Td (gamma) Tj ET"
+        )
+        assert _extract(c) == "alpha beta   gamma"
+
+    def test_skewed_matrix_guard(self):
+        c = b"q 1 0.2 0 1 0 0 cm BT /F0 12 Tf 72 700 Td (x) Tj ET Q"
+        with pytest.raises(NotImplementedError, match="skewed"):
+            _extract(c)
+
+    def test_anisotropic_scale_guard(self):
+        c = b"q 2 0 0 1 0 0 cm BT /F0 12 Tf 72 700 Td (x) Tj ET Q"
+        with pytest.raises(NotImplementedError, match="skewed"):
+            _extract(c)
+
+    def test_mirrored_matrix_guard(self):
+        c = b"q -1 0 0 1 612 0 cm BT /F0 12 Tf 72 700 Td (x) Tj ET Q"
+        with pytest.raises(NotImplementedError, match="mirrored"):
+            _extract(c)
+
+    def test_degenerate_matrix_guard(self):
+        c = b"q 0 0 0 0 0 0 cm BT /F0 12 Tf 72 700 Td (x) Tj ET Q"
+        with pytest.raises(NotImplementedError, match="degenerate"):
+            _extract(c)
