@@ -472,7 +472,12 @@ def encode_pdf(
     (the subsetted-font layout); "type3" a /Subtype /Type3 font with
     /FontMatrix-scaled glyph-space /Widths, trivial d0 /CharProcs,
     and either AGL /Differences names or a 1-byte /ToUnicode CMap;
-    "mix" crc32-chooses per page.
+    "rot" a ROTATED page — an inner crc32-chosen layout (any of the
+    eight above) drawn under a rotated CTM: 90° CCW / 270° landscape
+    (MediaBox swapped), 180°, or a small deskew-style arbitrary angle,
+    and for multi-word literal/hex pages sometimes SPLIT into two
+    orientation groups (horizontal body + rotated remainder) on one
+    page; "mix" crc32-chooses per page.
     The extractor twin is functions/pdf_text.py; every flavor
     roundtrips the exact string (words: for space-trimmed single-line
     text).
@@ -513,11 +518,11 @@ def encode_pdf(
         raise ValueError(f"xref_format must be 'classic' or 'stream', got {xref_format!r}")
     if text_format not in (
         "literal", "hex", "tj", "words", "para", "cid", "diff", "type3",
-        "mix",
+        "rot", "mix",
     ):
         raise ValueError(
             "text_format must be 'literal'/'hex'/'tj'/'words'/'para'/"
-            f"'cid'/'diff'/'type3'/'mix', got {text_format!r}"
+            f"'cid'/'diff'/'type3'/'rot'/'mix', got {text_format!r}"
         )
     for p in pages:
         if isinstance(p, str):
@@ -676,8 +681,42 @@ def encode_pdf(
                 ref = page_refs[page_i] if page_refs else str(page_i)
                 tfmt = (
                     "literal", "hex", "tj", "words", "para", "cid",
+                    "diff", "type3", "rot",
+                )[zlib.crc32(b"pdf-text-flavor:" + ref.encode()) % 9]
+            # rotated-page flavor: an inner layout drawn under a
+            # rotated CTM (landscape 90/270 with swapped MediaBox,
+            # 180, or a deskew-style arbitrary angle); extractor twin
+            # assembles in the reading frame (pdf_text._assemble_runs)
+            rot = None  # (cm operands, MediaBox)
+            rot_split = None  # (horizontal part, rotated part)
+            if tfmt == "rot":
+                rh = zlib.crc32(b"pdf-rot-flavor:" + page.encode("utf-8"))
+                tfmt = (
+                    "literal", "hex", "tj", "words", "para", "cid",
                     "diff", "type3",
-                )[zlib.crc32(b"pdf-text-flavor:" + ref.encode()) % 8]
+                )[rh % 8]
+                land, port = b"[0 0 792 612]", b"[0 0 612 792]"
+                rot = (
+                    (b"0 1 -1 0 792 0", land),
+                    (b"0 -1 1 0 0 612", land),
+                    (b"-1 0 0 -1 612 792", port),
+                    (b"0.976296 0.21644 -0.21644 0.976296 40 18", port),
+                )[(rh >> 3) % 4]
+                # mixed-orientation page: a horizontal body plus
+                # rotated remainder, joined by the extractor's group
+                # assembly (horizontal first, then by angle)
+                if (
+                    tfmt in ("literal", "hex")
+                    and (rh >> 5) & 1
+                    and " " in page
+                    and "  " not in page
+                    and page == page.strip(" ")
+                ):
+                    words = page.split(" ")
+                    k = 1 + (rh >> 6) % (len(words) - 1)
+                    rot_split = (
+                        " ".join(words[:k]), " ".join(words[k:])
+                    )
             if tfmt == "cid":
                 cmap_raw, w_entry, ops = _cid_page(page)
                 cdata = enc_bytes(len(objs) + 1, zlib.compress(cmap_raw, 6))
@@ -797,6 +836,33 @@ def encode_pdf(
                         + b"]"
                     )
                 font_num = add(fbody + b" >>")
+            mbox = b"[0 0 612 792]"
+            if rot is not None:
+                if rot_split is not None:
+                    def _one_show(txt: str) -> bytes:
+                        lead = b"BT /F0 12 Tf %s %s Td " % (
+                            _fmt_num(_TXT_X0), _fmt_num(_TXT_Y0)
+                        )
+                        if tfmt == "hex":
+                            return (
+                                lead + b"<"
+                                + _enc_simple(txt).hex().encode("ascii")
+                                + b"> Tj ET"
+                            )
+                        return (
+                            lead + _pdf_string_raw(_enc_simple(txt))
+                            + b" Tj ET"
+                        )
+
+                    ops = (
+                        _one_show(rot_split[0])
+                        + b" q %s cm " % rot[0]
+                        + _one_show(rot_split[1])
+                        + b" Q"
+                    )
+                else:
+                    ops = b"q %s cm " % rot[0] + ops + b" Q"
+                mbox = rot[1]
             # structural flavors real writers emit, crc32-chosen: a
             # quarter of pages route their text through a Form
             # XObject (/Matrix translation undone by the invoking cm;
@@ -808,7 +874,7 @@ def encode_pdf(
                 own_res = bool(wrap_h & 16)
                 fdict = (
                     b"<< /Type /XObject /Subtype /Form"
-                    b" /BBox [0 0 612 792] /Matrix [1 0 0 1 -30 -40]"
+                    b" /BBox " + mbox + b" /Matrix [1 0 0 1 -30 -40]"
                 )
                 if own_res:
                     fdict += b" /Resources << /Font << /F0 %d 0 R >> >>" % font_num
@@ -845,8 +911,8 @@ def encode_pdf(
             )
             kid_nums.append(
                 add(
-                    b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
-                    % pages_num
+                    b"<< /Type /Page /Parent %d 0 R /MediaBox " % pages_num
+                    + mbox
                     + b" /Resources " + resources
                     + b" /Contents %d 0 R" % content_num
                     + page_annots(page_i)
@@ -2676,7 +2742,7 @@ def pdf_text_store_df(
     (content-stream show operators, functions/pdf.py writer) whose
     page ref carries the span offset. `mix=True` crc32-chooses the
     text layout per page (literal/hex/TJ/positioned-words/CID/
-    Differences-remapped/Type3) plus
+    Differences-remapped/Type3/rotated-CTM) plus
     the xref layout and an encryption quarter per document — the
     whole §9 text surface behind one operator. Span selection runs
     JVM-side (filter/transform HOFs); only the writer runs in the

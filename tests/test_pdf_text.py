@@ -58,7 +58,9 @@ class TestWriterRoundtrips:
     ]
 
     @pytest.mark.parametrize(
-        "fmt", ["literal", "hex", "tj", "words", "cid", "diff", "type3", "mix"]
+        "fmt",
+        ["literal", "hex", "tj", "words", "cid", "diff", "type3", "rot",
+         "mix"],
     )
     def test_all_flavors(self, fmt):
         data = encode_pdf(
@@ -143,19 +145,21 @@ class TestWriterRoundtrips:
             )
             assert decode_pdf_text(data) == self.TEXTS, fmt
 
-    def test_mix_covers_diff_and_type3(self):
-        # refs chosen so the crc32 chooser lands on both new flavors
+    def test_mix_covers_diff_type3_and_rot(self):
+        # refs chosen so the crc32 chooser lands on every added flavor
         import zlib
 
         flavors = {}
-        for i in range(64):
+        for i in range(128):
             r = f"mixref{i}"
             flavors.setdefault(
-                zlib.crc32(b"pdf-text-flavor:" + r.encode()) % 8, r
+                zlib.crc32(b"pdf-text-flavor:" + r.encode()) % 9, r
             )
-        assert {6, 7} <= set(flavors), "chooser never picks diff/type3"
-        refs = [flavors[6], flavors[7]]
-        texts = ["first diff page", "second type3 page"]
+        assert {6, 7, 8} <= set(flavors), (
+            "chooser never picks diff/type3/rot"
+        )
+        refs = [flavors[6], flavors[7], flavors[8]]
+        texts = ["first diff page", "second type3 page", "third rot page"]
         data = encode_pdf(texts, refs, text_format="mix")
         assert decode_pdf_text(data) == texts
 
@@ -958,3 +962,79 @@ class TestRotatedText:
         c = b"q 0 0 0 0 0 0 cm BT /F0 12 Tf 72 700 Td (x) Tj ET Q"
         with pytest.raises(NotImplementedError, match="degenerate"):
             _extract(c)
+
+
+class TestRotWriterFlavor:
+    """text_format='rot': the writer's rotated-page layout — an inner
+    crc32-chosen flavor drawn under a rotated CTM (90/270 landscape
+    with swapped MediaBox, 180, deskew angle), sometimes split into
+    two orientation groups. The extractor twin is the reading-frame
+    assembly (TestRotatedText); these pin the WRITER surface the
+    pdf_text_store gate mixes in."""
+
+    TEXTS = [
+        f"rot sample {i} body with enough words to split {i * 3} tail"
+        for i in range(24)
+    ] + ["a", "x y", "solo"]
+
+    def test_every_rot_page_roundtrips(self):
+        for t in self.TEXTS:
+            data = encode_pdf([t], ["0"], text_format="rot")
+            assert decode_pdf_text(data) == [t], t
+
+    def test_rotation_variety_reached(self):
+        # classic-xref object dicts are plaintext: MediaBox shows the
+        # landscape (90/270) vs portrait (180/deskew) split, proving
+        # the sub-chooser exercises both page shapes over the set
+        boxes = set()
+        for t in self.TEXTS:
+            data = encode_pdf([t], ["0"], text_format="rot")
+            for mb in (b"[0 0 792 612]", b"[0 0 612 792]"):
+                if mb in data:
+                    boxes.add(mb)
+        assert len(boxes) == 2
+
+    def test_split_mixed_orientation_roundtrips(self):
+        # at least one page in the set draws two orientation groups
+        # (horizontal body + rotated remainder); all still roundtrip
+        # exactly through the group-angle assembly. Force one split
+        # deterministically by scanning for a double-BT content page.
+        import zlib as _z
+
+        found = False
+        for t in self.TEXTS:
+            rh = _z.crc32(b"pdf-rot-flavor:" + t.encode())
+            inner = (
+                "literal", "hex", "tj", "words", "para", "cid",
+                "diff", "type3",
+            )[rh % 8]
+            if inner in ("literal", "hex") and (rh >> 5) & 1 and " " in t:
+                found = True
+                data = encode_pdf([t], ["0"], text_format="rot")
+                assert decode_pdf_text(data) == [t], t
+        assert found, "no split page in the fixture set — widen TEXTS"
+
+    def test_rot_multipage_encrypted_stream_xref(self):
+        pages = self.TEXTS[:4]
+        data = encode_pdf(
+            pages, [str(i) for i in range(4)],
+            text_format="rot", xref_format="stream", encrypt="aes-128",
+        )
+        assert decode_pdf_text(data) == pages
+
+    def test_rot_beyond_cp1252_through_cid_inner(self):
+        # unicode outside WinAnsi only fits the cid/diff/type3 inner
+        # flavors; find one such draw and roundtrip it
+        import zlib as _z
+
+        for i in range(200):
+            t = f"Δαβ ∈ math {i}"
+            rh = _z.crc32(b"pdf-rot-flavor:" + t.encode())
+            if (
+                "literal", "hex", "tj", "words", "para", "cid",
+                "diff", "type3",
+            )[rh % 8] in ("cid", "diff", "type3"):
+                data = encode_pdf([t], ["0"], text_format="rot")
+                assert decode_pdf_text(data) == [t]
+                return
+        raise AssertionError("no cid/diff/type3 draw in 200 tries")
