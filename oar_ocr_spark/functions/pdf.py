@@ -818,15 +818,42 @@ def encode_pdf(
                     ops = _para_content(page)
                 else:
                     ops = _words_content(page)
-                # three real simple-font dict layouts: explicit
-                # WinAnsi, default (Standard) encoding, and a /Widths
-                # array the extractor must honor
-                fh = zlib.crc32(b"pdf-font-flavor:" + page.encode("utf-8")) % 3
+                # four real simple-font dict layouts: explicit
+                # WinAnsi, default (Standard) encoding, a /Widths
+                # array the extractor must honor, and a PROPORTIONAL
+                # standard-14 face with NO /Widths (viewer-metrics
+                # reliance, §9.6.2.2 — extractor resolves through the
+                # Core14 AFM tables in functions/base14.py)
+                fh = zlib.crc32(b"pdf-font-flavor:" + page.encode("utf-8")) % 4
                 if any(b >= 0x80 for b in _enc_simple(page)):
                     # high codes decode via cp1252 ONLY under an
-                    # explicit /WinAnsiEncoding entry
+                    # explicit /WinAnsiEncoding entry (and the AFM
+                    # tables are ASCII-range)
                     fh = 0
-                fbody = b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+                elif tfmt == "words" and fh == 3:
+                    # the words layout positions by fixed Courier
+                    # advances — keep its metrics fixed-pitch
+                    fh = 0
+                if fh == 3:
+                    face = (
+                        b"Helvetica", b"Helvetica-Bold",
+                        b"Helvetica-Oblique", b"Helvetica-BoldOblique",
+                        b"Times-Roman", b"Times-Bold", b"Times-Italic",
+                        b"Times-BoldItalic", b"Arial", b"Arial-BoldMT",
+                        b"TimesNewRomanPSMT", b"OARSUB+Helvetica",
+                    )[
+                        zlib.crc32(
+                            b"pdf-face-flavor:" + page.encode("utf-8")
+                        ) % 12
+                    ]
+                    fbody = (
+                        b"<< /Type /Font /Subtype /Type1 /BaseFont /"
+                        + face
+                    )
+                else:
+                    fbody = (
+                        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+                    )
                 if fh == 0:
                     fbody += b" /Encoding /WinAnsiEncoding"
                 elif fh == 2:

@@ -37,9 +37,14 @@ through the AGL subset (functions/glyph_names.py), layered over the
 base encoding; Type3 fonts extract via their /FontMatrix-scaled
 /Widths plus /Differences names (or /ToUnicode) — glyph procedures
 are never executed. Vertical/Identity-V CID fonts, Type0 fonts
-without /ToUnicode, glyph names outside the AGL subset,
-skewed/mirrored matrices (text or Type3 /FontMatrix), and
-non-fixed-pitch base-14 metrics (no /Widths) are NotImplementedError.
+without /ToUnicode, glyph names outside the AGL subset, and
+skewed/mirrored matrices (text or Type3 /FontMatrix) are
+NotImplementedError. Fonts WITHOUT /Widths use built-in standard-14
+metrics: fixed-pitch Courier, plus the proportional Helvetica and
+Times families (and their Arial/TimesNewRoman substitution aliases)
+through the public Adobe Core14 AFM tables (functions/base14.py) —
+ASCII-range glyphs only; showing a glyph outside the table is the
+declared loud boundary.
 Reference handles PDF text through `hayro` (oar-ocr Cargo.toml:20);
 this is the from-scratch vectorless twin.
 """
@@ -105,7 +110,7 @@ class _Font:
     byte encoding — every shown code needs a name or /ToUnicode."""
 
     def __init__(self, two_byte, widths, default_w, tounicode, cp1252,
-                 diff_names=None, names_only=False):
+                 diff_names=None, names_only=False, char_widths=None):
         self.two_byte = two_byte
         self.widths = widths  # dict[int, float] | None
         self.default_w = default_w
@@ -113,10 +118,36 @@ class _Font:
         self.cp1252 = cp1252
         self.diff_names = diff_names  # dict[int, str] | None
         self.names_only = names_only
+        # built-in standard-14 AFM metrics (char → units), consulted
+        # lazily so only SHOWN glyphs must be inside the table
+        self.char_widths = char_widths  # dict[str, float] | None
 
     def width(self, code: int) -> float:
         if self.widths is not None and code in self.widths:
             return self.widths[code]
+        if self.char_widths is not None:
+            nm = self.diff_names.get(code) if self.diff_names else None
+            if nm is not None:
+                try:
+                    ch = glyph_to_unicode(nm)
+                except KeyError as e:
+                    raise NotImplementedError(
+                        f"/Differences glyph name /{nm} outside the"
+                        " AGL subset"
+                    ) from e
+            elif 32 <= code <= 126:
+                ch = chr(code)
+            elif self.cp1252:
+                ch = bytes([code]).decode("cp1252", errors="replace")
+            else:
+                ch = None
+            w = self.char_widths.get(ch) if ch is not None else None
+            if w is None:
+                raise NotImplementedError(
+                    f"standard-14 metric for code {code} not built in"
+                    " (ASCII AFM range only)"
+                )
+            return w
         return self.default_w
 
     def space_advance_units(self) -> float:
@@ -375,12 +406,22 @@ def _load_font(doc: PdfDocument, fdict) -> _Font:
         default_w = float(doc.resolve(fd.get("MissingWidth", 0)))
     else:
         base = str(doc.resolve(fdict.get("BaseFont", "")))
-        if not _FIXED_PITCH_BASE14.search(base):
-            raise NotImplementedError(
-                f"base-14 metrics for {base or '<unnamed>'} not built in"
-                " (fixed-pitch Courier only without /Widths)"
+        if _FIXED_PITCH_BASE14.search(base):
+            default_w = 600.0
+        else:
+            from .base14 import char_widths as _base14_widths
+
+            cw = _base14_widths(base)
+            if cw is None:
+                raise NotImplementedError(
+                    f"base-14 metrics for {base or '<unnamed>'} not"
+                    " built in (Courier/Helvetica/Times families only"
+                    " without /Widths)"
+                )
+            return _Font(
+                False, None, None, tounicode, cp1252,
+                diff_names=diff_names, char_widths=cw,
             )
-        default_w = 600.0
     return _Font(
         False, widths, default_w, tounicode, cp1252, diff_names=diff_names
     )

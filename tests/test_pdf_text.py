@@ -578,11 +578,13 @@ class TestDeclaredGuards:
         with pytest.raises(NotImplementedError, match="ToUnicode"):
             _extract(c, font_body=font, extra_objs=(desc,))
 
-    def test_proportional_base14_without_widths(self):
+    def test_proportional_base14_now_extracts(self):
+        # Helvetica/Times without /Widths graduated from declared
+        # boundary to built-in Core14 AFM metrics (TestBase14Metrics);
+        # unknown faces stay guarded.
         font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
         c = b"BT /F0 12 Tf 72 720 Td (A) Tj ET"
-        with pytest.raises(NotImplementedError, match="base-14 metrics"):
-            _extract(c, font_body=font)
+        assert _extract(c, font_body=font) == "A"
 
     def test_rotated_text_matrix_now_extracts(self):
         # Pure rotations graduated from declared boundary to supported
@@ -1038,3 +1040,113 @@ class TestRotWriterFlavor:
                 assert decode_pdf_text(data) == [t]
                 return
         raise AssertionError("no cid/diff/type3 draw in 200 tries")
+
+
+class TestBase14Metrics:
+    """Proportional standard-14 fonts WITHOUT /Widths resolve through
+    the built-in Core14 AFM tables (functions/base14.py) — the
+    viewer-metrics reliance real born-digital PDFs exercise constantly
+    with Helvetica/Arial/Times."""
+
+    HELV = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+
+    def test_geometric_space_from_afm_advances(self):
+        # "Hello" then "world" as SEPARATE shows, the second placed at
+        # exactly the AFM pen position + one space advance — the
+        # extractor must reconstruct the single space from geometry
+        from oar_ocr_spark.functions.base14 import char_widths
+
+        w = char_widths("Helvetica")
+        adv = sum(w[c] for c in "Hello") * 12.0 / 1000.0
+        space = w[" "] * 12.0 / 1000.0
+        x2 = 72.0 + adv + space
+        c = (
+            b"BT /F0 12 Tf 72 700 Td (Hello) Tj"
+            b" 1 0 0 1 %.4f 700 Tm (world) Tj ET" % x2
+        )
+        assert _extract(c, font_body=self.HELV) == "Hello world"
+
+    def test_two_space_gap_reconstructs(self):
+        from oar_ocr_spark.functions.base14 import char_widths
+
+        w = char_widths("Helvetica")
+        adv = sum(w[c] for c in "ab") * 12.0 / 1000.0
+        space = w[" "] * 12.0 / 1000.0
+        x2 = 72.0 + adv + 2 * space
+        c = (
+            b"BT /F0 12 Tf 72 700 Td (ab) Tj"
+            b" 1 0 0 1 %.4f 700 Tm (cd) Tj ET" % x2
+        )
+        assert _extract(c, font_body=self.HELV) == "ab  cd"
+
+    @pytest.mark.parametrize(
+        "base",
+        [b"/Helvetica-Bold", b"/Times-Roman", b"/Times-BoldItalic",
+         b"/Arial", b"/TimesNewRomanPS-ItalicMT", b"/ABCDEF+Helvetica"],
+    )
+    def test_faces_and_aliases_extract(self, base):
+        font = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont " + base + b" >>"
+        )
+        c = b"BT /F0 12 Tf 72 700 Td (Standard metrics) Tj ET"
+        assert _extract(c, font_body=font) == "Standard metrics"
+
+    def test_non_ascii_glyph_is_loud(self):
+        font = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding /WinAnsiEncoding >>"
+        )
+        c = b"BT /F0 12 Tf 72 700 Td (caf\xe9) Tj ET"
+        with pytest.raises(NotImplementedError, match="standard-14 metric"):
+            _extract(c, font_body=font)
+
+    def test_unknown_base_font_still_loud(self):
+        font = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Wingdings >>"
+        )
+        c = b"BT /F0 12 Tf 72 700 Td (x) Tj ET"
+        with pytest.raises(NotImplementedError, match="base-14 metrics"):
+            _extract(c, font_body=font)
+
+    def test_differences_resolve_width_through_agl(self):
+        # code 65 remapped to /dollar: text AND metric both follow the
+        # mapped glyph, not the raw code
+        font = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding << /Type /Encoding /Differences [65 /dollar] >> >>"
+        )
+        c = b"BT /F0 12 Tf 72 700 Td (A) Tj ET"
+        assert _extract(c, font_body=font) == "$"
+
+    def test_writer_proportional_flavor_roundtrips(self):
+        # find writer texts whose crc32 font flavor lands on the
+        # proportional face and roundtrip them through every layout
+        import zlib
+
+        hit = 0
+        for i in range(120):
+            t = f"viewer metrics body {i} with words {i * 7}"
+            if zlib.crc32(b"pdf-font-flavor:" + t.encode()) % 4 != 3:
+                continue
+            hit += 1
+            for fmt in ("literal", "tj", "para", "rot"):
+                got = decode_pdf_text(
+                    encode_pdf([t], ["0"], text_format=fmt)
+                )
+                assert got == [t], (fmt, t)
+            if hit >= 6:
+                break
+        assert hit >= 6, "crc never landed on the proportional flavor"
+
+    def test_afm_tables_shape(self):
+        from oar_ocr_spark.functions import base14
+
+        for tab in (
+            base14._HELVETICA, base14._HELVETICA_BOLD,
+            base14._TIMES_ROMAN, base14._TIMES_BOLD,
+            base14._TIMES_ITALIC, base14._TIMES_BOLD_ITALIC,
+        ):
+            assert len(tab) == 95
+            assert all(v > 0 for v in tab.values())
+        assert base14._HELVETICA[" "] == 278
+        assert base14._TIMES_ROMAN[" "] == 250
