@@ -54,6 +54,7 @@ from __future__ import annotations
 import math
 import re
 
+from .codec_guard import loud_decode
 from .glyph_names import glyph_to_unicode
 from .pdf import (
     PdfDocument,
@@ -746,6 +747,7 @@ def _assemble_runs(runs: list[_Run], line_sep: str) -> str:
     return "".join(parts)
 
 
+@loud_decode("PDF text layer")
 def page_text(
     doc: PdfDocument, page: dict, line_sep: str = " "
 ) -> str | None:
@@ -771,6 +773,7 @@ def page_text(
     )
 
 
+@loud_decode("PDF text layer")
 def decode_pdf_text(data: bytes, line_sep: str = " ") -> list[str | None]:
     """PDF bytes → per-page extracted text (None for image-only
     pages), document page order."""

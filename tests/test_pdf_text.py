@@ -1150,3 +1150,40 @@ class TestBase14Metrics:
             assert all(v > 0 for v in tab.values())
         assert base14._HELVETICA[" "] == 278
         assert base14._TIMES_ROMAN[" "] == 250
+
+
+class TestMutationFuzz:
+    """Single-byte corruption over whole written text PDFs must
+    surface ONLY the seam's declared failures (ValueError /
+    NotImplementedError via codec_guard.loud_decode) or decode to
+    some string — never a raw IndexError/TypeError/KeyError from
+    inside the parser (the mid-partition-crash class). Deterministic
+    crc32-driven mutation positions."""
+
+    def test_bitflips_fail_loudly_or_decode(self):
+        import zlib as _z
+
+        for i in range(4):
+            t = f"fuzz target {i} body with words enough to vary {i * 11}"
+            for fmt in ("rot", "mix"):
+                base = bytearray(
+                    encode_pdf([t], [str(i)], text_format=fmt)
+                )
+                for j in range(80):
+                    h = _z.crc32(b"mut:%d:%s:%d" % (i, fmt.encode(), j))
+                    mut = bytearray(base)
+                    mut[h % len(base)] ^= 1 << ((h >> 20) & 7)
+                    try:
+                        decode_pdf_text(bytes(mut))
+                    except (ValueError, NotImplementedError):
+                        pass
+
+    def test_truncations_fail_loudly(self):
+        data = encode_pdf(
+            ["truncation probe body text"], ["0"], text_format="rot"
+        )
+        for cut in range(16, len(data), max(1, len(data) // 40)):
+            try:
+                decode_pdf_text(data[:cut])
+            except (ValueError, NotImplementedError):
+                pass
