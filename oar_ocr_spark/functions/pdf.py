@@ -818,13 +818,15 @@ def encode_pdf(
                     ops = _para_content(page)
                 else:
                     ops = _words_content(page)
-                # four real simple-font dict layouts: explicit
-                # WinAnsi, default (Standard) encoding, a /Widths
-                # array the extractor must honor, and a PROPORTIONAL
-                # standard-14 face with NO /Widths (viewer-metrics
-                # reliance, §9.6.2.2 — extractor resolves through the
-                # Core14 AFM tables in functions/base14.py)
-                fh = zlib.crc32(b"pdf-font-flavor:" + page.encode("utf-8")) % 4
+                # the real simple-font dict layouts: explicit WinAnsi,
+                # default (Standard) encoding or explicit MacRoman, a
+                # /Widths array the extractor must honor, and a
+                # PROPORTIONAL standard-14 face with NO /Widths
+                # (viewer-metrics reliance, §9.6.2.2 — extractor
+                # resolves through the Core14 AFM tables in
+                # functions/base14.py)
+                fhash = zlib.crc32(b"pdf-font-flavor:" + page.encode("utf-8"))
+                fh = fhash % 4
                 if any(b >= 0x80 for b in _enc_simple(page)):
                     # high codes decode via cp1252 ONLY under an
                     # explicit /WinAnsiEncoding entry (and the AFM
@@ -856,6 +858,11 @@ def encode_pdf(
                     )
                 if fh == 0:
                     fbody += b" /Encoding /WinAnsiEncoding"
+                elif fh == 1 and (fhash >> 8) & 1:
+                    # the OTHER Annex D standard base encoding; ASCII
+                    # codes are identical, so any flavor-1 page (high
+                    # bytes force fh=0 above) roundtrips under it
+                    fbody += b" /Encoding /MacRomanEncoding"
                 elif fh == 2:
                     fbody += (
                         b" /FirstChar 32 /LastChar 126 /Widths ["

@@ -31,7 +31,8 @@ orientation group separately, ordered by rotation angle in [0, 2π)
 
 Scope (declared, fails loudly outside it — the codec-seam contract):
 similarity (unskewed, unmirrored) text matrices only; simple fonts
-with standard encodings (codes ≥ 128 via cp1252 for /WinAnsiEncoding)
+with standard encodings (codes ≥ 128 via cp1252 for /WinAnsiEncoding
+or mac_roman with the Annex D 0xDB=¤ patch for /MacRomanEncoding)
 or /ToUnicode; /Encoding /Differences arrays resolve glyph names
 through the AGL subset (functions/glyph_names.py), layered over the
 base encoding; Type3 fonts extract via their /FontMatrix-scaled
@@ -101,6 +102,28 @@ def _trans(tx, ty):
 
 _FIXED_PITCH_BASE14 = re.compile(r"(?:^|\+)Courier")
 
+# standard base encodings → python byte codecs (Annex D). PDF's
+# MacRomanEncoding predates Mac OS 8.5: code 0xDB is /currency (¤),
+# where python's mac_roman follows modern Apple and yields €.
+_BASE_ENC_CODECS = {"WinAnsiEncoding": "cp1252", "MacRomanEncoding": "mac_roman"}
+
+
+def _decode_high(code: int, codec: str, strict: bool) -> str | None:
+    """One byte code ≥ 0 → unicode char under a standard base
+    encoding codec; applies the Annex D 0xDB=¤ patch for mac_roman.
+    strict=False returns None instead of raising on undefined codes
+    (the width-lookup path, where the table miss is the loud error)."""
+    if codec == "mac_roman" and code == 0xDB:
+        return "¤"
+    try:
+        return bytes([code]).decode(codec, errors="strict")
+    except UnicodeDecodeError:
+        if strict:
+            raise ValueError(
+                f"code {code} undefined in the font's base encoding"
+            ) from None
+        return None
+
 
 class _Font:
     """Resolved font attributes for extraction: code size, glyph
@@ -110,13 +133,17 @@ class _Font:
     be mappable); `names_only` (Type3) forbids falling back to a
     byte encoding — every shown code needs a name or /ToUnicode."""
 
-    def __init__(self, two_byte, widths, default_w, tounicode, cp1252,
+    def __init__(self, two_byte, widths, default_w, tounicode, codec,
                  diff_names=None, names_only=False, char_widths=None):
         self.two_byte = two_byte
         self.widths = widths  # dict[int, float] | None
         self.default_w = default_w
         self.tounicode = tounicode  # dict[int, str] | None
-        self.cp1252 = cp1252
+        # byte codec for codes >= 128 under a standard base encoding:
+        # "cp1252" (/WinAnsiEncoding) or "mac_roman"
+        # (/MacRomanEncoding, with the 0xDB currency patch applied by
+        # _decode_high below), else None
+        self.codec = codec
         self.diff_names = diff_names  # dict[int, str] | None
         self.names_only = names_only
         # built-in standard-14 AFM metrics (char → units), consulted
@@ -138,8 +165,8 @@ class _Font:
                     ) from e
             elif 32 <= code <= 126:
                 ch = chr(code)
-            elif self.cp1252:
-                ch = bytes([code]).decode("cp1252", errors="replace")
+            elif self.codec:
+                ch = _decode_high(code, self.codec, strict=False)
             else:
                 ch = None
             w = self.char_widths.get(ch) if ch is not None else None
@@ -194,11 +221,12 @@ class _Font:
                     f"Type3 code {c} has no /Differences name or"
                     " /ToUnicode entry"
                 )
-            elif self.cp1252:
-                out.append(bytes([c]).decode("cp1252", errors="strict"))
+            elif self.codec:
+                out.append(_decode_high(c, self.codec, strict=True))
             elif c >= 128:
                 raise NotImplementedError(
                     "simple-font codes >= 128 without /WinAnsiEncoding,"
+                    " /MacRomanEncoding,"
                     " /Differences, or /ToUnicode not supported"
                 )
             else:
@@ -380,7 +408,7 @@ def _load_font(doc: PdfDocument, fdict) -> _Font:
 
     # simple font (Type1 / TrueType)
     enc = fdict.get("Encoding")
-    cp1252 = False
+    codec = None
     diff_names = None
     if enc is not None:
         enc = doc.resolve(enc)
@@ -392,7 +420,7 @@ def _load_font(doc: PdfDocument, fdict) -> _Font:
                 enc = doc.resolve(enc)
         if enc is not None and not isinstance(enc, _Name):
             raise ValueError("font /Encoding is not a name or dict")
-        cp1252 = str(enc) == "WinAnsiEncoding"
+        codec = _BASE_ENC_CODECS.get(str(enc))
     widths = None
     default_w = None
     if "Widths" in fdict:
@@ -420,11 +448,11 @@ def _load_font(doc: PdfDocument, fdict) -> _Font:
                     " without /Widths)"
                 )
             return _Font(
-                False, None, None, tounicode, cp1252,
+                False, None, None, tounicode, codec,
                 diff_names=diff_names, char_widths=cw,
             )
     return _Font(
-        False, widths, default_w, tounicode, cp1252, diff_names=diff_names
+        False, widths, default_w, tounicode, codec, diff_names=diff_names
     )
 
 

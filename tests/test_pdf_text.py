@@ -1187,3 +1187,62 @@ class TestMutationFuzz:
                 decode_pdf_text(data[:cut])
             except (ValueError, NotImplementedError):
                 pass
+
+
+class TestMacRomanEncoding:
+    """/MacRomanEncoding — the other Annex D standard base encoding
+    (older Mac-authored PDFs). ASCII codes match WinAnsi; high codes
+    decode through python's mac_roman with the Annex D 0xDB=currency
+    patch (PDF's table predates Mac OS 8.5's euro swap)."""
+
+    MACFONT = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Courier"
+        b" /Encoding /MacRomanEncoding >>"
+    )
+
+    def test_ascii_passthrough(self):
+        c = b"BT /F0 12 Tf 72 720 Td (plain ascii) Tj ET"
+        assert _extract(c, font_body=self.MACFONT) == "plain ascii"
+
+    def test_high_codes_mac_roman(self):
+        # 0x8E = eacute, 0xA5 = bullet, 0xD5 = quoteright in Mac Roman
+        c = b"BT /F0 12 Tf 72 720 Td <8EA5D5> Tj ET"
+        assert _extract(c, font_body=self.MACFONT) == "é•’"
+
+    def test_annex_d_currency_patch(self):
+        # PDF Annex D keeps 0xDB = /currency; python's mac_roman
+        # (post-8.5 Apple) would yield the euro sign
+        c = b"BT /F0 12 Tf 72 720 Td <DB> Tj ET"
+        assert _extract(c, font_body=self.MACFONT) == "¤"
+
+    def test_winansi_undefined_code_now_loud_valueerror(self):
+        # 0x81 is undefined in cp1252: the old raw UnicodeDecodeError
+        # is now the seam's declared ValueError
+        c = b"BT /F0 12 Tf 72 720 Td <81> Tj ET"
+        with pytest.raises(ValueError, match="undefined in the font's"):
+            _extract(c)
+
+    def test_proportional_font_high_code_is_metric_boundary(self):
+        font = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding /MacRomanEncoding >>"
+        )
+        c = b"BT /F0 12 Tf 72 720 Td <8E> Tj ET"
+        with pytest.raises(NotImplementedError, match="standard-14 metric"):
+            _extract(c, font_body=font)
+
+    def test_writer_flavor_emits_and_roundtrips(self):
+        import zlib as _z
+
+        hit = 0
+        for i in range(200):
+            t = f"mac roman flavor probe {i}"
+            fhash = _z.crc32(b"pdf-font-flavor:" + t.encode())
+            if fhash % 4 == 1 and (fhash >> 8) & 1:
+                data = encode_pdf([t], ["0"], text_format="literal")
+                assert b"/MacRomanEncoding" in data
+                assert decode_pdf_text(data) == [t]
+                hit += 1
+                if hit >= 3:
+                    return
+        raise AssertionError("crc never landed on the MacRoman flavor")
