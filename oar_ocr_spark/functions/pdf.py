@@ -250,13 +250,18 @@ def _para_content(text: str) -> bytes:
     return b" ".join(ops)
 
 
-def _cid_page(text: str) -> tuple[bytes, bytes, bytes]:
-    """(cmap stream raw bytes, /W or /DW entry, content ops) for an
+def _cid_page(
+    text: str, vertical: bool = False
+) -> tuple[bytes, bytes, bytes]:
+    """(cmap stream raw bytes, /W (+/DW2) entry, content ops) for an
     Identity-H CID text page: unique chars get sequential 2-byte codes,
     the ToUnicode CMap maps them back (bfchar entries for the first
     half, an array-form bfrange for the rest — both §9.10.3 layouts),
     and shows are 2-byte-code hex strings (split into a kerned TJ when
-    the crc32 bit says so)."""
+    the crc32 bit says so). `vertical=True` emits the Identity-V
+    twin: top-down columns ordered right-to-left, /DW2 metric
+    flavors, vertical-sign TJ kerns, and a two-column split variant.
+    Extractor twin: pdf_text's vertical reading frame."""
     uniq = sorted(set(text))
     if not uniq or len(uniq) > 0xFFFF:
         raise ValueError("cid text page needs 1..65535 unique characters")
@@ -301,8 +306,52 @@ def _cid_page(text: str) -> tuple[bytes, bytes, bytes]:
         w_entry = b"/W [1 [%s]]" % wents
     else:
         w_entry = b"/DW 600"
-    codes = b"".join(struct.pack(">H", code_of[c]) for c in text)
-    hexs = codes.hex().encode("ascii")
+
+    def hex_of(s: str) -> bytes:
+        return (
+            b"".join(struct.pack(">H", code_of[c]) for c in s)
+            .hex().encode("ascii")
+        )
+
+    if vertical:
+        # Identity-V vertical layout: columns flow DOWN, ordered
+        # right-to-left (the CJK convention the extractor's
+        # reading-frame assembly reconstructs). Three /DW2 dict
+        # flavors; a crc bit splits two-word pages into two columns
+        # (split consumes one space, like the horizontal wrap).
+        w_entry += (b"", b" /DW2 [880 -1000]", b" /DW2 [880 -500]")[
+            (h >> 2) % 3
+        ]
+        x0 = 540.0
+        if (h >> 4) & 1 and " " in text and "  " not in text \
+                and text == text.strip(" "):
+            words = text.split(" ")
+            k = 1 + (h >> 5) % (len(words) - 1)
+            col1, col2 = " ".join(words[:k]), " ".join(words[k:])
+            content = (
+                b"BT /F0 12 Tf %s 720 Td <%s> Tj"
+                b" 1 0 0 1 %s 720 Tm <%s> Tj ET"
+                % (_fmt_num(x0), hex_of(col1),
+                   _fmt_num(x0 - 40.0), hex_of(col2))
+            )
+        elif (h >> 6) & 1 and len(text) >= 2:
+            # vertical kerned TJ: POSITIVE numbers move DOWN in
+            # vertical mode (§9.4.3 "subtracted from the vertical
+            # coordinate"), small |kern| stays under the space gate
+            cut = (len(text) // 2) * 4
+            hexs = hex_of(text)
+            content = (
+                b"BT /F0 12 Tf %s 720 Td [<%s> 44 <%s>] TJ ET"
+                % (_fmt_num(x0), hexs[:cut], hexs[cut:])
+            )
+        else:
+            content = (
+                b"BT /F0 12 Tf %s 720 Td <%s> Tj ET"
+                % (_fmt_num(x0), hex_of(text))
+            )
+        return cmap, w_entry, content
+
+    hexs = hex_of(text)
     if h & 2 and len(text) >= 4:
         cut = (len(text) // 2) * 4  # hex digits; 2-byte-code boundary
         show = b"[<%s> -44 <%s>] TJ" % (hexs[:cut], hexs[cut:])
@@ -472,8 +521,11 @@ def encode_pdf(
     (the subsetted-font layout); "type3" a /Subtype /Type3 font with
     /FontMatrix-scaled glyph-space /Widths, trivial d0 /CharProcs,
     and either AGL /Differences names or a 1-byte /ToUnicode CMap;
+    "cidv" an Identity-V VERTICAL CID page — top-down columns ordered
+    right-to-left with /DW2 metric flavors, vertical-sign TJ kerns,
+    and a two-column split variant;
     "rot" a ROTATED page — an inner crc32-chosen layout (any of the
-    eight above) drawn under a rotated CTM: 90° CCW / 270° landscape
+    others, incl. vertical) drawn under a rotated CTM: 90° CCW / 270° landscape
     (MediaBox swapped), 180°, or a small deskew-style arbitrary angle,
     and for multi-word literal/hex pages sometimes SPLIT into two
     orientation groups (horizontal body + rotated remainder) on one
@@ -518,11 +570,11 @@ def encode_pdf(
         raise ValueError(f"xref_format must be 'classic' or 'stream', got {xref_format!r}")
     if text_format not in (
         "literal", "hex", "tj", "words", "para", "cid", "diff", "type3",
-        "rot", "mix",
+        "rot", "cidv", "mix",
     ):
         raise ValueError(
             "text_format must be 'literal'/'hex'/'tj'/'words'/'para'/"
-            f"'cid'/'diff'/'type3'/'rot'/'mix', got {text_format!r}"
+            f"'cid'/'diff'/'type3'/'rot'/'cidv'/'mix', got {text_format!r}"
         )
     for p in pages:
         if isinstance(p, str):
@@ -677,12 +729,30 @@ def encode_pdf(
     for page_i, page in enumerate(pages):
         if isinstance(page, str):
             tfmt = text_format
+
+            def _fits_simple(s: str) -> bool:
+                try:
+                    s.encode("cp1252")
+                    return True
+                except UnicodeEncodeError:
+                    return False
+
             if tfmt == "mix":
                 ref = page_refs[page_i] if page_refs else str(page_i)
                 tfmt = (
                     "literal", "hex", "tj", "words", "para", "cid",
-                    "diff", "type3", "rot",
-                )[zlib.crc32(b"pdf-text-flavor:" + ref.encode()) % 9]
+                    "diff", "type3", "rot", "cidv",
+                )[zlib.crc32(b"pdf-text-flavor:" + ref.encode()) % 10]
+                if tfmt in (
+                    "literal", "hex", "tj", "words", "para"
+                ) and not _fits_simple(page):
+                    # byte-encoded simple-font layouts cannot carry
+                    # beyond-cp1252 text — the chooser re-deals to a
+                    # unicode-capable flavor (explicit text_format
+                    # keeps the loud ValueError)
+                    tfmt = ("cid", "cidv", "diff", "type3")[
+                        zlib.crc32(b"pdf-text-refit:" + ref.encode()) % 4
+                    ]
             # rotated-page flavor: an inner layout drawn under a
             # rotated CTM (landscape 90/270 with swapped MediaBox,
             # 180, or a deskew-style arbitrary angle); extractor twin
@@ -693,8 +763,14 @@ def encode_pdf(
                 rh = zlib.crc32(b"pdf-rot-flavor:" + page.encode("utf-8"))
                 tfmt = (
                     "literal", "hex", "tj", "words", "para", "cid",
-                    "diff", "type3",
-                )[rh % 8]
+                    "diff", "type3", "cidv",
+                )[rh % 9]
+                if tfmt in (
+                    "literal", "hex", "tj", "words", "para"
+                ) and not _fits_simple(page):
+                    tfmt = ("cid", "cidv", "diff", "type3")[
+                        (rh >> 7) % 4
+                    ]
                 land, port = b"[0 0 792 612]", b"[0 0 612 792]"
                 rot = (
                     (b"0 1 -1 0 792 0", land),
@@ -717,8 +793,10 @@ def encode_pdf(
                     rot_split = (
                         " ".join(words[:k]), " ".join(words[k:])
                     )
-            if tfmt == "cid":
-                cmap_raw, w_entry, ops = _cid_page(page)
+            if tfmt in ("cid", "cidv"):
+                cmap_raw, w_entry, ops = _cid_page(
+                    page, vertical=(tfmt == "cidv")
+                )
                 cdata = enc_bytes(len(objs) + 1, zlib.compress(cmap_raw, 6))
                 cmap_num = add(
                     b"<< /Filter /FlateDecode /Length %d >>\nstream\n"
@@ -745,8 +823,9 @@ def encode_pdf(
                 )
                 font_num = add(
                     b"<< /Type /Font /Subtype /Type0 /BaseFont /OarCID"
-                    b" /Encoding /Identity-H /DescendantFonts [%d 0 R]"
-                    b" /ToUnicode %d 0 R >>" % (desc_num, cmap_num)
+                    b" /Encoding /Identity-%s /DescendantFonts [%d 0 R]"
+                    b" /ToUnicode %d 0 R >>"
+                    % (b"V" if tfmt == "cidv" else b"H", desc_num, cmap_num)
                 )
             elif tfmt == "diff":
                 fbody, ops = _diff_page(page)

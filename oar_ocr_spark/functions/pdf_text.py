@@ -37,10 +37,12 @@ or /ToUnicode; /Encoding /Differences arrays resolve glyph names
 through the AGL subset (functions/glyph_names.py), layered over the
 base encoding; Type3 fonts extract via their /FontMatrix-scaled
 /Widths plus /Differences names (or /ToUnicode) — glyph procedures
-are never executed. Vertical/Identity-V CID fonts, Type0 fonts
-without /ToUnicode, glyph names outside the AGL subset, and
-skewed/mirrored matrices (text or Type3 /FontMatrix) are
-NotImplementedError. Fonts WITHOUT /Widths use built-in standard-14
+are never executed. Identity-V VERTICAL CID fonts extract with
+/DW2-metric advances: text flows down e_u=(0,−1)·M, columns order
+right-to-left through the same reading-frame machinery (per-glyph
+/W2 vertical metrics stay a boundary). Type0 fonts without
+/ToUnicode, glyph names outside the AGL subset, and skewed/mirrored
+matrices (text or Type3 /FontMatrix) are NotImplementedError. Fonts WITHOUT /Widths use built-in standard-14
 metrics: fixed-pitch Courier, plus the proportional Helvetica and
 Times families (and their Arial/TimesNewRoman substitution aliases)
 through the public Adobe Core14 AFM tables (functions/base14.py) —
@@ -134,11 +136,18 @@ class _Font:
     byte encoding — every shown code needs a name or /ToUnicode."""
 
     def __init__(self, two_byte, widths, default_w, tounicode, codec,
-                 diff_names=None, names_only=False, char_widths=None):
+                 diff_names=None, names_only=False, char_widths=None,
+                 vertical=False, w1_default=-1000.0):
         self.two_byte = two_byte
         self.widths = widths  # dict[int, float] | None
         self.default_w = default_w
         self.tounicode = tounicode  # dict[int, str] | None
+        # vertical writing mode (Identity-V): glyphs advance by the
+        # vertical displacement w1 (/DW2[1], default -1000 = one em
+        # down); /W2 per-glyph vertical metrics are a declared
+        # boundary at load time
+        self.vertical = vertical
+        self.w1_default = w1_default
         # byte codec for codes >= 128 under a standard base encoding:
         # "cp1252" (/WinAnsiEncoding) or "mac_roman"
         # (/MacRomanEncoding, with the 0xDB currency patch applied by
@@ -179,7 +188,14 @@ class _Font:
         return self.default_w
 
     def space_advance_units(self) -> float:
+        if self.vertical:
+            return -self.w1_default
         return self.width(32) if not self.two_byte else self.default_w
+
+    def vadvance(self, code: int) -> float:
+        """Vertical displacement w1 for one CID, glyph units (negative
+        = downward, §9.7.4.3). /DW2 only — /W2 is guarded at load."""
+        return self.w1_default
 
     def codes(self, raw: bytes) -> list[int]:
         if not self.two_byte:
@@ -335,10 +351,12 @@ def _load_font(doc: PdfDocument, fdict) -> _Font:
 
     if sub == "Type0":
         enc = doc.resolve(fdict.get("Encoding"))
-        if str(enc) != "Identity-H":
+        if str(enc) not in ("Identity-H", "Identity-V"):
             raise NotImplementedError(
-                f"Type0 /Encoding {enc} not supported (Identity-H only)"
+                f"Type0 /Encoding {enc} not supported"
+                " (Identity-H/Identity-V only)"
             )
+        vertical = str(enc) == "Identity-V"
         desc = doc.resolve(fdict.get("DescendantFonts"))
         if not desc:
             raise ValueError("Type0 font without /DescendantFonts")
@@ -363,7 +381,25 @@ def _load_font(doc: PdfDocument, fdict) -> _Font:
                     for code in range(c, c2 + 1):
                         widths[code] = wv
                     i += 3
-        return _Font(True, widths or None, default_w, tounicode, False)
+        w1_default = -1000.0
+        if vertical:
+            if "W2" in d0:
+                raise NotImplementedError(
+                    "per-glyph /W2 vertical metrics not supported"
+                    " (/DW2 only)"
+                )
+            dw2 = doc.resolve(d0.get("DW2", [880, -1000]))
+            if not isinstance(dw2, list) or len(dw2) != 2:
+                raise ValueError("/DW2 is not a 2-number array")
+            w1_default = float(doc.resolve(dw2[1]))
+            if w1_default >= 0:
+                raise NotImplementedError(
+                    "non-downward /DW2 vertical advance not supported"
+                )
+        return _Font(
+            True, widths or None, default_w, tounicode, False,
+            vertical=vertical, w1_default=w1_default,
+        )
 
     if sub == "Type3":
         # §9.6.5: widths live in GLYPH space, carried to text space by
@@ -586,26 +622,48 @@ def _page_runs(doc: PdfDocument, page: dict) -> list[_Run]:
             raise NotImplementedError(
                 "skewed/anisotropic text matrices not supported"
             )
-        ux, uy = a / scale, b / scale  # e_u; e_v = (−uy, ux)
+        if font.vertical:
+            # vertical writing (Identity-V, §9.4.4): text flows DOWN —
+            # reading direction e_u is text-space (0,−1) through rm;
+            # e_v then points LEFT of the glyphs, so ascending w =
+            # right-to-left column order (the CJK convention). Glyphs
+            # advance by ty = w1/1000·Tfs + Tc (Th does not apply).
+            ux, uy = -c / scale, -d / scale
+        else:
+            ux, uy = a / scale, b / scale  # e_u; e_v = (−uy, ux)
         text = font.text(codes)
-        tx_total = 0.0
-        for code in codes:
-            adv = font.width(code) / 1000.0 * tfs + tc
-            if code == 32 and not font.two_byte:
-                adv += tw
-            tx_total += adv * tz / 100.0
+        tx_total = 0.0  # advance along e_u, text-space units
+        if font.vertical:
+            ty_total = 0.0
+            for code in codes:
+                ty_total += font.vadvance(code) / 1000.0 * tfs + tc
+            tx_total = -ty_total
+        else:
+            for code in codes:
+                adv = font.width(code) / 1000.0 * tfs + tc
+                if code == 32 and not font.two_byte:
+                    adv += tw
+                tx_total += adv * tz / 100.0
         px = rm[4] + ts * c  # rise moves along text-space up: (0,ts)·M
         py = rm[5] + ts * d
         u0 = px * ux + py * uy
         w = px * uy - py * ux  # −p·e_v: larger w = later line
-        space = (
-            font.space_advance_units() / 1000.0 * tfs + tc + tw
-        ) * tz / 100.0 * scale
+        if font.vertical:
+            space = (
+                font.space_advance_units() / 1000.0 * tfs + tc
+            ) * scale
+        else:
+            space = (
+                font.space_advance_units() / 1000.0 * tfs + tc + tw
+            ) * tz / 100.0 * scale
         okey = (round(ux, 9), round(uy, 9))
         runs.append(
             _Run(w, u0, u0 + tx_total * scale, text, space, okey)
         )
-        tm = _mult(_trans(tx_total, 0.0), tm)
+        if font.vertical:
+            tm = _mult(_trans(0.0, ty_total), tm)
+        else:
+            tm = _mult(_trans(tx_total, 0.0), tm)
 
     def run(data: bytes, res: dict, parent_res: dict | None) -> None:
         """Execute one content stream against resource dict `res`
@@ -718,10 +776,21 @@ def _page_runs(doc: PdfDocument, page: dict) -> list[_Run]:
                     elif isinstance(el, (int, float)):
                         if tm is None:
                             raise ValueError("TJ outside BT/ET")
-                        tm = _mult(
-                            _trans(-float(el) / 1000.0 * tfs * tz / 100.0, 0.0),
-                            tm,
-                        )
+                        if font is not None and font.vertical:
+                            # §9.4.3: vertical kerns displace ty
+                            # (horizontal scaling Th does not apply)
+                            tm = _mult(
+                                _trans(0.0, -float(el) / 1000.0 * tfs),
+                                tm,
+                            )
+                        else:
+                            tm = _mult(
+                                _trans(
+                                    -float(el) / 1000.0 * tfs * tz / 100.0,
+                                    0.0,
+                                ),
+                                tm,
+                            )
                     else:
                         raise ValueError(f"TJ element {el!r} not string/number")
             # every other operator (paths, color, XObjects, marked

@@ -153,7 +153,7 @@ class TestWriterRoundtrips:
         for i in range(128):
             r = f"mixref{i}"
             flavors.setdefault(
-                zlib.crc32(b"pdf-text-flavor:" + r.encode()) % 9, r
+                zlib.crc32(b"pdf-text-flavor:" + r.encode()) % 10, r
             )
         assert {6, 7, 8} <= set(flavors), (
             "chooser never picks diff/type3/rot"
@@ -559,14 +559,24 @@ class TestDeclaredGuards:
         with pytest.raises(ValueError, match="no /Differences name"):
             _extract(c, font_body=font)
 
-    def test_identity_v_vertical(self):
+    def test_identity_v_now_extracts_but_needs_tounicode(self):
+        # Identity-V graduated from declared boundary to supported
+        # input (TestVerticalCid); without /ToUnicode it still fails
+        # loudly like its horizontal twin, and other Type0 encodings
+        # (embedded CMap streams) stay guarded.
         font = (
             b"<< /Type /Font /Subtype /Type0 /BaseFont /X"
             b" /Encoding /Identity-V /DescendantFonts [6 0 R] >>"
         )
         c = b"BT /F0 12 Tf 72 720 Td <0001> Tj ET"
-        with pytest.raises(NotImplementedError, match="Identity-H"):
+        with pytest.raises(NotImplementedError, match="ToUnicode"):
             _extract(c, font_body=font, extra_objs=(b"<< >>",))
+        font2 = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /X"
+            b" /Encoding /90ms-RKSJ-H /DescendantFonts [6 0 R] >>"
+        )
+        with pytest.raises(NotImplementedError, match="Identity-H/Identity-V"):
+            _extract(c, font_body=font2, extra_objs=(b"<< >>",))
 
     def test_type0_without_tounicode(self):
         font = (
@@ -1024,22 +1034,14 @@ class TestRotWriterFlavor:
         )
         assert decode_pdf_text(data) == pages
 
-    def test_rot_beyond_cp1252_through_cid_inner(self):
-        # unicode outside WinAnsi only fits the cid/diff/type3 inner
-        # flavors; find one such draw and roundtrip it
-        import zlib as _z
-
-        for i in range(200):
+    def test_rot_beyond_cp1252_refits_to_unicode_flavor(self):
+        # unicode outside WinAnsi only fits the cid/cidv/diff/type3
+        # inner flavors; the chooser re-deals simple-font draws there,
+        # so EVERY such text roundtrips under rotation
+        for i in range(24):
             t = f"Δαβ ∈ math {i}"
-            rh = _z.crc32(b"pdf-rot-flavor:" + t.encode())
-            if (
-                "literal", "hex", "tj", "words", "para", "cid",
-                "diff", "type3",
-            )[rh % 8] in ("cid", "diff", "type3"):
-                data = encode_pdf([t], ["0"], text_format="rot")
-                assert decode_pdf_text(data) == [t]
-                return
-        raise AssertionError("no cid/diff/type3 draw in 200 tries")
+            data = encode_pdf([t], ["0"], text_format="rot")
+            assert decode_pdf_text(data) == [t], t
 
 
 class TestBase14Metrics:
@@ -1246,3 +1248,121 @@ class TestMacRomanEncoding:
                 if hit >= 3:
                     return
         raise AssertionError("crc never landed on the MacRoman flavor")
+
+
+class TestVerticalCid:
+    """Identity-V vertical CID fonts (§9.7.4.3): text flows down, the
+    reading frame maps columns right-to-left, advances come from /DW2
+    (default [880 -1000]), and TJ kerns displace the VERTICAL
+    coordinate with the spec's subtraction sign (positive numbers move
+    DOWN — inverted vs horizontal). Writer twin: text_format='cidv'."""
+
+    TEXTS = [
+        "vertical body with words",
+        "日本語の縦書きテキスト",
+        "a",
+        "col one and col two here",
+    ]
+
+    def test_cidv_roundtrips(self):
+        data = encode_pdf(
+            self.TEXTS, [str(i) for i in range(len(self.TEXTS))],
+            text_format="cidv",
+        )
+        assert decode_pdf_text(data) == self.TEXTS
+
+    def test_cidv_under_rotation_and_mix(self):
+        for fmt in ("rot", "mix"):
+            for i, t in enumerate(self.TEXTS):
+                got = decode_pdf_text(
+                    encode_pdf([t], [f"v{i}"], text_format=fmt)
+                )
+                assert got == [t], (fmt, t)
+
+    def test_cidv_encrypted_stream_xref(self):
+        data = encode_pdf(
+            self.TEXTS[:2], ["0", "1"], text_format="cidv",
+            xref_format="stream", encrypt="aes-128",
+        )
+        assert decode_pdf_text(data) == self.TEXTS[:2]
+
+    def test_columns_order_right_to_left(self):
+        # deterministic split page: ensure a split draw exists and
+        # roundtrips — the right column must come FIRST in the output
+        import zlib as _z
+
+        for i in range(120):
+            t = f"first part then second part {i}"
+            h = _z.crc32(b"pdf-cid:" + t.encode())
+            if (h >> 4) & 1:
+                data = encode_pdf([t], ["0"], text_format="cidv")
+                assert decode_pdf_text(data) == [t]
+                return
+        raise AssertionError("no split draw in 120 tries")
+
+    def test_vertical_kern_sign_is_spec_subtraction(self):
+        # positive TJ numbers move DOWN in vertical mode; one full em
+        # (+1000) opens exactly one reconstructed space, -80 stays
+        # tight (checked through the writer's kern flavor too)
+        import zlib as _z
+
+        for i in range(200):
+            t = f"kern probe {i}"
+            h = _z.crc32(b"pdf-cid:" + t.encode())
+            if not ((h >> 4) & 1) and (h >> 6) & 1:
+                data = encode_pdf([t], ["0"], text_format="cidv")
+                assert decode_pdf_text(data) == [t]
+                return
+        raise AssertionError("no kern draw in 200 tries")
+
+    def test_w2_is_declared_boundary(self):
+        # hand-built Identity-V font with per-glyph /W2 metrics
+        cmap = (
+            b"/CIDInit /ProcSet findresource begin\n12 dict begin\n"
+            b"begincmap\n1 begincodespacerange\n<0000> <ffff>\n"
+            b"endcodespacerange\n1 beginbfchar\n<0001> <0041>\n"
+            b"endbfchar\nendcmap\nend\nend"
+        )
+        font = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /V"
+            b" /Encoding /Identity-V /DescendantFonts [6 0 R]"
+            b" /ToUnicode 7 0 R >>"
+        )
+        desc = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /V"
+            b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+            b" /Supplement 0 >> /DW 600 /W2 [1 [-1000 0 880]] >>"
+        )
+        tounic = (
+            b"<< /Length %d >>\nstream\n" % len(cmap) + cmap + b"\nendstream"
+        )
+        c = b"BT /F0 12 Tf 500 700 Td <0001> Tj ET"
+        doc = PdfDocument(
+            _text_pdf(c, font_body=font, extra_objs=[desc, tounic])
+        )
+        with pytest.raises(NotImplementedError, match="W2"):
+            page_text(doc, doc.pages()[0])
+
+    def test_mix_covers_cidv(self):
+        import zlib as _z
+
+        for i in range(256):
+            r = f"vmix{i}"
+            if _z.crc32(b"pdf-text-flavor:" + r.encode()) % 10 == 9:
+                t = "mixed vertical page body"
+                data = encode_pdf([t], [r], text_format="mix")
+                assert b"/Identity-V" in data
+                assert decode_pdf_text(data) == [t]
+                return
+        raise AssertionError("chooser never picks cidv")
+
+
+class TestMixRefit:
+    def test_mix_carries_beyond_cp1252_text_on_any_ref(self):
+        # the mix chooser re-deals simple-font draws to a
+        # unicode-capable flavor, so arbitrary text roundtrips under
+        # EVERY ref (previously a literal draw raised ValueError)
+        t = "日本語 mixed Δ content — beyond cp1252"
+        for i in range(24):
+            data = encode_pdf([t], [f"ref{i}"], text_format="mix")
+            assert decode_pdf_text(data) == [t], i
