@@ -56,6 +56,7 @@ from __future__ import annotations
 
 import math
 import re
+import unicodedata
 
 from .codec_guard import loud_decode
 from .glyph_names import glyph_to_unicode
@@ -179,10 +180,20 @@ class _Font:
             else:
                 ch = None
             w = self.char_widths.get(ch) if ch is not None else None
+            if w is None and ch is not None and len(ch) == 1:
+                # Core14 composite glyphs (eacute, ntilde, ...) share
+                # their base letter's advance in the AFMs — resolve
+                # accented Latin through NFD decomposition instead of
+                # recalling every accented width
+                d = unicodedata.normalize("NFD", ch)
+                if len(d) > 1 and all(
+                    unicodedata.combining(c) for c in d[1:]
+                ):
+                    w = self.char_widths.get(d[0])
             if w is None:
                 raise NotImplementedError(
                     f"standard-14 metric for code {code} not built in"
-                    " (ASCII AFM range only)"
+                    " (ASCII AFM range + NFD composites only)"
                 )
             return w
         return self.default_w

@@ -1093,12 +1093,24 @@ class TestBase14Metrics:
         c = b"BT /F0 12 Tf 72 700 Td (Standard metrics) Tj ET"
         assert _extract(c, font_body=font) == "Standard metrics"
 
-    def test_non_ascii_glyph_is_loud(self):
+    def test_accented_latin_resolves_through_nfd_composites(self):
+        # Core14 composite glyphs share the base letter's advance, so
+        # accented WinAnsi text extracts with eacute's metric = e's
         font = (
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
             b" /Encoding /WinAnsiEncoding >>"
         )
-        c = b"BT /F0 12 Tf 72 700 Td (caf\xe9) Tj ET"
+        c = b"BT /F0 12 Tf 72 700 Td (caf\xe9 re\xe7u ma\xf1ana) Tj ET"
+        assert _extract(c, font_body=font) == "café reçu mañana"
+
+    def test_non_decomposable_glyph_is_loud(self):
+        # the euro sign has no NFD base inside the ASCII table — still
+        # the declared metric boundary
+        font = (
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+            b" /Encoding /WinAnsiEncoding >>"
+        )
+        c = b"BT /F0 12 Tf 72 700 Td (\x80) Tj ET"
         with pytest.raises(NotImplementedError, match="standard-14 metric"):
             _extract(c, font_body=font)
 
@@ -1225,13 +1237,18 @@ class TestMacRomanEncoding:
             _extract(c)
 
     def test_proportional_font_high_code_is_metric_boundary(self):
+        # 0xA5 = bullet in Mac Roman: no NFD base inside the ASCII
+        # table, so the metric boundary stays loud (0x8E = eacute now
+        # resolves through the composite fallback instead)
         font = (
             b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
             b" /Encoding /MacRomanEncoding >>"
         )
-        c = b"BT /F0 12 Tf 72 720 Td <8E> Tj ET"
+        c = b"BT /F0 12 Tf 72 720 Td <A5> Tj ET"
         with pytest.raises(NotImplementedError, match="standard-14 metric"):
             _extract(c, font_body=font)
+        c2 = b"BT /F0 12 Tf 72 720 Td <8E> Tj ET"
+        assert _extract(c2, font_body=font) == "é"
 
     def test_writer_flavor_emits_and_roundtrips(self):
         import zlib as _z
