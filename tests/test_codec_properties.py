@@ -286,3 +286,63 @@ def test_bmp_roundtrip_random(h, w, kind):
         idx = rng.randint(0, 16, (h, w)).astype(np.uint8)
         data = encode_bmp(idx, pal, rle=(kind == "rle"))
         assert (decode_bmp(data) == pal[idx]).all()
+
+
+# --- born-digital PDF text layer (writer ⇄ extractor twins) ---------
+
+from oar_ocr_spark.functions.pdf_text import decode_pdf_text
+
+_CP1252_SAFE = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " .,;:!?()[]{}#$%&*+-=/@_'\"\\€—éüñß§"
+)
+_UNI_EXTRA = "Δλπ∈≤≥→日本語中文한글ру́сский"
+
+
+def _texts(alphabet: str):
+    return (
+        st.text(alphabet=alphabet, min_size=1, max_size=100)
+        .map(lambda s: s.strip(" ") or "x")
+    )
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    _texts(_CP1252_SAFE),
+    st.sampled_from(
+        ["literal", "hex", "tj", "words", "para", "cid", "diff",
+         "type3", "rot", "cidv", "mix"]
+    ),
+)
+def test_pdf_text_roundtrip_random(text, fmt):
+    # para cannot represent empty lines and words cannot represent
+    # newlines — the strategy's alphabet has none, so every flavor
+    # must roundtrip the exact string
+    data = encode_pdf([text], ["p0"], text_format=fmt)
+    assert decode_pdf_text(data) == [text]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    _texts(_CP1252_SAFE + _UNI_EXTRA),
+    st.sampled_from(["cid", "cidv", "diff", "type3", "rot", "mix"]),
+)
+def test_pdf_text_unicode_roundtrip_random(text, fmt):
+    # the unicode-capable flavors (and the choosers' beyond-cp1252
+    # refit) carry arbitrary BMP text
+    data = encode_pdf([text], ["u0"], text_format=fmt)
+    assert decode_pdf_text(data) == [text]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(_texts(_CP1252_SAFE), min_size=1, max_size=5),
+    st.sampled_from(["classic", "stream"]),
+    st.sampled_from([None, "rc4-128", "aes-128"]),
+)
+def test_pdf_text_multipage_mix_random(texts, xref, enc):
+    data = encode_pdf(
+        texts, [str(i) for i in range(len(texts))],
+        text_format="mix", xref_format=xref, encrypt=enc,
+    )
+    assert decode_pdf_text(data) == texts
