@@ -46,8 +46,9 @@ matrices (text or Type3 /FontMatrix) are NotImplementedError. Fonts WITHOUT /Wid
 metrics: fixed-pitch Courier, plus the proportional Helvetica and
 Times families (and their Arial/TimesNewRoman substitution aliases)
 through the public Adobe Core14 AFM tables (functions/base14.py) —
-ASCII-range glyphs only; showing a glyph outside the table is the
-declared loud boundary.
+ASCII-range glyphs plus NFD composites (accented Latin shares its
+base letter's advance in the AFMs); showing a glyph outside that is
+the declared loud boundary.
 Reference handles PDF text through `hayro` (oar-ocr Cargo.toml:20);
 this is the from-scratch vectorless twin.
 """
