@@ -894,6 +894,7 @@ def decode_pdf_text(data: bytes, line_sep: str = " ") -> list[str | None]:
 # annotations — text living OUTSIDE content streams (the forms layout)
 # ---------------------------------------------------------------------------
 
+@loud_decode("PDF annotations")
 def page_annotations(doc: PdfDocument, page: dict) -> list[dict]:
     """Extract the text carried by a page's /Annots (12.5): FreeText
     notes (/Contents) and Widget text fields (/FT /Tx — AcroForm
@@ -946,6 +947,7 @@ def page_annotations(doc: PdfDocument, page: dict) -> list[dict]:
     return out
 
 
+@loud_decode("PDF annotations")
 def decode_pdf_annotations(data: bytes) -> list[list[dict]]:
     """PDF bytes → per-page annotation text entries, document page
     order."""

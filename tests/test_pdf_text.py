@@ -1179,7 +1179,7 @@ class TestMutationFuzz:
 
         for i in range(4):
             t = f"fuzz target {i} body with words enough to vary {i * 11}"
-            for fmt in ("rot", "mix"):
+            for fmt in ("rot", "mix", "cidv"):
                 base = bytearray(
                     encode_pdf([t], [str(i)], text_format=fmt)
                 )
@@ -1189,6 +1189,14 @@ class TestMutationFuzz:
                     mut[h % len(base)] ^= 1 << ((h >> 20) & 7)
                     try:
                         decode_pdf_text(bytes(mut))
+                    except (ValueError, NotImplementedError):
+                        pass
+                    from oar_ocr_spark.functions.pdf_text import (
+                        decode_pdf_annotations,
+                    )
+
+                    try:
+                        decode_pdf_annotations(bytes(mut))
                     except (ValueError, NotImplementedError):
                         pass
 
