@@ -30,7 +30,13 @@ against the public TIFF 6.0 specification:
   bits at the image seam, the same convention as the deep JPEG/J2K
   paths), palette color (16-bit ColorMap, high byte) with 8-bit OR
   16-bit indices (indices keep full precision — only continuous-tone
-  samples are narrowed).
+  samples are narrowed), 2/4-bit greyscale and palette (the early-
+  scanner sub-byte layouts: MSB-first packed samples, rows byte-
+  padded per TIFF §4, expanded to full range by the exact 255/(2^n-1)
+  integer factor), and photometric 5 (Separated/CMYK, InkSet 1 —
+  print-workflow scans; 0 = no ink per TIFF 6.0 §16, converted with
+  the same multiplicative ink model as true-CMYK JPEG,
+  functions/jpeg._cmyk_to_rgb).
 - encoder (`encode_tiff`): strip fixture writer for bilevel / grey /
   RGB with compression none, PackBits, the fax family ("mh" / "g3" /
   "g4", bilevel only), "jpeg" (q100 baseline per strip, optionally
@@ -41,8 +47,10 @@ against the public TIFF 6.0 specification:
 
 Scope (declared, fails loudly outside it): the T.4 uncompressed-mode
 option bit, old-style JPEG's fragmented per-strip layout (compression
-6 without tag 513), planar configuration 2 on JPEG tiles, and bit
-depths other than 1/8/16 raise NotImplementedError.
+6 without tag 513), planar configuration 2 on JPEG tiles, bit depths
+other than 1/2/4/8/16, multi-sample sub-byte layouts, the predictor
+on sub-byte samples, and InkSet 2 (vendor inks) raise
+NotImplementedError.
 """
 
 from __future__ import annotations
@@ -72,7 +80,7 @@ _DESCRIPTION = 270  # ImageDescription (ASCII) — carries the media_ref
 _FILL_ORDER = 266
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
 _T4_OPTIONS, _T6_OPTIONS = 292, 293
-_PREDICTOR, _COLORMAP = 317, 320
+_PREDICTOR, _COLORMAP, _INKSET = 317, 320, 332
 _JPEG_TABLES = 347  # TIFF-EP: shared abbreviated JPEG table stream
 
 # FillOrder 2: bits within a byte arrive LSB-first (old scanner
@@ -200,6 +208,16 @@ def _jpeg_block(
     return img[:nrows, :width]
 
 
+def _unpack_subbyte(raw: bytes, nrows: int, width: int, depth: int) -> np.ndarray:
+    """Packed MSB-first sub-byte samples (each row padded to a byte
+    boundary, TIFF 6.0 §4) → (nrows, width) int64 sample values."""
+    rowbytes = (width * depth + 7) // 8
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(nrows, rowbytes)
+    bits = np.unpackbits(arr, axis=1)[:, : width * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int64)
+    return bits.reshape(nrows, width, depth).astype(np.int64) @ weights
+
+
 def _jpeg_tables_of(tags: dict) -> bytes | None:
     tables = tags.get(_JPEG_TABLES)
     if tables is None:
@@ -223,8 +241,12 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
     if len(set(bits)) != 1:
         raise NotImplementedError(f"mixed TIFF bit depths {bits} not supported")
     depth = bits[0]
-    if depth not in (1, 8, 16):
+    if depth not in (1, 2, 4, 8, 16):
         raise NotImplementedError(f"TIFF bit depth {depth} not supported here")
+    if depth in (2, 4) and spp != 1:
+        raise NotImplementedError(
+            f"sub-byte TIFF with {spp} samples/pixel not supported"
+        )
     planar = tags.get(284, [1])[0]
     if planar not in (1, 2):
         raise ValueError(f"TIFF planar configuration {planar} is illegal")
@@ -278,7 +300,7 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
     if comp == 7 and depth != 8:
         raise NotImplementedError("JPEG-in-TIFF requires 8-bit samples")
     pred2 = tags.get(_PREDICTOR, [1])[0] == 2
-    if pred2 and depth == 1:
+    if pred2 and depth < 8:
         raise NotImplementedError("TIFF predictor on sub-byte samples")
     pmask = 0xFF if depth == 8 else 0xFFFF
 
@@ -351,9 +373,12 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
                 data[offs[j] : offs[j] + cnts[j]],
                 comp, tags, tl, tw, tile_spp, depth, photo, f"tile {j}",
             )
-            t = np.frombuffer(
-                packed, dtype=np.uint8 if depth == 8 else bo + "u2"
-            ).reshape(tl, tw, tile_spp).astype(np.int64)
+            if depth in (2, 4):  # spp == 1 enforced above
+                t = _unpack_subbyte(packed, tl, tw, depth)[..., None]
+            else:
+                t = np.frombuffer(
+                    packed, dtype=np.uint8 if depth == 8 else bo + "u2"
+                ).reshape(tl, tw, tile_spp).astype(np.int64)
             if pred2:  # horizontal differencing restarts per tile row
                 t = np.cumsum(t, axis=1) & pmask
             r, c = (i // across) * tl, (i % across) * tw
@@ -430,6 +455,9 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
         if photo == 0:  # WhiteIsZero (the fax default): 0 bit = white
             img = 255 - img
         return np.ascontiguousarray(img)
+    if depth in (2, 4):
+        sam = _unpack_subbyte(bytes(raw), h, w, depth)[..., None]
+        return _px_to_image(np.ascontiguousarray(sam), depth, photo, tags)
     sam = np.frombuffer(
         bytes(raw), dtype=np.uint8 if depth == 8 else bo + "u2"
     ).reshape(h, w, spp).astype(np.int64)
@@ -453,7 +481,11 @@ def _px_to_image(sam: np.ndarray, depth: int, photo: int, tags: dict) -> np.ndar
         if int(idx.max(initial=0)) >= n:
             raise ValueError("TIFF palette index out of range")
         return np.ascontiguousarray(cm[idx])
-    px = (sam >> 8 if depth == 16 else sam).astype(np.uint8)
+    if depth in (2, 4):
+        # exact integer range expansion: 255/(2^n-1) divides evenly
+        px = (sam * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    else:
+        px = (sam >> 8 if depth == 16 else sam).astype(np.uint8)
     if photo == 2:  # RGB (extra samples, e.g. alpha, dropped)
         if px.shape[2] < 3:
             raise ValueError("RGB TIFF with fewer than 3 samples")
@@ -463,6 +495,15 @@ def _px_to_image(sam: np.ndarray, depth: int, photo: int, tags: dict) -> np.ndar
         if photo == 0:
             g = 255 - g
         return np.ascontiguousarray(g)
+    if photo == 5:  # Separated (print-workflow CMYK scans, §16)
+        if tags.get(_INKSET, [1])[0] != 1:
+            raise NotImplementedError("TIFF InkSet 2 (vendor inks) not supported")
+        if px.shape[2] < 4:
+            raise ValueError("CMYK TIFF with fewer than 4 samples")
+        from .jpeg import _cmyk_to_rgb
+
+        # TIFF stores TRUE CMYK (0 = no ink) — the adobe=None flavor
+        return np.ascontiguousarray(_cmyk_to_rgb(px[..., :4], adobe=None))
     raise NotImplementedError(f"TIFF photometric {photo} not supported here")
 
 
@@ -748,16 +789,21 @@ def encode_tiff_multipage(
     `page_refs` are written per page as ImageDescription (tag 270,
     ASCII), the container naming its own pages the way the PDF writer
     uses /Info /Title; decode_tiff_refs is the read side. Single strip
-    per page, compression "none", "packbits" or "palette16" (grey
+    per page, compression "none", "packbits", "palette16" (grey
     values stored as 16-bit palette INDICES against an identity
     16-bit ColorMap — lossless, exercises the full-precision palette
-    index path)."""
+    index path) or "cmyk" (grey stored as K-only Separated ink,
+    photometric 5 / InkSet 1: C=M=Y=0, K=255-g, so the ink model
+    (255-C)·(255-K)/255 returns g exactly — lossless, exercises the
+    print-workflow CMYK path)."""
     if not pages:
         raise ValueError("encode_tiff_multipage needs at least one page")
     if page_refs is not None and len(page_refs) != len(pages):
         raise ValueError("page_refs length must match pages")
-    if compression not in ("none", "packbits", "palette16"):
-        raise ValueError("compression must be 'none', 'packbits' or 'palette16'")
+    if compression not in ("none", "packbits", "palette16", "cmyk"):
+        raise ValueError(
+            "compression must be 'none', 'packbits', 'palette16' or 'cmyk'"
+        )
     for p in pages:
         if p.dtype != np.uint8 or p.ndim != 2:
             raise ValueError(
@@ -770,6 +816,10 @@ def encode_tiff_multipage(
         h, w = img.shape
         if compression == "palette16":
             body = img.astype("<u2").tobytes()  # grey value = index
+        elif compression == "cmyk":
+            ink = np.zeros((h, w, 4), np.uint8)
+            ink[..., 3] = 255 - img  # K-only: decodes back to g exactly
+            body = ink.tobytes()
         else:
             body = img.tobytes()
         if compression == "packbits":
@@ -795,6 +845,9 @@ def encode_tiff_multipage(
             # planes, so the decoder's top-byte projection returns i
             ident = (np.arange(256, dtype="<u2") << 8).tobytes()
             out += ident * 3  # R plane, G plane, B plane
+        bits_off = len(out)
+        if compression == "cmyk":
+            out += struct.pack("<HHHH", 8, 8, 8, 8)  # out-of-line BitsPerSample
         strip_off = len(out)
         out += body
         if len(out) % 2:
@@ -808,19 +861,25 @@ def encode_tiff_multipage(
             return struct.pack("<H", v) + b"\x00\x00"
 
         pal16 = compression == "palette16"
+        cmyk = compression == "cmyk"
         entries: list[tuple[int, int, int, bytes]] = [
             (_W, 4, 1, long_val(w)),
             (_H, 4, 1, long_val(h)),
-            (_BITS, 3, 1, short_val(16 if pal16 else 8)),
+            (_BITS, 3, 4, long_val(bits_off))
+            if cmyk
+            else (_BITS, 3, 1, short_val(16 if pal16 else 8)),
             (_COMP, 3, 1, short_val(32773 if compression == "packbits" else 1)),
-            (_PHOTO, 3, 1, short_val(3 if pal16 else 1)),
+            (_PHOTO, 3, 1, short_val(5 if cmyk else (3 if pal16 else 1))),
             (_STRIP_OFF, 4, 1, long_val(strip_off)),
-            (_SPP, 3, 1, short_val(1)),
+            (_SPP, 3, 1, short_val(4 if cmyk else 1)),
             (_ROWS_PER_STRIP, 4, 1, long_val(h)),
             (_STRIP_CNT, 4, 1, long_val(len(body))),
         ]
         if pal16:
             entries.append((_COLORMAP, 3, 768, long_val(cmap_off)))
+        if cmyk:
+            entries.append((_INKSET, 3, 1, short_val(1)))  # InkSet: CMYK
+            entries.append((334, 3, 1, short_val(4)))  # NumberOfInks
         if desc is not None:
             val = desc.ljust(4, b"\x00") if len(desc) <= 4 else long_val(desc_off)
             entries.append((_DESCRIPTION, 2, len(desc), val))
@@ -901,8 +960,8 @@ def tiff_store_df(docs, parallelism: int | None = None):
                 # per-document container flavor, crc32-chosen like the
                 # image stores — every flavor lossless, so the span
                 # goldens are unaffected
-                comp = ("none", "packbits", "palette16")[
-                    zlib.crc32(str(doc_id).encode("utf-8")) % 3
+                comp = ("none", "packbits", "palette16", "cmyk")[
+                    zlib.crc32(str(doc_id).encode("utf-8")) % 4
                 ]
                 rows.append(
                     (

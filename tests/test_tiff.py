@@ -343,15 +343,16 @@ class TestMultipageContainer:
             rng.integers(0, 256, (4, 4)).astype(np.uint8),
         ]
         refs = ["doc:1#a", "x", "a-much-longer-media-ref-0123456789"]
-        for comp in ("none", "packbits", "palette16"):
+        for comp in ("none", "packbits", "palette16", "cmyk"):
             data = encode_tiff_multipage(pages, refs, compression=comp)
             # deterministic bytes
             assert data == encode_tiff_multipage(pages, refs, compression=comp)
             out = decode_tiff_pages(data)
             assert len(out) == 3
-            if comp == "palette16":
-                # identity 16-bit ColorMap: pages come back as equal-
-                # channel RGB, exactly the grey values
+            if comp in ("palette16", "cmyk"):
+                # palette16 (identity ColorMap) and cmyk (K-only ink)
+                # pages come back as equal-channel RGB, exactly the
+                # grey values
                 out = [p[:, :, 0] for p in out]
                 assert all(
                     (p == q[:, :, 0]).all() and (p == q[:, :, 2]).all()
@@ -362,7 +363,12 @@ class TestMultipageContainer:
             # first-page laziness contract still holds on the chain
             first = decode_tiff(data)
             assert (
-                (first if comp != "palette16" else first[:, :, 0]) == pages[0]
+                (
+                    first
+                    if comp not in ("palette16", "cmyk")
+                    else first[:, :, 0]
+                )
+                == pages[0]
             ).all()
 
     def test_refs_none_when_any_page_unnamed(self):
@@ -961,3 +967,124 @@ class TestDeepPaletteAndPlanarTiles:
         )
         with pytest.raises(NotImplementedError, match="planar"):
             decode_tiff(data)
+
+
+def _pack_subbyte_rows(vals: np.ndarray, depth: int) -> bytes:
+    """(h, w) ints < 2^depth → MSB-first packed bytes, rows byte-padded
+    (the test-side inverse of tiff._unpack_subbyte)."""
+    h, w = vals.shape
+    bits = ((vals[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(np.uint8)
+    return np.packbits(bits.reshape(h, w * depth), axis=1).tobytes()
+
+
+def _strip_le(w, h, strip, bits=(8,), photo=1, extra_tags=()):
+    """Hand-build a single-strip little-endian TIFF (two passes to
+    learn the strip offset, same scheme as the other foreign layouts)."""
+    tags = [
+        (256, 4, 1, struct.pack("<I", w)),
+        (257, 4, 1, struct.pack("<I", h)),
+        (258, 3, len(bits), struct.pack("<" + "H" * len(bits), *bits)),
+        (259, 3, 1, struct.pack("<H", 1)),
+        (262, 3, 1, struct.pack("<H", photo)),
+        (273, 4, 1, None),
+        (277, 3, 1, struct.pack("<H", len(bits))),
+        (278, 4, 1, struct.pack("<I", h)),
+        (279, 4, 1, struct.pack("<I", len(strip))),
+        *extra_tags,
+    ]
+    probe = [
+        (t, ty, c, v if v is not None else b"\x00\x00\x00\x00")
+        for t, ty, c, v in tags
+    ]
+    _, strips_at = _ifd_le(probe, [strip])
+    final = [
+        (t, ty, c, struct.pack("<I", strips_at) if v is None else v)
+        for t, ty, c, v in tags
+    ]
+    data, _ = _ifd_le(final, [strip])
+    return data
+
+
+class TestSubByteAndSeparated:
+    """2/4-bit early-scanner layouts and photometric 5 (CMYK)."""
+
+    def test_grey4_strips_both_polarities(self):
+        rng = _rng()
+        vals = rng.integers(0, 16, (5, 7)).astype(np.uint8)
+        strip = _pack_subbyte_rows(vals, 4)
+        for photo in (0, 1):
+            data = _strip_le(7, 5, strip, bits=(4,), photo=photo)
+            want = vals * 17 if photo == 1 else 255 - vals * 17
+            got = decode_tiff(data)
+            assert got.dtype == np.uint8 and got.shape == (5, 7)
+            assert (got == want).all()
+
+    def test_grey2_strip(self):
+        rng = _rng()
+        vals = rng.integers(0, 4, (3, 9)).astype(np.uint8)
+        data = _strip_le(9, 3, _pack_subbyte_rows(vals, 2), bits=(2,))
+        assert (decode_tiff(data) == vals * 85).all()
+
+    def test_palette4(self):
+        rng = _rng()
+        n = 16
+        cmap16 = rng.integers(0, 65536, (3, n)).astype(np.uint16)
+        idx = rng.integers(0, n, (4, 5)).astype(np.uint8)
+        data = _strip_le(
+            5, 4, _pack_subbyte_rows(idx, 4), bits=(4,), photo=3,
+            extra_tags=[(320, 3, 3 * n, cmap16.astype("<u2").tobytes())],
+        )
+        want = (cmap16.T >> 8).astype(np.uint8)[idx]
+        assert (decode_tiff(data) == want).all()
+
+    def test_grey4_tiled(self):
+        rng = _rng()
+        img4 = rng.integers(0, 16, (6, 5)).astype(np.uint8)
+        tiles = []
+        for r in range(0, 6, 4):
+            for c in range(0, 5, 4):
+                block = np.zeros((4, 4), np.uint8)
+                part = img4[r : r + 4, c : c + 4]
+                block[: part.shape[0], : part.shape[1]] = part
+                tiles.append(_pack_subbyte_rows(block, 4))
+        data = _tiled_le(5, 6, 4, 4, tiles, bits=(4,))
+        assert (decode_tiff(data) == img4 * 17).all()
+
+    def test_cmyk_strip_8_bit(self):
+        rng = _rng()
+        ink = rng.integers(0, 256, (4, 6, 4)).astype(np.uint8)
+        data = _strip_le(6, 4, ink.tobytes(), bits=(8,) * 4, photo=5)
+        inv = 255.0 - ink[..., :3].astype(np.float64)
+        k = 255.0 - ink[..., 3].astype(np.float64)
+        want = np.clip(np.round(inv * k[..., None] / 255.0), 0, 255).astype(np.uint8)
+        got = decode_tiff(data)
+        assert got.shape == (4, 6, 3) and (got == want).all()
+
+    def test_cmyk_strip_16_bit_projects_top_byte(self):
+        rng = _rng()
+        ink16 = rng.integers(0, 65536, (3, 4, 4)).astype("<u2")
+        data = _strip_le(4, 3, ink16.tobytes(), bits=(16,) * 4, photo=5)
+        px = (ink16 >> 8).astype(np.uint8)
+        inv = 255.0 - px[..., :3].astype(np.float64)
+        k = 255.0 - px[..., 3].astype(np.float64)
+        want = np.clip(np.round(inv * k[..., None] / 255.0), 0, 255).astype(np.uint8)
+        assert (decode_tiff(data) == want).all()
+
+    def test_declared_guards(self):
+        rng = _rng()
+        ink = rng.integers(0, 256, (2, 3, 4)).astype(np.uint8)
+        with pytest.raises(NotImplementedError, match="InkSet 2"):
+            decode_tiff(_strip_le(
+                3, 2, ink.tobytes(), bits=(8,) * 4, photo=5,
+                extra_tags=[(332, 3, 1, struct.pack("<H", 2))],
+            ))
+        vals = rng.integers(0, 16, (2, 3)).astype(np.uint8)
+        with pytest.raises(NotImplementedError, match="3 samples"):
+            decode_tiff(_strip_le(3, 2, b"\x00" * 12, bits=(4,) * 3, photo=2))
+        with pytest.raises(NotImplementedError, match="sub-byte"):
+            decode_tiff(_strip_le(
+                3, 2, _pack_subbyte_rows(vals, 4), bits=(4,),
+                extra_tags=[(317, 3, 1, struct.pack("<H", 2))],
+            ))
+        with pytest.raises(NotImplementedError, match="depth 3"):
+            decode_tiff(_strip_le(3, 2, b"\x00" * 4, bits=(3,)))
