@@ -85,10 +85,14 @@ context RESET on pass boundaries, VERTICALLY-CAUSAL context formation
 (D.7.2), and SEGMENTATION SYMBOLS after each cleanup (D.5 — decode
 verifies the 1010 and fails loudly on corruption).
 
-Scope (declared): grey or RGB. Per-tile coding overrides, offset
-grids, precincts smaller than the code-block grid,
-predictable-termination style, and mixed-depth or mixed-sign
-components raise NotImplementedError.
+Scope (declared): grey or RGB, incl. SUBSAMPLED chroma (XRsiz/YRsiz
+2 or 4 — the 4:2:0/4:2:2 layouts lossy archival scanners emit):
+per-component tile grids and band layouts, sample-and-hold
+replication back onto the reference grid before the inverse MCT;
+`encode_j2k(subsampling=(yr, xr))` writes the decimated twin. Per-tile
+coding overrides, offset grids, precincts smaller than the code-block
+grid (or combined with subsampling), predictable-termination style,
+and mixed-depth or mixed-sign components raise NotImplementedError.
 Encoder and decoder share every table; the 5/3 path is exercised as
 exact-roundtrip twins, the 9/7 path as error-bounded twins (test_jp2),
 like the engine's other codec seams.
@@ -1993,6 +1997,7 @@ def encode_j2k(
     cblk: int | tuple[int, int] = _CBLK,
     chroma_delta: float | None = None,
     tile_quant: dict | None = None,
+    subsampling: tuple[int, int] | None = None,
 ) -> bytes:
     """(H,W) grey / (H,W,3) RGB, uint8 or uint16 → JPEG 2000
     codestream (SOC..EOC), EBCOT Tier-1/2. `tile_parts` > 1 splits
@@ -2067,7 +2072,16 @@ def encode_j2k(
     A.6.4/A.6.5 precedence chain tile-QCC > tile-QCD > main-QCC >
     main-QCD); an (L, C) tuple adds tile QCCs quantizing chroma at
     step C — the region-of-interest layout geospatial encoders use to
-    spend bits where the detail is."""
+    spend bits where the detail is.
+
+    `subsampling=(yr, xr)` (RGB only; factors 1/2/4) decimates
+    components 1-2 AFTER the color transform — (2, 2) is 4:2:0,
+    (1, 2) is 4:2:2, the layouts lossy archival scanners emit — and
+    signals per-component XRsiz/YRsiz in SIZ. The decoder replicates
+    chroma back onto the reference grid before the inverse transform,
+    so reference-grid-sampled positions roundtrip exactly (bit-exact
+    on the 5/3 path). Not combinable with `precinct`; `tile_size`
+    must be a multiple of both factors."""
     if signed:
         if img.dtype not in (np.int8, np.int16) or img.ndim not in (2, 3):
             raise ValueError(
@@ -2111,6 +2125,25 @@ def encode_j2k(
             raise ValueError("tile_quant applies to the irreversible path only")
         if tile_size is None:
             raise ValueError("tile_quant needs a tile grid (tile_size)")
+    if subsampling is not None and tuple(subsampling) == (1, 1):
+        subsampling = None
+    if subsampling is not None:
+        yr_s, xr_s = int(subsampling[0]), int(subsampling[1])
+        if img.ndim != 3:
+            raise ValueError("subsampling applies to 3-component images")
+        if yr_s not in (1, 2, 4) or xr_s not in (1, 2, 4):
+            raise ValueError(
+                f"subsampling factors must be 1/2/4, got {subsampling}"
+            )
+        if precinct is not None:
+            raise NotImplementedError(
+                "precincts with subsampled components not supported"
+            )
+        if tile_size is not None and (tile_size % yr_s or tile_size % xr_s):
+            raise ValueError(
+                "tile_size must be a multiple of the subsampling factors "
+                "(empty edge tile-components otherwise)"
+            )
     shifted = img.astype(np.float64 if irreversible else np.int64)
     if not signed:  # DC level shift (B.1.1) applies to unsigned data only
         shifted = shifted - (1 << (precision - 1))
@@ -2122,6 +2155,14 @@ def encode_j2k(
         comps = list(xform(shifted[..., 0], shifted[..., 1], shifted[..., 2]))
         mct = 1
 
+    comp_sub = [(1, 1)] * (1 if img.ndim == 2 else 3)
+    if subsampling is not None:
+        # chroma decimation AFTER the color transform (the standard
+        # 4:2:0/4:2:2 recipe); the decoder replicates back onto the
+        # reference grid before the inverse transform
+        comp_sub = [(1, 1), (yr_s, xr_s), (yr_s, xr_s)]
+        comps[1] = np.ascontiguousarray(comps[1][::yr_s, ::xr_s])
+        comps[2] = np.ascontiguousarray(comps[2][::yr_s, ::xr_s])
     fwd1d = _fwd_97_1d if irreversible else None
     bandq, sqcd = _band_quant(levels, irreversible, delta, derived, precision)
     xt = min(tile_size, w) if tile_size else w
@@ -2166,9 +2207,10 @@ def encode_j2k(
     out = bytearray(struct.pack(">H", _SOC))
     siz = struct.pack(
         ">HIIIIIIII H", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp
-    ) + bytes(
-        [(precision - 1) | (0x80 if signed else 0), 1, 1]
-    ) * ncomp  # Ssiz = P-1 (+sign bit), 1x1 sampling
+    ) + b"".join(
+        bytes([(precision - 1) | (0x80 if signed else 0), xr_c, yr_c])
+        for yr_c, xr_c in comp_sub
+    )  # Ssiz = P-1 (+sign bit), XRsiz/YRsiz separation
     out += _marker_seg(0xFF51, siz)
     progs = {"lrcp": 0, "rlcp": 1, "rpcl": 2, "pcrl": 3, "cprl": 4}
     if prog not in progs:
@@ -2237,7 +2279,11 @@ def encode_j2k(
     for t in range(ntx * nty):
         ty, tx = divmod(t, ntx)
         y0, x0 = ty * yt, tx * xt
-        tile_comps = [c[y0 : min(y0 + yt, h), x0 : min(x0 + xt, w)] for c in comps]
+        y1, x1 = min(y0 + yt, h), min(x0 + xt, w)
+        tile_comps = [
+            c[-(-y0 // yr_c) : -(-y1 // yr_c), -(-x0 // xr_c) : -(-x1 // xr_c)]
+            for (yr_c, xr_c), c in zip(comp_sub, comps)
+        ]
         tile_q = tile_bandqs.get(t, main_q)
         if layers > 1 or plist is not None or style:
             packets, bounds = _encode_tile_layer_packets(
@@ -2349,8 +2395,8 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
     convention as decode_jpeg's SOF3 path). Fails loudly
     (NotImplementedError) on the declared out-of-scope features:
     per-tile/component CODING overrides (COD/COC/POC), offset grids,
-    precincts smaller than the code-block grid,
-    predictable-termination style, subsampled or mixed-sign
+    precincts smaller than the code-block grid or combined with
+    subsampled components, predictable-termination style, mixed-sign
     components. All five progression orders, multi-layer (including
     STYLED multi-layer: segment portions split across layer
     contributions reassemble before Tier-1 decode), precinct
@@ -2410,6 +2456,7 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
         raise NotImplementedError(f"JPEG 2000 with {ncomp} components not supported")
     precision = None
     signed = None
+    sub = []  # per-component (YRsiz, XRsiz) separations on the grid
     for c in range(ncomp):
         ssiz, xr, yr = siz[36 + 3 * c], siz[37 + 3 * c], siz[38 + 3 * c]
         p = (ssiz & 0x7F) + 1
@@ -2421,8 +2468,12 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
             raise NotImplementedError(
                 "JPEG 2000 mixed-depth or mixed-sign components not supported"
             )
-        if xr != 1 or yr != 1:
-            raise NotImplementedError("JPEG 2000 subsampled components not supported")
+        if not (1 <= xr <= 8 and 1 <= yr <= 8):
+            raise NotImplementedError(
+                f"JPEG 2000 component separation {xr}x{yr} not supported"
+            )
+        sub.append((yr, xr))
+    subsampled = any(s != (1, 1) for s in sub)
     h, w = ys, xs
     if h == 0 or w == 0 or int(h) * int(w) > 1 << 30:
         # sanity cap (1 gigapixel) — a corrupt SIZ otherwise reaches
@@ -2480,6 +2531,13 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
                     "grid not supported"
                 )
             pp.append((ppy, ppx))
+    if subsampled and pp is not None:
+        # per-component precinct grids + the B.12.1.4 component-pitch
+        # position steps — a different packet sequence; skipping would
+        # misparse every packet
+        raise NotImplementedError(
+            "JPEG 2000 precincts with subsampled components not supported"
+        )
     # per-component {(r, k): (Mb, Δ or None)}: QCD for every component,
     # overridden where a main-header QCC names one (A.6.5 precedence)
     q_main = _parse_quant(qcd, irreversible, levels, precision)
@@ -2497,8 +2555,11 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
 
     inv1d = _inv_97_1d if irreversible else None
     planes = [
-        np.zeros((h, w), dtype=np.float64 if irreversible else np.int64)
-        for _ in range(ncomp)
+        np.zeros(
+            (-(-h // yr), -(-w // xr)),
+            dtype=np.float64 if irreversible else np.int64,
+        )
+        for yr, xr in sub
     ]
     def new_tile(isot: int) -> dict:
         """Lazy per-tile decode state: band layout, per-precinct
@@ -2510,7 +2571,20 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
         ty_, tx_ = divmod(isot, ntx)
         th = min(yt, h - ty_ * yt)
         tw = min(xt, w - tx_ * xt)
-        layout_t = _band_layout(th, tw, levels)
+        ty0, tx0 = ty_ * yt, tx_ * xt
+        # per-component tile bounds on each component's own grid
+        # (B.3 with zero offsets: ceil-divide the reference-grid span)
+        cdims, layouts = [], []
+        for yr, xr in sub:
+            cy0, cy1 = -(-ty0 // yr), -(-(ty0 + th) // yr)
+            cx0, cx1 = -(-tx0 // xr), -(-(tx0 + tw) // xr)
+            if cy1 <= cy0 or cx1 <= cx0:
+                raise NotImplementedError(
+                    "JPEG 2000 empty tile-component (edge tile thinner "
+                    "than the subsampling step) not supported"
+                )
+            cdims.append((cy0, cy1, cx0, cx1))
+            layouts.append(_band_layout(cy1 - cy0, cx1 - cx0, levels))
         states = {}
         grids_by = {}
         precincts = {}
@@ -2526,7 +2600,7 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
                 ]
         for r, ci in _packet_order(levels, ncomp, False):
             band_blocks = []
-            for orient, bh, bw_ in layout_t[r]:
+            for orient, bh, bw_ in layouts[ci][r]:
                 rows, cols = _cblk_grid(bh, bw_, cb)
                 blocks = [
                     {"first": None, "zbp": 0, "npasses": 0,
@@ -2561,7 +2635,7 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
                 states[(r, ci, pi, pj)] = band_states
         keys = _packet_sequence(levels, ncomp, layers, prog, precincts, pp)
         return {
-            "pos": (ty_, tx_), "dims": (th, tw), "layout": layout_t,
+            "pos": (ty_, tx_), "cdims": cdims, "layouts": layouts,
             "states": states, "grids": grids_by, "keys": keys,
             "cursor": 0, "parts": 0, "band_q": band_q,
         }
@@ -2664,14 +2738,11 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
             raise ValueError(
                 f"tile {isot} is missing packets ({t['cursor']}/{len(t['keys'])})"
             )
-        ty_, tx_ = t["pos"]
-        th, tw = t["dims"]
-        layout_t = t["layout"]
         comp_bands = [[None] * (levels + 1) for _ in range(ncomp)]
         for r, ci in _packet_order(levels, ncomp, False):
             bands_here = []
             for k, ((orient, bh, bw_), bb) in enumerate(
-                zip(layout_t[r], t["grids"][(r, ci)])
+                zip(t["layouts"][ci][r], t["grids"][(r, ci)])
             ):
                 mb, d = t["band_q"][ci][(r, k)]
                 band = np.zeros(
@@ -2711,9 +2782,21 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
             else:
                 comp_bands[ci][r] = tuple(bands_here)
         for ci in range(ncomp):
-            planes[ci][
-                ty_ * yt : ty_ * yt + th, tx_ * xt : tx_ * xt + tw
-            ] = _inv_dwt(comp_bands[ci], (th, tw), inv1d)
+            cy0, cy1, cx0, cx1 = t["cdims"][ci]
+            planes[ci][cy0:cy1, cx0:cx1] = _inv_dwt(
+                comp_bands[ci], (cy1 - cy0, cx1 - cx0), inv1d
+            )
+    if subsampled:
+        # sample-and-hold replication back onto the reference grid
+        # (upsampling is renderer-defined in Part 1; replication keeps
+        # sampled positions exact), BEFORE any inverse MCT so the
+        # transform sees co-sited full-grid planes
+        planes = [
+            p.repeat(yr, axis=0).repeat(xr, axis=1)[:h, :w]
+            if (yr, xr) != (1, 1)
+            else p
+            for p, (yr, xr) in zip(planes, sub)
+        ]
     if ncomp == 1:
         out = planes[0]
     else:
@@ -2774,6 +2857,7 @@ def encode_jp2(
     cblk: int | tuple[int, int] = _CBLK,
     chroma_delta: float | None = None,
     tile_quant: dict | None = None,
+    subsampling: tuple[int, int] | None = None,
 ) -> bytes:
     """uint8/uint16 (or int8/int16 with signed=True) image → minimal
     JP2 file (signature / ftyp / jp2h / jp2c boxes around the
@@ -2782,7 +2866,7 @@ def encode_jp2(
         img, levels, irreversible, delta, derived, tile_size, precision, sop, eph,
         prog, layers, precinct, signed=signed, bypass=bypass, reset=reset,
         termall=termall, causal=causal, segsym=segsym, cblk=cblk,
-        chroma_delta=chroma_delta, tile_quant=tile_quant,
+        chroma_delta=chroma_delta, tile_quant=tile_quant, subsampling=subsampling,
     )
     if precision is None:
         precision = 8 if img.dtype.itemsize == 1 else 16

@@ -360,6 +360,14 @@ def jp2_payload_for_ref(ref: str, page=None) -> bytes:
     # refs, the digital-cinema 32x32 and a rectangular low-latency
     # layout for a quarter each (all compose with every flavor above)
     resync["cblk"] = (64, 64, 32, (32, 64))[(h >> 23) & 3]
+    if (h >> 27) & 1 and "precinct" not in resync:
+        # CHROMA-SUBSAMPLED colour flavor (XRsiz/YRsiz — 4:2:0 or
+        # 4:2:2, the layouts lossy archival scanners emit): the grey
+        # page expands to equal-channel RGB, whose chroma is zero, so
+        # decimation loses nothing and the 5/3 refs stay bit-exact.
+        # Declared scope: not combinable with precincts.
+        resync["subsampling"] = (2, 2) if (h >> 28) & 1 else (1, 2)
+        page = np.repeat(page[:, :, None], 3, axis=2)
     if h & 8:
         if ts and (h >> 25) & 1:
             # per-tile QCD override (A.6.4 precedence, first-part-only

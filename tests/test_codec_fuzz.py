@@ -47,11 +47,15 @@ def page():
 def test_jp2_fuzz(page):
     from oar_ocr_spark.functions.jp2 import decode_jp2, encode_j2k, encode_jp2
 
+    import numpy as np
+
+    rgb = np.repeat(page[:, :, None], 3, axis=2)
     _fuzz(
         [
             encode_jp2(page, tile_size=96),
             encode_j2k(page, sop=True, eph=True),
             encode_j2k(page, irreversible=True, prog="pcrl"),
+            encode_j2k(rgb, subsampling=(2, 2), tile_size=96),
         ],
         decode_jp2,
     )

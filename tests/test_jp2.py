@@ -301,7 +301,7 @@ class TestStoreFlavor:
         import zlib
 
         from oar_ocr_spark.functions.jp2 import JP2_SIG
-        from oar_ocr_spark.functions.multimodal import jp2_payload_for_ref
+        from oar_ocr_spark.functions.multimodal import _to_grey, jp2_payload_for_ref
 
         refs = [f"{40 + i}_m{i % 4}" for i in range(12)]
         modes = set()
@@ -315,7 +315,9 @@ class TestStoreFlavor:
                 assert data[:12] == JP2_SIG
             else:
                 assert data[:2] == b"\xffO"
-            out = decode_jp2(data)
+            # the seam greys colour decodes (the subsampled colour
+            # flavor comes back as equal-channel RGB — exact on grey)
+            out = _to_grey(decode_jp2(data))
             if h & 8:
                 modes.add("97")
                 # worst flavor: derived + delta 0.5 + 3 levels (the
@@ -1355,3 +1357,87 @@ class TestNonUniformPrecincts:
         code[i + 15] = 0x66  # 2^(6-1)=32 < 64 block at resolution 1
         with pytest.raises(NotImplementedError, match="smaller than"):
             decode_j2k(bytes(code))
+
+
+class TestSubsampledComponents:
+    """XRsiz/YRsiz chroma separation — the lossy archival 4:2:0/4:2:2
+    layouts. Closed-form model: forward RCT, decimate chroma,
+    replicate back, inverse RCT (sample-and-hold is the decoder's
+    documented upsampling)."""
+
+    @staticmethod
+    def _model(img, yr, xr):
+        r, g, b = (img[..., i].astype(np.int64) - 128 for i in range(3))
+        y = (r + 2 * g + b) >> 2
+        u, v = b - g, r - g
+        h, w = img.shape[:2]
+        u = u[::yr, ::xr].repeat(yr, 0).repeat(xr, 1)[:h, :w]
+        v = v[::yr, ::xr].repeat(yr, 0).repeat(xr, 1)[:h, :w]
+        g2 = y - ((u + v) >> 2)
+        out = np.stack([v + g2, g2, u + g2], -1) + 128
+        return np.clip(out, 0, 255).astype(np.uint8)
+
+    @pytest.fixture(scope="class")
+    def img(self):
+        return np.random.default_rng(7).integers(0, 256, (21, 34, 3)).astype(np.uint8)
+
+    def test_all_factor_pairs_match_model_exactly(self, img):
+        for yr, xr in ((2, 2), (1, 2), (2, 1), (4, 2), (4, 4)):
+            out = decode_j2k(encode_j2k(img, subsampling=(yr, xr)))
+            assert (out == self._model(img, yr, xr)).all(), (yr, xr)
+            # reference-grid-sampled positions are bit-exact
+            assert (out[::yr, ::xr] == img[::yr, ::xr]).all(), (yr, xr)
+
+    def test_tiled_and_edge_tiles(self, img):
+        # 21x34 with 16px tiles: clipped edge tiles exercise the
+        # per-component ceil-divided tile bounds
+        out = decode_j2k(encode_j2k(img, subsampling=(2, 2), tile_size=16))
+        assert (out == self._model(img, 2, 2)).all()
+
+    def test_composes_with_layers_styles_progressions(self, img):
+        want = self._model(img, 2, 2)
+        for kw in (
+            dict(layers=3),
+            dict(bypass=True, segsym=True),
+            dict(prog="pcrl"),
+            dict(prog="cprl", tile_size=16),
+            dict(tile_parts=2, tile_size=16),
+            dict(sop=True, eph=True),
+            dict(levels=0),
+            dict(levels=4),
+        ):
+            out = decode_j2k(encode_j2k(img, subsampling=(2, 2), **kw))
+            assert (out == want).all(), kw
+
+    def test_irreversible_420_sampled_positions_close(self, img):
+        out = decode_jp2(encode_jp2(img, irreversible=True, subsampling=(2, 2)))
+        err = np.abs(
+            out[::2, ::2].astype(np.int64) - img[::2, ::2].astype(np.int64)
+        )
+        assert err.max() <= 2  # 9/7+ICT rounding at co-sited samples
+
+    def test_real_page_via_container(self):
+        page = render_page("33_m0")
+        rgb = np.stack([page] * 3, axis=-1)
+        out = decode_jp2(encode_jp2(rgb, subsampling=(2, 2)))
+        # grey pages have zero chroma: subsampling loses nothing
+        assert (out == rgb).all()
+
+    def test_guards(self, img):
+        with pytest.raises(NotImplementedError, match="precincts with subsampled"):
+            encode_j2k(img, subsampling=(2, 2), precinct=7)
+        with pytest.raises(ValueError, match="multiple of the subsampling"):
+            encode_j2k(img, subsampling=(2, 2), tile_size=17)
+        with pytest.raises(ValueError, match="3-component"):
+            encode_j2k(img[..., 0], subsampling=(2, 2))
+        with pytest.raises(ValueError, match="factors must be 1/2/4"):
+            encode_j2k(img, subsampling=(3, 2))
+        # decoder-side guard: a precinct stream whose SIZ claims
+        # subsampling must refuse rather than misparse every packet
+        data = bytearray(encode_j2k(img, precinct=7))
+        assert data[46] == 1  # comp 1 XRsiz
+        data[46] = 2
+        with pytest.raises(NotImplementedError, match="precincts with subsampled"):
+            decode_j2k(bytes(data))
+        # (1, 1) is a no-op, byte-identical to the unsubsampled stream
+        assert encode_j2k(img, subsampling=(1, 1)) == encode_j2k(img)

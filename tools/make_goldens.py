@@ -296,11 +296,13 @@ def _jp2_feature_row(ref: str) -> tuple:
 
     from oar_ocr_spark.fixtures.render import render_page
     from oar_ocr_spark.functions.jp2 import decode_jp2
-    from oar_ocr_spark.functions.multimodal import jp2_payload_for_ref
+    from oar_ocr_spark.functions.multimodal import _to_grey, jp2_payload_for_ref
     from oar_ocr_spark.local_ref import ExtractConfig, detect_page, preprocess_page
 
     cfg = ExtractConfig()
-    img = decode_jp2(jp2_payload_for_ref(ref, render_page(ref)))
+    # _to_grey mirrors the seam's dispatch (identity on grey flavors,
+    # exact on the subsampled colour flavor's equal-channel RGB)
+    img = _to_grey(decode_jp2(jp2_payload_for_ref(ref, render_page(ref))))
     upright, _ = preprocess_page(img, cfg)
     boxes, _ = detect_page(upright, cfg)
     return (
