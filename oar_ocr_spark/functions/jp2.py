@@ -89,10 +89,14 @@ Scope (declared): grey or RGB, incl. SUBSAMPLED chroma (XRsiz/YRsiz
 2 or 4 — the 4:2:0/4:2:2 layouts lossy archival scanners emit):
 per-component tile grids and band layouts, sample-and-hold
 replication back onto the reference grid before the inverse MCT;
-`encode_j2k(subsampling=(yr, xr))` writes the decimated twin. Per-tile
-coding overrides, offset grids, precincts smaller than the code-block
-grid (or combined with subsampling), predictable-termination style,
-and mixed-depth or mixed-sign components raise NotImplementedError.
+`encode_j2k(subsampling=(yr, xr))` writes the decimated twin. OFFSET
+grids in the crop layout (XOsiz/YOsiz with the tile anchor at the
+region origin, lattice-aligned) decode by exact translation;
+`encode_j2k(origin=(yo, xo))` writes them. Per-tile coding overrides,
+off-origin tile anchors, lattice-misaligned offsets, precincts smaller
+than the code-block grid (or combined with subsampling),
+predictable-termination style, and mixed-depth or mixed-sign
+components raise NotImplementedError.
 Encoder and decoder share every table; the 5/3 path is exercised as
 exact-roundtrip twins, the 9/7 path as error-bounded twins (test_jp2),
 like the engine's other codec seams.
@@ -1998,6 +2002,7 @@ def encode_j2k(
     chroma_delta: float | None = None,
     tile_quant: dict | None = None,
     subsampling: tuple[int, int] | None = None,
+    origin: tuple[int, int] | None = None,
 ) -> bytes:
     """(H,W) grey / (H,W,3) RGB, uint8 or uint16 → JPEG 2000
     codestream (SOC..EOC), EBCOT Tier-1/2. `tile_parts` > 1 splits
@@ -2081,7 +2086,15 @@ def encode_j2k(
     chroma back onto the reference grid before the inverse transform,
     so reference-grid-sampled positions roundtrip exactly (bit-exact
     on the 5/3 path). Not combinable with `precinct`; `tile_size`
-    must be a multiple of both factors."""
+    must be a multiple of both factors.
+
+    `origin=(yo, xo)` writes a nonzero XOsiz/YOsiz image offset with
+    the tile grid anchored at the region origin (XTOsiz = XOsiz — the
+    CROP layout, A.5.1/B.3): the image region is [xo, xo+W) x
+    [yo, yo+H) on a larger reference grid. Offsets must sit on the
+    decomposition/subsampling lattice (multiples of XRsiz·2^levels /
+    YRsiz·2^levels), where the translation to the zero-offset layout
+    is exact — decode equals the unoffset stream bit-for-bit."""
     if signed:
         if img.dtype not in (np.int8, np.int16) or img.ndim not in (2, 3):
             raise ValueError(
@@ -2143,6 +2156,18 @@ def encode_j2k(
             raise ValueError(
                 "tile_size must be a multiple of the subsampling factors "
                 "(empty edge tile-components otherwise)"
+            )
+    yo_o = xo_o = 0
+    if origin is not None:
+        yo_o, xo_o = int(origin[0]), int(origin[1])
+        if yo_o < 0 or xo_o < 0:
+            raise ValueError(f"origin offsets must be >= 0, got {origin}")
+        unit_y = (subsampling[0] if subsampling is not None else 1) << levels
+        unit_x = (subsampling[1] if subsampling is not None else 1) << levels
+        if yo_o % unit_y or xo_o % unit_x:
+            raise ValueError(
+                f"origin {origin} must sit on the decomposition/"
+                f"subsampling lattice (multiples of {unit_y}x{unit_x})"
             )
     shifted = img.astype(np.float64 if irreversible else np.int64)
     if not signed:  # DC level shift (B.1.1) applies to unsigned data only
@@ -2206,7 +2231,8 @@ def encode_j2k(
             tile_bandqs[int(t)] = eff
     out = bytearray(struct.pack(">H", _SOC))
     siz = struct.pack(
-        ">HIIIIIIII H", 0, w, h, 0, 0, xt, yt, 0, 0, ncomp
+        ">HIIIIIIII H",
+        0, xo_o + w, yo_o + h, xo_o, yo_o, xt, yt, xo_o, yo_o, ncomp,
     ) + b"".join(
         bytes([(precision - 1) | (0x80 if signed else 0), xr_c, yr_c])
         for yr_c, xr_c in comp_sub
@@ -2394,10 +2420,10 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
     2^(P-1), then top 8 bits for P>8, left-aligned for P<8 (the same
     convention as decode_jpeg's SOF3 path). Fails loudly
     (NotImplementedError) on the declared out-of-scope features:
-    per-tile/component CODING overrides (COD/COC/POC), offset grids,
-    precincts smaller than the code-block grid or combined with
-    subsampled components, predictable-termination style, mixed-sign
-    components. All five progression orders, multi-layer (including
+    per-tile/component CODING overrides (COD/COC/POC), off-origin or
+    lattice-misaligned offset grids, precincts smaller than the
+    code-block grid or combined with subsampled components,
+    predictable-termination style, mixed-sign components. All five progression orders, multi-layer (including
     STYLED multi-layer: segment portions split across layer
     contributions reassemble before Tier-1 decode), precinct
     partitions (per-resolution and rectangular sizes included),
@@ -2450,8 +2476,21 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
         raise ValueError("JPEG 2000 missing SIZ/COD/QCD")
 
     rsiz, xs, ys, xo, yo, xt, yt, xto, yto, ncomp = struct.unpack(">HIIIIIIIIH", siz[:36])
-    if xo or yo or xto or yto:
-        raise NotImplementedError("JPEG 2000 offset grids not supported")
+    if xo >= xs or yo >= ys:
+        raise ValueError("JPEG 2000 image offsets leave an empty region")
+    if (xto, yto) != (xo, yo):
+        # the decodable offset shape is the CROP layout (tile grid
+        # anchored at the region origin): everything translates to the
+        # zero-offset lattice. An anchor below the origin clips the
+        # first tile row/column — a different tile geometry, declared
+        # out of scope (decoding it as translated would misparse).
+        raise NotImplementedError(
+            "JPEG 2000 offset grids with the tile anchor off the image "
+            "origin not supported"
+        )
+    # alignment with the decomposition/subsampling lattice is checked
+    # below once COD's level count is known (origin parity changes the
+    # B.5 band split; only lattice-aligned origins translate exactly)
     if ncomp not in (1, 3):
         raise NotImplementedError(f"JPEG 2000 with {ncomp} components not supported")
     precision = None
@@ -2474,7 +2513,7 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
             )
         sub.append((yr, xr))
     subsampled = any(s != (1, 1) for s in sub)
-    h, w = ys, xs
+    h, w = ys - yo, xs - xo
     if h == 0 or w == 0 or int(h) * int(w) > 1 << 30:
         # sanity cap (1 gigapixel) — a corrupt SIZ otherwise reaches
         # the allocator before any bounds check can
@@ -2538,6 +2577,16 @@ def decode_j2k(data: bytes, deep: bool = False) -> np.ndarray:
         raise NotImplementedError(
             "JPEG 2000 precincts with subsampled components not supported"
         )
+    if xo or yo:
+        for yr, xr in sub:
+            if xo % (xr << levels) or yo % (yr << levels):
+                # a lattice-misaligned origin flips the B.5 band-split
+                # parity; only aligned origins translate to the
+                # zero-offset layout this decoder computes
+                raise NotImplementedError(
+                    "JPEG 2000 offset grid misaligned with the "
+                    "decomposition/subsampling lattice not supported"
+                )
     # per-component {(r, k): (Mb, Δ or None)}: QCD for every component,
     # overridden where a main-header QCC names one (A.6.5 precedence)
     q_main = _parse_quant(qcd, irreversible, levels, precision)
@@ -2858,15 +2907,18 @@ def encode_jp2(
     chroma_delta: float | None = None,
     tile_quant: dict | None = None,
     subsampling: tuple[int, int] | None = None,
+    origin: tuple[int, int] | None = None,
 ) -> bytes:
     """uint8/uint16 (or int8/int16 with signed=True) image → minimal
     JP2 file (signature / ftyp / jp2h / jp2c boxes around the
-    encode_j2k codestream); kwargs as encode_j2k."""
+    encode_j2k codestream); kwargs as encode_j2k (the ihdr box carries
+    the REGION dims — the image a reader sees)."""
     code = encode_j2k(
         img, levels, irreversible, delta, derived, tile_size, precision, sop, eph,
         prog, layers, precinct, signed=signed, bypass=bypass, reset=reset,
         termall=termall, causal=causal, segsym=segsym, cblk=cblk,
         chroma_delta=chroma_delta, tile_quant=tile_quant, subsampling=subsampling,
+        origin=origin,
     )
     if precision is None:
         precision = 8 if img.dtype.itemsize == 1 else 16

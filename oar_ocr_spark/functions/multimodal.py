@@ -368,6 +368,15 @@ def jp2_payload_for_ref(ref: str, page=None) -> bytes:
         # Declared scope: not combinable with precincts.
         resync["subsampling"] = (2, 2) if (h >> 28) & 1 else (1, 2)
         page = np.repeat(page[:, :, None], 3, axis=2)
+    if (h >> 29) & 1:
+        # OFFSET-GRID crop flavor (XOsiz/YOsiz, tile anchor at the
+        # region origin): decodes by exact translation, so every
+        # flavor stays bit-identical to its unoffset twin
+        unit = (
+            resync.get("subsampling", (1, 1))[0] << (1 + h % 3),
+            resync.get("subsampling", (1, 1))[1] << (1 + h % 3),
+        )
+        resync["origin"] = (unit[0] * (1 + (h >> 30) % 3), unit[1])
     if h & 8:
         if ts and (h >> 25) & 1:
             # per-tile QCD override (A.6.4 precedence, first-part-only

@@ -56,6 +56,7 @@ def test_jp2_fuzz(page):
             encode_j2k(page, sop=True, eph=True),
             encode_j2k(page, irreversible=True, prog="pcrl"),
             encode_j2k(rgb, subsampling=(2, 2), tile_size=96),
+            encode_j2k(page, origin=(8, 4)),
         ],
         decode_jp2,
     )

@@ -1441,3 +1441,64 @@ class TestSubsampledComponents:
             decode_j2k(bytes(data))
         # (1, 1) is a no-op, byte-identical to the unsubsampled stream
         assert encode_j2k(img, subsampling=(1, 1)) == encode_j2k(img)
+
+
+class TestOffsetGrids:
+    """Nonzero XOsiz/YOsiz in the crop layout (tile anchor at the
+    region origin, lattice-aligned): decode by exact translation."""
+
+    @pytest.fixture(scope="class")
+    def img(self):
+        return np.random.default_rng(13).integers(0, 256, (19, 27, 3)).astype(np.uint8)
+
+    def test_offset_equals_unoffset_across_flavors(self, img):
+        g = img[..., 0]
+        for base, kw in (
+            (g, dict()),
+            (img, dict(levels=3)),
+            (img, dict(tile_size=16)),
+            (img, dict(subsampling=(2, 2))),
+            (img, dict(subsampling=(2, 2), tile_size=16, layers=2)),
+            (img, dict(irreversible=True, prog="cprl")),
+            (g, dict(bypass=True, segsym=True, tile_parts=2, tile_size=16)),
+        ):
+            lv = kw.get("levels", 2)
+            ss = kw.get("subsampling", (1, 1))
+            origin = ((ss[0] << lv) * 3, (ss[1] << lv) * 5)
+            a = decode_j2k(encode_j2k(base, origin=origin, **kw))
+            b = decode_j2k(encode_j2k(base, **kw))
+            assert (a == b).all(), kw
+        # container twin
+        a = decode_jp2(encode_jp2(g, origin=(8, 4)))
+        assert (a == decode_jp2(encode_jp2(g))).all()
+
+    def test_siz_words_really_written(self, img):
+        data = encode_j2k(img[..., 0], origin=(8, 12))
+        # SIZ body starts at byte 6: Rsiz(2) Xsiz(4) Ysiz(4) XO YO XT YT XTO YTO
+        xs, ys, xo, yo = struct.unpack(">IIII", data[8:24])
+        xto, yto = struct.unpack(">II", data[32:40])
+        assert (xo, yo) == (12, 8) and (xto, yto) == (12, 8)
+        assert xs == 12 + img.shape[1] and ys == 8 + img.shape[0]
+
+    def test_guards(self, img):
+        g = img[..., 0]
+        with pytest.raises(ValueError, match="lattice"):
+            encode_j2k(g, origin=(2, 0))  # levels=2 → unit 4
+        with pytest.raises(ValueError, match=">= 0"):
+            encode_j2k(g, origin=(-4, 0))
+        # decoder: tile anchor off the region origin
+        data = bytearray(encode_j2k(g, origin=(8, 4)))
+        struct.pack_into(">II", data, 32, 0, 0)  # XTOsiz/YTOsiz = 0
+        with pytest.raises(NotImplementedError, match="tile anchor"):
+            decode_j2k(bytes(data))
+        # decoder: lattice-misaligned origin (patch XOsiz+XTOsiz to 2)
+        data = bytearray(encode_j2k(g, origin=(8, 4)))
+        struct.pack_into(">I", data, 16, 2)
+        struct.pack_into(">I", data, 32, 2)
+        with pytest.raises(NotImplementedError, match="misaligned"):
+            decode_j2k(bytes(data))
+        # decoder: offsets >= image size = empty region, malformed
+        data = bytearray(encode_j2k(g, origin=(8, 4)))
+        struct.pack_into(">I", data, 16, 4 + g.shape[1])
+        with pytest.raises(ValueError, match="empty region"):
+            decode_j2k(bytes(data))
