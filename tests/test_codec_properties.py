@@ -346,3 +346,102 @@ def test_pdf_text_multipage_mix_random(texts, xref, enc):
         text_format="mix", xref_format=xref, encrypt=enc,
     )
     assert decode_pdf_text(data) == texts
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(5, 40),
+    st.integers(5, 40),
+    st.sampled_from([(2, 2), (1, 2), (2, 1), (4, 4)]),
+    st.sampled_from([None, 16]),
+    st.integers(0, 3),
+)
+def test_jp2_subsampled_matches_model_random(h, w, sub, ts, levels):
+    """Random dims x factor pairs x tiling x depth: the decode equals
+    the closed-form forward-RCT + decimate + replicate + inverse-RCT
+    model EXACTLY, and reference-grid samples equal the original."""
+    from oar_ocr_spark.functions.jp2 import decode_j2k, encode_j2k
+
+    rng = np.random.default_rng(h * 1000 + w * 10 + sub[0])
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    yr, xr = sub
+    out = decode_j2k(encode_j2k(img, levels=levels, subsampling=sub, tile_size=ts))
+    r, g, b = (img[..., i].astype(np.int64) - 128 for i in range(3))
+    y = (r + 2 * g + b) >> 2
+    u, v = b - g, r - g
+    u = u[::yr, ::xr].repeat(yr, 0).repeat(xr, 1)[:h, :w]
+    v = v[::yr, ::xr].repeat(yr, 0).repeat(xr, 1)[:h, :w]
+    g2 = y - ((u + v) >> 2)
+    want = np.clip(np.stack([v + g2, g2, u + g2], -1) + 128, 0, 255).astype(np.uint8)
+    assert (out == want).all()
+    assert (out[::yr, ::xr] == img[::yr, ::xr]).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.integers(0, 3),
+    st.integers(0, 4),
+    st.integers(0, 4),
+)
+def test_jp2_offset_equals_unoffset_random(h, w, levels, ky, kx):
+    """Random dims x levels x lattice-aligned origins: bit-identical to
+    the unoffset stream."""
+    from oar_ocr_spark.functions.jp2 import decode_j2k, encode_j2k
+
+    rng = np.random.default_rng(h * 999 + w)
+    img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    origin = ((1 << levels) * ky, (1 << levels) * kx)
+    a = decode_j2k(encode_j2k(img, levels=levels, origin=origin))
+    b = decode_j2k(encode_j2k(img, levels=levels))
+    assert (a == b).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(1, 40),
+    st.integers(1, 40),
+    st.sampled_from([2, 4]),
+    st.sampled_from(["grey", "grey0", "palette"]),
+    st.booleans(),
+)
+def test_tiff_subbyte_random(h, w, depth, kind, tiled):
+    """Random dims x 2/4-bit depth x grey polarity/palette x
+    strip-vs-tile: packed sub-byte samples decode to the exact
+    integer range expansion / palette projection."""
+    from oar_ocr_spark.functions.tiff import decode_tiff
+
+    from tests.test_tiff import _pack_subbyte_rows, _strip_le, _tiled_le
+
+    rng = np.random.default_rng(h * 777 + w * 7 + depth)
+    vals = rng.integers(0, 1 << depth, (h, w)).astype(np.uint8)
+    scale = 255 // ((1 << depth) - 1)
+    if kind == "palette":
+        n = 1 << depth
+        cmap16 = rng.integers(0, 65536, (3, n)).astype(np.uint16)
+        extra = [(320, 3, 3 * n, cmap16.astype("<u2").tobytes())]
+        photo, want = 3, (cmap16.T >> 8).astype(np.uint8)[vals]
+    else:
+        extra = []
+        photo = 0 if kind == "grey0" else 1
+        want = vals * scale if photo == 1 else 255 - vals * scale
+    if tiled:
+        tl = tw_ = 16
+        tiles = []
+        for r in range(0, h, tl):
+            for c in range(0, w, tw_):
+                block = np.zeros((tl, tw_), np.uint8)
+                part = vals[r : r + tl, c : c + tw_]
+                block[: part.shape[0], : part.shape[1]] = part
+                tiles.append(_pack_subbyte_rows(block, depth))
+        data = _tiled_le(
+            w, h, tw_, tl, tiles, bits=(depth,), photo=photo,
+            extra_tags=tuple(extra),
+        )
+    else:
+        data = _strip_le(
+            w, h, _pack_subbyte_rows(vals, depth), bits=(depth,),
+            photo=photo, extra_tags=extra,
+        )
+    assert (decode_tiff(data) == want).all()
