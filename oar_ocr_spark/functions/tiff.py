@@ -9,7 +9,9 @@ against the public TIFF 6.0 specification:
   via `decode_tiff_pages`; `decode_tiff` returns the first page),
   strip layout (any RowsPerStrip), compressions none (1), LZW (5 —
   TIFF LZW is the same MSB-first early-change scheme PDF uses, so the
-  decoder is functions/pdf._lzw_decode), PackBits (32773, where
+  decoder is functions/pdf._lzw_decode), Adobe Deflate (official 8
+  AND the legacy 32946 code — zlib per strip/tile, the modern-writer
+  default), PackBits (32773, where
   0x80 is a NO-OP rather than PDF's EOD), and the CCITT fax family —
   2 (Modified Huffman), 3 (Group 3 per T4Options: 1D/2D, byte-aligned
   EOLs) and 4 (Group 4 / MMR), each strip independently coded, with
@@ -38,8 +40,8 @@ against the public TIFF 6.0 specification:
   the same multiplicative ink model as true-CMYK JPEG,
   functions/jpeg._cmyk_to_rgb).
 - encoder (`encode_tiff`): strip fixture writer for bilevel / grey /
-  RGB with compression none, PackBits, the fax family ("mh" / "g3" /
-  "g4", bilevel only), "jpeg" (q100 baseline per strip, optionally
+  RGB with compression none, PackBits, Deflate, the fax family ("mh" /
+  "g3" / "g4", bilevel only), "jpeg" (q100 baseline per strip, optionally
   with shared tables hoisted into JPEGTables) or "ojpeg" (one
   whole-image interchange stream + tags 513/514), so the decoder is
   roundtrip-tested without any image library; LZW/predictor paths are
@@ -163,6 +165,15 @@ def _block_to_packed(
         from .pdf import _lzw_decode  # TIFF LZW == PDF LZW (MSB-first)
 
         block = _lzw_decode(block)
+    elif comp in (8, 32946):
+        # Adobe Deflate (official 8, legacy 32946): zlib per block —
+        # the modern-writer default (GDAL/ImageMagick)
+        import zlib
+
+        try:
+            block = zlib.decompress(block)
+        except zlib.error as e:
+            raise ValueError(f"TIFF deflate {label} is corrupt: {e}") from e
     elif comp == 32773:
         block = _packbits_decode_tiff(block)
     elif comp in (2, 3, 4):
@@ -285,10 +296,10 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
         if out.ndim == 2 and photo == 0:
             out = 255 - out
         return np.ascontiguousarray(out)
-    if comp not in (1, 2, 3, 4, 5, 7, 32773):
+    if comp not in (1, 2, 3, 4, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(
             f"TIFF compression {comp} not supported here "
-            "(none/CCITT 2/3/4/LZW/JPEG 7/PackBits)"
+            "(none/CCITT 2/3/4/LZW/JPEG 7/Deflate 8+32946/PackBits)"
         )
     if comp in (2, 3, 4):
         if depth != 1 or spp != 1:
@@ -604,7 +615,8 @@ def encode_tiff(
 ) -> bytes:
     """(H,W) grey / (H,W,3) RGB uint8 → little-endian TIFF bytes.
     bilevel=True packs a 0/255 grey image to 1 bit/sample (the scanned
-    fax layout); compression "none", "packbits", "jpeg" (new-style 7:
+    fax layout); compression "none", "packbits", "deflate" (Adobe
+    Deflate 8 — the modern-writer default), "jpeg" (new-style 7:
     a q100 baseline JPEG stream per strip; jpeg_tables=True hoists the
     shared DQT/DHT segments into the JPEGTables tag and writes
     abbreviated strip streams), or — bilevel only — the CCITT family
@@ -613,9 +625,12 @@ def encode_tiff(
     bytes (old scanner hardware)."""
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("encode_tiff expects uint8 (H,W) or (H,W,3)")
-    if compression not in ("none", "packbits", "jpeg", "ojpeg", *_FAX_COMPRESSIONS):
+    if compression not in (
+        "none", "packbits", "deflate", "jpeg", "ojpeg", *_FAX_COMPRESSIONS
+    ):
         raise ValueError(
-            "compression must be 'none'/'packbits'/'jpeg'/'ojpeg'/'mh'/'g3'/'g4'"
+            "compression must be "
+            "'none'/'packbits'/'deflate'/'jpeg'/'ojpeg'/'mh'/'g3'/'g4'"
         )
     if compression in _FAX_COMPRESSIONS and not bilevel:
         raise ValueError("CCITT compressions need bilevel=True")
@@ -675,7 +690,11 @@ def encode_tiff(
                 body = _BITREV[np.frombuffer(body, dtype=np.uint8)].tobytes()
         else:
             body = b"".join(rows[s : s + rps])
-            if compression == "packbits":
+            if compression == "deflate":
+                import zlib
+
+                body = zlib.compress(body)
+            elif compression == "packbits":
                 # simple literal PackBits: runs of ≤128 literal bytes
                 enc = bytearray()
                 for i in range(0, len(body), 128):
@@ -711,7 +730,9 @@ def encode_tiff(
         _COMP,
         _FAX_COMPRESSIONS.get(
             compression,
-            {"none": 1, "jpeg": 7, "ojpeg": 6}.get(compression, 32773),
+            {"none": 1, "deflate": 8, "jpeg": 7, "ojpeg": 6}.get(
+                compression, 32773
+            ),
         ),
     )
     if compression == "ojpeg":
@@ -792,17 +813,19 @@ def encode_tiff_multipage(
     per page, compression "none", "packbits", "palette16" (grey
     values stored as 16-bit palette INDICES against an identity
     16-bit ColorMap — lossless, exercises the full-precision palette
-    index path) or "cmyk" (grey stored as K-only Separated ink,
+    index path), "cmyk" (grey stored as K-only Separated ink,
     photometric 5 / InkSet 1: C=M=Y=0, K=255-g, so the ink model
     (255-C)·(255-K)/255 returns g exactly — lossless, exercises the
-    print-workflow CMYK path)."""
+    print-workflow CMYK path) or "deflate" (Adobe Deflate 8 — the
+    modern-writer default, zlib per strip)."""
     if not pages:
         raise ValueError("encode_tiff_multipage needs at least one page")
     if page_refs is not None and len(page_refs) != len(pages):
         raise ValueError("page_refs length must match pages")
-    if compression not in ("none", "packbits", "palette16", "cmyk"):
+    if compression not in ("none", "packbits", "palette16", "cmyk", "deflate"):
         raise ValueError(
-            "compression must be 'none', 'packbits', 'palette16' or 'cmyk'"
+            "compression must be 'none', 'packbits', 'palette16', "
+            "'cmyk' or 'deflate'"
         )
     for p in pages:
         if p.dtype != np.uint8 or p.ndim != 2:
@@ -828,6 +851,10 @@ def encode_tiff_multipage(
                 chunk = body[j : j + 128]
                 enc += bytes([len(chunk) - 1]) + chunk
             body = bytes(enc)
+        elif compression == "deflate":
+            import zlib
+
+            body = zlib.compress(body)
         desc = None
         if page_refs is not None:
             desc = page_refs[i].encode("utf-8") + b"\x00"
@@ -868,7 +895,12 @@ def encode_tiff_multipage(
             (_BITS, 3, 4, long_val(bits_off))
             if cmyk
             else (_BITS, 3, 1, short_val(16 if pal16 else 8)),
-            (_COMP, 3, 1, short_val(32773 if compression == "packbits" else 1)),
+            (
+                _COMP, 3, 1,
+                short_val(
+                    {"packbits": 32773, "deflate": 8}.get(compression, 1)
+                ),
+            ),
             (_PHOTO, 3, 1, short_val(5 if cmyk else (3 if pal16 else 1))),
             (_STRIP_OFF, 4, 1, long_val(strip_off)),
             (_SPP, 3, 1, short_val(4 if cmyk else 1)),
@@ -960,8 +992,8 @@ def tiff_store_df(docs, parallelism: int | None = None):
                 # per-document container flavor, crc32-chosen like the
                 # image stores — every flavor lossless, so the span
                 # goldens are unaffected
-                comp = ("none", "packbits", "palette16", "cmyk")[
-                    zlib.crc32(str(doc_id).encode("utf-8")) % 4
+                comp = ("none", "packbits", "palette16", "cmyk", "deflate")[
+                    zlib.crc32(str(doc_id).encode("utf-8")) % 5
                 ]
                 rows.append(
                     (

@@ -126,6 +126,7 @@ def test_legacy_image_fuzz(page):
             encode_tiff(page, compression="ojpeg"),
             encode_tiff_multipage([page], ["r"], compression="palette16"),
             encode_tiff_multipage([page], ["r"], compression="cmyk"),
+            encode_tiff(page, compression="deflate"),
         ],
         decode_tiff,
         trials=100,

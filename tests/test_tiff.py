@@ -25,7 +25,7 @@ class TestRoundtrip:
         g = rng.integers(0, 256, (17, 23)).astype(np.uint8)
         c = rng.integers(0, 256, (9, 7, 3)).astype(np.uint8)
         for img in (g, c):
-            for comp in ("none", "packbits"):
+            for comp in ("none", "packbits", "deflate"):
                 for rps in (None, 4):
                     out = decode_tiff(
                         encode_tiff(img, compression=comp, rows_per_strip=rps)
@@ -269,10 +269,14 @@ class TestForeignLayouts:
     def test_declared_unsupported(self):
         g = np.zeros((2, 2), dtype=np.uint8)
         data = bytearray(encode_tiff(g))
-        # patch compression tag to Adobe Deflate (8) — still out of scope
+        # patch compression tag to JBIG (9, T.85-in-TIFF) — out of scope
         i = data.index(struct.pack("<HHI", 259, 3, 1))
+        data[i + 8 : i + 10] = struct.pack("<H", 9)
+        with pytest.raises(NotImplementedError, match="compression 9"):
+            decode_tiff(bytes(data))
+        # compression 8 on a NON-zlib strip is corrupt deflate, loud
         data[i + 8 : i + 10] = struct.pack("<H", 8)
-        with pytest.raises(NotImplementedError, match="compression 8"):
+        with pytest.raises(ValueError, match="deflate"):
             decode_tiff(bytes(data))
         # CCITT (4) on 8-bit data is a malformed file, not a scope gap
         data[i + 8 : i + 10] = struct.pack("<H", 4)
@@ -343,13 +347,13 @@ class TestMultipageContainer:
             rng.integers(0, 256, (4, 4)).astype(np.uint8),
         ]
         refs = ["doc:1#a", "x", "a-much-longer-media-ref-0123456789"]
-        for comp in ("none", "packbits", "palette16", "cmyk"):
+        for comp in ("none", "packbits", "palette16", "cmyk", "deflate"):
             data = encode_tiff_multipage(pages, refs, compression=comp)
             # deterministic bytes
             assert data == encode_tiff_multipage(pages, refs, compression=comp)
             out = decode_tiff_pages(data)
             assert len(out) == 3
-            if comp in ("palette16", "cmyk"):
+            if comp in ("palette16", "cmyk"):  # deflate pages stay grey
                 # palette16 (identity ColorMap) and cmyk (K-only ink)
                 # pages come back as equal-channel RGB, exactly the
                 # grey values
