@@ -6,7 +6,9 @@ BITMAPINFOHEADER layout:
 
 - decoder: BM header, BITMAPINFOHEADER (40+ byte info headers,
   incl. the V4/V5 layouts whose mask words sit at the same file
-  offsets), bottom-up AND top-down (negative height) row order,
+  offsets) AND the 12-byte OS/2 BITMAPCOREHEADER (BMP 1.x old-web
+  crawls: uint16 dims, packed 3-byte BGR palette triples, BI_RGB
+  only), bottom-up AND top-down (negative height) row order,
   4-byte row padding, 24/32-bit BGR(A) truecolor (alpha ignored —
   BMP alpha is rarely meaningful), 16-bit RGB555 and explicit
   BI_BITFIELDS masks on 16/32-bit words (any contiguous masks,
@@ -220,10 +222,17 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise ValueError("not a BMP (missing BM magic)")
     (pix_off,) = struct.unpack("<I", data[10:14])
     (info_size,) = struct.unpack("<I", data[14:18])
-    if info_size < 40:
+    core = info_size == 12  # OS/2 BITMAPCOREHEADER (BMP 1.x crawls)
+    if core:
+        # uint16 dims, no compression field (always BI_RGB), and the
+        # palette is packed 3-byte BGR triples instead of BGR0 quads
+        w, h_signed, _planes, bpp = struct.unpack("<HhHH", data[18:26])
+        comp, ncolors = 0, 0
+    elif info_size < 40:
         raise NotImplementedError(f"BMP info header size {info_size} not supported")
-    w, h_signed, _planes, bpp, comp = struct.unpack("<iiHHI", data[18:34])
-    (ncolors,) = struct.unpack("<I", data[46:50])
+    else:
+        w, h_signed, _planes, bpp, comp = struct.unpack("<iiHHI", data[18:34])
+        (ncolors,) = struct.unpack("<I", data[46:50])
     top_down = h_signed < 0
     h = abs(h_signed)
     if w <= 0 or h == 0:
@@ -246,8 +255,11 @@ def decode_bmp(data: bytes) -> np.ndarray:
     if bpp <= 8:
         n = ncolors or (1 << bpp)
         pal_at = 14 + info_size
-        quads = np.frombuffer(data[pal_at : pal_at + 4 * n], dtype=np.uint8)
-        pal = quads.reshape(-1, 4)[:, 2::-1]  # BGR0 → RGB
+        entry = 3 if core else 4
+        quads = np.frombuffer(data[pal_at : pal_at + entry * n], dtype=np.uint8)
+        if quads.size < entry * n:
+            raise ValueError("BMP palette truncated")
+        pal = quads.reshape(-1, entry)[:, 2::-1]  # BGR(0) → RGB
     if comp in (1, 2):
         idx = (_rle8_decode if comp == 1 else _rle4_decode)(data[pix_off:], h, w)
         rows = idx if top_down else idx[::-1]

@@ -343,3 +343,43 @@ class TestEmbeddedCodecs:
             data[30:34] = struct.pack("<I", comp)
             with pytest.raises(NotImplementedError, match="embedded"):
                 decode_bmp(bytes(data))
+
+
+class TestOS2CoreHeader:
+    """12-byte BITMAPCOREHEADER (BMP 1.x, OS/2): uint16 dims, 3-byte
+    BGR palette triples, BI_RGB only — the old-web-crawl layout."""
+
+    @staticmethod
+    def _core(w, h, bpp, palette, rows):
+        pix_off = 14 + 12 + len(palette)
+        hdr = b"BM" + struct.pack("<IHHI", pix_off + len(rows), 0, 0, pix_off)
+        core = struct.pack("<IHhHH", 12, w, h, 1, bpp)
+        return hdr + core + palette + rows
+
+    def test_palette4(self):
+        rng = _rng()
+        idx = rng.integers(0, 16, (5, 7)).astype(np.uint8)
+        pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+        palette = b"".join(bytes([p[2], p[1], p[0]]) for p in pal)
+        rows = b""
+        for y in range(4, -1, -1):  # bottom-up
+            packed = np.zeros(4, np.uint8)
+            for x in range(7):
+                packed[x // 2] |= idx[y, x] << (4 if x % 2 == 0 else 0)
+            rows += packed.tobytes()  # rowbytes 4, already 4-aligned
+        out = decode_bmp(self._core(7, 5, 4, palette, rows))
+        assert (out == pal[idx]).all()
+
+    def test_truecolor24(self):
+        rng = _rng()
+        img = rng.integers(0, 256, (3, 5, 3)).astype(np.uint8)
+        rows = b""
+        for y in range(2, -1, -1):
+            rows += img[y, :, ::-1].tobytes() + b"\x00"  # 15 + 1 pad
+        out = decode_bmp(self._core(5, 3, 24, b"", rows))
+        assert (out == img).all()
+
+    def test_truncated_palette_fails_loudly(self):
+        data = self._core(4, 2, 8, b"\x00" * 30, b"\x00" * 8)
+        with pytest.raises(ValueError, match="palette"):
+            decode_bmp(data)
