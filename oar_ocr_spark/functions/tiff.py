@@ -18,7 +18,9 @@ against the public TIFF 6.0 specification:
   FillOrder 2 bit reversal (functions/ccitt.py holds the T.4/T.6
   codec) — plus new-style JPEG-in-TIFF (7, TIFF-EP: each strip is a
   complete or abbreviated JPEG interchange stream, shared tables
-  spliced in from the JPEGTables tag 347; functions/jpeg.py decodes),
+  spliced in from the JPEGTables tag 347; functions/jpeg.py decodes —
+  8-bit AND the 12/16-bit deep layouts, whose streams the JPEG
+  decoder projects to their top 8 bits itself),
   old-style JPEG (6, deprecated by TechNote 2) in its decodable
   real-world flavor — one complete interchange stream behind
   JPEGInterchangeFormat/-Length (tags 513/514) —
@@ -50,9 +52,9 @@ against the public TIFF 6.0 specification:
 Scope (declared, fails loudly outside it): the T.4 uncompressed-mode
 option bit, old-style JPEG's fragmented per-strip layout (compression
 6 without tag 513), planar configuration 2 on JPEG tiles, bit depths
-other than 1/2/4/8/16, multi-sample sub-byte layouts, the predictor
-on sub-byte samples, and InkSet 2 (vendor inks) raise
-NotImplementedError.
+other than 1/2/4/8/16 (12 allowed behind the JPEG compressions only),
+multi-sample sub-byte layouts, the predictor on sub-byte samples, and
+InkSet 2 (vendor inks) raise NotImplementedError.
 """
 
 from __future__ import annotations
@@ -252,7 +254,10 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
     if len(set(bits)) != 1:
         raise NotImplementedError(f"mixed TIFF bit depths {bits} not supported")
     depth = bits[0]
-    if depth not in (1, 2, 4, 8, 16):
+    if depth not in (1, 2, 4, 8, 16) and not (depth == 12 and comp in (6, 7)):
+        # 12-bit samples exist only behind the JPEG compressions
+        # (TIFF-EP / medical archives), where the JPEG decoder owns
+        # the sample layout and projects to the top 8 bits itself
         raise NotImplementedError(f"TIFF bit depth {depth} not supported here")
     if depth in (2, 4) and spp != 1:
         raise NotImplementedError(
@@ -308,8 +313,8 @@ def _decode_page(data: bytes, tags: dict[int, list[int]], bo: str) -> np.ndarray
             raise NotImplementedError("T.4 uncompressed mode not supported")
         if comp == 4 and tags.get(_T6_OPTIONS, [0])[0] & 2:
             raise NotImplementedError("T.6 uncompressed mode not supported")
-    if comp == 7 and depth != 8:
-        raise NotImplementedError("JPEG-in-TIFF requires 8-bit samples")
+    if comp == 7 and depth not in (8, 12, 16):
+        raise NotImplementedError("JPEG-in-TIFF requires 8/12/16-bit samples")
     pred2 = tags.get(_PREDICTOR, [1])[0] == 2
     if pred2 and depth < 8:
         raise NotImplementedError("TIFF predictor on sub-byte samples")

@@ -981,14 +981,14 @@ def _pack_subbyte_rows(vals: np.ndarray, depth: int) -> bytes:
     return np.packbits(bits.reshape(h, w * depth), axis=1).tobytes()
 
 
-def _strip_le(w, h, strip, bits=(8,), photo=1, extra_tags=()):
+def _strip_le(w, h, strip, bits=(8,), photo=1, comp=1, extra_tags=()):
     """Hand-build a single-strip little-endian TIFF (two passes to
     learn the strip offset, same scheme as the other foreign layouts)."""
     tags = [
         (256, 4, 1, struct.pack("<I", w)),
         (257, 4, 1, struct.pack("<I", h)),
         (258, 3, len(bits), struct.pack("<" + "H" * len(bits), *bits)),
-        (259, 3, 1, struct.pack("<H", 1)),
+        (259, 3, 1, struct.pack("<H", comp)),
         (262, 3, 1, struct.pack("<H", photo)),
         (273, 4, 1, None),
         (277, 3, 1, struct.pack("<H", len(bits))),
@@ -1092,3 +1092,26 @@ class TestSubByteAndSeparated:
             ))
         with pytest.raises(NotImplementedError, match="depth 3"):
             decode_tiff(_strip_le(3, 2, b"\x00" * 4, bits=(3,)))
+
+
+class TestJpegInTiffDeep:
+    """12/16-bit JPEG-in-TIFF (TIFF-EP / medical archives): the JPEG
+    decoder owns the sample layout and projects deep streams to their
+    top 8 bits itself — lossless SOF3 strips roundtrip bit-exactly."""
+
+    def test_12_and_16_bit_lossless_strips(self):
+        from oar_ocr_spark.functions.jpeg import encode_jpeg_lossless
+
+        rng = _rng()
+        for depth, shape in ((12, (9, 11)), (16, (7, 5))):
+            deep = rng.integers(0, 1 << depth, shape).astype(np.uint16)
+            strip = encode_jpeg_lossless(deep, precision=depth)
+            data = _strip_le(
+                shape[1], shape[0], strip, bits=(depth,), comp=7
+            )
+            want = (deep >> (depth - 8)).astype(np.uint8)
+            assert (decode_tiff(data) == want).all(), depth
+
+    def test_12_bit_outside_jpeg_still_declared(self):
+        with pytest.raises(NotImplementedError, match="depth 12"):
+            decode_tiff(_strip_le(3, 2, b"\x00" * 9, bits=(12,), comp=1))
