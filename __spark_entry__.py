@@ -69,11 +69,24 @@ VIDEO_MOD = 20
 HTML_MOD = 10
 
 
+# view-registration memo: (applicationId -> sf_dir). Registering the
+# same directory twice is pure metadata work (10 parquet schema reads +
+# py4j round-trips, ~0.7 s measured — 8x the cost of a small query
+# itself), so repeat calls for the SAME session+dir are skipped. This
+# caches no data and no results: every query still scans the parquet
+# files. A different sf_dir (or a fresh session) re-registers.
+_REGISTERED_VIEWS: dict[str, str] = {}
+
+
 def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    app_id = spark.sparkContext.applicationId
+    if _REGISTERED_VIEWS.get(app_id) == sf_dir:
+        return
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             spark.read.parquet(path).createOrReplaceTempView(t)
+    _REGISTERED_VIEWS[app_id] = sf_dir
 
 
 # ---------------------------------------------------------------------------
@@ -440,8 +453,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL-expressible (the oracle unrolls the same k-means rounds)
         emb = spark.table("embeddings")
         q = emb.where(F.col("vec_id") % 50 == 0)
-        codebook = S.train_ivf_centroids(emb, centroid_mod=37, iters=2)
-        return S.ivf_ann(emb, q, k=5, nprobe=3, centroids=codebook)
+        par = spark.sparkContext.defaultParallelism
+        codebook = S.train_ivf_centroids(
+            emb, centroid_mod=37, iters=2, parallelism=par
+        )
+        return S.ivf_ann(
+            emb, q, k=5, nprobe=3, centroids=codebook, parallelism=par
+        )
 
     def q_embedding_near_dup(spark):
         # embedding-cosine near-dup pairs, mode="exact": top-5

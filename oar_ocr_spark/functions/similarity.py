@@ -100,6 +100,23 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+def vec_norm(v: Column) -> Column:
+    """sqrt(dot(v, v)) — the exact norm subexpression of cosine().
+
+    Hoisting it onto the pre-join frames (one norm per VECTOR instead
+    of two per PAIR) is a pure common-subexpression elimination:
+    `dot(a,b) / (na * nb)` with na/nb precomputed evaluates the same
+    float operations in the same order as cosine(a, b), so results are
+    bit-identical — but an N×K cross join evaluates 3 interpreted HOF
+    dot products per pair without it and 1 with it."""
+    return F.sqrt(_dot(v, v))
+
+
+def _cos_pre(dot_ab: Column, na: Column, nb: Column) -> Column:
+    """cosine() with the two norms supplied (see vec_norm)."""
+    return dot_ab / (na * nb)
+
+
 def knn_bruteforce(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -416,11 +433,23 @@ def lsh_ann(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("ev"),
+        vec_norm(F.col(vec_col)).alias("nev"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        vec_norm(F.col(vec_col)).alias("nqv"),
+    )
     pairs = cand.join(e, "neighbor_id").join(F.broadcast(q), "query_id")
     sim = pairs.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("ev")).alias("cos")
+        "query_id",
+        "neighbor_id",
+        _cos_pre(
+            _dot(F.col("qv"), F.col("ev")), F.col("nqv"), F.col("nev")
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cos"), 6).desc(), F.col("neighbor_id")
@@ -529,11 +558,25 @@ def embedding_near_dup(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    ea = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    eb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    # norm hoisting (vec_norm: exact cosine CSE — bit-identical): one
+    # norm per vector on the join inputs instead of two per candidate
+    ea = embeddings.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        vec_norm(F.col(vec_col)).alias("na"),
+    )
+    eb = embeddings.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        vec_norm(F.col(vec_col)).alias("nb"),
+    )
     pairs = cand.join(ea, "vec_a").join(eb, "vec_b")
     return pairs.select(
-        "vec_a", "vec_b", F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine")
+        "vec_a",
+        "vec_b",
+        F.round(
+            _cos_pre(_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")), 4
+        ).alias("cosine"),
     ).where(F.col("cosine") >= threshold)
 
 
@@ -562,6 +605,7 @@ def train_ivf_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Deterministic sampled-Lloyd k-means codebook for ivf_ann.
 
@@ -590,14 +634,24 @@ def train_ivf_centroids(
     )
     round_frames = []
     try:
-        return _train_rounds(embeddings, cent, iters, id_col, vec_col, round_frames)
+        return _train_rounds(
+            embeddings, cent, iters, id_col, vec_col, round_frames, parallelism
+        )
     except BaseException:
         for f in round_frames:
             f.unpersist()
         raise
 
 
-def _train_rounds(embeddings, cent, iters, id_col, vec_col, round_frames):
+def _train_rounds(embeddings, cent, iters, id_col, vec_col, round_frames, parallelism=None):
+    # hoist the vector norm (exact cosine CSE, see vec_norm) and
+    # optionally spread a single-partition scan: the N·K assignment
+    # pass is a broadcast nested loop over the INPUT partitioning, so a
+    # one-file parquet scan would run the whole pass on one task
+    emb = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    if parallelism:
+        emb = emb.repartition(parallelism, "vid")
+    emb = emb.withColumn("nv", vec_norm(F.col("v")))
     for _ in range(iters):
         # persist-per-round (the measured-fast iterative shape — see
         # duplicate_clusters for why in-loop unpersist is unsafe:
@@ -606,9 +660,9 @@ def _train_rounds(embeddings, cent, iters, id_col, vec_col, round_frames):
         # decoupled below
         cent = cent.persist()
         round_frames.append(cent)
-        pairs = embeddings.select(
-            F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
-        ).crossJoin(F.broadcast(cent))
+        pairs = emb.crossJoin(
+            F.broadcast(cent.withColumn("ncv", vec_norm(F.col("cv"))))
+        )
         # argmin as a hash aggregation (same rewrite as ivf_ann's
         # _argmin_assign — N·K rows combine map-side instead of
         # sort-shuffling through a row_number window); v rides along in
@@ -619,7 +673,14 @@ def _train_rounds(embeddings, cent, iters, id_col, vec_col, round_frames):
                 F.min(
                     F.struct(
                         F.coalesce(
-                            -F.round(cosine(F.col("v"), F.col("cv")), 6),
+                            -F.round(
+                                _cos_pre(
+                                    _dot(F.col("v"), F.col("cv")),
+                                    F.col("nv"),
+                                    F.col("ncv"),
+                                ),
+                                6,
+                            ),
                             F.lit(float("inf")),
                         ).alias("nr"),
                         F.col("centroid_id").alias("cid"),
@@ -662,6 +723,7 @@ def ivf_ann(
     centroid_mod: int = 37,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: vectors are assigned to
     their nearest centroid (the coarse quantizer's inverted lists);
@@ -693,12 +755,24 @@ def ivf_ann(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
         )
 
+    # norm hoisting (vec_norm: exact cosine CSE — bit-identical) plus an
+    # optional spread of a single-partition scan: the N·K assignment is
+    # a broadcast nested loop over the input partitioning
+    cent_n = cent.withColumn("ncv", vec_norm(F.col("cv")))
+
     def nearest(df: DataFrame, out_id: str, n_keep: int) -> DataFrame:
-        pairs = df.select(
-            F.col(id_col).alias(out_id), F.col(vec_col).alias("v")
-        ).crossJoin(F.broadcast(cent))
+        src = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("v"))
+        if parallelism and n_keep == 1:
+            src = src.repartition(parallelism, out_id)
+        pairs = src.withColumn("nv", vec_norm(F.col("v"))).crossJoin(
+            F.broadcast(cent_n)
+        )
         sim = pairs.select(
-            out_id, "centroid_id", cosine(F.col("v"), F.col("cv")).alias("ccos")
+            out_id,
+            "centroid_id",
+            _cos_pre(
+                _dot(F.col("v"), F.col("cv")), F.col("nv"), F.col("ncv")
+            ).alias("ccos"),
         )
         if n_keep == 1:
             # argmin under the engine total order as a partial-aggregable
@@ -725,11 +799,23 @@ def ivf_ann(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("ev"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("ev"),
+        vec_norm(F.col(vec_col)).alias("nev"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        vec_norm(F.col(vec_col)).alias("nqv"),
+    )
     pairs = cand.join(e, "neighbor_id").join(F.broadcast(q), "query_id")
     sim = pairs.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("ev")).alias("cos")
+        "query_id",
+        "neighbor_id",
+        _cos_pre(
+            _dot(F.col("qv"), F.col("ev")), F.col("nqv"), F.col("nev")
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round(F.col("cos"), 6).desc(), F.col("neighbor_id")
