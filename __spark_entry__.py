@@ -690,9 +690,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("doc_id").cast("bigint") % HYB_MOD) == 0
         )
         par = spark.sparkContext.defaultParallelism
-        unpacked = pdf_hybrid_unpack_df(
-            pdf_hybrid_store_df(docs, parallelism=par)
-        ).repartition(par, "doc_id")
+        # localCheckpoint (lazy): the unpack feeds THREE consumers
+        # (docs-shape groupBy, media store, doc-id preservation) whose
+        # column pruning makes the exchange subtrees differ, so plain
+        # exchange reuse never fires and the whole parse+render lineage
+        # executed once per consumer (18 MapInPandas nodes in the
+        # round-6 before-plan). Checkpointing materializes the parse
+        # ONCE per run; RDD-level storage is not plan-matched by the
+        # CacheManager, so separate runs still recompute from parquet.
+        unpacked = (
+            pdf_hybrid_unpack_df(pdf_hybrid_store_df(docs, parallelism=par))
+            .repartition(par, "doc_id")
+            .localCheckpoint(eager=False)
+        )
         docs2 = unpacked.groupBy("doc_id").agg(
             F.transform(
                 F.array_sort(

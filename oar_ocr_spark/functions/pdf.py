@@ -2765,7 +2765,9 @@ def pdf_store_df(
     image mix — so a gate query drives the parser's whole structural
     surface while keeping span goldens byte-identical."""
     if parallelism:
-        docs = docs.repartition(parallelism, "doc_id")
+        from ..partitioning import spread
+
+        docs = spread(docs, parallelism, "doc_id")
     refs = (
         docs.select(
             "doc_id",
@@ -2861,7 +2863,9 @@ def pdf_text_store_df(
     JVM-side (filter/transform HOFs); only the writer runs in the
     Arrow-batched UDF."""
     if parallelism:
-        docs = docs.repartition(parallelism, "doc_id")
+        from ..partitioning import spread
+
+        docs = spread(docs, parallelism, "doc_id")
     refs = (
         docs.select(
             "doc_id",
@@ -2967,7 +2971,9 @@ def pdf_hybrid_store_df(
     the embedded layer (no OCR) while scanned pages flow the full
     extraction DAG."""
     if parallelism:
-        docs = docs.repartition(parallelism, "doc_id")
+        from ..partitioning import spread
+
+        docs = spread(docs, parallelism, "doc_id")
     refs = (
         docs.select(
             "doc_id",

@@ -969,7 +969,9 @@ def tiff_store_df(docs, parallelism: int | None = None):
     from pyspark.sql import functions as F
 
     if parallelism:
-        docs = docs.repartition(parallelism, "doc_id")
+        from ..partitioning import spread
+
+        docs = spread(docs, parallelism, "doc_id")
     refs = (
         docs.select(
             "doc_id",

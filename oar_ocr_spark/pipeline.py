@@ -391,10 +391,16 @@ def extract_spans(
     persist_input=False."""
     from pyspark import StorageLevel
 
+    from .partitioning import spread
+
     cfg = cfg or ExtractConfig()
     P = num_partitions or spark.sparkContext.defaultParallelism
 
-    spans_flat = docs.repartition(P, "doc_id").select(
+    # spread(), not repartition(P, "doc_id"): derived inputs arrive
+    # straight out of a groupBy("doc_id"), where a same-key repartition
+    # is planned away and AQE then coalesces the tiny upstream exchange
+    # to ONE partition — serializing the detect UDF (see partitioning.py)
+    spans_flat = spread(docs, P, "doc_id").select(
         "doc_id", F.explode_outer("spans").alias("s")
     )
     if persist_input:
