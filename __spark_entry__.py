@@ -397,21 +397,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_minhash_bands(spark):
-        return D.minhash_band_hashes(docs_tbl(spark), n_hashes=8, n_bands=2, k=3)
+        return D.minhash_band_hashes(
+            docs_tbl(spark),
+            n_hashes=8,
+            n_bands=2,
+            k=3,
+            parallelism=spark.sparkContext.defaultParallelism,
+        )
 
     def q_minhash_candidates(spark):
-        bands = D.minhash_band_hashes(docs_tbl(spark), n_hashes=8, n_bands=2, k=3)
-        return D.minhash_candidates(bands)
+        return D.minhash_candidates(q_minhash_bands(spark))
 
     def q_dedup_clusters(spark):
         # duplicate clusters: connected components over the minhash
         # candidate pairs via iterative min-label propagation (one
         # shuffle join per round, fixpoint-stopped)
-        bands = D.minhash_band_hashes(docs_tbl(spark), n_hashes=8, n_bands=2, k=3)
-        return D.duplicate_clusters(D.minhash_candidates(bands))
+        return D.duplicate_clusters(D.minhash_candidates(q_minhash_bands(spark)))
 
     def q_ngram_jaccard(spark):
-        return D.ngram_jaccard_pairs(docs_tbl(spark), k=3, threshold=0.2, max_df=1000)
+        return D.ngram_jaccard_pairs(
+            docs_tbl(spark),
+            k=3,
+            threshold=0.2,
+            max_df=1000,
+            parallelism=spark.sparkContext.defaultParallelism,
+        )
 
     def q_decontaminate(spark):
         # benchmark decontamination (training-data hygiene): the eval
@@ -420,7 +430,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 8-gram with a prompt — leak sources and their duplicates —
         # are flagged. Broadcast semi-join shape: benchmark gram sets
         # are small by nature.
-        return D.decontaminate_df(docs_tbl(spark), bench_mod=23, k=8)
+        return D.decontaminate_df(
+            docs_tbl(spark),
+            bench_mod=23,
+            k=8,
+            parallelism=spark.sparkContext.defaultParallelism,
+        )
 
     def q_knn(spark):
         emb = spark.table("embeddings")

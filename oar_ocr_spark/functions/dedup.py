@@ -65,7 +65,12 @@ def shingle_df(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
 
 
 def minhash_band_hashes(
-    df: DataFrame, text_col: str = "text", n_hashes: int = 8, n_bands: int = 2, k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 8,
+    n_bands: int = 2,
+    k: int = 3,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """MinHash signature + LSH band hashes.
 
@@ -73,8 +78,17 @@ def minhash_band_hashes(
     hex strings is a valid min-hash (lexicographic order on a uniform
     hash family). Band hash = md5 of the band's mins joined in seed
     order. Output: doc_id, band_id, band_hash.
+
+    parallelism: spread the doc scan first — the shingle explode and
+    the 8x md5 pass run BEFORE the first exchange, so a single-file
+    parquet scan executes them on one task (partitioning.spread
+    rationale); at corpus scale inputs arrive partitioned, leave None.
     """
     rows_per_band = n_hashes // n_bands
+    if parallelism:
+        from ..partitioning import spread
+
+        df = spread(df, parallelism, "doc_id")
     sh = shingle_df(df, text_col, k)
     seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
     hashed = sh.select("doc_id", "sh", seeds).select(
@@ -119,6 +133,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_df: int = 1000,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle.
     Output: doc_a < doc_b, jaccard (rounded 4dp), filtered ≥ threshold.
@@ -133,6 +148,10 @@ def ngram_jaccard_pairs(
     universe. The threshold filters the RAW ratio (rounding happens
     only in the final projection) so the predicate matches the SQL
     oracle's exactly."""
+    if parallelism:
+        from ..partitioning import spread
+
+        df = spread(df, parallelism, "doc_id")
     sh_all = shingle_df(df, text_col, k)
     heavy = (
         sh_all.groupBy("sh")
@@ -140,7 +159,13 @@ def ngram_jaccard_pairs(
         .where(F.col("df_sh") > max_df)
         .select("sh")
     )
-    sh = sh_all.join(F.broadcast(heavy), "sh", "left_anti").cache()
+    # localCheckpoint, not cache(): three consumers (sizes + both join
+    # sides) share one computation per run, and RDD-level storage is
+    # not plan-matched by the CacheManager — a Dataset cache here was
+    # never unpersisted and silently served later identical plans
+    sh = sh_all.join(F.broadcast(heavy), "sh", "left_anti").localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")
@@ -173,6 +198,7 @@ def decontaminate_df(
     text_col: str = "text",
     k: int = 8,
     prompt_words: int = 12,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination — the training-data hygiene pass: the
     "eval suite" is the first `prompt_words` words of every
@@ -198,6 +224,10 @@ def decontaminate_df(
         F.array_join(F.slice(toks, 1, prompt_words), " ").alias(text_col),
     )
     bench = shingle_df(bench_txt, text_col, k).select("sh").distinct()
+    if parallelism:
+        from ..partitioning import spread
+
+        df = spread(df, parallelism, "doc_id")
     corpus = shingle_df(df, text_col, k)
     return (
         corpus.join(F.broadcast(bench), "sh")
@@ -351,12 +381,24 @@ def duplicate_clusters(
     the exact transitive-closure oracle."""
     # the edge set joins into EVERY propagation round — persist it once
     # or the (possibly expensive) candidate-pair lineage re-executes per
-    # round (measured: minhash banding re-ran each iteration, 5x wall)
-    edges = (
-        pairs.select(F.col(doc_a).alias("src"), F.col(doc_b).alias("dst"))
-        .union(pairs.select(F.col(doc_b).alias("src"), F.col(doc_a).alias("dst")))
-        .persist()
-    )
+    # round (measured: minhash banding re-ran each iteration, 5x wall).
+    # Both edge directions come from ONE pass via explode — the
+    # union(pairs, pairs.swapped) shape embedded the candidate-pair
+    # lineage twice in the plan and executed it twice (no exchange
+    # reuse across the differing projections; measured ~2.8 s doubled
+    # at sf0.1)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(doc_a).alias("src"), F.col(doc_b).alias("dst")
+                ),
+                F.struct(
+                    F.col(doc_b).alias("src"), F.col(doc_a).alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").persist()
     nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.withColumn("cluster_id", F.col("doc_id"))
     round_frames: list[DataFrame] = []

@@ -144,12 +144,18 @@ def payload_store_df(
     refs → one encoded row per ref via `row_fn(ref) -> tuple` in a
     single Arrow-batched mapInPandas.
 
-    parallelism: hash-repartition the refs first. A small single-file
-    parquet arrives as ONE scan partition, serializing the expensive
-    per-ref UDF — the same fix as dedup.simhash_df; at corpus scale the
-    refs arrive pre-partitioned and this stays None."""
+    parallelism: round-robin-repartition the refs first. A small
+    single-file parquet arrives as ONE scan partition, serializing the
+    expensive per-ref UDF — the same fix as dedup.simhash_df; at corpus
+    scale the refs arrive pre-partitioned and this stays None.
+    Round-robin, not hash-by-ref: these ref sets are tiny (tens to
+    hundreds of rows) and each row costs tens to hundreds of
+    codec-milliseconds, so hash collisions directly lengthen the stage
+    tail (measured: 48 jp2 refs hashed into 32 partitions put 4-5
+    EBCOT pages on one task); round-robin gives the exact even split,
+    and results are partition-invariant by contract."""
     if parallelism:
-        refs = refs.repartition(parallelism, ref_col)
+        refs = refs.repartition(parallelism)
 
     def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in schema.fields]
