@@ -176,17 +176,17 @@ def cmd_stages(args):
 
         for _ in range(TRIALS):
             docs = spark.table("documents")
-            bands = D.minhash_band_hashes(docs, n_hashes=8, n_bands=2, k=3)
+            bands = D.minhash_band_hashes(docs, n_hashes=8, n_bands=2, k=3, parallelism=par)
             _t(spark, "ddc: bands", bands)
             cands = D.minhash_candidates(
-                D.minhash_band_hashes(docs, n_hashes=8, n_bands=2, k=3)
+                D.minhash_band_hashes(docs, n_hashes=8, n_bands=2, k=3, parallelism=par)
             )
             _t(spark, "ddc: bands+cands", cands)
             t0 = time.time()
             spark.sparkContext.setJobDescription("ddc: full")
             D.duplicate_clusters(
                 D.minhash_candidates(
-                    D.minhash_band_hashes(docs, n_hashes=8, n_bands=2, k=3)
+                    D.minhash_band_hashes(docs, n_hashes=8, n_bands=2, k=3, parallelism=par)
                 )
             ).count()
             print(f"  ddc: full: {time.time()-t0:.3f}s", flush=True)

@@ -1045,29 +1045,42 @@ def encode_jpeg_lossless(
         diffs.append((((d + 32768) & 0xFFFF) - 32768).reshape(-1))
 
     codes = _canonical_codes(_DC_BITS_LL, _DC_VALS_LL)
-    entropy = bytearray()
-    bw = _BitWriter()
-    seg_i = 0
+    # vectorized entropy pass (was a per-sample _BitWriter loop, ~40 ms
+    # per page — 20x the packed path): every sample emits its category
+    # code then its amplitude bits, so the stream is two fixed slots
+    # per sample packed MSB-first with 1-padding + byte stuffing —
+    # exactly _pack_symbols' contract, shared with the baseline scan
+    # encoder. Bit-identical output by construction.
+    code_arr = np.zeros(17, dtype=np.int64)
+    len_arr = np.zeros(17, dtype=np.int64)
+    for s_, (c_, l_) in codes.items():
+        code_arr[s_], len_arr[s_] = c_, l_
+    ncomp_ = len(diffs)
+    # (sample, component) emission order → k-major, comp-minor flat
+    dmat = np.stack(diffs, axis=1).reshape(-1)
+    mag = np.abs(dmat)
+    # bit_length via frexp's exponent (exact: |d| <= 32768 << 2^53)
+    ssss = np.frexp(mag.astype(np.float64))[1].astype(np.int64)
+    is_min = dmat == -32768  # the 32768 point: SSSS=16, no extra bits
+    ssss[is_min] = 16
+    amp_len = np.where(is_min, 0, ssss)
+    width = np.left_shift(np.int64(1), ssss) - 1
+    amp = np.where(dmat >= 0, dmat, dmat + width) & width
     n = h * w
-    for k in range(n):
-        if restart_interval and k and k % restart_interval == 0:
-            entropy += bw.flush()
-            entropy += bytes([0xFF, 0xD0 + (seg_i % 8)])
-            seg_i += 1
-            bw = _BitWriter()
-        for f in diffs:
-            d = int(f[k])
-            if d == -32768:  # the 32768 point: SSSS=16, no extra bits
-                code, ln = codes[16]
-                bw.bits(code, ln)
-                continue
-            ssss = abs(d).bit_length()
-            code, ln = codes[ssss]
-            bw.bits(code, ln)
-            if ssss:
-                amp = d if d >= 0 else d + (1 << ssss) - 1
-                bw.bits(amp & ((1 << ssss) - 1), ssss)
-    entropy += bw.flush()
+    ri = restart_interval if restart_interval else n
+    entropy = bytearray()
+    for seg_i, start in enumerate(range(0, n, ri)):
+        if seg_i:
+            entropy += bytes([0xFF, 0xD0 + ((seg_i - 1) % 8)])
+        sl = slice(start * ncomp_, min(start + ri, n) * ncomp_)
+        m2 = 2 * (sl.stop - sl.start)
+        vals = np.empty(m2, dtype=np.int64)
+        lens = np.empty(m2, dtype=np.int64)
+        vals[0::2] = code_arr[ssss[sl]]
+        lens[0::2] = len_arr[ssss[sl]]
+        vals[1::2] = amp[sl]
+        lens[1::2] = amp_len[sl]
+        entropy += _pack_symbols(np.arange(m2, dtype=np.int64), vals, lens)
 
     ncomp = len(planes)
     out = bytearray(JPEG_SOI)
@@ -1119,24 +1132,60 @@ def _reconstruct_lossless(
                 if w > 1:
                     v[y, 1:] = (v[y - 1, :-1] + d[y, 1:]) & 0xFFFF
             return v
+        if sel == 5:
+            # ra enters the recursion additively only, so each row is a
+            # prefix sum of d + the previous row's shift terms; mod 2^16
+            # commutes with the additions, and the floor-shift reads the
+            # already-masked previous row — identical to the per-sample
+            # reference
+            v = np.empty((h, w), dtype=np.int64)
+            v[0] = (np.cumsum(d[0]) + default) & 0xFFFF
+            for y in range(1, h):
+                t = d[y].copy()
+                t[0] += v[y - 1, 0]
+                if w > 1:
+                    t[1:] += (v[y - 1, 1:] - v[y - 1, :-1]) >> 1
+                v[y] = np.cumsum(t) & 0xFFFF
+            return v
+    # generic per-sample reference (predictors 6/7 carry the running
+    # value inside a floor shift; restart streams reset mid-row):
+    # row-local python ints — numpy scalar indexing here measured ~4x
+    # slower than list arithmetic
     v = np.empty((h, w), dtype=np.int64)
+    prev: list[int] = []
     k = 0
     for y in range(h):
+        drow = d[y].tolist()
+        row = [0] * w
         for x in range(w):
             if restart_interval and k and k % restart_interval == 0:
                 pred = default
             elif y == 0 and x == 0:
                 pred = default
             elif y == 0:
-                pred = int(v[0, x - 1])
+                pred = row[x - 1]
             elif x == 0:
-                pred = int(v[y - 1, 0])
+                pred = prev[0]
             else:
-                pred = _lossless_predict(
-                    int(v[y, x - 1]), int(v[y - 1, x]), int(v[y - 1, x - 1]), sel
-                )
-            v[y, x] = (pred + int(d[y, x])) & 0xFFFF
+                ra, rb, rc = row[x - 1], prev[x], prev[x - 1]
+                if sel == 1:
+                    pred = ra
+                elif sel == 2:
+                    pred = rb
+                elif sel == 3:
+                    pred = rc
+                elif sel == 4:
+                    pred = ra + rb - rc
+                elif sel == 5:
+                    pred = ra + ((rb - rc) >> 1)
+                elif sel == 6:
+                    pred = rb + ((ra - rc) >> 1)
+                else:
+                    pred = (ra + rb) >> 1
+            row[x] = (pred + drow[x]) & 0xFFFF
             k += 1
+        v[y] = row
+        prev = row
     return v
 
 
@@ -1187,16 +1236,46 @@ def _decode_lossless_scan(
 
     n = h * w
     diffs = [np.empty(n, dtype=np.int64) for _ in range(ncomp)]
+    # combined (category code + amplitude) 16-bit LUT per table, with
+    # the bit accumulator inlined into the loop: one list lookup per
+    # sample instead of peek/skip/read_bits/extend calls (measured ~4x
+    # on the scan). Windows whose code+amplitude exceed 16 bits (or
+    # that land near the stream tail) fall back to the generic reader
+    # calls with identical consumption semantics.
+    fast = [_lossless_lut(t) for t in tbls]
     reader = _BitReader(data, pos)
     seg_i = 0
     k = 0
     while k < n:
         limit = min(n, k + restart_interval) if restart_interval else n
+        buf, nbuf = reader.data, reader.n
+        acc, nbits, bpos = reader.acc, reader.nbits, reader.bpos
         while k < limit:
             for c in range(ncomp):
-                s = _decode_huffman(reader, tbls[c])
-                diffs[c][k] = 32768 if s == 16 else _extend(reader.read_bits(s), s)
+                while nbits < 16 and bpos < nbuf:
+                    acc = (acc << 8) | buf[bpos]
+                    bpos += 1
+                    nbits += 8
+                p16 = (
+                    (acc >> (nbits - 16)) & 0xFFFF
+                    if nbits >= 16
+                    else (acc << (16 - nbits)) & 0xFFFF
+                )
+                val_lut, tot_lut = fast[c]
+                t = tot_lut[p16]
+                if t and t <= nbits:
+                    diffs[c][k] = val_lut[p16]
+                    nbits -= t
+                    acc &= (1 << nbits) - 1
+                else:
+                    reader.acc, reader.nbits, reader.bpos = acc, nbits, bpos
+                    s = _decode_huffman(reader, tbls[c])
+                    diffs[c][k] = (
+                        32768 if s == 16 else _extend(reader.read_bits(s), s)
+                    )
+                    acc, nbits, bpos = reader.acc, reader.nbits, reader.bpos
             k += 1
+        reader.acc, reader.nbits, reader.bpos = acc, nbits, bpos
         if k < n:
             reader = _expect_rst(data, reader, seg_i)
             seg_i += 1
@@ -1405,7 +1484,10 @@ def _emit_ac_refine_block(bw_, coefv, ss, se, al, codes):
 
 class _BitWriter:
     """MSB-first bit emitter with 0xFF byte stuffing and 1-padding —
-    the progressive encoder's counterpart of _BitReader."""
+    the progressive encoder's counterpart of _BitReader. Symbols are
+    accumulated whole (the per-BIT shift loop was the progressive
+    encoder's hottest line) and drained a byte at a time, which emits
+    the identical stuffed byte sequence."""
 
     def __init__(self) -> None:
         self.buf = bytearray()
@@ -1413,22 +1495,23 @@ class _BitWriter:
         self.n = 0
 
     def bit(self, b: int) -> None:
-        self.acc = (self.acc << 1) | (b & 1)
-        self.n += 1
-        if self.n == 8:
-            self.buf.append(self.acc)
-            if self.acc == 0xFF:
-                self.buf.append(0x00)
-            self.acc = 0
-            self.n = 0
+        self.bits(b & 1, 1)
 
     def bits(self, val: int, n: int) -> None:
-        for i in range(n - 1, -1, -1):
-            self.bit((val >> i) & 1)
+        self.acc = (self.acc << n) | (val & ((1 << n) - 1))
+        self.n += n
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
 
     def flush(self) -> bytes:
-        while self.n:
-            self.bit(1)
+        if self.n:
+            pad = 8 - self.n
+            self.bits((1 << pad) - 1, pad)
         return bytes(self.buf)
 
 
@@ -1530,6 +1613,39 @@ def _extend(amp: int, size: int) -> int:
     if size == 0:
         return 0
     return amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
+
+
+_LL_LUT_CACHE: dict[int, tuple] = {}
+
+
+def _lossless_lut(table: tuple[list[int], list[int]]) -> tuple[list[int], list[int]]:
+    """Combined (SSSS code + amplitude) 16-bit-window LUT for the
+    lossless scan: val_lut[p] = the decoded difference, tot_lut[p] =
+    total bits consumed (code + amplitude). tot 0 marks windows that
+    need the generic path (invalid prefix, or code+amplitude wider
+    than 16 bits). Values replicate _decode_huffman + _extend exactly
+    (SSSS=16 → 32768, no amplitude bits, H.2.2). Cached per decode-LUT
+    object (those are themselves cached per DHT payload)."""
+    cached = _LL_LUT_CACHE.get(id(table))
+    if cached is not None and cached[0] is table:
+        return cached[1]
+    sym = np.asarray(table[0], dtype=np.int64)
+    ln = np.asarray(table[1], dtype=np.int64)
+    p = np.arange(65536, dtype=np.int64)
+    fits = (ln > 0) & (sym < 16) & (ln + sym <= 16)
+    s = np.where(fits, sym, 0)
+    width = np.left_shift(np.int64(1), s)
+    amp = (p >> np.where(fits, 16 - ln - s, 0)) & (width - 1)
+    val = np.where(amp >= (width >> 1), amp, amp - width + 1)
+    tot = np.where(fits, ln + s, 0)
+    is16 = (ln > 0) & (sym == 16)
+    val = np.where(is16, 32768, val)
+    tot = np.where(is16, ln, tot)
+    lut = (val.tolist(), tot.tolist())  # python lists: faster scalar indexing
+    if len(_LL_LUT_CACHE) >= 64:
+        _LL_LUT_CACHE.clear()
+    _LL_LUT_CACHE[id(table)] = (table, lut)
+    return lut
 
 
 def _planes_from_raster(
