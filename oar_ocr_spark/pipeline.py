@@ -260,7 +260,10 @@ def detect_crops_df(docs: DataFrame, cfg: ExtractConfig) -> DataFrame:
 
 
 def detect_crops_from_flat(
-    spans_flat: DataFrame, cfg: ExtractConfig, media_store: DataFrame | None = None
+    spans_flat: DataFrame,
+    cfg: ExtractConfig,
+    media_store: DataFrame | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """(doc_id, s:struct) exploded spans → crops DataFrame.
 
@@ -283,6 +286,15 @@ def detect_crops_from_flat(
         media = media.join(
             media_store.select("media_ref", "payload"), "media_ref", "left"
         ).where(F.col("payload").isNotNull())
+        if num_partitions:
+            # the join's post-shuffle partitioning is AQE-sized for its
+            # BYTES (a few MB of payloads coalesce to one partition),
+            # not for the decode+detect compute behind each row — spread
+            # to the pipeline's partition count before the UDF, exactly
+            # like the crop pool repartition downstream
+            from .partitioning import spread
+
+            media = spread(media, num_partitions, "media_ref")
 
     def detect_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in CROPS_SCHEMA.fields]
@@ -416,7 +428,9 @@ def extract_spans(
         F.lit(None).cast("float").alias("confidence"),
     )
 
-    crops = detect_crops_from_flat(spans_flat, cfg, media_store=media_store)
+    crops = detect_crops_from_flat(
+        spans_flat, cfg, media_store=media_store, num_partitions=P
+    )
     if pooled:
         crops = crops.repartition(P, "doc_id", "offset", "det_idx")
         if width_sorted:
