@@ -1242,7 +1242,7 @@ def _decode_lossless_scan(
     # on the scan). Windows whose code+amplitude exceed 16 bits (or
     # that land near the stream tail) fall back to the generic reader
     # calls with identical consumption semantics.
-    fast = [_lossless_lut(t) for t in tbls]
+    fast = [_category_lut(t, ssss16=True) for t in tbls]
     reader = _BitReader(data, pos)
     seg_i = 0
     k = 0
@@ -1615,37 +1615,166 @@ def _extend(amp: int, size: int) -> int:
     return amp if amp >= (1 << (size - 1)) else amp - (1 << size) + 1
 
 
-_LL_LUT_CACHE: dict[int, tuple] = {}
+_FAST_LUT_CACHE: dict[tuple[int, str], tuple] = {}
 
 
-def _lossless_lut(table: tuple[list[int], list[int]]) -> tuple[list[int], list[int]]:
-    """Combined (SSSS code + amplitude) 16-bit-window LUT for the
-    lossless scan: val_lut[p] = the decoded difference, tot_lut[p] =
-    total bits consumed (code + amplitude). tot 0 marks windows that
-    need the generic path (invalid prefix, or code+amplitude wider
-    than 16 bits). Values replicate _decode_huffman + _extend exactly
-    (SSSS=16 → 32768, no amplitude bits, H.2.2). Cached per decode-LUT
-    object (those are themselves cached per DHT payload)."""
-    cached = _LL_LUT_CACHE.get(id(table))
+def _fast_lut_cached(table, kind: str, build):
+    cached = _FAST_LUT_CACHE.get((id(table), kind))
     if cached is not None and cached[0] is table:
         return cached[1]
-    sym = np.asarray(table[0], dtype=np.int64)
-    ln = np.asarray(table[1], dtype=np.int64)
-    p = np.arange(65536, dtype=np.int64)
-    fits = (ln > 0) & (sym < 16) & (ln + sym <= 16)
-    s = np.where(fits, sym, 0)
-    width = np.left_shift(np.int64(1), s)
-    amp = (p >> np.where(fits, 16 - ln - s, 0)) & (width - 1)
-    val = np.where(amp >= (width >> 1), amp, amp - width + 1)
-    tot = np.where(fits, ln + s, 0)
-    is16 = (ln > 0) & (sym == 16)
-    val = np.where(is16, 32768, val)
-    tot = np.where(is16, ln, tot)
-    lut = (val.tolist(), tot.tolist())  # python lists: faster scalar indexing
-    if len(_LL_LUT_CACHE) >= 64:
-        _LL_LUT_CACHE.clear()
-    _LL_LUT_CACHE[id(table)] = (table, lut)
+    lut = build()
+    if len(_FAST_LUT_CACHE) >= 128:
+        _FAST_LUT_CACHE.clear()
+    _FAST_LUT_CACHE[(id(table), kind)] = (table, lut)
     return lut
+
+
+def _category_lut(
+    table: tuple[list[int], list[int]], ssss16: bool = False
+) -> tuple[list[int], list[int]]:
+    """Combined (SSSS code + amplitude) 16-bit-window LUT for DC /
+    lossless difference decoding: val_lut[p] = the decoded value,
+    tot_lut[p] = total bits consumed (code + amplitude). tot 0 marks
+    windows that need the generic path (invalid prefix, or
+    code+amplitude wider than 16 bits). Values replicate
+    _decode_huffman + _extend exactly; ssss16=True adds the lossless
+    scan's SSSS=16 → 32768-with-no-amplitude-bits rule (H.2.2), which
+    sequential DC must NOT apply. Cached per decode-LUT object (those
+    are themselves cached per DHT payload)."""
+
+    def build():
+        sym = np.asarray(table[0], dtype=np.int64)
+        ln = np.asarray(table[1], dtype=np.int64)
+        p = np.arange(65536, dtype=np.int64)
+        fits = (ln > 0) & (sym < 16) & (ln + sym <= 16)
+        s = np.where(fits, sym, 0)
+        width = np.left_shift(np.int64(1), s)
+        amp = (p >> np.where(fits, 16 - ln - s, 0)) & (width - 1)
+        val = np.where(amp >= (width >> 1), amp, amp - width + 1)
+        tot = np.where(fits, ln + s, 0)
+        if ssss16:
+            is16 = (ln > 0) & (sym == 16)
+            val = np.where(is16, 32768, val)
+            tot = np.where(is16, ln, tot)
+        # python lists: faster scalar indexing than numpy
+        return (val.tolist(), tot.tolist())
+
+    return _fast_lut_cached(table, "cat16" if ssss16 else "cat", build)
+
+
+def _ac_lut(
+    table: tuple[list[int], list[int]],
+) -> tuple[list[int], list[int], list[int]]:
+    """Combined (run/size code + amplitude) LUT for sequential AC
+    coefficients: run_lut[p] = -1 for EOB, 16 for ZRL, else the zero
+    run; val_lut[p] = the decoded coefficient; tot_lut[p] = total bits
+    consumed. tot 0 marks generic-path windows (invalid prefix,
+    code+amplitude wider than 16 bits, or undefined size-0 symbols)."""
+
+    def build():
+        sym = np.asarray(table[0], dtype=np.int64)
+        ln = np.asarray(table[1], dtype=np.int64)
+        p = np.arange(65536, dtype=np.int64)
+        run = sym >> 4
+        size = sym & 0x0F
+        normal = (ln > 0) & (size > 0) & (ln + size <= 16)
+        s = np.where(normal, size, 0)
+        width = np.left_shift(np.int64(1), s)
+        amp = (p >> np.where(normal, 16 - ln - s, 0)) & (width - 1)
+        val = np.where(amp >= (width >> 1), amp, amp - width + 1)
+        tot = np.where(normal, ln + size, 0)
+        run_l = np.where(normal, run, 0)
+        eob = (ln > 0) & (sym == 0x00)
+        zrl = (ln > 0) & (sym == 0xF0)
+        tot = np.where(eob | zrl, ln, tot)
+        run_l = np.where(eob, -1, np.where(zrl, 16, run_l))
+        return (run_l.tolist(), val.tolist(), tot.tolist())
+
+    return _fast_lut_cached(table, "ac", build)
+
+
+def _decode_block_seq(
+    reader: "_BitReader",
+    dc_tbl,
+    dc_fast,
+    ac_tbl,
+    ac_fast,
+    coefrow,
+    pred: int,
+) -> int:
+    """One sequential (baseline / extended) data unit: DC difference +
+    AC run-length coefficients into coefrow, via the combined LUTs with
+    the bit accumulator held in locals; any window the LUTs cannot
+    serve falls back to the generic reader calls with identical
+    consumption semantics. Returns the updated DC predictor."""
+    buf, nbuf = reader.data, reader.n
+    acc, nbits, bpos = reader.acc, reader.nbits, reader.bpos
+    dval, dtot = dc_fast
+    arun, aval, atot = ac_fast
+    while nbits < 16 and bpos < nbuf:
+        acc = (acc << 8) | buf[bpos]
+        bpos += 1
+        nbits += 8
+    p16 = (
+        (acc >> (nbits - 16)) & 0xFFFF if nbits >= 16 else (acc << (16 - nbits)) & 0xFFFF
+    )
+    t = dtot[p16]
+    if t and t <= nbits:
+        pred += dval[p16]
+        nbits -= t
+        acc &= (1 << nbits) - 1
+    else:
+        reader.acc, reader.nbits, reader.bpos = acc, nbits, bpos
+        size = _decode_huffman(reader, dc_tbl)
+        pred += _extend(reader.read_bits(size), size)
+        acc, nbits, bpos = reader.acc, reader.nbits, reader.bpos
+    coefrow[0] = pred
+    k = 1
+    while k < 64:
+        while nbits < 16 and bpos < nbuf:
+            acc = (acc << 8) | buf[bpos]
+            bpos += 1
+            nbits += 8
+        p16 = (
+            (acc >> (nbits - 16)) & 0xFFFF
+            if nbits >= 16
+            else (acc << (16 - nbits)) & 0xFFFF
+        )
+        t = atot[p16]
+        if t and t <= nbits:
+            r = arun[p16]
+            nbits -= t
+            acc &= (1 << nbits) - 1
+            if r < 0:  # EOB
+                break
+            if r == 16:  # ZRL
+                k += 16
+                continue
+            k += r
+            if k >= 64:
+                reader.acc, reader.nbits, reader.bpos = acc, nbits, bpos
+                raise ValueError("JPEG AC run overflows block")
+            coefrow[k] = aval[p16]
+            k += 1
+        else:
+            reader.acc, reader.nbits, reader.bpos = acc, nbits, bpos
+            sym = _decode_huffman(reader, ac_tbl)
+            if sym == 0x00:  # EOB
+                acc, nbits, bpos = reader.acc, reader.nbits, reader.bpos
+                break
+            if sym == 0xF0:  # ZRL
+                acc, nbits, bpos = reader.acc, reader.nbits, reader.bpos
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run
+            if k >= 64:
+                raise ValueError("JPEG AC run overflows block")
+            coefrow[k] = _extend(reader.read_bits(size), size)
+            acc, nbits, bpos = reader.acc, reader.nbits, reader.bpos
+            k += 1
+    reader.acc, reader.nbits, reader.bpos = acc, nbits, bpos
+    return pred
 
 
 def _planes_from_raster(
@@ -1822,6 +1951,7 @@ def _decode_sequential_scan(
     )
     rows = [r * stride + c for r in range(bh_n) for c in range(bw_n)]
     coef = st["coefs"][idx]
+    dc_fast, ac_fast = _category_lut(dc_tbl), _ac_lut(ac_tbl)
     reader = _BitReader(data, pos)
     pred = 0
     seg_i = 0
@@ -1829,24 +1959,9 @@ def _decode_sequential_scan(
     while i < len(rows):
         limit = min(len(rows), i + restart_interval) if restart_interval else len(rows)
         while i < limit:
-            row = rows[i]
-            size = _decode_huffman(reader, dc_tbl)
-            pred += _extend(reader.read_bits(size), size)
-            coef[row, 0] = pred
-            k = 1
-            while k < 64:
-                sym = _decode_huffman(reader, ac_tbl)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                k += run
-                if k >= 64:
-                    raise ValueError("JPEG AC run overflows block")
-                coef[row, k] = _extend(reader.read_bits(size), size)
-                k += 1
+            pred = _decode_block_seq(
+                reader, dc_tbl, dc_fast, ac_tbl, ac_fast, coef[rows[i]], pred
+            )
             i += 1
         if i < len(rows):
             reader = _expect_rst(data, reader, seg_i)
@@ -2265,6 +2380,9 @@ def decode_jpeg(data: bytes, deep: bool = False) -> np.ndarray:
                 comp_tbls.append(
                     (huff[(0, tbl_byte >> 4)], huff[(1, tbl_byte & 0x0F)])
                 )
+            comp_fast = [
+                (_category_lut(d_), _ac_lut(a_)) for d_, a_ in comp_tbls
+            ]
             reader = _BitReader(data, pos)
             mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
             nmcu = mcux * mcuy
@@ -2281,28 +2399,19 @@ def decode_jpeg(data: bytes, deep: bool = False) -> np.ndarray:
                     for c in range(ncomp):  # interleaved MCU: hc·vc blocks/comp
                         hc, vc, _ = comp_info[c]
                         dc_tbl, ac_tbl = comp_tbls[c]
+                        dc_fast, ac_fast = comp_fast[c]
                         out = outs[c]
                         base = n * hc * vc
                         for r in range(hc * vc):
-                            size = _decode_huffman(reader, dc_tbl)
-                            preds[c] += _extend(reader.read_bits(size), size)
-                            out[base + r, 0] = preds[c]
-                            k = 1
-                            while k < 64:
-                                sym = _decode_huffman(reader, ac_tbl)
-                                if sym == 0x00:  # EOB
-                                    break
-                                if sym == 0xF0:  # ZRL
-                                    k += 16
-                                    continue
-                                run, size = sym >> 4, sym & 0x0F
-                                k += run
-                                if k >= 64:
-                                    raise ValueError("JPEG AC run overflows block")
-                                out[base + r, k] = _extend(
-                                    reader.read_bits(size), size
-                                )
-                                k += 1
+                            preds[c] = _decode_block_seq(
+                                reader,
+                                dc_tbl,
+                                dc_fast,
+                                ac_tbl,
+                                ac_fast,
+                                out[base + r],
+                                preds[c],
+                            )
                     n += 1
                 if n < nmcu:
                     # restart boundary (T.81 E.1.4): byte-aligned RSTn
