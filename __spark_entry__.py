@@ -361,7 +361,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composed training-data cleaning pipeline: exact-dedup
         # representatives ∩ quality floor ∩ language filter — the
         # realistic pre-training corpus pass, one declarative plan
-        docs = docs_tbl(spark)
+        from oar_ocr_spark.partitioning import spread
+
+        # three interpreted-HOF branches (quality / lang / dedup) would
+        # otherwise each run on the one-partition parquet scan (32 s
+        # serial at sf1)
+        docs = spread(
+            docs_tbl(spark), spark.sparkContext.defaultParallelism, "doc_id"
+        )
         q = X.quality_score(docs).select(
             F.col("doc_id").cast("string").alias("doc_id"), "quality"
         )
