@@ -665,8 +665,12 @@ def _train_rounds(embeddings, cent, iters, id_col, vec_col, round_frames, parall
         )
         # argmin as a hash aggregation (same rewrite as ivf_ann's
         # _argmin_assign — N·K rows combine map-side instead of
-        # sort-shuffling through a row_number window); v rides along in
-        # the struct (cid is unique per group, so it never tiebreaks)
+        # sort-shuffling through a row_number window). The vector does
+        # NOT ride in the struct: every partial-agg update would copy
+        # the dim-length array (measured 74 s of the sf1 training pass);
+        # the winning assignment re-joins its vector by vid instead —
+        # one N-row hash join per round, and cid is unique per group so
+        # the struct order is unchanged
         assign = (
             pairs.groupBy("vid")
             .agg(
@@ -684,11 +688,11 @@ def _train_rounds(embeddings, cent, iters, id_col, vec_col, round_frames, parall
                             F.lit(float("inf")),
                         ).alias("nr"),
                         F.col("centroid_id").alias("cid"),
-                        F.col("v").alias("v"),
                     )
                 ).alias("m")
             )
-            .select("vid", F.col("m.cid").alias("centroid_id"), F.col("m.v").alias("v"))
+            .select("vid", F.col("m.cid").alias("centroid_id"))
+            .join(emb.select("vid", "v"), "vid")
         )
         upd = (
             assign.select("centroid_id", F.posexplode("v").alias("pos", "val"))
