@@ -97,8 +97,14 @@ def test_simhash_near_dup_low_hamming(spark, docs):
     sim = D.simhash_df(docs)
     vals = {r["doc_id"]: r["simhash"] for r in sim.collect()}
     assert vals["1"] == vals["4"]  # exact dup → identical signature
-    ham_12 = bin(np.uint64(vals["1"]) ^ np.uint64(vals["2"])).count("1")
-    ham_13 = bin(np.uint64(vals["1"]) ^ np.uint64(vals["3"])).count("1")
+    # mask to the uint64 range before converting: a negative int64
+    # signature passed straight to np.uint64 is a hard error in future
+    # numpy (out-of-bound python int conversion)
+    def _u64(v):
+        return np.uint64(v & 0xFFFF_FFFF_FFFF_FFFF)
+
+    ham_12 = bin(_u64(vals["1"]) ^ _u64(vals["2"])).count("1")
+    ham_13 = bin(_u64(vals["1"]) ^ _u64(vals["3"])).count("1")
     assert ham_12 < ham_13  # near-dup closer than unrelated
     cands = {(r["doc_a"], r["doc_b"]) for r in D.simhash_candidates(sim, 3).collect()}
     assert ("1", "4") in cands
