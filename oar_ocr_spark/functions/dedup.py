@@ -116,7 +116,14 @@ def minhash_band_hashes(
 
 def minhash_candidates(band_hashes: DataFrame) -> DataFrame:
     """LSH candidate pairs: docs sharing any band hash.
-    Output: doc_a < doc_b, n_shared_bands."""
+    Output: doc_a < doc_b, n_shared_bands.
+
+    The band table is lazily localCheckpoint'ed first: the self-join's
+    two sides cannot share an exchange (one side broadcasts), so the
+    whole upstream shingle+minhash lineage otherwise executes twice.
+    The table is n_docs x n_bands rows of short hashes — tiny at any
+    scale — and RDD-level storage is not plan-matched across runs."""
+    band_hashes = band_hashes.localCheckpoint(eager=False)
     a = band_hashes.alias("a")
     b = band_hashes.alias("b")
     return (
