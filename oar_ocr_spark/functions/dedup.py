@@ -348,6 +348,10 @@ def simhash_candidates(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("c"),
     ).select("doc_id", "simhash", "c.chunk_id", "c.chunk")
+    # one computation for both self-join sides (the upstream simhash
+    # UDF would otherwise run twice — the minhash_candidates pattern);
+    # 4 short rows per doc, tiny at any scale
+    chunks = chunks.localCheckpoint(eager=False)
     pairs = (
         chunks.alias("a")
         .join(chunks.alias("b"), ["chunk_id", "chunk"])
